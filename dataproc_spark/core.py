@@ -1,0 +1,164 @@
+"""Core utilities: session factory, schema checks, cartesian products,
+order-preserving positional zips.
+
+Re-expresses `/root/reference/dataproc/data.py` (cartesian,
+ensure_has_columns) Spark-first, plus the positional-zip machinery the
+reference gets implicitly from pandas row order (SURVEY.md §1, §2.2
+"positional zip").
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Internal column used to carry a deterministic row position through
+#: constructs that the reference keys by implicit pandas row order.
+IDX = "_idx"
+
+
+def get_spark(
+    app_name: str = "dataproc_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Session factory with scale-appropriate defaults.
+
+    AQE is enabled so shuffle partition counts and skew joins self-tune at
+    cluster scale; locally we pin ``spark.sql.shuffle.partitions`` to the
+    core count to avoid tiny-task overhead. Session timezone is UTC so
+    timestamp formatting is deterministic across environments.
+    """
+    import os
+
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or 32),
+        # events.parquet uses parquet TIMESTAMP(NANOS); Spark reads it as a
+        # long (nanoseconds) under this flag — we do epoch arithmetic on it.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.driver.memory": "8g",
+    }
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_has_columns(df: DataFrame, columns: Iterable[str]) -> None:
+    """Assert that ``df`` contains every column in ``columns``.
+
+    Parity: reference ``data.py:23-27``. Analysis-time check (DataFrame
+    schemas are known before execution), so this costs nothing at run time.
+    """
+    missing = [c for c in columns if c not in df.columns]
+    assert not missing, f"Column {missing[0]} missing in data frame"
+
+
+def _one_range(spark: SparkSession, name: str, values: Sequence) -> DataFrame:
+    """A single-column frame carrying an explicit position column.
+
+    The position column materializes the input iterable's order — the thing
+    pandas keeps implicitly and Spark does not (SURVEY.md §1).
+    """
+    values = list(values)
+    rows = [(i, v) for i, v in enumerate(values)]
+    first = values[0]
+    if isinstance(first, bool):
+        typ = "boolean"
+    elif isinstance(first, int):
+        typ = "long"
+    elif isinstance(first, float):
+        typ = "double"
+    else:
+        typ = "string"
+    return spark.createDataFrame(rows, schema=f"{IDX} long, `{name}` {typ}")
+
+
+def cartesian(
+    spark: SparkSession,
+    ranges: Sequence[Sequence],
+    names: Sequence[str] | None = None,
+    with_index: bool = False,
+) -> DataFrame:
+    """Cartesian product of ``ranges`` as an N-column DataFrame.
+
+    Parity: reference ``data.py:7-21`` (recursive pandas concat). Spark-first
+    re-expression: a chain of ``crossJoin`` over tiny single-column frames —
+    Catalyst broadcasts the small sides, so this never shuffles.
+
+    When ``with_index=True`` the result carries ``_idx``, the row position the
+    pandas version would have produced (first range major, last range minor).
+    That index is what makes the reference's *positional* CSV zip
+    (``selectivesearch.py:80``) expressible on an unordered engine: both sides
+    get an explicit index and are equi-joined on it (see
+    :func:`zip_by_position`).
+    """
+    ranges = [list(r) for r in ranges]
+    if names is None:
+        names = [str(i) for i in range(len(ranges))]
+    if not ranges:
+        return spark.createDataFrame([], schema="")
+    sizes = [len(r) for r in ranges]
+    dfs = [
+        _one_range(spark, name, values).withColumnRenamed(IDX, f"{IDX}_{i}")
+        for i, (name, values) in enumerate(zip(names, ranges))
+    ]
+    out = reduce(DataFrame.crossJoin, dfs)
+    # _idx = ((pos0 * n1 + pos1) * n2 + pos2) ... : query-major row order.
+    idx = F.col(f"{IDX}_0")
+    for i in range(1, len(ranges)):
+        idx = idx * sizes[i] + F.col(f"{IDX}_{i}")
+    out = out.withColumn(IDX, idx.cast("long"))
+    out = out.drop(*[f"{IDX}_{i}" for i in range(len(ranges))])
+    if not with_index:
+        out = out.drop(IDX)
+    return out.select(*([IDX] if with_index else []), *names)
+
+
+def zip_by_position(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Column-bind two frames by row position (both must carry ``_idx``).
+
+    Replaces the reference's ``pd.concat([df, sel], axis=1)``
+    (``selectivesearch.py:80,90``) — an implicit positional alignment that
+    has no meaning on an unordered engine. Here both sides carry an explicit
+    ``_idx`` and we equi-join on it; fixes reference quirk Q4 by asserting
+    equal cardinality at call sites that read external files.
+    """
+    ensure_has_columns(left, [IDX])
+    ensure_has_columns(right, [IDX])
+    return left.join(right, IDX, "inner")
+
+
+def read_indexed_csv(
+    spark: SparkSession,
+    path: str,
+    column: str = "shard_score",
+    dtype: str = "double",
+) -> DataFrame:
+    """Read a headerless single-column CSV preserving file row order.
+
+    The reference relies on ``pd.read_csv`` keeping file order
+    (``selectivesearch.py:79``). Spark DataFrames have no row order, so we
+    attach ``_idx`` via ``zipWithIndex`` — the one place an RDD is justified,
+    because *the file format itself* is positional. ``textFile`` partitions
+    are ordered by byte offset, so the zipped index equals the file line
+    number even when the read is split across many tasks (scales to large
+    score files; typical selection files are queries × shards rows).
+    """
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    cast = float if dtype in ("double", "float") else int
+    rows = rdd.map(lambda t: (t[1], cast(t[0].strip())))
+    return spark.createDataFrame(rows, schema=f"{IDX} long, `{column}` {dtype}")

@@ -1,0 +1,159 @@
+"""Sources and sinks: sharded parquet scans, positional score CSVs, and the
+TREC run-file sink.
+
+Parity: reference ``selectivesearch.py:76-119`` (loaders) and ``:193-202``
+(``to_trec``), re-expressed on Spark's reader/writer API so predicate
+pushdown and column pruning reach the parquet scans for free.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataproc_spark.core import IDX, cartesian, ensure_has_columns, read_indexed_csv
+
+#: Column contract of per-shard result files — reference
+#: ``selectivesearch.py:105-112``.
+SHARD_RESULTS_SCHEMA = (
+    "query int, rank int, ldocid long, gdocid long, "
+    "score double, shard int, bucket int"
+)
+
+
+def load_shard_results(
+    spark: SparkSession, basename: str, nshards: int, nbuckets: int = 1
+) -> DataFrame:
+    """Scan per-shard parquet files ``{basename}#{shard}.results-{nbuckets}``.
+
+    Parity: reference ``selectivesearch.py:96-119`` (loop of
+    ``pq.read_table`` + concat). Spark-first: one multi-path parquet scan —
+    the union is implicit, splits parallelize across executors, and column
+    pruning / predicate pushdown apply to every file. The shard id is a
+    column *in* the data (reference schema contract), so no filename
+    parsing is needed.
+    """
+    paths = [f"{basename}#{shard}.results-{nbuckets}" for shard in range(nshards)]
+    return spark.read.schema(SHARD_RESULTS_SCHEMA).parquet(*paths)
+
+
+def _load_selection(
+    spark: SparkSession,
+    queries: Sequence,
+    shard_scores_path: str,
+    names: list[str],
+    ranges: list,
+) -> DataFrame:
+    base = cartesian(spark, ranges, names=names, with_index=True)
+    scores = read_indexed_csv(spark, shard_scores_path, column="shard_score")
+    n_expected = 1
+    for r in ranges:
+        n_expected *= len(list(r))
+    n_actual = scores.count()
+    # Q4 fix (SURVEY.md §2.4): the reference silently mis-aligns when the
+    # score file does not match the cartesian shape; we fail fast.
+    assert n_actual == n_expected, (
+        f"score file has {n_actual} rows, expected {n_expected} "
+        f"(= {' × '.join(str(len(list(r))) for r in ranges)})"
+    )
+    df = base.join(scores, IDX, "inner")
+    # pandas rank(method='first') breaks ties by input order == cartesian
+    # order == _idx asc; row_number over (score desc, _idx asc) is exact.
+    w = Window.partitionBy("query").orderBy(F.col("shard_score").desc(), F.col(IDX).asc())
+    return df.withColumn("rank", (F.row_number().over(w) - 1).cast("int")).drop(IDX)
+
+
+def load_shard_selection(
+    spark: SparkSession, queries: Sequence, nshards: int, shard_scores_path: str
+) -> DataFrame:
+    """Cartesian (queries × shards) positionally zipped with a score CSV,
+    plus the 0-based per-query rank by score descending.
+
+    Parity: reference ``selectivesearch.py:76-83``; the positional
+    ``axis=1`` concat becomes an explicit index join (SURVEY.md §2.2).
+    """
+    return _load_selection(
+        spark, queries, shard_scores_path,
+        names=["query", "shard"], ranges=[queries, range(nshards)],
+    )
+
+
+def load_bucket_selection(
+    spark: SparkSession,
+    queries: Sequence,
+    nshards: int,
+    nbuckets: int,
+    shard_scores_path: str,
+) -> DataFrame:
+    """3-way cartesian (queries × shards × buckets) variant of
+    :func:`load_shard_selection`. Parity: ``selectivesearch.py:85-93``."""
+    return _load_selection(
+        spark, queries, shard_scores_path,
+        names=["query", "shard", "bucket"],
+        ranges=[queries, range(nshards), range(nbuckets)],
+    )
+
+
+def trec_frame(
+    results: DataFrame,
+    cutoff: int = 1000,
+    tiebreak_cols: Sequence[str] = ("title",),
+) -> DataFrame:
+    """The TREC run table: per-query 0-based rank by score desc, capped at
+    ``cutoff``, with the fixed ``iter``/``run_id`` literals.
+
+    Parity: reference ``selectivesearch.py:193-201`` — pure (no caller
+    mutation, quirk Q3), validates ``title`` up front (quirk Q5), and casts
+    via Spark int instead of the removed ``np.int`` (quirk Q2). pandas
+    ``method='first'`` tie-breaking is replaced by the explicit
+    ``tiebreak_cols`` (default: title asc), documented in SURVEY.md §7.
+    """
+    ensure_has_columns(results, ["query", "score", "title"])
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    return (
+        results.withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .where(F.col("rank") < cutoff)
+        .select(
+            "query",
+            F.lit("Q0").alias("iter"),
+            "title",
+            "rank",
+            "score",
+            F.lit("null").alias("run_id"),
+        )
+    )
+
+
+def to_trec(results: DataFrame, path: str, cutoff: int = 1000) -> None:
+    """Write a ``trec_eval``-format run file: headerless TSV, columns
+    ``query iter title rank score run_id``, globally sorted by (query, rank).
+
+    Parity: reference ``selectivesearch.py:193-202``. ``trec_eval`` consumes
+    a single ordered file, so the final pass is ``repartition(1)`` +
+    ``sortWithinPartitions`` — the only intentionally single-task stage in
+    the engine (the run file is per-query top-``cutoff``, inherently small);
+    everything upstream (ranking, filtering) runs distributed.
+    """
+    frame = trec_frame(results, cutoff)
+    tmp = tempfile.mkdtemp(prefix="trec_", dir=os.path.dirname(path) or ".")
+    try:
+        (
+            frame.repartition(1)
+            .sortWithinPartitions("query", "rank")
+            .write.mode("overwrite")
+            .option("sep", "\t")
+            .option("header", False)
+            .csv(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*"))[0]
+        shutil.move(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

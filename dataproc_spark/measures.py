@@ -1,0 +1,72 @@
+"""IR effectiveness measures as Spark Column factories.
+
+Parity: reference ``measures.py:3-5`` defines ``precision_at(k)`` as a
+closure over an *implicitly ordered* pandas Series (``s[:k]`` takes the
+first k rows positionally). Spark has no row order, so a measure here is a
+factory producing an aggregate Column over an **explicit** per-query prefix
+rank (``row_number`` over the result ordering — SURVEY.md §2.2
+"ordered-prefix aggregate").
+
+The public shape mirrors the reference's ``measures`` dict:
+``{relevance_column: [measure, ...]}`` — but values are :class:`Measure`
+objects instead of Series closures, so they run JVM-side inside whole-stage
+codegen instead of per-group Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Measure:
+    """A named aggregate over the ordered prefix of a result list.
+
+    ``builder(rel_col, rank_col)`` returns an aggregate Column; ``rank_col``
+    is the 1-based position of the row in the per-(query, step) result
+    ordering.
+    """
+
+    name: str
+    builder: Callable[[str, str], Column]
+
+    def column(self, rel_col: str, rank_col: str) -> Column:
+        return self.builder(rel_col, rank_col).alias(self.name)
+
+
+def precision_at(k: int, name: str | None = None) -> Measure:
+    """P@k — mean relevance over the first k results.
+
+    Matches reference ``measures.py:5`` (``s[:k].sum() / s[:k].count()``):
+    the denominator is the number of *present* rows in the prefix, so a
+    query with fewer than k results divides by its result count, and
+    null relevances are excluded — ``avg`` reproduces both behaviors.
+    """
+    return Measure(
+        name or f"p_{k}",
+        lambda rel, rn: F.avg(F.when(F.col(rn) <= k, F.col(rel))),
+    )
+
+
+def recall_at(k: int, total_col: str = "num_rel", name: str | None = None) -> Measure:
+    """R@k — fraction of all relevant docs retrieved in the first k results.
+
+    Extension beyond the reference (its measure set has only P@k);
+    ``total_col`` must hold the per-query total relevant count on each row.
+    """
+    return Measure(
+        name or f"r_{k}",
+        lambda rel, rn: (
+            F.sum(F.when(F.col(rn) <= k, F.col(rel)).otherwise(F.lit(0)))
+            / F.max(F.col(total_col))
+        ),
+    )
+
+
+def num_retrieved(name: str = "num_ret") -> Measure:
+    """Count of retrieved results per (query, step)."""
+    return Measure(name, lambda rel, rn: F.count(F.lit(1)))

@@ -1,0 +1,129 @@
+"""Tests for core utilities (cartesian, positional zip) and I/O
+(selection loaders, sharded parquet scan, trec sink) — functions the
+reference ships untested (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dataproc_spark.core import IDX, cartesian, ensure_has_columns, read_indexed_csv
+from dataproc_spark.io import (
+    load_bucket_selection,
+    load_shard_results,
+    load_shard_selection,
+    to_trec,
+    trec_frame,
+)
+from tests.conftest import rows_set
+
+
+def test_cartesian_two(spark):
+    df = cartesian(spark, [[7, 8], range(3)], names=["query", "shard"])
+    assert rows_set(df) == {(q, s) for q in (7, 8) for s in range(3)}
+
+
+def test_cartesian_index_is_query_major(spark):
+    df = cartesian(spark, [[7, 8], range(3)], names=["query", "shard"],
+                   with_index=True)
+    got = {(r[IDX], r.query, r.shard) for r in df.collect()}
+    expected = {(i, q, s) for i, (q, s) in
+                enumerate((q, s) for q in (7, 8) for s in range(3))}
+    assert got == expected
+
+
+def test_cartesian_three_index(spark):
+    df = cartesian(spark, [[0, 1], range(2), range(2)],
+                   names=["query", "shard", "bucket"], with_index=True)
+    got = {(r[IDX], r.query, r.shard, r.bucket) for r in df.collect()}
+    expected = {(i, *t) for i, t in enumerate(
+        (q, s, b) for q in (0, 1) for s in range(2) for b in range(2))}
+    assert got == expected
+
+
+def test_cartesian_strings(spark):
+    df = cartesian(spark, [["a", "b"], [1]], names=["k", "v"])
+    assert rows_set(df) == {("a", 1), ("b", 1)}
+
+
+def test_ensure_has_columns(spark):
+    df = spark.createDataFrame([(1,)], schema="a long")
+    ensure_has_columns(df, ["a"])
+    with pytest.raises(AssertionError):
+        ensure_has_columns(df, ["a", "b"])
+
+
+def test_read_indexed_csv(spark, tmp_path):
+    p = tmp_path / "scores.csv"
+    p.write_text("0.5\n0.9\n0.1\n")
+    df = read_indexed_csv(spark, str(p))
+    assert rows_set(df) == {(0, 0.5), (1, 0.9), (2, 0.1)}
+
+
+def test_load_shard_selection(spark, tmp_path):
+    # 2 queries x 3 shards, query-major order; per-query rank by score desc
+    p = tmp_path / "scores.csv"
+    p.write_text("\n".join(["0.3", "0.9", "0.1", "0.5", "0.5", "0.8"]))
+    sel = load_shard_selection(spark, [10, 11], 3, str(p))
+    got = {(r.query, r.shard, r.shard_score, r.rank) for r in sel.collect()}
+    assert got == {
+        (10, 0, 0.3, 1), (10, 1, 0.9, 0), (10, 2, 0.1, 2),
+        # tie 0.5/0.5 breaks by input order (shard asc) = method='first'
+        (11, 0, 0.5, 1), (11, 1, 0.5, 2), (11, 2, 0.8, 0),
+    }
+
+
+def test_load_shard_selection_count_mismatch(spark, tmp_path):
+    p = tmp_path / "scores.csv"
+    p.write_text("0.1\n0.2\n")
+    with pytest.raises(AssertionError):
+        load_shard_selection(spark, [1], 3, str(p))
+
+
+def test_load_bucket_selection(spark, tmp_path):
+    p = tmp_path / "scores.csv"
+    p.write_text("\n".join(str(x) for x in [4.0, 3.0, 2.0, 1.0]))
+    sel = load_bucket_selection(spark, [0], 2, 2, str(p))
+    got = {(r.query, r.shard, r.bucket, r.rank) for r in sel.collect()}
+    assert got == {(0, 0, 0, 0), (0, 0, 1, 1), (0, 1, 0, 2), (0, 1, 1, 3)}
+
+
+def test_load_shard_results(spark, tmp_path):
+    base = str(tmp_path / "run")
+    for shard in range(2):
+        df = spark.createDataFrame(
+            [(0, 0, 1, 1, 0.5, shard, 0)],
+            schema="query int, rank int, ldocid long, gdocid long, "
+                   "score double, shard int, bucket int",
+        )
+        df.write.mode("overwrite").parquet(f"{base}#{shard}.results-1")
+    out = load_shard_results(spark, base, 2)
+    assert out.count() == 2
+    assert {r.shard for r in out.collect()} == {0, 1}
+
+
+def test_trec_frame_and_sink(spark, tmp_path):
+    results = spark.createDataFrame(
+        [(0, "d1", 1.0), (0, "d2", 3.0), (0, "d3", 2.0),
+         (1, "d4", 9.0), (1, "d5", 9.0)],
+        schema="query long, title string, score double",
+    )
+    frame = trec_frame(results, cutoff=2)
+    got = {(r.query, r.iter, r.title, r.rank, r.score, r.run_id)
+           for r in frame.collect()}
+    assert got == {
+        (0, "Q0", "d2", 0, 3.0, "null"),
+        (0, "Q0", "d3", 1, 2.0, "null"),
+        (1, "Q0", "d4", 0, 9.0, "null"),   # tie 9.0/9.0 -> title asc
+        (1, "Q0", "d5", 1, 9.0, "null"),
+    }
+    path = str(tmp_path / "run.trec")
+    to_trec(results, path, cutoff=2)
+    assert os.path.exists(path)
+    lines = [l.split("\t") for l in open(path).read().strip().split("\n")]
+    assert len(lines) == 4
+    # globally sorted by (query, rank); 6 fixed columns
+    assert [l[0] for l in lines] == ["0", "0", "1", "1"]
+    assert [l[3] for l in lines] == ["0", "1", "0", "1"]
+    assert all(l[1] == "Q0" and l[5] == "null" for l in lines)

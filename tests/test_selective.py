@@ -1,0 +1,205 @@
+"""Ported reference unit tests (test_selectivesearch.py:43-98) plus
+coverage for evaluate/evaluate_step, which the reference leaves untested.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dataproc_spark.measures import num_retrieved, precision_at
+from dataproc_spark.selective import (
+    decayed_buckets,
+    evaluate,
+    evaluate_step,
+    rank_selection,
+    resolve_bucket_selection,
+    select,
+    select_buckets,
+    select_with_decay,
+)
+from tests.conftest import rows_set
+
+
+# --- ported: test_select_all (reference :43-47) ---------------------------
+
+def test_select_all(results, selection):
+    selected = select(selection, results, 3)
+    assert rows_set(selected) == rows_set(results)
+
+
+# --- ported: test_select_one (reference :49-56) ---------------------------
+
+def test_select_one(results, selection):
+    selected = select(selection, results.drop("bucket"), 1)
+    expected = {
+        (0, 0, 3.0),
+        (0, 0, 2.0),
+        (1, 2, 5.0),
+        (1, 2, 5.0),
+    }
+    got = [tuple(r) for r in selected.select("query", "shard", "score").collect()]
+    assert len(got) == 4
+    assert set(got) == expected
+
+
+# --- ported: test_decayed_buckets (reference :58-66) ----------------------
+
+def test_decayed_buckets():
+    assert decayed_buckets(10, 5, 1) == [10] * 5
+    assert decayed_buckets(10, 5, 0.9) == [10, 9, 9, 8, 7]
+    assert decayed_buckets(2, 3, 0.5) == [2, 1, 1]
+    assert decayed_buckets(2, 3, 0.6) == [2, 2, 1]
+    with pytest.raises(AssertionError):
+        decayed_buckets(10, 5, 0)
+    with pytest.raises(AssertionError):
+        decayed_buckets(10, 5, 1.1)
+
+
+# --- ported: test_select_with_decay (reference :68-76) --------------------
+
+def test_select_with_decay(results, selection):
+    selected = select_with_decay(selection, results, 3, 0.5)
+    expected = {
+        (0, 1, 0, 5.0),
+        (0, 2, 0, 4.0),
+        (0, 0, 0, 3.0),
+        (0, 0, 1, 2.0),
+        (1, 2, 0, 5.0),
+        (1, 2, 1, 5.0),
+        (1, 1, 0, 4.0),
+        (1, 0, 0, 2.0),
+    }
+    assert rows_set(selected, ["query", "shard", "bucket", "score"]) == expected
+
+
+def test_select_with_decay_one_is_select(results, selection):
+    assert rows_set(select_with_decay(selection, results, 2, 1)) == rows_set(
+        select(selection, results, 2)
+    )
+
+
+# --- ported: test_select_buckets (reference :78-87) -----------------------
+
+def test_select_buckets(results, bucket_selection):
+    selected = select_buckets(bucket_selection, results, 3)
+    expected = {
+        (0, 0, 0, 3.0),
+        (0, 1, 0, 5.0),
+        (0, 2, 0, 4.0),
+        (1, 0, 0, 2.0),
+        (1, 0, 1, 2.0),
+        (1, 1, 0, 4.0),
+    }
+    assert rows_set(selected, ["query", "shard", "bucket", "score"]) == expected
+
+
+# --- ported: test_resolve_bucket_selection (reference :89-98) -------------
+
+def test_resolve_bucket_selection(bucket_selection):
+    resolved = resolve_bucket_selection(bucket_selection, 3)
+    expected = {
+        (0, 0, 0),
+        (0, 1, 0),
+        (0, 2, 0),
+        (1, 0, 0),
+        (1, 0, 1),
+        (1, 1, 0),
+    }
+    assert rows_set(resolved) == expected
+
+
+def test_resolve_bucket_selection_budget_skip(spark):
+    """A row whose cost exceeds the remaining budget is skipped but the walk
+    continues — a later cheaper row still fits (reference :171-174)."""
+    sel = spark.createDataFrame(
+        [
+            # query 0: rank order -> (shard 0, bucket 2) cost 3... budget 2
+            (0, 0, 2, 0),  # cost 3 > 2 -> skipped
+            (0, 1, 0, 1),  # cost 1 -> selected
+            (0, 0, 0, 2),  # cost 1 -> selected, budget hit
+            (0, 1, 1, 3),  # after budget -> ignored
+        ],
+        schema="query long, shard long, bucket long, rank long",
+    )
+    resolved = resolve_bucket_selection(sel, 2)
+    assert rows_set(resolved) == {(0, 0, 0), (0, 1, 0)}
+
+
+# --- rank_selection -------------------------------------------------------
+
+def test_rank_selection_ties_break_by_shard(spark):
+    sel = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 2.0), (0, 2, 2.0)],
+        schema="query long, shard long, shard_score double",
+    )
+    ranked = rank_selection(sel)
+    got = {(r.shard, r.rank) for r in ranked.collect()}
+    # score desc, ties by shard asc (pandas method='first' on cartesian order)
+    assert got == {(1, 0), (2, 1), (0, 2)}
+
+
+# --- evaluate / evaluate_step (untested in the reference) -----------------
+
+@pytest.fixture()
+def eval_inputs(spark):
+    # 2 queries, 2 shards; shard ranks: q0 -> [s0, s1], q1 -> [s1, s0]
+    shards = spark.createDataFrame(
+        [(0, 0, 0), (0, 1, 1), (1, 1, 0), (1, 0, 1)],
+        schema="query long, shard long, rank long",
+    )
+    # results with global_rank and binary relevance
+    rows = [
+        # query, shard, global_rank, relevant
+        (0, 0, 1, 1),
+        (0, 1, 2, 0),
+        (0, 0, 3, 1),
+        (0, 1, 4, 1),
+        (1, 1, 1, 0),
+        (1, 0, 2, 1),
+        (1, 1, 3, 1),
+        (1, 0, 4, 0),
+    ]
+    results = spark.createDataFrame(
+        rows, schema="query long, shard long, global_rank long, relevant int"
+    )
+    return shards, results
+
+
+def test_evaluate_step(eval_inputs):
+    shards, results = eval_inputs
+    out = evaluate_step(shards, results, {"relevant": [precision_at(2)]}, step=1)
+    got = {(r.query, r.step, r.p_2) for r in out.collect()}
+    # step 1: q0 sees shard0 rows (rel 1,1) -> p@2 = 1.0
+    #         q1 sees shard1 rows (rel 0,1) -> p@2 = 0.5
+    assert got == {(0, 1, 1.0), (1, 1, 0.5)}
+
+
+def test_evaluate_sweep_matches_stepwise(eval_inputs):
+    shards, results = eval_inputs
+    measures = {"relevant": [precision_at(2), num_retrieved()]}
+    swept = evaluate(shards, results, measures, num_shards=2)
+    stepwise = []
+    for step in (1, 2):
+        stepwise.append(evaluate_step(shards, results, measures, step))
+    expected = set()
+    for df in stepwise:
+        expected |= {(r.query, r.step, r.p_2, r.num_ret) for r in df.collect()}
+    got = {(r.query, r.step, r.p_2, r.num_ret) for r in swept.collect()}
+    assert got == expected
+    # full-selection P@2 uses the first 2 rows by global_rank
+    full = {(r.query, r.p_2) for r in swept.where(F.col("step") == 2).collect()}
+    assert full == {(0, 0.5), (1, 0.5)}
+
+
+def test_evaluate_sort_derives_rank(eval_inputs, spark):
+    _, results = eval_inputs
+    shards = spark.createDataFrame(
+        [(0, 0, 9.0), (0, 1, 1.0), (1, 1, 9.0), (1, 0, 1.0)],
+        schema="query long, shard long, shard_score double",
+    )
+    out = evaluate(shards, results, {"relevant": [precision_at(2)]},
+                   num_shards=2, sort=True)
+    got = {(r.query, r.step, r.p_2) for r in out.collect()}
+    assert (0, 1, 1.0) in got and (1, 1, 0.5) in got
