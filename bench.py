@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap count() (no driver materialization of
+results). Timings include Spark planning + execution but not session
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataproc_spark.core import get_spark
+from dataproc_spark import queries as registry
+
+#: benchmark set: the flagship selective-search pipeline + one
+#: representative per operator family.
+BENCH_QUERIES = [
+    "select_top_t",
+    "select_with_decay",
+    "evaluate_sweep",
+    "trec_export",
+    "resolve_buckets",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "top_customers",
+    "events_hourly",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_stats",
+    "token_topk",
+    "embed_near_dup",
+    "ann_bucketed",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("dataproc_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 #: constructs that the reference keys by implicit pandas row order.
 IDX = "_idx"
 
+#: Cartesian products up to this many rows are materialized driver-side
+#: (one createDataFrame) instead of via distributed crossJoins.
+_DRIVER_SIDE_LIMIT = 1_000_000
+
 
 def get_spark(
     app_name: str = "dataproc_spark",
@@ -84,7 +88,12 @@ def _one_range(spark: SparkSession, name: str, values: Sequence) -> DataFrame:
         typ = "double"
     else:
         typ = "string"
-    return spark.createDataFrame(rows, schema=f"{IDX} long, `{name}` {typ}")
+    # single partition: createDataFrame slices local data into
+    # defaultParallelism partitions, and crossJoin multiplies partition
+    # counts — 3 ranges × 32 slices would give 32³ = 32768 tasks.
+    return spark.createDataFrame(
+        rows, schema=f"{IDX} long, `{name}` {typ}"
+    ).coalesce(1)
 
 
 def cartesian(
@@ -112,17 +121,46 @@ def cartesian(
     if not ranges:
         return spark.createDataFrame([], schema="")
     sizes = [len(r) for r in ranges]
-    dfs = [
-        _one_range(spark, name, values).withColumnRenamed(IDX, f"{IDX}_{i}")
-        for i, (name, values) in enumerate(zip(names, ranges))
-    ]
-    out = reduce(DataFrame.crossJoin, dfs)
-    # _idx = ((pos0 * n1 + pos1) * n2 + pos2) ... : query-major row order.
-    idx = F.col(f"{IDX}_0")
-    for i in range(1, len(ranges)):
-        idx = idx * sizes[i] + F.col(f"{IDX}_{i}")
-    out = out.withColumn(IDX, idx.cast("long"))
-    out = out.drop(*[f"{IDX}_{i}" for i in range(len(ranges))])
+    total = 1
+    for s in sizes:
+        total *= s
+    if total <= _DRIVER_SIDE_LIMIT:
+        # small products: materialize driver-side in one createDataFrame —
+        # one job instead of N parallelize stages + N-1 cross joins
+        import itertools
+
+        rows = [
+            (i, *combo) for i, combo in enumerate(itertools.product(*ranges))
+        ]
+        first = rows[0]
+        types = []
+        for v in first[1:]:
+            if isinstance(v, bool):
+                types.append("boolean")
+            elif isinstance(v, int):
+                types.append("long")
+            elif isinstance(v, float):
+                types.append("double")
+            else:
+                types.append("string")
+        schema = ", ".join(
+            [f"{IDX} long"] + [f"`{n}` {t}" for n, t in zip(names, types)]
+        )
+        out = spark.createDataFrame(rows, schema=schema).coalesce(1)
+    else:
+        # large products stay distributed: chain of crossJoins over
+        # single-column frames; Catalyst broadcasts the small sides
+        dfs = [
+            _one_range(spark, name, values).withColumnRenamed(IDX, f"{IDX}_{i}")
+            for i, (name, values) in enumerate(zip(names, ranges))
+        ]
+        out = reduce(DataFrame.crossJoin, dfs)
+        # _idx = ((pos0 * n1 + pos1) * n2 + pos2) ... : query-major row order
+        idx = F.col(f"{IDX}_0")
+        for i in range(1, len(ranges)):
+            idx = idx * sizes[i] + F.col(f"{IDX}_{i}")
+        out = out.withColumn(IDX, idx.cast("long"))
+        out = out.drop(*[f"{IDX}_{i}" for i in range(len(ranges))])
     if not with_index:
         out = out.drop(IDX)
     return out.select(*([IDX] if with_index else []), *names)

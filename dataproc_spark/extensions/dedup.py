@@ -1,0 +1,290 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+All JVM-side (built-in higher-order functions over token arrays — no Python
+UDFs in any hot path), so they scale with executors and stay inside
+whole-stage codegen where Spark supports it.
+
+Scale design notes
+------------------
+* Exact dedup groups on a 128-bit content hash, not the raw text, so the
+  shuffle carries 16-byte keys instead of document bodies.
+* MinHash/LSH follows the standard shingle → signature → band → bucket-join
+  construction (Broder 1997; Leskovec et al., *Mining of Massive Datasets*
+  ch. 3): candidate generation is an equi-join on (band_id, band_hash) —
+  a plain hash shuffle, no cross join anywhere — and only candidates pay
+  the exact-Jaccard verification.
+* SimHash (Charikar 2002; Manku et al. 2007) buckets by band of the
+  fingerprint; Hamming verification uses ``bit_count(a XOR b)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def content_fingerprint(col: str = "text") -> F.Column:
+    """128-bit content hash (md5 hex) of a column — the exact-dedup key."""
+    return F.md5(F.col(col).cast("binary"))
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct content value; the smallest id wins.
+
+    The winner is chosen with ``min_by``-style aggregation rather than a
+    window so the plan is a single partial+final hash aggregate (map-side
+    combine shrinks the shuffle); a window would sort every group.
+    """
+    fp = content_fingerprint(content_col).alias("_fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling (shared with textstats)
+# ---------------------------------------------------------------------------
+
+def tokens(col: str = "text") -> F.Column:
+    """Whitespace tokens with empties removed (JVM-side)."""
+    return F.filter(F.split(F.col(col), r"\s+"), lambda x: x != F.lit(""))
+
+
+def shingles(tokens_col: F.Column, n: int = 5) -> F.Column:
+    """Distinct word n-gram shingles of a token array.
+
+    ``transform(sequence(...))`` sliding window — stays in the JVM; distinct
+    so Jaccard is over shingle *sets*.
+    """
+    joined = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
+    )
+    return F.array_distinct(joined)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles_col: F.Column, num_hashes: int = 64) -> F.Column:
+    """MinHash signature: per hash function i, min over shingles of
+    ``xxhash64(shingle, i)``.
+
+    xxhash64 with the function index as an extra seed input gives
+    ``num_hashes`` independent 64-bit hash families without any driver-side
+    coefficient tables; everything is a built-in higher-order function.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_frame(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """(id, shingles, signature) frame — the input to LSH banding."""
+    toks = tokens(content_col)
+    sh = shingles(toks, shingle_size).alias("_shingles")
+    out = df.select(F.col(id_col), sh)
+    return out.withColumn("_sig", minhash_signature(F.col("_shingles"), num_hashes))
+
+
+def lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16
+) -> DataFrame:
+    """Candidate pairs from LSH banding: ids sharing ≥1 (band, band-hash).
+
+    Each row explodes to ``bands`` rows keyed by the band hash; a self
+    equi-join on (band, hash) with ``id_left < id_right`` yields candidate
+    pairs. This is the scale path: the join is a hash shuffle on band keys
+    — documents only meet if a band collides, never all-pairs. Skewed
+    buckets (boilerplate shingles) are handled by AQE skew-join splitting.
+    """
+    num_hashes = None  # derived from the signature length at plan time
+    sig_size = sigs.select(F.size("_sig").alias("s")).first()["s"]
+    rows_per_band = sig_size // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bhash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            [
+                F.col(f"l.band") == F.col("r.band"),
+                F.col(f"l.bhash") == F.col("r.bhash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keep ≥ ``threshold``.
+
+    Only LSH candidates pay this cost. Shingle sets travel via two joins on
+    id (broadcast when small; shuffle-hash otherwise).
+    """
+    sh = sigs.select(F.col(id_col), F.col("_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate pairs with verified Jaccard."""
+    sigs = minhash_frame(df, content_col, id_col, num_hashes, shingle_size)
+    cands = lsh_candidates(sigs, id_col, bands)
+    return jaccard_verify(cands, sigs, id_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(tokens_col: F.Column, bits: int = 64) -> F.Column:
+    """SimHash fingerprint of a token array (Charikar 2002).
+
+    Bit b of the fingerprint is the sign of Σ_tokens (±1 by bit b of the
+    token hash). Built entirely from ``aggregate``/``transform`` — no UDF.
+    """
+    def bit_sum(b: int) -> F.Column:
+        return F.aggregate(
+            tokens_col,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(bit_sum(b) > 0, F.lit(1).cast("long") * (2 ** b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_frame(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), simhash(tokens(content_col), bits).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band-bucket candidates, Hamming-verify.
+
+    A pair within Hamming distance ``bands - 1`` shares at least one exact
+    band (pigeonhole), so bucketing by band finds all such pairs without a
+    cross join; ``bit_count(xor)`` verifies the exact distance.
+    """
+    fps = simhash_frame(df, content_col, id_col, bits)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bval")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            [
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bval") == F.col("r.bval"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

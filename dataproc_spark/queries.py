@@ -1,0 +1,896 @@
+"""Driver-contract query registry: every implemented operator as a
+(spark_callable, duckdb_oracle_sql) pair over the testdata tables.
+
+The selective-search shapes are instantiated from the TPC-H-ish star
+schema (FIXTURES.md §B mapping): ``query`` = l_orderkey % 7, ``shard`` =
+l_suppkey % 5, ``bucket`` = l_linenumber % 2, ``score`` = revenue in
+integer cents. **All aggregate arithmetic is exact-integer** (money in
+cents via round(x*100), integer `div`, row_number with total tie-break
+orders) so Spark and DuckDB produce bit-identical values regardless of
+floating-point summation order — the one systematic hazard of
+cross-engine value-hash comparison.
+
+Oracle SQL strings are ANSI-ish DuckDB SQL against the pre-registered
+views (region nation customer supplier part orders lineitem events
+documents embeddings). Rows-only entries (no SQL) are the genuinely
+non-relational ops: the greedy bucket resolver (sequential stateful walk)
+and the LSH pipelines (hash-function-dependent candidates).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from dataproc_spark.core import cartesian
+from dataproc_spark.io import trec_frame
+from dataproc_spark.measures import num_retrieved, precision_at
+from dataproc_spark.selective import (
+    evaluate,
+    rank_selection,
+    resolve_bucket_selection,
+    select,
+    select_buckets,
+    select_with_decay,
+)
+from dataproc_spark.extensions import dedup, simsearch, streaming, textstats
+
+# ---------------------------------------------------------------------------
+# table access
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); read as long nanoseconds
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# selective-search instantiation on the star schema
+# ---------------------------------------------------------------------------
+
+def _shard_results(li: DataFrame) -> DataFrame:
+    return li.select(
+        (F.col("l_orderkey") % 7).cast("long").alias("query"),
+        (F.col("l_suppkey") % 5).cast("long").alias("shard"),
+        (F.col("l_linenumber") % 2).cast("int").alias("bucket"),
+        (F.col("l_partkey") * 10 + F.col("l_linenumber")).cast("long").alias("docid"),
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("score"),
+    )
+
+
+def _ranked_selection(li: DataFrame) -> DataFrame:
+    sel = (
+        _shard_results(li)
+        .groupBy("query", "shard")
+        .agg(F.sum("score").alias("shard_score"))
+    )
+    return rank_selection(sel, score_col="shard_score")
+
+
+#: shared oracle CTE prefix mirroring _shard_results/_ranked_selection
+_SS_CTE = """
+results AS (
+    SELECT CAST(l_orderkey % 7 AS BIGINT) AS query,
+           CAST(l_suppkey % 5 AS BIGINT) AS shard,
+           CAST(l_linenumber % 2 AS INTEGER) AS bucket,
+           CAST(l_partkey * 10 + l_linenumber AS BIGINT) AS docid,
+           CAST(l_orderkey AS BIGINT) AS okey,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS score
+    FROM lineitem
+),
+selection AS (
+    SELECT query, shard, CAST(SUM(score) AS BIGINT) AS shard_score
+    FROM results GROUP BY query, shard
+),
+ranked_sel AS (
+    SELECT query, shard, shard_score,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query ORDER BY shard_score DESC, shard
+           ) - 1 AS INTEGER) AS rank
+    FROM selection
+)
+"""
+
+
+def q_select_top_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 `select`: results from the top-2 shards per query (semi-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return select(_ranked_selection(li), _shard_results(li), t=2)
+
+
+SQL_SELECT_TOP_T = f"""
+WITH {_SS_CTE}
+SELECT r.query, r.shard, r.bucket, r.docid, r.okey, r.score
+FROM results r
+JOIN ranked_sel k ON r.query = k.query AND r.shard = k.shard
+WHERE k.rank < 2
+"""
+
+
+def q_selection_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6-shape: per-query shard ranking by aggregate score (rank window)."""
+    return _ranked_selection(_t(spark, sf_dir, "lineitem"))
+
+
+SQL_SELECTION_RANK = f"""
+WITH {_SS_CTE}
+SELECT query, shard, shard_score, rank FROM ranked_sel
+"""
+
+
+def q_select_with_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: top-3 shards, bucket budget decaying [2,1,1] (decay 0.5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return select_with_decay(_ranked_selection(li), _shard_results(li), 3, 0.5)
+
+
+SQL_SELECT_WITH_DECAY = f"""
+WITH {_SS_CTE}
+SELECT r.query, r.shard, r.bucket, r.docid, r.okey, r.score
+FROM results r
+JOIN (SELECT query, shard,
+             CASE WHEN rank = 0 THEN 2 ELSE 1 END AS buckets
+      FROM ranked_sel WHERE rank < 3) k
+  ON r.query = k.query AND r.shard = k.shard
+WHERE r.bucket < k.buckets
+"""
+
+
+def q_evaluate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: P@5/P@10 + result counts at every selection depth 1..5."""
+    li = _t(spark, sf_dir, "lineitem")
+    res = _shard_results(li).withColumn(
+        "rel", (F.col("docid") % 3 == 0).cast("int")
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("docid").asc(), F.col("okey").asc()
+    )
+    res = res.withColumn("global_rank", F.row_number().over(w))
+    measures = {"rel": [precision_at(5), precision_at(10), num_retrieved()]}
+    return evaluate(_ranked_selection(li), res, measures, num_shards=5)
+
+
+SQL_EVALUATE_SWEEP = f"""
+WITH {_SS_CTE},
+res_ranked AS (
+    SELECT r.*,
+           CASE WHEN docid % 3 = 0 THEN 1 ELSE 0 END AS rel,
+           ROW_NUMBER() OVER (
+               PARTITION BY query ORDER BY score DESC, docid, okey
+           ) AS global_rank
+    FROM results r
+),
+steps AS (SELECT CAST(s AS INTEGER) AS step FROM range(1, 6) t(s)),
+joined AS (
+    SELECT rr.query, rr.rel, rr.global_rank, st.step
+    FROM res_ranked rr
+    JOIN ranked_sel k ON rr.query = k.query AND rr.shard = k.shard
+    JOIN steps st ON k.rank < st.step
+),
+prefixed AS (
+    SELECT query, step, rel,
+           ROW_NUMBER() OVER (
+               PARTITION BY query, step ORDER BY global_rank
+           ) AS rn
+    FROM joined
+)
+SELECT query, step,
+       AVG(CASE WHEN rn <= 5 THEN rel END) AS p_5,
+       AVG(CASE WHEN rn <= 10 THEN rel END) AS p_10,
+       CAST(COUNT(*) AS BIGINT) AS num_ret
+FROM prefixed
+GROUP BY query, step
+"""
+
+
+def q_trec_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 `to_trec` frame: per-query top-10 run rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    res = _shard_results(li).withColumn("title", F.col("docid").cast("string"))
+    return trec_frame(res, cutoff=10)
+
+
+SQL_TREC_EXPORT = f"""
+WITH {_SS_CTE},
+trec AS (
+    SELECT query, 'Q0' AS iter, CAST(docid AS VARCHAR) AS title,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query ORDER BY score DESC, CAST(docid AS VARCHAR)
+           ) - 1 AS INTEGER) AS rank,
+           score, 'null' AS run_id
+    FROM results
+)
+SELECT * FROM trec WHERE rank < 10
+"""
+
+
+def q_cartesian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 `cartesian`: 3-way product with mixed types."""
+    return cartesian(
+        spark, [range(4), range(3), ["x", "y"]], names=["a", "b", "tag"]
+    )
+
+
+SQL_CARTESIAN = """
+SELECT CAST(a.range AS BIGINT) AS a, CAST(b.range AS BIGINT) AS b, t.tag
+FROM range(4) a, range(3) b, (SELECT unnest(['x', 'y']) AS tag) t
+"""
+
+
+def q_resolve_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 greedy bucket resolution (rows-only: sequential stateful walk).
+
+    Bucket-granular selection ranked by aggregate score; budget 4 buckets
+    per query.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    bsel = (
+        _shard_results(li)
+        .groupBy("query", "shard", "bucket")
+        .agg(F.sum("score").alias("shard_score"))
+    )
+    bsel = rank_selection(bsel, "shard_score", ("query",), ("shard", "bucket"))
+    return resolve_bucket_selection(bsel, threshold=4)
+
+
+def q_select_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 `select_buckets` (rows-only: depends on the greedy resolver)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bsel = (
+        _shard_results(li)
+        .groupBy("query", "shard", "bucket")
+        .agg(F.sum("score").alias("shard_score"))
+    )
+    bsel = rank_selection(bsel, "shard_score", ("query",), ("shard", "bucket"))
+    return select_buckets(bsel, _shard_results(li), t=4)
+
+
+# ---------------------------------------------------------------------------
+# relational breadth (TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: scan-heavy group-by with exact-cents aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-31").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_c"
+            ),
+            F.sum(F.round(disc * 100).cast("long")).alias("sum_disc_c"),
+            F.sum(F.round(disc * (1 + F.col("l_tax")) * 100).cast("long")).alias(
+                "sum_charge_c"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: 3-way join + top-10 by exact revenue."""
+    cu = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    j = li.join(od, li.l_orderkey == od.o_orderkey).join(
+        cu, od.o_custkey == cu.c_custkey
+    )
+    g = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("revenue_c")
+    )
+    w = Window.orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            "revenue_c",
+            F.col("o_orderdate").cast("date").cast("string").alias("odate"),
+            "o_orderpriority",
+            "rnk",
+        )
+    )
+
+
+SQL_TPCH_Q3 = """
+WITH g AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT CAST(l_orderkey AS BIGINT) AS okey, revenue_c,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate, o_orderpriority,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY revenue_c DESC, l_orderkey) AS rnk
+    FROM g
+)
+WHERE rnk <= 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: 6-way join, small dims broadcast."""
+    re = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    od = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("revenue_c")
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-3 customers by account balance within each nation."""
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    j = cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey).select(
+        "n_name",
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_c"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("acctbal_c").desc(), F.col("custkey").asc()
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 3)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT n_name, custkey, acctbal_c, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT n_name, CAST(c_custkey AS BIGINT) AS custkey,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+           ROW_NUMBER() OVER (
+               PARTITION BY n_name
+               ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC, c_custkey
+           ) AS rnk
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rnk <= 3
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never placed an order."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    return cu.join(
+        od, cu.c_custkey == od.o_custkey, "left_anti"
+    ).select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_priority_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers with both URGENT and LOW priority orders."""
+    od = _t(spark, sf_dir, "orders")
+    urgent = od.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = od.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(low)
+
+
+SQL_PRIORITY_INTERSECT = """
+SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+def q_priority_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers with URGENT orders but no LOW orders."""
+    od = _t(spark, sf_dir, "orders")
+    urgent = od.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = od.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # subtract = SQL EXCEPT (set semantics): any customer appearing in
+    # `low` is removed entirely, unlike exceptAll's multiset difference
+    return urgent.subtract(low)
+
+
+SQL_PRIORITY_EXCEPT = """
+SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+# ---------------------------------------------------------------------------
+# events (time-series / streaming shapes)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation (batch form of the streaming op)."""
+    return streaming.hourly_agg(_t(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-user session stats."""
+    return streaming.session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH e AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, tns,
+           CASE WHEN lag(tns) OVER w IS NULL THEN 1
+                WHEN tns - lag(tns) OVER w > 1800000000000 THEN 1
+                ELSE 0 END AS new_sess
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+),
+sess AS (
+    SELECT user_id,
+           SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY tns, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM flagged
+),
+per AS (
+    SELECT user_id, session_id, COUNT(*) AS n
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n) AS BIGINT) AS max_session_events,
+       CAST(SUM(n) AS BIGINT) AS n_events_total
+FROM per GROUP BY user_id
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the JSON-ish props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.nullif(
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1), F.lit("")
+    ).cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON = r"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MAX(k) AS BIGINT) AS max_k
+FROM (
+    SELECT event_type,
+           CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k
+    FROM events
+)
+GROUP BY event_type
+"""
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming variant of events_hourly (availableNow drain);
+    same oracle — batch/stream parity is the assertion."""
+    return streaming.stream_hourly_counts(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# documents (dedup + text analysis)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one surviving doc per distinct text (min id wins)."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (token/char counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("sum_chars"),
+        F.sum(textstats.token_count().cast("long")).alias("sum_tokens"),
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS sum_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 tokens by frequency (explode → agg → top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(dedup.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return counts.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 20
+    )
+
+
+SQL_TOKEN_TOPK = r"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+    FROM documents
+),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token)
+SELECT token, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rnk
+FROM counts
+QUALIFY rnk <= 20
+"""
+
+
+def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword language-ID heuristic vs the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", textstats.predicted_lang("text"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_LANG_SCORE_SQL = {
+    "en": "((length(text) - length(replace(text, ' the ', ''))) // 5"
+          " + (length(text) - length(replace(text, ' and ', ''))) // 5"
+          " + (length(text) - length(replace(text, ' of ', ''))) // 4)",
+    "de": "((length(text) - length(replace(text, ' der ', ''))) // 5"
+          " + (length(text) - length(replace(text, ' und ', ''))) // 5"
+          " + (length(text) - length(replace(text, ' die ', ''))) // 5)",
+    "fr": "((length(text) - length(replace(text, ' le ', ''))) // 4"
+          " + (length(text) - length(replace(text, ' et ', ''))) // 4"
+          " + (length(text) - length(replace(text, ' la ', ''))) // 4)",
+    "es": "((length(text) - length(replace(text, ' el ', ''))) // 4"
+          " + (length(text) - length(replace(text, ' y ', ''))) // 3"
+          " + (length(text) - length(replace(text, ' de la ', ''))) // 7)",
+}
+
+SQL_LANG_PREDICT = f"""
+WITH scored AS (
+    SELECT lang,
+           {_LANG_SCORE_SQL['en']} AS s_en,
+           {_LANG_SCORE_SQL['de']} AS s_de,
+           {_LANG_SCORE_SQL['fr']} AS s_fr,
+           {_LANG_SCORE_SQL['es']} AS s_es
+    FROM documents
+),
+pred AS (
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM scored
+)
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, pred_lang
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint uniqueness per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", textstats.doc_fingerprint("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+        )
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_distinct_fp
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-feature binning: docs per 100-char bin with token sums."""
+    docs = textstats.quality_features(_t(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn("chars_bin", F.expr("n_chars_m div 100"))
+        .groupBy("chars_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("sum_tokens"),
+            F.sum("mean_tok_len_c").alias("sum_mtl_c"),
+        )
+    )
+
+
+SQL_DOC_QUALITY = r"""
+WITH feat AS (
+    SELECT length(text) AS n_chars_m,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+    FROM documents
+),
+feat2 AS (
+    SELECT n_chars_m, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(FLOOR(((n_chars_m - n_tokens + 1) * 100.0) / n_tokens) AS BIGINT)
+                ELSE 0 END AS mean_tok_len_c
+    FROM feat
+)
+SELECT n_chars_m // 100 AS chars_bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(mean_tok_len_c) AS BIGINT) AS sum_mtl_c
+FROM feat2 GROUP BY chars_bin
+"""
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction (byte length + first code unit)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.ascii(F.col("text")).cast("int").alias("first_code"),
+    )
+
+
+SQL_MULTIMODAL_BYTES = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(ascii(text) AS INTEGER) AS first_code
+FROM documents
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only: hash-family dependent)."""
+    return dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, shingle_size=3
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: hash-family dependent)."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, bands=4, max_hamming=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings (similarity search)
+# ---------------------------------------------------------------------------
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within a coarse bucket, exact-int scores."""
+    return simsearch.near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold_dot_q=300_000
+    )
+
+
+SQL_EMBED_NEAR_DUP = """
+WITH q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot_q
+FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(a.v, b.v) AS BIGINT) >= 300000
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 neighbors for sampled queries (int scores)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return simsearch.brute_force_topk(emb, queries, k=5)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+    SELECT vec_id, list_transform(embedding,
+                                  x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+scored AS (
+    SELECT qs.vec_id AS qid, c.vec_id AS vec_id,
+           CAST(list_dot_product(qs.v, c.v) AS BIGINT) AS dot_q
+    FROM (SELECT * FROM q WHERE vec_id % 100 = 0) qs
+    JOIN q c ON c.vec_id <> qs.vec_id
+)
+SELECT qid, vec_id, dot_q,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, vec_id) AS INTEGER) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""
+
+
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucketed top-5 (probe = own label cell), exact-int scores."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return simsearch.bucketed_topk(emb, queries, k=5)
+
+
+SQL_ANN_BUCKETED = """
+WITH q AS (
+    SELECT vec_id, label, list_transform(embedding,
+                                         x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+scored AS (
+    SELECT qs.vec_id AS qid, c.vec_id AS vec_id,
+           CAST(list_dot_product(qs.v, c.v) AS BIGINT) AS dot_q
+    FROM (SELECT * FROM q WHERE vec_id % 100 = 0) qs
+    JOIN q c ON c.label = qs.label AND c.vec_id <> qs.vec_id
+)
+SELECT qid, vec_id, dot_q,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, vec_id) AS INTEGER) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+#: name -> (spark callable, oracle SQL or None for rows-only checks)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # selective-search core (reference §2.1)
+    "select_top_t": (q_select_top_t, SQL_SELECT_TOP_T),
+    "selection_rank": (q_selection_rank, SQL_SELECTION_RANK),
+    "select_with_decay": (q_select_with_decay, SQL_SELECT_WITH_DECAY),
+    "evaluate_sweep": (q_evaluate_sweep, SQL_EVALUATE_SWEEP),
+    "trec_export": (q_trec_export, SQL_TREC_EXPORT),
+    "cartesian": (q_cartesian, SQL_CARTESIAN),
+    "resolve_buckets": (q_resolve_buckets, None),
+    "select_buckets": (q_select_buckets, None),
+    # relational breadth
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "customers_without_orders": (
+        q_customers_without_orders,
+        SQL_CUSTOMERS_WITHOUT_ORDERS,
+    ),
+    "priority_intersect": (q_priority_intersect, SQL_PRIORITY_INTERSECT),
+    "priority_except": (q_priority_except, SQL_PRIORITY_EXCEPT),
+    # events / time-series / streaming
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_json": (q_events_json, SQL_EVENTS_JSON),
+    "stream_hourly": (q_stream_hourly, SQL_EVENTS_HOURLY),
+    # documents: dedup + text analysis
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
+    "lang_predict": (q_lang_predict, SQL_LANG_PREDICT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
+    # embeddings: similarity search
+    "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -42,6 +42,18 @@ def test_cartesian_three_index(spark):
     assert got == expected
 
 
+def test_cartesian_distributed_path(spark, monkeypatch):
+    import dataproc_spark.core as core
+
+    monkeypatch.setattr(core, "_DRIVER_SIDE_LIMIT", 0)
+    df = cartesian(spark, [[7, 8], range(3)], names=["query", "shard"],
+                   with_index=True)
+    got = {(r[IDX], r.query, r.shard) for r in df.collect()}
+    expected = {(i, q, s) for i, (q, s) in
+                enumerate((q, s) for q in (7, 8) for s in range(3))}
+    assert got == expected
+
+
 def test_cartesian_strings(spark):
     df = cartesian(spark, [["a", "b"], [1]], names=["k", "v"])
     assert rows_set(df) == {("a", 1), ("b", 1)}

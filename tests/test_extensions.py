@@ -1,0 +1,197 @@
+"""Unit tests for the extension operators (dedup, simsearch, textstats,
+multimodal plumbing, sessionization) on small hand-built frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataproc_spark.extensions import dedup, multimodal, simsearch, streaming, textstats
+from tests.conftest import rows_set
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content entirely unrelated words here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs)
+    got = rows_set(out, ["doc_id", "n_copies"])
+    assert got == {(1, 2), (2, 1), (3, 1)}
+
+
+def test_shingles_and_tokens(spark):
+    df = spark.createDataFrame([("a b  c d",)], schema="text string")
+    toks = df.select(dedup.tokens("text").alias("t")).first()["t"]
+    assert toks == ["a", "b", "c", "d"]
+    sh = df.select(dedup.shingles(dedup.tokens("text"), 2).alias("s")).first()["s"]
+    assert sh == ["a b", "b c", "c d"]
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_hashes=32, bands=16, shingle_size=2, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # 1-4 identical (jaccard 1.0); 1-2 and 2-4 differ by one word
+    assert (1, 4) in got
+    assert (1, 2) in got or (2, 4) in got
+    # unrelated doc never pairs
+    assert not any(3 in p for p in got)
+
+
+def test_minhash_jaccard_exact_for_identical(docs):
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_hashes=32, bands=16, shingle_size=2, threshold=0.5
+    )
+    j = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert j[(1, 4)] == 1.0
+
+
+def test_simhash_near_pairs(docs):
+    pairs = dedup.simhash_near_pairs(docs, bits=32, bands=4, max_hamming=0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got  # identical docs -> identical fingerprints
+    assert not any(3 in p for p in got)
+
+
+def test_quantize_and_dot(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, -0.5],), ([0.5, -1.0, 2.0],)], schema="v array<float>"
+    )
+    q = df.select(simsearch.quantize("v", 10).alias("q"))
+    vals = [r.q for r in q.collect()]
+    assert vals == [[10, 20, -5], [5, -10, 20]]
+    two = df.agg(F.collect_list("v").alias("vs")).select(
+        simsearch.dot_q(
+            simsearch.quantize(F.col("vs")[0], 10),
+            simsearch.quantize(F.col("vs")[1], 10),
+        ).alias("d")
+    )
+    # [10,20,-5]·[5,-10,20] = 50 - 200 - 100 = -250
+    assert two.first()["d"] == -250
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    a = [0.1, 0.5, -0.3]
+    b = [0.4, -0.2, 0.9]
+    df = spark.createDataFrame([(a, b)], schema="a array<float>, b array<float>")
+    got = df.select(simsearch.cosine("a", "b").alias("c")).first()["c"]
+    af = np.array(a, dtype="float32").astype("float64")
+    bf = np.array(b, dtype="float32").astype("float64")
+    want = float(af @ bf / (np.linalg.norm(af) * np.linalg.norm(bf)))
+    assert abs(got - want) < 1e-12
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = simsearch.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=2)
+    got = [(r.vec_id, r.rnk) for r in out.orderBy("rnk").collect()]
+    assert got == [(1, 1), (2, 2)]  # closest first; self excluded
+
+
+def test_bucketed_topk_restricts_to_bucket(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [1.0, 0.01], 1),  # better match but different bucket
+    ]
+    emb = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    )
+    out = simsearch.bucketed_topk(emb, emb.where(F.col("vec_id") == 0), k=5)
+    got = {r.vec_id for r in out.collect()}
+    assert got == {1}
+
+
+def test_predicted_lang(spark):
+    rows = [
+        (1, "this is the house and the garden of the king"),
+        (2, "das ist der hund und die katze und der vogel"),
+        (3, "xyzzy plugh abracadabra"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = df.select("doc_id", textstats.predicted_lang("text").alias("p"))
+    got = dict((r.doc_id, r.p) for r in out.collect())
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "ab cd 12")], schema="doc_id long, text string")
+    row = textstats.quality_features(df).first()
+    assert row.n_tokens == 3
+    assert row.n_chars_m == 8
+    # (8 - 3 + 1) * 100 / 3 = 200
+    assert row.mean_tok_len_c == 200
+    # 2 digits / 8 chars -> 250
+    assert row.digit_ratio_m == 250
+
+
+def test_doc_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        schema="doc_id long, text string",
+    )
+    out = df.select(textstats.doc_fingerprint("text").alias("fp"))
+    fps = [r.fp for r in out.collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_decode_plumbing(docs):
+    media = multimodal.attach_payload(docs)
+    feats = multimodal.decode_image_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    text1 = "the quick brown fox jumps over the lazy dog"
+    assert rows[1].n_bytes == len(text1.encode())
+    assert rows[1].byte_sum == sum(text1.encode())
+    assert rows[1].width == rows[1].n_bytes % 512
+
+
+def test_multimodal_real_decode_is_stubbed(docs):
+    media = multimodal.attach_payload(docs)
+    feats = multimodal.decode_image_features(media, real_decode=True)
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        feats.collect()
+
+
+def test_frame_sample(docs):
+    media = multimodal.attach_payload(docs.where(F.col("doc_id") == 1))
+    out = multimodal.frame_sample(media, every_n_bytes=16)
+    offs = sorted(r.frame_offset for r in out.collect())
+    n = len("the quick brown fox jumps over the lazy dog".encode())
+    assert offs == list(range(0, n, 16))
+
+
+def test_sessionize(spark):
+    m = 60_000_000_000  # 1 minute in ns
+    rows = [
+        (1, 100, 0 * m),
+        (2, 100, 10 * m),
+        (3, 100, 50 * m),   # 40-min gap -> new session
+        (4, 200, 0 * m),
+    ]
+    ev = spark.createDataFrame(rows, schema="event_id long, user_id long, ts long")
+    stats = streaming.session_stats(ev, gap_minutes=30)
+    got = {
+        (r.user_id, r.n_sessions, r.max_session_events, r.n_events_total)
+        for r in stats.collect()
+    }
+    assert got == {(100, 2, 2, 3), (200, 1, 1, 1)}
