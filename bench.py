@@ -49,6 +49,10 @@ def main() -> None:
     spark = get_spark("dataproc_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM/codegen paths with one trivial job so the first measured
+    # query doesn't absorb session startup cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     qs = registry.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

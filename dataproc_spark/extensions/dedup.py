@@ -112,7 +112,10 @@ def minhash_frame(
 
 
 def lsh_candidates(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding: ids sharing ≥1 (band, band-hash).
 
@@ -121,10 +124,13 @@ def lsh_candidates(
     pairs. This is the scale path: the join is a hash shuffle on band keys
     — documents only meet if a band collides, never all-pairs. Skewed
     buckets (boilerplate shingles) are handled by AQE skew-join splitting.
+
+    Pass ``num_hashes`` when known to avoid a plan-time job probing the
+    signature length.
     """
-    num_hashes = None  # derived from the signature length at plan time
-    sig_size = sigs.select(F.size("_sig").alias("s")).first()["s"]
-    rows_per_band = sig_size // bands
+    if num_hashes is None:
+        num_hashes = sigs.select(F.size("_sig").alias("s")).first()["s"]
+    rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -193,9 +199,22 @@ def minhash_dedup_pairs(
     shingle_size: int = 5,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-duplicate pairs with verified Jaccard."""
-    sigs = minhash_frame(df, content_col, id_col, num_hashes, shingle_size)
-    cands = lsh_candidates(sigs, id_col, bands)
+    """End-to-end MinHash-LSH near-duplicate pairs with verified Jaccard.
+
+    The signature frame feeds three plan branches (banding + both verify
+    sides), so it is persisted — recomputing 64 hash families per branch
+    triples the dominant cost. Input is spread across all cores first:
+    small corpora often arrive as one parquet split, which would otherwise
+    serialize the (CPU-bound) shingling/hashing on a single task. At
+    cluster scale, persist() becomes a checkpoint of the signature table —
+    the same structure.
+    """
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    sigs = minhash_frame(spread, content_col, id_col, num_hashes, shingle_size)
+    sigs = sigs.persist()
+    cands = lsh_candidates(sigs, id_col, bands, num_hashes=num_hashes)
     return jaccard_verify(cands, sigs, id_col, threshold)
 
 
@@ -248,7 +267,10 @@ def simhash_near_pairs(
     band (pigeonhole), so bucketing by band finds all such pairs without a
     cross join; ``bit_count(xor)`` verifies the exact distance.
     """
-    fps = simhash_frame(df, content_col, id_col, bits)
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    fps = simhash_frame(spread, content_col, id_col, bits).persist()
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     banded = fps.select(

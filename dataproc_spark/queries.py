@@ -129,7 +129,10 @@ SELECT query, shard, shard_score, rank FROM ranked_sel
 def q_select_with_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11: top-3 shards, bucket budget decaying [2,1,1] (decay 0.5)."""
     li = _t(spark, sf_dir, "lineitem")
-    return select_with_decay(_ranked_selection(li), _shard_results(li), 3, 0.5)
+    # num_buckets=2 is known from the construction (l_linenumber % 2)
+    return select_with_decay(
+        _ranked_selection(li), _shard_results(li), 3, 0.5, num_buckets=2
+    )
 
 
 SQL_SELECT_WITH_DECAY = f"""
@@ -238,7 +241,7 @@ def q_resolve_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("score").alias("shard_score"))
     )
     bsel = rank_selection(bsel, "shard_score", ("query",), ("shard", "bucket"))
-    return resolve_bucket_selection(bsel, threshold=4)
+    return resolve_bucket_selection(bsel, threshold=4, num_shards=5)
 
 
 def q_select_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,7 +253,7 @@ def q_select_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("score").alias("shard_score"))
     )
     bsel = rank_selection(bsel, "shard_score", ("query",), ("shard", "bucket"))
-    return select_buckets(bsel, _shard_results(li), t=4)
+    return select_buckets(bsel, _shard_results(li), t=4, num_shards=5)
 
 
 # ---------------------------------------------------------------------------

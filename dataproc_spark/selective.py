@@ -108,7 +108,11 @@ def decayed_buckets(num_buckets: int, num_shards: int, decay_factor: float) -> l
 # ---------------------------------------------------------------------------
 
 def select_with_decay(
-    selection: DataFrame, results: DataFrame, t: int, decay_factor: float
+    selection: DataFrame,
+    results: DataFrame,
+    t: int,
+    decay_factor: float,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Top-``t`` shard selection where the shard at selection rank *i*
     contributes only its first ``decayed_buckets[i]`` buckets.
@@ -124,7 +128,10 @@ def select_with_decay(
         return select(selection, results, t)
     ensure_has_columns(selection, ["rank", "query", "shard"])
     ensure_has_columns(results, ["score", "query", "shard", "bucket"])
-    num_buckets = results.agg(F.max("bucket")).first()[0] + 1
+    if num_buckets is None:
+        # reference behavior (:147): derive the bucket count with a scan;
+        # pass num_buckets explicitly to skip this extra job
+        num_buckets = results.agg(F.max("bucket")).first()[0] + 1
     budgets = decayed_buckets(num_buckets, t, decay_factor)
     spark = results.sparkSession
     lookup = spark.createDataFrame(
@@ -146,7 +153,9 @@ def select_with_decay(
 # F12 — resolve_bucket_selection (greedy, applyInPandas)
 # ---------------------------------------------------------------------------
 
-def resolve_bucket_selection(selection: DataFrame, threshold: int) -> DataFrame:
+def resolve_bucket_selection(
+    selection: DataFrame, threshold: int, num_shards: int | None = None
+) -> DataFrame:
     """Resolve a bucket-granular selection into per-shard contiguous bucket
     prefixes under a total budget of ``threshold`` buckets per query.
 
@@ -164,7 +173,9 @@ def resolve_bucket_selection(selection: DataFrame, threshold: int) -> DataFrame:
     carries one row per selected (query, shard, bucket).
     """
     ensure_has_columns(selection, ["rank", "query", "shard", "bucket"])
-    num_shards = selection.agg(F.max("shard")).first()[0] + 1
+    if num_shards is None:
+        # derived with a scan when unknown; pass it to skip the extra job
+        num_shards = selection.agg(F.max("shard")).first()[0] + 1
 
     fields = {f.name: f.dataType for f in selection.schema.fields}
     out_schema = StructType(
@@ -199,7 +210,12 @@ def resolve_bucket_selection(selection: DataFrame, threshold: int) -> DataFrame:
 # F13 — select_buckets
 # ---------------------------------------------------------------------------
 
-def select_buckets(selection: DataFrame, results: DataFrame, t: int) -> DataFrame:
+def select_buckets(
+    selection: DataFrame,
+    results: DataFrame,
+    t: int,
+    num_shards: int | None = None,
+) -> DataFrame:
     """Select results belonging to the greedily-resolved bucket set.
 
     Parity: reference ``selectivesearch.py:183-191``; 3-key semi-join
@@ -207,7 +223,7 @@ def select_buckets(selection: DataFrame, results: DataFrame, t: int) -> DataFram
     """
     ensure_has_columns(selection, ["rank", "query", "shard", "bucket"])
     ensure_has_columns(results, ["score", "query", "shard", "bucket"])
-    resolved = resolve_bucket_selection(selection, t)
+    resolved = resolve_bucket_selection(selection, t, num_shards)
     return results.join(
         F.broadcast(resolved.select("query", "shard", "bucket")),
         ["query", "shard", "bucket"],
