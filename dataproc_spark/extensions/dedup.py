@@ -66,12 +66,17 @@ def shingles(tokens_col: F.Column, n: int = 5) -> F.Column:
     """Distinct word n-gram shingles of a token array.
 
     ``transform(sequence(...))`` sliding window — stays in the JVM; distinct
-    so Jaccard is over shingle *sets*.
+    so Jaccard is over shingle *sets*. Documents shorter than ``n`` tokens
+    yield an empty set (guarded explicitly: Spark's ``sequence(1, 0)``
+    counts *down*, it does not produce an empty array).
     """
-    joined = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
-    )
+    joined = F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(joined)
 
 
@@ -104,10 +109,15 @@ def minhash_frame(
     num_hashes: int = 64,
     shingle_size: int = 5,
 ) -> DataFrame:
-    """(id, shingles, signature) frame — the input to LSH banding."""
+    """(id, shingles, signature) frame — the input to LSH banding.
+
+    Documents with no shingles (shorter than the shingle window) are
+    excluded: they have no content signal, their all-null signatures would
+    all collide into one LSH bucket, and their Jaccard is undefined (0/0).
+    """
     toks = tokens(content_col)
     sh = shingles(toks, shingle_size).alias("_shingles")
-    out = df.select(F.col(id_col), sh)
+    out = df.select(F.col(id_col), sh).where(F.size("_shingles") > 0)
     return out.withColumn("_sig", minhash_signature(F.col("_shingles"), num_hashes))
 
 
@@ -219,6 +229,92 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (no hashing — the oracle-checkable dedup variant)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 2,
+    jaccard_threshold_m: int = 200,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard via an inverted-index join.
+
+    Relational formulation (fully oracle-checkable, unlike MinHash):
+    explode distinct shingles → self-join on the shingle (the inverted
+    index) → count shared shingles per pair → Jaccard from
+    |A∩B| / (|A| + |B| - |A∩B|), reported as an exact integer
+    ``jaccard_m`` = floor(1000 × jaccard).
+
+    Scale: the shingle join is the classic inverted-index candidate
+    generation — pairs only materialize when they share a shingle, and
+    ``min_shared`` prunes the long tail at the aggregate. Hot shingles
+    (boilerplate) create skew; drop top-frequency shingles upstream or
+    rely on AQE skew splitting. For corpora where even the inverted index
+    is too hot, MinHash-LSH above is the subsampled alternative.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(tokens(content_col), n))
+        ).alias("_sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "_sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "_sh")
+    shared = (
+        a.join(b, ["_sh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"))
+    out = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_m",
+            F.expr("(shared * 1000) div (n_a + n_b - shared)").cast("long"),
+        )
+        .where(F.col("jaccard_m") >= jaccard_threshold_m)
+        .select("id_a", "id_b", F.col("shared").cast("long").alias("shared"),
+                "jaccard_m")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sketch (rolling-hash document fingerprints)
+# ---------------------------------------------------------------------------
+
+def bottom_k_sketch(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+) -> DataFrame:
+    """Per-document bottom-k sketch: the k smallest 64-bit hashes of the
+    document's n-gram shingles (a fixed-size fingerprint whose overlap
+    estimates Jaccard — the winnowing/KMV family of sketches).
+
+    JVM-side: hash shingles, sort, slice. A 16×8-byte fingerprint per
+    document regardless of length — the thing you persist for a 100 TB
+    corpus instead of shingle sets.
+    """
+    hashes = F.transform(
+        F.array_distinct(shingles(tokens(content_col), n)),
+        lambda s: F.xxhash64(s),
+    )
+    sk = F.slice(F.array_sort(hashes), 1, k)
+    return df.select(F.col(id_col), sk.alias("sketch"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -248,8 +344,12 @@ def simhash(tokens_col: F.Column, bits: int = 64) -> F.Column:
 def simhash_frame(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), simhash(tokens(content_col), bits).alias("simhash")
+    """Per-document SimHash fingerprints; empty documents are excluded
+    (no content signal — their identical zero fingerprints would pair
+    every empty doc with every other)."""
+    toks = tokens(content_col)
+    return df.where(F.size(toks) > 0).select(
+        F.col(id_col), simhash(toks, bits).alias("simhash")
     )
 
 

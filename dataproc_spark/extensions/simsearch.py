@@ -124,6 +124,67 @@ def bucketed_topk(
     )
 
 
+def kmeans_cells(
+    embeddings: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """Train an IVF coarse quantizer (MLlib KMeans) and assign each vector
+    to its nearest centroid cell.
+
+    Returns ``(assigned_df, model)`` where ``assigned_df`` carries a
+    ``_cell`` int column. At 100 TB you train on a sample
+    (``df.sample``) and only the assignment pass touches the full corpus —
+    a map-only stage.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.withColumn(
+        "_feat", array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, featuresCol="_feat", predictionCol="_cell"
+    ).fit(feats)
+    assigned = model.transform(feats).drop("_feat")
+    return assigned, model
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k with a trained coarse quantizer: assign corpus
+    and queries to KMeans cells, then probe the query's own cell.
+
+    The real-index version of :func:`bucketed_topk` (which expects a
+    precomputed bucket column): candidate generation is an equi-join on
+    ``_cell``. Recall/latency trades via ``cells`` (and multi-probe, by
+    unioning additional nearby cells per query — not needed at test scale).
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    assigned, model = kmeans_cells(embeddings, cells, id_col, vec_col, seed)
+    q_assigned = model.transform(
+        queries.withColumn(
+            "_feat",
+            array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+        )
+    ).drop("_feat")
+    return bucketed_topk(
+        assigned, q_assigned, k=k, id_col=id_col, vec_col=vec_col,
+        bucket_col="_cell",
+    )
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold_dot_q: int,

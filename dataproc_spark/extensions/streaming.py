@@ -115,6 +115,95 @@ def stream_hourly_counts(
     return spark.table(name)
 
 
+def stream_session_counts(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session counting with
+    ``applyInPandasWithState`` (Arrow-batched state machine per key).
+
+    Demonstrates the engine's escape hatch for stateful semantics Spark's
+    built-in operators can't express: per-user state carries (last event
+    time, open-session count) across micro-batches; a new session starts
+    when the gap exceeds ``gap_minutes``. Drained with ``availableNow``;
+    state would be checkpointed/recovered on a real cluster run.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+    from typing import Iterator, Tuple
+    import pandas as pd
+
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    def update(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts"].tolist()):
+                if last_ts is None or ts - last_ts > gap_ns:
+                    n_sessions += 1
+                n_events += 1
+                last_ts = ts
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions],
+             "n_events": [n_events]}
+        )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    import os as _os
+
+    base, fname = _os.path.split(events_path)
+    reader = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base if _os.path.isfile(events_path) else events_path)
+    )
+    counted = reader.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def sessionize(
     events: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:

@@ -19,6 +19,24 @@ def token_count(col: str = "text") -> F.Column:
     return F.size(tokens(col))
 
 
+#: BPE-ish pre-tokenization pattern: letter runs, digit runs, punctuation
+#: singletons — the split a byte-pair tokenizer applies before merges.
+#: ASCII classes only so the regex behaves identically across engines.
+BPE_SPLIT_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_tokens(col: str = "text") -> F.Column:
+    """BPE-style pre-tokens (letter runs / digit runs / punct marks)."""
+    # group index 0 = whole match (the pattern has no capture groups)
+    return F.regexp_extract_all(F.col(col), F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def bpe_token_count(col: str = "text") -> F.Column:
+    """Token count a BPE-family tokenizer would see before merges — the
+    standard cheap proxy for LLM token budgeting over a corpus."""
+    return F.size(bpe_tokens(col))
+
+
 def occurrences(col: str, needle: str) -> F.Column:
     """Occurrence count of a literal substring (length-difference trick —
     pure string ops, identical semantics in any SQL engine)."""

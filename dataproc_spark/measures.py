@@ -28,11 +28,14 @@ class Measure:
 
     ``builder(rel_col, rank_col)`` returns an aggregate Column; ``rank_col``
     is the 1-based position of the row in the per-(query, step) result
-    ordering.
+    ordering. ``requires`` names auxiliary window columns the evaluation
+    driver must materialize first (``_hits``: running relevant count in
+    prefix order; ``_ideal_rn``: rank by relevance descending).
     """
 
     name: str
     builder: Callable[[str, str], Column]
+    requires: tuple = ()
 
     def column(self, rel_col: str, rank_col: str) -> Column:
         return self.builder(rel_col, rank_col).alias(self.name)
@@ -70,3 +73,51 @@ def recall_at(k: int, total_col: str = "num_rel", name: str | None = None) -> Me
 def num_retrieved(name: str = "num_ret") -> Measure:
     """Count of retrieved results per (query, step)."""
     return Measure(name, lambda rel, rn: F.count(F.lit(1)))
+
+
+def average_precision(k: int | None = None, name: str | None = None) -> Measure:
+    """AP@k — mean over relevant ranks of precision-at-that-rank.
+
+    Needs the running relevant-count at each rank, which is itself a
+    window quantity; expressed here as Σ_rel(rank) [P@rank] / Σ rel using
+    a sum over ``rel / rank × (running hits)``-free formulation:
+    AP = Σ_{r : rel_r=1} (hits_up_to_r / r) / total_rel. The running hits
+    column must be provided by the caller as ``_hits`` when using this
+    measure via :func:`dataproc_spark.selective.evaluate` (evaluate adds
+    it automatically when any AP/nDCG measure is present).
+    """
+    def build(rel, rn):
+        in_prefix = F.lit(True) if k is None else (F.col(rn) <= k)
+        contrib = F.when(
+            in_prefix & (F.col(rel) > 0),
+            F.col("_hits") / F.col(rn),
+        )
+        denom = F.sum(
+            F.when(in_prefix, F.col(rel)).otherwise(F.lit(0))
+        )
+        return F.when(denom > 0, F.sum(contrib) / denom).otherwise(F.lit(0.0))
+
+    return Measure(name or (f"ap_{k}" if k else "ap"), build, requires=("_hits",))
+
+
+def ndcg_at(k: int, name: str | None = None) -> Measure:
+    """nDCG@k with binary or graded relevance (log2 discount).
+
+    DCG = Σ_{r ≤ k} rel_r / log2(r + 1); the ideal DCG normalizer uses
+    the caller-provided ``_ideal_rn`` column (rank by relevance desc),
+    added automatically by :func:`dataproc_spark.selective.evaluate`.
+    """
+    def build(rel, rn):
+        dcg = F.sum(
+            F.when(F.col(rn) <= k, F.col(rel) / F.log2(F.col(rn) + 1))
+        )
+        idcg = F.sum(
+            F.when(
+                F.col("_ideal_rn") <= k,
+                F.col(rel) / F.log2(F.col("_ideal_rn") + 1),
+            )
+        )
+        return F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0))
+
+    return Measure(name or f"ndcg_{k}", build, requires=("_ideal_rn",))
+

@@ -766,9 +766,78 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, min_shared=2,
+        jaccard_threshold_m=100,
+    )
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       CAST((shared * 1000) // (sa.n + sb.n - shared) AS BIGINT) AS jaccard_m
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 100
+"""
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token budgeting: BPE-style pre-token counts per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(textstats.bpe_token_count().cast("long")).alias("sum_bpe_tokens"),
+        F.max(textstats.bpe_token_count().cast("long")).alias("max_bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_STATS = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens,
+       CAST(MAX(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS max_bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState) — rows-only."""
+    return streaming.stream_session_counts(spark, f"{sf_dir}/events.parquet")
+
+
 # ---------------------------------------------------------------------------
 # embeddings (similarity search)
 # ---------------------------------------------------------------------------
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with a trained KMeans coarse quantizer (rows-only:
+    cluster assignments depend on MLlib internals, not SQL-expressible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 500 == 0)
+    return simsearch.ivf_topk(emb, queries_df, k=5, cells=8)
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within a coarse bucket, exact-int scores."""
@@ -874,10 +943,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "stream_hourly": (q_stream_hourly, SQL_EVENTS_HOURLY),
+    "stream_sessions": (q_stream_sessions, None),
     # documents: dedup + text analysis
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "lang_predict": (q_lang_predict, SQL_LANG_PREDICT),
@@ -888,6 +960,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
+    "ann_ivf": (q_ann_ivf, None),
 }
 
 

@@ -246,6 +246,49 @@ def _measure_columns(measures: dict, rank_col: str):
     return cols
 
 
+def _augment_for_measures(
+    ranked: DataFrame,
+    measures: dict,
+    partition_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Materialize auxiliary window columns some measures require
+    (``_hits`` running relevant count, ``_ideal_rn`` ideal ordering rank).
+
+    These windows share the partitioning of the prefix-rank window, so
+    Catalyst plans them in the same sort/exchange — no extra shuffle.
+    """
+    needing = {}
+    for rel_col, ms in measures.items():
+        ms = ms if isinstance(ms, (list, tuple)) else [ms]
+        for m in ms:
+            for req in getattr(m, "requires", ()):
+                needing.setdefault(req, set()).add(rel_col)
+    if not needing:
+        return ranked
+    for req, rel_cols in needing.items():
+        if len(rel_cols) > 1:
+            raise NotImplementedError(
+                f"{req}-based measures support a single relevance column "
+                f"per evaluation, got {sorted(rel_cols)}"
+            )
+    if "_hits" in needing:
+        (rel_col,) = needing["_hits"]
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranked = ranked.withColumn("_hits", F.sum(rel_col).over(w))
+    if "_ideal_rn" in needing:
+        (rel_col,) = needing["_ideal_rn"]
+        w = Window.partitionBy(*partition_cols).orderBy(
+            F.col(rel_col).desc(), F.col(order_col).asc()
+        )
+        ranked = ranked.withColumn("_ideal_rn", F.row_number().over(w))
+    return ranked
+
+
 def evaluate_step(
     shards: DataFrame,
     results: DataFrame,
@@ -275,6 +318,7 @@ def evaluate_step(
     hits = results.join(F.broadcast(chosen), keys, "leftsemi")
     w = Window.partitionBy("query").orderBy(F.col(order_col).asc())
     ranked = hits.withColumn("_prefix_rn", F.row_number().over(w))
+    ranked = _augment_for_measures(ranked, measures, ["query"], order_col)
     return (
         ranked.groupBy("query")
         .agg(*_measure_columns(measures, "_prefix_rn"))
@@ -331,6 +375,7 @@ def evaluate(
     )
     w = Window.partitionBy("query", "step").orderBy(F.col(order_col).asc())
     ranked = exploded.withColumn("_prefix_rn", F.row_number().over(w))
+    ranked = _augment_for_measures(ranked, measures, ["query", "step"], order_col)
     return (
         ranked.groupBy("query", "step")
         .agg(*_measure_columns(measures, "_prefix_rn"))

@@ -1,0 +1,103 @@
+"""Skew-handling utilities: salted aggregation and salted joins.
+
+AQE's skew-join splitting handles most runtime skew automatically (it is
+enabled by the session factory), but two patterns still need explicit
+salting at 100 TB:
+
+* **hot-key aggregation** — a groupBy where a handful of keys hold most
+  rows (e.g. token counts where 'the' is 5% of the corpus): partial
+  aggregation helps, but the final shuffle still lands each key on one
+  task. :func:`salted_agg` splits every key across ``salt`` partial
+  groups and re-aggregates the partials — two small shuffles instead of
+  one skewed one.
+* **hot-key join** — a large fact joined on a key with heavy hitters
+  against a side too big to broadcast. :func:`salted_join` replicates
+  each right-side row ``salt`` times and scatters left rows uniformly,
+  so every (key, salt) bucket is ~1/salt of the hot key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "_salt"
+
+
+def with_salt(df: DataFrame, salt: int, id_cols: Sequence[str] | None = None) -> DataFrame:
+    """Add a deterministic salt column in [0, salt).
+
+    Deterministic (hash of ``id_cols``) rather than ``rand()`` so plans
+    stay reproducible and re-computation under task retries is stable.
+    When no id columns are given, a per-partition row index seeds the
+    hash — still uniform, still retry-stable within a partition.
+    """
+    if id_cols:
+        src = F.xxhash64(*[F.col(c) for c in id_cols])
+    else:
+        src = F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id())
+    return df.withColumn(SALT, F.pmod(src, F.lit(salt)).cast("int"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    salt: int = 16,
+    id_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for hot keys: groupBy (keys + salt) then
+    re-aggregate over keys.
+
+    ``aggs`` maps output column name → aggregate Column; the aggregate
+    must be decomposable (sum/count/min/max — sum-of-partials). Counts are
+    re-aggregated with sum automatically by passing the partial columns
+    through the provided expressions over the partial frame.
+
+    ``id_cols``, when given, must be high-cardinality columns (a row id) —
+    never the group keys themselves, which would collapse each key into a
+    single salt bucket.
+    """
+    partial = with_salt(df, salt, id_cols).groupBy(*keys, SALT).agg(
+        *[c.alias(f"_p_{name}") for name, c in aggs.items()]
+    )
+    # re-aggregate partials: sum works for sum/count partials; min/max for
+    # min/max partials — detect from the expression string
+    finals = []
+    for name in aggs:
+        pc = F.col(f"_p_{name}")
+        expr_str = str(aggs[name]).lower()
+        if "min(" in expr_str:
+            finals.append(F.min(pc).alias(name))
+        elif "max(" in expr_str:
+            finals.append(F.max(pc).alias(name))
+        else:
+            finals.append(F.sum(pc).alias(name))
+    return partial.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: scatter left across ``salt`` buckets,
+    replicate right into every bucket, join on (keys + salt).
+
+    Use when the right side is too large to broadcast and AQE's skew
+    splitting is insufficient (e.g. a single pathological key). The right
+    side is multiplied by ``salt`` — keep it the smaller input.
+
+    The left salt must scatter *rows of the same key* across buckets, so
+    it hashes row position, never the join keys (hashing the keys would
+    put every row of a hot key back into one bucket).
+    """
+    lsalted = with_salt(left, salt, id_cols=None)
+    rrep = right.withColumn(
+        SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return lsalted.join(rrep, [*on, SALT], how).drop(SALT)

@@ -1,0 +1,161 @@
+"""Tests for skew utilities, extended measures (AP/nDCG), n-gram Jaccard,
+bottom-k sketches, KMeans IVF, and the stateful streaming operator."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataproc_spark import skew
+from dataproc_spark.extensions import dedup, simsearch
+from dataproc_spark.measures import average_precision, ndcg_at, precision_at
+from dataproc_spark.selective import evaluate_step
+from tests.conftest import rows_set
+
+
+# --- skew utilities -------------------------------------------------------
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [(k, v) for k in ("hot", "cold") for v in range(100)],
+        schema="k string, v long",
+    )
+    out = skew.salted_agg(
+        df, ["k"],
+        {"total": F.sum("v"), "n": F.count(F.lit(1)), "mx": F.max("v")},
+        salt=8,
+    )
+    got = rows_set(out, ["k", "total", "n", "mx"])
+    assert got == {("hot", 4950, 100, 99), ("cold", 4950, 100, 99)}
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, i) for i in range(3)],
+        schema="k long, v long",
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b")], schema="k long, tag string")
+    out = skew.salted_join(left, right, ["k"], salt=4)
+    plain = left.join(right, ["k"])
+    assert rows_set(out) == rows_set(plain)
+    assert out.count() == 53
+
+
+def test_with_salt_scatters_rows_of_same_key(spark):
+    df = spark.createDataFrame([(1,)] * 64, schema="k long")
+    salted = skew.with_salt(df, 8)
+    n_buckets = salted.select("_salt").distinct().count()
+    assert n_buckets > 1  # rows of the hot key spread across buckets
+
+
+# --- AP / nDCG measures ---------------------------------------------------
+
+@pytest.fixture()
+def judged(spark):
+    # one query, 4 results in rank order with rel pattern [1, 0, 1, 0]
+    rows = [
+        (0, 0, 1, 1),
+        (0, 0, 2, 0),
+        (0, 0, 3, 1),
+        (0, 0, 4, 0),
+    ]
+    shards = spark.createDataFrame([(0, 0, 0)], schema="query long, shard long, rank long")
+    results = spark.createDataFrame(
+        rows, schema="query long, shard long, global_rank long, rel int"
+    )
+    return shards, results
+
+
+def test_average_precision(judged):
+    shards, results = judged
+    out = evaluate_step(shards, results, {"rel": [average_precision()]}, step=1)
+    got = out.first()
+    # AP = (P@1 + P@3) / 2 = (1/1 + 2/3) / 2 = 5/6
+    assert abs(got["ap"] - 5 / 6) < 1e-12
+
+
+def test_ndcg(judged):
+    shards, results = judged
+    out = evaluate_step(shards, results, {"rel": [ndcg_at(4)]}, step=1)
+    got = out.first()
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert abs(got["ndcg_4"] - dcg / idcg) < 1e-12
+
+
+def test_mixed_measures_with_requirements(judged):
+    shards, results = judged
+    out = evaluate_step(
+        shards, results,
+        {"rel": [precision_at(2), average_precision(), ndcg_at(2)]},
+        step=1,
+    )
+    row = out.first()
+    assert row["p_2"] == 0.5 and row["ap"] == pytest.approx(5 / 6)
+
+
+# --- n-gram jaccard + sketch ---------------------------------------------
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d x"),   # shares 2 of its 3 3-grams with doc 1
+        (3, "q r s t u"),
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(docs, n=3, min_shared=1, jaccard_threshold_m=0)
+    got = {(r.id_a, r.id_b): (r.shared, r.jaccard_m) for r in out.collect()}
+    # doc1 3-grams {abc,bcd,cde}, doc2 {abc,bcd,cdx}: shared 2, union 4
+    assert got == {(1, 2): (2, 500)}
+
+
+def test_bottom_k_sketch_overlap(spark):
+    rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    sk = {r.doc_id: tuple(r.sketch) for r in
+          dedup.bottom_k_sketch(docs, n=2, k=4).collect()}
+    assert sk[1] == sk[2] != sk[3]
+    assert len(sk[1]) == 4
+    assert list(sk[1]) == sorted(sk[1])
+
+
+# --- KMeans IVF -----------------------------------------------------------
+
+def test_ivf_topk_finds_cluster_neighbors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    # two well-separated clusters of 20 vectors
+    c0 = rng.normal(0, 0.05, (20, 8)) + np.array([1.0] * 8)
+    c1 = rng.normal(0, 0.05, (20, 8)) + np.array([-1.0] * 8)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([c0, c1]))]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") == 0)
+    out = simsearch.ivf_topk(emb, queries, k=3, cells=2)
+    got = {r.vec_id for r in out.collect()}
+    assert len(got) == 3
+    assert got <= set(range(20))  # neighbors come from the same cluster
+
+
+# --- stateful streaming ---------------------------------------------------
+
+def test_stream_session_counts(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = 60 * 1_000_000_000
+    tbl = pa.table({
+        "user_id": pa.array([100, 100, 100, 200], type=pa.int64()),
+        "ts": pa.array([0 * m, 10 * m, 50 * m, 5 * m], type=pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+    })
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(tbl, path)
+
+    from dataproc_spark.extensions.streaming import stream_session_counts
+
+    out = stream_session_counts(spark, path, gap_minutes=30)
+    got = {(r.user_id, r.n_sessions, r.n_events) for r in out.collect()}
+    assert got == {(100, 2, 3), (200, 1, 1)}
