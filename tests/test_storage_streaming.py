@@ -1,0 +1,121 @@
+"""Tests for table-layout helpers (bucketed joins must be shuffle-free,
+partitioned reads must prune) and streaming watermark semantics."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from dataproc_spark import storage
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # warehouse dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and are dropped at the end
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v1")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v2")
+    )
+    storage.write_bucketed(left, "t_left", ["k"], num_buckets=8, sort_cols=["k"])
+    storage.write_bucketed(right, "t_right", ["k"], num_buckets=8, sort_cols=["k"])
+    joined = storage.read_table(spark, "t_left").join(
+        storage.read_table(spark, "t_right"), "k"
+    )
+    assert joined.count() == 1000
+    plan = _plan(joined)
+    assert "Exchange" not in plan, plan
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS t_left")
+    spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.range(0, 100).select(
+        (F.col("id") % 4).alias("shard"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "parts")
+    storage.write_partitioned(df, path, ["shard"])
+    back = spark.read.parquet(path).where(F.col("shard") == 2)
+    assert back.count() == 25
+    plan = _plan(back)
+    # partition pruning: the shard predicate appears as a PartitionFilter,
+    # and only one of four directories is listed
+    assert "PartitionFilters" in plan
+    assert back.rdd.getNumPartitions() <= 4
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time watermark semantics: a row arriving a micro-batch later,
+    with event time older than (max seen - watermark), is dropped from its
+    (already closed) window aggregate."""
+    import uuid as _uuid
+
+    h = 3_600_000_000_000  # 1 hour in ns
+    d = str(tmp_path / "stream_in")
+    import os
+
+    os.makedirs(d)
+    # Watermark drops require the window state to be already EVICTED: a row
+    # arriving while its window state is still open merges in even when
+    # older than the watermark (the lateness bound is a minimum guarantee).
+    # Three micro-batches: b0 seeds h0+h10 (watermark -> h8, h0 still
+    # open); b1 (h14) lets h0 emit+evict and moves the watermark to h12;
+    # b2's late h0 row then hits evicted state and is dropped.
+    batches = [
+        ("batch1", [0 * h + 10, 10 * h + 10]),
+        ("batch2", [14 * h + 10]),
+        ("batch3", [0 * h + 20]),  # late: its window was evicted in b1
+    ]
+    for i, (fname, tss) in enumerate(batches):
+        pq.write_table(
+            pa.table({
+                "ts": pa.array(tss, type=pa.int64()),
+                "event_type": pa.array(["a"] * len(tss)),
+                "value": pa.array([1.0] * len(tss)),
+            }),
+            f"{d}/{fname}.parquet",
+        )
+        # file source orders micro-batches by modification time
+        os.utime(f"{d}/{fname}.parquet", (1_700_000_000 + 100 * i,) * 2)
+
+    from dataproc_spark.extensions.streaming import with_event_time
+
+    stream = (
+        spark.readStream.schema("ts long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        with_event_time(stream)
+        .withWatermark("event_time", "2 hours")
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_timestamp("window.start") / 3600).cast("long").alias("hour"),
+            "n",
+        )
+    )
+    name = f"wm_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # append emits only watermark-closed windows
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.hour, r.n) for r in spark.table(name).collect()}
+    # h0 closed with exactly 1 event (late row dropped against evicted
+    # state — with it surviving, a second (0, 1) row or (0, 2) would
+    # appear); h10 closed with 1; h14 stays open (never emitted)
+    assert got == {(0, 1), (10, 1)}
