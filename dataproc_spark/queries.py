@@ -228,6 +228,41 @@ FROM range(4) a, range(3) b, (SELECT unnest(['x', 'y']) AS tag) t
 """
 
 
+def q_load_selection_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 `load_shard_selection` end-to-end: positional score CSV → indexed
+    zip against the cartesian (query × shard) frame → per-query rank.
+
+    The score file is generated deterministically (query-major order,
+    score = ((query*31 + shard*17) % 100) / 10) so the oracle can recompute
+    the same values from the formula — what's under test is the
+    *positional alignment* of the real CSV loader path.
+    """
+    import os
+    import tempfile
+
+    queries_list, nshards = list(range(7)), 5
+    scores = [
+        ((q * 31 + s * 17) % 100) / 10 for q in queries_list for s in range(nshards)
+    ]
+    path = os.path.join(tempfile.gettempdir(), "dataproc_sel_scores.csv")
+    with open(path, "w") as f:
+        f.write("\n".join(str(x) for x in scores) + "\n")
+    from dataproc_spark.io import load_shard_selection
+
+    return load_shard_selection(spark, queries_list, nshards, path)
+
+
+SQL_LOAD_SELECTION_CSV = """
+SELECT CAST(q.range AS BIGINT) AS query, CAST(s.range AS BIGINT) AS shard,
+       ((q.range * 31 + s.range * 17) % 100) / 10.0 AS shard_score,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.range
+           ORDER BY ((q.range * 31 + s.range * 17) % 100) / 10.0 DESC, s.range
+       ) - 1 AS INTEGER) AS rank
+FROM range(7) q, range(5) s
+"""
+
+
 def q_resolve_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 greedy bucket resolution (rows-only: sequential stateful walk).
 
@@ -925,6 +960,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "evaluate_sweep": (q_evaluate_sweep, SQL_EVALUATE_SWEEP),
     "trec_export": (q_trec_export, SQL_TREC_EXPORT),
     "cartesian": (q_cartesian, SQL_CARTESIAN),
+    "load_selection_csv": (q_load_selection_csv, SQL_LOAD_SELECTION_CSV),
     "resolve_buckets": (q_resolve_buckets, None),
     "select_buckets": (q_select_buckets, None),
     # relational breadth

@@ -131,7 +131,12 @@ def select_with_decay(
     if num_buckets is None:
         # reference behavior (:147): derive the bucket count with a scan;
         # pass num_buckets explicitly to skip this extra job
-        num_buckets = results.agg(F.max("bucket")).first()[0] + 1
+        max_bucket = results.agg(F.max("bucket")).first()[0]
+        if max_bucket is None:
+            # empty results: nothing to select (the reference crashes on
+            # NaN here — divergence recorded as a fix, not a change)
+            return results.where(F.lit(False))
+        num_buckets = max_bucket + 1
     budgets = decayed_buckets(num_buckets, t, decay_factor)
     spark = results.sparkSession
     lookup = spark.createDataFrame(

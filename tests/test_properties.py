@@ -1,0 +1,167 @@
+"""Property-based tests: random small inputs, Spark operators vs an
+independent Python model of the documented semantics (SURVEY.md §2.1).
+
+The models are written from the semantic spec (top-t semi-join; decayed
+bucket budgets; greedy budget walk), not from either implementation, so
+they arbitrate both. Example counts are small — each example is a real
+Spark job.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from dataproc_spark.selective import (
+    decayed_buckets,
+    resolve_bucket_selection,
+    select,
+    select_with_decay,
+)
+
+
+def _mk_results(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="query long, shard long, bucket long, score double"
+    )
+
+
+def _mk_selection(spark, ranks):
+    return spark.createDataFrame(
+        [(q, s, r) for (q, s), r in ranks.items()],
+        schema="query long, shard long, rank long",
+    )
+
+
+@st.composite
+def scenario(draw):
+    n_queries = draw(st.integers(1, 3))
+    n_shards = draw(st.integers(1, 4))
+    n_buckets = draw(st.integers(1, 3))
+    rows = []
+    for q in range(n_queries):
+        n_rows = draw(st.integers(0, 6))
+        for _ in range(n_rows):
+            rows.append(
+                (
+                    q,
+                    draw(st.integers(0, n_shards - 1)),
+                    draw(st.integers(0, n_buckets - 1)),
+                    float(draw(st.integers(0, 20))),
+                )
+            )
+    ranks = {}
+    for q in range(n_queries):
+        perm = draw(st.permutations(list(range(n_shards))))
+        for s, r in zip(range(n_shards), perm):
+            ranks[(q, s)] = r
+    t = draw(st.integers(1, n_shards + 1))
+    return rows, ranks, t, n_shards, n_buckets
+
+
+@settings(max_examples=12, deadline=None)
+@given(scenario())
+def test_select_matches_model(spark, sc):
+    rows, ranks, t, _, _ = sc
+    # select keeps matching result rows as a multiset
+    from collections import Counter
+
+    got_rows = [
+        tuple(r)
+        for r in select(
+            _mk_selection(spark, ranks), _mk_results(spark, rows), t
+        ).collect()
+    ]
+    want_rows = [row for row in rows if ranks[(row[0], row[1])] < t]
+    assert Counter(got_rows) == Counter(want_rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(scenario(), st.sampled_from([0.3, 0.5, 0.8, 1.0]))
+def test_select_with_decay_matches_model(spark, sc, decay):
+    rows, ranks, t, n_shards, n_buckets = sc
+    got = [
+        tuple(r)
+        for r in select_with_decay(
+            _mk_selection(spark, ranks), _mk_results(spark, rows), t, decay
+        ).collect()
+    ]
+    if decay == 1.0:
+        want = [row for row in rows if ranks[(row[0], row[1])] < t]
+    else:
+        max_bucket = max((b for (_, _, b, _) in rows), default=None)
+        if max_bucket is None:
+            want = []
+        else:
+            budgets = decayed_buckets(max_bucket + 1, t, decay)
+            want = [
+                (q, s, b, sco)
+                for (q, s, b, sco) in rows
+                if ranks[(q, s)] < t and b < budgets[ranks[(q, s)]]
+            ]
+    from collections import Counter
+
+    assert Counter(got) == Counter(want)
+
+
+def _greedy_model(bucket_rows, threshold, num_shards):
+    """Greedy budget walk per the reference spec (selectivesearch.py:160-181)."""
+    out = set()
+    by_query = {}
+    for (q, s, b, r) in bucket_rows:
+        by_query.setdefault(q, []).append((r, s, b))
+    for q, items in by_query.items():
+        selected = [0] * num_shards
+        used = 0
+        for r, s, b in sorted(items):
+            if used == threshold:
+                break
+            cost = b + 1 - selected[s]
+            if cost < 1:
+                continue
+            if used + cost <= threshold:
+                selected[s] += cost
+                used += cost
+        for s, n in enumerate(selected):
+            for b in range(n):
+                out.add((q, s, b))
+    return out
+
+
+@st.composite
+def bucket_scenario(draw):
+    n_queries = draw(st.integers(1, 3))
+    n_shards = draw(st.integers(1, 3))
+    n_buckets = draw(st.integers(1, 3))
+    rows = []
+    for q in range(n_queries):
+        cells = [(s, b) for s in range(n_shards) for b in range(n_buckets)]
+        perm = draw(st.permutations(list(range(len(cells)))))
+        for (s, b), r in zip(cells, perm):
+            rows.append((q, s, b, r))
+    threshold = draw(st.integers(1, n_shards * n_buckets))
+    return rows, threshold, n_shards
+
+
+@settings(max_examples=10, deadline=None)
+@given(bucket_scenario())
+def test_resolve_buckets_matches_model(spark, sc):
+    rows, threshold, n_shards = sc
+    sel = spark.createDataFrame(
+        rows, schema="query long, shard long, bucket long, rank long"
+    )
+    got = {tuple(r) for r in resolve_bucket_selection(sel, threshold).collect()}
+    assert got == _greedy_model(rows, threshold, n_shards)
+
+
+def test_decayed_buckets_properties():
+    # monotone non-increasing, positive, first = ceil(num_buckets)
+    for nb in (1, 2, 7, 10):
+        for t in (1, 3, 6):
+            for d in (0.1, 0.5, 0.9, 1.0):
+                seq = decayed_buckets(nb, t, d)
+                assert len(seq) == t
+                assert seq[0] == math.ceil(nb)
+                assert all(a >= b for a, b in zip(seq, seq[1:]))
+                assert all(x >= 1 for x in seq)
