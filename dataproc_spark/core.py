@@ -124,6 +124,29 @@ def cartesian(
     total = 1
     for s in sizes:
         total *= s
+    if total == 0:
+        # any empty range → empty product (the pandas reference returns an
+        # empty frame too); infer each column's type from its range when
+        # non-empty, defaulting to long
+        def typ_of(values):
+            if not values:
+                return "long"
+            v = values[0]
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, int):
+                return "long"
+            if isinstance(v, float):
+                return "double"
+            return "string"
+
+        schema = ", ".join(
+            [f"{IDX} long"] + [f"`{n}` {typ_of(r)}" for n, r in zip(names, ranges)]
+        )
+        out = spark.createDataFrame([], schema=schema)
+        if not with_index:
+            out = out.drop(IDX)
+        return out
     if total <= _DRIVER_SIDE_LIMIT:
         # small products: materialize driver-side in one createDataFrame —
         # one job instead of N parallelize stages + N-1 cross joins

@@ -140,6 +140,10 @@ def lsh_candidates(
     """
     if num_hashes is None:
         num_hashes = sigs.select(F.size("_sig").alias("s")).first()["s"]
+    assert num_hashes % bands == 0, (
+        f"bands ({bands}) must divide the signature length ({num_hashes}); "
+        f"a remainder would silently drop the trailing hashes from banding"
+    )
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),
@@ -324,6 +328,7 @@ def simhash(tokens_col: F.Column, bits: int = 64) -> F.Column:
     Bit b of the fingerprint is the sign of Σ_tokens (±1 by bit b of the
     token hash). Built entirely from ``aggregate``/``transform`` — no UDF.
     """
+    assert 1 <= bits <= 64
     def bit_sum(b: int) -> F.Column:
         return F.aggregate(
             tokens_col,
@@ -333,11 +338,15 @@ def simhash(tokens_col: F.Column, bits: int = 64) -> F.Column:
             .otherwise(-1),
         )
 
+    # build the fingerprint with shiftleft+OR, not addition of 2**b
+    # literals: 2**63 overflows the long literal range (it would become a
+    # decimal), while shifting into the sign bit is a plain bit pattern
     out = F.lit(0).cast("long")
     for b in range(bits):
-        out = out + F.when(bit_sum(b) > 0, F.lit(1).cast("long") * (2 ** b)).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            bit_sum(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(bit)
     return out
 
 

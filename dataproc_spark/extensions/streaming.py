@@ -57,12 +57,15 @@ def stream_hourly_counts(
     events_path: str,
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Streaming variant: file-source stream → event-time tumbling window
-    with a watermark → complete counts, drained with ``availableNow``.
+    """Streaming variant: file-source stream → event-time tumbling window,
+    drained with ``availableNow`` in **complete** mode.
 
-    Uses the real event-time window operator (not the epoch-hour shortcut)
-    so late-data semantics are exercised: rows later than ``watermark``
-    behind the max seen event time are dropped from their closed window.
+    Complete mode keeps all window state (required here so the drained
+    result equals the batch rollup for the oracle) — which also means the
+    watermark does NOT drop late rows in this function. Real late-data
+    eviction semantics (append mode: windows close, late rows drop against
+    evicted state) are pinned by
+    ``tests/test_storage_streaming.py::test_streaming_watermark_drops_late_rows``.
     Returns the materialized result as a static DataFrame.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -177,12 +180,14 @@ def stream_session_counts(
     static = spark.read.parquet(events_path)
     import os as _os
 
-    base, fname = _os.path.split(events_path)
-    reader = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", fname)
-        .parquet(base if _os.path.isfile(events_path) else events_path)
-    )
+    reader = spark.readStream.schema(static.schema)
+    if _os.path.isfile(events_path):
+        # the streaming file source requires a directory: scan the parent
+        # with a glob for exactly this file
+        base, fname = _os.path.split(events_path)
+        reader = reader.option("pathGlobFilter", fname).parquet(base)
+    else:
+        reader = reader.parquet(events_path)
     counted = reader.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,

@@ -45,7 +45,6 @@ def load_shard_results(
 
 def _load_selection(
     spark: SparkSession,
-    queries: Sequence,
     shard_scores_path: str,
     names: list[str],
     ranges: list,
@@ -79,7 +78,7 @@ def load_shard_selection(
     ``axis=1`` concat becomes an explicit index join (SURVEY.md §2.2).
     """
     return _load_selection(
-        spark, queries, shard_scores_path,
+        spark, shard_scores_path,
         names=["query", "shard"], ranges=[queries, range(nshards)],
     )
 
@@ -94,7 +93,7 @@ def load_bucket_selection(
     """3-way cartesian (queries × shards × buckets) variant of
     :func:`load_shard_selection`. Parity: ``selectivesearch.py:85-93``."""
     return _load_selection(
-        spark, queries, shard_scores_path,
+        spark, shard_scores_path,
         names=["query", "shard", "bucket"],
         ranges=[queries, range(nshards), range(nbuckets)],
     )

@@ -369,8 +369,14 @@ def evaluate(
 
     # results may legitimately carry their own `rank` column (the per-shard
     # result rank in the SHARD_RESULTS_SCHEMA contract) — alias the selection
-    # rank to avoid the collision.
-    sel = shards.select(*keys, F.col("rank").alias("_sel_rank"))
+    # rank to avoid the collision. Shards ranked beyond the sweep depth are
+    # dropped BEFORE the explode: sequence(start, stop) counts *down* when
+    # start > stop, so without the filter a rank-7 shard in a 5-step sweep
+    # would emit steps [8,7,6,5] — phantom steps plus pollution of step 5.
+    sel = (
+        shards.where(F.col("rank") < num_steps)
+        .select(*keys, F.col("rank").alias("_sel_rank"))
+    )
     joined = results.join(F.broadcast(sel), keys, "inner")
     exploded = joined.withColumn(
         "step",

@@ -60,21 +60,32 @@ def salted_agg(
     never the group keys themselves, which would collapse each key into a
     single salt bucket.
     """
+    import re
+
     partial = with_salt(df, salt, id_cols).groupBy(*keys, SALT).agg(
         *[c.alias(f"_p_{name}") for name, c in aggs.items()]
     )
-    # re-aggregate partials: sum works for sum/count partials; min/max for
-    # min/max partials — detect from the expression string
+    # re-aggregate partials: sum-of-partials for sum/count, min/max for
+    # min/max. Anything else (avg, countDistinct, …) is NOT decomposable
+    # this way — reject loudly instead of silently summing partial values.
     finals = []
     for name in aggs:
         pc = F.col(f"_p_{name}")
         expr_str = str(aggs[name]).lower()
-        if "min(" in expr_str:
+        m = re.search(r"'(\w+)\(", expr_str)
+        fn = m.group(1) if m else ""
+        if fn == "min":
             finals.append(F.min(pc).alias(name))
-        elif "max(" in expr_str:
+        elif fn == "max":
             finals.append(F.max(pc).alias(name))
-        else:
+        elif fn in ("sum", "count"):
             finals.append(F.sum(pc).alias(name))
+        else:
+            raise ValueError(
+                f"salted_agg supports sum/count/min/max, got {aggs[name]} "
+                f"for '{name}' — non-decomposable aggregates (avg, "
+                f"countDistinct) would be silently wrong"
+            )
     return partial.groupBy(*keys).agg(*finals)
 
 
@@ -95,7 +106,17 @@ def salted_join(
     The left salt must scatter *rows of the same key* across buckets, so
     it hashes row position, never the join keys (hashing the keys would
     put every row of a hot key back into one bucket).
+
+    Only inner and left joins are supported: the right side is replicated
+    ``salt`` times, so right/full outer would emit ``salt`` copies of
+    every unmatched right row.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "leftsemi",
+                   "left_semi", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r} — the "
+            f"replicated right side would duplicate unmatched right rows"
+        )
     lsalted = with_salt(left, salt, id_cols=None)
     rrep = right.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -1,0 +1,79 @@
+"""Regression tests for defects found in code review: evaluate rank
+overflow, simhash 64-bit fingerprints, empty cartesian ranges, skew
+guard rails, LSH banding divisibility."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataproc_spark import skew
+from dataproc_spark.core import cartesian
+from dataproc_spark.extensions import dedup
+from dataproc_spark.measures import num_retrieved, precision_at
+from dataproc_spark.selective import evaluate
+from tests.conftest import rows_set
+
+
+def test_evaluate_ignores_shards_beyond_sweep_depth(spark):
+    """A shard ranked >= num_steps must not contribute to any step (Spark's
+    sequence() counts down when start > stop, which previously leaked
+    rank-n shards into the deepest step and emitted phantom steps)."""
+    shards = spark.createDataFrame(
+        [(0, 0, 0), (0, 1, 1), (0, 2, 2)],  # 3 shards, sweep only 2
+        schema="query long, shard long, rank long",
+    )
+    results = spark.createDataFrame(
+        [(0, 0, 1, 1), (0, 1, 2, 1), (0, 2, 3, 1)],
+        schema="query long, shard long, global_rank long, rel int",
+    )
+    out = evaluate(
+        shards, results, {"rel": [num_retrieved()]}, num_shards=2
+    ).collect()
+    got = {(r.query, r.step, r.num_ret) for r in out}
+    # steps 1..2 only; shard 2 (rank 2) never counted
+    assert got == {(0, 1, 1), (0, 2, 2)}
+
+
+def test_simhash_64_bit(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "epsilon zeta eta theta")],
+        schema="doc_id long, text string",
+    )
+    fps = dedup.simhash_frame(df, bits=64)
+    assert dict(fps.dtypes)["simhash"] == "bigint"
+    vals = {r.doc_id: r.simhash for r in fps.collect()}
+    assert vals[1] == vals[2] != vals[3]
+    pairs = dedup.simhash_near_pairs(df, bits=64, bands=4, max_hamming=0)
+    assert rows_set(pairs, ["id_a", "id_b"]) == {(1, 2)}
+
+
+def test_cartesian_empty_range(spark):
+    out = cartesian(spark, [[], [1, 2]], names=["a", "b"])
+    assert out.count() == 0
+    assert out.columns == ["a", "b"]
+    out_idx = cartesian(spark, [[1], []], names=["a", "b"], with_index=True)
+    assert out_idx.count() == 0
+    assert out_idx.columns == ["_idx", "a", "b"]
+
+
+def test_salted_agg_rejects_nondecomposable(spark):
+    df = spark.createDataFrame([(1, 2.0)], schema="k long, v double")
+    with pytest.raises(ValueError, match="avg"):
+        skew.salted_agg(df, ["k"], {"m": F.avg("v")}, salt=4)
+
+
+def test_salted_join_rejects_outer(spark):
+    df = spark.createDataFrame([(1, 2)], schema="k long, v long")
+    with pytest.raises(ValueError, match="inner/left"):
+        skew.salted_join(df, df, ["k"], how="full")
+
+
+def test_lsh_bands_must_divide(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], schema="doc_id long, text string"
+    )
+    sigs = dedup.minhash_frame(docs, num_hashes=16, shingle_size=2)
+    with pytest.raises(AssertionError, match="divide"):
+        dedup.lsh_candidates(sigs, bands=10, num_hashes=16)
