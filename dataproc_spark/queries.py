@@ -431,6 +431,62 @@ GROUP BY n_name
 """
 
 
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over (returnflag, linestatus) with subtotal
+    and grand-total rows, tagged by grouping level."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_c"
+            ),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+SQL_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h size, 30 min slide): each event lands in two
+    windows — the streaming-window shape expressed in batch."""
+    ev = _t(spark, sf_dir, "events")
+    half_hours = F.array(
+        F.expr("ts div 1800000000000"), F.expr("ts div 1800000000000 - 1")
+    )
+    return (
+        ev.select(F.explode(half_hours).alias("win_id"), "event_type", "value")
+        .groupBy("win_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        )
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT win_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM (
+    SELECT unnest([epoch_ns(ts) // 1800000000000,
+                   epoch_ns(ts) // 1800000000000 - 1]) AS win_id,
+           event_type, value
+    FROM events
+)
+GROUP BY win_id, event_type
+"""
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-3 customers by account balance within each nation."""
     cu = _t(spark, sf_dir, "customer")
@@ -967,6 +1023,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "rollup_pricing": (q_rollup_pricing, SQL_ROLLUP_PRICING),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "customers_without_orders": (
         q_customers_without_orders,
@@ -976,6 +1033,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "priority_except": (q_priority_except, SQL_PRIORITY_EXCEPT),
     # events / time-series / streaming
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "stream_hourly": (q_stream_hourly, SQL_EVENTS_HOURLY),

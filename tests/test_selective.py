@@ -193,6 +193,48 @@ def test_evaluate_sweep_matches_stepwise(eval_inputs):
     assert full == {(0, 0.5), (1, 0.5)}
 
 
+def test_recall_at(spark):
+    from dataproc_spark.measures import recall_at
+
+    shards = spark.createDataFrame(
+        [(0, 0, 0)], schema="query long, shard long, rank long"
+    )
+    # 4 results, 3 relevant overall (num_rel broadcast on every row),
+    # 2 relevant within the top-2 prefix -> R@2 = 2/3
+    rows = [(0, 0, 1, 1, 3), (0, 0, 2, 1, 3), (0, 0, 3, 0, 3), (0, 0, 4, 1, 3)]
+    results = spark.createDataFrame(
+        rows, schema="query long, shard long, global_rank long, rel int, num_rel int"
+    )
+    out = evaluate_step(shards, results, {"rel": [recall_at(2)]}, step=1)
+    assert abs(out.first()["r_2"] - 2 / 3) < 1e-12
+
+
+def test_evaluate_step_with_buckets(spark):
+    shards = spark.createDataFrame(
+        [(0, 0, 0, 0), (0, 0, 1, 1)],
+        schema="query long, shard long, bucket long, rank long",
+    )
+    results = spark.createDataFrame(
+        [(0, 0, 0, 1, 1), (0, 0, 1, 2, 0)],
+        schema="query long, shard long, bucket long, global_rank long, rel int",
+    )
+    out = evaluate_step(
+        shards, results, {"rel": [precision_at(5)]}, step=1, with_buckets=True
+    )
+    # only bucket 0 (rank 0) selected at step 1 -> P@5 over one row = 1.0
+    assert out.first()["p_5"] == 1.0
+
+
+def test_ordered_presentation(results):
+    from dataproc_spark.selective import ordered
+
+    rows = ordered(results).collect()
+    assert [r.query for r in rows] == sorted(r.query for r in rows)
+    for q in {r.query for r in rows}:
+        scores = [r.score for r in rows if r.query == q]
+        assert scores == sorted(scores, reverse=True)
+
+
 def test_evaluate_sort_derives_rank(eval_inputs, spark):
     _, results = eval_inputs
     shards = spark.createDataFrame(
