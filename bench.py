@@ -49,9 +49,11 @@ def main() -> None:
     spark = get_spark("dataproc_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen paths with one trivial job so the first measured
-    # query doesn't absorb session startup cost
+    # warm the JVM/codegen paths and the Hadoop FS/parquet reader classes
+    # with trivial jobs so the first measured query doesn't absorb session
+    # startup cost (region is 5 rows)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     qs = registry.queries()
     timings: dict[str, float] = {}
