@@ -24,6 +24,18 @@ IDX = "_idx"
 _DRIVER_SIDE_LIMIT = 1_000_000
 
 
+def _spark_type(value) -> str:
+    """Spark SQL type name for a Python scalar (shared by every cartesian
+    construction path so schemas cannot diverge between them)."""
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, int):
+        return "long"
+    if isinstance(value, float):
+        return "double"
+    return "string"
+
+
 def get_spark(
     app_name: str = "dataproc_spark",
     master: str | None = None,
@@ -79,15 +91,7 @@ def _one_range(spark: SparkSession, name: str, values: Sequence) -> DataFrame:
     """
     values = list(values)
     rows = [(i, v) for i, v in enumerate(values)]
-    first = values[0]
-    if isinstance(first, bool):
-        typ = "boolean"
-    elif isinstance(first, int):
-        typ = "long"
-    elif isinstance(first, float):
-        typ = "double"
-    else:
-        typ = "string"
+    typ = _spark_type(values[0])
     # single partition: createDataFrame slices local data into
     # defaultParallelism partitions, and crossJoin multiplies partition
     # counts — 3 ranges × 32 slices would give 32³ = 32768 tasks.
@@ -128,20 +132,12 @@ def cartesian(
         # any empty range → empty product (the pandas reference returns an
         # empty frame too); infer each column's type from its range when
         # non-empty, defaulting to long
-        def typ_of(values):
-            if not values:
-                return "long"
-            v = values[0]
-            if isinstance(v, bool):
-                return "boolean"
-            if isinstance(v, int):
-                return "long"
-            if isinstance(v, float):
-                return "double"
-            return "string"
-
         schema = ", ".join(
-            [f"{IDX} long"] + [f"`{n}` {typ_of(r)}" for n, r in zip(names, ranges)]
+            [f"{IDX} long"]
+            + [
+                f"`{n}` {_spark_type(r[0]) if r else 'long'}"
+                for n, r in zip(names, ranges)
+            ]
         )
         out = spark.createDataFrame([], schema=schema)
         if not with_index:
@@ -155,19 +151,9 @@ def cartesian(
         rows = [
             (i, *combo) for i, combo in enumerate(itertools.product(*ranges))
         ]
-        first = rows[0]
-        types = []
-        for v in first[1:]:
-            if isinstance(v, bool):
-                types.append("boolean")
-            elif isinstance(v, int):
-                types.append("long")
-            elif isinstance(v, float):
-                types.append("double")
-            else:
-                types.append("string")
         schema = ", ".join(
-            [f"{IDX} long"] + [f"`{n}` {t}" for n, t in zip(names, types)]
+            [f"{IDX} long"]
+            + [f"`{n}` {_spark_type(v)}" for n, v in zip(names, rows[0][1:])]
         )
         out = spark.createDataFrame(rows, schema=schema).coalesce(1)
     else:

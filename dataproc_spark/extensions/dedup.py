@@ -148,10 +148,11 @@ def lsh_candidates(
     """
     if num_hashes is None:
         num_hashes = sigs.select(F.size("_sig").alias("s")).first()["s"]
-    assert num_hashes % bands == 0, (
-        f"bands ({bands}) must divide the signature length ({num_hashes}); "
-        f"a remainder would silently drop the trailing hashes from banding"
-    )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide the signature length ({num_hashes}); "
+            f"a remainder would silently drop the trailing hashes from banding"
+        )
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         F.col(id_col),
@@ -336,7 +337,9 @@ def simhash(tokens_col: F.Column, bits: int = 64) -> F.Column:
     Bit b of the fingerprint is the sign of Σ_tokens (±1 by bit b of the
     token hash). Built entirely from ``aggregate``/``transform`` — no UDF.
     """
-    assert 1 <= bits <= 64
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+
     def bit_sum(b: int) -> F.Column:
         return F.aggregate(
             tokens_col,

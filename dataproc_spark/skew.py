@@ -62,30 +62,33 @@ def salted_agg(
     """
     import re
 
-    partial = with_salt(df, salt, id_cols).groupBy(*keys, SALT).agg(
-        *[c.alias(f"_p_{name}") for name, c in aggs.items()]
-    )
-    # re-aggregate partials: sum-of-partials for sum/count, min/max for
-    # min/max. Anything else (avg, countDistinct, …) is NOT decomposable
-    # this way — reject loudly instead of silently summing partial values.
+    # Classify each aggregate from its CANONICAL applied column name
+    # (analysis-only probe, no job): str(Column) drops the DISTINCT
+    # keyword in pyspark 4, so countDistinct would masquerade as a plain
+    # count and be silently mis-combined — the canonical name keeps it
+    # ('count(DISTINCT v)').
+    probe = df.limit(0)
     finals = []
-    for name in aggs:
+    for name, c in aggs.items():
+        canonical = probe.agg(c).columns[0]
+        m = re.match(r"(\w+)\((distinct )?", canonical.lower())
+        fn, distinct = (m.group(1), bool(m.group(2))) if m else ("", False)
         pc = F.col(f"_p_{name}")
-        expr_str = str(aggs[name]).lower()
-        m = re.search(r"'(\w+)\(", expr_str)
-        fn = m.group(1) if m else ""
+        if distinct or fn not in ("sum", "count", "min", "max"):
+            raise ValueError(
+                f"salted_agg supports sum/count/min/max, got {canonical!r} "
+                f"for '{name}' — non-decomposable aggregates (avg, "
+                f"countDistinct) would be silently wrong"
+            )
         if fn == "min":
             finals.append(F.min(pc).alias(name))
         elif fn == "max":
             finals.append(F.max(pc).alias(name))
-        elif fn in ("sum", "count"):
-            finals.append(F.sum(pc).alias(name))
         else:
-            raise ValueError(
-                f"salted_agg supports sum/count/min/max, got {aggs[name]} "
-                f"for '{name}' — non-decomposable aggregates (avg, "
-                f"countDistinct) would be silently wrong"
-            )
+            finals.append(F.sum(pc).alias(name))
+    partial = with_salt(df, salt, id_cols).groupBy(*keys, SALT).agg(
+        *[c.alias(f"_p_{name}") for name, c in aggs.items()]
+    )
     return partial.groupBy(*keys).agg(*finals)
 
 

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from dataproc_spark import skew
 from dataproc_spark.core import cartesian
 from dataproc_spark.extensions import dedup
-from dataproc_spark.measures import num_retrieved, precision_at
+from dataproc_spark.measures import num_retrieved
 from dataproc_spark.selective import evaluate
 from tests.conftest import rows_set
 
@@ -64,6 +64,19 @@ def test_salted_agg_rejects_nondecomposable(spark):
         skew.salted_agg(df, ["k"], {"m": F.avg("v")}, salt=4)
 
 
+def test_salted_agg_rejects_distinct_aggregates(spark):
+    """str(Column) drops DISTINCT in pyspark 4, so countDistinct used to
+    masquerade as a plain count and get silently mis-combined — the guard
+    must classify from the canonical applied name instead."""
+    df = spark.createDataFrame(
+        [(1, v % 5) for v in range(100)], schema="k long, v long"
+    )
+    with pytest.raises(ValueError, match="DISTINCT"):
+        skew.salted_agg(df, ["k"], {"d": F.countDistinct("v")}, salt=8)
+    with pytest.raises(ValueError, match="DISTINCT"):
+        skew.salted_agg(df, ["k"], {"s": F.sum_distinct(F.col("v"))}, salt=8)
+
+
 def test_salted_join_rejects_outer(spark):
     df = spark.createDataFrame([(1, 2)], schema="k long, v long")
     with pytest.raises(ValueError, match="inner/left"):
@@ -75,5 +88,5 @@ def test_lsh_bands_must_divide(spark):
         [(1, "a b c d e f g h i j")], schema="doc_id long, text string"
     )
     sigs = dedup.minhash_frame(docs, num_hashes=16, shingle_size=2)
-    with pytest.raises(AssertionError, match="divide"):
+    with pytest.raises(ValueError, match="divide"):
         dedup.lsh_candidates(sigs, bands=10, num_hashes=16)
