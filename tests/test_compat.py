@@ -1,0 +1,66 @@
+"""The compat surface must run the reference's own call patterns verbatim
+(modulo pandas→Spark frames)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import rows_set
+
+
+def test_compat_namespaces_cover_reference_api(spark):
+    from dataproc_spark.compat import data, measures, selectivesearch
+
+    # every public name from the reference modules exists
+    for name in ("cartesian", "ensure_has_columns"):
+        assert hasattr(data, name)
+    assert hasattr(measures, "precision_at")
+    for name in (
+        "evaluate_step", "evaluate", "load_shard_selection",
+        "load_bucket_selection", "load_shard_results", "select",
+        "decayed_buckets", "select_with_decay", "resolve_bucket_selection",
+        "select_buckets", "to_trec",
+    ):
+        assert hasattr(selectivesearch, name)
+
+
+def test_compat_select_reference_call_shape(spark, results, selection):
+    from dataproc_spark.compat import selectivesearch as ss
+
+    selected = ss.select(selection, results, 3)
+    assert rows_set(selected) == rows_set(results)
+
+
+def test_compat_cartesian_uses_active_session(spark):
+    from dataproc_spark.compat import data
+
+    df = data.cartesian([range(2), range(2)], names=["a", "b"])
+    assert df.count() == 4
+
+
+def test_compat_verbose_flags_accepted(spark, results, selection):
+    """The reference signature includes verbose=; callers passing it must
+    not break."""
+    from dataproc_spark.compat import measures, selectivesearch as ss
+    from pyspark.sql import functions as F
+
+    shards = selection
+    judged = (
+        results.withColumn("global_rank", F.col("score"))
+        .withColumn("relevant", (F.col("bucket") == 0).cast("int"))
+    )
+    out = ss.evaluate(
+        shards, judged, {"relevant": [measures.precision_at(2)]},
+        num_shards=3, verbose=True,
+    )
+    assert out.count() > 0
+
+
+def test_compat_load_selection(spark, tmp_path):
+    from dataproc_spark.compat import selectivesearch as ss
+
+    p = tmp_path / "scores.csv"
+    p.write_text("0.5\n0.9\n")
+    sel = ss.load_shard_selection([7], 2, str(p))
+    got = {(r.query, r.shard, r.rank) for r in sel.collect()}
+    assert got == {(7, 0, 1), (7, 1, 0)}
