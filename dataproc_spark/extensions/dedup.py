@@ -242,6 +242,83 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Connected components / dedup clustering
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (node, component)
+    where component = min node id reachable through the pair graph.
+
+    Dedup needs the *transitive closure* of pairwise similarity — if A~B
+    and B~C, keeping "one of each pair" would keep two of {A,B,C}. This is
+    iterative min-label propagation: each round every node takes the
+    smallest label among itself and its neighbors; converges in
+    graph-diameter rounds (near-dup components are shallow — diameter is
+    typically tiny). Each round is one shuffle; ``localCheckpoint`` cuts
+    the growing lineage so round N doesn't replay rounds 1..N-1.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_labels = (
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop near-duplicates: keep one document (smallest id) per connected
+    component of the pair graph, plus every unpaired document.
+
+    The standard final step of a MinHash/SimHash/embedding dedup pipeline:
+    pairs → components → anti-join the non-representatives out of the
+    corpus. The components frame is tiny relative to the corpus (only
+    documents that had a near-dup), so the anti-join broadcasts.
+    """
+    comps = connected_components(pairs)
+    losers = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (no hashing — the oracle-checkable dedup variant)
 # ---------------------------------------------------------------------------
 

@@ -71,7 +71,13 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("qid"), quantize(vec_col, scale).alias("_qv")
     )
-    c = embeddings.select(F.col(id_col), quantize(vec_col, scale).alias("_cv"))
+    # spread the corpus before scoring: small inputs often arrive as one
+    # parquet split, and the broadcast join preserves partitioning, which
+    # would serialize the (CPU-bound) dot products on a single core
+    spread = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    )
+    c = spread.select(F.col(id_col), quantize(vec_col, scale).alias("_cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("qid"))
@@ -108,7 +114,10 @@ def bucketed_topk(
         F.col(bucket_col).alias("_qb"),
         quantize(vec_col, scale).alias("_qv"),
     )
-    c = embeddings.select(
+    spread = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    )
+    c = spread.select(
         F.col(id_col), F.col(bucket_col).alias("_cb"), quantize(vec_col, scale).alias("_cv")
     )
     scored = (
@@ -200,7 +209,10 @@ def near_dup_pairs(
     off the all-pairs cliff at scale; recall is traded per the coarse
     quantizer's quality, exactly as in IVF dedup pipelines.
     """
-    e = embeddings.select(
+    spread = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    )
+    e = spread.select(
         F.col(id_col), F.col(bucket_col).alias("_b"), quantize(vec_col, scale).alias("_v")
     )
     a, b = e.alias("a"), e.alias("b")

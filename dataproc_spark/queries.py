@@ -863,6 +863,65 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: MinHash pairs → connected components → keep one
+    representative per cluster (rows-only: LSH-dependent)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.2, shingle_size=3, num_hashes=32, bands=8
+    )
+    return dedup.dedup_keep_representatives(docs, pairs).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality filtering: C4/Gopher-style keep rules over the
+    quality features, reported as kept/dropped counts per lang."""
+    docs = textstats.quality_features(_t(spark, sf_dir, "documents"))
+    kept = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 1000)
+        & (F.col("mean_tok_len_c") >= 200)
+        & (F.col("mean_tok_len_c") <= 900)
+        & (F.col("digit_ratio_m") < 300)
+    )
+    return (
+        docs.withColumn("kept", kept.cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+        )
+    )
+
+
+SQL_QUALITY_FILTER = r"""
+WITH feat AS (
+    SELECT lang, length(text) AS n_chars,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+    FROM documents
+),
+feat2 AS (
+    SELECT lang, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(FLOOR(((n_chars - n_tokens + 1) * 100.0) / n_tokens) AS BIGINT)
+                ELSE 0 END AS mean_tok_len_c,
+           CASE WHEN n_chars > 0
+                THEN CAST(FLOOR((n_digits * 1000.0) / n_chars) AS BIGINT)
+                ELSE 0 END AS digit_ratio_m
+    FROM feat
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_tokens BETWEEN 10 AND 1000
+                      AND mean_tok_len_c BETWEEN 200 AND 900
+                      AND digit_ratio_m < 300
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM feat2 GROUP BY lang
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via inverted-index join."""
     return dedup.ngram_jaccard_pairs(
@@ -1048,6 +1107,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_clusters": (q_dedup_clusters, None),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),

@@ -195,3 +195,35 @@ def test_sessionize(spark):
         for r in stats.collect()
     }
     assert got == {(100, 2, 2, 3), (200, 1, 1, 1)}
+
+
+def test_connected_components_chain(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], schema="id_a long, id_b long"
+    )
+    comps = dedup.connected_components(pairs)
+    got = {(r.node, r.component) for r in comps.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_keep_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], schema="doc_id long, text string"
+    )
+    # {1,2,3} one cluster via transitivity, {5,6} another, 4 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], schema="id_a long, id_b long"
+    )
+    kept = dedup.dedup_keep_representatives(docs, pairs)
+    assert {r.doc_id for r in kept.collect()} == {1, 4, 5}
+
+
+def test_minhash_to_clusters_end_to_end(docs):
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_hashes=32, bands=16, shingle_size=2, threshold=0.5
+    )
+    kept = dedup.dedup_keep_representatives(docs, pairs)
+    ids = {r.doc_id for r in kept.collect()}
+    # docs 1/2/4 are one near-dup cluster (1 kept); 3 is unrelated
+    assert 3 in ids and 1 in ids
+    assert 4 not in ids
