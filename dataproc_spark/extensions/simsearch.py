@@ -167,30 +167,52 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 10,
     cells: int = 16,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
     """IVF approximate top-k with a trained coarse quantizer: assign corpus
-    and queries to KMeans cells, then probe the query's own cell.
+    to KMeans cells, probe each query's ``n_probe`` nearest cells.
 
     The real-index version of :func:`bucketed_topk` (which expects a
     precomputed bucket column): candidate generation is an equi-join on
-    ``_cell``. Recall/latency trades via ``cells`` (and multi-probe, by
-    unioning additional nearby cells per query — not needed at test scale).
+    ``_cell``. ``n_probe`` is the standard recall/latency knob — each
+    query expands to its ``n_probe`` closest centroids (ranked by exact
+    quantized dot against the broadcast centroid table), multiplying
+    candidates by at most ``n_probe / cells`` of the corpus.
     """
-    from pyspark.ml.functions import array_to_vector
-
+    spark = embeddings.sparkSession
     assigned, model = kmeans_cells(embeddings, cells, id_col, vec_col, seed)
-    q_assigned = model.transform(
-        queries.withColumn(
-            "_feat",
-            array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    # centroid table is tiny — broadcast-join queries against it and keep
+    # the n_probe closest cells per query
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema=f"_qb int, _centroid array<double>",
+    )
+    q = queries.select(
+        F.col(id_col), F.col(vec_col), quantize(vec_col).alias("_qv_probe")
+    )
+    # L2-nearest centroid ranking in quantized space: argmin ||q-c||^2 =
+    # argmax (2 q·c - ||c||^2) — the ||q||^2 term is constant per query
+    qc = quantize("_centroid", 1000)
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_cscore", 2 * dot_q("_qv_probe", qc) - dot_q(qc, qc))
+        .withColumn(
+            "_probe_rnk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("_cscore").desc(), F.col("_qb").asc()
+                )
+            ),
         )
-    ).drop("_feat")
+        .where(F.col("_probe_rnk") <= n_probe)
+        .select(id_col, vec_col, "_qb")
+    )
     return bucketed_topk(
-        assigned, q_assigned, k=k, id_col=id_col, vec_col=vec_col,
-        bucket_col="_cell",
+        assigned.withColumnRenamed("_cell", "_qb"), probed,
+        k=k, id_col=id_col, vec_col=vec_col, bucket_col="_qb",
     )
 
 

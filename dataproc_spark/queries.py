@@ -194,6 +194,71 @@ GROUP BY query, step
 """
 
 
+def q_evaluate_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 with num_buckets: bucket-granular sweep over 5 shards × 2 buckets
+    (10 steps), P@5 per depth."""
+    li = _t(spark, sf_dir, "lineitem")
+    res = _shard_results(li).withColumn(
+        "rel", (F.col("docid") % 3 == 0).cast("int")
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("docid").asc(), F.col("okey").asc()
+    )
+    res = res.withColumn("global_rank", F.row_number().over(w))
+    bsel = (
+        _shard_results(li)
+        .groupBy("query", "shard", "bucket")
+        .agg(F.sum("score").alias("shard_score"))
+    )
+    bsel = rank_selection(bsel, "shard_score", ("query",), ("shard", "bucket"))
+    measures = {"rel": [precision_at(5), num_retrieved()]}
+    return evaluate(bsel, res, measures, num_shards=5, num_buckets=2)
+
+
+SQL_EVALUATE_BUCKETS = f"""
+WITH {_SS_CTE},
+bsel AS (
+    SELECT query, shard, bucket, CAST(SUM(score) AS BIGINT) AS shard_score
+    FROM results GROUP BY query, shard, bucket
+),
+branked AS (
+    SELECT query, shard, bucket,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query ORDER BY shard_score DESC, shard, bucket
+           ) - 1 AS INTEGER) AS rank
+    FROM bsel
+),
+res_ranked AS (
+    SELECT r.*,
+           CASE WHEN docid % 3 = 0 THEN 1 ELSE 0 END AS rel,
+           ROW_NUMBER() OVER (
+               PARTITION BY query ORDER BY score DESC, docid, okey
+           ) AS global_rank
+    FROM results r
+),
+steps AS (SELECT CAST(s AS INTEGER) AS step FROM range(1, 11) t(s)),
+joined AS (
+    SELECT rr.query, rr.rel, rr.global_rank, st.step
+    FROM res_ranked rr
+    JOIN branked k
+      ON rr.query = k.query AND rr.shard = k.shard AND rr.bucket = k.bucket
+    JOIN steps st ON k.rank < st.step
+),
+prefixed AS (
+    SELECT query, step, rel,
+           ROW_NUMBER() OVER (
+               PARTITION BY query, step ORDER BY global_rank
+           ) AS rn
+    FROM joined
+)
+SELECT query, step,
+       AVG(CASE WHEN rn <= 5 THEN rel END) AS p_5,
+       CAST(COUNT(*) AS BIGINT) AS num_ret
+FROM prefixed
+GROUP BY query, step
+"""
+
+
 def q_trec_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14 `to_trec` frame: per-query top-10 run rows."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1079,6 +1144,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "selection_rank": (q_selection_rank, SQL_SELECTION_RANK),
     "select_with_decay": (q_select_with_decay, SQL_SELECT_WITH_DECAY),
     "evaluate_sweep": (q_evaluate_sweep, SQL_EVALUATE_SWEEP),
+    "evaluate_buckets": (q_evaluate_buckets, SQL_EVALUATE_BUCKETS),
     "trec_export": (q_trec_export, SQL_TREC_EXPORT),
     "cartesian": (q_cartesian, SQL_CARTESIAN),
     "load_selection_csv": (q_load_selection_csv, SQL_LOAD_SELECTION_CSV),

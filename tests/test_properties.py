@@ -165,3 +165,80 @@ def test_decayed_buckets_properties():
                 assert seq[0] == math.ceil(nb)
                 assert all(a >= b for a, b in zip(seq, seq[1:]))
                 assert all(x >= 1 for x in seq)
+
+
+def _evaluate_model(shard_ranks, result_rows, k, num_steps):
+    """Independent model of the evaluation sweep: at step s, results from
+    shards ranked < s, ordered by global_rank; P@k = mean rel over first
+    min(k, n) rows."""
+    out = {}
+    queries = {q for (q, _, _, _) in result_rows} | {q for (q, _) in shard_ranks}
+    for q in queries:
+        for step in range(1, num_steps + 1):
+            hits = sorted(
+                (gr, rel)
+                for (qq, s, gr, rel) in result_rows
+                if qq == q and shard_ranks.get((qq, s), 10**9) < step
+            )
+            if not hits:
+                continue  # groupBy emits no row for empty selections
+            prefix = [rel for (_, rel) in hits[:k]]
+            out[(q, step)] = (sum(prefix) / len(prefix), len(hits))
+    return out
+
+
+@st.composite
+def eval_scenario(draw):
+    n_queries = draw(st.integers(1, 3))
+    n_shards = draw(st.integers(2, 4))
+    shard_ranks = {}
+    for q in range(n_queries):
+        perm = draw(st.permutations(list(range(n_shards))))
+        for s, r in zip(range(n_shards), perm):
+            shard_ranks[(q, s)] = r
+    rows = []
+    gr = 0
+    for q in range(n_queries):
+        n = draw(st.integers(0, 8))
+        for i in range(n):
+            gr += 1
+            rows.append(
+                (q, draw(st.integers(0, n_shards - 1)), gr,
+                 draw(st.integers(0, 1)))
+            )
+    num_steps = draw(st.integers(1, n_shards))
+    return shard_ranks, rows, num_steps
+
+
+@settings(max_examples=10, deadline=None)
+@given(eval_scenario(), st.sampled_from([2, 5]))
+def test_evaluate_sweep_matches_model(spark, sc, k):
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.measures import num_retrieved, precision_at
+    from dataproc_spark.selective import evaluate
+
+    shard_ranks, rows, num_steps = sc
+    shards = spark.createDataFrame(
+        [(q, s, r) for (q, s), r in shard_ranks.items()],
+        schema="query long, shard long, rank long",
+    )
+    if rows:
+        results = spark.createDataFrame(
+            rows, schema="query long, shard long, global_rank long, rel int"
+        )
+    else:
+        results = spark.createDataFrame(
+            [], schema="query long, shard long, global_rank long, rel int"
+        )
+    out = evaluate(
+        shards, results,
+        {"rel": [precision_at(k, name="p"), num_retrieved()]},
+        num_shards=num_steps,
+    )
+    got = {(r.query, r.step): (r.p, r.num_ret) for r in out.collect()}
+    want = _evaluate_model(shard_ranks, rows, k, num_steps)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][1] == want[key][1], (key, got[key], want[key])
+        assert abs(got[key][0] - want[key][0]) < 1e-12, (key, got[key], want[key])

@@ -159,3 +159,25 @@ def test_stream_session_counts(spark, tmp_path):
     out = stream_session_counts(spark, path, gap_minutes=30)
     got = {(r.user_id, r.n_sessions, r.n_events) for r in out.collect()}
     assert got == {(100, 2, 3), (200, 1, 1)}
+
+
+def test_ivf_multiprobe_improves_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    # a query sitting BETWEEN two clusters: single-probe misses neighbors
+    # in the second cell, multi-probe finds them
+    c0 = rng.normal(0, 0.05, (15, 8)) + 1.0
+    c1 = rng.normal(0, 0.05, (15, 8)) - 1.0
+    boundary = np.zeros((1, 8)) + 0.08  # nearly equidistant
+    rows = [(i, [float(x) for x in v])
+            for i, v in enumerate(np.vstack([c0, c1, boundary]))]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") == 30)
+    one = simsearch.ivf_topk(emb, queries, k=10, cells=2, n_probe=1)
+    two = simsearch.ivf_topk(emb, queries, k=10, cells=2, n_probe=2)
+    assert one.count() == 10
+    # with both cells probed, the approximate result equals the exact flat
+    # top-10 — single-probe cannot guarantee that for a boundary query
+    flat = simsearch.brute_force_topk(emb, queries, k=10)
+    assert {r.vec_id for r in two.collect()} == {r.vec_id for r in flat.collect()}
