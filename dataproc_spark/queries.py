@@ -584,6 +584,134 @@ WHERE rnk <= 3
 """
 
 
+def q_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / semi-join shape: orders having at least one heavy line
+    item (quantity > 45), counted per priority."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        od.join(li.select("l_orderkey"), od.o_orderkey == li.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_EXISTS_ORDERS = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: parts priced above their brand's average
+    (decorrelated as a window aggregate — the Spark-native plan)."""
+    pa = _t(spark, sf_dir, "part")
+    price_c = F.round(F.col("p_retailprice") * 100).cast("long")
+    w = Window.partitionBy("p_brand")
+    return (
+        pa.withColumn("price_c", price_c)
+        .withColumn("brand_sum_c", F.sum("price_c").over(w))
+        .withColumn("brand_n", F.count(F.lit(1)).over(w))
+        # integer cross-multiplication: price > sum/n <=> price*n > sum
+        .where(F.col("price_c") * F.col("brand_n") > F.col("brand_sum_c"))
+        .select(
+            F.col("p_partkey").alias("partkey"), "p_brand", "price_c"
+        )
+    )
+
+
+SQL_PARTS_ABOVE_BRAND_AVG = """
+WITH priced AS (
+    SELECT CAST(p_partkey AS BIGINT) AS partkey, p_brand,
+           CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+    FROM part
+),
+stats AS (
+    SELECT partkey, p_brand, price_c,
+           SUM(price_c) OVER (PARTITION BY p_brand) AS brand_sum_c,
+           COUNT(*) OVER (PARTITION BY p_brand) AS brand_n
+    FROM priced
+)
+SELECT partkey, p_brand, price_c
+FROM stats WHERE price_c * brand_n > brand_sum_c
+"""
+
+
+def q_nations_above_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + scalar-subquery shape: nations whose supplier revenue
+    exceeds the all-nation average (exact integer comparison)."""
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_nation = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev_c).alias("revenue_c"))
+    )
+    totals = per_nation.agg(
+        F.sum("revenue_c").alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(totals))
+        .where(F.col("revenue_c") * F.col("_n") > F.col("_tot"))
+        .select("n_name", "revenue_c")
+    )
+
+
+SQL_NATIONS_ABOVE_AVG_REVENUE = """
+WITH per_nation AS (
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+)
+SELECT n_name, revenue_c
+FROM per_nation
+WHERE revenue_c * (SELECT COUNT(*) FROM per_nation)
+      > (SELECT SUM(revenue_c) FROM per_nation)
+"""
+
+
+def q_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-pivot aggregation: per linestatus, line counts and exact cents
+    revenue split by return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    def flag(f):
+        return F.when(F.col("l_returnflag") == f, 1).otherwise(0)
+    return li.groupBy("l_linestatus").agg(
+        F.sum(flag("R")).alias("n_returned"),
+        F.sum(flag("A")).alias("n_accepted"),
+        F.sum(flag("N")).alias("n_none"),
+        F.sum(F.when(F.col("l_returnflag") == "R", rev_c).otherwise(0)).alias(
+            "returned_rev_c"
+        ),
+    )
+
+
+SQL_RETURNFLAG_PIVOT = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_none,
+       CAST(SUM(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS returned_rev_c
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join: customers that never placed an order."""
     cu = _t(spark, sf_dir, "customer")
@@ -1160,6 +1288,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_customers_without_orders,
         SQL_CUSTOMERS_WITHOUT_ORDERS,
     ),
+    "exists_orders": (q_exists_orders, SQL_EXISTS_ORDERS),
+    "parts_above_brand_avg": (
+        q_parts_above_brand_avg,
+        SQL_PARTS_ABOVE_BRAND_AVG,
+    ),
+    "nations_above_avg_revenue": (
+        q_nations_above_avg_revenue,
+        SQL_NATIONS_ABOVE_AVG_REVENUE,
+    ),
+    "returnflag_pivot": (q_returnflag_pivot, SQL_RETURNFLAG_PIVOT),
     "priority_intersect": (q_priority_intersect, SQL_PRIORITY_INTERSECT),
     "priority_except": (q_priority_except, SQL_PRIORITY_EXCEPT),
     # events / time-series / streaming
