@@ -209,6 +209,46 @@ def stream_session_counts(
     return spark.table(name)
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    mode: str = "append",
+    output_mode: str = "append",
+):
+    """Production streaming sink: drain a (possibly aggregated) stream to
+    parquet via ``foreachBatch``, with ``availableNow`` batch semantics.
+
+    ``foreachBatch`` is the right sink for aggregates: the parquet file
+    sink supports only append mode, which cannot emit updates from a
+    running aggregation — foreachBatch gets each micro-batch as a static
+    frame and can overwrite/append/merge per batch. Exactly-once comes
+    from the checkpoint (batch id dedup on restart).
+
+    Mode pairing: row-level streams → ``output_mode='append'`` +
+    ``mode='append'``; unwatermarked aggregations →
+    ``output_mode='complete'`` + ``mode='overwrite'`` (each batch rewrites
+    the full aggregate — update mode would overwrite with only the
+    changed groups).
+
+    Returns the StreamingQuery after it has drained.
+    """
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(mode).parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def sessionize(
     events: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:

@@ -119,3 +119,50 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # state — with it surviving, a second (0, 1) row or (0, 2) would
     # appear); h10 closed with 1; h14 stays open (never emitted)
     assert got == {(0, 1), (10, 1)}
+
+
+def test_stream_to_parquet_sink(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions.streaming import stream_to_parquet
+
+    src = str(tmp_path / "in")
+    import os
+
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"k": pa.array([1, 1, 2], type=pa.int64()),
+                  "v": pa.array([10.0, 20.0, 30.0])}),
+        f"{src}/data.parquet",
+    )
+    stream = spark.readStream.schema("k long, v double").parquet(src)
+    agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+    out = str(tmp_path / "out")
+    stream_to_parquet(
+        agg, out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        mode="overwrite", output_mode="complete",
+    )
+    back = {(r.k, r.total) for r in spark.read.parquet(out).collect()}
+    assert back == {(1, 30.0), (2, 30.0)}
+
+
+def test_approx_aggregates_within_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions import approx
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 997).alias("v")
+    )
+    prof = {r.g: (r.n_rows, r.approx_distinct)
+            for r in approx.distinct_profile(df, "g", "v", rsd=0.02).collect()}
+    for g, (n_rows, ad) in prof.items():
+        assert n_rows == n // 4
+        # true distinct per group is 997; HLL at rsd=0.02 stays within ~3 sd
+        assert abs(ad - 997) <= 997 * 0.06, (g, ad)
+    qs = df.agg(approx.approx_quantiles("v", [0.5, 0.9]).alias("q")).first()["q"]
+    assert abs(qs[0] - 498) <= 20 and abs(qs[1] - 897) <= 25
