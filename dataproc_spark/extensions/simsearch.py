@@ -216,6 +216,77 @@ def ivf_topk(
     )
 
 
+#: corpus-size estimate (bytes) below which a flat scan beats index
+#: maintenance; above it, bucketed/IVF candidate generation pays off.
+FLAT_SCAN_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+def choose_strategy(
+    embeddings: DataFrame,
+    bucket_col: str | None = None,
+    flat_budget_bytes: int = FLAT_SCAN_BUDGET_BYTES,
+) -> str:
+    """Pick the physical top-k strategy from Catalyst's size estimate.
+
+    The planner-level decision SURVEY.md §4 anticipates ("rewriting
+    similarity self-joins into bucketed joins"), done the Spark-native
+    way: consult the optimizer's ``sizeInBytes`` statistic (free — no
+    job) and dispatch:
+
+    * small corpus → ``flat`` (exact; scan cost below index overhead)
+    * large + precomputed bucket column → ``bucketed``
+    * large, no buckets → ``ivf`` (train a coarse quantizer first)
+
+    Frames without statistics (in-memory relations report the unknown
+    sentinel, ~Long.MaxValue) fall back to a bounded count probe: one
+    cheap job that stops scanning at the budget-equivalent row count.
+    """
+    size = int(
+        embeddings._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if size >= (1 << 60):  # stats unknown — probe instead of trusting it
+        budget_rows = max(flat_budget_bytes // 512, 1)  # ~bytes per vector row
+        probed = embeddings.limit(budget_rows + 1).count()
+        size = probed * 512
+    if size <= flat_budget_bytes:
+        return "flat"
+    return "bucketed" if bucket_col else "ivf"
+
+
+def topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+    strategy: str = "auto",
+    n_probe: int = 1,
+    scale: int = 1000,
+) -> DataFrame:
+    """Top-k neighbors with automatic strategy selection.
+
+    ``strategy='auto'`` uses :func:`choose_strategy`; explicit values
+    (``flat`` / ``bucketed`` / ``ivf``) force a path.
+    """
+    if strategy == "auto":
+        strategy = choose_strategy(embeddings, bucket_col)
+    if strategy == "flat":
+        return brute_force_topk(embeddings, queries, k, id_col, vec_col, scale)
+    if strategy == "bucketed":
+        if bucket_col is None:
+            raise ValueError("strategy='bucketed' requires bucket_col")
+        return bucketed_topk(
+            embeddings, queries, k, id_col, vec_col, bucket_col, scale
+        )
+    if strategy == "ivf":
+        return ivf_topk(
+            embeddings, queries, k=k, n_probe=n_probe, id_col=id_col,
+            vec_col=vec_col,
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold_dot_q: int,

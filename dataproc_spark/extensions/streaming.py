@@ -277,6 +277,41 @@ def sessionize(
     ).drop("_new")
 
 
+def session_window_stats(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Sessionization via Spark's built-in ``session_window`` (the merging
+    event-time window), batch or streaming.
+
+    Same semantics as the lag/cumsum formulation in :func:`session_stats`
+    for batch inputs, but this operator also runs under Structured
+    Streaming with a watermark (state-store-backed window merging) —
+    it is the declarative path; `applyInPandasWithState` above is the
+    imperative escape hatch.
+    """
+    with_time = with_event_time(events)
+    per_session = (
+        with_time.groupBy(
+            F.session_window("event_time", f"{gap_minutes} minutes"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("n_events_total"),
+    )
+
+
+def parse_props(events: DataFrame, schema: str = "k long") -> DataFrame:
+    """Parse the JSON-ish ``props`` column into typed columns with
+    ``from_json`` (null on malformed rows — PERMISSIVE semantics)."""
+    return events.withColumn(
+        "props_parsed", F.from_json(F.col("props"), schema)
+    )
+
+
 def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user session counts/sizes from :func:`sessionize`."""
     sessions = sessionize(events, gap_minutes)

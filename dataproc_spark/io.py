@@ -99,6 +99,58 @@ def load_bucket_selection(
     )
 
 
+def write_shard_results(
+    df: DataFrame, basename: str, nbuckets: int = 1
+) -> list[str]:
+    """Write per-shard result files in the reference's on-disk layout:
+    one parquet file named ``{basename}#{shard}.results-{nbuckets}`` per
+    shard value (the write-side counterpart of :func:`load_shard_results`).
+
+    Implementation: one partitioned write (`partitionBy('shard')` — a
+    single distributed job, no per-shard loop), then the driver renames
+    each shard directory's single part file into the flat filename
+    contract. Each shard's rows are coalesced into that shard's directory
+    by the partitioned write; the rename loop touches only filenames.
+    Returns the written paths.
+    """
+    ensure_has_columns(df, ["shard"])
+    tmp = tempfile.mkdtemp(prefix="shardw_", dir=os.path.dirname(basename) or ".")
+    out_paths: list[str] = []
+    try:
+        # partition on a COPY of shard: partitionBy strips its column from
+        # the data files, but the reference contract requires `shard` as a
+        # data column inside each file
+        (
+            df.withColumn("_shard_part", F.col("shard"))
+            .repartition("shard")
+            .write.mode("overwrite")
+            .partitionBy("_shard_part")
+            .parquet(tmp)
+        )
+        for shard_dir in sorted(glob.glob(os.path.join(tmp, "_shard_part=*"))):
+            shard = shard_dir.rsplit("=", 1)[1]
+            parts = glob.glob(os.path.join(shard_dir, "part-*"))
+            target = f"{basename}#{shard}.results-{nbuckets}"
+            if len(parts) == 1:
+                shutil.move(parts[0], target)
+            else:
+                # multiple part files for one shard (very large shards):
+                # merge by reading back and writing a single file
+                spark = df.sparkSession
+                (
+                    spark.read.parquet(shard_dir)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(shard_dir + "_merged")
+                )
+                merged = glob.glob(os.path.join(shard_dir + "_merged", "part-*"))[0]
+                shutil.move(merged, target)
+            out_paths.append(target)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_paths
+
+
 def trec_frame(
     results: DataFrame,
     cutoff: int = 1000,

@@ -181,3 +181,24 @@ def test_ivf_multiprobe_improves_recall(spark):
     # top-10 — single-probe cannot guarantee that for a boundary query
     flat = simsearch.brute_force_topk(emb, queries, k=10)
     assert {r.vec_id for r in two.collect()} == {r.vec_id for r in flat.collect()}
+
+
+def test_adaptive_strategy_dispatch(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0], i % 2) for i in range(10)],
+        schema="vec_id long, embedding array<float>, label int",
+    )
+    # tiny corpus -> flat regardless of bucket availability
+    assert simsearch.choose_strategy(emb, "label") == "flat"
+    # force a 1-byte budget -> the large-corpus paths
+    assert simsearch.choose_strategy(emb, "label", flat_budget_bytes=1) == "bucketed"
+    assert simsearch.choose_strategy(emb, None, flat_budget_bytes=1) == "ivf"
+    # auto topk returns the same rows as the forced flat path here
+    q = emb.where(F.col("vec_id") == 9)
+    auto = {r.vec_id for r in simsearch.topk(emb, q, k=3).collect()}
+    flat = {r.vec_id for r in simsearch.brute_force_topk(emb, q, k=3).collect()}
+    assert auto == flat
+    with pytest.raises(ValueError, match="bucket_col"):
+        simsearch.topk(emb, q, strategy="bucketed")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        simsearch.topk(emb, q, strategy="nonsense")

@@ -166,3 +166,55 @@ def test_approx_aggregates_within_bounds(spark):
         assert abs(ad - 997) <= 997 * 0.06, (g, ad)
     qs = df.agg(approx.approx_quantiles("v", [0.5, 0.9]).alias("q")).first()["q"]
     assert abs(qs[0] - 498) <= 20 and abs(qs[1] - 897) <= 25
+
+
+def test_write_shard_results_round_trip(spark, tmp_path):
+    from dataproc_spark.io import load_shard_results, write_shard_results
+
+    df = spark.createDataFrame(
+        [(q, r, 10 + q, 100 + q, float(q), s, 0)
+         for q in range(4) for s in range(3) for r in range(5)],
+        schema="query int, rank int, ldocid long, gdocid long, "
+               "score double, shard int, bucket int",
+    )
+    base = str(tmp_path / "run")
+    paths = write_shard_results(df, base)
+    assert len(paths) == 3
+    assert all("#"
+               in p and p.endswith(".results-1") for p in paths)
+    back = load_shard_results(spark, base, 3)
+    assert back.count() == 60
+    # shard survives as a data column with correct values
+    from pyspark.sql import functions as F
+    per_shard = {r.shard: r.n for r in
+                 back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_shard == {0: 20, 1: 20, 2: 20}
+
+
+def test_session_window_matches_lag_formulation(spark):
+    from dataproc_spark.extensions.streaming import session_stats, session_window_stats
+
+    m = 60 * 1_000_000_000
+    rows = [
+        (1, 100, 0 * m), (2, 100, 10 * m), (3, 100, 50 * m),
+        (4, 200, 0 * m), (5, 200, 100 * m),
+    ]
+    ev = spark.createDataFrame(rows, schema="event_id long, user_id long, ts long")
+    a = {(r.user_id, r.n_sessions, r.max_session_events, r.n_events_total)
+         for r in session_stats(ev, 30).collect()}
+    b = {(r.user_id, r.n_sessions, r.max_session_events, r.n_events_total)
+         for r in session_window_stats(ev, 30).collect()}
+    assert a == b == {(100, 2, 2, 3), (200, 2, 1, 2)}
+
+
+def test_parse_props(spark):
+    from dataproc_spark.extensions.streaming import parse_props
+
+    ev = spark.createDataFrame(
+        [(1, '{"k": 42}'), (2, "not json"), (3, '{"k": 7}')],
+        schema="event_id long, props string",
+    )
+    out = parse_props(ev)
+    got = {(r.event_id, r.props_parsed.k if r.props_parsed else None)
+           for r in out.collect()}
+    assert got == {(1, 42), (2, None), (3, 7)}
