@@ -32,8 +32,7 @@ def approx_quantiles(
 ) -> Column:
     """Greenwald-Khanna-style percentile sketch; ``accuracy`` trades state
     size for rank error (error ≤ 1/accuracy of the rank range)."""
-    probs = "array(" + ", ".join(str(p) for p in probabilities) + ")"
-    return F.expr(f"approx_percentile({col}, {probs}, {accuracy})")
+    return F.percentile_approx(col, probabilities, accuracy)
 
 
 def distinct_profile(

@@ -232,8 +232,10 @@ def minhash_dedup_pairs(
     cluster scale, persist() becomes a checkpoint of the signature table —
     the same structure.
     """
-    spread = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    spread = (
+        df.repartition(parallelism, id_col)
+        if df.rdd.getNumPartitions() < parallelism else df
     )
     sigs = minhash_frame(spread, content_col, id_col, num_hashes, shingle_size)
     sigs = sigs.persist()
@@ -262,9 +264,7 @@ def connected_components(
     typically tiny). Each round is one shuffle; ``localCheckpoint`` cuts
     the growing lineage so round N doesn't replay rounds 1..N-1.
     """
-    edges = pairs.select(
-        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
-    )
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
@@ -273,6 +273,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_labels = (
             sym.join(labels, sym.b == labels.node)
@@ -293,8 +294,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # returning partial labels would silently split true components —
+        # near-dups would survive dedup with no signal
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(a component's diameter exceeds max_iter — raise max_iter)"
+        )
     return labels
 
 
@@ -311,11 +320,13 @@ def dedup_keep_representatives(
     corpus. The components frame is tiny relative to the corpus (only
     documents that had a near-dup), so the anti-join broadcasts.
     """
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, id_a="id_a", id_b="id_b")
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    # no broadcast hint: in heavy-duplication corpora the loser set is a
+    # large fraction of the corpus — let Catalyst pick from its estimate
+    return df.join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -464,8 +475,10 @@ def simhash_near_pairs(
     band (pigeonhole), so bucketing by band finds all such pairs without a
     cross join; ``bit_count(xor)`` verifies the exact distance.
     """
-    spread = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    spread = (
+        df.repartition(parallelism, id_col)
+        if df.rdd.getNumPartitions() < parallelism else df
     )
     fps = simhash_frame(spread, content_col, id_col, bits).persist()
     band_bits = bits // bands

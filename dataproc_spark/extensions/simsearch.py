@@ -23,6 +23,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across cores before CPU-bound scoring — but
+    only when it is actually narrow: unconditionally repartitioning a
+    well-partitioned large corpus to defaultParallelism would shuffle
+    everything into a few giant partitions."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def quantize(col, scale: int = 1000) -> F.Column:
     """Scalar-quantize a float vector to a long vector (exact integers)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -74,9 +85,7 @@ def brute_force_topk(
     # spread the corpus before scoring: small inputs often arrive as one
     # parquet split, and the broadcast join preserves partitioning, which
     # would serialize the (CPU-bound) dot products on a single core
-    spread = embeddings.repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism
-    )
+    spread = _spread(embeddings)
     c = spread.select(F.col(id_col), quantize(vec_col, scale).alias("_cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -114,9 +123,7 @@ def bucketed_topk(
         F.col(bucket_col).alias("_qb"),
         quantize(vec_col, scale).alias("_qv"),
     )
-    spread = embeddings.repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism
-    )
+    spread = _spread(embeddings)
     c = spread.select(
         F.col(id_col), F.col(bucket_col).alias("_cb"), quantize(vec_col, scale).alias("_cv")
     )
@@ -171,6 +178,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    scale: int = 1000,
 ) -> DataFrame:
     """IVF approximate top-k with a trained coarse quantizer: assign corpus
     to KMeans cells, probe each query's ``n_probe`` nearest cells.
@@ -191,11 +199,11 @@ def ivf_topk(
         schema=f"_qb int, _centroid array<double>",
     )
     q = queries.select(
-        F.col(id_col), F.col(vec_col), quantize(vec_col).alias("_qv_probe")
+        F.col(id_col), F.col(vec_col), quantize(vec_col, scale).alias("_qv_probe")
     )
     # L2-nearest centroid ranking in quantized space: argmin ||q-c||^2 =
     # argmax (2 q·c - ||c||^2) — the ||q||^2 term is constant per query
-    qc = quantize("_centroid", 1000)
+    qc = quantize("_centroid", scale)
     probed = (
         q.crossJoin(F.broadcast(centroids))
         .withColumn("_cscore", 2 * dot_q("_qv_probe", qc) - dot_q(qc, qc))
@@ -212,7 +220,7 @@ def ivf_topk(
     )
     return bucketed_topk(
         assigned.withColumnRenamed("_cell", "_qb"), probed,
-        k=k, id_col=id_col, vec_col=vec_col, bucket_col="_qb",
+        k=k, id_col=id_col, vec_col=vec_col, bucket_col="_qb", scale=scale,
     )
 
 
@@ -282,7 +290,7 @@ def topk(
     if strategy == "ivf":
         return ivf_topk(
             embeddings, queries, k=k, n_probe=n_probe, id_col=id_col,
-            vec_col=vec_col,
+            vec_col=vec_col, scale=scale,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -302,9 +310,7 @@ def near_dup_pairs(
     off the all-pairs cliff at scale; recall is traded per the coarse
     quantizer's quality, exactly as in IVF dedup pipelines.
     """
-    spread = embeddings.repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism
-    )
+    spread = _spread(embeddings)
     e = spread.select(
         F.col(id_col), F.col(bucket_col).alias("_b"), quantize(vec_col, scale).alias("_v")
     )

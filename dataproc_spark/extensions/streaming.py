@@ -222,21 +222,36 @@ def stream_to_parquet(
     ``foreachBatch`` is the right sink for aggregates: the parquet file
     sink supports only append mode, which cannot emit updates from a
     running aggregation — foreachBatch gets each micro-batch as a static
-    frame and can overwrite/append/merge per batch. Exactly-once comes
-    from the checkpoint (batch id dedup on restart).
+    frame and can overwrite/append/merge per batch.
+
+    foreachBatch is at-least-once: a crash between a batch's write and its
+    checkpoint commit replays that batch. The writes here are therefore
+    made **idempotent per batch**: append mode writes each batch into its
+    own ``batch=<id>`` subdirectory with overwrite (a replay rewrites the
+    same directory instead of appending duplicates; readers see ``batch``
+    as a partition column), and complete/overwrite mode rewrites the whole
+    output (naturally idempotent). Pass a persistent ``checkpoint_dir`` to
+    get batch-id dedup across restarts — the default temp checkpoint only
+    covers a single invocation.
 
     Mode pairing: row-level streams → ``output_mode='append'`` +
     ``mode='append'``; unwatermarked aggregations →
-    ``output_mode='complete'`` + ``mode='overwrite'`` (each batch rewrites
-    the full aggregate — update mode would overwrite with only the
-    changed groups).
+    ``output_mode='complete'`` + ``mode='overwrite'``.
 
     Returns the StreamingQuery after it has drained.
     """
+    import os
+
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode(mode).parquet(out_dir)
+        if mode == "append":
+            # idempotent replay: one overwritten directory per batch id
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+        else:
+            batch_df.write.mode(mode).parquet(out_dir)
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -62,15 +62,18 @@ def salted_agg(
     """
     import re
 
-    # Classify each aggregate from its CANONICAL applied column name
-    # (analysis-only probe, no job): str(Column) drops the DISTINCT
-    # keyword in pyspark 4, so countDistinct would masquerade as a plain
-    # count and be silently mis-combined — the canonical name keeps it
-    # ('count(DISTINCT v)').
+    # Classify each aggregate from its ANALYZED expression SQL (analysis-
+    # only probe, no job): str(Column) drops the DISTINCT keyword in
+    # pyspark 4 (countDistinct would masquerade as a plain count and be
+    # silently mis-combined), and the applied column name is hidden by
+    # user aliases — the analyzed plan renders the truth either way
+    # ('sum(v) AS whatever', 'count(DISTINCT v) AS x').
     probe = df.limit(0)
     finals = []
     for name, c in aggs.items():
-        canonical = probe.agg(c).columns[0]
+        plan = probe.agg(c)._jdf.queryExecution().analyzed()
+        exprs = plan.expressions()
+        canonical = exprs.apply(exprs.length() - 1).sql()
         m = re.match(r"(\w+)\((distinct )?", canonical.lower())
         fn, distinct = (m.group(1), bool(m.group(2))) if m else ("", False)
         pc = F.col(f"_p_{name}")

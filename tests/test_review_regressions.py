@@ -90,3 +90,43 @@ def test_lsh_bands_must_divide(spark):
     sigs = dedup.minhash_frame(docs, num_hashes=16, shingle_size=2)
     with pytest.raises(ValueError, match="divide"):
         dedup.lsh_candidates(sigs, bands=10, num_hashes=16)
+
+
+def test_connected_components_string_ids(spark):
+    """The generic id_col API must work for non-numeric ids (previously a
+    forced long cast crashed under ANSI / merged '01' with '1' without)."""
+    docs = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y"), ("01", "z"), ("1", "w")],
+        schema="doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("01", "1")], schema="id_a string, id_b string"
+    )
+    kept = dedup.dedup_keep_representatives(docs, pairs)
+    ids = {r.doc_id for r in kept.collect()}
+    # 'a' represents {a,b}; '01' < '1' lexicographically represents that
+    # pair; 'c' unpaired
+    assert ids == {"a", "c", "01"}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], schema="id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(chain, max_iter=3)
+    # and with enough rounds the same chain resolves to one component
+    comps = dedup.connected_components(chain, max_iter=50)
+    assert comps.select("component").distinct().count() == 1
+
+
+def test_salted_agg_accepts_aliased_decomposable(spark):
+    df = spark.createDataFrame([(1, 5), (1, 7)], schema="k long, v long")
+    out = skew.salted_agg(
+        df, ["k"], {"total": F.sum("v").alias("whatever")}, salt=4
+    )
+    assert rows_set(out, ["k", "total"]) == {(1, 12)}
+    with pytest.raises(ValueError, match="DISTINCT"):
+        skew.salted_agg(
+            df, ["k"], {"d": F.countDistinct("v").alias("sneaky")}, salt=4
+        )

@@ -17,7 +17,14 @@ def _plan(df) -> str:
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     # warehouse dir is a static conf; tables land in ./spark-warehouse
-    # (gitignored) and are dropped at the end
+    # (gitignored) and are dropped at the end. Clean any stale state first:
+    # a previously killed run can leave orphaned table directories that
+    # make saveAsTable fail with LOCATION_ALREADY_EXISTS.
+    import shutil
+
+    for t in ("t_left", "t_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     left = spark.range(0, 1000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v1")
