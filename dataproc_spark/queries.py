@@ -730,6 +730,105 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+def q_left_join_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null handling: every customer with their order
+    count and total (0-filled for customers without orders)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_c"),
+    )
+    return (
+        cu.join(per_cust, cu.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_c", F.lit(0)).alias("total_c"),
+        )
+    )
+
+
+SQL_LEFT_JOIN_FILL = """
+SELECT CAST(c_custkey AS BIGINT) AS custkey, c_mktsegment,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(total_c, 0) AS BIGINT) AS total_c
+FROM customer
+LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_c
+    FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+"""
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction on the tz-free timestamp: orders and revenue
+    per (year, month)."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.groupBy(
+            F.year("o_orderdate").alias("yy"),
+            F.month("o_orderdate").alias("mm"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_c"
+            ),
+        )
+    )
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yy,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mm,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit UNION ALL of heterogeneous sources normalized to one
+    schema: customer and supplier account balances as one ledger."""
+    cu = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").cast("long").alias("entity_id"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_c"),
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").cast("long").alias("entity_id"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_c"),
+    )
+    return cu.unionByName(su).groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("acctbal_c").alias("sum_acctbal_c"),
+        F.min("acctbal_c").alias("min_acctbal_c"),
+        F.max("acctbal_c").alias("max_acctbal_c"),
+    )
+
+
+SQL_UNION_ALL_SOURCES = """
+WITH ledger AS (
+    SELECT 'customer' AS kind, CAST(c_custkey AS BIGINT) AS entity_id,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS kind, CAST(s_suppkey AS BIGINT) AS entity_id,
+           CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_c
+    FROM supplier
+)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(acctbal_c) AS BIGINT) AS sum_acctbal_c,
+       CAST(MIN(acctbal_c) AS BIGINT) AS min_acctbal_c,
+       CAST(MAX(acctbal_c) AS BIGINT) AS max_acctbal_c
+FROM ledger GROUP BY kind
+"""
+
+
 def q_priority_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: customers with both URGENT and LOW priority orders."""
     od = _t(spark, sf_dir, "orders")
@@ -1300,6 +1399,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "returnflag_pivot": (q_returnflag_pivot, SQL_RETURNFLAG_PIVOT),
     "priority_intersect": (q_priority_intersect, SQL_PRIORITY_INTERSECT),
     "priority_except": (q_priority_except, SQL_PRIORITY_EXCEPT),
+    "left_join_fill": (q_left_join_fill, SQL_LEFT_JOIN_FILL),
+    "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
+    "union_all_sources": (q_union_all_sources, SQL_UNION_ALL_SOURCES),
     # events / time-series / streaming
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
