@@ -795,12 +795,10 @@ def q_union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema: customer and supplier account balances as one ledger."""
     cu = _t(spark, sf_dir, "customer").select(
         F.lit("customer").alias("kind"),
-        F.col("c_custkey").cast("long").alias("entity_id"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_c"),
     )
     su = _t(spark, sf_dir, "supplier").select(
         F.lit("supplier").alias("kind"),
-        F.col("s_suppkey").cast("long").alias("entity_id"),
         F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_c"),
     )
     return cu.unionByName(su).groupBy("kind").agg(
@@ -813,11 +811,11 @@ def q_union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_UNION_ALL_SOURCES = """
 WITH ledger AS (
-    SELECT 'customer' AS kind, CAST(c_custkey AS BIGINT) AS entity_id,
+    SELECT 'customer' AS kind,
            CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c
     FROM customer
     UNION ALL
-    SELECT 'supplier' AS kind, CAST(s_suppkey AS BIGINT) AS entity_id,
+    SELECT 'supplier' AS kind,
            CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_c
     FROM supplier
 )
