@@ -41,6 +41,38 @@ class Measure:
         return self.builder(rel_col, rank_col).alias(self.name)
 
 
+@dataclass(frozen=True)
+class PandasMeasure:
+    """Escape hatch for measures not expressible as Column aggregates:
+    an arbitrary ``Series → scalar`` closure, exactly the reference's
+    measure contract (``measures.py:3-5`` — e.g. a custom MAP or a
+    judgment-weighted metric).
+
+    Runs via Arrow-batched ``applyInPandas`` per (query[, step]) group
+    with rows pre-sorted by the evaluation order — the closure sees the
+    same ordered relevance Series the reference's pandas version saw.
+    Column measures stay JVM-side; only groups' relevance vectors cross
+    to Python, and only when a PandasMeasure is present.
+    """
+
+    name: str
+    fn: Callable
+
+
+def as_measure(obj, rel_hint: str = "measure") -> "Measure | PandasMeasure":
+    """Coerce a measure spec: Measure/PandasMeasure pass through; a plain
+    callable (the reference's closure style) wraps into a PandasMeasure
+    named after the function."""
+    if isinstance(obj, (Measure, PandasMeasure)):
+        return obj
+    if callable(obj):
+        name = getattr(obj, "__name__", rel_hint)
+        if name == "<lambda>":
+            name = rel_hint
+        return PandasMeasure(name, obj)
+    raise TypeError(f"not a measure: {obj!r}")
+
+
 def precision_at(k: int, name: str | None = None) -> Measure:
     """P@k — mean relevance over the first k results.
 

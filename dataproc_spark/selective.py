@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from dataproc_spark.core import ensure_has_columns
-from dataproc_spark.measures import Measure
+from dataproc_spark.measures import Measure, PandasMeasure, as_measure
 
 
 # ---------------------------------------------------------------------------
@@ -240,15 +240,64 @@ def select_buckets(
 # F4/F5 — evaluate_step / evaluate
 # ---------------------------------------------------------------------------
 
-def _measure_columns(measures: dict, rank_col: str):
-    cols = []
+def _split_measures(measures: dict):
+    """Normalize the measures dict and split Column measures from
+    Series-closure (PandasMeasure) measures. Plain callables — the
+    reference's measure style — are auto-wrapped as PandasMeasures."""
+    column_ms: list[tuple[str, Measure]] = []
+    pandas_ms: list[tuple[str, PandasMeasure]] = []
     for rel_col, ms in measures.items():
         ms = ms if isinstance(ms, (list, tuple)) else [ms]
-        for m in ms:
-            if not isinstance(m, Measure):
-                raise TypeError(f"measures must be Measure objects, got {m!r}")
-            cols.append(m.column(rel_col, rank_col))
-    return cols
+        for i, m in enumerate(ms):
+            m = as_measure(m, rel_hint=f"{rel_col}_m{i}")
+            if isinstance(m, Measure):
+                column_ms.append((rel_col, m))
+            else:
+                pandas_ms.append((rel_col, m))
+    return column_ms, pandas_ms
+
+
+def _measure_columns(measures: dict, rank_col: str):
+    column_ms, pandas_ms = _split_measures(measures)
+    if pandas_ms:
+        raise TypeError(
+            "internal: pandas measures must go through _pandas_measure_frame"
+        )
+    return [m.column(rel_col, rank_col) for rel_col, m in column_ms]
+
+
+def _column_measure_cols(column_ms, rank_col: str):
+    return [m.column(rel_col, rank_col) for rel_col, m in column_ms]
+
+
+def _pandas_measure_frame(
+    ranked: DataFrame,
+    pandas_ms,
+    partition_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Per-group Series-closure measures via Arrow grouped map: each
+    (query[, step]) group's relevance column, sorted by the evaluation
+    order, is handed to the user closure exactly as pandas would."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    fields = {f.name: f.dataType for f in ranked.schema.fields}
+    out_schema = StructType(
+        [StructField(c, fields[c]) for c in partition_cols]
+        + [StructField(m.name, DoubleType()) for _, m in pandas_ms]
+    )
+    specs = [(rel_col, m.name, m.fn) for rel_col, m in pandas_ms]
+    part_cols = list(partition_cols)
+    order = order_col
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        row = {c: [pdf[c].iloc[0]] for c in part_cols}
+        for rel_col, name, fn in specs:
+            row[name] = [float(fn(pdf[rel_col].reset_index(drop=True)))]
+        return pd.DataFrame(row)
+
+    return ranked.groupBy(*part_cols).applyInPandas(compute, schema=out_schema)
 
 
 def _augment_for_measures(
@@ -323,12 +372,20 @@ def evaluate_step(
     hits = results.join(F.broadcast(chosen), keys, "leftsemi")
     w = Window.partitionBy("query").orderBy(F.col(order_col).asc())
     ranked = hits.withColumn("_prefix_rn", F.row_number().over(w))
-    ranked = _augment_for_measures(ranked, measures, ["query"], order_col)
-    return (
-        ranked.groupBy("query")
-        .agg(*_measure_columns(measures, "_prefix_rn"))
-        .withColumn("step", F.lit(step).cast("int"))
-    )
+    column_ms, pandas_ms = _split_measures(measures)
+    out = None
+    if column_ms:
+        grouped: dict = {}
+        for rc, m in column_ms:
+            grouped.setdefault(rc, []).append(m)
+        aug = _augment_for_measures(ranked, grouped, ["query"], order_col)
+        out = aug.groupBy("query").agg(
+            *_column_measure_cols(column_ms, "_prefix_rn")
+        )
+    if pandas_ms:
+        pframe = _pandas_measure_frame(ranked, pandas_ms, ["query"], order_col)
+        out = pframe if out is None else out.join(pframe, ["query"])
+    return out.withColumn("step", F.lit(step).cast("int"))
 
 
 def evaluate(
@@ -386,9 +443,19 @@ def evaluate(
     )
     w = Window.partitionBy("query", "step").orderBy(F.col(order_col).asc())
     ranked = exploded.withColumn("_prefix_rn", F.row_number().over(w))
-    ranked = _augment_for_measures(ranked, measures, ["query", "step"], order_col)
-    return (
-        ranked.groupBy("query", "step")
-        .agg(*_measure_columns(measures, "_prefix_rn"))
-        .orderBy("query", "step")
-    )
+    column_ms, pandas_ms = _split_measures(measures)
+    out = None
+    if column_ms:
+        grouped: dict = {}
+        for rc, m in column_ms:
+            grouped.setdefault(rc, []).append(m)
+        aug = _augment_for_measures(ranked, grouped, ["query", "step"], order_col)
+        out = aug.groupBy("query", "step").agg(
+            *_column_measure_cols(column_ms, "_prefix_rn")
+        )
+    if pandas_ms:
+        pframe = _pandas_measure_frame(
+            ranked, pandas_ms, ["query", "step"], order_col
+        )
+        out = pframe if out is None else out.join(pframe, ["query", "step"])
+    return out.orderBy("query", "step")

@@ -245,3 +245,32 @@ def test_evaluate_sort_derives_rank(eval_inputs, spark):
                    num_shards=2, sort=True)
     got = {(r.query, r.step, r.p_2) for r in out.collect()}
     assert (0, 1, 1.0) in got and (1, 1, 0.5) in got
+
+
+def test_pandas_measure_closure_matches_column_measure(eval_inputs):
+    """The reference's Series-closure measure style must work via the
+    applyInPandas fallback and agree with the Column formulation."""
+    from dataproc_spark.measures import PandasMeasure
+
+    shards, results = eval_inputs
+
+    def p_at_2(s):
+        return s[:2].sum() / s[:2].count()
+
+    mixed = {"relevant": [precision_at(2), PandasMeasure("p2_closure", p_at_2)]}
+    out = evaluate(shards, results, mixed, num_shards=2)
+    rows = out.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert abs(r["p_2"] - r["p2_closure"]) < 1e-12
+
+
+def test_plain_callable_measure_autowraps(eval_inputs):
+    shards, results = eval_inputs
+
+    def mean_rel(s):
+        return s.mean()
+
+    out = evaluate_step(shards, results, {"relevant": [mean_rel]}, step=2)
+    got = {(r.query, round(r.mean_rel, 6)) for r in out.collect()}
+    assert got == {(0, 0.75), (1, 0.5)}
