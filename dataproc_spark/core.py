@@ -73,6 +73,42 @@ def get_spark(
     return builder.getOrCreate()
 
 
+#: Ceiling (bytes, Catalyst estimate) for *forcing* a broadcast hint.
+#: Below it we assert broadcastability (selection frames are queries ×
+#: shards — tiny relative to results, but often invisible to the 10 MB
+#: autoBroadcastJoinThreshold because aggregate estimates inherit their
+#: scan's size). Above it the hint is dropped and AQE's runtime statistics
+#: decide — a forced broadcast of a multi-GB frame would OOM the driver.
+BROADCAST_HINT_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+def maybe_broadcast(
+    df: DataFrame, limit_bytes: int = BROADCAST_HINT_BUDGET_BYTES
+) -> DataFrame:
+    """Broadcast hint gated on Catalyst's own size estimate.
+
+    Uses the optimizer's ``sizeInBytes`` statistic (plan-time, free — the
+    same probe as ``simsearch.choose_strategy``): frames estimated under
+    ``limit_bytes`` get an explicit ``broadcast()`` hint, larger ones (and
+    frames with the unknown-stats sentinel) are returned unhinted so AQE
+    picks the join strategy from *runtime* sizes. This keeps the intent of
+    the reference workload (selection ≪ results → broadcast semi-join)
+    without force-broadcasting past Catalyst's judgment when a caller
+    scales the selection side 100×.
+
+    Frames reporting the unknown-stats sentinel (~Long.MaxValue — driver
+    local ``createDataFrame`` relations and other stat-less sources) keep
+    the hint: table-backed plans always carry an estimate, so the
+    "multi-GB selection force-broadcast past Catalyst's judgment" hazard
+    can only arrive through an *estimated* plan, while a driver-local
+    relation is bounded by driver memory by construction.
+    """
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size <= limit_bytes or size >= (1 << 60):
+        return F.broadcast(df)
+    return df
+
+
 def ensure_has_columns(df: DataFrame, columns: Iterable[str]) -> None:
     """Assert that ``df`` contains every column in ``columns``.
 

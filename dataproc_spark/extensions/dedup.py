@@ -147,7 +147,13 @@ def lsh_candidates(
     signature length.
     """
     if num_hashes is None:
-        num_hashes = sigs.select(F.size("_sig").alias("s")).first()["s"]
+        probe = sigs.select(F.size("_sig").alias("s")).first()
+        if probe is None:
+            raise ValueError(
+                "cannot infer num_hashes from an empty signature frame; "
+                "pass num_hashes explicitly"
+            )
+        num_hashes = probe["s"]
     if num_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide the signature length ({num_hashes}); "
@@ -423,30 +429,61 @@ def simhash(tokens_col: F.Column, bits: int = 64) -> F.Column:
     """SimHash fingerprint of a token array (Charikar 2002).
 
     Bit b of the fingerprint is the sign of Σ_tokens (±1 by bit b of the
-    token hash). Built entirely from ``aggregate``/``transform`` — no UDF.
+    token hash). Built entirely from ``aggregate``/``zip_with`` — no UDF.
+
+    Single traversal: ONE ``aggregate`` over the tokens accumulates a
+    ``bits``-wide count array (each token's hash is taken once and its
+    per-bit ±1 contributions are zipped into the accumulator), and the
+    aggregate's *finish* lambda assembles the fingerprint from the final
+    counts — the counts expression is bound once, so the token array is
+    walked once regardless of ``bits``. (The previous formulation ran one
+    array-aggregate per bit: O(bits × tokens) work and a 64-aggregate
+    expression tree — the first thing to melt on long documents.)
+
+    Bit extraction goes through the 64-char two's-complement binary string
+    of the hash (``lpad(bin(h))``): ``substring`` accepts a *column*
+    position, while ``shiftright`` takes only literal shift amounts —
+    character ``64 - b`` of the padded string is exactly
+    ``(h >> b) & 1``, keeping fingerprints identical to the per-bit
+    formulation.
     """
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
 
-    def bit_sum(b: int) -> F.Column:
-        return F.aggregate(
-            tokens_col,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1)
+    # 2^b bit patterns as longs; b=63 is the sign bit (2**63 itself would
+    # overflow the long literal range)
+    powers = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(bits)
+        ]
+    )
+    bit_idx = F.array(*[F.lit(b) for b in range(bits)])
+
+    def merge(acc: F.Column, t: F.Column) -> F.Column:
+        h_bin = F.lpad(F.bin(F.xxhash64(t)), 64, "0")
+        return F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, b: a
+            + F.when(F.substring(h_bin, F.lit(64) - b, F.lit(1)) == "1", 1)
             .otherwise(-1),
         )
 
-    # build the fingerprint with shiftleft+OR, not addition of 2**b
-    # literals: 2**63 overflows the long literal range (it would become a
-    # decimal), while shifting into the sign bit is a plain bit pattern
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        bit = F.when(
-            bit_sum(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        out = out.bitwiseOR(bit)
-    return out
+    def finish(acc: F.Column) -> F.Column:
+        # sum of distinct powers ≡ bitwise OR (each bit contributes once);
+        # stays in long range even with the negative sign-bit pattern
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(bits)),
+            F.lit(0).cast("long"),
+            lambda fp, i: fp
+            + F.when(F.element_at(acc, i) > 0, F.element_at(powers, i))
+            .otherwise(F.lit(0).cast("long")),
+        )
+
+    return F.aggregate(
+        tokens_col, F.array_repeat(F.lit(0), bits), merge, finish
+    )
 
 
 def simhash_frame(

@@ -26,10 +26,14 @@ NS_PER_HOUR = 3_600_000_000_000
 def with_event_time(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Convert the raw nanosecond epoch to a timestamp column ``event_time``
     (microsecond precision — Spark's native resolution)."""
-    # integer division — converting the ns long through double would lose
-    # precision above 2^53 and wobble at boundaries
+    # integer FLOOR division — `div` truncates toward zero, which for
+    # negative (pre-1970) nanos would round the event *forward* in time;
+    # subtracting pmod first makes the numerator an exact multiple, so
+    # div == floor for all signs. Going through double instead would lose
+    # precision above 2^53.
     return events.withColumn(
-        "event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        "event_time",
+        F.timestamp_micros(F.expr(f"({ts_col} - pmod({ts_col}, 1000)) div 1000")),
     )
 
 
@@ -38,11 +42,16 @@ def hourly_agg(events: DataFrame) -> DataFrame:
 
     Shared by batch and streaming paths. ``hour_id`` is the integer epoch
     hour (timezone-free arithmetic on the raw nanos — reproducible across
-    engines and session timezones).
+    engines and session timezones). Floor semantics (pmod before div):
+    ``F.window`` floors its buckets, so plain ``div`` — which truncates
+    toward zero — would disagree with the streaming path for pre-1970
+    (negative) epochs and silently break batch/stream parity.
     """
     return (
         events.groupBy(
-            F.expr(f"ts div {NS_PER_HOUR}").alias("hour_id"),
+            F.expr(
+                f"(ts - pmod(ts, {NS_PER_HOUR})) div {NS_PER_HOUR}"
+            ).alias("hour_id"),
             "event_type",
         )
         .agg(
@@ -98,7 +107,9 @@ def stream_hourly_counts(
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
         )
         .select(
-            (F.unix_timestamp("window.start") / 3600).cast("long").alias("hour_id"),
+            # window.start is hour-aligned, so the division is exact; keep
+            # it integer (div of an exact multiple == floor for all signs)
+            F.expr("unix_timestamp(window.start) div 3600").alias("hour_id"),
             "event_type",
             "n_events",
             "sum_value_c",

@@ -56,11 +56,14 @@ def _load_selection(
         n_expected *= len(list(r))
     n_actual = scores.count()
     # Q4 fix (SURVEY.md §2.4): the reference silently mis-aligns when the
-    # score file does not match the cartesian shape; we fail fast.
-    assert n_actual == n_expected, (
-        f"score file has {n_actual} rows, expected {n_expected} "
-        f"(= {' × '.join(str(len(list(r))) for r in ranges)})"
-    )
+    # score file does not match the cartesian shape; we fail fast. A real
+    # raise, not an assert — `python -O` strips asserts, and a stripped
+    # guard here would reintroduce the silent misalignment it exists for.
+    if n_actual != n_expected:
+        raise ValueError(
+            f"score file has {n_actual} rows, expected {n_expected} "
+            f"(= {' × '.join(str(len(list(r))) for r in ranges)})"
+        )
     df = base.join(scores, IDX, "inner")
     # pandas rank(method='first') breaks ties by input order == cartesian
     # order == _idx asc; row_number over (score desc, _idx asc) is exact.

@@ -66,13 +66,30 @@ def _shard_results(li: DataFrame) -> DataFrame:
     )
 
 
-def _ranked_selection(li: DataFrame) -> DataFrame:
-    sel = (
-        _shard_results(li)
-        .groupBy("query", "shard")
-        .agg(F.sum("score").alias("shard_score"))
+def _shared_shard_results(li: DataFrame) -> DataFrame:
+    """The shard-results frame, persisted for reuse across plan branches.
+
+    Every selective pipeline derives BOTH its selection (an aggregate of
+    the results) and its probe side from the same frame; without the
+    persist each branch re-scans lineitem — at 100 TB that is a full extra
+    pass over the corpus. The broadcast-exchange job materializes the
+    cache, and the probe stage reads it back. (On a real cluster this is
+    where you would checkpoint the results table instead.)
+    """
+    return _shard_results(li).persist()
+
+
+def _ranked_selection_from(results: DataFrame) -> DataFrame:
+    """Per-query shard ranking derived from an existing results frame
+    (pass the *same* DataFrame you probe with, so the scan is shared)."""
+    sel = results.groupBy("query", "shard").agg(
+        F.sum("score").alias("shard_score")
     )
     return rank_selection(sel, score_col="shard_score")
+
+
+def _ranked_selection(li: DataFrame) -> DataFrame:
+    return _ranked_selection_from(_shard_results(li))
 
 
 #: shared oracle CTE prefix mirroring _shard_results/_ranked_selection
@@ -102,8 +119,8 @@ ranked_sel AS (
 
 def q_select_top_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 `select`: results from the top-2 shards per query (semi-join)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return select(_ranked_selection(li), _shard_results(li), t=2)
+    res = _shared_shard_results(_t(spark, sf_dir, "lineitem"))
+    return select(_ranked_selection_from(res), res, t=2)
 
 
 SQL_SELECT_TOP_T = f"""
@@ -128,10 +145,10 @@ SELECT query, shard, shard_score, rank FROM ranked_sel
 
 def q_select_with_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11: top-3 shards, bucket budget decaying [2,1,1] (decay 0.5)."""
-    li = _t(spark, sf_dir, "lineitem")
+    res = _shared_shard_results(_t(spark, sf_dir, "lineitem"))
     # num_buckets=2 is known from the construction (l_linenumber % 2)
     return select_with_decay(
-        _ranked_selection(li), _shard_results(li), 3, 0.5, num_buckets=2
+        _ranked_selection_from(res), res, 3, 0.5, num_buckets=2
     )
 
 
@@ -149,16 +166,14 @@ WHERE r.bucket < k.buckets
 
 def q_evaluate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: P@5/P@10 + result counts at every selection depth 1..5."""
-    li = _t(spark, sf_dir, "lineitem")
-    res = _shard_results(li).withColumn(
-        "rel", (F.col("docid") % 3 == 0).cast("int")
-    )
+    base = _shared_shard_results(_t(spark, sf_dir, "lineitem"))
+    res = base.withColumn("rel", (F.col("docid") % 3 == 0).cast("int"))
     w = Window.partitionBy("query").orderBy(
         F.col("score").desc(), F.col("docid").asc(), F.col("okey").asc()
     )
     res = res.withColumn("global_rank", F.row_number().over(w))
     measures = {"rel": [precision_at(5), precision_at(10), num_retrieved()]}
-    return evaluate(_ranked_selection(li), res, measures, num_shards=5)
+    return evaluate(_ranked_selection_from(base), res, measures, num_shards=5)
 
 
 SQL_EVALUATE_SWEEP = f"""
@@ -197,18 +212,14 @@ GROUP BY query, step
 def q_evaluate_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 with num_buckets: bucket-granular sweep over 5 shards × 2 buckets
     (10 steps), P@5 per depth."""
-    li = _t(spark, sf_dir, "lineitem")
-    res = _shard_results(li).withColumn(
-        "rel", (F.col("docid") % 3 == 0).cast("int")
-    )
+    base = _shared_shard_results(_t(spark, sf_dir, "lineitem"))
+    res = base.withColumn("rel", (F.col("docid") % 3 == 0).cast("int"))
     w = Window.partitionBy("query").orderBy(
         F.col("score").desc(), F.col("docid").asc(), F.col("okey").asc()
     )
     res = res.withColumn("global_rank", F.row_number().over(w))
-    bsel = (
-        _shard_results(li)
-        .groupBy("query", "shard", "bucket")
-        .agg(F.sum("score").alias("shard_score"))
+    bsel = base.groupBy("query", "shard", "bucket").agg(
+        F.sum("score").alias("shard_score")
     )
     bsel = rank_selection(bsel, "shard_score", ("query",), ("shard", "bucket"))
     measures = {"rel": [precision_at(5), num_retrieved()]}
@@ -345,15 +356,13 @@ def q_resolve_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_select_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F13 `select_buckets` (rows-only: depends on the greedy resolver)."""
-    li = _t(spark, sf_dir, "lineitem")
-    bsel = (
-        _shard_results(li)
-        .groupBy("query", "shard", "bucket")
-        .agg(F.sum("score").alias("shard_score"))
+    """F13 `select_buckets`: semi-join against the greedy resolver's set."""
+    res = _shared_shard_results(_t(spark, sf_dir, "lineitem"))
+    bsel = res.groupBy("query", "shard", "bucket").agg(
+        F.sum("score").alias("shard_score")
     )
     bsel = rank_selection(bsel, "shard_score", ("query",), ("shard", "bucket"))
-    return select_buckets(bsel, _shard_results(li), t=4, num_shards=5)
+    return select_buckets(bsel, res, t=4, num_shards=5)
 
 
 # ---------------------------------------------------------------------------
@@ -877,7 +886,10 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_HOURLY = """
-SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+-- floor-division hour bucket (DuckDB // truncates toward zero, so subtract
+-- a positive remainder first) — matches hourly_agg's pmod-based floor
+SELECT (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000) + 3600000000000)
+        % 3600000000000) // 3600000000000 AS hour_id, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from dataproc_spark.core import ensure_has_columns
+from dataproc_spark.core import ensure_has_columns, maybe_broadcast
 from dataproc_spark.measures import Measure, PandasMeasure, as_measure
 
 
@@ -74,7 +74,7 @@ def select(selection: DataFrame, results: DataFrame, t: int) -> DataFrame:
     ensure_has_columns(selection, ["rank", "query", "shard"])
     ensure_has_columns(results, ["score", "query", "shard"])
     chosen = selection.where(F.col("rank") < t).select("query", "shard")
-    return results.join(F.broadcast(chosen), ["query", "shard"], "leftsemi")
+    return results.join(maybe_broadcast(chosen), ["query", "shard"], "leftsemi")
 
 
 def ordered(results: DataFrame) -> DataFrame:
@@ -148,7 +148,7 @@ def select_with_decay(
         .select("query", "shard", "buckets")
     )
     return (
-        results.join(F.broadcast(shard_sel), ["query", "shard"])
+        results.join(maybe_broadcast(shard_sel), ["query", "shard"])
         .where(F.col("bucket") < F.col("buckets"))
         .drop("buckets")
     )
@@ -230,7 +230,7 @@ def select_buckets(
     ensure_has_columns(results, ["score", "query", "shard", "bucket"])
     resolved = resolve_bucket_selection(selection, t, num_shards)
     return results.join(
-        F.broadcast(resolved.select("query", "shard", "bucket")),
+        maybe_broadcast(resolved.select("query", "shard", "bucket")),
         ["query", "shard", "bucket"],
         "leftsemi",
     )
@@ -254,6 +254,11 @@ def _split_measures(measures: dict):
                 column_ms.append((rel_col, m))
             else:
                 pandas_ms.append((rel_col, m))
+    if not column_ms and not pandas_ms:
+        raise ValueError(
+            "measures must be non-empty: pass at least one measure per "
+            "relevance column, e.g. {'rel': [precision_at(10)]}"
+        )
     return column_ms, pandas_ms
 
 
@@ -369,7 +374,7 @@ def evaluate_step(
     ensure_has_columns(shards, keys + ["rank"])
     ensure_has_columns(results, keys + [order_col] + list(measures))
     chosen = shards.where(F.col("rank") < step).select(*keys)
-    hits = results.join(F.broadcast(chosen), keys, "leftsemi")
+    hits = results.join(maybe_broadcast(chosen), keys, "leftsemi")
     w = Window.partitionBy("query").orderBy(F.col(order_col).asc())
     ranked = hits.withColumn("_prefix_rn", F.row_number().over(w))
     column_ms, pandas_ms = _split_measures(measures)
@@ -434,7 +439,7 @@ def evaluate(
         shards.where(F.col("rank") < num_steps)
         .select(*keys, F.col("rank").alias("_sel_rank"))
     )
-    joined = results.join(F.broadcast(sel), keys, "inner")
+    joined = results.join(maybe_broadcast(sel), keys, "inner")
     exploded = joined.withColumn(
         "step",
         F.explode(

@@ -89,7 +89,7 @@ def test_load_shard_selection(spark, tmp_path):
 def test_load_shard_selection_count_mismatch(spark, tmp_path):
     p = tmp_path / "scores.csv"
     p.write_text("0.1\n0.2\n")
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="score file has 2 rows"):
         load_shard_selection(spark, [1], 3, str(p))
 
 

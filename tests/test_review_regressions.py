@@ -130,3 +130,74 @@ def test_salted_agg_accepts_aliased_decomposable(spark):
         skew.salted_agg(
             df, ["k"], {"d": F.countDistinct("v").alias("sneaky")}, salt=4
         )
+
+
+# ---------------------------------------------------------------------------
+# round-2 review items (VERDICT r1 / ADVICE r1)
+# ---------------------------------------------------------------------------
+
+def test_maybe_broadcast_small_frame_hints(spark):
+    from dataproc_spark.core import maybe_broadcast
+
+    small = spark.createDataFrame([(1, 2)], schema="query long, shard long")
+    hinted = maybe_broadcast(small)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+
+def test_maybe_broadcast_large_frame_is_not_forced(spark):
+    from dataproc_spark.core import maybe_broadcast
+    from dataproc_spark.selective import select
+
+    # a selection frame whose Catalyst estimate exceeds the hint budget
+    # must NOT carry a forced broadcast hint (AQE decides at runtime)
+    big = spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("query"),
+        (F.col("id") % 7).alias("shard"),
+        F.lit(0).alias("rank"),
+        F.sha2(F.concat_ws("", *[F.col("id").cast("string")] * 64), 256).alias("pad"),
+    )
+    unhinted = maybe_broadcast(big, limit_bytes=1)
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+    # end-to-end: select() with a tiny budget must still be correct
+    results = spark.range(0, 50).select(
+        (F.col("id") % 5).alias("query"),
+        (F.col("id") % 7).alias("shard"),
+        F.col("id").alias("score"),
+    )
+    out = select(big.select("query", "shard", "rank"), results, t=1)
+    assert out.count() > 0
+
+
+def test_evaluate_empty_measures_raises(spark):
+    from dataproc_spark.selective import evaluate
+
+    sel = spark.createDataFrame([(0, 0, 0)], schema="query long, shard long, rank int")
+    res = spark.createDataFrame(
+        [(0, 0, 1, 1.0)], schema="query long, shard long, global_rank int, rel double"
+    )
+    with pytest.raises(ValueError, match="measures must be non-empty"):
+        evaluate(sel, res, {}, num_shards=1)
+    with pytest.raises(ValueError, match="measures must be non-empty"):
+        evaluate(sel, res, {"rel": []}, num_shards=1)
+
+
+def test_lsh_candidates_empty_signature_frame_raises(spark):
+    empty = spark.createDataFrame(
+        [], schema="doc_id long, _shingles array<string>, _sig array<long>"
+    )
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup.lsh_candidates(empty)
+    # explicit num_hashes on an empty frame: empty candidates, no crash
+    assert dedup.lsh_candidates(empty, num_hashes=64).count() == 0
+
+
+def test_hourly_agg_floor_division_negative_epochs(spark):
+    from dataproc_spark.extensions.streaming import hourly_agg, NS_PER_HOUR
+
+    # one event 1ns BEFORE epoch must land in hour -1, not hour 0
+    ev = spark.createDataFrame(
+        [(-1, "a", 1.0), (1, "a", 1.0), (NS_PER_HOUR + 1, "a", 1.0)],
+        schema="ts long, event_type string, value double",
+    )
+    got = {r.hour_id: r.n_events for r in hourly_agg(ev).collect()}
+    assert got == {-1: 1, 0: 1, 1: 1}
