@@ -270,6 +270,140 @@ GROUP BY query, step
 """
 
 
+def q_evaluate_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-P@k measures (recall@10, AP@10, nDCG@10) through the full
+    evaluate sweep — oracle coverage for the ``_hits`` / ``_ideal_rn``
+    window machinery (`selective._augment_for_measures`).
+
+    These are integer-scaled deterministic variants of
+    ``measures.recall_at`` / ``average_precision`` / ``ndcg_at``: every
+    order-dependent float SUM term is rounded to integer micro-units
+    *before* summation (so the sum is exact and independent of reduction
+    order in both engines), and the only floating-point operations left are
+    single final divisions — the same cross-engine exactness strategy as
+    the integer-cents revenue columns.
+    """
+    from dataproc_spark.measures import Measure
+
+    base = _shared_shard_results(_t(spark, sf_dir, "lineitem"))
+    res = base.withColumn("rel", (F.col("docid") % 3 == 0).cast("int"))
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("docid").asc(), F.col("okey").asc()
+    )
+    res = res.withColumn("global_rank", F.row_number().over(w))
+    res = res.withColumn(
+        "num_rel", F.sum("rel").over(Window.partitionBy("query"))
+    )
+
+    def prefix_hits(rel, rn):
+        return F.sum(
+            F.when(F.col(rn) <= 10, F.col(rel)).otherwise(F.lit(0))
+        ).cast("long")
+
+    def r10(rel, rn):
+        total = F.max("num_rel")
+        return F.when(total > 0, prefix_hits(rel, rn) / total).otherwise(
+            F.lit(0.0)
+        )
+
+    def ap10(rel, rn):
+        num = F.sum(
+            F.when(
+                (F.col(rn) <= 10) & (F.col(rel) > 0),
+                F.round(F.lit(1_000_000.0) * F.col("_hits") / F.col(rn)).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        den = prefix_hits(rel, rn)
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    def _dcg_micro(rel, pos_col):
+        return F.sum(
+            F.when(
+                (F.col(pos_col) <= 10) & (F.col(rel) > 0),
+                F.round(
+                    F.lit(1_000_000.0) * F.col(rel) / F.log2(F.col(pos_col) + 1)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+
+    def ndcg10(rel, rn):
+        dcg = _dcg_micro(rel, rn)
+        idcg = _dcg_micro(rel, "_ideal_rn")
+        return F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0))
+
+    measures = {
+        "rel": [
+            Measure("r_10", r10),
+            Measure("ap_10", ap10, requires=("_hits",)),
+            Measure("ndcg_10", ndcg10, requires=("_ideal_rn",)),
+        ]
+    }
+    return evaluate(_ranked_selection_from(base), res, measures, num_shards=5)
+
+
+SQL_EVALUATE_MEASURES = f"""
+WITH {_SS_CTE},
+res_ranked AS (
+    SELECT r.*,
+           CASE WHEN docid % 3 = 0 THEN 1 ELSE 0 END AS rel,
+           ROW_NUMBER() OVER (
+               PARTITION BY query ORDER BY score DESC, docid, okey
+           ) AS global_rank
+    FROM results r
+),
+res_tot AS (
+    SELECT *, CAST(SUM(rel) OVER (PARTITION BY query) AS BIGINT) AS num_rel
+    FROM res_ranked
+),
+steps AS (SELECT CAST(s AS INTEGER) AS step FROM range(1, 6) t(s)),
+joined AS (
+    SELECT rr.query, rr.rel, rr.global_rank, rr.num_rel, st.step
+    FROM res_tot rr
+    JOIN ranked_sel k ON rr.query = k.query AND rr.shard = k.shard
+    JOIN steps st ON k.rank < st.step
+),
+prefixed AS (
+    SELECT query, step, rel, num_rel,
+           ROW_NUMBER() OVER (
+               PARTITION BY query, step ORDER BY global_rank
+           ) AS rn,
+           CAST(SUM(rel) OVER (
+               PARTITION BY query, step ORDER BY global_rank
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS hits,
+           ROW_NUMBER() OVER (
+               PARTITION BY query, step ORDER BY rel DESC, global_rank
+           ) AS ideal_rn
+    FROM joined
+)
+SELECT query, step,
+       CASE WHEN MAX(num_rel) > 0
+            THEN CAST(SUM(CASE WHEN rn <= 10 THEN rel ELSE 0 END) AS BIGINT)
+                 / MAX(num_rel)
+            ELSE 0.0 END AS r_10,
+       CASE WHEN SUM(CASE WHEN rn <= 10 THEN rel ELSE 0 END) > 0
+            THEN CAST(SUM(CASE WHEN rn <= 10 AND rel > 0
+                     THEN CAST(ROUND(1000000.0 * hits / rn) AS BIGINT)
+                     ELSE 0 END) AS BIGINT)
+                 / CAST(SUM(CASE WHEN rn <= 10 THEN rel ELSE 0 END) AS BIGINT)
+            ELSE 0.0 END AS ap_10,
+       CASE WHEN SUM(CASE WHEN ideal_rn <= 10 AND rel > 0
+                     THEN CAST(ROUND(1000000.0 * rel / log2(ideal_rn + 1)) AS BIGINT)
+                     ELSE 0 END) > 0
+            THEN CAST(SUM(CASE WHEN rn <= 10 AND rel > 0
+                     THEN CAST(ROUND(1000000.0 * rel / log2(rn + 1)) AS BIGINT)
+                     ELSE 0 END) AS BIGINT)
+                 / CAST(SUM(CASE WHEN ideal_rn <= 10 AND rel > 0
+                     THEN CAST(ROUND(1000000.0 * rel / log2(ideal_rn + 1)) AS BIGINT)
+                     ELSE 0 END) AS BIGINT)
+            ELSE 0.0 END AS ndcg_10
+FROM prefixed
+GROUP BY query, step
+"""
+
+
 def q_trec_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F14 `to_trec` frame: per-query top-10 run rows."""
     li = _t(spark, sf_dir, "lineitem")
@@ -339,8 +473,120 @@ FROM range(7) q, range(5) s
 """
 
 
+def q_load_bucket_selection_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 `load_bucket_selection` end-to-end: positional score CSV → indexed
+    zip against the 3-way cartesian (query × shard × bucket) → per-query rank.
+
+    Mirrors `load_selection_csv` one level deeper: the formula-generated
+    score file is written in cartesian (query-major, shard, bucket-minor)
+    order, so what's under test is the 3-way positional index arithmetic
+    (``core.cartesian`` ``_idx`` = ((q_pos × nshards) + shard) × nbuckets +
+    bucket) — exactly where a positional-zip bug would hide.
+    """
+    import os
+    import tempfile
+
+    queries_list, nshards, nbuckets = list(range(7)), 3, 2
+    scores = [
+        ((q * 31 + s * 17 + b * 7) % 100) / 10
+        for q in queries_list
+        for s in range(nshards)
+        for b in range(nbuckets)
+    ]
+    path = os.path.join(tempfile.gettempdir(), "dataproc_bsel_scores.csv")
+    with open(path, "w") as f:
+        f.write("\n".join(str(x) for x in scores) + "\n")
+    from dataproc_spark.io import load_bucket_selection
+
+    return load_bucket_selection(spark, queries_list, nshards, nbuckets, path)
+
+
+SQL_LOAD_BUCKET_SELECTION_CSV = """
+SELECT CAST(q.range AS BIGINT) AS query, CAST(s.range AS BIGINT) AS shard,
+       CAST(b.range AS BIGINT) AS bucket,
+       ((q.range * 31 + s.range * 17 + b.range * 7) % 100) / 10.0 AS shard_score,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.range
+           ORDER BY ((q.range * 31 + s.range * 17 + b.range * 7) % 100) / 10.0
+                    DESC, s.range, b.range
+       ) - 1 AS INTEGER) AS rank
+FROM range(7) q, range(3) s, range(2) b
+"""
+
+
+def q_shard_results_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 `load_shard_results` + `write_shard_results` end-to-end: write the
+    reference's on-disk layout (``{basename}#{shard}.results-{n}`` parquet
+    files, column contract ``selectivesearch.py:103-112``), read it back
+    through the multi-path scan, and return the loaded frame.
+
+    The oracle recomputes the same table straight from lineitem — the
+    roundtrip must be the identity, so any loss/misnaming/misordering in
+    the file contract shows up as a hash mismatch.
+    """
+    import os
+    import tempfile
+
+    from dataproc_spark.io import load_shard_results, write_shard_results
+
+    li = _t(spark, sf_dir, "lineitem")
+    ldocid = (F.col("l_partkey") * 10 + F.col("l_linenumber")).cast("long")
+    shard = (F.col("l_suppkey") % 5).cast("int")
+    w = Window.partitionBy("query", "shard").orderBy(
+        F.col("score").desc(), F.col("ldocid").asc(), F.col("_okey").asc()
+    )
+    contract = (
+        li.select(
+            (F.col("l_orderkey") % 7).cast("int").alias("query"),
+            ldocid.alias("ldocid"),
+            (ldocid * 5 + shard).alias("gdocid"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("double")
+            .alias("score"),
+            shard.alias("shard"),
+            (F.col("l_linenumber") % 2).cast("int").alias("bucket"),
+            F.col("l_orderkey").alias("_okey"),
+        )
+        .withColumn("rank", (F.row_number().over(w) - 1).cast("int"))
+        .select("query", "rank", "ldocid", "gdocid", "score", "shard", "bucket")
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(tempfile.gettempdir(), f"dataproc_rt_{sf_tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    basename = os.path.join(out_dir, "run")
+    write_shard_results(contract, basename, nbuckets=2)
+    return load_shard_results(spark, basename, nshards=5, nbuckets=2)
+
+
+SQL_SHARD_RESULTS_ROUNDTRIP = """
+WITH contract AS (
+    SELECT CAST(l_orderkey % 7 AS INTEGER) AS query,
+           CAST(l_partkey * 10 + l_linenumber AS BIGINT) AS ldocid,
+           CAST((l_partkey * 10 + l_linenumber) * 5 + (l_suppkey % 5) AS BIGINT)
+               AS gdocid,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS DOUBLE)
+               AS score,
+           CAST(l_suppkey % 5 AS INTEGER) AS shard,
+           CAST(l_linenumber % 2 AS INTEGER) AS bucket,
+           l_orderkey AS okey
+    FROM lineitem
+)
+SELECT query,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query, shard ORDER BY score DESC, ldocid, okey
+       ) - 1 AS INTEGER) AS rank,
+       ldocid, gdocid, score, shard, bucket
+FROM contract
+"""
+
+
 def q_resolve_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12 greedy bucket resolution (rows-only: sequential stateful walk).
+    """F12 greedy bucket resolution, value-checked: the sequential stateful
+    walk is emulated in the oracle by a DuckDB *recursive CTE* that carries
+    (step index, budget spent, per-shard counts) as recursion state — the
+    greedy semantics (`selectivesearch.py:160-181`) are deterministic given
+    the ranked selection, so the output is exactly comparable even though
+    the Spark implementation is an Arrow grouped-map.
 
     Bucket-granular selection ranked by aggregate score; budget 4 buckets
     per query.
@@ -355,14 +601,77 @@ def q_resolve_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_bucket_selection(bsel, threshold=4, num_shards=5)
 
 
+#: shared oracle CTE suffix: the greedy walk as a recursive CTE. State per
+#: query: i (next selection rank to inspect), spent (buckets taken), counts
+#: (per-shard selected-bucket prefix lengths). Recursion stops when the
+#: budget is hit (WHERE spent < 4) or ranks are exhausted (join misses);
+#: the final state row per query is exploded to (shard, bucket) rows.
+_GREEDY_WALK_SQL = """
+bsel AS (
+    SELECT query, shard, bucket, CAST(SUM(score) AS BIGINT) AS shard_score
+    FROM results GROUP BY query, shard, bucket
+),
+branked AS (
+    SELECT query, shard, bucket,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query ORDER BY shard_score DESC, shard, bucket
+           ) - 1 AS INTEGER) AS rank
+    FROM bsel
+),
+walk AS (
+  WITH RECURSIVE w(query, i, spent, counts) AS (
+    SELECT query, 0, 0, [0, 0, 0, 0, 0] FROM (SELECT DISTINCT query FROM branked)
+    UNION ALL
+    SELECT query, i + 1,
+           spent + CASE WHEN take THEN cost ELSE 0 END,
+           CASE WHEN take
+                THEN counts[1:shard] || [counts[shard + 1] + cost]
+                     || counts[shard + 2:]
+                ELSE counts END
+    FROM (
+      SELECT w.query, w.i, w.spent, w.counts, b.shard,
+             b.bucket + 1 - w.counts[b.shard + 1] AS cost,
+             (b.bucket + 1 - w.counts[b.shard + 1] >= 1
+              AND w.spent + b.bucket + 1 - w.counts[b.shard + 1] <= 4) AS take
+      FROM w JOIN branked b ON b.query = w.query AND b.rank = w.i
+      WHERE w.spent < 4
+    )
+  )
+  SELECT query, counts FROM w
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query ORDER BY i DESC) = 1
+),
+resolved AS (
+  SELECT query, shard, CAST(UNNEST(range(counts[shard + 1])) AS INTEGER) AS bucket
+  FROM (SELECT query, CAST(UNNEST(range(5)) AS BIGINT) AS shard, counts FROM walk)
+)
+"""
+
+SQL_RESOLVE_BUCKETS = f"""
+WITH {_SS_CTE},
+{_GREEDY_WALK_SQL}
+SELECT query, shard, bucket FROM resolved
+"""
+
+
 def q_select_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F13 `select_buckets`: semi-join against the greedy resolver's set."""
+    """F13 `select_buckets`: semi-join against the greedy resolver's set
+    (value-checked through the same recursive-CTE oracle as F12)."""
     res = _shared_shard_results(_t(spark, sf_dir, "lineitem"))
     bsel = res.groupBy("query", "shard", "bucket").agg(
         F.sum("score").alias("shard_score")
     )
     bsel = rank_selection(bsel, "shard_score", ("query",), ("shard", "bucket"))
     return select_buckets(bsel, res, t=4, num_shards=5)
+
+
+SQL_SELECT_BUCKETS = f"""
+WITH {_SS_CTE},
+{_GREEDY_WALK_SQL}
+SELECT r.query, r.shard, r.bucket, r.docid, r.okey, r.score
+FROM results r
+JOIN resolved v
+  ON r.query = v.query AND r.shard = v.shard AND r.bucket = v.bucket
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1382,11 +1691,20 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "select_with_decay": (q_select_with_decay, SQL_SELECT_WITH_DECAY),
     "evaluate_sweep": (q_evaluate_sweep, SQL_EVALUATE_SWEEP),
     "evaluate_buckets": (q_evaluate_buckets, SQL_EVALUATE_BUCKETS),
+    "evaluate_measures": (q_evaluate_measures, SQL_EVALUATE_MEASURES),
     "trec_export": (q_trec_export, SQL_TREC_EXPORT),
     "cartesian": (q_cartesian, SQL_CARTESIAN),
     "load_selection_csv": (q_load_selection_csv, SQL_LOAD_SELECTION_CSV),
-    "resolve_buckets": (q_resolve_buckets, None),
-    "select_buckets": (q_select_buckets, None),
+    "load_bucket_selection_csv": (
+        q_load_bucket_selection_csv,
+        SQL_LOAD_BUCKET_SELECTION_CSV,
+    ),
+    "shard_results_roundtrip": (
+        q_shard_results_roundtrip,
+        SQL_SHARD_RESULTS_ROUNDTRIP,
+    ),
+    "resolve_buckets": (q_resolve_buckets, SQL_RESOLVE_BUCKETS),
+    "select_buckets": (q_select_buckets, SQL_SELECT_BUCKETS),
     # relational breadth
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
