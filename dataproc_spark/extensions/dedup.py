@@ -105,12 +105,41 @@ def minhash_signature(shingles_col: F.Column, num_hashes: int = 64) -> F.Column:
     )
 
 
+def minhash_signature_portable(
+    shingles_col: F.Column, num_hashes: int = 16
+) -> F.Column:
+    """Engine-portable MinHash signature: hash family *i* is
+    ``md5(shingle || '#' || i)`` with the *lexicographic* order on the hex
+    digest standing in for the usual integer order (any total order on a
+    uniform hash works for MinHash).
+
+    ~3-4x slower than the xxhash64 family (md5 + string mins), so the
+    xxhash64 path stays the production default; this variant exists so the
+    *entire* MinHash+LSH pipeline is bit-reproducible in any engine with
+    ``md5`` — it is what the cross-engine correctness gate runs.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles_col,
+                    lambda s, i=i: F.md5(
+                        F.concat(s, F.lit(f"#{i}")).cast("binary")
+                    ),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_frame(
     df: DataFrame,
     content_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_size: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, shingles, signature) frame — the input to LSH banding.
 
@@ -126,7 +155,8 @@ def minhash_frame(
     filtered = df.where(F.size(toks) >= shingle_size)
     sh = shingles(tokens(content_col), shingle_size).alias("_shingles")
     out = filtered.select(F.col(id_col), sh)
-    return out.withColumn("_sig", minhash_signature(F.col("_shingles"), num_hashes))
+    sig_fn = minhash_signature_portable if portable else minhash_signature
+    return out.withColumn("_sig", sig_fn(F.col("_shingles"), num_hashes))
 
 
 def lsh_candidates(
@@ -134,6 +164,7 @@ def lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     num_hashes: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate pairs from LSH banding: ids sharing ≥1 (band, band-hash).
 
@@ -160,6 +191,15 @@ def lsh_candidates(
             f"a remainder would silently drop the trailing hashes from banding"
         )
     rows_per_band = num_hashes // bands
+
+    def band_hash(b: int) -> F.Column:
+        sl = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+        if portable:
+            # md5 over the '|'-joined band slice: reproducible in any
+            # engine (the slice elements are md5 hex strings themselves)
+            return F.md5(F.array_join(sl, "|").cast("binary"))
+        return F.xxhash64(sl)
+
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -167,9 +207,7 @@ def lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bhash"),
+                        band_hash(b).alias("bhash"),
                     )
                     for b in range(bands)
                 ]
@@ -199,21 +237,35 @@ def jaccard_verify(
     sigs: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    scale_m: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keep ≥ ``threshold``.
 
     Only LSH candidates pay this cost. Shingle sets travel via two joins on
     id (broadcast when small; shuffle-hash otherwise).
+
+    With ``scale_m`` set (e.g. 1000), the score is emitted as the exact
+    integer ``jaccard_m = (|∩| * scale_m) div |∪|`` and the threshold is
+    applied to that integer — order-independent and bit-identical across
+    engines, which is what the cross-engine gate needs (float division is
+    not).
     """
     sh = sigs.select(F.col(id_col), F.col("_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b"))
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    if scale_m is not None:
+        jm = (inter.cast("long") * scale_m) / union.cast("long")
+        jm = F.floor(jm).cast("long")
+        return (
+            joined.withColumn("jaccard_m", jm)
+            .where(F.col("jaccard_m") >= int(threshold * scale_m))
+            .select("id_a", "id_b", "jaccard_m")
+        )
     return (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", inter / union)
+        joined.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -227,6 +279,8 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_size: int = 5,
     threshold: float = 0.5,
+    portable: bool = False,
+    scale_m: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs with verified Jaccard.
 
@@ -243,10 +297,14 @@ def minhash_dedup_pairs(
         df.repartition(parallelism, id_col)
         if df.rdd.getNumPartitions() < parallelism else df
     )
-    sigs = minhash_frame(spread, content_col, id_col, num_hashes, shingle_size)
+    sigs = minhash_frame(
+        spread, content_col, id_col, num_hashes, shingle_size, portable=portable
+    )
     sigs = sigs.persist()
-    cands = lsh_candidates(sigs, id_col, bands, num_hashes=num_hashes)
-    return jaccard_verify(cands, sigs, id_col, threshold)
+    cands = lsh_candidates(
+        sigs, id_col, bands, num_hashes=num_hashes, portable=portable
+    )
+    return jaccard_verify(cands, sigs, id_col, threshold, scale_m=scale_m)
 
 
 # ---------------------------------------------------------------------------

@@ -138,13 +138,24 @@ def stream_session_counts(
     ``applyInPandasWithState`` (Arrow-batched state machine per key).
 
     Demonstrates the engine's escape hatch for stateful semantics Spark's
-    built-in operators can't express: per-user state carries (last event
-    time, open-session count) across micro-batches; a new session starts
-    when the gap exceeds ``gap_minutes``. Drained with ``availableNow``;
-    state would be checkpointed/recovered on a real cluster run.
+    built-in operators can't express. Per-user state carries the **merged
+    session intervals** (start/end arrays) rather than a single
+    ``last_ts`` cursor, which makes the operator independent of event
+    order *across* micro-batches: an event arriving in a later batch with
+    an earlier timestamp either lands inside an existing interval (no
+    change), extends one, or bridges two intervals — in which case the
+    session count correctly *decreases*. (A last-timestamp cursor would
+    instead mint a phantom session whenever a batch started before the
+    previous batch's max — the r1-review ordering hazard.)
+
+    State is O(#sessions) per user, not O(#events). Drained with
+    ``availableNow``; state would be checkpointed/recovered on a real
+    cluster run. For watermark-evicted production state, prefer the
+    declarative ``session_window_stats`` below.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
+        ArrayType,
         LongType,
         StructField,
         StructType,
@@ -162,8 +173,8 @@ def stream_session_counts(
     )
     state_schema = StructType(
         [
-            StructField("last_ts", LongType()),
-            StructField("n_sessions", LongType()),
+            StructField("starts", ArrayType(LongType())),
+            StructField("ends", ArrayType(LongType())),
             StructField("n_events", LongType()),
         ]
     )
@@ -172,18 +183,26 @@ def stream_session_counts(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            last_ts, n_sessions, n_events = state.get
+            starts, ends, n_events = state.get
+            intervals = [[s, e] for s, e in zip(starts, ends)]
         else:
-            last_ts, n_sessions, n_events = None, 0, 0
+            intervals, n_events = [], 0
+        pts: list[int] = []
         for pdf in pdfs:
-            for ts in sorted(pdf["ts"].tolist()):
-                if last_ts is None or ts - last_ts > gap_ns:
-                    n_sessions += 1
-                n_events += 1
-                last_ts = ts
-        state.update((last_ts, n_sessions, n_events))
+            pts.extend(int(t) for t in pdf["ts"].tolist())
+        n_events += len(pts)
+        merged: list[list[int]] = []
+        for s, e in sorted(intervals + [[t, t] for t in pts]):
+            # same-session test as the batch path: gap <= gap_ns joins
+            if merged and s - merged[-1][1] <= gap_ns:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        state.update(
+            ([s for s, _ in merged], [e for _, e in merged], n_events)
+        )
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_sessions": [n_sessions],
+            {"user_id": [key[0]], "n_sessions": [len(merged)],
              "n_events": [n_events]}
         )
 
@@ -198,7 +217,9 @@ def stream_session_counts(
         base, fname = _os.path.split(events_path)
         reader = reader.option("pathGlobFilter", fname).parquet(base)
     else:
-        reader = reader.parquet(events_path)
+        # one file per micro-batch: multi-file directories exercise (and
+        # the interval state correctly handles) cross-batch disorder
+        reader = reader.option("maxFilesPerTrigger", 1).parquet(events_path)
     counted = reader.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
@@ -217,7 +238,16 @@ def stream_session_counts(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # update mode appends one row per key per touched batch to the memory
+    # sink; keep each key's final state (n_events grows monotonically)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("n_sessions", "n_events").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
 
 
 def stream_to_parquet(

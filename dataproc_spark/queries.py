@@ -1486,6 +1486,130 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the engine-portable md5 hash family
+    — the hash-checked twin of ``dedup_minhash``.
+
+    Same shingle → signature → band → bucket-join → verify pipeline, but
+    hash family i = ``md5(shingle || '#' || i)`` ordered lexicographically
+    and integer milli-Jaccard scores, so DuckDB reproduces every bit
+    (including which candidate pairs LSH surfaces). 16 hashes / 4 bands
+    (r=4) keeps the oracle's md5 cost bounded while preserving the
+    S-curve midpoint ≈ (1/4)^(1/4) ≈ 0.7.
+    """
+    return dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, shingle_size=3,
+        num_hashes=16, bands=4, portable=True, scale_m=1000,
+    )
+
+
+SQL_DEDUP_MINHASH_PORTABLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+    FROM toks WHERE len(t) >= 3
+),
+sig AS (
+    SELECT doc_id, s,
+           list_transform(range(0, 16),
+               i -> list_aggregate(
+                   list_transform(s, x -> md5(x || '#' || i)), 'min')) AS sg
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, b.band AS band,
+           md5(array_to_string(
+               list_slice(sg, b.band * 4 + 1, b.band * 4 + 4), '|')) AS bhash
+    FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+),
+verified AS (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.s, sb.s)) AS i_n,
+           len(list_distinct(list_concat(sa.s, sb.s))) AS u_n
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, CAST((i_n * 1000) // u_n AS BIGINT) AS jaccard_m
+FROM verified WHERE (i_n * 1000) // u_n >= 200
+"""
+
+
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components + keep-representatives over *deterministic*
+    exact-Jaccard pairs — the hash-checked gate for the clustering stage
+    that ``dedup_clusters`` (LSH-dependent, rows-only) can't give.
+
+    The oracle emulates min-label propagation with a recursive CTE
+    (reachability closure, then min reachable id per node).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, min_shared=2, jaccard_threshold_m=100
+    )
+    return dedup.dedup_keep_representatives(docs, pairs).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_DEDUP_CC = r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 100
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+losers AS (SELECT node FROM comp WHERE node <> component)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+LEFT JOIN losers ON d.doc_id = losers.node
+WHERE losers.node IS NULL
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality filtering: C4/Gopher-style keep rules over the
     quality features, reported as kept/dropped counts per lang."""
@@ -1590,8 +1714,34 @@ FROM documents GROUP BY source
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming op (applyInPandasWithState) — rows-only."""
+    """Custom stateful streaming op (applyInPandasWithState).
+
+    Oracle-checkable since r2: the interval-merge state is order-
+    independent across micro-batches, so the drained result must equal the
+    batch gap rule (``> gap → new session``) computed by plain SQL.
+    """
     return streaming.stream_session_counts(spark, f"{sf_dir}/events.parquet")
+
+
+# Batch-equivalent session counts: same 30-min strict-gap rule as the
+# streaming interval merge (gap <= 30min joins, > 30min splits), so the
+# drained stream must hash-match this regardless of micro-batch slicing.
+SQL_STREAM_SESSIONS = """
+WITH e AS (
+    SELECT user_id, epoch_ns(ts) AS tns FROM events
+),
+flagged AS (
+    SELECT user_id,
+           CASE WHEN lag(tns) OVER w IS NULL THEN 1
+                WHEN tns - lag(tns) OVER w > 1800000000000 THEN 1
+                ELSE 0 END AS new_sess
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns)
+)
+SELECT user_id,
+       CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM flagged GROUP BY user_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1736,12 +1886,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "stream_hourly": (q_stream_hourly, SQL_EVENTS_HOURLY),
-    "stream_sessions": (q_stream_sessions, None),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     # documents: dedup + text analysis
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_minhash_portable": (
+        q_dedup_minhash_portable, SQL_DEDUP_MINHASH_PORTABLE,
+    ),
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_clusters": (q_dedup_clusters, None),
+    "dedup_cc": (q_dedup_cc, SQL_DEDUP_CC),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),

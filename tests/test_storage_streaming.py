@@ -225,3 +225,36 @@ def test_parse_props(spark):
     got = {(r.event_id, r.props_parsed.k if r.props_parsed else None)
            for r in out.collect()}
     assert got == {(1, 42), (2, None), (3, 7)}
+
+
+def test_stream_sessions_late_event_across_batches(spark, tmp_path):
+    """r1-review hazard: events arriving in a later micro-batch with
+    earlier timestamps must not mint phantom sessions (interval state)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from dataproc_spark.extensions.streaming import stream_session_counts
+
+    MIN = 60 * 1_000_000_000
+    t0 = 1_700_000_000_000_000_000
+    d = tmp_path / "ev"
+    d.mkdir()
+    f1, f2 = d / "a.parquet", d / "b.parquet"
+    # user 1: batch 1 sees only the LAST event; the two earlier events
+    #   arrive in batch 2 -> correct answer is 2 sessions (gap 30 min)
+    # user 2: batch 1 sees two events 40 min apart (2 sessions); the
+    #   batch-2 event lands between and bridges them -> 1 session
+    pd.DataFrame(
+        {"user_id": [1, 2, 2], "ts": [t0 + 120 * MIN, t0, t0 + 40 * MIN]}
+    ).to_parquet(f1)
+    pd.DataFrame(
+        {"user_id": [1, 1, 2], "ts": [t0, t0 + 10 * MIN, t0 + 20 * MIN]}
+    ).to_parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now, now))
+    out = stream_session_counts(spark, str(d), gap_minutes=30)
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in out.collect()}
+    assert got == {1: (2, 3), 2: (1, 3)}
