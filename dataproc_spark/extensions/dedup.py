@@ -95,11 +95,19 @@ def minhash_signature(shingles_col: F.Column, num_hashes: int = 64) -> F.Column:
     intermediate arrays it allocates cost more than xxhash64 on short
     shingle strings.)
     """
+    # NB: the hash-family lambdas MUST be unary. PySpark's `transform`
+    # inspects the callable's arity, and a `lambda s, i=i:` closure-default
+    # counts as BINARY — `i` silently becomes the element-index column and
+    # every "family" collapses into the same expression (caught by the
+    # portable-family parity test; the xxhash64 path had the same latent
+    # bug). A factory function binds the family index the safe way.
+    def _family(i: int):
+        seed = F.lit(i)
+        return lambda s: F.xxhash64(s, seed)
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(shingles_col, _family(i)))
             for i in range(num_hashes)
         ]
     )
@@ -118,16 +126,15 @@ def minhash_signature_portable(
     *entire* MinHash+LSH pipeline is bit-reproducible in any engine with
     ``md5`` — it is what the cross-engine correctness gate runs.
     """
+    # unary-lambda factory — see minhash_signature for why `lambda s, i=i:`
+    # would silently bind i to the element-index column instead
+    def _family(i: int):
+        suffix = F.lit(f"#{i}")
+        return lambda s: F.md5(F.concat(s, suffix).cast("binary"))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles_col,
-                    lambda s, i=i: F.md5(
-                        F.concat(s, F.lit(f"#{i}")).cast("binary")
-                    ),
-                )
-            )
+            F.array_min(F.transform(shingles_col, _family(i)))
             for i in range(num_hashes)
         ]
     )
@@ -483,7 +490,9 @@ def bottom_k_sketch(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(tokens_col: F.Column, bits: int = 64) -> F.Column:
+def simhash(
+    tokens_col: F.Column, bits: int = 64, token_hash: str = "xxhash64"
+) -> F.Column:
     """SimHash fingerprint of a token array (Charikar 2002).
 
     Bit b of the fingerprint is the sign of Σ_tokens (±1 by bit b of the
@@ -507,6 +516,14 @@ def simhash(tokens_col: F.Column, bits: int = 64) -> F.Column:
     """
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
+    if token_hash == "md5_32":
+        # engine-portable family: the first 8 hex chars of md5(token) as a
+        # 32-bit value (any engine with md5 reproduces it — the gate's
+        # family); bits above 32 would read constant zeros
+        if bits > 32:
+            raise ValueError("md5_32 token hashes provide only 32 bits")
+    elif token_hash != "xxhash64":
+        raise ValueError(f"unknown token_hash {token_hash!r}")
 
     # 2^b bit patterns as longs; b=63 is the sign bit (2**63 itself would
     # overflow the long literal range)
@@ -519,7 +536,14 @@ def simhash(tokens_col: F.Column, bits: int = 64) -> F.Column:
     bit_idx = F.array(*[F.lit(b) for b in range(bits)])
 
     def merge(acc: F.Column, t: F.Column) -> F.Column:
-        h_bin = F.lpad(F.bin(F.xxhash64(t)), 64, "0")
+        if token_hash == "md5_32":
+            h_bin = F.lpad(
+                F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 2),
+                64,
+                "0",
+            )
+        else:
+            h_bin = F.lpad(F.bin(F.xxhash64(t)), 64, "0")
         return F.zip_with(
             acc,
             bit_idx,
@@ -545,14 +569,18 @@ def simhash(tokens_col: F.Column, bits: int = 64) -> F.Column:
 
 
 def simhash_frame(
-    df: DataFrame, content_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Per-document SimHash fingerprints; empty documents are excluded
     (no content signal — their identical zero fingerprints would pair
     every empty doc with every other)."""
     toks = tokens(content_col)
     return df.where(F.size(toks) > 0).select(
-        F.col(id_col), simhash(toks, bits).alias("simhash")
+        F.col(id_col), simhash(toks, bits, token_hash).alias("simhash")
     )
 
 
@@ -563,6 +591,7 @@ def simhash_near_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band-bucket candidates, Hamming-verify.
 
@@ -575,7 +604,7 @@ def simhash_near_pairs(
         df.repartition(parallelism, id_col)
         if df.rdd.getNumPartitions() < parallelism else df
     )
-    fps = simhash_frame(spread, content_col, id_col, bits).persist()
+    fps = simhash_frame(spread, content_col, id_col, bits, token_hash).persist()
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     banded = fps.select(

@@ -1,0 +1,105 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+Everything here is *hash-deterministic*: membership depends only on
+``md5(id + salt)``, never on partitioning, row order, or a seeded RNG, so
+
+* re-running the pipeline (or re-running it on a different cluster layout)
+  selects the identical sample — reproducible experiments and resumable
+  backfills for free;
+* train/val/test assignment is stable under corpus growth: adding new
+  documents never moves an existing document between splits (the property
+  per-partition RNG sampling like ``DataFrame.sample`` cannot give);
+* the comparisons are on lowercase-hex *strings*, so any engine with
+  ``md5`` reproduces the selection bit-for-bit (the oracle gate does).
+
+All map-side column expressions — no shuffle for sample/split, one
+window shuffle for exact-k stratified sampling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_hex(id_col: str, salt: str, chars: int = 8) -> F.Column:
+    """First ``chars`` hex chars of ``md5(id || '#' || salt)`` — a uniform
+    draw in [0, 16^chars) ordered lexicographically (fixed width)."""
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))
+              .cast("binary")),
+        1,
+        chars,
+    )
+
+
+def frac_to_hex(fraction: float, chars: int = 8) -> str:
+    """The hex-string cutoff below which a uniform hex draw falls with
+    probability ``fraction`` (floor; exact for dyadic fractions)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(int(fraction * (16 ** chars)), f"0{chars}x")
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, salt: str, fraction: float
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by content hash: map-only, no
+    shuffle, stable across runs/partitionings/corpus growth."""
+    return df.where(hash_hex(id_col, salt) < frac_to_hex(fraction))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    salt: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ),
+) -> DataFrame:
+    """Assign each row to a named split by cumulative hash ranges.
+
+    ``weights`` is an ordered (name, weight) list summing to 1; the hash
+    space is carved into consecutive ranges, so every row lands in exactly
+    one split and assignments are stable under corpus growth.
+    """
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = hash_hex(id_col, salt)
+    expr = None
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w
+        cond = h < F.lit(frac_to_hex(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last_name = weights[-1][0]
+    split = F.lit(last_name) if expr is None else expr.otherwise(last_name)
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    k: int,
+    id_col: str,
+    salt: str,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by hash order
+    (deterministic, unlike ``sampleBy``'s per-partition RNG — and exact-k,
+    which ``sampleBy`` cannot guarantee at all).
+
+    One window shuffle on the strata key; the rank filter is pushed into
+    the window's sort so Spark runs it as a partial top-k per stratum
+    (WindowGroupLimit), not a full sort of every stratum.
+    """
+    w = Window.partitionBy(*strata).orderBy(
+        hash_hex(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

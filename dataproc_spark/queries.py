@@ -36,7 +36,14 @@ from dataproc_spark.selective import (
     select_buckets,
     select_with_decay,
 )
-from dataproc_spark.extensions import dedup, simsearch, streaming, textstats
+from dataproc_spark import temporal
+from dataproc_spark.extensions import (
+    dedup,
+    sampling,
+    simsearch,
+    streaming,
+    textstats,
+)
 
 # ---------------------------------------------------------------------------
 # table access
@@ -1270,6 +1277,67 @@ GROUP BY event_type
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union + running ``last(ignorenulls)`` — one shuffle, no
+    range θ-join): each purchase gets the user's most recent click at or
+    before it. The oracle is DuckDB's *native* ASOF LEFT JOIN, so the
+    operator's semantics are pinned to an independent implementation.
+
+    The click side is pre-aggregated to one row per (user, ts) — max
+    event_id wins — making the tie case deterministic in both engines.
+    """
+    ev = _t(spark, sf_dir, "events")  # ts read as long nanoseconds
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ts")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").cast("long").alias("ts"))
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    joined = temporal.asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        right_cols=["click_id", "click_value"], suffix="_asof",
+    )
+    # emit µs, not ns: DuckDB reads TIMESTAMP(NANOS) parquet at µs
+    # precision, so raw-ns values can never hash-match. Integer `div`
+    # (never float division — doubles lose ns precision at 2^60).
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.expr("ts_asof div 1000").alias("click_ts_us"),
+        F.col("click_id_asof").alias("click_id"),
+        F.round(F.col("click_value_asof") * 100).cast("long")
+        .alias("click_value_c"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH ev AS (
+    SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type, value
+    FROM events
+),
+purchases AS (
+    SELECT event_id, user_id, tns FROM ev WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, tns, MAX(event_id) AS click_id,
+           arg_max(value, event_id) AS click_value
+    FROM ev WHERE event_type = 'click' GROUP BY user_id, tns
+)
+SELECT p.event_id, p.user_id, CAST(p.tns // 1000 AS BIGINT) AS ts_us,
+       CAST(c.tns // 1000 AS BIGINT) AS click_ts_us,
+       c.click_id,
+       CAST(round(c.click_value * 100) AS BIGINT) AS click_value_c
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.tns >= c.tns
+"""
+
+
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming variant of events_hourly (availableNow drain);
     same oracle — batch/stream parity is the assertion."""
@@ -1610,6 +1678,166 @@ WHERE losers.node IS NULL
 """
 
 
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the engine-portable md5_32 token-hash
+    family — the hash-checked twin of ``dedup_simhash``: DuckDB rebuilds
+    fingerprints bit-for-bit (hex-digit bit extraction), bands them the
+    same way, and verifies the same Hamming distances."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, bands=4, max_hamming=2,
+        token_hash="md5_32",
+    )
+
+
+SQL_DEDUP_SIMHASH_PORTABLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+counts AS (
+    SELECT doc_id,
+           list_transform(range(0, 32), j ->
+               list_aggregate(list_transform(t, tok ->
+                   CASE WHEN ((strpos('0123456789abcdef',
+                                      substr(md5(tok), 8 - (j // 4), 1)) - 1)
+                              >> (j % 4)) & 1 = 1
+                        THEN 1 ELSE -1 END), 'sum')) AS c
+    FROM toks WHERE len(t) > 0
+),
+fp AS (
+    SELECT doc_id,
+           list_aggregate(list_transform(range(0, 32), j ->
+               CASE WHEN c[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j)
+                    ELSE 0 END), 'sum') AS simhash
+    FROM counts
+),
+banded AS (
+    SELECT doc_id, simhash, b.band AS band,
+           (simhash >> (b.band * 8)) & 255 AS bval
+    FROM fp, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           l.simhash AS ha, r.simhash AS hb
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 hash ranges —
+    stable under corpus growth and cluster layout; counts per split."""
+    split_df = sampling.hash_split(
+        _t(spark, sf_dir, "documents"), "doc_id", "r2split"
+    )
+    return split_df.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# cutoffs are frac_to_hex(0.8) / frac_to_hex(0.9): floor(f * 16^8) in hex
+SQL_HASH_SPLIT = """
+WITH h AS (
+    SELECT lang,
+           substr(md5(CAST(doc_id AS VARCHAR) || '#r2split'), 1, 8) AS hx
+    FROM documents
+)
+SELECT CASE WHEN hx < 'cccccccc' THEN 'train'
+            WHEN hx < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sample (hash order): 2 documents
+    per (lang, source) cell."""
+    return sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], k=2,
+        id_col="doc_id", salt="strat",
+    ).select("doc_id", "lang", "source")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH r AS (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 8),
+                        doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT doc_id, lang, source FROM r WHERE rn <= 2
+"""
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic corpus sample (map-only, no shuffle): membership
+    depends only on md5(doc_id + salt), so reruns and corpus growth never
+    reshuffle the sample."""
+    return sampling.deterministic_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "s1", fraction=0.1
+    ).select("doc_id", "lang", "source")
+
+
+# cutoff is frac_to_hex(0.1) = floor(0.1 * 16^8) = 0x19999999
+SQL_DOC_SAMPLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#s1'), 1, 8) < '19999999'
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals aggregated per lang: duplicate-token and
+    top-bigram fractions (×1000 exact integers)."""
+    feats = textstats.repetition_features(_t(spark, sf_dir, "documents"))
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dup_token_m").alias("sum_dup_token_m"),
+        F.max("top_bigram_m").alias("max_top_bigram_m"),
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH toks AS (
+    SELECT lang,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT lang, t,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END AS b
+    FROM toks
+),
+feats AS (
+    SELECT lang,
+           CASE WHEN len(t) > 0
+                THEN ((len(t) - len(list_distinct(t))) * 1000) // len(t)
+                ELSE 0 END AS dup_token_m,
+           CASE WHEN len(t) >= 2
+                THEN (list_max(list_transform(list_distinct(b),
+                         d -> len(list_filter(b, x -> x = d)))) * 1000)
+                     // (len(t) - 1)
+                ELSE 0 END AS top_bigram_m
+    FROM bg
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup_token_m) AS BIGINT) AS sum_dup_token_m,
+       CAST(MAX(top_bigram_m) AS BIGINT) AS max_top_bigram_m
+FROM feats GROUP BY lang
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality filtering: C4/Gopher-style keep rules over the
     quality features, reported as kept/dropped counts per lang."""
@@ -1885,6 +2113,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "stream_hourly": (q_stream_hourly, SQL_EVENTS_HOURLY),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     # documents: dedup + text analysis
@@ -1894,8 +2123,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_dedup_minhash_portable, SQL_DEDUP_MINHASH_PORTABLE,
     ),
     "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_simhash_portable": (
+        q_dedup_simhash_portable, SQL_DEDUP_SIMHASH_PORTABLE,
+    ),
     "dedup_clusters": (q_dedup_clusters, None),
     "dedup_cc": (q_dedup_cc, SQL_DEDUP_CC),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),

@@ -1,0 +1,78 @@
+"""Time-ordered joins Spark lacks as built-ins: the as-of join.
+
+An as-of join attaches, to each left row, the most recent right row at or
+before the left row's timestamp (per key) — the standard enrichment join
+for event streams, quotes-vs-trades, and feature backfill in training-data
+pipelines.
+
+Scale design
+------------
+Naive formulations are range joins (``l.ts >= r.ts`` θ-join): Spark plans
+them as BroadcastNestedLoopJoin — O(|L|·|R|) and a driver OOM once neither
+side broadcasts. This implementation is the *union trick*: tag both sides,
+union them, and carry the latest right-side values forward with a
+``last(ignorenulls)`` running window per key. Cost is ONE hash shuffle on
+the key (same as any equi-join) plus a per-partition sort — no pairwise
+comparison anywhere, skew bounded by the hottest key exactly like a
+group-by. This is how kdb/pandas ``merge_asof`` semantics map onto a
+shuffle engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] | str = ("user_id",),
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_asof",
+    allow_exact: bool = True,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.on <= left.on`` (or ``<`` when ``allow_exact=False``), matching
+    on the ``by`` key columns. Left rows with no prior right row keep
+    nulls (left-join semantics).
+
+    The matched right row's ``on`` value is exposed as ``{on}{suffix}``
+    and each carried column ``c`` as ``{c}{suffix}``.
+
+    Ties *within the right side* (two right rows with identical
+    ``(by, on)``) are resolved arbitrarily — pre-aggregate the right side
+    to one row per ``(by, on)`` if that matters (the gate query does).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*by, on)]
+    carried = [f"{on}{suffix}", *[f"{c}{suffix}" for c in right_cols]]
+
+    r = right.select(
+        *by,
+        F.col(on).alias(on),
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(0).alias("_side"),
+    )
+    l = left.withColumn("_side", F.lit(1))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    # allow_exact: right rows (side 0) sort before left rows at equal ts,
+    # so an exact-ts right row is inside the left row's frame; the strict
+    # variant flips the tie order so same-ts right rows fall outside it
+    side_order = F.col("_side").asc() if allow_exact else F.col("_side").desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in carried:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return unioned.where(F.col("_side") == 1).drop("_side").select(
+        *left.columns, *carried
+    )

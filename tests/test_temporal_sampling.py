@@ -1,0 +1,227 @@
+"""Unit tests for the r2 operators: as-of join, deterministic sampling,
+portable simhash/minhash hash families, repetition signals."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataproc_spark.temporal import asof_join
+from dataproc_spark.extensions import dedup, sampling, textstats
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, "t1"), (1, 205, "t2"), (2, 50, "t3"), (3, 10, "t4")],
+        schema="user_id long, ts long, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 90, 9.0), (1, 200, 20.0), (1, 205, 21.0), (2, 60, 6.0)],
+        schema="user_id long, ts long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_basic(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="ts", by="user_id")
+    got = {r.trade: (r.ts_asof, r.px_asof) for r in out.collect()}
+    assert got == {
+        "t1": (90, 9.0),     # most recent quote before 100
+        "t2": (205, 21.0),   # exact-ts quote matches (allow_exact)
+        "t3": (None, None),  # user 2's only quote is later
+        "t4": (None, None),  # user 3 has no quotes at all
+    }
+    # left rows and columns preserved
+    assert out.count() == trades.count()
+    assert out.columns == ["user_id", "ts", "trade", "ts_asof", "px_asof"]
+
+
+def test_asof_strict(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="ts", by="user_id", allow_exact=False)
+    got = {r.trade: r.ts_asof for r in out.collect()}
+    # t2 at ts=205 must now take the ts=200 quote, not the exact-ts one
+    assert got["t2"] == 200
+    assert got["t1"] == 90
+
+
+def test_asof_right_cols_subset(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes.withColumn("junk", F.lit(1)),
+        on="ts", by="user_id", right_cols=["px"],
+    )
+    assert "junk_asof" not in out.columns and "px_asof" in out.columns
+
+
+def test_asof_plan_is_single_shuffle_no_nested_loop(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    plan = asof_join(trades, quotes)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def _md5_hex8(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()[:8]
+
+
+def test_hash_hex_matches_python_md5(spark):
+    df = spark.createDataFrame([(7,), (42,)], schema="id long")
+    got = {
+        r.id: r.h
+        for r in df.select("id", sampling.hash_hex("id", "s").alias("h")).collect()
+    }
+    assert got == {7: _md5_hex8("7#s"), 42: _md5_hex8("42#s")}
+
+
+def test_frac_to_hex():
+    assert sampling.frac_to_hex(0.0) == "00000000"
+    assert sampling.frac_to_hex(1.0) == "100000000"  # above every 8-char hex
+    assert sampling.frac_to_hex(0.5) == "80000000"
+    assert sampling.frac_to_hex(0.8) == "cccccccc"
+    with pytest.raises(ValueError):
+        sampling.frac_to_hex(1.5)
+
+
+def test_hash_split_partitions_every_row_and_is_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], schema="doc_id long")
+    out = sampling.hash_split(df, "doc_id", "salt1")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 500
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    # growth stability: the 500-row prefix of a 1000-row corpus assigns
+    # identically (property RNG-based splitting does not have)
+    big = sampling.hash_split(
+        spark.createDataFrame([(i,) for i in range(1000)], schema="doc_id long"),
+        "doc_id", "salt1",
+    )
+    small_map = {r.doc_id: r.split for r in out.collect()}
+    big_map = {r.doc_id: r.split for r in big.collect()}
+    assert all(big_map[d] == s for d, s in small_map.items())
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    df = spark.createDataFrame([(1,)], schema="doc_id long")
+    with pytest.raises(ValueError):
+        sampling.hash_split(df, "doc_id", "s", weights=[("a", 0.5), ("b", 0.1)])
+
+
+def test_deterministic_sample_reproducible(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], schema="doc_id long")
+    s1 = sorted(r.doc_id for r in sampling.deterministic_sample(df, "doc_id", "x", 0.1).collect())
+    s2 = sorted(r.doc_id for r in sampling.deterministic_sample(
+        df.repartition(7), "doc_id", "x", 0.1).collect())
+    assert s1 == s2 and 100 < len(s1) < 320  # ~10% of 2000, partition-independent
+
+
+def test_stratified_sample_exact_k(spark):
+    rows = [(i, "a" if i % 2 else "b") for i in range(100)] + [(100, "c")]
+    df = spark.createDataFrame(rows, schema="doc_id long, g string")
+    out = sampling.stratified_sample(df, ["g"], k=3, id_col="doc_id", salt="s")
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 3, "b": 3, "c": 1}  # min(k, |stratum|)
+
+
+# ---------------------------------------------------------------------------
+# portable hash families
+# ---------------------------------------------------------------------------
+
+
+def test_portable_simhash_matches_python_reference(spark):
+    """Fingerprints must equal an independent pure-Python md5_32 simhash."""
+    texts = ["the cat sat on the mat", "a b a b a b", "solo"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               schema="doc_id long, text string")
+    got = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_frame(df, bits=32, token_hash="md5_32").collect()
+    }
+
+    def py_simhash(text: str) -> int:
+        toks = [t for t in text.split() if t]
+        counts = [0] * 32
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                counts[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(32) if counts[b] > 0)
+
+    assert got == {i: py_simhash(t) for i, t in enumerate(texts)}
+
+
+def test_portable_simhash_rejects_wide_bits(spark):
+    with pytest.raises(ValueError):
+        dedup.simhash(F.col("x"), bits=48, token_hash="md5_32")
+    with pytest.raises(ValueError):
+        dedup.simhash(F.col("x"), bits=32, token_hash="sha999")
+
+
+def test_minhash_families_are_independent(spark):
+    """Regression: a binary-arity lambda once collapsed every xxhash64
+    'family' into one expression (the index column shadowed the family
+    index) — signatures were 32 copies of the same min-hash."""
+    df = spark.createDataFrame(
+        [(1, "w x y z q r s t u v")], schema="doc_id long, text string"
+    )
+    sig = dedup.minhash_frame(df, num_hashes=8, shingle_size=2).collect()[0]["_sig"]
+    assert len(set(sig)) > 1, "all hash families produced the same value"
+
+
+def test_portable_minhash_signature_matches_python(spark):
+    df = spark.createDataFrame([(1, "a b c d")], schema="doc_id long, text string")
+    sig = dedup.minhash_frame(
+        df, num_hashes=4, shingle_size=2, portable=True
+    ).collect()[0]["_sig"]
+    sh = ["a b", "b c", "c d"]
+    expected = [
+        min(hashlib.md5(f"{s}#{i}".encode()).hexdigest() for s in sh)
+        for i in range(4)
+    ]
+    assert sig == expected
+
+
+# ---------------------------------------------------------------------------
+# repetition features
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_features_fixture(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),        # all dup tokens; top bigram 'a a' = 3/3
+            (2, "w x y z"),        # no repetition
+            (3, "one"),            # too short for bigrams
+            (4, ""),               # empty
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_token_m, r.top_bigram_m)
+        for r in textstats.repetition_features(df).collect()
+    }
+    assert got == {
+        1: (750, 1000),  # 3 of 4 tokens are repeats; 'a a' is every bigram
+        2: (0, 333),     # 3 distinct bigrams, top covers 1 of 3 → 1000//3
+        3: (0, 0),
+        4: (0, 0),
+    }
+
+
+def test_repetition_distinct_bigrams(spark):
+    df = spark.createDataFrame([(2, "w x y z")], schema="doc_id long, text string")
+    r = textstats.repetition_features(df).collect()[0]
+    assert (r.dup_token_m, r.top_bigram_m) == (0, 333)

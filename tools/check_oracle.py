@@ -44,8 +44,17 @@ def normalize(rows, columns):
             return v
         return str(v)
 
+    # rows may contain NULLs (outer joins): sort on a type-tagged key so
+    # None/int/str never compare directly
+    def row_key(row):
+        return tuple(
+            (v is not None, type(v).__name__, v) if v is not None
+            else (False, "", 0)
+            for v in row
+        )
+
     return sorted(
-        tuple(norm_cell(r[i]) for i in order) for r in rows
+        (tuple(norm_cell(r[i]) for i in order) for r in rows), key=row_key
     )
 
 
