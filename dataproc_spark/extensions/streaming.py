@@ -129,6 +129,63 @@ def stream_hourly_counts(
     return spark.table(name)
 
 
+def stream_dedup_hours(
+    spark: SparkSession,
+    events_path: str,
+) -> DataFrame:
+    """Streaming deduplication: first event per (user, hour) survives —
+    ``dropDuplicates`` keyed on (user_id, hour_id) over a file stream,
+    then a running per-user count of active hours (two chained stateful
+    operators), drained with ``availableNow`` in complete mode.
+
+    The dedup state is exact (one key per (user, hour) seen); production
+    deployments bound it with ``dropDuplicatesWithinWatermark`` once keys
+    stop arriving out of horizon. The drained result must equal the batch
+    ``COUNT(DISTINCT hour)`` per user — the oracle checks exactly that, so
+    micro-batch slicing provably does not change dedup semantics.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    import os as _os
+
+    if _os.path.isfile(events_path):
+        base, fname = _os.path.split(events_path)
+        reader = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", fname)
+            .parquet(base)
+        )
+    else:
+        reader = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_path)
+        )
+    deduped = (
+        reader.withColumn(
+            "hour_id",
+            F.expr(f"(ts - pmod(ts, {NS_PER_HOUR})) div {NS_PER_HOUR}"),
+        )
+        .select("user_id", "hour_id")
+        .dropDuplicates(["user_id", "hour_id"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_active_hours"))
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_session_counts(
     spark: SparkSession,
     events_path: str,

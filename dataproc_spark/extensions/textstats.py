@@ -165,6 +165,42 @@ def repetition_features(
     return out.withColumn("top_bigram_m", top_bigram_m).drop("_top_bg")
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf/df ratio.
+
+    Relational tf-idf: explode tokens → tf per (doc, term) and df per term
+    (two hash aggregates sharing the exploded frame) → join → rank per doc
+    by the exact integer surrogate ``(tf * scale) div df`` (monotone in
+    tf·idf for ranking, bit-reproducible across engines — no log/float).
+    The per-doc rank filter runs as partial top-k below the final window.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df")
+    )
+    from pyspark.sql import Window
+
+    scored = tf.join(dfreq, "term").withColumn(
+        "score_m",
+        F.floor((F.col("tf").cast("long") * scale) / F.col("df")).cast("long"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_m").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "score_m", "rnk")
+    )
+
+
 def doc_fingerprint(col: str = "text") -> F.Column:
     """Normalization-insensitive fingerprint: md5 of lowercased,
     whitespace-collapsed text."""

@@ -1277,6 +1277,83 @@ GROUP BY event_type
 """
 
 
+def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins compaction (CDC/upsert semantics): one row per user —
+    the most recent event, ties broken by event_id. The standard merge
+    step for change streams; a window with a total tie-break order keeps
+    it deterministic on an unordered engine, and Catalyst runs the rank
+    filter as partial top-1 per partition (no full sort per user)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        )
+    )
+
+
+SQL_LATEST_PER_USER = """
+WITH r AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_ns(ts) DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT user_id, event_id, CAST(tns // 1000 AS BIGINT) AS ts_us, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_c
+FROM r WHERE rn = 1
+"""
+
+
+def q_top_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-N: the 3 highest-value events per (event_type, day).
+    Day buckets via integer division on the raw int64 nanos (no
+    timezone/float hazards); rank ties broken by event_id."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr(f"ts div {24 * 3600 * 1_000_000_000}").alias("day_id")
+    w = Window.partitionBy("event_type", "day_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("event_type", day, "event_id", "value")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "event_type",
+            "day_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_c"),
+            "rnk",
+        )
+    )
+
+
+SQL_TOP_EVENTS_DAILY = """
+WITH r AS (
+    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_id, event_id,
+           value,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type, epoch_ns(ts) // 86400000000000
+               ORDER BY value DESC, event_id ASC
+           ) AS rnk
+    FROM events
+)
+SELECT event_type, CAST(day_id AS BIGINT) AS day_id, event_id,
+       CAST(round(value * 100) AS BIGINT) AS value_c, CAST(rnk AS INTEGER) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (union + running ``last(ignorenulls)`` — one shuffle, no
     range θ-join): each purchase gets the user's most recent click at or
@@ -1838,6 +1915,169 @@ FROM feats GROUP BY lang
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicates on (user, hour) over a file stream
+    → per-user active-hour counts); oracle = batch COUNT(DISTINCT hour),
+    proving micro-batch slicing doesn't change dedup semantics."""
+    return streaming.stream_dedup_hours(spark, f"{sf_dir}/events.parquet")
+
+
+SQL_STREAM_DEDUP = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000))
+            AS BIGINT) AS n_active_hours
+FROM events GROUP BY user_id
+"""
+
+
+def q_salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe token frequency: `skew.salted_agg` two-phase aggregation
+    (groupBy (token, salt) partials → re-aggregate) for hot tokens, top-20
+    by count. The oracle computes the plain single-phase aggregate — a
+    value-exact proof that salting is semantics-preserving."""
+    from dataproc_spark import skew
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(dedup.tokens("text")).alias("token")
+    )
+    counts = skew.salted_agg(
+        toks, ["token"], {"n": F.count(F.lit(1))}, salt=8
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("token", F.col("n").cast("long").alias("n"), "rnk")
+    )
+
+
+SQL_SALTED_TOKEN_COUNTS = r"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS token
+    FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+ranked AS (
+    SELECT token, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk
+    FROM counts
+)
+SELECT token, CAST(n AS BIGINT) AS n, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 20
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document (exact-integer tf/df
+    surrogate; first 50 docs to keep the gate output bounded)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return textstats.tfidf_top_terms(docs, k=3)
+
+
+SQL_TFIDF_TOPK = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS term
+    FROM documents WHERE doc_id < 50
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           (t.tf * 1000000) // d.df AS score_m,
+           ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY (t.tf * 1000000) // d.df DESC, t.term ASC
+           ) AS rnk
+    FROM tf t JOIN dfreq d USING (term)
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_m AS BIGINT) AS score_m, CAST(rnk AS INTEGER) AS rnk
+FROM scored WHERE rnk <= 3
+"""
+
+
+def q_median_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (lower median / percentile_disc style): the
+    ((n+1) div 2)-th smallest token count per lang. Exact distributed
+    quantiles via rank-selection — deterministic, unlike approx sketches;
+    the picked *value* is tie-order independent."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select("lang", F.size(dedup.tokens("text")).alias("n_tokens"))
+    w_rank = Window.partitionBy("lang").orderBy("n_tokens")
+    w_all = Window.partitionBy("lang")
+    return (
+        feats.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w_all))
+        .where(F.col("_rn") == F.floor((F.col("_cnt") + 1) / 2))
+        .select(
+            "lang",
+            F.col("n_tokens").alias("median_tokens"),
+            F.col("_cnt").alias("n_docs"),
+        )
+    )
+
+
+SQL_MEDIAN_TOKENS = r"""
+WITH feats AS (
+    SELECT lang,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT lang, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS cnt
+    FROM feats
+)
+SELECT lang, CAST(n_tokens AS INTEGER) AS median_tokens,
+       CAST(cnt AS BIGINT) AS n_docs
+FROM ranked WHERE rn = (cnt + 1) // 2
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for LLM training batches: per-source
+    in-order char-budget bins; reports per-bin fill. The greedy walk is
+    sequential per group (applyInPandas), groups parallelize; the oracle
+    replays the walk with a recursive CTE carrying (bin, fill) state."""
+    from dataproc_spark.extensions import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    packed = packing.pack_greedy(docs, size_col="n_chars", budget=1000)
+    return packing.pack_stats(packed, size_col="n_chars")
+
+
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE d AS (
+    SELECT source, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+),
+walk AS (
+    SELECT source, n_chars, rn, CAST(0 AS BIGINT) AS bin_id,
+           CAST(n_chars AS BIGINT) AS acc
+    FROM d WHERE rn = 1
+    UNION ALL
+    SELECT d.source, d.n_chars, d.rn,
+           CASE WHEN w.acc > 0 AND w.acc + d.n_chars > 1000
+                THEN w.bin_id + 1 ELSE w.bin_id END,
+           CASE WHEN w.acc > 0 AND w.acc + d.n_chars > 1000
+                THEN CAST(d.n_chars AS BIGINT) ELSE w.acc + d.n_chars END
+    FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+)
+SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM walk GROUP BY source, bin_id
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality filtering: C4/Gopher-style keep rules over the
     quality features, reported as kept/dropped counts per lang."""
@@ -2114,8 +2354,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "latest_per_user": (q_latest_per_user, SQL_LATEST_PER_USER),
+    "top_events_daily": (q_top_events_daily, SQL_TOP_EVENTS_DAILY),
     "stream_hourly": (q_stream_hourly, SQL_EVENTS_HOURLY),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     # documents: dedup + text analysis
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, None),
@@ -2132,6 +2375,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "median_tokens": (q_median_tokens, SQL_MEDIAN_TOKENS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),

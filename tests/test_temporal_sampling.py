@@ -225,3 +225,53 @@ def test_repetition_distinct_bigrams(spark):
     df = spark.createDataFrame([(2, "w x y z")], schema="doc_id long, text string")
     r = textstats.repetition_features(df).collect()[0]
     assert (r.dup_token_m, r.top_bigram_m) == (0, 333)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_greedy_fixture(spark):
+    from dataproc_spark.extensions import packing
+
+    df = spark.createDataFrame(
+        [(1, "a", 400), (2, "a", 500), (3, "a", 200), (4, "a", 1500),
+         (5, "a", 100), (6, "b", 999)],
+        schema="doc_id long, source string, n_chars long",
+    )
+    out = packing.pack_greedy(df, size_col="n_chars", budget=1000)
+    got = {r.doc_id: r.bin_id for r in out.collect()}
+    # a: 400+500=900 | 200 then 1500 overflows -> oversized row alone | 100
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3, 6: 0}
+
+
+def test_pack_greedy_partition_independent(spark):
+    from dataproc_spark.extensions import packing
+
+    rows = [(i, f"s{i % 3}", 100 + (i * 37) % 400) for i in range(60)]
+    df = spark.createDataFrame(rows, schema="doc_id long, source string, n_chars long")
+    a = {r.doc_id: r.bin_id for r in
+         packing.pack_greedy(df, "n_chars", 700).collect()}
+    b = {r.doc_id: r.bin_id for r in
+         packing.pack_greedy(df.repartition(13), "n_chars", 700).collect()}
+    assert a == b
+
+
+def test_pack_greedy_rejects_bad_budget(spark):
+    from dataproc_spark.extensions import packing
+
+    df = spark.createDataFrame([(1, "a", 10)], schema="doc_id long, source string, n_chars long")
+    with pytest.raises(ValueError):
+        packing.pack_greedy(df, "n_chars", 0)
+
+
+def test_tfidf_rank_prefers_rare_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare rare"), (2, "common x"), (3, "common y")],
+        schema="doc_id long, text string",
+    )
+    out = textstats.tfidf_top_terms(df, k=1)
+    top = {r.doc_id: r.term for r in out.collect()}
+    # 'common' has df=3; each doc's distinctive term has df=1
+    assert top == {1: "rare", 2: "x", 3: "y"}
