@@ -37,10 +37,23 @@ def hash_hex(id_col: str, salt: str, chars: int = 8) -> F.Column:
 
 def frac_to_hex(fraction: float, chars: int = 8) -> str:
     """The hex-string cutoff below which a uniform hex draw falls with
-    probability ``fraction`` (floor; exact for dyadic fractions)."""
+    probability ``fraction`` (floor; exact for dyadic fractions).
+
+    Comparisons are *lexicographic on fixed-width hex*, so fraction 1.0
+    must NOT return the 9-char ``"1" + 8×"0"`` — that string sorts *below*
+    almost every 8-char hex ("ffffffff" < "100000000" is false
+    lexicographically). Return ``"g"`` instead: above every hex char, so
+    ``hex < "g"`` keeps everything. (Caught by a unit test; the
+    cross-engine oracle agreed with the bug because both engines shared
+    the same wrong cutoff — value-matching proves consistency, not
+    intent.)
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(int(fraction * (16 ** chars)), f"0{chars}x")
+    raw = int(fraction * (16 ** chars))
+    if raw >= 16 ** chars:
+        return "g"
+    return format(raw, f"0{chars}x")
 
 
 def deterministic_sample(
@@ -78,6 +91,32 @@ def hash_split(
     last_name = weights[-1][0]
     split = F.lit(last_name) if expr is None else expr.otherwise(last_name)
     return df.withColumn("split", split)
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str,
+    id_col: str,
+    salt: str,
+    default: float = 0.0,
+) -> DataFrame:
+    """Per-group sampling rates — the training-mixture reweighting step
+    (e.g. upsample wiki, downsample crawl). Same md5 hex-range membership
+    as ``deterministic_sample``, so the mixture is reproducible and
+    append-stable; groups absent from ``fractions`` get ``default``."""
+    h = hash_hex(id_col, salt)
+    expr = None
+    for g, f in fractions.items():
+        cond = F.col(group_col) == g
+        cut = F.lit(frac_to_hex(f))
+        expr = F.when(cond, cut) if expr is None else expr.when(cond, cut)
+    cutoff = (
+        expr.otherwise(F.lit(frac_to_hex(default)))
+        if expr is not None
+        else F.lit(frac_to_hex(default))
+    )
+    return df.where(h < cutoff)
 
 
 def stratified_sample(

@@ -1915,6 +1915,107 @@ FROM feats GROUP BY lang
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via bucket equi-join + residual filter (no
+    nested-loop θ-join): views falling in the 30 minutes after each error
+    event, counted per error (zero-preserving left join)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").cast("long").alias("start"),
+        (F.col("ts").cast("long") + 1_800_000_000_000).alias("end"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("ts").cast("long").alias("ts")
+    )
+    matched = temporal.interval_join(
+        views, errors, point_ts="ts", start_col="start", end_col="end"
+    )
+    counts = matched.groupBy("err_id").agg(
+        F.count(F.lit(1)).alias("n_views")
+    )
+    return (
+        errors.select("err_id")
+        .join(counts, "err_id", "left")
+        .select("err_id", F.coalesce("n_views", F.lit(0)).alias("n_views"))
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH err AS (
+    SELECT event_id AS err_id, epoch_ns(ts) AS s,
+           epoch_ns(ts) + 1800000000000 AS e
+    FROM events WHERE event_type = 'error'
+),
+v AS (SELECT epoch_ns(ts) AS tns FROM events WHERE event_type = 'view')
+SELECT err.err_id, CAST(COUNT(v.tns) AS BIGINT) AS n_views
+FROM err LEFT JOIN v ON v.tns >= err.s AND v.tns < err.e
+GROUP BY err.err_id
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source deterministic sampling
+    rates (e.g. upsample src0, drop most of src1), counts per source."""
+    out = sampling.mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        fractions={"src0": 1.0, "src1": 0.25, "src2": 0.5},
+        group_col="source", id_col="doc_id", salt="mix1", default=0.1,
+    )
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# cutoffs: frac_to_hex of 1.0 / 0.25 / 0.5 / 0.1 — 'g' sorts above every
+# hex char, so fraction 1.0 keeps all rows under lexicographic compare
+SQL_MIXTURE_SAMPLE = """
+WITH h AS (
+    SELECT source,
+           substr(md5(CAST(doc_id AS VARCHAR) || '#mix1'), 1, 8) AS hx
+    FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h
+WHERE hx < CASE source WHEN 'src0' THEN 'g'
+                       WHEN 'src1' THEN '40000000'
+                       WHEN 'src2' THEN '80000000'
+                       ELSE '19999999' END
+GROUP BY source
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid accumulators: posexplode the vector,
+    aggregate exact integer-quantized sums per (label, dim). The
+    distributed form of centroid computation — one hash shuffle keyed by
+    (label, dim); the caller divides sum/count for the float centroid."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("v").cast("double") * 10000).cast("long"))
+            .alias("sum_q"),
+        )
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+WITH flat AS (
+    SELECT label,
+           unnest(range(0, len(embedding))) AS dim,
+           unnest(embedding) AS v
+    FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT)
+           AS sum_q
+FROM flat GROUP BY label, dim
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (dropDuplicates on (user, hour) over a file stream
     → per-user active-hour counts); oracle = batch COUNT(DISTINCT hour),
@@ -2354,6 +2455,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "latest_per_user": (q_latest_per_user, SQL_LATEST_PER_USER),
     "top_events_daily": (q_top_events_daily, SQL_TOP_EVENTS_DAILY),
     "stream_hourly": (q_stream_hourly, SQL_EVENTS_HOURLY),
@@ -2374,6 +2476,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
@@ -2390,6 +2493,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     # embeddings: similarity search
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),

@@ -26,6 +26,55 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: Sequence[str] = (),
+    bucket_ns: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Point-in-interval join (``start <= point_ts < end``) as an
+    equi-join on coarse time buckets plus a residual range filter.
+
+    Spark plans a raw ``BETWEEN`` θ-join as BroadcastNestedLoopJoin —
+    O(|P|·|I|). Here each interval explodes into the buckets it covers
+    (``sequence(start div b, (end-1) div b)``) and points join on their
+    single bucket — a plain hash shuffle. Bucket granularity trades
+    duplication for selectivity: choose ``bucket_ns`` near the typical
+    interval length so intervals cover O(1) buckets; the residual filter
+    restores exact semantics. Keys in ``by`` ride the equi-join.
+
+    Returns matched (point, interval) pairs with all columns from both
+    sides (interval columns win name clashes only via suffix-free join —
+    keep the schemas disjoint apart from ``by``).
+    """
+    b = F.lit(bucket_ns)
+
+    def floor_div(c: F.Column) -> F.Column:
+        # floor semantics for negative epochs too (div truncates toward 0)
+        return (c - F.pmod(c, b)) / b
+
+    ivals = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                floor_div(F.col(start_col)).cast("long"),
+                floor_div(F.col(end_col) - 1).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn("_bk", floor_div(F.col(point_ts)).cast("long"))
+    cond = [pts["_bk"] == ivals["_bk"]] + [
+        pts[k] == ivals[k] for k in by
+    ]
+    joined = pts.join(ivals, cond).where(
+        (pts[point_ts] >= ivals[start_col]) & (pts[point_ts] < ivals[end_col])
+    )
+    return joined.drop("_bk")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

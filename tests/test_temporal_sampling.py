@@ -89,7 +89,9 @@ def test_hash_hex_matches_python_md5(spark):
 
 def test_frac_to_hex():
     assert sampling.frac_to_hex(0.0) == "00000000"
-    assert sampling.frac_to_hex(1.0) == "100000000"  # above every 8-char hex
+    # 'g' sorts above every hex char — the 9-char '100000000' would sort
+    # BELOW almost all 8-char hashes and silently keep ~1/16 of rows
+    assert sampling.frac_to_hex(1.0) == "g"
     assert sampling.frac_to_hex(0.5) == "80000000"
     assert sampling.frac_to_hex(0.8) == "cccccccc"
     with pytest.raises(ValueError):
@@ -275,3 +277,60 @@ def test_tfidf_rank_prefers_rare_terms(spark):
     top = {r.doc_id: r.term for r in out.collect()}
     # 'common' has df=3; each doc's distinctive term has df=1
     assert top == {1: "rare", 2: "x", 3: "y"}
+
+
+# ---------------------------------------------------------------------------
+# interval_join / mixture_sample
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_semantics(spark):
+    from dataproc_spark.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 50), (2, 100), (3, 199), (4, 200), (5, 250)],
+        schema="pid long, ts long",
+    )
+    ivals = spark.createDataFrame(
+        [(10, 100, 200), (11, 240, 260)], schema="iid long, start long, end long"
+    )
+    out = interval_join(pts, ivals, bucket_ns=64)
+    got = {(r.pid, r.iid) for r in out.collect()}
+    # start inclusive, end exclusive; intervals span multiple buckets
+    assert got == {(2, 10), (3, 10), (5, 11)}
+
+
+def test_interval_join_no_nested_loop(spark):
+    from dataproc_spark.temporal import interval_join
+
+    pts = spark.createDataFrame([(1, 50)], schema="pid long, ts long")
+    ivals = spark.createDataFrame([(10, 0, 100)], schema="iid long, start long, end long")
+    plan = interval_join(pts, ivals)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_by_keys(spark):
+    from dataproc_spark.temporal import interval_join
+
+    pts = spark.createDataFrame([(1, "u", 150), (2, "w", 150)],
+                                schema="pid long, k string, ts long")
+    ivals = spark.createDataFrame([(10, "u", 100, 200)],
+                                  schema="iid long, k string, start long, end long")
+    out = interval_join(pts, ivals, by=["k"], bucket_ns=1000)
+    assert {(r.pid, r.iid) for r in out.select("pid", "iid").collect()} == {(1, 10)}
+
+
+def test_mixture_sample_rates(spark):
+    rows = [(i, "a" if i < 1000 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, schema="doc_id long, g string")
+    out = sampling.mixture_sample(
+        df, {"a": 1.0, "b": 0.2}, group_col="g", id_col="doc_id", salt="m"
+    )
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 1000            # fraction 1.0 keeps everything
+    assert 120 < counts["b"] < 300        # ~20% of 1000
+    # default 0.0 drops unknown groups entirely
+    out2 = sampling.mixture_sample(
+        df, {"a": 0.5}, group_col="g", id_col="doc_id", salt="m"
+    )
+    assert out2.where(F.col("g") == "b").count() == 0
