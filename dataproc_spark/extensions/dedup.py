@@ -314,6 +314,41 @@ def minhash_dedup_pairs(
     return jaccard_verify(cands, sigs, id_col, threshold, scale_m=scale_m)
 
 
+def contamination_pairs(
+    train: DataFrame,
+    evalset: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, eval_id, shared) for every
+    train document sharing ≥ ``min_shared`` word ``n``-grams with an eval
+    document — the standard test-set-overlap check run before training.
+
+    Same inverted-index construction as ``ngram_jaccard_pairs`` but across
+    two corpora: explode both sides' shingle sets, equi-join on the
+    shingle (hash shuffle — never |train|×|eval|), count per pair. The
+    eval side is tiny relative to the corpus, so the join broadcasts it at
+    scale; ultra-hot shingles (boilerplate) are the skew case — drop
+    top-df shingles first, exactly as in the dedup pipeline.
+    """
+    tsh = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(shingles(tokens(content_col), n)).alias("s"),
+    )
+    esh = evalset.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(shingles(tokens(content_col), n)).alias("s"),
+    )
+    return (
+        tsh.join(esh, "s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Connected components / dedup clustering
 # ---------------------------------------------------------------------------

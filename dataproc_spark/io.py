@@ -154,6 +154,29 @@ def write_shard_results(
     return out_paths
 
 
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """Write a frame as JSON Lines — the interchange format of LLM
+    training-data pipelines (one JSON object per line, splittable, no
+    schema file needed). A plain distributed write: one part file per
+    partition; pass ``compression='gzip'`` for archive shipping (gzip
+    parts stay per-file splittable at the file level)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """Read JSON Lines. ALWAYS pass a schema in production: schema
+    inference is a full extra pass over the data at 100 TB, and inferred
+    types drift with content (an all-int file infers long where the next
+    delivery needs double). Returns columns in schema order."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def trec_frame(
     results: DataFrame,
     cutoff: int = 1000,

@@ -2179,6 +2179,138 @@ FROM walk GROUP BY source, bin_id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥2
+    3-grams with the held-out eval slice (doc_id % 100 == 0) — per train
+    doc, how many eval docs it collides with and the worst overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.where(F.col("doc_id") % 100 == 0)
+    train = docs.where(F.col("doc_id") % 100 != 0)
+    pairs = dedup.contamination_pairs(train, evalset, n=3, min_shared=2)
+    return pairs.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("shared").alias("max_shared"),
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+hits AS (
+    SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS shared
+    FROM sh tr JOIN sh ev ON tr.s = ev.s
+    WHERE tr.doc_id % 100 <> 0 AND ev.doc_id % 100 = 0
+    GROUP BY tr.doc_id, ev.doc_id
+    HAVING COUNT(*) >= 2
+)
+SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+       CAST(MAX(shared) AS BIGINT) AS max_shared
+FROM hits GROUP BY train_id
+"""
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model table: corpus-wide bigram counts with the
+    top-3 continuations per leading token (support ≥ 10). Explode →
+    partial+final hash aggregate → partial top-k per w1."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = dedup.tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    counts = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 10)
+    )
+    w = Window.partitionBy("w1").orderBy(F.col("cnt").desc(), F.col("w2").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("w1", "w2", F.col("cnt").cast("long").alias("cnt"), "rnk")
+    )
+
+
+SQL_BIGRAM_LM = r"""
+WITH toks AS (
+    SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+    FROM toks WHERE len(t) >= 2
+),
+counts AS (
+    SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS cnt
+    FROM bg GROUP BY b.w1, b.w2 HAVING COUNT(*) >= 10
+),
+ranked AS (
+    SELECT w1, w2, cnt,
+           ROW_NUMBER() OVER (
+               PARTITION BY w1 ORDER BY cnt DESC, w2 ASC
+           ) AS rnk
+    FROM counts
+)
+SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + source roundtrip (the LLM training-data interchange
+    format): write documents metadata as JSON Lines, read it back with an
+    explicit schema, aggregate. The oracle computes the same aggregate
+    straight from parquet — the roundtrip must be the identity."""
+    import tempfile
+
+    from dataproc_spark.io import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_")
+    write_jsonl(docs, out)
+    back = read_jsonl(
+        spark, out,
+        schema="doc_id long, lang string, source string, n_chars long",
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY lang, source
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality filtering: C4/Gopher-style keep rules over the
     quality features, reported as kept/dropped counts per lang."""
@@ -2484,6 +2616,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
