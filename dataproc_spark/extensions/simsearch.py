@@ -224,6 +224,73 @@ def ivf_topk(
     )
 
 
+def ivf_exact_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF top-k with *deterministic* cells and *exact-integer* centroid
+    probing — the oracle-checkable twin of :func:`ivf_topk`.
+
+    Cells come from an existing partition column (``cell_col``) instead of
+    trained KMeans, and the per-cell centroid is the truncating integer
+    division ``sum(quantized) div n`` per dimension, so the n_probe cell
+    ranking (max Σ q_d·c_d, ties by cell id) is bit-reproducible in any
+    engine — no float anywhere in the decision path. Same plan shape as
+    production IVF: tiny centroid table broadcast against queries, then an
+    equi-join on the probed cell ids for candidate generation.
+    """
+    cent = (
+        embeddings.select(
+            F.col(cell_col).alias("_cell"),
+            F.posexplode(quantize(vec_col, scale)).alias("_dim", "_cv"),
+        )
+        .groupBy("_cell", "_dim")
+        .agg(F.sum("_cv").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .withColumn("_cq", F.expr("_s div _n"))
+    )
+    qd = queries.select(
+        F.col(id_col).alias("_pqid"),
+        F.posexplode(quantize(vec_col, scale)).alias("_dim", "_qd"),
+    )
+    probe_scores = (
+        qd.join(F.broadcast(cent), "_dim")
+        .groupBy("_pqid", "_cell")
+        .agg(F.sum(F.col("_qd") * F.col("_cq")).alias("_cscore"))
+    )
+    w = Window.partitionBy("_pqid").orderBy(
+        F.col("_cscore").desc(), F.col("_cell").asc()
+    )
+    probed_cells = (
+        probe_scores.withColumn("_prnk", F.row_number().over(w))
+        .where(F.col("_prnk") <= n_probe)
+        .select("_pqid", "_cell")
+    )
+    # expand each query row to its probed cells, then reuse the bucketed
+    # candidate join (equi-join on the cell id — never a cross join)
+    probed_queries = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .join(
+            probed_cells, F.col(id_col) == F.col("_pqid")
+        )
+        .select(id_col, vec_col, F.col("_cell").alias("_probe_cell"))
+    )
+    return bucketed_topk(
+        embeddings.withColumn("_probe_cell", F.col(cell_col)),
+        probed_queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_col="_probe_cell",
+        scale=scale,
+    )
+
+
 #: corpus-size estimate (bytes) below which a flat scan beats index
 #: maintenance; above it, bucketed/IVF candidate generation pays off.
 FLAT_SCAN_BUDGET_BYTES = 256 * 1024 * 1024

@@ -2457,6 +2457,61 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") % 500 == 0)
     return simsearch.ivf_topk(emb, queries_df, k=5, cells=8)
 
+def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with deterministic label cells and exact-integer centroid
+    probing (n_probe=2) — the hash-checked twin of the KMeans `ann_ivf`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    return simsearch.ivf_exact_topk(emb, queries_df, k=5, n_probe=2)
+
+
+SQL_ANN_IVF_EXACT = """
+WITH cd AS (
+    SELECT label, vec_id,
+           unnest(range(0, len(embedding))) AS dim,
+           unnest(list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS cv
+    FROM embeddings
+),
+cent AS (
+    SELECT label, dim, SUM(cv) // COUNT(*) AS cq
+    FROM cd GROUP BY label, dim
+),
+qd AS (
+    SELECT vec_id AS qid, dim, cv AS qv FROM cd WHERE vec_id % 100 = 0
+),
+ps AS (
+    SELECT qid, label, SUM(qv * cq) AS cscore
+    FROM qd JOIN cent USING (dim) GROUP BY qid, label
+),
+probed AS (
+    SELECT qid, label FROM (
+        SELECT qid, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY cscore DESC, label ASC
+               ) AS prnk
+        FROM ps
+    ) WHERE prnk <= 2
+),
+cand AS (
+    SELECT p.qid, c.vec_id, SUM(q.qv * c.cv) AS dot_q
+    FROM probed p
+    JOIN cd c ON c.label = p.label
+    JOIN qd q ON q.qid = p.qid AND q.dim = c.dim
+    WHERE c.vec_id <> p.qid
+    GROUP BY p.qid, c.vec_id
+)
+SELECT qid, vec_id, CAST(dot_q AS BIGINT) AS dot_q, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT qid, vec_id, dot_q,
+           ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY dot_q DESC, vec_id ASC
+           ) AS rnk
+    FROM cand
+) WHERE rnk <= 5
+"""
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within a coarse bucket, exact-int scores."""
     return simsearch.near_dup_pairs(
@@ -2632,6 +2687,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
+    "ann_ivf_exact": (q_ann_ivf_exact, SQL_ANN_IVF_EXACT),
 }
 
 
