@@ -45,6 +45,11 @@ def pack_greedy(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf[size_col].isna().any():
+            raise ValueError(
+                f"pack_greedy: null {size_col!r} values in group "
+                f"{pdf[group_col].iloc[0]!r} — fill or filter them first"
+            )
         pdf = pdf.sort_values(order_col, kind="mergesort")
         bins: list[int] = []
         acc, bid = 0, 0

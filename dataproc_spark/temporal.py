@@ -72,7 +72,10 @@ def interval_join(
     joined = pts.join(ivals, cond).where(
         (pts[point_ts] >= ivals[start_col]) & (pts[point_ts] < ivals[end_col])
     )
-    return joined.drop("_bk")
+    joined = joined.drop("_bk")
+    for k in by:  # keep one copy of each join key (the point side's)
+        joined = joined.drop(ivals[k])
+    return joined
 
 
 def asof_join(
@@ -100,6 +103,12 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*by, on)]
     carried = [f"{on}{suffix}", *[f"{c}{suffix}" for c in right_cols]]
+    clash = [c for c in carried if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"left side already has column(s) {clash}; pass a different "
+            f"suffix so carried right-side columns don't collide"
+        )
 
     r = right.select(
         *by,

@@ -334,3 +334,29 @@ def test_mixture_sample_rates(spark):
         df, {"a": 0.5}, group_col="g", id_col="doc_id", salt="m"
     )
     assert out2.where(F.col("g") == "b").count() == 0
+
+
+def test_asof_rejects_column_clash(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError, match="suffix"):
+        asof_join(trades.withColumn("px_asof", F.lit(0)), quotes)
+
+
+def test_interval_join_single_key_copy(spark):
+    from dataproc_spark.temporal import interval_join
+
+    pts = spark.createDataFrame([(1, "u", 150)], schema="pid long, k string, ts long")
+    ivals = spark.createDataFrame([(10, "u", 100, 200)],
+                                  schema="iid long, k string, start long, end long")
+    out = interval_join(pts, ivals, by=["k"], bucket_ns=1000)
+    assert out.columns.count("k") == 1
+
+
+def test_pack_greedy_null_sizes_raise(spark):
+    from dataproc_spark.extensions import packing
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None)], schema="doc_id long, source string, n_chars long"
+    )
+    with pytest.raises(Exception, match="null"):
+        packing.pack_greedy(df, "n_chars", 100).collect()
