@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from dataproc_spark.core import cartesian
+from dataproc_spark.core import cartesian, maybe_broadcast
 from dataproc_spark.io import trec_frame
 from dataproc_spark.measures import num_retrieved, precision_at
 from dataproc_spark.selective import (
@@ -2358,6 +2358,134 @@ FROM feat2 GROUP BY lang
 """
 
 
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-layout roundtrip with pruning: write documents
+    partitioned by lang, read back ONE partition directory (the scan
+    touches only lang=en files — directory pruning, the 100 TB lever for
+    selective reads), aggregate. Partition values come back from directory
+    names; the oracle filters the flat parquet."""
+    import tempfile
+
+    from dataproc_spark.storage import write_partitioned
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="part_")
+    write_partitioned(docs, out, ["lang"])
+    back = spark.read.parquet(out).where(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+SQL_PARTITIONED_SCAN = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip (the other columnar interchange format
+    Spark ships native support for); aggregate must equal the parquet
+    side exactly."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="orc_")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MAX(doc_id) AS max_doc
+FROM documents GROUP BY lang
+"""
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus prep pipeline as ONE lazy plan:
+    quality filter (C4/Gopher rules) → exact dedup (min-id winner per
+    content hash) → deterministic train/val/test split → per-(split, lang)
+    corpus accounting. Composes four operator families; Catalyst fuses the
+    map-side stages, and the only shuffles are the dedup aggregate and the
+    final counts."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = textstats.quality_features(docs)
+    kept = feats.where(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 1000)
+        & (F.col("mean_tok_len_c") >= 200)
+        & (F.col("mean_tok_len_c") <= 900)
+        & (F.col("digit_ratio_m") < 300)
+    )
+    winners = dedup.exact_dedup(kept).select("doc_id")
+    deduped = kept.join(maybe_broadcast(winners), "doc_id", "left_semi")
+    split = sampling.hash_split(deduped, "doc_id", "prep")
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+SQL_CORPUS_PREP = r"""
+WITH feat AS (
+    SELECT doc_id, lang, text, n_chars, length(text) AS len_c,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+    FROM documents
+),
+feat2 AS (
+    SELECT doc_id, lang, text, n_chars, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(FLOOR(((len_c - n_tokens + 1) * 100.0) / n_tokens) AS BIGINT)
+                ELSE 0 END AS mean_tok_len_c,
+           CASE WHEN len_c > 0
+                THEN CAST(FLOOR((n_digits * 1000.0) / len_c) AS BIGINT)
+                ELSE 0 END AS digit_ratio_m
+    FROM feat
+),
+kept AS (
+    SELECT doc_id, lang, text, n_chars FROM feat2
+    WHERE n_tokens BETWEEN 10 AND 1000
+      AND mean_tok_len_c BETWEEN 200 AND 900
+      AND digit_ratio_m < 300
+),
+winners AS (
+    SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+dd AS (
+    SELECT k.doc_id, k.lang, k.n_chars
+    FROM kept k JOIN winners w ON k.doc_id = w.doc_id
+),
+sp AS (
+    SELECT lang, n_chars,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#prep'), 1, 8)
+                     < 'cccccccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#prep'), 1, 8)
+                     < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM dd
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM sp GROUP BY split, lang
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via inverted-index join."""
     return dedup.ngram_jaccard_pairs(
@@ -2670,10 +2798,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "median_tokens": (q_median_tokens, SQL_MEDIAN_TOKENS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+    "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "partitioned_scan": (q_partitioned_scan, SQL_PARTITIONED_SCAN),
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),

@@ -242,3 +242,74 @@ def test_evaluate_sweep_matches_model(spark, sc, k):
     for key in want:
         assert got[key][1] == want[key][1], (key, got[key], want[key])
         assert abs(got[key][0] - want[key][0]) < 1e-12, (key, got[key], want[key])
+
+
+# ---------------------------------------------------------------------------
+# r2 operators vs independent models
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def asof_scenario(draw):
+    n_keys = draw(st.integers(1, 3))
+    lefts, rights = [], []
+    lid = 0
+    for k in range(n_keys):
+        for _ in range(draw(st.integers(0, 5))):
+            lefts.append((k, draw(st.integers(0, 50)), lid)); lid += 1
+        for _ in range(draw(st.integers(0, 5))):
+            rights.append((k, draw(st.integers(0, 50))))
+    # dedupe right (key, ts) — ties there are documented as arbitrary
+    rights = sorted({(k, t) for k, t in rights})
+    return lefts, rights
+
+
+@given(asof_scenario())
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_python_model(spark, scn):
+    from dataproc_spark.temporal import asof_join
+
+    lefts, rights = scn
+    if not lefts or not rights:
+        return
+    ldf = spark.createDataFrame(lefts, schema="k long, ts long, lid long")
+    rdf = spark.createDataFrame(
+        [(k, t, float(t)) for k, t in rights], schema="k long, ts long, v double"
+    )
+    out = asof_join(ldf, rdf, on="ts", by="k")
+    got = {r.lid: r.ts_asof for r in out.collect()}
+
+    def model(k, ts):
+        cands = [t for (rk, t) in rights if rk == k and t <= ts]
+        return max(cands) if cands else None
+
+    assert got == {lid: model(k, ts) for k, ts, lid in lefts}
+
+
+@given(st.lists(st.integers(1, 30), min_size=0, max_size=12),
+       st.integers(10, 40))
+@settings(max_examples=12, deadline=None)
+def test_pack_greedy_matches_python_model(spark, sizes, budget):
+    from dataproc_spark.extensions import packing
+
+    if not sizes:
+        return
+    rows = [(i, "g", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, schema="doc_id long, source string, n_chars long")
+    got = {r.doc_id: r.bin_id
+           for r in packing.pack_greedy(df, "n_chars", budget).collect()}
+
+    bins, acc, bid = {}, 0, 0
+    for i, s in enumerate(sizes):
+        if acc > 0 and acc + s > budget:
+            bid, acc = bid + 1, 0
+        acc += s
+        bins[i] = bid
+    assert got == bins
+    # invariant: no bin exceeds budget unless it holds a single oversized row
+    from collections import Counter, defaultdict
+    fill = defaultdict(int); members = Counter()
+    for i, s in enumerate(sizes):
+        fill[got[i]] += s; members[got[i]] += 1
+    for b, tot in fill.items():
+        assert tot <= budget or members[b] == 1
