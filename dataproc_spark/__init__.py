@@ -27,6 +27,7 @@ from dataproc_spark.selective import (
     select_buckets,
     select_with_decay,
 )
+from dataproc_spark.temporal import asof_join, interval_join
 
 __all__ = [
     "cartesian",
@@ -43,6 +44,8 @@ __all__ = [
     "select",
     "select_buckets",
     "select_with_decay",
+    "asof_join",
+    "interval_join",
 ]
 
 __version__ = "0.1.0"
