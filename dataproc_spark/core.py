@@ -82,6 +82,21 @@ def get_spark(
 BROADCAST_HINT_BUDGET_BYTES = 256 * 1024 * 1024
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-time ``sizeInBytes`` estimate, or ``None`` when the
+    plan carries no statistics.
+
+    The single home for the private-API plumbing (``_jdf.queryExecution``)
+    and the unknown-stats sentinel test (stat-less plans report
+    ~Long.MaxValue) — callers decide their own policy for ``None``
+    (:func:`maybe_broadcast` keeps the hint because driver-local relations
+    are driver-bounded by construction; ``simsearch.choose_strategy`` runs
+    a bounded count probe), but the probe itself lives once.
+    """
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return None if size >= (1 << 60) else size
+
+
 def maybe_broadcast(
     df: DataFrame, limit_bytes: int = BROADCAST_HINT_BUDGET_BYTES
 ) -> DataFrame:
@@ -103,8 +118,8 @@ def maybe_broadcast(
     can only arrive through an *estimated* plan, while a driver-local
     relation is bounded by driver memory by construction.
     """
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if size <= limit_bytes or size >= (1 << 60):
+    size = plan_size_bytes(df)
+    if size is None or size <= limit_bytes:
         return F.broadcast(df)
     return df
 

@@ -570,20 +570,26 @@ def simhash(
     )
     bit_idx = F.array(*[F.lit(b) for b in range(bits)])
 
-    def merge(acc: F.Column, t: F.Column) -> F.Column:
+    # Hash in a separate `transform` pass, NOT inside the merge lambda:
+    # Spark's interpreted higher-order-function path does no loop-invariant
+    # hoisting, so a hash expression placed inside the per-bit zip_with
+    # would be re-evaluated once per BIT (32-64 md5/xxhash calls per
+    # token). `transform` evaluates its lambda once per token.
+    def h_bin(t: F.Column) -> F.Column:
         if token_hash == "md5_32":
-            h_bin = F.lpad(
+            return F.lpad(
                 F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 2),
                 64,
                 "0",
             )
-        else:
-            h_bin = F.lpad(F.bin(F.xxhash64(t)), 64, "0")
+        return F.lpad(F.bin(F.xxhash64(t)), 64, "0")
+
+    def merge(acc: F.Column, hb: F.Column) -> F.Column:
         return F.zip_with(
             acc,
             bit_idx,
             lambda a, b: a
-            + F.when(F.substring(h_bin, F.lit(64) - b, F.lit(1)) == "1", 1)
+            + F.when(F.substring(hb, F.lit(64) - b, F.lit(1)) == "1", 1)
             .otherwise(-1),
         )
 
@@ -599,7 +605,10 @@ def simhash(
         )
 
     return F.aggregate(
-        tokens_col, F.array_repeat(F.lit(0), bits), merge, finish
+        F.transform(tokens_col, h_bin),
+        F.array_repeat(F.lit(0), bits),
+        merge,
+        finish,
     )
 
 

@@ -31,15 +31,22 @@ def pack_greedy(
     budget: int,
     group_col: str = "source",
     order_col: str = "doc_id",
+    tie_break_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign a ``bin_id`` (0-based per group) to every row by the greedy
     in-order scan. A single row larger than ``budget`` gets its own bin
     (never dropped — the caller decides whether to truncate or filter).
-    Deterministic given (group_col, order_col): reruns produce identical
-    bins regardless of partitioning.
+    Deterministic given a TOTAL order: reruns produce identical bins
+    regardless of partitioning — which requires ``(order_col,
+    *tie_break_cols, size_col)`` to be unique within each group. If
+    duplicates exist (e.g. colliding doc_ids after a corpus union) the
+    packer raises rather than silently producing partition-dependent
+    bins, because the stable sort would otherwise preserve the
+    shuffle-dependent arrival order among ties.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    sort_keys = [order_col, *tie_break_cols, size_col]
     out_schema = StructType(
         df.schema.fields + [StructField("bin_id", LongType())]
     )
@@ -50,7 +57,14 @@ def pack_greedy(
                 f"pack_greedy: null {size_col!r} values in group "
                 f"{pdf[group_col].iloc[0]!r} — fill or filter them first"
             )
-        pdf = pdf.sort_values(order_col, kind="mergesort")
+        pdf = pdf.sort_values(sort_keys, kind="mergesort")
+        if pdf.duplicated(subset=sort_keys).any():
+            raise ValueError(
+                f"pack_greedy: duplicate {sort_keys} values in group "
+                f"{pdf[group_col].iloc[0]!r} — the greedy scan would be "
+                f"partition-order-dependent; pass tie_break_cols that "
+                f"make the order total"
+            )
         bins: list[int] = []
         acc, bid = 0, 0
         for s in pdf[size_col]:

@@ -316,10 +316,10 @@ def choose_strategy(
     sentinel, ~Long.MaxValue) fall back to a bounded count probe: one
     cheap job that stops scanning at the budget-equivalent row count.
     """
-    size = int(
-        embeddings._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
-    if size >= (1 << 60):  # stats unknown — probe instead of trusting it
+    from dataproc_spark.core import plan_size_bytes
+
+    size = plan_size_bytes(embeddings)
+    if size is None:  # stats unknown — probe instead of trusting it
         budget_rows = max(flat_budget_bytes // 512, 1)  # ~bytes per vector row
         probed = embeddings.limit(budget_rows + 1).count()
         size = probed * 512

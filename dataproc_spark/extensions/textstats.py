@@ -174,20 +174,22 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf/df ratio.
 
-    Relational tf-idf: explode tokens → tf per (doc, term) and df per term
-    (two hash aggregates sharing the exploded frame) → join → rank per doc
-    by the exact integer surrogate ``(tf * scale) div df`` (monotone in
-    tf·idf for ranking, bit-reproducible across engines — no log/float).
-    The per-doc rank filter runs as partial top-k below the final window.
+    Relational tf-idf in ONE corpus pass: explode tokens → tf per
+    (doc, term) hash aggregate, then df per term as a COUNT window over
+    that aggregate (tf has exactly one row per (doc, term), so the
+    partition row count IS the document frequency — no second scan, no
+    tf⋈df join). Ranking uses the exact integer surrogate
+    ``(tf * scale) div df`` (monotone in tf·idf, bit-reproducible across
+    engines — no log/float). The per-doc rank filter runs as partial
+    top-k below the final window.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(
-        F.count_distinct(id_col).alias("df")
-    )
     from pyspark.sql import Window
 
-    scored = tf.join(dfreq, "term").withColumn(
+    toks = df.select(F.col(id_col), F.explode(tokens(col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn(
         "score_m",
         F.floor((F.col("tf").cast("long") * scale) / F.col("df")).cast("long"),
     )

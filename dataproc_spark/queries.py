@@ -73,17 +73,33 @@ def _shard_results(li: DataFrame) -> DataFrame:
     )
 
 
+#: session-scoped memo for the persisted shard-results frame, keyed by the
+#: lineitem scan's plan text — without it, every selective query in a
+#: registry sweep would persist a FRESH copy of the identical frame and
+#: nothing would ever unpersist them, filling executor storage with
+#: duplicates for the life of the session.
+_SHARD_RESULTS_CACHE: dict[str, DataFrame] = {}
+
+
 def _shared_shard_results(li: DataFrame) -> DataFrame:
-    """The shard-results frame, persisted for reuse across plan branches.
+    """The shard-results frame, persisted ONCE per source and reused
+    across both plan branches and registry queries.
 
     Every selective pipeline derives BOTH its selection (an aggregate of
     the results) and its probe side from the same frame; without the
     persist each branch re-scans lineitem — at 100 TB that is a full extra
-    pass over the corpus. The broadcast-exchange job materializes the
-    cache, and the probe stage reads it back. (On a real cluster this is
-    where you would checkpoint the results table instead.)
+    pass over the corpus. The memo makes the persist session-scoped: six
+    selective gate queries share one cache entry instead of leaking six.
+    (On a real cluster this is where you would checkpoint the results
+    table instead.)
     """
-    return _shard_results(li).persist()
+    key = li.sparkSession.sparkContext.applicationId + "\n" + (
+        li._jdf.queryExecution().logical().toString()
+    )
+    cached = _SHARD_RESULTS_CACHE.get(key)
+    if cached is None:
+        cached = _SHARD_RESULTS_CACHE[key] = _shard_results(li).persist()
+    return cached
 
 
 def _ranked_selection_from(results: DataFrame) -> DataFrame:
@@ -1284,8 +1300,13 @@ def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     it deterministic on an unordered engine, and Catalyst runs the rank
     filter as partial top-1 per partition (no full sort per user)."""
     ev = _t(spark, sf_dir, "events")
+    # Rank on µs-floored time, not raw ns: DuckDB reads TIMESTAMP(NANOS)
+    # parquet at µs precision, so the oracle's ORDER BY compares truncated
+    # values — two events inside the same microsecond must fall through to
+    # the event_id tie-break identically in both engines.
+    ts_us = F.expr("(ts - pmod(ts, 1000)) div 1000")
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        ts_us.desc(), F.col("event_id").desc()
     )
     return (
         ev.withColumn("_rn", F.row_number().over(w))
@@ -1293,7 +1314,7 @@ def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.expr("ts div 1000").alias("ts_us"),
+            ts_us.alias("ts_us"),
             "event_type",
             F.round(F.col("value") * 100).cast("long").alias("value_c"),
         )
@@ -1317,10 +1338,12 @@ FROM r WHERE rn = 1
 
 def q_top_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-N: the 3 highest-value events per (event_type, day).
-    Day buckets via integer division on the raw int64 nanos (no
-    timezone/float hazards); rank ties broken by event_id."""
+    Day buckets via FLOOR division on the raw int64 nanos (pmod before
+    div — plain `div` truncates toward zero, which would merge day -1
+    into day 0 for pre-1970 events; DuckDB's `//` floors)."""
     ev = _t(spark, sf_dir, "events")
-    day = F.expr(f"ts div {24 * 3600 * 1_000_000_000}").alias("day_id")
+    day_ns = 24 * 3600 * 1_000_000_000
+    day = F.expr(f"(ts - pmod(ts, {day_ns})) div {day_ns}").alias("day_id")
     w = Window.partitionBy("event_type", "day_id").orderBy(
         F.col("value").desc(), F.col("event_id").asc()
     )
@@ -1364,12 +1387,19 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id wins — making the tie case deterministic in both engines.
     """
     ev = _t(spark, sf_dir, "events")  # ts read as long nanoseconds
+    # Join on µs-floored time, not raw ns: DuckDB reads TIMESTAMP(NANOS)
+    # parquet at µs precision, so the oracle's `p.tns >= c.tns` compares
+    # truncated values — a click 500 ns after a purchase within the same
+    # microsecond must match (or not) identically in both engines. Floor
+    # via pmod-before-div (exact integer math; float division would lose
+    # ns precision at 2^60, and plain `div` truncates pre-1970 epochs).
+    ts_us = F.expr("(ts - pmod(ts, 1000)) div 1000").alias("ts")
     purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").cast("long").alias("ts")
+        "event_id", "user_id", ts_us
     )
     clicks = (
         ev.where(F.col("event_type") == "click")
-        .groupBy("user_id", F.col("ts").cast("long").alias("ts"))
+        .groupBy("user_id", ts_us)
         .agg(
             F.max("event_id").alias("click_id"),
             F.max_by("value", "event_id").alias("click_value"),
@@ -1379,14 +1409,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, on="ts", by="user_id",
         right_cols=["click_id", "click_value"], suffix="_asof",
     )
-    # emit µs, not ns: DuckDB reads TIMESTAMP(NANOS) parquet at µs
-    # precision, so raw-ns values can never hash-match. Integer `div`
-    # (never float division — doubles lose ns precision at 2^60).
     return joined.select(
         "event_id",
         "user_id",
-        F.expr("ts div 1000").alias("ts_us"),
-        F.expr("ts_asof div 1000").alias("click_ts_us"),
+        F.col("ts").alias("ts_us"),
+        F.col("ts_asof").alias("click_ts_us"),
         F.col("click_id_asof").alias("click_id"),
         F.round(F.col("click_value_asof") * 100).cast("long")
         .alias("click_value_c"),
@@ -2025,10 +2052,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STREAM_DEDUP = """
 SELECT user_id,
-       CAST(COUNT(DISTINCT epoch_ns(ts) - (epoch_ns(ts) % 3600000000000))
+       CAST(COUNT(DISTINCT epoch_ns(ts) // 3600000000000)
             AS BIGINT) AS n_active_hours
 FROM events GROUP BY user_id
 """
+# DuckDB `//` FLOORS (matching the implementation's pmod-floor hour id);
+# `x - (x % N)` would truncate toward zero and merge hour -1 into hour 0
+# for pre-1970 events.
 
 
 def q_salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,7 +56,10 @@ def interval_join(
         # floor semantics for negative epochs too (div truncates toward 0)
         return (c - F.pmod(c, b)) / b
 
-    ivals = intervals.withColumn(
+    # A malformed interval (end <= start) matches nothing, but without the
+    # guard sequence(a, b) auto-steps -1 when a > b and a single bad row
+    # (swapped columns, 0 sentinel) explodes into millions of bucket rows.
+    ivals = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
         "_bk",
         F.explode(
             F.sequence(
@@ -110,11 +113,20 @@ def asof_join(
             f"suffix so carried right-side columns don't collide"
         )
 
-    r = right.select(
+    # Carry the whole right row as ONE struct so the match stays atomic:
+    # per-column last(ignorenulls) would fill a null right value from an
+    # OLDER row, fabricating a (ts, values) combination that never existed.
+    # Right rows with a null `on` are dropped — a null timestamp can never
+    # be "most recent at or before" anything (pandas merge_asof rejects
+    # them outright), and left un-dropped it would sort first and leak its
+    # values into every left row of the key.
+    r = right.where(F.col(on).isNotNull()).select(
         *by,
         F.col(on).alias(on),
-        F.col(on).alias(f"{on}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(
+            F.col(on).alias(f"{on}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        ).alias("_r"),
         F.lit(0).alias("_side"),
     )
     l = left.withColumn("_side", F.lit(1))
@@ -129,8 +141,7 @@ def asof_join(
         .orderBy(F.col(on).asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carried:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.where(F.col("_side") == 1).drop("_side").select(
-        *left.columns, *carried
+    unioned = unioned.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    return unioned.where(F.col("_side") == 1).select(
+        *left.columns, *[F.col(f"_r.{c}").alias(c) for c in carried]
     )

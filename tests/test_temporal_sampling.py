@@ -360,3 +360,66 @@ def test_pack_greedy_null_sizes_raise(spark):
     )
     with pytest.raises(Exception, match="null"):
         packing.pack_greedy(df, "n_chars", 100).collect()
+
+
+# ---------------------------------------------------------------------------
+# review regressions: torn rows, null-on leak, malformed intervals,
+# packing tie determinism
+# ---------------------------------------------------------------------------
+
+
+def test_asof_carries_rows_atomically(spark):
+    # a null right-side value must stay null in the match, not be filled
+    # from an OLDER right row (per-column last(ignorenulls) tearing)
+    right = spark.createDataFrame(
+        [(1, 100, 10, 3.0), (1, 200, 5, None)],
+        schema="k int, ts long, click_id int, v double",
+    )
+    left = spark.createDataFrame([(1, 300)], schema="k int, ts long")
+    [r] = asof_join(left, right, on="ts", by="k").collect()
+    assert (r.ts_asof, r.click_id_asof, r.v_asof) == (200, 5, None)
+
+
+def test_asof_ignores_null_right_timestamps(spark):
+    # a right row with a null `on` sorts first under asc ordering; it must
+    # be dropped, not leak its values into every left row of the key
+    right = spark.createDataFrame(
+        [(1, None, 99, 9.0), (1, 100, 10, 3.0)],
+        schema="k int, ts long, click_id int, v double",
+    )
+    left = spark.createDataFrame([(1, 50), (1, 300)], schema="k int, ts long")
+    got = {r.ts: r for r in asof_join(left, right, on="ts", by="k").collect()}
+    assert got[50].click_id_asof is None  # no prior right row at all
+    assert got[300].click_id_asof == 10
+
+
+def test_interval_join_malformed_interval_matches_nothing(spark):
+    # end <= start must yield zero buckets, not a huge descending
+    # sequence(a, b) explosion (~472k rows per bad interval)
+    from dataproc_spark.temporal import interval_join
+
+    iv = spark.createDataFrame(
+        [(1, 1_700_000_000_000_000_000, 0), (1, 0, 7_200_000_000_000)],
+        schema="k int, start long, end long",
+    )
+    pts = spark.createDataFrame([(1, 500)], schema="k int, ts long")
+    rows = interval_join(pts, iv, by=["k"]).collect()
+    assert len(rows) == 1 and rows[0]["end"] == 7_200_000_000_000
+
+
+def test_pack_greedy_rejects_ambiguous_ties(spark):
+    # duplicate (order_col, size_col) keys would make bins depend on the
+    # shuffle-dependent arrival order the stable sort preserves
+    from dataproc_spark.extensions import packing
+
+    df = spark.createDataFrame(
+        [(7, "g", 5, "a"), (7, "g", 5, "b"), (8, "g", 3, "c")],
+        schema="doc_id long, source string, n_chars long, payload string",
+    )
+    with pytest.raises(Exception, match="partition-order-dependent"):
+        packing.pack_greedy(df, "n_chars", 10).collect()
+    # a tie-break column restoring a total order makes it deterministic
+    out = packing.pack_greedy(
+        df, "n_chars", 10, tie_break_cols=("payload",)
+    ).collect()
+    assert {(r.payload, r.bin_id) for r in out} == {("a", 0), ("b", 0), ("c", 1)}
