@@ -1,0 +1,154 @@
+"""Corpus shaping for training pipelines: chunking, deterministic global
+shuffle, and inverted-index construction.
+
+These are the steps between "cleaned documents" and "training batches":
+split long documents into fixed-token training chunks, assign every
+example a reproducible shuffle position (so epoch order is stable across
+reruns and cluster layouts), and build the term → posting-list index that
+powers retrieval-style selection (the reference's shard/selective-search
+world view — ``/root/reference/dataproc/selectivesearch.py`` consumes
+per-shard retrieval results; this module covers how such an index is
+*built* at corpus scale).
+
+Scale design
+------------
+* ``chunk_documents`` is map-only: tokenize once, ``explode`` one small
+  integer range per document (number of chunks, not number of tokens),
+  slice the token array per chunk. No shuffle, no UDF; output size is the
+  input token count.
+* ``shuffle_order`` is the hash-shuffle used for training-epoch order:
+  shard by a content hash (md5 — engine-portable, append-stable) and
+  number rows *within* shards. One hash shuffle + per-shard sort — never
+  a single global sort; readers stream shards in shard order for a
+  deterministic epoch without any coordinator.
+* ``inverted_index`` is explode → hash aggregate: one shuffle on the
+  term, postings built with ``collect_list`` bounded by per-(term, doc)
+  position counts (document length), not corpus size. Hot terms are the
+  classic skew case — ``min_tf`` prunes the singleton tail and
+  stopword-class terms can be pre-filtered by the caller (or routed
+  through ``skew.salted_agg`` when counting only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataproc_spark.extensions.dedup import tokens
+from dataproc_spark.extensions.sampling import hash_hex
+
+
+def chunk_documents(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    joiner: str = " ",
+) -> DataFrame:
+    """Split each document into consecutive ``chunk_tokens``-token chunks.
+
+    Returns ``(id_col, chunk_id, chunk_text, n_tokens)`` — chunk_id is
+    0-based and consecutive per document; the final chunk may be short.
+    Empty documents (no tokens) yield zero chunks.
+
+    Map-only: the explode is over the per-document CHUNK count (length /
+    chunk_tokens), and each chunk re-joins a slice of the one token
+    array — no shuffle, no second tokenize.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    toks = tokens(col)
+    base = df.where(F.size(toks) > 0).select(
+        F.col(id_col), toks.alias("_t")
+    )
+    n_chunks = F.ceil(F.size("_t") / F.lit(chunk_tokens)).cast("int")
+    chunk = F.slice(
+        F.col("_t"),
+        F.col("chunk_id") * chunk_tokens + 1,
+        F.lit(chunk_tokens),
+    )
+    return (
+        base.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            "_t",
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(chunk, joiner).alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+        )
+    )
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic global shuffle: assign every row a ``(shard, pos)``
+    training-order coordinate from a content hash.
+
+    Readers consume shards in shard order, rows in ``pos`` order — a full
+    deterministic permutation of the corpus that is reproducible across
+    reruns and cluster layouts (hash-derived, like everything in
+    ``sampling``) and re-randomizable per epoch via ``salt``.
+
+    ``shard`` is the first hex nibbles of ``md5(id#salt)`` (so
+    ``n_shards`` must be a power of 16 divisor of the hex space: 16 or
+    256), ``pos`` numbers rows *within* a shard by hash order. One hash
+    shuffle + per-shard sort; there is never a global sort — at 100 TB a
+    single ORDER BY over the corpus is the thing this operator exists to
+    avoid.
+    """
+    if n_shards not in (16, 256):
+        raise ValueError(
+            f"n_shards must be 16 or 256 (whole hex nibbles), got {n_shards}"
+        )
+    nibbles = 1 if n_shards == 16 else 2
+    h = hash_hex(id_col, salt)
+    shard = F.conv(F.substring(h, 1, nibbles), 16, 10).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_h")
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_tf: int = 1,
+) -> DataFrame:
+    """Term → posting-list index: one row per (term, document) with the
+    term frequency and the 0-based token positions (comma-joined string —
+    engine-portable for the oracle; positions sorted numerically).
+
+    ``posexplode`` the token array → hash-aggregate on (term, doc). The
+    postings payload is bounded by document length; ``min_tf`` drops
+    low-frequency postings (singleton tail) before they are materialized.
+    """
+    if min_tf < 1:
+        raise ValueError(f"min_tf must be >= 1, got {min_tf}")
+    t = df.select(
+        F.col(id_col), F.posexplode(tokens(col)).alias("pos", "term")
+    )
+    return (
+        t.groupBy("term", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("pos")),
+                    lambda p: p.cast("string"),
+                ),
+                ",",
+            ).alias("positions"),
+        )
+        .where(F.col("tf") >= min_tf)
+    )

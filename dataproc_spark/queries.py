@@ -2743,6 +2743,98 @@ QUALIFY rnk <= 5
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking (`corpus.chunk_documents`): each doc split
+    into consecutive 64-token training chunks; map-only (explode over the
+    chunk count, not the token count). The oracle re-derives every chunk
+    via DuckDB list slicing — token boundaries, short final chunks, and
+    empty-doc exclusion all value-checked."""
+    from dataproc_spark.extensions import corpus
+
+    return corpus.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64
+    )
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+), nz AS (
+    SELECT doc_id, t, CAST(ceil(len(t) / 64.0) AS INTEGER) AS n_chunks
+    FROM toks WHERE len(t) > 0
+), ex AS (
+    SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_id FROM nz
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       array_to_string(t[(chunk_id * 64 + 1):((chunk_id + 1) * 64)], ' ')
+           AS chunk_text,
+       CAST(len(t[(chunk_id * 64 + 1):((chunk_id + 1) * 64)]) AS INTEGER)
+           AS n_tokens
+FROM ex
+"""
+
+
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (`corpus.shuffle_order`): every doc
+    gets a reproducible (shard, pos) epoch coordinate from md5 — one hash
+    shuffle + per-shard numbering, never a global sort. The oracle
+    recomputes the same permutation in DuckDB (md5 is engine-portable),
+    proving order is content-derived, not partitioning-derived."""
+    from dataproc_spark.extensions import corpus
+
+    return corpus.shuffle_order(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        id_col="doc_id",
+        salt="epoch0",
+        n_shards=16,
+    )
+
+
+SQL_SHUFFLE_ORDER = """
+WITH h AS (
+    SELECT doc_id, source,
+           substr(md5(CAST(doc_id AS VARCHAR) || '#epoch0'), 1, 8) AS hx
+    FROM documents
+)
+SELECT doc_id, source,
+       CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS INTEGER)
+           AS shard,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY substr(hx, 1, 1) ORDER BY hx, doc_id
+       ) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build (`corpus.inverted_index`): term → (doc, tf,
+    sorted 0-based positions) postings, min_tf=2 pruning the singleton
+    tail. posexplode → one hash aggregate on the term; the oracle
+    re-derives positions with generate_subscripts."""
+    from dataproc_spark.extensions import corpus
+
+    return corpus.inverted_index(
+        _t(spark, sf_dir, "documents"), min_tf=2
+    )
+
+
+SQL_INVERTED_INDEX = r"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+), toks AS (
+    SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+    FROM base
+)
+SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+       array_to_string(list_sort(list(pos)), ',') AS positions
+FROM toks GROUP BY term, doc_id HAVING COUNT(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2829,6 +2921,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),

@@ -227,3 +227,93 @@ def test_minhash_to_clusters_end_to_end(docs):
     # docs 1/2/4 are one near-dup cluster (1 kept); 3 is unrelated
     assert 3 in ids and 1 in ids
     assert 4 not in ids
+
+
+# ---------------------------------------------------------------------------
+# corpus: chunking, deterministic shuffle, inverted index
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_boundaries(spark):
+    from dataproc_spark.extensions import corpus
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "   ")],
+        schema="doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in corpus.chunk_documents(df, chunk_tokens=2).collect()
+    }
+    assert rows == {
+        (1, 0): ("a b", 2),
+        (1, 1): ("c d", 2),
+        (1, 2): ("e", 1),  # short final chunk kept
+        (2, 0): ("x", 1),
+        # doc 3 (no tokens) yields no chunks
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        corpus.chunk_documents(df, chunk_tokens=0)
+
+
+def test_shuffle_order_partition_independent(spark):
+    from dataproc_spark.extensions import corpus
+
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, schema="doc_id long, source string")
+    a = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus.shuffle_order(df.repartition(1)).collect()
+    }
+    b = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus.shuffle_order(df.repartition(7, "source")).collect()
+    }
+    assert a == b  # coordinates derive from content hash, not layout
+    # per-shard positions are contiguous 0..n-1
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, pos in a.values():
+        by_shard[shard].append(pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # different salt => different permutation
+    c = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus.shuffle_order(df, salt="epoch1").collect()
+    }
+    assert c != a
+
+
+def test_shuffle_order_rejects_bad_shard_count(spark):
+    from dataproc_spark.extensions import corpus
+
+    df = spark.createDataFrame([(1, "a")], schema="doc_id long, source string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        corpus.shuffle_order(df, n_shards=10)
+
+
+def test_inverted_index_positions(spark):
+    from dataproc_spark.extensions import corpus
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog")],
+        schema="doc_id long, text string",
+    )
+    idx = {
+        (r.term, r.doc_id): (r.tf, r.positions)
+        for r in corpus.inverted_index(df).collect()
+    }
+    assert idx[("the", 1)] == (2, "0,4")
+    assert idx[("cat", 1)] == (1, "1")
+    assert idx[("the", 2)] == (1, "0")
+    only_repeats = {
+        (r.term, r.doc_id)
+        for r in corpus.inverted_index(df, min_tf=2).collect()
+    }
+    assert only_repeats == {("the", 1)}
