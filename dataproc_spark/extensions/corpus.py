@@ -119,6 +119,55 @@ def shuffle_order(
     )
 
 
+#: PII patterns, engine-portable (valid under both Java regex and RE2 —
+#: no lookbehind, no backreferences): email addresses, IPv4 literals, and
+#: long digit runs (phone/SSN/CC shapes: 9+ chars of digits/dash/space
+#: bounded by digits).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_NUMRUN = r"\d[\d\- ]{7,}\d"
+
+
+def redact_pii(
+    df: DataFrame, col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace emails / IPv4s / long digit runs with ``<EMAIL>`` /
+    ``<IP>`` / ``<NUM>`` tokens and count each match class.
+
+    Map-only JVM-side ``regexp_replace`` chain (email → IP → digit-run,
+    so an address is tokenized before its digits could be mistaken for a
+    number run); adds ``n_emails`` / ``n_ips`` / ``n_numruns`` counted on
+    the ORIGINAL text (counts are per-pattern pre-redaction; replacements
+    cascade). This is the scrubbing *plumbing* — pattern completeness is a
+    policy decision; callers extend by chaining more ``regexp_replace``
+    steps over ``out_col``.
+    """
+    out_col = out_col or col
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(col), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_NUMRUN,
+        "<NUM>",
+    )
+
+    def n(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0)))
+
+    counts = [
+        n(PII_EMAIL).alias("n_emails"),
+        n(PII_IPV4).alias("n_ips"),
+        n(PII_NUMRUN).alias("n_numruns"),
+    ]
+    if out_col == col:
+        return df.select(
+            *[c for c in df.columns if c != col], red.alias(col), *counts
+        )
+    return df.select(*df.columns, red.alias(out_col), *counts)
+
+
 def inverted_index(
     df: DataFrame,
     col: str = "text",

@@ -2835,6 +2835,80 @@ FROM toks GROUP BY term, doc_id HAVING COUNT(*) >= 2
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (`corpus.redact_pii`): email/IPv4/digit-run tokens,
+    map-only regexp chain. Emits md5 of the redacted text (compact exact
+    comparison) + per-pattern counts; the oracle replays the same
+    engine-portable regexes in DuckDB (RE2 vs Java regex parity is the
+    thing being proven — patterns avoid lookbehind/backreferences)."""
+    from dataproc_spark.extensions import corpus
+
+    red = corpus.redact_pii(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return red.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("redacted_md5"),
+        "n_emails",
+        "n_ips",
+        "n_numruns",
+    )
+
+
+SQL_REDACT_PII = r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\d[\d\- ]{7,}\d', '<NUM>', 'g')) AS redacted_md5,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+       CAST(len(regexp_extract_all(text,
+           '\d[\d\- ]{7,}\d')) AS INTEGER) AS n_numruns
+FROM documents
+"""
+
+
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: decile buckets of document length within each
+    language (`ntile` under a total order — deterministic in any engine),
+    then per-(lang, decile) counts and length ranges. The data-ordering
+    step for curriculum / length-bucketed training schedules."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+SQL_CURRICULUM_BINS = """
+WITH b AS (
+    SELECT lang, n_chars,
+           NTILE(10) OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id
+           ) AS decile
+    FROM documents
+)
+SELECT lang, CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM b GROUP BY lang, decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2924,6 +2998,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "redact_pii": (q_redact_pii, SQL_REDACT_PII),
+    "curriculum_bins": (q_curriculum_bins, SQL_CURRICULUM_BINS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),

@@ -317,3 +317,27 @@ def test_inverted_index_positions(spark):
         for r in corpus.inverted_index(df, min_tf=2).collect()
     }
     assert only_repeats == {("the", 1)}
+
+
+def test_redact_pii_semantics(spark):
+    from dataproc_spark.extensions import corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@c.org and 10.0.0.1 and 123-456-7890 x"),
+            (2, "clean text only"),
+            (3, "ssn 123 45 6789 and card 4111-1111-1111-1111"),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in corpus.redact_pii(df).collect()}
+    assert got[1].text == "mail <EMAIL> and <IP> and <NUM> x"
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_numruns) == (1, 1, 1)
+    assert got[2].text == "clean text only"
+    assert (got[2].n_emails, got[2].n_ips, got[2].n_numruns) == (0, 0, 0)
+    assert got[3].text == "ssn <NUM> and card <NUM>"
+    assert got[3].n_numruns == 2
+    # out_col keeps the original column
+    kept = corpus.redact_pii(df, out_col="scrubbed").collect()
+    assert {r.text for r in kept} >= {"clean text only"}
+    assert all(hasattr(r, "scrubbed") for r in kept)
