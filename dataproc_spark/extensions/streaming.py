@@ -129,6 +129,126 @@ def stream_hourly_counts(
     return spark.table(name)
 
 
+def _file_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-source stream over a parquet path (single file or directory),
+    one file per micro-batch. The streaming source requires a directory;
+    a single-file path becomes parent + glob filter."""
+    import os as _os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if _os.path.isfile(events_path):
+        base, fname = _os.path.split(events_path)
+        return reader.option("pathGlobFilter", fname).parquet(base)
+    return reader.parquet(events_path)
+
+
+def _drain(df: DataFrame, mode: str, prefix: str) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a memory
+    sink and return the materialized static result."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    dim_key: str = "c_custkey",
+    dim_attr: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-static enrichment: the events stream joined to a static
+    dimension (broadcast — stateless, no join state to age out), then a
+    per-attribute aggregate.
+
+    The canonical "enrich the firehose with a dimension table" shape:
+    stream-static joins need no watermark because the static side never
+    changes within a query run; at scale the dimension is either
+    broadcast (small) or the stream is pre-bucketed on the key. Returns
+    per-``dim_attr`` event counts + value sums, drained with
+    ``availableNow`` in complete mode so the result equals the batch
+    join + aggregate (the oracle's assertion).
+    """
+    from dataproc_spark.core import maybe_broadcast
+
+    stream = _file_stream(spark, events_path)
+    d = maybe_broadcast(
+        dim.select(F.col(dim_key).alias("user_id"), F.col(dim_attr))
+    )
+    joined = stream.join(d, "user_id", "inner")
+    agg = joined.groupBy(dim_attr).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+    )
+    return _drain(agg, "complete", "enrich")
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    gap_hours: int = 1,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks in the preceding ``gap_hours`` — the attribution join, done
+    with BOTH sides streaming.
+
+    Spark requires watermarks on both sides plus a time-range join
+    condition so it can bound the buffered state (clicks older than the
+    range fall out of the join state instead of accumulating forever —
+    the thing that makes this viable on an unbounded 100 TB stream).
+    Equality on ``user_id`` keys the shuffle; the range condition prunes
+    state. Append mode: matches emit exactly once, so the drained result
+    equals the batch join (the oracle's assertion).
+    """
+    p = (
+        with_event_time(_file_stream(spark, events_path))
+        .where(F.col("event_type") == "purchase")
+        .selectExpr(
+            "user_id",
+            "event_id AS purchase_id",
+            "event_time AS p_time",
+        )
+        .withWatermark("p_time", watermark)
+    )
+    c = (
+        with_event_time(_file_stream(spark, events_path))
+        .where(F.col("event_type") == "click")
+        .selectExpr(
+            "user_id AS c_user_id",
+            "event_id AS click_id",
+            "event_time AS c_time",
+        )
+        .withWatermark("c_time", watermark)
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            f"user_id = c_user_id AND "
+            f"c_time >= p_time - INTERVAL {gap_hours} HOURS AND "
+            f"c_time <= p_time"
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("p_time") - F.unix_micros("c_time")).alias("delta_us"),
+    )
+    return _drain(joined, "append", "ssjoin")
+
+
 def stream_dedup_hours(
     spark: SparkSession,
     events_path: str,

@@ -2909,6 +2909,154 @@ FROM b GROUP BY lang, decile
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (`streaming.stream_static_enrich`): the
+    events stream joined to the broadcast customer dimension, aggregated
+    per market segment; availableNow drain must equal the batch
+    join+aggregate (the oracle)."""
+    return streaming.stream_static_enrich(
+        spark,
+        f"{sf_dir}/events.parquet",
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+SQL_STREAM_ENRICH = """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_c
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join (`streaming.stream_stream_join`):
+    purchases ⋈ same-user clicks within the preceding hour, BOTH sides
+    streaming with watermarks + a time-range condition bounding join
+    state. Append-mode drain must equal the batch join (the oracle —
+    µs-precision time arithmetic both engines)."""
+    return streaming.stream_stream_join(
+        spark, f"{sf_dir}/events.parquet", gap_hours=1
+    )
+
+
+SQL_STREAM_STREAM_JOIN = """
+WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus
+    FROM events
+)
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       CAST(p.tus - c.tus AS BIGINT) AS delta_us
+FROM ev p JOIN ev c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.tus >= p.tus - 3600000000 AND c.tus <= p.tus
+"""
+
+
+def q_events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per user, the running count/sum of events in
+    the PRECEDING HOUR of event time (``rangeBetween`` on the µs epoch —
+    a value-based frame, not a row-count frame; peers with equal
+    timestamps share one frame in both engines). The rate/rolling-feature
+    window shape that ROWS frames cannot express."""
+    ev = _t(spark, sf_dir, "events")
+    tus = F.expr("(ts - pmod(ts, 1000)) div 1000")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        tus.alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "tus",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("value_c").over(w).alias("sum_1h"),
+    )
+
+
+SQL_EVENTS_RANGE_WINDOW = """
+WITH base AS (
+    SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+           CAST(round(value * 100) AS BIGINT) AS value_c
+    FROM events
+)
+SELECT user_id, event_id, CAST(tus AS BIGINT) AS tus,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(value_c) OVER w AS BIGINT) AS sum_1h
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_cube_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (lang, source): all four aggregation
+    granularities in one pass (the OLAP materialization shape; rollup is
+    already gated — cube adds the cross-hierarchy cells)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+SQL_CUBE_DOC_STATS = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+def q_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: two parquet file sets with DIFFERENT schemas
+    (the second adds a ``lang`` column) unified by ``mergeSchema`` —
+    rows from the narrow files surface null lang. The append-only
+    corpus-growth pattern (new crawls add columns; old files stay).
+    The oracle recomputes the union from the documents view."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(tempfile.gettempdir(), f"dataproc_evo_{sf_tag}")
+    old = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+    new = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "n_chars", "lang"
+    )
+    old.write.mode("overwrite").parquet(f"{out}/old")
+    new.write.mode("overwrite").parquet(f"{out}/new")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/old", f"{out}/new"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("lang"), F.lit("<pre-schema>")).alias("lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+    )
+
+
+SQL_MERGE_SCHEMA_SCAN = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN '<pre-schema>' ELSE lang END AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2963,6 +3111,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # events / time-series / streaming
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "events_range_window": (q_events_range_window, SQL_EVENTS_RANGE_WINDOW),
+    "cube_doc_stats": (q_cube_doc_stats, SQL_CUBE_DOC_STATS),
+    "merge_schema_scan": (q_merge_schema_scan, SQL_MERGE_SCHEMA_SCAN),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
@@ -2972,6 +3123,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_hourly": (q_stream_hourly, SQL_EVENTS_HOURLY),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
+    "stream_stream_join": (q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     # documents: dedup + text analysis
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, None),

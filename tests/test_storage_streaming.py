@@ -258,3 +258,38 @@ def test_stream_sessions_late_event_across_batches(spark, tmp_path):
     out = stream_session_counts(spark, str(d), gap_minutes=30)
     got = {r.user_id: (r.n_sessions, r.n_events) for r in out.collect()}
     assert got == {1: (2, 3), 2: (1, 3)}
+
+
+def test_stream_stream_join_buffers_across_batches(spark, tmp_path):
+    """A click arriving in a LATER micro-batch than its purchase (but with
+    earlier event time) must still match: stream-stream join state buffers
+    the purchase until the watermark passes the range bound."""
+    import os
+    import time as _time
+
+    from dataproc_spark.extensions.streaming import stream_stream_join
+
+    h = 3_600_000_000_000  # 1 hour in ns
+    d = str(tmp_path / "ssj_in")
+    os.makedirs(d)
+
+    def write(fname, rows):
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+            }),
+            f"{d}/{fname}.parquet",
+        )
+
+    # batch1: the purchase (t=10h) and an out-of-range click (t=5h)
+    write("batch1", [(1, 10 * h, 7, "purchase"), (2, 5 * h, 7, "click")])
+    _time.sleep(1.1)  # file source orders micro-batches by mod time
+    # batch2: a click 30 min BEFORE the purchase, arriving after it
+    write("batch2", [(3, 10 * h - h // 2, 7, "click")])
+
+    out = stream_stream_join(spark, d, gap_hours=1).collect()
+    assert {(r.purchase_id, r.click_id) for r in out} == {(1, 3)}
+    assert out[0].delta_us == (h // 2) // 1000
