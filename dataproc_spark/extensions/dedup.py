@@ -385,20 +385,32 @@ def connected_components(
             sym.join(labels, sym.b == labels.node)
             .select(F.col("a").alias("node"), "component")
         )
+        # Each node's SELF row carries its previous label through the
+        # min-aggregate (neighbors contribute null, max ignores it), so
+        # change detection is a scan-aggregate over the checkpointed
+        # round result — NOT a new-vs-old join (which would be a second
+        # full shuffle per round on top of the propagation join).
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            labels.withColumn("_old", F.col("component"))
+            .unionByName(
+                neighbor_labels.withColumn(
+                    # null of the label type (ids may be int/long/string)
+                    "_old",
+                    F.lit(None).cast(dict(labels.dtypes)["component"]),
+                )
+            )
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("_old").alias("_old"),
+            )
+            .withColumn(
+                "_changed", (F.col("component") != F.col("_old")).cast("int")
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.max("_changed")).first()[0]
+        labels = new_labels.drop("_old", "_changed")
         if changed == 0:
             converged = True
             break
