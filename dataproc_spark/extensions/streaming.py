@@ -249,6 +249,41 @@ def stream_stream_join(
     return _drain(joined, "append", "ssjoin")
 
 
+def stream_dedup_bounded(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "1440 hours",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` evicts a dedup key once the
+    watermark passes it — state is O(keys per watermark horizon), not
+    O(keys ever seen), which is what makes streaming dedup viable on an
+    unbounded 100 TB firehose (``stream_dedup_hours``'s exact
+    ``dropDuplicates`` state grows forever).
+
+    The trade: a duplicate arriving more than ``watermark`` after its
+    twin is NOT suppressed (its key was evicted) — pinned by
+    ``tests/test_storage_streaming.py::test_bounded_dedup_evicts_state``.
+    With a horizon covering the drained file's full span the result
+    equals exact batch ``COUNT(DISTINCT hour)``, which is what the
+    oracle asserts.
+    """
+    stream = _file_stream(spark, events_path)
+    deduped = (
+        with_event_time(stream)
+        .withColumn(
+            "hour_id",
+            F.expr(f"(ts - pmod(ts, {NS_PER_HOUR})) div {NS_PER_HOUR}"),
+        )
+        .select("user_id", "hour_id", "event_time")
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "hour_id"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_active_hours"))
+    )
+    return _drain(deduped, "complete", "dedupb")
+
+
 def stream_dedup_hours(
     spark: SparkSession,
     events_path: str,
@@ -259,8 +294,9 @@ def stream_dedup_hours(
     operators), drained with ``availableNow`` in complete mode.
 
     The dedup state is exact (one key per (user, hour) seen); production
-    deployments bound it with ``dropDuplicatesWithinWatermark`` once keys
-    stop arriving out of horizon. The drained result must equal the batch
+    deployments bound it with :func:`stream_dedup_bounded`
+    (``dropDuplicatesWithinWatermark``) once keys stop arriving out of
+    horizon. The drained result must equal the batch
     ``COUNT(DISTINCT hour)`` per user — the oracle checks exactly that, so
     micro-batch slicing provably does not change dedup semantics.
     """

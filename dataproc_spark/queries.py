@@ -2061,6 +2061,17 @@ FROM events GROUP BY user_id
 # for pre-1970 events.
 
 
+def q_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (`stream_dedup_bounded`,
+    dropDuplicatesWithinWatermark): with the watermark horizon covering
+    the file's 30-day span, the drained result equals exact batch
+    COUNT(DISTINCT hour) — same oracle as `stream_dedup`; the state
+    eviction trade-off is pinned by a dedicated unit test."""
+    return streaming.stream_dedup_bounded(
+        spark, f"{sf_dir}/events.parquet", watermark="1440 hours"
+    )
+
+
 def q_salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe token frequency: `skew.salted_agg` two-phase aggregation
     (groupBy (token, salt) partials → re-aggregate) for hot tokens, top-20
@@ -3123,6 +3134,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_hourly": (q_stream_hourly, SQL_EVENTS_HOURLY),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "stream_dedup_bounded": (q_stream_dedup_bounded, SQL_STREAM_DEDUP),
     "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
     "stream_stream_join": (q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     # documents: dedup + text analysis

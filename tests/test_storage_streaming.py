@@ -293,3 +293,54 @@ def test_stream_stream_join_buffers_across_batches(spark, tmp_path):
     out = stream_stream_join(spark, d, gap_hours=1).collect()
     assert {(r.purchase_id, r.click_id) for r in out} == {(1, 3)}
     assert out[0].delta_us == (h // 2) // 1000
+
+
+def test_bounded_dedup_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: a duplicate whose twin's
+    state expired (watermark > twin + delay) but which itself is NOT late
+    (event time >= watermark) is counted AGAIN — the documented trade for
+    bounded state. Duplicates within the delay are suppressed.
+
+    Timestamps sit far from epoch 0: the INITIAL watermark is 0, and the
+    late-row filter drops anything at or below it — epoch-adjacent events
+    would vanish in the very first batch.
+    """
+    import os
+    import time as _time
+
+    from dataproc_spark.extensions.streaming import stream_dedup_bounded
+
+    m = 60_000_000_000  # 1 minute in ns
+    base = 1000 * 60 * m  # hour-aligned, far from epoch
+    d = str(tmp_path / "bdedup_in")
+    os.makedirs(d)
+
+    def write(fname, rows):
+        pq.write_table(
+            pa.table({
+                "ts": pa.array([r[0] for r in rows], type=pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            }),
+            f"{d}/{fname}.parquet",
+        )
+
+    # b1: user 1 at base (twice — in-delay dup suppressed); user 3 at
+    # base+75min advances the watermark (30 min delay) to base+45min,
+    # which expires user 1's dedup state (expiry base+30min)
+    write("batch1", [(base, 1), (base + m, 1), (base + 75 * m, 3)])
+    _time.sleep(1.1)
+    # b2: eviction commits at batch END, so an intermediate batch lets
+    # user 1's expired state actually leave the store (the row is an
+    # in-delay duplicate for user 3 — suppressed, count unchanged)
+    write("batch2", [(base + 76 * m, 3)])
+    _time.sleep(1.1)
+    # b3: same (user 1, hour) key at base+50min — newer than the
+    # watermark (not late) but its twin's state is gone: counted again
+    write("batch3", [(base + 50 * m, 1)])
+
+    out = {
+        r.user_id: r.n_active_hours
+        for r in stream_dedup_bounded(spark, d, watermark="30 minutes").collect()
+    }
+    assert out[3] == 1
+    assert out[1] == 2  # the same hour counted twice across eviction
