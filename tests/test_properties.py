@@ -313,3 +313,58 @@ def test_pack_greedy_matches_python_model(spark, sizes, budget):
         fill[got[i]] += s; members[got[i]] += 1
     for b, tot in fill.items():
         assert tot <= budget or members[b] == 1
+
+
+# ---------------------------------------------------------------------------
+# corpus shaping vs python models
+# ---------------------------------------------------------------------------
+
+_WORDS = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=0, max_size=30
+)
+
+
+@given(st.lists(_WORDS, min_size=1, max_size=5), st.integers(1, 7))
+@settings(max_examples=10, deadline=None)
+def test_chunk_documents_matches_python_model(spark, docs, k):
+    from dataproc_spark.extensions import corpus
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in corpus.chunk_documents(df, chunk_tokens=k).collect()
+    }
+    expect = {}
+    for i, ws in enumerate(docs):
+        for c in range((len(ws) + k - 1) // k):
+            part = ws[c * k : (c + 1) * k]
+            expect[(i, c)] = (" ".join(part), len(part))
+    assert got == expect
+
+
+@given(st.lists(_WORDS, min_size=1, max_size=4))
+@settings(max_examples=10, deadline=None)
+def test_inverted_index_matches_python_model(spark, docs):
+    from collections import defaultdict
+
+    from dataproc_spark.extensions import corpus
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        (r.term, r.doc_id): (r.tf, r.positions)
+        for r in corpus.inverted_index(df).collect()
+    }
+    expect = {}
+    for i, ws in enumerate(docs):
+        pos = defaultdict(list)
+        for p, w in enumerate(ws):
+            pos[w].append(p)
+        for w, ps in pos.items():
+            expect[(w, i)] = (len(ps), ",".join(str(p) for p in ps))
+    assert got == expect
