@@ -3068,6 +3068,60 @@ FROM documents GROUP BY 1
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (`graph.pagerank`) over the bipartite
+    supplier↔part graph from lineitem (both directions, distinct edges),
+    5 synchronous rounds. All-integer floor arithmetic makes the
+    iteration bit-reproducible: the oracle replays the SAME five rounds
+    as chained DuckDB CTEs — an iterative algorithm value-checked
+    cross-engine, not just rows-counted."""
+    from dataproc_spark.extensions import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    edges = li.select(s.alias("src"), p.alias("dst")).union(
+        li.select(p.alias("src"), s.alias("dst"))
+    )
+    return graph.pagerank(edges, n_iter=5)
+
+
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    base, num, den = 150000, 85, 100
+    ctes = [
+        """edges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+               'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+        UNION ALL
+        SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem
+    )
+)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(n_iter):
+        ctes.append(f"""pr{i + 1} AS (
+    SELECT n.node,
+           CAST({base} + (COALESCE(c.s, 0) * {num}) // {den} AS BIGINT) AS rank
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.rank // d.deg) AS s
+        FROM edges e
+        JOIN pr{i} p ON e.src = p.node
+        JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst
+    ) c ON n.node = c.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM pr{n_iter}"
+    )
+
+
+SQL_PAGERANK = _pagerank_oracle_sql(5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3149,6 +3203,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "dedup_clusters": (q_dedup_clusters, None),
     "dedup_cc": (q_dedup_cc, SQL_DEDUP_CC),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),

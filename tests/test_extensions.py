@@ -341,3 +341,43 @@ def test_redact_pii_semantics(spark):
     kept = corpus.redact_pii(df, out_col="scrubbed").collect()
     assert {r.text for r in kept} >= {"clean text only"}
     assert all(hasattr(r, "scrubbed") for r in kept)
+
+
+def test_pagerank_matches_python_model(spark):
+    from collections import defaultdict
+
+    from dataproc_spark.extensions import graph
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(edges, schema="src string, dst string")
+    n_iter, scale, num, den = 4, 1_000_000, 85, 100
+    got = {r.node: r.rank for r in graph.pagerank(df, n_iter=n_iter).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    deg = defaultdict(int)
+    for s, _ in set(edges):
+        deg[s] += 1
+    rank = {n: scale for n in nodes}
+    base = (scale * (den - num)) // den
+    for _ in range(n_iter):
+        s = defaultdict(int)
+        for a, b in set(edges):
+            s[b] += rank[a] // deg[a]
+        rank = {n: base + (s[n] * num) // den for n in nodes}
+    assert got == rank
+    # d has no in-edges: floor(0.15 * scale) exactly
+    assert got["d"] == base
+
+
+def test_pagerank_duplicate_edges_count_once(spark):
+    from dataproc_spark.extensions import graph
+
+    once = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], schema="src string, dst string"
+    )
+    dup = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a")], schema="src string, dst string"
+    )
+    r1 = {r.node: r.rank for r in graph.pagerank(once, n_iter=3).collect()}
+    r2 = {r.node: r.rank for r in graph.pagerank(dup, n_iter=3).collect()}
+    assert r1 == r2
