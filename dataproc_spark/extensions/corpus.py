@@ -107,6 +107,13 @@ def shuffle_order(
         raise ValueError(
             f"n_shards must be 16 or 256 (whole hex nibbles), got {n_shards}"
         )
+    clash = [c for c in ("shard", "pos", "_h") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"shuffle_order would overwrite existing column(s) {clash}; "
+            f"rename them first (withColumn silently clobbering user data "
+            f"is the failure this guard prevents)"
+        )
     nibbles = 1 if n_shards == 16 else 2
     h = hash_hex(id_col, salt)
     shard = F.conv(F.substring(h, 1, nibbles), 16, 10).cast("int")

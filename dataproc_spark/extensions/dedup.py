@@ -409,7 +409,9 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = new_labels.agg(F.max("_changed")).first()[0]
+        # empty input: max over zero rows is None — that's "no change",
+        # not "never converges"
+        changed = new_labels.agg(F.max("_changed")).first()[0] or 0
         labels = new_labels.drop("_old", "_changed")
         if changed == 0:
             converged = True

@@ -3037,12 +3037,12 @@ def q_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows from the narrow files surface null lang. The append-only
     corpus-growth pattern (new crawls add columns; old files stay).
     The oracle recomputes the union from the documents view."""
-    import os
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(tempfile.gettempdir(), f"dataproc_evo_{sf_tag}")
+    # per-run directory: a fixed shared path would let two concurrent
+    # runs overwrite each other's files mid-scan
+    out = tempfile.mkdtemp(prefix="dataproc_evo_")
     old = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
     new = docs.where(F.col("doc_id") % 2 == 1).select(
         "doc_id", "n_chars", "lang"
@@ -3052,8 +3052,13 @@ def q_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = spark.read.option("mergeSchema", "true").parquet(
         f"{out}/old", f"{out}/new"
     )
+    # label by file-set parity, NOT coalesce: a value-null lang in the
+    # wide files must stay null (the oracle's CASE keeps it null), while
+    # coalesce would fold it into the schema-absent group
     return merged.groupBy(
-        F.coalesce(F.col("lang"), F.lit("<pre-schema>")).alias("lang")
+        F.when(F.col("doc_id") % 2 == 0, F.lit("<pre-schema>"))
+        .otherwise(F.col("lang"))
+        .alias("lang")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),

@@ -381,3 +381,22 @@ def test_pagerank_duplicate_edges_count_once(spark):
     r1 = {r.node: r.rank for r in graph.pagerank(once, n_iter=3).collect()}
     r2 = {r.node: r.rank for r in graph.pagerank(dup, n_iter=3).collect()}
     assert r1 == r2
+
+
+def test_connected_components_empty_pairs(spark):
+    # max over an empty frame is None — must read as "converged", not
+    # loop to max_iter and raise
+    from dataproc_spark.extensions import dedup as _dedup
+
+    empty = spark.createDataFrame([], schema="id_a long, id_b long")
+    assert _dedup.connected_components(empty).count() == 0
+
+
+def test_shuffle_order_rejects_column_clash(spark):
+    from dataproc_spark.extensions import corpus
+
+    df = spark.createDataFrame([(1, 0)], schema="doc_id long, pos long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overwrite existing"):
+        corpus.shuffle_order(df)
