@@ -3127,6 +3127,41 @@ def _pagerank_oracle_sql(n_iter: int = 5) -> str:
 SQL_PAGERANK = _pagerank_oracle_sql(5)
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source roundtrip with RFC-4180 quoting (quoteAll +
+    doubled-quote escape): free text with spaces/punctuation must survive
+    byte-exact. Emits md5 of the text for compact exact comparison; the
+    oracle reads the same md5 straight from parquet — the roundtrip must
+    be the identity."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    (
+        docs.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    back = (
+        spark.read.schema("doc_id long, text string, lang string")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    return back.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        "lang",
+    )
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT doc_id, md5(text) AS text_md5, lang FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3229,6 +3264,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
     "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
     "partitioned_scan": (q_partitioned_scan, SQL_PARTITIONED_SCAN),
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
