@@ -3162,6 +3162,41 @@ SELECT doc_id, md5(text) AS text_md5, lang FROM documents
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join (`skew.salted_join`): lineitem ⋈ orders on the
+    order key with the left side scattered across 8 salt buckets and the
+    right side replicated into each — then aggregated per order priority.
+    The oracle computes the PLAIN join + aggregate: a value-exact proof
+    that salting is semantics-preserving (the same guarantee the
+    `salted_token_counts` gate gives for salted aggregation)."""
+    from dataproc_spark import skew
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_c"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = skew.salted_join(li, orders, on=["okey"], salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev_c").alias("sum_rev_c"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS sum_rev_c
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3250,6 +3285,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
+    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "median_tokens": (q_median_tokens, SQL_MEDIAN_TOKENS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
