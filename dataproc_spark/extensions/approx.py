@@ -44,3 +44,84 @@ def distinct_profile(
         F.count(F.lit(1)).alias("n_rows"),
         approx_distinct(value_col, rsd).alias("approx_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (deterministic, engine-portable)
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(col: Column, row: int, width: int, salt: str) -> Column:
+    """Row ``row``'s bucket for a value: md5-derived, so any engine with
+    md5 rebuilds the identical sketch (the oracle does)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(col.cast("string"), F.lit(f"#{salt}{row}"))
+                  .cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    )
+    return (h.cast("long") % width).alias("bucket")
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build a Count-Min sketch of value frequencies as a
+    ``(d, bucket, cnt)`` table — ``depth`` hash rows × ``width`` buckets.
+
+    The large-scale frequency-estimation primitive: the sketch is a
+    fixed ``depth×width`` table regardless of cardinality, merges by
+    adding counts (unlike a top-k list), and never under-counts. ONE
+    pass: each value explodes to its ``depth`` (row, bucket) cells
+    (posexplode over a length-``depth`` array, not a ``depth``-way
+    union), then a single hash aggregate. Unlike the HLL/percentile
+    wrappers above, the construction is deterministic md5 arithmetic —
+    so it IS cross-engine oracle-checkable.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    cells = F.array(
+        *[_cms_bucket(F.col(col), i, width, salt) for i in range(depth)]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.posexplode(cells).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """Estimate each item's frequency from a sketch built with the same
+    (depth, width, salt): min over the item's ``depth`` counters.
+    Estimates never under-count (collisions only inflate); the bias
+    bound is the classic 2N/width with probability 1-2^-depth.
+
+    Broadcast-joins the items' cells against the sketch (the sketch is
+    at most depth×width rows — always broadcastable by construction).
+    """
+    cells = F.array(
+        *[_cms_bucket(F.col(col), i, width, salt) for i in range(depth)]
+    )
+    probes = items.select(
+        F.col(col), F.posexplode(cells).alias("d", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -3197,6 +3197,59 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (`approx.count_min_sketch` /
+    `count_min_estimate`): build the 4×512 sketch over document tokens in
+    one pass, then estimate the 20 most frequent tokens. md5-derived
+    buckets make the sketch deterministic, so the oracle rebuilds the
+    IDENTICAL sketch in DuckDB and the estimates value-match — an
+    approximate structure with an exact cross-engine gate."""
+    from dataproc_spark.extensions import approx
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(dedup.tokens("text")).alias("token")
+    )
+    sketch = approx.count_min_sketch(toks, "token")
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+    )
+    est = approx.count_min_estimate(sketch, top.select("token"), "token")
+    return top.join(est, "token").select("token", "n", "est")
+
+
+SQL_COUNT_MIN = r"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS token
+    FROM documents
+), cells AS (
+    SELECT token, d,
+           CAST('0x' || substr(md5(token || '#cms' || CAST(d AS VARCHAR)),
+                               1, 8) AS BIGINT) % 512 AS bucket
+    FROM toks, unnest([0, 1, 2, 3]) AS u(d)
+), sketch AS (
+    SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY d, bucket
+), top AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token ASC LIMIT 20
+), probes AS (
+    SELECT t.token, t.n, u.d,
+           CAST('0x' || substr(md5(t.token || '#cms' || CAST(u.d AS VARCHAR)),
+                               1, 8) AS BIGINT) % 512 AS bucket
+    FROM top t, unnest([0, 1, 2, 3]) AS u(d)
+)
+SELECT p.token, p.n, CAST(MIN(s.cnt) AS BIGINT) AS est
+FROM probes p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+GROUP BY p.token, p.n
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3286,6 +3339,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "count_min": (q_count_min, SQL_COUNT_MIN),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "median_tokens": (q_median_tokens, SQL_MEDIAN_TOKENS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -400,3 +400,36 @@ def test_shuffle_order_rejects_column_clash(spark):
 
     with _pytest.raises(ValueError, match="overwrite existing"):
         corpus.shuffle_order(df)
+
+
+def test_count_min_never_undercounts(spark):
+    from collections import Counter
+
+    from dataproc_spark.extensions import approx
+
+    vals = ["a"] * 7 + ["b"] * 3 + ["c"] * 5 + [f"x{i}" for i in range(40)]
+    df = spark.createDataFrame([(v,) for v in vals], schema="token string")
+    exact = Counter(vals)
+
+    # narrow sketch: collisions likely — estimates must only inflate
+    sk = approx.count_min_sketch(df, "token", depth=3, width=8)
+    items = spark.createDataFrame(
+        [(t,) for t in exact], schema="token string"
+    )
+    est = {
+        r.token: r.est
+        for r in approx.count_min_estimate(
+            sk, items, "token", depth=3, width=8
+        ).collect()
+    }
+    assert all(est[t] >= n for t, n in exact.items())
+
+    # wide sketch: no collisions at this cardinality — estimates exact
+    sk2 = approx.count_min_sketch(df, "token", depth=4, width=4096)
+    est2 = {
+        r.token: r.est
+        for r in approx.count_min_estimate(
+            sk2, items, "token", depth=4, width=4096
+        ).collect()
+    }
+    assert est2 == dict(exact)
