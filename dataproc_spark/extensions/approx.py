@@ -125,3 +125,111 @@ def count_min_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (deterministic, engine-portable)
+# ---------------------------------------------------------------------------
+
+#: bits per bloom word — 63, not 64: DuckDB's `<<` raises on 1<<63
+#: (BIGINT overflow), so the portable contract keeps the sign bit clear.
+_BLOOM_WORD_BITS = 63
+
+
+def _bloom_positions(col: Column, k: int, m_bits: int, salt: str) -> Column:
+    """The k md5-derived bit positions of a value in an m_bits filter."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(col.cast("string"), F.lit(f"#{salt}{i}"))
+                            .cast("binary")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 8192,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter as a ``(word, bits)`` table — the membership
+    pre-filter for blocklists / decontamination sets too large to
+    broadcast as raw values but trivially broadcastable as a bitset
+    (``m_bits/63`` longs regardless of set size).
+
+    One pass: each value explodes to its ``k`` bit positions, positions
+    group into 63-bit words, and ``bit_or`` folds them — partial
+    aggregation means the shuffle carries at most ``m_bits/63`` rows per
+    partition. md5-derived positions make the filter bit-identical in any
+    engine (the oracle rebuilds it).
+    """
+    if m_bits < 1 or k < 1:
+        raise ValueError(f"m_bits/k must be >= 1, got {m_bits}/{k}")
+    pos = F.explode(_bloom_positions(F.col(col), k, m_bits, salt)).alias("pos")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(pos)
+        .select(
+            F.expr(f"pos div {_BLOOM_WORD_BITS}").alias("word"),
+            F.expr(f"pmod(pos, {_BLOOM_WORD_BITS})").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(bit as int)))").alias("bits")
+        )
+    )
+
+
+def bloom_may_contain(
+    bloom: DataFrame,
+    items: DataFrame,
+    col: str,
+    m_bits: int = 8192,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe a filter built by :func:`bloom_build` with the same
+    ``(m_bits, k, salt)``: adds ``may_contain`` — false is DEFINITE
+    absence (the no-false-negatives guarantee), true is presence up to
+    the false-positive rate ``(1 - e^{-kn/m})^k``.
+
+    The bitset broadcasts (≤ m_bits/63 rows); each item checks its k bits
+    with a broadcast join + conjunction — the cheap pre-filter before an
+    exact (shuffling) semi-join on the survivors.
+    """
+    pr = items.select(
+        F.col(col),
+        F.posexplode(_bloom_positions(F.col(col), k, m_bits, salt)).alias(
+            "_i", "pos"
+        ),
+    ).select(
+        col,
+        F.expr(f"pos div {_BLOOM_WORD_BITS}").alias("word"),
+        F.expr(f"pmod(pos, {_BLOOM_WORD_BITS})").alias("bit"),
+    )
+    return (
+        pr.join(F.broadcast(bloom), "word", "left")
+        .select(
+            col,
+            F.expr(
+                "shiftright(coalesce(bits, 0L), cast(bit as int)) & 1"
+            ).alias("_set"),
+        )
+        .groupBy(col)
+        .agg((F.min("_set") == 1).alias("may_contain"))
+    )

@@ -3250,6 +3250,53 @@ GROUP BY p.token, p.n
 """
 
 
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter (`approx.bloom_build` /
+    `bloom_may_contain`): the blocklist is every doc fingerprint with
+    doc_id % 7 == 0; all documents probe the 8192-bit filter. Members
+    must always test true (no false negatives); non-member results
+    reproduce exactly cross-engine because the md5 bit positions do —
+    the oracle rebuilds the identical bitset in DuckDB."""
+    from dataproc_spark.extensions import approx
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    blocked = docs.where(F.col("doc_id") % 7 == 0).select("fp")
+    bloom = approx.bloom_build(blocked, "fp")
+    probed = approx.bloom_may_contain(bloom, docs.select("fp"), "fp")
+    return (
+        docs.join(probed, "fp")
+        .select("doc_id", "may_contain")
+    )
+
+
+SQL_BLOOM_FILTER = """
+WITH docs AS (
+    SELECT doc_id, md5(text) AS fp FROM documents
+), pos AS (
+    SELECT CAST('0x' || substr(md5(fp || '#bloom' || CAST(i AS VARCHAR)),
+                               1, 8) AS BIGINT) % 8192 AS p
+    FROM docs, unnest([0, 1, 2]) AS u(i)
+    WHERE doc_id % 7 = 0
+), bloom AS (
+    SELECT p // 63 AS word, bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER))
+               AS bits
+    FROM pos GROUP BY p // 63
+), probes AS (
+    SELECT d.doc_id,
+           CAST('0x' || substr(md5(d.fp || '#bloom' || CAST(u.i AS VARCHAR)),
+                               1, 8) AS BIGINT) % 8192 AS p
+    FROM docs d, unnest([0, 1, 2]) AS u(i)
+)
+SELECT pr.doc_id,
+       CAST(MIN((COALESCE(b.bits, 0) >> CAST(pr.p % 63 AS INTEGER)) & 1) = 1
+            AS BOOLEAN) AS may_contain
+FROM probes pr LEFT JOIN bloom b ON pr.p // 63 = b.word
+GROUP BY pr.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3340,6 +3387,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "count_min": (q_count_min, SQL_COUNT_MIN),
+    "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "median_tokens": (q_median_tokens, SQL_MEDIAN_TOKENS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -433,3 +433,24 @@ def test_count_min_never_undercounts(spark):
         ).collect()
     }
     assert est2 == dict(exact)
+
+
+def test_bloom_no_false_negatives(spark):
+    from dataproc_spark.extensions import approx
+
+    members = [f"m{i}" for i in range(50)]
+    others = [f"z{i}" for i in range(200)]
+    mdf = spark.createDataFrame([(v,) for v in members], schema="v string")
+    bloom = approx.bloom_build(mdf, "v", m_bits=1024, k=3)
+    probe = spark.createDataFrame(
+        [(v,) for v in members + others], schema="v string"
+    )
+    got = {
+        r.v: r.may_contain
+        for r in approx.bloom_may_contain(
+            bloom, probe, "v", m_bits=1024, k=3
+        ).collect()
+    }
+    assert all(got[v] for v in members)  # never a false negative
+    fp = sum(got[v] for v in others)
+    assert fp < len(others) * 0.2  # ~ (1-e^{-150/1024})^3 ≈ 0.25%
