@@ -3297,6 +3297,39 @@ GROUP BY pr.doc_id
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) run through the ``spark.sql``
+    SURFACE, not the DataFrame API: the table registers as a temp view and
+    the query is a SQL string — proving the engine's second public API
+    front-end produces gate-identical plans/results. Discount bounds
+    compare on exact integer cents (`round(x*100)`), never raw float
+    thresholds."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_c,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1994-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP_NTZ '1995-01-01 00:00:00'
+          AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24
+    """)
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3327,6 +3360,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "rollup_pricing": (q_rollup_pricing, SQL_ROLLUP_PRICING),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "customers_without_orders": (
