@@ -264,8 +264,13 @@ def jaccard_verify(
     union = F.size(F.array_union("_sh_a", "_sh_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")
     if scale_m is not None:
-        jm = (inter.cast("long") * scale_m) / union.cast("long")
-        jm = F.floor(jm).cast("long")
+        # SQL `div` keeps the whole computation in 64-bit integers; a double
+        # `/` + floor is exact only while |∩|·scale_m stays below 2^53.
+        jm = F.expr(
+            f"(cast(size(array_intersect(_sh_a, _sh_b)) as bigint)"
+            f" * {int(scale_m)})"
+            f" div cast(size(array_union(_sh_a, _sh_b)) as bigint)"
+        )
         return (
             joined.withColumn("jaccard_m", jm)
             .where(F.col("jaccard_m") >= int(threshold * scale_m))

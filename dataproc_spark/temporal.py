@@ -50,11 +50,21 @@ def interval_join(
     sides (interval columns win name clashes only via suffix-free join —
     keep the schemas disjoint apart from ``by``).
     """
-    b = F.lit(bucket_ns)
+    for side, frame in (("points", points), ("intervals", intervals)):
+        if "_bk" in frame.columns:
+            raise ValueError(
+                f"{side} frame already has internal column '_bk'; rename it "
+                f"before calling interval_join"
+            )
 
-    def floor_div(c: F.Column) -> F.Column:
-        # floor semantics for negative epochs too (div truncates toward 0)
-        return (c - F.pmod(c, b)) / b
+    def floor_div(e: str) -> F.Column:
+        # Long-exact floor division.  The subtraction makes the numerator an
+        # exact nonnegative-remainder multiple of bucket_ns, and SQL `div`
+        # stays in 64-bit integer arithmetic the whole way.  A double `/`
+        # here silently misbuckets ns-epoch values (~1.7e18 > 2^53): the
+        # numerator rounds in the double domain and the long cast truncates
+        # off-by-one, so the bucket equi-join DROPS true matches.
+        return F.expr(f"((({e}) - pmod(({e}), {bucket_ns})) div {bucket_ns})")
 
     # A malformed interval (end <= start) matches nothing, but without the
     # guard sequence(a, b) auto-steps -1 when a > b and a single bad row
@@ -63,12 +73,12 @@ def interval_join(
         "_bk",
         F.explode(
             F.sequence(
-                floor_div(F.col(start_col)).cast("long"),
-                floor_div(F.col(end_col) - 1).cast("long"),
+                floor_div(f"`{start_col}`"),
+                floor_div(f"`{end_col}` - 1"),
             )
         ),
     )
-    pts = points.withColumn("_bk", floor_div(F.col(point_ts)).cast("long"))
+    pts = points.withColumn("_bk", floor_div(f"`{point_ts}`"))
     cond = [pts["_bk"] == ivals["_bk"]] + [
         pts[k] == ivals[k] for k in by
     ]
@@ -111,6 +121,13 @@ def asof_join(
         raise ValueError(
             f"left side already has column(s) {clash}; pass a different "
             f"suffix so carried right-side columns don't collide"
+        )
+    internal = [c for c in ("_side", "_r") if c in left.columns]
+    if internal:
+        raise ValueError(
+            f"left side already has internal column(s) {internal}; rename "
+            f"them before calling asof_join (they would be clobbered by the "
+            f"union-trick bookkeeping columns)"
         )
 
     # Carry the whole right row as ONE struct so the match stays atomic:

@@ -201,3 +201,84 @@ def test_hourly_agg_floor_division_negative_epochs(spark):
     )
     got = {r.hour_id: r.n_events for r in hourly_agg(ev).collect()}
     assert got == {-1: 1, 0: 1, 1: 1}
+
+
+# ---------------------------------------------------------------------------
+# histogram-based exact quantiles (r3: replaced per-group raw-row sorts)
+# ---------------------------------------------------------------------------
+
+
+def _ntile_reference(values, buckets=10):
+    """Raw-row NTILE over a sorted value list -> {bucket: (count, lo, hi)}."""
+    n = len(values)
+    vals = sorted(values)
+    q, r = divmod(n, buckets)
+    out = {}
+    pos = 0
+    for d in range(1, buckets + 1):
+        size = q + 1 if d <= r else q
+        if size == 0:
+            continue
+        chunk = vals[pos:pos + size]
+        out[d] = (len(chunk), min(chunk), max(chunk))
+        pos += size
+    return out
+
+
+def test_curriculum_bins_histogram_matches_rawrow_ntile(spark):
+    """The histogram+closed-form-boundary plan must be bit-identical to
+    NTILE over raw rows, including tie values straddling bucket edges and
+    groups smaller than the bucket count."""
+    import random
+
+    from dataproc_spark.queries import q_curriculum_bins
+
+    rng = random.Random(7)
+    rows = []
+    did = 0
+    for lang, n in (("aa", 1003), ("bb", 37), ("cc", 7), ("dd", 10)):
+        for _ in range(n):
+            did += 1
+            # few distinct values => heavy ties straddling decile edges
+            rows.append((did, lang, rng.choice([5, 5, 5, 9, 13, 40])))
+    df = spark.createDataFrame(rows, schema="doc_id long, lang string, n_chars long")
+
+    import tempfile
+    import os
+
+    d = tempfile.mkdtemp(prefix="cbins_")
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r.lang, r.decile): (r.n_docs, r.min_chars, r.max_chars)
+        for r in q_curriculum_bins(spark, d).collect()
+    }
+    by_lang = {}
+    for _, lang, c in rows:
+        by_lang.setdefault(lang, []).append(c)
+    want = {
+        (lang, d_): (cnt, lo, hi)
+        for lang, vals in by_lang.items()
+        for d_, (cnt, lo, hi) in _ntile_reference(vals).items()
+    }
+    assert got == want
+
+
+def test_quantile_plans_window_over_histogram_not_raw_rows(spark, tmp_path):
+    """The exact-quantile queries must aggregate to a value histogram
+    BEFORE any window: a Window whose child subtree has no aggregate means
+    one task sorts an entire language's raw rows — the skew scale-killer
+    this plan exists to avoid."""
+    from dataproc_spark.queries import q_curriculum_bins, q_median_tokens
+
+    df = spark.createDataFrame(
+        [(1, "aa", 10, "x y"), (2, "aa", 20, "x"), (3, "bb", 10, "y")],
+        schema="doc_id long, lang string, n_chars long, text string",
+    )
+    d = str(tmp_path / "qp")
+    df.write.parquet(d + "/documents.parquet")
+    for q in (q_median_tokens, q_curriculum_bins):
+        plan = q(spark, d)._jdf.queryExecution().executedPlan().toString()
+        assert "ntile" not in plan and "row_number" not in plan, q.__name__
+        first_window = plan.index("Window")
+        # top-down plan print: the window's child aggregate appears after it
+        assert "HashAggregate" in plan[first_window:], q.__name__

@@ -320,6 +320,65 @@ def test_interval_join_by_keys(spark):
     assert {(r.pid, r.iid) for r in out.select("pid", "iid").collect()} == {(1, 10)}
 
 
+def test_interval_join_ns_epoch_exact_above_2_53(spark):
+    """Bucket ids must come from 64-bit integer math: ns epochs (~1.7e18)
+    are above 2^53, so a double division inside the bucket expression
+    rounds the numerator and floors points into the WRONG bucket — the
+    equi-join then silently drops true (point, interval) matches. This
+    pins bucket_ns=1000 (not a power of two) at boundary-straddling
+    timestamps; the double-division implementation fails it."""
+    from dataproc_spark.temporal import interval_join
+
+    base = 1_700_000_000_123_456_000  # multiple of 1000 → a bucket boundary
+    offs = [-1001, -1000, -999, -501, -1, 0, 1, 499, 999, 1000, 1001, 2499]
+    pts_rows = [(i, base + o) for i, o in enumerate(offs)]
+    ival_rows = [
+        (100, base, base + 1000),          # exactly one bucket
+        (101, base - 1000, base),          # the bucket just below
+        (102, base + 500, base + 2500),    # straddles three buckets
+        (103, base - 499, base + 501),     # straddles the base boundary
+    ]
+    pts = spark.createDataFrame(pts_rows, schema="pid long, ts long")
+    ivals = spark.createDataFrame(
+        ival_rows, schema="iid long, start long, end long"
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(pts, ivals, bucket_ns=1000).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, ts in pts_rows
+        for iid, s, e in ival_rows
+        if s <= ts < e
+    }
+    assert got == want
+
+
+def test_interval_join_rejects_bk_clash(spark):
+    from dataproc_spark.temporal import interval_join
+
+    pts = spark.createDataFrame([(1, 50, 0)], schema="pid long, ts long, _bk long")
+    ivals = spark.createDataFrame(
+        [(10, 0, 100)], schema="iid long, start long, end long"
+    )
+    with pytest.raises(ValueError, match="_bk"):
+        interval_join(pts, ivals)
+    with pytest.raises(ValueError, match="_bk"):
+        interval_join(
+            ivals.selectExpr("iid as pid", "start as ts"),
+            ivals.withColumn("_bk", F.lit(0)),
+        )
+
+
+def test_asof_rejects_internal_column_clash(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(trades.withColumn("_side", F.lit(9)), quotes)
+    with pytest.raises(ValueError, match="_r"):
+        asof_join(trades.withColumn("_r", F.lit(9)), quotes)
+
+
 def test_mixture_sample_rates(spark):
     rows = [(i, "a" if i < 1000 else "b") for i in range(2000)]
     df = spark.createDataFrame(rows, schema="doc_id long, g string")
