@@ -57,27 +57,35 @@ def main() -> None:
 
     qs = registry.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    # per-query isolation: one broken query must report itself, not abort
+    # the harness and destroy every other timing (rounds 3/4 had rc=1 and
+    # zero performance data because events_hourly threw here)
     for name in BENCH_QUERIES:
-        fn = qs[name]
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        try:
+            df = qs[name](spark, sf_dir)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "bench_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,41 @@ def _spark_type(value) -> str:
     return "string"
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Project an event-time column to the engine's contract: int64 epoch
+    nanoseconds.
+
+    The testdata has shipped ``events.ts`` under two physical parquet
+    types: TIMESTAMP(NANOS) — which Spark surfaces as a plain long under
+    ``spark.sql.legacy.parquet.nanosAsLong`` — and ``timestamp[us]``,
+    which surfaces as TIMESTAMP_NTZ (or TIMESTAMP when isAdjustedToUTC).
+    Every downstream operator does exact integer arithmetic on nanos
+    (window ids, as-of tolerances, session gaps), so the conversion
+    happens once here and nowhere else.
+
+    The NTZ branch uses ``timestampdiff`` from the epoch literal, which is
+    timezone-independent — a naive wall-clock is interpreted as UTC, the
+    same convention DuckDB's ``epoch_ns`` uses — so results do not depend
+    on ``spark.sql.session.timeZone`` of whichever session runs us.
+    Works on streaming DataFrames too (pure projection).
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    field = next((f for f in df.schema.fields if f.name == ts_col), None)
+    if field is None or isinstance(field.dataType, LongType):
+        return df
+    if isinstance(field.dataType, TimestampNTZType):
+        ns = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" {ts_col}) * 1000"
+        )
+    elif isinstance(field.dataType, TimestampType):
+        ns = F.unix_micros(F.col(ts_col)) * F.lit(1000)
+    else:
+        return df
+    return df.withColumn(ts_col, ns.cast("long"))
+
+
 def get_spark(
     app_name: str = "dataproc_spark",
     master: str | None = None,

@@ -1,9 +1,11 @@
 """Structured Streaming operators over the events stream.
 
-The events table carries nanosecond epochs (parquet TIMESTAMP(NANOS),
-read as long under ``spark.sql.legacy.parquet.nanosAsLong``); converting
-to a proper timestamp happens inside the stream so watermarks and windows
-get real event-time semantics.
+Every operator sees ``ts`` as int64 epoch nanoseconds — ``_file_stream``
+normalizes whatever physical parquet type the source has (TIMESTAMP(NANOS)
+read as long under ``spark.sql.legacy.parquet.nanosAsLong``, or
+timestamp[us]) via :func:`dataproc_spark.core.normalize_event_ts`.
+Converting nanos to a proper timestamp happens inside the stream so
+watermarks and windows get real event-time semantics.
 
 Batch/stream parity: ``hourly_agg`` is the shared transformation; the
 batch path applies it to a static frame, the streaming path to a
@@ -103,13 +105,18 @@ def _file_stream(spark: SparkSession, events_path: str) -> DataFrame:
     a single-file path becomes parent + glob filter."""
     import os as _os
 
+    from dataproc_spark.core import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
     if _os.path.isfile(events_path):
         base, fname = _os.path.split(events_path)
-        return reader.option("pathGlobFilter", fname).parquet(base)
-    return reader.parquet(events_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(base)
+    else:
+        stream = reader.parquet(events_path)
+    # whatever the physical ts type, downstream operators see int64 nanos
+    return normalize_event_ts(stream)
 
 
 def _drain(df: DataFrame, mode: str, prefix: str) -> DataFrame:

@@ -51,8 +51,15 @@ from dataproc_spark.extensions import (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); read as long nanoseconds
+        # events.ts arrives as long nanos (parquet TIMESTAMP(NANOS) under
+        # nanosAsLong) or as a timestamp type (timestamp[us] testdata);
+        # normalize_event_ts projects either to the int64-nanos contract.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from dataproc_spark.core import normalize_event_ts
+
+        return normalize_event_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

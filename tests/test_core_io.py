@@ -139,3 +139,129 @@ def test_trec_frame_and_sink(spark, tmp_path):
     assert [l[0] for l in lines] == ["0", "0", "1", "1"]
     assert [l[3] for l in lines] == ["0", "1", "0", "1"]
     assert all(l[1] == "Q0" and l[5] == "null" for l in lines)
+
+
+# ---------------------------------------------------------------------------
+# testdata schema contract
+# ---------------------------------------------------------------------------
+
+#: Expected dtype per column for every driver-generated table. `ts`-like
+#: columns accept any of the physical types the testdata has shipped
+#: (TIMESTAMP(NANOS)-as-long under nanosAsLong, timestamp, timestamp_ntz)
+#: because normalize_event_ts projects them all to long nanos; everything
+#: else is pinned exactly. The round-4 ns→µs drift went unseen for a full
+#: round precisely because no test loaded the real parquet files.
+_TESTDATA_CONTRACT = {
+    "region": {"r_regionkey": {"int"}, "r_name": {"string"}},
+    "nation": {
+        "n_nationkey": {"int"},
+        "n_name": {"string"},
+        "n_regionkey": {"int"},
+    },
+    "customer": {
+        "c_custkey": {"bigint"},
+        "c_name": {"string"},
+        "c_nationkey": {"int"},
+        "c_acctbal": {"double"},
+        "c_mktsegment": {"string"},
+    },
+    "supplier": {
+        "s_suppkey": {"bigint"},
+        "s_name": {"string"},
+        "s_nationkey": {"int"},
+        "s_acctbal": {"double"},
+    },
+    "part": {
+        "p_partkey": {"bigint"},
+        "p_name": {"string"},
+        "p_brand": {"string"},
+        "p_type": {"string"},
+        "p_size": {"int"},
+        "p_retailprice": {"double"},
+    },
+    "orders": {
+        "o_orderkey": {"bigint"},
+        "o_custkey": {"bigint"},
+        "o_orderstatus": {"string"},
+        "o_totalprice": {"double"},
+        "o_orderdate": {"timestamp", "timestamp_ntz"},
+        "o_orderpriority": {"string"},
+    },
+    "lineitem": {
+        "l_orderkey": {"bigint"},
+        "l_partkey": {"bigint"},
+        "l_suppkey": {"bigint"},
+        "l_linenumber": {"int"},
+        "l_quantity": {"double"},
+        "l_extendedprice": {"double"},
+        "l_discount": {"double"},
+        "l_tax": {"double"},
+        "l_returnflag": {"string"},
+        "l_linestatus": {"string"},
+        "l_shipdate": {"timestamp", "timestamp_ntz"},
+    },
+    "events": {
+        "event_id": {"bigint"},
+        "ts": {"bigint", "timestamp", "timestamp_ntz"},
+        "user_id": {"bigint"},
+        "event_type": {"string"},
+        "value": {"double"},
+        "props": {"string"},
+    },
+    "documents": {
+        "doc_id": {"bigint"},
+        "text": {"string"},
+        "lang": {"string"},
+        "source": {"string"},
+        "n_chars": {"bigint"},
+    },
+    "embeddings": {
+        "vec_id": {"bigint"},
+        "embedding": {"array<float>"},
+        "label": {"int"},
+    },
+}
+
+_SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SF_DIR), reason="driver testdata not present"
+)
+def test_testdata_schema_contract(spark):
+    """Load every real driver-generated table and pin its dtypes — drift
+    in the testdata's physical types must fail loudly here, not surface as
+    AnalysisExceptions scattered across the registry."""
+    for table, expected in _TESTDATA_CONTRACT.items():
+        df = spark.read.parquet(f"{_SF_DIR}/{table}.parquet")
+        actual = dict(df.dtypes)
+        assert set(actual) == set(expected), (
+            f"{table}: columns {sorted(actual)} != {sorted(expected)}"
+        )
+        for col, allowed in expected.items():
+            assert actual[col] in allowed, (
+                f"{table}.{col}: dtype {actual[col]!r} not in {sorted(allowed)}"
+            )
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SF_DIR), reason="driver testdata not present"
+)
+def test_events_ts_normalized_to_long_nanos(spark):
+    """The registry's events access path must yield int64 nanos regardless
+    of the parquet physical type, matching DuckDB's epoch_ns convention."""
+    import duckdb
+
+    from dataproc_spark.queries import _t
+
+    ev = _t(spark, _SF_DIR, "events")
+    assert dict(ev.dtypes)["ts"] == "bigint"
+    got = [r.ts for r in ev.orderBy("ts").limit(3).collect()]
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT epoch_ns(ts) AS ns FROM read_parquet("
+            f"'{_SF_DIR}/events.parquet') ORDER BY ns LIMIT 3"
+        ).fetchall()
+    ]
+    assert got == want

@@ -278,7 +278,10 @@ def test_quantile_plans_window_over_histogram_not_raw_rows(spark, tmp_path):
     df.write.parquet(d + "/documents.parquet")
     for q in (q_median_tokens, q_curriculum_bins):
         plan = q(spark, d)._jdf.queryExecution().executedPlan().toString()
-        assert "ntile" not in plan and "row_number" not in plan, q.__name__
+        # match the expression forms "ntile(" / "row_number(" — the bare
+        # substring "ntile" also matches the tmp_path FileScan node when
+        # pytest derives the directory from this test's name ("...quantile...")
+        assert "ntile(" not in plan and "row_number(" not in plan, q.__name__
         first_window = plan.index("Window")
         # top-down plan print: the window's child aggregate appears after it
         assert "HashAggregate" in plan[first_window:], q.__name__
