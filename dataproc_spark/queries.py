@@ -3396,69 +3396,16 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
 #:
 #: ORDERING CONTRACT: the driver's correctness gate records only the FIRST
 #: 50 registry entries each round.  Entries are therefore ordered by
-#: verification need, not by topic: (a) queries with no driver-recorded
-#: green row yet, (b) queries whose implementation or oracle changed this
-#: round, (c) core sentinels, then (d) everything already green in a prior
-#: round (their evidence stands in CORRECTNESS_r01/r02).
+#: verification need, not by topic: (a) queries whose freshest driver
+#: evidence is oldest (rotated into the window this round), (b) queries
+#: whose implementation or oracle changed this round, (c) core sentinels,
+#: then (d) everything already green in a recent round (the r3/r4
+#: extension wave; their evidence stands in CORRECTNESS_r03/r04).
+#: COVERAGE.md records which round vouches for which entry.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- (a) never driver-checked in any round ------------------------------
-    "dedup_simhash_portable": (
-        q_dedup_simhash_portable, SQL_DEDUP_SIMHASH_PORTABLE,
-    ),
-    "dedup_cc": (q_dedup_cc, SQL_DEDUP_CC),
-    "pagerank": (q_pagerank, SQL_PAGERANK),
-    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
-    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
-    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
-    "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
-    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
-    "count_min": (q_count_min, SQL_COUNT_MIN),
-    "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
-    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
-    "median_tokens": (q_median_tokens, SQL_MEDIAN_TOKENS),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
-    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
-    "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "redact_pii": (q_redact_pii, SQL_REDACT_PII),
-    "curriculum_bins": (q_curriculum_bins, SQL_CURRICULUM_BINS),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
-    "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
-    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
-    "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
-    "partitioned_scan": (q_partitioned_scan, SQL_PARTITIONED_SCAN),
-    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
-    "ann_ivf_exact": (q_ann_ivf_exact, SQL_ANN_IVF_EXACT),
-    # -- (a') green in r1 only, dropped out of the r2 window ----------------
-    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
-    "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
-    "text_stats": (q_text_stats, SQL_TEXT_STATS),
-    "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
-    "lang_predict": (q_lang_predict, SQL_LANG_PREDICT),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
-    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
-    "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
-    "dedup_clusters": (q_dedup_clusters, None),
-    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
-    "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
-    "ann_ivf": (q_ann_ivf, None),
-    # -- (b) implementation or oracle changed this round --------------------
-    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
-    "top_events_daily": (q_top_events_daily, SQL_TOP_EVENTS_DAILY),
-    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
-    # -- (c) core sentinels -------------------------------------------------
-    "select_top_t": (q_select_top_t, SQL_SELECT_TOP_T),
-    "evaluate_sweep": (q_evaluate_sweep, SQL_EVALUATE_SWEEP),
-    "resolve_buckets": (q_resolve_buckets, SQL_RESOLVE_BUCKETS),
-    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
-    # ======================= 50-entry window boundary ======================
-    # -- (d) already green in CORRECTNESS_r01/r02 ---------------------------
+    # -- (a) r05 verification window: the 43 queries whose only driver
+    # -- evidence was CORRECTNESS_r02 (rotated in), including the whole
+    # -- events/streaming family repaired this round -----------------------
     "selection_rank": (q_selection_rank, SQL_SELECTION_RANK),
     "select_with_decay": (q_select_with_decay, SQL_SELECT_WITH_DECAY),
     "evaluate_buckets": (q_evaluate_buckets, SQL_EVALUATE_BUCKETS),
@@ -3519,7 +3466,64 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_dedup_minhash_portable, SQL_DEDUP_MINHASH_PORTABLE,
     ),
     "dedup_simhash": (q_dedup_simhash, None),
+    # -- (b) failed in r03/r04 (events ts type), fixed this round ----------
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "top_events_daily": (q_top_events_daily, SQL_TOP_EVENTS_DAILY),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    # -- (c) core sentinels -------------------------------------------------
+    "select_top_t": (q_select_top_t, SQL_SELECT_TOP_T),
+    "evaluate_sweep": (q_evaluate_sweep, SQL_EVALUATE_SWEEP),
+    "resolve_buckets": (q_resolve_buckets, SQL_RESOLVE_BUCKETS),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    # ======================= 50-entry window boundary ======================
+    # -- (d) extension wave: green rows in CORRECTNESS_r03/r04 -------------
+    "dedup_simhash_portable": (
+        q_dedup_simhash_portable, SQL_DEDUP_SIMHASH_PORTABLE,
+    ),
+    "dedup_cc": (q_dedup_cc, SQL_DEDUP_CC),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
+    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "count_min": (q_count_min, SQL_COUNT_MIN),
+    "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "median_tokens": (q_median_tokens, SQL_MEDIAN_TOKENS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "redact_pii": (q_redact_pii, SQL_REDACT_PII),
+    "curriculum_bins": (q_curriculum_bins, SQL_CURRICULUM_BINS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "partitioned_scan": (q_partitioned_scan, SQL_PARTITIONED_SCAN),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "ann_ivf_exact": (q_ann_ivf_exact, SQL_ANN_IVF_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
+    "lang_predict": (q_lang_predict, SQL_LANG_PREDICT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
+    "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
+    "dedup_clusters": (q_dedup_clusters, None),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
+    "ann_ivf": (q_ann_ivf, None),
 }
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
