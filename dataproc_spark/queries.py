@@ -1663,15 +1663,82 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full dedup pipeline: MinHash pairs → connected components → keep one
-    representative per cluster (rows-only: LSH-dependent)."""
+    """Full dedup pipeline: MinHash-LSH pairs → connected components →
+    keep one representative per cluster.
+
+    Uses the engine-portable md5 hash family (16 hashes / 4 bands, the
+    same family as ``dedup_minhash_portable``) so the ENTIRE pipeline —
+    which candidate pairs LSH surfaces, the component labels, and the
+    surviving representatives — is bit-reproduced by the DuckDB oracle
+    (portable-LSH pairs CTE + recursive reachability closure)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
-        docs, threshold=0.2, shingle_size=3, num_hashes=32, bands=8
+        docs, threshold=0.2, shingle_size=3, num_hashes=16, bands=4,
+        portable=True, scale_m=1000,
     )
     return dedup.dedup_keep_representatives(docs, pairs).select(
         "doc_id", "lang", "source"
     )
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+    FROM toks WHERE len(t) >= 3
+),
+sig AS (
+    SELECT doc_id, s,
+           list_transform(range(0, 16),
+               i -> list_aggregate(
+                   list_transform(s, x -> md5(x || '#' || i)), 'min')) AS sg
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, b.band AS band,
+           md5(array_to_string(
+               list_slice(sg, b.band * 4 + 1, b.band * 4 + 4), '|')) AS bhash
+    FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+),
+verified AS (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.s, sb.s)) AS i_n,
+           len(list_distinct(list_concat(sa.s, sb.s))) AS u_n
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+),
+pairs AS (
+    SELECT id_a, id_b FROM verified WHERE (i_n * 1000) // u_n >= 200
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+losers AS (SELECT node FROM comp WHERE node <> component)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+LEFT JOIN losers ON d.doc_id = losers.node
+WHERE losers.node IS NULL
+"""
 
 
 def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3518,7 +3585,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
-    "dedup_clusters": (q_dedup_clusters, None),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
