@@ -51,9 +51,19 @@ def main() -> None:
 
     # warm the JVM/codegen paths and the Hadoop FS/parquet reader classes
     # with trivial jobs so the first measured query doesn't absorb session
-    # startup cost (region is 5 rows)
+    # startup cost (region is 5 rows). The broadcast-join and window
+    # shapes load their exec/codegen classes here too — profiling showed
+    # the first selective query otherwise pays ~3 s of one-time class
+    # loading that has nothing to do with the measured plan.
+    from pyspark.sql import functions as _F
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = spark.range(1000).withColumnRenamed("id", "k")
+    warm.join(_F.broadcast(spark.range(10).withColumnRenamed("id", "k")), "k").count()
+    warm.selectExpr(
+        "k", "row_number() over (partition by k % 7 order by k) as rn"
+    ).where("rn <= 2").count()
 
     qs = registry.queries()
     timings: dict[str, float] = {}
