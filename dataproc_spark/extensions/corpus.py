@@ -208,3 +208,85 @@ def inverted_index(
         )
         .where(F.col("tf") >= min_tf)
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage removal: drop every token that sits
+    inside an ``n``-gram appearing in at least ``min_df`` distinct
+    documents — the bounded, relational form of suffix-array passage dedup
+    (boilerplate headers, license blocks, navigation chrome), applied
+    *within* documents instead of dropping whole near-duplicates.
+
+    Output: ``(id_col, n_removed, text_clean)`` — the surviving tokens
+    re-joined with single spaces, original order preserved.
+
+    Scale design: n-gram occurrences are a map-only explode (one row per
+    token position, same volume as ``inverted_index``); document
+    frequency is ONE hash aggregate on the gram (map-side partials bound
+    the shuffle to distinct (gram, doc) pairs); covered positions come
+    from a semi-join of occurrences against the hot-gram set — the skew
+    case is an ultra-hot boilerplate gram, bounded because each document
+    contributes at most its own positions, and AQE splits the residue.
+    The rewrite itself never shuffles tokens: covered positions aggregate
+    to ONE small array per affected document, and the token drop is an
+    index-aware ``filter`` over the original array, map-side.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    toks = df.select(F.col(id_col), tokens(col).alias("_t"))
+    # docs shorter than n emit no grams — and must not reach sequence(),
+    # whose (0, negative) form counts DOWN instead of producing empty
+    grams = (
+        toks.where(F.size("_t") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_t) - {n}),"
+                    f" i -> struct(i AS pos,"
+                    f" concat_ws(' ', slice(_t, i + 1, {n})) AS g))"
+                )
+            ).alias("s"),
+        )
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    hot = (
+        grams.select("g", id_col)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .where(F.col("df_docs") >= min_df)
+        .select("g")
+    )
+    covered = (
+        grams.join(hot, "g", "leftsemi")
+        .select(id_col, F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("cpos"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("cpos")).alias("_cov"))
+    )
+    return (
+        toks.join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_cov").isNull(), F.lit(0))
+            .otherwise(F.size("_cov"))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    "_t",
+                    lambda x, i: F.col("_cov").isNull()
+                    | ~F.array_contains("_cov", i),
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )

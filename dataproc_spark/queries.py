@@ -2980,6 +2980,59 @@ FROM documents
 """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage removal: strip every token inside a
+    3-gram shared by ≥2 documents (boilerplate/license/navigation chrome)
+    while keeping the documents themselves — the within-document
+    counterpart of the whole-document dedup family (Lee et al.-style
+    passage dedup, bounded to n-grams so it stays relational)."""
+    from dataproc_spark.extensions import corpus
+
+    return corpus.remove_repeated_spans(
+        _t(spark, sf_dir, "documents"), n=3, min_df=2
+    )
+
+
+SQL_DEDUP_SPANS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+g1 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+               i -> {'pos': i - 1,
+                     'g': array_to_string(list_slice(t, i, i + 2), ' ')})) AS s
+    FROM toks WHERE len(t) >= 3
+),
+grams AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM g1),
+hot AS (
+    SELECT g
+    FROM (SELECT g, COUNT(DISTINCT doc_id) AS dfd FROM grams GROUP BY g)
+    WHERE dfd >= 2
+),
+cov AS (
+    SELECT DISTINCT gr.doc_id, gr.pos + o.d AS cpos
+    FROM grams gr
+    JOIN hot USING (g)
+    CROSS JOIN (SELECT unnest(range(0, 3)) AS d) o
+),
+covl AS (SELECT doc_id, list(cpos) AS cl FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(len(c.cl), 0) AS BIGINT) AS n_removed,
+       -- COALESCE: array_to_string([]) is NULL in DuckDB where Spark's
+       -- array_join([]) is '' (fully-boilerplate docs hit this)
+       COALESCE(array_to_string(
+           list_transform(
+               list_filter(range(1, len(t.t) + 1),
+                           i -> c.cl IS NULL OR NOT list_contains(c.cl, i - 1)),
+               i -> t.t[i]),
+           ' '), '') AS text_clean
+FROM toks t LEFT JOIN covl c USING (doc_id)
+"""
+
+
 def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum binning: decile buckets of document length within each
     language (NTILE semantics under a total order — deterministic in any
@@ -3586,6 +3639,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),

@@ -454,3 +454,52 @@ def test_bloom_no_false_negatives(spark):
     assert all(got[v] for v in members)  # never a false negative
     fp = sum(got[v] for v in others)
     assert fp < len(others) * 0.2  # ~ (1-e^{-150/1024})^3 ≈ 0.25%
+
+
+def test_remove_repeated_spans(spark):
+    from dataproc_spark.extensions.corpus import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COPYRIGHT NOTICE applies here alpha beta gamma"),
+            (2, "COPYRIGHT NOTICE applies here delta"),
+            (3, "totally unique words only"),
+            (4, "x y"),  # shorter than n: must pass through untouched
+            (5, ""),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_removed, r.text_clean)
+        for r in remove_repeated_spans(docs, n=3, min_df=2).collect()
+    }
+    # "COPYRIGHT NOTICE applies here" = two overlapping shared 3-grams
+    # covering 4 positions in both docs; unique tails survive
+    assert got[1] == (4, "alpha beta gamma")
+    assert got[2] == (4, "delta")
+    assert got[3] == (0, "totally unique words only")
+    assert got[4] == (0, "x y")
+    assert got[5] == (0, "")
+
+
+def test_remove_repeated_spans_fully_covered_doc(spark):
+    from dataproc_spark.extensions.corpus import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], schema="doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_removed, r.text_clean)
+        for r in remove_repeated_spans(docs, n=3, min_df=2).collect()
+    }
+    assert got == {1: (3, ""), 2: (3, "")}
+
+
+def test_remove_repeated_spans_validates_args(spark):
+    from dataproc_spark.extensions.corpus import remove_repeated_spans
+
+    docs = spark.createDataFrame([(1, "a")], schema="doc_id long, text string")
+    with pytest.raises(ValueError):
+        remove_repeated_spans(docs, n=0)
+    with pytest.raises(ValueError):
+        remove_repeated_spans(docs, min_df=1)
