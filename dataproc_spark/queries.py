@@ -2851,6 +2851,115 @@ QUALIFY rnk <= 5
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@5 of the IVF path
+    (deterministic cells, n_probe=2) against exact brute-force top-5 —
+    the measurement loop every production ANN deployment needs to tune
+    its n_probe/recall trade-off. Both sides are exact-integer and
+    deterministic, so recall itself is value-checkable cross-engine.
+
+    Plan: the two top-k frames join on (qid, vec_id) — both are ≤ k rows
+    per query, so the recall join is a broadcast over tiny inputs no
+    matter the corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    exact = simsearch.brute_force_topk(emb, queries_df, k=5).select(
+        "qid", "vec_id"
+    )
+    approx = simsearch.ivf_exact_topk(
+        emb, queries_df, k=5, n_probe=2
+    ).select("qid", "vec_id")
+    base = exact.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff")
+    )
+    hits = (
+        exact.join(approx, ["qid", "vec_id"], "leftsemi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return base.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.expr("coalesce(n_hits, 0) * 1000 div k_eff")
+        .cast("long")
+        .alias("recall_m"),
+    )
+
+
+SQL_ANN_RECALL = """
+WITH q AS (
+    SELECT vec_id, list_transform(embedding,
+                                  x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+exact AS (
+    SELECT qid, vec_id FROM (
+        SELECT qs.vec_id AS qid, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qs.vec_id
+                   ORDER BY CAST(list_dot_product(qs.v, c.v) AS BIGINT) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM (SELECT * FROM q WHERE vec_id % 100 = 0) qs
+        JOIN q c ON c.vec_id <> qs.vec_id
+    ) WHERE rnk <= 5
+),
+cd AS (
+    SELECT label, vec_id,
+           unnest(range(0, len(embedding))) AS dim,
+           unnest(list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS cv
+    FROM embeddings
+),
+cent AS (
+    SELECT label, dim, SUM(cv) // COUNT(*) AS cq
+    FROM cd GROUP BY label, dim
+),
+qd AS (
+    SELECT vec_id AS qid, dim, cv AS qv FROM cd WHERE vec_id % 100 = 0
+),
+ps AS (
+    SELECT qid, label, SUM(qv * cq) AS cscore
+    FROM qd JOIN cent USING (dim) GROUP BY qid, label
+),
+probed AS (
+    SELECT qid, label FROM (
+        SELECT qid, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY cscore DESC, label ASC
+               ) AS prnk
+        FROM ps
+    ) WHERE prnk <= 2
+),
+cand AS (
+    SELECT p.qid, c.vec_id, SUM(q2.qv * c.cv) AS dot_q
+    FROM probed p
+    JOIN cd c ON c.label = p.label
+    JOIN qd q2 ON q2.qid = p.qid AND q2.dim = c.dim
+    WHERE c.vec_id <> p.qid
+    GROUP BY p.qid, c.vec_id
+),
+ivf AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY dot_q DESC, vec_id ASC
+               ) AS rnk
+        FROM cand
+    ) WHERE rnk <= 5
+),
+base AS (SELECT qid, COUNT(*) AS k_eff FROM exact GROUP BY qid),
+hits AS (
+    SELECT e.qid, COUNT(*) AS n_hits
+    FROM exact e JOIN ivf USING (qid, vec_id) GROUP BY e.qid
+)
+SELECT b.qid,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 1000 // b.k_eff AS BIGINT) AS recall_m
+FROM base b LEFT JOIN hits h USING (qid)
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token chunking (`corpus.chunk_documents`): each doc split
     into consecutive 64-token training chunks; map-only (explode over the
@@ -3640,6 +3749,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
