@@ -2799,6 +2799,50 @@ WHERE CAST(list_dot_product(a.v, b.v) AS BIGINT) >= 300000
 """
 
 
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over embeddings (SemDeDup-style): same-cell near-dup
+    pairs above an exact-integer cosine-surrogate threshold → connected
+    components → keep the smallest vec_id per component. The embedding
+    counterpart of the text dedup family: drops semantically redundant
+    items, not just lexically identical ones."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = simsearch.near_dup_pairs(emb, threshold_dot_q=300_000)
+    return dedup.dedup_keep_representatives(
+        emb.select("vec_id", "label"), pairs, id_col="vec_id"
+    )
+
+
+SQL_EMBED_DEDUP = """
+WITH RECURSIVE q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST(list_dot_product(a.v, b.v) AS BIGINT) >= 300000
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+losers AS (SELECT node FROM comp WHERE node <> component)
+SELECT e.vec_id, e.label
+FROM embeddings e
+LEFT JOIN losers ON e.vec_id = losers.node
+WHERE losers.node IS NULL
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 neighbors for sampled queries (int scores)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3139,6 +3183,69 @@ SELECT t.doc_id,
                i -> t.t[i]),
            ' '), '') AS text_clean
 FROM toks t LEFT JOIN covl c USING (doc_id)
+"""
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative novelty score: the fraction of a document's
+    distinct bigrams that appear in fewer than 3 documents (in exact
+    integer permille). High novelty flags gibberish/noise (bigrams no
+    other document uses); low novelty flags boilerplate — the
+    integer-exact, cross-engine-checkable stand-in for the perplexity
+    filters (CCNet-style) whose float log-probs can't hash-match across
+    engines. One map-only bigram explode + one df aggregate + one
+    per-doc aggregate; docs with no bigrams are excluded (undefined
+    score)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", dedup.tokens("text").alias("_t"))
+    bg = toks.where(F.size("_t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(_t) - 2),"
+                " i -> concat_ws(' ', slice(_t, i + 1, 2))))"
+            )
+        ).alias("bg"),
+    )
+    dfc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("dfd"))
+    return (
+        bg.join(dfc, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("dfd") < 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            F.expr("n_rare * 1000 div n_bigrams").cast("long").alias("novelty_m"),
+        )
+    )
+
+
+SQL_DOC_NOVELTY = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(t)),
+               i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS bg
+    FROM toks WHERE len(t) >= 2
+),
+dfc AS (SELECT bg, COUNT(*) AS dfd FROM bg GROUP BY bg)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN dfd < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN dfd < 3 THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+            AS BIGINT) AS novelty_m
+FROM bg JOIN dfc USING (bg)
+GROUP BY doc_id
 """
 
 
@@ -3750,6 +3857,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "embed_dedup": (q_embed_dedup, SQL_EMBED_DEDUP),
+    "doc_novelty": (q_doc_novelty, SQL_DOC_NOVELTY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
