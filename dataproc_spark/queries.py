@@ -3186,6 +3186,85 @@ FROM toks t LEFT JOIN covl c USING (doc_id)
 """
 
 
+def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: keep the highest-quality documents whose
+    cumulative token count fits a global training budget (here 20 000
+    tokens; quality = alphabetic-character permille, ties by doc_id) —
+    the data-selection step between scoring and training.
+
+    Semantics are ONE cumulative window ordered (score desc, doc_id asc);
+    the oracle states exactly that. The Spark plan decomposes it
+    scale-safely: aggregate per-score token totals (≤1001 rows), run the
+    global running total over that tiny histogram, then add a per-bucket
+    running sum (window PARTITIONED by score — sorts one score bucket,
+    never the corpus) and filter on the combined cumulative count. Same
+    rows, no global sort of raw documents."""
+    budget = 20_000
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.size(dedup.tokens("text")).cast("long").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN length(text) > 0 THEN"
+            " (length(regexp_replace(text, '[^A-Za-z]', '')) * 1000)"
+            " div length(text) ELSE 0 END"
+        )
+        .cast("long")
+        .alias("score_m"),
+    )
+    hist = feats.groupBy("score_m").agg(F.sum("n_tokens").alias("bucket_toks"))
+    wb = (
+        Window.orderBy(F.col("score_m").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.select(
+        "score_m",
+        F.coalesce(F.sum("bucket_toks").over(wb), F.lit(0)).alias("cum_before"),
+    )
+    wd = (
+        Window.partitionBy("score_m")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        feats.join(maybe_broadcast(hist), "score_m")
+        .select(
+            "doc_id",
+            "score_m",
+            "n_tokens",
+            (F.col("cum_before") + F.sum("n_tokens").over(wd))
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+    )
+
+
+SQL_SELECT_TOKEN_BUDGET = r"""
+WITH feats AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tokens,
+           CASE WHEN len(text) > 0
+                THEN (len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000)
+                     // len(text)
+                ELSE 0 END AS score_m
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, score_m, n_tokens,
+           SUM(n_tokens) OVER (
+               ORDER BY score_m DESC, doc_id ASC ROWS UNBOUNDED PRECEDING
+           ) AS cum_tokens
+    FROM feats
+)
+SELECT doc_id, CAST(score_m AS BIGINT) AS score_m,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= 20000
+"""
+
+
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative novelty score: the fraction of a document's
     distinct bigrams that appear in fewer than 3 documents (in exact
@@ -3859,6 +3938,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "embed_dedup": (q_embed_dedup, SQL_EMBED_DEDUP),
     "doc_novelty": (q_doc_novelty, SQL_DOC_NOVELTY),
+    "select_token_budget": (q_select_token_budget, SQL_SELECT_TOKEN_BUDGET),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),

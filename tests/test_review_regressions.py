@@ -285,3 +285,30 @@ def test_quantile_plans_window_over_histogram_not_raw_rows(spark, tmp_path):
         first_window = plan.index("Window")
         # top-down plan print: the window's child aggregate appears after it
         assert "HashAggregate" in plan[first_window:], q.__name__
+
+
+def test_token_budget_plan_windows_partition_raw_rows(spark, tmp_path):
+    """select_token_budget's cumulative semantics must decompose so the
+    only window over RAW documents is partitioned (per-score-bucket sort);
+    the global ordered window may touch only the score histogram. A
+    global unpartitioned running sum over the corpus is the one-task
+    scale-killer this plan exists to avoid."""
+    from dataproc_spark.queries import q_select_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "aa", 10, "alpha beta"), (2, "bb", 20, "gamma 123")],
+        schema="doc_id long, lang string, n_chars long, text string",
+    )
+    d = str(tmp_path / "tb")
+    df.write.parquet(d + "/documents.parquet")
+    plan = (
+        q_select_token_budget(spark, d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        # histogram window: ordered by score_m DESC, no doc_id — allowed.
+        # raw-doc window must carry the score_m partition key AND doc_id.
+        if "doc_id" in line:
+            assert "windowspecdefinition(score_m" in line, line
