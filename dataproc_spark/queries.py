@@ -1464,6 +1464,30 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.stream_hourly_counts(spark, f"{sf_dir}/events.parquet")
 
 
+def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet SINK gate: drain the events file stream through
+    the ``foreachBatch`` parquet sink (idempotent batch=<id> layout), read
+    the sink back as a static table, and run the hourly rollup over it.
+    Same oracle as ``events_hourly`` — proving no rows are lost,
+    duplicated, or type-mangled across the stream → parquet → batch
+    boundary. The only streaming component previously without an oracle.
+    """
+    import shutil
+    import tempfile
+
+    from dataproc_spark.extensions.streaming import (
+        _file_stream,
+        stream_to_parquet,
+    )
+
+    out = tempfile.mkdtemp(prefix="sinkrt_")
+    shutil.rmtree(out, ignore_errors=True)
+    stream = _file_stream(spark, f"{sf_dir}/events.parquet")
+    stream_to_parquet(stream, out)
+    back = spark.read.parquet(out).drop("batch")
+    return streaming.hourly_agg(back)
+
+
 # ---------------------------------------------------------------------------
 # documents (dedup + text analysis)
 # ---------------------------------------------------------------------------
@@ -3939,6 +3963,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embed_dedup": (q_embed_dedup, SQL_EMBED_DEDUP),
     "doc_novelty": (q_doc_novelty, SQL_DOC_NOVELTY),
     "select_token_budget": (q_select_token_budget, SQL_SELECT_TOKEN_BUDGET),
+    "stream_sink_roundtrip": (q_stream_sink_roundtrip, SQL_EVENTS_HOURLY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
