@@ -1464,6 +1464,85 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.stream_hourly_counts(spark, f"{sf_dir}/events.parquet")
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the events stream: per user, the first
+    'view', the first 'click' strictly after that view, and the first
+    'purchase' strictly after that click — the product-analytics staple
+    (conversion funnels) and a order-dependent multi-stage aggregation
+    that a naive groupBy can't express.
+
+    Plan: three conditional min-aggregates, every one keyed on user_id
+    (filters push to the scan; the joins are key-local and the funnel
+    frames shrink at each stage, so later joins broadcast). No windows
+    over raw events, no per-user sorting."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    tv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    tc = (
+        ev.where(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    tp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        tv.join(tc, "user_id", "left")
+        .join(tp, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            )
+            .cast("int")
+            .alias("steps"),
+        )
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH ev AS (
+    SELECT user_id, epoch_ns(ts) AS tns, event_type FROM events
+),
+tv AS (
+    SELECT user_id, MIN(tns) AS t_view
+    FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+tc AS (
+    SELECT e.user_id, MIN(e.tns) AS t_click
+    FROM ev e JOIN tv USING (user_id)
+    WHERE e.event_type = 'click' AND e.tns > tv.t_view
+    GROUP BY e.user_id
+),
+tp AS (
+    SELECT e.user_id, MIN(e.tns) AS t_purchase
+    FROM ev e JOIN tc USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.tns > tc.t_click
+    GROUP BY e.user_id
+)
+SELECT tv.user_id, tv.t_view, tc.t_click, tp.t_purchase,
+       CAST(1 + (tc.t_click IS NOT NULL)::INTEGER
+              + (tp.t_purchase IS NOT NULL)::INTEGER AS INTEGER) AS steps
+FROM tv
+LEFT JOIN tc USING (user_id)
+LEFT JOIN tp USING (user_id)
+"""
+
+
 def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming parquet SINK gate: drain the events file stream through
     the ``foreachBatch`` parquet sink (idempotent batch=<id> layout), read
@@ -3964,6 +4043,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_novelty": (q_doc_novelty, SQL_DOC_NOVELTY),
     "select_token_budget": (q_select_token_budget, SQL_SELECT_TOKEN_BUDGET),
     "stream_sink_roundtrip": (q_stream_sink_roundtrip, SQL_EVENTS_HOURLY),
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
