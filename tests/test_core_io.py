@@ -265,3 +265,30 @@ def test_events_ts_normalized_to_long_nanos(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_normalize_event_ts_all_physical_types(spark, tmp_path):
+    """normalize_event_ts must yield identical int64 nanos for every
+    physical ts type the testdata could ship: long (NANOS-as-long
+    passthrough), timestamp[us] without tz (NTZ), and timestamp[us, UTC]
+    (LTZ) — the LTZ branch has no testdata coverage otherwise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataproc_spark.core import normalize_event_ts
+
+    micros = [1_704_067_200_000_000, 1_704_070_800_123_456]
+    want = [m * 1000 for m in micros]
+
+    cases = {
+        "long": pa.table({"ts": pa.array(want, pa.int64())}),
+        "ntz": pa.table({"ts": pa.array(micros, pa.timestamp("us"))}),
+        "ltz": pa.table({"ts": pa.array(micros, pa.timestamp("us", tz="UTC"))}),
+    }
+    for name, table in cases.items():
+        path = str(tmp_path / f"{name}.parquet")
+        pq.write_table(table, path)
+        df = normalize_event_ts(spark.read.parquet(path))
+        assert dict(df.dtypes)["ts"] == "bigint", name
+        got = sorted(r.ts for r in df.collect())
+        assert got == want, (name, got)
