@@ -4051,9 +4051,94 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 
 
+#: flagship gates that should appear in every round's recorded window
+ALWAYS_VERIFY = ("select_top_t", "evaluate_sweep", "resolve_buckets", "tpch_q6")
+
+
+def registry_order(artifacts_dir: str | None = None) -> list[str]:
+    """Registry names ordered by verification need, computed from the
+    repo's own ``CORRECTNESS_r*.json`` artifacts.
+
+    The driver records correctness rows for only the FIRST 50 entries it
+    sees, so with ~100 registry entries the window must rotate or new and
+    stale queries silently stop being verified (how the r4 events-ts
+    breakage stayed invisible for a round). Priority buckets:
+
+    1. entries whose LATEST recorded row is a failure (re-verify now),
+    2. the :data:`ALWAYS_VERIFY` flagship sentinels,
+    3. entries never recorded in any round,
+    4. everything else, stalest green round first.
+
+    Ties break by literal REGISTRY position, so the order is fully
+    deterministic given the artifact files. The dynamic ordering only
+    activates once round 5's artifact exists (``max recorded round >=
+    5``); before that — including during round 5's own verify — the
+    hand-curated literal order stands. Any artifact problem falls back to
+    the literal order: ordering must never break ``queries()``.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    names = list(REGISTRY)
+    try:
+        root = artifacts_dir or os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        latest_green: dict[str, int] = {}
+        latest_any: dict[str, int] = {}
+        max_round = 0
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"_r0*(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            with open(path) as fh:
+                data = json.load(fh)
+            if not isinstance(data, dict):
+                continue
+            max_round = max(max_round, rnd)
+            for name, row in data.items():
+                if not isinstance(row, dict):
+                    continue
+                latest_any[name] = max(latest_any.get(name, -1), rnd)
+                green = (
+                    row.get("rows_match") is True
+                    and row.get("schema_match") is True
+                    and row.get("hash_match") is not False
+                )
+                if green:
+                    latest_green[name] = max(latest_green.get(name, -1), rnd)
+        if max_round < 5:
+            return names
+        pos = {n: i for i, n in enumerate(names)}
+
+        def key(n: str):
+            lg = latest_green.get(n, -1)
+            la = latest_any.get(n, -1)
+            if la > lg:  # latest recorded row failed
+                bucket = 0
+            elif n in ALWAYS_VERIFY:
+                bucket = 1
+            elif la == -1:  # never recorded
+                bucket = 2
+            else:
+                bucket = 3
+            return (bucket, lg, pos[n])
+
+        return sorted(names, key=key)
+    except Exception:
+        return names
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in registry_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1]
+        for name in registry_order()
+        if REGISTRY[name][1] is not None
+    }

@@ -39,3 +39,58 @@ def test_registry_query_analyzes(spark, name):
     fn, _sql = REGISTRY[name]
     df = fn(spark, _SF_DIR)
     assert len(df.schema.fields) > 0, name
+
+
+def test_registry_order_literal_before_round5(tmp_path):
+    """With no artifacts (or only rounds < 5) the hand-curated literal
+    order stands untouched."""
+    import json
+
+    from dataproc_spark.queries import REGISTRY, registry_order
+
+    assert registry_order(str(tmp_path)) == list(REGISTRY)
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps({n: {"rows_match": True, "schema_match": True,
+                        "hash_match": True} for n in list(REGISTRY)[:3]})
+    )
+    assert registry_order(str(tmp_path)) == list(REGISTRY)
+
+
+def test_registry_order_rotates_by_staleness(tmp_path):
+    """Once round >= 5 artifacts exist: latest-failure first, then the
+    ALWAYS_VERIFY sentinels, then never-recorded, then stalest green —
+    ties by literal position."""
+    import json
+
+    from dataproc_spark.queries import ALWAYS_VERIFY, REGISTRY, registry_order
+
+    names = list(REGISTRY)
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    bad = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "err": "boom"}
+    fresh, stale, failing = names[0], names[1], names[2]
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({stale: green, failing: green})
+    )
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({fresh: green, failing: bad})
+    )
+    order = registry_order(str(tmp_path))
+    assert set(order) == set(names)
+    # bucket 0: the query whose latest row failed
+    assert order[0] == failing
+    # bucket 1: sentinels in literal order
+    assert order[1:5] == [n for n in names if n in ALWAYS_VERIFY]
+    # bucket 3 ordering: stale (r02) before fresh (r05); both after the
+    # never-recorded bulk (bucket 2)
+    assert order.index(stale) < order.index(fresh)
+    never = [n for n in names
+             if n not in {fresh, stale, failing} and n not in ALWAYS_VERIFY]
+    assert order[5:5 + len(never)] == never
+
+
+def test_registry_order_survives_malformed_artifacts(tmp_path):
+    from dataproc_spark.queries import REGISTRY, registry_order
+
+    (tmp_path / "CORRECTNESS_r05.json").write_text("{not json")
+    assert registry_order(str(tmp_path)) == list(REGISTRY)
