@@ -1543,6 +1543,63 @@ LEFT JOIN tp USING (user_id)
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users cohorted by the epoch-week of their
+    first 'signup' event; for each (cohort_week, week_offset ≥ 0) the
+    number of distinct cohort users active (any event) that week — the
+    retention-matrix staple of product analytics.
+
+    Plan: first-signup is one min-aggregate on user_id; activity weeks
+    are a map-side projection + distinct on (user, week); the cohort join
+    is key-local on user_id (the cohort frame is ≤ one row per user and
+    broadcastable); the final count groups on (cohort_week, offset) —
+    partial aggregation bounds the shuffle to distinct pairs. Week ids
+    are integer epoch-week arithmetic on the raw nanos (floor division,
+    timezone-free)."""
+    week_ns = 7 * 86_400_000_000_000
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    week = F.expr(f"(ts - pmod(ts, {week_ns})) div {week_ns}")
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    active = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(maybe_broadcast(cohort), "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH ev AS (
+    SELECT user_id, epoch_ns(ts) AS tns, event_type FROM events
+),
+wk AS (
+    SELECT user_id, event_type,
+           (tns - ((tns % 604800000000000) + 604800000000000)
+            % 604800000000000) // 604800000000000 AS week
+    FROM ev
+),
+cohort AS (
+    SELECT user_id, MIN(week) AS cohort_week
+    FROM wk WHERE event_type = 'signup' GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, week FROM wk)
+SELECT c.cohort_week,
+       CAST(a.week - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active a JOIN cohort c USING (user_id)
+WHERE a.week >= c.cohort_week
+GROUP BY 1, 2
+"""
+
+
 def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming parquet SINK gate: drain the events file stream through
     the ``foreachBatch`` parquet sink (idempotent batch=<id> layout), read
@@ -4044,6 +4101,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "select_token_budget": (q_select_token_budget, SQL_SELECT_TOKEN_BUDGET),
     "stream_sink_roundtrip": (q_stream_sink_roundtrip, SQL_EVENTS_HOURLY),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
