@@ -368,3 +368,43 @@ def test_inverted_index_matches_python_model(spark, docs):
         for w, ps in pos.items():
             expect[(w, i)] = (len(ps), ",".join(str(p) for p in ps))
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 3),
+    st.integers(2, 3),
+)
+@settings(max_examples=10, deadline=None)
+def test_remove_repeated_spans_matches_python_model(spark, docs, n, min_df):
+    """Tiny vocabulary forces cross-document n-gram overlap; the model
+    recomputes covered positions independently of the relational plan."""
+    from dataproc_spark.extensions.corpus import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_removed, r.text_clean)
+        for r in remove_repeated_spans(df, n=n, min_df=min_df).collect()
+    }
+
+    grams: dict[str, set[int]] = {}
+    for i, ws in enumerate(docs):
+        for p in range(len(ws) - n + 1):
+            grams.setdefault(" ".join(ws[p : p + n]), set()).add(i)
+    hot = {g for g, owners in grams.items() if len(owners) >= min_df}
+    expect = {}
+    for i, ws in enumerate(docs):
+        covered = set()
+        for p in range(len(ws) - n + 1):
+            if " ".join(ws[p : p + n]) in hot:
+                covered.update(range(p, p + n))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        expect[i] = (len(covered), " ".join(kept))
+    assert got == expect
