@@ -1,0 +1,157 @@
+"""Event/corpus analytics operators: ordered funnels, retention cohorts,
+and budgeted prefix selection.
+
+These are the product-analytics and data-selection staples a pipeline
+runs beside its training-data jobs. All three are pure DataFrame
+compositions with deterministic integer semantics (the registry gates
+value-check them against DuckDB oracles; see ``queries.py``).
+
+Scale design
+------------
+* ``funnel``: one conditional min-aggregate per step, every one keyed on
+  the user column; each stage's frame only shrinks, so the chained joins
+  broadcast. No windows over raw events, no per-user sorting.
+* ``retention_matrix``: a min-aggregate for cohorts, a distinct
+  (user, period) projection, a broadcast cohort join, and a partially
+  aggregated final count bounded by distinct (cohort, offset) pairs.
+* ``select_under_budget``: cumulative-prefix selection decomposed so raw
+  rows are never globally sorted — the global running total lives on a
+  per-score histogram (rows = distinct scores), raw rows only see a
+  window PARTITIONED by their score bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataproc_spark.core import ensure_has_columns, maybe_broadcast
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per user, the first occurrence of ``steps[0]``,
+    then the first ``steps[1]`` strictly after it, and so on.
+
+    Returns one row per user who reached step 1, with a ``t_<step>``
+    column per step (null once the chain breaks) and ``steps`` = how many
+    stages were reached.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps, got {list(steps)!r}")
+    ensure_has_columns(events, [user_col, ts_col, type_col])
+    ev = events.select(user_col, ts_col, type_col)
+    first = steps[0]
+    out = (
+        ev.where(F.col(type_col) == first)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{first}"))
+    )
+    prev = f"t_{first}"
+    for step in steps[1:]:
+        nxt = (
+            ev.where(F.col(type_col) == step)
+            .join(out.select(user_col, prev), user_col)
+            .where(F.col(ts_col) > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{step}"))
+        )
+        out = out.join(nxt, user_col, "left")
+        prev = f"t_{step}"
+    reached = sum(
+        (F.col(f"t_{s}").isNotNull().cast("int") for s in steps[1:]),
+        F.lit(1),
+    )
+    return out.withColumn("steps", reached.cast("int"))
+
+
+def retention_matrix(
+    events: DataFrame,
+    cohort_type: str,
+    period_ns: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Retention cohorts: users cohorted by the epoch-period of their
+    first ``cohort_type`` event; per (cohort_period, period_offset >= 0)
+    the number of distinct cohort users active (any event) that period.
+
+    Period ids are floor-division integer arithmetic on the raw int64
+    nanos (``pmod`` before ``div`` so pre-1970 epochs floor correctly).
+    """
+    if period_ns <= 0:
+        raise ValueError(f"period_ns must be positive, got {period_ns}")
+    ensure_has_columns(events, [user_col, ts_col, type_col])
+    period = F.expr(f"({ts_col} - pmod({ts_col}, {period_ns})) div {period_ns}")
+    cohort = (
+        events.where(F.col(type_col) == cohort_type)
+        .groupBy(user_col)
+        .agg(F.min(period).alias("cohort_period"))
+    )
+    active = events.select(user_col, period.alias("period")).distinct()
+    return (
+        active.join(maybe_broadcast(cohort), user_col)
+        .where(F.col("period") >= F.col("cohort_period"))
+        .groupBy(
+            "cohort_period",
+            (F.col("period") - F.col("cohort_period"))
+            .cast("long")
+            .alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def select_under_budget(
+    feats: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    score_col: str = "score_m",
+) -> DataFrame:
+    """Keep the maximal best-score prefix whose cumulative weight fits
+    ``budget`` (ties by ``id_col`` ascending).
+
+    Semantically ONE cumulative window ordered (score desc, id asc); the
+    plan decomposes it scale-safely: a per-score weight histogram carries
+    the global running total (rows = distinct scores), and raw rows only
+    see a running sum partitioned by their score bucket. Identical rows,
+    no global sort of the input.
+    """
+    ensure_has_columns(feats, [id_col, weight_col, score_col])
+    hist = feats.groupBy(score_col).agg(
+        F.sum(weight_col).alias("_bucket_w")
+    )
+    wb = (
+        Window.orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.select(
+        score_col,
+        F.coalesce(F.sum("_bucket_w").over(wb), F.lit(0)).alias("_cum_before"),
+    )
+    wd = (
+        Window.partitionBy(score_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        feats.join(maybe_broadcast(hist), score_col)
+        .select(
+            id_col,
+            score_col,
+            weight_col,
+            (F.col("_cum_before") + F.sum(weight_col).over(wd))
+            .cast("long")
+            .alias("cum_weight"),
+        )
+        .where(F.col("cum_weight") <= budget)
+    )

@@ -1474,43 +1474,12 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: three conditional min-aggregates, every one keyed on user_id
     (filters push to the scan; the joins are key-local and the funnel
     frames shrink at each stage, so later joins broadcast). No windows
-    over raw events, no per-user sorting."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    tv = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    tc = (
-        ev.where(F.col("event_type") == "click")
-        .join(tv, "user_id")
-        .where(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    tp = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(tc, "user_id")
-        .where(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        tv.join(tc, "user_id", "left")
-        .join(tp, "user_id", "left")
-        .select(
-            "user_id",
-            "t_view",
-            "t_click",
-            "t_purchase",
-            (
-                F.lit(1)
-                + F.col("t_click").isNotNull().cast("int")
-                + F.col("t_purchase").isNotNull().cast("int")
-            )
-            .cast("int")
-            .alias("steps"),
-        )
+    over raw events, no per-user sorting (``analytics.funnel``)."""
+    from dataproc_spark.extensions.analytics import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, steps=("view", "click", "purchase")).select(
+        "user_id", "t_view", "t_click", "t_purchase", "steps"
     )
 
 
@@ -1555,24 +1524,16 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable); the final count groups on (cohort_week, offset) —
     partial aggregation bounds the shuffle to distinct pairs. Week ids
     are integer epoch-week arithmetic on the raw nanos (floor division,
-    timezone-free)."""
-    week_ns = 7 * 86_400_000_000_000
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    week = F.expr(f"(ts - pmod(ts, {week_ns})) div {week_ns}")
-    cohort = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min(week).alias("cohort_week"))
-    )
-    active = ev.select("user_id", week.alias("week")).distinct()
+    timezone-free; ``analytics.retention_matrix``)."""
+    from dataproc_spark.extensions.analytics import retention_matrix
+
+    ev = _t(spark, sf_dir, "events")
     return (
-        active.join(maybe_broadcast(cohort), "user_id")
-        .where(F.col("week") >= F.col("cohort_week"))
-        .groupBy(
-            "cohort_week",
-            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        retention_matrix(
+            ev, cohort_type="signup", period_ns=7 * 86_400_000_000_000
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .withColumnRenamed("cohort_period", "cohort_week")
+        .withColumnRenamed("period_offset", "week_offset")
     )
 
 
@@ -3353,13 +3314,12 @@ def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data-selection step between scoring and training.
 
     Semantics are ONE cumulative window ordered (score desc, doc_id asc);
-    the oracle states exactly that. The Spark plan decomposes it
-    scale-safely: aggregate per-score token totals (≤1001 rows), run the
-    global running total over that tiny histogram, then add a per-bucket
-    running sum (window PARTITIONED by score — sorts one score bucket,
-    never the corpus) and filter on the combined cumulative count. Same
-    rows, no global sort of raw documents."""
-    budget = 20_000
+    the oracle states exactly that. ``analytics.select_under_budget``
+    decomposes it scale-safely (histogram running total + per-bucket
+    windows — no global sort of raw documents; plan shape pinned by
+    test)."""
+    from dataproc_spark.extensions.analytics import select_under_budget
+
     docs = _t(spark, sf_dir, "documents")
     feats = docs.select(
         "doc_id",
@@ -3372,31 +3332,8 @@ def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score_m"),
     )
-    hist = feats.groupBy("score_m").agg(F.sum("n_tokens").alias("bucket_toks"))
-    wb = (
-        Window.orderBy(F.col("score_m").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    hist = hist.select(
-        "score_m",
-        F.coalesce(F.sum("bucket_toks").over(wb), F.lit(0)).alias("cum_before"),
-    )
-    wd = (
-        Window.partitionBy("score_m")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        feats.join(maybe_broadcast(hist), "score_m")
-        .select(
-            "doc_id",
-            "score_m",
-            "n_tokens",
-            (F.col("cum_before") + F.sum("n_tokens").over(wd))
-            .cast("long")
-            .alias("cum_tokens"),
-        )
-        .where(F.col("cum_tokens") <= budget)
+    return select_under_budget(feats, budget=20_000).withColumnRenamed(
+        "cum_weight", "cum_tokens"
     )
 
 

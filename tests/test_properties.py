@@ -408,3 +408,116 @@ def test_remove_repeated_spans_matches_python_model(spark, docs, n, min_df):
         kept = [w for j, w in enumerate(ws) if j not in covered]
         expect[i] = (len(covered), " ".join(kept))
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # user
+            st.integers(0, 50),                     # ts
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_funnel_matches_python_model(spark, events):
+    from dataproc_spark.extensions.analytics import funnel
+
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in events] or [(99, 0, "noop")],
+        schema="user_id long, ts long, event_type string",
+    )
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase, r.steps)
+        for r in funnel(df, steps=("view", "click", "purchase")).collect()
+    }
+    expect = {}
+    users = {u for u, _, _ in events}
+    for u in users:
+        mine = [(t, e) for uu, t, e in events if uu == u]
+        tv = min((t for t, e in mine if e == "view"), default=None)
+        if tv is None:
+            continue
+        tc = min((t for t, e in mine if e == "click" and t > tv), default=None)
+        tp = (
+            min((t for t, e in mine if e == "purchase" and t > tc), default=None)
+            if tc is not None
+            else None
+        )
+        expect[u] = (tv, tc, tp, 1 + (tc is not None) + (tp is not None))
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # user
+            st.integers(-20, 20),                   # ts (pre-1970 included)
+            st.sampled_from(["signup", "view"]),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    st.sampled_from([3, 5]),
+)
+@settings(max_examples=10, deadline=None)
+def test_retention_matrix_matches_python_model(spark, events, period):
+    from dataproc_spark.extensions.analytics import retention_matrix
+
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in events] or [(99, 0, "noop")],
+        schema="user_id long, ts long, event_type string",
+    )
+    got = {
+        (r.cohort_period, r.period_offset): r.n_users
+        for r in retention_matrix(df, "signup", period).collect()
+    }
+    import math
+
+    expect: dict = {}
+    users = {u for u, _, _ in events}
+    for u in users:
+        mine = [(t, e) for uu, t, e in events if uu == u]
+        signups = [math.floor(t / period) for t, e in mine if e == "signup"]
+        if not signups:
+            continue
+        cw = min(signups)
+        for w in {math.floor(t / period) for t, _ in mine}:
+            if w >= cw:
+                k = (cw, w - cw)
+                expect[k] = expect.get(k, 0) + 1
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 9), st.integers(0, 4)),  # (weight, score)
+        min_size=0,
+        max_size=20,
+    ),
+    st.integers(0, 40),
+)
+@settings(max_examples=10, deadline=None)
+def test_select_under_budget_matches_python_model(spark, items, budget):
+    """The histogram decomposition must reproduce the one-window
+    cumulative-prefix semantics exactly, including ties and zero-weight
+    rows."""
+    from dataproc_spark.extensions.analytics import select_under_budget
+
+    df = spark.createDataFrame(
+        [(i, w, s) for i, (w, s) in enumerate(items)] or [(0, 1, 0)],
+        schema="doc_id long, n_tokens long, score_m long",
+    )
+    rows = [(i, w, s) for i, (w, s) in enumerate(items)] or [(0, 1, 0)]
+    cum, expect = 0, {}
+    for i, w, s in sorted(rows, key=lambda r: (-r[2], r[0])):
+        cum += w
+        if cum <= budget:
+            expect[i] = (s, w, cum)
+    got = {
+        r.doc_id: (r.score_m, r.n_tokens, r.cum_weight)
+        for r in select_under_budget(df, budget).collect()
+    }
+    assert got == expect
