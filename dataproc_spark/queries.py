@@ -1512,6 +1512,50 @@ LEFT JOIN tp USING (user_id)
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: turn each user's change events into
+    validity intervals [valid_from, valid_to) with the then-current value
+    — the history-table counterpart of ``latest_per_user`` (type 1).
+    ``valid_to`` is null on the open (current) interval.
+
+    Plan: ONE lead window partitioned by user_id with a total order
+    (ts, event_id) — per-user sort only, same shape as sessionization;
+    no self-join, no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    ).select(
+        "user_id",
+        "valid_from",
+        "event_id",
+        "value_c",
+        F.lead("valid_from").over(
+            Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+        ).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+
+
+SQL_SCD2_INTERVALS = """
+WITH ev AS (
+    SELECT user_id, epoch_ns(ts) AS valid_from, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_c
+    FROM events
+)
+SELECT user_id, valid_from, event_id, value_c,
+       LEAD(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from, event_id
+       ) AS valid_to,
+       CAST(LEAD(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from, event_id
+       ) IS NULL AS INTEGER) AS is_current
+FROM ev
+"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users cohorted by the epoch-week of their
     first 'signup' event; for each (cohort_week, week_offset ≥ 0) the
@@ -4039,6 +4083,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_sink_roundtrip": (q_stream_sink_roundtrip, SQL_EVENTS_HOURLY),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
