@@ -94,3 +94,26 @@ def test_registry_order_survives_malformed_artifacts(tmp_path):
 
     (tmp_path / "CORRECTNESS_r05.json").write_text("{not json")
     assert registry_order(str(tmp_path)) == list(REGISTRY)
+
+
+#: queries whose plans legitimately contain a nested-loop join: the
+#: brute-force ANN family crossJoins a BROADCAST query side against the
+#: corpus (the corpus itself never shuffles), and the HAVING-vs-global-avg
+#: query joins a 1-row scalar aggregate. Anything else acquiring a
+#: BroadcastNestedLoopJoin or CartesianProduct is a scale regression.
+_NESTED_LOOP_OK = {"ann_topk", "ann_ivf", "ann_recall", "nations_above_avg_revenue"}
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SF_DIR), reason="driver testdata not present"
+)
+@pytest.mark.parametrize(
+    "name", [n for n in REGISTRY if n not in _STREAMING]
+)
+def test_registry_plan_has_no_unexpected_nested_loop(spark, name):
+    fn, _sql = REGISTRY[name]
+    plan = fn(spark, _SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    if name in _NESTED_LOOP_OK:
+        return
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
