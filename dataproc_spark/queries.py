@@ -1512,6 +1512,55 @@ LEFT JOIN tp USING (user_id)
 """
 
 
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user chronological event sequence: the ordered-collect
+    primitive that turns an event log into training sequences for
+    behavioral models (one row per user: ordered event-type trajectory,
+    its length, and the span in seconds).
+
+    Deterministic ordered collect on an unordered engine: collect
+    structs keyed by the total order (ts, event_id), ``array_sort`` them
+    JVM-side, then project the payload — one hash aggregate keyed on
+    user_id, no window, with per-user payloads bounded by the user's own
+    event count."""
+    ev = _t(spark, sf_dir, "events")
+    collected = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("event_type")
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+    )
+    return collected.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.array_join(
+            F.transform("seq", lambda e: e.getField("event_type")), ">"
+        ).alias("trajectory"),
+        F.expr(
+            "(seq[size(seq) - 1].ts - seq[0].ts) div 1000000000"
+        )
+        .cast("long")
+        .alias("span_s"),
+    )
+
+
+SQL_USER_EVENT_SEQUENCES = """
+WITH ev AS (
+    SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY tns, event_id) AS trajectory,
+       CAST((MAX(tns) - MIN(tns)) // 1000000000 AS BIGINT) AS span_s
+FROM ev
+GROUP BY user_id
+"""
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build: turn each user's change events into
     validity intervals [valid_from, valid_to) with the then-current value
@@ -4084,6 +4133,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
+    "user_event_sequences": (q_user_event_sequences, SQL_USER_EVENT_SEQUENCES),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
