@@ -20,6 +20,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dataproc_spark.core import get_spark
 from dataproc_spark import queries as registry
 
+#: extended set: one representative per r5 operator family, timed and
+#: reported under "extended" — kept OUT of the headline total so
+#: "value" stays comparable across rounds.
+EXTENDED_QUERIES = [
+    "dedup_spans",
+    "select_token_budget",
+    "funnel_steps",
+    "retention_cohorts",
+    "scd2_intervals",
+    "user_event_sequences",
+    "doc_novelty",
+    "ann_recall",
+]
+
 #: benchmark set: the flagship selective-search pipeline + one
 #: representative per operator family.
 BENCH_QUERIES = [
@@ -82,12 +96,24 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED_QUERIES:
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).count()
+            extended[name] = round(time.time() - t0, 3)
+            print(f"# ext {name}: {extended[name]}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# ext {name}: ERROR {errors[name]}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     summary = {
         "metric": "bench_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
