@@ -208,3 +208,51 @@ def doc_fingerprint(col: str = "text") -> F.Column:
     whitespace-collapsed text."""
     normalized = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
     return F.md5(normalized.cast("binary"))
+
+
+def rare_bigram_stats(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 3,
+) -> DataFrame:
+    """Corpus-relative novelty: per document, the count and exact integer
+    permille of its DISTINCT bigrams appearing in fewer than ``min_df``
+    documents. High values flag gibberish (bigrams no other document
+    uses); low values flag boilerplate — the integer-exact,
+    cross-engine-checkable stand-in for float perplexity filters.
+
+    One map-only distinct-bigram explode, one hash aggregate for document
+    frequency (partial aggregation bounds the shuffle to distinct
+    (bigram, doc) pairs), one per-doc aggregate. Documents with no
+    bigrams (< 2 tokens) are excluded — the score is undefined for them.
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    toks = df.select(F.col(id_col), tokens(col).alias("_t"))
+    bg = toks.where(F.size("_t") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(_t) - 2),"
+                " i -> concat_ws(' ', slice(_t, i + 1, 2))))"
+            )
+        ).alias("bg"),
+    )
+    dfc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("dfd"))
+    return (
+        bg.join(dfc, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("dfd") < min_df, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_rare",
+            F.expr("n_rare * 1000 div n_bigrams").cast("long").alias("novelty_m"),
+        )
+    )

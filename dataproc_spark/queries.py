@@ -3464,34 +3464,9 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters (CCNet-style) whose float log-probs can't hash-match across
     engines. One map-only bigram explode + one df aggregate + one
     per-doc aggregate; docs with no bigrams are excluded (undefined
-    score)."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", dedup.tokens("text").alias("_t"))
-    bg = toks.where(F.size("_t") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(0, size(_t) - 2),"
-                " i -> concat_ws(' ', slice(_t, i + 1, 2))))"
-            )
-        ).alias("bg"),
-    )
-    dfc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("dfd"))
-    return (
-        bg.join(dfc, "bg")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum(F.when(F.col("dfd") < 3, 1).otherwise(0))
-            .cast("long")
-            .alias("n_rare"),
-        )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            "n_rare",
-            F.expr("n_rare * 1000 div n_bigrams").cast("long").alias("novelty_m"),
-        )
+    score). Implementation: ``textstats.rare_bigram_stats``."""
+    return textstats.rare_bigram_stats(
+        _t(spark, sf_dir, "documents"), min_df=3
     )
 
 

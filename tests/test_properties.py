@@ -521,3 +521,38 @@ def test_select_under_budget_matches_python_model(spark, items, budget):
         for r in select_under_budget(df, budget).collect()
     }
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(2, 3),
+)
+@settings(max_examples=10, deadline=None)
+def test_rare_bigram_stats_matches_python_model(spark, docs, min_df):
+    from dataproc_spark.extensions.textstats import rare_bigram_stats
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_rare, r.novelty_m)
+        for r in rare_bigram_stats(df, min_df=min_df).collect()
+    }
+    owners: dict[str, set[int]] = {}
+    per_doc: dict[int, set[str]] = {}
+    for i, ws in enumerate(docs):
+        bgs = {" ".join(ws[p : p + 2]) for p in range(len(ws) - 1)}
+        if bgs:
+            per_doc[i] = bgs
+            for g in bgs:
+                owners.setdefault(g, set()).add(i)
+    expect = {}
+    for i, bgs in per_doc.items():
+        rare = sum(1 for g in bgs if len(owners[g]) < min_df)
+        expect[i] = (len(bgs), rare, rare * 1000 // len(bgs))
+    assert got == expect
