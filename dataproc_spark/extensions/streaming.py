@@ -529,3 +529,108 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.max("n_events").alias("max_session_events"),
         F.sum("n_events").alias("n_events_total"),
     )
+
+
+def stream_funnel_counts(
+    spark: SparkSession,
+    events_path: str,
+    steps: tuple = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Stateful streaming funnel: per user, the first ``steps[0]``, the
+    first ``steps[1]`` strictly after it, and so on — converging to the
+    batch ``analytics.funnel`` answer regardless of how events are
+    sliced into (or disordered across) micro-batches.
+
+    Order-independence needs more than a (t1, t2, ...) cursor: a late
+    ``view`` with an earlier timestamp can retroactively qualify an
+    already-seen ``click``, so per-user state keeps the full timestamp
+    list PER FUNNEL STEP TYPE (bounded by the user's funnel-event count,
+    not total events — non-funnel types are filtered before grouping)
+    and the chain is recomputed from state each batch. Same design
+    principle as the session operator's merged intervals.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    from typing import Iterator, Tuple
+    import pandas as pd
+
+    step_list = list(steps)
+    out_schema = StructType(
+        [StructField("user_id", LongType())]
+        + [StructField(f"t_{s}", LongType()) for s in step_list]
+        + [
+            StructField("steps", IntegerType()),
+            StructField("n_funnel_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField(f"ts_{s}", ArrayType(LongType())) for s in step_list]
+    )
+
+    def update(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        per_type = {s: list(v) for s, v in zip(step_list, state.get)} if (
+            state.exists
+        ) else {s: [] for s in step_list}
+        for pdf in pdfs:
+            for t, e in zip(pdf["ts"].tolist(), pdf["event_type"].tolist()):
+                if e in per_type:
+                    per_type[e].append(int(t))
+        state.update(tuple(per_type[s] for s in step_list))
+        # recompute the strict-after chain from FULL state each batch —
+        # this is what makes the operator order-independent across
+        # micro-batches (a cursor could not retroactively qualify a
+        # late-arriving earlier 'view')
+        chain: list = []
+        prev = None
+        broken = False
+        for idx, s in enumerate(step_list):
+            if broken:
+                chain.append(None)
+                continue
+            pool = per_type[s] if idx == 0 else [
+                t for t in per_type[s] if t > prev
+            ]
+            cur = min(pool) if pool else None
+            chain.append(cur)
+            if cur is None:
+                broken = True
+            else:
+                prev = cur
+        reached = sum(1 for c in chain if c is not None)
+        row = {"user_id": [key[0]]}
+        for s, c in zip(step_list, chain):
+            row[f"t_{s}"] = [c]
+        row["steps"] = [reached]
+        row["n_funnel_events"] = [sum(len(v) for v in per_type.values())]
+        yield pd.DataFrame(row)
+
+    filtered = _file_stream(spark, events_path).where(
+        F.col("event_type").isin(step_list)
+    )
+    counted = filtered.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(counted, "update", "funnel")
+    final = drained.groupBy("user_id").agg(
+        F.max_by(
+            F.struct(*[f"t_{s}" for s in step_list], "steps"),
+            "n_funnel_events",
+        ).alias("_f")
+    )
+    first = step_list[0]
+    return final.select(
+        "user_id", *[F.col(f"_f.t_{s}").alias(f"t_{s}") for s in step_list],
+        F.col("_f.steps").alias("steps"),
+    ).where(F.col(f"t_{first}").isNotNull())

@@ -1605,6 +1605,16 @@ FROM ev
 """
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming variant of ``funnel_steps``
+    (``applyInPandasWithState``, per-step timestamp lists in state so
+    cross-batch disorder converges); same oracle — batch/stream parity
+    is the assertion."""
+    return streaming.stream_funnel_counts(
+        spark, f"{sf_dir}/events.parquet"
+    ).select("user_id", "t_view", "t_click", "t_purchase", "steps")
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users cohorted by the epoch-week of their
     first 'signup' event; for each (cohort_week, week_offset ≥ 0) the
@@ -4109,6 +4119,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "user_event_sequences": (q_user_event_sequences, SQL_USER_EVENT_SEQUENCES),
+    "stream_funnel": (q_stream_funnel, SQL_FUNNEL_STEPS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),

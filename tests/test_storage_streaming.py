@@ -344,3 +344,50 @@ def test_bounded_dedup_evicts_state(spark, tmp_path):
     }
     assert out[3] == 1
     assert out[1] == 2  # the same hour counted twice across eviction
+
+
+def test_stream_funnel_late_view_across_batches(spark, tmp_path):
+    """Order-independence: a 'view' arriving in a LATER micro-batch with
+    an EARLIER timestamp must retroactively qualify a click/purchase the
+    first batch already saw — a (t_view, t_click, ...) cursor cannot do
+    this; per-step timestamp state can."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from dataproc_spark.extensions.streaming import stream_funnel_counts
+
+    t0 = 1_700_000_000_000_000_000
+    S = 1_000_000_000
+    d = tmp_path / "ev"
+    d.mkdir()
+    f1, f2 = d / "a.parquet", d / "b.parquet"
+    # user 1: batch 1 has click@20 and purchase@30 but NO view -> steps 0
+    #   (user absent); batch 2 delivers the late view@10 -> steps 3.
+    # user 2: batch 1 has view@50, click@40 (click BEFORE view -> steps 1);
+    #   batch 2 delivers a late view@35 -> click@40 now qualifies -> 2.
+    pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2],
+            "ts": [t0 + 20 * S, t0 + 30 * S, t0 + 50 * S, t0 + 40 * S],
+            "event_type": ["click", "purchase", "view", "click"],
+        }
+    ).to_parquet(f1)
+    pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "ts": [t0 + 10 * S, t0 + 35 * S],
+            "event_type": ["view", "view"],
+        }
+    ).to_parquet(f2)
+    now = time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now, now))
+    out = stream_funnel_counts(spark, str(d))
+    got = {r.user_id: (r.t_view, r.t_click, r.t_purchase, r.steps)
+           for r in out.collect()}
+    assert got == {
+        1: (t0 + 10 * S, t0 + 20 * S, t0 + 30 * S, 3),
+        2: (t0 + 35 * S, t0 + 40 * S, None, 2),
+    }
