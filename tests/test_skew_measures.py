@@ -202,3 +202,48 @@ def test_adaptive_strategy_dispatch(spark):
         simsearch.topk(emb, q, strategy="bucketed")
     with pytest.raises(ValueError, match="unknown strategy"):
         simsearch.topk(emb, q, strategy="nonsense")
+
+
+# ---------------------------------------------------------------------------
+# analytics module guards
+# ---------------------------------------------------------------------------
+
+def test_funnel_validates_steps(spark):
+    from dataproc_spark.extensions.analytics import funnel
+
+    ev = spark.createDataFrame(
+        [(1, 10, "view")], schema="user_id long, ts long, event_type string"
+    )
+    with pytest.raises(ValueError, match="steps"):
+        funnel(ev, steps=("view",))
+
+
+def test_funnel_four_stage_chain(spark):
+    from dataproc_spark.extensions.analytics import funnel
+
+    ev = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (1, 40, "d"),
+         (2, 10, "a"), (2, 5, "b")],
+        schema="user_id long, ts long, event_type string",
+    )
+    got = {r.user_id: (r.t_a, r.t_b, r.t_c, r.t_d, r.steps)
+           for r in funnel(ev, steps=("a", "b", "c", "d")).collect()}
+    assert got == {1: (10, 20, 30, 40, 4), 2: (10, None, None, None, 1)}
+
+
+def test_retention_matrix_validates_period(spark):
+    from dataproc_spark.extensions.analytics import retention_matrix
+
+    ev = spark.createDataFrame(
+        [(1, 10, "signup")], schema="user_id long, ts long, event_type string"
+    )
+    with pytest.raises(ValueError, match="period_ns"):
+        retention_matrix(ev, "signup", 0)
+
+
+def test_select_under_budget_requires_columns(spark):
+    from dataproc_spark.extensions.analytics import select_under_budget
+
+    df = spark.createDataFrame([(1,)], schema="doc_id long")
+    with pytest.raises(Exception):
+        select_under_budget(df, 10)
