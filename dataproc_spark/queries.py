@@ -49,6 +49,25 @@ from dataproc_spark.extensions import (
 # table access
 # ---------------------------------------------------------------------------
 
+#: every driver-generated testdata table
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, suffix: str = "_v"
+) -> None:
+    """Register every testdata table as a temp view (``<name><suffix>``)
+    so the full corpus is queryable through the ``spark.sql`` front-end.
+    The events view carries the engine's normalization — ``ts`` is int64
+    epoch nanoseconds regardless of the parquet physical type — so SQL
+    users get the same event-time contract as the DataFrame API."""
+    for name in TABLES:
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"{name}{suffix}")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts arrives as long nanos (parquet TIMESTAMP(NANOS) under
@@ -1603,6 +1622,24 @@ SELECT user_id, valid_from, event_id, value_c,
        ) IS NULL AS INTEGER) AS is_current
 FROM ev
 """
+
+
+def q_sql_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_hourly through the ``spark.sql`` front-end over
+    :func:`register_tables` views — proving the int64-nanos event-time
+    contract (and its physical-type normalization) carries into the SQL
+    surface, not just the DataFrame API. Same oracle as the DataFrame
+    form."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT (ts - pmod(ts, 3600000000000)) div 3600000000000 AS hour_id,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_c
+        FROM events_v
+        GROUP BY 1, 2
+    """)
 
 
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4120,6 +4157,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "user_event_sequences": (q_user_event_sequences, SQL_USER_EVENT_SEQUENCES),
     "stream_funnel": (q_stream_funnel, SQL_FUNNEL_STEPS),
+    "sql_events_hourly": (q_sql_events_hourly, SQL_EVENTS_HOURLY),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
