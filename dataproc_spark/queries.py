@@ -1624,6 +1624,92 @@ FROM ev
 """
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward-fill (the pandas
+    ``resample('6h').last().ffill()`` staple): per user, the last event
+    value in each 6-hour bucket, with empty buckets between a user's
+    first and last event carrying the previous bucket's value forward.
+
+    Plan: per-(user, bucket) last value via one ``max_by`` aggregate
+    (deterministic (ts, event_id) order, no window over raw events);
+    the bucket spine is an ``explode(sequence(min, max))`` per user —
+    rows bounded by time span / bucket width, not event count; the
+    forward fill is ``last(ignorenulls)`` over the spine, partitioned
+    per user. Exact integer values (cents) throughout."""
+    bucket_ns = 6 * 3_600_000_000_000
+    ev = _t(spark, sf_dir, "events")
+    b = F.expr(f"(ts - pmod(ts, {bucket_ns})) div {bucket_ns}")
+    per_bucket = (
+        ev.select(
+            "user_id",
+            b.alias("bucket_id"),
+            F.struct("ts", "event_id",
+                     F.round(F.col("value") * 100).cast("long").alias("vc"))
+            .alias("e"),
+        )
+        .groupBy("user_id", "bucket_id")
+        .agg(F.max("e").getField("vc").alias("value_c"))
+    )
+    spine = (
+        per_bucket.groupBy("user_id")
+        .agg(F.min("bucket_id").alias("b0"), F.max("bucket_id").alias("b1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(b0, b1)")).alias("bucket_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(per_bucket, ["user_id", "bucket_id"], "left")
+        .select(
+            "user_id",
+            "bucket_id",
+            F.last("value_c", ignorenulls=True).over(w).alias("value_c"),
+            F.col("value_c").isNull().cast("int").alias("filled"),
+        )
+    )
+
+
+SQL_EVENTS_RESAMPLE = """
+WITH ev AS (
+    SELECT user_id,
+           (epoch_ns(ts) - ((epoch_ns(ts) % 21600000000000) + 21600000000000)
+            % 21600000000000) // 21600000000000 AS bucket_id,
+           epoch_ns(ts) AS tns, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS vc
+    FROM events
+),
+per_bucket AS (
+    SELECT user_id, bucket_id, vc AS value_c
+    FROM (
+        SELECT user_id, bucket_id, vc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, bucket_id
+                   ORDER BY tns DESC, event_id DESC
+               ) AS rn
+        FROM ev
+    ) WHERE rn = 1
+),
+spine AS (
+    SELECT user_id, unnest(range(MIN(bucket_id), MAX(bucket_id) + 1))
+               AS bucket_id
+    FROM per_bucket GROUP BY user_id
+)
+SELECT s.user_id, s.bucket_id,
+       last_value(p.value_c IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.bucket_id
+           ROWS UNBOUNDED PRECEDING
+       ) AS value_c,
+       CAST(p.value_c IS NULL AS INTEGER) AS filled
+FROM spine s
+LEFT JOIN per_bucket p USING (user_id, bucket_id)
+"""
+
+
 def q_sql_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events_hourly through the ``spark.sql`` front-end over
     :func:`register_tables` views — proving the int64-nanos event-time
@@ -4158,6 +4244,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "user_event_sequences": (q_user_event_sequences, SQL_USER_EVENT_SEQUENCES),
     "stream_funnel": (q_stream_funnel, SQL_FUNNEL_STEPS),
     "sql_events_hourly": (q_sql_events_hourly, SQL_EVENTS_HOURLY),
+    "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
