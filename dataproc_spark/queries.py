@@ -2212,6 +2212,75 @@ WHERE losers.node IS NULL
 """
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup diagnostics: the duplicate-cluster size histogram (how many
+    clusters of 2, of 3, ... — singletons excluded), over the same
+    deterministic exact-Jaccard pair graph as ``dedup_cc``. The first
+    thing to inspect before committing a dedup pass at corpus scale: a
+    heavy tail here means boilerplate families, not true duplicates.
+
+    Plan: connected components (bounded label propagation) → one count
+    per component → one count per size — each a partially-aggregated
+    hash aggregate on a frame no larger than the paired-document set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, min_shared=2, jaccard_threshold_m=100
+    )
+    comps = dedup.connected_components(pairs, id_a="id_a", id_b="id_b")
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
+
+
+SQL_DEDUP_CLUSTER_SIZES = r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 100
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+GROUP BY cluster_size
+"""
+
+
 def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with the engine-portable md5_32 token-hash
     family — the hash-checked twin of ``dedup_simhash``: DuckDB rebuilds
@@ -4245,6 +4314,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_funnel": (q_stream_funnel, SQL_FUNNEL_STEPS),
     "sql_events_hourly": (q_sql_events_hourly, SQL_EVENTS_HOURLY),
     "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
+    "dedup_cluster_sizes": (q_dedup_cluster_sizes, SQL_DEDUP_CLUSTER_SIZES),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
