@@ -4379,7 +4379,16 @@ def registry_order(artifacts_dir: str | None = None) -> list[str]:
                     and row.get("schema_match") is True
                     and row.get("hash_match") is not False
                 )
-                if green:
+                # rows-only entries (no oracle by design) are recorded as
+                # rows_match=None with err='no_oracle'; the query RAN and
+                # its weaker check passed — don't pin them in the failure
+                # bucket forever
+                rows_only_ok = (
+                    row.get("rows_match") is None
+                    and row.get("spark_rows") is not None
+                    and row.get("err") in (None, "no_oracle")
+                )
+                if green or rows_only_ok:
                     latest_green[name] = max(latest_green.get(name, -1), rnd)
         if max_round < 5:
             return names

@@ -117,3 +117,27 @@ def test_registry_plan_has_no_unexpected_nested_loop(spark, name):
         return
     assert "BroadcastNestedLoopJoin" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_registry_order_rows_only_records_count_as_green(tmp_path):
+    """Rows-only entries (err='no_oracle', spark_rows set) must NOT sit in
+    the re-verify-now bucket forever — their weaker check passed."""
+    import json
+
+    from dataproc_spark.queries import ALWAYS_VERIFY, REGISTRY, registry_order
+
+    names = list(REGISTRY)
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"}
+    errored = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": "boom"}
+    ok_name, bad_name = names[10], names[11]
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({ok_name: rows_only, bad_name: errored})
+    )
+    order = registry_order(str(tmp_path))
+    # errored entry leads; the rows-only entry sorts with the green tier
+    assert order[0] == bad_name
+    sentinels = [n for n in names if n in ALWAYS_VERIFY]
+    assert order[1:5] == sentinels
+    assert order.index(ok_name) > order.index(sentinels[-1])
