@@ -155,3 +155,57 @@ def select_under_budget(
         )
         .where(F.col("cum_weight") <= budget)
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    bucket_ns: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value_c",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-series resample + forward fill: per key, the last value in
+    each ``bucket_ns``-wide bucket, with empty buckets inside the key's
+    active span carrying the previous value forward (pandas
+    ``resample().last().ffill()``).
+
+    The per-bucket last is ONE max-by-struct aggregate under the total
+    order (ts, tiebreak) — no window over raw events; the bucket spine is
+    an exploded ``sequence(min, max)`` per key, bounded by time span /
+    bucket width rather than event count; the fill is
+    ``last(ignorenulls)`` over the spine partitioned per key.
+    """
+    if bucket_ns <= 0:
+        raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
+    ensure_has_columns(events, [user_col, ts_col, value_col, tiebreak_col])
+    b = F.expr(f"({ts_col} - pmod({ts_col}, {bucket_ns})) div {bucket_ns}")
+    per_bucket = (
+        events.select(
+            user_col,
+            b.alias("bucket_id"),
+            F.struct(ts_col, tiebreak_col, F.col(value_col).alias("_v"))
+            .alias("_e"),
+        )
+        .groupBy(user_col, "bucket_id")
+        .agg(F.max("_e").getField("_v").alias(value_col))
+    )
+    spine = (
+        per_bucket.groupBy(user_col)
+        .agg(F.min("bucket_id").alias("_b0"), F.max("bucket_id").alias("_b1"))
+        .select(
+            user_col,
+            F.explode(F.expr("sequence(_b0, _b1)")).alias("bucket_id"),
+        )
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.join(per_bucket, [user_col, "bucket_id"], "left").select(
+        user_col,
+        "bucket_id",
+        F.last(value_col, ignorenulls=True).over(w).alias(value_col),
+        F.col(value_col).isNull().cast("int").alias("filled"),
+    )

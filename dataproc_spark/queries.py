@@ -1635,43 +1635,14 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket spine is an ``explode(sequence(min, max))`` per user —
     rows bounded by time span / bucket width, not event count; the
     forward fill is ``last(ignorenulls)`` over the spine, partitioned
-    per user. Exact integer values (cents) throughout."""
-    bucket_ns = 6 * 3_600_000_000_000
-    ev = _t(spark, sf_dir, "events")
-    b = F.expr(f"(ts - pmod(ts, {bucket_ns})) div {bucket_ns}")
-    per_bucket = (
-        ev.select(
-            "user_id",
-            b.alias("bucket_id"),
-            F.struct("ts", "event_id",
-                     F.round(F.col("value") * 100).cast("long").alias("vc"))
-            .alias("e"),
-        )
-        .groupBy("user_id", "bucket_id")
-        .agg(F.max("e").getField("vc").alias("value_c"))
+    per user. Exact integer values (cents) throughout
+    (``analytics.resample_ffill``)."""
+    from dataproc_spark.extensions.analytics import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("long")
     )
-    spine = (
-        per_bucket.groupBy("user_id")
-        .agg(F.min("bucket_id").alias("b0"), F.max("bucket_id").alias("b1"))
-        .select(
-            "user_id",
-            F.explode(F.expr("sequence(b0, b1)")).alias("bucket_id"),
-        )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        spine.join(per_bucket, ["user_id", "bucket_id"], "left")
-        .select(
-            "user_id",
-            "bucket_id",
-            F.last("value_c", ignorenulls=True).over(w).alias("value_c"),
-            F.col("value_c").isNull().cast("int").alias("filled"),
-        )
-    )
+    return resample_ffill(ev, bucket_ns=6 * 3_600_000_000_000)
 
 
 SQL_EVENTS_RESAMPLE = """

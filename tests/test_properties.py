@@ -556,3 +556,50 @@ def test_rare_bigram_stats_matches_python_model(spark, docs, min_df):
         rare = sum(1 for g in bgs if len(owners[g]) < min_df)
         expect[i] = (len(bgs), rare, rare * 1000 // len(bgs))
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),       # user
+            st.integers(-15, 15),    # ts (pre-1970 included)
+            st.integers(-5, 5),      # value
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    st.sampled_from([3, 4]),
+)
+@settings(max_examples=10, deadline=None)
+def test_resample_ffill_matches_python_model(spark, events, bucket):
+    import math
+
+    from dataproc_spark.extensions.analytics import resample_ffill
+
+    rows = [(u, t, i, v) for i, (u, t, v) in enumerate(events)] or [
+        (99, 0, 0, 0)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="user_id long, ts long, event_id long, value_c long"
+    )
+    got = {
+        (r.user_id, r.bucket_id): (r.value_c, r.filled)
+        for r in resample_ffill(df, bucket_ns=bucket).collect()
+    }
+    expect = {}
+    for u in {r[0] for r in rows}:
+        mine = [(t, e, v) for uu, t, e, v in rows if uu == u]
+        per_bucket = {}
+        for t, e, v in mine:
+            bk = math.floor(t / bucket)
+            cur = per_bucket.get(bk)
+            if cur is None or (t, e) > cur[0]:
+                per_bucket[bk] = ((t, e), v)
+        last = None
+        for bk in range(min(per_bucket), max(per_bucket) + 1):
+            if bk in per_bucket:
+                last = per_bucket[bk][1]
+                expect[(u, bk)] = (last, 0)
+            else:
+                expect[(u, bk)] = (last, 1)
+    assert got == expect
