@@ -1681,6 +1681,40 @@ LEFT JOIN per_bucket p USING (user_id, bucket_id)
 """
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts through Spark's native
+    ``groupBy().pivot()`` API (the CASE-pivot gate ``returnflag_pivot``
+    covers the manual formulation; this one exercises the pivot
+    operator itself, with the value list pinned so no extra
+    distinct-values job runs — the form that scales)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_sql_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events_hourly through the ``spark.sql`` front-end over
     :func:`register_tables` views — proving the int64-nanos event-time
@@ -4286,6 +4320,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sql_events_hourly": (q_sql_events_hourly, SQL_EVENTS_HOURLY),
     "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
     "dedup_cluster_sizes": (q_dedup_cluster_sizes, SQL_DEDUP_CLUSTER_SIZES),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
