@@ -603,3 +603,50 @@ def test_resample_ffill_matches_python_model(spark, events, bucket):
             else:
                 expect[(u, bk)] = (last, 1)
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),     # user
+            st.integers(0, 20),    # ts (collisions likely)
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_ordered_collect_matches_python_model(spark, events):
+    """user_event_sequences' ordering contract: struct array_sort must
+    equal an explicit (ts, event_id) sort even under ts collisions."""
+    from dataproc_spark import queries as Q
+
+    rows = [(u, t, i, e) for i, (u, t, e) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, schema="user_id long, ts long, event_id long, event_type string"
+    )
+    import pyspark.sql.functions as F
+
+    collected = (
+        df.select(
+            "user_id",
+            F.struct("ts", "event_id", "event_type").alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform("seq", lambda e: e.getField("event_type")), ">"
+            ).alias("trajectory"),
+        )
+    )
+    got = {r.user_id: r.trajectory for r in collected.collect()}
+    expect = {}
+    for u in {r[0] for r in rows}:
+        mine = sorted(
+            [(t, i, e) for uu, t, i, e in rows if uu == u]
+        )
+        expect[u] = ">".join(e for _, _, e in mine)
+    assert got == expect
