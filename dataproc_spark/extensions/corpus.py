@@ -290,3 +290,32 @@ def remove_repeated_spans(
             ).alias("text_clean"),
         )
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+    n_shards: int = 16,
+) -> None:
+    """Materialize the deterministic epoch shuffle as training shard
+    files: ``shard=<k>/`` parquet directories, rows stored in ``pos``
+    order so a trainer streaming shard 0..n-1 front-to-back reads the
+    exact :func:`shuffle_order` permutation.
+
+    ``repartition(n, shard)`` + ``sortWithinPartitions(pos)`` +
+    ``partitionBy(shard)`` is ONE hash shuffle and per-shard sorts —
+    never a global ORDER BY — and each shard directory is written by the
+    tasks that own it. Re-salt per epoch for a fresh permutation; the
+    layout (and hence a resumed run's read order) is bit-stable across
+    reruns and cluster sizes.
+    """
+    ordered = shuffle_order(df, id_col=id_col, salt=salt, n_shards=n_shards)
+    (
+        ordered.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

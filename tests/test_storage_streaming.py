@@ -391,3 +391,41 @@ def test_stream_funnel_late_view_across_batches(spark, tmp_path):
         1: (t0 + 10 * S, t0 + 20 * S, t0 + 30 * S, 3),
         2: (t0 + 35 * S, t0 + 40 * S, None, 2),
     }
+
+
+def test_write_training_shards_physical_order(spark, tmp_path):
+    """The shard files must physically store rows in `pos` order so a
+    trainer streaming shard k front-to-back reads the exact shuffle_order
+    permutation — verified by reading the parquet files directly with
+    pyarrow (no Spark read that could reorder)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dataproc_spark.extensions.corpus import (
+        shuffle_order,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)],
+        schema="doc_id long, text string",
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, salt="e1")
+    expect = {
+        (r.shard, r.pos): r.doc_id
+        for r in shuffle_order(df, salt="e1").collect()
+    }
+    seen = 0
+    for shard_dir in sorted(glob.glob(f"{out}/shard=*")):
+        shard = int(shard_dir.rsplit("=", 1)[1])
+        rows = []
+        for f in sorted(glob.glob(f"{shard_dir}/*.parquet")):
+            t = pq.read_table(f, columns=["pos", "doc_id"])
+            rows.extend(zip(t["pos"].to_pylist(), t["doc_id"].to_pylist()))
+        assert [p for p, _ in rows] == sorted(p for p, _ in rows), shard
+        for p, d in rows:
+            assert expect[(shard, p)] == d
+            seen += 1
+    assert seen == 200
