@@ -429,3 +429,37 @@ def test_write_training_shards_physical_order(spark, tmp_path):
             assert expect[(shard, p)] == d
             seen += 1
     assert seen == 200
+
+
+def test_stream_to_parquet_resumes_from_checkpoint(spark, tmp_path):
+    """Restarting a drained stream with the SAME checkpoint must process
+    only files that arrived since — no reprocessing, no duplicate rows in
+    the sink (the exactly-once resume contract a production ingest relies
+    on)."""
+    import pandas as pd
+
+    from dataproc_spark.extensions.streaming import (
+        _file_stream,
+        stream_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    t0 = 1_700_000_000_000_000_000
+    pd.DataFrame(
+        {"user_id": [1, 2], "ts": [t0, t0 + 1], "event_id": [1, 2]}
+    ).to_parquet(src / "a.parquet")
+
+    stream_to_parquet(_file_stream(spark, str(src)), out, checkpoint_dir=ck)
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+
+    pd.DataFrame(
+        {"user_id": [3], "ts": [t0 + 2], "event_id": [3]}
+    ).to_parquet(src / "b.parquet")
+    stream_to_parquet(_file_stream(spark, str(src)), out, checkpoint_dir=ck)
+    back = spark.read.parquet(out)
+    assert back.count() == 3, "resume must add only the new file's rows"
+    assert {r.event_id for r in back.collect()} == {1, 2, 3}
