@@ -209,3 +209,29 @@ def resample_ffill(
         F.last(value_col, ignorenulls=True).over(w).alias(value_col),
         F.col(value_col).isNull().cast("int").alias("filled"),
     )
+
+
+def scd2_history(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value_c",
+) -> DataFrame:
+    """SCD type-2 history build: each change event becomes a validity
+    interval [valid_from, valid_to) carrying its value; ``valid_to`` is
+    null on the open (current) interval, flagged by ``is_current``.
+
+    ONE lead window partitioned by the key under the total order
+    (ts, tiebreak) — per-key sort only, the same plan shape as
+    sessionization; no self-join, no global sort.
+    """
+    ensure_has_columns(events, [user_col, ts_col, tiebreak_col, value_col])
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    return events.select(
+        user_col,
+        F.col(ts_col).alias("valid_from"),
+        tiebreak_col,
+        value_col,
+        F.lead(ts_col).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull().cast("int"))

@@ -1588,23 +1588,16 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE lead window partitioned by user_id with a total order
     (ts, event_id) — per-user sort only, same shape as sessionization;
-    no self-join, no global sort."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        F.col("ts").alias("valid_from"),
-        "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("value_c"),
-    ).select(
-        "user_id",
-        "valid_from",
-        "event_id",
-        "value_c",
-        F.lead("valid_from").over(
-            Window.partitionBy("user_id").orderBy("valid_from", "event_id")
-        ).alias("valid_to"),
-    ).withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+    no self-join, no global sort (``analytics.scd2_history``)."""
+    from dataproc_spark.extensions.analytics import scd2_history
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("long")
+    )
+    return scd2_history(ev).select(
+        "user_id", "valid_from", "event_id", "value_c", "valid_to",
+        "is_current",
+    )
 
 
 SQL_SCD2_INTERVALS = """

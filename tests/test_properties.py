@@ -650,3 +650,36 @@ def test_ordered_collect_matches_python_model(spark, events):
         )
         expect[u] = ">".join(e for _, _, e in mine)
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),     # user
+            st.integers(0, 10),    # ts (collisions likely)
+            st.integers(-3, 3),    # value
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_scd2_history_matches_python_model(spark, events):
+    from dataproc_spark.extensions.analytics import scd2_history
+
+    rows = [(u, t, i, v) for i, (u, t, v) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, schema="user_id long, ts long, event_id long, value_c long"
+    )
+    got = {
+        r.event_id: (r.user_id, r.valid_from, r.value_c, r.valid_to,
+                     r.is_current)
+        for r in scd2_history(df).collect()
+    }
+    expect = {}
+    for u in {r[0] for r in rows}:
+        mine = sorted((t, i, v) for uu, t, i, v in rows if uu == u)
+        for idx, (t, i, v) in enumerate(mine):
+            nxt = mine[idx + 1][0] if idx + 1 < len(mine) else None
+            expect[i] = (u, t, v, nxt, 1 if nxt is None else 0)
+    assert got == expect
