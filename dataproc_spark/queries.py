@@ -2210,6 +2210,59 @@ WHERE losers.node IS NULL
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: documents already ingested (the
+    deterministic 'train' split stands in for the existing corpus) are
+    represented ONLY by their 16-byte content fingerprints; a new batch
+    (the 'val'+'test' splits) keeps documents that are neither already in
+    the store nor duplicated within the batch (min doc_id wins).
+
+    The production shape for growing corpora: the old corpus is never
+    rescanned — its fingerprint table is the only thing the new batch
+    joins against (anti-join on the hash), and within-batch dedup is the
+    usual min-id aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    split = sampling.hash_split(docs, id_col="doc_id", salt="ingest")
+    store = (
+        split.where(F.col("split") == "train")
+        .select(dedup.content_fingerprint("text").alias("_fp"))
+        .distinct()
+    )
+    batch = split.where(F.col("split") != "train").withColumn(
+        "_fp", dedup.content_fingerprint("text")
+    )
+    fresh = batch.join(store, "_fp", "left_anti")
+    return (
+        fresh.groupBy("_fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_batch_copies"),
+        )
+        .select("doc_id", "n_batch_copies")
+    )
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH split AS (
+    SELECT doc_id, text,
+           substr(md5(CAST(doc_id AS VARCHAR) || '#ingest'), 1, 8)
+               < 'cccccccc' AS in_store
+    FROM documents
+),
+store AS (
+    SELECT DISTINCT md5(text) AS fp FROM split WHERE in_store
+),
+batch AS (
+    SELECT doc_id, md5(text) AS fp FROM split WHERE NOT in_store
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = b.fp)
+GROUP BY fp
+"""
+
+
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup diagnostics: the duplicate-cluster size histogram (how many
     clusters of 2, of 3, ... — singletons excluded), over the same
@@ -4314,6 +4367,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
     "dedup_cluster_sizes": (q_dedup_cluster_sizes, SQL_DEDUP_CLUSTER_SIZES),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
