@@ -32,6 +32,8 @@ EXTENDED_QUERIES = [
     "user_event_sequences",
     "doc_novelty",
     "ann_recall",
+    "events_pivot",
+    "incremental_dedup",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

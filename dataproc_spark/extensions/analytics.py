@@ -1,10 +1,11 @@
 """Event/corpus analytics operators: ordered funnels, retention cohorts,
-and budgeted prefix selection.
+budgeted prefix selection, time-series resampling, and SCD2 history.
 
 These are the product-analytics and data-selection staples a pipeline
-runs beside its training-data jobs. All three are pure DataFrame
+runs beside its training-data jobs. All of them are pure DataFrame
 compositions with deterministic integer semantics (the registry gates
-value-check them against DuckDB oracles; see ``queries.py``).
+value-check them against DuckDB oracles; see ``queries.py``), and each
+is also pitted against an independent Python model by hypothesis tests.
 
 Scale design
 ------------
