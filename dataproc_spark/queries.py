@@ -4378,6 +4378,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 #: flagship gates that should appear in every round's recorded window
 ALWAYS_VERIFY = ("select_top_t", "evaluate_sweep", "resolve_buckets", "tpch_q6")
 
+#: per-process cache for :func:`registry_order`, keyed on the artifact
+#: files' (path, mtime, size) fingerprint
+_REGISTRY_ORDER_CACHE: dict = {}
+
 
 def registry_order(artifacts_dir: str | None = None) -> list[str]:
     """Registry names ordered by verification need, computed from the
@@ -4398,14 +4402,35 @@ def registry_order(artifacts_dir: str | None = None) -> list[str]:
     activates once round 5's artifact exists (``max recorded round >=
     5``); before that — including during round 5's own verify — the
     hand-curated literal order stands. Any artifact problem falls back to
-    the literal order: ordering must never break ``queries()``.
+    the literal order: ordering must never break ``queries()`` — but the
+    fallback is loudly announced on stderr so a silently frozen rotation
+    (the failure mode the rotation exists to prevent) stays visible.
+
+    The computed order is cached per process, keyed on the artifact
+    files' (path, mtime, size) fingerprint, so repeated
+    ``queries()``/``oracle_sql()`` calls don't re-parse every
+    ``CORRECTNESS_r*.json``.
     """
     import glob
     import json
     import os
     import re
+    import sys
 
     names = list(REGISTRY)
+    try:
+        root_for_key = artifacts_dir or os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        paths = sorted(glob.glob(os.path.join(root_for_key, "CORRECTNESS_r*.json")))
+        cache_key = tuple(
+            (p, os.path.getmtime(p), os.path.getsize(p)) for p in paths
+        )
+        cached = _REGISTRY_ORDER_CACHE.get(cache_key)
+        if cached is not None:
+            return list(cached)
+    except Exception:
+        cache_key = None
     try:
         root = artifacts_dir or os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))
@@ -4460,8 +4485,18 @@ def registry_order(artifacts_dir: str | None = None) -> list[str]:
                 bucket = 3
             return (bucket, lg, pos[n])
 
-        return sorted(names, key=key)
-    except Exception:
+        ordered = sorted(names, key=key)
+        if cache_key is not None:
+            _REGISTRY_ORDER_CACHE[cache_key] = list(ordered)
+        return ordered
+    except Exception as exc:  # pragma: no cover - defensive
+        print(
+            "dataproc_spark.queries.registry_order: falling back to the "
+            f"literal REGISTRY order ({type(exc).__name__}: {exc}); the "
+            "verification rotation is FROZEN until the CORRECTNESS_r*.json "
+            "artifacts parse again",
+            file=sys.stderr,
+        )
         return names
 
 
