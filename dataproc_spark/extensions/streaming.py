@@ -119,11 +119,15 @@ def _file_stream(spark: SparkSession, events_path: str) -> DataFrame:
     return normalize_event_ts(stream)
 
 
-def _drain(df: DataFrame, mode: str, prefix: str) -> DataFrame:
+def _drain(
+    df: DataFrame, mode: str, prefix: str, checkpoint: str | None = None
+) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a memory
-    sink and return the materialized static result."""
+    sink and return the materialized static result. Pass ``checkpoint``
+    to keep the state store readable afterwards (state-eviction tests
+    read it back with the ``statestore`` data source)."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_")
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -535,6 +539,9 @@ def stream_funnel_counts(
     spark: SparkSession,
     events_path: str,
     steps: tuple = ("view", "click", "purchase"),
+    watermark: str = "1 hour",
+    timeout_horizon_hours: int = 720,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Stateful streaming funnel: per user, the first ``steps[0]``, the
     first ``steps[1]`` strictly after it, and so on — converging to the
@@ -543,11 +550,32 @@ def stream_funnel_counts(
 
     Order-independence needs more than a (t1, t2, ...) cursor: a late
     ``view`` with an earlier timestamp can retroactively qualify an
-    already-seen ``click``, so per-user state keeps the full timestamp
-    list PER FUNNEL STEP TYPE (bounded by the user's funnel-event count,
-    not total events — non-funnel types are filtered before grouping)
-    and the chain is recomputed from state each batch. Same design
-    principle as the session operator's merged intervals.
+    already-seen ``click``, so per-user state keeps timestamps PER
+    FUNNEL STEP TYPE and the chain is recomputed from state each batch.
+
+    **State is bounded by watermark-driven compaction** (late rows below
+    the watermark are dropped by the stateful operator, so nothing below
+    it can arrive anymore):
+
+    - a chain prefix whose values are ``<= watermark`` is RESOLVED — no
+      future event can displace ``min(pool)`` once every later arrival
+      is provably greater — so the prefix is folded into a
+      ``resolved`` array and those steps' timestamp pools are cleared;
+    - the first unresolved step keeps only ``min(pool > prev)`` — its
+      predecessor is final, so only the current minimum can ever win;
+    - later steps keep only timestamps ``> watermark``: their
+      predecessor's final value is itself provably ``> watermark``
+      (else it would have resolved), so nothing at or below the
+      watermark can ever qualify;
+    - instead of ``NoTimeout``, an event-time timeout at
+      ``watermark + timeout_horizon_hours`` emits-and-drops users idle
+      for that much event time (the sessionization trade, applied here).
+
+    Per-user state is therefore O(len(steps)) + the post-watermark tail,
+    not the user's lifetime funnel-event count — a bot emitting views
+    forever no longer grows an unbounded state row. Eviction is proven
+    by reading the state store back in
+    ``tests/test_storage_streaming.py::test_stream_funnel_state_compacts``.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -561,6 +589,8 @@ def stream_funnel_counts(
     import pandas as pd
 
     step_list = list(steps)
+    assert len(set(step_list)) == len(step_list), "funnel steps must be distinct"
+    horizon_ms = timeout_horizon_hours * 3_600_000
     out_schema = StructType(
         [StructField("user_id", LongType())]
         + [StructField(f"t_{s}", LongType()) for s in step_list]
@@ -570,59 +600,122 @@ def stream_funnel_counts(
         ]
     )
     state_schema = StructType(
-        [StructField(f"ts_{s}", ArrayType(LongType())) for s in step_list]
+        [
+            StructField("resolved", ArrayType(LongType())),
+            StructField("n_events", LongType()),
+        ]
+        + [StructField(f"ts_{s}", ArrayType(LongType())) for s in step_list]
     )
 
-    def update(
-        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        per_type = {s: list(v) for s, v in zip(step_list, state.get)} if (
-            state.exists
-        ) else {s: [] for s in step_list}
-        for pdf in pdfs:
-            for t, e in zip(pdf["ts"].tolist(), pdf["event_type"].tolist()):
-                if e in per_type:
-                    per_type[e].append(int(t))
-        state.update(tuple(per_type[s] for s in step_list))
-        # recompute the strict-after chain from FULL state each batch —
-        # this is what makes the operator order-independent across
-        # micro-batches (a cursor could not retroactively qualify a
-        # late-arriving earlier 'view')
-        chain: list = []
-        prev = None
+    # NOTE: closures must stay self-contained (no module-level helper
+    # references) — cloudpickle ships them by value, so the operator works
+    # on executors that don't have dataproc_spark importable
+    def _funnel_chain(resolved, per_type):
+        # strict-after chain from a resolved prefix + per-step pools:
+        # chain[i] = resolved[i] for the prefix, then min(pool_i > prev)
+        # until a step has no candidate
+        chain = list(resolved)
+        prev = chain[-1] if chain else None
         broken = False
-        for idx, s in enumerate(step_list):
+        for idx in range(len(resolved), len(step_list)):
             if broken:
                 chain.append(None)
                 continue
-            pool = per_type[s] if idx == 0 else [
-                t for t in per_type[s] if t > prev
-            ]
-            cur = min(pool) if pool else None
+            pool = per_type[step_list[idx]]
+            cand = pool if prev is None else [t for t in pool if t > prev]
+            cur = min(cand) if cand else None
             chain.append(cur)
             if cur is None:
                 broken = True
             else:
                 prev = cur
-        reached = sum(1 for c in chain if c is not None)
+        return chain, sum(1 for c in chain if c is not None)
+
+    def update(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stored = state.get
+            resolved = list(stored[0])
+            n_events = int(stored[1])
+            per_type = {s: list(v) for s, v in zip(step_list, stored[2:])}
+        else:
+            resolved, n_events = [], 0
+            per_type = {s: [] for s in step_list}
+        if state.hasTimedOut:
+            # idle past the horizon: emit the settled row and drop state
+            chain, reached = _funnel_chain(resolved, per_type)
+            row = {"user_id": [key[0]]}
+            for s, c in zip(step_list, chain):
+                row[f"t_{s}"] = [c]
+            row["steps"] = [reached]
+            row["n_funnel_events"] = [n_events]
+            state.remove()
+            yield pd.DataFrame(row)
+            return
+        resolved_types = set(step_list[: len(resolved)])
+        for pdf in pdfs:
+            for t, e in zip(pdf["ts"].tolist(), pdf["event_type"].tolist()):
+                if e in per_type:
+                    n_events += 1
+                    # a resolved step's value is final; its pool stays empty
+                    if e not in resolved_types:
+                        per_type[e].append(int(t))
+        # recompute the strict-after chain for the unresolved suffix —
+        # this is what makes the operator order-independent across
+        # micro-batches (a cursor could not retroactively qualify a
+        # late-arriving earlier 'view')
+        chain, reached = _funnel_chain(resolved, per_type)
+        # ---- watermark compaction -------------------------------------
+        # ms from the engine; the ts contract is int64 nanos
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+        if wm_ns > 0:
+            j = len(resolved)
+            while j < len(step_list) and chain[j] is not None and chain[j] <= wm_ns:
+                resolved.append(chain[j])
+                per_type[step_list[j]] = []
+                j += 1
+            if j < len(step_list):
+                # first unresolved step: predecessor final -> only the
+                # current minimum candidate can ever be the answer
+                prev = resolved[-1] if resolved else None
+                cand = [
+                    t for t in per_type[step_list[j]]
+                    if prev is None or t > prev
+                ]
+                per_type[step_list[j]] = [min(cand)] if cand else []
+                # later steps: final t_j > watermark, so only the
+                # post-watermark tail can ever qualify
+                for s in step_list[j + 1:]:
+                    per_type[s] = sorted({t for t in per_type[s] if t > wm_ns})
+        state.update(
+            (resolved, n_events) + tuple(per_type[s] for s in step_list)
+        )
+        # arm the idle-eviction timeout only once the watermark is real:
+        # wm=0 (stream start) + horizon would be a 1970-epoch timestamp
+        # that fires spuriously on the first watermark advance
+        if wm_ns > 0:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_ms)
         row = {"user_id": [key[0]]}
         for s, c in zip(step_list, chain):
             row[f"t_{s}"] = [c]
         row["steps"] = [reached]
-        row["n_funnel_events"] = [sum(len(v) for v in per_type.values())]
+        row["n_funnel_events"] = [n_events]
         yield pd.DataFrame(row)
 
-    filtered = _file_stream(spark, events_path).where(
-        F.col("event_type").isin(step_list)
+    filtered = (
+        with_event_time(_file_stream(spark, events_path))
+        .withWatermark("event_time", watermark)
+        .where(F.col("event_type").isin(step_list))
     )
     counted = filtered.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    drained = _drain(counted, "update", "funnel")
+    drained = _drain(counted, "update", "funnel", checkpoint=checkpoint_dir)
     final = drained.groupBy("user_id").agg(
         F.max_by(
             F.struct(*[f"t_{s}" for s in step_list], "steps"),

@@ -463,3 +463,69 @@ def test_stream_to_parquet_resumes_from_checkpoint(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 3, "resume must add only the new file's rows"
     assert {r.event_id for r in back.collect()} == {1, 2, 3}
+
+
+def test_stream_funnel_state_compacts(spark, tmp_path):
+    """Watermark-driven state compaction, proven by reading the state
+    store back: once the watermark passes a chain prefix, the prefix
+    folds into the `resolved` array and the per-step timestamp pools are
+    cleared (first unresolved step keeps only its current minimum;
+    later steps keep only the post-watermark tail), and an event-time
+    timeout is armed instead of NoTimeout. A bot user emitting views
+    forever no longer grows an unbounded state row."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from dataproc_spark.extensions.streaming import stream_funnel_counts
+
+    t0 = 1_700_000_000_000_000_000
+    S = 1_000_000_000
+    d = str(tmp_path / "fev")
+    ck = str(tmp_path / "fck")
+    os.makedirs(d)
+    # b1: user 1 "bot" with 5 views + a click; user 99's far-future view
+    # advances the watermark (30 min delay) past all of user 1's events
+    pd.DataFrame(
+        {
+            "user_id": [1] * 6 + [99],
+            "ts": [t0 + 100 * S, t0 + 101 * S, t0 + 102 * S, t0 + 103 * S,
+                   t0 + 104 * S, t0 + 200 * S, t0 + 10_000 * S],
+            "event_type": ["view"] * 5 + ["click", "view"],
+        }
+    ).to_parquet(f"{d}/a.parquet")
+    # b2: user 1 purchases above the watermark -> its group is invoked
+    # again and the now-final (view, click) prefix compacts
+    pd.DataFrame(
+        {"user_id": [1], "ts": [t0 + 9_000 * S], "event_type": ["purchase"]}
+    ).to_parquet(f"{d}/b.parquet")
+    now = _time.time()
+    os.utime(f"{d}/a.parquet", (now - 100, now - 100))
+    os.utime(f"{d}/b.parquet", (now, now))
+
+    out = stream_funnel_counts(
+        spark, d, watermark="30 minutes", checkpoint_dir=ck
+    )
+    got = {r.user_id: (r.t_view, r.t_click, r.t_purchase, r.steps)
+           for r in out.collect()}
+    # parity with the batch funnel semantics is unchanged by compaction
+    assert got == {
+        1: (t0 + 100 * S, t0 + 200 * S, t0 + 9_000 * S, 3),
+        99: (t0 + 10_000 * S, None, None, 1),
+    }
+
+    state = {
+        r.key.user_id: r.value
+        for r in spark.read.format("statestore").load(ck).collect()
+    }
+    gs1 = state[1].groupState
+    # resolved prefix folded, pools cleared/compacted: O(steps), not
+    # O(lifetime funnel events) — the 5 views are GONE from state
+    assert gs1.resolved == [t0 + 100 * S, t0 + 200 * S]
+    assert gs1.ts_view == [] and gs1.ts_click == []
+    assert gs1.ts_purchase == [t0 + 9_000 * S]
+    assert gs1.n_events == 7  # the count survives compaction
+    # event-time timeout armed at watermark + horizon (720h default)
+    wm_ms = (t0 + 10_000 * S) // 1_000_000 - 30 * 60_000
+    assert state[1].timeoutTimestamp == wm_ms + 720 * 3_600_000
