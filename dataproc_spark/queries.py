@@ -1987,6 +1987,48 @@ FROM documents
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal Arrow path: every doc_id
+    becomes a small RGB frame (pixel ``k`` = ``(doc_id*31 + k) % 256``)
+    encoded as an actual PNG (even ids — zlib deflate, filter bytes) or
+    binary PPM (odd ids) on one ``mapInPandas`` stage, then DECODED —
+    zlib inflate + defilter / header parse, no image library — on a
+    second, emitting exact-integer pixel statistics. The oracle
+    reproduces the stats from the pixel arithmetic alone, so a decoder
+    bug (wrong stride, off-by-one filter, bad header parse) hash-fails.
+
+    Ref parity: the reference has no multimodal surface; this implements
+    the LLM-pipeline mandate (binary columns + typed metadata + Arrow
+    decode stages) with the codec now real for PNG/PPM.
+    """
+    from dataproc_spark.extensions.multimodal import (
+        decode_image_stats,
+        synthesize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_stats(synthesize_images(docs))
+
+
+SQL_MULTIMODAL_DECODE = """
+WITH px AS (
+    SELECT doc_id,
+           unnest(range(0, (4 + doc_id % 13) * (3 + doc_id % 7) * 3)) AS k
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(4 + doc_id % 13 AS INTEGER) AS width,
+       CAST(3 + doc_id % 7 AS INTEGER) AS height,
+       3 AS channels,
+       CAST((4 + doc_id % 13) * (3 + doc_id % 7) AS BIGINT) AS n_pixels,
+       CAST(sum((doc_id * 31 + k) % 256) AS BIGINT) AS pixel_sum,
+       CAST(min((doc_id * 31 + k) % 256) AS INTEGER) AS pixel_min,
+       CAST(max((doc_id * 31 + k) % 256) AS INTEGER) AS pixel_max
+FROM px
+GROUP BY doc_id
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only: hash-family dependent).
 
@@ -4371,6 +4413,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
 }
 
 
