@@ -337,15 +337,19 @@ def contamination_pairs(
     eval side is tiny relative to the corpus, so the join broadcasts it at
     scale; ultra-hot shingles (boilerplate) are the skew case — drop
     top-df shingles first, exactly as in the dedup pipeline.
+
+    As in ``ngram_jaccard_pairs``, the shingle string is internal — both
+    sides project ``xxhash64(shingle)`` before the exchange, so the join
+    keys are fixed-width longs, not n-token strings.
     """
     tsh = train.select(
         F.col(id_col).alias("train_id"),
-        F.explode(shingles(tokens(content_col), n)).alias("s"),
-    )
+        F.explode(shingles(tokens(content_col), n)).alias("_ss"),
+    ).select("train_id", F.xxhash64("_ss").alias("s"))
     esh = evalset.select(
         F.col(id_col).alias("eval_id"),
-        F.explode(shingles(tokens(content_col), n)).alias("s"),
-    )
+        F.explode(shingles(tokens(content_col), n)).alias("_ss"),
+    ).select("eval_id", F.xxhash64("_ss").alias("s"))
     return (
         tsh.join(esh, "s")
         .groupBy("train_id", "eval_id")
@@ -480,13 +484,20 @@ def ngram_jaccard_pairs(
     (boilerplate) create skew; drop top-frequency shingles upstream or
     rely on AQE skew splitting. For corpora where even the inverted index
     is too hot, MinHash-LSH above is the subsampled alternative.
+
+    The shingle string never reaches the output (only ids + counts), so
+    the inverted-index self-join keys on ``xxhash64(shingle)`` — an
+    8-byte long instead of an n-token string, the difference between
+    shuffling the corpus vocabulary and shuffling fixed-width keys at
+    100 TB. A 64-bit collision inflates one pair's ``shared`` by 1
+    (vanishingly rare; bounded by ``min_shared``/threshold slack).
     """
     sh = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(shingles(tokens(content_col), n))
-        ).alias("_sh"),
-    )
+        ).alias("_shs"),
+    ).select(F.col(id_col), F.xxhash64("_shs").alias("_sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), "_sh")

@@ -226,18 +226,32 @@ def rare_bigram_stats(
     frequency (partial aggregation bounds the shuffle to distinct
     (bigram, doc) pairs), one per-doc aggregate. Documents with no
     bigrams (< 2 tokens) are excluded — the score is undefined for them.
+
+    The bigram never reaches the output, so the df aggregate and the
+    join back shuffle ``xxhash64(bigram)`` (8-byte long), NOT the raw
+    string — at 100 TB the raw-string key is the shuffle-width hazard.
+    A 64-bit collision would merge two bigrams' document frequencies
+    (birthday bound ≈ 0.3% chance of a single collision at 10^10
+    distinct bigrams) — acceptable for a quality-scoring signal; use
+    ``F.md5`` here if a portable-exact variant is ever needed.
     """
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
     toks = df.select(F.col(id_col), tokens(col).alias("_t"))
-    bg = toks.where(F.size("_t") >= 2).select(
-        id_col,
-        F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(0, size(_t) - 2),"
-                " i -> concat_ws(' ', slice(_t, i + 1, 2))))"
-            )
-        ).alias("bg"),
+    bg = (
+        toks.where(F.size("_t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(_t) - 2),"
+                    " i -> concat_ws(' ', slice(_t, i + 1, 2))))"
+                )
+            ).alias("_bg"),
+        )
+        # the hash projection fuses into the same codegen stage; only the
+        # 8-byte key ever reaches the exchange
+        .select(id_col, F.xxhash64("_bg").alias("bg"))
     )
     dfc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("dfd"))
     return (

@@ -2870,7 +2870,14 @@ FROM hits GROUP BY train_id
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram language-model table: corpus-wide bigram counts with the
     top-3 continuations per leading token (support ≥ 10). Explode →
-    partial+final hash aggregate → partial top-k per w1."""
+    partial+final hash aggregate → partial top-k per w1.
+
+    Shuffle-key audit (r6): unlike ``doc_novelty``/``ngram_jaccard``,
+    the (w1, w2) strings ARE the output payload here — hashing the
+    grouping key would not narrow the exchange because the strings must
+    travel to the reducers anyway. Partial (map-side) aggregation
+    already collapses repeats before the shuffle; raw keys are correct.
+    """
     docs = _t(spark, sf_dir, "documents")
     toks = dedup.tokens("text")
     bigrams = F.when(
