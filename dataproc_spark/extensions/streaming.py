@@ -127,6 +127,7 @@ def _drain(
     to keep the state store readable afterwards (state-eviction tests
     read it back with the ``statestore`` data source)."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    own_checkpoint = checkpoint is None
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
     q = (
         df.writeStream.format("memory")
@@ -137,6 +138,12 @@ def _drain(
         .start()
     )
     q.awaitTermination()
+    if own_checkpoint:
+        # the memory sink holds the rows; the drained query's checkpoint
+        # is scratch — don't let repeated gate/bench runs accumulate /tmp
+        import shutil
+
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return df.sparkSession.table(name)
 
 

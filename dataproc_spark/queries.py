@@ -1792,6 +1792,11 @@ def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same oracle as ``events_hourly`` — proving no rows are lost,
     duplicated, or type-mangled across the stream → parquet → batch
     boundary. The only streaming component previously without an oracle.
+
+    The sink + checkpoint dirs are scratch: the rollup (bounded by
+    hours × event types, a few hundred rows) is materialized eagerly and
+    the dirs removed before returning, so repeated correctness/bench
+    runs don't accumulate /tmp copies of the events table.
     """
     import shutil
     import tempfile
@@ -1801,12 +1806,16 @@ def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_to_parquet,
     )
 
-    out = tempfile.mkdtemp(prefix="sinkrt_")
-    shutil.rmtree(out, ignore_errors=True)
-    stream = _file_stream(spark, f"{sf_dir}/events.parquet")
-    stream_to_parquet(stream, out)
-    back = spark.read.parquet(out).drop("batch")
-    return streaming.hourly_agg(back)
+    root = tempfile.mkdtemp(prefix="sinkrt_")
+    out, ckpt = f"{root}/sink", f"{root}/ckpt"
+    try:
+        stream = _file_stream(spark, f"{sf_dir}/events.parquet")
+        stream_to_parquet(stream, out, checkpoint_dir=ckpt)
+        back = spark.read.parquet(out).drop("batch")
+        rollup = streaming.hourly_agg(back)
+        return spark.createDataFrame(rollup.collect(), rollup.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
