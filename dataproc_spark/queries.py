@@ -4279,6 +4279,304 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style (order priority checking) through the ``spark.sql``
+    front-end: a correlated EXISTS subquery with a NON-EQUI predicate
+    referencing the outer row (``l_shipdate > o_orderdate + 200 days`` —
+    the testdata carries no l_commitdate/l_receiptdate, so "late" is
+    defined against the order date). Catalyst decorrelates the EXISTS
+    into a left-semi join; the date literal shape follows ``tpch_q6``.
+    Ref parity: exercises the SQL-string API surface (reference
+    `selectivesearch.py` exposes a query front-end; the SQL surface is
+    this engine's second public API)."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders_v
+        WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP_NTZ '1996-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem_v
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL '200' DAY
+          )
+        GROUP BY o_orderpriority
+    """)
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 200 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping) through the ``spark.sql`` front-end:
+    six-table join with a symmetric two-nation disjunction and a
+    per-year rollup. Revenue is summed as exact integer cents
+    (per-item ROUND(x*100)) so the result hash-matches across engines.
+    The nation pair keeps both join directions live (neither side can
+    be pre-filtered away), exercising join reordering over the
+    disjunction."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume_c) AS BIGINT) AS revenue_c
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS volume_c
+            FROM supplier_v, lineitem_v, orders_v, customer_v,
+                 nation_v n1, nation_v n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """)
+
+
+SQL_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume_c) AS BIGINT) AS revenue_c
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS volume_c
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name='NATION_1' AND n2.n_name='NATION_2')
+      OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share) through the ``spark.sql``
+    front-end: eight-table join, nation twice in different roles
+    (customer region membership vs supplier nationality), and a
+    conditional-aggregate ratio. The share is exact integer permille —
+    ``sum(case…)*1000 div sum(all)`` over integer cents — because a
+    float ratio could not hash-match across engines."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_year,
+               CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume_c
+                             ELSE 0 END) * 1000 div SUM(volume_c)
+                    AS BIGINT) AS mkt_share_m
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS volume_c,
+                   n2.n_name AS nation
+            FROM part_v, supplier_v, lineitem_v, orders_v, customer_v,
+                 nation_v n1, nation_v n2, region_v
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+              AND s_nationkey = n2.n_nationkey AND p_type = 'PROMO'
+              AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+    """)
+
+
+SQL_TPCH_Q8 = """
+SELECT o_year, CAST(SUM(CASE WHEN nation='NATION_3' THEN volume_c ELSE 0 END) * 1000
+                // SUM(volume_c) AS BIGINT) AS mkt_share_m
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS volume_c,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    AND s_nationkey = n2.n_nationkey AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+) all_nations GROUP BY o_year
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution) through the
+    ``spark.sql`` front-end: LEFT OUTER JOIN with an extra non-key join
+    predicate (the outer-join aggregate shape the prior SQL set didn't
+    exercise), then a distribution-of-counts double aggregate.
+    Customers with zero qualifying orders land in the c_count=0 bucket
+    via the preserved null side."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer_v LEFT OUTER JOIN orders_v
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """)
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders GROUP BY c_count
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style (small-quantity-order revenue) through the
+    ``spark.sql`` front-end: TWO correlated scalar subqueries against
+    the same inner table (sum and count of the part's lineitems) —
+    Catalyst decorrelates each into an aggregate + join. The threshold
+    ``q < 0.2 * avg(q)`` is cross-multiplied to exact integers
+    (``5*q*cnt < sum``; l_quantity is integral) so no float average is
+    ever compared."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    div 7 AS BIGINT) AS avg_yearly_c,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem_v, part_v
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#4' AND p_type = 'PROMO'
+          AND CAST(l_quantity AS BIGINT) * 5 *
+              (SELECT COUNT(*) FROM lineitem_v l2
+               WHERE l2.l_partkey = p_partkey)
+              < (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+                 FROM lineitem_v l2 WHERE l2.l_partkey = p_partkey)
+    """)
+
+
+SQL_TPCH_Q17 = """
+WITH agg AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_q, COUNT(*) AS cnt_q
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) // 7 AS BIGINT)
+           AS avg_yearly_c,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey JOIN agg USING (l_partkey)
+WHERE p_brand = 'Brand#4' AND p_type = 'PROMO'
+  AND CAST(l_quantity AS BIGINT) * 5 * cnt_q < sum_q
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style (suppliers who kept orders waiting) through the
+    ``spark.sql`` front-end: the EXISTS + NOT EXISTS pair over the same
+    inner table with correlated NON-EQUI predicates referencing TWO
+    outer tables (l1 and orders) — the hardest decorrelation shape in
+    the set. "Late" is ``l_shipdate > o_orderdate + 200 days`` (no
+    commit/receipt dates in the testdata); the answer is each suspect
+    nation's suppliers who were the ONLY late supplier on a finished
+    multi-supplier order."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier_v, lineitem_v l1, orders_v, nation_v
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL '200' DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem_v l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem_v l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o_orderdate + INTERVAL '200' DAY
+          )
+          AND s_nationkey = n_nationkey
+          AND n_name IN ('NATION_3', 'NATION_5', 'NATION_7')
+        GROUP BY s_name
+    """)
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate + INTERVAL 200 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o_orderdate + INTERVAL 200 DAY)
+  AND s_nationkey = n_nationkey AND n_name IN ('NATION_3','NATION_5','NATION_7')
+GROUP BY s_name
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style (global sales opportunity) through the
+    ``spark.sql`` front-end: two uncorrelated scalar subqueries (the
+    positive-balance sum and count, cross-multiplied so no float
+    average is compared) plus a NOT EXISTS anti-join against recent
+    orders. Country code is ``c_nationkey % 10`` (the testdata has no
+    phone column); "no recent orders" replaces "no orders" because
+    every testdata customer has at least one order."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+        FROM (
+            SELECT c_nationkey % 10 AS cntrycode,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+                   c_custkey
+            FROM customer_v
+            WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5, 6, 7)
+        ) c
+        WHERE bal_c * (SELECT COUNT(*) FROM customer_v WHERE c_acctbal > 0.0)
+              > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                 FROM customer_v WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders_v o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP_NTZ '1999-01-01 00:00:00'
+          )
+        GROUP BY cntrycode
+    """)
+
+
+SQL_TPCH_Q22 = """
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal_c) AS BIGINT) AS totacctbal_c
+FROM (
+  SELECT c_nationkey % 10 AS cntrycode,
+         CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c, c_custkey
+  FROM customer WHERE c_nationkey % 10 IN (1,2,3,4,5,6,7)
+) c
+WHERE bal_c * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+      > (SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT))
+         FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY cntrycode
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4430,6 +4728,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": (q_ann_ivf, None),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
 }
 
 
