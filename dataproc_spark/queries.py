@@ -1726,6 +1726,66 @@ def q_sql_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_sql_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows through the ``spark.sql`` front-end:
+    ``GROUP BY session_window(event_time, '30 minutes')`` over the
+    registered events view — the built-in merging-session operator
+    exposed on the SQL surface (the DataFrame form is equivalence-tested
+    against lag/cumsum sessionization in the streaming tests).
+
+    The oracle replicates ``session_window`` semantics exactly: events
+    merge while the gap is STRICTLY under 30 minutes measured in
+    MICROSECONDS (Spark's timestamp resolution — the nanos are floored
+    first, same pmod-before-div arithmetic as ``with_event_time``), and
+    ``session_window.end`` is last event + gap."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT user_id,
+               CAST(unix_micros(session_window.start) AS BIGINT)
+                   AS session_start_us,
+               CAST(unix_micros(session_window.end) AS BIGINT)
+                   AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+            SELECT user_id,
+                   timestamp_micros((ts - pmod(ts, 1000)) div 1000)
+                       AS event_time
+            FROM events_v
+        )
+        GROUP BY session_window(event_time, '30 minutes'), user_id
+    """)
+
+
+SQL_SESSION_WINDOWS = """
+WITH e AS (
+    SELECT user_id,
+           (epoch_ns(ts) - ((epoch_ns(ts) % 1000) + 1000) % 1000) // 1000
+               AS tus
+    FROM events
+),
+flagged AS (
+    SELECT user_id, tus,
+           CASE WHEN lag(tus) OVER w IS NULL THEN 1
+                WHEN tus - lag(tus) OVER w >= 1800000000 THEN 1
+                ELSE 0 END AS new_sess
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+),
+sess AS (
+    SELECT user_id, tus,
+           SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY tus
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(tus) AS BIGINT) AS session_start_us,
+       CAST(MAX(tus) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming variant of ``funnel_steps``
     (``applyInPandasWithState``, per-step timestamp lists in state so
@@ -4735,6 +4795,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+    "sql_session_windows": (q_sql_session_windows, SQL_SESSION_WINDOWS),
 }
 
 
