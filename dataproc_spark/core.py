@@ -132,6 +132,41 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     return None if size >= (1 << 60) else size
 
 
+def spread_narrow(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition ``df`` to ``defaultParallelism`` (optionally by
+    ``cols``) only when the input is actually narrow — small corpora
+    often arrive as a single parquet split, which would serialize a
+    CPU-bound downstream stage (shingling, hashing, scoring) on one
+    task, while unconditionally repartitioning a well-partitioned large
+    corpus would add a full shuffle for nothing.
+
+    Narrowness probe, all plan-time and public-API for file-backed
+    frames (no RDD conversion): estimated scan splits =
+    ``max(file count, scan bytes / maxPartitionBytes)`` — few SMALL
+    files is the narrow case worth respreading, while few LARGE files
+    already split by byte range. Derived (non-scan) frames report no
+    input files; for those the RDD partition-count probe is the
+    fallback (plan-time conversion only, a few ms — no job runs).
+    """
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - defensive
+        files = []
+    if files:
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .rstrip("b")
+        )
+        size = plan_size_bytes(df) or 0
+        splits = max(len(files), size // max_split)
+        narrow = splits < parallelism
+    else:
+        narrow = df.rdd.getNumPartitions() < parallelism
+    return df.repartition(parallelism, *cols) if narrow else df
+
+
 def maybe_broadcast(
     df: DataFrame, limit_bytes: int = BROADCAST_HINT_BUDGET_BYTES
 ) -> DataFrame:

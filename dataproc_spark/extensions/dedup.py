@@ -304,11 +304,9 @@ def minhash_dedup_pairs(
     cluster scale, persist() becomes a checkpoint of the signature table —
     the same structure.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    spread = (
-        df.repartition(parallelism, id_col)
-        if df.rdd.getNumPartitions() < parallelism else df
-    )
+    from dataproc_spark.core import spread_narrow
+
+    spread = spread_narrow(df, id_col)
     sigs = minhash_frame(
         spread, content_col, id_col, num_hashes, shingle_size, portable=portable
     )
@@ -673,11 +671,9 @@ def simhash_near_pairs(
     band (pigeonhole), so bucketing by band finds all such pairs without a
     cross join; ``bit_count(xor)`` verifies the exact distance.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    spread = (
-        df.repartition(parallelism, id_col)
-        if df.rdd.getNumPartitions() < parallelism else df
-    )
+    from dataproc_spark.core import spread_narrow
+
+    spread = spread_narrow(df, id_col)
     fps = simhash_frame(spread, content_col, id_col, bits, token_hash).persist()
     band_bits = bits // bands
     mask = (1 << band_bits) - 1

@@ -27,11 +27,12 @@ def _spread(df: DataFrame) -> DataFrame:
     """Spread a narrow input across cores before CPU-bound scoring — but
     only when it is actually narrow: unconditionally repartitioning a
     well-partitioned large corpus to defaultParallelism would shuffle
-    everything into a few giant partitions."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        return df.repartition(parallelism)
-    return df
+    everything into a few giant partitions. Delegates to
+    :func:`core.spread_narrow` (plan-time file/size probe, no RDD
+    conversion for file-backed frames)."""
+    from dataproc_spark.core import spread_narrow
+
+    return spread_narrow(df)
 
 
 def quantize(col, scale: int = 1000) -> F.Column:

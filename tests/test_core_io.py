@@ -292,3 +292,22 @@ def test_normalize_event_ts_all_physical_types(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "bigint", name
         got = sorted(r.ts for r in df.collect())
         assert got == want, (name, got)
+
+
+def test_spread_narrow(spark, tmp_path):
+    """File-backed narrow inputs respread to defaultParallelism without
+    an RDD plan conversion; already-wide scans pass through unchanged."""
+    from dataproc_spark.core import spread_narrow
+
+    p = str(tmp_path / "one")
+    spark.range(0, 1000).coalesce(1).write.parquet(p)
+    one = spark.read.parquet(p)
+    par = spark.sparkContext.defaultParallelism
+    assert len(one.inputFiles()) == 1
+    spreaded = spread_narrow(one)
+    assert spreaded.rdd.getNumPartitions() == par
+    # derived frame (no input files) falls back to the RDD probe
+    from pyspark.sql import functions as F
+
+    derived = one.groupBy((F.col("id") % 5).alias("k")).count()
+    assert spread_narrow(derived).count() == 5

@@ -1,15 +1,16 @@
-"""Synthesize a 10x replica of sf0.1 in /tmp/scale10: dims verbatim,
+"""Synthesize an Rx replica of sf0.1 in /tmp/scale{R}: dims verbatim,
 fact tables replicated with per-replica key shifts, ~24 row groups per
-file so scans split into parallel tasks."""
+file so scans split into parallel tasks. R comes from $SCALE_R
+(default 10); r5 ran 10 and 30, r6 adds 100."""
 import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/scale10"
+R = int(os.environ.get("SCALE_R", "10"))
+DST = f"/tmp/scale{R}"
 os.makedirs(DST, exist_ok=True)
-R = 10
 
 DIMS = ["region", "nation", "supplier", "part"]
 # fact -> {column: offset_source_column}
