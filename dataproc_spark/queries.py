@@ -4637,6 +4637,241 @@ GROUP BY cntrycode
 """
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style (returned item reporting) through the ``spark.sql``
+    front-end: four-table join, quarter filter, returned-item revenue per
+    customer, top-20 with a DETERMINISTIC total order (revenue desc, then
+    custkey — a bare LIMIT over a float sort could not hash-match across
+    engines). Revenue is exact integer cents; address/phone/comment
+    columns do not exist in the testdata and are dropped from the
+    projection."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_c,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+               n_name
+        FROM customer_v, orders_v, lineitem_v, nation_v
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP_NTZ '1996-04-01 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue_c DESC, c_custkey
+        LIMIT 20
+    """)
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+            AS BIGINT) AS revenue_c,
+       CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_c, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_c DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style (shipping mode / priority) through the
+    ``spark.sql`` front-end: the join + dual conditional-count shape.
+    The testdata has no l_shipmode/l_commitdate/l_receiptdate, so the
+    grouping key is ``l_returnflag`` and "late" is
+    ``l_shipdate > o_orderdate + 150 days`` (same adaptation as
+    ``tpch_q4``); high/low priority is the URGENT+HIGH split of the
+    original."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders_v, lineitem_v
+        WHERE o_orderkey = l_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL '150' DAY
+          AND l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+        GROUP BY l_returnflag
+    """)
+
+
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate > o_orderdate + INTERVAL 150 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) through the ``spark.sql`` front-end:
+    lineitem⋈part with a one-month shipdate window and a conditional
+    revenue ratio. The share is exact integer permille
+    (``sum(case…)*1000 div sum(all)`` over integer cents, the
+    ``tpch_q8`` device) because a float percentage could not hash-match
+    across engines; the testdata's p_type carries the bare 'PROMO'
+    token, so equality replaces the LIKE 'PROMO%%' prefix test."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END)
+                    * 1000 div SUM(rev_c) AS BIGINT) AS promo_share_m,
+               CAST(SUM(rev_c) AS BIGINT) AS revenue_c
+        FROM (
+            SELECT p_type,
+                   CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS rev_c
+            FROM lineitem_v, part_v
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP_NTZ '1996-09-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP_NTZ '1996-10-01 00:00:00'
+        ) promo
+    """)
+
+
+SQL_TPCH_Q14 = """
+SELECT CAST(SUM(CASE WHEN p_type='PROMO' THEN rev_c ELSE 0 END) * 1000
+            // SUM(rev_c) AS BIGINT) AS promo_share_m,
+       CAST(SUM(rev_c) AS BIGINT) AS revenue_c
+FROM (
+  SELECT p_type, CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS rev_c
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey
+    AND l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l_shipdate <  TIMESTAMP '1996-10-01'
+) promo
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier) through the ``spark.sql`` front-end: the
+    original's revenue VIEW becomes a CTE referenced twice — once joined
+    to supplier, once inside the scalar MAX subquery (Catalyst evaluates
+    the aggregate subtree twice; at cluster scale the CTE is cheap
+    relative to a cache round-trip). Revenue is exact integer cents so
+    the MAX comparison is never a float equality."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS total_revenue_c
+            FROM lineitem_v
+            WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP_NTZ '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue_c
+        FROM supplier_v, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
+    """)
+
+
+SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+              AS BIGINT) AS total_revenue_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_c
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer) through the ``spark.sql``
+    front-end: IN over a grouped-HAVING subquery on the same fact table
+    that is also re-joined and re-aggregated outside — Catalyst plans
+    the subquery as a left-semi join against the aggregate. Threshold
+    300 sits near the testdata's 99.9th percentile of per-order
+    quantity (the original's 300-of-~350 proportion). Quantities are
+    integral doubles, summed then cast."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM customer_v, orders_v, lineitem_v
+        WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem_v
+                GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+            )
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    """)
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue) through the ``spark.sql``
+    front-end: the three-branch disjunction of conjunctive brand ×
+    size × quantity ranges over lineitem⋈part. Only ``p_partkey =
+    l_partkey`` is common to all branches, so Catalyst must keep the
+    equi-join and evaluate the disjunction as a residual filter —
+    the shape that breaks naive predicate pushdown. Shipmode /
+    shipinstruct conjuncts don't exist in the testdata and are
+    dropped; brands map onto the testdata's Brand#N domain."""
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_c,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem_v, part_v
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#7'  AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 30))
+    """)
+
+
+SQL_TPCH_Q19 = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+            AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand='Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand='Brand#7'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand='Brand#12' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4796,6 +5031,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     "sql_session_windows": (q_sql_session_windows, SQL_SESSION_WINDOWS),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
 }
 
 
