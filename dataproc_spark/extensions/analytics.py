@@ -236,3 +236,38 @@ def scd2_history(
         value_col,
         F.lead(ts_col).over(w).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+
+
+def group_percentile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    tiebreak_cols: Sequence[str],
+    out_col: str = "permille",
+) -> DataFrame:
+    """Per-group percentile rank in exact integer permille — the
+    calibration step behind per-domain quality filtering: a raw score
+    (length, LM score, classifier logit) is comparable ACROSS domains
+    only after normalizing within each domain, so "drop the worst 10%"
+    drops 10% of every source instead of whole low-scoring domains.
+
+    ``permille = (rank - 1) * 1000 div max(n - 1, 1)`` under the total
+    order (score asc, tiebreaks asc): 0 for the group minimum, 1000 for
+    the maximum, integer-exact (no float percent_rank), deterministic
+    under ties via the explicit tiebreaks.
+
+    One shuffle: both window functions (row_number, count) share the
+    group partition spec. No global sort; each group sorts independently,
+    the same plan shape as sessionization.
+    """
+    ensure_has_columns(df, [*group_cols, score_col, *tiebreak_cols])
+    part = Window.partitionBy(*group_cols)
+    order = part.orderBy(
+        F.col(score_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(order))
+        .withColumn("_gn", F.count(F.lit(1)).over(part))
+        .withColumn(out_col, F.expr("((_rn - 1) * 1000) div greatest(_gn - 1, 1)"))
+        .drop("_rn", "_gn")
+    )

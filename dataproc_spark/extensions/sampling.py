@@ -119,6 +119,60 @@ def mixture_sample(
     return df.where(h < cutoff)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    salt: str,
+    budget_rows: int,
+    chars: int = 8,
+) -> DataFrame:
+    """Temperature-balanced mixture RESAMPLING (α = 0.5, the
+    multilingual-LM convention: per-group target counts ∝ sqrt(|group|)).
+    Unlike :func:`mixture_sample` (caller-supplied keep rates, never
+    upsamples), this derives the rates from the data and materializes
+    EPOCH REPEATS for upsampled groups: each row is emitted
+    ``target_g div n_g`` times plus one more when its hash draw falls
+    under the fractional remainder — so the output hits the per-group
+    targets exactly in expectation with zero RNG.
+
+    All arithmetic is exact integer (floor-sqrt weights, integer
+    division, md5 hex draws), so any engine with md5 reproduces the
+    output bit-for-bit. Output rows carry ``epoch`` (0-based repeat
+    index): downstream shuffle/packing treats (id, epoch) as row
+    identity, the standard way repeated data flows into training shards.
+
+    Scale: the rate table is |groups| rows (broadcast); data rows are
+    touched map-only (hash + broadcast join + explode) — no shuffle of
+    the fact side, append-stable like every sampler here. The remainder
+    arithmetic needs ``|group| ≤ 2^(63 - 4·chars)`` to avoid overflow
+    (2^31 rows/group at the default chars=8; lower ``chars`` for more).
+    """
+    m = 16 ** chars
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # the window runs over the tiny per-group count frame, not the data
+    rates = (
+        counts.withColumn("_w", F.floor(F.sqrt(F.col("_n"))).cast("long"))
+        .withColumn("_tw", F.sum("_w").over(Window.partitionBy()))
+        .withColumn("_target", F.expr(f"({int(budget_rows)} * _w) div _tw"))
+        .withColumn("_copies", F.expr("_target div _n"))
+        .withColumn(
+            "_rem_rate", F.expr(f"({m} * (_target - _copies * _n)) div _n")
+        )
+        .select(group_col, "_copies", "_rem_rate")
+    )
+    draw = F.conv(hash_hex(id_col, salt, chars), 16, 10).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("_k", F.col("_copies") + (draw < F.col("_rem_rate")).cast("long"))
+        .where(F.col("_k") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0).cast("long"), F.col("_k") - 1))
+        )
+        .drop("_copies", "_rem_rate", "_k")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata: Sequence[str],

@@ -147,6 +147,57 @@ def _drain(
     return df.sparkSession.table(name)
 
 
+def stream_incremental_dedup(
+    spark: SparkSession,
+    events_path: str,
+    store: DataFrame,
+    watermark: str = "1440 hours",
+) -> DataFrame:
+    """Streaming ingestion dedup: keep an arriving event only if its
+    content fingerprint is (a) absent from the static already-ingested
+    store AND (b) the first occurrence within the stream's watermark
+    horizon. The streaming half of the batch ``incremental_dedup``
+    operator — the shape of a continuously-ingesting crawl pipeline
+    where history lives in a fingerprint table and the firehose must be
+    deduped both against history and against itself.
+
+    * (a) is a stream-static LEFT ANTI join on ``fp`` — stateless (the
+      static side is fixed for the query run). At 100 TB of history the
+      store does not broadcast; the scale path is a broadcast Bloom
+      filter of the store (``extensions.approx.bloom_build``) as a
+      cheap map-side pre-filter, with this exact anti-join running only
+      on survivors. The operator takes the store as a DataFrame so
+      either feeds it.
+    * (b) is ``dropDuplicatesWithinWatermark`` — state is O(fingerprints
+      per horizon), not O(fingerprints ever), same bound as
+      :func:`stream_dedup_bounded`.
+
+    The fingerprint is ``md5(user_id | event_type | value_cents)``, so
+    every row sharing a fingerprint carries identical content columns —
+    which makes the drained output deterministic regardless of which
+    physical duplicate won the race. Returns (fp, user_id, event_type,
+    value_c) of the newly ingested fingerprints.
+    """
+    stream = with_event_time(_file_stream(spark, events_path))
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        ).cast("binary")
+    )
+    new_rows = (
+        stream.withColumn("value_c", F.round(F.col("value") * 100).cast("long"))
+        .withColumn("fp", fp)
+        .join(store.select("fp"), "fp", "left_anti")
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("fp", "user_id", "event_type", "value_c")
+    )
+    return _drain(new_rows, "append", "incdedup")
+
+
 def stream_static_enrich(
     spark: SparkSession,
     events_path: str,

@@ -4872,6 +4872,119 @@ WHERE p_partkey = l_partkey
 """
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced mixture resampling
+    (``sampling.temperature_mixture``, α = 0.5): per-source targets
+    ∝ sqrt(|source|) under a 2000-row budget, materialized as epoch
+    repeats for upsampled sources + hash-selected subsets for
+    downsampled ones. All-integer arithmetic end to end, so the oracle
+    replays the exact rate table and draw comparisons."""
+    out = sampling.temperature_mixture(
+        _t(spark, sf_dir, "documents"),
+        group_col="source", id_col="doc_id", salt="tmix", budget_rows=2000,
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH counts AS (
+    SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(CAST(FLOOR(SQRT(n)) AS BIGINT)) AS BIGINT) AS tw
+    FROM counts
+),
+rates AS (
+    SELECT source, n,
+           (2000 * CAST(FLOOR(SQRT(n)) AS BIGINT)) // tw AS target
+    FROM counts, tot
+),
+r2 AS (
+    SELECT source, n, target // n AS copies,
+           (4294967296 * (target - (target // n) * n)) // n AS rem_rate
+    FROM rates
+),
+drawn AS (
+    SELECT d.doc_id, d.source,
+           r.copies + CASE WHEN CAST('0x' || substr(
+               md5(CAST(d.doc_id AS VARCHAR) || '#tmix'), 1, 8) AS BIGINT)
+               < r.rem_rate THEN 1 ELSE 0 END AS k
+    FROM documents d JOIN r2 r USING (source)
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(0, k - 1)) AS BIGINT) AS epoch
+FROM drawn
+"""
+
+
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality calibration (``analytics.group_percentile``):
+    each document's length score becomes its integer permille rank
+    WITHIN its source, then the bottom decile of every source is
+    dropped — "drop the worst 10%" holds per domain instead of
+    deleting whole low-scoring domains."""
+    from dataproc_spark.extensions.analytics import group_percentile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = group_percentile(docs, ["source"], "n_chars", ["doc_id"])
+    return out.where(F.col("permille") >= 100).select(
+        "doc_id", "source", "permille"
+    )
+
+
+SQL_QUALITY_PERCENTILE = """
+WITH ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS gn
+    FROM documents
+)
+SELECT doc_id, source,
+       CAST(((rn - 1) * 1000) // greatest(gn - 1, 1) AS BIGINT) AS permille
+FROM ranked
+WHERE ((rn - 1) * 1000) // greatest(gn - 1, 1) >= 100
+"""
+
+
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup (``streaming.stream_incremental_dedup``):
+    the events stream anti-joined against a static fingerprint store
+    (every third event stands in for already-ingested history), then
+    bounded-state in-stream dedup; the drained append output must equal
+    the batch NOT EXISTS + DISTINCT (the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        ).cast("binary")
+    )
+    store = (
+        ev.where(F.col("event_id") % 3 == 0).select(fp.alias("fp")).distinct()
+    )
+    return streaming.stream_incremental_dedup(
+        spark, f"{sf_dir}/events.parquet", store
+    )
+
+
+SQL_STREAM_INCREMENTAL_DEDUP = """
+WITH fps AS (
+    SELECT event_id, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+               CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)) AS fp
+    FROM events
+),
+store AS (SELECT DISTINCT fp FROM fps WHERE event_id % 3 = 0)
+SELECT DISTINCT f.fp, f.user_id, f.event_type, f.value_c
+FROM fps f
+WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = f.fp)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5037,6 +5150,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "quality_percentile": (q_quality_percentile, SQL_QUALITY_PERCENTILE),
+    "stream_incremental_dedup": (
+        q_stream_incremental_dedup,
+        SQL_STREAM_INCREMENTAL_DEDUP,
+    ),
 }
 
 

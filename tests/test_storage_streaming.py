@@ -529,3 +529,41 @@ def test_stream_funnel_state_compacts(spark, tmp_path):
     # event-time timeout armed at watermark + horizon (720h default)
     wm_ms = (t0 + 10_000 * S) // 1_000_000 - 30 * 60_000
     assert state[1].timeoutTimestamp == wm_ms + 720 * 3_600_000
+
+
+def test_stream_incremental_dedup_store_and_cross_batch(spark, tmp_path):
+    """Fingerprints in the static store never emit; a duplicate arriving
+    in a LATER micro-batch is suppressed by the in-stream state; only
+    genuinely new fingerprints come out."""
+    import hashlib
+    import os
+    import time
+
+    import pandas as pd
+
+    from dataproc_spark.extensions.streaming import stream_incremental_dedup
+
+    MIN = 60 * 1_000_000_000
+    t0 = 1_700_000_000_000_000_000
+    d = tmp_path / "ev"
+    d.mkdir()
+
+    def row(u, et, v, ts):
+        return {"user_id": u, "event_type": et, "value": v, "ts": ts}
+
+    # A = (1, view, 1.0) is in the store; B repeats across batches
+    pd.DataFrame([row(1, "view", 1.0, t0), row(2, "click", 2.0, t0 + MIN)]
+                 ).to_parquet(d / "a.parquet")
+    pd.DataFrame([row(2, "click", 2.0, t0 + 2 * MIN),
+                  row(3, "buy", 3.0, t0 + 3 * MIN)]).to_parquet(d / "b.parquet")
+    now = time.time()
+    os.utime(d / "a.parquet", (now - 100, now - 100))
+    os.utime(d / "b.parquet", (now, now))
+
+    fp_a = hashlib.md5(b"1|view|100").hexdigest()
+    store = spark.createDataFrame([(fp_a,)], schema="fp string")
+    out = stream_incremental_dedup(spark, str(d), store)
+    got = {(r.fp, r.user_id, r.event_type, r.value_c) for r in out.collect()}
+    fp_b = hashlib.md5(b"2|click|200").hexdigest()
+    fp_c = hashlib.md5(b"3|buy|300").hexdigest()
+    assert got == {(fp_b, 2, "click", 200), (fp_c, 3, "buy", 300)}

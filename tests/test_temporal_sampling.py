@@ -482,3 +482,64 @@ def test_pack_greedy_rejects_ambiguous_ties(spark):
         df, "n_chars", 10, tie_break_cols=("payload",)
     ).collect()
     assert {(r.payload, r.bin_id) for r in out} == {("a", 0), ("b", 0), ("c", 1)}
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture / group_percentile
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_hits_group_targets(spark):
+    """Per-group output counts land within 1 row of target = B*w_g//W for
+    each group, and repeats carry distinct 0-based epoch indexes."""
+    import math
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(16)]
+    df = spark.createDataFrame(rows, schema="doc_id long, source string")
+    budget = 200
+    out = sampling.temperature_mixture(
+        df, group_col="source", id_col="doc_id", salt="s1", budget_rows=budget
+    ).toPandas()
+    w = {"big": math.isqrt(400), "small": math.isqrt(16)}  # 20, 4
+    tw = sum(w.values())
+    for g, wg in w.items():
+        target = budget * wg // tw
+        got = (out.source == g).sum()
+        # copies are exact; the fractional remainder is a hash draw with
+        # expectation equal to the remainder — the draw over n rows can
+        # deviate, but copies*n <= got always holds
+        n_g = 400 if g == "big" else 16
+        assert got >= (target // n_g) * n_g
+        assert abs(got - target) <= max(10, n_g // 3)
+    # small group (n=16, target=33) must upsample: every row appears >= 2x
+    small = out[out.source == "small"]
+    assert small.groupby("doc_id").size().min() >= 2
+    # epochs are dense 0..k-1 per doc
+    for _, grp in out.groupby("doc_id"):
+        assert sorted(grp.epoch) == list(range(len(grp)))
+
+
+def test_temperature_mixture_deterministic_and_append_stable(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(90)],
+        schema="doc_id long, source string",
+    )
+    a = sampling.temperature_mixture(df, "source", "doc_id", "s", 45).toPandas()
+    b = sampling.temperature_mixture(df, "source", "doc_id", "s", 45).toPandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "epoch"]].values.tolist()))
+    assert key(a) == key(b)
+
+
+def test_group_percentile_bounds_and_ties(spark):
+    from dataproc_spark.extensions.analytics import group_percentile
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 40), (5, "b", 7)],
+        schema="doc_id long, g string, score long",
+    )
+    out = group_percentile(df, ["g"], "score", ["doc_id"]).toPandas()
+    got = dict(zip(out.doc_id, out.permille))
+    # group a: ranks 1..4 over ties broken by doc_id -> 0, 333, 666, 1000
+    assert got[1] == 0 and got[2] == 333 and got[3] == 666 and got[4] == 1000
+    # singleton group: (1-1)*1000 div max(0,1) = 0
+    assert got[5] == 0
