@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dataproc_spark.core import get_spark
 from dataproc_spark import queries as registry
 
-#: extended set: one representative per r5 operator family, timed and
+#: extended set: one representative per r5/r6 operator family, timed and
 #: reported under "extended" — kept OUT of the headline total so
 #: "value" stays comparable across rounds.
 EXTENDED_QUERIES = [
@@ -34,6 +34,13 @@ EXTENDED_QUERIES = [
     "ann_recall",
     "events_pivot",
     "incremental_dedup",
+    # r6 families: temperature resampling, per-domain calibration, the
+    # real image decode, and the widest SQL-surface join shapes
+    "temperature_mixture",
+    "quality_percentile",
+    "multimodal_decode",
+    "tpch_q10",
+    "tpch_q18",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

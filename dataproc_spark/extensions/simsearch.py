@@ -396,3 +396,72 @@ def near_dup_pairs(
         )
         .where(F.col("dot_q") >= threshold_dot_q)
     )
+
+
+def _kmeans_assign(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Map-only cluster assignment against a LITERAL centroid table:
+    argmin squared distance, ties to the smallest centroid id (array_min
+    over (dist, cid) structs compares lexicographically)."""
+    cands = []
+    for cid, c in centroids:
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col("_v"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        cands.append(F.struct(d.alias("d"), F.lit(int(cid)).alias("cid")))
+    return q.withColumn("cluster", F.array_min(F.array(*cands))["cid"])
+
+
+def embed_kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over integer-quantized embeddings —
+    the clustering step behind domain discovery, cluster-balanced data
+    mixes, and SemDeDup-style semantic grouping. Unlike MLlib KMeans
+    (RNG init, float drift → engine-specific results), every step here
+    is exact integer arithmetic with pinned tie-breaks, so any engine
+    replays it bit-for-bit (the registry oracle does):
+
+    * init: the ``k`` smallest ids' vectors (cid = 0..k-1 in id order);
+    * assign: argmin squared L2 on quantized longs, ties → smallest cid;
+    * update: element-wise integer mean (``sum div count``) per cluster;
+      clusters that empty out are dropped (both engines see the same
+      survivor set).
+
+    Scale: assignment is MAP-ONLY — centroids travel to executors as
+    plan literals, the O(k·dim) centroid table is the only thing the
+    driver ever holds (the same contract as MLlib's per-iteration
+    centroid broadcast; corpus rows never collect). The update is one
+    (cluster, dim)-keyed aggregate per iteration — partial map-side
+    combine, then ≤ k·dim rows. Iterations are a fixed small count, the
+    caller's knob, so lineage stays shallow (no checkpoint needed).
+    """
+    q = _spread(embeddings).select(
+        F.col(id_col), quantize(vec_col, scale).alias("_v")
+    )
+    q = q.persist()
+    seed = q.orderBy(F.col(id_col).asc()).limit(k).collect()
+    centroids = [(i, list(r["_v"])) for i, r in enumerate(seed)]
+    for _ in range(iters):
+        assigned = _kmeans_assign(q, centroids)
+        rows = (
+            assigned.select("cluster", F.posexplode("_v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("m", F.expr("s div n"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.transform("dm", lambda x: x["m"]).alias("c"))
+            .collect()
+        )
+        centroids = sorted((r["cluster"], list(r["c"])) for r in rows)
+    out = _kmeans_assign(q, centroids).select(id_col, "cluster")
+    q.unpersist()
+    return out

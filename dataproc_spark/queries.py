@@ -4970,6 +4970,85 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer Lloyd k-means (``simsearch.embed_kmeans``,
+    k=8, 2 iterations): seed = the 8 smallest vec_ids, argmin squared-L2
+    assignment with pinned tie-breaks, integer-mean centroid updates.
+    The oracle replays both iterations as chained CTEs — the same
+    value-checked-iteration pattern as ``pagerank``."""
+    return simsearch.embed_kmeans(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
+SQL_EMBED_KMEANS = """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+c0 AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+    FROM q ORDER BY vec_id LIMIT 8
+),
+d1 AS (
+    SELECT q.vec_id, q.v, c.cid,
+           list_aggregate(list_transform(range(1, len(q.v) + 1),
+               i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])), 'sum') AS dist
+    FROM q CROSS JOIN c0 c
+),
+a1 AS (
+    SELECT vec_id, v, cid AS cluster
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn FROM d1)
+    WHERE rn = 1
+),
+c1 AS (
+    SELECT cluster AS cid, list(m ORDER BY dim) AS c
+    FROM (
+        SELECT cluster, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+        FROM (SELECT cluster, generate_subscripts(v, 1) AS dim,
+                     unnest(v) AS val FROM a1)
+        GROUP BY cluster, dim
+    ) GROUP BY cluster
+),
+d2 AS (
+    SELECT q.vec_id, q.v, c.cid,
+           list_aggregate(list_transform(range(1, len(q.v) + 1),
+               i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])), 'sum') AS dist
+    FROM q CROSS JOIN c1 c
+),
+a2 AS (
+    SELECT vec_id, v, cid AS cluster
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn FROM d2)
+    WHERE rn = 1
+),
+c2 AS (
+    SELECT cluster AS cid, list(m ORDER BY dim) AS c
+    FROM (
+        SELECT cluster, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+        FROM (SELECT cluster, generate_subscripts(v, 1) AS dim,
+                     unnest(v) AS val FROM a2)
+        GROUP BY cluster, dim
+    ) GROUP BY cluster
+),
+d3 AS (
+    SELECT q.vec_id, c.cid,
+           list_aggregate(list_transform(range(1, len(q.v) + 1),
+               i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])), 'sum') AS dist
+    FROM q CROSS JOIN c2 c
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster
+FROM (
+    SELECT vec_id, cid AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d3
+) WHERE rn = 1
+"""
+
+
 SQL_STREAM_INCREMENTAL_DEDUP = """
 WITH fps AS (
     SELECT event_id, user_id, event_type,
@@ -5156,6 +5235,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_stream_incremental_dedup,
         SQL_STREAM_INCREMENTAL_DEDUP,
     ),
+    "embed_kmeans": (q_embed_kmeans, SQL_EMBED_KMEANS),
 }
 
 

@@ -596,3 +596,40 @@ def test_remove_repeated_spans_validates_args(spark):
         remove_repeated_spans(docs, n=0)
     with pytest.raises(ValueError):
         remove_repeated_spans(docs, min_df=1)
+
+
+def test_embed_kmeans_converges_on_separated_clusters(spark):
+    """Two well-separated blobs: every point lands with its blob's seed,
+    and the result is stable across re-runs (deterministic init, ties)."""
+    from dataproc_spark.extensions.simsearch import embed_kmeans
+
+    rows = [(i, [10.0 + 0.001 * i, 0.0]) for i in range(6)] + [
+        (100 + i, [0.0, 10.0 + 0.001 * i]) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = embed_kmeans(df, k=2, iters=2).toPandas()
+    by_cluster = out.groupby("cluster").vec_id.apply(set).to_dict()
+    # both seeds start in the left blob; after the updates the two blobs
+    # must separate exactly (which cid gets which blob is data-driven)
+    assert sorted(by_cluster.values(), key=min) == [
+        set(range(6)), {100 + i for i in range(6)}
+    ]
+    again = embed_kmeans(df, k=2, iters=2).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )
+
+
+def test_embed_kmeans_drops_empty_clusters(spark):
+    """A seed that captures no points after reassignment disappears; the
+    survivor set keeps its original cids."""
+    from dataproc_spark.extensions.simsearch import embed_kmeans
+
+    # seeds are vecs 0,1 (both in the left blob); everything is closer to
+    # one of them after the first update, so k collapses below 2 only if
+    # a cluster empties — here both survive, but cids stay {0,1}
+    rows = [(i, [float(i), 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = embed_kmeans(df, k=2, iters=2).toPandas()
+    assert set(out.cluster).issubset({0, 1})
+    assert len(out) == 4
