@@ -271,3 +271,43 @@ def group_percentile(
         .withColumn(out_col, F.expr("((_rn - 1) * 1000) div greatest(_gn - 1, 1)"))
         .drop("_rn", "_gn")
     )
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot — the MERGE INTO / table-format
+    upsert shape without a table format: the latest change per key wins
+    under the total order (ts desc, tiebreak desc); ``'D'`` removes the
+    key, ``'U'`` inserts-or-replaces its row, untouched snapshot keys
+    carry over unchanged. Returns the new snapshot with the snapshot's
+    column set.
+
+    Plan: one per-key window over the CHANGES ONLY (the changelog batch
+    is the small side — the snapshot is never window-sorted), then the
+    snapshot is touched exactly once by a key anti-join against the
+    compacted change keys; surviving upserts union in. At scale both the
+    anti-join and the union are key-partitioned; writing the result
+    partitioned by the key bucket makes the next merge's anti-join
+    co-located (``storage.write_bucketed``).
+    """
+    ensure_has_columns(snapshot, [key_col])
+    ensure_has_columns(changes, [key_col, ts_col, tiebreak_col, op_col])
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    untouched = snapshot.join(
+        maybe_broadcast(latest.select(key_col)), key_col, "left_anti"
+    )
+    upserts = latest.where(F.col(op_col) == "U").select(*snapshot.columns)
+    return untouched.unionByName(upserts)

@@ -5049,6 +5049,94 @@ FROM (
 """
 
 
+def q_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (``analytics.apply_changelog``): even-event rows build
+    the per-user snapshot (latest value), odd-event rows form the
+    changelog (clicks delete, everything else upserts); the latest
+    change per key wins and the snapshot is touched only by one key
+    anti-join. The MERGE INTO shape on plain parquet."""
+    from dataproc_spark.extensions.analytics import apply_changelog
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts", "value_c")
+    )
+    changes = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "click", "D").otherwise("U").alias("op"),
+        "value_c",
+    )
+    return apply_changelog(snapshot, changes)
+
+
+SQL_APPLY_CHANGELOG = """
+WITH ev AS (
+    SELECT event_id, user_id, epoch_ns(ts) AS tsn, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c
+    FROM events
+),
+snap AS (
+    SELECT user_id, tsn AS ts, value_c FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY tsn DESC, event_id DESC) AS rn
+        FROM ev WHERE event_id % 2 = 0
+    ) WHERE rn = 1
+),
+latest AS (
+    SELECT user_id, tsn AS ts, value_c,
+           CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY tsn DESC, event_id DESC) AS rn
+        FROM ev WHERE event_id % 2 = 1
+    ) WHERE rn = 1
+)
+SELECT s.user_id, s.ts, s.value_c
+FROM snap s
+WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = s.user_id)
+UNION ALL
+SELECT user_id, ts, value_c FROM latest WHERE op = 'U'
+"""
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order key arithmetic (``storage.z_value``): the
+    data-skipping clustering key behind lakehouse OPTIMIZE ZORDER,
+    computed over (user_id, event_id) folded into 12-bit lanes. The
+    oracle rebuilds the identical bit interleave with shift arithmetic;
+    the layout-level pruning benefit is pinned by the row-group
+    intersection test in ``tests/test_storage_streaming.py``."""
+    from dataproc_spark.storage import z_value
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.pmod(F.col("user_id"), F.lit(4096)).cast("long")
+    b = F.pmod(F.col("event_id"), F.lit(4096)).cast("long")
+    return ev.select(
+        "event_id", z_value([a, b], bits=12).alias("z")
+    )
+
+
+SQL_ZORDER_KEY = """
+SELECT event_id,
+       CAST(
+         list_aggregate(list_transform(range(0, 12),
+             j -> (((user_id % 4096) >> j) & 1) << (2 * j)), 'sum')
+         + list_aggregate(list_transform(range(0, 12),
+             j -> (((event_id % 4096) >> j) & 1) << (2 * j + 1)), 'sum')
+       AS BIGINT) AS z
+FROM events
+"""
+
+
 SQL_STREAM_INCREMENTAL_DEDUP = """
 WITH fps AS (
     SELECT event_id, user_id, event_type,
@@ -5236,6 +5324,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_STREAM_INCREMENTAL_DEDUP,
     ),
     "embed_kmeans": (q_embed_kmeans, SQL_EMBED_KMEANS),
+    "apply_changelog": (q_apply_changelog, SQL_APPLY_CHANGELOG),
+    "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
 }
 
 

@@ -567,3 +567,87 @@ def test_stream_incremental_dedup_store_and_cross_batch(spark, tmp_path):
     fp_b = hashlib.md5(b"2|click|200").hexdigest()
     fp_c = hashlib.md5(b"3|buy|300").hexdigest()
     assert got == {(fp_b, 2, "click", 200), (fp_c, 3, "buy", 300)}
+
+
+def test_apply_changelog_merge_semantics(spark):
+    """Latest change per key wins; D deletes, U upserts, untouched keys
+    carry over; a delete older than a later upsert does not win."""
+    from dataproc_spark.extensions.analytics import apply_changelog
+
+    snap = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 200), (3, 10, 300)],
+        schema="user_id long, ts long, value_c long",
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, 20, 1, "U", 250),   # update user 2
+            (3, 20, 2, "D", 0),     # delete user 3
+            (4, 20, 3, "U", 400),   # insert user 4
+            (4, 15, 4, "D", 0),     # older delete of 4 -> loses to the U
+        ],
+        schema="user_id long, ts long, event_id long, op string, value_c long",
+    )
+    out = apply_changelog(snap, chg)
+    got = {(r.user_id, r.ts, r.value_c) for r in out.collect()}
+    assert got == {(1, 10, 100), (2, 20, 250), (4, 20, 400)}
+
+
+def test_z_value_matches_python_interleave(spark):
+    from dataproc_spark.storage import z_value
+
+    df = spark.createDataFrame(
+        [(5, 3), (0, 0), (4095, 4095), (1, 2)], schema="a long, b long"
+    )
+    out = {(r.a, r.b): r.z for r in df.select("a", "b", z_value(["a", "b"]).alias("z")).collect()}
+
+    def morton(a, b, bits=12):
+        z = 0
+        for j in range(bits):
+            z |= ((a >> j) & 1) << (2 * j)
+            z |= ((b >> j) & 1) << (2 * j + 1)
+        return z
+
+    for (a, b), z in out.items():
+        assert z == morton(a, b)
+
+
+def test_write_zordered_prunes_row_groups(spark, tmp_path):
+    """A 2-D box predicate must intersect strictly fewer parquet row
+    groups under Z-order clustering than under single-column sorting —
+    the data-skipping property the layout exists for."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dataproc_spark.storage import write_zordered
+
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "CAST(id % 1000 AS LONG) AS x",
+        "CAST((id * 7919) % 1000 AS LONG) AS y",
+    )
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zord")
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(plain_dir))
+    write_zordered(df, z_dir, ["x", "y"], bits=10, num_files=16)
+
+    def groups_hit(d, lo, hi):
+        """Row groups whose footer stats intersect y in [lo, hi] — the
+        predicate is on the SECOND clustering dimension, where an
+        x-sorted layout cannot prune at all."""
+        hit = total = 0
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                stats = {md.row_group(g).column(c).path_in_schema:
+                         md.row_group(g).column(c).statistics
+                         for c in range(md.row_group(g).num_columns)}
+                total += 1
+                if stats["y"].min <= hi and stats["y"].max >= lo:
+                    hit += 1
+        return hit, total
+
+    ph, pt = groups_hit(plain_dir, 100, 150)
+    zh, zt = groups_hit(z_dir, 100, 150)
+    assert ph == pt            # x-sorted: every group spans all of y
+    assert zh / zt <= 0.5      # z-order: most groups skipped on y alone
