@@ -4872,6 +4872,245 @@ WHERE p_partkey = l_partkey
 """
 
 
+#: Derived partsupp: the testdata ships no partsupp table, so the five
+#: TPC-H queries that need one (Q2/Q9/Q11/Q16/Q20) run over a
+#: DETERMINISTIC derivation — 4 suppliers per part, availqty and
+#: supplycost as integer formulas of (partkey, k) — built identically
+#: as a Spark temp view and as a DuckDB CTE, so the oracle checks the
+#: full query shape over the same rows.
+_PARTSUPP_BODY = """
+SELECT p_partkey AS ps_partkey,
+       CAST((p_partkey + k * 7 + 1) %% (SELECT COUNT(*) FROM supplier{sfx})
+            AS BIGINT) AS ps_suppkey,
+       CAST((p_partkey * 7 + k * 13) %% 9999 + 1 AS BIGINT) AS ps_availqty,
+       CAST((p_partkey * 31 + k * 17) %% 100000 + 1 AS BIGINT)
+           AS ps_supplycost_c
+FROM ({exploded})
+"""
+
+# the 4-way expansion is a LATERAL explode in the projection, not a
+# cross join against a 4-row relation — the latter plans as a
+# BroadcastNestedLoopJoin, which the registry's plan guard forbids
+SPARK_PARTSUPP = _PARTSUPP_BODY.format(
+    sfx="_v",
+    exploded="SELECT p_partkey, explode(sequence(0, 3)) AS k FROM part_v",
+).replace("%%", "%")
+DUCK_PARTSUPP_CTE = "partsupp AS (" + _PARTSUPP_BODY.format(
+    sfx="",
+    exploded="SELECT p_partkey, unnest(range(0, 4)) AS k FROM part",
+).replace("%%", "%") + ")"
+
+
+def register_partsupp(spark: SparkSession, sf_dir: str) -> None:
+    """`register_tables` + the derived ``partsupp_v`` view (see
+    :data:`_PARTSUPP_BODY`)."""
+    register_tables(spark, sf_dir)
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW partsupp_v AS {SPARK_PARTSUPP}")
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) through the ``spark.sql``
+    front-end over the derived partsupp: the correlated scalar MIN
+    subquery re-joins four tables inside the correlation — the widest
+    decorrelation in the set. Deterministic top-100 (acctbal desc,
+    nation, supplier, part); mfgr/address/phone/comment columns do not
+    exist in the testdata and LIKE '%BRASS' becomes p_type equality."""
+    register_partsupp(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_c,
+               s_name, n_name, p_partkey
+        FROM part_v, supplier_v, partsupp_v, nation_v, region_v
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size = 15 AND p_type = 'PROMO'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_supplycost_c = (
+              SELECT MIN(ps2.ps_supplycost_c)
+              FROM partsupp_v ps2, supplier_v s2, nation_v n2, region_v r2
+              WHERE p_partkey = ps2.ps_partkey
+                AND s2.s_suppkey = ps2.ps_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey
+                AND r2.r_name = 'EUROPE')
+        ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """)
+
+
+SQL_TPCH_Q2 = f"""
+WITH {DUCK_PARTSUPP_CTE}
+SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_c,
+       s_name, n_name, p_partkey
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 15 AND p_type = 'PROMO'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost_c = (
+      SELECT MIN(ps2.ps_supplycost_c)
+      FROM partsupp ps2, supplier s2, nation n2, region r2
+      WHERE p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+        AND s2.s_nationkey = n2.n_nationkey
+        AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+ORDER BY acctbal_c DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) through the ``spark.sql``
+    front-end: six-table join with partsupp on the COMPOSITE
+    (partkey, suppkey) key and profit as exact integer cents
+    (revenue minus supplycost×quantity). '%green%' becomes '%red%'
+    (the testdata's p_name vocabulary)."""
+    register_partsupp(spark, sf_dir)
+    return spark.sql("""
+        SELECT nation, o_year, CAST(SUM(amount_c) AS BIGINT) AS sum_profit_c
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)
+                   - ps_supplycost_c * CAST(l_quantity AS BIGINT) AS amount_c
+            FROM part_v, supplier_v, lineitem_v, partsupp_v, orders_v,
+                 nation_v
+            WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+              AND ps_partkey = l_partkey AND p_partkey = l_partkey
+              AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+              AND p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+    """)
+
+
+SQL_TPCH_Q9 = f"""
+WITH {DUCK_PARTSUPP_CTE}
+SELECT nation, o_year, CAST(SUM(amount_c) AS BIGINT) AS sum_profit_c
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+         - ps_supplycost_c * CAST(l_quantity AS BIGINT) AS amount_c
+  FROM part, supplier, lineitem, partsupp, orders, nation
+  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+    AND ps_partkey = l_partkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock) through the ``spark.sql`` front-end:
+    grouped HAVING compared against an uncorrelated scalar aggregate of
+    the SAME three-table join — integer cross-multiply (×1000) replaces
+    the float fraction so the comparison hash-matches."""
+    register_partsupp(spark, sf_dir)
+    return spark.sql("""
+        SELECT ps_partkey,
+               CAST(SUM(ps_supplycost_c * ps_availqty) AS BIGINT) AS value_c
+        FROM partsupp_v, supplier_v, nation_v
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_1'
+        GROUP BY ps_partkey
+        HAVING SUM(ps_supplycost_c * ps_availqty) * 1000 > (
+            SELECT SUM(ps_supplycost_c * ps_availqty)
+            FROM partsupp_v, supplier_v, nation_v
+            WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_1')
+    """)
+
+
+SQL_TPCH_Q11 = f"""
+WITH {DUCK_PARTSUPP_CTE}
+SELECT ps_partkey,
+       CAST(SUM(ps_supplycost_c * ps_availqty) AS BIGINT) AS value_c
+FROM partsupp, supplier, nation
+WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_1'
+GROUP BY ps_partkey
+HAVING SUM(ps_supplycost_c * ps_availqty) * 1000 > (
+    SELECT SUM(ps_supplycost_c * ps_availqty)
+    FROM partsupp, supplier, nation
+    WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_1')
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) through the ``spark.sql``
+    front-end: COUNT(DISTINCT) per 3-column group with a NOT IN
+    anti-subquery. The comment-based supplier exclusion becomes
+    negative-balance standing (no comment column in the testdata)."""
+    register_partsupp(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM partsupp_v, part_v
+        WHERE p_partkey = ps_partkey
+          AND p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier_v WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """)
+
+
+SQL_TPCH_Q16 = f"""
+WITH {DUCK_PARTSUPP_CTE}
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) through the ``spark.sql``
+    front-end: nested IN subqueries with a correlated scalar aggregate
+    at the innermost level (availqty vs half the year's shipped
+    quantity, integer cross-multiplied; parts with no shipments
+    COALESCE to 0, so unexercised stock qualifies)."""
+    register_partsupp(spark, sf_dir)
+    return spark.sql("""
+        SELECT s_name, s_suppkey
+        FROM supplier_v, nation_v
+        WHERE s_suppkey IN (
+                SELECT ps_suppkey FROM partsupp_v
+                WHERE ps_partkey IN (
+                        SELECT p_partkey FROM part_v WHERE p_type = 'PROMO')
+                  AND ps_availqty * 2 > (
+                      SELECT COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0)
+                      FROM lineitem_v
+                      WHERE l_partkey = ps_partkey
+                        AND l_suppkey = ps_suppkey
+                        AND l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+                        AND l_shipdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'))
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+    """)
+
+
+SQL_TPCH_Q20 = f"""
+WITH {DUCK_PARTSUPP_CTE}
+SELECT s_name, s_suppkey
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      AND ps_availqty * 2 > (
+          SELECT COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0)
+          FROM lineitem
+          WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'))
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+"""
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-balanced mixture resampling
     (``sampling.temperature_mixture``, α = 0.5): per-source targets
@@ -5326,6 +5565,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embed_kmeans": (q_embed_kmeans, SQL_EMBED_KMEANS),
     "apply_changelog": (q_apply_changelog, SQL_APPLY_CHANGELOG),
     "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
+    "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
+    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
+    "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
 }
 
 
