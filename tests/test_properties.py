@@ -683,3 +683,85 @@ def test_scd2_history_matches_python_model(spark, events):
             nxt = mine[idx + 1][0] if idx + 1 < len(mine) else None
             expect[i] = (u, t, v, nxt, 1 if nxt is None else 0)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# apply_changelog / temperature_mixture vs independent Python models
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 50),
+                       st.integers(0, 999)), min_size=0, max_size=12),
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 50),
+                       st.booleans(), st.integers(0, 999)),
+             min_size=0, max_size=15, unique_by=lambda t: (t[0], t[1])),
+)
+@settings(max_examples=12, deadline=None)
+def test_apply_changelog_matches_python_model(spark, snap_rows, chg_rows):
+    """Model: latest change per key under (ts desc, eid desc) wins; D
+    deletes, U upserts; untouched snapshot keys carry over. Snapshot is
+    key-unique by construction (latest-wins pre-compaction)."""
+    from dataproc_spark.extensions.analytics import apply_changelog
+
+    snap = {}
+    for u, ts, v in snap_rows:
+        if u not in snap or ts > snap[u][0]:
+            snap[u] = (ts, v)
+    snap_list = [(u, ts, v) for u, (ts, v) in snap.items()]
+    chg_list = [(u, ts, i, "D" if d else "U", v)
+                for i, (u, ts, d, v) in enumerate(chg_rows)]
+
+    latest = {}
+    for u, ts, eid, op, v in chg_list:
+        if u not in latest or (ts, eid) > (latest[u][0], latest[u][1]):
+            latest[u] = (ts, eid, op, v)
+    expect = {(u, ts, v) for u, (ts, v) in snap.items() if u not in latest}
+    expect |= {(u, ts, v) for u, (ts, eid, op, v) in latest.items()
+               if op == "U"}
+
+    sdf = spark.createDataFrame(
+        snap_list or [(None, None, None)],
+        schema="user_id long, ts long, value_c long",
+    ).where("user_id IS NOT NULL")
+    cdf = spark.createDataFrame(
+        chg_list or [(None, None, None, None, None)],
+        schema="user_id long, ts long, event_id long, op string, value_c long",
+    ).where("user_id IS NOT NULL")
+    out = apply_changelog(sdf, cdf)
+    got = {(r.user_id, r.ts, r.value_c) for r in out.collect()}
+    assert got == expect
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=40),
+       st.integers(1, 120))
+@settings(max_examples=10, deadline=None)
+def test_temperature_mixture_matches_python_model(spark, groups, budget):
+    """Model: w_g = isqrt(n_g), target_g = budget*w_g // W, copies plus a
+    md5-draw fractional remainder, epochs 0..k-1."""
+    import hashlib
+
+    from dataproc_spark.extensions import sampling
+
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, schema="doc_id long, source string")
+    out = sampling.temperature_mixture(
+        df, group_col="source", id_col="doc_id", salt="pm", budget_rows=budget
+    )
+    got = sorted((r.doc_id, r.epoch) for r in out.collect())
+
+    n = {}
+    for _, g in rows:
+        n[g] = n.get(g, 0) + 1
+    w = {g: math.isqrt(c) for g, c in n.items()}
+    tw = sum(w.values())
+    expect = []
+    m = 16 ** 8
+    for i, g in rows:
+        target = budget * w[g] // tw
+        copies = target // n[g]
+        rem = (m * (target - copies * n[g])) // n[g]
+        draw = int(hashlib.md5(f"{i}#pm".encode()).hexdigest()[:8], 16)
+        k = copies + (1 if draw < rem else 0)
+        expect += [(i, e) for e in range(k)]
+    assert got == sorted(expect)
