@@ -348,3 +348,49 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         F.explode(offsets).alias("frame_offset"),
         (n - F.col("frame_offset")).alias("remaining_bytes"),
     )
+
+
+def resize_image_stats(
+    media: DataFrame, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Decode + nearest-neighbor RESIZE on one Arrow stage: each payload
+    is decoded (:func:`_decode_image_bytes`), resampled to
+    ``width × height`` with the floor-index NN rule
+    (``src = tgt * src_dim div tgt_dim`` — exact integer arithmetic, so
+    an engine-independent oracle replays the resampled pixel set), and
+    reduced to exact-integer pixel statistics.
+
+    This is the thumbnail/normalization step of an image training
+    pipeline: decode and resize fuse into a single ``mapInPandas`` pass
+    so full-resolution pixels never cross a stage boundary — only the
+    fixed-size resampled stats leave the Arrow batch.
+    """
+    import numpy as np
+
+    tw, th = int(width), int(height)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c, arr = _decode_image_bytes(payload)
+                ys = (np.arange(th, dtype=np.int64) * h) // th
+                xs = (np.arange(tw, dtype=np.int64) * w) // tw
+                flat = arr[np.ix_(ys, xs)].reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(mid), tw, th, int(c), tw * th,
+                        int(flat.sum()), int(flat.min()), int(flat.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels", "n_pixels",
+                    "pixel_sum", "pixel_min", "pixel_max",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=IMAGE_STATS_SCHEMA
+    )

@@ -2098,6 +2098,48 @@ GROUP BY doc_id
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize fused on one Arrow stage
+    (``multimodal.resize_image_stats``): every synthesized frame is
+    decoded (real PNG/PPM codec) and resampled to 8×8 with the
+    floor-index NN rule, emitting exact-integer stats. The oracle
+    replays the resampled pixel set from the synthesis arithmetic +
+    the same integer index mapping — a wrong stride or off-by-one
+    resample hash-fails."""
+    from dataproc_spark.extensions.multimodal import (
+        resize_image_stats,
+        synthesize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return resize_image_stats(synthesize_images(docs), width=8, height=8)
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH tgt AS (
+    SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, ty, tx, ch
+    FROM documents,
+         (SELECT unnest(range(0, 8)) AS ty) a,
+         (SELECT unnest(range(0, 8)) AS tx) b,
+         (SELECT unnest(range(0, 3)) AS ch) c
+),
+px AS (
+    SELECT doc_id,
+           (doc_id * 31 + (((ty * h // 8) * w + (tx * w // 8)) * 3 + ch))
+           % 256 AS v
+    FROM tgt
+)
+SELECT doc_id AS media_id,
+       8 AS width, 8 AS height, 3 AS channels,
+       CAST(64 AS BIGINT) AS n_pixels,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MIN(v) AS INTEGER) AS pixel_min,
+       CAST(MAX(v) AS INTEGER) AS pixel_max
+FROM px
+GROUP BY doc_id
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only: hash-family dependent).
 
@@ -5570,6 +5612,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
     "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
     "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
 }
 
 

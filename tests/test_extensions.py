@@ -633,3 +633,24 @@ def test_embed_kmeans_drops_empty_clusters(spark):
     out = embed_kmeans(df, k=2, iters=2).toPandas()
     assert set(out.cluster).issubset({0, 1})
     assert len(out) == 4
+
+
+def test_resize_image_stats_known_upsample(spark):
+    """2x1 RGB image upsampled to 4x2 by NN: each source pixel repeats
+    2x2, so the sum is exactly 4x the original and min/max are
+    preserved."""
+    import numpy as np
+
+    from dataproc_spark.extensions.multimodal import (
+        encode_ppm,
+        resize_image_stats,
+    )
+
+    arr = np.array([[[0, 10, 20], [30, 40, 250]]], dtype=np.uint8)  # 1x2x3
+    media = spark.createDataFrame(
+        [(1, encode_ppm(arr))], schema="media_id long, payload binary"
+    )
+    row = resize_image_stats(media, width=4, height=2).collect()[0]
+    assert (row.width, row.height, row.channels) == (4, 2, 3)
+    assert row.pixel_sum == int(arr.astype(int).sum()) * 4
+    assert (row.pixel_min, row.pixel_max) == (0, 250)
