@@ -270,3 +270,95 @@ def rare_bigram_stats(
             F.expr("n_rare * 1000 div n_bigrams").cast("long").alias("novelty_m"),
         )
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> list[tuple[int, str, str, int]]:
+    """Learn BPE merge rules from a corpus — the distributed half of
+    tokenizer training. Returns ``[(rank, left, right, pair_freq), ...]``.
+
+    Standard trainer decomposition: ONE pass over the corpus compresses
+    it to a (word, freq) vocabulary table (the only corpus-sized
+    aggregate — at 100 TB this is the heavy map-side-combine shuffle and
+    everything after runs on the vocabulary, which is Heaps-law small);
+    then each merge round is a pair-count aggregate + argmax over that
+    table. The argmax is one driver row per round (the merge table is
+    O(n_merges) — the k-means-centroid pattern).
+
+    Merge semantics: symbols live in a space-delimited string with
+    sentinel spaces, and a merge is a left-to-right NON-OVERLAPPING
+    ``replace(' a b ', ' ab ')``. This matches greedy BPE except inside
+    runs of the same symbol with length ≥ 4 (where canonical BPE
+    re-pairs across a merge boundary) — chosen because every engine's
+    ``replace`` shares these exact semantics, making the whole training
+    replayable bit-for-bit by the cross-engine oracle. Ties on pair
+    frequency break lexicographically (left, then right).
+    """
+    words = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "r",
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+                    " ",
+                ),
+                F.lit(" "),
+            ),
+        )
+        .select("r", "freq")
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = words
+    try:
+        for k in range(int(n_merges)):
+            pairs = (
+                cur.withColumn("s", F.split(F.trim(F.col("r")), " "))
+                # single-symbol words carry no pairs — and Spark's
+                # sequence(1, 0) is a DESCENDING sequence, not empty
+                .where(F.size("s") >= 2)
+                .select(
+                    F.col("freq"),
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(s) - 1),"
+                            " i -> struct(s[i - 1] AS a, s[i] AS b))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            best = pairs.orderBy(
+                F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+            ).first()
+            if best is None:
+                break
+            merges.append((k, best["a"], best["b"], int(best["cnt"])))
+            nxt = cur.withColumn(
+                "r",
+                F.replace(
+                    F.col("r"),
+                    F.lit(f" {best['a']} {best['b']} "),
+                    F.lit(f" {best['a']}{best['b']} "),
+                ),
+            ).persist()
+            nxt.count()
+            if cur is not words:
+                cur.unpersist()
+            cur = nxt
+    finally:
+        if cur is not words:
+            cur.unpersist()
+        words.unpersist()
+    return merges

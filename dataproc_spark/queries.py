@@ -2140,6 +2140,71 @@ GROUP BY doc_id
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training
+    (``textstats.bpe_learn_merges``): one corpus-sized (word, freq)
+    aggregate, then 3 merge rounds of pair-count + argmax on the
+    vocabulary table. The oracle replays all three rounds — pair
+    explode, frequency argmax with lexicographic tie-break, and the
+    sentinel-space replace — as chained CTEs."""
+    merges = textstats.bpe_learn_merges(
+        _t(spark, sf_dir, "documents"), n_merges=3
+    )
+    return spark.createDataFrame(
+        merges, schema="rank int, lhs string, rhs string, pair_freq long"
+    )
+
+
+SQL_BPE_MERGES = r"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents
+),
+words1 AS (
+    SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS r,
+           COUNT(*) AS freq
+    FROM toks GROUP BY w
+),
+p1 AS (
+    SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
+    FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM words1) t,
+         unnest(range(1, len(t.s))) u(i)
+    GROUP BY 1, 2
+),
+b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+words2 AS (
+    SELECT replace(r, ' ' || b1.a || ' ' || b1.b || ' ',
+                   ' ' || b1.a || b1.b || ' ') AS r, freq
+    FROM words1, b1
+),
+p2 AS (
+    SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
+    FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM words2) t,
+         unnest(range(1, len(t.s))) u(i)
+    GROUP BY 1, 2
+),
+b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+words3 AS (
+    SELECT replace(r, ' ' || b2.a || ' ' || b2.b || ' ',
+                   ' ' || b2.a || b2.b || ' ') AS r, freq
+    FROM words2, b2
+),
+p3 AS (
+    SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
+    FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM words3) t,
+         unnest(range(1, len(t.s))) u(i)
+    GROUP BY 1, 2
+),
+b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+SELECT 0 AS rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_freq FROM b1
+UNION ALL
+SELECT 1, a, b, CAST(cnt AS BIGINT) FROM b2
+UNION ALL
+SELECT 2, a, b, CAST(cnt AS BIGINT) FROM b3
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only: hash-family dependent).
 
@@ -5613,6 +5678,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
     "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
 }
 
 

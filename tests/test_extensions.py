@@ -654,3 +654,32 @@ def test_resize_image_stats_known_upsample(spark):
     assert (row.width, row.height, row.channels) == (4, 2, 3)
     assert row.pixel_sum == int(arr.astype(int).sum()) * 4
     assert (row.pixel_min, row.pixel_max) == (0, 250)
+
+
+def test_bpe_learn_merges_known_corpus(spark):
+    """'low low lower' — pair (l,o) dominates (freq 3), then (lo,w)
+    (freq 3 after merge 1), then (low, e) vs others: 'low' completes
+    first; ties break lexicographically."""
+    from dataproc_spark.extensions.textstats import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low")], schema="doc_id long, text string"
+    )
+    merges = bpe_learn_merges(df, n_merges=3)
+    assert merges[0] == (0, "l", "o", 4)
+    assert merges[1] == (1, "lo", "w", 4)
+    # after 'low': remaining pairs are (low,e) x1 and (e,r) x1 -> tie,
+    # lexicographic: ('e','r') < ('low','e')
+    assert merges[2] == (2, "e", "r", 1)
+
+
+def test_bpe_learn_merges_single_char_words(spark):
+    """Single-symbol words carry no pairs (the sequence(1,0) descending
+    trap) and an exhausted corpus stops early."""
+    from dataproc_spark.extensions.textstats import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "a b a ab")], schema="doc_id long, text string"
+    )
+    merges = bpe_learn_merges(df, n_merges=5)
+    assert merges == [(0, "a", "b", 1)]
