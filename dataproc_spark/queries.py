@@ -124,6 +124,10 @@ def _shared_shard_results(li: DataFrame) -> DataFrame:
     )
     cached = _SHARD_RESULTS_CACHE.get(key)
     if cached is None:
+        # note: spreading the scan across cores before the persist
+        # (spread_narrow) was measured at sf0.1 and REJECTED — the
+        # added 600 k-row shuffle costs more than the parallel cache
+        # materialization saves (bench select_top_t 3.7 s → 4.1 s)
         cached = _SHARD_RESULTS_CACHE[key] = _shard_results(li).persist()
     return cached
 
