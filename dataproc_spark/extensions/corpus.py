@@ -319,3 +319,38 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Diff two corpus snapshots by id + content fingerprint: each id
+    becomes one row with status ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` — the audit step between corpus versions (what moved
+    between v1 and v2, what an incremental re-train must touch).
+
+    Both sides reduce to (id, 16-byte fingerprint) BEFORE the join, so
+    the shuffle carries fingerprints, never bodies — the same width
+    discipline as ``incremental_dedup``. One full outer join on the id;
+    at 100 TB both fingerprint projections bucket on the id and the
+    join co-locates.
+    """
+    from dataproc_spark.extensions.dedup import content_fingerprint
+
+    o = old.select(
+        F.col(id_col), content_fingerprint(content_col).alias("_fp_old")
+    )
+    n = new.select(
+        F.col(id_col), content_fingerprint(content_col).alias("_fp_new")
+    )
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_old") == F.col("_fp_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(id_col, status.alias("status"))

@@ -99,6 +99,43 @@ def stream_hourly_counts(
     return _drain(windowed, "complete", "hourly")
 
 
+def stream_hourly_append(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """APPEND-mode hourly rollup — the production output mode: a window
+    emits exactly ONCE, when the watermark passes its end, instead of
+    complete mode's full re-emission every trigger (which is what makes
+    complete mode unviable for an unbounded window count at 100 TB).
+
+    Emission bound, replicated by the oracle: Spark tracks the event-time
+    max in MILLISECONDS, so after the final (no-data) availableNow batch
+    the watermark is ``max(event_time) div 1ms − delay`` and exactly the
+    windows with ``end ≤ watermark`` emit — the last ~``delay`` of event
+    time stays buffered in state, by design (a restart with more data
+    resumes from the checkpoint and flushes it later). Same
+    epoch-adjacent caveat as :func:`stream_dedup_bounded`: events at or
+    before 1970-01-01 are dropped by the initial zero watermark.
+    """
+    windowed = (
+        with_event_time(_file_stream(spark, events_path))
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        )
+        .select(
+            F.expr("unix_timestamp(window.start) div 3600").alias("hour_id"),
+            "event_type",
+            "n_events",
+            "sum_value_c",
+        )
+    )
+    return _drain(windowed, "append", "hourly_append")
+
+
 def _file_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """File-source stream over a parquet path (single file or directory),
     one file per micro-batch. The streaming source requires a directory;

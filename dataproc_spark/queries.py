@@ -2209,6 +2209,75 @@ SELECT 2, a, b, CAST(cnt AS BIGINT) FROM b3
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (``corpus.corpus_diff``): v1 = ids not
+    divisible by 10, v2 = ids not divisible by 7 with every 5th text
+    amended — each id labeled added/removed/changed/unchanged via a
+    fingerprint full-outer join (bodies never shuffle)."""
+    from dataproc_spark.extensions.corpus import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+SQL_CORPUS_DIFF = """
+WITH v1 AS (
+    SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+),
+v2 AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                    ELSE text END) AS fp
+    FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT doc_id,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM v1 o FULL OUTER JOIN v2 n USING (doc_id)
+"""
+
+
+def q_stream_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode streaming hourly rollup
+    (``streaming.stream_hourly_append``): windows emit exactly once when
+    the watermark passes their end. The oracle replays the emission
+    bound exactly — watermark = millisecond-floored max event time minus
+    the 2-hour delay; only windows whose end ≤ watermark appear, the
+    buffered tail stays in state by design."""
+    return streaming.stream_hourly_append(spark, f"{sf_dir}/events.parquet")
+
+
+SQL_STREAM_HOURLY_APPEND = """
+WITH hourly AS (
+    SELECT (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000) + 3600000000000)
+            % 3600000000000) // 3600000000000 AS hour_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_c
+    FROM events
+    GROUP BY 1, 2
+),
+wm AS (
+    -- Spark tracks the event-time max in ms: micros -> ms floor, then
+    -- the 2 h delay
+    SELECT (MAX(epoch_ns(ts)) // 1000) // 1000 - 7200000 AS wm_ms
+    FROM events
+)
+SELECT hour_id, event_type, n_events, sum_value_c
+FROM hourly, wm
+WHERE (hour_id + 1) * 3600000 <= wm.wm_ms
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only: hash-family dependent).
 
@@ -5683,6 +5752,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
+    "stream_hourly_append": (q_stream_hourly_append, SQL_STREAM_HOURLY_APPEND),
 }
 
 
