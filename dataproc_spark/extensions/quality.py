@@ -1,0 +1,116 @@
+"""Data-quality operators: table profiling and constraint validation.
+
+The observability layer a pipeline runs before/after every ingest:
+``profile_table`` answers "what does this table look like" (null rates,
+distinct counts, ranges) in one row per column; ``validate_constraints``
+answers "does it satisfy the contract" (uniqueness, referential
+integrity, value ranges) as one row per rule with a violation count.
+
+Scale design: the profile runs ONE aggregate pass over the table for
+the null/min/max family (every column's stats ride the same scan) plus
+one distinct-count aggregate per profiled column (exact distinct needs
+its own shuffle; at 100 TB swap in approx_count_distinct via the
+``exact_distinct=False`` knob and the pass count drops to 1).
+Constraint checks are each a count over a filter or anti-join — the
+reference-integrity rule broadcasts the dimension side when small.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataproc_spark.core import maybe_broadcast
+
+
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One row per column: total rows, null count, distinct count, and
+    min/max rendered as strings (stable across engines for ints and
+    strings; floats should be profiled pre-rounded).
+
+    ``exact_distinct=True`` runs one COUNT(DISTINCT) aggregate per
+    column (exact, the oracle-checkable form); ``False`` uses
+    ``approx_count_distinct`` and the whole profile is a single pass.
+    """
+    total = df.count()
+    parts = []
+    for c in cols:
+        # min/max on the NATIVE type, cast to string only for display —
+        # casting first would make numeric ranges lexicographic
+        aggs = [
+            F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+            F.min(F.col(c)).cast("string").alias("min_value"),
+            F.max(F.col(c)).cast("string").alias("max_value"),
+        ]
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias("n_distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(c).alias("n_distinct"))
+        parts.append(
+            df.agg(*aggs).select(
+                F.lit(c).alias("column"),
+                F.lit(total).cast("long").alias("n_rows"),
+                F.col("n_null").cast("long"),
+                F.col("n_distinct").cast("long"),
+                "min_value",
+                "max_value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def check_unique(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Rows participating in a duplicate key group (0 = the key is
+    unique). Returned as a 1-row DataFrame (rule, violations)."""
+    dup = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("violations"))
+    )
+    return dup.select(
+        F.lit(f"unique({', '.join(cols)})").alias("rule"),
+        F.col("violations").cast("long"),
+    )
+
+
+def check_in_range(
+    df: DataFrame, col: str, lo, hi
+) -> DataFrame:
+    """Rows with ``col`` outside [lo, hi] or null."""
+    bad = df.where(
+        ~F.col(col).between(F.lit(lo), F.lit(hi)) | F.col(col).isNull()
+    )
+    return bad.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(
+        F.lit(f"range({col}, {lo}, {hi})").alias("rule"), "violations"
+    )
+
+
+def check_references(
+    df: DataFrame, col: str, dim: DataFrame, dim_col: str
+) -> DataFrame:
+    """Rows whose ``col`` has no match in ``dim.dim_col`` (referential
+    integrity; the dimension side broadcasts when small)."""
+    missing = df.select(F.col(col)).join(
+        maybe_broadcast(dim.select(F.col(dim_col).alias(col))), col, "left_anti"
+    )
+    return missing.agg(
+        F.count(F.lit(1)).cast("long").alias("violations")
+    ).select(F.lit(f"references({col})").alias("rule"), "violations")
+
+
+def validate_constraints(checks: Sequence[DataFrame]) -> DataFrame:
+    """Union the per-rule (rule, violations) frames into one report."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

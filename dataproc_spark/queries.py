@@ -2278,6 +2278,85 @@ WHERE (hour_id + 1) * 3600000 <= wm.wm_ms
 """
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (``quality.profile_table``): one row per column
+    with total/null/distinct counts and native-type min/max rendered as
+    strings — the data-observability pass before every ingest."""
+    from dataproc_spark.extensions.quality import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+SQL_PROFILE_TABLE = """
+SELECT 'doc_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT lang) AS BIGINT),
+       MIN(lang), MAX(lang)
+FROM documents
+UNION ALL
+SELECT 'source', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT),
+       MIN(source), MAX(source)
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents
+"""
+
+
+def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation (``quality.validate_constraints``): key
+    uniqueness, a value-range rule, and referential integrity
+    (anti-join against the broadcast dimension) — one (rule,
+    violations) row each, the data-contract gate of an ingest."""
+    from dataproc_spark.extensions.quality import (
+        check_in_range,
+        check_references,
+        check_unique,
+        validate_constraints,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    return validate_constraints([
+        check_unique(orders, ["o_orderkey"]),
+        check_in_range(lineitem, "l_quantity", 1, 50),
+        check_references(orders, "o_custkey", customer, "c_custkey"),
+    ])
+
+
+SQL_VALIDATE_CONSTRAINTS = """
+SELECT 'unique(o_orderkey)' AS rule,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS violations
+FROM (SELECT COUNT(*) AS n FROM orders
+      GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'range(l_quantity, 1, 50)', CAST(COUNT(*) AS BIGINT)
+FROM lineitem
+WHERE NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL
+UNION ALL
+SELECT 'references(o_custkey)', CAST(COUNT(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only: hash-family dependent).
 
@@ -5754,6 +5833,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
     "stream_hourly_append": (q_stream_hourly_append, SQL_STREAM_HOURLY_APPEND),
+    "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
+    "validate_constraints": (q_validate_constraints, SQL_VALIDATE_CONSTRAINTS),
 }
 
 

@@ -683,3 +683,42 @@ def test_bpe_learn_merges_single_char_words(spark):
     )
     merges = bpe_learn_merges(df, n_merges=5)
     assert merges == [(0, "a", "b", 1)]
+
+
+def test_quality_constraints_detect_violations(spark):
+    from dataproc_spark.extensions.quality import (
+        check_in_range,
+        check_references,
+        check_unique,
+        validate_constraints,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5), (1, 11, 60), (2, 99, None), (3, 10, 7)],
+        schema="k long, ref long, v long",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], schema="d long")
+    out = validate_constraints([
+        check_unique(fact, ["k"]),
+        check_in_range(fact, "v", 1, 50),
+        check_references(fact, "ref", dim, "d"),
+    ])
+    got = dict((r.rule, r.violations) for r in out.collect())
+    assert got == {
+        "unique(k)": 2,               # both rows of the duplicated key
+        "range(v, 1, 50)": 2,         # 60 out of range + the null
+        "references(ref)": 1,         # ref=99 unmatched
+    }
+
+
+def test_profile_table_stats(spark):
+    from dataproc_spark.extensions.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], schema="k long, s string"
+    )
+    out = {r.column: r for r in profile_table(df, ["k", "s"]).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_null == 0
+    assert out["k"].n_distinct == 2
+    assert (out["k"].min_value, out["k"].max_value) == ("1", "2")
+    assert out["s"].n_null == 1 and out["s"].n_distinct == 2
