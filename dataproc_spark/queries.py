@@ -2357,6 +2357,87 @@ WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: counts of (previous event type →
+    next event type) steps per user under the total order (ts,
+    event_id) — the Markov-chain view of user behavior behind
+    next-action prediction and funnel discovery. ONE lag window per
+    user (the sessionization plan shape) + one pair aggregate; no
+    self-joins."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_steps")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH steps AS (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ns(ts), event_id)
+               AS prev_type,
+           event_type AS next_type
+    FROM events
+)
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_steps
+FROM steps WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth on one per-user pass: lag, lead,
+    first_value, nth_value, dense_rank, and an integer cume_dist
+    (rank*1000 div n — float cume_dist cannot hash-match), all sharing
+    a single partition spec so the plan carries ONE sort, no extra
+    exchanges."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wall = Window.partitionBy("user_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.first("event_id").over(w).alias("first_id"),
+        F.nth_value("event_id", 2).over(w).alias("second_id"),
+        F.dense_rank().over(
+            Window.partitionBy("user_id").orderBy("event_type")
+        ).alias("type_rank"),
+        F.expr(
+            "(1000 * row_number() OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id))"
+        ).cast("long").alias("rn_m"),
+        F.count(F.lit(1)).over(wall).alias("n_user_events"),
+    ).withColumn("cume_m", F.expr("rn_m div n_user_events"))
+
+
+SQL_WINDOW_SUITE = """
+SELECT user_id, event_id,
+       LAG(event_id) OVER w AS prev_id,
+       LEAD(event_id) OVER w AS next_id,
+       FIRST_VALUE(event_id) OVER w AS first_id,
+       NTH_VALUE(event_id, 2) OVER w AS second_id,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type)
+            AS BIGINT) AS type_rank,
+       CAST(1000 * ROW_NUMBER() OVER w AS BIGINT) AS rn_m,
+       CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+           AS n_user_events,
+       CAST((1000 * ROW_NUMBER() OVER w)
+            // COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS cume_m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only: hash-family dependent).
 
@@ -5835,6 +5916,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_hourly_append": (q_stream_hourly_append, SQL_STREAM_HOURLY_APPEND),
     "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
     "validate_constraints": (q_validate_constraints, SQL_VALIDATE_CONSTRAINTS),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
 }
 
 
