@@ -554,6 +554,88 @@ def stream_to_parquet(
     return q
 
 
+def stream_upsert_to_parquet(
+    change_stream: DataFrame,
+    initial_snapshot: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    op_col: str = "op",
+):
+    """Streaming CDC upsert sink — MERGE the change stream into a parquet
+    snapshot, one merge per micro-batch, without a table format: each
+    batch applies ``analytics.apply_changelog`` (latest change per key
+    wins, D deletes, U upserts) to the previous snapshot version and
+    writes ``v=<batch_id>``.
+
+    Semantics: the CDC log-replay contract — batches apply in ARRIVAL
+    order (log position outranks event time across batches); within a
+    batch the (ts, tiebreak) latest wins. Replay-idempotent: a crashed
+    batch re-reads its PREDECESSOR version (the largest ``v=<id>`` with
+    id < batch_id, or the initial snapshot) and overwrites its own
+    ``v=<batch_id>`` — re-running produces the identical directory.
+    Readers take the max version (``read_latest_snapshot``); at cluster
+    scale old versions give time travel and are vacuumed by retention.
+
+    Returns the StreamingQuery after draining (availableNow).
+    """
+    import os as _os
+    import re as _re
+
+    from dataproc_spark.extensions.analytics import apply_changelog
+
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    snap_cols = list(initial_snapshot.columns)
+    initial_snapshot.write.mode("overwrite").parquet(
+        _os.path.join(snapshot_dir, "v=-1")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = [
+            int(m.group(1))
+            for d in _os.listdir(snapshot_dir)
+            if (m := _re.fullmatch(r"v=(-?\d+)", d))
+        ]
+        base_v = max(v for v in versions if v < batch_id)
+        base = spark.read.parquet(_os.path.join(snapshot_dir, f"v={base_v}"))
+        merged = apply_changelog(
+            base, batch_df, key_col=key_col, ts_col=ts_col,
+            tiebreak_col=tiebreak_col, op_col=op_col,
+        ).select(*snap_cols)
+        merged.write.mode("overwrite").parquet(
+            _os.path.join(snapshot_dir, f"v={batch_id}")
+        )
+
+    q = (
+        change_stream.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_latest_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """The newest ``v=<id>`` snapshot written by
+    :func:`stream_upsert_to_parquet`."""
+    import os as _os
+    import re as _re
+
+    versions = [
+        int(m.group(1))
+        for d in _os.listdir(snapshot_dir)
+        if (m := _re.fullmatch(r"v=(-?\d+)", d))
+    ]
+    return spark.read.parquet(
+        _os.path.join(snapshot_dir, f"v={max(versions)}")
+    )
+
+
 def sessionize(
     events: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:

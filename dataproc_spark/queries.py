@@ -1882,6 +1882,89 @@ def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert sink gate
+    (``streaming.stream_upsert_to_parquet``): every-third-event rows
+    seed the snapshot (latest value per user); the rest arrive on the
+    stream as a changelog (clicks delete, others upsert) and MERGE into
+    versioned parquet via foreachBatch. The final snapshot must equal
+    the batch ``apply_changelog`` (the oracle) — proving the streaming
+    merge loses/duplicates nothing across the stream → merge → parquet
+    boundary."""
+    import shutil
+    import tempfile
+
+    from dataproc_spark.extensions.streaming import (
+        _file_stream,
+        read_latest_snapshot,
+        stream_upsert_to_parquet,
+        with_event_time,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        ev.where(F.col("event_id") % 3 == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts", "value_c")
+    )
+    root = tempfile.mkdtemp(prefix="upsert_")
+    try:
+        stream = (
+            _file_stream(spark, f"{sf_dir}/events.parquet")
+            .where(F.col("event_id") % 3 != 0)
+            .select(
+                "user_id", "ts", "event_id",
+                F.when(F.col("event_type") == "click", "D")
+                .otherwise("U").alias("op"),
+                F.round(F.col("value") * 100).cast("long").alias("value_c"),
+            )
+        )
+        stream_upsert_to_parquet(
+            stream, snapshot, f"{root}/snap", checkpoint_dir=f"{root}/ckpt"
+        )
+        final = read_latest_snapshot(spark, f"{root}/snap")
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_UPSERT = """
+WITH ev AS (
+    SELECT event_id, user_id, epoch_ns(ts) AS tsn, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c
+    FROM events
+),
+snap AS (
+    SELECT user_id, tsn AS ts, value_c FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY tsn DESC, event_id DESC) AS rn
+        FROM ev WHERE event_id % 3 = 0
+    ) WHERE rn = 1
+),
+latest AS (
+    SELECT user_id, tsn AS ts, value_c,
+           CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY tsn DESC, event_id DESC) AS rn
+        FROM ev WHERE event_id % 3 <> 0
+    ) WHERE rn = 1
+)
+SELECT s.user_id, s.ts, s.value_c
+FROM snap s
+WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = s.user_id)
+UNION ALL
+SELECT user_id, ts, value_c FROM latest WHERE op = 'U'
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents (dedup + text analysis)
 # ---------------------------------------------------------------------------
@@ -5918,6 +6001,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "validate_constraints": (q_validate_constraints, SQL_VALIDATE_CONSTRAINTS),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
+    "stream_upsert": (q_stream_upsert, SQL_STREAM_UPSERT),
 }
 
 

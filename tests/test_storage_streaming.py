@@ -651,3 +651,54 @@ def test_write_zordered_prunes_row_groups(spark, tmp_path):
     zh, zt = groups_hit(z_dir, 100, 150)
     assert ph == pt            # x-sorted: every group spans all of y
     assert zh / zt <= 0.5      # z-order: most groups skipped on y alone
+
+
+def test_stream_upsert_applies_batches_in_arrival_order(spark, tmp_path):
+    """Two micro-batches merge sequentially into versioned snapshots:
+    batch 2's change for a key REPLACES batch 1's even though it carries
+    an earlier event time (the CDC log-replay contract: log position
+    outranks event time across batches). Keys untouched by any batch
+    carry over; deletes drop keys; v=<id> directories version the
+    snapshots."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from dataproc_spark.extensions.streaming import (
+        _file_stream,
+        read_latest_snapshot,
+        stream_upsert_to_parquet,
+    )
+
+    t0 = 1_700_000_000_000_000_000
+    d = tmp_path / "chg"
+    d.mkdir()
+    # batch 1: upsert user 1 -> 111 (ts t0+5), delete user 2
+    pd.DataFrame([
+        {"user_id": 1, "ts": t0 + 5, "event_id": 10, "op": "U", "value_c": 111},
+        {"user_id": 2, "ts": t0 + 6, "event_id": 11, "op": "D", "value_c": 0},
+    ]).to_parquet(d / "a.parquet")
+    # batch 2: user 1 again with an EARLIER ts -> still wins (arrival order)
+    pd.DataFrame([
+        {"user_id": 1, "ts": t0 + 1, "event_id": 12, "op": "U", "value_c": 222},
+        {"user_id": 4, "ts": t0 + 2, "event_id": 13, "op": "U", "value_c": 444},
+    ]).to_parquet(d / "b.parquet")
+    now = time.time()
+    os.utime(d / "a.parquet", (now - 100, now - 100))
+    os.utime(d / "b.parquet", (now, now))
+
+    snapshot = spark.createDataFrame(
+        [(1, t0, 100), (2, t0, 200), (3, t0, 300)],
+        schema="user_id long, ts long, value_c long",
+    )
+    snap_dir = str(tmp_path / "snap")
+    stream = _file_stream(spark, str(d))
+    stream_upsert_to_parquet(
+        stream, snapshot, snap_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    final = read_latest_snapshot(spark, snap_dir)
+    got = {(r.user_id, r.ts, r.value_c) for r in final.collect()}
+    assert got == {(1, t0 + 1, 222), (3, t0, 300), (4, t0 + 2, 444)}
+    versions = sorted(p for p in os.listdir(snap_dir) if p.startswith("v="))
+    assert "v=-1" in versions and len(versions) == 3
