@@ -1965,6 +1965,125 @@ SELECT user_id, ts, value_c FROM latest WHERE op = 'U'
 """
 
 
+def q_from_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven JSON parsing with the NATIVE ``from_json`` parser
+    (vs ``events_json``'s regexp extraction): parse ``props`` to a
+    typed struct, then aggregate the extracted field. The engine's
+    structured-JSON path — schema projection happens inside the parser,
+    not post-hoc string surgery."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json(F.col("props"), "k INT").alias("p"), "event_type"
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+        F.count(F.col("p.k")).cast("long").alias("n_parsed"),
+    )
+
+
+SQL_FROM_JSON_EXTRACT = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_parsed
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions in one per-order pass: collect the
+    sorted quantity list, then aggregate / transform / filter / exists /
+    forall / zip_with(reverse) — the array-processing surface every
+    nested-data pipeline leans on, all JVM-side (no UDFs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.col("l_quantity").cast("long"))
+        ).alias("qs")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.aggregate(
+            "qs", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_qty"),
+        F.size(F.filter("qs", lambda x: x > 25)).cast("long").alias("n_big"),
+        F.aggregate(
+            F.transform("qs", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.exists("qs", lambda x: x == 50).cast("int").alias("has_50"),
+        F.forall("qs", lambda x: x > 0).cast("int").alias("all_pos"),
+        F.aggregate(
+            F.zip_with("qs", F.reverse("qs"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_cross"),
+    )
+
+
+SQL_HOF_SUITE = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(list_aggregate(qs, 'sum') AS BIGINT) AS total_qty,
+       CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS n_big,
+       CAST(list_aggregate(list_transform(qs, x -> x * x), 'sum')
+            AS BIGINT) AS sum_sq,
+       CAST(CASE WHEN list_contains(qs, 50) THEN 1 ELSE 0 END AS INTEGER)
+           AS has_50,
+       CAST(CASE WHEN len(list_filter(qs, x -> x <= 0)) = 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS all_pos,
+       CAST(list_aggregate(list_transform(range(1, len(qs) + 1),
+                i -> qs[i] * qs[len(qs) + 1 - i]), 'sum') AS BIGINT)
+           AS sum_cross
+FROM per_order
+"""
+
+
+def q_sql_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User extensibility on the SQL surface: a vectorized (Arrow)
+    pandas UDF registered into the session catalog and called from a
+    SQL STRING — the escape hatch for logic the built-ins can't
+    express, in its production form (batched, not row-at-a-time). The
+    token rule mirrors ``textstats.token_count`` so the oracle is
+    plain SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _tok(s):
+        return s.str.split().str.len().astype("int64")
+
+    # real annotation objects: the module-level `from __future__ import
+    # annotations` would stringify inline hints, which the pandas_udf
+    # signature inference rejects
+    _tok.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    tok_count = pandas_udf(_tok, "long")
+    spark.udf.register("tok_count", tok_count)
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT source, CAST(SUM(tok_count(text)) AS BIGINT) AS total_tokens,
+               CAST(MAX(tok_count(text)) AS BIGINT) AS max_tokens
+        FROM documents_v
+        GROUP BY source
+    """)
+
+
+SQL_SQL_UDF_TOKENS = r"""
+SELECT source,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(MAX(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> ''))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents (dedup + text analysis)
 # ---------------------------------------------------------------------------
@@ -6002,6 +6121,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
     "stream_upsert": (q_stream_upsert, SQL_STREAM_UPSERT),
+    "from_json_extract": (q_from_json_extract, SQL_FROM_JSON_EXTRACT),
+    "hof_suite": (q_hof_suite, SQL_HOF_SUITE),
+    "sql_udf_tokens": (q_sql_udf_tokens, SQL_SQL_UDF_TOKENS),
 }
 
 
