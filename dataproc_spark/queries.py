@@ -2084,6 +2084,65 @@ GROUP BY source
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value model: per-user
+    Recency (latest event ts), Frequency (event count), Monetary (value
+    cents), each quartiled WITHIN the population via the integer
+    permille rank (``analytics.group_percentile`` with a constant
+    group), then composed into a 111..444 segment code. One per-user
+    aggregate + three single-partition-spec windows over the user-level
+    frame (population-sized, far smaller than events)."""
+    from dataproc_spark.extensions.analytics import group_percentile
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max("ts").alias("recency_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_c"),
+    )
+    out = users.withColumn("_g", F.lit(1))
+    for col, name in [("recency_ts", "r_m"), ("frequency", "f_m"),
+                      ("monetary_c", "m_m")]:
+        out = group_percentile(out, ["_g"], col, ["user_id"], out_col=name)
+    quart = lambda c: F.expr(f"CAST({c} * 4 div 1001 AS INT) + 1")
+    return out.select(
+        "user_id", "frequency", "monetary_c",
+        quart("r_m").alias("r_q"),
+        quart("f_m").alias("f_q"),
+        quart("m_m").alias("m_q"),
+        (quart("r_m") * 100 + quart("f_m") * 10 + quart("m_m"))
+        .alias("segment"),
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH users AS (
+    SELECT user_id, MAX(epoch_ns(ts)) AS recency_ts,
+           COUNT(*) AS frequency,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS monetary_c
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT user_id, frequency, monetary_c,
+           ((ROW_NUMBER() OVER (ORDER BY recency_ts, user_id) - 1) * 1000)
+               // greatest(COUNT(*) OVER () - 1, 1) AS r_m,
+           ((ROW_NUMBER() OVER (ORDER BY frequency, user_id) - 1) * 1000)
+               // greatest(COUNT(*) OVER () - 1, 1) AS f_m,
+           ((ROW_NUMBER() OVER (ORDER BY monetary_c, user_id) - 1) * 1000)
+               // greatest(COUNT(*) OVER () - 1, 1) AS m_m
+    FROM users
+)
+SELECT user_id, CAST(frequency AS BIGINT) AS frequency,
+       CAST(monetary_c AS BIGINT) AS monetary_c,
+       CAST(r_m * 4 // 1001 + 1 AS INTEGER) AS r_q,
+       CAST(f_m * 4 // 1001 + 1 AS INTEGER) AS f_q,
+       CAST(m_m * 4 // 1001 + 1 AS INTEGER) AS m_q,
+       CAST((r_m * 4 // 1001 + 1) * 100 + (f_m * 4 // 1001 + 1) * 10
+            + (m_m * 4 // 1001 + 1) AS INTEGER) AS segment
+FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents (dedup + text analysis)
 # ---------------------------------------------------------------------------
@@ -6124,6 +6183,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "from_json_extract": (q_from_json_extract, SQL_FROM_JSON_EXTRACT),
     "hof_suite": (q_hof_suite, SQL_HOF_SUITE),
     "sql_udf_tokens": (q_sql_udf_tokens, SQL_SQL_UDF_TOKENS),
+    "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
 }
 
 

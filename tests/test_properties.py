@@ -765,3 +765,62 @@ def test_temperature_mixture_matches_python_model(spark, groups, budget):
         k = copies + (1 if draw < rem else 0)
         expect += [(i, e) for e in range(k)]
     assert got == sorted(expect)
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+                 min_size=3, max_size=3),
+        min_size=3, max_size=14,
+    ),
+    st.integers(2, 3),
+)
+@settings(max_examples=8, deadline=None)
+def test_embed_kmeans_matches_python_model(spark, vecs, k):
+    """Independent numpy Lloyd model with the documented rules: quantize
+    round-half-up x1000, smallest-id seeds, argmin squared L2 with ties
+    to the smallest cid, integer-mean (truncating div) updates, empty
+    clusters dropped, 2 iterations."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from dataproc_spark.extensions.simsearch import embed_kmeans
+
+    k = min(k, len(vecs))
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster for r in embed_kmeans(df, k=k, iters=2).collect()}
+
+    def q(x):
+        # Spark F.round = HALF_UP on the double value of the float32
+        return int(Decimal(float(np.float32(x)) * 1000).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+
+    qv = {i: np.array([q(x) for x in v], dtype=object) for i, v in rows}
+    cents = {cid: qv[i] for cid, i in enumerate(sorted(qv)[:k])}
+
+    def assign(c):
+        out = {}
+        for i, v in qv.items():
+            best = min(
+                ((int(((v - cv) ** 2).sum()), cid) for cid, cv in c.items())
+            )
+            out[i] = best[1]
+        return out
+
+    for _ in range(2):
+        a = assign(cents)
+        nxt = {}
+        for cid in set(a.values()):
+            members = [qv[i] for i, c in a.items() if c == cid]
+            s = np.sum(members, axis=0)
+            n = len(members)
+            # truncating integer div toward zero, matching SQL `div`
+            nxt[cid] = np.array(
+                [int(x) // n if x >= 0 else -((-int(x)) // n) for x in s],
+                dtype=object,
+            )
+        cents = nxt
+    want = assign(cents)
+    assert got == want
