@@ -2143,6 +2143,112 @@ FROM ranked
 """
 
 
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-observability anomaly flags: hours whose event count
+    exceeds 2× the trailing-24-hour average for that event type, via an
+    integer cross-multiply over a RANGE frame (``count · window_hours >
+    2 · trailing_sum`` — no float averages). The rollup is bounded by
+    hours × types, so the window runs on the aggregate, never raw
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("(ts - pmod(ts, 3600000000000)) div 3600000000000")
+        .alias("hour_id"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rangeBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "hour_id", "event_type", "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("trail_sum"),
+        F.coalesce(F.count("n").over(w), F.lit(0)).alias("trail_hours"),
+    )
+    return scored.where(
+        (F.col("trail_hours") >= 12)
+        & (F.col("n") * F.col("trail_hours") > 2 * F.col("trail_sum"))
+    )
+
+
+SQL_HOURLY_ANOMALIES = """
+WITH hourly AS (
+    SELECT (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000) + 3600000000000)
+            % 3600000000000) // 3600000000000 AS hour_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+scored AS (
+    SELECT hour_id, event_type, n,
+           CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS trail_sum,
+           CAST(COUNT(n) OVER w AS BIGINT) AS trail_hours
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                 RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_id, event_type, n, trail_sum, trail_hours
+FROM scored
+WHERE trail_hours >= 12 AND n * trail_hours > 2 * trail_sum
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (``graph.triangle_count``) over the
+    deterministic exact-Jaccard similarity graph — the cohesion metric
+    for dedup clusters (a clique-ish cluster is a confident duplicate
+    group; a sparse star is LSH noise). Oriented wedge join + closing
+    edge, no cartesian; the oracle repeats the same two equi-joins over
+    the identical pair CTE."""
+    from dataproc_spark.extensions import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, min_shared=2, jaccard_threshold_m=100
+    )
+    return graph.triangle_count(pairs, src="id_a", dst="id_b")
+
+
+SQL_TRIANGLE_COUNT = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 100
+),
+tri AS (
+    SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+    FROM pairs e1
+    JOIN pairs e2 ON e2.id_a = e1.id_b
+    JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents (dedup + text analysis)
 # ---------------------------------------------------------------------------
@@ -6184,6 +6290,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hof_suite": (q_hof_suite, SQL_HOF_SUITE),
     "sql_udf_tokens": (q_sql_udf_tokens, SQL_SQL_UDF_TOKENS),
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
+    "hourly_anomalies": (q_hourly_anomalies, SQL_HOURLY_ANOMALIES),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
 }
 
 

@@ -722,3 +722,17 @@ def test_profile_table_stats(spark):
     assert out["k"].n_distinct == 2
     assert (out["k"].min_value, out["k"].max_value) == ("1", "2")
     assert out["s"].n_null == 1 and out["s"].n_distinct == 2
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge: two triangles sharing an edge; the nodes on
+    the shared edge sit in both."""
+    from dataproc_spark.extensions.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4),  # K4 minus (3,4)
+         (2, 1)],                                  # reversed dup collapses
+        schema="src long, dst long",
+    )
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
