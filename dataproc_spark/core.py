@@ -132,6 +132,29 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     return None if size >= (1 << 60) else size
 
 
+#: multipliers for Spark's byte-size conf suffixes (JavaUtils.byteStringAs)
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+    "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_byte_conf(value: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728', '64MB', '128m',
+    '1g', ...) — Spark accepts any of these for
+    spark.sql.files.maxPartitionBytes, so a plain int() (or rstrip('b'))
+    would crash on legal session configs."""
+    s = str(value).strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:]
+    mult = _BYTE_SUFFIXES.get(suffix)
+    if not num or mult is None:
+        raise ValueError(f"unparseable byte-size conf value: {value!r}")
+    return int(num) * mult
+
+
 def spread_narrow(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` (optionally by
     ``cols``) only when the input is actually narrow — small corpora
@@ -155,9 +178,8 @@ def spread_narrow(df: DataFrame, *cols: str) -> DataFrame:
     except Exception:  # pragma: no cover - defensive
         files = []
     if files:
-        max_split = int(
+        max_split = _parse_byte_conf(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .rstrip("b")
         )
         size = plan_size_bytes(df) or 0
         splits = max(len(files), size // max_split)

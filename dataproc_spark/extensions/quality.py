@@ -34,38 +34,46 @@ def profile_table(
     min/max rendered as strings (stable across engines for ints and
     strings; floats should be profiled pre-rounded).
 
-    ``exact_distinct=True`` runs one COUNT(DISTINCT) aggregate per
-    column (exact, the oracle-checkable form); ``False`` uses
-    ``approx_count_distinct`` and the whole profile is a single pass.
+    ONE aggregate job covers every column's stats: row count, per-column
+    null counts, native-type min/max, and the distinct counts all ride a
+    single ``df.agg`` (multiple exact COUNT(DISTINCT)s plan through
+    Spark's Expand — one scan, the aggregation input multiplied by
+    |cols|; ``exact_distinct=False`` swaps in ``approx_count_distinct``
+    and drops the Expand blow-up too). The scalar result (6·|cols|
+    numbers) reshapes to one row per column on the driver.
     """
-    total = df.count()
-    parts = []
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
     for c in cols:
         # min/max on the NATIVE type, cast to string only for display —
         # casting first would make numeric ranges lexicographic
-        aggs = [
-            F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
-            F.min(F.col(c)).cast("string").alias("min_value"),
-            F.max(F.col(c)).cast("string").alias("max_value"),
-        ]
-        if exact_distinct:
-            aggs.append(F.countDistinct(F.col(c)).alias("n_distinct"))
-        else:
-            aggs.append(F.approx_count_distinct(c).alias("n_distinct"))
-        parts.append(
-            df.agg(*aggs).select(
-                F.lit(c).alias("column"),
-                F.lit(total).cast("long").alias("n_rows"),
-                F.col("n_null").cast("long"),
-                F.col("n_distinct").cast("long"),
-                "min_value",
-                "max_value",
-            )
+        distinct = (
+            F.countDistinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(c)
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            distinct.alias(f"_dist_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    data = [
+        (
+            c,
+            int(row["_n_rows"]),
+            int(row[f"_null_{c}"] or 0),
+            int(row[f"_dist_{c}"] or 0),
+            row[f"_min_{c}"],
+            row[f"_max_{c}"],
+        )
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        data,
+        schema="column string, n_rows long, n_null long, "
+               "n_distinct long, min_value string, max_value string",
+    )
 
 
 def check_unique(df: DataFrame, cols: Sequence[str]) -> DataFrame:

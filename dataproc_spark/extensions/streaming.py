@@ -586,6 +586,7 @@ def stream_upsert_to_parquet(
 
     from dataproc_spark.extensions.analytics import apply_changelog
 
+    own_checkpoint = checkpoint_dir is None
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
     snap_cols = list(initial_snapshot.columns)
     initial_snapshot.write.mode("overwrite").parquet(
@@ -617,6 +618,13 @@ def stream_upsert_to_parquet(
         .start()
     )
     q.awaitTermination()
+    if own_checkpoint:
+        # a temp checkpoint covers only this drained invocation — don't
+        # let repeated gate/bench runs accumulate /tmp state dirs (the
+        # same contract as _drain); pass checkpoint_dir to resume
+        import shutil
+
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return q
 
 

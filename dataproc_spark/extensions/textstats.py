@@ -290,12 +290,19 @@ def bpe_learn_merges(
 
     Merge semantics: symbols live in a space-delimited string with
     sentinel spaces, and a merge is a left-to-right NON-OVERLAPPING
-    ``replace(' a b ', ' ab ')``. This matches greedy BPE except inside
-    runs of the same symbol with length ≥ 4 (where canonical BPE
-    re-pairs across a merge boundary) — chosen because every engine's
-    ``replace`` shares these exact semantics, making the whole training
-    replayable bit-for-bit by the cross-engine oracle. Ties on pair
-    frequency break lexicographically (left, then right).
+    ``replace(' a b ', ' ab ')`` with no rescan inside a replacement.
+    This diverges from canonical greedy BPE wherever two occurrences of
+    the pair are IMMEDIATELY adjacent — the trailing space of one match
+    is the leading space of the next, so every second occurrence in
+    ``'abab'``-style repeats and in same-symbol runs ≥ 4 survives the
+    round (and the residual pair can be re-learned as a later rule with
+    its leftover frequency; ``pair_freq`` records the pre-merge count,
+    not the merged count). The trade is deliberate: every engine's
+    ``replace`` shares these exact semantics, so the whole training run
+    is replayable bit-for-bit by the cross-engine oracle, and on
+    natural text (where immediately-adjacent pair repeats are rare) the
+    learned table matches canonical BPE. Ties on pair frequency break
+    lexicographically (left, then right).
     """
     words = (
         docs.select(

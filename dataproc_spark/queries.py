@@ -1890,7 +1890,14 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned parquet via foreachBatch. The final snapshot must equal
     the batch ``apply_changelog`` (the oracle) — proving the streaming
     merge loses/duplicates nothing across the stream → merge → parquet
-    boundary."""
+    boundary.
+
+    Oracle precondition: the gate's global latest-wins compaction equals
+    the operator's sequential per-batch semantics only because
+    ``events.parquet`` is a SINGLE file → exactly one micro-batch
+    (asserted below). Multi-batch sequencing (arrival order outranks
+    event time) is pinned separately by
+    ``test_stream_upsert_applies_batches_in_arrival_order``."""
     import shutil
     import tempfile
 
@@ -1914,6 +1921,13 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("user_id", "ts", "value_c")
     )
+    import os as _os
+
+    if not _os.path.isfile(f"{sf_dir}/events.parquet"):
+        raise AssertionError(
+            "stream_upsert oracle requires a single-file events table "
+            "(one micro-batch); got a directory"
+        )
     root = tempfile.mkdtemp(prefix="upsert_")
     try:
         stream = (
@@ -6339,13 +6353,19 @@ def registry_order(artifacts_dir: str | None = None) -> list[str]:
     import sys
 
     names = list(REGISTRY)
+    # resolve the artifact location ONCE — the fingerprint and the parse
+    # below must always read the same files, or the cache key silently
+    # desynchronizes from the data it stands for
+    root = artifacts_dir or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    artifact_paths = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    )
     try:
-        root_for_key = artifacts_dir or os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))
-        )
-        paths = sorted(glob.glob(os.path.join(root_for_key, "CORRECTNESS_r*.json")))
         cache_key = tuple(
-            (p, os.path.getmtime(p), os.path.getsize(p)) for p in paths
+            (p, os.path.getmtime(p), os.path.getsize(p))
+            for p in artifact_paths
         )
         cached = _REGISTRY_ORDER_CACHE.get(cache_key)
         if cached is not None:
@@ -6353,13 +6373,10 @@ def registry_order(artifacts_dir: str | None = None) -> list[str]:
     except Exception:
         cache_key = None
     try:
-        root = artifacts_dir or os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))
-        )
         latest_green: dict[str, int] = {}
         latest_any: dict[str, int] = {}
         max_round = 0
-        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for path in artifact_paths:
             m = re.search(r"_r0*(\d+)\.json$", path)
             if not m:
                 continue

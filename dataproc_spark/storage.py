@@ -117,6 +117,11 @@ def write_zordered(
     for c in cols:
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
     row = df.agg(*aggs).first()
+    if row is None or any(row[f"_mn_{c}"] is None for c in cols):
+        # empty input or an all-null cluster column: there is nothing to
+        # cluster — write as-is instead of crashing on int(None)
+        df.write.mode(mode).parquet(path)
+        return
     hi = (1 << bits) - 1
     scaled = []
     for c in cols:

@@ -736,3 +736,17 @@ def test_triangle_count_known_graph(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
     assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_bpe_learn_merges_adjacent_pair_semantics(spark):
+    """Pinned divergence from canonical BPE: in 'abab' the two (a,b)
+    occurrences share a delimiter space, so the non-overlapping replace
+    merges only the first; the residual pair re-learns as rule 1 with
+    the leftover count. (Canonical greedy BPE would merge both in round
+    one — the documented cross-engine trade.)"""
+    from dataproc_spark.extensions.textstats import bpe_learn_merges
+
+    df = spark.createDataFrame([(1, "abab")], schema="doc_id long, text string")
+    merges = bpe_learn_merges(df, n_merges=2)
+    assert merges[0] == (0, "a", "b", 2)   # pre-merge pair count
+    assert merges[1] == (1, "a", "b", 1)   # the survivor re-learns
