@@ -140,3 +140,65 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Small-files compaction — the maintenance job every streaming sink
+    needs: rewrite a parquet directory into ``ceil(total_bytes /
+    target_bytes)`` files (optionally re-sorted for row-group stats).
+    Returns the new file count.
+
+    The rewrite goes through a sibling temp dir + atomic-ish rename so a
+    crash mid-compaction never leaves the directory half-rewritten;
+    readers opening during the swap see either the old or the new
+    layout.
+    """
+    import glob as _glob
+    import math
+    import os as _os
+    import shutil as _shutil
+
+    files = _glob.glob(_os.path.join(path, "*.parquet")) + _glob.glob(
+        _os.path.join(path, "part-*")
+    )
+    total = sum(_os.path.getsize(f) for f in set(files))
+    n_files = max(1, math.ceil(total / max(int(target_bytes), 1)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    writer = df.repartition(n_files)
+    if sort_cols:
+        writer = writer.sortWithinPartitions(*sort_cols)
+    writer.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old, ignore_errors=True)
+    return n_files
+
+
+def vacuum_snapshots(snapshot_dir: str, keep_last: int = 2) -> list[str]:
+    """Retention for versioned ``v=<id>`` snapshot directories (the
+    companion to ``streaming.stream_upsert_to_parquet``): drop all but
+    the newest ``keep_last`` versions, never touching the newest one.
+    Returns the removed directory names.
+    """
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    versions = sorted(
+        (int(m.group(1)), d)
+        for d in _os.listdir(snapshot_dir)
+        if (m := _re.fullmatch(r"v=(-?\d+)", d))
+    )
+    doomed = versions[: max(len(versions) - max(int(keep_last), 1), 0)]
+    removed = []
+    for _v, d in doomed:
+        _shutil.rmtree(_os.path.join(snapshot_dir, d), ignore_errors=True)
+        removed.append(d)
+    return removed

@@ -702,3 +702,34 @@ def test_stream_upsert_applies_batches_in_arrival_order(spark, tmp_path):
     assert got == {(1, t0 + 1, 222), (3, t0, 300), (4, t0 + 2, 444)}
     versions = sorted(p for p in os.listdir(snap_dir) if p.startswith("v="))
     assert "v=-1" in versions and len(versions) == 3
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from dataproc_spark.storage import compact_parquet
+
+    path = str(tmp_path / "many")
+    spark.range(10_000).repartition(16).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*")) == 16
+    n = compact_parquet(spark, path, target_bytes=10**9)
+    assert n == 1
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_vacuum_snapshots_keeps_newest(tmp_path):
+    import os
+
+    from dataproc_spark.storage import vacuum_snapshots
+
+    snap = tmp_path / "snap"
+    for v in (-1, 0, 1, 2):
+        (snap / f"v={v}").mkdir(parents=True)
+        (snap / f"v={v}" / "data").write_text("x")
+    removed = vacuum_snapshots(str(snap), keep_last=2)
+    assert removed == ["v=-1", "v=0"]
+    assert sorted(os.listdir(snap)) == ["v=1", "v=2"]
+    # never removes the newest even with keep_last=0
+    assert vacuum_snapshots(str(snap), keep_last=0) == ["v=1"]
+    assert os.listdir(snap) == ["v=2"]
