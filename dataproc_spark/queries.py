@@ -2263,6 +2263,171 @@ GROUP BY node
 """
 
 
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile profile (p25/p50/p75/p95 of token counts per
+    lang) — ``median_tokens`` generalized: ONE histogram aggregate, the
+    quantile list exploded over the tiny (lang, value) histogram, each
+    quantile picked by rank-range intersection. percentile_disc
+    semantics (k = ceil(q·n/100)); raw rows never see a window."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select("lang", F.size(dedup.tokens("text")).alias("n_tokens"))
+    hist = feats.groupBy("lang", "n_tokens").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = Window.partitionBy("lang").orderBy("n_tokens")
+    w_all = Window.partitionBy("lang")
+    cum = (
+        hist.withColumn("_cum", F.sum("_c").over(w_cum))
+        .withColumn("_n", F.sum("_c").over(w_all))
+    )
+    return (
+        cum.select(
+            "*",
+            F.explode(F.array(*[F.lit(x) for x in (25, 50, 75, 95)]))
+            .alias("q"),
+        )
+        .withColumn("_k", F.expr("(q * _n + 99) div 100"))
+        .where(
+            (F.col("_cum") >= F.col("_k"))
+            & (F.col("_cum") - F.col("_c") < F.col("_k"))
+        )
+        .select(
+            "lang", "q",
+            F.col("n_tokens").alias("value"),
+            F.col("_n").alias("n_docs"),
+        )
+    )
+
+
+SQL_TOKEN_QUANTILES = r"""
+WITH feats AS (
+    SELECT lang,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT lang, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS cnt
+    FROM feats
+)
+SELECT lang, q, CAST(n_tokens AS BIGINT) AS value,
+       CAST(cnt AS BIGINT) AS n_docs
+FROM ranked, (SELECT unnest([25, 50, 75, 95]) AS q)
+WHERE rn = (q * cnt + 99) // 100
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis for a join/aggregation key — measure BEFORE
+    salting (``skew.salted_*`` is the cure; this is the diagnostic):
+    top keys by row count with integer share-permille and the key-space
+    skew factor ``max_count · n_keys · 1000 div total`` (1000 =
+    perfectly uniform). One aggregate + one tiny top-k."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    wall = Window.partitionBy()
+    enriched = (
+        counts.withColumn("_total", F.sum("cnt").over(wall))
+        .withColumn("_nk", F.count(F.lit(1)).over(wall))
+        .withColumn("_mx", F.max("cnt").over(wall))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("event_type"))
+    return (
+        enriched.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "rank",
+            F.col("event_type").alias("key"),
+            "cnt",
+            F.expr("cnt * 1000 div _total").alias("share_m"),
+            F.expr("_mx * _nk * 1000 div _total").alias("skew_m"),
+        )
+    )
+
+
+SQL_SKEW_REPORT = """
+WITH counts AS (
+    SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY 1
+),
+stats AS (
+    SELECT key, cnt, SUM(cnt) OVER () AS total,
+           COUNT(*) OVER () AS nk, MAX(cnt) OVER () AS mx,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank
+    FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, key, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000 // total AS BIGINT) AS share_m,
+       CAST(mx * nk * 1000 // total AS BIGINT) AS skew_m
+FROM stats WHERE rank <= 3
+"""
+
+
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise label-centroid cosine (integer permille): which classes
+    are confusable. Centroids are per-label integer SUM vectors (cosine
+    is scale-invariant, so sums stand in for means with zero division
+    error); the 45-pair self-join runs on the 10-row centroid table.
+    ``cos_m = dot·1000 div (⌊√(a·a)⌋·⌊√(b·b)⌋)`` — floor-sqrt is exact
+    below 2^53, so both engines agree bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode(simsearch.quantize("embedding"))
+                   .alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"))
+        .select("label", F.transform("ds", lambda x: x["s"]).alias("c"))
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("label_a") < F.col("label_b"))
+    dot = simsearch.dot_q(F.col("ca"), F.col("cb"))
+    na = F.floor(F.sqrt(simsearch.dot_q(F.col("ca"), F.col("ca")))).cast("long")
+    nb = F.floor(F.sqrt(simsearch.dot_q(F.col("cb"), F.col("cb")))).cast("long")
+    return pairs.select(
+        "label_a", "label_b",
+        dot.alias("_dot"), na.alias("_na"), nb.alias("_nb"),
+    ).selectExpr(
+        "label_a", "label_b",
+        "CAST(_dot * 1000 div (_na * _nb) AS BIGINT) AS cos_m",
+    )
+
+
+SQL_CENTROID_SIMILARITY = """
+WITH q AS (
+    SELECT label,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+cent AS (
+    SELECT label, list(s ORDER BY dim) AS c
+    FROM (
+        SELECT label, dim, CAST(SUM(val) AS BIGINT) AS s
+        FROM (SELECT label, generate_subscripts(v, 1) AS dim,
+                     unnest(v) AS val FROM q)
+        GROUP BY label, dim
+    ) GROUP BY label
+),
+pairs AS (
+    SELECT a.label AS label_a, b.label AS label_b, a.c AS ca, b.c AS cb
+    FROM cent a JOIN cent b ON a.label < b.label
+)
+SELECT label_a, label_b,
+       CAST(list_aggregate(list_transform(range(1, len(ca) + 1),
+                i -> ca[i] * cb[i]), 'sum') * 1000
+            // (CAST(FLOOR(SQRT(list_aggregate(list_transform(
+                    range(1, len(ca) + 1), i -> ca[i] * ca[i]), 'sum')))
+                 AS BIGINT)
+              * CAST(FLOOR(SQRT(list_aggregate(list_transform(
+                    range(1, len(cb) + 1), i -> cb[i] * cb[i]), 'sum')))
+                 AS BIGINT))
+       AS BIGINT) AS cos_m
+FROM pairs
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents (dedup + text analysis)
 # ---------------------------------------------------------------------------
@@ -6306,6 +6471,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
     "hourly_anomalies": (q_hourly_anomalies, SQL_HOURLY_ANOMALIES),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    "centroid_similarity": (q_centroid_similarity, SQL_CENTROID_SIMILARITY),
 }
 
 
