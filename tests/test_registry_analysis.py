@@ -101,7 +101,12 @@ def test_registry_order_survives_malformed_artifacts(tmp_path):
 #: corpus (the corpus itself never shuffles), and the HAVING-vs-global-avg
 #: query joins a 1-row scalar aggregate. Anything else acquiring a
 #: BroadcastNestedLoopJoin or CartesianProduct is a scale regression.
-_NESTED_LOOP_OK = {"ann_topk", "ann_ivf", "ann_recall", "nations_above_avg_revenue"}
+_NESTED_LOOP_OK = {
+    "ann_topk", "ann_ivf", "ann_recall", "nations_above_avg_revenue",
+    # pairwise join over the 10-row label-centroid table (bounded by
+    # label cardinality, never by corpus size)
+    "centroid_similarity",
+}
 
 
 @pytest.mark.skipif(
