@@ -2428,6 +2428,100 @@ FROM pairs
 """
 
 
+def q_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate diagnostics per source: docs, distinct texts,
+    and the duplicate permille — which crawl sources are redundant and
+    by how much, the number that decides where the expensive near-dup
+    passes are worth running. One aggregate (COUNT + COUNT DISTINCT on
+    the md5 fingerprint, never the body)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5(F.col("text").cast("binary")).alias("_fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_fp").alias("n_distinct"),
+        )
+        .select(
+            "source", "n_docs", "n_distinct",
+            F.expr("(n_docs - n_distinct) * 1000 div n_docs").alias("dup_m"),
+        )
+    )
+
+
+SQL_DEDUP_RATES = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000 // COUNT(*)
+            AS BIGINT) AS dup_m
+FROM documents
+GROUP BY source
+"""
+
+
+def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman-style rank correlation (integer permille) between
+    document length and token count per source — the corpus-statistics
+    sanity check ("does feature A actually track feature B in this
+    slice"). Ranks are total-ordered (value, doc_id) so ties resolve
+    identically in both engines; ``rho_m = 1000 − 6000·Σd² div
+    n(n²−1)``. Both rank windows share the source partition; the
+    aggregate is one shuffle on source. 64-bit bound: n³ must stay
+    below 2^63, i.e. per-group n ≤ ~2·10⁶ — beyond that route the
+    ratio through DECIMAL(38,0) in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "source", "doc_id", "n_chars",
+        F.size(dedup.tokens("text")).alias("n_tokens"),
+    )
+    wa = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wb = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = feats.select(
+        "source",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+            ).alias("sum_d2"),
+        )
+        .where(F.col("n") >= 2)
+        .select(
+            "source", "n",
+            F.expr("1000 - (6000 * sum_d2) div (n * (n * n - 1))")
+            .alias("rho_m"),
+        )
+    )
+
+
+SQL_RANK_CORRELATION = r"""
+WITH feats AS (
+    SELECT source, doc_id, n_chars,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS ra,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_tokens, doc_id) AS rb
+    FROM feats
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(1000 - (6000 * SUM((ra - rb) * (ra - rb)))
+            // (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS BIGINT) AS rho_m
+FROM ranked
+GROUP BY source
+HAVING COUNT(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents (dedup + text analysis)
 # ---------------------------------------------------------------------------
@@ -6474,6 +6568,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
     "centroid_similarity": (q_centroid_similarity, SQL_CENTROID_SIMILARITY),
+    "dedup_rates": (q_dedup_rates, SQL_DEDUP_RATES),
+    "rank_correlation": (q_rank_correlation, SQL_RANK_CORRELATION),
 }
 
 
