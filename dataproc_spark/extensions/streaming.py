@@ -554,6 +554,33 @@ def stream_to_parquet(
     return q
 
 
+def _replay_base(
+    versions: list[int], batch_id: int, snapshot_dir: str
+) -> int:
+    """The snapshot version a (possibly replayed) micro-batch must merge
+    onto: its immediate predecessor (``batch_id - 1``, or the ``v=-1``
+    initial snapshot for batch 0).
+
+    Replay safety: merging onto anything OLDER than the immediate
+    predecessor silently drops the batches in between — the vacuum race
+    where ``vacuum_snapshots`` deleted the predecessor between a crash
+    and the restart. Fail loudly instead of an empty-``max()``
+    ValueError or a silent stale-base merge.
+    """
+    expected = batch_id - 1 if batch_id > 0 else -1
+    if expected not in versions:
+        below = sorted(v for v in versions if v < batch_id)
+        raise RuntimeError(
+            f"stream_upsert_to_parquet: batch {batch_id} needs its "
+            f"predecessor snapshot v={expected} to merge onto, but "
+            f"{snapshot_dir} only has versions {below} below it — "
+            "it was likely removed by vacuum_snapshots. Vacuum must "
+            "keep at least the last committed version while a query "
+            "can still replay (keep_last >= 2)."
+        )
+    return expected
+
+
 def stream_upsert_to_parquet(
     change_stream: DataFrame,
     initial_snapshot: DataFrame,
@@ -579,6 +606,15 @@ def stream_upsert_to_parquet(
     Readers take the max version (``read_latest_snapshot``); at cluster
     scale old versions give time travel and are vacuumed by retention.
 
+    **Vacuum contract**: replay needs the crashed batch's PREDECESSOR
+    version to still exist, so ``vacuum_snapshots`` must keep at least
+    the last committed version while a query can still replay (its
+    default ``keep_last=2`` satisfies this; ``keep_last=1`` does not if
+    a batch can crash after its predecessor is vacuumed). ``write_batch``
+    enforces the contract at merge time: a missing expected predecessor
+    raises a clear error instead of an empty-``max()`` ValueError or a
+    silent stale-base merge that would drop intermediate batches.
+
     Returns the StreamingQuery after draining (availableNow).
     """
     import os as _os
@@ -600,7 +636,7 @@ def stream_upsert_to_parquet(
             for d in _os.listdir(snapshot_dir)
             if (m := _re.fullmatch(r"v=(-?\d+)", d))
         ]
-        base_v = max(v for v in versions if v < batch_id)
+        base_v = _replay_base(versions, int(batch_id), snapshot_dir)
         base = spark.read.parquet(_os.path.join(snapshot_dir, f"v={base_v}"))
         merged = apply_changelog(
             base, batch_df, key_col=key_col, ts_col=ts_col,

@@ -2466,9 +2466,11 @@ def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice"). Ranks are total-ordered (value, doc_id) so ties resolve
     identically in both engines; ``rho_m = 1000 − 6000·Σd² div
     n(n²−1)``. Both rank windows share the source partition; the
-    aggregate is one shuffle on source. 64-bit bound: n³ must stay
-    below 2^63, i.e. per-group n ≤ ~2·10⁶ — beyond that route the
-    ratio through DECIMAL(38,0) in both engines."""
+    aggregate is one shuffle on source. The ratio goes through
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): the worst case is
+    ``6000·Σd²`` with ``Σd² ≈ n³/3``, i.e. ``2000·n³`` — in 64-bit
+    that wraps silently past per-group n ≈ 1.6·10⁵, far too low for a
+    corpus slice; 128-bit holds to n ≈ 3·10¹¹."""
     docs = _t(spark, sf_dir, "documents")
     feats = docs.select(
         "source", "doc_id", "n_chars",
@@ -2492,8 +2494,11 @@ def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= 2)
         .select(
             "source", "n",
-            F.expr("1000 - (6000 * sum_d2) div (n * (n * n - 1))")
-            .alias("rho_m"),
+            F.expr(
+                "1000 - (6000 * cast(sum_d2 as decimal(38,0))) div "
+                "(cast(n as decimal(38,0)) * "
+                " (cast(n as decimal(38,0)) * n - 1))"
+            ).alias("rho_m"),
         )
     )
 
@@ -2514,8 +2519,10 @@ ranked AS (
     FROM feats
 )
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(1000 - (6000 * SUM((ra - rb) * (ra - rb)))
-            // (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS BIGINT) AS rho_m
+       CAST(1000 - (6000 * CAST(SUM((ra - rb) * (ra - rb)) AS HUGEINT))
+            // (CAST(COUNT(*) AS HUGEINT)
+                * (CAST(COUNT(*) AS HUGEINT) * COUNT(*) - 1))
+            AS BIGINT) AS rho_m
 FROM ranked
 GROUP BY source
 HAVING COUNT(*) >= 2

@@ -123,14 +123,26 @@ def write_zordered(
         df.write.mode(mode).parquet(path)
         return
     hi = (1 << bits) - 1
-    scaled = []
-    for c in cols:
-        mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
-        span = max(int(mx) - int(mn), 1)
-        scaled.append(
-            ((F.col(c).cast("long") - int(mn)) * hi / span).cast("long")
-        )
-    out = df.withColumn("_z", z_value(scaled, bits))
+    out = df
+    zcols = []
+    for i, c in enumerate(cols):
+        mn, mx = int(row[f"_mn_{c}"]), int(row[f"_mx_{c}"])
+        span = max(mx - mn, 1)
+        # integer scaling end to end — float division loses bucket
+        # precision once (mx-mn)*hi exceeds 2^53, silently degrading the
+        # clustering (and hence row-group pruning) for wide-range longs
+        if span * hi < (1 << 63):
+            # exact: delta <= span so delta*hi fits 64 bits by the guard
+            expr = f"((cast(`{c}` as bigint) - ({mn}L)) * {hi}L) div {span}L"
+        else:
+            # span too wide for the exact product: pre-divide by
+            # ceil(span/hi) instead — still pure integer, result in
+            # [0, hi], off by at most one bucket vs the exact form
+            q = span // hi + 1
+            expr = f"(cast(`{c}` as bigint) - ({mn}L)) div {q}L"
+        out = out.withColumn(f"_zs{i}", F.expr(expr))
+        zcols.append(f"_zs{i}")
+    out = out.withColumn("_z", z_value(zcols, bits)).drop(*zcols)
     if num_files is None:
         num_files = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     (
@@ -153,15 +165,35 @@ def compact_parquet(
     target_bytes)`` files (optionally re-sorted for row-group stats).
     Returns the new file count.
 
-    The rewrite goes through a sibling temp dir + atomic-ish rename so a
-    crash mid-compaction never leaves the directory half-rewritten;
-    readers opening during the swap see either the old or the new
-    layout.
+    The rewrite goes through a sibling temp dir + a two-step rename.
+    NOTE the swap is atomic-ish, not atomic: between the two renames the
+    dataset directory is briefly ABSENT, so a reader opening in exactly
+    that window fails (it never sees a half-rewritten mix, though). A
+    crash in that window is recovered on the next invocation: leftover
+    ``__compact_old`` (the intact pre-swap data) is renamed back if the
+    dataset directory is missing, and stale ``__compact_tmp`` /
+    already-swapped ``__compact_old`` leftovers are removed before the
+    new rewrite starts.
     """
     import glob as _glob
     import math
     import os as _os
     import shutil as _shutil
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    # crash recovery from a previous run, BEFORE reading anything:
+    if _os.path.exists(old) and not _os.path.exists(path):
+        # died between rename(path, old) and rename(tmp, path) — the
+        # old layout is the last complete one; restore it
+        _os.rename(old, path)
+    if _os.path.exists(old):
+        # died after the swap completed but before cleanup
+        _shutil.rmtree(old, ignore_errors=True)
+    if _os.path.exists(tmp):
+        # an unfinished (possibly partial) rewrite — never read or swap
+        # it in; start fresh
+        _shutil.rmtree(tmp, ignore_errors=True)
 
     files = _glob.glob(_os.path.join(path, "*.parquet")) + _glob.glob(
         _os.path.join(path, "part-*")
@@ -169,12 +201,10 @@ def compact_parquet(
     total = sum(_os.path.getsize(f) for f in set(files))
     n_files = max(1, math.ceil(total / max(int(target_bytes), 1)))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
     writer = df.repartition(n_files)
     if sort_cols:
         writer = writer.sortWithinPartitions(*sort_cols)
     writer.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__compact_old"
     _os.rename(path, old)
     _os.rename(tmp, path)
     _shutil.rmtree(old, ignore_errors=True)

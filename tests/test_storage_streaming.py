@@ -733,3 +733,107 @@ def test_vacuum_snapshots_keeps_newest(tmp_path):
     # never removes the newest even with keep_last=0
     assert vacuum_snapshots(str(snap), keep_last=0) == ["v=1"]
     assert os.listdir(snap) == ["v=2"]
+
+
+def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
+    """Crash-recovery contract (r6 ADVICE): a crash between the two
+    renames leaves only '__compact_old' — the next invocation must
+    restore it and complete; stale '__compact_tmp' or already-swapped
+    '__compact_old' leftovers must not poison the rewrite."""
+    import glob
+    import os
+    import shutil
+
+    from dataproc_spark.storage import compact_parquet
+
+    path = str(tmp_path / "data")
+    spark.range(1_000).repartition(4).write.parquet(path)
+
+    # crash between rename(path, old) and rename(tmp, path): dataset dir
+    # is absent, old holds the intact pre-swap data, tmp is partial
+    os.rename(path, path + "__compact_old")
+    os.makedirs(path + "__compact_tmp")
+    with open(path + "__compact_tmp/part-junk.parquet", "w") as fh:
+        fh.write("not parquet")
+    n = compact_parquet(spark, path, target_bytes=10**9)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1_000
+    assert not os.path.exists(path + "__compact_old")
+    assert not os.path.exists(path + "__compact_tmp")
+
+    # crash after the swap but before cleanup: old lingers NEXT TO a
+    # complete dataset — must be dropped, not merged or crashed on
+    shutil.copytree(path, path + "__compact_old")
+    n = compact_parquet(spark, path, target_bytes=10**9)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1_000
+    assert not os.path.exists(path + "__compact_old")
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+
+
+def test_stream_upsert_replay_base_contract(tmp_path):
+    """_replay_base returns the immediate predecessor and fails loudly
+    when vacuum removed it (r6 ADVICE: no empty-max ValueError, no
+    silent stale-base merge that drops intermediate batches)."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.streaming import _replay_base
+
+    assert _replay_base([-1], 0, "d") == -1
+    assert _replay_base([-1, 0, 1], 2, "d") == 1
+    # crashed batch 5 replays after vacuum kept only v=3: stale base
+    with _pytest.raises(RuntimeError, match="vacuum"):
+        _replay_base([3], 5, "d")
+    # vacuum removed even the initial snapshot
+    with _pytest.raises(RuntimeError, match="predecessor"):
+        _replay_base([], 0, "d")
+    # predecessor present among later (crashed-attempt) versions is fine
+    assert _replay_base([3, 4, 5], 5, "d") == 4
+
+
+def test_write_zordered_wide_range_integer_exact(spark, tmp_path):
+    """Columns whose (max-min)*hi exceeds 2^53 must still cluster by the
+    EXACT integer z-key (r6 ADVICE: the old float scaling silently
+    degraded bucket assignment). Verified by recomputing the scaled
+    z-key in exact Python integers and checking every output file is
+    internally sorted by it."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dataproc_spark.storage import write_zordered
+
+    n, bits = 20_000, 10
+    hi = (1 << bits) - 1
+    # span = n * 2^41 ~ 2^55.3 > 2^53: the float path is inexact here
+    df = spark.range(n).selectExpr(
+        "CAST((id * 7919) % 20000 AS LONG) * CAST(pow(2, 41) AS LONG) AS x",
+        "CAST((id * 104729) % 20000 AS LONG) * CAST(pow(2, 41) AS LONG) AS y",
+    )
+    pdf = df.toPandas()
+    mins, maxs = pdf.min(), pdf.max()
+
+    def scale(v, mn, mx):
+        span = max(int(mx) - int(mn), 1)
+        d = int(v) - int(mn)
+        if span * hi < (1 << 63):
+            return (d * hi) // span
+        return d // (span // hi + 1)
+
+    def zkey(x, y):
+        sx, sy = scale(x, mins.x, maxs.x), scale(y, mins.y, maxs.y)
+        z = 0
+        for j in range(bits):
+            z |= ((sx >> j) & 1) << (2 * j)
+            z |= ((sy >> j) & 1) << (2 * j + 1)
+        return z
+
+    out = str(tmp_path / "zwide")
+    write_zordered(df, out, ["x", "y"], bits=bits, num_files=8)
+    total = 0
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        t = pq.read_table(f).to_pandas()
+        total += len(t)
+        keys = [zkey(r.x, r.y) for r in t.itertuples()]
+        assert keys == sorted(keys), f"file {f} not sorted by exact z-key"
+    assert total == n
