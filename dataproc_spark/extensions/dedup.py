@@ -324,6 +324,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_shared: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: (train_id, eval_id, shared) for every
     train document sharing ≥ ``min_shared`` word ``n``-grams with an eval
@@ -333,8 +334,11 @@ def contamination_pairs(
     two corpora: explode both sides' shingle sets, equi-join on the
     shingle (hash shuffle — never |train|×|eval|), count per pair. The
     eval side is tiny relative to the corpus, so the join broadcasts it at
-    scale; ultra-hot shingles (boilerplate) are the skew case — drop
-    top-df shingles first, exactly as in the dedup pipeline.
+    scale; ultra-hot shingles (boilerplate) are the skew case —
+    ``max_df`` drops shingles whose TRAIN-side document frequency
+    exceeds it from both sides before the join (a train-hot shingle
+    multiplies every eval doc containing it by its whole posting list),
+    exactly the ``ngram_jaccard_pairs`` stop-shingle cut.
 
     As in ``ngram_jaccard_pairs``, the shingle string is internal — both
     sides project ``xxhash64(shingle)`` before the exchange, so the join
@@ -348,6 +352,15 @@ def contamination_pairs(
         F.col(id_col).alias("eval_id"),
         F.explode(shingles(tokens(content_col), n)).alias("_ss"),
     ).select("eval_id", F.xxhash64("_ss").alias("s"))
+    if max_df is not None:
+        hot = (
+            tsh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > int(max_df))
+            .select("s")
+        )
+        tsh = tsh.join(hot, "s", "left_anti")
+        esh = esh.join(hot, "s", "left_anti")
     return (
         tsh.join(esh, "s")
         .groupBy("train_id", "eval_id")
@@ -467,6 +480,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_shared: int = 2,
     jaccard_threshold_m: int = 200,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs exact n-gram Jaccard via an inverted-index join.
 
@@ -479,9 +493,19 @@ def ngram_jaccard_pairs(
     Scale: the shingle join is the classic inverted-index candidate
     generation — pairs only materialize when they share a shingle, and
     ``min_shared`` prunes the long tail at the aggregate. Hot shingles
-    (boilerplate) create skew; drop top-frequency shingles upstream or
-    rely on AQE skew splitting. For corpora where even the inverted index
-    is too hot, MinHash-LSH above is the subsampled alternative.
+    (boilerplate) create skew AND quadratic posting-list blowup: a
+    shingle in d documents contributes d·(d−1)/2 join rows, so one
+    boilerplate line shared by 10⁶ docs is 5·10¹¹ rows from a single
+    key. ``max_df`` is the mitigation: shingles whose document
+    frequency exceeds it are dropped BEFORE the self-join (the
+    stop-shingle cut every production dedup pipeline applies), bounding
+    any key's contribution at max_df²/2. Jaccard is then computed over
+    the pruned shingle universe — sizes count only surviving shingles,
+    so a pair sharing nothing but boilerplate reports jaccard 0 rather
+    than a boilerplate-inflated score. The hot list itself is tiny
+    (df > max_df is the distribution's extreme tail), so the anti-join
+    broadcasts under AQE. For corpora where even the pruned inverted
+    index is too hot, MinHash-LSH above is the subsampled alternative.
 
     The shingle string never reaches the output (only ids + counts), so
     the inverted-index self-join keys on ``xxhash64(shingle)`` — an
@@ -496,6 +520,17 @@ def ngram_jaccard_pairs(
             F.array_distinct(shingles(tokens(content_col), n))
         ).alias("_shs"),
     ).select(F.col(id_col), F.xxhash64("_shs").alias("_sh"))
+    if max_df is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > int(max_df))
+            .select("_sh")
+        )
+        # the pruned frame feeds three plan branches (both join sides +
+        # sizes); persist so the corpus is shingled once, not thrice —
+        # at cluster scale this is a checkpointed shingle table
+        sh = sh.join(hot, "_sh", "left_anti").persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), "_sh")

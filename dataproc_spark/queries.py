@@ -4234,6 +4234,100 @@ WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 100
 """
 
 
+def q_ngram_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs with the ``max_df`` stop-shingle cut:
+    shingles appearing in more than 4 documents are dropped before the
+    inverted-index self-join (the quadratic-posting-list mitigation at
+    100 TB — a shingle in d docs contributes d(d−1)/2 join rows), and
+    Jaccard is computed over the pruned shingle universe. At sf0.01 the
+    cutoff sits at the df distribution's p99, so the gate proves the
+    pruning actually bites while both engines agree on the result."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, min_shared=2,
+        jaccard_threshold_m=100, max_df=4,
+    )
+
+
+SQL_NGRAM_JACCARD_MAXDF = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh0 AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 4),
+sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       CAST((shared * 1000) // (sa.n + sb.n - shared) AS BIGINT) AS jaccard_m
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 100
+"""
+
+
+def q_decontaminate_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the train-side ``max_df`` stop-shingle cut:
+    3-grams in more than 3 TRAIN documents are dropped from both sides
+    before the cross-corpus join (a train-hot shingle multiplies every
+    eval doc containing it by its whole posting list)."""
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.where(F.col("doc_id") % 100 == 0)
+    train = docs.where(F.col("doc_id") % 100 != 0)
+    pairs = dedup.contamination_pairs(
+        train, evalset, n=3, min_shared=2, max_df=3
+    )
+    return pairs.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("shared").alias("max_shared"),
+    )
+
+
+SQL_DECONTAMINATE_MAXDF = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+hot AS (
+    SELECT s FROM sh WHERE doc_id % 100 <> 0 GROUP BY s HAVING COUNT(*) > 3
+),
+kept AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+hits AS (
+    SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS shared
+    FROM kept tr JOIN kept ev ON tr.s = ev.s
+    WHERE tr.doc_id % 100 <> 0 AND ev.doc_id % 100 = 0
+    GROUP BY tr.doc_id, ev.doc_id
+    HAVING COUNT(*) >= 2
+)
+SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+       CAST(MAX(shared) AS BIGINT) AS max_shared
+FROM hits GROUP BY train_id
+"""
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM token budgeting: BPE-style pre-token counts per source."""
     docs = _t(spark, sf_dir, "documents")
@@ -6499,6 +6593,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "ann_ivf_exact": (q_ann_ivf_exact, SQL_ANN_IVF_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_jaccard_maxdf": (q_ngram_jaccard_maxdf, SQL_NGRAM_JACCARD_MAXDF),
+    "decontaminate_maxdf": (q_decontaminate_maxdf, SQL_DECONTAMINATE_MAXDF),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),

@@ -111,6 +111,54 @@ def test_ngram_jaccard_pairs(spark):
     assert got == {(1, 2): (2, 500)}
 
 
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    """max_df stop-shingle cut: a boilerplate shingle shared by every
+    document must stop generating candidate pairs, and Jaccard must be
+    computed over the pruned shingle universe (sizes shrink too)."""
+    boiler = "click here to subscribe"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta"),
+        (2, f"{boiler} epsilon zeta eta theta"),
+        (3, f"{boiler} iota kappa lam mu"),
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    plain = dedup.ngram_jaccard_pairs(
+        docs, n=3, min_shared=1, jaccard_threshold_m=0
+    )
+    # every pair shares the 2 boilerplate-only 3-grams
+    assert plain.count() == 3
+    pruned = dedup.ngram_jaccard_pairs(
+        docs, n=3, min_shared=1, jaccard_threshold_m=0, max_df=2
+    )
+    # 'click here to' / 'here to subscribe' have df=3 > 2 -> dropped;
+    # remaining shingles are unique per doc, so no pair survives
+    assert pruned.count() == 0
+
+
+def test_contamination_max_df_train_side_cut(spark):
+    """contamination max_df: shingles hot in TRAIN are dropped from both
+    sides; overlap through genuinely shared (cold) shingles survives."""
+    boiler = "all rights reserved worldwide"
+    train = spark.createDataFrame(
+        [(1, f"{boiler} alpha beta gamma delta"),
+         (3, f"{boiler} epsilon zeta eta theta"),
+         (5, f"{boiler} iota kappa lam mu"),
+         (7, "unique real overlap phrase here")],
+        schema="doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, f"{boiler} unique real overlap phrase here")],
+        schema="doc_id long, text string",
+    )
+    plain = dedup.contamination_pairs(train, evalset, n=3, min_shared=2)
+    assert {r.train_id for r in plain.collect()} == {1, 3, 5, 7}
+    pruned = dedup.contamination_pairs(
+        train, evalset, n=3, min_shared=2, max_df=2
+    )
+    # boilerplate (train-df 3) is cut; only the genuine overlap remains
+    assert {r.train_id for r in pruned.collect()} == {7}
+
+
 def test_bottom_k_sketch_overlap(spark):
     rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")]
     docs = spark.createDataFrame(rows, schema="doc_id long, text string")
