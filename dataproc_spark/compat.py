@@ -2,8 +2,8 @@
 
 A user of west-tandon/dataproc can switch with an import change::
 
-    # from dataproc import selectivesearch, data, measures
-    from dataproc_spark.compat import selectivesearch, data, measures
+    # from dataproc import selectivesearch, data, measures, plot
+    from dataproc_spark.compat import selectivesearch, data, measures, plot
 
 Same function names and signatures (``verbose`` flags accepted and
 ignored — there is no per-step loop to narrate); pandas DataFrames in and
@@ -55,6 +55,17 @@ data = SimpleNamespace(cartesian=cartesian, ensure_has_columns=ensure_has_column
 precision_at = _measures.precision_at
 
 measures = SimpleNamespace(precision_at=precision_at)
+
+
+# -- dataproc.plot ----------------------------------------------------------
+
+from dataproc_spark import plot as _plot
+
+plot_and_show = _plot.plot_and_show
+
+plot = SimpleNamespace(
+    plot_and_show=plot_and_show, plot_and_save=_plot.plot_and_save
+)
 
 
 # -- dataproc.selectivesearch -----------------------------------------------

@@ -136,17 +136,26 @@ def stream_hourly_append(
     return _drain(windowed, "append", "hourly_append")
 
 
-def _file_stream(spark: SparkSession, events_path: str) -> DataFrame:
+def _file_stream(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
     """File-source stream over a parquet path (single file or directory),
-    one file per micro-batch. The streaming source requires a directory;
-    a single-file path becomes parent + glob filter."""
+    ``max_files_per_trigger`` files per micro-batch (default 1 — the
+    multi-batch tests rely on per-file batches; pass ``None`` to take
+    every available file in ONE batch, which makes single-batch
+    semantics shard-layout-independent). The streaming source requires
+    a directory; a single-file path becomes parent + glob filter."""
     import os as _os
 
     from dataproc_spark.core import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     if _os.path.isfile(events_path):
         base, fname = _os.path.split(events_path)
         stream = reader.option("pathGlobFilter", fname).parquet(base)

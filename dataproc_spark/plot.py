@@ -21,6 +21,56 @@ except Exception:  # pragma: no cover
     HAS_MATPLOTLIB = False
 
 
+def plot_and_show(
+    data,
+    x: str,
+    y: str,
+    labels=None,
+    axis=None,
+    style: str = ".-",
+    size: tuple[int, int] | None = None,
+    save_path: str | None = None,
+) -> None:
+    """Reference-parity curve plot (reference ``plot.py:8-19``):
+    ``data`` is a sequence of evaluation frames — Spark DataFrames or
+    pandas frames — drawn as one line each, with ``labels`` naming the
+    lines in a legend above the axes and ``axis`` passing through to
+    matplotlib's axis-limit call.
+
+    The one divergence from the reference is the show/save split:
+    engine containers are headless, so ``save_path`` writes the figure
+    to a file instead of calling ``plt.show()`` (pass nothing to get
+    the reference's interactive behavior). Raises ``RuntimeError`` when
+    matplotlib is unavailable.
+    """
+    if not HAS_MATPLOTLIB:
+        raise RuntimeError(
+            "matplotlib is not available in this environment; "
+            "collect the evaluation frame and plot externally"
+        )
+    frames = [
+        line.toPandas() if isinstance(line, DataFrame) else line
+        for line in data
+    ]
+    handles = [plt.plot(f[x], f[y], style)[0] for f in frames]
+    if axis:
+        plt.axis(axis)
+    if labels:
+        plt.legend(
+            handles, labels,
+            bbox_to_anchor=(0.0, 1.02, 1.0, 0.102), loc=10,
+            ncol=3, borderaxespad=0.0, frameon=False, fontsize=8,
+        )
+    fig = plt.gcf()
+    if size:
+        fig.set_size_inches(size)
+    if save_path is not None:
+        fig.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)
+    else:  # pragma: no cover - interactive backend only
+        plt.show()
+
+
 def plot_and_save(
     data: DataFrame,
     x: str,

@@ -1893,10 +1893,13 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary.
 
     Oracle precondition: the gate's global latest-wins compaction equals
-    the operator's sequential per-batch semantics only because
-    ``events.parquet`` is a SINGLE file → exactly one micro-batch
-    (asserted below). Multi-batch sequencing (arrival order outranks
-    event time) is pinned separately by
+    the operator's sequential per-batch semantics only when the whole
+    changelog lands in ONE micro-batch, so the stream is opened with
+    ``max_files_per_trigger=None`` (all available files in one batch) —
+    shard-layout-independent: the gate holds whether the driver ships
+    ``events.parquet`` as a single file or a sharded directory.
+    Multi-batch sequencing (arrival order outranks event time) is
+    pinned separately by
     ``test_stream_upsert_applies_batches_in_arrival_order``."""
     import shutil
     import tempfile
@@ -1921,17 +1924,12 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("user_id", "ts", "value_c")
     )
-    import os as _os
-
-    if not _os.path.isfile(f"{sf_dir}/events.parquet"):
-        raise AssertionError(
-            "stream_upsert oracle requires a single-file events table "
-            "(one micro-batch); got a directory"
-        )
     root = tempfile.mkdtemp(prefix="upsert_")
     try:
         stream = (
-            _file_stream(spark, f"{sf_dir}/events.parquet")
+            _file_stream(
+                spark, f"{sf_dir}/events.parquet", max_files_per_trigger=None
+            )
             .where(F.col("event_id") % 3 != 0)
             .select(
                 "user_id", "ts", "event_id",

@@ -9,12 +9,13 @@ from tests.conftest import rows_set
 
 
 def test_compat_namespaces_cover_reference_api(spark):
-    from dataproc_spark.compat import data, measures, selectivesearch
+    from dataproc_spark.compat import data, measures, plot, selectivesearch
 
     # every public name from the reference modules exists
     for name in ("cartesian", "ensure_has_columns"):
         assert hasattr(data, name)
     assert hasattr(measures, "precision_at")
+    assert hasattr(plot, "plot_and_show")
     for name in (
         "evaluate_step", "evaluate", "load_shard_selection",
         "load_bucket_selection", "load_shard_results", "select",
@@ -22,6 +23,39 @@ def test_compat_namespaces_cover_reference_api(spark):
         "select_buckets", "to_trec",
     ):
         assert hasattr(selectivesearch, name)
+
+
+def test_compat_plot_round_trips_evaluate_curve(
+    spark, results, selection, tmp_path
+):
+    """A reference user's last pipeline step — plot the evaluate curve —
+    must work through compat.plot: with matplotlib present the file is
+    written; in the engine container (no matplotlib) the call raises the
+    documented RuntimeError rather than an ImportError deep inside."""
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.compat import measures, plot
+    from dataproc_spark.compat import selectivesearch as ss
+    from dataproc_spark.plot import HAS_MATPLOTLIB
+
+    judged = (
+        results.withColumn("global_rank", F.col("score"))
+        .withColumn("relevant", (F.col("bucket") == 0).cast("int"))
+    )
+    curve = ss.evaluate(
+        selection, judged, {"relevant": [measures.precision_at(2)]},
+        num_shards=3,
+    )
+    out = str(tmp_path / "curve.png")
+    if HAS_MATPLOTLIB:
+        plot.plot_and_show([curve], "step", "p_2", labels=["p@2"],
+                           save_path=out)
+        import os
+
+        assert os.path.getsize(out) > 0
+    else:
+        with pytest.raises(RuntimeError, match="matplotlib"):
+            plot.plot_and_show([curve], "step", "p_2", save_path=out)
 
 
 def test_compat_select_reference_call_shape(spark, results, selection):

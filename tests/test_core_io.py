@@ -311,3 +311,50 @@ def test_spread_narrow(spark, tmp_path):
 
     derived = one.groupBy((F.col("id") % 5).alias("k")).count()
     assert spread_narrow(derived).count() == 5
+
+
+def test_load_selection_rejects_misshapen_score_files(spark, tmp_path):
+    """Q4 negative contract (SURVEY.md §2.4): the reference silently
+    mis-aligns when the score CSV does not match queries × shards; we
+    must fail fast — for SHORT, LONG, and EMPTY files — never produce a
+    misaligned frame."""
+    import pytest as _pytest
+
+    from dataproc_spark.io import load_bucket_selection, load_shard_selection
+
+    def write(name, lines):
+        p = tmp_path / name
+        p.write_text("".join(f"{x}\n" for x in lines))
+        return str(p)
+
+    # 2 queries x 2 shards = 4 expected rows
+    short = write("short.csv", [0.1, 0.2, 0.3])
+    with _pytest.raises(ValueError, match="3 rows, expected 4"):
+        load_shard_selection(spark, [0, 1], 2, short)
+    long = write("long.csv", [0.1, 0.2, 0.3, 0.4, 0.5])
+    with _pytest.raises(ValueError, match="5 rows, expected 4"):
+        load_shard_selection(spark, [0, 1], 2, long)
+    empty = write("empty.csv", [])
+    with _pytest.raises(ValueError, match="0 rows, expected 4"):
+        load_shard_selection(spark, [0, 1], 2, empty)
+    # bucket variant: 1 query x 2 shards x 3 buckets = 6
+    with _pytest.raises(ValueError, match="5 rows, expected 6"):
+        load_bucket_selection(spark, [0], 2, 3, long)
+
+
+def test_load_selection_reordered_file_changes_ranks(spark, tmp_path):
+    """A REORDERED score file of the right length cannot be detected by
+    the cardinality guard — document the contract positively: scores
+    bind to the cartesian order (query-major), so permuting the file
+    permutes which shard gets which score deterministically."""
+    from dataproc_spark.io import load_shard_selection
+
+    p = tmp_path / "s.csv"
+    p.write_text("0.9\n0.1\n")
+    sel = {(r.query, r.shard): r.rank
+           for r in load_shard_selection(spark, [7], 2, str(p)).collect()}
+    assert sel == {(7, 0): 0, (7, 1): 1}
+    p.write_text("0.1\n0.9\n")
+    sel2 = {(r.query, r.shard): r.rank
+            for r in load_shard_selection(spark, [7], 2, str(p)).collect()}
+    assert sel2 == {(7, 0): 1, (7, 1): 0}

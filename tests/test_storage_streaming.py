@@ -837,3 +837,26 @@ def test_write_zordered_wide_range_integer_exact(spark, tmp_path):
         keys = [zkey(r.x, r.y) for r in t.itertuples()]
         assert keys == sorted(keys), f"file {f} not sorted by exact z-key"
     assert total == n
+
+
+def test_stream_upsert_gate_shard_tolerant(spark, tmp_path):
+    """The stream_upsert gate's one-micro-batch oracle precondition must
+    not depend on the testdata shipping as a single file: against a
+    3-file sharded copy of events.parquet the gate returns the identical
+    snapshot (max_files_per_trigger=None takes all shards in one
+    batch)."""
+    import glob
+
+    from dataproc_spark.queries import q_stream_upsert
+
+    sf = "/root/testdata/sf0.001"
+    base = {tuple(r) for r in q_stream_upsert(spark, sf).collect()}
+    root = str(tmp_path / "sharded_sf")
+    import os
+
+    os.makedirs(root)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev.repartition(3).write.parquet(f"{root}/events.parquet")
+    assert len(glob.glob(f"{root}/events.parquet/part-*")) >= 3
+    sharded = {tuple(r) for r in q_stream_upsert(spark, root).collect()}
+    assert sharded == base and len(base) > 0
