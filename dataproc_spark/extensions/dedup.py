@@ -172,6 +172,7 @@ def lsh_candidates(
     bands: int = 16,
     num_hashes: int | None = None,
     portable: bool = False,
+    salt: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding: ids sharing ≥1 (band, band-hash).
 
@@ -179,7 +180,10 @@ def lsh_candidates(
     equi-join on (band, hash) with ``id_left < id_right`` yields candidate
     pairs. This is the scale path: the join is a hash shuffle on band keys
     — documents only meet if a band collides, never all-pairs. Skewed
-    buckets (boilerplate shingles) are handled by AQE skew-join splitting.
+    buckets (boilerplate shingles) are handled by AQE skew-join splitting;
+    ``salt`` > 1 switches to an explicit :func:`skew.salted_join` for the
+    pathological-bucket case AQE cannot split (same pairs, measured
+    trade-off in SCALE.md).
 
     Pass ``num_hashes`` when known to avoid a plan-time job probing the
     signature length.
@@ -221,6 +225,25 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bhash")
+    if salt is not None and int(salt) > 1:
+        # explicit salting for when AQE's skew split is insufficient (one
+        # pathological band bucket): scatter the left side across `salt`
+        # buckets, replicate the right side into each, join on
+        # (band, bhash, salt). The right side is multiplied by `salt`, so
+        # this trades salt× more shuffled bytes for a salt-way split of
+        # the hottest bucket — a net LOSS on mild skew (measured in
+        # SCALE.md §salting A/B); reach for it only past the skew_report
+        # threshold.
+        from dataproc_spark import skew as _skew
+
+        la = banded.select(F.col(id_col).alias("id_a"), "band", "bhash")
+        rb = banded.select(F.col(id_col).alias("id_b"), "band", "bhash")
+        return (
+            _skew.salted_join(la, rb, ["band", "bhash"], salt=int(salt))
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -2317,10 +2317,20 @@ WHERE rn = (q * cnt + 99) // 100
 
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnosis for a join/aggregation key — measure BEFORE
-    salting (``skew.salted_*`` is the cure; this is the diagnostic):
-    top keys by row count with integer share-permille and the key-space
-    skew factor ``max_count · n_keys · 1000 div total`` (1000 =
-    perfectly uniform). One aggregate + one tiny top-k."""
+    mitigating: top keys by row count with integer share-permille, the
+    key-space skew factor ``max_count · n_keys · 1000 div total``
+    (1000 = perfectly uniform), the key's share of SELF-JOIN pair work
+    ``cnt(cnt−1)/2`` in permille, and a recommendation column derived
+    from the r7 salting A/B (SCALE.md §salting A/B): explicit salting
+    measured a 0–10 % LOSS wherever AQE's skew split applies, while the
+    stop-key cut (``max_df``) measured 26× on a key dominating the
+    self-join pair volume. So: ``cut-or-split`` when one key holds the
+    majority (≥ 500 ‰) of pair work — drop it (max_df) or split the
+    cell; ``salted-agg`` only for aggregation keys at extreme imbalance
+    (the key's own count ≥ 4× the uniform share — where a final-shuffle
+    straggler, not a join, is the bottleneck); else ``aqe-default``.
+    One aggregate + one tiny top-k; pair arithmetic through
+    DECIMAL(38,0)/HUGEINT (cnt² wraps 64-bit past cnt ≈ 3·10⁹)."""
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     wall = Window.partitionBy()
@@ -2328,6 +2338,11 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("_total", F.sum("cnt").over(wall))
         .withColumn("_nk", F.count(F.lit(1)).over(wall))
         .withColumn("_mx", F.max("cnt").over(wall))
+        .withColumn(
+            "_pairs",
+            F.expr("cast(cnt as decimal(38,0)) * (cnt - 1) div 2"),
+        )
+        .withColumn("_tpairs", F.sum("_pairs").over(wall))
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col("event_type"))
     return (
@@ -2339,6 +2354,16 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             F.expr("cnt * 1000 div _total").alias("share_m"),
             F.expr("_mx * _nk * 1000 div _total").alias("skew_m"),
+            F.expr(
+                "cast(_pairs as decimal(38,0)) * 1000 div _tpairs"
+            ).cast("long").alias("selfjoin_m"),
+            F.expr(
+                "CASE WHEN (cast(_pairs as decimal(38,0)) * 1000 div _tpairs) >= 500"
+                "     THEN 'cut-or-split'"
+                "     WHEN (cnt * _nk * 1000 div _total) >= 4000"
+                "     THEN 'salted-agg'"
+                "     ELSE 'aqe-default' END"
+            ).alias("rec"),
         )
     )
 
@@ -2350,12 +2375,18 @@ WITH counts AS (
 stats AS (
     SELECT key, cnt, SUM(cnt) OVER () AS total,
            COUNT(*) OVER () AS nk, MAX(cnt) OVER () AS mx,
+           CAST(cnt AS HUGEINT) * (cnt - 1) // 2 AS pairs,
+           SUM(CAST(cnt AS HUGEINT) * (cnt - 1) // 2) OVER () AS tpairs,
            ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank
     FROM counts
 )
 SELECT CAST(rank AS BIGINT) AS rank, key, CAST(cnt AS BIGINT) AS cnt,
        CAST(cnt * 1000 // total AS BIGINT) AS share_m,
-       CAST(mx * nk * 1000 // total AS BIGINT) AS skew_m
+       CAST(mx * nk * 1000 // total AS BIGINT) AS skew_m,
+       CAST(pairs * 1000 // tpairs AS BIGINT) AS selfjoin_m,
+       CASE WHEN pairs * 1000 // tpairs >= 500 THEN 'cut-or-split'
+            WHEN cnt * nk * 1000 // total >= 4000 THEN 'salted-agg'
+            ELSE 'aqe-default' END AS rec
 FROM stats WHERE rank <= 3
 """
 

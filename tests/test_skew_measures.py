@@ -295,3 +295,39 @@ def test_select_under_budget_requires_columns(spark):
     df = spark.createDataFrame([(1,)], schema="doc_id long")
     with pytest.raises(Exception):
         select_under_budget(df, 10)
+
+
+def test_lsh_candidates_salted_equals_unsalted(spark):
+    """salt only redistributes the band self-join — the candidate pair
+    set must be identical to the unsalted plan."""
+    rows = [(i, f"common text block shared by near dups variant {i % 3}")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    sigs = dedup.minhash_frame(docs, "text", "doc_id", num_hashes=16,
+                               shingle_size=2).persist()
+    plain = {(r.id_a, r.id_b) for r in
+             dedup.lsh_candidates(sigs, bands=4, num_hashes=16).collect()}
+    salted = {(r.id_a, r.id_b) for r in
+              dedup.lsh_candidates(sigs, bands=4, num_hashes=16,
+                                   salt=4).collect()}
+    assert salted == plain and len(plain) > 0
+
+
+def test_bucketed_topk_salted_equals_unsalted(spark):
+    """Two-phase top-k must return exactly the global top-k: every
+    (qid, rank) row identical to the single-window plan."""
+    import numpy as np
+
+    from dataproc_spark.extensions import simsearch
+
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, int(i % 2), rng.rand(8).tolist()) for i in range(200)],
+        schema="vec_id long, label int, embedding array<double>",
+    )
+    qs = emb.where(F.col("vec_id") < 4)
+    plain = {(r.qid, r.rnk): r.vec_id for r in
+             simsearch.bucketed_topk(emb, qs, k=5).collect()}
+    salted = {(r.qid, r.rnk): r.vec_id for r in
+              simsearch.bucketed_topk(emb, qs, k=5, salt=8).collect()}
+    assert salted == plain and len(plain) == 4 * 5
