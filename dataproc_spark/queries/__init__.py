@@ -1,0 +1,389 @@
+"""Driver-contract query registry: every implemented operator as a
+(spark_callable, duckdb_oracle_sql) pair over the testdata tables.
+
+The selective-search shapes are instantiated from the TPC-H-ish star
+schema (FIXTURES.md §B mapping): ``query`` = l_orderkey % 7, ``shard`` =
+l_suppkey % 5, ``bucket`` = l_linenumber % 2, ``score`` = revenue in
+integer cents. **All aggregate arithmetic is exact-integer** (money in
+cents via round(x*100), integer `div`, row_number with total tie-break
+orders) so Spark and DuckDB produce bit-identical values regardless of
+floating-point summation order — the one systematic hazard of
+cross-engine value-hash comparison.
+
+Oracle SQL strings are ANSI-ish DuckDB SQL against the pre-registered
+views (region nation customer supplier part orders lineitem events
+documents embeddings). Rows-only entries (no SQL) are the genuinely
+non-relational ops: the greedy bucket resolver (sequential stateful walk)
+and the LSH pipelines (hash-function-dependent candidates).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataproc_spark.queries._tables import (  # noqa: F401
+    TABLES,
+    _t,
+    register_tables,
+)
+from dataproc_spark.queries.selective import *  # noqa: F401,F403
+from dataproc_spark.queries.tpch import *  # noqa: F401,F403
+from dataproc_spark.queries.events import *  # noqa: F401,F403
+from dataproc_spark.queries.streaming import *  # noqa: F401,F403
+from dataproc_spark.queries.dedup import *  # noqa: F401,F403
+from dataproc_spark.queries.documents import *  # noqa: F401,F403
+from dataproc_spark.queries.embeddings import *  # noqa: F401,F403
+from dataproc_spark.queries.diagnostics import *  # noqa: F401,F403
+
+
+#: name -> (spark callable, oracle SQL or None for rows-only checks)
+#:
+#: ORDERING CONTRACT: the driver's correctness gate records only the FIRST
+#: 50 registry entries each round.  Entries are therefore ordered by
+#: verification need, not by topic: (a) queries whose freshest driver
+#: evidence is oldest (rotated into the window this round), (b) queries
+#: whose implementation or oracle changed this round, (c) core sentinels,
+#: then (d) everything already green in a recent round (the r3/r4
+#: extension wave; their evidence stands in CORRECTNESS_r03/r04).
+#: COVERAGE.md records which round vouches for which entry.
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # -- (a) r05 verification window: the 43 queries whose only driver
+    # -- evidence was CORRECTNESS_r02 (rotated in), including the whole
+    # -- events/streaming family repaired this round -----------------------
+    "selection_rank": (q_selection_rank, SQL_SELECTION_RANK),
+    "select_with_decay": (q_select_with_decay, SQL_SELECT_WITH_DECAY),
+    "evaluate_buckets": (q_evaluate_buckets, SQL_EVALUATE_BUCKETS),
+    "evaluate_measures": (q_evaluate_measures, SQL_EVALUATE_MEASURES),
+    "trec_export": (q_trec_export, SQL_TREC_EXPORT),
+    "cartesian": (q_cartesian, SQL_CARTESIAN),
+    "load_selection_csv": (q_load_selection_csv, SQL_LOAD_SELECTION_CSV),
+    "load_bucket_selection_csv": (
+        q_load_bucket_selection_csv,
+        SQL_LOAD_BUCKET_SELECTION_CSV,
+    ),
+    "shard_results_roundtrip": (
+        q_shard_results_roundtrip,
+        SQL_SHARD_RESULTS_ROUNDTRIP,
+    ),
+    "select_buckets": (q_select_buckets, SQL_SELECT_BUCKETS),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "rollup_pricing": (q_rollup_pricing, SQL_ROLLUP_PRICING),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "customers_without_orders": (
+        q_customers_without_orders,
+        SQL_CUSTOMERS_WITHOUT_ORDERS,
+    ),
+    "exists_orders": (q_exists_orders, SQL_EXISTS_ORDERS),
+    "parts_above_brand_avg": (
+        q_parts_above_brand_avg,
+        SQL_PARTS_ABOVE_BRAND_AVG,
+    ),
+    "nations_above_avg_revenue": (
+        q_nations_above_avg_revenue,
+        SQL_NATIONS_ABOVE_AVG_REVENUE,
+    ),
+    "returnflag_pivot": (q_returnflag_pivot, SQL_RETURNFLAG_PIVOT),
+    "priority_intersect": (q_priority_intersect, SQL_PRIORITY_INTERSECT),
+    "priority_except": (q_priority_except, SQL_PRIORITY_EXCEPT),
+    "left_join_fill": (q_left_join_fill, SQL_LEFT_JOIN_FILL),
+    "orders_by_month": (q_orders_by_month, SQL_ORDERS_BY_MONTH),
+    "union_all_sources": (q_union_all_sources, SQL_UNION_ALL_SOURCES),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
+    "events_range_window": (q_events_range_window, SQL_EVENTS_RANGE_WINDOW),
+    "cube_doc_stats": (q_cube_doc_stats, SQL_CUBE_DOC_STATS),
+    "merge_schema_scan": (q_merge_schema_scan, SQL_MERGE_SCHEMA_SCAN),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_json": (q_events_json, SQL_EVENTS_JSON),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "latest_per_user": (q_latest_per_user, SQL_LATEST_PER_USER),
+    "stream_hourly": (q_stream_hourly, SQL_EVENTS_HOURLY),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
+    "stream_dedup_bounded": (q_stream_dedup_bounded, SQL_STREAM_DEDUP),
+    "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
+    "stream_stream_join": (q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_minhash_portable": (
+        q_dedup_minhash_portable, SQL_DEDUP_MINHASH_PORTABLE,
+    ),
+    "dedup_simhash": (q_dedup_simhash, None),
+    # -- (b) failed in r03/r04 (events ts type), fixed this round ----------
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "top_events_daily": (q_top_events_daily, SQL_TOP_EVENTS_DAILY),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    # -- (c) core sentinels -------------------------------------------------
+    "select_top_t": (q_select_top_t, SQL_SELECT_TOP_T),
+    "evaluate_sweep": (q_evaluate_sweep, SQL_EVALUATE_SWEEP),
+    "resolve_buckets": (q_resolve_buckets, SQL_RESOLVE_BUCKETS),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    # ======================= 50-entry window boundary ======================
+    # -- (d) extension wave: green rows in CORRECTNESS_r03/r04 -------------
+    "dedup_simhash_portable": (
+        q_dedup_simhash_portable, SQL_DEDUP_SIMHASH_PORTABLE,
+    ),
+    "dedup_cc": (q_dedup_cc, SQL_DEDUP_CC),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "salted_token_counts": (q_salted_token_counts, SQL_SALTED_TOKEN_COUNTS),
+    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "count_min": (q_count_min, SQL_COUNT_MIN),
+    "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "median_tokens": (q_median_tokens, SQL_MEDIAN_TOKENS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "redact_pii": (q_redact_pii, SQL_REDACT_PII),
+    "curriculum_bins": (q_curriculum_bins, SQL_CURRICULUM_BINS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP),
+    "csv_roundtrip": (q_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    "orc_roundtrip": (q_orc_roundtrip, SQL_ORC_ROUNDTRIP),
+    "partitioned_scan": (q_partitioned_scan, SQL_PARTITIONED_SCAN),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "ann_ivf_exact": (q_ann_ivf_exact, SQL_ANN_IVF_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_jaccard_maxdf": (q_ngram_jaccard_maxdf, SQL_NGRAM_JACCARD_MAXDF),
+    "decontaminate_maxdf": (q_decontaminate_maxdf, SQL_DECONTAMINATE_MAXDF),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
+    "lang_predict": (q_lang_predict, SQL_LANG_PREDICT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
+    "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "embed_dedup": (q_embed_dedup, SQL_EMBED_DEDUP),
+    "doc_novelty": (q_doc_novelty, SQL_DOC_NOVELTY),
+    "select_token_budget": (q_select_token_budget, SQL_SELECT_TOKEN_BUDGET),
+    "stream_sink_roundtrip": (q_stream_sink_roundtrip, SQL_EVENTS_HOURLY),
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
+    "user_event_sequences": (q_user_event_sequences, SQL_USER_EVENT_SEQUENCES),
+    "stream_funnel": (q_stream_funnel, SQL_FUNNEL_STEPS),
+    "sql_events_hourly": (q_sql_events_hourly, SQL_EVENTS_HOURLY),
+    "events_resample": (q_events_resample, SQL_EVENTS_RESAMPLE),
+    "dedup_cluster_sizes": (q_dedup_cluster_sizes, SQL_DEDUP_CLUSTER_SIZES),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
+    "ann_ivf": (q_ann_ivf, None),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+    "sql_session_windows": (q_sql_session_windows, SQL_SESSION_WINDOWS),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "quality_percentile": (q_quality_percentile, SQL_QUALITY_PERCENTILE),
+    "stream_incremental_dedup": (
+        q_stream_incremental_dedup,
+        SQL_STREAM_INCREMENTAL_DEDUP,
+    ),
+    "embed_kmeans": (q_embed_kmeans, SQL_EMBED_KMEANS),
+    "apply_changelog": (q_apply_changelog, SQL_APPLY_CHANGELOG),
+    "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
+    "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
+    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
+    "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
+    "stream_hourly_append": (q_stream_hourly_append, SQL_STREAM_HOURLY_APPEND),
+    "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
+    "validate_constraints": (q_validate_constraints, SQL_VALIDATE_CONSTRAINTS),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "window_suite": (q_window_suite, SQL_WINDOW_SUITE),
+    "stream_upsert": (q_stream_upsert, SQL_STREAM_UPSERT),
+    "from_json_extract": (q_from_json_extract, SQL_FROM_JSON_EXTRACT),
+    "hof_suite": (q_hof_suite, SQL_HOF_SUITE),
+    "sql_udf_tokens": (q_sql_udf_tokens, SQL_SQL_UDF_TOKENS),
+    "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
+    "hourly_anomalies": (q_hourly_anomalies, SQL_HOURLY_ANOMALIES),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    "centroid_similarity": (q_centroid_similarity, SQL_CENTROID_SIMILARITY),
+    "dedup_rates": (q_dedup_rates, SQL_DEDUP_RATES),
+    "rank_correlation": (q_rank_correlation, SQL_RANK_CORRELATION),
+}
+
+
+
+#: flagship gates that should appear in every round's recorded window
+
+
+#: flagship gates that should appear in every round's recorded window
+ALWAYS_VERIFY = ("select_top_t", "evaluate_sweep", "resolve_buckets", "tpch_q6")
+
+#: per-process cache for :func:`registry_order`, keyed on the artifact
+#: files' (path, mtime, size) fingerprint
+
+
+#: per-process cache for :func:`registry_order`, keyed on the artifact
+#: files' (path, mtime, size) fingerprint
+_REGISTRY_ORDER_CACHE: dict = {}
+
+
+def registry_order(artifacts_dir: str | None = None) -> list[str]:
+    """Registry names ordered by verification need, computed from the
+    repo's own ``CORRECTNESS_r*.json`` artifacts.
+
+    The driver records correctness rows for only the FIRST 50 entries it
+    sees, so with ~100 registry entries the window must rotate or new and
+    stale queries silently stop being verified (how the r4 events-ts
+    breakage stayed invisible for a round). Priority buckets:
+
+    1. entries whose LATEST recorded row is a failure (re-verify now),
+    2. the :data:`ALWAYS_VERIFY` flagship sentinels,
+    3. entries never recorded in any round,
+    4. everything else, stalest green round first.
+
+    Ties break by literal REGISTRY position, so the order is fully
+    deterministic given the artifact files. The dynamic ordering only
+    activates once round 5's artifact exists (``max recorded round >=
+    5``); before that — including during round 5's own verify — the
+    hand-curated literal order stands. Any artifact problem falls back to
+    the literal order: ordering must never break ``queries()`` — but the
+    fallback is loudly announced on stderr so a silently frozen rotation
+    (the failure mode the rotation exists to prevent) stays visible.
+
+    The computed order is cached per process, keyed on the artifact
+    files' (path, mtime, size) fingerprint, so repeated
+    ``queries()``/``oracle_sql()`` calls don't re-parse every
+    ``CORRECTNESS_r*.json``.
+    """
+    import glob
+    import json
+    import os
+    import re
+    import sys
+
+    names = list(REGISTRY)
+    # resolve the artifact location ONCE — the fingerprint and the parse
+    # below must always read the same files, or the cache key silently
+    # desynchronizes from the data it stands for
+    # __file__ is the package __init__, one level deeper than the old
+    # queries.py module — three dirnames reach the repo root
+    root = artifacts_dir or os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    ))
+    artifact_paths = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    )
+    try:
+        cache_key = tuple(
+            (p, os.path.getmtime(p), os.path.getsize(p))
+            for p in artifact_paths
+        )
+        cached = _REGISTRY_ORDER_CACHE.get(cache_key)
+        if cached is not None:
+            return list(cached)
+    except Exception:
+        cache_key = None
+    try:
+        latest_green: dict[str, int] = {}
+        latest_any: dict[str, int] = {}
+        max_round = 0
+        for path in artifact_paths:
+            m = re.search(r"_r0*(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            with open(path) as fh:
+                data = json.load(fh)
+            if not isinstance(data, dict):
+                continue
+            max_round = max(max_round, rnd)
+            for name, row in data.items():
+                if not isinstance(row, dict):
+                    continue
+                latest_any[name] = max(latest_any.get(name, -1), rnd)
+                green = (
+                    row.get("rows_match") is True
+                    and row.get("schema_match") is True
+                    and row.get("hash_match") is not False
+                )
+                # rows-only entries (no oracle by design) are recorded as
+                # rows_match=None with err='no_oracle'; the query RAN and
+                # its weaker check passed — don't pin them in the failure
+                # bucket forever
+                rows_only_ok = (
+                    row.get("rows_match") is None
+                    and row.get("spark_rows") is not None
+                    and row.get("err") in (None, "no_oracle")
+                )
+                if green or rows_only_ok:
+                    latest_green[name] = max(latest_green.get(name, -1), rnd)
+        if max_round < 5:
+            return names
+        pos = {n: i for i, n in enumerate(names)}
+
+        def key(n: str):
+            lg = latest_green.get(n, -1)
+            la = latest_any.get(n, -1)
+            if la > lg:  # latest recorded row failed
+                bucket = 0
+            elif n in ALWAYS_VERIFY:
+                bucket = 1
+            elif la == -1:  # never recorded
+                bucket = 2
+            else:
+                bucket = 3
+            return (bucket, lg, pos[n])
+
+        ordered = sorted(names, key=key)
+        if cache_key is not None:
+            _REGISTRY_ORDER_CACHE[cache_key] = list(ordered)
+        return ordered
+    except Exception as exc:  # pragma: no cover - defensive
+        print(
+            "dataproc_spark.queries.registry_order: falling back to the "
+            f"literal REGISTRY order ({type(exc).__name__}: {exc}); the "
+            "verification rotation is FROZEN until the CORRECTNESS_r*.json "
+            "artifacts parse again",
+            file=sys.stderr,
+        )
+        return names
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: REGISTRY[name][0] for name in registry_order()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: REGISTRY[name][1]
+        for name in registry_order()
+        if REGISTRY[name][1] is not None
+    }
+

@@ -1,0 +1,43 @@
+"""Testdata table access shared by every query family."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+#: every driver-generated testdata table
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, suffix: str = "_v"
+) -> None:
+    """Register every testdata table as a temp view (``<name><suffix>``)
+    so the full corpus is queryable through the ``spark.sql`` front-end.
+    The events view carries the engine's normalization — ``ts`` is int64
+    epoch nanoseconds regardless of the parquet physical type — so SQL
+    users get the same event-time contract as the DataFrame API."""
+    for name in TABLES:
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"{name}{suffix}")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts arrives as long nanos (parquet TIMESTAMP(NANOS) under
+        # nanosAsLong) or as a timestamp type (timestamp[us] testdata);
+        # normalize_event_ts projects either to the int64-nanos contract.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from dataproc_spark.core import normalize_event_ts
+
+        return normalize_event_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# selective-search instantiation on the star schema
+# ---------------------------------------------------------------------------

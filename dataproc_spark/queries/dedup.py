@@ -1,0 +1,692 @@
+"""Document dedup gates: exact, MinHash/SimHash, n-gram, clusters.
+
+Split out of the monolithic queries.py (r7); registry assembly lives in
+``dataproc_spark.queries`` (the package __init__).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from dataproc_spark.core import cartesian, maybe_broadcast
+from dataproc_spark.io import trec_frame
+from dataproc_spark.measures import num_retrieved, precision_at
+from dataproc_spark.selective import (
+    evaluate,
+    rank_selection,
+    resolve_bucket_selection,
+    select,
+    select_buckets,
+    select_with_decay,
+)
+from dataproc_spark import temporal
+from dataproc_spark.extensions import (
+    dedup,
+    sampling,
+    simsearch,
+    streaming,
+    textstats,
+)
+
+# ---------------------------------------------------------------------------
+# table access
+# ---------------------------------------------------------------------------
+
+#: every driver-generated testdata table
+
+from dataproc_spark.queries._tables import (  # noqa: F401
+    TABLES,
+    _t,
+    register_tables,
+)
+
+
+def q_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate diagnostics per source: docs, distinct texts,
+    and the duplicate permille — which crawl sources are redundant and
+    by how much, the number that decides where the expensive near-dup
+    passes are worth running. One aggregate (COUNT + COUNT DISTINCT on
+    the md5 fingerprint, never the body)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5(F.col("text").cast("binary")).alias("_fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_fp").alias("n_distinct"),
+        )
+        .select(
+            "source", "n_docs", "n_distinct",
+            F.expr("(n_docs - n_distinct) * 1000 div n_docs").alias("dup_m"),
+        )
+    )
+
+
+SQL_DEDUP_RATES = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000 // COUNT(*)
+            AS BIGINT) AS dup_m
+FROM documents
+GROUP BY source
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one surviving doc per distinct text (min id wins)."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (``corpus.corpus_diff``): v1 = ids not
+    divisible by 10, v2 = ids not divisible by 7 with every 5th text
+    amended — each id labeled added/removed/changed/unchanged via a
+    fingerprint full-outer join (bodies never shuffle)."""
+    from dataproc_spark.extensions.corpus import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+SQL_CORPUS_DIFF = """
+WITH v1 AS (
+    SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+),
+v2 AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                    ELSE text END) AS fp
+    FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT doc_id,
+       CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM v1 o FULL OUTER JOIN v2 n USING (doc_id)
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only: hash-family dependent).
+
+    32 hashes / 8 bands (r=4): candidate threshold ≈ (1/8)^(1/4) ≈ 0.6
+    Jaccard at the S-curve midpoint — appropriate for the 0.2 verify
+    threshold and half the signature cost of 64 hashes.
+    """
+    return dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, shingle_size=3,
+        num_hashes=32, bands=8,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: hash-family dependent)."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, bands=4, max_hamming=2
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: MinHash-LSH pairs → connected components →
+    keep one representative per cluster.
+
+    Uses the engine-portable md5 hash family (16 hashes / 4 bands, the
+    same family as ``dedup_minhash_portable``) so the ENTIRE pipeline —
+    which candidate pairs LSH surfaces, the component labels, and the
+    surviving representatives — is bit-reproduced by the DuckDB oracle
+    (portable-LSH pairs CTE + recursive reachability closure)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.2, shingle_size=3, num_hashes=16, bands=4,
+        portable=True, scale_m=1000,
+    )
+    return dedup.dedup_keep_representatives(docs, pairs).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+    FROM toks WHERE len(t) >= 3
+),
+sig AS (
+    SELECT doc_id, s,
+           list_transform(range(0, 16),
+               i -> list_aggregate(
+                   list_transform(s, x -> md5(x || '#' || i)), 'min')) AS sg
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, b.band AS band,
+           md5(array_to_string(
+               list_slice(sg, b.band * 4 + 1, b.band * 4 + 4), '|')) AS bhash
+    FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+),
+verified AS (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.s, sb.s)) AS i_n,
+           len(list_distinct(list_concat(sa.s, sb.s))) AS u_n
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+),
+pairs AS (
+    SELECT id_a, id_b FROM verified WHERE (i_n * 1000) // u_n >= 200
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+losers AS (SELECT node FROM comp WHERE node <> component)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+LEFT JOIN losers ON d.doc_id = losers.node
+WHERE losers.node IS NULL
+"""
+
+
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the engine-portable md5 hash family
+    — the hash-checked twin of ``dedup_minhash``.
+
+    Same shingle → signature → band → bucket-join → verify pipeline, but
+    hash family i = ``md5(shingle || '#' || i)`` ordered lexicographically
+    and integer milli-Jaccard scores, so DuckDB reproduces every bit
+    (including which candidate pairs LSH surfaces). 16 hashes / 4 bands
+    (r=4) keeps the oracle's md5 cost bounded while preserving the
+    S-curve midpoint ≈ (1/4)^(1/4) ≈ 0.7.
+    """
+    return dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, shingle_size=3,
+        num_hashes=16, bands=4, portable=True, scale_m=1000,
+    )
+
+
+SQL_DEDUP_MINHASH_PORTABLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+    FROM toks WHERE len(t) >= 3
+),
+sig AS (
+    SELECT doc_id, s,
+           list_transform(range(0, 16),
+               i -> list_aggregate(
+                   list_transform(s, x -> md5(x || '#' || i)), 'min')) AS sg
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, b.band AS band,
+           md5(array_to_string(
+               list_slice(sg, b.band * 4 + 1, b.band * 4 + 4), '|')) AS bhash
+    FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+),
+verified AS (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.s, sb.s)) AS i_n,
+           len(list_distinct(list_concat(sa.s, sb.s))) AS u_n
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, CAST((i_n * 1000) // u_n AS BIGINT) AS jaccard_m
+FROM verified WHERE (i_n * 1000) // u_n >= 200
+"""
+
+
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components + keep-representatives over *deterministic*
+    exact-Jaccard pairs — the hash-checked gate for the clustering stage
+    that ``dedup_clusters`` (LSH-dependent, rows-only) can't give.
+
+    The oracle emulates min-label propagation with a recursive CTE
+    (reachability closure, then min reachable id per node).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, min_shared=2, jaccard_threshold_m=100
+    )
+    return dedup.dedup_keep_representatives(docs, pairs).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_DEDUP_CC = r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 100
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+losers AS (SELECT node FROM comp WHERE node <> component)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+LEFT JOIN losers ON d.doc_id = losers.node
+WHERE losers.node IS NULL
+"""
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup diagnostics: the duplicate-cluster size histogram (how many
+    clusters of 2, of 3, ... — singletons excluded), over the same
+    deterministic exact-Jaccard pair graph as ``dedup_cc``. The first
+    thing to inspect before committing a dedup pass at corpus scale: a
+    heavy tail here means boilerplate families, not true duplicates.
+
+    Plan: connected components (bounded label propagation) → one count
+    per component → one count per size — each a partially-aggregated
+    hash aggregate on a frame no larger than the paired-document set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, min_shared=2, jaccard_threshold_m=100
+    )
+    comps = dedup.connected_components(pairs, id_a="id_a", id_b="id_b")
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
+
+
+SQL_DEDUP_CLUSTER_SIZES = r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 100
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+GROUP BY cluster_size
+"""
+
+
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the engine-portable md5_32 token-hash
+    family — the hash-checked twin of ``dedup_simhash``: DuckDB rebuilds
+    fingerprints bit-for-bit (hex-digit bit extraction), bands them the
+    same way, and verifies the same Hamming distances."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), bits=32, bands=4, max_hamming=2,
+        token_hash="md5_32",
+    )
+
+
+SQL_DEDUP_SIMHASH_PORTABLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+counts AS (
+    SELECT doc_id,
+           list_transform(range(0, 32), j ->
+               list_aggregate(list_transform(t, tok ->
+                   CASE WHEN ((strpos('0123456789abcdef',
+                                      substr(md5(tok), 8 - (j // 4), 1)) - 1)
+                              >> (j % 4)) & 1 = 1
+                        THEN 1 ELSE -1 END), 'sum')) AS c
+    FROM toks WHERE len(t) > 0
+),
+fp AS (
+    SELECT doc_id,
+           list_aggregate(list_transform(range(0, 32), j ->
+               CASE WHEN c[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j)
+                    ELSE 0 END), 'sum') AS simhash
+    FROM counts
+),
+banded AS (
+    SELECT doc_id, simhash, b.band AS band,
+           (simhash >> (b.band * 8)) & 255 AS bval
+    FROM fp, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           l.simhash AS ha, r.simhash AS hb
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥2
+    3-grams with the held-out eval slice (doc_id % 100 == 0) — per train
+    doc, how many eval docs it collides with and the worst overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.where(F.col("doc_id") % 100 == 0)
+    train = docs.where(F.col("doc_id") % 100 != 0)
+    pairs = dedup.contamination_pairs(train, evalset, n=3, min_shared=2)
+    return pairs.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("shared").alias("max_shared"),
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+hits AS (
+    SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS shared
+    FROM sh tr JOIN sh ev ON tr.s = ev.s
+    WHERE tr.doc_id % 100 <> 0 AND ev.doc_id % 100 = 0
+    GROUP BY tr.doc_id, ev.doc_id
+    HAVING COUNT(*) >= 2
+)
+SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+       CAST(MAX(shared) AS BIGINT) AS max_shared
+FROM hits GROUP BY train_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, min_shared=2,
+        jaccard_threshold_m=100,
+    )
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       CAST((shared * 1000) // (sa.n + sb.n - shared) AS BIGINT) AS jaccard_m
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 100
+"""
+
+
+def q_ngram_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs with the ``max_df`` stop-shingle cut:
+    shingles appearing in more than 4 documents are dropped before the
+    inverted-index self-join (the quadratic-posting-list mitigation at
+    100 TB — a shingle in d docs contributes d(d−1)/2 join rows), and
+    Jaccard is computed over the pruned shingle universe. At sf0.01 the
+    cutoff sits at the df distribution's p99, so the gate proves the
+    pruning actually bites while both engines agree on the result."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, min_shared=2,
+        jaccard_threshold_m=100, max_df=4,
+    )
+
+
+SQL_NGRAM_JACCARD_MAXDF = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh0 AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 4),
+sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       CAST((shared * 1000) // (sa.n + sb.n - shared) AS BIGINT) AS jaccard_m
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE (shared * 1000) // (sa.n + sb.n - shared) >= 100
+"""
+
+
+def q_decontaminate_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the train-side ``max_df`` stop-shingle cut:
+    3-grams in more than 3 TRAIN documents are dropped from both sides
+    before the cross-corpus join (a train-hot shingle multiplies every
+    eval doc containing it by its whole posting list)."""
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.where(F.col("doc_id") % 100 == 0)
+    train = docs.where(F.col("doc_id") % 100 != 0)
+    pairs = dedup.contamination_pairs(
+        train, evalset, n=3, min_shared=2, max_df=3
+    )
+    return pairs.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("shared").alias("max_shared"),
+    )
+
+
+SQL_DECONTAMINATE_MAXDF = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+hot AS (
+    SELECT s FROM sh WHERE doc_id % 100 <> 0 GROUP BY s HAVING COUNT(*) > 3
+),
+kept AS (SELECT * FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+hits AS (
+    SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS shared
+    FROM kept tr JOIN kept ev ON tr.s = ev.s
+    WHERE tr.doc_id % 100 <> 0 AND ev.doc_id % 100 = 0
+    GROUP BY tr.doc_id, ev.doc_id
+    HAVING COUNT(*) >= 2
+)
+SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+       CAST(MAX(shared) AS BIGINT) AS max_shared
+FROM hits GROUP BY train_id
+"""
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage removal: strip every token inside a
+    3-gram shared by ≥2 documents (boilerplate/license/navigation chrome)
+    while keeping the documents themselves — the within-document
+    counterpart of the whole-document dedup family (Lee et al.-style
+    passage dedup, bounded to n-grams so it stays relational)."""
+    from dataproc_spark.extensions import corpus
+
+    return corpus.remove_repeated_spans(
+        _t(spark, sf_dir, "documents"), n=3, min_df=2
+    )
+
+
+SQL_DEDUP_SPANS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+g1 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+               i -> {'pos': i - 1,
+                     'g': array_to_string(list_slice(t, i, i + 2), ' ')})) AS s
+    FROM toks WHERE len(t) >= 3
+),
+grams AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM g1),
+hot AS (
+    SELECT g
+    FROM (SELECT g, COUNT(DISTINCT doc_id) AS dfd FROM grams GROUP BY g)
+    WHERE dfd >= 2
+),
+cov AS (
+    SELECT DISTINCT gr.doc_id, gr.pos + o.d AS cpos
+    FROM grams gr
+    JOIN hot USING (g)
+    CROSS JOIN (SELECT unnest(range(0, 3)) AS d) o
+),
+covl AS (SELECT doc_id, list(cpos) AS cl FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(len(c.cl), 0) AS BIGINT) AS n_removed,
+       -- COALESCE: array_to_string([]) is NULL in DuckDB where Spark's
+       -- array_join([]) is '' (fully-boilerplate docs hit this)
+       COALESCE(array_to_string(
+           list_transform(
+               list_filter(range(1, len(t.t) + 1),
+                           i -> c.cl IS NULL OR NOT list_contains(c.cl, i - 1)),
+               i -> t.t[i]),
+           ' '), '') AS text_clean
+FROM toks t LEFT JOIN covl c USING (doc_id)
+"""

@@ -1,0 +1,1446 @@
+"""Text/corpus-pipeline gates: stats, quality, sampling, packing, multimodal.
+
+Split out of the monolithic queries.py (r7); registry assembly lives in
+``dataproc_spark.queries`` (the package __init__).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from dataproc_spark.core import cartesian, maybe_broadcast
+from dataproc_spark.io import trec_frame
+from dataproc_spark.measures import num_retrieved, precision_at
+from dataproc_spark.selective import (
+    evaluate,
+    rank_selection,
+    resolve_bucket_selection,
+    select,
+    select_buckets,
+    select_with_decay,
+)
+from dataproc_spark import temporal
+from dataproc_spark.extensions import (
+    dedup,
+    sampling,
+    simsearch,
+    streaming,
+    textstats,
+)
+
+# ---------------------------------------------------------------------------
+# table access
+# ---------------------------------------------------------------------------
+
+#: every driver-generated testdata table
+
+from dataproc_spark.queries._tables import (  # noqa: F401
+    TABLES,
+    _t,
+    register_tables,
+)
+
+
+def q_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions in one per-order pass: collect the
+    sorted quantity list, then aggregate / transform / filter / exists /
+    forall / zip_with(reverse) — the array-processing surface every
+    nested-data pipeline leans on, all JVM-side (no UDFs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.col("l_quantity").cast("long"))
+        ).alias("qs")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.aggregate(
+            "qs", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_qty"),
+        F.size(F.filter("qs", lambda x: x > 25)).cast("long").alias("n_big"),
+        F.aggregate(
+            F.transform("qs", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.exists("qs", lambda x: x == 50).cast("int").alias("has_50"),
+        F.forall("qs", lambda x: x > 0).cast("int").alias("all_pos"),
+        F.aggregate(
+            F.zip_with("qs", F.reverse("qs"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_cross"),
+    )
+
+
+SQL_HOF_SUITE = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(list_aggregate(qs, 'sum') AS BIGINT) AS total_qty,
+       CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS n_big,
+       CAST(list_aggregate(list_transform(qs, x -> x * x), 'sum')
+            AS BIGINT) AS sum_sq,
+       CAST(CASE WHEN list_contains(qs, 50) THEN 1 ELSE 0 END AS INTEGER)
+           AS has_50,
+       CAST(CASE WHEN len(list_filter(qs, x -> x <= 0)) = 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS all_pos,
+       CAST(list_aggregate(list_transform(range(1, len(qs) + 1),
+                i -> qs[i] * qs[len(qs) + 1 - i]), 'sum') AS BIGINT)
+           AS sum_cross
+FROM per_order
+"""
+
+
+def q_sql_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User extensibility on the SQL surface: a vectorized (Arrow)
+    pandas UDF registered into the session catalog and called from a
+    SQL STRING — the escape hatch for logic the built-ins can't
+    express, in its production form (batched, not row-at-a-time). The
+    token rule mirrors ``textstats.token_count`` so the oracle is
+    plain SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _tok(s):
+        return s.str.split().str.len().astype("int64")
+
+    # real annotation objects: the module-level `from __future__ import
+    # annotations` would stringify inline hints, which the pandas_udf
+    # signature inference rejects
+    _tok.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    tok_count = pandas_udf(_tok, "long")
+    spark.udf.register("tok_count", tok_count)
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT source, CAST(SUM(tok_count(text)) AS BIGINT) AS total_tokens,
+               CAST(MAX(tok_count(text)) AS BIGINT) AS max_tokens
+        FROM documents_v
+        GROUP BY source
+    """)
+
+
+SQL_SQL_UDF_TOKENS = r"""
+SELECT source,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(MAX(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> ''))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile profile (p25/p50/p75/p95 of token counts per
+    lang) — ``median_tokens`` generalized: ONE histogram aggregate, the
+    quantile list exploded over the tiny (lang, value) histogram, each
+    quantile picked by rank-range intersection. percentile_disc
+    semantics (k = ceil(q·n/100)); raw rows never see a window."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select("lang", F.size(dedup.tokens("text")).alias("n_tokens"))
+    hist = feats.groupBy("lang", "n_tokens").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = Window.partitionBy("lang").orderBy("n_tokens")
+    w_all = Window.partitionBy("lang")
+    cum = (
+        hist.withColumn("_cum", F.sum("_c").over(w_cum))
+        .withColumn("_n", F.sum("_c").over(w_all))
+    )
+    return (
+        cum.select(
+            "*",
+            F.explode(F.array(*[F.lit(x) for x in (25, 50, 75, 95)]))
+            .alias("q"),
+        )
+        .withColumn("_k", F.expr("(q * _n + 99) div 100"))
+        .where(
+            (F.col("_cum") >= F.col("_k"))
+            & (F.col("_cum") - F.col("_c") < F.col("_k"))
+        )
+        .select(
+            "lang", "q",
+            F.col("n_tokens").alias("value"),
+            F.col("_n").alias("n_docs"),
+        )
+    )
+
+
+SQL_TOKEN_QUANTILES = r"""
+WITH feats AS (
+    SELECT lang,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT lang, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS cnt
+    FROM feats
+)
+SELECT lang, q, CAST(n_tokens AS BIGINT) AS value,
+       CAST(cnt AS BIGINT) AS n_docs
+FROM ranked, (SELECT unnest([25, 50, 75, 95]) AS q)
+WHERE rn = (q * cnt + 99) // 100
+"""
+
+
+def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman-style rank correlation (integer permille) between
+    document length and token count per source — the corpus-statistics
+    sanity check ("does feature A actually track feature B in this
+    slice"). Ranks are total-ordered (value, doc_id) so ties resolve
+    identically in both engines; ``rho_m = 1000 − 6000·Σd² div
+    n(n²−1)``. Both rank windows share the source partition; the
+    aggregate is one shuffle on source. The ratio goes through
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): the worst case is
+    ``6000·Σd²`` with ``Σd² ≈ n³/3``, i.e. ``2000·n³`` — in 64-bit
+    that wraps silently past per-group n ≈ 1.6·10⁵, far too low for a
+    corpus slice; 128-bit holds to n ≈ 3·10¹¹."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "source", "doc_id", "n_chars",
+        F.size(dedup.tokens("text")).alias("n_tokens"),
+    )
+    wa = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wb = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = feats.select(
+        "source",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+            ).alias("sum_d2"),
+        )
+        .where(F.col("n") >= 2)
+        .select(
+            "source", "n",
+            F.expr(
+                "1000 - (6000 * cast(sum_d2 as decimal(38,0))) div "
+                "(cast(n as decimal(38,0)) * "
+                " (cast(n as decimal(38,0)) * n - 1))"
+            ).alias("rho_m"),
+        )
+    )
+
+
+SQL_RANK_CORRELATION = r"""
+WITH feats AS (
+    SELECT source, doc_id, n_chars,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS ra,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_tokens, doc_id) AS rb
+    FROM feats
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(1000 - (6000 * CAST(SUM((ra - rb) * (ra - rb)) AS HUGEINT))
+            // (CAST(COUNT(*) AS HUGEINT)
+                * (CAST(COUNT(*) AS HUGEINT) * COUNT(*) - 1))
+            AS BIGINT) AS rho_m
+FROM ranked
+GROUP BY source
+HAVING COUNT(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents (dedup + text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (token/char counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("sum_chars"),
+        F.sum(textstats.token_count().cast("long")).alias("sum_tokens"),
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS sum_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 tokens by frequency (explode → agg → top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(dedup.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return counts.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 20
+    )
+
+
+SQL_TOKEN_TOPK = r"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+    FROM documents
+),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token)
+SELECT token, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rnk
+FROM counts
+QUALIFY rnk <= 20
+"""
+
+
+def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword language-ID heuristic vs the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", textstats.predicted_lang("text"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_LANG_SCORE_SQL = {
+    "en": "((length(text) - length(replace(text, ' the ', ''))) // 5"
+          " + (length(text) - length(replace(text, ' and ', ''))) // 5"
+          " + (length(text) - length(replace(text, ' of ', ''))) // 4)",
+    "de": "((length(text) - length(replace(text, ' der ', ''))) // 5"
+          " + (length(text) - length(replace(text, ' und ', ''))) // 5"
+          " + (length(text) - length(replace(text, ' die ', ''))) // 5)",
+    "fr": "((length(text) - length(replace(text, ' le ', ''))) // 4"
+          " + (length(text) - length(replace(text, ' et ', ''))) // 4"
+          " + (length(text) - length(replace(text, ' la ', ''))) // 4)",
+    "es": "((length(text) - length(replace(text, ' el ', ''))) // 4"
+          " + (length(text) - length(replace(text, ' y ', ''))) // 3"
+          " + (length(text) - length(replace(text, ' de la ', ''))) // 7)",
+}
+
+
+SQL_LANG_PREDICT = f"""
+WITH scored AS (
+    SELECT lang,
+           {_LANG_SCORE_SQL['en']} AS s_en,
+           {_LANG_SCORE_SQL['de']} AS s_de,
+           {_LANG_SCORE_SQL['fr']} AS s_fr,
+           {_LANG_SCORE_SQL['es']} AS s_es
+    FROM documents
+),
+pred AS (
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM scored
+)
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, pred_lang
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint uniqueness per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", textstats.doc_fingerprint("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+        )
+    )
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_distinct_fp
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-feature binning: docs per 100-char bin with token sums."""
+    docs = textstats.quality_features(_t(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn("chars_bin", F.expr("n_chars_m div 100"))
+        .groupBy("chars_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("sum_tokens"),
+            F.sum("mean_tok_len_c").alias("sum_mtl_c"),
+        )
+    )
+
+
+SQL_DOC_QUALITY = r"""
+WITH feat AS (
+    SELECT length(text) AS n_chars_m,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+    FROM documents
+),
+feat2 AS (
+    SELECT n_chars_m, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(FLOOR(((n_chars_m - n_tokens + 1) * 100.0) / n_tokens) AS BIGINT)
+                ELSE 0 END AS mean_tok_len_c
+    FROM feat
+)
+SELECT n_chars_m // 100 AS chars_bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(mean_tok_len_c) AS BIGINT) AS sum_mtl_c
+FROM feat2 GROUP BY chars_bin
+"""
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction (byte length + first code unit)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.ascii(F.col("text")).cast("int").alias("first_code"),
+    )
+
+
+SQL_MULTIMODAL_BYTES = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(ascii(text) AS INTEGER) AS first_code
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal Arrow path: every doc_id
+    becomes a small RGB frame (pixel ``k`` = ``(doc_id*31 + k) % 256``)
+    encoded as an actual PNG (even ids — zlib deflate, filter bytes) or
+    binary PPM (odd ids) on one ``mapInPandas`` stage, then DECODED —
+    zlib inflate + defilter / header parse, no image library — on a
+    second, emitting exact-integer pixel statistics. The oracle
+    reproduces the stats from the pixel arithmetic alone, so a decoder
+    bug (wrong stride, off-by-one filter, bad header parse) hash-fails.
+
+    Ref parity: the reference has no multimodal surface; this implements
+    the LLM-pipeline mandate (binary columns + typed metadata + Arrow
+    decode stages) with the codec now real for PNG/PPM.
+    """
+    from dataproc_spark.extensions.multimodal import (
+        decode_image_stats,
+        synthesize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_stats(synthesize_images(docs))
+
+
+SQL_MULTIMODAL_DECODE = """
+WITH px AS (
+    SELECT doc_id,
+           unnest(range(0, (4 + doc_id % 13) * (3 + doc_id % 7) * 3)) AS k
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(4 + doc_id % 13 AS INTEGER) AS width,
+       CAST(3 + doc_id % 7 AS INTEGER) AS height,
+       3 AS channels,
+       CAST((4 + doc_id % 13) * (3 + doc_id % 7) AS BIGINT) AS n_pixels,
+       CAST(sum((doc_id * 31 + k) % 256) AS BIGINT) AS pixel_sum,
+       CAST(min((doc_id * 31 + k) % 256) AS INTEGER) AS pixel_min,
+       CAST(max((doc_id * 31 + k) % 256) AS INTEGER) AS pixel_max
+FROM px
+GROUP BY doc_id
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize fused on one Arrow stage
+    (``multimodal.resize_image_stats``): every synthesized frame is
+    decoded (real PNG/PPM codec) and resampled to 8×8 with the
+    floor-index NN rule, emitting exact-integer stats. The oracle
+    replays the resampled pixel set from the synthesis arithmetic +
+    the same integer index mapping — a wrong stride or off-by-one
+    resample hash-fails."""
+    from dataproc_spark.extensions.multimodal import (
+        resize_image_stats,
+        synthesize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return resize_image_stats(synthesize_images(docs), width=8, height=8)
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH tgt AS (
+    SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, ty, tx, ch
+    FROM documents,
+         (SELECT unnest(range(0, 8)) AS ty) a,
+         (SELECT unnest(range(0, 8)) AS tx) b,
+         (SELECT unnest(range(0, 3)) AS ch) c
+),
+px AS (
+    SELECT doc_id,
+           (doc_id * 31 + (((ty * h // 8) * w + (tx * w // 8)) * 3 + ch))
+           % 256 AS v
+    FROM tgt
+)
+SELECT doc_id AS media_id,
+       8 AS width, 8 AS height, 3 AS channels,
+       CAST(64 AS BIGINT) AS n_pixels,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MIN(v) AS INTEGER) AS pixel_min,
+       CAST(MAX(v) AS INTEGER) AS pixel_max
+FROM px
+GROUP BY doc_id
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training
+    (``textstats.bpe_learn_merges``): one corpus-sized (word, freq)
+    aggregate, then 3 merge rounds of pair-count + argmax on the
+    vocabulary table. The oracle replays all three rounds — pair
+    explode, frequency argmax with lexicographic tie-break, and the
+    sentinel-space replace — as chained CTEs."""
+    merges = textstats.bpe_learn_merges(
+        _t(spark, sf_dir, "documents"), n_merges=3
+    )
+    return spark.createDataFrame(
+        merges, schema="rank int, lhs string, rhs string, pair_freq long"
+    )
+
+
+SQL_BPE_MERGES = r"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents
+),
+words1 AS (
+    SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS r,
+           COUNT(*) AS freq
+    FROM toks GROUP BY w
+),
+p1 AS (
+    SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
+    FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM words1) t,
+         unnest(range(1, len(t.s))) u(i)
+    GROUP BY 1, 2
+),
+b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+words2 AS (
+    SELECT replace(r, ' ' || b1.a || ' ' || b1.b || ' ',
+                   ' ' || b1.a || b1.b || ' ') AS r, freq
+    FROM words1, b1
+),
+p2 AS (
+    SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
+    FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM words2) t,
+         unnest(range(1, len(t.s))) u(i)
+    GROUP BY 1, 2
+),
+b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+words3 AS (
+    SELECT replace(r, ' ' || b2.a || ' ' || b2.b || ' ',
+                   ' ' || b2.a || b2.b || ' ') AS r, freq
+    FROM words2, b2
+),
+p3 AS (
+    SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
+    FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM words3) t,
+         unnest(range(1, len(t.s))) u(i)
+    GROUP BY 1, 2
+),
+b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+SELECT 0 AS rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_freq FROM b1
+UNION ALL
+SELECT 1, a, b, CAST(cnt AS BIGINT) FROM b2
+UNION ALL
+SELECT 2, a, b, CAST(cnt AS BIGINT) FROM b3
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 hash ranges —
+    stable under corpus growth and cluster layout; counts per split."""
+    split_df = sampling.hash_split(
+        _t(spark, sf_dir, "documents"), "doc_id", "r2split"
+    )
+    return split_df.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# cutoffs are frac_to_hex(0.8) / frac_to_hex(0.9): floor(f * 16^8) in hex
+
+
+SQL_HASH_SPLIT = """
+WITH h AS (
+    SELECT lang,
+           substr(md5(CAST(doc_id AS VARCHAR) || '#r2split'), 1, 8) AS hx
+    FROM documents
+)
+SELECT CASE WHEN hx < 'cccccccc' THEN 'train'
+            WHEN hx < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sample (hash order): 2 documents
+    per (lang, source) cell."""
+    return sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], k=2,
+        id_col="doc_id", salt="strat",
+    ).select("doc_id", "lang", "source")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH r AS (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 8),
+                        doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT doc_id, lang, source FROM r WHERE rn <= 2
+"""
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic corpus sample (map-only, no shuffle): membership
+    depends only on md5(doc_id + salt), so reruns and corpus growth never
+    reshuffle the sample."""
+    return sampling.deterministic_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "s1", fraction=0.1
+    ).select("doc_id", "lang", "source")
+
+
+# cutoff is frac_to_hex(0.1) = floor(0.1 * 16^8) = 0x19999999
+
+
+SQL_DOC_SAMPLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#s1'), 1, 8) < '19999999'
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals aggregated per lang: duplicate-token and
+    top-bigram fractions (×1000 exact integers)."""
+    feats = textstats.repetition_features(_t(spark, sf_dir, "documents"))
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dup_token_m").alias("sum_dup_token_m"),
+        F.max("top_bigram_m").alias("max_top_bigram_m"),
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH toks AS (
+    SELECT lang,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT lang, t,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END AS b
+    FROM toks
+),
+feats AS (
+    SELECT lang,
+           CASE WHEN len(t) > 0
+                THEN ((len(t) - len(list_distinct(t))) * 1000) // len(t)
+                ELSE 0 END AS dup_token_m,
+           CASE WHEN len(t) >= 2
+                THEN (list_max(list_transform(list_distinct(b),
+                         d -> len(list_filter(b, x -> x = d)))) * 1000)
+                     // (len(t) - 1)
+                ELSE 0 END AS top_bigram_m
+    FROM bg
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup_token_m) AS BIGINT) AS sum_dup_token_m,
+       CAST(MAX(top_bigram_m) AS BIGINT) AS max_top_bigram_m
+FROM feats GROUP BY lang
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source deterministic sampling
+    rates (e.g. upsample src0, drop most of src1), counts per source."""
+    out = sampling.mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        fractions={"src0": 1.0, "src1": 0.25, "src2": 0.5},
+        group_col="source", id_col="doc_id", salt="mix1", default=0.1,
+    )
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# cutoffs: frac_to_hex of 1.0 / 0.25 / 0.5 / 0.1 — 'g' sorts above every
+# hex char, so fraction 1.0 keeps all rows under lexicographic compare
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH h AS (
+    SELECT source,
+           substr(md5(CAST(doc_id AS VARCHAR) || '#mix1'), 1, 8) AS hx
+    FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h
+WHERE hx < CASE source WHEN 'src0' THEN 'g'
+                       WHEN 'src1' THEN '40000000'
+                       WHEN 'src2' THEN '80000000'
+                       ELSE '19999999' END
+GROUP BY source
+"""
+
+
+def q_salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe token frequency: `skew.salted_agg` two-phase aggregation
+    (groupBy (token, salt) partials → re-aggregate) for hot tokens, top-20
+    by count. The oracle computes the plain single-phase aggregate — a
+    value-exact proof that salting is semantics-preserving."""
+    from dataproc_spark import skew
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(dedup.tokens("text")).alias("token")
+    )
+    counts = skew.salted_agg(
+        toks, ["token"], {"n": F.count(F.lit(1))}, salt=8
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("token", F.col("n").cast("long").alias("n"), "rnk")
+    )
+
+
+SQL_SALTED_TOKEN_COUNTS = r"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS token
+    FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+ranked AS (
+    SELECT token, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk
+    FROM counts
+)
+SELECT token, CAST(n AS BIGINT) AS n, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 20
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document (exact-integer tf/df
+    surrogate; first 50 docs to keep the gate output bounded)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return textstats.tfidf_top_terms(docs, k=3)
+
+
+SQL_TFIDF_TOPK = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS term
+    FROM documents WHERE doc_id < 50
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           (t.tf * 1000000) // d.df AS score_m,
+           ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY (t.tf * 1000000) // d.df DESC, t.term ASC
+           ) AS rnk
+    FROM tf t JOIN dfreq d USING (term)
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_m AS BIGINT) AS score_m, CAST(rnk AS INTEGER) AS rnk
+FROM scored WHERE rnk <= 3
+"""
+
+
+def q_median_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (lower median / percentile_disc style): the
+    ((n+1) div 2)-th smallest token count per lang. Exact distributed
+    quantiles via rank-selection — deterministic, unlike approx sketches;
+    the picked *value* is tie-order independent."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select("lang", F.size(dedup.tokens("text")).alias("n_tokens"))
+    # Scale-safe exact quantile: aggregate to a (lang, value) HISTOGRAM
+    # first — the shuffle is bounded by distinct values, and the window
+    # sort below runs over that tiny histogram, never the raw rows. A
+    # row_number window partitioned by lang would sort an entire
+    # language's corpus on ONE task (English = one straggler at 100 TB).
+    hist = feats.groupBy("lang", "n_tokens").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = Window.partitionBy("lang").orderBy("n_tokens")
+    w_all = Window.partitionBy("lang")
+    return (
+        hist.withColumn("_cum", F.sum("_c").over(w_cum))
+        .withColumn("_n", F.sum("_c").over(w_all))
+        .withColumn("_k", F.expr("(_n + 1) div 2"))
+        # the value whose cumulative rank range [_cum - _c + 1, _cum]
+        # covers the lower-median rank k — exactly one row per lang
+        .where(
+            (F.col("_cum") >= F.col("_k"))
+            & (F.col("_cum") - F.col("_c") < F.col("_k"))
+        )
+        .select(
+            "lang",
+            F.col("n_tokens").alias("median_tokens"),
+            F.col("_n").alias("n_docs"),
+        )
+    )
+
+
+SQL_MEDIAN_TOKENS = r"""
+WITH feats AS (
+    SELECT lang,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT lang, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS cnt
+    FROM feats
+)
+SELECT lang, CAST(n_tokens AS INTEGER) AS median_tokens,
+       CAST(cnt AS BIGINT) AS n_docs
+FROM ranked WHERE rn = (cnt + 1) // 2
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for LLM training batches: per-source
+    in-order char-budget bins; reports per-bin fill. The greedy walk is
+    sequential per group (applyInPandas), groups parallelize; the oracle
+    replays the walk with a recursive CTE carrying (bin, fill) state."""
+    from dataproc_spark.extensions import packing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    packed = packing.pack_greedy(docs, size_col="n_chars", budget=1000)
+    return packing.pack_stats(packed, size_col="n_chars")
+
+
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE d AS (
+    SELECT source, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+),
+walk AS (
+    SELECT source, n_chars, rn, CAST(0 AS BIGINT) AS bin_id,
+           CAST(n_chars AS BIGINT) AS acc
+    FROM d WHERE rn = 1
+    UNION ALL
+    SELECT d.source, d.n_chars, d.rn,
+           CASE WHEN w.acc > 0 AND w.acc + d.n_chars > 1000
+                THEN w.bin_id + 1 ELSE w.bin_id END,
+           CASE WHEN w.acc > 0 AND w.acc + d.n_chars > 1000
+                THEN CAST(d.n_chars AS BIGINT) ELSE w.acc + d.n_chars END
+    FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+)
+SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM walk GROUP BY source, bin_id
+"""
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model table: corpus-wide bigram counts with the
+    top-3 continuations per leading token (support ≥ 10). Explode →
+    partial+final hash aggregate → partial top-k per w1.
+
+    Shuffle-key audit (r6): unlike ``doc_novelty``/``ngram_jaccard``,
+    the (w1, w2) strings ARE the output payload here — hashing the
+    grouping key would not narrow the exchange because the strings must
+    travel to the reducers anyway. Partial (map-side) aggregation
+    already collapses repeats before the shuffle; raw keys are correct.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = dedup.tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    counts = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 10)
+    )
+    w = Window.partitionBy("w1").orderBy(F.col("cnt").desc(), F.col("w2").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("w1", "w2", F.col("cnt").cast("long").alias("cnt"), "rnk")
+    )
+
+
+SQL_BIGRAM_LM = r"""
+WITH toks AS (
+    SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+    FROM toks WHERE len(t) >= 2
+),
+counts AS (
+    SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS cnt
+    FROM bg GROUP BY b.w1, b.w2 HAVING COUNT(*) >= 10
+),
+ranked AS (
+    SELECT w1, w2, cnt,
+           ROW_NUMBER() OVER (
+               PARTITION BY w1 ORDER BY cnt DESC, w2 ASC
+           ) AS rnk
+    FROM counts
+)
+SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality filtering: C4/Gopher-style keep rules over the
+    quality features, reported as kept/dropped counts per lang."""
+    docs = textstats.quality_features(_t(spark, sf_dir, "documents"))
+    kept = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 1000)
+        & (F.col("mean_tok_len_c") >= 200)
+        & (F.col("mean_tok_len_c") <= 900)
+        & (F.col("digit_ratio_m") < 300)
+    )
+    return (
+        docs.withColumn("kept", kept.cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+        )
+    )
+
+
+SQL_QUALITY_FILTER = r"""
+WITH feat AS (
+    SELECT lang, length(text) AS n_chars,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+    FROM documents
+),
+feat2 AS (
+    SELECT lang, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(FLOOR(((n_chars - n_tokens + 1) * 100.0) / n_tokens) AS BIGINT)
+                ELSE 0 END AS mean_tok_len_c,
+           CASE WHEN n_chars > 0
+                THEN CAST(FLOOR((n_digits * 1000.0) / n_chars) AS BIGINT)
+                ELSE 0 END AS digit_ratio_m
+    FROM feat
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_tokens BETWEEN 10 AND 1000
+                      AND mean_tok_len_c BETWEEN 200 AND 900
+                      AND digit_ratio_m < 300
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM feat2 GROUP BY lang
+"""
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus prep pipeline as ONE lazy plan:
+    quality filter (C4/Gopher rules) → exact dedup (min-id winner per
+    content hash) → deterministic train/val/test split → per-(split, lang)
+    corpus accounting. Composes four operator families; Catalyst fuses the
+    map-side stages, and the only shuffles are the dedup aggregate and the
+    final counts."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = textstats.quality_features(docs)
+    kept = feats.where(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 1000)
+        & (F.col("mean_tok_len_c") >= 200)
+        & (F.col("mean_tok_len_c") <= 900)
+        & (F.col("digit_ratio_m") < 300)
+    )
+    winners = dedup.exact_dedup(kept).select("doc_id")
+    deduped = kept.join(maybe_broadcast(winners), "doc_id", "left_semi")
+    split = sampling.hash_split(deduped, "doc_id", "prep")
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+SQL_CORPUS_PREP = r"""
+WITH feat AS (
+    SELECT doc_id, lang, text, n_chars, length(text) AS len_c,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+    FROM documents
+),
+feat2 AS (
+    SELECT doc_id, lang, text, n_chars, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(FLOOR(((len_c - n_tokens + 1) * 100.0) / n_tokens) AS BIGINT)
+                ELSE 0 END AS mean_tok_len_c,
+           CASE WHEN len_c > 0
+                THEN CAST(FLOOR((n_digits * 1000.0) / len_c) AS BIGINT)
+                ELSE 0 END AS digit_ratio_m
+    FROM feat
+),
+kept AS (
+    SELECT doc_id, lang, text, n_chars FROM feat2
+    WHERE n_tokens BETWEEN 10 AND 1000
+      AND mean_tok_len_c BETWEEN 200 AND 900
+      AND digit_ratio_m < 300
+),
+winners AS (
+    SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+dd AS (
+    SELECT k.doc_id, k.lang, k.n_chars
+    FROM kept k JOIN winners w ON k.doc_id = w.doc_id
+),
+sp AS (
+    SELECT lang, n_chars,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#prep'), 1, 8)
+                     < 'cccccccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#prep'), 1, 8)
+                     < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM dd
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM sp GROUP BY split, lang
+"""
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token budgeting: BPE-style pre-token counts per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(textstats.bpe_token_count().cast("long")).alias("sum_bpe_tokens"),
+        F.max(textstats.bpe_token_count().cast("long")).alias("max_bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_STATS = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens,
+       CAST(MAX(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS max_bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking (`corpus.chunk_documents`): each doc split
+    into consecutive 64-token training chunks; map-only (explode over the
+    chunk count, not the token count). The oracle re-derives every chunk
+    via DuckDB list slicing — token boundaries, short final chunks, and
+    empty-doc exclusion all value-checked."""
+    from dataproc_spark.extensions import corpus
+
+    return corpus.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64
+    )
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+), nz AS (
+    SELECT doc_id, t, CAST(ceil(len(t) / 64.0) AS INTEGER) AS n_chunks
+    FROM toks WHERE len(t) > 0
+), ex AS (
+    SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_id FROM nz
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       array_to_string(t[(chunk_id * 64 + 1):((chunk_id + 1) * 64)], ' ')
+           AS chunk_text,
+       CAST(len(t[(chunk_id * 64 + 1):((chunk_id + 1) * 64)]) AS INTEGER)
+           AS n_tokens
+FROM ex
+"""
+
+
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (`corpus.shuffle_order`): every doc
+    gets a reproducible (shard, pos) epoch coordinate from md5 — one hash
+    shuffle + per-shard numbering, never a global sort. The oracle
+    recomputes the same permutation in DuckDB (md5 is engine-portable),
+    proving order is content-derived, not partitioning-derived."""
+    from dataproc_spark.extensions import corpus
+
+    return corpus.shuffle_order(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        id_col="doc_id",
+        salt="epoch0",
+        n_shards=16,
+    )
+
+
+SQL_SHUFFLE_ORDER = """
+WITH h AS (
+    SELECT doc_id, source,
+           substr(md5(CAST(doc_id AS VARCHAR) || '#epoch0'), 1, 8) AS hx
+    FROM documents
+)
+SELECT doc_id, source,
+       CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS INTEGER)
+           AS shard,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY substr(hx, 1, 1) ORDER BY hx, doc_id
+       ) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build (`corpus.inverted_index`): term → (doc, tf,
+    sorted 0-based positions) postings, min_tf=2 pruning the singleton
+    tail. posexplode → one hash aggregate on the term; the oracle
+    re-derives positions with generate_subscripts."""
+    from dataproc_spark.extensions import corpus
+
+    return corpus.inverted_index(
+        _t(spark, sf_dir, "documents"), min_tf=2
+    )
+
+
+SQL_INVERTED_INDEX = r"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+), toks AS (
+    SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+    FROM base
+)
+SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+       array_to_string(list_sort(list(pos)), ',') AS positions
+FROM toks GROUP BY term, doc_id HAVING COUNT(*) >= 2
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (`corpus.redact_pii`): email/IPv4/digit-run tokens,
+    map-only regexp chain. Emits md5 of the redacted text (compact exact
+    comparison) + per-pattern counts; the oracle replays the same
+    engine-portable regexes in DuckDB (RE2 vs Java regex parity is the
+    thing being proven — patterns avoid lookbehind/backreferences)."""
+    from dataproc_spark.extensions import corpus
+
+    red = corpus.redact_pii(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return red.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("redacted_md5"),
+        "n_emails",
+        "n_ips",
+        "n_numruns",
+    )
+
+
+SQL_REDACT_PII = r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\d[\d\- ]{7,}\d', '<NUM>', 'g')) AS redacted_md5,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+       CAST(len(regexp_extract_all(text,
+           '\d[\d\- ]{7,}\d')) AS INTEGER) AS n_numruns
+FROM documents
+"""
+
+
+def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: keep the highest-quality documents whose
+    cumulative token count fits a global training budget (here 20 000
+    tokens; quality = alphabetic-character permille, ties by doc_id) —
+    the data-selection step between scoring and training.
+
+    Semantics are ONE cumulative window ordered (score desc, doc_id asc);
+    the oracle states exactly that. ``analytics.select_under_budget``
+    decomposes it scale-safely (histogram running total + per-bucket
+    windows — no global sort of raw documents; plan shape pinned by
+    test)."""
+    from dataproc_spark.extensions.analytics import select_under_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.size(dedup.tokens("text")).cast("long").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN length(text) > 0 THEN"
+            " (length(regexp_replace(text, '[^A-Za-z]', '')) * 1000)"
+            " div length(text) ELSE 0 END"
+        )
+        .cast("long")
+        .alias("score_m"),
+    )
+    return select_under_budget(feats, budget=20_000).withColumnRenamed(
+        "cum_weight", "cum_tokens"
+    )
+
+
+SQL_SELECT_TOKEN_BUDGET = r"""
+WITH feats AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tokens,
+           CASE WHEN len(text) > 0
+                THEN (len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000)
+                     // len(text)
+                ELSE 0 END AS score_m
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, score_m, n_tokens,
+           SUM(n_tokens) OVER (
+               ORDER BY score_m DESC, doc_id ASC ROWS UNBOUNDED PRECEDING
+           ) AS cum_tokens
+    FROM feats
+)
+SELECT doc_id, CAST(score_m AS BIGINT) AS score_m,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= 20000
+"""
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative novelty score: the fraction of a document's
+    distinct bigrams that appear in fewer than 3 documents (in exact
+    integer permille). High novelty flags gibberish/noise (bigrams no
+    other document uses); low novelty flags boilerplate — the
+    integer-exact, cross-engine-checkable stand-in for the perplexity
+    filters (CCNet-style) whose float log-probs can't hash-match across
+    engines. One map-only bigram explode + one df aggregate + one
+    per-doc aggregate; docs with no bigrams are excluded (undefined
+    score). Implementation: ``textstats.rare_bigram_stats``."""
+    return textstats.rare_bigram_stats(
+        _t(spark, sf_dir, "documents"), min_df=3
+    )
+
+
+SQL_DOC_NOVELTY = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(t)),
+               i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS bg
+    FROM toks WHERE len(t) >= 2
+),
+dfc AS (SELECT bg, COUNT(*) AS dfd FROM bg GROUP BY bg)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN dfd < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN dfd < 3 THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+            AS BIGINT) AS novelty_m
+FROM bg JOIN dfc USING (bg)
+GROUP BY doc_id
+"""
+
+
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: decile buckets of document length within each
+    language (NTILE semantics under a total order — deterministic in any
+    engine), then per-(lang, decile) counts and length ranges. The
+    data-ordering step for curriculum / length-bucketed training schedules.
+
+    Scale-safe exact plan: rather than `ntile` over the raw rows (which
+    sorts an entire language on ONE task), aggregate to a (lang, n_chars)
+    histogram, window over that tiny histogram to get each value's rank
+    range, and intersect the range with NTILE's closed-form bucket
+    boundaries (first n%10 buckets get n div 10 + 1 rows). The per-decile
+    count/min/max depend only on how many rows of each value fall in each
+    decile, so the result is bit-identical to raw-row NTILE regardless of
+    the doc_id tie order.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    hist = (
+        docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = Window.partitionBy("lang").orderBy("n_chars")
+    w_all = Window.partitionBy("lang")
+    spans = (
+        hist.withColumn("_hi", F.sum("_c").over(w_cum))
+        .withColumn("_lo", F.col("_hi") - F.col("_c") + 1)
+        .withColumn("_n", F.sum("_c").over(w_all))
+    )
+    d = F.col("decile")
+    q_sz = F.expr("_n div 10")
+    rem = F.expr("_n % 10")
+    bucket_start = (d - 1) * q_sz + F.least(d - 1, rem) + 1
+    bucket_end = d * q_sz + F.least(d, rem)
+    overlap = (
+        F.least(F.col("_hi"), bucket_end)
+        - F.greatest(F.col("_lo"), bucket_start)
+        + 1
+    )
+    return (
+        spans.withColumn("decile", F.explode(F.sequence(F.lit(1), F.lit(10))))
+        .withColumn("_ov", overlap)
+        .where(F.col("_ov") > 0)
+        .groupBy("lang", "decile")
+        .agg(
+            F.sum("_ov").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+SQL_CURRICULUM_BINS = """
+WITH b AS (
+    SELECT lang, n_chars,
+           NTILE(10) OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id
+           ) AS decile
+    FROM documents
+)
+SELECT lang, CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM b GROUP BY lang, decile
+"""
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced mixture resampling
+    (``sampling.temperature_mixture``, α = 0.5): per-source targets
+    ∝ sqrt(|source|) under a 2000-row budget, materialized as epoch
+    repeats for upsampled sources + hash-selected subsets for
+    downsampled ones. All-integer arithmetic end to end, so the oracle
+    replays the exact rate table and draw comparisons."""
+    out = sampling.temperature_mixture(
+        _t(spark, sf_dir, "documents"),
+        group_col="source", id_col="doc_id", salt="tmix", budget_rows=2000,
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH counts AS (
+    SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(CAST(FLOOR(SQRT(n)) AS BIGINT)) AS BIGINT) AS tw
+    FROM counts
+),
+rates AS (
+    SELECT source, n,
+           (2000 * CAST(FLOOR(SQRT(n)) AS BIGINT)) // tw AS target
+    FROM counts, tot
+),
+r2 AS (
+    SELECT source, n, target // n AS copies,
+           (4294967296 * (target - (target // n) * n)) // n AS rem_rate
+    FROM rates
+),
+drawn AS (
+    SELECT d.doc_id, d.source,
+           r.copies + CASE WHEN CAST('0x' || substr(
+               md5(CAST(d.doc_id AS VARCHAR) || '#tmix'), 1, 8) AS BIGINT)
+               < r.rem_rate THEN 1 ELSE 0 END AS k
+    FROM documents d JOIN r2 r USING (source)
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(0, k - 1)) AS BIGINT) AS epoch
+FROM drawn
+"""
+
+
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality calibration (``analytics.group_percentile``):
+    each document's length score becomes its integer permille rank
+    WITHIN its source, then the bottom decile of every source is
+    dropped — "drop the worst 10%" holds per domain instead of
+    deleting whole low-scoring domains."""
+    from dataproc_spark.extensions.analytics import group_percentile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = group_percentile(docs, ["source"], "n_chars", ["doc_id"])
+    return out.where(F.col("permille") >= 100).select(
+        "doc_id", "source", "permille"
+    )
+
+
+SQL_QUALITY_PERCENTILE = """
+WITH ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS gn
+    FROM documents
+)
+SELECT doc_id, source,
+       CAST(((rn - 1) * 1000) // greatest(gn - 1, 1) AS BIGINT) AS permille
+FROM ranked
+WHERE ((rn - 1) * 1000) // greatest(gn - 1, 1) >= 100
+"""

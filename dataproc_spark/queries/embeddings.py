@@ -1,0 +1,512 @@
+"""Similarity-search gates: ANN flat/bucketed/IVF, k-means, centroids.
+
+Split out of the monolithic queries.py (r7); registry assembly lives in
+``dataproc_spark.queries`` (the package __init__).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from dataproc_spark.core import cartesian, maybe_broadcast
+from dataproc_spark.io import trec_frame
+from dataproc_spark.measures import num_retrieved, precision_at
+from dataproc_spark.selective import (
+    evaluate,
+    rank_selection,
+    resolve_bucket_selection,
+    select,
+    select_buckets,
+    select_with_decay,
+)
+from dataproc_spark import temporal
+from dataproc_spark.extensions import (
+    dedup,
+    sampling,
+    simsearch,
+    streaming,
+    textstats,
+)
+
+# ---------------------------------------------------------------------------
+# table access
+# ---------------------------------------------------------------------------
+
+#: every driver-generated testdata table
+
+from dataproc_spark.queries._tables import (  # noqa: F401
+    TABLES,
+    _t,
+    register_tables,
+)
+
+
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise label-centroid cosine (integer permille): which classes
+    are confusable. Centroids are per-label integer SUM vectors (cosine
+    is scale-invariant, so sums stand in for means with zero division
+    error); the 45-pair self-join runs on the 10-row centroid table.
+    ``cos_m = dot·1000 div (⌊√(a·a)⌋·⌊√(b·b)⌋)`` — floor-sqrt is exact
+    below 2^53, so both engines agree bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode(simsearch.quantize("embedding"))
+                   .alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"))
+        .select("label", F.transform("ds", lambda x: x["s"]).alias("c"))
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("label_a") < F.col("label_b"))
+    dot = simsearch.dot_q(F.col("ca"), F.col("cb"))
+    na = F.floor(F.sqrt(simsearch.dot_q(F.col("ca"), F.col("ca")))).cast("long")
+    nb = F.floor(F.sqrt(simsearch.dot_q(F.col("cb"), F.col("cb")))).cast("long")
+    return pairs.select(
+        "label_a", "label_b",
+        dot.alias("_dot"), na.alias("_na"), nb.alias("_nb"),
+    ).selectExpr(
+        "label_a", "label_b",
+        "CAST(_dot * 1000 div (_na * _nb) AS BIGINT) AS cos_m",
+    )
+
+
+SQL_CENTROID_SIMILARITY = """
+WITH q AS (
+    SELECT label,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+cent AS (
+    SELECT label, list(s ORDER BY dim) AS c
+    FROM (
+        SELECT label, dim, CAST(SUM(val) AS BIGINT) AS s
+        FROM (SELECT label, generate_subscripts(v, 1) AS dim,
+                     unnest(v) AS val FROM q)
+        GROUP BY label, dim
+    ) GROUP BY label
+),
+pairs AS (
+    SELECT a.label AS label_a, b.label AS label_b, a.c AS ca, b.c AS cb
+    FROM cent a JOIN cent b ON a.label < b.label
+)
+SELECT label_a, label_b,
+       CAST(list_aggregate(list_transform(range(1, len(ca) + 1),
+                i -> ca[i] * cb[i]), 'sum') * 1000
+            // (CAST(FLOOR(SQRT(list_aggregate(list_transform(
+                    range(1, len(ca) + 1), i -> ca[i] * ca[i]), 'sum')))
+                 AS BIGINT)
+              * CAST(FLOOR(SQRT(list_aggregate(list_transform(
+                    range(1, len(cb) + 1), i -> cb[i] * cb[i]), 'sum')))
+                 AS BIGINT))
+       AS BIGINT) AS cos_m
+FROM pairs
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid accumulators: posexplode the vector,
+    aggregate exact integer-quantized sums per (label, dim). The
+    distributed form of centroid computation — one hash shuffle keyed by
+    (label, dim); the caller divides sum/count for the float centroid."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("v").cast("double") * 10000).cast("long"))
+            .alias("sum_q"),
+        )
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+WITH flat AS (
+    SELECT label,
+           unnest(range(0, len(embedding))) AS dim,
+           unnest(embedding) AS v
+    FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT)
+           AS sum_q
+FROM flat GROUP BY label, dim
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with a trained KMeans coarse quantizer (rows-only:
+    cluster assignments depend on MLlib internals, not SQL-expressible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 500 == 0)
+    return simsearch.ivf_topk(emb, queries_df, k=5, cells=8)
+
+
+def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with deterministic label cells and exact-integer centroid
+    probing (n_probe=2) — the hash-checked twin of the KMeans `ann_ivf`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    return simsearch.ivf_exact_topk(emb, queries_df, k=5, n_probe=2)
+
+
+SQL_ANN_IVF_EXACT = """
+WITH cd AS (
+    SELECT label, vec_id,
+           unnest(range(0, len(embedding))) AS dim,
+           unnest(list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS cv
+    FROM embeddings
+),
+cent AS (
+    SELECT label, dim, SUM(cv) // COUNT(*) AS cq
+    FROM cd GROUP BY label, dim
+),
+qd AS (
+    SELECT vec_id AS qid, dim, cv AS qv FROM cd WHERE vec_id % 100 = 0
+),
+ps AS (
+    SELECT qid, label, SUM(qv * cq) AS cscore
+    FROM qd JOIN cent USING (dim) GROUP BY qid, label
+),
+probed AS (
+    SELECT qid, label FROM (
+        SELECT qid, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY cscore DESC, label ASC
+               ) AS prnk
+        FROM ps
+    ) WHERE prnk <= 2
+),
+cand AS (
+    SELECT p.qid, c.vec_id, SUM(q.qv * c.cv) AS dot_q
+    FROM probed p
+    JOIN cd c ON c.label = p.label
+    JOIN qd q ON q.qid = p.qid AND q.dim = c.dim
+    WHERE c.vec_id <> p.qid
+    GROUP BY p.qid, c.vec_id
+)
+SELECT qid, vec_id, CAST(dot_q AS BIGINT) AS dot_q, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT qid, vec_id, dot_q,
+           ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY dot_q DESC, vec_id ASC
+           ) AS rnk
+    FROM cand
+) WHERE rnk <= 5
+"""
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within a coarse bucket, exact-int scores."""
+    return simsearch.near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold_dot_q=300_000
+    )
+
+
+SQL_EMBED_NEAR_DUP = """
+WITH q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot_q
+FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(a.v, b.v) AS BIGINT) >= 300000
+"""
+
+
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over embeddings (SemDeDup-style): same-cell near-dup
+    pairs above an exact-integer cosine-surrogate threshold → connected
+    components → keep the smallest vec_id per component. The embedding
+    counterpart of the text dedup family: drops semantically redundant
+    items, not just lexically identical ones."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = simsearch.near_dup_pairs(emb, threshold_dot_q=300_000)
+    return dedup.dedup_keep_representatives(
+        emb.select("vec_id", "label"), pairs, id_col="vec_id"
+    )
+
+
+SQL_EMBED_DEDUP = """
+WITH RECURSIVE q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST(list_dot_product(a.v, b.v) AS BIGINT) >= 300000
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+losers AS (SELECT node FROM comp WHERE node <> component)
+SELECT e.vec_id, e.label
+FROM embeddings e
+LEFT JOIN losers ON e.vec_id = losers.node
+WHERE losers.node IS NULL
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 neighbors for sampled queries (int scores)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return simsearch.brute_force_topk(emb, queries, k=5)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+    SELECT vec_id, list_transform(embedding,
+                                  x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+scored AS (
+    SELECT qs.vec_id AS qid, c.vec_id AS vec_id,
+           CAST(list_dot_product(qs.v, c.v) AS BIGINT) AS dot_q
+    FROM (SELECT * FROM q WHERE vec_id % 100 = 0) qs
+    JOIN q c ON c.vec_id <> qs.vec_id
+)
+SELECT qid, vec_id, dot_q,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, vec_id) AS INTEGER) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""
+
+
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucketed top-5 (probe = own label cell), exact-int scores."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return simsearch.bucketed_topk(emb, queries, k=5)
+
+
+SQL_ANN_BUCKETED = """
+WITH q AS (
+    SELECT vec_id, label, list_transform(embedding,
+                                         x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+scored AS (
+    SELECT qs.vec_id AS qid, c.vec_id AS vec_id,
+           CAST(list_dot_product(qs.v, c.v) AS BIGINT) AS dot_q
+    FROM (SELECT * FROM q WHERE vec_id % 100 = 0) qs
+    JOIN q c ON c.label = qs.label AND c.vec_id <> qs.vec_id
+)
+SELECT qid, vec_id, dot_q,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot_q DESC, vec_id) AS INTEGER) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@5 of the IVF path
+    (deterministic cells, n_probe=2) against exact brute-force top-5 —
+    the measurement loop every production ANN deployment needs to tune
+    its n_probe/recall trade-off. Both sides are exact-integer and
+    deterministic, so recall itself is value-checkable cross-engine.
+
+    Plan: the two top-k frames join on (qid, vec_id) — both are ≤ k rows
+    per query, so the recall join is a broadcast over tiny inputs no
+    matter the corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    exact = simsearch.brute_force_topk(emb, queries_df, k=5).select(
+        "qid", "vec_id"
+    )
+    approx = simsearch.ivf_exact_topk(
+        emb, queries_df, k=5, n_probe=2
+    ).select("qid", "vec_id")
+    base = exact.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff")
+    )
+    hits = (
+        exact.join(approx, ["qid", "vec_id"], "leftsemi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return base.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.expr("coalesce(n_hits, 0) * 1000 div k_eff")
+        .cast("long")
+        .alias("recall_m"),
+    )
+
+
+SQL_ANN_RECALL = """
+WITH q AS (
+    SELECT vec_id, list_transform(embedding,
+                                  x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+exact AS (
+    SELECT qid, vec_id FROM (
+        SELECT qs.vec_id AS qid, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qs.vec_id
+                   ORDER BY CAST(list_dot_product(qs.v, c.v) AS BIGINT) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM (SELECT * FROM q WHERE vec_id % 100 = 0) qs
+        JOIN q c ON c.vec_id <> qs.vec_id
+    ) WHERE rnk <= 5
+),
+cd AS (
+    SELECT label, vec_id,
+           unnest(range(0, len(embedding))) AS dim,
+           unnest(list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS cv
+    FROM embeddings
+),
+cent AS (
+    SELECT label, dim, SUM(cv) // COUNT(*) AS cq
+    FROM cd GROUP BY label, dim
+),
+qd AS (
+    SELECT vec_id AS qid, dim, cv AS qv FROM cd WHERE vec_id % 100 = 0
+),
+ps AS (
+    SELECT qid, label, SUM(qv * cq) AS cscore
+    FROM qd JOIN cent USING (dim) GROUP BY qid, label
+),
+probed AS (
+    SELECT qid, label FROM (
+        SELECT qid, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY cscore DESC, label ASC
+               ) AS prnk
+        FROM ps
+    ) WHERE prnk <= 2
+),
+cand AS (
+    SELECT p.qid, c.vec_id, SUM(q2.qv * c.cv) AS dot_q
+    FROM probed p
+    JOIN cd c ON c.label = p.label
+    JOIN qd q2 ON q2.qid = p.qid AND q2.dim = c.dim
+    WHERE c.vec_id <> p.qid
+    GROUP BY p.qid, c.vec_id
+),
+ivf AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY dot_q DESC, vec_id ASC
+               ) AS rnk
+        FROM cand
+    ) WHERE rnk <= 5
+),
+base AS (SELECT qid, COUNT(*) AS k_eff FROM exact GROUP BY qid),
+hits AS (
+    SELECT e.qid, COUNT(*) AS n_hits
+    FROM exact e JOIN ivf USING (qid, vec_id) GROUP BY e.qid
+)
+SELECT b.qid,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 1000 // b.k_eff AS BIGINT) AS recall_m
+FROM base b LEFT JOIN hits h USING (qid)
+"""
+
+
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer Lloyd k-means (``simsearch.embed_kmeans``,
+    k=8, 2 iterations): seed = the 8 smallest vec_ids, argmin squared-L2
+    assignment with pinned tie-breaks, integer-mean centroid updates.
+    The oracle replays both iterations as chained CTEs — the same
+    value-checked-iteration pattern as ``pagerank``."""
+    return simsearch.embed_kmeans(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
+SQL_EMBED_KMEANS = """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+c0 AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+    FROM q ORDER BY vec_id LIMIT 8
+),
+d1 AS (
+    SELECT q.vec_id, q.v, c.cid,
+           list_aggregate(list_transform(range(1, len(q.v) + 1),
+               i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])), 'sum') AS dist
+    FROM q CROSS JOIN c0 c
+),
+a1 AS (
+    SELECT vec_id, v, cid AS cluster
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn FROM d1)
+    WHERE rn = 1
+),
+c1 AS (
+    SELECT cluster AS cid, list(m ORDER BY dim) AS c
+    FROM (
+        SELECT cluster, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+        FROM (SELECT cluster, generate_subscripts(v, 1) AS dim,
+                     unnest(v) AS val FROM a1)
+        GROUP BY cluster, dim
+    ) GROUP BY cluster
+),
+d2 AS (
+    SELECT q.vec_id, q.v, c.cid,
+           list_aggregate(list_transform(range(1, len(q.v) + 1),
+               i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])), 'sum') AS dist
+    FROM q CROSS JOIN c1 c
+),
+a2 AS (
+    SELECT vec_id, v, cid AS cluster
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn FROM d2)
+    WHERE rn = 1
+),
+c2 AS (
+    SELECT cluster AS cid, list(m ORDER BY dim) AS c
+    FROM (
+        SELECT cluster, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+        FROM (SELECT cluster, generate_subscripts(v, 1) AS dim,
+                     unnest(v) AS val FROM a2)
+        GROUP BY cluster, dim
+    ) GROUP BY cluster
+),
+d3 AS (
+    SELECT q.vec_id, c.cid,
+           list_aggregate(list_transform(range(1, len(q.v) + 1),
+               i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])), 'sum') AS dist
+    FROM q CROSS JOIN c2 c
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster
+FROM (
+    SELECT vec_id, cid AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d3
+) WHERE rn = 1
+"""
