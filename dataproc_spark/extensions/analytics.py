@@ -311,3 +311,46 @@ def apply_changelog(
     )
     upserts = latest.where(F.col(op_col) == "U").select(*snapshot.columns)
     return untouched.unionByName(upserts)
+
+
+def co_occurrence(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Pairwise co-occurrence (market-basket) mining: item pairs
+    appearing together in ≥ ``min_support`` groups, with support counts.
+
+    The classic a-priori first pass, relationally: project distinct
+    (group, item), self-join per group with ``item_a < item_b``, count
+    pairs. Scale: the join key is the GROUP, so output per group is
+    bounded by (items-per-group)², never |items|² — a 100-item basket
+    contributes 4,950 pairs regardless of corpus size. Groups with
+    pathological item counts are the skew case; cap them upstream or
+    watch ``skew_report``'s ``cut-or-split`` signal (the same quadratic
+    posting-list shape as hot shingles — SCALE.md §salting A/B measured
+    removal at 26×, redistribution at ~0×). ``top_n`` ranks by
+    (support desc, item_a, item_b) — a deterministic total order.
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    a = base.select("_g", F.col("_i").alias("item_a"))
+    b = base.select("_g", F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_g")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= int(min_support))
+    )
+    if top_n is not None:
+        # orderBy + limit plans as TakeOrderedAndProject: each task keeps
+        # its local top-N and the driver merges N rows per task — no
+        # single-task global window over the full pair set
+        pairs = pairs.orderBy(
+            F.col("support").desc(), F.col("item_a"), F.col("item_b")
+        ).limit(int(top_n))
+    return pairs

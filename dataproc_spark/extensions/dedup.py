@@ -772,3 +772,66 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 2,
+    containment_threshold_m: int = 500,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs: (id_a, id_b) where at least
+    ``containment_threshold_m`` permille of id_a's n-gram shingles also
+    appear in id_b — the quote/excerpt detector Jaccard misses: a
+    paragraph copied into a much longer document has tiny Jaccard
+    (union is huge) but containment ≈ 1000 for the short side.
+
+    Same inverted-index candidate generation as
+    :func:`ngram_jaccard_pairs` (equi-join on hashed shingles, never
+    all-pairs, same ``max_df`` stop-shingle cut — the pruned universe
+    defines both the intersection and id_a's size), but the score
+    divides by |A| alone: ``containment_m = shared · 1000 div n_a``.
+    Emitted for BOTH directions (a⊂b and b⊂a are different facts), with
+    id_a the contained side.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(tokens(content_col), n))
+        ).alias("_shs"),
+    ).select(F.col(id_col), F.xxhash64("_shs").alias("_sh"))
+    if max_df is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > int(max_df))
+            .select("_sh")
+        )
+        sh = sh.join(hot, "_sh", "left_anti").persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "_sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "_sh")
+    shared = (
+        a.join(b, ["_sh"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= int(min_shared))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
+    return (
+        shared.join(sa, "id_a")
+        .withColumn(
+            "containment_m",
+            F.expr("(shared * 1000) div n_a").cast("long"),
+        )
+        .where(F.col("containment_m") >= int(containment_threshold_m))
+        .select(
+            "id_a", "id_b",
+            F.col("shared").cast("long").alias("shared"),
+            "containment_m",
+        )
+    )

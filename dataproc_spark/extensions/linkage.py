@@ -1,0 +1,69 @@
+"""Record linkage: blocked fuzzy (edit-distance) joins.
+
+Entity resolution for data curation — find records whose key strings
+are ALMOST equal (typos, OCR noise, suffix drift) without the |L|×|R|
+cross join an unblocked fuzzy match implies. The standard shape:
+
+1. **Blocking**: derive a cheap equality key (prefix, length band,
+   phonetic code) such that true matches almost always share it.
+2. **Equi-join on the block** — a hash shuffle, never a cross join.
+3. **Verify** with the expensive predicate (Levenshtein) only inside
+   each block.
+
+At 100 TB the block key IS the scalability contract: candidate volume
+is Σ|block|² over blocks, so block granularity must grow with the
+corpus (the same cells-∝-corpus rule as IVF cells and LSH bands —
+SCALE.md). A degenerate block (everything in one bucket) reproduces the
+cross join; `skew_report`'s ``selfjoin_m``/``cut-or-split`` signal
+applies verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    block: Column | str,
+    max_dist: int = 1,
+    id_col: str = "id",
+) -> DataFrame:
+    """Blocked fuzzy join: pairs (id_a, id_b, dist) with
+    ``levenshtein(key_a, key_b) <= max_dist`` among records sharing the
+    block key. Self-join safe: when ``left is right``, pairs are
+    deduplicated with ``id_a < id_b``.
+
+    ``block`` is a Column expression (or column name) computed on each
+    side — e.g. ``F.expr("substring(name, 1, 16)")`` or
+    ``F.concat(F.length("name"), F.soundex("name"))``. Levenshtein runs
+    JVM-side (`F.levenshtein`), only inside blocks.
+    """
+    bcol = F.col(block) if isinstance(block, str) else block
+    self_join = left is right
+    la = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(key_col).alias("_key_a"),
+        bcol.alias("_blk"),
+    )
+    rb = right.select(
+        F.col(id_col).alias("id_b"),
+        F.col(key_col).alias("_key_b"),
+        bcol.alias("_blk"),
+    )
+    joined = la.join(rb, "_blk")
+    if self_join:
+        joined = joined.where(F.col("id_a") < F.col("id_b"))
+    # the 3-arg levenshtein short-circuits past the threshold (returns
+    # -1), skipping the full DP matrix for clearly-far pairs — the
+    # common case inside a block
+    return (
+        joined.withColumn(
+            "dist", F.levenshtein("_key_a", "_key_b", int(max_dist))
+        )
+        .where(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )

@@ -486,3 +486,61 @@ def embed_kmeans(
     out = _kmeans_assign(q, centroids).select(id_col, "cluster")
     q.unpersist()
     return out
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1000,
+) -> DataFrame:
+    """Contrastive-pair mining: for each query vector, the most similar
+    SAME-label vector (the positive) and the most similar
+    DIFFERENT-label vector (the hard negative) — the standard mining
+    step for contrastive/embedding training, where random negatives are
+    too easy and the nearest wrong-label example carries the gradient.
+
+    Exact scoring against a broadcast query set (the test-SF/oracle
+    path); at corpus scale swap the candidate generator for
+    ``bucketed_topk``/``ivf_topk`` and keep the same per-label
+    rank-1 selection. Integer dot products; ties break on candidate id
+    ascending so both engines agree. One shuffle (the per-(qid, side)
+    window); candidates never pair with themselves.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("_ql"),
+        quantize(vec_col, scale).alias("_qv"),
+    )
+    c = _spread(embeddings).select(
+        F.col(id_col),
+        F.col(label_col).alias("_cl"),
+        quantize(vec_col, scale).alias("_cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
+        .withColumn("dot_q", dot_q("_qv", "_cv"))
+        .withColumn(
+            "side",
+            F.when(F.col("_cl") == F.col("_ql"), "pos").otherwise("neg"),
+        )
+    )
+    w = Window.partitionBy("qid", "side").orderBy(
+        F.col("dot_q").desc(), F.col(id_col).asc()
+    )
+    best = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") == 1
+    )
+    pos = best.where(F.col("side") == "pos").select(
+        "qid",
+        F.col(id_col).alias("pos_id"),
+        F.col("dot_q").alias("pos_dot"),
+    )
+    neg = best.where(F.col("side") == "neg").select(
+        "qid",
+        F.col(id_col).alias("neg_id"),
+        F.col("dot_q").alias("neg_dot"),
+    )
+    return pos.join(neg, "qid", "inner")

@@ -369,3 +369,54 @@ def bpe_learn_merges(
             cur.unpersist()
         words.unpersist()
     return merges
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group out-of-vocabulary rate against the corpus' own top
+    ``vocab_size`` tokens — the tokenizer-fit diagnostic an LLM pipeline
+    runs before committing to a vocabulary: a source with a high OOV
+    permille will fragment into byte-fallback tokens and blow up its
+    effective sequence length.
+
+    Vocabulary = top tokens by corpus frequency with a total order
+    (count desc, token asc) so both engines pick the identical set.
+    Plan shape: one explode + partial-aggregated token count, a
+    TakeOrdered top-k (vocab_size rows), then a broadcast left join of
+    token occurrences against the tiny vocab and one final aggregate
+    per group. Raw text never shuffles — only (token, count) pairs.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("_grp"),
+        F.explode(F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        )).alias("_tok"),
+    )
+    vocab = (
+        toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("_tok"))
+        .limit(int(vocab_size))
+        .select("_tok", F.lit(1).alias("_in_vocab"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        toks.join(broadcast(vocab), "_tok", "left")
+        .groupBy("_grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000 div n_tokens").alias("oov_m"),
+        )
+    )

@@ -235,6 +235,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "centroid_similarity": (q_centroid_similarity, SQL_CENTROID_SIMILARITY),
     "dedup_rates": (q_dedup_rates, SQL_DEDUP_RATES),
     "rank_correlation": (q_rank_correlation, SQL_RANK_CORRELATION),
+    # -- r7 additions: pipeline-operator wave ------------------------------
+    "co_occurrence": (q_co_occurrence, SQL_CO_OCCURRENCE),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
 }
 
 

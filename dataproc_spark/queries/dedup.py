@@ -690,3 +690,44 @@ SELECT t.doc_id,
            ' '), '') AS text_clean
 FROM toks t LEFT JOIN covl c USING (doc_id)
 """
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs (quote/excerpt detection):
+    ≥500 permille of id_a's 3-gram shingles appear in id_b. Same
+    inverted-index join as the Jaccard gate; the score divides by the
+    contained side's size only, so a short doc copied into a long one
+    is caught even though its Jaccard is tiny."""
+    return dedup.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, min_shared=2,
+        containment_threshold_m=500,
+    )
+
+
+SQL_NGRAM_CONTAINMENT = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       CAST((shared * 1000) // sa.n AS BIGINT) AS containment_m
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+WHERE (shared * 1000) // sa.n >= 500
+"""

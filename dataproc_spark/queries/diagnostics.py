@@ -663,3 +663,32 @@ SELECT event_id,
        AS BIGINT) AS z
 FROM events
 """
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-linkage on customer names: pairs within edit
+    distance 1 sharing a 16-char name prefix block. The equi-join on
+    the block key bounds candidates at Σ|block|² — Levenshtein (with
+    the short-circuit threshold form) runs only inside blocks, never
+    across the |customers|² cross join."""
+    from dataproc_spark.extensions.linkage import fuzzy_join_blocked
+
+    c = _t(spark, sf_dir, "customer")
+    return fuzzy_join_blocked(
+        c, c, key_col="c_name",
+        block=F.expr("substring(c_name, 1, 16)"),
+        max_dist=1, id_col="c_custkey",
+    )
+
+
+SQL_FUZZY_MATCH = """
+WITH c AS (
+    SELECT c_custkey, c_name, substring(c_name, 1, 16) AS blk
+    FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM c a JOIN c b
+  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""

@@ -1444,3 +1444,32 @@ SELECT doc_id, source,
 FROM ranked
 WHERE ((rn - 1) * 1000) // greatest(gn - 1, 1) >= 100
 """
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit diagnostic: per-source OOV permille against the
+    corpus' own top-500 tokens (deterministic vocabulary: count desc,
+    token asc). Raw text never shuffles — token counts aggregate
+    map-side and the 500-row vocabulary broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.vocab_coverage(docs, vocab_size=500)
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH toks AS (
+    SELECT source AS src,
+           unnest(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+vocab AS (
+    SELECT tok FROM toks GROUP BY tok
+    ORDER BY COUNT(*) DESC, tok LIMIT 500
+)
+SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (tok NOT IN (SELECT tok FROM vocab))
+            AS BIGINT) AS n_oov,
+       CAST(COUNT(*) FILTER (tok NOT IN (SELECT tok FROM vocab)) * 1000
+            // COUNT(*) AS BIGINT) AS oov_m
+FROM toks GROUP BY src
+"""

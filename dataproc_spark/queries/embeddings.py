@@ -510,3 +510,40 @@ FROM (
     FROM d3
 ) WHERE rn = 1
 """
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining gate: per query vector (vec_id % 100 ==
+    0), the most similar same-label vector and the most similar
+    different-label vector by exact integer dot product (candidate-id
+    tie-break). The oracle-checkable exact path; the corpus-scale
+    variant feeds the same rank-1 selection from bucketed candidates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return simsearch.hard_negatives(emb, queries)
+
+
+SQL_HARD_NEGATIVES = """
+WITH v AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+    FROM embeddings
+),
+scored AS (
+    SELECT qs.vec_id AS qid, c.vec_id AS cid,
+           CASE WHEN c.label = qs.label THEN 'pos' ELSE 'neg' END AS side,
+           CAST(list_dot_product(qs.q, c.q) AS BIGINT) AS dot
+    FROM v qs JOIN v c ON c.vec_id <> qs.vec_id
+    WHERE qs.vec_id % 100 = 0
+),
+best AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, side
+                                 ORDER BY dot DESC, cid ASC) AS rnk
+    FROM scored
+)
+SELECT p.qid, p.cid AS pos_id, p.dot AS pos_dot,
+       n.cid AS neg_id, n.dot AS neg_dot
+FROM best p JOIN best n ON p.qid = n.qid
+WHERE p.side = 'pos' AND p.rnk = 1 AND n.side = 'neg' AND n.rnk = 1
+"""

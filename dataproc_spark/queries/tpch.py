@@ -1401,3 +1401,35 @@ WHERE s_suppkey IN (
             AND l_shipdate <  TIMESTAMP '1997-01-01'))
   AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
 """
+
+
+def q_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-50 part pairs ordered together
+    in ≥3 orders (support desc, then part ids — a deterministic total
+    order). Per-order pair fan-out is bounded by basket size squared,
+    never |parts|²; the top-50 plans as TakeOrderedAndProject."""
+    from dataproc_spark.extensions.analytics import co_occurrence
+
+    li = _t(spark, sf_dir, "lineitem")
+    return co_occurrence(
+        li, "l_orderkey", "l_partkey", min_support=3, top_n=50
+    ).select(
+        "item_a", "item_b", F.col("support").cast("long").alias("support")
+    )
+
+
+SQL_CO_OCCURRENCE = """
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+),
+pairs AS (
+    SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS support
+    FROM baskets a JOIN baskets b ON a.g = b.g AND a.i < b.i
+    GROUP BY a.i, b.i
+    HAVING COUNT(*) >= 3
+)
+SELECT item_a, item_b, CAST(support AS BIGINT) AS support
+FROM pairs
+ORDER BY support DESC, item_a, item_b
+LIMIT 50
+"""

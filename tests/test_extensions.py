@@ -750,3 +750,85 @@ def test_bpe_learn_merges_adjacent_pair_semantics(spark):
     merges = bpe_learn_merges(df, n_merges=2)
     assert merges[0] == (0, "a", "b", 2)   # pre-merge pair count
     assert merges[1] == (1, "a", "b", 1)   # the survivor re-learns
+
+
+# --- r7 pipeline-operator wave --------------------------------------------
+
+def test_co_occurrence_counts_and_topn(spark):
+    from dataproc_spark.extensions.analytics import co_occurrence
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"), (3, "b")]  # dup (3,b) must not inflate
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {(r.item_a, r.item_b): r.support
+           for r in co_occurrence(df, "g", "i", min_support=1).collect()}
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    top = co_occurrence(df, "g", "i", min_support=1, top_n=1).collect()
+    assert [(r.item_a, r.item_b, r.support) for r in top] == [("a", "b", 3)]
+
+
+def test_vocab_coverage_oov_permille(spark):
+    from dataproc_spark.extensions.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "the the the cat", "a"), (2, "the dog runs far", "b")],
+        "doc_id long, text string, source string",
+    )
+    # vocab_size=1 -> vocabulary = {'the'} (count 4, highest)
+    got = {r.source: (r.n_tokens, r.n_oov, r.oov_m)
+           for r in vocab_coverage(docs, vocab_size=1).collect()}
+    assert got == {"a": (4, 1, 250), "b": (4, 3, 750)}
+
+
+def test_fuzzy_join_blocked_self_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions.linkage import fuzzy_join_blocked
+
+    df = spark.createDataFrame(
+        [(1, "alpha-01"), (2, "alpha-02"), (3, "alpha-99"), (4, "beta-01")],
+        "id long, name string",
+    )
+    out = fuzzy_join_blocked(
+        df, df, key_col="name", block=F.expr("substring(name, 1, 5)"),
+        max_dist=1, id_col="id",
+    )
+    got = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+    # 01~02 dist 1; 01~99 and 02~99 dist 2 (dropped); beta in another block
+    assert got == {(1, 2): 1}
+
+
+def test_hard_negatives_exact(spark):
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions.simsearch import hard_negatives
+
+    emb = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]),      # query, label 0
+         (1, 0, [0.9, 0.1]),      # best same-label
+         (2, 0, [0.5, 0.5]),
+         (3, 1, [0.8, 0.2]),      # best different-label
+         (4, 1, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = hard_negatives(emb, emb.where(F.col("vec_id") == 0)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.qid, r.pos_id, r.neg_id) == (0, 1, 3)
+    assert r.pos_dot == 900 * 1000 and r.neg_dot == 800 * 1000
+
+
+def test_ngram_containment_asymmetric(spark):
+    from dataproc_spark.extensions.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta"          # 2 distinct 3-grams
+    long_ = short + " epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    got = {(r.id_a, r.id_b): r.containment_m
+           for r in ngram_containment_pairs(
+               docs, n=3, min_shared=2, containment_threshold_m=500
+           ).collect()}
+    # doc1 fully inside doc2 -> containment 1000; reverse is 2/8 = 250
+    assert got == {(1, 2): 1000}

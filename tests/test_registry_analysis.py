@@ -106,6 +106,9 @@ _NESTED_LOOP_OK = {
     # pairwise join over the 10-row label-centroid table (bounded by
     # label cardinality, never by corpus size)
     "centroid_similarity",
+    # broadcast-queries exact-scoring path, same shape as ann_topk: the
+    # query set broadcasts and the corpus is scanned once linearly
+    "hard_negatives",
 }
 
 
