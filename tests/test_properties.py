@@ -824,3 +824,133 @@ def test_embed_kmeans_matches_python_model(spark, vecs, k):
         cents = nxt
     want = assign(cents)
     assert got == want
+
+
+# --- r7 operator wave vs independent Python models -------------------------
+
+_ITEMS = st.sampled_from(["a", "b", "c", "d", "e"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), _ITEMS),
+                min_size=0, max_size=20),
+       st.integers(1, 3))
+def test_co_occurrence_matches_python_model(spark, rows, min_support):
+    from collections import Counter
+    from itertools import combinations
+
+    from dataproc_spark.extensions.analytics import co_occurrence
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {(r.item_a, r.item_b): r.support
+           for r in co_occurrence(df, "g", "i",
+                                  min_support=min_support).collect()}
+    baskets = {}
+    for g, i in rows:
+        baskets.setdefault(g, set()).add(i)
+    model = Counter()
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            model[(a, b)] += 1
+    expect = {p: c for p, c in model.items() if c >= min_support}
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(_ITEMS, min_size=1, max_size=6),
+                min_size=1, max_size=6),
+       st.integers(1, 4))
+def test_vocab_coverage_matches_python_model(spark, docs, vocab_size):
+    from collections import Counter
+
+    from dataproc_spark.extensions.textstats import vocab_coverage
+
+    rows = [(i, " ".join(toks), f"s{i % 2}") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: (r.n_tokens, r.n_oov, r.oov_m)
+           for r in vocab_coverage(df, vocab_size=vocab_size).collect()}
+    counts = Counter(t for toks in docs for t in toks)
+    vocab = set(
+        t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        [:vocab_size]
+    )
+    model = {}
+    for i, toks in enumerate(docs):
+        src = f"s{i % 2}"
+        n, oov = model.get(src, (0, 0))
+        model[src] = (n + len(toks), oov + sum(t not in vocab for t in toks))
+    expect = {s: (n, o, o * 1000 // n) for s, (n, o) in model.items()}
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="ab", min_size=3, max_size=5),
+                min_size=0, max_size=10),
+       st.integers(0, 2))
+def test_fuzzy_join_blocked_matches_python_model(spark, names, max_dist):
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions.linkage import fuzzy_join_blocked
+
+    if not names:
+        return
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = fuzzy_join_blocked(
+        df, df, key_col="name", block=F.expr("substring(name, 1, 1)"),
+        max_dist=max_dist, id_col="id",
+    )
+    got = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    expect = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and a[:1] == b[:1] and lev(a, b) <= max_dist:
+                expect[(i, j)] = lev(a, b)
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(st.integers(-3, 3), min_size=2, max_size=2),
+                min_size=3, max_size=8))
+def test_hard_negatives_matches_python_model(spark, vecs):
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions.simsearch import hard_negatives
+
+    rows = [(i, i % 2, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = hard_negatives(df, df.where(F.col("vec_id") == 0)).collect()
+    # both sides quantize per-coordinate to round(x*1000) longs
+    scored = [
+        (i, i % 2,
+         sum(round(a * 1000) * round(b * 1000)
+             for a, b in zip(vecs[0], vecs[i])))
+        for i in range(1, len(vecs))
+    ]
+    pos = [s for s in scored if s[1] == 0]
+    neg = [s for s in scored if s[1] == 1]
+    if not pos or not neg:
+        assert out == []
+        return
+    best_pos = min(pos, key=lambda s: (-s[2], s[0]))
+    best_neg = min(neg, key=lambda s: (-s[2], s[0]))
+    assert len(out) == 1
+    r = out[0]
+    assert (r.qid, r.pos_id, r.pos_dot, r.neg_id, r.neg_dot) == (
+        0, best_pos[0], best_pos[2], best_neg[0], best_neg[2]
+    )

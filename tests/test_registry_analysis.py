@@ -194,3 +194,23 @@ def test_registry_order_caches_per_artifact_fingerprint(tmp_path):
     second = qmod.registry_order(str(tmp_path))
     assert len(qmod._REGISTRY_ORDER_CACHE) == before + 2
     assert second.index(names[8]) > second.index(names[9]) or second != first
+
+
+def test_r7_wave_plan_shapes(spark):
+    """The r7 wave's scale claims, pinned to plans: co_occurrence's
+    top-N is a TakeOrderedAndProject (no global window sort),
+    vocab_coverage joins its tiny vocabulary via broadcast, and
+    fuzzy_match's block join is a hash/merge equi-join (the generic
+    registry test already forbids nested loops for it)."""
+    plan = (
+        REGISTRY["co_occurrence"][0](spark, _SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+    plan = (
+        REGISTRY["vocab_coverage"][0](spark, _SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
