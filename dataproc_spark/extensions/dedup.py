@@ -321,11 +321,13 @@ def minhash_dedup_pairs(
 
     The signature frame feeds three plan branches (banding + both verify
     sides), so it is persisted — recomputing 64 hash families per branch
-    triples the dominant cost. Input is spread across all cores first:
-    small corpora often arrive as one parquet split, which would otherwise
-    serialize the (CPU-bound) shingling/hashing on a single task. At
-    cluster scale, persist() becomes a checkpoint of the signature table —
-    the same structure.
+    triples the dominant cost — and released when the result frame is
+    garbage-collected (:func:`_release_on_gc`; repeated calls must not
+    accumulate pinned signature tables). Input is spread across all
+    cores first: small corpora often arrive as one parquet split, which
+    would otherwise serialize the (CPU-bound) shingling/hashing on a
+    single task. At cluster scale, persist() becomes a checkpoint of the
+    signature table — the same structure.
     """
     from dataproc_spark.core import spread_narrow
 
@@ -337,7 +339,8 @@ def minhash_dedup_pairs(
     cands = lsh_candidates(
         sigs, id_col, bands, num_hashes=num_hashes, portable=portable
     )
-    return jaccard_verify(cands, sigs, id_col, threshold, scale_m=scale_m)
+    out = jaccard_verify(cands, sigs, id_col, threshold, scale_m=scale_m)
+    return _release_on_gc(out, sigs)
 
 
 def contamination_pairs(
@@ -367,25 +370,18 @@ def contamination_pairs(
     sides project ``xxhash64(shingle)`` before the exchange, so the join
     keys are fixed-width longs, not n-token strings.
     """
-    tsh = train.select(
-        F.col(id_col).alias("train_id"),
-        F.explode(shingles(tokens(content_col), n)).alias("_ss"),
-    ).select("train_id", F.xxhash64("_ss").alias("s"))
-    esh = evalset.select(
-        F.col(id_col).alias("eval_id"),
-        F.explode(shingles(tokens(content_col), n)).alias("_ss"),
-    ).select("eval_id", F.xxhash64("_ss").alias("s"))
+    tsh = _hashed_shingles(train, content_col, id_col, n).select(
+        F.col(id_col).alias("train_id"), "_sh"
+    )
+    esh = _hashed_shingles(evalset, content_col, id_col, n).select(
+        F.col(id_col).alias("eval_id"), "_sh"
+    )
     if max_df is not None:
-        hot = (
-            tsh.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > int(max_df))
-            .select("s")
-        )
-        tsh = tsh.join(hot, "s", "left_anti")
-        esh = esh.join(hot, "s", "left_anti")
+        hot = _hot_keys(tsh, max_df)
+        tsh = tsh.join(hot, "_sh", "left_anti")
+        esh = esh.join(hot, "_sh", "left_anti")
     return (
-        tsh.join(esh, "s")
+        tsh.join(esh, "_sh")
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
@@ -496,6 +492,60 @@ def dedup_keep_representatives(
 # Exact n-gram Jaccard (no hashing — the oracle-checkable dedup variant)
 # ---------------------------------------------------------------------------
 
+def _release_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Tie a persisted intermediate's lifetime to the RESULT frame: the
+    cache is released when the returned DataFrame is garbage-collected.
+
+    Operators that persist an intermediate for multiple plan branches
+    cannot unpersist before returning (the caller consumes the lazy
+    result later), and never unpersisting leaks block-manager cache for
+    the session lifetime — one pinned shingle table per call. The
+    finalizer holds the only extra reference, so the normal
+    collect-and-drop caller pattern frees the cache promptly.
+    """
+    import weakref
+
+    def _release(c=cached):
+        try:
+            c.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+    weakref.finalize(result, _release)
+    return result
+
+
+def _hashed_shingles(
+    df: DataFrame, content_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, ``_sh`` = xxhash64(shingle)) inverted-index input frame.
+
+    The shingle string never survives this projection — join keys are
+    8-byte longs, not n-token strings (the difference between shuffling
+    fixed-width keys and the corpus vocabulary at 100 TB). A 64-bit
+    collision inflates one pair's ``shared`` by 1 (vanishingly rare;
+    bounded by ``min_shared``/threshold slack).
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(tokens(content_col), n))
+        ).alias("_shs"),
+    ).select(F.col(id_col), F.xxhash64("_shs").alias("_sh"))
+
+
+def _hot_keys(sh: DataFrame, max_df: int) -> DataFrame:
+    """Keys whose document frequency exceeds ``max_df`` — the tiny
+    stop-shingle list (the df distribution's extreme tail), dropped via
+    a broadcast-friendly anti-join by every ``max_df`` caller."""
+    return (
+        sh.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > int(max_df))
+        .select("_sh")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     content_col: str = "text",
@@ -530,30 +580,19 @@ def ngram_jaccard_pairs(
     broadcasts under AQE. For corpora where even the pruned inverted
     index is too hot, MinHash-LSH above is the subsampled alternative.
 
-    The shingle string never reaches the output (only ids + counts), so
-    the inverted-index self-join keys on ``xxhash64(shingle)`` — an
-    8-byte long instead of an n-token string, the difference between
-    shuffling the corpus vocabulary and shuffling fixed-width keys at
-    100 TB. A 64-bit collision inflates one pair's ``shared`` by 1
-    (vanishingly rare; bounded by ``min_shared``/threshold slack).
+    Join keys are hashed shingles — see :func:`_hashed_shingles`.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(shingles(tokens(content_col), n))
-        ).alias("_shs"),
-    ).select(F.col(id_col), F.xxhash64("_shs").alias("_sh"))
+    sh = _hashed_shingles(df, content_col, id_col, n)
+    cached = None
     if max_df is not None:
-        hot = (
-            sh.groupBy("_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > int(max_df))
-            .select("_sh")
-        )
         # the pruned frame feeds three plan branches (both join sides +
         # sizes); persist so the corpus is shingled once, not thrice —
-        # at cluster scale this is a checkpointed shingle table
-        sh = sh.join(hot, "_sh", "left_anti").persist()
+        # at cluster scale this is a checkpointed shingle table. The
+        # cache is released when the result frame is dropped
+        # (:func:`_release_on_gc`).
+        sh = cached = sh.join(
+            _hot_keys(sh, max_df), "_sh", "left_anti"
+        ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), "_sh")
@@ -577,7 +616,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.col("shared").cast("long").alias("shared"),
                 "jaccard_m")
     )
-    return out
+    return out if cached is None else _release_on_gc(out, cached)
 
 
 # ---------------------------------------------------------------------------
@@ -797,20 +836,13 @@ def ngram_containment_pairs(
     Emitted for BOTH directions (a⊂b and b⊂a are different facts), with
     id_a the contained side.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(shingles(tokens(content_col), n))
-        ).alias("_shs"),
-    ).select(F.col(id_col), F.xxhash64("_shs").alias("_sh"))
+    sh = _hashed_shingles(df, content_col, id_col, n)
+    cached = None
     if max_df is not None:
-        hot = (
-            sh.groupBy("_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > int(max_df))
-            .select("_sh")
-        )
-        sh = sh.join(hot, "_sh", "left_anti").persist()
+        # same persist-and-release-on-GC contract as ngram_jaccard_pairs
+        sh = cached = sh.join(
+            _hot_keys(sh, max_df), "_sh", "left_anti"
+        ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), "_sh")
@@ -822,7 +854,7 @@ def ngram_containment_pairs(
         .where(F.col("shared") >= int(min_shared))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
-    return (
+    out = (
         shared.join(sa, "id_a")
         .withColumn(
             "containment_m",
@@ -835,3 +867,4 @@ def ngram_containment_pairs(
             "containment_m",
         )
     )
+    return out if cached is None else _release_on_gc(out, cached)

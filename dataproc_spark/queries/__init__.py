@@ -244,16 +244,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 }
 
 
-
-#: flagship gates that should appear in every round's recorded window
-
-
 #: flagship gates that should appear in every round's recorded window
 ALWAYS_VERIFY = ("select_top_t", "evaluate_sweep", "resolve_buckets", "tpch_q6")
-
-#: per-process cache for :func:`registry_order`, keyed on the artifact
-#: files' (path, mtime, size) fingerprint
-
 
 #: per-process cache for :func:`registry_order`, keyed on the artifact
 #: files' (path, mtime, size) fingerprint

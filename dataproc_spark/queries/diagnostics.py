@@ -140,11 +140,17 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             F.expr("cnt * 1000 div _total").alias("share_m"),
             F.expr("_mx * _nk * 1000 div _total").alias("skew_m"),
+            # _tpairs = 0 when every key count is 1 (all-distinct keys):
+            # zero pair work, selfjoin share defined as 0 — guarded in
+            # BOTH engines (Spark's non-ANSI div yields NULL, DuckDB //
+            # raises; either would diverge the gate)
             F.expr(
-                "cast(_pairs as decimal(38,0)) * 1000 div _tpairs"
+                "CASE WHEN _tpairs = 0 THEN 0 ELSE "
+                "cast(_pairs as decimal(38,0)) * 1000 div _tpairs END"
             ).cast("long").alias("selfjoin_m"),
             F.expr(
-                "CASE WHEN (cast(_pairs as decimal(38,0)) * 1000 div _tpairs) >= 500"
+                "CASE WHEN _tpairs > 0 AND "
+                "(cast(_pairs as decimal(38,0)) * 1000 div _tpairs) >= 500"
                 "     THEN 'cut-or-split'"
                 "     WHEN (cnt * _nk * 1000 div _total) >= 4000"
                 "     THEN 'salted-agg'"
@@ -169,8 +175,10 @@ stats AS (
 SELECT CAST(rank AS BIGINT) AS rank, key, CAST(cnt AS BIGINT) AS cnt,
        CAST(cnt * 1000 // total AS BIGINT) AS share_m,
        CAST(mx * nk * 1000 // total AS BIGINT) AS skew_m,
-       CAST(pairs * 1000 // tpairs AS BIGINT) AS selfjoin_m,
-       CASE WHEN pairs * 1000 // tpairs >= 500 THEN 'cut-or-split'
+       CAST(CASE WHEN tpairs = 0 THEN 0
+                 ELSE pairs * 1000 // tpairs END AS BIGINT) AS selfjoin_m,
+       CASE WHEN tpairs > 0 AND pairs * 1000 // tpairs >= 500
+                 THEN 'cut-or-split'
             WHEN cnt * nk * 1000 // total >= 4000 THEN 'salted-agg'
             ELSE 'aqe-default' END AS rec
 FROM stats WHERE rank <= 3

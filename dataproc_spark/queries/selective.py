@@ -63,13 +63,6 @@ def _shard_results(li: DataFrame) -> DataFrame:
 #: registry sweep would persist a FRESH copy of the identical frame and
 #: nothing would ever unpersist them, filling executor storage with
 #: duplicates for the life of the session.
-
-
-#: session-scoped memo for the persisted shard-results frame, keyed by the
-#: lineitem scan's plan text — without it, every selective query in a
-#: registry sweep would persist a FRESH copy of the identical frame and
-#: nothing would ever unpersist them, filling executor storage with
-#: duplicates for the life of the session.
 _SHARD_RESULTS_CACHE: dict[str, DataFrame] = {}
 
 
@@ -109,9 +102,6 @@ def _ranked_selection_from(results: DataFrame) -> DataFrame:
 
 def _ranked_selection(li: DataFrame) -> DataFrame:
     return _ranked_selection_from(_shard_results(li))
-
-
-#: shared oracle CTE prefix mirroring _shard_results/_ranked_selection
 
 
 #: shared oracle CTE prefix mirroring _shard_results/_ranked_selection
@@ -622,13 +612,6 @@ def q_resolve_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bsel = rank_selection(bsel, "shard_score", ("query",), ("shard", "bucket"))
     return resolve_bucket_selection(bsel, threshold=4, num_shards=5)
-
-
-#: shared oracle CTE suffix: the greedy walk as a recursive CTE. State per
-#: query: i (next selection rank to inspect), spent (buckets taken), counts
-#: (per-shard selected-bucket prefix lengths). Recursion stops when the
-#: budget is hit (WHERE spent < 4) or ranks are exhausted (join misses);
-#: the final state row per query is exploded to (shard, bucket) rows.
 
 
 #: shared oracle CTE suffix: the greedy walk as a recursive CTE. State per

@@ -1158,14 +1158,6 @@ WHERE p_partkey = l_partkey
 #: supplycost as integer formulas of (partkey, k) — built identically
 #: as a Spark temp view and as a DuckDB CTE, so the oracle checks the
 #: full query shape over the same rows.
-
-
-#: Derived partsupp: the testdata ships no partsupp table, so the five
-#: TPC-H queries that need one (Q2/Q9/Q11/Q16/Q20) run over a
-#: DETERMINISTIC derivation — 4 suppliers per part, availqty and
-#: supplycost as integer formulas of (partkey, k) — built identically
-#: as a Spark temp view and as a DuckDB CTE, so the oracle checks the
-#: full query shape over the same rows.
 _PARTSUPP_BODY = """
 SELECT p_partkey AS ps_partkey,
        CAST((p_partkey + k * 7 + 1) %% (SELECT COUNT(*) FROM supplier{sfx})

@@ -135,11 +135,19 @@ def write_zordered(
             # exact: delta <= span so delta*hi fits 64 bits by the guard
             expr = f"((cast(`{c}` as bigint) - ({mn}L)) * {hi}L) div {span}L"
         else:
-            # span too wide for the exact product: pre-divide by
-            # ceil(span/hi) instead — still pure integer, result in
-            # [0, hi], off by at most one bucket vs the exact form
+            # span too wide for the exact product — and when the column
+            # straddles more than half the long range (e.g. xxhash64
+            # keys, mn ~ -2^63, mx ~ 2^63), even `col - mn` wraps. So
+            # divide each SIDE by ceil(span/hi) first (monotone trunc
+            # division keeps the clustering order), subtract the small
+            # quotients, and clamp the ±1 trunc slack into [0, hi].
+            # Still pure integer, off by at most one bucket.
             q = span // hi + 1
-            expr = f"(cast(`{c}` as bigint) - ({mn}L)) div {q}L"
+            mn_q = mn // q if mn >= 0 else -((-mn) // q)  # Spark `div` truncates
+            expr = (
+                f"greatest(0L, least({hi}L, "
+                f"(cast(`{c}` as bigint) div {q}L) - ({mn_q}L)))"
+            )
         out = out.withColumn(f"_zs{i}", F.expr(expr))
         zcols.append(f"_zs{i}")
     out = out.withColumn("_z", z_value(zcols, bits)).drop(*zcols)

@@ -214,3 +214,33 @@ def test_r7_wave_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_skew_report_all_distinct_keys_no_divide_by_zero(spark, tmp_path):
+    """With every key count 1 there is zero self-join pair work — the
+    gate must report selfjoin_m=0 / rec='aqe-default' in BOTH engines
+    instead of a NULL-vs-error divergence (r7 review finding)."""
+    import duckdb
+
+    from dataproc_spark.queries import REGISTRY
+
+    ev = spark.createDataFrame(
+        [(i, 1_700_000_000_000_000_000 + i, i, f"t{i}", 1.0, "{}")
+         for i in range(4)],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    fn, sql = REGISTRY["skew_report"]
+    rows = fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 3
+    assert all(r.selfjoin_m == 0 and r.rec == "aqe-default" for r in rows)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    # DuckDB epoch_ns is for timestamps; this synthetic table stores ts
+    # as long nanos already, matching the Spark side's normalized view
+    duck = con.sql(sql.replace("epoch_ns(ts)", "ts")).fetchall()
+    assert {(r[5], r[6]) for r in duck} == {(0, "aqe-default")}

@@ -331,3 +331,26 @@ def test_bucketed_topk_salted_equals_unsalted(spark):
     salted = {(r.qid, r.rnk): r.vec_id for r in
               simsearch.bucketed_topk(emb, qs, k=5, salt=8).collect()}
     assert salted == plain and len(plain) == 4 * 5
+
+
+def test_maxdf_persist_released_on_gc(spark):
+    """The persisted pruned-shingle intermediate must be released when
+    the result frame is dropped — repeated max_df calls must not pin
+    cache for the session lifetime (r7 review finding)."""
+    import gc
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    out = dedup.ngram_jaccard_pairs(
+        docs, n=3, min_shared=1, jaccard_threshold_m=0, max_df=5
+    )
+    out.count()
+    during = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert during > before  # the intermediate really was cached
+    del out
+    gc.collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before

@@ -860,3 +860,38 @@ def test_stream_upsert_gate_shard_tolerant(spark, tmp_path):
     assert len(glob.glob(f"{root}/events.parquet/part-*")) >= 3
     sharded = {tuple(r) for r in q_stream_upsert(spark, root).collect()}
     assert sharded == base and len(base) > 0
+
+
+def test_write_zordered_full_long_range_no_wrap(spark, tmp_path):
+    """A column spanning more than half the int64 range (e.g. xxhash64
+    keys) must still produce monotone, in-range z-lanes — the naive
+    `col - min` subtraction wraps for such spans (r7 review finding)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dataproc_spark.storage import write_zordered
+
+    n, bits = 5_000, 8
+    df = spark.range(n).selectExpr(
+        "xxhash64(id) AS x", "xxhash64(id, 7L) AS y"
+    )
+    out = str(tmp_path / "zhash")
+    write_zordered(df, out, ["x", "y"], bits=bits, num_files=4)
+    total = 0
+    # within each file the x-lane quotients must be non-decreasing in z,
+    # and critically the write must not scramble: re-read and count
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        total += pq.read_table(f).num_rows
+    assert total == n
+    # the z-clustering property: x-range per file strictly narrower than
+    # the global range for at least one file (a wrapped key degenerates
+    # to arbitrary scatter, where every file spans ~the full range)
+    spans = []
+    glob_min, glob_max = None, None
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        t = pq.read_table(f, columns=["x"]).to_pandas()
+        spans.append(int(t.x.max()) - int(t.x.min()))
+        glob_min = min(glob_min, int(t.x.min())) if glob_min is not None else int(t.x.min())
+        glob_max = max(glob_max, int(t.x.max())) if glob_max is not None else int(t.x.max())
+    assert min(spans) < (glob_max - glob_min) * 0.9

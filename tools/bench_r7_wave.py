@@ -17,7 +17,11 @@ import json
 import sys
 import time
 
-ROOT = __file__.rsplit("/", 2)[0]
+import os as _os
+
+# __file__ is only guaranteed absolute on Python 3.11+; abspath
+# keeps `python tools/<script>.py` working everywhere
+ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 from tools.bench_salting import get_session  # noqa: E402
