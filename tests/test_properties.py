@@ -954,3 +954,32 @@ def test_hard_negatives_matches_python_model(spark, vecs):
     assert (r.qid, r.pos_id, r.pos_dot, r.neg_id, r.neg_dot) == (
         0, best_pos[0], best_pos[2], best_neg[0], best_neg[2]
     )
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(_ITEMS, min_size=0, max_size=8),
+                min_size=1, max_size=5),
+       st.integers(1, 3))
+def test_ngram_containment_matches_python_model(spark, docs, min_shared):
+    from dataproc_spark.extensions.dedup import ngram_containment_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.shared, r.containment_m)
+           for r in ngram_containment_pairs(
+               df, n=2, min_shared=min_shared, containment_threshold_m=0
+           ).collect()}
+
+    def grams(toks):
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    sets = {i: grams(t) for i, t in enumerate(docs)}
+    expect = {}
+    for i, a in sets.items():
+        for j, b in sets.items():
+            if i == j or not a:
+                continue
+            shared = len(a & b)
+            if shared >= min_shared:
+                expect[(i, j)] = (shared, shared * 1000 // len(a))
+    assert got == expect
