@@ -107,7 +107,7 @@ def shuffle_order(
         raise ValueError(
             f"n_shards must be 16 or 256 (whole hex nibbles), got {n_shards}"
         )
-    clash = [c for c in ("shard", "pos", "_h") if c in df.columns]
+    clash = [c for c in ("shard", "pos", "_h", "_rh") if c in df.columns]
     if clash:
         raise ValueError(
             f"shuffle_order would overwrite existing column(s) {clash}; "
@@ -117,12 +117,23 @@ def shuffle_order(
     nibbles = 1 if n_shards == 16 else 2
     h = hash_hex(id_col, salt)
     shard = F.conv(F.substring(h, 1, nibbles), 16, 10).cast("int")
-    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    # third sort key: a hash of the WHOLE row. When id_col repeats (e.g.
+    # chunk_documents output keyed by doc_id), (_h, id) ties exactly and
+    # row_number would depend on partition layout — breaking the
+    # bit-stable permutation this operator promises (r7 review finding).
+    # The row hash makes distinct rows order deterministically; fully
+    # identical rows remain interchangeable, which cannot change the
+    # emitted content.
+    rowhash = F.xxhash64(*[F.col(c) for c in df.columns])
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc(), F.col("_rh").asc()
+    )
     return (
         df.withColumn("_h", h)
+        .withColumn("_rh", rowhash)
         .withColumn("shard", shard)
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
-        .drop("_h")
+        .drop("_h", "_rh")
     )
 
 
@@ -340,17 +351,27 @@ def corpus_diff(
     """
     from dataproc_spark.extensions.dedup import content_fingerprint
 
+    # presence comes from explicit per-side markers, NOT fingerprint
+    # nullness: content_fingerprint(NULL) is NULL, so a NULL-content doc
+    # present on both sides would otherwise read as 'added' and a
+    # removed NULL-content doc would never read 'removed' (r7 review
+    # finding — an incremental re-train driven by the diff would
+    # re-ingest unchanged docs and never delete removed ones)
     o = old.select(
-        F.col(id_col), content_fingerprint(content_col).alias("_fp_old")
+        F.col(id_col),
+        content_fingerprint(content_col).alias("_fp_old"),
+        F.lit(1).alias("_in_old"),
     )
     n = new.select(
-        F.col(id_col), content_fingerprint(content_col).alias("_fp_new")
+        F.col(id_col),
+        content_fingerprint(content_col).alias("_fp_new"),
+        F.lit(1).alias("_in_new"),
     )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("_fp_old").isNull(), "added")
-        .when(F.col("_fp_new").isNull(), "removed")
-        .when(F.col("_fp_old") == F.col("_fp_new"), "unchanged")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(F.col("_fp_old").eqNullSafe(F.col("_fp_new")), "unchanged")
         .otherwise("changed")
     )
     return joined.select(id_col, status.alias("status"))

@@ -26,10 +26,20 @@ from pyspark.sql import functions as F
 
 def hash_hex(id_col: str, salt: str, chars: int = 8) -> F.Column:
     """First ``chars`` hex chars of ``md5(id || '#' || salt)`` — a uniform
-    draw in [0, 16^chars) ordered lexicographically (fixed width)."""
+    draw in [0, 16^chars) ordered lexicographically (fixed width).
+
+    NULL ids hash a sentinel instead of propagating NULL: without it a
+    NULL id makes every range predicate NULL, so ``deterministic_sample``
+    silently dropped NULL-id rows even at fraction=1.0 while
+    ``hash_split`` dumped them all into the LAST split (r7 review
+    finding) — two different silent behaviors for the same input. With
+    the sentinel every NULL-id row gets one deterministic draw, routed
+    uniformly like any other id. (The cross-engine oracles hash raw ids;
+    they run on non-null keys by contract.)
+    """
+    safe_id = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
     return F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))
-              .cast("binary")),
+        F.md5(F.concat(safe_id, F.lit(f"#{salt}")).cast("binary")),
         1,
         chars,
     )
@@ -85,7 +95,10 @@ def hash_split(
     expr = None
     acc = 0.0
     for name, w in weights[:-1]:
-        acc += w
+        # clamp: float accumulation can land at 1.0000000000000002 for
+        # valid weight lists (e.g. a trailing zero-weight split), which
+        # passes the sum gate but would crash frac_to_hex (r7 review)
+        acc = min(acc + w, 1.0)
         cond = h < F.lit(frac_to_hex(acc))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last_name = weights[-1][0]

@@ -193,6 +193,39 @@ def _drain(
     return df.sparkSession.table(name)
 
 
+def event_fingerprint(
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> F.Column:
+    """Content fingerprint for event rows:
+    ``md5(user | type | value_cents)`` with NULL-SAFE field encoding.
+
+    ``concat_ws`` silently skips NULL fields, so ``(1, NULL, 200)`` and
+    ``(1, '200', NULL)`` would both encode as ``'1|200'`` and collide —
+    the dedup would then silently drop a genuinely distinct event (r7
+    review finding). Each field is coalesced to a ``<NULL>`` sentinel so
+    every distinct content triple has a distinct encoding.
+
+    This is THE fingerprint both :func:`stream_incremental_dedup` and
+    its correctness gate's store build on — the two sides must match
+    byte-for-byte or the anti-join matches nothing and every historical
+    event silently re-ingests as new, which is why it is one shared
+    function rather than two copies.
+    """
+    def enc(c: F.Column) -> F.Column:
+        return F.coalesce(c.cast("string"), F.lit("<NULL>"))
+
+    return F.md5(
+        F.concat_ws(
+            "|",
+            enc(F.col(user_col)),
+            enc(F.col(type_col)),
+            enc(F.round(F.col(value_col) * 100).cast("long")),
+        ).cast("binary")
+    )
+
+
 def stream_incremental_dedup(
     spark: SparkSession,
     events_path: str,
@@ -218,21 +251,16 @@ def stream_incremental_dedup(
       per horizon), not O(fingerprints ever), same bound as
       :func:`stream_dedup_bounded`.
 
-    The fingerprint is ``md5(user_id | event_type | value_cents)``, so
-    every row sharing a fingerprint carries identical content columns —
-    which makes the drained output deterministic regardless of which
-    physical duplicate won the race. Returns (fp, user_id, event_type,
-    value_c) of the newly ingested fingerprints.
+    The fingerprint is :func:`event_fingerprint` —
+    ``md5(user_id | event_type | value_cents)`` with NULL-safe field
+    encoding — so every row sharing a fingerprint carries identical
+    content columns, which makes the drained output deterministic
+    regardless of which physical duplicate won the race. Returns
+    (fp, user_id, event_type, value_c) of the newly ingested
+    fingerprints.
     """
     stream = with_event_time(_file_stream(spark, events_path))
-    fp = F.md5(
-        F.concat_ws(
-            "|",
-            F.col("user_id").cast("string"),
-            F.col("event_type"),
-            F.round(F.col("value") * 100).cast("long").cast("string"),
-        ).cast("binary")
-    )
+    fp = event_fingerprint()
     new_rows = (
         stream.withColumn("value_c", F.round(F.col("value") * 100).cast("long"))
         .withColumn("fp", fp)
@@ -541,6 +569,7 @@ def stream_to_parquet(
     """
     import os
 
+    own_checkpoint = checkpoint_dir is None
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -560,6 +589,13 @@ def stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+    if own_checkpoint:
+        # a temp checkpoint covers only this drained invocation — don't
+        # let repeated gate/bench runs accumulate /tmp state dirs (the
+        # same contract as _drain and stream_upsert_to_parquet)
+        import shutil
+
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return q
 
 
@@ -633,6 +669,25 @@ def stream_upsert_to_parquet(
 
     own_checkpoint = checkpoint_dir is None
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    if own_checkpoint and _os.path.isdir(snapshot_dir):
+        # a fresh (temp) checkpoint restarts batch ids at 0, so versions
+        # left by a PREVIOUS run would outrank this run's output in
+        # read_latest_snapshot — the new merge would be silently ignored
+        # (r7 review finding). Refuse rather than delete user data.
+        stale = sorted(
+            d for d in _os.listdir(snapshot_dir)
+            if (m := _re.fullmatch(r"v=(-?\d+)", d)) and int(m.group(1)) >= 0
+        )
+        if stale:
+            raise RuntimeError(
+                f"stream_upsert_to_parquet: {snapshot_dir} already holds "
+                f"versions {stale} but no checkpoint_dir was given — a "
+                "fresh run would restart at batch 0 and its output would "
+                "sort BELOW the stale versions, so readers would silently "
+                "see the previous run's data. Pass the original "
+                "checkpoint_dir to resume, or point at a clean "
+                "snapshot_dir."
+            )
     snap_cols = list(initial_snapshot.columns)
     initial_snapshot.write.mode("overwrite").parquet(
         _os.path.join(snapshot_dir, "v=-1")

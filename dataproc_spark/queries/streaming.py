@@ -396,14 +396,9 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-state in-stream dedup; the drained append output must equal
     the batch NOT EXISTS + DISTINCT (the oracle)."""
     ev = _t(spark, sf_dir, "events")
-    fp = F.md5(
-        F.concat_ws(
-            "|",
-            F.col("user_id").cast("string"),
-            F.col("event_type"),
-            F.round(F.col("value") * 100).cast("long").cast("string"),
-        ).cast("binary")
-    )
+    # the SAME shared fingerprint the operator applies to the stream —
+    # one function, not two copies that could drift (r7 review finding)
+    fp = streaming.event_fingerprint()
     store = (
         ev.where(F.col("event_id") % 3 == 0).select(fp.alias("fp")).distinct()
     )
@@ -416,8 +411,10 @@ SQL_STREAM_INCREMENTAL_DEDUP = """
 WITH fps AS (
     SELECT event_id, user_id, event_type,
            CAST(round(value * 100) AS BIGINT) AS value_c,
-           md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
-               CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)) AS fp
+           md5(COALESCE(CAST(user_id AS VARCHAR), '<NULL>') || '|' ||
+               COALESCE(event_type, '<NULL>') || '|' ||
+               COALESCE(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                        '<NULL>')) AS fp
     FROM events
 ),
 store AS (SELECT DISTINCT fp FROM fps WHERE event_id % 3 = 0)

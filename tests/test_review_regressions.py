@@ -312,3 +312,129 @@ def test_token_budget_plan_windows_partition_raw_rows(spark, tmp_path):
         # raw-doc window must carry the score_m partition key AND doc_id.
         if "doc_id" in line:
             assert "windowspecdefinition(score_m" in line, line
+
+
+# --- r7 second-review wave -------------------------------------------------
+
+def test_corpus_diff_null_content_presence(spark):
+    """Presence must come from side markers, not fingerprint nullness: a
+    NULL-content doc on both sides is 'unchanged', one only in old is
+    'removed' (r7 review: both previously read 'added')."""
+    from dataproc_spark.extensions.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (3, "b"), (4, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "removed", 3: "changed", 4: "added"}
+
+
+def test_hash_split_trailing_zero_weight(spark):
+    """Valid weight lists whose float cumsum overshoots 1.0 (trailing
+    zero-weight split) must not crash frac_to_hex (r7 review)."""
+    from dataproc_spark.extensions.sampling import hash_split
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    out = hash_split(
+        df, "doc_id", "s",
+        weights=(("a", 0.2), ("b", 0.4), ("c", 0.3), ("d", 0.1), ("e", 0.0)),
+    )
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 100
+    assert counts.get("e", 0) == 0  # zero-weight split gets nothing
+
+
+def test_sampling_null_ids_uniform_handling(spark):
+    """NULL ids draw a deterministic sentinel hash: fraction=1.0 keeps
+    ALL rows (previously NULL-id rows silently vanished) and hash_split
+    routes NULL ids like any id instead of dumping them into the last
+    split (r7 review)."""
+    from dataproc_spark.extensions.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (None,)], "doc_id long"
+    )
+    assert deterministic_sample(df, "doc_id", "s", 1.0).count() == 3
+    splits = {r["split"] for r in
+              hash_split(df, "doc_id", "s").where("doc_id is null").collect()}
+    # all NULL rows share one deterministic draw — a single split, and
+    # which one depends on the hash, not on last-position fallthrough
+    assert len(splits) == 1
+
+
+def test_shuffle_order_repeated_ids_layout_independent(spark):
+    """(shard, pos) assignment must be identical across partition
+    layouts even when id_col repeats (chunked docs) — the row-hash
+    tiebreak makes distinct rows order deterministically (r7 review)."""
+    from dataproc_spark.extensions.corpus import shuffle_order
+
+    rows = [(i // 3, f"chunk {i}") for i in range(60)]  # 3 chunks per doc
+    a = spark.createDataFrame(rows, "doc_id long, chunk string").repartition(2)
+    b = spark.createDataFrame(rows, "doc_id long, chunk string").repartition(7)
+    oa = {(r.doc_id, r.chunk): (r.shard, r.pos)
+          for r in shuffle_order(a, "doc_id").collect()}
+    ob = {(r.doc_id, r.chunk): (r.shard, r.pos)
+          for r in shuffle_order(b, "doc_id").collect()}
+    assert oa == ob
+
+
+def test_event_fingerprint_null_fields_distinct(spark):
+    """NULL-safe encoding: rows whose concat_ws encodings would collide
+    must get distinct fingerprints (r7 review: concat_ws skips NULLs)."""
+    from dataproc_spark.extensions.streaming import event_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, None, 2.0), (1, "200", None)],
+        "user_id long, event_type string, value double",
+    )
+    fps = [r.fp for r in df.select(event_fingerprint().alias("fp")).collect()]
+    assert fps[0] != fps[1]
+
+
+def test_stream_upsert_refuses_stale_snapshot_dir(spark, tmp_path):
+    """A fresh-checkpoint run against a snapshot_dir holding versions
+    from a previous run must refuse (its batch ids restart at 0, so its
+    output would silently lose to the stale max version — r7 review)."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.streaming import stream_upsert_to_parquet
+
+    snap_dir = tmp_path / "snap"
+    (snap_dir / "v=2").mkdir(parents=True)
+    snapshot = spark.createDataFrame([(1, 1, 1)], "user_id long, ts long, value_c long")
+    with _pytest.raises(RuntimeError, match="stale|previous run|versions"):
+        stream_upsert_to_parquet(
+            None, snapshot, str(snap_dir), checkpoint_dir=None
+        )
+
+
+def test_stream_to_parquet_cleans_temp_checkpoint(spark, tmp_path):
+    """The default temp checkpoint must be removed after the drain, like
+    _drain and stream_upsert_to_parquet (r7 review)."""
+    import glob
+    import tempfile
+
+    import pandas as pd
+
+    from dataproc_spark.extensions.streaming import (
+        _file_stream,
+        stream_to_parquet,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    pd.DataFrame({"user_id": [1], "ts": [10**18], "event_id": [7]}
+                 ).to_parquet(d / "a.parquet")
+    pattern = f"{tempfile.gettempdir()}/ckpt_*"
+    before = set(glob.glob(pattern))
+    stream_to_parquet(
+        _file_stream(spark, str(d)), str(tmp_path / "out")
+    )
+    after = set(glob.glob(pattern))
+    assert after - before == set()
