@@ -47,6 +47,17 @@ def funnel(
     """
     if len(steps) < 2:
         raise ValueError(f"funnel needs >= 2 steps, got {list(steps)!r}")
+    if len(set(steps)) != len(steps):
+        # a repeated step would create a second t_<step> column via the
+        # left join and blow up later with an opaque ambiguous-column
+        # AnalysisException (r7 review finding); positional repeated-
+        # stage funnels need per-position column naming this operator
+        # does not implement — fail fast with the real reason
+        raise ValueError(
+            f"funnel steps must be distinct, got {list(steps)!r} — "
+            "repeated stages are not supported (t_<step> columns are "
+            "named by step type)"
+        )
     ensure_has_columns(events, [user_col, ts_col, type_col])
     ev = events.select(user_col, ts_col, type_col)
     first = steps[0]
@@ -176,6 +187,13 @@ def resample_ffill(
     an exploded ``sequence(min, max)`` per key, bounded by time span /
     bucket width rather than event count; the fill is
     ``last(ignorenulls)`` over the spine partitioned per key.
+
+    NULL values follow pandas ``.last()`` (skipna) semantics: the
+    per-bucket last is the last NON-NULL value — a bucket ending with a
+    NULL-valued event still reports its earlier non-null value rather
+    than forward-filling over it (r7 review finding; the conditional
+    struct keeps this a single aggregate, and the bucket row survives
+    even when every value is NULL so the spine bounds are unchanged).
     """
     if bucket_ns <= 0:
         raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
@@ -185,8 +203,10 @@ def resample_ffill(
         events.select(
             user_col,
             b.alias("bucket_id"),
-            F.struct(ts_col, tiebreak_col, F.col(value_col).alias("_v"))
-            .alias("_e"),
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.struct(ts_col, tiebreak_col, F.col(value_col).alias("_v")),
+            ).alias("_e"),
         )
         .groupBy(user_col, "bucket_id")
         .agg(F.max("_e").getField("_v").alias(value_col))

@@ -106,9 +106,17 @@ def check_in_range(
 def check_references(
     df: DataFrame, col: str, dim: DataFrame, dim_col: str
 ) -> DataFrame:
-    """Rows whose ``col`` has no match in ``dim.dim_col`` (referential
-    integrity; the dimension side broadcasts when small)."""
-    missing = df.select(F.col(col)).join(
+    """NON-NULL rows whose ``col`` has no match in ``dim.dim_col``
+    (referential integrity; the dimension side broadcasts when small).
+
+    NULL foreign keys are exempt, per standard SQL FK semantics: a NULL
+    key is "no reference", not "dangling reference" — without the
+    filter every NULL row counted as a violation, making the rule
+    unusable on nullable FK columns (r7 review finding). Pair with a
+    not-null rule (``check_in_range`` counts NULLs) when NULLs
+    themselves are violations.
+    """
+    missing = df.select(F.col(col)).where(F.col(col).isNotNull()).join(
         maybe_broadcast(dim.select(F.col(dim_col).alias(col))), col, "left_anti"
     )
     return missing.agg(
@@ -118,6 +126,12 @@ def check_references(
 
 def validate_constraints(checks: Sequence[DataFrame]) -> DataFrame:
     """Union the per-rule (rule, violations) frames into one report."""
+    if not checks:
+        raise ValueError(
+            "validate_constraints got an empty checks sequence — a "
+            "config-driven rule list resolved to no rules; nothing to "
+            "validate"
+        )
     out = checks[0]
     for c in checks[1:]:
         out = out.unionByName(c)

@@ -39,10 +39,21 @@ def bpe_token_count(col: str = "text") -> F.Column:
 
 def occurrences(col: str, needle: str) -> F.Column:
     """Occurrence count of a literal substring (length-difference trick —
-    pure string ops, identical semantics in any SQL engine)."""
-    return (
+    pure string ops, identical semantics in any SQL engine).
+
+    Returns a LONG: the length difference is always an exact multiple of
+    ``len(needle)`` (and string lengths are int32-bounded, so the double
+    division is exact), but Python ``/`` on Columns emitted a DoubleType
+    column — breaking the module's exact-integer convention for
+    type-strict consumers (r7 review finding). An empty needle would
+    divide by zero; fail fast instead.
+    """
+    if not needle:
+        raise ValueError("occurrences needs a non-empty needle")
+    diff = (
         F.length(F.col(col)) - F.length(F.replace(F.col(col), F.lit(needle)))
-    ) / len(needle)
+    ).cast("long")
+    return (diff / len(needle)).cast("long")
 
 
 #: Tiny per-language stopword markers for the n-gram-free language-ID
@@ -97,16 +108,31 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     n_tok = F.size(toks)
     n_char = F.length(F.col(col))
     digits = F.length(F.regexp_replace(F.col(col), r"[^0-9]", ""))
+    # mean token length from the EXACT sum of token lengths — the old
+    # (n_char − n_tok + 1) shortcut assumed exactly one single-char
+    # separator between tokens and none at the ends, so multi-space
+    # runs, leading/trailing whitespace, or a trailing newline counted
+    # as token characters and inflated the feature (r7 review finding —
+    # it drives 200..900 keep-rules, so padded docs were misclassified).
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     # `div` (exact integer division) rather than `/`+cast: double→long casts
     # truncate in Spark but round in other engines — int div is unambiguous.
     return (
         df.withColumn("n_tokens", n_tok)
         .withColumn("n_chars_m", n_char.cast("long"))
+        .withColumn("_tok_chars", tok_chars)
         .withColumn(
             "mean_tok_len_c",
-            F.when(n_tok > 0, F.floor(((n_char.cast("long") - n_tok + 1) * 100) / n_tok))
-            .otherwise(F.lit(0)).cast("long"),
+            F.expr(
+                "CASE WHEN n_tokens > 0"
+                "     THEN (_tok_chars * 100) div n_tokens ELSE 0 END"
+            ).cast("long"),
         )
+        .drop("_tok_chars")
         .withColumn(
             "digit_ratio_m",
             F.when(n_char > 0, F.floor((digits.cast("long") * 1000) / n_char))
@@ -205,8 +231,15 @@ def tfidf_top_terms(
 
 def doc_fingerprint(col: str = "text") -> F.Column:
     """Normalization-insensitive fingerprint: md5 of lowercased,
-    whitespace-collapsed text."""
-    normalized = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+    whitespace-collapsed AND trimmed text.
+
+    Without the trim, leading/trailing whitespace survived as a single
+    space, so texts differing only by a trailing newline — ubiquitous —
+    got different fingerprints despite the normalization claim (r7
+    review finding)."""
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+    )
     return F.md5(normalized.cast("binary"))
 
 
@@ -392,9 +425,7 @@ def vocab_coverage(
     """
     toks = docs.select(
         F.col(group_col).alias("_grp"),
-        F.explode(F.filter(
-            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
-        )).alias("_tok"),
+        F.explode(tokens(text_col)).alias("_tok"),
     )
     vocab = (
         toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))

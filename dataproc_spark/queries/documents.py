@@ -375,7 +375,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_FINGERPRINT = r"""
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_distinct_fp
+       CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS n_distinct_fp
 FROM documents GROUP BY source
 """
 
@@ -397,13 +397,15 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_QUALITY = r"""
 WITH feat AS (
     SELECT length(text) AS n_chars_m,
-           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
     FROM documents
 ),
 feat2 AS (
-    SELECT n_chars_m, n_tokens,
-           CASE WHEN n_tokens > 0
-                THEN CAST(FLOOR(((n_chars_m - n_tokens + 1) * 100.0) / n_tokens) AS BIGINT)
+    SELECT n_chars_m, len(t) AS n_tokens,
+           CASE WHEN len(t) > 0
+                THEN CAST((COALESCE(list_aggregate(
+                               list_transform(t, x -> length(x)), 'sum'), 0)
+                           * 100) // len(t) AS BIGINT)
                 ELSE 0 END AS mean_tok_len_c
     FROM feat
 )
@@ -973,14 +975,16 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUALITY_FILTER = r"""
 WITH feat AS (
     SELECT lang, length(text) AS n_chars,
-           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
            length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
     FROM documents
 ),
 feat2 AS (
-    SELECT lang, n_tokens,
-           CASE WHEN n_tokens > 0
-                THEN CAST(FLOOR(((n_chars - n_tokens + 1) * 100.0) / n_tokens) AS BIGINT)
+    SELECT lang, len(t) AS n_tokens,
+           CASE WHEN len(t) > 0
+                THEN CAST((COALESCE(list_aggregate(
+                               list_transform(t, x -> length(x)), 'sum'), 0)
+                           * 100) // len(t) AS BIGINT)
                 ELSE 0 END AS mean_tok_len_c,
            CASE WHEN n_chars > 0
                 THEN CAST(FLOOR((n_digits * 1000.0) / n_chars) AS BIGINT)
@@ -1024,14 +1028,16 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CORPUS_PREP = r"""
 WITH feat AS (
     SELECT doc_id, lang, text, n_chars, length(text) AS len_c,
-           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
            length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
     FROM documents
 ),
 feat2 AS (
-    SELECT doc_id, lang, text, n_chars, n_tokens,
-           CASE WHEN n_tokens > 0
-                THEN CAST(FLOOR(((len_c - n_tokens + 1) * 100.0) / n_tokens) AS BIGINT)
+    SELECT doc_id, lang, text, n_chars, len(t) AS n_tokens,
+           CASE WHEN len(t) > 0
+                THEN CAST((COALESCE(list_aggregate(
+                               list_transform(t, x -> length(x)), 'sum'), 0)
+                           * 100) // len(t) AS BIGINT)
                 ELSE 0 END AS mean_tok_len_c,
            CASE WHEN len_c > 0
                 THEN CAST(FLOOR((n_digits * 1000.0) / len_c) AS BIGINT)

@@ -438,3 +438,111 @@ def test_stream_to_parquet_cleans_temp_checkpoint(spark, tmp_path):
     )
     after = set(glob.glob(pattern))
     assert after - before == set()
+
+
+# --- r7 third-review wave (analytics/textstats/quality/multimodal) ---------
+
+def test_quality_features_whitespace_padding_exact(spark):
+    """mean_tok_len_c must come from the exact token-length sum: padded
+    text ('ab\\n' or '  a') previously counted whitespace as token chars
+    (r7 review)."""
+    from dataproc_spark.extensions.textstats import quality_features
+
+    df = spark.createDataFrame(
+        [(1, "ab\n"), (2, "  a"), (3, "ab cd")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.mean_tok_len_c
+           for r in quality_features(df).collect()}
+    assert got == {1: 200, 2: 100, 3: 200}
+
+
+def test_resample_ffill_null_value_in_bucket(spark):
+    """pandas .last() (skipna) semantics: a bucket whose LAST event has a
+    NULL value still reports the bucket's earlier non-null value (r7
+    review: it previously forward-filled from the previous bucket)."""
+    from dataproc_spark.extensions.analytics import resample_ffill
+
+    events = spark.createDataFrame(
+        [(1, 5, 1, 50), (1, 15, 2, 70), (1, 16, 3, None), (1, 25, 4, None)],
+        "user_id long, ts long, event_id long, value_c long",
+    )
+    got = {r.bucket_id: (r.value_c, r.filled)
+           for r in resample_ffill(events, bucket_ns=10).collect()}
+    # bucket 0: 50; bucket 1: last non-null is 70 (NOT refilled from 50);
+    # bucket 2: only-null bucket forward-fills 70 and flags filled
+    assert got == {0: (50, 0), 1: (70, 0), 2: (70, 1)}
+
+
+def test_funnel_rejects_repeated_steps(spark):
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.analytics import funnel
+
+    events = spark.createDataFrame(
+        [(1, 1, "view")], "user_id long, ts long, event_type string"
+    )
+    with _pytest.raises(ValueError, match="distinct"):
+        funnel(events, ["view", "click", "view"])
+
+
+def test_check_references_null_fk_exempt(spark):
+    """NULL foreign keys are 'no reference', not violations (standard
+    SQL FK semantics — r7 review)."""
+    from dataproc_spark.extensions.quality import check_references
+
+    fact = spark.createDataFrame(
+        [(1,), (None,), (None,), (99,)], "custkey long"
+    )
+    dim = spark.createDataFrame([(1,)], "c_custkey long")
+    row = check_references(fact, "custkey", dim, "c_custkey").first()
+    assert row.violations == 1  # only the dangling 99, not the NULLs
+
+
+def test_validate_constraints_empty_checks_raises(spark):
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.quality import validate_constraints
+
+    with _pytest.raises(ValueError, match="empty checks"):
+        validate_constraints([])
+
+
+def test_frame_sample_validation_and_empty_payload(spark):
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.multimodal import frame_sample
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    with _pytest.raises(ValueError, match="every_n_bytes"):
+        frame_sample(media, every_n_bytes=0)
+    rows = frame_sample(media, every_n_bytes=4).collect()
+    # media 1: offsets 0 and 4; media 2 (empty): ZERO frames, no phantom
+    assert {(r.media_id, r.frame_offset) for r in rows} == {(1, 0), (1, 4)}
+
+
+def test_occurrences_long_type_and_empty_needle(spark):
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.textstats import occurrences
+
+    df = spark.createDataFrame([("ababab",)], "text string")
+    out = df.select(occurrences("text", "ab").alias("n"))
+    assert dict(out.dtypes)["n"] == "bigint"
+    assert out.first().n == 3
+    with _pytest.raises(ValueError, match="needle"):
+        occurrences("text", "")
+
+
+def test_doc_fingerprint_trailing_whitespace_invariant(spark):
+    from dataproc_spark.extensions.textstats import doc_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world\n"), (3, "  hello  world ")],
+        "doc_id long, text string",
+    )
+    fps = [r.fp for r in df.select(doc_fingerprint("text").alias("fp"))
+           .collect()]
+    assert fps[0] == fps[1] == fps[2]
