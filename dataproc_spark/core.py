@@ -167,9 +167,15 @@ def spread_narrow(df: DataFrame, *cols: str) -> DataFrame:
     frames (no RDD conversion): estimated scan splits =
     ``max(file count, scan bytes / maxPartitionBytes)`` — few SMALL
     files is the narrow case worth respreading, while few LARGE files
-    already split by byte range. Derived (non-scan) frames report no
-    input files; for those the RDD partition-count probe is the
-    fallback (plan-time conversion only, a few ms — no job runs).
+    already split by byte range. Frames with no input files split by
+    PLAN SHAPE: driver-literal ``LocalRelation`` inputs are narrow by
+    construction (a handful of slices); anything else (shuffle-fed
+    derived frames, RDD-backed sources) is left untouched — derived
+    frames already carry their upstream shuffle's parallelism, and the
+    old ``df.rdd.getNumPartitions()`` probe FINALIZED the AQE plan,
+    executing every upstream stage just to count partitions (r7 review
+    finding, confirmed: the probe launched a real job whose results the
+    subsequent action did not reuse).
     """
     spark = df.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
@@ -185,7 +191,8 @@ def spread_narrow(df: DataFrame, *cols: str) -> DataFrame:
         splits = max(len(files), size // max_split)
         narrow = splits < parallelism
     else:
-        narrow = df.rdd.getNumPartitions() < parallelism
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        narrow = "LocalRelation" in plan
     return df.repartition(parallelism, *cols) if narrow else df
 
 
@@ -203,17 +210,44 @@ def maybe_broadcast(
     without force-broadcasting past Catalyst's judgment when a caller
     scales the selection side 100×.
 
-    Frames reporting the unknown-stats sentinel (~Long.MaxValue — driver
-    local ``createDataFrame`` relations and other stat-less sources) keep
-    the hint: table-backed plans always carry an estimate, so the
-    "multi-GB selection force-broadcast past Catalyst's judgment" hazard
-    can only arrive through an *estimated* plan, while a driver-local
-    relation is bounded by driver memory by construction.
+    Frames reporting the unknown-stats sentinel (~Long.MaxValue) get NO
+    hint. The sentinel covers both driver-literal ``createDataFrame``
+    frames AND RDD-backed sources like ``read_indexed_csv``'s textFile
+    selection — and in Spark 4 both plan as ``LogicalRDD``, so they are
+    indistinguishable at plan time. Only the RDD-backed kind is
+    unbounded, but force-broadcasting a multi-GB score file past
+    Catalyst's judgment is exactly the hazard this gate exists to
+    prevent (r7 review finding), while the cost of NOT hinting a truly
+    tiny literal frame is nil: AQE sees its runtime size and broadcasts
+    it anyway.
     """
     size = plan_size_bytes(df)
-    if size is None or size <= limit_bytes:
+    if size is not None and size <= limit_bytes:
         return F.broadcast(df)
     return df
+
+
+def release_cache_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Tie a persisted intermediate's lifetime to the RESULT frame: the
+    cache is released when the returned DataFrame is garbage-collected.
+
+    Operators that persist an intermediate for multiple plan branches
+    cannot unpersist before returning (the caller consumes the lazy
+    result later), and never unpersisting leaks block-manager cache for
+    the session lifetime. The finalizer holds the only extra reference,
+    so the normal collect-and-drop caller pattern frees the cache
+    promptly.
+    """
+    import weakref
+
+    def _release(c=cached):
+        try:
+            c.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def ensure_has_columns(df: DataFrame, columns: Iterable[str]) -> None:
@@ -347,8 +381,19 @@ def read_indexed_csv(
     are ordered by byte offset, so the zipped index equals the file line
     number even when the read is split across many tasks (scales to large
     score files; typical selection files are queries × shards rows).
+
+    Blank lines are skipped BEFORE indexing, matching the reference's
+    ``pd.read_csv`` (``skip_blank_lines=True``): a trailing double
+    newline or interior blank previously crashed the whole load with an
+    opaque ``float('')`` executor error, where the reference pipeline
+    accepted the file (r7 review finding). Skipping pre-index keeps the
+    positional contract — a blank line consumes no index either here or
+    in pandas.
     """
-    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    lines = spark.sparkContext.textFile(path).filter(
+        lambda l: l.strip() != ""
+    )
+    rdd = lines.zipWithIndex()
     cast = float if dtype in ("double", "float") else int
     rows = rdd.map(lambda t: (t[1], cast(t[0].strip())))
     return spark.createDataFrame(rows, schema=f"{IDX} long, `{column}` {dtype}")

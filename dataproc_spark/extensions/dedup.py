@@ -492,27 +492,9 @@ def dedup_keep_representatives(
 # Exact n-gram Jaccard (no hashing — the oracle-checkable dedup variant)
 # ---------------------------------------------------------------------------
 
-def _release_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
-    """Tie a persisted intermediate's lifetime to the RESULT frame: the
-    cache is released when the returned DataFrame is garbage-collected.
-
-    Operators that persist an intermediate for multiple plan branches
-    cannot unpersist before returning (the caller consumes the lazy
-    result later), and never unpersisting leaks block-manager cache for
-    the session lifetime — one pinned shingle table per call. The
-    finalizer holds the only extra reference, so the normal
-    collect-and-drop caller pattern frees the cache promptly.
-    """
-    import weakref
-
-    def _release(c=cached):
-        try:
-            c.unpersist()
-        except Exception:
-            pass  # session already stopped
-
-    weakref.finalize(result, _release)
-    return result
+# persisted-intermediate lifetime management lives in core (shared with
+# io's selection loader); the alias keeps this module's call sites short
+from dataproc_spark.core import release_cache_on_gc as _release_on_gc  # noqa: E402
 
 
 def _hashed_shingles(

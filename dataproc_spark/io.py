@@ -49,8 +49,16 @@ def _load_selection(
     names: list[str],
     ranges: list,
 ) -> DataFrame:
+    from dataproc_spark.core import release_cache_on_gc
+
     base = cartesian(spark, ranges, names=names, with_index=True)
-    scores = read_indexed_csv(spark, shard_scores_path, column="shard_score")
+    # persist before the shape-guard count: without it the textFile →
+    # parse lineage runs twice (once for the count, again for the join)
+    # — the whole score file read and float-parsed twice per load (r7
+    # review finding). Released when the result frame is dropped.
+    scores = read_indexed_csv(
+        spark, shard_scores_path, column="shard_score"
+    ).persist()
     n_expected = 1
     for r in ranges:
         n_expected *= len(list(r))
@@ -60,6 +68,7 @@ def _load_selection(
     # raise, not an assert — `python -O` strips asserts, and a stripped
     # guard here would reintroduce the silent misalignment it exists for.
     if n_actual != n_expected:
+        scores.unpersist()
         raise ValueError(
             f"score file has {n_actual} rows, expected {n_expected} "
             f"(= {' × '.join(str(len(list(r))) for r in ranges)})"
@@ -68,7 +77,8 @@ def _load_selection(
     # pandas rank(method='first') breaks ties by input order == cartesian
     # order == _idx asc; row_number over (score desc, _idx asc) is exact.
     w = Window.partitionBy("query").orderBy(F.col("shard_score").desc(), F.col(IDX).asc())
-    return df.withColumn("rank", (F.row_number().over(w) - 1).cast("int")).drop(IDX)
+    out = df.withColumn("rank", (F.row_number().over(w) - 1).cast("int")).drop(IDX)
+    return release_cache_on_gc(out, scores)
 
 
 def load_shard_selection(

@@ -94,7 +94,13 @@ def decayed_buckets(num_buckets: int, num_shards: int, decay_factor: float) -> l
     trajectory bit-for-bit at ``ceil`` boundaries (SURVEY.md §7 risk 4);
     driver-side because the list has ``num_shards`` entries (tiny).
     """
-    assert 0 < decay_factor <= 1
+    # a real raise, not an assert — `python -O` strips asserts, and
+    # decay_factor > 1 would then silently produce GROWING budgets
+    # (select_with_decay degenerates to plain select with no error)
+    if not 0 < decay_factor <= 1:
+        raise ValueError(
+            f"decay_factor must be in (0, 1], got {decay_factor}"
+        )
     sel = []
     budget = float(num_buckets)
     for _ in range(num_shards):
@@ -180,7 +186,15 @@ def resolve_bucket_selection(
     ensure_has_columns(selection, ["rank", "query", "shard", "bucket"])
     if num_shards is None:
         # derived with a scan when unknown; pass it to skip the extra job
-        num_shards = selection.agg(F.max("shard")).first()[0] + 1
+        max_shard = selection.agg(F.max("shard")).first()[0]
+        if max_shard is None:
+            # empty selection: nothing to resolve — mirror
+            # select_with_decay's empty-input fix instead of crashing on
+            # None + 1 (r7 review finding)
+            return selection.select("query", "shard", "bucket").where(
+                F.lit(False)
+            )
+        num_shards = max_shard + 1
 
     fields = {f.name: f.dataType for f in selection.schema.fields}
     out_schema = StructType(
@@ -260,15 +274,6 @@ def _split_measures(measures: dict):
             "relevance column, e.g. {'rel': [precision_at(10)]}"
         )
     return column_ms, pandas_ms
-
-
-def _measure_columns(measures: dict, rank_col: str):
-    column_ms, pandas_ms = _split_measures(measures)
-    if pandas_ms:
-        raise TypeError(
-            "internal: pandas measures must go through _pandas_measure_frame"
-        )
-    return [m.column(rel_col, rank_col) for rel_col, m in column_ms]
 
 
 def _column_measure_cols(column_ms, rank_col: str):

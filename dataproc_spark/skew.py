@@ -34,6 +34,15 @@ def with_salt(df: DataFrame, salt: int, id_cols: Sequence[str] | None = None) ->
     When no id columns are given, a per-partition row index seeds the
     hash — still uniform, still retry-stable within a partition.
     """
+    if SALT in df.columns:
+        # withColumn would silently overwrite the user's column and the
+        # salted operators then drop it — silent data loss (r7 review;
+        # same guard class as temporal.py's _bk/_side checks)
+        raise ValueError(
+            f"input already has a '{SALT}' column; rename it before "
+            "calling the salted operators (it would be clobbered and "
+            "dropped)"
+        )
     if id_cols:
         src = F.xxhash64(*[F.col(c) for c in id_cols])
     else:
@@ -123,7 +132,12 @@ def salted_join(
             f"salted_join supports inner/left joins, got {how!r} — the "
             f"replicated right side would duplicate unmatched right rows"
         )
-    lsalted = with_salt(left, salt, id_cols=None)
+    if SALT in right.columns:
+        raise ValueError(
+            f"right side already has a '{SALT}' column; rename it before "
+            "calling salted_join (it would be clobbered and dropped)"
+        )
+    lsalted = with_salt(left, salt, id_cols=None)  # guards the left side
     rrep = right.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

@@ -137,7 +137,20 @@ def asof_join(
     # be "most recent at or before" anything (pandas merge_asof rejects
     # them outright), and left un-dropped it would sort first and leak its
     # values into every left row of the key.
-    r = right.where(F.col(on).isNotNull()).select(
+    # Right rows with a NULL `by` key are dropped too: Window.partitionBy
+    # groups NULL keys into one partition, so without the filter two
+    # NULL-key rows would MATCH each other — a row equi-join (and the
+    # DuckDB ASOF JOIN oracle) treats NULL keys as matching nothing (r7
+    # review finding, confirmed by execution). NULL-key LEFT rows flow
+    # through and keep nulls, exactly like an unmatched left-join row.
+    null_by = None
+    for k in by:
+        cond = F.col(k).isNull()
+        null_by = cond if null_by is None else (null_by | cond)
+    r = right.where(F.col(on).isNotNull())
+    if null_by is not None:
+        r = r.where(~null_by)
+    r = r.select(
         *by,
         F.col(on).alias(on),
         F.struct(

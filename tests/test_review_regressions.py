@@ -139,7 +139,11 @@ def test_salted_agg_accepts_aliased_decomposable(spark):
 def test_maybe_broadcast_small_frame_hints(spark):
     from dataproc_spark.core import maybe_broadcast
 
-    small = spark.createDataFrame([(1, 2)], schema="query long, shard long")
+    # a frame with a KNOWN small estimate keeps the hint. (A local
+    # createDataFrame frame no longer qualifies — Spark 4 plans it as a
+    # stat-less LogicalRDD, indistinguishable from an unbounded textFile
+    # source, so the r7 policy is: unknown size -> no hint, AQE decides.)
+    small = spark.range(5).selectExpr("id AS query", "id % 2 AS shard")
     hinted = maybe_broadcast(small)
     assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
 
@@ -546,3 +550,100 @@ def test_doc_fingerprint_trailing_whitespace_invariant(spark):
     fps = [r.fp for r in df.select(doc_fingerprint("text").alias("fp"))
            .collect()]
     assert fps[0] == fps[1] == fps[2]
+
+
+# --- r7 fourth-review wave (core/io/selective/temporal/skew) ---------------
+
+def test_asof_join_null_by_key_matches_nothing(spark):
+    """Equi-join semantics for NULL keys: a NULL-key left row must keep
+    nulls, never match another NULL-key right row (r7 review: the window
+    partitioning grouped NULLs together and fabricated a match)."""
+    from dataproc_spark.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 100), (1, 100)], "user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(None, 50, 9.9), (1, 50, 1.1)], "user_id long, ts long, v double"
+    )
+    got = {r.user_id: r.v_asof for r in
+           asof_join(left, right, on="ts", by="user_id").collect()}
+    assert got == {None: None, 1: 1.1}
+
+
+def test_resolve_buckets_empty_selection(spark):
+    """Empty selection resolves to an empty frame instead of crashing on
+    None + 1 (r7 review; mirrors select_with_decay's empty-input fix)."""
+    from dataproc_spark.selective import resolve_bucket_selection
+
+    empty = spark.createDataFrame(
+        [], "query long, shard long, bucket long, rank long"
+    )
+    out = resolve_bucket_selection(empty, threshold=4)
+    assert out.count() == 0
+    assert out.columns == ["query", "shard", "bucket"]
+
+
+def test_maybe_broadcast_skips_unknown_size_frames(spark):
+    """Unknown-size frames (the ~Long.MaxValue sentinel: RDD-backed
+    textFile score CSVs AND, in Spark 4, driver-literal createDataFrame
+    frames — both plan as LogicalRDD) must NOT be force-broadcast: the
+    RDD-backed kind is unbounded, and AQE broadcasts the tiny kind from
+    runtime sizes anyway (r7 review). Estimated-small frames keep the
+    hint."""
+    from dataproc_spark.core import maybe_broadcast, plan_size_bytes
+
+    unknown = spark.createDataFrame(
+        spark.sparkContext.parallelize([(1,)]), "x long"
+    )
+    assert plan_size_bytes(unknown) is None
+    def hinted(df):
+        return "Hint broadcast" in maybe_broadcast(df)._jdf \
+            .queryExecution().logical().toString()
+
+    assert not hinted(unknown)
+    local = spark.createDataFrame([(1,)], "x long")
+    assert not hinted(local)
+    small = spark.range(10)  # Range carries an exact size estimate
+    assert plan_size_bytes(small) is not None
+    assert hinted(small)
+
+
+def test_spread_narrow_no_job_for_derived_frames(spark):
+    """The narrowness probe must not execute upstream stages for derived
+    frames (r7 review: df.rdd finalized the AQE plan, running a job)."""
+    from dataproc_spark.core import spread_narrow
+
+    tracker = spark.sparkContext.statusTracker()
+    base = spark.createDataFrame([(i % 3, i) for i in range(50)], "k long, v long")
+    derived = base.groupBy("k").count()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    spread_narrow(derived)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+
+
+def test_read_indexed_csv_skips_blank_lines(spark, tmp_path):
+    """pandas read_csv parity (skip_blank_lines): blanks consume no
+    index and never crash the parse (r7 review)."""
+    from dataproc_spark.core import read_indexed_csv
+
+    p = tmp_path / "scores.csv"
+    p.write_text("0.5\n\n0.9\n\n")
+    got = {r["_idx"]: r["shard_score"]
+           for r in read_indexed_csv(spark, str(p)).collect()}
+    assert got == {0: 0.5, 1: 0.9}
+
+
+def test_with_salt_rejects_existing_salt_column(spark):
+    import pytest as _pytest
+
+    from dataproc_spark import skew
+
+    df = spark.createDataFrame([(1, 0)], "k long, _salt int")
+    with _pytest.raises(ValueError, match="_salt"):
+        skew.with_salt(df, 4)
+    right = spark.createDataFrame([(1, 0)], "k long, _salt int")
+    left = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="_salt"):
+        skew.salted_join(left, right, ["k"])

@@ -51,9 +51,12 @@ def test_decayed_buckets():
     assert decayed_buckets(10, 5, 0.9) == [10, 9, 9, 8, 7]
     assert decayed_buckets(2, 3, 0.5) == [2, 1, 1]
     assert decayed_buckets(2, 3, 0.6) == [2, 2, 1]
-    with pytest.raises(AssertionError):
+    # intentional divergence from the reference's bare assert: a real
+    # ValueError survives `python -O` (asserts are stripped there, and a
+    # stripped guard would let decay > 1 silently produce growing budgets)
+    with pytest.raises(ValueError, match="decay_factor"):
         decayed_buckets(10, 5, 0)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="decay_factor"):
         decayed_buckets(10, 5, 1.1)
 
 
