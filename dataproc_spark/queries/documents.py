@@ -6,43 +6,18 @@ Split out of the monolithic queries.py (r7); registry assembly lives in
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from dataproc_spark.core import cartesian, maybe_broadcast
-from dataproc_spark.io import trec_frame
-from dataproc_spark.measures import num_retrieved, precision_at
-from dataproc_spark.selective import (
-    evaluate,
-    rank_selection,
-    resolve_bucket_selection,
-    select,
-    select_buckets,
-    select_with_decay,
-)
-from dataproc_spark import temporal
-from dataproc_spark.extensions import (
-    dedup,
-    sampling,
-    simsearch,
-    streaming,
-    textstats,
-)
+from dataproc_spark.core import maybe_broadcast
+from dataproc_spark.extensions import dedup, sampling, textstats
 
 # ---------------------------------------------------------------------------
 # table access
 # ---------------------------------------------------------------------------
 
-#: every driver-generated testdata table
-
-from dataproc_spark.queries._tables import (  # noqa: F401
-    TABLES,
-    _t,
-    register_tables,
-)
+from dataproc_spark.queries._tables import _t, register_tables  # noqa: F401
 
 
 def q_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,11 +81,27 @@ def q_sql_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     express, in its production form (batched, not row-at-a-time). The
     token rule mirrors ``textstats.token_count`` so the oracle is
     plain SQL."""
+    import re as _re
+
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def _tok(s):
-        return s.str.split().str.len().astype("int64")
+        # NULL-safe + oracle-aligned (r7 review): a bare
+        # s.str.split().str.len().astype('int64') raises on NULL text
+        # (NaN -> int64 cast) where the oracle null-propagates, and
+        # pandas' default split is Unicode-whitespace while the oracle's
+        # RE2 \s+ (and Java's) is ASCII — split on the explicit ASCII
+        # class, keep NULLs as nullable Int64 so SUM/MAX skip them like
+        # SQL aggregates do
+        return pd.Series(
+            [
+                None if x is None
+                else len([t for t in _re.split(r"[ \t\n\r\f\v]+", x) if t])
+                for x in s
+            ],
+            dtype="Int64",
+        )
 
     # real annotation objects: the module-level `from __future__ import
     # annotations` would stringify inline hints, which the pandas_udf
@@ -138,6 +129,32 @@ GROUP BY source
 """
 
 
+def _cum_hist(feats, group_col: str, value_col: str):
+    """(group, value, _c, _cum, _n) cumulative histogram — THE shared
+    exact-quantile machinery (r7 review: median_tokens and
+    token_quantiles each carried a verbatim copy). Scale-safe: the
+    shuffle is bounded by distinct values and the windows sort the tiny
+    histogram, never the raw rows (a row_number over a whole language
+    would sort its entire corpus on one task at 100 TB)."""
+    hist = feats.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = Window.partitionBy(group_col).orderBy(value_col)
+    w_all = Window.partitionBy(group_col)
+    return hist.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+        "_n", F.sum("_c").over(w_all)
+    )
+
+
+def _rank_pick(cum):
+    """Rows whose cumulative rank range [_cum - _c + 1, _cum] covers the
+    target rank ``_k`` — exactly one histogram row per (group, _k)."""
+    return cum.where(
+        (F.col("_cum") >= F.col("_k"))
+        & (F.col("_cum") - F.col("_c") < F.col("_k"))
+    )
+
+
 def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-quantile profile (p25/p50/p75/p95 of token counts per
     lang) — ``median_tokens`` generalized: ONE histogram aggregate, the
@@ -146,29 +163,15 @@ def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (k = ceil(q·n/100)); raw rows never see a window."""
     docs = _t(spark, sf_dir, "documents")
     feats = docs.select("lang", F.size(dedup.tokens("text")).alias("n_tokens"))
-    hist = feats.groupBy("lang", "n_tokens").agg(F.count(F.lit(1)).alias("_c"))
-    w_cum = Window.partitionBy("lang").orderBy("n_tokens")
-    w_all = Window.partitionBy("lang")
-    cum = (
-        hist.withColumn("_cum", F.sum("_c").over(w_cum))
-        .withColumn("_n", F.sum("_c").over(w_all))
-    )
-    return (
-        cum.select(
-            "*",
-            F.explode(F.array(*[F.lit(x) for x in (25, 50, 75, 95)]))
-            .alias("q"),
-        )
-        .withColumn("_k", F.expr("(q * _n + 99) div 100"))
-        .where(
-            (F.col("_cum") >= F.col("_k"))
-            & (F.col("_cum") - F.col("_c") < F.col("_k"))
-        )
-        .select(
-            "lang", "q",
-            F.col("n_tokens").alias("value"),
-            F.col("_n").alias("n_docs"),
-        )
+    cum = _cum_hist(feats, "lang", "n_tokens")
+    exploded = cum.select(
+        "*",
+        F.explode(F.array(*[F.lit(x) for x in (25, 50, 75, 95)])).alias("q"),
+    ).withColumn("_k", F.expr("(q * _n + 99) div 100"))
+    return _rank_pick(exploded).select(
+        "lang", "q",
+        F.col("n_tokens").alias("value"),
+        F.col("_n").alias("n_docs"),
     )
 
 
@@ -806,29 +809,13 @@ def q_median_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     the picked *value* is tie-order independent."""
     docs = _t(spark, sf_dir, "documents")
     feats = docs.select("lang", F.size(dedup.tokens("text")).alias("n_tokens"))
-    # Scale-safe exact quantile: aggregate to a (lang, value) HISTOGRAM
-    # first — the shuffle is bounded by distinct values, and the window
-    # sort below runs over that tiny histogram, never the raw rows. A
-    # row_number window partitioned by lang would sort an entire
-    # language's corpus on ONE task (English = one straggler at 100 TB).
-    hist = feats.groupBy("lang", "n_tokens").agg(F.count(F.lit(1)).alias("_c"))
-    w_cum = Window.partitionBy("lang").orderBy("n_tokens")
-    w_all = Window.partitionBy("lang")
-    return (
-        hist.withColumn("_cum", F.sum("_c").over(w_cum))
-        .withColumn("_n", F.sum("_c").over(w_all))
-        .withColumn("_k", F.expr("(_n + 1) div 2"))
-        # the value whose cumulative rank range [_cum - _c + 1, _cum]
-        # covers the lower-median rank k — exactly one row per lang
-        .where(
-            (F.col("_cum") >= F.col("_k"))
-            & (F.col("_cum") - F.col("_c") < F.col("_k"))
-        )
-        .select(
-            "lang",
-            F.col("n_tokens").alias("median_tokens"),
-            F.col("_n").alias("n_docs"),
-        )
+    cum = _cum_hist(feats, "lang", "n_tokens").withColumn(
+        "_k", F.expr("(_n + 1) div 2")  # lower-median rank
+    )
+    return _rank_pick(cum).select(
+        "lang",
+        F.col("n_tokens").alias("median_tokens"),
+        F.col("_n").alias("n_docs"),
     )
 
 
@@ -951,17 +938,26 @@ FROM ranked WHERE rnk <= 3
 """
 
 
-def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus quality filtering: C4/Gopher-style keep rules over the
-    quality features, reported as kept/dropped counts per lang."""
-    docs = textstats.quality_features(_t(spark, sf_dir, "documents"))
-    kept = (
+def _keep_rules() -> F.Column:
+    """THE C4/Gopher-style keep predicate over quality_features columns —
+    one definition shared by q_quality_filter and q_corpus_prep (r7
+    review: the five conditions were duplicated verbatim, so tightening
+    a threshold in one gate would silently diverge the other; both
+    oracles repeat the same constants, pinned by the gates)."""
+    return (
         (F.col("n_tokens") >= 10)
         & (F.col("n_tokens") <= 1000)
         & (F.col("mean_tok_len_c") >= 200)
         & (F.col("mean_tok_len_c") <= 900)
         & (F.col("digit_ratio_m") < 300)
     )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality filtering: C4/Gopher-style keep rules over the
+    quality features, reported as kept/dropped counts per lang."""
+    docs = textstats.quality_features(_t(spark, sf_dir, "documents"))
+    kept = _keep_rules()
     return (
         docs.withColumn("kept", kept.cast("int"))
         .groupBy("lang")
@@ -1009,13 +1005,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     final counts."""
     docs = _t(spark, sf_dir, "documents")
     feats = textstats.quality_features(docs)
-    kept = feats.where(
-        (F.col("n_tokens") >= 10)
-        & (F.col("n_tokens") <= 1000)
-        & (F.col("mean_tok_len_c") >= 200)
-        & (F.col("mean_tok_len_c") <= 900)
-        & (F.col("digit_ratio_m") < 300)
-    )
+    kept = feats.where(_keep_rules())
     winners = dedup.exact_dedup(kept).select("doc_id")
     deduped = kept.join(maybe_broadcast(winners), "doc_id", "left_semi")
     split = sampling.hash_split(deduped, "doc_id", "prep")

@@ -6,52 +6,34 @@ Split out of the monolithic queries.py (r7); registry assembly lives in
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from dataproc_spark.core import cartesian, maybe_broadcast
-from dataproc_spark.io import trec_frame
-from dataproc_spark.measures import num_retrieved, precision_at
-from dataproc_spark.selective import (
-    evaluate,
-    rank_selection,
-    resolve_bucket_selection,
-    select,
-    select_buckets,
-    select_with_decay,
-)
 from dataproc_spark import temporal
-from dataproc_spark.extensions import (
-    dedup,
-    sampling,
-    simsearch,
-    streaming,
-    textstats,
-)
+from dataproc_spark.extensions import streaming
 
 # ---------------------------------------------------------------------------
 # table access
 # ---------------------------------------------------------------------------
 
-#: every driver-generated testdata table
-
-from dataproc_spark.queries._tables import (  # noqa: F401
-    TABLES,
-    _t,
-    register_tables,
-)
+from dataproc_spark.queries._tables import _t, register_tables  # noqa: F401
 
 
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 h size, 30 min slide): each event lands in two
-    windows — the streaming-window shape expressed in batch."""
+    windows — the streaming-window shape expressed in batch.
+
+    Half-hour ids use the pmod-before-div FLOOR (the repo convention —
+    ``hourly_agg``'s docstring documents why): plain ``div`` truncates
+    toward zero, so a pre-1970 event would land in windows {0, −1}
+    instead of floor's {−1, −2}, making win_id 0 span a double-width
+    (−30 min, +30 min) interval; the streaming ``F.window`` path floors,
+    so batch/stream parity requires it (r7 review finding — the oracle
+    previously replicated the same truncation, green-while-wrong)."""
     ev = _t(spark, sf_dir, "events")
-    half_hours = F.array(
-        F.expr("ts div 1800000000000"), F.expr("ts div 1800000000000 - 1")
-    )
+    half = "((ts - pmod(ts, 1800000000000)) div 1800000000000)"
+    half_hours = F.array(F.expr(half), F.expr(f"{half} - 1"))
     return (
         ev.select(F.explode(half_hours).alias("win_id"), "event_type", "value")
         .groupBy("win_id", "event_type")
@@ -63,11 +45,16 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_SLIDING = """
+-- floor-division half-hour ids, same remainder trick as SQL_EVENTS_HOURLY
 SELECT win_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM (
-    SELECT unnest([epoch_ns(ts) // 1800000000000,
-                   epoch_ns(ts) // 1800000000000 - 1]) AS win_id,
+    SELECT unnest([
+               (epoch_ns(ts) - ((epoch_ns(ts) % 1800000000000)
+                 + 1800000000000) % 1800000000000) // 1800000000000,
+               (epoch_ns(ts) - ((epoch_ns(ts) % 1800000000000)
+                 + 1800000000000) % 1800000000000) // 1800000000000 - 1
+           ]) AS win_id,
            event_type, value
     FROM events
 )
@@ -326,7 +313,12 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     over raw events, no per-user sorting (``analytics.funnel``)."""
     from dataproc_spark.extensions.analytics import funnel
 
-    ev = _t(spark, sf_dir, "events")
+    # µs-truncated ns (the latest_per_user convention): the oracle's
+    # epoch_ns sees µs precision, so raw-ns outputs and strict '>' step
+    # comparisons would diverge under the TIMESTAMP(NANOS) contract
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("((ts - pmod(ts, 1000)) div 1000) * 1000")
+    )
     return funnel(ev, steps=("view", "click", "purchase")).select(
         "user_id", "t_view", "t_click", "t_purchase", "steps"
     )
@@ -372,7 +364,12 @@ def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side, then project the payload — one hash aggregate keyed on
     user_id, no window, with per-user payloads bounded by the user's own
     event count."""
-    ev = _t(spark, sf_dir, "events")
+    # sort on µs-floored ts (the latest_per_user convention) so same-µs
+    # ties fall to event_id identically in both engines under the
+    # TIMESTAMP(NANOS) contract (r7 review)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("((ts - pmod(ts, 1000)) div 1000) * 1000")
+    )
     collected = (
         ev.select(
             "user_id",
@@ -421,8 +418,17 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     no self-join, no global sort (``analytics.scd2_history``)."""
     from dataproc_spark.extensions.analytics import scd2_history
 
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "value_c", F.round(F.col("value") * 100).cast("long")
+    # µs-truncate BEFORE the history build (the latest_per_user
+    # convention): the oracle emits epoch_ns of a µs-precision
+    # timestamp, so under the TIMESTAMP(NANOS) contract raw-ns
+    # valid_from/valid_to would carry sub-µs digits the oracle cannot
+    # see — hash-divergent the day the driver ships nanos testdata
+    # (r7 review finding; same-µs ordering ties flip too)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("((ts - pmod(ts, 1000)) div 1000) * 1000").alias("ts"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
     )
     return scd2_history(ev).select(
         "user_id", "valid_from", "event_id", "value_c", "valid_to",
@@ -749,8 +755,11 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     user (the sessionization plan shape) + one pair aggregate; no
     self-joins."""
     ev = _t(spark, sf_dir, "events")
+    # µs-floored order key (latest_per_user convention): same-µs ties
+    # must fall to event_id identically in both engines (r7 review)
+    ts_us = F.expr("(ts - pmod(ts, 1000)) div 1000")
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
+        ts_us.asc(), F.col("event_id").asc()
     )
     steps = ev.select(
         F.lag("event_type").over(w).alias("prev_type"),
@@ -781,7 +790,11 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank*1000 div n — float cume_dist cannot hash-match), all sharing
     a single partition spec so the plan carries ONE sort, no extra
     exchanges."""
-    ev = _t(spark, sf_dir, "events")
+    # µs-floored order key throughout (latest_per_user convention, r7
+    # review): same-µs ties must fall to event_id in both engines
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("(ts - pmod(ts, 1000)) div 1000")
+    )
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -826,7 +839,12 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join via bucket equi-join + residual filter (no
     nested-loop θ-join): views falling in the 30 minutes after each error
     event, counted per error (zero-preserving left join)."""
-    ev = _t(spark, sf_dir, "events")
+    # µs-floored boundaries (r7 review): the oracle's epoch_ns sees µs
+    # precision, so a view 500 ns before an error must land on the same
+    # side of the >= boundary in both engines
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("((ts - pmod(ts, 1000)) div 1000) * 1000")
+    )
     errors = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"),
         F.col("ts").cast("long").alias("start"),
@@ -912,8 +930,13 @@ def q_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join. The MERGE INTO shape on plain parquet."""
     from dataproc_spark.extensions.analytics import apply_changelog
 
+    # µs-truncated ns, matching the oracle's epoch_ns view of the data
+    # (r7 review: raw-ns ts values and same-µs tie-breaks would diverge
+    # under the TIMESTAMP(NANOS) contract)
     ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type",
+        "event_id", "user_id",
+        F.expr("((ts - pmod(ts, 1000)) div 1000) * 1000").alias("ts"),
+        "event_type",
         F.round(F.col("value") * 100).cast("long").alias("value_c"),
     )
     w = Window.partitionBy("user_id").orderBy(

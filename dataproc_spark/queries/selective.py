@@ -6,13 +6,11 @@ Split out of the monolithic queries.py (r7); registry assembly lives in
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from dataproc_spark.core import cartesian, maybe_broadcast
+from dataproc_spark.core import cartesian
 from dataproc_spark.io import trec_frame
 from dataproc_spark.measures import num_retrieved, precision_at
 from dataproc_spark.selective import (
@@ -23,26 +21,12 @@ from dataproc_spark.selective import (
     select_buckets,
     select_with_decay,
 )
-from dataproc_spark import temporal
-from dataproc_spark.extensions import (
-    dedup,
-    sampling,
-    simsearch,
-    streaming,
-    textstats,
-)
 
 # ---------------------------------------------------------------------------
 # table access
 # ---------------------------------------------------------------------------
 
-#: every driver-generated testdata table
-
-from dataproc_spark.queries._tables import (  # noqa: F401
-    TABLES,
-    _t,
-    register_tables,
-)
+from dataproc_spark.queries._tables import _t  # noqa: F401
 
 
 def _shard_results(li: DataFrame) -> DataFrame:
@@ -78,9 +62,14 @@ def _shared_shard_results(li: DataFrame) -> DataFrame:
     (On a real cluster this is where you would checkpoint the results
     table instead.)
     """
-    key = li.sparkSession.sparkContext.applicationId + "\n" + (
-        li._jdf.queryExecution().logical().toString()
-    )
+    app = li.sparkSession.sparkContext.applicationId
+    # evict entries from other (stopped) sessions: a long-lived process
+    # creating several sessions (pytest, repeated bench harnesses) would
+    # otherwise accumulate one dead py4j-bound DataFrame handle per
+    # (application, plan) forever (r7 review finding)
+    for stale in [k for k in _SHARD_RESULTS_CACHE if not k.startswith(app + "\n")]:
+        del _SHARD_RESULTS_CACHE[stale]
+    key = app + "\n" + li._jdf.queryExecution().logical().toString()
     cached = _SHARD_RESULTS_CACHE.get(key)
     if cached is None:
         # note: spreading the scan across cores before the persist
@@ -466,7 +455,12 @@ def q_load_selection_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = [
         ((q * 31 + s * 17) % 100) / 10 for q in queries_list for s in range(nshards)
     ]
-    path = os.path.join(tempfile.gettempdir(), "dataproc_sel_scores.csv")
+    # a fresh dir per invocation, like the two sibling gates: a fixed
+    # shared path lets a concurrent run (bench + sweep) truncate the file
+    # mid-read and flake the positional zip (r7 review finding)
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="sel_scores_"), "scores.csv"
+    )
     with open(path, "w") as f:
         f.write("\n".join(str(x) for x in scores) + "\n")
     from dataproc_spark.io import load_shard_selection

@@ -6,43 +6,17 @@ Split out of the monolithic queries.py (r7); registry assembly lives in
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from dataproc_spark.core import cartesian, maybe_broadcast
-from dataproc_spark.io import trec_frame
-from dataproc_spark.measures import num_retrieved, precision_at
-from dataproc_spark.selective import (
-    evaluate,
-    rank_selection,
-    resolve_bucket_selection,
-    select,
-    select_buckets,
-    select_with_decay,
-)
-from dataproc_spark import temporal
-from dataproc_spark.extensions import (
-    dedup,
-    sampling,
-    simsearch,
-    streaming,
-    textstats,
-)
+from dataproc_spark.extensions import dedup, sampling, streaming
 
 # ---------------------------------------------------------------------------
 # table access
 # ---------------------------------------------------------------------------
 
-#: every driver-generated testdata table
-
-from dataproc_spark.queries._tables import (  # noqa: F401
-    TABLES,
-    _t,
-    register_tables,
-)
+from dataproc_spark.queries._tables import _t  # noqa: F401
 
 
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

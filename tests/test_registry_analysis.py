@@ -244,3 +244,61 @@ def test_skew_report_all_distinct_keys_no_divide_by_zero(spark, tmp_path):
     # as long nanos already, matching the Spark side's normalized view
     duck = con.sql(sql.replace("epoch_ns(ts)", "ts")).fetchall()
     assert {(r[5], r[6]) for r in duck} == {(0, "aqe-default")}
+
+
+def test_event_gates_match_oracle_under_nanos_contract(spark, tmp_path):
+    """Under the TIMESTAMP(NANOS) contract (driver testdata MAY ship
+    nanos parquet; DuckDB reads it µs-TRUNCATED — probed empirically),
+    the gates that order/emit timestamps must µs-floor like the oracle.
+    This runs the r7-fixed gates on synthetic nanos data whose sub-µs
+    digits flip a (ts, event_id) tie and carry non-zero ns remainders —
+    green-while-wrong before the fix (r7 review findings)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataproc_spark.queries import REGISTRY
+
+    t0 = 1_700_000_000_000_000_000
+    # same-µs tie with REVERSED event ids (raw-ns order flips it), plus
+    # sub-µs remainders on every row
+    rows = {
+        "event_id": [2, 1, 3, 4, 5, 6],
+        "ts": [t0 + 1500, t0 + 1800, t0 + 3_600_000_000_500,
+               t0 + 7_200_000_001_700, t0 + 2500, t0 + 5_400_000_000_900],
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "event_type": ["view", "click", "purchase", "view", "error", "view"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        "props": ['{"k": 1}'] * 6,
+    }
+    tbl = pa.table({
+        "event_id": pa.array(rows["event_id"], type=pa.int64()),
+        "ts": pa.array(rows["ts"], type=pa.timestamp("ns")),
+        "user_id": pa.array(rows["user_id"], type=pa.int64()),
+        "event_type": pa.array(rows["event_type"]),
+        "value": pa.array(rows["value"], type=pa.float64()),
+        "props": pa.array(rows["props"]),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet')"
+    )
+    for name in ("latest_per_user", "scd2_intervals", "funnel_steps",
+                 "apply_changelog", "user_event_sequences",
+                 "event_transitions", "window_suite", "interval_join",
+                 "events_sliding", "events_hourly"):
+        fn, sql = REGISTRY[name]
+        sdf = fn(spark, str(tmp_path))
+        cols = sorted(sdf.columns)
+        got = sorted(
+            tuple(r[c] for c in cols) for r in sdf.collect()
+        )
+        rel = con.sql(sql)
+        duck_cols = list(rel.columns)
+        idx = [duck_cols.index(c) for c in cols]
+        want = sorted(
+            tuple(rec[i] for i in idx) for rec in rel.fetchall()
+        )
+        assert got == want, f"{name}: spark={got} duck={want}"
