@@ -18,6 +18,27 @@ from dataproc_spark.extensions import dedup
 from dataproc_spark.queries._tables import _t  # noqa: F401
 
 
+#: shared oracle CTE fragments — ONE definition of the tokenize and
+#: 3-gram-shingle steps that every n-gram oracle composes (r7 review:
+#: the same ~10-line blocks were copy-pasted into eight SQL strings, so
+#: a parameter change could silently gate a different query than the
+#: operator runs; the f-string-composed-oracle pattern follows
+#: tpch.py's DUCK_PARTSUPP_CTE)
+_TOKS_CTE = r"""toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+)"""
+
+_SHINGLES3_CTE = r"""sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
+             ELSE [] END)) AS s
+    FROM toks
+)"""
+
 def q_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication-rate diagnostics per source: docs, distinct texts,
     and the duplicate permille — which crawl sources are redundant and
@@ -79,19 +100,24 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CORPUS_DIFF = """
+-- presence via explicit side markers, NOT fp nullness: md5(NULL) is
+-- NULL, so a NULL-text doc on both sides would otherwise read 'added'
+-- (mirrors the r7 corpus_diff fix; IS NOT DISTINCT FROM = eqNullSafe)
 WITH v1 AS (
-    SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+    SELECT doc_id, md5(text) AS fp, 1 AS present
+    FROM documents WHERE doc_id % 10 <> 0
 ),
 v2 AS (
     SELECT doc_id,
            md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
-                    ELSE text END) AS fp
+                    ELSE text END) AS fp,
+           1 AS present
     FROM documents WHERE doc_id % 7 <> 0
 )
 SELECT doc_id,
-       CASE WHEN o.fp IS NULL THEN 'added'
-            WHEN n.fp IS NULL THEN 'removed'
-            WHEN o.fp = n.fp THEN 'unchanged'
+       CASE WHEN o.present IS NULL THEN 'added'
+            WHEN n.present IS NULL THEN 'removed'
+            WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM v1 o FULL OUTER JOIN v2 n USING (doc_id)
 """
@@ -213,12 +239,8 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_MINHASH_PORTABLE = r"""
-WITH toks AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-    FROM documents
-),
+SQL_DEDUP_MINHASH_PORTABLE = rf"""
+WITH {_TOKS_CTE},
 sh AS (
     SELECT doc_id,
            list_distinct(list_transform(range(1, len(t) - 1),
@@ -273,20 +295,13 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_CC = r"""
+SQL_DEDUP_CC = rf"""
 WITH RECURSIVE toks AS (
     SELECT doc_id,
            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
     FROM documents
 ),
-sh AS (
-    SELECT doc_id, unnest(list_distinct(
-        CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t) - 1),
-                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
-             ELSE [] END)) AS s
-    FROM toks
-),
+{_SHINGLES3_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -343,20 +358,13 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_CLUSTER_SIZES = r"""
+SQL_DEDUP_CLUSTER_SIZES = rf"""
 WITH RECURSIVE toks AS (
     SELECT doc_id,
            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
     FROM documents
 ),
-sh AS (
-    SELECT doc_id, unnest(list_distinct(
-        CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t) - 1),
-                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
-             ELSE [] END)) AS s
-    FROM toks
-),
+{_SHINGLES3_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -400,12 +408,8 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_SIMHASH_PORTABLE = r"""
-WITH toks AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-    FROM documents
-),
+SQL_DEDUP_SIMHASH_PORTABLE = rf"""
+WITH {_TOKS_CTE},
 counts AS (
     SELECT doc_id,
            list_transform(range(0, 32), j ->
@@ -453,20 +457,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DECONTAMINATE = r"""
-WITH toks AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-    FROM documents
-),
-sh AS (
-    SELECT doc_id, unnest(list_distinct(
-        CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t) - 1),
-                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
-             ELSE [] END)) AS s
-    FROM toks
-),
+SQL_DECONTAMINATE = rf"""
+WITH {_TOKS_CTE},
+{_SHINGLES3_CTE},
 hits AS (
     SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS shared
     FROM sh tr JOIN sh ev ON tr.s = ev.s
@@ -488,20 +481,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NGRAM_JACCARD = r"""
-WITH toks AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-    FROM documents
-),
-sh AS (
-    SELECT doc_id, unnest(list_distinct(
-        CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t) - 1),
-                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
-             ELSE [] END)) AS s
-    FROM toks
-),
+SQL_NGRAM_JACCARD = rf"""
+WITH {_TOKS_CTE},
+{_SHINGLES3_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -532,12 +514,8 @@ def q_ngram_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NGRAM_JACCARD_MAXDF = r"""
-WITH toks AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-    FROM documents
-),
+SQL_NGRAM_JACCARD_MAXDF = rf"""
+WITH {_TOKS_CTE},
 sh0 AS (
     SELECT doc_id, unnest(list_distinct(
         CASE WHEN len(t) >= 3
@@ -581,20 +559,9 @@ def q_decontaminate_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DECONTAMINATE_MAXDF = r"""
-WITH toks AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-    FROM documents
-),
-sh AS (
-    SELECT doc_id, unnest(list_distinct(
-        CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t) - 1),
-                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
-             ELSE [] END)) AS s
-    FROM toks
-),
+SQL_DECONTAMINATE_MAXDF = rf"""
+WITH {_TOKS_CTE},
+{_SHINGLES3_CTE},
 hot AS (
     SELECT s FROM sh WHERE doc_id % 100 <> 0 GROUP BY s HAVING COUNT(*) > 3
 ),
@@ -625,17 +592,13 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_SPANS = r"""
-WITH toks AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-    FROM documents
-),
+SQL_DEDUP_SPANS = rf"""
+WITH {_TOKS_CTE},
 g1 AS (
     SELECT doc_id,
            unnest(list_transform(range(1, len(t) - 1),
-               i -> {'pos': i - 1,
-                     'g': array_to_string(list_slice(t, i, i + 2), ' ')})) AS s
+               i -> {{'pos': i - 1,
+                     'g': array_to_string(list_slice(t, i, i + 2), ' ')}})) AS s
     FROM toks WHERE len(t) >= 3
 ),
 grams AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM g1),
@@ -653,14 +616,18 @@ cov AS (
 covl AS (SELECT doc_id, list(cpos) AS cl FROM cov GROUP BY doc_id)
 SELECT t.doc_id,
        CAST(COALESCE(len(c.cl), 0) AS BIGINT) AS n_removed,
-       -- COALESCE: array_to_string([]) is NULL in DuckDB where Spark's
-       -- array_join([]) is '' (fully-boilerplate docs hit this)
-       COALESCE(array_to_string(
-           list_transform(
-               list_filter(range(1, len(t.t) + 1),
-                           i -> c.cl IS NULL OR NOT list_contains(c.cl, i - 1)),
-               i -> t.t[i]),
-           ' '), '') AS text_clean
+       -- COALESCE aligns the empty-list case only (array_to_string([])
+       -- is NULL in DuckDB where Spark's array_join([]) is '' — fully-
+       -- boilerplate docs); a NULL-TEXT doc must stay NULL like Spark's
+       -- tokens(NULL) → NULL, so the case guards it (r7 review)
+       CASE WHEN t.t IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(
+                list_transform(
+                    list_filter(range(1, len(t.t) + 1),
+                                i -> c.cl IS NULL
+                                     OR NOT list_contains(c.cl, i - 1)),
+                    i -> t.t[i]),
+                ' '), '') END AS text_clean
 FROM toks t LEFT JOIN covl c USING (doc_id)
 """
 
@@ -677,20 +644,9 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NGRAM_CONTAINMENT = r"""
-WITH toks AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-    FROM documents
-),
-sh AS (
-    SELECT doc_id, unnest(list_distinct(
-        CASE WHEN len(t) >= 3
-             THEN list_transform(range(1, len(t) - 1),
-                                 i -> array_to_string(list_slice(t, i, i + 2), ' '))
-             ELSE [] END)) AS s
-    FROM toks
-),
+SQL_NGRAM_CONTAINMENT = rf"""
+WITH {_TOKS_CTE},
+{_SHINGLES3_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared

@@ -234,8 +234,26 @@ WHERE NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL
 UNION ALL
 SELECT 'references(o_custkey)', CAST(COUNT(*) AS BIGINT)
 FROM orders o
-WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+-- NULL FKs are exempt (standard SQL FK semantics), matching the r7
+-- check_references fix — without the filter the oracle would encode
+-- the pre-fix NULL-counting bug
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 """
+
+
+def _materialize_and_clean(df, scratch_dir: str):
+    """Eagerly collect a (small) gate result so the scratch directory
+    can be removed before returning — the q_stream_sink_roundtrip
+    pattern. Without it every sweep/bench invocation left a full copy
+    of the roundtripped table under /tmp until the disk filled (r7
+    review finding)."""
+    import shutil
+
+    rows = df.collect()
+    out = df.sparkSession.createDataFrame(rows, df.schema)
+    shutil.rmtree(scratch_dir, ignore_errors=True)
+    return out
 
 
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,12 +274,13 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, out,
         schema="doc_id long, lang string, source string, n_chars long",
     )
-    return back.groupBy("lang", "source").agg(
+    agg = back.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+    return _materialize_and_clean(agg, out)
 
 
 SQL_JSONL_ROUNDTRIP = """
@@ -288,11 +307,12 @@ def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="part_")
     write_partitioned(docs, out, ["lang"])
     back = spark.read.parquet(out).where(F.col("lang") == "en")
-    return back.groupBy("source").agg(
+    agg = back.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.min("doc_id").alias("min_doc"),
     )
+    return _materialize_and_clean(agg, out)
 
 
 SQL_PARTITIONED_SCAN = """
@@ -315,11 +335,12 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="orc_")
     docs.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
-    return back.groupBy("lang").agg(
+    agg = back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.max("doc_id").alias("max_doc"),
     )
+    return _materialize_and_clean(agg, out)
 
 
 SQL_ORC_ROUNDTRIP = """
@@ -376,7 +397,7 @@ def q_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # label by file-set parity, NOT coalesce: a value-null lang in the
     # wide files must stay null (the oracle's CASE keeps it null), while
     # coalesce would fold it into the schema-absent group
-    return merged.groupBy(
+    agg = merged.groupBy(
         F.when(F.col("doc_id") % 2 == 0, F.lit("<pre-schema>"))
         .otherwise(F.col("lang"))
         .alias("lang")
@@ -384,6 +405,7 @@ def q_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
     )
+    return _materialize_and_clean(agg, out)
 
 
 SQL_MERGE_SCHEMA_SCAN = """
@@ -471,11 +493,12 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("escape", '"')
         .csv(out)
     )
-    return back.select(
+    res = back.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("text_md5"),
         "lang",
     )
+    return _materialize_and_clean(res, out)
 
 
 SQL_CSV_ROUNDTRIP = """
@@ -636,12 +659,17 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ZORDER_KEY = """
+-- pmod form: DuckDB % is sign-preserving, so a negative id's bare
+-- (id % 4096) would sign-extend garbage bits through the shifts where
+-- the implementation's F.pmod feeds non-negative lanes (r7 review)
 SELECT event_id,
        CAST(
          list_aggregate(list_transform(range(0, 12),
-             j -> (((user_id % 4096) >> j) & 1) << (2 * j)), 'sum')
+             j -> (((((user_id % 4096) + 4096) % 4096) >> j) & 1)
+                  << (2 * j)), 'sum')
          + list_aggregate(list_transform(range(0, 12),
-             j -> (((event_id % 4096) >> j) & 1) << (2 * j + 1)), 'sum')
+             j -> (((((event_id % 4096) + 4096) % 4096) >> j) & 1)
+                  << (2 * j + 1)), 'sum')
        AS BIGINT) AS z
 FROM events
 """

@@ -180,7 +180,11 @@ WITH hourly AS (
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
                AS sum_value_c
-    FROM events
+    -- the stream drops events at or before epoch 0 against the INITIAL
+    -- zero watermark in the first micro-batch (operator docstring);
+    -- replay that drop or the oracle emits pre-epoch windows the sink
+    -- never saw (r7 review)
+    FROM events WHERE epoch_ns(ts) > 0
     GROUP BY 1, 2
 ),
 wm AS (
@@ -256,12 +260,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAM_DEDUP = """
+-- events at or before epoch 0 are dropped by the stream's INITIAL zero
+-- watermark in the first micro-batch (both dedup variants) — replay it
 SELECT user_id,
        CAST(COUNT(DISTINCT
             (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000) + 3600000000000)
              % 3600000000000) // 3600000000000)
             AS BIGINT) AS n_active_hours
-FROM events GROUP BY user_id
+FROM events WHERE epoch_ns(ts) > 0
+GROUP BY user_id
 """
 # DuckDB integer `//` TRUNCATES toward zero (-7 // 2 = -3), so the positive
 # remainder is subtracted first — the same compensation as SQL_EVENTS_HOURLY
@@ -351,7 +358,11 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STREAM_STREAM_JOIN = """
 WITH ev AS (
-    SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus
+    SELECT event_id, user_id, event_type,
+           -- pmod-floor micros (with_event_time floors; bare // would
+           -- truncate pre-1970 sub-µs values one unit high — r7 review)
+           (epoch_ns(ts) - ((epoch_ns(ts) % 1000) + 1000) % 1000) // 1000
+               AS tus
     FROM events
 )
 SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
