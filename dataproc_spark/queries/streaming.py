@@ -94,7 +94,6 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         _file_stream,
         read_latest_snapshot,
         stream_upsert_to_parquet,
-        with_event_time,
     )
 
     ev = _t(spark, sf_dir, "events").select(
