@@ -79,10 +79,15 @@ def evaluate_step(shards, results, measures, step, verbose=False,
 
 def evaluate(shards, results, measures, num_shards, verbose=False,
              sort=False, num_buckets=None) -> DataFrame:
+    # the reference UNCONDITIONALLY ends with sort_values(['query',
+    # 'step']) (selectivesearch.py:73) — a drop-in consumer may read
+    # rows positionally or feed plot_and_show, so the compat surface
+    # reproduces that final order (r7 review; the engine-level
+    # selective.evaluate stays order-free, as a Spark API should)
     return _selective.evaluate(
         shards, results, measures, num_shards, sort=sort,
         num_buckets=num_buckets,
-    )
+    ).orderBy("query", "step")
 
 
 def load_shard_selection(queries, nshards, shard_scores_path) -> DataFrame:

@@ -212,11 +212,11 @@ def bloom_may_contain(
     with a broadcast join + conjunction — the cheap pre-filter before an
     exact (shuffling) semi-join on the survivors.
     """
+    # explode, not posexplode: the position index is never used here
+    # (unlike count_min, where the row index picks the hash family)
     pr = items.select(
         F.col(col),
-        F.posexplode(_bloom_positions(F.col(col), k, m_bits, salt)).alias(
-            "_i", "pos"
-        ),
+        F.explode(_bloom_positions(F.col(col), k, m_bits, salt)).alias("pos"),
     ).select(
         col,
         F.expr(f"pos div {_BLOOM_WORD_BITS}").alias("word"),
@@ -231,5 +231,11 @@ def bloom_may_contain(
             ).alias("_set"),
         )
         .groupBy(col)
-        .agg((F.min("_set") == 1).alias("may_contain"))
+        # coalesce: a NULL probe value hashes to NULL positions and
+        # would otherwise emit may_contain=NULL — neither of the two
+        # documented states. bloom_build excludes NULLs from the set,
+        # so False (definite absence) is the honest answer (r7 review).
+        .agg(
+            F.coalesce(F.min("_set") == 1, F.lit(False)).alias("may_contain")
+        )
     )

@@ -108,8 +108,6 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     hash equi-joins, no cartesian anywhere. Each triangle is found
     exactly once and credited to all three corners.
     """
-    from pyspark.sql import functions as F
-
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),

@@ -8,12 +8,20 @@ backends are not part of the engine environment.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 try:  # pragma: no cover - optional dependency
     import matplotlib
 
-    matplotlib.use("Agg")
+    # Only force the headless backend when the process has no display
+    # AND the user hasn't chosen one: an unconditional use('Agg') at
+    # import time turned plt.show() into a silent no-op and clobbered
+    # the backend for the whole process (a Jupyter user's unrelated
+    # figures stopped rendering — r7 review finding).
+    if not os.environ.get("DISPLAY") and not os.environ.get("MPLBACKEND"):
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     HAS_MATPLOTLIB = True
@@ -37,6 +45,13 @@ def plot_and_show(
     lines in a legend above the axes and ``axis`` passing through to
     matplotlib's axis-limit call.
 
+    Each frame is sorted by ``x`` before drawing: Spark collect order is
+    partition-arbitrary (the evaluate output ends in a groupBy), so an
+    unsorted polyline would zigzag across the x axis (r7 review
+    finding). Rendering uses an explicit fresh figure, never the
+    process-global current figure, so repeated calls cannot stack lines
+    from earlier plots.
+
     The one divergence from the reference is the show/save split:
     engine containers are headless, so ``save_path`` writes the figure
     to a file instead of calling ``plt.show()`` (pass nothing to get
@@ -49,21 +64,20 @@ def plot_and_show(
             "collect the evaluation frame and plot externally"
         )
     frames = [
-        line.toPandas() if isinstance(line, DataFrame) else line
+        (line.toPandas() if isinstance(line, DataFrame) else line)
+        .sort_values(x)
         for line in data
     ]
-    handles = [plt.plot(f[x], f[y], style)[0] for f in frames]
+    fig, ax = plt.subplots(figsize=size)
+    handles = [ax.plot(f[x], f[y], style)[0] for f in frames]
     if axis:
-        plt.axis(axis)
+        ax.axis(axis)
     if labels:
-        plt.legend(
+        ax.legend(
             handles, labels,
             bbox_to_anchor=(0.0, 1.02, 1.0, 0.102), loc=10,
             ncol=3, borderaxespad=0.0, frameon=False, fontsize=8,
         )
-    fig = plt.gcf()
-    if size:
-        fig.set_size_inches(size)
     if save_path is not None:
         fig.savefig(save_path, bbox_inches="tight")
         plt.close(fig)
@@ -83,8 +97,10 @@ def plot_and_save(
     """Line plot of evaluation curves, one line per ``labels`` value.
 
     Spark-side work is just the (small) collect of the evaluation output;
-    rendering is pure driver-side matplotlib. Raises ``RuntimeError`` when
-    matplotlib is unavailable (not installed in the engine container).
+    rendering is pure driver-side matplotlib. Every line is sorted by
+    ``x`` (collect order is partition-arbitrary). Raises ``RuntimeError``
+    when matplotlib is unavailable (not installed in the engine
+    container).
     """
     if not HAS_MATPLOTLIB:
         raise RuntimeError(
@@ -94,6 +110,7 @@ def plot_and_save(
     pdf = data.toPandas()
     fig, axis = plt.subplots(figsize=size)
     if labels is None:
+        pdf = pdf.sort_values(x)
         axis.plot(pdf[x], pdf[y], style)
     else:
         for label, group in pdf.groupby(labels):

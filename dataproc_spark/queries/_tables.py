@@ -29,6 +29,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts arrives as long nanos (parquet TIMESTAMP(NANOS) under
         # nanosAsLong) or as a timestamp type (timestamp[us] testdata);
         # normalize_event_ts projects either to the int64-nanos contract.
+        # DELIBERATE session-wide side effect: the driver runs gates on
+        # a vanilla session without this flag, and a TIMESTAMP(NANOS)
+        # events file cannot be read at all without it. It cannot be
+        # restored after the read (Spark scans lazily — the flag must
+        # hold when the job RUNS, not when the frame is built), so it is
+        # documented here and in `get_spark` (which sets it up front).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from dataproc_spark.core import normalize_event_ts
 

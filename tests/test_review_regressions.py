@@ -647,3 +647,38 @@ def test_with_salt_rejects_existing_salt_column(spark):
     left = spark.createDataFrame([(1,)], "k long")
     with _pytest.raises(ValueError, match="_salt"):
         skew.salted_join(left, right, ["k"])
+
+
+def test_bloom_may_contain_null_probe_is_false(spark):
+    """A NULL probe value must report may_contain=False (definite
+    absence — bloom_build excludes NULLs from the set), never the
+    neither-state NULL (r7 review)."""
+    from dataproc_spark.extensions.approx import bloom_build, bloom_may_contain
+
+    items = spark.createDataFrame([("a",), ("b",)], "w string")
+    bloom = bloom_build(items, "w")
+    probes = spark.createDataFrame([("a",), ("zzz",), (None,)], "w string")
+    got = {r.w: r.may_contain
+           for r in bloom_may_contain(bloom, probes, "w").collect()}
+    assert got["a"] is True and got["zzz"] is False and got[None] is False
+
+
+def test_compat_evaluate_sorted_by_query_step(spark, results, selection):
+    """The compat surface reproduces the reference's unconditional final
+    sort_values(['query', 'step']) (selectivesearch.py:73) — positional
+    consumers and plot_and_show rely on it (r7 review)."""
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.compat import measures
+    from dataproc_spark.compat import selectivesearch as ss
+
+    judged = (
+        results.withColumn("global_rank", F.col("score"))
+        .withColumn("relevant", (F.col("bucket") == 0).cast("int"))
+    )
+    out = ss.evaluate(
+        selection, judged, {"relevant": [measures.precision_at(2)]},
+        num_shards=3,
+    ).collect()
+    keys = [(r.query, r.step) for r in out]
+    assert keys == sorted(keys) and len(keys) > 2
