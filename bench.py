@@ -6,6 +6,19 @@ JSON line:
 Each query is forced with a cheap count() (no driver materialization of
 results). Timings include Spark planning + execution but not session
 startup.
+
+MEASUREMENT CONTRACT: count() lets Catalyst prune projections and
+aggregate expressions the count does not need, so for aggregate-shaped
+queries the timing under-measures the full expression work (e.g.
+text_stats collapses to a lang-only aggregate). This forcing is KEPT
+deliberately: every BENCH_r*.json since round 1 — including the
+driver-relative baseline the perf gate compares against — was recorded
+with the identical forcing, so the headline total stays comparable
+across rounds; switching to a consuming aggregate would inflate every
+number against the gate's own baseline. Treat per-query values as a
+consistent round-over-round signal, not absolute query cost; use the
+SCALE.md probe harnesses (which force with consuming aggregates) for
+absolute measurements.
 """
 
 from __future__ import annotations
@@ -80,13 +93,18 @@ def main() -> None:
     # loading that has nothing to do with the measured plan.
     from pyspark.sql import functions as _F
 
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    warm = spark.range(1000).withColumnRenamed("id", "k")
-    warm.join(_F.broadcast(spark.range(10).withColumnRenamed("id", "k")), "k").count()
-    warm.selectExpr(
-        "k", "row_number() over (partition by k % 7 order by k) as rn"
-    ).where("rn <= 2").count()
+    try:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        warm = spark.range(1000).withColumnRenamed("id", "k")
+        warm.join(_F.broadcast(spark.range(10).withColumnRenamed("id", "k")), "k").count()
+        warm.selectExpr(
+            "k", "row_number() over (partition by k % 7 order by k) as rn"
+        ).where("rn <= 2").count()
+    except Exception as exc:  # noqa: BLE001 — a failed warmup must not
+        # abort the harness before any query runs (the same isolation
+        # contract as the per-query loops); queries just run cold
+        print(f"# warmup failed, continuing cold: {exc}", file=sys.stderr)
 
     qs = registry.queries()
     timings: dict[str, float] = {}
@@ -95,11 +113,11 @@ def main() -> None:
     # the harness and destroy every other timing (rounds 3/4 had rc=1 and
     # zero performance data because events_hourly threw here)
     for name in BENCH_QUERIES:
-        t0 = time.time()
+        t0 = time.perf_counter()
         try:
             df = qs[name](spark, sf_dir)
             df.count()
-            timings[name] = round(time.time() - t0, 3)
+            timings[name] = round(time.perf_counter() - t0, 3)
             print(f"# {name}: {timings[name]}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -107,16 +125,19 @@ def main() -> None:
 
     extended: dict[str, float] = {}
     for name in EXTENDED_QUERIES:
-        t0 = time.time()
+        t0 = time.perf_counter()
         try:
             qs[name](spark, sf_dir).count()
-            extended[name] = round(time.time() - t0, 3)
+            extended[name] = round(time.perf_counter() - t0, 3)
             print(f"# ext {name}: {extended[name]}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# ext {name}: ERROR {errors[name]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # a round with errors must not report a SMALLER (faster-looking)
+    # headline from the surviving queries — null the total so consumers
+    # reading only "value" cannot mistake a failure for a speedup
+    total = round(sum(timings.values()), 3) if not errors else None
     summary = {
         "metric": "bench_total_runtime",
         "value": total,

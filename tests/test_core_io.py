@@ -318,8 +318,6 @@ def test_load_selection_rejects_misshapen_score_files(spark, tmp_path):
     mis-aligns when the score CSV does not match queries × shards; we
     must fail fast — for SHORT, LONG, and EMPTY files — never produce a
     misaligned frame."""
-    import pytest as _pytest
-
     from dataproc_spark.io import load_bucket_selection, load_shard_selection
 
     def write(name, lines):
@@ -329,16 +327,16 @@ def test_load_selection_rejects_misshapen_score_files(spark, tmp_path):
 
     # 2 queries x 2 shards = 4 expected rows
     short = write("short.csv", [0.1, 0.2, 0.3])
-    with _pytest.raises(ValueError, match="3 rows, expected 4"):
+    with pytest.raises(ValueError, match="3 rows, expected 4"):
         load_shard_selection(spark, [0, 1], 2, short)
     long = write("long.csv", [0.1, 0.2, 0.3, 0.4, 0.5])
-    with _pytest.raises(ValueError, match="5 rows, expected 4"):
+    with pytest.raises(ValueError, match="5 rows, expected 4"):
         load_shard_selection(spark, [0, 1], 2, long)
     empty = write("empty.csv", [])
-    with _pytest.raises(ValueError, match="0 rows, expected 4"):
+    with pytest.raises(ValueError, match="0 rows, expected 4"):
         load_shard_selection(spark, [0, 1], 2, empty)
     # bucket variant: 1 query x 2 shards x 3 buckets = 6
-    with _pytest.raises(ValueError, match="5 rows, expected 6"):
+    with pytest.raises(ValueError, match="5 rows, expected 6"):
         load_bucket_selection(spark, [0], 2, 3, long)
 
 

@@ -345,9 +345,7 @@ def test_chunk_documents_boundaries(spark):
         (2, 0): ("x", 1),
         # doc 3 (no tokens) yields no chunks
     }
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="chunk_tokens"):
+    with pytest.raises(ValueError, match="chunk_tokens"):
         corpus.chunk_documents(df, chunk_tokens=0)
 
 
@@ -385,9 +383,7 @@ def test_shuffle_order_rejects_bad_shard_count(spark):
     from dataproc_spark.extensions import corpus
 
     df = spark.createDataFrame([(1, "a")], schema="doc_id long, source string")
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="n_shards"):
+    with pytest.raises(ValueError, match="n_shards"):
         corpus.shuffle_order(df, n_shards=10)
 
 
@@ -489,9 +485,7 @@ def test_shuffle_order_rejects_column_clash(spark):
     from dataproc_spark.extensions import corpus
 
     df = spark.createDataFrame([(1, 0)], schema="doc_id long, pos long")
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="overwrite existing"):
+    with pytest.raises(ValueError, match="overwrite existing"):
         corpus.shuffle_order(df)
 
 
@@ -625,13 +619,16 @@ def test_embed_kmeans_drops_empty_clusters(spark):
     survivor set keeps its original cids."""
     from dataproc_spark.extensions.simsearch import embed_kmeans
 
-    # seeds are vecs 0,1 (both in the left blob); everything is closer to
-    # one of them after the first update, so k collapses below 2 only if
-    # a cluster empties — here both survive, but cids stay {0,1}
-    rows = [(i, [float(i), 0.0]) for i in range(4)]
+    # duplicate seed vectors (vecs 0 and 1 identical): every point's
+    # argmin TIES between cid 0 and cid 1 and the pinned tie-break
+    # assigns the smallest cid, so cluster 1 captures nothing and MUST
+    # be dropped — this actually exercises the drop path (the earlier
+    # fixture kept both clusters alive, covering nothing — r7 review)
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0]),
+            (3, [2.0, 0.0])]
     df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
     out = embed_kmeans(df, k=2, iters=2).toPandas()
-    assert set(out.cluster).issubset({0, 1})
+    assert set(out.cluster) == {0}  # cluster 1 emptied and disappeared
     assert len(out) == 4
 
 

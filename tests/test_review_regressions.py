@@ -405,14 +405,12 @@ def test_stream_upsert_refuses_stale_snapshot_dir(spark, tmp_path):
     """A fresh-checkpoint run against a snapshot_dir holding versions
     from a previous run must refuse (its batch ids restart at 0, so its
     output would silently lose to the stale max version — r7 review)."""
-    import pytest as _pytest
-
     from dataproc_spark.extensions.streaming import stream_upsert_to_parquet
 
     snap_dir = tmp_path / "snap"
     (snap_dir / "v=2").mkdir(parents=True)
     snapshot = spark.createDataFrame([(1, 1, 1)], "user_id long, ts long, value_c long")
-    with _pytest.raises(RuntimeError, match="stale|previous run|versions"):
+    with pytest.raises(RuntimeError, match="stale|previous run|versions"):
         stream_upsert_to_parquet(
             None, snapshot, str(snap_dir), checkpoint_dir=None
         )
@@ -478,14 +476,12 @@ def test_resample_ffill_null_value_in_bucket(spark):
 
 
 def test_funnel_rejects_repeated_steps(spark):
-    import pytest as _pytest
-
     from dataproc_spark.extensions.analytics import funnel
 
     events = spark.createDataFrame(
         [(1, 1, "view")], "user_id long, ts long, event_type string"
     )
-    with _pytest.raises(ValueError, match="distinct"):
+    with pytest.raises(ValueError, match="distinct"):
         funnel(events, ["view", "click", "view"])
 
 
@@ -503,24 +499,20 @@ def test_check_references_null_fk_exempt(spark):
 
 
 def test_validate_constraints_empty_checks_raises(spark):
-    import pytest as _pytest
-
     from dataproc_spark.extensions.quality import validate_constraints
 
-    with _pytest.raises(ValueError, match="empty checks"):
+    with pytest.raises(ValueError, match="empty checks"):
         validate_constraints([])
 
 
 def test_frame_sample_validation_and_empty_payload(spark):
-    import pytest as _pytest
-
     from dataproc_spark.extensions.multimodal import frame_sample
 
     media = spark.createDataFrame(
         [(1, bytearray(b"abcdef")), (2, bytearray(b""))],
         "media_id long, payload binary",
     )
-    with _pytest.raises(ValueError, match="every_n_bytes"):
+    with pytest.raises(ValueError, match="every_n_bytes"):
         frame_sample(media, every_n_bytes=0)
     rows = frame_sample(media, every_n_bytes=4).collect()
     # media 1: offsets 0 and 4; media 2 (empty): ZERO frames, no phantom
@@ -528,15 +520,13 @@ def test_frame_sample_validation_and_empty_payload(spark):
 
 
 def test_occurrences_long_type_and_empty_needle(spark):
-    import pytest as _pytest
-
     from dataproc_spark.extensions.textstats import occurrences
 
     df = spark.createDataFrame([("ababab",)], "text string")
     out = df.select(occurrences("text", "ab").alias("n"))
     assert dict(out.dtypes)["n"] == "bigint"
     assert out.first().n == 3
-    with _pytest.raises(ValueError, match="needle"):
+    with pytest.raises(ValueError, match="needle"):
         occurrences("text", "")
 
 
@@ -636,16 +626,14 @@ def test_read_indexed_csv_skips_blank_lines(spark, tmp_path):
 
 
 def test_with_salt_rejects_existing_salt_column(spark):
-    import pytest as _pytest
-
     from dataproc_spark import skew
 
     df = spark.createDataFrame([(1, 0)], "k long, _salt int")
-    with _pytest.raises(ValueError, match="_salt"):
+    with pytest.raises(ValueError, match="_salt"):
         skew.with_salt(df, 4)
     right = spark.createDataFrame([(1, 0)], "k long, _salt int")
     left = spark.createDataFrame([(1,)], "k long")
-    with _pytest.raises(ValueError, match="_salt"):
+    with pytest.raises(ValueError, match="_salt"):
         skew.salted_join(left, right, ["k"])
 
 

@@ -775,17 +775,15 @@ def test_stream_upsert_replay_base_contract(tmp_path):
     """_replay_base returns the immediate predecessor and fails loudly
     when vacuum removed it (r6 ADVICE: no empty-max ValueError, no
     silent stale-base merge that drops intermediate batches)."""
-    import pytest as _pytest
-
     from dataproc_spark.extensions.streaming import _replay_base
 
     assert _replay_base([-1], 0, "d") == -1
     assert _replay_base([-1, 0, 1], 2, "d") == 1
     # crashed batch 5 replays after vacuum kept only v=3: stale base
-    with _pytest.raises(RuntimeError, match="vacuum"):
+    with pytest.raises(RuntimeError, match="vacuum"):
         _replay_base([3], 5, "d")
     # vacuum removed even the initial snapshot
-    with _pytest.raises(RuntimeError, match="predecessor"):
+    with pytest.raises(RuntimeError, match="predecessor"):
         _replay_base([], 0, "d")
     # predecessor present among later (crashed-attempt) versions is fine
     assert _replay_base([3, 4, 5], 5, "d") == 4

@@ -83,10 +83,19 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = wanted or list(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        # fail with a clear message, not a KeyError mid-loop: a typo'ed
+        # query name (or a relative sf_dir without '/' misparsed as a
+        # name) should not crash before any result prints
+        sys.exit(
+            f"unknown query name(s): {unknown} — pass registry names "
+            "(and sf_dir as a path containing '/')"
+        )
     failures = []
     for name in names:
         fn = qs[name]
-        t0 = time.time()
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -95,17 +104,17 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name:28s} spark error: {type(e).__name__}: {str(e)[:2000]}")
             continue
-        spark_s = time.time() - t0
+        spark_s = time.perf_counter() - t0
         if name not in oracles:
             print(f"rows  {name:28s} rows={len(srows):7d}  cols={scols} "
                   f"spark={spark_s:5.1f}s (rows-only)")
             continue
         try:
-            t1 = time.time()
+            t1 = time.perf_counter()
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
-            duck_s = time.time() - t1
+            duck_s = time.perf_counter() - t1
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name:28s} duckdb error: {str(e)[:2000]}")
