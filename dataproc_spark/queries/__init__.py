@@ -241,6 +241,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
+    "binary_ingest": (q_binary_ingest, SQL_BINARY_INGEST),
 }
 
 

@@ -702,3 +702,49 @@ FROM c a JOIN c b
   ON a.blk = b.blk AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
+
+
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-media ingestion via Spark's built-in ``binaryFile`` source —
+    the entry point of a multimodal pipeline: a directory of opaque
+    media files becomes (media_id from the filename, byte length,
+    content fingerprint) rows, ready for the decode/dedup stages.
+
+    The gate synthesizes one ``<doc_id>.bin`` per document (UTF-8 text
+    bytes as the opaque payload, driver-written — the corpus is tiny at
+    gate SF; at scale the files already EXIST on object storage and the
+    binaryFile scan parallelizes over them, ``pathGlobFilter`` +
+    partition discovery doing the pruning). The fingerprint is
+    ``md5(hex(content))`` — ``hex`` of a blob is bit-identical
+    uppercase in both engines, so the oracle (DuckDB ``read_blob``)
+    reproduces it without any binary→string cast hazards. Scratch is
+    removed via the collect-then-rmtree gate pattern."""
+    import os as _os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="binmedia_")
+    for r in docs.collect():
+        with open(_os.path.join(out, f"{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+        .select(
+            F.regexp_extract(
+                F.col("path"), r"(\d+)\.bin$", 1
+            ).cast("long").alias("media_id"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5(F.hex(F.col("content"))).alias("payload_md5"),
+        )
+    )
+    return _materialize_and_clean(scanned, out)
+
+
+SQL_BINARY_INGEST = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(hex(encode(text))) AS payload_md5
+FROM documents
+"""
