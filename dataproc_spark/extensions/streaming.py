@@ -193,6 +193,41 @@ def _drain(
     return df.sparkSession.table(name)
 
 
+# Version of the event_fingerprint encoding. Bumped whenever the byte
+# encoding changes (v2 = NULL-sentinel fields, r7). A fingerprint store
+# persisted under an older encoding matches NOTHING on the anti-join —
+# every historical event would silently re-ingest as new — so stores
+# should carry this as an ``fp_format`` column (see
+# ``stamp_fingerprint_store``) and ``stream_incremental_dedup`` refuses
+# a store whose marker disagrees instead of silently re-ingesting.
+FINGERPRINT_FORMAT = 2
+
+
+def stamp_fingerprint_store(store: DataFrame) -> DataFrame:
+    """Attach the fingerprint-encoding version marker to a store frame
+    before persisting it, so a later engine upgrade that changes
+    :func:`event_fingerprint` fails loudly on load (r7 ADVICE finding)
+    instead of silently treating all history as new."""
+    return store.withColumn("fp_format", F.lit(FINGERPRINT_FORMAT))
+
+
+def _check_fingerprint_store(store: DataFrame) -> None:
+    """Fail loudly on a store whose ``fp_format`` marker (if present)
+    disagrees with the current encoding. Unstamped stores pass — they
+    predate the marker and the docstring migration note covers them."""
+    if "fp_format" not in store.columns:
+        return
+    row = store.select("fp_format").first()
+    if row is not None and row[0] != FINGERPRINT_FORMAT:
+        raise ValueError(
+            f"fingerprint store was written with encoding format {row[0]} "
+            f"but this engine computes format {FINGERPRINT_FORMAT}; "
+            "rebuild the store with the current event_fingerprint() "
+            "(a mismatched store matches nothing on the anti-join and "
+            "every historical event would re-ingest as new)"
+        )
+
+
 def event_fingerprint(
     user_col: str = "user_id",
     type_col: str = "event_type",
@@ -259,6 +294,7 @@ def stream_incremental_dedup(
     (fp, user_id, event_type, value_c) of the newly ingested
     fingerprints.
     """
+    _check_fingerprint_store(store)
     stream = with_event_time(_file_stream(spark, events_path))
     fp = event_fingerprint()
     new_rows = (

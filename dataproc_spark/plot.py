@@ -9,6 +9,7 @@ backends are not part of the engine environment.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import DataFrame
 
@@ -19,8 +20,16 @@ try:  # pragma: no cover - optional dependency
     # AND the user hasn't chosen one: an unconditional use('Agg') at
     # import time turned plt.show() into a silent no-op and clobbered
     # the backend for the whole process (a Jupyter user's unrelated
-    # figures stopped rendering — r7 review finding).
-    if not os.environ.get("DISPLAY") and not os.environ.get("MPLBACKEND"):
+    # figures stopped rendering — r7 review finding). DISPLAY only
+    # means anything on Linux/X11 — macOS and Windows have working GUIs
+    # without it, so the no-DISPLAY heuristic must not fire there
+    # (r7 ADVICE finding).
+    if (
+        sys.platform.startswith("linux")
+        and not os.environ.get("DISPLAY")
+        and not os.environ.get("WAYLAND_DISPLAY")
+        and not os.environ.get("MPLBACKEND")
+    ):
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 

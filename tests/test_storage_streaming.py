@@ -569,6 +569,32 @@ def test_stream_incremental_dedup_store_and_cross_batch(spark, tmp_path):
     assert got == {(fp_b, 2, "click", 200), (fp_c, 3, "buy", 300)}
 
 
+def test_fingerprint_store_format_marker(spark, tmp_path):
+    """A store stamped with an older encoding version is refused loudly
+    (a silent mismatch would re-ingest all history as new); a store
+    stamped with the current version, or an unstamped legacy store,
+    passes validation."""
+    from dataproc_spark.extensions.streaming import (
+        FINGERPRINT_FORMAT,
+        _check_fingerprint_store,
+        stamp_fingerprint_store,
+    )
+
+    store = spark.createDataFrame([("abc",)], schema="fp string")
+    # unstamped legacy store: accepted (documented migration note)
+    _check_fingerprint_store(store)
+    # current stamp: accepted
+    stamped = stamp_fingerprint_store(store)
+    assert stamped.columns == ["fp", "fp_format"]
+    _check_fingerprint_store(stamped)
+    # stale stamp: refused with the rebuild message
+    import pytest as _pytest
+
+    stale = store.withColumn("fp_format", F.lit(FINGERPRINT_FORMAT - 1))
+    with _pytest.raises(ValueError, match="rebuild the store"):
+        _check_fingerprint_store(stale)
+
+
 def test_apply_changelog_merge_semantics(spark):
     """Latest change per key wins; D deletes, U upserts, untouched keys
     carry over; a delete older than a later upsert does not win."""
