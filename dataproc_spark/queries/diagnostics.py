@@ -722,15 +722,19 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL-text docs have no media file (and a zero-byte file would be
+    # skipped by binaryFile's split planning anyway) — filter them out
+    # here and in the oracle, mirroring the NULL-text handling of the
+    # sibling text gates (r7 ADVICE finding).
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
     out = tempfile.mkdtemp(prefix="binmedia_")
     for r in docs.collect():
-        # a NULL-text document still has a media file — an empty payload
-        # (mirrors the NULL-text handling of the sibling text gates; the
-        # oracle coalesces to '' the same way)
-        payload = (r.text or "").encode("utf-8")
         with open(_os.path.join(out, f"{r.doc_id}.bin"), "wb") as fh:
-            fh.write(payload)
+            fh.write(r.text.encode("utf-8"))
     scanned = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")
@@ -748,7 +752,8 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BINARY_INGEST = """
 SELECT doc_id AS media_id,
-       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
-       md5(hex(encode(coalesce(text, '')))) AS payload_md5
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(hex(encode(text))) AS payload_md5
 FROM documents
+WHERE text IS NOT NULL
 """
