@@ -34,6 +34,7 @@ from dataproc_spark.queries.events import *  # noqa: F401,F403
 from dataproc_spark.queries.streaming import *  # noqa: F401,F403
 from dataproc_spark.queries.dedup import *  # noqa: F401,F403
 from dataproc_spark.queries.documents import *  # noqa: F401,F403
+from dataproc_spark.queries.vocab import *  # noqa: F401,F403
 from dataproc_spark.queries.embeddings import *  # noqa: F401,F403
 from dataproc_spark.queries.diagnostics import *  # noqa: F401,F403
 

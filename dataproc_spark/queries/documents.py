@@ -129,72 +129,6 @@ GROUP BY source
 """
 
 
-def _cum_hist(feats, group_col: str, value_col: str):
-    """(group, value, _c, _cum, _n) cumulative histogram — THE shared
-    exact-quantile machinery (r7 review: median_tokens and
-    token_quantiles each carried a verbatim copy). Scale-safe: the
-    shuffle is bounded by distinct values and the windows sort the tiny
-    histogram, never the raw rows (a row_number over a whole language
-    would sort its entire corpus on one task at 100 TB)."""
-    hist = feats.groupBy(group_col, value_col).agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    w_cum = Window.partitionBy(group_col).orderBy(value_col)
-    w_all = Window.partitionBy(group_col)
-    return hist.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
-        "_n", F.sum("_c").over(w_all)
-    )
-
-
-def _rank_pick(cum):
-    """Rows whose cumulative rank range [_cum - _c + 1, _cum] covers the
-    target rank ``_k`` — exactly one histogram row per (group, _k)."""
-    return cum.where(
-        (F.col("_cum") >= F.col("_k"))
-        & (F.col("_cum") - F.col("_c") < F.col("_k"))
-    )
-
-
-def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact multi-quantile profile (p25/p50/p75/p95 of token counts per
-    lang) — ``median_tokens`` generalized: ONE histogram aggregate, the
-    quantile list exploded over the tiny (lang, value) histogram, each
-    quantile picked by rank-range intersection. percentile_disc
-    semantics (k = ceil(q·n/100)); raw rows never see a window."""
-    docs = _t(spark, sf_dir, "documents")
-    feats = docs.select("lang", F.size(dedup.tokens("text")).alias("n_tokens"))
-    cum = _cum_hist(feats, "lang", "n_tokens")
-    exploded = cum.select(
-        "*",
-        F.explode(F.array(*[F.lit(x) for x in (25, 50, 75, 95)])).alias("q"),
-    ).withColumn("_k", F.expr("(q * _n + 99) div 100"))
-    return _rank_pick(exploded).select(
-        "lang", "q",
-        F.col("n_tokens").alias("value"),
-        F.col("_n").alias("n_docs"),
-    )
-
-
-SQL_TOKEN_QUANTILES = r"""
-WITH feats AS (
-    SELECT lang,
-           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-               AS n_tokens
-    FROM documents
-),
-ranked AS (
-    SELECT lang, n_tokens,
-           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
-           COUNT(*) OVER (PARTITION BY lang) AS cnt
-    FROM feats
-)
-SELECT lang, q, CAST(n_tokens AS BIGINT) AS value,
-       CAST(cnt AS BIGINT) AS n_docs
-FROM ranked, (SELECT unnest([25, 50, 75, 95]) AS q)
-WHERE rn = (q * cnt + 99) // 100
-"""
-
-
 def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman-style rank correlation (integer permille) between
     document length and token count per source — the corpus-statistics
@@ -285,32 +219,6 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
        CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS sum_tokens
 FROM documents GROUP BY lang
-"""
-
-
-def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-20 tokens by frequency (explode → agg → top-k)."""
-    docs = _t(spark, sf_dir, "documents")
-    counts = (
-        docs.select(F.explode(dedup.tokens("text")).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return counts.withColumn("rnk", F.row_number().over(w)).where(
-        F.col("rnk") <= 20
-    )
-
-
-SQL_TOKEN_TOPK = r"""
-WITH toks AS (
-    SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
-    FROM documents
-),
-counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token)
-SELECT token, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rnk
-FROM counts
-QUALIFY rnk <= 20
 """
 
 
@@ -520,71 +428,6 @@ GROUP BY doc_id
 """
 
 
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training
-    (``textstats.bpe_learn_merges``): one corpus-sized (word, freq)
-    aggregate, then 3 merge rounds of pair-count + argmax on the
-    vocabulary table. The oracle replays all three rounds — pair
-    explode, frequency argmax with lexicographic tie-break, and the
-    sentinel-space replace — as chained CTEs."""
-    merges = textstats.bpe_learn_merges(
-        _t(spark, sf_dir, "documents"), n_merges=3
-    )
-    return spark.createDataFrame(
-        merges, schema="rank int, lhs string, rhs string, pair_freq long"
-    )
-
-
-SQL_BPE_MERGES = r"""
-WITH toks AS (
-    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
-                              x -> x <> '')) AS w
-    FROM documents
-),
-words1 AS (
-    SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS r,
-           COUNT(*) AS freq
-    FROM toks GROUP BY w
-),
-p1 AS (
-    SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
-    FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM words1) t,
-         unnest(range(1, len(t.s))) u(i)
-    GROUP BY 1, 2
-),
-b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
-words2 AS (
-    SELECT replace(r, ' ' || b1.a || ' ' || b1.b || ' ',
-                   ' ' || b1.a || b1.b || ' ') AS r, freq
-    FROM words1, b1
-),
-p2 AS (
-    SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
-    FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM words2) t,
-         unnest(range(1, len(t.s))) u(i)
-    GROUP BY 1, 2
-),
-b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
-words3 AS (
-    SELECT replace(r, ' ' || b2.a || ' ' || b2.b || ' ',
-                   ' ' || b2.a || b2.b || ' ') AS r, freq
-    FROM words2, b2
-),
-p3 AS (
-    SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
-    FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM words3) t,
-         unnest(range(1, len(t.s))) u(i)
-    GROUP BY 1, 2
-),
-b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
-SELECT 0 AS rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_freq FROM b1
-UNION ALL
-SELECT 1, a, b, CAST(cnt AS BIGINT) FROM b2
-UNION ALL
-SELECT 2, a, b, CAST(cnt AS BIGINT) FROM b3
-"""
-
-
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by md5 hash ranges —
     stable under corpus growth and cluster layout; counts per split."""
@@ -730,114 +573,6 @@ GROUP BY source
 """
 
 
-def q_salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe token frequency: `skew.salted_agg` two-phase aggregation
-    (groupBy (token, salt) partials → re-aggregate) for hot tokens, top-20
-    by count. The oracle computes the plain single-phase aggregate — a
-    value-exact proof that salting is semantics-preserving."""
-    from dataproc_spark import skew
-
-    toks = _t(spark, sf_dir, "documents").select(
-        F.explode(dedup.tokens("text")).alias("token")
-    )
-    counts = skew.salted_agg(
-        toks, ["token"], {"n": F.count(F.lit(1))}, salt=8
-    )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
-        .select("token", F.col("n").cast("long").alias("n"), "rnk")
-    )
-
-
-SQL_SALTED_TOKEN_COUNTS = r"""
-WITH toks AS (
-    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
-                              x -> x <> '')) AS token
-    FROM documents
-),
-counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
-ranked AS (
-    SELECT token, n,
-           ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk
-    FROM counts
-)
-SELECT token, CAST(n AS BIGINT) AS n, CAST(rnk AS INTEGER) AS rnk
-FROM ranked WHERE rnk <= 20
-"""
-
-
-def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 characteristic terms per document (exact-integer tf/df
-    surrogate; first 50 docs to keep the gate output bounded)."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
-    return textstats.tfidf_top_terms(docs, k=3)
-
-
-SQL_TFIDF_TOPK = r"""
-WITH toks AS (
-    SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
-                                      x -> x <> '')) AS term
-    FROM documents WHERE doc_id < 50
-),
-tf AS (
-    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
-),
-dfreq AS (
-    SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
-),
-scored AS (
-    SELECT t.doc_id, t.term, t.tf, d.df,
-           (t.tf * 1000000) // d.df AS score_m,
-           ROW_NUMBER() OVER (
-               PARTITION BY t.doc_id
-               ORDER BY (t.tf * 1000000) // d.df DESC, t.term ASC
-           ) AS rnk
-    FROM tf t JOIN dfreq d USING (term)
-)
-SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-       CAST(score_m AS BIGINT) AS score_m, CAST(rnk AS INTEGER) AS rnk
-FROM scored WHERE rnk <= 3
-"""
-
-
-def q_median_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group median (lower median / percentile_disc style): the
-    ((n+1) div 2)-th smallest token count per lang. Exact distributed
-    quantiles via rank-selection — deterministic, unlike approx sketches;
-    the picked *value* is tie-order independent."""
-    docs = _t(spark, sf_dir, "documents")
-    feats = docs.select("lang", F.size(dedup.tokens("text")).alias("n_tokens"))
-    cum = _cum_hist(feats, "lang", "n_tokens").withColumn(
-        "_k", F.expr("(_n + 1) div 2")  # lower-median rank
-    )
-    return _rank_pick(cum).select(
-        "lang",
-        F.col("n_tokens").alias("median_tokens"),
-        F.col("_n").alias("n_docs"),
-    )
-
-
-SQL_MEDIAN_TOKENS = r"""
-WITH feats AS (
-    SELECT lang,
-           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-               AS n_tokens
-    FROM documents
-),
-ranked AS (
-    SELECT lang, n_tokens,
-           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
-           COUNT(*) OVER (PARTITION BY lang) AS cnt
-    FROM feats
-)
-SELECT lang, CAST(n_tokens AS INTEGER) AS median_tokens,
-       CAST(cnt AS BIGINT) AS n_docs
-FROM ranked WHERE rn = (cnt + 1) // 2
-"""
-
-
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing for LLM training batches: per-source
     in-order char-budget bins; reports per-bin fill. The greedy walk is
@@ -871,70 +606,6 @@ walk AS (
 SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
 FROM walk GROUP BY source, bin_id
-"""
-
-
-def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram language-model table: corpus-wide bigram counts with the
-    top-3 continuations per leading token (support ≥ 10). Explode →
-    partial+final hash aggregate → partial top-k per w1.
-
-    Shuffle-key audit (r6): unlike ``doc_novelty``/``ngram_jaccard``,
-    the (w1, w2) strings ARE the output payload here — hashing the
-    grouping key would not narrow the exchange because the strings must
-    travel to the reducers anyway. Partial (map-side) aggregation
-    already collapses repeats before the shuffle; raw keys are correct.
-    """
-    docs = _t(spark, sf_dir, "documents")
-    toks = dedup.tokens("text")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    counts = (
-        docs.select(F.explode(bigrams).alias("bg"))
-        .select("bg.w1", "bg.w2")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= 10)
-    )
-    w = Window.partitionBy("w1").orderBy(F.col("cnt").desc(), F.col("w2").asc())
-    return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 3)
-        .select("w1", "w2", F.col("cnt").cast("long").alias("cnt"), "rnk")
-    )
-
-
-SQL_BIGRAM_LM = r"""
-WITH toks AS (
-    SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-    FROM documents
-),
-bg AS (
-    SELECT unnest(list_transform(range(1, len(t)),
-                  i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
-    FROM toks WHERE len(t) >= 2
-),
-counts AS (
-    SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS cnt
-    FROM bg GROUP BY b.w1, b.w2 HAVING COUNT(*) >= 10
-),
-ranked AS (
-    SELECT w1, w2, cnt,
-           ROW_NUMBER() OVER (
-               PARTITION BY w1 ORDER BY cnt DESC, w2 ASC
-           ) AS rnk
-    FROM counts
-)
-SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS INTEGER) AS rnk
-FROM ranked WHERE rnk <= 3
 """
 
 
@@ -1062,24 +733,6 @@ FROM sp GROUP BY split, lang
 """
 
 
-def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LLM token budgeting: BPE-style pre-token counts per source."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(textstats.bpe_token_count().cast("long")).alias("sum_bpe_tokens"),
-        F.max(textstats.bpe_token_count().cast("long")).alias("max_bpe_tokens"),
-    )
-
-
-SQL_BPE_TOKEN_STATS = """
-SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens,
-       CAST(MAX(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS max_bpe_tokens
-FROM documents GROUP BY source
-"""
-
-
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token chunking (`corpus.chunk_documents`): each doc split
     into consecutive 64-token training chunks; map-only (explode over the
@@ -1145,33 +798,6 @@ FROM h
 """
 
 
-def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted index build (`corpus.inverted_index`): term → (doc, tf,
-    sorted 0-based positions) postings, min_tf=2 pruning the singleton
-    tail. posexplode → one hash aggregate on the term; the oracle
-    re-derives positions with generate_subscripts."""
-    from dataproc_spark.extensions import corpus
-
-    return corpus.inverted_index(
-        _t(spark, sf_dir, "documents"), min_tf=2
-    )
-
-
-SQL_INVERTED_INDEX = r"""
-WITH base AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-    FROM documents
-), toks AS (
-    SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
-    FROM base
-)
-SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
-       array_to_string(list_sort(list(pos)), ',') AS positions
-FROM toks GROUP BY term, doc_id HAVING COUNT(*) >= 2
-"""
-
-
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (`corpus.redact_pii`): email/IPv4/digit-run tokens,
     map-only regexp chain. Emits md5 of the redacted text (compact exact
@@ -1206,61 +832,6 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text,
            '\d[\d\- ]{7,}\d')) AS INTEGER) AS n_numruns
 FROM documents
-"""
-
-
-def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Budgeted corpus selection: keep the highest-quality documents whose
-    cumulative token count fits a global training budget (here 20 000
-    tokens; quality = alphabetic-character permille, ties by doc_id) —
-    the data-selection step between scoring and training.
-
-    Semantics are ONE cumulative window ordered (score desc, doc_id asc);
-    the oracle states exactly that. ``analytics.select_under_budget``
-    decomposes it scale-safely (histogram running total + per-bucket
-    windows — no global sort of raw documents; plan shape pinned by
-    test)."""
-    from dataproc_spark.extensions.analytics import select_under_budget
-
-    docs = _t(spark, sf_dir, "documents")
-    feats = docs.select(
-        "doc_id",
-        F.size(dedup.tokens("text")).cast("long").alias("n_tokens"),
-        F.expr(
-            "CASE WHEN length(text) > 0 THEN"
-            " (length(regexp_replace(text, '[^A-Za-z]', '')) * 1000)"
-            " div length(text) ELSE 0 END"
-        )
-        .cast("long")
-        .alias("score_m"),
-    )
-    return select_under_budget(feats, budget=20_000).withColumnRenamed(
-        "cum_weight", "cum_tokens"
-    )
-
-
-SQL_SELECT_TOKEN_BUDGET = r"""
-WITH feats AS (
-    SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-               AS n_tokens,
-           CASE WHEN len(text) > 0
-                THEN (len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000)
-                     // len(text)
-                ELSE 0 END AS score_m
-    FROM documents
-),
-cum AS (
-    SELECT doc_id, score_m, n_tokens,
-           SUM(n_tokens) OVER (
-               ORDER BY score_m DESC, doc_id ASC ROWS UNBOUNDED PRECEDING
-           ) AS cum_tokens
-    FROM feats
-)
-SELECT doc_id, CAST(score_m AS BIGINT) AS score_m,
-       CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(cum_tokens AS BIGINT) AS cum_tokens
-FROM cum WHERE cum_tokens <= 20000
 """
 
 
@@ -1441,31 +1012,3 @@ FROM ranked
 WHERE ((rn - 1) * 1000) // greatest(gn - 1, 1) >= 100
 """
 
-
-def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-fit diagnostic: per-source OOV permille against the
-    corpus' own top-500 tokens (deterministic vocabulary: count desc,
-    token asc). Raw text never shuffles — token counts aggregate
-    map-side and the 500-row vocabulary broadcasts."""
-    docs = _t(spark, sf_dir, "documents")
-    return textstats.vocab_coverage(docs, vocab_size=500)
-
-
-SQL_VOCAB_COVERAGE = r"""
-WITH toks AS (
-    SELECT source AS src,
-           unnest(list_filter(string_split_regex(text, '\s+'),
-                              x -> x <> '')) AS tok
-    FROM documents
-),
-vocab AS (
-    SELECT tok FROM toks GROUP BY tok
-    ORDER BY COUNT(*) DESC, tok LIMIT 500
-)
-SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(COUNT(*) FILTER (tok NOT IN (SELECT tok FROM vocab))
-            AS BIGINT) AS n_oov,
-       CAST(COUNT(*) FILTER (tok NOT IN (SELECT tok FROM vocab)) * 1000
-            // COUNT(*) AS BIGINT) AS oov_m
-FROM toks GROUP BY src
-"""
