@@ -19,6 +19,20 @@ number against the gate's own baseline. Treat per-query values as a
 consistent round-over-round signal, not absolute query cost; use the
 SCALE.md probe harnesses (which force with consuming aggregates) for
 absolute measurements.
+
+REPEAT PROTOCOL (r8): machine-load variance made single-run totals
+uninterpretable (r7 was +19% on r6 with the drift uniform across
+untouched queries). The harness now runs the WHOLE suite
+$SPARK_GRAFT_BENCH_RUNS times (default 3) as separate subprocesses —
+each child is bit-identical to the r1–r7 single-run protocol (fresh
+session, same warmup, same count() forcing), so per-run totals remain
+comparable with every prior BENCH_r*.json — and reports the MEDIAN
+per-run total as "value" plus the raw totals under "runs" and
+per-query medians under "queries". In-session repeats were rejected:
+the selective family's session-scoped shard-results cache (and warm
+codegen generally) makes second in-session runs structurally faster,
+which would silently lower the headline against the baseline.
+Set SPARK_GRAFT_BENCH_RUNS=1 for the old single-run behavior.
 """
 
 from __future__ import annotations
@@ -79,7 +93,82 @@ BENCH_QUERIES = [
 ]
 
 
+def _median(values: list[float]) -> float:
+    """Median without importing statistics (keeps the harness stdlib-light);
+    even counts average the two middle values."""
+    s = sorted(values)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
+def run_repeats(n_runs: int) -> None:
+    """Parent mode of the repeat protocol: run the single-run harness
+    ``n_runs`` times as SUBPROCESSES (each a fresh JVM + session — the
+    exact r1–r7 measurement), then print ONE merged JSON line whose
+    "value" is the median per-run total, with the raw totals under
+    "runs" and per-query medians under "queries"/"extended"."""
+    import subprocess
+
+    child_env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    results = []
+    failures: dict[str, str] = {}
+    for i in range(n_runs):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=child_env,
+            capture_output=True,
+            text=True,
+        )
+        sys.stderr.write(proc.stderr)
+        line = proc.stdout.strip().rsplit("\n", 1)[-1] if proc.stdout.strip() else ""
+        try:
+            data = json.loads(line)
+        except (ValueError, json.JSONDecodeError):
+            failures[f"run{i}"] = (
+                f"rc={proc.returncode}, unparseable stdout: {line[:200]}"
+            )
+            continue
+        if proc.returncode != 0 or data.get("errors"):
+            failures[f"run{i}"] = json.dumps(data.get("errors", {}))[:300]
+        results.append(data)
+        print(f"# run {i}: total={data.get('value')}", file=sys.stderr)
+
+    clean = [r for r in results if r.get("value") is not None]
+    # the headline must not look FASTER because some runs failed: any
+    # failed run nulls the median, same contract as per-query errors
+    totals = [r["value"] for r in clean]
+    value = round(_median(totals), 3) if clean and not failures else None
+
+    def per_query_median(key: str) -> dict[str, float]:
+        names: dict[str, list[float]] = {}
+        for r in clean:
+            for q, t in (r.get(key) or {}).items():
+                names.setdefault(q, []).append(t)
+        return {q: round(_median(ts), 3) for q, ts in names.items()}
+
+    summary = {
+        "metric": "bench_total_runtime",
+        "value": value,
+        "unit": "sec",
+        "queries": per_query_median("queries"),
+        "extended": per_query_median("extended"),
+        "sf": clean[0]["sf"] if clean else None,
+        "runs": totals,
+        "protocol": f"median_of_{n_runs}_subprocess_runs",
+    }
+    if failures:
+        summary["errors"] = failures
+    print(json.dumps(summary))
+    if failures:
+        sys.exit(1)
+
+
 def main() -> None:
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if n_runs > 1 and not os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        run_repeats(n_runs)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("dataproc_spark-bench")

@@ -302,3 +302,54 @@ def test_event_gates_match_oracle_under_nanos_contract(spark, tmp_path):
             tuple(rec[i] for i in idx) for rec in rel.fetchall()
         )
         assert got == want, f"{name}: spark={got} duck={want}"
+
+
+def test_bench_repeat_protocol_merge(monkeypatch, capsys):
+    """Parent mode medians per-run totals across subprocess runs, keeps
+    per-query medians, and nulls the headline if any run fails."""
+    import json
+    import types
+
+    import bench
+
+    assert bench._median([3.0, 1.0, 2.0]) == 2.0
+    assert bench._median([1.0, 2.0]) == 1.5
+
+    def fake_runs(payloads, rcs):
+        calls = iter(zip(payloads, rcs))
+
+        def fake_run(cmd, env=None, capture_output=None, text=None):
+            payload, rc = next(calls)
+            return types.SimpleNamespace(
+                returncode=rc, stdout=json.dumps(payload) + "\n", stderr=""
+            )
+
+        return fake_run
+
+    base = {"metric": "bench_total_runtime", "unit": "sec", "sf": 0.1,
+            "extended": {}}
+    good = [dict(base, value=v, queries={"q1": v / 2, "q2": v / 2})
+            for v in (20.0, 10.0, 30.0)]
+    monkeypatch.setattr(
+        "subprocess.run", fake_runs(good, [0, 0, 0]), raising=False
+    )
+    bench.run_repeats(3)
+    out = json.loads(capsys.readouterr().out.strip().rsplit("\n", 1)[-1])
+    assert out["value"] == 20.0
+    assert out["runs"] == [20.0, 10.0, 30.0]
+    assert out["queries"] == {"q1": 10.0, "q2": 10.0}
+    assert out["protocol"] == "median_of_3_subprocess_runs"
+
+    # one failed run ⇒ headline nulled, exit 1
+    bad = [dict(base, value=20.0, queries={"q1": 20.0}),
+           dict(base, value=None, queries={}, errors={"q1": "boom"})]
+    monkeypatch.setattr(
+        "subprocess.run", fake_runs(bad, [0, 1]), raising=False
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        bench.run_repeats(2)
+    out = json.loads(capsys.readouterr().out.strip().rsplit("\n", 1)[-1])
+    assert out["value"] is None
+    assert "errors" in out
