@@ -37,6 +37,7 @@ from dataproc_spark.queries.documents import *  # noqa: F401,F403
 from dataproc_spark.queries.vocab import *  # noqa: F401,F403
 from dataproc_spark.queries.embeddings import *  # noqa: F401,F403
 from dataproc_spark.queries.diagnostics import *  # noqa: F401,F403
+from dataproc_spark.queries.web import *  # noqa: F401,F403
 
 
 #: name -> (spark callable, oracle SQL or None for rows-only checks)
@@ -243,6 +244,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
     "binary_ingest": (q_binary_ingest, SQL_BINARY_INGEST),
+    # -- r8 additions: URL/domain curation family --------------------------
+    "url_host_parse": (q_url_host_parse, SQL_URL_HOST_PARSE),
+    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
 }
 
 

@@ -1,0 +1,124 @@
+"""URL / domain-curation gates (``extensions.web``): host parsing,
+registered-domain rollup, per-domain document caps, domain mixture.
+
+The testdata has no URL column, so each gate first *synthesizes* a
+deterministic URL per document from ``doc_id`` — the same expression in
+Spark and in the DuckDB oracle — then exercises the real operator on
+the synthesized column. The synthesis covers the parsing surface: bare
+hosts, ``www.`` and multi-label subdomains, two-level public suffixes
+(``.co.uk``), query strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataproc_spark.extensions import web
+from dataproc_spark.queries._tables import _t
+
+#: deterministic URL from doc_id — dialect-portable except the cast
+#: keyword, spliced per engine ({S} = STRING | VARCHAR)
+_URL_EXPR = (
+    "'https://' || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'www.' "
+    "     WHEN doc_id % 7 = 0 THEN 'cdn.assets.' ELSE '' END || "
+    "'site' || CAST(doc_id % 37 AS {S}) || "
+    "CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' "
+    "     WHEN 2 THEN '.org' ELSE '.io' END || "
+    "'/p/' || CAST(doc_id AS {S}) || "
+    "CASE WHEN doc_id % 5 = 0 THEN '?ref=mix' ELSE '' END"
+)
+_URL_SPARK = _URL_EXPR.format(S="STRING")
+_URL_DUCK = _URL_EXPR.format(S="VARCHAR")
+
+#: DuckDB-side host + registered-domain derivation (the oracle re-derives
+#: what ``web.host_of`` / ``web.registered_domain`` compute JVM-side; the
+#: regex constants are THE shared rule — imported, not copied)
+_DUCK_HOST = "regexp_extract(lower(url), '^[a-z]+://([^/?#]+)', 1)"
+
+
+def _duck_domain(host: str) -> str:
+    return (
+        f"CASE WHEN regexp_extract({host}, '{web._REGDOM_PATTERN}', 1) <> '' "
+        f"     THEN regexp_extract({host}, '{web._REGDOM_PATTERN}', 1) "
+        f"WHEN regexp_extract({host}, '{web._LAST_TWO_PATTERN}', 1) <> '' "
+        f"     THEN regexp_extract({host}, '{web._LAST_TWO_PATTERN}', 1) "
+        f"ELSE {host} END"
+    )
+
+
+def _docs_with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("url", F.expr(_URL_SPARK))
+    )
+
+
+def q_url_host_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host extraction + registered-domain rollup (``web.with_domain``):
+    map-only JVM ``parse_url`` + the two-level-suffix eTLD+1 heuristic.
+    Returns (doc_id, host, domain) for every document — the full parsing
+    surface, no aggregation, so any disagreement pinpoints a doc_id."""
+    return web.with_domain(_docs_with_url(spark, sf_dir)).select(
+        "doc_id", "host", "domain"
+    )
+
+
+SQL_URL_HOST_PARSE = f"""
+WITH u AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
+h AS (SELECT doc_id, {_DUCK_HOST} AS host FROM u)
+SELECT doc_id, host, {_duck_domain('host')} AS domain FROM h
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (``web.cap_per_domain``): keep at most 3
+    docs per registered domain, preferring shortest ``n_chars`` with
+    ``doc_id`` as the deterministic tie-break — the crawl-curation "no
+    domain may dominate the corpus" pass. One window shuffle on domain;
+    the salted two-phase variant is plan-equivalence-tested in the unit
+    suite (same result, bounded partitions under skew)."""
+    docs = web.with_domain(_docs_with_url(spark, sf_dir))
+    return web.cap_per_domain(
+        docs, cap=3, order_by=["n_chars", "doc_id"]
+    ).select("doc_id", "domain", "n_chars")
+
+
+SQL_DOMAIN_CAP = f"""
+WITH u AS (SELECT doc_id, n_chars, {_URL_DUCK} AS url FROM documents),
+h AS (SELECT doc_id, n_chars, {_DUCK_HOST} AS host FROM u),
+d AS (SELECT doc_id, n_chars, {_duck_domain('host')} AS domain FROM h),
+r AS (SELECT doc_id, domain, n_chars,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars, doc_id) AS rn
+      FROM d)
+SELECT doc_id, domain, n_chars FROM r WHERE rn <= 3
+"""
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture report (``web.domain_mixture``): per registered
+    domain, document count, total chars, and corpus share in integer
+    basis points (integer DIV — bit-stable across engines). The
+    denominator is a broadcast 1-row aggregate, not a global window."""
+    docs = web.with_domain(_docs_with_url(spark, sf_dir))
+    return web.domain_mixture(docs, weight_col="n_chars").select(
+        "domain", "n_docs", "weight", "share_bps"
+    )
+
+
+SQL_DOMAIN_MIXTURE = f"""
+WITH u AS (SELECT doc_id, n_chars, {_URL_DUCK} AS url FROM documents),
+h AS (SELECT doc_id, n_chars, {_DUCK_HOST} AS host FROM u),
+d AS (SELECT doc_id, n_chars, {_duck_domain('host')} AS domain FROM h),
+per AS (SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS weight
+        FROM d GROUP BY domain)
+SELECT domain, n_docs, weight,
+       CAST((weight * 10000) // (SELECT sum(weight) FROM per) AS BIGINT)
+           AS share_bps
+FROM per
+"""

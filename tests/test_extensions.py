@@ -829,3 +829,66 @@ def test_ngram_containment_asymmetric(spark):
            ).collect()}
     # doc1 fully inside doc2 -> containment 1000; reverse is 2/8 = 250
     assert got == {(1, 2): 1000}
+
+
+# ---------------------------------------------------------------------------
+# URL / domain curation (extensions.web)
+# ---------------------------------------------------------------------------
+
+
+def test_host_and_registered_domain(spark):
+    from dataproc_spark.extensions import web
+
+    df = spark.createDataFrame(
+        [(1, "https://www.Site.COM/p/1?x=1"),
+         (2, "http://a.b.site.co.uk/deep/path"),
+         (3, "https://cdn.assets.site9.io/p/3"),
+         (4, "https://localhost/x"),
+         (5, "not a url")],
+        schema="doc_id long, url string",
+    )
+    out = {r.doc_id: (r.host, r.domain)
+           for r in web.with_domain(df).collect()}
+    assert out[1] == ("www.site.com", "site.com")
+    assert out[2] == ("a.b.site.co.uk", "site.co.uk")
+    assert out[3] == ("cdn.assets.site9.io", "site9.io")
+    # bare single-label host maps to itself
+    assert out[4] == ("localhost", "localhost")
+    # unparseable URL -> NULL host; domain falls through to NULL too
+    assert out[5] == (None, None)
+
+
+def test_cap_per_domain_salted_matches_exact(spark):
+    """The two-phase salted cap must return exactly the single-phase
+    result (phase 1 only drops rows the exact cap would also drop),
+    including under a heavily skewed domain."""
+    from dataproc_spark.extensions import web
+
+    rows = [(i, "big.com", i % 17) for i in range(200)]
+    rows += [(1000 + i, f"tail{i}.org", i) for i in range(20)]
+    df = spark.createDataFrame(rows, schema="doc_id long, domain string, n_chars long")
+    plain = web.cap_per_domain(df, cap=5, order_by=["n_chars", "doc_id"])
+    salted = web.cap_per_domain(
+        df, cap=5, order_by=["n_chars", "doc_id"], salts=8
+    )
+    assert rows_set(plain) == rows_set(salted)
+    got = rows_set(plain)
+    assert sum(1 for r in got if r[1] == "big.com") == 5
+    with pytest.raises(ValueError, match="cap must be >= 1"):
+        web.cap_per_domain(df, cap=0)
+
+
+def test_domain_mixture_integer_shares(spark):
+    from dataproc_spark.extensions import web
+
+    df = spark.createDataFrame(
+        [(1, "a.com", 30), (2, "a.com", 30), (3, "b.org", 40)],
+        schema="doc_id long, domain string, n_chars long",
+    )
+    out = {r.domain: (r.n_docs, r.weight, r.share_bps)
+           for r in web.domain_mixture(df, weight_col="n_chars").collect()}
+    assert out == {"a.com": (2, 60, 6000), "b.org": (1, 40, 4000)}
+    # doc-count weighting when no weight column is given
+    out2 = {r.domain: r.share_bps
+            for r in web.domain_mixture(df).collect()}
+    assert out2 == {"a.com": 6666, "b.org": 3333}

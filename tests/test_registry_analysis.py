@@ -109,6 +109,10 @@ _NESTED_LOOP_OK = {
     # broadcast-queries exact-scoring path, same shape as ann_topk: the
     # query set broadcasts and the corpus is scanned once linearly
     "hard_negatives",
+    # 1-row broadcast of the corpus-total aggregate onto the per-domain
+    # report (one row per domain — bounded by domain cardinality); same
+    # scalar-denominator shape as nations_above_avg_revenue
+    "domain_mixture",
 }
 
 
