@@ -404,6 +404,125 @@ def bpe_learn_merges(
     return merges
 
 
+#: above this many merge rules the chained-replace Column expression is
+#: refused: a codegen expression tree tens of thousands of replaces deep
+#: compiles slowly (or falls back to interpreted eval) — the production
+#: path for a full 30k-merge vocabulary is the Arrow kernel below
+BPE_EXPR_MAX_MERGES = 512
+
+
+def _bpe_symbolized(text_col: str) -> F.Column:
+    """Whitespace words → one space-sentineled symbol string per row:
+    ``'a bc'`` → ``' a  b c '``. Word boundaries carry DOUBLE spaces, so
+    no merge pattern (``' x y '``, single spaces) can ever match across
+    words — concatenating is therefore equivalent to merging per-word,
+    and the replace chain runs once per row instead of once per word."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    sym = F.transform(
+        words,
+        lambda w: F.concat(
+            F.lit(" "),
+            F.array_join(F.filter(F.split(w, ""), lambda c: c != ""), " "),
+            F.lit(" "),
+        ),
+    )
+    return F.concat_ws("", sym)
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge table (:func:`bpe_learn_merges` output)
+    corpus-wide and attach the resulting **learned-vocabulary token
+    count** per row — the apply half of tokenizer training, closing the
+    loop so token budgeting (``analytics.select_under_budget``,
+    ``packing.pack_greedy`` — both weight-column-generic) can run on
+    real BPE counts instead of the pre-merge surrogate
+    (:func:`bpe_token_count`).
+
+    Map-only: symbolize (split + per-char explode into a sentinel-space
+    string), then one non-overlapping JVM ``replace`` per merge rule in
+    rank order — the exact semantics the trainer optimized for
+    (see :func:`bpe_learn_merges` on the deliberate adjacent-repeat
+    divergence from canonical greedy BPE), so train and apply are
+    bit-consistent and the whole pass is oracle-replayable. No shuffle,
+    no Python; the expression chain is O(n_merges) deep, which codegen
+    handles comfortably into the hundreds — beyond
+    ``BPE_EXPR_MAX_MERGES`` use :func:`bpe_apply_arrow` (same
+    semantics, Arrow-batched kernel, constant plan depth).
+
+    NULL/empty text counts 0 tokens (the corpus contract the gate
+    family uses everywhere).
+    """
+    if len(merges) > BPE_EXPR_MAX_MERGES:
+        raise ValueError(
+            f"{len(merges)} merge rules exceeds BPE_EXPR_MAX_MERGES="
+            f"{BPE_EXPR_MAX_MERGES}; use bpe_apply_arrow for large "
+            "merge tables"
+        )
+    r = _bpe_symbolized(text_col)
+    for _rank, a, b, _freq in sorted(merges, key=lambda m: m[0]):
+        r = F.replace(r, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    n = F.size(F.filter(F.split(F.trim(r), " +"), lambda x: x != ""))
+    return docs.withColumn(
+        out_col, F.coalesce(n, F.lit(0)).cast("long")
+    )
+
+
+def bpe_apply_arrow(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Arrow-batched variant of :func:`bpe_apply` for production-sized
+    merge tables (30k+ rules): the merge list ships to executors inside
+    the serialized kernel (a few hundred KB — closure broadcast, not a
+    join), and each Arrow batch applies the rules with pandas
+    ``str.replace`` — the same left-to-right non-overlapping semantics
+    as JVM ``replace``, verified equal to the expression path in the
+    unit suite. Still map-only (``mapInPandas`` iterator), still zero
+    shuffles; the cost is one Arrow round-trip instead of a
+    plan-depth-linear codegen tree.
+    """
+    import pandas as pd  # noqa: F401 — executor-side import parity
+
+    from pyspark.sql import types as T
+
+    rules = [(f" {a} {b} ", f" {a}{b} ")
+             for _rank, a, b, _freq in sorted(merges, key=lambda m: m[0])]
+    schema = T.StructType(
+        list(docs.schema) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def kernel(batches):
+        import re
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            texts = pdf[text_col]
+
+            def count_one(t):
+                if not t:
+                    return 0
+                s = "".join(
+                    " " + " ".join(w) + " "
+                    for w in ws.split(t) if w
+                )
+                for pat, rep in rules:
+                    s = s.replace(pat, rep)
+                return len(s.split())
+
+            pdf = pdf.copy()
+            pdf[out_col] = texts.map(count_one).astype("int64")
+            yield pdf
+
+    return docs.mapInPandas(kernel, schema=schema)
+
+
 def vocab_coverage(
     docs: DataFrame,
     vocab_size: int = 1000,

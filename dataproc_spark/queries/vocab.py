@@ -472,3 +472,99 @@ SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
             // COUNT(*) AS BIGINT) AS oov_m
 FROM toks GROUP BY src
 """
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply pass (``textstats.bpe_apply``): learn 3 merge rules
+    from the corpus (``bpe_learn_merges``), then apply them corpus-wide
+    as a map-only chained-replace expression and report the per-document
+    learned-vocabulary token count next to the whitespace surrogate —
+    the loop-closer that re-bases token budgeting on real BPE counts
+    (``select_under_budget`` / ``pack_greedy`` are weight-column-generic
+    and consume ``n_bpe_tokens`` directly). The oracle re-learns the
+    same 3 rules (the ``bpe_merges`` CTE chain) and replays the apply
+    per document with the same non-overlapping ``replace``."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = textstats.bpe_learn_merges(docs, n_merges=3)
+    return (
+        textstats.bpe_apply(docs, merges)
+        .select(
+            "doc_id",
+            textstats.token_count().cast("long").alias("n_ws_tokens"),
+            "n_bpe_tokens",
+        )
+    )
+
+
+SQL_BPE_APPLY = r"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents
+),
+words1 AS (
+    SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS r,
+           COUNT(*) AS freq
+    FROM toks GROUP BY w
+),
+p1 AS (
+    SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
+    FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM words1) t,
+         unnest(range(1, len(t.s))) u(i)
+    GROUP BY 1, 2
+),
+b1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+words2 AS (
+    SELECT replace(r, ' ' || b1.a || ' ' || b1.b || ' ',
+                   ' ' || b1.a || b1.b || ' ') AS r, freq
+    FROM words1, b1
+),
+p2 AS (
+    SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
+    FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM words2) t,
+         unnest(range(1, len(t.s))) u(i)
+    GROUP BY 1, 2
+),
+b2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+words3 AS (
+    SELECT replace(r, ' ' || b2.a || ' ' || b2.b || ' ',
+                   ' ' || b2.a || b2.b || ' ') AS r, freq
+    FROM words2, b2
+),
+p3 AS (
+    SELECT s[i] AS a, s[i + 1] AS b, SUM(freq) AS cnt
+    FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM words3) t,
+         unnest(range(1, len(t.s))) u(i)
+    GROUP BY 1, 2
+),
+b3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+docw AS (
+    SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS w
+    FROM documents
+),
+d0 AS (
+    SELECT doc_id,
+           ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS r
+    FROM docw
+),
+d1 AS (SELECT doc_id, replace(r, ' ' || b1.a || ' ' || b1.b || ' ',
+                              ' ' || b1.a || b1.b || ' ') AS r
+       FROM d0, b1),
+d2 AS (SELECT doc_id, replace(r, ' ' || b2.a || ' ' || b2.b || ' ',
+                              ' ' || b2.a || b2.b || ' ') AS r
+       FROM d1, b2),
+d3 AS (SELECT doc_id, replace(r, ' ' || b3.a || ' ' || b3.b || ' ',
+                              ' ' || b3.a || b3.b || ' ') AS r
+       FROM d2, b3),
+cnt AS (
+    SELECT doc_id,
+           SUM(len(string_split_regex(trim(r), ' +'))) AS n_bpe
+    FROM d3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(coalesce(cnt.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN cnt USING (doc_id)
+"""

@@ -892,3 +892,61 @@ def test_domain_mixture_integer_shares(spark):
     out2 = {r.domain: r.share_bps
             for r in web.domain_mixture(df).collect()}
     assert out2 == {"a.com": 6666, "b.org": 3333}
+
+
+# ---------------------------------------------------------------------------
+# BPE apply pass (textstats.bpe_apply / bpe_apply_arrow)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_apply_counts_and_arrow_parity(spark):
+    """The chained-replace expression path and the Arrow kernel must
+    produce identical learned-token counts; counts with 0 merges equal
+    the character-symbol count; every merge round only shrinks counts."""
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low"), (3, ""), (4, None)],
+        schema="doc_id long, text string",
+    )
+    merges = textstats.bpe_learn_merges(df, n_merges=2)
+    # 'l o' is the most frequent pair (freq 4: low x3 + lower)
+    assert (merges[0][1], merges[0][2]) == ("l", "o")
+
+    zero = {r.doc_id: r.n_bpe_tokens
+            for r in textstats.bpe_apply(df, []).collect()}
+    # no merges -> one symbol per character (whitespace excluded)
+    assert zero == {1: 11, 2: 3, 3: 0, 4: 0}
+
+    expr = {r.doc_id: r.n_bpe_tokens
+            for r in textstats.bpe_apply(df, merges).collect()}
+    arrow = {r.doc_id: r.n_bpe_tokens
+             for r in textstats.bpe_apply_arrow(df, merges).collect()}
+    assert expr == arrow
+    assert all(expr[d] <= zero[d] for d in expr)
+    # merges: (l,o) then (lo,w) -> 'low' is ONE token, 'lower' is lo w e r
+    # after rank0 -> low e r after rank1: 1 + 2 = 3 symbols
+    assert expr == {1: 1 + 1 + 3, 2: 1, 3: 0, 4: 0}
+
+    with pytest.raises(ValueError, match="BPE_EXPR_MAX_MERGES"):
+        textstats.bpe_apply(df, [(i, "x", "y", 1) for i in range(1000)])
+
+
+def test_bpe_apply_rebases_token_budget(spark):
+    """select_under_budget consumes learned-BPE counts directly (the
+    weight-column-generic seam the apply pass exists to feed)."""
+    from dataproc_spark.extensions.analytics import select_under_budget
+
+    df = spark.createDataFrame(
+        [(1, "aa aa aa"), (2, "bb"), (3, "cc cc")],
+        schema="doc_id long, text string",
+    )
+    merges = textstats.bpe_learn_merges(df, n_merges=1)
+    feats = textstats.bpe_apply(df, merges).withColumn(
+        "score_m", F.lit(1000) - F.col("doc_id")
+    )
+    kept = select_under_budget(
+        feats, budget=5, weight_col="n_bpe_tokens"
+    )
+    # the single learned merge is (a,a): doc1 'aa aa aa' -> 3 tokens,
+    # doc2 'bb' -> 2 (unmerged), doc3 'cc cc' -> 4; score order is
+    # doc1, doc2, doc3 -> 3 + 2 fit the budget, adding doc3 breaks 5
+    assert {r.doc_id for r in kept.collect()} == {1, 2}
