@@ -249,6 +249,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "bpe_apply": (q_bpe_apply, SQL_BPE_APPLY),
+    "stream_upsert_multibatch": (
+        q_stream_upsert_multibatch,
+        SQL_STREAM_UPSERT_MULTIBATCH,
+    ),
 }
 
 

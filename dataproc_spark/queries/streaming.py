@@ -85,7 +85,7 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard-layout-independent: the gate holds whether the driver ships
     ``events.parquet`` as a single file or a sharded directory.
     Multi-batch sequencing (arrival order outranks event time) is
-    pinned separately by
+    pinned by its own driver gate, ``stream_upsert_multibatch``, and by
     ``test_stream_upsert_applies_batches_in_arrival_order``."""
     import shutil
     import tempfile
@@ -151,6 +151,118 @@ latest AS (
     FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                      ORDER BY tsn DESC, event_id DESC) AS rn
+        FROM ev WHERE event_id % 3 <> 0
+    ) WHERE rn = 1
+)
+SELECT s.user_id, s.ts, s.value_c
+FROM snap s
+WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = s.user_id)
+UNION ALL
+SELECT user_id, ts, value_c FROM latest WHERE op = 'U'
+"""
+
+
+def q_stream_upsert_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch CDC upsert gate: the changelog is deterministically
+    split into TWO micro-batches (``event_id % 3 == 1`` arrives first,
+    ``% 3 == 2`` second — file mtimes order the file source) and merged
+    sequentially into versioned snapshots. This pins the cross-batch
+    contract the single-batch ``stream_upsert`` gate cannot see:
+    **arrival order outranks event time across batches** — a user whose
+    batch-2 change carries an OLDER event time than their batch-1
+    change still ends up with the batch-2 value. The oracle replays the
+    sequential merge as one ranked pass: precedence (batch, ts,
+    event_id), batch first.
+
+    Gate-scratch synthesis: the two batch files are cut from the events
+    parquet with pyarrow (column-preserving filter, no Spark collect)
+    and removed after the result materializes; at scale the changelog
+    batches already EXIST as the arrival log on object storage."""
+    import os as _os
+    import shutil
+    import tempfile
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from dataproc_spark.extensions.streaming import (
+        _file_stream,
+        read_latest_snapshot,
+        stream_upsert_to_parquet,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        ev.where(F.col("event_id") % 3 == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "ts", "value_c")
+    )
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    # event_id % 3 (pyarrow integer divide truncates, ids are >= 0)
+    mod = pc.subtract(
+        tbl["event_id"], pc.multiply(pc.divide(tbl["event_id"], 3), 3)
+    )
+    root = tempfile.mkdtemp(prefix="upsertmb_")
+    src = _os.path.join(root, "src")
+    _os.makedirs(src)
+    try:
+        now = time.time()
+        for batch_no, offset in ((1, -100.0), (2, 0.0)):
+            part = tbl.filter(pc.equal(mod, batch_no))
+            path = _os.path.join(src, f"batch{batch_no}.parquet")
+            pq.write_table(part, path)
+            _os.utime(path, (now + offset, now + offset))
+        stream = (
+            _file_stream(spark, src)  # maxFilesPerTrigger=1 -> 2 batches
+            .select(
+                "user_id", "ts", "event_id",
+                F.when(F.col("event_type") == "click", "D")
+                .otherwise("U").alias("op"),
+                F.round(F.col("value") * 100).cast("long").alias("value_c"),
+            )
+        )
+        stream_upsert_to_parquet(
+            stream, snapshot, f"{root}/snap", checkpoint_dir=f"{root}/ckpt"
+        )
+        final = read_latest_snapshot(spark, f"{root}/snap")
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAM_UPSERT_MULTIBATCH = """
+WITH ev AS (
+    SELECT event_id, user_id, epoch_ns(ts) AS tsn, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_c
+    FROM events
+),
+snap AS (
+    SELECT user_id, tsn AS ts, value_c FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY tsn DESC, event_id DESC) AS rn
+        FROM ev WHERE event_id % 3 = 0
+    ) WHERE rn = 1
+),
+latest AS (
+    -- sequential two-batch merge as one ranked pass: the batch number
+    -- (event_id % 3; batch 2 arrives after batch 1) outranks event
+    -- time, which outranks the id tie-break — the CDC log-replay
+    -- contract
+    SELECT user_id, tsn AS ts, value_c,
+           CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY user_id
+                      ORDER BY (event_id % 3) DESC, tsn DESC, event_id DESC
+                  ) AS rn
         FROM ev WHERE event_id % 3 <> 0
     ) WHERE rn = 1
 )
