@@ -87,6 +87,78 @@ def with_domain(
     )
 
 
+#: query parameters that never change page identity (tracking junk) —
+#: the deterministic, oracle-able core of URL canonicalization; real
+#: deployments extend the list per-site via config, same plan shape
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "ref",
+)
+
+#: one alternation regex matching a single tracking param (with its
+#: value) wherever it sits in the query string; applied iteratively
+#: because params are independent — shared with the DuckDB oracle
+_TRACKING_RE = r"(?:" + "|".join(TRACKING_PARAMS) + r")=[^&#]*"
+
+
+def canonical_url(url_col: str | Column = "url") -> Column:
+    """Canonical form of a URL for URL-level dedup: lower-cased scheme
+    and host, fragment dropped, tracking params (:data:`TRACKING_PARAMS`)
+    stripped, empty ``?`` and trailing slash removed.
+
+    Pure ``regexp_replace`` chain — map-only, codegen-friendly, and
+    RE2-portable so the oracle applies the identical rewrites. Two URLs
+    that differ only by tracking decoration, fragment, case of
+    scheme/host, or a trailing slash canonicalize identically; path and
+    meaningful query params are preserved (case-sensitive, as the URL
+    spec requires).
+    """
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    # lower-case ONLY the scheme://host prefix, never path or query
+    c = F.concat(
+        F.lower(F.regexp_extract(c, r"^([^/?#]*//[^/?#]*)", 1)),
+        F.regexp_replace(c, r"^[^/?#]*//[^/?#]*", ""),
+    )
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    # normalize the query delimiter to '&' everywhere (? -> ?&) so ONE
+    # lookbehind-free pattern strips a tracking param at any position —
+    # RE2 (DuckDB's engine) has no lookbehind, so the oracle could not
+    # replay a (?<=\?) form
+    c = F.regexp_replace(c, r"\?", "?&")
+    c = F.regexp_replace(c, r"&" + _TRACKING_RE, "")
+    c = F.regexp_replace(c, r"\?&", "?")  # undo the normalization
+    c = F.regexp_replace(c, r"\?$", "")  # query emptied entirely
+    c = F.regexp_replace(c, r"/$", "")  # trailing slash
+    return c
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """URL-level dedup: keep ONE document per canonical URL (the
+    cheapest dedup pass a web corpus gets — it runs before any
+    text-level fingerprinting and typically removes the recrawl bulk).
+    Winner per canonical URL is the first row by ``order_by``
+    (ascending; pass a unique id last for determinism). One shuffle on
+    the canonical URL; document bodies ride the shuffle only for kept
+    candidates' rows — at 100 TB, project to (id, canonical) first and
+    semi-join the winners back if bodies are heavy.
+    """
+    order_by = order_by or ["doc_id"]
+    w = Window.partitionBy("_canon").orderBy(
+        *[F.col(c).asc() for c in order_by]
+    )
+    return (
+        df.withColumn("_canon", canonical_url(url_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumnRenamed("_canon", "canonical_url")
+    )
+
+
 def cap_per_domain(
     df: DataFrame,
     cap: int,

@@ -248,6 +248,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "url_host_parse": (q_url_host_parse, SQL_URL_HOST_PARSE),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "bpe_apply": (q_bpe_apply, SQL_BPE_APPLY),
     "stream_upsert_multibatch": (
         q_stream_upsert_multibatch,

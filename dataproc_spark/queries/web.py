@@ -122,3 +122,61 @@ SELECT domain, n_docs, weight,
            AS share_bps
 FROM per
 """
+
+
+#: gate-specific URL synthesis for canonicalization: forces CANONICAL
+#: COLLISIONS (~140 classes over 500+ docs) and covers the full rewrite
+#: surface — scheme/host case, tracking params at head/mid positions,
+#: fragments, trailing slashes
+_URL_CANON_EXPR = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Site' ELSE 'https://site' END || "
+    "CAST(doc_id % 7 AS {S}) || '.com/Page/' || CAST(doc_id % 10 AS {S}) || "
+    "CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&id=5' "
+    "     WHEN 1 THEN '?id=5' "
+    "     WHEN 2 THEN '?id=5&fbclid=abc#frag' "
+    "     ELSE '/' END"
+)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (``web.canonical_url`` + ``web.dedup_by_url``):
+    canonicalize (lower scheme/host, drop fragment, strip tracking
+    params, trim empty query / trailing slash) and keep the lowest
+    ``doc_id`` per canonical URL — the recrawl-collapse pass that runs
+    before any text fingerprinting. The synthesized URLs decorate ~140
+    canonical classes with case/tracking/fragment variants, so the gate
+    exercises every rewrite rule AND real dedup fan-in."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("url", F.expr(_URL_CANON_EXPR.format(S="STRING")))
+    )
+    return web.dedup_by_url(docs).select("doc_id", "canonical_url")
+
+
+SQL_URL_DEDUP = f"""
+WITH u AS (
+    SELECT doc_id, {_URL_CANON_EXPR.format(S="VARCHAR")} AS url
+    FROM documents
+),
+c1 AS (
+    SELECT doc_id,
+           lower(regexp_extract(url, '^([^/?#]*//[^/?#]*)', 1)) ||
+           regexp_replace(url, '^[^/?#]*//[^/?#]*', '') AS c
+    FROM u
+),
+c2 AS (SELECT doc_id, regexp_replace(c, '#.*$', '') AS c FROM c1),
+c3 AS (SELECT doc_id, regexp_replace(c, '\\?', '?&', 'g') AS c FROM c2),
+c4 AS (SELECT doc_id,
+              regexp_replace(c, '&{web._TRACKING_RE}', '', 'g') AS c
+       FROM c3),
+c5 AS (SELECT doc_id, regexp_replace(c, '\\?&', '?', 'g') AS c FROM c4),
+c6 AS (SELECT doc_id, regexp_replace(c, '\\?$', '') AS c FROM c5),
+canon AS (SELECT doc_id, regexp_replace(c, '/$', '') AS canonical_url
+          FROM c6),
+r AS (SELECT doc_id, canonical_url,
+             row_number() OVER (PARTITION BY canonical_url
+                                ORDER BY doc_id) AS rn
+      FROM canon)
+SELECT doc_id, canonical_url FROM r WHERE rn = 1
+"""

@@ -950,3 +950,41 @@ def test_bpe_apply_rebases_token_budget(spark):
     # doc2 'bb' -> 2 (unmerged), doc3 'cc cc' -> 4; score order is
     # doc1, doc2, doc3 -> 3 + 2 fit the budget, adding doc3 breaks 5
     assert {r.doc_id for r in kept.collect()} == {1, 2}
+
+
+def test_canonical_url_rewrites(spark):
+    """Every rewrite rule: scheme/host case, fragment, tracking params
+    at head/middle/tail, emptied query, trailing slash — and meaningful
+    params / path case are preserved."""
+    from dataproc_spark.extensions import web
+
+    cases = {
+        "HTTPS://Site.COM/Page/1?utm_source=x&id=5":
+            "https://site.com/Page/1?id=5",
+        "https://site.com/a?id=5&fbclid=abc#frag":
+            "https://site.com/a?id=5",
+        "https://site.com/a?ref=z": "https://site.com/a",
+        "https://site.com/a?utm_source=x&utm_medium=y&gclid=1":
+            "https://site.com/a",
+        "https://site.com/a/": "https://site.com/a",
+        "https://site.com/a?id=5&q=B": "https://site.com/a?id=5&q=B",
+        "https://site.com/a": "https://site.com/a",
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], schema="i long, url string"
+    )
+    got = {r.url: r.c
+           for r in df.withColumn("c", web.canonical_url()).collect()}
+    assert got == cases
+
+    # dedup: decorated variants of one page collapse to the min id
+    dups = spark.createDataFrame(
+        [(3, "https://site.com/a?utm_source=x&id=5"),
+         (1, "HTTPS://site.com/a?id=5#frag"),
+         (2, "https://other.com/b")],
+        schema="doc_id long, url string",
+    )
+    kept = {(r.doc_id, r.canonical_url)
+            for r in web.dedup_by_url(dups).collect()}
+    assert kept == {(1, "https://site.com/a?id=5"),
+                    (2, "https://other.com/b")}

@@ -1,0 +1,93 @@
+"""Scale probes for the headline selective core + minhash (SCALE.md §r8).
+
+One experiment per invocation (own process, untimed warm-up pass, same
+knobs as the other probes: local[32], shuffle 64, AQE + skew on), with
+CONSUMING checksum aggregates — not the bench's count() forcing — so
+map-side expression work is actually measured.
+
+Usage: python tools/bench_r8_core.py EXPERIMENT [SRC]
+    select_top_t     — registry flagship at SRC (default sf0.1)
+    evaluate_sweep   — registry sweep at SRC
+    dedup_minhash    — EXACT-FIRST pipeline (the production ordering:
+                       exact_dedup representatives -> banded minhash);
+                       raw minhash on the replicated corpora is the
+                       measured r6 cliff, not a regression target
+Run each at /root/testdata/sf0.1, /tmp/scale10, /tmp/scale100 for the
+1x/10x/100x exponent rows.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import os as _os
+
+ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from tools.bench_salting import get_session  # noqa: E402
+
+
+def run(experiment: str, src: str | None) -> None:
+    from pyspark.sql import functions as F
+
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    src = src or "/root/testdata/sf0.1"
+
+    if experiment == "select_top_t":
+        from dataproc_spark.queries import REGISTRY
+
+        fn = REGISTRY["select_top_t"][0]
+
+        def job():
+            out = fn(spark, src)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.hash(*out.columns)).alias("chk"),
+            ).first()
+            return row["n"]
+
+    elif experiment == "evaluate_sweep":
+        from dataproc_spark.queries import REGISTRY
+
+        fn = REGISTRY["evaluate_sweep"][0]
+
+        def job():
+            out = fn(spark, src)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.hash(*out.columns)).alias("chk"),
+            ).first()
+            return row["n"]
+
+    elif experiment == "dedup_minhash":
+        from dataproc_spark.extensions.dedup import (
+            exact_dedup,
+            minhash_dedup_pairs,
+        )
+
+        docs = spark.read.parquet(f"{src}/documents.parquet")
+
+        def job():
+            reps = exact_dedup(docs)
+            return minhash_dedup_pairs(reps).count()
+
+    else:
+        raise SystemExit(f"unknown experiment {experiment!r}")
+
+    job()  # warm-up: classes, codegen, scan caches
+    t0 = time.time()
+    n = job()
+    dt = time.time() - t0
+    print(json.dumps({
+        "experiment": experiment, "src": src, "rows": n,
+        "sec": round(dt, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    run(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None)
