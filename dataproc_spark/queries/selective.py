@@ -80,6 +80,23 @@ def _shared_shard_results(li: DataFrame) -> DataFrame:
     return cached
 
 
+def _order_key_desc_score() -> F.Column:
+    """Composite sort key equivalent to ORDER BY score DESC, docid, okey.
+
+    Struct comparison is lexicographic by field, so sorting this key ASC
+    reproduces the evaluation order without materializing an integer
+    ``row_number`` — whose window, partitioned by ``query``, caps
+    parallelism at the query count (the r8 100× probe measured it at
+    46 s of a 79 s ``evaluate_sweep`` run). ``score`` is integer cents,
+    so ``-score`` is an exact descending encoding.
+    """
+    return F.struct(
+        (-F.col("score")).alias("neg_score"),
+        F.col("docid").alias("docid"),
+        F.col("okey").alias("okey"),
+    )
+
+
 def _ranked_selection_from(results: DataFrame) -> DataFrame:
     """Per-query shard ranking derived from an existing results frame
     (pass the *same* DataFrame you probe with, so the scan is shared)."""
@@ -169,10 +186,13 @@ def q_evaluate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: P@5/P@10 + result counts at every selection depth 1..5."""
     base = _shared_shard_results(_t(spark, sf_dir, "lineitem"))
     res = base.withColumn("rel", (F.col("docid") % 3 == 0).cast("int"))
-    w = Window.partitionBy("query").orderBy(
-        F.col("score").desc(), F.col("docid").asc(), F.col("okey").asc()
-    )
-    res = res.withColumn("global_rank", F.row_number().over(w))
+    # struct sort key ≡ (score DESC, docid, okey): `evaluate` only ever
+    # ORDERS BY global_rank, so materializing the integer rank via a
+    # row_number window partitioned by `query` is pure cost — and at
+    # scale it is a straggler (parallelism = #queries; the r8 100× probe
+    # measured that window at 46 s of a 79 s run). Score is integer
+    # cents, so negation is exact.
+    res = res.withColumn("global_rank", _order_key_desc_score())
     measures = {"rel": [precision_at(5), precision_at(10), num_retrieved()]}
     return evaluate(_ranked_selection_from(base), res, measures, num_shards=5)
 
@@ -215,10 +235,8 @@ def q_evaluate_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10 steps), P@5 per depth."""
     base = _shared_shard_results(_t(spark, sf_dir, "lineitem"))
     res = base.withColumn("rel", (F.col("docid") % 3 == 0).cast("int"))
-    w = Window.partitionBy("query").orderBy(
-        F.col("score").desc(), F.col("docid").asc(), F.col("okey").asc()
-    )
-    res = res.withColumn("global_rank", F.row_number().over(w))
+    # struct sort key — see q_evaluate_sweep for the scale rationale
+    res = res.withColumn("global_rank", _order_key_desc_score())
     bsel = base.groupBy("query", "shard", "bucket").agg(
         F.sum("score").alias("shard_score")
     )
@@ -288,13 +306,14 @@ def q_evaluate_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _shared_shard_results(_t(spark, sf_dir, "lineitem"))
     res = base.withColumn("rel", (F.col("docid") % 3 == 0).cast("int"))
-    w = Window.partitionBy("query").orderBy(
-        F.col("score").desc(), F.col("docid").asc(), F.col("okey").asc()
-    )
-    res = res.withColumn("global_rank", F.row_number().over(w))
-    res = res.withColumn(
-        "num_rel", F.sum("rel").over(Window.partitionBy("query"))
-    )
+    # struct sort key — see q_evaluate_sweep for the scale rationale
+    res = res.withColumn("global_rank", _order_key_desc_score())
+    # per-query totals as aggregate + equi-join, NOT an unpartitioned-order
+    # window over `query`: the window shape funnels the whole frame into
+    # #queries tasks; the aggregate is map-side combined and the 7-row
+    # totals side broadcasts under AQE
+    totals = res.groupBy("query").agg(F.sum("rel").alias("num_rel"))
+    res = res.join(totals, "query")
 
     def prefix_hits(rel, rn):
         return F.sum(

@@ -296,6 +296,15 @@ def _pandas_measure_frame(
         [StructField(c, fields[c]) for c in partition_cols]
         + [StructField(m.name, DoubleType()) for _, m in pandas_ms]
     )
+    from pyspark.sql.types import StructType as _St
+
+    if isinstance(ranked.schema[order_col].dataType, _St):
+        raise TypeError(
+            f"Series-closure (pandas) measures need a scalar {order_col!r} "
+            "order column — pandas cannot sort struct values. Either "
+            "materialize an integer rank for the pandas path, or use "
+            "Column measures (which sort struct keys natively)."
+        )
     specs = [(rel_col, m.name, m.fn) for rel_col, m in pandas_ms]
     part_cols = list(partition_cols)
     order = order_col
@@ -423,6 +432,16 @@ def evaluate(
     inputs are per-query top-k lists (thousands of rows per query), so the
     exploded size is bounded by |results| × steps — a per-query quantity
     that AQE splits/coalesces well; nothing here touches the driver.
+
+    ``order_col`` is only ever used as a SORT key (never arithmetically),
+    so it may be a composite ``struct`` column (e.g.
+    ``F.struct(-score, docid)``) instead of a precomputed integer rank.
+    Prefer that at scale: materializing an integer ``global_rank`` via
+    ``row_number`` over ``Window.partitionBy("query")`` caps that window's
+    parallelism at the query count, while the struct key costs nothing —
+    the per-(query, step) prefix windows here sort it natively. (Exception:
+    Series-closure pandas measures need a scalar order key; the pandas
+    path raises a TypeError on struct keys.)
     """
     keys = ["query", "shard"] + (["bucket"] if num_buckets is not None else [])
     num_steps = num_shards if num_buckets is None else num_shards * num_buckets

@@ -277,3 +277,39 @@ def test_plain_callable_measure_autowraps(eval_inputs):
     out = evaluate_step(shards, results, {"relevant": [mean_rel]}, step=2)
     got = {(r.query, round(r.mean_rel, 6)) for r in out.collect()}
     assert got == {(0, 0.75), (1, 0.5)}
+
+
+def test_struct_order_key_matches_integer_rank(eval_inputs):
+    """order_col may be a composite struct sort key: `evaluate` only ever
+    ORDERS BY it, so struct(neg_score, ...) must reproduce the integer
+    global_rank sweep exactly (the at-scale form — a row_number window
+    partitioned by query caps parallelism at the query count)."""
+    shards, results = eval_inputs
+    measures = {"relevant": [precision_at(2), num_retrieved()]}
+    baseline = evaluate(shards, results, measures, num_shards=2)
+    # encode the same total order as a struct key, then drop the integer
+    keyed = results.withColumn(
+        "gkey", F.struct(F.col("global_rank").alias("r"))
+    ).drop("global_rank")
+    swept = evaluate(shards, keyed, measures, num_shards=2, order_col="gkey")
+    want = {(r.query, r.step, r.p_2, r.num_ret) for r in baseline.collect()}
+    got = {(r.query, r.step, r.p_2, r.num_ret) for r in swept.collect()}
+    assert got == want
+
+
+def test_struct_order_key_rejected_for_pandas_measures(eval_inputs):
+    """Series-closure measures sort inside pandas, which cannot order
+    struct values — the guard must fail fast with a clear message."""
+    shards, results = eval_inputs
+
+    def p_at_2(s):
+        return s[:2].sum() / s[:2].count()
+
+    keyed = results.withColumn(
+        "gkey", F.struct(F.col("global_rank").alias("r"))
+    ).drop("global_rank")
+    with pytest.raises(TypeError, match="scalar"):
+        evaluate(
+            shards, keyed, {"relevant": [p_at_2]}, num_shards=2,
+            order_col="gkey",
+        ).collect()

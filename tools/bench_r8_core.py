@@ -72,7 +72,11 @@ def run(experiment: str, src: str | None) -> None:
         docs = spark.read.parquet(f"{src}/documents.parquet")
 
         def job():
-            reps = exact_dedup(docs)
+            # exact_dedup returns (winner doc_id, n_copies); semi-join
+            # pulls the winners' full rows for the near-dup pass
+            reps = docs.join(
+                exact_dedup(docs).select("doc_id"), "doc_id", "left_semi"
+            )
             return minhash_dedup_pairs(reps).count()
 
     else:
