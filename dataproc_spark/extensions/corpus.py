@@ -253,9 +253,24 @@ def remove_repeated_spans(
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
     toks = df.select(F.col(id_col), tokens(col).alias("_t"))
-    # docs shorter than n emit no grams — and must not reach sequence(),
-    # whose (0, negative) form counts DOWN instead of producing empty
-    grams = (
+    grams = _positioned_grams(toks, id_col, n)
+    hot = (
+        grams.select("g", id_col)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .where(F.col("df_docs") >= min_df)
+        .select("g")
+    )
+    return _cut_covered_tokens(toks, grams, hot, id_col, n)
+
+
+def _positioned_grams(toks: DataFrame, id_col: str, n: int) -> DataFrame:
+    """(id, pos, g) word n-gram occurrences from a tokenized frame —
+    map-only explode, one row per token position. Docs shorter than
+    ``n`` emit no grams — and must not reach ``sequence()``, whose
+    (0, negative) form counts DOWN instead of producing empty."""
+    return (
         toks.where(F.size("_t") >= n)
         .select(
             id_col,
@@ -269,16 +284,18 @@ def remove_repeated_spans(
         )
         .select(id_col, F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
     )
-    hot = (
-        grams.select("g", id_col)
-        .distinct()
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df_docs"))
-        .where(F.col("df_docs") >= min_df)
-        .select("g")
-    )
+
+
+def _cut_covered_tokens(
+    toks: DataFrame, grams: DataFrame, bad_grams: DataFrame,
+    id_col: str, n: int,
+) -> DataFrame:
+    """Shared span-cut rewrite: semi-join occurrences against the bad-gram
+    set, aggregate covered positions to ONE small array per affected
+    document, drop them with an index-aware map-side ``filter`` — token
+    bodies never shuffle."""
     covered = (
-        grams.join(hot, "g", "leftsemi")
+        grams.join(bad_grams, "g", "leftsemi")
         .select(id_col, F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("cpos"))
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_set("cpos")).alias("_cov"))
@@ -301,6 +318,38 @@ def remove_repeated_spans(
             ).alias("text_clean"),
         )
     )
+
+
+def remove_contaminated_spans(
+    train: DataFrame,
+    evalset: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Surgical benchmark decontamination: drop every TRAIN token sitting
+    inside an ``n``-gram that occurs anywhere in the eval set — the
+    span-level alternative to ``contamination_pairs``-then-drop, for
+    pipelines that keep the document and cut only the overlap (the
+    standard practice when eval sets quote common public text).
+
+    Output: ``(id_col, n_removed, text_clean)`` — same contract as
+    :func:`remove_repeated_spans`.
+
+    Scale: the eval side collapses to its DISTINCT gram set before the
+    join — typically thousands of rows against a trillion-gram train
+    explode, so the semi-join broadcasts under AQE; train-side positions
+    aggregate per affected doc and the rewrite is map-side (see
+    :func:`_cut_covered_tokens`). A false positive costs a cut span,
+    never a dropped document.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = train.select(F.col(id_col), tokens(col).alias("_t"))
+    grams = _positioned_grams(toks, id_col, n)
+    etoks = evalset.select(F.col(id_col), tokens(col).alias("_t"))
+    bad = _positioned_grams(etoks, id_col, n).select("g").distinct()
+    return _cut_covered_tokens(toks, grams, bad, id_col, n)
 
 
 def write_training_shards(

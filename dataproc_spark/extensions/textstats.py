@@ -305,6 +305,108 @@ def rare_bigram_stats(
     )
 
 
+def bigram_lm_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Learn an unpruned bigram language model: ``(w1, w2, cnt2, cnt1)``
+    where ``cnt2`` = corpus occurrences of the bigram and ``cnt1`` = the
+    left-context total over the KEPT bigrams (so conditional ratios are
+    self-consistent after the support cut). The apply side is
+    :func:`lm_surprisal` — the pair mirrors ``bpe_learn_merges`` /
+    ``bpe_apply``.
+
+    One explode feeding a partial-aggregated hash count (repeats collapse
+    map-side), then a second aggregate over ``w1`` joined back — the
+    totals frame is |distinct w1| rows, far below the bigram table, and
+    rides the same ``w1`` hash partitioning.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = docs.select(tokens(text_col).alias("_t"))
+    bg = toks.where(F.size("_t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_t) - 2),"
+                " i -> struct(_t[i] as w1, _t[i + 1] as w2))"
+            )
+        ).alias("_bg")
+    ).select("_bg.w1", "_bg.w2")
+    counts = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt2"))
+        .where(F.col("cnt2") >= int(min_count))
+    )
+    totals = counts.groupBy("w1").agg(F.sum("cnt2").alias("cnt1"))
+    return counts.join(totals, "w1").select("w1", "w2", "cnt2", "cnt1")
+
+
+def lm_surprisal(
+    docs: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_surprise_m: int = 100_000_000,
+) -> DataFrame:
+    """Score documents against a learned bigram LM (CCNet-style quality
+    filtering): per document, the exact-integer mean "surprisal" of its
+    bigrams in micro-units — ``(cnt1 * 1e6) div cnt2`` for a bigram the
+    LM knows (the inverse conditional probability, so common
+    continuations score ~1e6 and rare ones score high), a flat
+    ``oov_surprise_m`` for one it doesn't. Integer sums are
+    order-independent, so the score is bit-identical across engines —
+    the repo-wide stand-in for float log-prob perplexity.
+
+    Output: ``(id_col, n_bigrams, n_oov, avg_surprise_m)``; documents
+    with < 2 tokens are excluded (surprisal is undefined).
+
+    Scale: the doc side projects to ``(id, xxhash64(w1, w2))`` before the
+    LM join — raw bigram strings never reach an exchange (same 8-byte-key
+    discipline and collision bound as :func:`rare_bigram_stats`). The LM
+    side is |kept bigrams| rows and equi-joins on the same hash; AQE
+    broadcasts it when small, hash-joins otherwise — no hint, because a
+    production LM table can be millions of rows.
+    """
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    bg = toks.where(F.size("_t") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_t) - 2),"
+                " i -> struct(_t[i] as w1, _t[i + 1] as w2))"
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.xxhash64("_bg.w1", "_bg.w2").alias("_h2"))
+    lm_keyed = lm.select(
+        F.xxhash64("w1", "w2").alias("_h2"), "cnt1", "cnt2"
+    )
+    scored = bg.join(lm_keyed, "_h2", "left").select(
+        id_col,
+        F.when(
+            F.col("cnt2").isNotNull(),
+            F.expr("cnt1 * 1000000 div cnt2"),
+        )
+        .otherwise(F.lit(int(oov_surprise_m)))
+        .alias("_s"),
+        F.col("cnt2").isNull().cast("int").alias("_oov"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_oov").cast("long").alias("n_oov"),
+            F.sum("_s").alias("_sum"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_oov",
+            F.expr("_sum div n_bigrams").cast("long").alias("avg_surprise_m"),
+        )
+    )
+
+
 def bpe_learn_merges(
     docs: DataFrame,
     text_col: str = "text",

@@ -236,3 +236,43 @@ def domain_mixture(
         )
         .drop("_total")
     )
+
+
+#: fixed entity set decoded by :func:`extract_text` — ``&amp;`` LAST so
+#: double-escaped text can't cascade into a decoded ``&lt;`` becoming a
+#: strippable tag (decode happens only after tags are gone anyway)
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def extract_text(html_col: str | Column = "html") -> Column:
+    """Plain text from an HTML document: comments, ``<script>``/
+    ``<style>`` blocks (content and all), then every remaining tag are
+    replaced by spaces; the fixed :data:`HTML_ENTITIES` set is decoded
+    AFTER tag removal (so ``&lt;script&gt;`` in user text never becomes
+    a strippable tag); runs of ASCII whitespace collapse to one space.
+
+    The WET-extraction step of a crawl pipeline as a pure
+    ``regexp_replace``/``replace`` chain — map-only, whole-stage
+    codegen, RE2-portable (no backreferences: script and style get
+    separate patterns; no lookaround; explicit ``[ \\t\\r\\n]`` class
+    because Java's ``\\s`` and RE2's disagree on vertical tab). A
+    production boilerplate model (content-block classification) is a
+    downstream scorer over these extractions, not a replacement for
+    this pass.
+    """
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    c = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<[^>]+>", " ")
+    for entity, repl in HTML_ENTITIES:
+        c = F.replace(c, F.lit(entity), F.lit(repl))
+    c = F.regexp_replace(c, r"[ \t\r\n]+", " ")
+    return F.trim(c)

@@ -254,6 +254,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_stream_upsert_multibatch,
         SQL_STREAM_UPSERT_MULTIBATCH,
     ),
+    "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
+    "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
+    "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
 }
 
 

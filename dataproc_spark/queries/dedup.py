@@ -660,3 +660,53 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 WHERE (shared * 1000) // sa.n >= 500
 """
+
+
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination (``corpus.remove_contaminated_spans``):
+    cut every train-doc token inside a 3-gram that occurs in the held-out
+    eval slice (doc_id % 100 == 0) instead of dropping the document —
+    the span-level companion to ``decontaminate``. Same eval-set
+    convention, same (n_removed, text_clean) contract as
+    ``dedup_spans``."""
+    from dataproc_spark.extensions import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.where(F.col("doc_id") % 100 == 0)
+    train = docs.where(F.col("doc_id") % 100 != 0)
+    return corpus.remove_contaminated_spans(train, evalset, n=3)
+
+
+SQL_DECONTAMINATE_SPANS = rf"""
+WITH {_TOKS_CTE},
+g1 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+               i -> {{'pos': i - 1,
+                     'g': array_to_string(list_slice(t, i, i + 2), ' ')}})) AS s
+    FROM toks WHERE len(t) >= 3
+),
+grams AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM g1),
+bad AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0),
+cov AS (
+    SELECT DISTINCT gr.doc_id, gr.pos + o.d AS cpos
+    FROM grams gr
+    JOIN bad USING (g)
+    CROSS JOIN (SELECT unnest(range(0, 3)) AS d) o
+    WHERE gr.doc_id % 100 <> 0
+),
+covl AS (SELECT doc_id, list(cpos) AS cl FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(len(c.cl), 0) AS BIGINT) AS n_removed,
+       -- NULL/empty alignment as in SQL_DEDUP_SPANS (r7 review)
+       CASE WHEN t.t IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(
+                list_transform(
+                    list_filter(range(1, len(t.t) + 1),
+                                i -> c.cl IS NULL
+                                     OR NOT list_contains(c.cl, i - 1)),
+                    i -> t.t[i]),
+                ' '), '') END AS text_clean
+FROM toks t LEFT JOIN covl c USING (doc_id)
+WHERE t.doc_id % 100 <> 0
+"""

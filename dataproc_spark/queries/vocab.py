@@ -568,3 +568,47 @@ SELECT d.doc_id,
        CAST(coalesce(cnt.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
 FROM documents d LEFT JOIN cnt USING (doc_id)
 """
+
+
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: learn a bigram LM from the corpus
+    (support >= 3), then score every document's mean bigram surprisal in
+    exact integer micro-units. The learn/apply pair to ``bigram_lm`` the
+    way ``bpe_apply`` pairs with ``bpe_merges``."""
+    docs = _t(spark, sf_dir, "documents")
+    lm = textstats.bigram_lm_counts(docs, min_count=3)
+    return textstats.lm_surprisal(docs, lm)
+
+
+SQL_LM_SURPRISAL = r"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                  i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+    FROM toks WHERE len(t) >= 2
+),
+bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM pairs),
+lm AS (
+    SELECT w1, w2, COUNT(*) AS cnt2
+    FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 3
+),
+tot AS (SELECT w1, SUM(cnt2) AS cnt1 FROM lm GROUP BY w1),
+lmj AS (SELECT l.w1, l.w2, l.cnt2, t.cnt1 FROM lm l JOIN tot t USING (w1)),
+scored AS (
+    SELECT g.doc_id,
+           CASE WHEN l.cnt2 IS NOT NULL
+                THEN (l.cnt1 * 1000000) // l.cnt2
+                ELSE 100000000 END AS s,
+           CASE WHEN l.cnt2 IS NULL THEN 1 ELSE 0 END AS oov
+    FROM bg g LEFT JOIN lmj l ON g.w1 = l.w1 AND g.w2 = l.w2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_surprise_m
+FROM scored GROUP BY doc_id
+"""

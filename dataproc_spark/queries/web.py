@@ -180,3 +180,58 @@ r AS (SELECT doc_id, canonical_url,
       FROM canon)
 SELECT doc_id, canonical_url FROM r WHERE rn = 1
 """
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style text extraction (``web.extract_text``): each document is
+    wrapped in a deterministic HTML template — comment, style block,
+    script block (with ``<``/``&&``/quotes inside), entity-bearing
+    heading — and the extractor must recover exactly the heading plus
+    the whitespace-collapsed body text. Map-only regexp chain, zero
+    shuffles; the template is the oracle-able stand-in for real crawl
+    HTML already sitting in a ``binary``/``string`` column."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><!-- crawl "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            ' --><head><style type="text/css">p { color: red; }</style>'
+            '<script>if (a < b && c > 1) { x = "&amp;"; }</script></head>'
+            "<body><h1>Doc &amp; title</h1>\n<p>"
+        ),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p>\n</body></html>"),
+    )
+    out = docs.withColumn("plain", web.extract_text(html))
+    return out.select(
+        "doc_id",
+        "plain",
+        F.length("plain").cast("long").alias("n_chars_plain"),
+    )
+
+
+SQL_HTML_EXTRACT = r"""
+WITH h AS (
+    SELECT doc_id,
+           '<html><!-- crawl ' || CAST(doc_id AS VARCHAR)
+           || ' --><head><style type="text/css">p { color: red; }</style>'
+           || '<script>if (a < b && c > 1) { x = "&amp;"; }</script></head>'
+           || '<body><h1>Doc &amp; title</h1>' || chr(10) || '<p>'
+           || coalesce(text, '') || '</p>' || chr(10) || '</body></html>'
+           AS html
+    FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<!--.*?-->', ' ', 'g') AS t FROM h),
+s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(t, '(?is)<[^>]+>', ' ', 'g') AS t FROM s3),
+s5 AS (SELECT doc_id,
+              replace(replace(replace(replace(replace(replace(t,
+                  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                  '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+       FROM s4),
+s6 AS (SELECT doc_id,
+              trim(regexp_replace(t, '[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g')) AS plain
+       FROM s5)
+SELECT doc_id, plain, CAST(length(plain) AS BIGINT) AS n_chars_plain FROM s6
+"""

@@ -988,3 +988,76 @@ def test_canonical_url_rewrites(spark):
             for r in web.dedup_by_url(dups).collect()}
     assert kept == {(1, "https://site.com/a?id=5"),
                     (2, "https://other.com/b")}
+
+
+def test_bigram_lm_counts_and_surprisal(spark):
+    """Hand-checkable LM: corpus 'a b a b a c' x2 docs -> bigrams per doc
+    {ab, ba, ab, ba, ac}; across 2 docs ab=4, ba=4, ac=2. min_count=3
+    keeps ab/ba only, so cnt1(a)=4 (ac cut), cnt1(b)=4."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b a b a c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    lm = textstats.bigram_lm_counts(docs, min_count=3)
+    got = {(r.w1, r.w2): (r.cnt2, r.cnt1) for r in lm.collect()}
+    assert got == {("a", "b"): (4, 4), ("b", "a"): (4, 4)}
+
+    out = textstats.lm_surprisal(docs, lm, oov_surprise_m=9_000_000)
+    by_id = {r.doc_id: (r.n_bigrams, r.n_oov, r.avg_surprise_m) for r in out.collect()}
+    # per doc: ab,ba,ab,ba known (surprise 4*1e6 div 4 = 1e6 each),
+    # ac OOV (9e6) -> avg = (4*1e6 + 9e6) div 5 = 2_600_000
+    assert by_id == {1: (5, 1, 2_600_000), 2: (5, 1, 2_600_000)}
+    # doc 3 has < 2 tokens -> excluded entirely
+
+
+def test_bigram_lm_counts_rejects_bad_min_count(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_count"):
+        textstats.bigram_lm_counts(docs, min_count=0)
+
+
+def test_extract_text_html(spark):
+    from dataproc_spark.extensions.web import extract_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "<html><!-- c --><head><style>p{a:b}</style>"
+                "<script>if (a<b && c>1) { x=\"y\"; }</script></head>"
+                "<body><h1>T &amp; U</h1>\n<p>hello   world</p></body></html>"),
+            # escaped markup in user text must survive as text, not strip
+            (2, "<p>use &lt;script&gt; tags &#39;wisely&#39;&nbsp;ok</p>"),
+        ],
+        "id long, html string",
+    )
+    got = {r.id: r.plain
+           for r in df.select("id", extract_text("html").alias("plain")).collect()}
+    assert got == {
+        1: "T & U hello world",
+        2: "use <script> tags 'wisely' ok",
+    }
+
+
+def test_remove_contaminated_spans(spark):
+    from dataproc_spark.extensions.corpus import remove_contaminated_spans
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # contains eval gram "b c d"
+            (2, "x y z w"),            # clean
+            (3, "b c d b c d g"),      # two overlapping hits
+            (4, None),                 # NULL text passes through
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "q b c d r")], "doc_id long, text string"
+    )
+    out = remove_contaminated_spans(train, evalset, n=3)
+    got = {r.doc_id: (r.n_removed, r.text_clean) for r in out.collect()}
+    assert got == {
+        1: (3, "a e f"),
+        2: (0, "x y z w"),
+        # positions 0..5 covered (grams at 0 and 3), token 6 survives
+        3: (6, "g"),
+        4: (0, None),
+    }
