@@ -217,10 +217,19 @@ def _check_fingerprint_store(store: DataFrame) -> None:
     predate the marker and the docstring migration note covers them."""
     if "fp_format" not in store.columns:
         return
-    row = store.select("fp_format").first()
-    if row is not None and row[0] != FINGERPRINT_FORMAT:
+    # check every DISTINCT marker, not first(): a store built by
+    # appending a freshly-stamped frame onto stale history is MIXED, and
+    # first() could happen to return a current-format row and wave the
+    # stale subset through (r8 review finding). distinct() on one small
+    # column is a map-side-combined aggregate — cheap at any store size.
+    # NULL markers pass, same as the unstamped-store migration contract.
+    stale = sorted(
+        v for (v,) in store.select("fp_format").distinct().collect()
+        if v is not None and v != FINGERPRINT_FORMAT
+    )
+    if stale:
         raise ValueError(
-            f"fingerprint store was written with encoding format {row[0]} "
+            f"fingerprint store contains encoding format(s) {stale} "
             f"but this engine computes format {FINGERPRINT_FORMAT}; "
             "rebuild the store with the current event_fingerprint() "
             "(a mismatched store matches nothing on the anti-join and "

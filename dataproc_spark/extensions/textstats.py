@@ -596,14 +596,26 @@ def bpe_apply_arrow(
 
     rules = [(f" {a} {b} ", f" {a}{b} ")
              for _rank, a, b, _freq in sorted(merges, key=lambda m: m[0])]
-    schema = T.StructType(
-        list(docs.schema) + [T.StructField(out_col, T.LongType())]
-    )
+    # replace an existing out_col in place (same contract as
+    # bpe_apply's withColumn) instead of appending a duplicate field,
+    # which mapInPandas would reject (r8 review finding)
+    fields = [
+        T.StructField(out_col, T.LongType()) if f.name == out_col else f
+        for f in docs.schema
+    ]
+    if out_col not in docs.columns:
+        fields.append(T.StructField(out_col, T.LongType()))
+    schema = T.StructType(fields)
 
     def kernel(batches):
         import re
 
-        ws = re.compile(r"\s+")
+        # re.ASCII: Java's \s (the expression path's split) is the
+        # ASCII class [ \t\n\x0B\f\r]; Python's default Unicode \s
+        # would also split on U+00A0/U+2028/… and silently diverge on
+        # crawl text (r8 review finding). Counting splits on the ASCII
+        # sentinel space only, matching F.split(trim(r), ' +').
+        ws = re.compile(r"\s+", re.ASCII)
         for pdf in batches:
             texts = pdf[text_col]
 
@@ -616,7 +628,7 @@ def bpe_apply_arrow(
                 )
                 for pat, rep in rules:
                     s = s.replace(pat, rep)
-                return len(s.split())
+                return sum(1 for tok in s.split(" ") if tok)
 
             pdf = pdf.copy()
             pdf[out_col] = texts.map(count_one).astype("int64")

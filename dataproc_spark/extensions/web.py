@@ -120,14 +120,21 @@ def canonical_url(url_col: str | Column = "url") -> Column:
         F.regexp_replace(c, r"^[^/?#]*//[^/?#]*", ""),
     )
     c = F.regexp_replace(c, r"#.*$", "")  # fragment
-    # normalize the query delimiter to '&' everywhere (? -> ?&) so ONE
-    # lookbehind-free pattern strips a tracking param at any position —
-    # RE2 (DuckDB's engine) has no lookbehind, so the oracle could not
-    # replay a (?<=\?) form
-    c = F.regexp_replace(c, r"\?", "?&")
-    c = F.regexp_replace(c, r"&" + _TRACKING_RE, "")
-    c = F.regexp_replace(c, r"\?&", "?")  # undo the normalization
-    c = F.regexp_replace(c, r"\?$", "")  # query emptied entirely
+    # split at the FIRST '?': tracking params live in the query string
+    # ONLY. A literal '&name=' in a path segment (legal per RFC 3986
+    # sub-delims) must survive, and a '?' inside a query VALUE is data —
+    # an unanchored '?'-normalization would eat both (r8 review finding).
+    base = F.regexp_extract(c, r"^([^?]*)", 1)
+    query = F.regexp_replace(c, r"^[^?]*", "")
+    # normalize ONLY the leading '?' to '?&' so one lookbehind-free
+    # pattern strips a tracking param at any position — RE2 (DuckDB's
+    # engine) has no lookbehind, so the oracle could not replay a
+    # (?<=\?) form
+    query = F.regexp_replace(query, r"^\?", "?&")
+    query = F.regexp_replace(query, r"&" + _TRACKING_RE, "")
+    query = F.regexp_replace(query, r"^\?&", "?")  # undo the normalization
+    query = F.regexp_replace(query, r"^\?$", "")  # query emptied entirely
+    c = F.concat(base, query)
     c = F.regexp_replace(c, r"/$", "")  # trailing slash
     return c
 
@@ -147,8 +154,12 @@ def dedup_by_url(
     semi-join the winners back if bodies are heavy.
     """
     order_by = order_by or ["doc_id"]
+    # asc_nulls_last, not asc: Spark's default ascending order puts
+    # NULLS FIRST, so a NULL-keyed row (e.g. an unscored document) would
+    # beat every real row — the opposite of "preferring rows by
+    # order_by", and the opposite of the DuckDB oracle's ASC default
     w = Window.partitionBy("_canon").orderBy(
-        *[F.col(c).asc() for c in order_by]
+        *[F.col(c).asc_nulls_last() for c in order_by]
     )
     return (
         df.withColumn("_canon", canonical_url(url_col))
@@ -182,7 +193,9 @@ def cap_per_domain(
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     order_by = order_by or ["doc_id"]
-    order_cols = [F.col(c).asc() for c in order_by]
+    # NULLS LAST for the same reason as dedup_by_url: NULL-quality docs
+    # must not win the cap over scored ones
+    order_cols = [F.col(c).asc_nulls_last() for c in order_by]
     if salts and salts > 1:
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_by]), F.lit(salts))
         df = (

@@ -131,9 +131,14 @@ FROM per
 _URL_CANON_EXPR = (
     "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Site' ELSE 'https://site' END || "
     "CAST(doc_id % 7 AS {S}) || '.com/Page/' || CAST(doc_id % 10 AS {S}) || "
-    "CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&id=5' "
+    "CASE doc_id % 6 WHEN 0 THEN '?utm_source=x&id=5' "
     "     WHEN 1 THEN '?id=5' "
     "     WHEN 2 THEN '?id=5&fbclid=abc#frag' "
+    # '&ref=' in a PATH segment (legal sub-delim) must survive, and a
+    # '?' inside a query VALUE is data — the r8 review found the
+    # unanchored normalization corrupted both; these arms pin the fix
+    "     WHEN 3 THEN '/dl&ref=home?id=5' "
+    "     WHEN 4 THEN '?next=x?y&gclid=g' "
     "     ELSE '/' END"
 )
 
@@ -166,14 +171,20 @@ c1 AS (
     FROM u
 ),
 c2 AS (SELECT doc_id, regexp_replace(c, '#.*$', '') AS c FROM c1),
-c3 AS (SELECT doc_id, regexp_replace(c, '\\?', '?&', 'g') AS c FROM c2),
-c4 AS (SELECT doc_id,
-              regexp_replace(c, '&{web._TRACKING_RE}', '', 'g') AS c
+c3 AS (SELECT doc_id,
+              regexp_extract(c, '^([^?]*)', 1) AS base,
+              regexp_replace(regexp_replace(c, '^[^?]*', ''),
+                             '^\\?', '?&') AS q
+       FROM c2),
+c4 AS (SELECT doc_id, base,
+              regexp_replace(q, '&{web._TRACKING_RE}', '', 'g') AS q
        FROM c3),
-c5 AS (SELECT doc_id, regexp_replace(c, '\\?&', '?', 'g') AS c FROM c4),
-c6 AS (SELECT doc_id, regexp_replace(c, '\\?$', '') AS c FROM c5),
+c5 AS (SELECT doc_id,
+              base || regexp_replace(regexp_replace(q, '^\\?&', '?'),
+                                     '^\\?$', '') AS c
+       FROM c4),
 canon AS (SELECT doc_id, regexp_replace(c, '/$', '') AS canonical_url
-          FROM c6),
+          FROM c5),
 r AS (SELECT doc_id, canonical_url,
              row_number() OVER (PARTITION BY canonical_url
                                 ORDER BY doc_id) AS rn

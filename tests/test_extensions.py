@@ -930,6 +930,31 @@ def test_bpe_apply_counts_and_arrow_parity(spark):
         textstats.bpe_apply(df, [(i, "x", "y", 1) for i in range(1000)])
 
 
+def test_bpe_arrow_parity_on_unicode_whitespace_and_replacement(spark):
+    """Two r8 review findings: (1) the Arrow kernel must split with
+    Java's ASCII \\s semantics — U+00A0 is NOT a word boundary, so
+    'a\\u00a0b' is ONE 3-char word on both paths; (2) both paths must
+    REPLACE a pre-existing out_col, not crash on a duplicate field."""
+    df = spark.createDataFrame(
+        [(1, "a\u00a0b"), (2, "a b"), (3, "x\u2028y z")],
+        schema="doc_id long, text string",
+    )
+    expr = {r.doc_id: r.n_bpe_tokens
+            for r in textstats.bpe_apply(df, []).collect()}
+    arrow = {r.doc_id: r.n_bpe_tokens
+             for r in textstats.bpe_apply_arrow(df, []).collect()}
+    assert expr == arrow == {1: 3, 2: 2, 3: 4}
+
+    # re-running the pass over a frame that already carries the column
+    stale = df.withColumn("n_bpe_tokens", F.lit(-1).cast("long"))
+    re_expr = textstats.bpe_apply(stale, [])
+    re_arrow = textstats.bpe_apply_arrow(stale, [])
+    assert re_expr.columns == re_arrow.columns == stale.columns
+    assert ({r.doc_id: r.n_bpe_tokens for r in re_arrow.collect()}
+            == {r.doc_id: r.n_bpe_tokens for r in re_expr.collect()}
+            == expr)
+
+
 def test_bpe_apply_rebases_token_budget(spark):
     """select_under_budget consumes learned-BPE counts directly (the
     weight-column-generic seam the apply pass exists to feed)."""
@@ -969,6 +994,17 @@ def test_canonical_url_rewrites(spark):
         "https://site.com/a/": "https://site.com/a",
         "https://site.com/a?id=5&q=B": "https://site.com/a?id=5&q=B",
         "https://site.com/a": "https://site.com/a",
+        # '&ref=' in a PATH segment is data (RFC 3986 sub-delim), not a
+        # tracking param — the r8 review found it being stripped
+        "https://site.com/dl&ref=home?id=5":
+            "https://site.com/dl&ref=home?id=5",
+        # a '?' inside a query VALUE is data; only the real tracking
+        # param goes
+        "https://site.com/a?next=x?y&gclid=g":
+            "https://site.com/a?next=x?y",
+        # a tracking param whose VALUE contains '?' strips entirely
+        "https://site.com/a?utm_source=fe?ed&id=1":
+            "https://site.com/a?id=1",
     }
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(cases)], schema="i long, url string"
@@ -988,6 +1024,35 @@ def test_canonical_url_rewrites(spark):
             for r in web.dedup_by_url(dups).collect()}
     assert kept == {(1, "https://site.com/a?id=5"),
                     (2, "https://other.com/b")}
+
+
+def test_web_order_keys_put_nulls_last(spark):
+    """NULL order keys must not win: Spark's asc() default is NULLS
+    FIRST, so an unscored (NULL-quality) document would beat every real
+    row in both the per-domain cap and the URL dedup (r8 review
+    finding). Both operators order NULLS LAST."""
+    from dataproc_spark.extensions import web
+
+    df = spark.createDataFrame(
+        [(1, "a.com", None), (2, "a.com", 10), (3, "a.com", 20),
+         (4, "b.org", None)],
+        schema="doc_id long, domain string, quality long",
+    )
+    capped = web.cap_per_domain(df, cap=2, order_by=["quality", "doc_id"])
+    assert {r.doc_id for r in capped.collect()} == {2, 3, 4}
+    # salted two-phase path must agree (xxhash64 over a NULL key still
+    # salts deterministically)
+    salted = web.cap_per_domain(
+        df, cap=2, order_by=["quality", "doc_id"], salts=4
+    )
+    assert rows_set(capped) == rows_set(salted)
+
+    dups = spark.createDataFrame(
+        [(1, "https://site.com/a", None), (2, "https://site.com/a", 5)],
+        schema="doc_id long, url string, quality long",
+    )
+    kept = web.dedup_by_url(dups, order_by=["quality", "doc_id"])
+    assert [r.doc_id for r in kept.collect()] == [2]
 
 
 def test_bigram_lm_counts_and_surprisal(spark):

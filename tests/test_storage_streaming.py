@@ -593,6 +593,23 @@ def test_fingerprint_store_format_marker(spark, tmp_path):
     stale = store.withColumn("fp_format", F.lit(FINGERPRINT_FORMAT - 1))
     with _pytest.raises(ValueError, match="rebuild the store"):
         _check_fingerprint_store(stale)
+    # MIXED store (fresh stamp appended onto stale history): must be
+    # refused even when a current-format row sorts first — the r8 review
+    # found a first()-based check waving the stale subset through
+    mixed = stamped.unionByName(
+        spark.createDataFrame([("old",)], schema="fp string").withColumn(
+            "fp_format", F.lit(FINGERPRINT_FORMAT - 1)
+        )
+    )
+    with _pytest.raises(ValueError, match="rebuild the store"):
+        _check_fingerprint_store(mixed)
+    # NULL markers ride the unstamped-legacy contract: accepted
+    nullish = stamped.unionByName(
+        spark.createDataFrame([("old",)], schema="fp string").withColumn(
+            "fp_format", F.lit(None).cast("int")
+        )
+    )
+    _check_fingerprint_store(nullish)
 
 
 def test_apply_changelog_merge_semantics(spark):
