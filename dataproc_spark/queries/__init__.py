@@ -164,6 +164,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "token_topk": (q_token_topk, SQL_TOKEN_TOPK),
     "lang_predict": (q_lang_predict, SQL_LANG_PREDICT),
+    "lang_mixture": (q_lang_mixture, SQL_LANG_MIXTURE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),

@@ -271,6 +271,59 @@ FROM pred GROUP BY lang, pred_lang
 """
 
 
+def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-language mixture report — the crawl-curation step that
+    sets per-language sampling rates: language-ID every document
+    (``textstats.predicted_lang``, map-only stopword heuristic), weight
+    by token count, and report each predicted language's corpus share in
+    integer basis points via ``web.domain_mixture`` (the mixture
+    machinery is column-generic; language is just another partition
+    dimension). Plan: one map-side-combined aggregate over the scored
+    frame + a 1-row broadcast denominator — raw text never shuffles,
+    only (pred_lang, n_tokens) pairs."""
+    from dataproc_spark.extensions import web as webx
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        textstats.predicted_lang("text").alias("pred_lang"),
+        textstats.token_count().cast("long").alias("n_tokens"),
+    )
+    return webx.domain_mixture(
+        scored, domain_col="pred_lang", weight_col="n_tokens"
+    )
+
+
+SQL_LANG_MIXTURE = f"""
+WITH scored AS (
+    SELECT {_LANG_SCORE_SQL['en']} AS s_en,
+           {_LANG_SCORE_SQL['de']} AS s_de,
+           {_LANG_SCORE_SQL['fr']} AS s_fr,
+           {_LANG_SCORE_SQL['es']} AS s_es,
+           len(list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS n_tokens
+    FROM documents
+),
+pred AS (
+    SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           n_tokens
+    FROM scored
+),
+per AS (
+    SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS weight
+    FROM pred GROUP BY pred_lang
+)
+SELECT pred_lang, n_docs, weight,
+       CAST((weight * 10000) // (SELECT sum(weight) FROM per) AS BIGINT)
+           AS share_bps
+FROM per
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprint uniqueness per source."""
     docs = _t(spark, sf_dir, "documents")
