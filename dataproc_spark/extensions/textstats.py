@@ -510,7 +510,16 @@ def bpe_learn_merges(
 #: refused: a codegen expression tree tens of thousands of replaces deep
 #: compiles slowly (or falls back to interpreted eval) — the production
 #: path for a full 30k-merge vocabulary is the Arrow kernel below
-BPE_EXPR_MAX_MERGES = 512
+# measured bound (tools/bench_bpe_apply.py, SCALE.md §r8): at 512
+# chained replaces the driver-side column-node-to-expression conversion
+# recurses past the default JVM stack and throws StackOverflowError
+# before the job even starts; 256 converts and runs. The Arrow kernel
+# also simply WINS from ~tens of rules up at any real corpus size
+# (82 rules, sf0.1: 2.2 s expr vs 1.1 s arrow; 10x corpus: 10.3 s vs
+# 5.3 s; arrow is flat ~1.1 s out to 1024 rules), so the expression
+# path is for small rule tables and oracle replay, not production
+# vocabularies.
+BPE_EXPR_MAX_MERGES = 256
 
 
 def _bpe_symbolized(text_col: str) -> F.Column:
@@ -551,10 +560,13 @@ def bpe_apply(
     (see :func:`bpe_learn_merges` on the deliberate adjacent-repeat
     divergence from canonical greedy BPE), so train and apply are
     bit-consistent and the whole pass is oracle-replayable. No shuffle,
-    no Python; the expression chain is O(n_merges) deep, which codegen
-    handles comfortably into the hundreds — beyond
-    ``BPE_EXPR_MAX_MERGES`` use :func:`bpe_apply_arrow` (same
-    semantics, Arrow-batched kernel, constant plan depth).
+    no Python; the expression chain is O(n_merges) deep, which the
+    measured bound caps at ``BPE_EXPR_MAX_MERGES`` (the driver-side
+    plan conversion stack-overflows at 512 — see the constant's note).
+    For anything beyond small rule tables use :func:`bpe_apply_arrow`
+    (same semantics, Arrow-batched kernel, constant plan depth — and
+    measured FASTER from ~tens of rules up at every probed corpus
+    size).
 
     NULL/empty text counts 0 tokens (the corpus contract the gate
     family uses everywhere).

@@ -983,3 +983,83 @@ def test_ngram_containment_matches_python_model(spark, docs, min_shared):
             if shared >= min_shared:
                 expect[(i, j)] = (shared, shared * 1000 // len(a))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# canonical_url vs a STRUCTURAL model: URLs are generated from components
+# (scheme, host, path segments, query params, fragment) and the expected
+# canonical form is computed from those components semantically — lowercase
+# scheme/host, path kept verbatim, tracking params dropped from the param
+# LIST, fragment dropped, trailing slash trimmed — never by replaying the
+# operator's regexes, so the test arbitrates the rewrite chain.
+# ---------------------------------------------------------------------------
+
+_SCHEMES = ["http", "HTTPS", "https", "HTTP"]
+_HOSTS = ["Site.COM", "a.b.site.co.uk", "x.io", "WWW.Example.ORG"]
+#: segments include RFC 3986 sub-delim shapes that LOOK like tracking
+#: params — they must survive untouched (r8 review finding)
+_SEGMENTS = ["a", "Page", "b.c", "dl&ref=home", "x&utm_source=t", "p1"]
+_PARAM_NAMES = ["id", "q", "next", "page",
+                "utm_source", "gclid", "fbclid", "ref"]
+#: values may contain '?' (data inside a query value) but never '&'/'#'
+_PARAM_VALUES = ["5", "x?y", "B", "fe?ed", "z", ""]
+_TRACKING = {"utm_source", "utm_medium", "utm_campaign", "utm_term",
+             "utm_content", "gclid", "fbclid", "ref"}
+
+
+@st.composite
+def _url_scenario(draw):
+    scheme = draw(st.sampled_from(_SCHEMES))
+    host = draw(st.sampled_from(_HOSTS))
+    segs = draw(st.lists(st.sampled_from(_SEGMENTS), min_size=0, max_size=3))
+    trailing = draw(st.booleans())
+    params = draw(st.lists(
+        st.tuples(st.sampled_from(_PARAM_NAMES),
+                  st.sampled_from(_PARAM_VALUES)),
+        min_size=0, max_size=4))
+    fragment = draw(st.sampled_from([None, "frag", "x?y&ref=z"]))
+    return scheme, host, segs, trailing, params, fragment
+
+
+def _build_url(scheme, host, segs, trailing, params, fragment):
+    url = f"{scheme}://{host}"
+    if segs:
+        url += "/" + "/".join(segs)
+    if trailing:
+        url += "/"
+    if params:
+        url += "?" + "&".join(f"{n}={v}" for n, v in params)
+    if fragment is not None:
+        url += "#" + fragment
+    return url
+
+
+def _expected_canonical(scheme, host, segs, trailing, params, fragment):
+    out = f"{scheme}://{host}".lower()
+    if segs:
+        out += "/" + "/".join(segs)
+    if trailing:
+        out += "/"
+    kept = [(n, v) for n, v in params if n not in _TRACKING]
+    if kept:
+        out += "?" + "&".join(f"{n}={v}" for n, v in kept)
+    # fragment always dropped; ONE trailing slash trimmed off the final
+    # string (so '/a/?id=5' keeps its path slash — the slash is not last)
+    if out.endswith("/"):
+        out = out[:-1]
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_url_scenario(), min_size=1, max_size=25))
+def test_canonical_url_matches_structural_model(spark, scenarios):
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions.web import canonical_url
+
+    rows = [(i, _build_url(*sc)) for i, sc in enumerate(scenarios)]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {r.i: r.c
+           for r in df.withColumn("c", canonical_url()).collect()}
+    want = {i: _expected_canonical(*sc) for i, sc in enumerate(scenarios)}
+    assert got == want
