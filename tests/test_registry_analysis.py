@@ -113,6 +113,9 @@ _NESTED_LOOP_OK = {
     # report (one row per domain — bounded by domain cardinality); same
     # scalar-denominator shape as nations_above_avg_revenue
     "domain_mixture",
+    # same mixture machinery, partitioned by predicted language
+    # (cardinality ~5) instead of domain
+    "lang_mixture",
 }
 
 

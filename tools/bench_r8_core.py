@@ -12,6 +12,9 @@ Usage: python tools/bench_r8_core.py EXPERIMENT [SRC]
                        exact_dedup representatives -> banded minhash);
                        raw minhash on the replicated corpora is the
                        measured r6 cliff, not a regression target
+    decontaminate_spans — span-level decontamination (gram explode +
+                       distinct eval-gram join + Arrow rebuild)
+    html_extract     — map-only WET extraction regex chain
 Run each at /root/testdata/sf0.1, /tmp/scale10, /tmp/scale100 for the
 1x/10x/100x exponent rows.
 """
@@ -60,6 +63,35 @@ def run(experiment: str, src: str | None) -> None:
             row = out.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.hash(*out.columns)).alias("chk"),
+            ).first()
+            return row["n"]
+
+    elif experiment == "decontaminate_spans":
+        from dataproc_spark.extensions import corpus
+
+        docs = spark.read.parquet(f"{src}/documents.parquet")
+
+        def job():
+            evalset = docs.where(F.col("doc_id") % 100 == 0)
+            train = docs.where(F.col("doc_id") % 100 != 0)
+            out = corpus.remove_contaminated_spans(train, evalset, n=3)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_removed").alias("cut"),
+                F.sum(F.length("text_clean")).alias("chk"),
+            ).first()
+            return row["n"]
+
+    elif experiment == "html_extract":
+        from dataproc_spark.queries import REGISTRY
+
+        fn = REGISTRY["html_extract"][0]
+
+        def job():
+            out = fn(spark, src)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars_plain").alias("chk"),
             ).first()
             return row["n"]
 
