@@ -68,6 +68,16 @@ EXTENDED_QUERIES = [
     "multimodal_decode",
     "tpch_q10",
     "tpch_q18",
+    # r7/r8 families: blocked fuzzy linkage, URL curation, the BPE
+    # apply pass, LM quality scoring, span-level decontamination.
+    # Extended entries are OUT of the headline total, so adding
+    # representatives keeps new families perf-visible round-over-round
+    # without touching cross-round comparability.
+    "fuzzy_match",
+    "url_dedup",
+    "bpe_apply",
+    "lm_surprisal",
+    "decontaminate_spans",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one
