@@ -1063,3 +1063,75 @@ def test_canonical_url_matches_structural_model(spark, scenarios):
            for r in df.withColumn("c", canonical_url()).collect()}
     want = {i: _expected_canonical(*sc) for i, sc in enumerate(scenarios)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# extract_text vs a STRUCTURAL model: HTML is generated from typed parts
+# (text runs, entities, comments, script/style blocks, tags) and the
+# expected plain text is derived from each part's documented semantics —
+# comment/script/style/tag → one space, entity → its decoded char, text
+# kept — then ASCII-whitespace-collapsed. Never by replaying the regexes.
+# ---------------------------------------------------------------------------
+
+_TEXT_RUNS = ["hello", "a b", "1,2.3", "x!", "p q r", "tab\there", "nl\nrun",
+              # after an &amp; part this composes "&lt;x" — pinning
+              # decode-ONCE semantics (the decoded & must not cascade)
+              "lt;x"]
+_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+_SCRIPT_BODIES = ["if (a < b && c > 1) { x = \"&amp;\"; }", "var y = 'z';", ""]
+_COMMENT_BODIES = ["crawl 17", "todo: <script> later", ""]
+_TAGS = ["b", "p", "a href=\"x\"", "div class='c'"]
+
+
+@st.composite
+def _html_part(draw):
+    kind = draw(st.sampled_from(
+        ["text", "entity", "comment", "script", "style", "tagpair", "bare"]))
+    if kind == "text":
+        t = draw(st.sampled_from(_TEXT_RUNS))
+        return t, t
+    if kind == "entity":
+        raw, decoded = draw(st.sampled_from(_ENTITIES))
+        return raw, decoded
+    if kind == "comment":
+        return f"<!--{draw(st.sampled_from(_COMMENT_BODIES))}-->", " "
+    if kind == "script":
+        return f"<script>{draw(st.sampled_from(_SCRIPT_BODIES))}</script>", " "
+    if kind == "style":
+        return "<style>p { color: red; }</style>", " "
+    if kind == "tagpair":
+        tag = draw(st.sampled_from(_TAGS))
+        inner = draw(st.sampled_from(_TEXT_RUNS))
+        name = tag.split(" ")[0]
+        return f"<{tag}>{inner}</{name}>", f" {inner} "
+    return "<br>", " "
+
+
+def _collapse(s):
+    import re
+
+    return re.sub(r"[ \t\r\n]+", " ", s).strip()
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.lists(_html_part(), min_size=0, max_size=8),
+                min_size=1, max_size=20))
+def test_extract_text_matches_structural_model(spark, docs):
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions.web import extract_text
+
+    rows = [
+        (i,
+         "<html><body>" + "".join(raw for raw, _ in parts) + "</body></html>",
+         _collapse(" " + "".join(exp for _, exp in parts) + " "))
+        for i, parts in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in rows], "i long, html string"
+    )
+    got = {r.i: r.p
+           for r in df.withColumn("p", extract_text()).collect()}
+    want = {i: exp for i, _, exp in rows}
+    assert got == want
