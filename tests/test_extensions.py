@@ -955,6 +955,34 @@ def test_bpe_arrow_parity_on_unicode_whitespace_and_replacement(spark):
             == expr)
 
 
+def test_bpe_apply_counts_bounded_by_surrogates(spark):
+    """Budget-parity invariant vs the two surrogates (r7 VERDICT task 4
+    done-criterion): for ANY merge table, the learned-BPE count of a doc
+    sits between its whitespace word count (every word fully merged —
+    the floor) and its non-whitespace character count (zero merges — the
+    ceiling). Budgeting on n_bpe_tokens is therefore never looser than
+    word-count budgeting and never exceeds char-count budgeting."""
+    rows = [(1, "low low lower"), (2, "a"), (3, ""), (4, None),
+            (5, "the quick brown fox"), (6, "aaaa bb aaaa bb aaaa")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    for n_merges in (0, 2, 5):
+        merges = textstats.bpe_learn_merges(df, n_merges=n_merges)
+        out = textstats.bpe_apply(df, merges).withColumn(
+            "n_words",
+            F.coalesce(textstats.token_count(), F.lit(0)).cast("long"),
+        ).withColumn(
+            "n_chars_nw",
+            F.coalesce(
+                F.length(F.regexp_replace("text", r"\s", "")), F.lit(0)
+            ).cast("long"),
+        )
+        bad = out.where(
+            (F.col("n_bpe_tokens") < F.col("n_words"))
+            | (F.col("n_bpe_tokens") > F.col("n_chars_nw"))
+        ).count()
+        assert bad == 0, f"bounds violated at n_merges={n_merges}"
+
+
 def test_bpe_apply_rebases_token_budget(spark):
     """select_under_budget consumes learned-BPE counts directly (the
     weight-column-generic seam the apply pass exists to feed)."""
