@@ -36,6 +36,35 @@ def _spark_type(value) -> str:
     return "string"
 
 
+def _range_type(values) -> str:
+    """Spark SQL type for a cartesian range column, inferred from ALL
+    values — not the first element, which silently stringified an
+    int behind a leading None and crashed on ``[1, 2.5]`` where the
+    pandas reference upcasts to float64 (r8 review finding). Nones are
+    skipped (they stay NULL in any type); int+float merges to double;
+    any other mix is refused loudly instead of corrupting values."""
+    types = {_spark_type(v) for v in values if v is not None}
+    if not types:
+        return "long"  # all-None (or empty) range: any type holds NULLs
+    if len(types) == 1:
+        return types.pop()
+    if types == {"long", "double"}:
+        return "double"
+    raise ValueError(
+        f"cartesian range mixes incompatible types {sorted(types)}; "
+        "cast the values to one type first"
+    )
+
+
+def _coerce_range(values: list, typ: str) -> list:
+    """Coerce range values to the merged column type: createDataFrame's
+    schema verification rejects a Python int in a double column, so the
+    int+float upcast needs the ints floated driver-side."""
+    if typ != "double":
+        return values
+    return [None if v is None else float(v) for v in values]
+
+
 def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Project an event-time column to the engine's contract: int64 epoch
     nanoseconds.
@@ -136,6 +165,9 @@ def plan_size_bytes(df: DataFrame) -> int | None:
 _BYTE_SUFFIXES = {
     "": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
     "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+    # JavaUtils.byteStringAs accepts petabytes too — omitting them made a
+    # legal session conf crash spread_narrow (r8 review finding)
+    "p": 1 << 50, "pb": 1 << 50,
 }
 
 
@@ -237,6 +269,15 @@ def release_cache_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
     the session lifetime. The finalizer holds the only extra reference,
     so the normal collect-and-drop caller pattern frees the cache
     promptly.
+
+    CONTRACT CAVEAT (r8 review): the pin lives exactly as long as the
+    RETURNED handle. A caller that immediately derives and drops it —
+    ``load_shard_selection(...).where(...)`` — releases the cache before
+    any action runs; the derived frame still computes correctly (the
+    lineage recomputes), it just pays the double source read the persist
+    avoids. Hold the returned frame in a variable while deriving from it
+    to keep the pin. This is correctness-neutral by construction:
+    unpersist never invalidates a plan, only a speedup.
     """
     import weakref
 
@@ -251,13 +292,17 @@ def release_cache_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
 
 
 def ensure_has_columns(df: DataFrame, columns: Iterable[str]) -> None:
-    """Assert that ``df`` contains every column in ``columns``.
+    """Check that ``df`` contains every column in ``columns``.
 
-    Parity: reference ``data.py:23-27``. Analysis-time check (DataFrame
-    schemas are known before execution), so this costs nothing at run time.
+    Parity: reference ``data.py:23-27`` — with one documented divergence
+    (same class as ``decayed_buckets``): the reference uses a bare
+    ``assert``, which ``python -O`` strips, silently disabling every
+    schema guard built on this helper (trec title validation, the
+    evaluate gates). A real ValueError survives -O; message text kept.
     """
     missing = [c for c in columns if c not in df.columns]
-    assert not missing, f"Column {missing[0]} missing in data frame"
+    if missing:
+        raise ValueError(f"Column {missing[0]} missing in data frame")
 
 
 def _one_range(spark: SparkSession, name: str, values: Sequence) -> DataFrame:
@@ -267,8 +312,8 @@ def _one_range(spark: SparkSession, name: str, values: Sequence) -> DataFrame:
     pandas keeps implicitly and Spark does not (SURVEY.md §1).
     """
     values = list(values)
-    rows = [(i, v) for i, v in enumerate(values)]
-    typ = _spark_type(values[0])
+    typ = _range_type(values)
+    rows = [(i, v) for i, v in enumerate(_coerce_range(values, typ))]
     # single partition: createDataFrame slices local data into
     # defaultParallelism partitions, and crossJoin multiplies partition
     # counts — 3 ranges × 32 slices would give 32³ = 32768 tasks.
@@ -296,11 +341,18 @@ def cartesian(
     get an explicit index and are equi-joined on it (see
     :func:`zip_by_position`).
     """
-    ranges = [list(r) for r in ranges]
+    ranges = [
+        _coerce_range(values, _range_type(values))
+        for values in (list(r) for r in ranges)
+    ]
     if names is None:
         names = [str(i) for i in range(len(ranges))]
     if not ranges:
-        return spark.createDataFrame([], schema="")
+        # honor the with_index contract even for zero ranges: callers
+        # chaining into zip_by_position need _idx present (r8 review
+        # finding — the bare empty schema broke it)
+        out = spark.createDataFrame([], schema=f"{IDX} long")
+        return out if with_index else out.drop(IDX)
     sizes = [len(r) for r in ranges]
     total = 1
     for s in sizes:
@@ -311,10 +363,7 @@ def cartesian(
         # non-empty, defaulting to long
         schema = ", ".join(
             [f"{IDX} long"]
-            + [
-                f"`{n}` {_spark_type(r[0]) if r else 'long'}"
-                for n, r in zip(names, ranges)
-            ]
+            + [f"`{n}` {_range_type(r)}" for n, r in zip(names, ranges)]
         )
         out = spark.createDataFrame([], schema=schema)
         if not with_index:
@@ -330,17 +379,27 @@ def cartesian(
         ]
         schema = ", ".join(
             [f"{IDX} long"]
-            + [f"`{n}` {_spark_type(v)}" for n, v in zip(names, rows[0][1:])]
+            + [f"`{n}` {_range_type(r)}" for n, r in zip(names, ranges)]
         )
         out = spark.createDataFrame(rows, schema=schema).coalesce(1)
     else:
         # large products stay distributed: chain of crossJoins over
-        # single-column frames; Catalyst broadcasts the small sides
+        # single-column frames with the RIGHT sides pinned as broadcast
+        # builds, so the first (major) range stays the stream side and
+        # its partitioning carries through to the product
         dfs = [
             _one_range(spark, name, values).withColumnRenamed(IDX, f"{IDX}_{i}")
             for i, (name, values) in enumerate(zip(names, ranges))
         ]
-        out = reduce(DataFrame.crossJoin, dfs)
+        # re-slice the stream side: every _one_range is coalesce(1) to
+        # stop partition-count multiplication, but that made the WHOLE
+        # product materialize in a single task (r8 review finding — the
+        # 'splits parallelize' claim was false). Partitioning only the
+        # major range bounds tasks at min(len, parallelism) × 1 × 1.
+        dfs[0] = dfs[0].repartition(
+            min(sizes[0], spark.sparkContext.defaultParallelism)
+        )
+        out = reduce(lambda a, b: a.crossJoin(F.broadcast(b)), dfs)
         # _idx = ((pos0 * n1 + pos1) * n2 + pos2) ... : query-major row order
         idx = F.col(f"{IDX}_0")
         for i in range(1, len(ranges)):

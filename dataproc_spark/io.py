@@ -49,8 +49,13 @@ def _load_selection(
     names: list[str],
     ranges: list,
 ) -> DataFrame:
-    from dataproc_spark.core import release_cache_on_gc
+    from dataproc_spark.core import release_cache_on_gc, zip_by_position
 
+    # materialize BEFORE anything iterates: cartesian consumes its
+    # ranges, so a one-shot iterable (a generator of query ids) would
+    # yield n_expected=0 below and a spurious shape-mismatch error on a
+    # valid file (r8 review finding)
+    ranges = [list(r) for r in ranges]
     base = cartesian(spark, ranges, names=names, with_index=True)
     # persist before the shape-guard count: without it the textFile →
     # parse lineage runs twice (once for the count, again for the join)
@@ -61,7 +66,7 @@ def _load_selection(
     ).persist()
     n_expected = 1
     for r in ranges:
-        n_expected *= len(list(r))
+        n_expected *= len(r)
     n_actual = scores.count()
     # Q4 fix (SURVEY.md §2.4): the reference silently mis-aligns when the
     # score file does not match the cartesian shape; we fail fast. A real
@@ -71,9 +76,9 @@ def _load_selection(
         scores.unpersist()
         raise ValueError(
             f"score file has {n_actual} rows, expected {n_expected} "
-            f"(= {' × '.join(str(len(list(r))) for r in ranges)})"
+            f"(= {' × '.join(str(len(r)) for r in ranges)})"
         )
-    df = base.join(scores, IDX, "inner")
+    df = zip_by_position(base, scores)
     # pandas rank(method='first') breaks ties by input order == cartesian
     # order == _idx asc; row_number over (score desc, _idx asc) is exact.
     w = Window.partitionBy("query").orderBy(F.col("shard_score").desc(), F.col(IDX).asc())

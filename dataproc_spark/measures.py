@@ -92,13 +92,22 @@ def recall_at(k: int, total_col: str = "num_rel", name: str | None = None) -> Me
 
     Extension beyond the reference (its measure set has only P@k);
     ``total_col`` must hold the per-query total relevant count on each row.
+    Relevance is binarized (a row is relevant iff ``rel > 0``): recall
+    counts documents, so a graded judgment must not count double (r8
+    review finding — the old graded sum could report recall > 1).
+    Zero-relevant queries score 0.0 instead of NULL.
     """
     return Measure(
         name or f"r_{k}",
-        lambda rel, rn: (
-            F.sum(F.when(F.col(rn) <= k, F.col(rel)).otherwise(F.lit(0)))
-            / F.max(F.col(total_col))
-        ),
+        lambda rel, rn: F.when(
+            F.max(F.col(total_col)) > 0,
+            F.sum(
+                F.when(
+                    (F.col(rn) <= k) & (F.col(rel) > 0), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            / F.max(F.col(total_col)),
+        ).otherwise(F.lit(0.0)),
     )
 
 
@@ -111,9 +120,10 @@ def average_precision(k: int | None = None, name: str | None = None) -> Measure:
     """AP@k — mean over relevant ranks of precision-at-that-rank.
 
     Needs the running relevant-count at each rank, which is itself a
-    window quantity; expressed here as Σ_rel(rank) [P@rank] / Σ rel using
-    a sum over ``rel / rank × (running hits)``-free formulation:
-    AP = Σ_{r : rel_r=1} (hits_up_to_r / r) / total_rel. The running hits
+    window quantity:
+    AP = Σ_{r ≤ k : rel_r > 0} (hits_up_to_r / r) / total_rel, where
+    total_rel counts every relevant doc in the result set — never
+    prefix-limited (trec_eval semantics). The running hits
     column must be provided by the caller as ``_hits`` when using this
     measure via :func:`dataproc_spark.selective.evaluate` (evaluate adds
     it automatically when any AP/nDCG measure is present).
@@ -124,8 +134,14 @@ def average_precision(k: int | None = None, name: str | None = None) -> Measure:
             in_prefix & (F.col(rel) > 0),
             F.col("_hits") / F.col(rn),
         )
+        # denominator = TOTAL relevant in the result set, never
+        # prefix-limited (trec_eval semantics): a relevant doc ranked
+        # below the cutoff must lower AP@k, not shrink its denominator.
+        # The old prefix-limited graded sum scored a query 1.0 for one
+        # early hit with three relevant docs unretrieved-in-prefix (r8
+        # review finding; the docstring always promised total_rel).
         denom = F.sum(
-            F.when(in_prefix, F.col(rel)).otherwise(F.lit(0))
+            F.when(F.col(rel) > 0, F.lit(1)).otherwise(F.lit(0))
         )
         return F.when(denom > 0, F.sum(contrib) / denom).otherwise(F.lit(0.0))
 

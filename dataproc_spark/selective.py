@@ -352,7 +352,16 @@ def _augment_for_measures(
             .orderBy(F.col(order_col).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        ranked = ranked.withColumn("_hits", F.sum(rel_col).over(w))
+        # running COUNT of relevant (rel > 0), not a graded sum: _hits
+        # feeds AP's precision-at-rank, and precision counts documents —
+        # a graded judgment (rel=2) would otherwise count double (r8
+        # review finding). Identical under binary relevance.
+        ranked = ranked.withColumn(
+            "_hits",
+            F.sum(
+                F.when(F.col(rel_col) > 0, F.lit(1)).otherwise(F.lit(0))
+            ).over(w),
+        )
     if "_ideal_rn" in needing:
         (rel_col,) = needing["_ideal_rn"]
         w = Window.partitionBy(*partition_cols).orderBy(

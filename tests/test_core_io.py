@@ -60,10 +60,80 @@ def test_cartesian_strings(spark):
 
 
 def test_ensure_has_columns(spark):
+    # ValueError, not AssertionError: a documented divergence from the
+    # reference's bare assert, which python -O would strip (r8 review)
     df = spark.createDataFrame([(1,)], schema="a long")
     ensure_has_columns(df, ["a"])
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="missing in data frame"):
         ensure_has_columns(df, ["a", "b"])
+
+
+def test_cartesian_type_inference_from_all_values(spark):
+    """Column types come from ALL values, not the first: a leading None
+    must not stringify ints, int+float upcasts to double (pandas parity),
+    and an incompatible mix is refused loudly (r8 review findings)."""
+    from dataproc_spark.core import cartesian as cart
+
+    got = {r.a for r in cart(spark, [[None, 1, 2]], names=["a"]).collect()}
+    assert got == {None, 1, 2}
+    mixed = cart(spark, [[1, 2.5]], names=["a"])
+    assert dict(mixed.dtypes)["a"] == "double"
+    assert {r.a for r in mixed.collect()} == {1.0, 2.5}
+    with pytest.raises(ValueError, match="incompatible types"):
+        cart(spark, [[1, "x"]], names=["a"])
+    # all-None range holds NULLs in the default type
+    assert [r.a for r in cart(spark, [[None]], names=["a"]).collect()] == [None]
+
+
+def test_cartesian_empty_ranges_keeps_idx_contract(spark):
+    from dataproc_spark.core import IDX as idx_col
+    from dataproc_spark.core import cartesian as cart
+
+    out = cart(spark, [], with_index=True)
+    assert out.columns == [idx_col] and out.count() == 0
+    assert cart(spark, []).columns == []
+
+
+def test_load_selection_accepts_one_shot_iterables(spark, tmp_path):
+    """A generator of query ids must work: cartesian consumes it, so the
+    shape guard has to count the materialized ranges, not re-iterate the
+    exhausted input (r8 review finding)."""
+    from dataproc_spark.io import load_shard_selection
+
+    p = tmp_path / "scores.csv"
+    p.write_text("".join(f"{v}.0\n" for v in [3, 1, 2, 9, 5, 4]))
+    out = load_shard_selection(spark, (q for q in [7, 8]), 3, str(p))
+    got = {(r.query, r.shard, r.rank) for r in out.collect()}
+    assert got == {(7, 0, 0), (7, 1, 2), (7, 2, 1),
+                   (8, 0, 0), (8, 1, 1), (8, 2, 2)}
+
+
+def test_cartesian_large_product_parallelizes(spark):
+    """The distributed crossJoin path must not materialize the whole
+    product in one task: the major range is the stream side and carries
+    its partitioning through (r8 review finding)."""
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.core import _DRIVER_SIDE_LIMIT, cartesian as cart
+
+    n0 = 600
+    n1 = (_DRIVER_SIDE_LIMIT // n0) + 1
+    out = cart(spark, [range(n0), range(n1)], names=["a", "b"],
+               with_index=True)
+    parts = out.select(
+        F.spark_partition_id().alias("p")
+    ).distinct().count()
+    assert parts > 1
+    # _idx is still the exact query-major row number
+    row = out.where((F.col("a") == 1) & (F.col("b") == 3)).first()
+    assert row["_idx"] == 1 * n1 + 3
+
+
+def test_parse_byte_conf_petabytes():
+    from dataproc_spark.core import _parse_byte_conf
+
+    assert _parse_byte_conf("1p") == 1 << 50
+    assert _parse_byte_conf("2PB") == 2 << 50
 
 
 def test_read_indexed_csv(spark, tmp_path):

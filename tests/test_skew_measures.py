@@ -76,6 +76,49 @@ def test_average_precision(judged):
     assert abs(got["ap"] - 5 / 6) < 1e-12
 
 
+def test_average_precision_truncated_counts_all_relevant(spark):
+    """AP@k divides by TOTAL relevant in the result set, not relevant in
+    the prefix (r8 review finding: one early hit with three relevant
+    docs below the cutoff scored a perfect 1.0). Ranks 1,8,9,10
+    relevant, k=5 -> AP@5 = (1/1) / 4 = 0.25."""
+    shards = spark.createDataFrame(
+        [(0, 0, 0)], schema="query long, shard long, rank long"
+    )
+    rows = [(0, 0, r, 1 if r in (1, 8, 9, 10) else 0) for r in range(1, 11)]
+    results = spark.createDataFrame(
+        rows, schema="query long, shard long, global_rank long, rel int"
+    )
+    out = evaluate_step(
+        shards, results, {"rel": [average_precision(5)]}, step=1
+    )
+    assert abs(out.first()["ap_5"] - 0.25) < 1e-12
+
+
+def test_graded_judgments_binarize_for_ap_and_recall(spark):
+    """Precision/recall count DOCUMENTS: a graded judgment (rel=2) must
+    not count double in _hits or recall numerators (r8 review finding —
+    graded recall could exceed 1.0). rel pattern [2, 0] with num_rel=1:
+    AP = (1/1)/1 = 1.0, R@2 = 1/1 = 1.0; zero-relevant query -> 0.0."""
+    from dataproc_spark.measures import recall_at
+
+    shards = spark.createDataFrame(
+        [(0, 0, 0), (1, 0, 0)], schema="query long, shard long, rank long"
+    )
+    rows = [(0, 0, 1, 2, 1), (0, 0, 2, 0, 1),
+            (1, 0, 1, 0, 0), (1, 0, 2, 0, 0)]
+    results = spark.createDataFrame(
+        rows,
+        schema="query long, shard long, global_rank long, rel int, num_rel int",
+    )
+    out = evaluate_step(
+        shards, results,
+        {"rel": [average_precision(), recall_at(2)]}, step=1,
+    )
+    got = {r.query: (r.ap, r.r_2) for r in out.collect()}
+    assert got[0] == (1.0, 1.0)
+    assert got[1] == (0.0, 0.0)
+
+
 def test_ndcg(judged):
     shards, results = judged
     out = evaluate_step(shards, results, {"rel": [ndcg_at(4)]}, step=1)
