@@ -510,9 +510,8 @@ def _hashed_shingles(
     """
     return df.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(shingles(tokens(content_col), n))
-        ).alias("_shs"),
+        # shingles() already returns a distinct array — no second pass
+        F.explode(shingles(tokens(content_col), n)).alias("_shs"),
     ).select(F.col(id_col), F.xxhash64("_shs").alias("_sh"))
 
 
@@ -621,7 +620,8 @@ def bottom_k_sketch(
     corpus instead of shingle sets.
     """
     hashes = F.transform(
-        F.array_distinct(shingles(tokens(content_col), n)),
+        # shingles() already returns a distinct array — no second pass
+        shingles(tokens(content_col), n),
         lambda s: F.xxhash64(s),
     )
     sk = F.slice(F.array_sort(hashes), 1, k)
@@ -752,6 +752,13 @@ def simhash_near_pairs(
     """
     from dataproc_spark.core import spread_narrow
 
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"(bands - 1 = {bands - 1}): a pair at that distance can "
+            "differ in every band and would be silently dropped — raise "
+            "bands or lower max_hamming"
+        )
     spread = spread_narrow(df, id_col)
     fps = simhash_frame(spread, content_col, id_col, bits, token_hash).persist()
     band_bits = bits // bands
@@ -792,7 +799,9 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    return pairs.where(F.col("hamming") <= max_hamming)
+    # same lifetime contract as the minhash signature table: repeated
+    # calls must not accumulate pinned fingerprint caches (r8 review)
+    return _release_on_gc(pairs.where(F.col("hamming") <= max_hamming), fps)
 
 
 def ngram_containment_pairs(

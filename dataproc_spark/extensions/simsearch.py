@@ -280,10 +280,20 @@ def ivf_exact_topk(
         F.col(id_col).alias("_pqid"),
         F.posexplode(quantize(vec_col, scale)).alias("_dim", "_qd"),
     )
+    # L2-nearest centroid, same probe metric as ivf_topk: Σ_d (2 q_d c_d
+    # - c_d²) = 2 q·c - ||c||² (the ||q||² term is constant per query).
+    # The raw-dot probe this replaces favored large-norm centroids and
+    # made the "oracle-checkable twin" validate a different probe than
+    # the production path (r8 review finding); the L2 form is equally
+    # integer-exact.
     probe_scores = (
         qd.join(F.broadcast(cent), "_dim")
         .groupBy("_pqid", "_cell")
-        .agg(F.sum(F.col("_qd") * F.col("_cq")).alias("_cscore"))
+        .agg(
+            F.sum(
+                2 * F.col("_qd") * F.col("_cq") - F.col("_cq") * F.col("_cq")
+            ).alias("_cscore")
+        )
     )
     w = Window.partitionBy("_pqid").orderBy(
         F.col("_cscore").desc(), F.col("_cell").asc()
@@ -484,8 +494,12 @@ def embed_kmeans(
         )
         centroids = sorted((r["cluster"], list(r["c"])) for r in rows)
     out = _kmeans_assign(q, centroids).select(id_col, "cluster")
-    q.unpersist()
-    return out
+    # the returned frame is LAZY: unpersisting here would force the
+    # final assignment to recompute the whole spread+quantize scan (r8
+    # review finding) — tie the cache to the result's lifetime instead
+    from dataproc_spark.core import release_cache_on_gc
+
+    return release_cache_on_gc(out, q)
 
 
 def hard_negatives(

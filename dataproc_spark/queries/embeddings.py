@@ -149,7 +149,7 @@ qd AS (
     SELECT vec_id AS qid, dim, cv AS qv FROM cd WHERE vec_id % 100 = 0
 ),
 ps AS (
-    SELECT qid, label, SUM(qv * cq) AS cscore
+    SELECT qid, label, SUM(2 * qv * cq - cq * cq) AS cscore
     FROM qd JOIN cent USING (dim) GROUP BY qid, label
 ),
 probed AS (
@@ -365,7 +365,7 @@ qd AS (
     SELECT vec_id AS qid, dim, cv AS qv FROM cd WHERE vec_id % 100 = 0
 ),
 ps AS (
-    SELECT qid, label, SUM(qv * cq) AS cscore
+    SELECT qid, label, SUM(2 * qv * cq - cq * cq) AS cscore
     FROM qd JOIN cent USING (dim) GROUP BY qid, label
 ),
 probed AS (

@@ -289,16 +289,14 @@ def _pandas_measure_frame(
     """Per-group Series-closure measures via Arrow grouped map: each
     (query[, step]) group's relevance column, sorted by the evaluation
     order, is handed to the user closure exactly as pandas would."""
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.types import DoubleType
 
     fields = {f.name: f.dataType for f in ranked.schema.fields}
     out_schema = StructType(
         [StructField(c, fields[c]) for c in partition_cols]
         + [StructField(m.name, DoubleType()) for _, m in pandas_ms]
     )
-    from pyspark.sql.types import StructType as _St
-
-    if isinstance(ranked.schema[order_col].dataType, _St):
+    if isinstance(ranked.schema[order_col].dataType, StructType):
         raise TypeError(
             f"Series-closure (pandas) measures need a scalar {order_col!r} "
             "order column — pandas cannot sort struct values. Either "

@@ -62,6 +62,16 @@ def test_simhash_near_pairs(docs):
     assert not any(3 in p for p in got)
 
 
+def test_simhash_rejects_max_hamming_beyond_pigeonhole(docs):
+    """max_hamming > bands-1 would silently lose pairs that differ in
+    every band (the pigeonhole guarantee only covers bands-1); the
+    operator refuses loudly instead (r8 review finding)."""
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(docs, bits=32, bands=4, max_hamming=4)
+    # the boundary itself is legal
+    dedup.simhash_near_pairs(docs, bits=32, bands=4, max_hamming=3)
+
+
 def test_quantize_and_dot(spark):
     df = spark.createDataFrame(
         [([1.0, 2.0, -0.5],), ([0.5, -1.0, 2.0],)], schema="v array<float>"
