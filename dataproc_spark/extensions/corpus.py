@@ -161,6 +161,18 @@ def redact_pii(
     steps over ``out_col``.
     """
     out_col = out_col or col
+    # fail at the call, not at a far-away AMBIGUOUS_REFERENCE / parquet
+    # write: the added columns must not already exist (r8 review
+    # finding; same guard shape as shuffle_order's clash check)
+    added = ["n_emails", "n_ips", "n_numruns"]
+    if out_col != col:
+        added.append(out_col)
+    clashes = [c for c in added if c in df.columns]
+    if clashes:
+        raise ValueError(
+            f"redact_pii would duplicate existing column(s) {clashes}; "
+            "drop or rename them first"
+        )
     red = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col(col), PII_EMAIL, "<EMAIL>"),
@@ -406,15 +418,27 @@ def corpus_diff(
     # removed NULL-content doc would never read 'removed' (r7 review
     # finding — an incremental re-train driven by the diff would
     # re-ingest unchanged docs and never delete removed ones)
-    o = old.select(
-        F.col(id_col),
-        content_fingerprint(content_col).alias("_fp_old"),
-        F.lit(1).alias("_in_old"),
+    # reduce each side to ONE row per id before the join: a snapshot
+    # carrying a duplicate id would otherwise multiply join rows and
+    # emit contradictory statuses for the same document (r8 review
+    # finding). Duplicates collapse to their max fingerprint —
+    # deterministic; in-snapshot duplicates are the dedup family's
+    # problem, the diff's contract is one verdict per id.
+    o = (
+        old.select(
+            F.col(id_col),
+            content_fingerprint(content_col).alias("_fp_old"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("_fp_old").alias("_fp_old"), F.lit(1).alias("_in_old"))
     )
-    n = new.select(
-        F.col(id_col),
-        content_fingerprint(content_col).alias("_fp_new"),
-        F.lit(1).alias("_in_new"),
+    n = (
+        new.select(
+            F.col(id_col),
+            content_fingerprint(content_col).alias("_fp_new"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("_fp_new").alias("_fp_new"), F.lit(1).alias("_in_new"))
     )
     joined = o.join(n, id_col, "full_outer")
     status = (

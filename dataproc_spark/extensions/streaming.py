@@ -63,23 +63,14 @@ def hourly_agg(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_hourly_counts(
-    spark: SparkSession,
-    events_path: str,
-    watermark: str = "2 hours",
+def _hourly_windowed(
+    spark: SparkSession, events_path: str, watermark: str
 ) -> DataFrame:
-    """Streaming variant: file-source stream → event-time tumbling window,
-    drained with ``availableNow`` in **complete** mode.
-
-    Complete mode keeps all window state (required here so the drained
-    result equals the batch rollup for the oracle) — which also means the
-    watermark does NOT drop late rows in this function. Real late-data
-    eviction semantics (append mode: windows close, late rows drop against
-    evicted state) are pinned by
-    ``tests/test_storage_streaming.py::test_streaming_watermark_drops_late_rows``.
-    Returns the materialized result as a static DataFrame.
-    """
-    windowed = (
+    """The shared hourly-rollup streaming plan (watermark → tumbling
+    window → integer-cents aggregate → hour_id projection): ONE
+    definition so the complete- and append-mode variants cannot drift
+    apart on the expressions whose batch/stream parity they both pin."""
+    return (
         with_event_time(_file_stream(spark, events_path))
         .withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", "1 hour"), "event_type")
@@ -96,7 +87,27 @@ def stream_hourly_counts(
             "sum_value_c",
         )
     )
-    return _drain(windowed, "complete", "hourly")
+
+
+def stream_hourly_counts(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming variant: file-source stream → event-time tumbling window,
+    drained with ``availableNow`` in **complete** mode.
+
+    Complete mode keeps all window state (required here so the drained
+    result equals the batch rollup for the oracle) — which also means the
+    watermark does NOT drop late rows in this function. Real late-data
+    eviction semantics (append mode: windows close, late rows drop against
+    evicted state) are pinned by
+    ``tests/test_storage_streaming.py::test_streaming_watermark_drops_late_rows``.
+    Returns the materialized result as a static DataFrame.
+    """
+    return _drain(
+        _hourly_windowed(spark, events_path, watermark), "complete", "hourly"
+    )
 
 
 def stream_hourly_append(
@@ -118,22 +129,11 @@ def stream_hourly_append(
     epoch-adjacent caveat as :func:`stream_dedup_bounded`: events at or
     before 1970-01-01 are dropped by the initial zero watermark.
     """
-    windowed = (
-        with_event_time(_file_stream(spark, events_path))
-        .withWatermark("event_time", watermark)
-        .groupBy(F.window("event_time", "1 hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
-        )
-        .select(
-            F.expr("unix_timestamp(window.start) div 3600").alias("hour_id"),
-            "event_type",
-            "n_events",
-            "sum_value_c",
-        )
+    return _drain(
+        _hourly_windowed(spark, events_path, watermark),
+        "append",
+        "hourly_append",
     )
-    return _drain(windowed, "append", "hourly_append")
 
 
 def _file_stream(
@@ -190,17 +190,29 @@ def _drain(
         import shutil
 
         shutil.rmtree(checkpoint, ignore_errors=True)
-    return df.sparkSession.table(name)
+    # snapshot the sink and DROP its temp view: the memory sink already
+    # holds the full result on the driver, so the copy costs one
+    # transient duplicate — but leaving the table registered pinned
+    # every drained result in session memory for the session lifetime
+    # (r8 review finding; the checkpoint cleanup above exists for the
+    # same repeated-runs scenario)
+    spark = df.sparkSession
+    sink = spark.table(name)
+    rows = sink.collect()
+    schema = sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema=schema)
 
 
 # Version of the event_fingerprint encoding. Bumped whenever the byte
-# encoding changes (v2 = NULL-sentinel fields, r7). A fingerprint store
+# encoding changes (v2 = NULL-sentinel fields, r7; v3 = length-prefixed
+# injection-proof fields, r8). A fingerprint store
 # persisted under an older encoding matches NOTHING on the anti-join —
 # every historical event would silently re-ingest as new — so stores
 # should carry this as an ``fp_format`` column (see
 # ``stamp_fingerprint_store``) and ``stream_incremental_dedup`` refuses
 # a store whose marker disagrees instead of silently re-ingesting.
-FINGERPRINT_FORMAT = 2
+FINGERPRINT_FORMAT = 3
 
 
 def stamp_fingerprint_store(store: DataFrame) -> DataFrame:
@@ -242,14 +254,20 @@ def event_fingerprint(
     type_col: str = "event_type",
     value_col: str = "value",
 ) -> F.Column:
-    """Content fingerprint for event rows:
-    ``md5(user | type | value_cents)`` with NULL-SAFE field encoding.
+    """Content fingerprint for event rows: md5 over a LENGTH-PREFIXED
+    field encoding (format v3) — ``N`` for a NULL field, ``V<len>:<str>``
+    otherwise, fields concatenated directly.
 
-    ``concat_ws`` silently skips NULL fields, so ``(1, NULL, 200)`` and
-    ``(1, '200', NULL)`` would both encode as ``'1|200'`` and collide —
-    the dedup would then silently drop a genuinely distinct event (r7
-    review finding). Each field is coalesced to a ``<NULL>`` sentinel so
-    every distinct content triple has a distinct encoding.
+    History of the encoding (each break bumps
+    :data:`FINGERPRINT_FORMAT`): v1 ``concat_ws`` silently skipped NULL
+    fields, colliding ``(1, NULL, 200)`` with ``(1, '200', NULL)`` (r7
+    review finding). v2's ``<NULL>`` sentinel + ``|`` separator fixed
+    that but both tokens were injectable from STRING field values —
+    ``('7|view', 'x')`` and ``('7', 'view|x')`` encoded identically, and
+    a literal ``'<NULL>'`` value collided with an actual NULL (r8 review
+    finding). v3's length prefix is a prefix-free code: the
+    concatenation is uniquely decodable, so distinct content triples
+    cannot share an encoding.
 
     This is THE fingerprint both :func:`stream_incremental_dedup` and
     its correctness gate's store build on — the two sides must match
@@ -258,11 +276,15 @@ def event_fingerprint(
     function rather than two copies.
     """
     def enc(c: F.Column) -> F.Column:
-        return F.coalesce(c.cast("string"), F.lit("<NULL>"))
+        s = c.cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(
+                F.lit("V"), F.length(s).cast("string"), F.lit(":"), s
+            )
+        )
 
     return F.md5(
-        F.concat_ws(
-            "|",
+        F.concat(
             enc(F.col(user_col)),
             enc(F.col(type_col)),
             enc(F.round(F.col(value_col) * 100).cast("long")),
@@ -714,8 +736,17 @@ def stream_upsert_to_parquet(
 
     own_checkpoint = checkpoint_dir is None
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
-    if own_checkpoint and _os.path.isdir(snapshot_dir):
-        # a fresh (temp) checkpoint restarts batch ids at 0, so versions
+    # the stale-version hazard is about the CHECKPOINT being fresh (batch
+    # ids restart at 0), not about who created it: a user-supplied but
+    # never-used checkpoint_dir reproduces the same silent-stale-read as
+    # a temp one (r8 review finding), so the guard keys on committed
+    # offsets, not on own_checkpoint
+    fresh_checkpoint = own_checkpoint or not (
+        _os.path.isdir(_os.path.join(checkpoint, "offsets"))
+        and _os.listdir(_os.path.join(checkpoint, "offsets"))
+    )
+    if fresh_checkpoint and _os.path.isdir(snapshot_dir):
+        # a fresh checkpoint restarts batch ids at 0, so versions
         # left by a PREVIOUS run would outrank this run's output in
         # read_latest_snapshot — the new merge would be silently ignored
         # (r7 review finding). Refuse rather than delete user data.
@@ -774,8 +805,17 @@ def stream_upsert_to_parquet(
 
 
 def read_latest_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
-    """The newest ``v=<id>`` snapshot written by
-    :func:`stream_upsert_to_parquet`."""
+    """The newest COMMITTED ``v=<id>`` snapshot written by
+    :func:`stream_upsert_to_parquet`.
+
+    Committed = the version directory carries Spark's ``_SUCCESS``
+    marker. A micro-batch that crashed mid-write leaves a partial
+    ``v=<id>`` without the marker; serving it would silently drop keys
+    until replay repairs it (r8 review finding), so such directories are
+    skipped. If NO version carries the marker (a pre-r8 layout written
+    with commit markers disabled), fall back to the bare max — the old
+    behavior, documented rather than silent.
+    """
     import os as _os
     import re as _re
 
@@ -784,8 +824,14 @@ def read_latest_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
         for d in _os.listdir(snapshot_dir)
         if (m := _re.fullmatch(r"v=(-?\d+)", d))
     ]
+    committed = [
+        v for v in versions
+        if _os.path.exists(_os.path.join(snapshot_dir, f"v={v}", "_SUCCESS"))
+    ]
     return spark.read.parquet(
-        _os.path.join(snapshot_dir, f"v={max(versions)}")
+        _os.path.join(
+            snapshot_dir, f"v={max(committed) if committed else max(versions)}"
+        )
     )
 
 

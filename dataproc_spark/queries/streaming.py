@@ -507,10 +507,17 @@ SQL_STREAM_INCREMENTAL_DEDUP = """
 WITH fps AS (
     SELECT event_id, user_id, event_type,
            CAST(round(value * 100) AS BIGINT) AS value_c,
-           md5(COALESCE(CAST(user_id AS VARCHAR), '<NULL>') || '|' ||
-               COALESCE(event_type, '<NULL>') || '|' ||
-               COALESCE(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
-                        '<NULL>')) AS fp
+           md5(
+               CASE WHEN user_id IS NULL THEN 'N'
+                    ELSE 'V' || CAST(length(CAST(user_id AS VARCHAR)) AS VARCHAR)
+                         || ':' || CAST(user_id AS VARCHAR) END ||
+               CASE WHEN event_type IS NULL THEN 'N'
+                    ELSE 'V' || CAST(length(event_type) AS VARCHAR)
+                         || ':' || event_type END ||
+               CASE WHEN value IS NULL THEN 'N'
+                    ELSE 'V' || CAST(length(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)) AS VARCHAR)
+                         || ':' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) END
+           ) AS fp
     FROM events
 ),
 store AS (SELECT DISTINCT fp FROM fps WHERE event_id % 3 = 0)

@@ -560,13 +560,38 @@ def test_stream_incremental_dedup_store_and_cross_batch(spark, tmp_path):
     os.utime(d / "a.parquet", (now - 100, now - 100))
     os.utime(d / "b.parquet", (now, now))
 
-    fp_a = hashlib.md5(b"1|view|100").hexdigest()
+    def fp(*fields):
+        # the v3 length-prefixed encoding, built independently here so
+        # the test arbitrates the shared function
+        enc = "".join(
+            "N" if f is None else f"V{len(str(f))}:{f}" for f in fields
+        )
+        return hashlib.md5(enc.encode()).hexdigest()
+
+    fp_a = fp(1, "view", 100)
     store = spark.createDataFrame([(fp_a,)], schema="fp string")
     out = stream_incremental_dedup(spark, str(d), store)
     got = {(r.fp, r.user_id, r.event_type, r.value_c) for r in out.collect()}
-    fp_b = hashlib.md5(b"2|click|200").hexdigest()
-    fp_c = hashlib.md5(b"3|buy|300").hexdigest()
+    fp_b = fp(2, "click", 200)
+    fp_c = fp(3, "buy", 300)
     assert got == {(fp_b, 2, "click", 200), (fp_c, 3, "buy", 300)}
+
+
+def test_event_fingerprint_injection_proof(spark):
+    """v3 encoding is a prefix-free code: separator/sentinel injection
+    from string field values must NOT collide distinct events (r8 review
+    finding — v2 collided ('7|view','x') with ('7','view|x'), and a
+    literal '<NULL>' value with an actual NULL)."""
+    from dataproc_spark.extensions.streaming import event_fingerprint
+
+    rows = [("7|view", "x", 1.0), ("7", "view|x", 1.0),
+            ("<NULL>", "t", 2.0), (None, "t", 2.0),
+            ("V2:ab", "c", 3.0), ("V2:a", "bc", 3.0)]
+    df = spark.createDataFrame(
+        rows, schema="user_id string, event_type string, value double"
+    )
+    fps = [r.fp for r in df.select(event_fingerprint().alias("fp")).collect()]
+    assert len(set(fps)) == len(fps), fps
 
 
 def test_fingerprint_store_format_marker(spark, tmp_path):
