@@ -147,7 +147,11 @@ def select_under_budget(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     hist = hist.select(
-        score_col,
+        # renamed for the null-SAFE join below: a NULL score forms its
+        # own histogram bucket (ranked last — desc is NULLS LAST on both
+        # engines), but a null-unsafe equi-join would silently drop
+        # every NULL-score row from the output (r8 review finding)
+        F.col(score_col).alias("_h_score"),
         F.coalesce(F.sum("_bucket_w").over(wb), F.lit(0)).alias("_cum_before"),
     )
     wd = (
@@ -156,7 +160,10 @@ def select_under_budget(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        feats.join(maybe_broadcast(hist), score_col)
+        feats.join(
+            maybe_broadcast(hist),
+            F.col(score_col).eqNullSafe(F.col("_h_score")),
+        )
         .select(
             id_col,
             score_col,
@@ -224,11 +231,19 @@ def resample_ffill(
         .orderBy("bucket_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    out_v = F.last(value_col, ignorenulls=True).over(w)
     return spine.join(per_bucket, [user_col, "bucket_id"], "left").select(
         user_col,
         "bucket_id",
-        F.last(value_col, ignorenulls=True).over(w).alias(value_col),
-        F.col(value_col).isNull().cast("int").alias("filled"),
+        out_v.alias(value_col),
+        # filled = the value CAME FROM an earlier bucket: the bucket
+        # itself had no non-null value AND something actually carried.
+        # The old bare own-value NULL check also flagged leading buckets
+        # whose output stays NULL — rows where nothing was filled (r8
+        # review finding).
+        (F.col(value_col).isNull() & out_v.isNotNull())
+        .cast("int")
+        .alias("filled"),
     )
 
 
@@ -329,7 +344,12 @@ def apply_changelog(
     untouched = snapshot.join(
         maybe_broadcast(latest.select(key_col)), key_col, "left_anti"
     )
-    upserts = latest.where(F.col(op_col) == "U").select(*snapshot.columns)
+    # any NON-delete op upserts: CDC feeds vary their insert/update tags
+    # (Debezium c/u/r, I/U variants), and every non-delete change row
+    # carries the full record. The old `op == 'U'` filter made an
+    # unrecognized op act as a DELETE — the key was anti-joined away and
+    # never re-inserted, silent data loss (r8 review finding).
+    upserts = latest.where(F.col(op_col) != "D").select(*snapshot.columns)
     return untouched.unionByName(upserts)
 
 

@@ -50,20 +50,28 @@ def distinct_profile(
 # Count-Min sketch (deterministic, engine-portable)
 # ---------------------------------------------------------------------------
 
-def _cms_bucket(col: Column, row: int, width: int, salt: str) -> Column:
-    """Row ``row``'s bucket for a value: md5-derived, so any engine with
-    md5 rebuilds the identical sketch (the oracle does)."""
+def _md5_mod(col: Column, suffix: str, n: int) -> Column:
+    """md5-derived bounded long — THE hash derivation every portable
+    sketch here builds on (``conv(md5-prefix, 16, 10) % n``). One
+    definition shared by the Count-Min and Bloom paths so the
+    cross-engine oracle contract cannot silently drift if the formula is
+    ever touched (r8 review finding — it existed as two 20-line copies)."""
     h = F.conv(
         F.substring(
-            F.md5(F.concat(col.cast("string"), F.lit(f"#{salt}{row}"))
-                  .cast("binary")),
+            F.md5(F.concat(col.cast("string"), F.lit(suffix)).cast("binary")),
             1,
             8,
         ),
         16,
         10,
     )
-    return (h.cast("long") % width).alias("bucket")
+    return h.cast("long") % n
+
+
+def _cms_bucket(col: Column, row: int, width: int, salt: str) -> Column:
+    """Row ``row``'s bucket for a value: md5-derived, so any engine with
+    md5 rebuilds the identical sketch (the oracle does)."""
+    return _md5_mod(col, f"#{salt}{row}", width).alias("bucket")
 
 
 def count_min_sketch(
@@ -106,10 +114,13 @@ def count_min_estimate(
     width: int = 512,
     salt: str = "cms",
 ) -> DataFrame:
-    """Estimate each item's frequency from a sketch built with the same
-    (depth, width, salt): min over the item's ``depth`` counters.
-    Estimates never under-count (collisions only inflate); the bias
-    bound is the classic 2N/width with probability 1-2^-depth.
+    """Estimate frequencies from a sketch built with the same
+    (depth, width, salt): min over each value's ``depth`` counters.
+    Returns one row per DISTINCT probe value — ``(col, est)``; other
+    item columns do not ride through (join back on ``col`` to annotate
+    a full frame). Estimates never under-count (collisions only
+    inflate); the bias bound is the classic 2N/width with probability
+    1-2^-depth.
 
     Broadcast-joins the items' cells against the sketch (the sketch is
     at most depth×width rows — always broadcastable by construction).
@@ -137,27 +148,9 @@ _BLOOM_WORD_BITS = 63
 
 
 def _bloom_positions(col: Column, k: int, m_bits: int, salt: str) -> Column:
-    """The k md5-derived bit positions of a value in an m_bits filter."""
-    return F.array(
-        *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(col.cast("string"), F.lit(f"#{salt}{i}"))
-                            .cast("binary")
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % m_bits
-            )
-            for i in range(k)
-        ]
-    )
+    """The k md5-derived bit positions of a value in an m_bits filter
+    (same shared :func:`_md5_mod` derivation as the Count-Min rows)."""
+    return F.array(*[_md5_mod(col, f"#{salt}{i}", m_bits) for i in range(k)])
 
 
 def bloom_build(
@@ -204,13 +197,16 @@ def bloom_may_contain(
     salt: str = "bloom",
 ) -> DataFrame:
     """Probe a filter built by :func:`bloom_build` with the same
-    ``(m_bits, k, salt)``: adds ``may_contain`` — false is DEFINITE
-    absence (the no-false-negatives guarantee), true is presence up to
-    the false-positive rate ``(1 - e^{-kn/m})^k``.
+    ``(m_bits, k, salt)``. Returns one row per DISTINCT probe value:
+    ``(col, may_contain)`` — other item columns do NOT ride through and
+    duplicate values collapse (join the verdicts back on ``col`` to
+    annotate a full frame). ``may_contain`` false is DEFINITE absence
+    (the no-false-negatives guarantee); true is presence up to the
+    false-positive rate ``(1 - e^{-kn/m})^k``.
 
-    The bitset broadcasts (≤ m_bits/63 rows); each item checks its k bits
-    with a broadcast join + conjunction — the cheap pre-filter before an
-    exact (shuffling) semi-join on the survivors.
+    The bitset broadcasts (≤ m_bits/63 rows); each distinct value checks
+    its k bits with a broadcast join + conjunction — the cheap
+    pre-filter before an exact (shuffling) semi-join on the survivors.
     """
     # explode, not posexplode: the position index is never used here
     # (unlike count_min, where the row index picks the hash family)

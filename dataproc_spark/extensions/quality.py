@@ -78,9 +78,19 @@ def profile_table(
 
 def check_unique(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Rows participating in a duplicate key group (0 = the key is
-    unique). Returned as a 1-row DataFrame (rule, violations)."""
+    unique). Returned as a 1-row DataFrame (rule, violations).
+
+    SQL-standard UNIQUE semantics: rows with a NULL in any key column
+    are exempt (NULLs compare distinct) — the same call
+    ``check_references`` makes for NULL foreign keys. The old groupBy
+    counted all NULL keys as one duplicate group, firing the rule on
+    tables an SQL UNIQUE constraint accepts (r8 review finding).
+    """
+    nn = df
+    for c in cols:
+        nn = nn.where(F.col(c).isNotNull())
     dup = (
-        df.groupBy(*cols)
+        nn.groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") > 1)
         .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("violations"))

@@ -91,6 +91,12 @@ def hash_split(
     total = sum(w for _, w in weights)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
+    # a negative weight can still sum to 1 but makes the cumulative
+    # cutoffs non-monotone — the first-match when-chain then silently
+    # misallocates the hash space (r8 review finding)
+    bad = [(n, w) for n, w in weights if w < 0]
+    if bad:
+        raise ValueError(f"split weights must be >= 0, got {bad}")
     h = hash_hex(id_col, salt)
     expr = None
     acc = 0.0
@@ -175,8 +181,16 @@ def temperature_mixture(
         .select(group_col, "_copies", "_rem_rate")
     )
     draw = F.conv(hash_hex(id_col, salt, chars), 16, 10).cast("long")
+    # null-SAFE join: groupBy counted a NULL group into the rate table,
+    # so a null-unsafe equi-join would silently drop every NULL-group
+    # row AND leave the budget under-filled (r8 review finding)
+    rates = rates.withColumnRenamed(group_col, "_rate_grp")
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(group_col).eqNullSafe(F.col("_rate_grp")),
+        )
+        .drop("_rate_grp")
         .withColumn("_k", F.col("_copies") + (draw < F.col("_rem_rate")).cast("long"))
         .where(F.col("_k") > 0)
         .withColumn(
@@ -201,8 +215,17 @@ def stratified_sample(
     the window's sort so Spark runs it as a partial top-k per stratum
     (WindowGroupLimit), not a full sort of every stratum.
     """
+    # full-row xxhash64 as the FINAL tiebreak: NULL or duplicate ids
+    # share the first two sort keys, and a bare row_number over a tied
+    # prefix picks boundary rows by shuffle arrival order (r8 review
+    # finding). The content hash is deterministic under repartitioning;
+    # rows still tied after it are bit-identical, so either choice is
+    # the same output. (Not oracle-replayable — unreachable for the
+    # unique non-NULL ids every gate uses.)
     w = Window.partitionBy(*strata).orderBy(
-        hash_hex(id_col, salt), F.col(id_col)
+        hash_hex(id_col, salt),
+        F.col(id_col).asc_nulls_last(),
+        F.xxhash64(*df.columns),
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -483,7 +483,14 @@ WITH ev AS (
            CAST(ROUND(value * 100) AS BIGINT) AS vc
     FROM events
 ),
-per_bucket AS (
+buckets AS (
+    -- every bucket with ANY event (even all-NULL-valued) bounds the
+    -- spine, matching the operator's groupBy over all events
+    SELECT user_id, bucket_id FROM ev GROUP BY user_id, bucket_id
+),
+latest_nn AS (
+    -- latest NON-NULL value per bucket, matching the operator's
+    -- max(struct) over non-null-valued events
     SELECT user_id, bucket_id, vc AS value_c
     FROM (
         SELECT user_id, bucket_id, vc,
@@ -491,22 +498,28 @@ per_bucket AS (
                    PARTITION BY user_id, bucket_id
                    ORDER BY tns DESC, event_id DESC
                ) AS rn
-        FROM ev
+        FROM ev WHERE vc IS NOT NULL
     ) WHERE rn = 1
 ),
 spine AS (
     SELECT user_id, unnest(range(MIN(bucket_id), MAX(bucket_id) + 1))
                AS bucket_id
-    FROM per_bucket GROUP BY user_id
+    FROM buckets GROUP BY user_id
 )
-SELECT s.user_id, s.bucket_id,
-       last_value(p.value_c IGNORE NULLS) OVER (
-           PARTITION BY s.user_id ORDER BY s.bucket_id
-           ROWS UNBOUNDED PRECEDING
-       ) AS value_c,
-       CAST(p.value_c IS NULL AS INTEGER) AS filled
-FROM spine s
-LEFT JOIN per_bucket p USING (user_id, bucket_id)
+SELECT user_id, bucket_id, value_c,
+       -- filled = the value CAME FROM an earlier bucket (own bucket had
+       -- no non-null value AND something actually carried) — r8 review
+       CAST(own_value IS NULL AND value_c IS NOT NULL AS INTEGER) AS filled
+FROM (
+    SELECT s.user_id, s.bucket_id,
+           last_value(l.value_c IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS value_c,
+           l.value_c AS own_value
+    FROM spine s
+    LEFT JOIN latest_nn l USING (user_id, bucket_id)
+)
 """
 
 
@@ -982,5 +995,5 @@ SELECT s.user_id, s.ts, s.value_c
 FROM snap s
 WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = s.user_id)
 UNION ALL
-SELECT user_id, ts, value_c FROM latest WHERE op = 'U'
+SELECT user_id, ts, value_c FROM latest WHERE op <> 'D'
 """

@@ -158,7 +158,7 @@ SELECT s.user_id, s.ts, s.value_c
 FROM snap s
 WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = s.user_id)
 UNION ALL
-SELECT user_id, ts, value_c FROM latest WHERE op = 'U'
+SELECT user_id, ts, value_c FROM latest WHERE op <> 'D'
 """
 
 
@@ -270,7 +270,7 @@ SELECT s.user_id, s.ts, s.value_c
 FROM snap s
 WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = s.user_id)
 UNION ALL
-SELECT user_id, ts, value_c FROM latest WHERE op = 'U'
+SELECT user_id, ts, value_c FROM latest WHERE op <> 'D'
 """
 
 

@@ -670,3 +670,90 @@ def test_compat_evaluate_sorted_by_query_step(spark, results, selection):
     ).collect()
     keys = [(r.query, r.step) for r in out]
     assert keys == sorted(keys) and len(keys) > 2
+
+
+def test_temperature_mixture_keeps_null_groups(spark):
+    """NULL groups are counted into the rate table, so the data join
+    must be null-SAFE — the old equi-join silently dropped every
+    NULL-group row and under-filled the budget (r8 review)."""
+    from dataproc_spark.extensions.sampling import temperature_mixture
+
+    rows = [(i, "a") for i in range(40)] + [(100 + i, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, budget_rows=40, group_col="source",
+                              id_col="doc_id", salt="t")
+    got = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in got}
+    assert None in by_src and by_src[None] > 0
+    # equal-count groups get equal sqrt weights -> roughly equal shares
+    assert abs(by_src[None] - by_src["a"]) <= 4
+
+
+def test_hash_split_rejects_negative_weights(spark):
+    from dataproc_spark.extensions.sampling import hash_split
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match=">= 0"):
+        hash_split(df, "id", "s",
+                   weights=[("a", 0.55), ("b", -0.1), ("c", 0.55)])
+
+
+def test_select_under_budget_ranks_null_scores_last(spark):
+    """NULL-score rows rank last instead of silently vanishing through
+    the null-unsafe histogram join (r8 review)."""
+    from dataproc_spark.extensions.analytics import select_under_budget
+
+    df = spark.createDataFrame(
+        [(1, 5, 10), (2, 5, None), (3, 5, 7)],
+        "doc_id long, n_tokens long, score_m long",
+    )
+    all_rows = select_under_budget(df, budget=100)
+    assert {r.doc_id for r in all_rows.collect()} == {1, 2, 3}
+    # tight budget: the NULL-score row is the first to be cut
+    top2 = select_under_budget(df, budget=10)
+    assert {r.doc_id for r in top2.collect()} == {1, 3}
+
+
+def test_apply_changelog_unrecognized_op_upserts_not_deletes(spark):
+    """Any non-'D' op carries the full row and upserts; the old
+    op=='U' filter made Debezium-style 'c'/'I' tags silently DELETE the
+    key (r8 review)."""
+    from dataproc_spark.extensions.analytics import apply_changelog
+
+    snap = spark.createDataFrame([(1, 0, 10), (2, 0, 20)],
+                                 "k long, ts long, v long")
+    changes = spark.createDataFrame(
+        [(1, 5, 11, 1, "I"), (2, 5, 99, 2, "D")],
+        "k long, ts long, v long, event_id long, op string",
+    )
+    out = {r.k: r.v for r in apply_changelog(
+        snap, changes, key_col="k").collect()}
+    assert out == {1: 11}
+
+
+def test_check_unique_nulls_are_distinct(spark):
+    """SQL UNIQUE semantics: NULL keys never violate uniqueness (r8
+    review — the old groupBy counted all NULLs as one duplicate
+    group)."""
+    from dataproc_spark.extensions.quality import check_unique
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (1,), (2,), (2,)], "k long"
+    )
+    row = check_unique(df, ["k"]).first()
+    assert row.violations == 2  # only the duplicated 2s
+
+
+def test_resample_ffill_leading_null_bucket_not_filled(spark):
+    """A leading bucket whose only event carries NULL outputs value NULL
+    with filled=0 — nothing was carried, so nothing was 'filled' (r8
+    review; carried buckets still flag 1 per the r7 contract)."""
+    from dataproc_spark.extensions.analytics import resample_ffill
+
+    events = spark.createDataFrame(
+        [(1, 5, 1, None), (1, 15, 2, 70), (1, 25, 3, None)],
+        "user_id long, ts long, event_id long, value_c long",
+    )
+    got = {r.bucket_id: (r.value_c, r.filled)
+           for r in resample_ffill(events, bucket_ns=10).collect()}
+    assert got == {0: (None, 0), 1: (70, 0), 2: (70, 1)}
