@@ -31,11 +31,20 @@ def fuzzy_join_blocked(
     block: Column | str,
     max_dist: int = 1,
     id_col: str = "id",
+    self_join: bool | None = None,
 ) -> DataFrame:
     """Blocked fuzzy join: pairs (id_a, id_b, dist) with
     ``levenshtein(key_a, key_b) <= max_dist`` among records sharing the
-    block key. Self-join safe: when ``left is right``, pairs are
-    deduplicated with ``id_a < id_b``.
+    block key.
+
+    ``self_join`` controls the ``id_a < id_b`` dedup. The default
+    (``None``) auto-detects ONLY the ``left is right`` same-object case
+    — two separately-constructed frames over the SAME records (two
+    ``spark.read`` calls, or ``df`` vs ``df.where(...)``) look like
+    distinct datasets and would flood the output with trivial
+    self-pairs and mirrored duplicates (r8 review finding). Pass
+    ``self_join=True`` explicitly whenever the two sides' id domains
+    overlap.
 
     ``block`` is a Column expression (or column name) computed on each
     side — e.g. ``F.expr("substring(name, 1, 16)")`` or
@@ -43,7 +52,8 @@ def fuzzy_join_blocked(
     JVM-side (`F.levenshtein`), only inside blocks.
     """
     bcol = F.col(block) if isinstance(block, str) else block
-    self_join = left is right
+    if self_join is None:
+        self_join = left is right
     la = left.select(
         F.col(id_col).alias("id_a"),
         F.col(key_col).alias("_key_a"),

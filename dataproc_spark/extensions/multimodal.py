@@ -230,6 +230,11 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payloads (e.g. NULL-text docs) emit no stats
+                    # row — same skip contract as frame_sample (r8
+                    # review: the bare decode crashed the whole job)
+                    continue
                 w, h, c, arr = _decode_image_bytes(payload)
                 flat = arr.reshape(-1).astype(np.int64)
                 rows.append(
@@ -311,6 +316,9 @@ def decode_image_features(media: DataFrame, real_decode: bool = False) -> DataFr
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads emit no feature row — same skip contract as
+            # frame_sample (r8 review: payloads.map(len) crashed on None)
+            pdf = pdf[pdf["payload"].notna()]
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
             # vectorized byte sum: a pure-Python sum(b) iterates every
@@ -390,6 +398,8 @@ def resize_image_stats(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload: no stats row (r8 review)
                 w, h, c, arr = _decode_image_bytes(payload)
                 ys = (np.arange(th, dtype=np.int64) * h) // th
                 xs = (np.arange(tw, dtype=np.int64) * w) // tw

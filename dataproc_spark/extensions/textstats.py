@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataproc_spark.extensions.dedup import tokens
+from dataproc_spark.extensions.dedup import shingles, tokens
 
 
 def token_count(col: str = "text") -> F.Column:
@@ -67,15 +67,14 @@ LANG_MARKERS = {
 
 
 def lang_scores(col: str = "text"):
-    """Integer stopword-hit score per candidate language."""
+    """Integer stopword-hit score per candidate language (per-marker
+    counts via :func:`occurrences` — one maintained length-difference
+    implementation, not a second copy that could drift)."""
     out = {}
     for lang, markers in LANG_MARKERS.items():
         score = F.lit(0).cast("long")
         for m in markers:
-            hits = (
-                F.length(F.col(col)) - F.length(F.replace(F.col(col), F.lit(m)))
-            ).cast("long") / F.lit(len(m)).cast("long")
-            score = score + hits.cast("long")
+            score = score + occurrences(col, m)
         out[lang] = score
     return out
 
@@ -101,8 +100,9 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     """Per-document quality signals for corpus filtering.
 
     Integer/ratio features in the spirit of C4/Gopher-style quality rules:
-    token count, char count, mean token length ×100 (int), uppercase-start
-    flag, digit ratio ×1000 (int).
+    token count, char count, mean token length ×100 (int), digit ratio
+    ×1000 (int). Extend by chaining further ``withColumn`` features over
+    the output.
     """
     toks = tokens(col)
     n_tok = F.size(toks)
@@ -275,12 +275,10 @@ def rare_bigram_stats(
         toks.where(F.size("_t") >= 2)
         .select(
             id_col,
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(0, size(_t) - 2),"
-                    " i -> concat_ws(' ', slice(_t, i + 1, 2))))"
-                )
-            ).alias("_bg"),
+            # shingles() IS this expression (distinct space-joined bigrams)
+            # — one maintained definition, not an inline SQL copy (r8
+            # review); the size>=2 guard above keeps its when-branch hot
+            F.explode(shingles(F.col("_t"), 2)).alias("_bg"),
         )
         # the hash projection fuses into the same codegen stage; only the
         # 8-byte key ever reaches the exchange
@@ -305,6 +303,16 @@ def rare_bigram_stats(
     )
 
 
+#: the ONE bigram-struct explode expression shared by the LM learn
+#: (``bigram_lm_counts``) and apply (``lm_surprisal``) paths — learn and
+#: apply must stay bit-consistent, so the pair definition exists once
+#: (r8 review: it was two verbatim copies)
+_BIGRAM_STRUCTS = (
+    "transform(sequence(0, size(_t) - 2),"
+    " i -> struct(_t[i] as w1, _t[i + 1] as w2))"
+)
+
+
 def bigram_lm_counts(
     docs: DataFrame,
     text_col: str = "text",
@@ -327,10 +335,7 @@ def bigram_lm_counts(
     toks = docs.select(tokens(text_col).alias("_t"))
     bg = toks.where(F.size("_t") >= 2).select(
         F.explode(
-            F.expr(
-                "transform(sequence(0, size(_t) - 2),"
-                " i -> struct(_t[i] as w1, _t[i + 1] as w2))"
-            )
+            F.expr(_BIGRAM_STRUCTS)
         ).alias("_bg")
     ).select("_bg.w1", "_bg.w2")
     counts = (
@@ -372,10 +377,7 @@ def lm_surprisal(
     bg = toks.where(F.size("_t") >= 2).select(
         id_col,
         F.explode(
-            F.expr(
-                "transform(sequence(0, size(_t) - 2),"
-                " i -> struct(_t[i] as w1, _t[i + 1] as w2))"
-            )
+            F.expr(_BIGRAM_STRUCTS)
         ).alias("_bg"),
     ).select(id_col, F.xxhash64("_bg.w1", "_bg.w2").alias("_h2"))
     lm_keyed = lm.select(
@@ -568,8 +570,12 @@ def bpe_apply(
     measured FASTER from ~tens of rules up at every probed corpus
     size).
 
-    NULL/empty text counts 0 tokens (the corpus contract the gate
-    family uses everywhere).
+    NULL/empty text counts 0 tokens HERE (both apply paths coalesce).
+    Note the surrogate counters differ: ``token_count`` /
+    ``bpe_token_count`` NULL-propagate (``size(split(NULL))`` is NULL),
+    so budgeting callers mixing the two surfaces must coalesce the
+    surrogate side — as ``test_bpe_apply_rebases_token_budget`` does
+    (r8 review: the old claim of a uniform contract was false).
     """
     if len(merges) > BPE_EXPR_MAX_MERGES:
         raise ValueError(
@@ -668,12 +674,20 @@ def vocab_coverage(
     token occurrences against the tiny vocab and one final aggregate
     per group. Raw text never shuffles — only (token, count) pairs.
     """
-    toks = docs.select(
-        F.col(group_col).alias("_grp"),
-        F.explode(tokens(text_col)).alias("_tok"),
+    # ONE corpus explode: aggregate (group, token) counts first, then
+    # derive the global vocab from those partials and probe them — the
+    # old plan consumed the unpersisted raw explode twice, so the
+    # dominant text scan+explode ran twice per call (r8 review finding)
+    grp_tok = (
+        docs.select(
+            F.col(group_col).alias("_grp"),
+            F.explode(tokens(text_col)).alias("_tok"),
+        )
+        .groupBy("_grp", "_tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
     vocab = (
-        toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+        grp_tok.groupBy("_tok").agg(F.sum("_n").alias("_cnt"))
         .orderBy(F.col("_cnt").desc(), F.col("_tok"))
         .limit(int(vocab_size))
         .select("_tok", F.lit(1).alias("_in_vocab"))
@@ -681,12 +695,12 @@ def vocab_coverage(
     from pyspark.sql.functions import broadcast
 
     return (
-        toks.join(broadcast(vocab), "_tok", "left")
+        grp_tok.join(broadcast(vocab), "_tok", "left")
         .groupBy("_grp")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_n").alias("n_tokens"),
             F.sum(
-                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+                F.when(F.col("_in_vocab").isNull(), F.col("_n")).otherwise(0)
             ).alias("n_oov"),
         )
         .select(

@@ -34,6 +34,11 @@ def with_salt(df: DataFrame, salt: int, id_cols: Sequence[str] | None = None) ->
     When no id columns are given, a per-partition row index seeds the
     hash — still uniform, still retry-stable within a partition.
     """
+    if salt < 1:
+        # salt=0 dies mid-job with an opaque REMAINDER_BY_ZERO under
+        # ANSI; negative salt makes sequence() count DOWN and silently
+        # corrupts salted joins in non-ANSI sessions (r8 review finding)
+        raise ValueError(f"salt must be >= 1, got {salt}")
     if SALT in df.columns:
         # withColumn would silently overwrite the user's column and the
         # salted operators then drop it — silent data loss (r7 review;

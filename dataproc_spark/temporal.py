@@ -50,6 +50,11 @@ def interval_join(
     sides (interval columns win name clashes only via suffix-free join —
     keep the schemas disjoint apart from ``by``).
     """
+    if bucket_ns < 1:
+        # bucket_ns=0 dies mid-job with an opaque REMAINDER_BY_ZERO
+        # under ANSI; negative values silently misbucket (r8 review
+        # finding; same guard class as the _bk/end<=start checks below)
+        raise ValueError(f"bucket_ns must be >= 1, got {bucket_ns}")
     for side, frame in (("points", points), ("intervals", intervals)):
         if "_bk" in frame.columns:
             raise ValueError(
