@@ -47,3 +47,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # selective-search instantiation on the star schema
 # ---------------------------------------------------------------------------
+
+
+def rev_cents():
+    """Exact-cents line revenue — ``round(l_extendedprice * (1 -
+    l_discount) * 100)`` as LONG. THE cross-engine exactness contract
+    every revenue-aggregating gate shares; one definition so the
+    rounding/scale can never drift between gates or from their oracles
+    (r8 review: it existed as six copies). Note the roundtrip gate's
+    DOUBLE `score` column intentionally does NOT use this (the file
+    contract requires double)."""
+    from pyspark.sql import functions as F
+
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")

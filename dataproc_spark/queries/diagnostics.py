@@ -16,7 +16,7 @@ from dataproc_spark.extensions import dedup
 # table access
 # ---------------------------------------------------------------------------
 
-from dataproc_spark.queries._tables import _t  # noqa: F401
+from dataproc_spark.queries._tables import _t, rev_cents  # noqa: F401
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,10 +99,34 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_nk", F.count(F.lit(1)).over(wall))
         .withColumn("_mx", F.max("cnt").over(wall))
         .withColumn(
+            # n(n-1)/2 WITHOUT the BIGINT `div`: Spark's `div` always
+            # computes in 64-bit even on decimal operands, so the old
+            # "decimal(38,0) ... div 2" silently wrapped past
+            # cnt ≈ 3e9 — the exact regime the decimal cast claimed to
+            # protect (r8 review, verified live vs DuckDB HUGEINT).
+            # One of n, n-1 is even, so halve the even factor FIRST in
+            # long arithmetic and multiply in decimal — exact.
             "_pairs",
-            F.expr("cast(cnt as decimal(38,0)) * (cnt - 1) div 2"),
+            F.expr(
+                "CASE WHEN cnt % 2 = 0 "
+                "THEN cast(cnt div 2 as decimal(38,0))"
+                "     * cast(cnt - 1 as decimal(38,0)) "
+                "ELSE cast(cnt as decimal(38,0))"
+                "     * cast((cnt - 1) div 2 as decimal(38,0)) END"
+            ),
         )
         .withColumn("_tpairs", F.sum("_pairs").over(wall))
+        # the permille ratio stays in decimal: floor(p*1000/t) matches
+        # DuckDB's HUGEINT `//` for these non-negative values. Exact up
+        # to _pairs ≈ 1e35 (cnt ≈ 4.5e17 rows on one key); beyond that
+        # ANSI decimal overflow fails LOUDLY instead of wrapping.
+        .withColumn(
+            "_sj",
+            F.expr(
+                "CASE WHEN _tpairs = 0 THEN cast(0 as bigint) ELSE "
+                "cast(floor(_pairs * 1000 / _tpairs) as bigint) END"
+            ),
+        )
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col("event_type"))
     return (
@@ -116,15 +140,10 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_mx * _nk * 1000 div _total").alias("skew_m"),
             # _tpairs = 0 when every key count is 1 (all-distinct keys):
             # zero pair work, selfjoin share defined as 0 — guarded in
-            # BOTH engines (Spark's non-ANSI div yields NULL, DuckDB //
-            # raises; either would diverge the gate)
+            # BOTH engines
+            F.col("_sj").alias("selfjoin_m"),
             F.expr(
-                "CASE WHEN _tpairs = 0 THEN 0 ELSE "
-                "cast(_pairs as decimal(38,0)) * 1000 div _tpairs END"
-            ).cast("long").alias("selfjoin_m"),
-            F.expr(
-                "CASE WHEN _tpairs > 0 AND "
-                "(cast(_pairs as decimal(38,0)) * 1000 div _tpairs) >= 500"
+                "CASE WHEN _tpairs > 0 AND _sj >= 500"
                 "     THEN 'cut-or-split'"
                 "     WHEN (cnt * _nk * 1000 div _total) >= 4000"
                 "     THEN 'salted-agg'"
@@ -226,6 +245,10 @@ SQL_VALIDATE_CONSTRAINTS = """
 SELECT 'unique(o_orderkey)' AS rule,
        CAST(COALESCE(SUM(n), 0) AS BIGINT) AS violations
 FROM (SELECT COUNT(*) AS n FROM orders
+      -- NULL keys are exempt (SQL UNIQUE: NULLs compare distinct),
+      -- matching the r8 check_unique fix — without the filter the
+      -- oracle would encode the pre-fix NULL-grouping bug
+      WHERE o_orderkey IS NOT NULL
       GROUP BY o_orderkey HAVING COUNT(*) > 1)
 UNION ALL
 SELECT 'range(l_quantity, 1, 50)', CAST(COUNT(*) AS BIGINT)
@@ -250,9 +273,13 @@ def _materialize_and_clean(df, scratch_dir: str):
     review finding)."""
     import shutil
 
-    rows = df.collect()
-    out = df.sparkSession.createDataFrame(rows, df.schema)
-    shutil.rmtree(scratch_dir, ignore_errors=True)
+    try:
+        rows = df.collect()
+        out = df.sparkSession.createDataFrame(rows, df.schema)
+    finally:
+        # clean on FAILURE too: a gate that throws mid-read otherwise
+        # leaves its full written table copy under /tmp (r8 review)
+        shutil.rmtree(scratch_dir, ignore_errors=True)
     return out
 
 
@@ -480,17 +507,30 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     out = tempfile.mkdtemp(prefix="csv_rt_")
+    # nullValue marker + multiLine: without multiLine a quoted newline
+    # splits into garbage rows, and without a distinct NULL marker an
+    # empty string reads back as NULL (md5('') vs NULL — oracle
+    # mismatch); both verified by probe (r8 review). \\N is the
+    # conventional (MySQL-style) CSV NULL sentinel; its ONE residual
+    # collision — a text field that IS the two characters backslash-N
+    # reads back as NULL even quoted (the parser unquotes before the
+    # nullValue compare; probed, and a NUL-based sentinel mangles in
+    # the writer) — is the format's documented limit, not the gate's.
     (
         docs.write.mode("overwrite")
         .option("header", True)
         .option("quoteAll", True)
         .option("escape", '"')
+        .option("nullValue", "\\N")
         .csv(out)
     )
     back = (
         spark.read.schema("doc_id long, text string, lang string")
         .option("header", True)
         .option("escape", '"')
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
         .csv(out)
     )
     res = back.select(
@@ -517,9 +557,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"),
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
-        .cast("long")
-        .alias("rev_c"),
+        rev_cents().alias("rev_c"),
     )
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_orderpriority"
@@ -729,7 +767,11 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .where(F.col("text").isNotNull())
+        # length(text) > 0, not just NOT NULL: an empty string writes a
+        # ZERO-BYTE file, which binaryFile's split planning drops — the
+        # oracle would keep the row with n_bytes=0 and the gate would
+        # row-count-mismatch (r8 review, verified by probe)
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
     )
     out = tempfile.mkdtemp(prefix="binmedia_")
     for r in docs.collect():
@@ -755,5 +797,5 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(hex(encode(text))) AS payload_md5
 FROM documents
-WHERE text IS NOT NULL
+WHERE text IS NOT NULL AND length(text) > 0
 """

@@ -26,7 +26,7 @@ from dataproc_spark.selective import (
 # table access
 # ---------------------------------------------------------------------------
 
-from dataproc_spark.queries._tables import _t  # noqa: F401
+from dataproc_spark.queries._tables import _t, rev_cents  # noqa: F401
 
 
 def _shard_results(li: DataFrame) -> DataFrame:
@@ -36,9 +36,7 @@ def _shard_results(li: DataFrame) -> DataFrame:
         (F.col("l_linenumber") % 2).cast("int").alias("bucket"),
         (F.col("l_partkey") * 10 + F.col("l_linenumber")).cast("long").alias("docid"),
         F.col("l_orderkey").cast("long").alias("okey"),
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
-        .cast("long")
-        .alias("score"),
+        rev_cents().alias("score"),
     )
 
 
@@ -335,7 +333,11 @@ def q_evaluate_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.lit(0).cast("long"))
         )
-        den = prefix_hits(rel, rn)
+        # TOTAL relevant for the query, never prefix-limited — the same
+        # trec_eval denominator measures.average_precision uses after
+        # its r8 fix; the gate previously pinned the prefix-limited
+        # variant and so could not catch a regression of that exact bug
+        den = F.max("num_rel")
         return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
     def _dcg_micro(rel, pos_col):
@@ -403,11 +405,13 @@ SELECT query, step,
             THEN CAST(SUM(CASE WHEN rn <= 10 THEN rel ELSE 0 END) AS BIGINT)
                  / MAX(num_rel)
             ELSE 0.0 END AS r_10,
-       CASE WHEN SUM(CASE WHEN rn <= 10 THEN rel ELSE 0 END) > 0
+       -- trec_eval denominator: TOTAL relevant (num_rel), never
+       -- prefix-limited — mirrors the r8 measures.average_precision fix
+       CASE WHEN MAX(num_rel) > 0
             THEN CAST(SUM(CASE WHEN rn <= 10 AND rel > 0
                      THEN CAST(ROUND(1000000.0 * hits / rn) AS BIGINT)
                      ELSE 0 END) AS BIGINT)
-                 / CAST(SUM(CASE WHEN rn <= 10 THEN rel ELSE 0 END) AS BIGINT)
+                 / MAX(num_rel)
             ELSE 0.0 END AS ap_10,
        CASE WHEN SUM(CASE WHEN ideal_rn <= 10 AND rel > 0
                      THEN CAST(ROUND(1000000.0 * rel / log2(ideal_rn + 1)) AS BIGINT)
@@ -483,8 +487,16 @@ def q_load_selection_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(path, "w") as f:
         f.write("\n".join(str(x) for x in scores) + "\n")
     from dataproc_spark.io import load_shard_selection
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
 
-    return load_shard_selection(spark, queries_list, nshards, path)
+    # collect-then-rmtree: the returned frame's lineage references the
+    # scratch CSV, which otherwise accumulates under /tmp every
+    # sweep/bench invocation (r8 review — same r7 pattern as the
+    # roundtrip gates)
+    return _materialize_and_clean(
+        load_shard_selection(spark, queries_list, nshards, path),
+        os.path.dirname(path),
+    )
 
 
 SQL_LOAD_SELECTION_CSV = """
@@ -524,8 +536,12 @@ def q_load_bucket_selection_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(path, "w") as f:
         f.write("\n".join(str(x) for x in scores) + "\n")
     from dataproc_spark.io import load_bucket_selection
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
 
-    return load_bucket_selection(spark, queries_list, nshards, nbuckets, path)
+    return _materialize_and_clean(
+        load_bucket_selection(spark, queries_list, nshards, nbuckets, path),
+        os.path.dirname(path),
+    )
 
 
 SQL_LOAD_BUCKET_SELECTION_CSV = """
@@ -581,7 +597,15 @@ def q_shard_results_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each other mid-read (same hazard q_merge_schema_scan avoids)
     basename = os.path.join(tempfile.mkdtemp(prefix="dataproc_rt_"), "run")
     write_shard_results(contract, basename, nbuckets=2)
-    return load_shard_results(spark, basename, nshards=5, nbuckets=2)
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    # collect-then-rmtree (r8 review): every invocation otherwise left a
+    # full parquet copy of the contract frame under /tmp — the exact
+    # disk-fill the r7 pattern exists to prevent
+    return _materialize_and_clean(
+        load_shard_results(spark, basename, nshards=5, nbuckets=2),
+        os.path.dirname(basename),
+    )
 
 
 SQL_SHARD_RESULTS_ROUNDTRIP = """

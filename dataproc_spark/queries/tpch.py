@@ -15,7 +15,7 @@ from pyspark.sql import Window
 # table access
 # ---------------------------------------------------------------------------
 
-from dataproc_spark.queries._tables import _t, register_tables  # noqa: F401
+from dataproc_spark.queries._tables import _t, rev_cents, register_tables  # noqa: F401
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,11 +65,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu, od.o_custkey == cu.c_custkey
     )
     g = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-                "long"
-            )
-        ).alias("revenue_c")
+        F.sum(rev_cents()).alias("revenue_c")
     )
     w = Window.orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
     return (
@@ -129,11 +125,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
     )
     return j.groupBy("n_name").agg(
-        F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-                "long"
-            )
-        ).alias("revenue_c")
+        F.sum(rev_cents()).alias("revenue_c")
     )
 
 
@@ -274,9 +266,7 @@ def q_nations_above_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = _t(spark, sf_dir, "supplier")
     na = _t(spark, sf_dir, "nation")
     li = _t(spark, sf_dir, "lineitem")
-    rev_c = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
+    rev_c = rev_cents()
     per_nation = (
         li.join(su, li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
@@ -313,9 +303,7 @@ def q_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE-pivot aggregation: per linestatus, line counts and exact cents
     revenue split by return flag."""
     li = _t(spark, sf_dir, "lineitem")
-    rev_c = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
+    rev_c = rev_cents()
     def flag(f):
         return F.when(F.col("l_returnflag") == f, 1).otherwise(0)
     return li.groupBy("l_linestatus").agg(
