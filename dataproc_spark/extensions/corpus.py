@@ -448,3 +448,46 @@ def corpus_diff(
         .otherwise("changed")
     )
     return joined.select(id_col, status.alias("status"))
+
+
+_UNICODE_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def normalize_text(
+    df: DataFrame, col: str = "text", form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (UAX #15) — the canonicalization
+    pass every tokenizer pipeline runs before fingerprinting or BPE, so
+    that ``é`` (composed) and ``e`` + U+0301 (decomposed) stop being
+    distinct tokens/fingerprints.
+
+    Spark has no normalization built-in, so this is one of the few
+    legitimate Python crossings: a vectorized (Arrow) pandas UDF over
+    ``Series.str.normalize`` — batched, map-only, no shuffle; NULLs pass
+    through. ``form`` is one of NFC/NFD/NFKC/NFKD (NFC for dedup
+    canonicalization, NFKC when compatibility characters — ligatures,
+    fullwidth forms — must also collapse).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in _UNICODE_FORMS:
+        raise ValueError(
+            f"form must be one of {_UNICODE_FORMS}, got {form!r}"
+        )
+    out_col = out_col or col
+    if out_col != col and out_col in df.columns:
+        raise ValueError(
+            f"normalize_text would duplicate existing column {out_col!r}; "
+            "drop or rename it first"
+        )
+
+    def _norm(s):
+        return s.str.normalize(form)
+
+    # real annotation objects: the module-level `from __future__ import
+    # annotations` would stringify inline hints, which the pandas_udf
+    # signature inference rejects (same shape as q_sql_udf_tokens)
+    _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, pandas_udf(_norm, "string")(F.col(col)))

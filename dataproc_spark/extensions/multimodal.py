@@ -7,7 +7,8 @@ metadata (mime, width/height, duration, …). Two decode kernels exist:
 - ``decode_image_features(real_decode=False)`` runs a deterministic fake
   decoder (byte-statistics) through the exact production plumbing —
   ``mapInPandas`` with Arrow batches, binary in / struct out — for
-  formats this environment has no codec for (JPEG, video, audio).
+  formats this environment has no codec for (JPEG, video, compressed
+  audio).
 - ``real_decode=True`` / :func:`decode_image_stats` run a REAL decoder:
   pure-Python+numpy PNG (8-bit gray/gray-alpha/RGB/RGBA, all five
   scanline filters, stdlib ``zlib`` inflate) and binary PPM (P6).
@@ -420,4 +421,205 @@ def resize_image_stats(
 
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema=IMAGE_STATS_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM payloads
+# --------------------------------------------------------------------------
+
+#: Canonical audio record schema: opaque payload + typed metadata.
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta_sample_rate", IntegerType()),
+        StructField("meta_channels", IntegerType()),
+    ]
+)
+
+#: Output of the real-decode audio-stats stage. ``energy`` is the exact
+#: integer sum of squared samples (the RMS surrogate that stays
+#: oracle-checkable — RMS itself needs a sqrt).
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_min", IntegerType()),
+        StructField("sample_max", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """Encode int16 PCM samples (interleaved 1-D array, length a multiple
+    of ``channels``) as a canonical RIFF/WAVE file (format tag 1, 16-bit
+    LE). Pure stdlib ``struct`` + numpy — the matching encoder for
+    :func:`_decode_wav_bytes`, so the audio path round-trips through real
+    container work the same way the PNG path does."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16).reshape(-1)
+    if channels < 1 or a.size % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    data = a.astype("<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_bytes(buf: bytes):
+    """Parse a RIFF/WAVE payload: validate the RIFF envelope, WALK the
+    chunk list (skipping unknown chunks with the RIFF odd-size pad byte —
+    real files carry LIST/INFO/fact chunks before ``data``), require PCM
+    format tag 1 at 16 bits, and return
+    ``(sample_rate, channels, int16 ndarray of interleaved samples)``.
+    Raises ``ValueError`` on anything else (wire ffmpeg/soundfile here
+    for compressed codecs)."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    declared = struct.unpack("<I", buf[4:8])[0]
+    if declared + 8 > len(buf):
+        raise ValueError("RIFF size exceeds payload")
+    pos, end = 12, declared + 8
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = buf[pos:pos + 4]
+        size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        body_start = pos + 8
+        if body_start + size > end:
+            raise ValueError(f"chunk {cid!r} truncated")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", buf[body_start:body_start + 16])
+        elif cid == b"data":
+            data = buf[body_start:body_start + size]
+        # RIFF chunks are word-aligned: odd sizes carry a pad byte
+        pos = body_start + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _rate, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV encoding (format {audio_format}, {bits}-bit); "
+            "only PCM 16-bit is decoded here"
+        )
+    if channels < 1 or block_align != channels * 2:
+        raise ValueError("inconsistent fmt chunk")
+    if len(data) % (channels * 2):
+        raise ValueError("data chunk is not frame-aligned")
+    return sample_rate, channels, np.frombuffer(data, dtype="<i2")
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic audio synthesis for tests/oracles: each id becomes a
+    short PCM16 clip — interleaved sample ``k`` is
+    ``((id*37 + k*13) % 4001) - 2000`` over ``32 + id%41`` frames,
+    ``1 + id%2`` channels at ``8000*(1 + id%3)`` Hz — encoded as a real
+    RIFF/WAVE file on an Arrow stage. Every fifth clip gets a LIST junk
+    chunk spliced before ``data`` (odd-sized, so the decoder must honor
+    the RIFF pad byte). Downstream decode does genuine container work
+    while an engine-independent oracle reproduces the sample statistics
+    from the arithmetic alone."""
+    import struct
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                channels = 1 + i % 2
+                rate = 8000 * (1 + i % 3)
+                n_frames = 32 + i % 41
+                k = np.arange(n_frames * channels, dtype=np.int64)
+                samples = ((i * 37 + k * 13) % 4001) - 2000
+                payload = encode_wav(samples, rate, channels)
+                if i % 5 == 0:
+                    # splice an odd-sized LIST chunk before data: the
+                    # decoder must chunk-walk, not assume a fixed layout
+                    junk = b"INFO" + bytes([i % 256])  # 5 bytes — odd
+                    chunk = b"LIST" + struct.pack("<I", len(junk)) + junk
+                    chunk += b"\x00"  # RIFF pad byte for the odd size
+                    head_end = 12  # RIFF....WAVE
+                    payload = (
+                        payload[:head_end] + chunk + payload[head_end:]
+                    )
+                    payload = (
+                        b"RIFF"
+                        + struct.pack("<I", len(payload) - 8)
+                        + payload[8:]
+                    )
+                out.append((i, "audio/wav", payload, rate, channels))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "mime", "payload",
+                    "meta_sample_rate", "meta_channels",
+                ],
+            )
+
+    return df.select(id_col).mapInPandas(kernel, schema=AUDIO_SCHEMA)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode: Arrow-batched ``mapInPandas`` stage running
+    :func:`_decode_wav_bytes` per payload and emitting exact-integer
+    sample statistics (rate, channels, frames, integer-ms duration,
+    sum/min/max and the squared-sample ``energy``). NULL payloads emit no
+    stats row — the same skip contract as the image kernels."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                rate, channels, samples = _decode_wav_bytes(payload)
+                n_frames = samples.size // channels
+                s = samples.astype(np.int64)
+                rows.append(
+                    (
+                        int(mid), int(rate), int(channels), int(n_frames),
+                        int(n_frames * 1000 // rate),
+                        int(s.sum()) if s.size else 0,
+                        int(s.min()) if s.size else 0,
+                        int(s.max()) if s.size else 0,
+                        int((s * s).sum()) if s.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels", "n_frames",
+                    "duration_ms", "sample_sum", "sample_min", "sample_max",
+                    "energy",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=AUDIO_STATS_SCHEMA
     )

@@ -258,6 +258,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lm_surprisal": (q_lm_surprisal, SQL_LM_SURPRISAL),
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
     "decontaminate_spans": (q_decontaminate_spans, SQL_DECONTAMINATE_SPANS),
+    # -- r8 late additions: audio modality + unicode canonicalization ------
+    "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
+    "unicode_normalize": (q_unicode_normalize, SQL_UNICODE_NORMALIZE),
 }
 
 

@@ -481,6 +481,59 @@ GROUP BY doc_id
 """
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the multimodal Arrow path: every doc_id
+    becomes a short PCM16 clip (interleaved sample ``k`` =
+    ``((doc_id*37 + k*13) % 4001) - 2000``, ``1 + id%2`` channels,
+    ``8000*(1 + id%3)`` Hz, every fifth clip carrying an odd-sized LIST
+    junk chunk) encoded as an actual RIFF/WAVE file on one
+    ``mapInPandas`` stage, then DECODED — RIFF envelope check, chunk
+    walk with pad bytes, fmt/PCM validation, int16 LE parse — on a
+    second, emitting exact-integer sample statistics. The oracle
+    reproduces the stats from the sample arithmetic alone, so a parser
+    bug (skipped pad byte, wrong block-align, bad chunk walk)
+    hash-fails.
+
+    Ref parity: the reference has no audio surface; this fills the audio
+    slot of the LLM-pipeline multimodal mandate the way
+    ``multimodal_decode`` fills the image slot.
+    """
+    from dataproc_spark.extensions.multimodal import (
+        decode_audio_stats,
+        synthesize_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return decode_audio_stats(synthesize_audio(docs))
+
+
+SQL_AUDIO_DECODE = """
+WITH s AS (
+    SELECT doc_id,
+           1 + doc_id % 2 AS channels,
+           8000 * (1 + doc_id % 3) AS sample_rate,
+           32 + doc_id % 41 AS n_frames
+    FROM documents
+),
+v AS (
+    SELECT doc_id, channels, sample_rate, n_frames,
+           ((doc_id * 37 + k * 13) % 4001) - 2000 AS v
+    FROM s, LATERAL unnest(range(0, n_frames * channels)) AS t(k)
+)
+SELECT doc_id AS media_id,
+       CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MIN(v) AS INTEGER) AS sample_min,
+       CAST(MAX(v) AS INTEGER) AS sample_max,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM v
+GROUP BY doc_id, sample_rate, channels, n_frames
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by md5 hash ranges —
     stable under corpus growth and cluster layout; counts per split."""
@@ -1065,3 +1118,78 @@ FROM ranked
 WHERE ((rn - 1) * 1000) // greatest(gn - 1, 1) >= 100
 """
 
+
+
+#: decomposed/compatibility prefixes for the normalization gate — ONE
+#: shared list builds both the Spark arms and the oracle SQL, so the
+#: engines see byte-identical inputs. Arms: combining acute (composes),
+#: Angstrom sign (singleton → U+00C5), combining marks in NON-canonical
+#: order (reorder + compose), already-composed (idempotence), ASCII
+#: (no-op).
+_NFC_PREFIXES = [
+    "Cafe\u0301 ",             # e + combining acute -> e-acute
+    "\u212b-unit ",            # ANGSTROM SIGN -> U+00C5
+    "e\u0301\u0323-mark ",     # acute(ccc 230) then dot-below(ccc 220):
+                               # canonical reorder, then compose
+    "d\u00e9j\u00e0 ",         # composed: NFC is a fixpoint here
+    "",                        # ASCII: unchanged
+]
+
+
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (``corpus.normalize_text``): each
+    document is prefixed with a decomposed / compatibility sequence
+    chosen by ``doc_id % 5`` (combining acute, Angstrom singleton,
+    mis-ordered combining marks, an already-composed arm, plain ASCII),
+    then normalized by the real Arrow-vectorized kernel. Output pins the
+    normalized text itself plus changed-flag and code-point lengths, so
+    a wrong composition, missed canonical reordering, or a kernel that
+    silently byte-passes hash-fails against DuckDB's ``nfc_normalize``.
+
+    Ref parity: the reference has no Unicode surface; this is the
+    tokenizer-prep canonicalization pass of the LLM-pipeline mandate.
+    """
+    from dataproc_spark.extensions import corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    arm = F.col("doc_id") % 5
+    prefix = F.when(arm == 0, F.lit(_NFC_PREFIXES[0]))
+    for j in range(1, 5):
+        prefix = prefix.when(arm == j, F.lit(_NFC_PREFIXES[j]))
+    synth = docs.withColumn(
+        "synth", F.concat(prefix, F.coalesce(F.col("text"), F.lit("")))
+    )
+    out = corpus.normalize_text(synth, col="synth", out_col="norm_text")
+    return out.select(
+        "doc_id",
+        "norm_text",
+        (F.col("norm_text") != F.col("synth")).cast("int").alias("changed"),
+        F.length("synth").cast("long").alias("n_cp_before"),
+        F.length("norm_text").cast("long").alias("n_cp_after"),
+    )
+
+
+def _sql_literal(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+SQL_UNICODE_NORMALIZE = f"""
+WITH synth AS (
+    SELECT doc_id,
+           CASE doc_id % 5
+                WHEN 0 THEN {_sql_literal(_NFC_PREFIXES[0])}
+                WHEN 1 THEN {_sql_literal(_NFC_PREFIXES[1])}
+                WHEN 2 THEN {_sql_literal(_NFC_PREFIXES[2])}
+                WHEN 3 THEN {_sql_literal(_NFC_PREFIXES[3])}
+                ELSE ''
+           END || COALESCE(text, '') AS synth
+    FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(synth) AS norm_text,
+       CAST(CASE WHEN nfc_normalize(synth) <> synth THEN 1 ELSE 0 END
+            AS INTEGER) AS changed,
+       CAST(length(synth) AS BIGINT) AS n_cp_before,
+       CAST(length(nfc_normalize(synth)) AS BIGINT) AS n_cp_after
+FROM synth
+"""

@@ -1164,3 +1164,117 @@ def test_remove_contaminated_spans(spark):
         3: (6, "g"),
         4: (0, None),
     }
+
+
+def test_wav_codec_roundtrip_and_rejections():
+    """Pure-codec check, no Spark: encode_wav → _decode_wav_bytes must be
+    bit-exact (mono and stereo), the chunk walk must skip unknown chunks
+    honoring the RIFF odd-size pad byte, and malformed payloads (non-PCM
+    format tag, truncated data, missing chunks) must fail loudly."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for channels in (1, 2):
+        samples = rng.randint(-30000, 30000, size=60 * channels).astype(
+            np.int16
+        )
+        buf = multimodal.encode_wav(samples, 16000, channels)
+        rate, c, back = multimodal._decode_wav_bytes(buf)
+        assert (rate, c) == (16000, channels)
+        assert np.array_equal(back, samples)
+
+    # odd-sized LIST chunk + pad byte between WAVE and fmt
+    samples = np.arange(-5, 5, dtype=np.int16)
+    buf = multimodal.encode_wav(samples, 8000, 1)
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOZ" + b"\x00"
+    spliced = buf[:12] + junk + buf[12:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, c, back = multimodal._decode_wav_bytes(spliced)
+    assert rate == 8000 and c == 1 and np.array_equal(back, samples)
+
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        multimodal._decode_wav_bytes(b"OggS" + bytes(40))
+    with pytest.raises(ValueError, match="only PCM 16-bit"):
+        bad = buf.replace(
+            struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1
+        )
+        multimodal._decode_wav_bytes(bad)
+    with pytest.raises(ValueError, match="truncated|exceeds"):
+        multimodal._decode_wav_bytes(buf[:-4])
+    with pytest.raises(ValueError, match="multiple of channels"):
+        multimodal.encode_wav(np.zeros(5, np.int16), 8000, 2)
+
+
+def test_audio_synthesize_decode_stats(spark):
+    """End-to-end Arrow path: synthesize_audio → decode_audio_stats must
+    reproduce the synthesis arithmetic exactly, including the LIST-chunk
+    ids (multiples of 5) and both channel layouts."""
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = multimodal.decode_audio_stats(multimodal.synthesize_audio(df))
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == set(range(12))
+    for i in range(12):
+        r = rows[i]
+        channels = 1 + i % 2
+        n_frames = 32 + i % 41
+        vals = [
+            ((i * 37 + k * 13) % 4001) - 2000
+            for k in range(n_frames * channels)
+        ]
+        assert r.sample_rate == 8000 * (1 + i % 3)
+        assert r.channels == channels
+        assert r.n_frames == n_frames
+        assert r.duration_ms == n_frames * 1000 // r.sample_rate
+        assert r.sample_sum == sum(vals)
+        assert r.sample_min == min(vals)
+        assert r.sample_max == max(vals)
+        assert r.energy == sum(v * v for v in vals)
+
+
+def test_audio_stats_skips_null_payloads(spark):
+    media = spark.createDataFrame(
+        [(1, None), (2, multimodal.encode_wav([3, -3], 8000, 1))],
+        "media_id long, payload binary",
+    )
+    rows = multimodal.decode_audio_stats(media).collect()
+    assert [r.media_id for r in rows] == [2]
+    assert rows[0].n_frames == 2 and rows[0].energy == 18
+
+
+def test_normalize_text_nfc(spark):
+    """NFC must compose combining marks (with canonical reordering),
+    map singletons, pass NULL through, and leave composed text alone."""
+    from dataproc_spark.extensions import corpus
+
+    rows = [
+        (0, "Cafe\u0301"),           # e + combining acute
+        (1, "\u212b"),               # ANGSTROM SIGN
+        (2, "e\u0301\u0323"),        # marks in non-canonical order
+        (3, "d\u00e9j\u00e0"),       # already composed
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.normalize_text(df, out_col="norm")
+    got = {r.doc_id: r.norm for r in out.collect()}
+    assert got[0] == "Caf\u00e9"
+    assert got[1] == "\u00c5"
+    assert got[2] == "\u1eb9\u0301"
+    assert got[3] == "d\u00e9j\u00e0"
+    assert got[4] is None
+
+    # NFKC collapses compatibility characters NFC must preserve
+    liga = spark.createDataFrame([(0, "\ufb01le")], "doc_id long, text string")
+    assert (
+        corpus.normalize_text(liga, form="NFKC").collect()[0].text == "file"
+    )
+    assert (
+        corpus.normalize_text(liga, form="NFC").collect()[0].text
+        == "\ufb01le"
+    )
+
+    with pytest.raises(ValueError, match="form must be one of"):
+        corpus.normalize_text(df, form="nfc")
+    with pytest.raises(ValueError, match="duplicate existing column"):
+        corpus.normalize_text(df.withColumn("norm", F.lit("x")), out_col="norm")
