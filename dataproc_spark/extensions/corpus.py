@@ -482,6 +482,15 @@ def normalize_text(
             f"normalize_text would duplicate existing column {out_col!r}; "
             "drop or rename it first"
         )
+    # fail at the call, not as an AttributeError inside the executor:
+    # the pandas `.str` accessor needs actual strings
+    from pyspark.sql.types import StringType
+
+    if not isinstance(df.schema[col].dataType, StringType):
+        raise ValueError(
+            f"normalize_text requires a string column; {col!r} is "
+            f"{df.schema[col].dataType.simpleString()}"
+        )
 
     def _norm(s):
         return s.str.normalize(form)

@@ -525,7 +525,7 @@ def _decode_wav_bytes(buf: bytes):
             f"unsupported WAV encoding (format {audio_format}, {bits}-bit); "
             "only PCM 16-bit is decoded here"
         )
-    if channels < 1 or block_align != channels * 2:
+    if channels < 1 or block_align != channels * 2 or sample_rate < 1:
         raise ValueError("inconsistent fmt chunk")
     if len(data) % (channels * 2):
         raise ValueError("data chunk is not frame-aligned")

@@ -1278,3 +1278,20 @@ def test_normalize_text_nfc(spark):
         corpus.normalize_text(df, form="nfc")
     with pytest.raises(ValueError, match="duplicate existing column"):
         corpus.normalize_text(df.withColumn("norm", F.lit("x")), out_col="norm")
+
+
+def test_wav_decode_rejects_zero_sample_rate():
+    import struct
+
+    buf = multimodal.encode_wav([1, 2], 8000, 1)
+    bad = buf.replace(struct.pack("<I", 8000), struct.pack("<I", 0), 1)
+    with pytest.raises(ValueError, match="inconsistent fmt"):
+        multimodal._decode_wav_bytes(bad)
+
+
+def test_normalize_text_rejects_non_string_column(spark):
+    from dataproc_spark.extensions import corpus
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="requires a string column"):
+        corpus.normalize_text(df, col="doc_id", out_col="norm")

@@ -15,6 +15,8 @@ Usage: python tools/bench_r8_core.py EXPERIMENT [SRC]
     decontaminate_spans — span-level decontamination (gram explode +
                        distinct eval-gram join + Arrow rebuild)
     html_extract     — map-only WET extraction regex chain
+    audio_decode     — WAV synthesize + chunk-walk decode (two Arrow stages)
+    unicode_normalize — NFC canonicalization (Arrow pandas-UDF kernel)
 Run each at /root/testdata/sf0.1, /tmp/scale10, /tmp/scale100 for the
 1x/10x/100x exponent rows.
 """
@@ -92,6 +94,33 @@ def run(experiment: str, src: str | None) -> None:
             row = out.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("n_chars_plain").alias("chk"),
+            ).first()
+            return row["n"]
+
+    elif experiment == "audio_decode":
+        from dataproc_spark.queries import REGISTRY
+
+        fn = REGISTRY["audio_decode"][0]
+
+        def job():
+            out = fn(spark, src)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("energy").alias("chk"),
+            ).first()
+            return row["n"]
+
+    elif experiment == "unicode_normalize":
+        from dataproc_spark.queries import REGISTRY
+
+        fn = REGISTRY["unicode_normalize"][0]
+
+        def job():
+            out = fn(spark, src)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_cp_after").alias("chk"),
+                F.sum("changed").alias("chg"),
             ).first()
             return row["n"]
 
