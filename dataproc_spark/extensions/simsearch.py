@@ -429,6 +429,149 @@ def near_dup_pairs(
     )
 
 
+def rp_planes(n_planes: int, dim: int, seed: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 Rademacher hyperplanes for random-projection LSH
+    (Charikar, STOC'02): coefficient (p, d) is the parity of
+    ``md5("{seed}:{p}:{d}")``'s first 8 hex digits. Any engine that can
+    md5 a string reproduces the exact plane set, so the registry oracle
+    shares the planes by construction — no RNG, no stored artifact."""
+    import hashlib
+
+    if n_planes < 1 or dim < 1:
+        raise ValueError("n_planes and dim must be >= 1")
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def rp_lsh_near_dup(
+    embeddings: DataFrame,
+    threshold_dot_q: int,
+    dim: int,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a pre-existing bucket column:
+    random-hyperplane LSH. :func:`near_dup_pairs` needs a coarse label to
+    stay off the all-pairs cliff; this is the self-contained scale path
+    when no such label exists (the common case for a fresh crawl).
+
+    Stages, all relational:
+
+    1. **Signature** (map-only): each vector's bit ``p`` is
+       ``sign(<v, plane_p>)`` against the ±1 plane literals from
+       :func:`rp_planes` — integer dots on the quantized vector, computed
+       as plan-literal ``aggregate``/``zip_with`` expressions exactly like
+       the k-means centroids; no dim explosion, no shuffle.
+    2. **Banding**: ``n_planes / band_bits`` band keys (each the integer
+       value of ``band_bits`` consecutive bits); explode to one row per
+       band and self equi-join on (band_idx, band_key), ``id_a < id_b``,
+       DISTINCT — identical shape to the MinHash LSH join, so the same
+       skew story applies (AQE skew split; at scale raise ``band_bits`` so
+       the 2^band_bits key space spreads: 4-bit bands are gate-sized, a
+       production corpus wants 8–16-bit bands from 64+ planes).
+    3. **Verify**: join candidate ids back to the quantized vectors (the
+       heavy payload moves once, never through the banding) and keep exact
+       integer ``dot_q >= threshold_dot_q``.
+
+    Collision probability per bit is ``1 − θ/π`` (angle θ between the
+    vectors), so recall is a banding choice, not an accident — the same
+    contract as ``minhash_dedup_pairs``. Wrong-length vectors raise
+    (zip_with against the plane literal would otherwise null out
+    silently)."""
+    if band_bits < 1:
+        raise ValueError("band_bits must be >= 1")
+    if n_planes % band_bits:
+        raise ValueError(
+            f"band_bits ({band_bits}) must divide n_planes ({n_planes}); "
+            "a remainder would silently drop the trailing bits from banding"
+        )
+    planes = rp_planes(n_planes, dim, seed)
+    n_bands = n_planes // band_bits
+
+    e = _spread(embeddings).select(
+        F.col(id_col),
+        F.when(
+            F.size(F.col(vec_col)) == dim, quantize(vec_col, scale)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"rp_lsh_near_dup: expected {dim}-dim vectors, got "),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            )
+        ).alias("_v"),
+    )
+
+    def plane_bit(p: int) -> F.Column:
+        lit = F.array(*[F.lit(int(c)).cast("long") for c in planes[p]])
+        d = F.aggregate(
+            F.zip_with(F.col("_v"), lit, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return (d >= 0).cast("int")
+
+    bits = e.select(
+        F.col(id_col), *[plane_bit(p).alias(f"_b{p}") for p in range(n_planes)]
+    )
+
+    def band_key(j: int) -> F.Column:
+        k = F.lit(0)
+        for t in range(band_bits):
+            k = k * 2 + F.col(f"_b{j * band_bits + t}")
+        return k
+
+    banded = bits.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"), band_key(j).alias("band_key")
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band_idx", "bb.band_key")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            [
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = e.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    vb = e.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", dot_q(F.col("_va"), F.col("_vb")).alias("dot_q"))
+        .where(F.col("dot_q") >= threshold_dot_q)
+    )
+
+
 def _kmeans_assign(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
     """Map-only cluster assignment against a LITERAL centroid table:
     argmin squared distance, ties to the smallest centroid id (array_min

@@ -169,6 +169,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
+    "embed_lsh_near_dup": (q_embed_lsh_near_dup, SQL_EMBED_LSH_NEAR_DUP),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),

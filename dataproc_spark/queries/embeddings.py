@@ -201,6 +201,68 @@ WHERE CAST(list_dot_product(a.v, b.v) AS BIGINT) >= 300000
 """
 
 
+def q_embed_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with NO bucket column: random-hyperplane
+    LSH (16 md5-derived ±1 planes, 4 bands × 4 bits) → band-collision
+    candidates → exact-integer dot verify. The self-contained scale path
+    of the embed_near_dup family; the oracle replays the identical planes
+    and banding, so the approximation itself is pinned, exactly like the
+    MinHash portable gate."""
+    return simsearch.rp_lsh_near_dup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold_dot_q=300_000,
+        dim=64,
+        n_planes=16,
+        band_bits=4,
+    )
+
+
+def _make_sql_embed_lsh_near_dup() -> str:
+    """Generate the DuckDB oracle from the SAME plane set the Spark path
+    uses (simsearch.rp_planes is deterministic md5, so both engines hold
+    identical literals by construction; DuckDB still independently
+    computes signatures, banding, the collision join, and the verify)."""
+    planes = simsearch.rp_planes(16, 64)
+    plane_exprs = ",\n        ".join(
+        "CASE WHEN list_dot_product(v, "
+        f"{pl}::BIGINT[]) >= 0 THEN 1 ELSE 0 END"
+        for pl in planes
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+sig AS (
+    SELECT vec_id, v, [
+        {plane_exprs}
+    ] AS bits FROM q
+),
+bands AS (
+    SELECT vec_id, j AS band_idx,
+           bits[4*j+1]*8 + bits[4*j+2]*4 + bits[4*j+3]*2 + bits[4*j+4] AS band_key
+    FROM sig, UNNEST([0, 1, 2, 3]) AS t(j)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(list_dot_product(qa.v, qb.v) AS BIGINT) AS dot_q
+FROM cand c
+JOIN q qa ON c.id_a = qa.vec_id
+JOIN q qb ON c.id_b = qb.vec_id
+WHERE CAST(list_dot_product(qa.v, qb.v) AS BIGINT) >= 300000
+"""
+
+
+SQL_EMBED_LSH_NEAR_DUP = _make_sql_embed_lsh_near_dup()
+
+
 def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup over embeddings (SemDeDup-style): same-cell near-dup
     pairs above an exact-integer cosine-surrogate threshold → connected

@@ -1295,3 +1295,70 @@ def test_normalize_text_rejects_non_string_column(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="requires a string column"):
         corpus.normalize_text(df, col="doc_id", out_col="norm")
+
+
+def test_rp_planes_deterministic_and_rademacher():
+    from dataproc_spark.extensions import simsearch
+
+    p1 = simsearch.rp_planes(4, 8)
+    p2 = simsearch.rp_planes(4, 8)
+    assert p1 == p2
+    assert all(c in (-1, 1) for row in p1 for c in row)
+    # a different seed gives a different plane set
+    assert simsearch.rp_planes(4, 8, seed="other") != p1
+    with pytest.raises(ValueError, match=">= 1"):
+        simsearch.rp_planes(0, 8)
+
+
+def test_rp_lsh_finds_planted_near_dup(spark):
+    from dataproc_spark.extensions import simsearch
+
+    # two near-identical unit-ish vectors (all 16 sign bits agree, so
+    # every band collides) among orthogonal-ish distractors
+    base = [1.0, 0.5, -0.25, 0.75]
+    twin = [1.0, 0.5, -0.25, 0.74]
+    rows = [
+        (1, base), (2, twin),
+        (3, [-1.0, 2.0, 0.0, -0.5]), (4, [0.0, -1.0, 1.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = simsearch.rp_lsh_near_dup(
+        df, threshold_dot_q=1_000_000, dim=4, n_planes=16, band_bits=4
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+    got = next(r for r in out if (r["id_a"], r["id_b"]) == (1, 2))
+    # exact integer dot of the quantized (x1000) vectors
+    assert got["dot_q"] == (1000 * 1000 + 500 * 500
+                            + (-250) * (-250) + 750 * 740)
+
+
+def test_rp_lsh_identical_vectors_always_collide(spark):
+    from dataproc_spark.extensions import simsearch
+
+    v = [0.3, -0.9, 0.1, 0.7, -0.2, 0.5, 0.0, -0.4]
+    df = spark.createDataFrame(
+        [(10, v), (20, list(v))], "vec_id long, embedding array<float>"
+    )
+    out = simsearch.rp_lsh_near_dup(
+        df, threshold_dot_q=0, dim=8, n_planes=8, band_bits=2
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(10, 20)]
+
+
+def test_rp_lsh_parameter_guards(spark):
+    from dataproc_spark.extensions import simsearch
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])],
+                               "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="must divide n_planes"):
+        simsearch.rp_lsh_near_dup(df, 0, dim=2, n_planes=16, band_bits=5)
+    with pytest.raises(ValueError, match="band_bits must be >= 1"):
+        simsearch.rp_lsh_near_dup(df, 0, dim=2, n_planes=16, band_bits=0)
+    # wrong-length vectors raise instead of silently nulling out
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="expected 3-dim"):
+        simsearch.rp_lsh_near_dup(
+            df, 0, dim=3, n_planes=4, band_bits=2
+        ).collect()
