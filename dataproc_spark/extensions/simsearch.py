@@ -450,6 +450,53 @@ def rp_planes(n_planes: int, dim: int, seed: str = "rp") -> list[list[int]]:
     ]
 
 
+# Expression-path signatures build n_planes aggregate/zip_with nodes over
+# dim-element literal arrays; the Arrow kernel already wins at 16 planes
+# (3.5 s vs 6.5 s at sf0.1) and the gap grows with plan width (2.9 s vs
+# 16.5 s at 64 planes — measured in SCALE.md §rp-lsh, the same
+# expr-vs-Arrow crossover as bpe_apply). The expr path's remaining role
+# is gate-sized plane sets and relational-plan oracle replay.
+RP_EXPR_MAX_PLANES = 16
+
+
+def _rp_banded_arrow(
+    e: DataFrame, planes: list[list[int]], band_bits: int, id_col: str
+) -> DataFrame:
+    """Arrow signature path: one numpy matmul per batch (B×dim @ dim×P)
+    computes every sign bit at once, then band keys via a power-of-two
+    weight vector — constant plan size regardless of n_planes. Exact
+    integer arithmetic (int64 throughout), bit-identical to the
+    expression path (parity-tested)."""
+    import numpy as np
+    import pandas as pd
+
+    n_planes = len(planes)
+    n_bands = n_planes // band_bits
+    P = np.asarray(planes, dtype=np.int64).T  # dim × n_planes
+    weights = 2 ** np.arange(band_bits - 1, -1, -1, dtype=np.int64)
+    id_type = e.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, band_idx int, band_key bigint"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.int64)
+            bits = (V @ P) >= 0
+            keys = bits.reshape(len(V), n_bands, band_bits).astype(np.int64) @ weights
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_bands),
+                    "band_idx": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(V)
+                    ),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    return e.select(id_col, "_v").mapInPandas(kernel, schema=out_schema)
+
+
 def rp_lsh_near_dup(
     embeddings: DataFrame,
     threshold_dot_q: int,
@@ -460,6 +507,7 @@ def rp_lsh_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    signature_impl: str = "auto",
 ) -> DataFrame:
     """Embedding near-dup pairs WITHOUT a pre-existing bucket column:
     random-hyperplane LSH. :func:`near_dup_pairs` needs a coarse label to
@@ -488,7 +536,14 @@ def rp_lsh_near_dup(
     vectors), so recall is a banding choice, not an accident — the same
     contract as ``minhash_dedup_pairs``. Wrong-length vectors raise
     (zip_with against the plane literal would otherwise null out
-    silently)."""
+    silently).
+
+    ``signature_impl`` picks the stage-1 kernel: ``'expr'`` (plan-literal
+    aggregate expressions — JVM-side, right for small plane counts and
+    oracle replay), ``'arrow'`` (one numpy matmul per batch — constant
+    plan size, right for the 64+-plane banding a production corpus
+    needs), or ``'auto'`` (expr up to ``RP_EXPR_MAX_PLANES``). Both are
+    exact int64 and bit-identical."""
     if band_bits < 1:
         raise ValueError("band_bits must be >= 1")
     if n_planes % band_bits:
@@ -496,6 +551,13 @@ def rp_lsh_near_dup(
             f"band_bits ({band_bits}) must divide n_planes ({n_planes}); "
             "a remainder would silently drop the trailing bits from banding"
         )
+    if signature_impl not in ("auto", "expr", "arrow"):
+        raise ValueError(
+            f"signature_impl must be 'auto', 'expr', or 'arrow', "
+            f"got {signature_impl!r}"
+        )
+    if signature_impl == "auto":
+        signature_impl = "expr" if n_planes <= RP_EXPR_MAX_PLANES else "arrow"
     planes = rp_planes(n_planes, dim, seed)
     n_bands = n_planes // band_bits
 
@@ -513,38 +575,44 @@ def rp_lsh_near_dup(
         ).alias("_v"),
     )
 
-    def plane_bit(p: int) -> F.Column:
-        lit = F.array(*[F.lit(int(c)).cast("long") for c in planes[p]])
-        d = F.aggregate(
-            F.zip_with(F.col("_v"), lit, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        return (d >= 0).cast("int")
+    if signature_impl == "arrow":
+        banded = _rp_banded_arrow(e, planes, band_bits, id_col)
+    else:
 
-    bits = e.select(
-        F.col(id_col), *[plane_bit(p).alias(f"_b{p}") for p in range(n_planes)]
-    )
-
-    def band_key(j: int) -> F.Column:
-        k = F.lit(0)
-        for t in range(band_bits):
-            k = k * 2 + F.col(f"_b{j * band_bits + t}")
-        return k
-
-    banded = bits.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_idx"), band_key(j).alias("band_key")
-                    )
-                    for j in range(n_bands)
-                ]
+        def plane_bit(p: int) -> F.Column:
+            lit = F.array(*[F.lit(int(c)).cast("long") for c in planes[p]])
+            d = F.aggregate(
+                F.zip_with(F.col("_v"), lit, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
             )
-        ).alias("bb"),
-    ).select(id_col, "bb.band_idx", "bb.band_key")
+            return (d >= 0).cast("int")
+
+        bits = e.select(
+            F.col(id_col),
+            *[plane_bit(p).alias(f"_b{p}") for p in range(n_planes)],
+        )
+
+        def band_key(j: int) -> F.Column:
+            k = F.lit(0)
+            for t in range(band_bits):
+                k = k * 2 + F.col(f"_b{j * band_bits + t}")
+            return k
+
+        banded = bits.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band_idx"),
+                            band_key(j).cast("bigint").alias("band_key"),
+                        )
+                        for j in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(id_col, "bb.band_idx", "bb.band_key")
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -1362,3 +1362,40 @@ def test_rp_lsh_parameter_guards(spark):
         simsearch.rp_lsh_near_dup(
             df, 0, dim=3, n_planes=4, band_bits=2
         ).collect()
+
+
+def test_rp_lsh_arrow_matches_expr(spark):
+    from dataproc_spark.extensions import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(threshold_dot_q=250_000, dim=64, n_planes=16, band_bits=4)
+    expr = sorted(
+        (r["id_a"], r["id_b"], r["dot_q"])
+        for r in simsearch.rp_lsh_near_dup(
+            emb, signature_impl="expr", **kw
+        ).collect()
+    )
+    arrow = sorted(
+        (r["id_a"], r["id_b"], r["dot_q"])
+        for r in simsearch.rp_lsh_near_dup(
+            emb, signature_impl="arrow", **kw
+        ).collect()
+    )
+    assert expr == arrow
+    assert len(expr) > 0
+
+
+def test_rp_lsh_auto_picks_arrow_past_threshold(spark):
+    from dataproc_spark.extensions import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # 64 planes > RP_EXPR_MAX_PLANES -> auto routes to the Arrow kernel;
+    # InMemoryTableScan/mapInPandas shows up as ArrowEvalPython/MapInPandas
+    plan = simsearch.rp_lsh_near_dup(
+        emb, 250_000, dim=64, n_planes=64, band_bits=8
+    )._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" in plan
+    with pytest.raises(ValueError, match="signature_impl"):
+        simsearch.rp_lsh_near_dup(
+            emb, 0, dim=64, signature_impl="vectorized"
+        )

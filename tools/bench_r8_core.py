@@ -17,6 +17,10 @@ Usage: python tools/bench_r8_core.py EXPERIMENT [SRC]
     html_extract     — map-only WET extraction regex chain
     audio_decode     — WAV synthesize + chunk-walk decode (two Arrow stages)
     unicode_normalize — NFC canonicalization (Arrow pandas-UDF kernel)
+    embed_lsh:P:B:IMPL — rp_lsh_near_dup with P planes, B band bits, and
+                       IMPL signature path (expr|arrow), e.g.
+                       embed_lsh:16:4:expr (gate params) or
+                       embed_lsh:128:16:arrow (production banding)
 Run each at /root/testdata/sf0.1, /tmp/scale10, /tmp/scale100 for the
 1x/10x/100x exponent rows.
 """
@@ -121,6 +125,27 @@ def run(experiment: str, src: str | None) -> None:
                 F.count(F.lit(1)).alias("n"),
                 F.sum("n_cp_after").alias("chk"),
                 F.sum("changed").alias("chg"),
+            ).first()
+            return row["n"]
+
+    elif experiment.startswith("embed_lsh:"):
+        from dataproc_spark.extensions import simsearch
+
+        _, p, b, impl = experiment.split(":")
+
+        def job():
+            emb = spark.read.parquet(f"{src}/embeddings.parquet")
+            out = simsearch.rp_lsh_near_dup(
+                emb,
+                threshold_dot_q=300_000,
+                dim=64,
+                n_planes=int(p),
+                band_bits=int(b),
+                signature_impl=impl,
+            )
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dot_q").alias("chk"),
             ).first()
             return row["n"]
 
