@@ -78,6 +78,11 @@ EXTENDED_QUERIES = [
     "bpe_apply",
     "lm_surprisal",
     "decontaminate_spans",
+    # late-r8 families: bucket-free embedding LSH, real audio decode,
+    # Unicode canonicalization
+    "embed_lsh_near_dup",
+    "audio_decode",
+    "unicode_normalize",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

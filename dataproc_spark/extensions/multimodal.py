@@ -470,6 +470,10 @@ def encode_wav(samples, sample_rate: int, channels: int = 1) -> bytes:
     a = np.asarray(samples, dtype=np.int16).reshape(-1)
     if channels < 1 or a.size % channels:
         raise ValueError("sample count must be a multiple of channels")
+    if sample_rate < 1:
+        # fail at encode time, not in a decoder on some executor later:
+        # _decode_wav_bytes rejects rate-0 fmt chunks
+        raise ValueError("sample_rate must be >= 1")
     data = a.astype("<i2").tobytes()
     byte_rate = sample_rate * channels * 2
     fmt = struct.pack(

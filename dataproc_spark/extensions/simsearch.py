@@ -534,9 +534,9 @@ def rp_lsh_near_dup(
 
     Collision probability per bit is ``1 − θ/π`` (angle θ between the
     vectors), so recall is a banding choice, not an accident — the same
-    contract as ``minhash_dedup_pairs``. Wrong-length vectors raise
-    (zip_with against the plane literal would otherwise null out
-    silently).
+    contract as ``minhash_dedup_pairs``. Wrong-length, NULL, or
+    NULL-element vectors raise (they would otherwise null out the band
+    keys and silently escape detection).
 
     ``signature_impl`` picks the stage-1 kernel: ``'expr'`` (plan-literal
     aggregate expressions — JVM-side, right for small plane counts and
@@ -561,18 +561,29 @@ def rp_lsh_near_dup(
     planes = rp_planes(n_planes, dim, seed)
     n_bands = n_planes // band_bits
 
+    # a NULL vector or a NULL element would otherwise null the band keys
+    # (expr path: the row silently never collides) or NaN-cast to garbage
+    # keys (arrow path) — both are silent corpus escapes, so raise instead
+    vec_ok = (F.size(F.col(vec_col)) == dim) & ~F.exists(
+        F.col(vec_col), lambda x: x.isNull()
+    )
     e = _spread(embeddings).select(
         F.col(id_col),
-        F.when(
-            F.size(F.col(vec_col)) == dim, quantize(vec_col, scale)
-        ).otherwise(
+        F.when(vec_ok, quantize(vec_col, scale))
+        .otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit(f"rp_lsh_near_dup: expected {dim}-dim vectors, got "),
-                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(
+                        f"rp_lsh_near_dup: expected {dim}-dim vectors with "
+                        "no NULL elements, got size="
+                    ),
+                    F.coalesce(
+                        F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
+                    ),
                 )
             )
-        ).alias("_v"),
+        )
+        .alias("_v"),
     )
 
     if signature_impl == "arrow":
@@ -581,12 +592,7 @@ def rp_lsh_near_dup(
 
         def plane_bit(p: int) -> F.Column:
             lit = F.array(*[F.lit(int(c)).cast("long") for c in planes[p]])
-            d = F.aggregate(
-                F.zip_with(F.col("_v"), lit, lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            return (d >= 0).cast("int")
+            return (dot_q(F.col("_v"), lit) >= 0).cast("int")
 
         bits = e.select(
             F.col(id_col),

@@ -1313,10 +1313,27 @@ def test_rp_planes_deterministic_and_rademacher():
 def test_rp_lsh_finds_planted_near_dup(spark):
     from dataproc_spark.extensions import simsearch
 
-    # two near-identical unit-ish vectors (all 16 sign bits agree, so
-    # every band collides) among orthogonal-ish distractors
+    # two near-identical vectors among orthogonal-ish distractors; the
+    # python model below PROVES at least one band collides for this
+    # plane set (they do not agree on all 16 bits — plane 5's dot is 0
+    # for base and -10 for twin), so the test stays honest if the seed
+    # or plane derivation ever changes
     base = [1.0, 0.5, -0.25, 0.75]
     twin = [1.0, 0.5, -0.25, 0.74]
+
+    def bands_of(vec, planes, band_bits=4):
+        q = [round(x * 1000) for x in vec]
+        bits = [
+            1 if sum(a * b for a, b in zip(q, pl)) >= 0 else 0
+            for pl in planes
+        ]
+        return {
+            (j, tuple(bits[j * band_bits:(j + 1) * band_bits]))
+            for j in range(len(planes) // band_bits)
+        }
+    planes = simsearch.rp_planes(16, 4)
+    shared = bands_of(base, planes) & bands_of(twin, planes)
+    assert shared, "test precondition: the planted pair must share a band"
     rows = [
         (1, base), (2, twin),
         (3, [-1.0, 2.0, 0.0, -0.5]), (4, [0.0, -1.0, 1.0, 2.0]),
@@ -1356,11 +1373,32 @@ def test_rp_lsh_parameter_guards(spark):
     with pytest.raises(ValueError, match="band_bits must be >= 1"):
         simsearch.rp_lsh_near_dup(df, 0, dim=2, n_planes=16, band_bits=0)
     # wrong-length vectors raise instead of silently nulling out
-    import pyspark.errors
-
     with pytest.raises(Exception, match="expected 3-dim"):
         simsearch.rp_lsh_near_dup(
             df, 0, dim=3, n_planes=4, band_bits=2
+        ).collect()
+
+
+def test_rp_lsh_rejects_null_vectors_and_elements(spark):
+    from dataproc_spark.extensions import simsearch
+
+    # a NULL element would null the band keys (expr) or NaN-cast to
+    # garbage keys (arrow): both are silent escapes, so both paths raise
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, None]), (3, [2.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    for impl in ("expr", "arrow"):
+        with pytest.raises(Exception, match="no NULL elements"):
+            simsearch.rp_lsh_near_dup(
+                df, 0, dim=2, n_planes=4, band_bits=2, signature_impl=impl
+            ).collect()
+    null_vec = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="size=NULL"):
+        simsearch.rp_lsh_near_dup(
+            null_vec, 0, dim=2, n_planes=4, band_bits=2
         ).collect()
 
 
