@@ -451,12 +451,13 @@ def rp_planes(n_planes: int, dim: int, seed: str = "rp") -> list[list[int]]:
 
 
 # Expression-path signatures build n_planes aggregate/zip_with nodes over
-# dim-element literal arrays; the Arrow kernel already wins at 16 planes
-# (3.5 s vs 6.5 s at sf0.1) and the gap grows with plan width (2.9 s vs
-# 16.5 s at 64 planes — measured in SCALE.md §rp-lsh, the same
-# expr-vs-Arrow crossover as bpe_apply). The expr path's remaining role
-# is gate-sized plane sets and relational-plan oracle replay.
-RP_EXPR_MAX_PLANES = 16
+# dim-element literal arrays; the Arrow kernel wins at EVERY measured
+# point — 3.3 s vs 4.9 s at 16 planes/sf0.01, 3.5 s vs 6.5 s at
+# 16/sf0.1, 2.9 s vs 16.5 s at 64 planes (SCALE.md §rp-lsh, the same
+# expr-vs-Arrow lesson as bpe_apply) — so 'auto' always routes to Arrow.
+# The expr path is an explicit opt-in for relational-plan replay (the
+# oracle's shape) and stays parity-tested against the kernel.
+RP_EXPR_MAX_PLANES = 0
 
 
 def _rp_banded_arrow(
@@ -538,12 +539,12 @@ def rp_lsh_near_dup(
     NULL-element vectors raise (they would otherwise null out the band
     keys and silently escape detection).
 
-    ``signature_impl`` picks the stage-1 kernel: ``'expr'`` (plan-literal
-    aggregate expressions — JVM-side, right for small plane counts and
-    oracle replay), ``'arrow'`` (one numpy matmul per batch — constant
-    plan size, right for the 64+-plane banding a production corpus
-    needs), or ``'auto'`` (expr up to ``RP_EXPR_MAX_PLANES``). Both are
-    exact int64 and bit-identical."""
+    ``signature_impl`` picks the stage-1 kernel: ``'arrow'`` (one numpy
+    matmul per batch — constant plan size; measured faster at every
+    probed plane count and corpus size, so ``'auto'`` always picks it),
+    or ``'expr'`` (plan-literal aggregate expressions — the explicit
+    opt-in that mirrors the oracle's relational shape). Both are exact
+    int64 and bit-identical (parity-tested)."""
     if band_bits < 1:
         raise ValueError("band_bits must be >= 1")
     if n_planes % band_bits:

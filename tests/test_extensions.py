@@ -1423,16 +1423,20 @@ def test_rp_lsh_arrow_matches_expr(spark):
     assert len(expr) > 0
 
 
-def test_rp_lsh_auto_picks_arrow_past_threshold(spark):
+def test_rp_lsh_auto_picks_arrow(spark):
     from dataproc_spark.extensions import simsearch
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    # 64 planes > RP_EXPR_MAX_PLANES -> auto routes to the Arrow kernel;
-    # InMemoryTableScan/mapInPandas shows up as ArrowEvalPython/MapInPandas
+    # auto always routes to the Arrow kernel (measured faster at every
+    # probed point); expr is the explicit opt-in
     plan = simsearch.rp_lsh_near_dup(
-        emb, 250_000, dim=64, n_planes=64, band_bits=8
+        emb, 250_000, dim=64, n_planes=16, band_bits=4
     )._jdf.queryExecution().analyzed().toString()
     assert "MapInPandas" in plan
+    expr_plan = simsearch.rp_lsh_near_dup(
+        emb, 250_000, dim=64, n_planes=16, band_bits=4, signature_impl="expr"
+    )._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" not in expr_plan
     with pytest.raises(ValueError, match="signature_impl"):
         simsearch.rp_lsh_near_dup(
             emb, 0, dim=64, signature_impl="vectorized"
