@@ -170,6 +170,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
     "embed_lsh_near_dup": (q_embed_lsh_near_dup, SQL_EMBED_LSH_NEAR_DUP),
+    "embed_lsh_recall": (q_embed_lsh_recall, SQL_EMBED_LSH_RECALL),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),

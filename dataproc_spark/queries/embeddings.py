@@ -217,17 +217,22 @@ def q_embed_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _make_sql_embed_lsh_near_dup() -> str:
-    """Generate the DuckDB oracle from the SAME plane set the Spark path
-    uses (simsearch.rp_planes is deterministic md5, so both engines hold
-    identical literals by construction; DuckDB still independently
-    computes signatures, banding, the collision join, and the verify)."""
+def _rp_plane_case_exprs() -> str:
+    """DuckDB sign-bit CASE expressions for the gate's 16×64 plane set —
+    generated from the SAME simsearch.rp_planes the Spark path uses
+    (deterministic md5, so both engines hold identical literals by
+    construction; DuckDB still independently computes signatures,
+    banding, the collision join, and the verify)."""
     planes = simsearch.rp_planes(16, 64)
-    plane_exprs = ",\n        ".join(
+    return ",\n        ".join(
         "CASE WHEN list_dot_product(v, "
         f"{pl}::BIGINT[]) >= 0 THEN 1 ELSE 0 END"
         for pl in planes
     )
+
+
+def _make_sql_embed_lsh_near_dup() -> str:
+    plane_exprs = _rp_plane_case_exprs()
     return f"""
 WITH q AS (
     SELECT vec_id,
@@ -261,6 +266,90 @@ WHERE CAST(list_dot_product(qa.v, qb.v) AS BIGINT) >= 300000
 
 
 SQL_EMBED_LSH_NEAR_DUP = _make_sql_embed_lsh_near_dup()
+
+
+def q_embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation, the `ann_recall` analog for the near-dup
+    family: global recall of rp_lsh_near_dup (gate banding, 16 planes ×
+    4-bit bands) against the label-bucketed exhaustive truth at the same
+    threshold. Recall is a banding CHOICE (per-bit collision prob is
+    1 − θ/π), so the chosen banding's recall is a number worth pinning —
+    this is the measurement loop a production dedup deployment tunes
+    bands against. Both sides are deterministic, so recall itself is
+    value-checked cross-engine. The truth side rides the same coarse
+    label buckets as `embed_near_dup` (never all-pairs); the hit check is
+    a left join of two bounded pair sets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    truth = simsearch.near_dup_pairs(emb, threshold_dot_q=300_000).select(
+        "id_a", "id_b"
+    )
+    found = simsearch.rp_lsh_near_dup(
+        emb, threshold_dot_q=300_000, dim=64, n_planes=16, band_bits=4
+    ).select("id_a", "id_b", F.lit(1).alias("_hit"))
+    return (
+        truth.join(found, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_found"),
+        )
+        .selectExpr(
+            "n_truth",
+            "n_found",
+            "CAST(n_found * 1000 div n_truth AS BIGINT) AS recall_m",
+        )
+    )
+
+
+def _make_sql_embed_lsh_recall() -> str:
+    plane_exprs = _rp_plane_case_exprs()
+    return f"""
+WITH q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+truth AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST(list_dot_product(a.v, b.v) AS BIGINT) >= 300000
+),
+sig AS (
+    SELECT vec_id, v, [
+        {plane_exprs}
+    ] AS bits FROM q
+),
+bands AS (
+    SELECT vec_id, j AS band_idx,
+           bits[4*j+1]*8 + bits[4*j+2]*4 + bits[4*j+3]*2 + bits[4*j+4] AS band_key
+    FROM sig, UNNEST([0, 1, 2, 3]) AS t(j)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.vec_id < b.vec_id
+),
+found AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN q qa ON c.id_a = qa.vec_id
+    JOIN q qb ON c.id_b = qb.vec_id
+    WHERE CAST(list_dot_product(qa.v, qb.v) AS BIGINT) >= 300000
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_found,
+       CAST(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS recall_m
+FROM truth t
+LEFT JOIN found f ON t.id_a = f.id_a AND t.id_b = f.id_b
+"""
+
+
+SQL_EMBED_LSH_RECALL = _make_sql_embed_lsh_recall()
 
 
 def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
