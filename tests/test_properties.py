@@ -1135,3 +1135,57 @@ def test_extract_text_matches_structural_model(spark, docs):
            for r in df.withColumn("p", extract_text()).collect()}
     want = {i: exp for i, _, exp in rows}
     assert got == want
+
+
+# --- RP-LSH vs an independent Python model ----------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-2000, 2000), min_size=4, max_size=4),
+        min_size=2, max_size=12, unique_by=tuple,
+    ),
+    st.sampled_from([(4, 2), (8, 2), (8, 4)]),
+    st.integers(-2_000_000, 2_000_000),
+    st.sampled_from(["expr", "arrow"]),
+)
+@settings(max_examples=10, deadline=None)
+def test_rp_lsh_matches_python_model(spark, ivecs, pb, threshold, impl):
+    """Independent model of the full pipeline: md5 ±1 planes, sign bits
+    (dot >= 0 -> 1), MSB-first band keys, >=1 shared band -> candidate,
+    exact integer dot >= threshold -> pair. Integer-valued float inputs
+    keep quantize exact (x*1000 on values representable in float32)."""
+    from dataproc_spark.extensions.simsearch import rp_lsh_near_dup, rp_planes
+
+    n_planes, band_bits = pb
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(ivecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dot_q"])
+        for r in rp_lsh_near_dup(
+            df, threshold, dim=4, n_planes=n_planes, band_bits=band_bits,
+            signature_impl=impl,
+        ).collect()
+    )
+
+    planes = rp_planes(n_planes, 4)
+    qv = {i: [x * 1000 for x in v] for i, v in enumerate(ivecs)}
+
+    def bands(v):
+        bits = [
+            1 if sum(a * b for a, b in zip(v, pl)) >= 0 else 0
+            for pl in planes
+        ]
+        return {
+            (j, tuple(bits[j * band_bits:(j + 1) * band_bits]))
+            for j in range(n_planes // band_bits)
+        }
+
+    bset = {i: bands(v) for i, v in qv.items()}
+    want = sorted(
+        (a, b, sum(x * y for x, y in zip(qv[a], qv[b])))
+        for a in qv for b in qv
+        if a < b and bset[a] & bset[b]
+        and sum(x * y for x, y in zip(qv[a], qv[b])) >= threshold
+    )
+    assert got == want
