@@ -151,16 +151,31 @@ def _file_stream(
 
     from dataproc_spark.core import normalize_event_ts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
+    # session-level by necessity (it is a SQL conf, not a reader option,
+    # and restoring it mid-stream would race the running query); only set
+    # when the user hasn't chosen a value themselves
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def _glob_escape(p: str) -> str:
+        # every path Spark reads is a GLOB: a name like
+        # events[2024].parquet would match nothing — PATH_NOT_FOUND on
+        # the schema read, a silently EMPTY stream on pathGlobFilter —
+        # so backslash-escape the metacharacters (Hadoop's GlobPattern
+        # honors \-escapes)
+        return "".join(f"\\{c}" if c in "*?[]{}\\" else c for c in p)
+
+    schema = spark.read.parquet(_glob_escape(events_path)).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     if _os.path.isfile(events_path):
         base, fname = _os.path.split(events_path)
-        stream = reader.option("pathGlobFilter", fname).parquet(base)
+        stream = reader.option(
+            "pathGlobFilter", _glob_escape(fname)
+        ).parquet(_glob_escape(base))
     else:
-        stream = reader.parquet(events_path)
+        stream = reader.parquet(_glob_escape(events_path))
     # whatever the physical ts type, downstream operators see int64 nanos
     return normalize_event_ts(stream)
 
@@ -175,33 +190,37 @@ def _drain(
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     own_checkpoint = checkpoint is None
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if own_checkpoint:
-        # the memory sink holds the rows; the drained query's checkpoint
-        # is scratch — don't let repeated gate/bench runs accumulate /tmp
-        import shutil
-
-        shutil.rmtree(checkpoint, ignore_errors=True)
-    # snapshot the sink and DROP its temp view: the memory sink already
-    # holds the full result on the driver, so the copy costs one
-    # transient duplicate — but leaving the table registered pinned
-    # every drained result in session memory for the session lifetime
-    # (r8 review finding; the checkpoint cleanup above exists for the
-    # same repeated-runs scenario)
     spark = df.sparkSession
-    sink = spark.table(name)
-    rows = sink.collect()
-    schema = sink.schema
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema=schema)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # snapshot the sink: the memory sink already holds the full
+        # result on the driver, so the copy costs one transient
+        # duplicate
+        sink = spark.table(name)
+        rows = sink.collect()
+        schema = sink.schema
+        return spark.createDataFrame(rows, schema=schema)
+    finally:
+        # cleanup must run on the FAILURE path too (r8 review follow-up:
+        # a query aborted by bad data was leaking both the scratch
+        # checkpoint and the pinned memory-sink view across repeated
+        # gate/bench runs)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass  # sink never materialized — nothing was registered
+        if own_checkpoint:
+            import shutil
+
+            shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 # Version of the event_fingerprint encoding. Bumped whenever the byte
@@ -390,9 +409,12 @@ def stream_stream_join(
     state. Append mode: matches emit exactly once, so the drained result
     equals the batch join (the oracle's assertion).
     """
+    # ONE file source self-joined (Spark supports stream self-joins):
+    # two independent _file_stream calls over the same path would double
+    # the per-micro-batch source listing and scan (review finding)
+    src = with_event_time(_file_stream(spark, events_path))
     p = (
-        with_event_time(_file_stream(spark, events_path))
-        .where(F.col("event_type") == "purchase")
+        src.where(F.col("event_type") == "purchase")
         .selectExpr(
             "user_id",
             "event_id AS purchase_id",
@@ -401,8 +423,7 @@ def stream_stream_join(
         .withWatermark("p_time", watermark)
     )
     c = (
-        with_event_time(_file_stream(spark, events_path))
-        .where(F.col("event_type") == "click")
+        src.where(F.col("event_type") == "click")
         .selectExpr(
             "user_id AS c_user_id",
             "event_id AS click_id",
@@ -560,7 +581,10 @@ def stream_session_counts(
             intervals, n_events = [], 0
         pts: list[int] = []
         for pdf in pdfs:
-            pts.extend(int(t) for t in pdf["ts"].tolist())
+            # a NULL ts arrives as NaN (nullable long -> float64 batch)
+            # or None; int() on either would abort the whole query —
+            # skip like the batch sessionize() does
+            pts.extend(int(t) for t in pdf["ts"].tolist() if pd.notna(t))
         n_events += len(pts)
         merged: list[list[int]] = []
         for s, e in sorted(intervals + [[t, t] for t in pts]):
@@ -648,22 +672,25 @@ def stream_to_parquet(
         else:
             batch_df.write.mode(mode).parquet(out_dir)
 
-    q = (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if own_checkpoint:
-        # a temp checkpoint covers only this drained invocation — don't
-        # let repeated gate/bench runs accumulate /tmp state dirs (the
-        # same contract as _drain and stream_upsert_to_parquet)
-        import shutil
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(write_batch)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+    finally:
+        if own_checkpoint:
+            # a temp checkpoint covers only this drained invocation —
+            # clean up on the failure path too, so repeated gate/bench
+            # runs with aborting queries don't accumulate /tmp state
+            # dirs (same contract as _drain and stream_upsert_to_parquet)
+            import shutil
 
-        shutil.rmtree(checkpoint, ignore_errors=True)
-    return q
+            shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 def _replay_base(
@@ -786,22 +813,24 @@ def stream_upsert_to_parquet(
             _os.path.join(snapshot_dir, f"v={batch_id}")
         )
 
-    q = (
-        change_stream.writeStream.foreachBatch(write_batch)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if own_checkpoint:
-        # a temp checkpoint covers only this drained invocation — don't
-        # let repeated gate/bench runs accumulate /tmp state dirs (the
-        # same contract as _drain); pass checkpoint_dir to resume
-        import shutil
+    try:
+        q = (
+            change_stream.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+    finally:
+        if own_checkpoint:
+            # a temp checkpoint covers only this drained invocation —
+            # clean up on the failure path too (same contract as _drain);
+            # pass checkpoint_dir to resume
+            import shutil
 
-        shutil.rmtree(checkpoint, ignore_errors=True)
-    return q
+            shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 def read_latest_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
@@ -823,7 +852,13 @@ def read_latest_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
         int(m.group(1))
         for d in _os.listdir(snapshot_dir)
         if (m := _re.fullmatch(r"v=(-?\d+)", d))
-    ]
+    ] if _os.path.isdir(snapshot_dir) else []
+    if not versions:
+        raise RuntimeError(
+            f"read_latest_snapshot: {snapshot_dir} holds no v=<id> "
+            "snapshot directories — it has not been written by "
+            "stream_upsert_to_parquet (or the path is wrong)."
+        )
     committed = [
         v for v in versions
         if _os.path.exists(_os.path.join(snapshot_dir, f"v={v}", "_SUCCESS"))
@@ -965,7 +1000,10 @@ def stream_funnel_counts(
     import pandas as pd
 
     step_list = list(steps)
-    assert len(set(step_list)) == len(step_list), "funnel steps must be distinct"
+    if len(set(step_list)) != len(step_list):
+        # a bare assert vanishes under python -O and duplicate step names
+        # would silently misalign the state layout against the steps
+        raise ValueError("funnel steps must be distinct")
     horizon_ms = timeout_horizon_hours * 3_600_000
     out_schema = StructType(
         [StructField("user_id", LongType())]
@@ -1067,11 +1105,21 @@ def stream_funnel_counts(
         state.update(
             (resolved, n_events) + tuple(per_type[s] for s in step_list)
         )
-        # arm the idle-eviction timeout only once the watermark is real:
-        # wm=0 (stream start) + horizon would be a 1970-epoch timestamp
-        # that fires spuriously on the first watermark advance
-        if wm_ns > 0:
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_ms)
+        # arm the idle-eviction timeout on EVERY data call — keys whose
+        # only batch arrives while the watermark is still 0 (the initial
+        # backlog) must not keep state forever (review finding). At wm=0
+        # the anchor is the key's own latest event time, not the epoch
+        # watermark (wm + horizon would be a 1970-era timestamp that
+        # fires spuriously on the first watermark advance).
+        evt_ms = max(
+            (t // 1_000_000 for v in per_type.values() for t in v),
+            default=0,
+        )
+        if resolved:
+            evt_ms = max(evt_ms, resolved[-1] // 1_000_000)
+        anchor_ms = max(state.getCurrentWatermarkMs(), evt_ms)
+        if anchor_ms > 0:
+            state.setTimeoutTimestamp(anchor_ms + horizon_ms)
         row = {"user_id": [key[0]]}
         for s, c in zip(step_list, chain):
             row[f"t_{s}"] = [c]

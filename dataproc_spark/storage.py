@@ -173,35 +173,67 @@ def compact_parquet(
     target_bytes)`` files (optionally re-sorted for row-group stats).
     Returns the new file count.
 
-    The rewrite goes through a sibling temp dir + a two-step rename.
-    NOTE the swap is atomic-ish, not atomic: between the two renames the
-    dataset directory is briefly ABSENT, so a reader opening in exactly
-    that window fails (it never sees a half-rewritten mix, though). A
-    crash in that window is recovered on the next invocation: leftover
-    ``__compact_old`` (the intact pre-swap data) is renamed back if the
-    dataset directory is missing, and stale ``__compact_tmp`` /
-    already-swapped ``__compact_old`` leftovers are removed before the
-    new rewrite starts.
+    The rewrite goes through a dot-prefixed sibling temp dir + a
+    two-step rename. The scratch names start with ``.`` so Spark's file
+    and partition discovery never sees them — a concurrent reader of a
+    partitioned root during a partition swap sees consistent data (minus
+    the one partition for the instant between its two renames), never an
+    extra bogus partition. NOTE the swap is atomic-ish, not atomic:
+    between the two renames the directory being swapped is briefly
+    ABSENT, so a reader opening exactly then fails (it never sees a
+    half-rewritten mix, though). A crash in that window is recovered on
+    the next invocation: leftover ``__compact_old`` (the intact pre-swap
+    data) is renamed back if the data directory is missing — including
+    partition-level leftovers found while scanning a partitioned root —
+    and stale ``__compact_tmp`` / already-swapped ``__compact_old``
+    leftovers are removed before the new rewrite starts.
     """
     import glob as _glob
     import math
     import os as _os
+    import re as _re
     import shutil as _shutil
 
-    tmp = path.rstrip("/") + "__compact_tmp"
-    old = path.rstrip("/") + "__compact_old"
+    def _scratch(p: str) -> tuple[str, str]:
+        d, b = _os.path.split(p.rstrip("/"))
+        return (
+            _os.path.join(d, f".{b}__compact_tmp"),
+            _os.path.join(d, f".{b}__compact_old"),
+        )
+
+    def _recover(p: str) -> None:
+        """Restore/clean a previous run's scratch siblings of ``p``
+        (both the current dot-prefixed names and the pre-fix visible
+        ones, so datasets crashed under the old naming still heal)."""
+        tmp_p, old_p = _scratch(p)
+        legacy_tmp = p.rstrip("/") + "__compact_tmp"
+        legacy_old = p.rstrip("/") + "__compact_old"
+        for o in (old_p, legacy_old):
+            if _os.path.exists(o) and not _os.path.exists(p):
+                # died between rename(path, old) and rename(tmp, path) —
+                # the old layout is the last complete one; restore it
+                _os.rename(o, p)
+            if _os.path.exists(o):
+                # died after the swap completed but before cleanup
+                _shutil.rmtree(o, ignore_errors=True)
+        for t in (tmp_p, legacy_tmp):
+            if _os.path.exists(t):
+                # an unfinished (possibly partial) rewrite — never read
+                # or swap it in; start fresh
+                _shutil.rmtree(t, ignore_errors=True)
+
     # crash recovery from a previous run, BEFORE reading anything:
-    if _os.path.exists(old) and not _os.path.exists(path):
-        # died between rename(path, old) and rename(tmp, path) — the
-        # old layout is the last complete one; restore it
-        _os.rename(old, path)
-    if _os.path.exists(old):
-        # died after the swap completed but before cleanup
-        _shutil.rmtree(old, ignore_errors=True)
-    if _os.path.exists(tmp):
-        # an unfinished (possibly partial) rewrite — never read or swap
-        # it in; start fresh
-        _shutil.rmtree(tmp, ignore_errors=True)
+    _recover(path)
+
+    # a PARTITION that crashed mid-swap leaves only its __compact_old
+    # sibling inside the root — the partition dir itself is gone, so the
+    # recursion below would never visit (or heal) it; recover every
+    # leftover found at this level first (r8 follow-up review finding)
+    scratch_re = _re.compile(r"^\.?(.+)__compact_(old|tmp)$")
+    for entry in sorted(_os.listdir(path)):
+        m = scratch_re.match(entry)
+        if m:
+            _recover(_os.path.join(path, m.group(1)))
 
     # partitioned layout (key=value subdirs, e.g. stream_to_parquet's
     # batch= sink): compact each partition directory independently.
@@ -212,7 +244,7 @@ def compact_parquet(
     # confirmed by probe).
     part_dirs = sorted(
         d for d in _os.listdir(path)
-        if "=" in d and "__compact" not in d
+        if "=" in d and "__compact" not in d and not d.startswith(".")
         and _os.path.isdir(_os.path.join(path, d))
     )
     if part_dirs:
@@ -236,6 +268,7 @@ def compact_parquet(
     writer = df.repartition(n_files)
     if sort_cols:
         writer = writer.sortWithinPartitions(*sort_cols)
+    tmp, old = _scratch(path)
     writer.write.mode("overwrite").parquet(tmp)
     _os.rename(path, old)
     _os.rename(tmp, path)

@@ -526,9 +526,13 @@ def test_stream_funnel_state_compacts(spark, tmp_path):
     assert gs1.ts_view == [] and gs1.ts_click == []
     assert gs1.ts_purchase == [t0 + 9_000 * S]
     assert gs1.n_events == 7  # the count survives compaction
-    # event-time timeout armed at watermark + horizon (720h default)
-    wm_ms = (t0 + 10_000 * S) // 1_000_000 - 30 * 60_000
-    assert state[1].timeoutTimestamp == wm_ms + 720 * 3_600_000
+    # event-time timeout armed at max(watermark, key's latest event) +
+    # horizon (720h default): idle means "no activity since the key's
+    # last event", and the event anchor is what keeps batch-0 keys (wm
+    # still 0) evictable at all. Here the purchase at t0+9000s is later
+    # than the watermark (t0+10000s − 30min = t0+8200s), so it anchors.
+    evt_ms = (t0 + 9_000 * S) // 1_000_000
+    assert state[1].timeoutTimestamp == evt_ms + 720 * 3_600_000
 
 
 def test_stream_incremental_dedup_store_and_cross_batch(spark, tmp_path):
@@ -961,3 +965,142 @@ def test_write_zordered_full_long_range_no_wrap(spark, tmp_path):
         glob_min = min(glob_min, int(t.x.min())) if glob_min is not None else int(t.x.min())
         glob_max = max(glob_max, int(t.x.max())) if glob_max is not None else int(t.x.max())
     assert min(spans) < (glob_max - glob_min) * 0.9
+
+
+def test_compact_parquet_recovers_crashed_partition_swap(spark, tmp_path):
+    """A PARTITION that crashed mid-swap leaves only its scratch sibling
+    inside the root; the next root invocation must restore it before
+    compacting (r8 follow-up review finding — previously the partition's
+    data stayed stranded forever, and a single-partition root even
+    raised 'no parquet data files found')."""
+    import glob
+    import os
+
+    from dataproc_spark.storage import compact_parquet
+
+    root = str(tmp_path / "sink")
+    spark.range(500).withColumn("batch", F.lit(0)).write.partitionBy(
+        "batch"
+    ).parquet(root)
+    spark.range(500, 1000).repartition(4).write.mode("overwrite").parquet(
+        f"{root}/batch=1"
+    )
+    # crash mid-swap of batch=1: the partition dir is renamed away
+    os.rename(f"{root}/batch=1", f"{root}/.batch=1__compact_old")
+    n = compact_parquet(spark, root, target_bytes=10**9)
+    assert n >= 2  # both partitions compacted
+    got = spark.read.parquet(root)
+    assert got.count() == 1000
+    assert not os.path.exists(f"{root}/.batch=1__compact_old")
+
+    # legacy (pre-dot) naming from a crash under the old scheme heals too
+    os.rename(f"{root}/batch=1", f"{root}/batch=1__compact_old")
+    compact_parquet(spark, root, target_bytes=10**9)
+    assert spark.read.parquet(root).count() == 1000
+    assert not os.path.exists(f"{root}/batch=1__compact_old")
+
+
+def test_compact_scratch_dirs_invisible_to_readers(spark, tmp_path):
+    """Scratch dirs are dot-prefixed, so Spark's partition discovery on
+    the root ignores a mid-rewrite (or crash-leftover) temp dir instead
+    of surfacing it as a bogus extra partition with duplicated rows."""
+    import os
+
+    root = str(tmp_path / "sink")
+    spark.range(100).withColumn("batch", F.lit(0)).write.partitionBy(
+        "batch"
+    ).parquet(root)
+    # a concurrent compaction of batch=0 is mid-rewrite: its full tmp
+    # copy exists under the dot name
+    spark.read.parquet(f"{root}/batch=0").write.parquet(
+        f"{root}/.batch=0__compact_tmp"
+    )
+    got = spark.read.parquet(root)
+    assert got.count() == 100  # not 200
+    assert [r.batch for r in got.select("batch").distinct().collect()] == [0]
+    os.system(f"rm -rf {root}/.batch=0__compact_tmp")
+
+
+def test_stream_session_counts_skips_null_ts(spark, tmp_path):
+    """A NULL ts row must be skipped (like batch sessionize), not crash
+    the whole query with int(NaN)."""
+    from dataproc_spark.extensions.streaming import stream_session_counts
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    S = 1_000_000_000
+    t0 = 1_700_000_000 * S
+    pq.write_table(
+        pa.table({
+            "user_id": pa.array([1, 1, 1], type=pa.int64()),
+            "ts": pa.array([t0, None, t0 + 10_000 * S], type=pa.int64()),
+        }),
+        f"{d}/f.parquet",
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events)
+           for r in stream_session_counts(spark, str(d)).collect()}
+    assert got == {1: (2, 2)}
+
+
+def test_file_stream_escapes_glob_metacharacters(spark, tmp_path):
+    """A single-file path whose NAME contains glob metacharacters must
+    still stream its rows (pathGlobFilter is a glob; unescaped it
+    matches nothing and the stream silently drains empty)."""
+    from dataproc_spark.extensions.streaming import _file_stream
+
+    f = tmp_path / "events[2024].parquet"
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2, 3], type=pa.int64())}), str(f)
+    )
+    from dataproc_spark.extensions.streaming import _drain
+
+    got = _drain(_file_stream(spark, str(f)), "append", "globesc")
+    assert got.count() == 3
+
+
+def test_read_latest_snapshot_empty_dir_is_loud(spark, tmp_path):
+    from dataproc_spark.extensions.streaming import read_latest_snapshot
+
+    empty = tmp_path / "snap"
+    empty.mkdir()
+    with pytest.raises(RuntimeError, match="no v=<id> snapshot"):
+        read_latest_snapshot(spark, str(empty))
+    with pytest.raises(RuntimeError, match="no v=<id> snapshot"):
+        read_latest_snapshot(spark, str(tmp_path / "missing"))
+
+
+def test_stream_funnel_duplicate_steps_raise(spark, tmp_path):
+    from dataproc_spark.extensions.streaming import stream_funnel_counts
+
+    with pytest.raises(ValueError, match="distinct"):
+        stream_funnel_counts(spark, str(tmp_path), steps=("view", "view"))
+
+
+def test_stream_funnel_batch0_keys_get_timeout(spark, tmp_path):
+    """Keys whose ONLY batch arrives while the watermark is still 0 (the
+    initial backlog) must still have the idle-eviction timeout armed —
+    anchored at the key's own latest event — or their state lives
+    forever (r8 follow-up review finding)."""
+    import pandas as pd
+
+    from dataproc_spark.extensions.streaming import stream_funnel_counts
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    S = 1_000_000_000
+    t0 = 1_700_000_000 * S
+    pd.DataFrame({
+        "user_id": [1, 1],
+        "ts": [t0, t0 + 60 * S],
+        "event_type": ["view", "click"],
+    }).to_parquet(f"{d}/only.parquet")
+    ck = str(tmp_path / "ck")
+    stream_funnel_counts(spark, str(d), checkpoint_dir=ck)
+    state = {
+        r.key.user_id: r.value
+        for r in spark.read.format("statestore").load(ck).collect()
+    }
+    # single micro-batch: watermark was 0 throughout, yet the timeout is
+    # armed at latest-event + horizon (720h default)
+    evt_ms = (t0 + 60 * S) // 1_000_000
+    assert state[1].timeoutTimestamp == evt_ms + 720 * 3_600_000
