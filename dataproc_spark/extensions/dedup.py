@@ -40,16 +40,26 @@ def exact_dedup(
     The winner is chosen with ``min_by``-style aggregation rather than a
     window so the plan is a single partial+final hash aggregate (map-side
     combine shrinks the shuffle); a window would sort every group.
+
+    NULL content is NOT a duplicate class: ``md5(NULL)`` is NULL and
+    groupBy puts every NULL key in one group, which would keep a single
+    NULL-text doc and silently delete the rest as "copies" of documents
+    they share nothing with (r8 follow-up review finding; the same NULL
+    policy as ``corpus.corpus_diff``). Each NULL-content row survives as
+    its own group (``n_copies`` = 1).
     """
     fp = content_fingerprint(content_col).alias("_fp")
+    null_key = F.when(
+        F.col(content_col).isNull(), F.col(id_col)
+    ).alias("_nullkey")
     return (
-        df.select(fp, F.col(id_col))
-        .groupBy("_fp")
+        df.select(fp, null_key, F.col(id_col))
+        .groupBy("_fp", "_nullkey")
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_copies"),
         )
-        .drop("_fp")
+        .drop("_fp", "_nullkey")
     )
 
 
@@ -296,7 +306,10 @@ def jaccard_verify(
         )
         return (
             joined.withColumn("jaccard_m", jm)
-            .where(F.col("jaccard_m") >= int(threshold * scale_m))
+            # round, not int(): float truncation makes int(0.043 * 10000)
+            # == 429, off by one from the intended cutoff — defeating the
+            # bit-exact thresholding scale_m exists for
+            .where(F.col("jaccard_m") >= round(threshold * scale_m))
             .select("id_a", "id_b", "jaccard_m")
         )
     return (
@@ -331,6 +344,16 @@ def minhash_dedup_pairs(
     """
     from dataproc_spark.core import spread_narrow
 
+    if num_hashes % bands:
+        # validate BEFORE the persist below: lsh_candidates would raise
+        # this after sigs.persist(), leaking a pinned cache entry per
+        # failed call (the result frame that would carry the
+        # _release_on_gc finalizer never exists)
+        raise ValueError(
+            f"bands ({bands}) must divide the signature length "
+            f"({num_hashes}); a remainder would silently drop the "
+            "trailing hashes from banding"
+        )
     spread = spread_narrow(df, id_col)
     sigs = minhash_frame(
         spread, content_col, id_col, num_hashes, shingle_size, portable=portable
@@ -413,6 +436,17 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
+    try:
+        labels = _cc_propagate(sym, max_iter)
+    finally:
+        # unpersist on the failure path too (a transient executor loss
+        # surfacing at a mid-round action would otherwise pin the edge
+        # table for the session — once per driver retry)
+        sym.unpersist()
+    return labels
+
+
+def _cc_propagate(sym: DataFrame, max_iter: int) -> DataFrame:
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("component", F.col("node"))
@@ -455,7 +489,6 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    sym.unpersist()
     if not converged:
         # returning partial labels would silently split true components —
         # near-dups would survive dedup with no signal
@@ -758,6 +791,14 @@ def simhash_near_pairs(
             f"(bands - 1 = {bands - 1}): a pair at that distance can "
             "differ in every band and would be silently dropped — raise "
             "bands or lower max_hamming"
+        )
+    if bands < 1 or bits % bands:
+        # bands > bits would give band_bits = 0 and mask = 0: every
+        # document's every band value becomes 0 and the candidate join
+        # degenerates to all-pairs — the cross-join cliff the banding
+        # exists to avoid
+        raise ValueError(
+            f"bands ({bands}) must divide bits ({bits})"
         )
     spread = spread_narrow(df, id_col)
     fps = simhash_frame(spread, content_col, id_col, bits, token_hash).persist()

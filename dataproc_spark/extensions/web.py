@@ -114,9 +114,14 @@ def canonical_url(url_col: str | Column = "url") -> Column:
     spec requires).
     """
     c = F.col(url_col) if isinstance(url_col, str) else url_col
-    # lower-case ONLY the scheme://host prefix, never path or query
+    # lower-case ONLY the scheme and host:port — never path, query, or
+    # the userinfo (user:password@ is case-sensitive per RFC 3986, so a
+    # credential must survive verbatim; r8 follow-up review finding)
+    auth = F.regexp_extract(c, r"^[^/?#]*//([^/?#]*)", 1)
     c = F.concat(
-        F.lower(F.regexp_extract(c, r"^([^/?#]*//[^/?#]*)", 1)),
+        F.lower(F.regexp_extract(c, r"^([^/?#]*//)", 1)),
+        F.regexp_extract(auth, r"^(.*@)", 1),  # greedy: up to the LAST @
+        F.lower(F.regexp_replace(auth, r"^.*@", "")),
         F.regexp_replace(c, r"^[^/?#]*//[^/?#]*", ""),
     )
     c = F.regexp_replace(c, r"#.*$", "")  # fragment
@@ -134,9 +139,11 @@ def canonical_url(url_col: str | Column = "url") -> Column:
     query = F.regexp_replace(query, r"&" + _TRACKING_RE, "")
     query = F.regexp_replace(query, r"^\?&", "?")  # undo the normalization
     query = F.regexp_replace(query, r"^\?$", "")  # query emptied entirely
-    c = F.concat(base, query)
-    c = F.regexp_replace(c, r"/$", "")  # trailing slash
-    return c
+    # trailing slash comes off the PATH, not the reassembled URL: on the
+    # full string it corrupted a query VALUE ending in '/' and never
+    # fired when a query was present (r8 follow-up review finding)
+    base = F.regexp_replace(base, r"/$", "")
+    return F.concat(base, query)
 
 
 def dedup_by_url(
@@ -154,13 +161,25 @@ def dedup_by_url(
     semi-join the winners back if bodies are heavy.
     """
     order_by = order_by or ["doc_id"]
+    for clash in ("_canon", "_rn", "canonical_url"):
+        if clash in df.columns:
+            raise ValueError(
+                f"dedup_by_url would clobber existing column {clash!r}; "
+                "drop or rename it first"
+            )
     # asc_nulls_last, not asc: Spark's default ascending order puts
     # NULLS FIRST, so a NULL-keyed row (e.g. an unscored document) would
     # beat every real row — the opposite of "preferring rows by
-    # order_by", and the opposite of the DuckDB oracle's ASC default
-    w = Window.partitionBy("_canon").orderBy(
-        *[F.col(c).asc_nulls_last() for c in order_by]
-    )
+    # order_by", and the opposite of the DuckDB oracle's ASC default.
+    # NULL-URL rows are NOT duplicates of each other: the window would
+    # put every NULL canonical key in ONE partition and keep a single
+    # row (silently destroying unrelated unfetched-URL docs — r8
+    # follow-up review finding), so they each partition alone on the
+    # last order_by column (documented: pass a unique id last).
+    w = Window.partitionBy(
+        "_canon",
+        F.when(F.col("_canon").isNull(), F.col(order_by[-1])),
+    ).orderBy(*[F.col(c).asc_nulls_last() for c in order_by])
     return (
         df.withColumn("_canon", canonical_url(url_col))
         .withColumn("_rn", F.row_number().over(w))
@@ -193,20 +212,33 @@ def cap_per_domain(
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     order_by = order_by or ["doc_id"]
+    for clash in ("_salt", "_rn1", "_rn"):
+        if clash in df.columns:
+            raise ValueError(
+                f"cap_per_domain would clobber existing column {clash!r}; "
+                "drop or rename it first"
+            )
     # NULLS LAST for the same reason as dedup_by_url: NULL-quality docs
     # must not win the cap over scored ones
     order_cols = [F.col(c).asc_nulls_last() for c in order_by]
+    # rows with a NULL domain (unparseable/missing URL) do not belong to
+    # any COMMON domain — capping them as one would silently drop
+    # unrelated documents (r8 follow-up review finding); each partitions
+    # alone on the last order_by column (documented: pass a unique id
+    # last) and so always survives the cap
+    null_key = F.when(F.col(domain_col).isNull(), F.col(order_by[-1]))
     if salts and salts > 1:
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_by]), F.lit(salts))
         df = (
             df.withColumn("_salt", salt)
             .withColumn("_rn1", F.row_number().over(
-                Window.partitionBy(domain_col, "_salt").orderBy(*order_cols)
+                Window.partitionBy(domain_col, null_key, "_salt")
+                .orderBy(*order_cols)
             ))
             .where(F.col("_rn1") <= cap)
             .drop("_salt", "_rn1")
         )
-    w = Window.partitionBy(domain_col).orderBy(*order_cols)
+    w = Window.partitionBy(domain_col, null_key).orderBy(*order_cols)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= cap)

@@ -77,7 +77,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_EXACT = """
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
-FROM documents GROUP BY md5(text)
+FROM documents
+GROUP BY md5(text), CASE WHEN text IS NULL THEN doc_id END
 """
 
 

@@ -818,7 +818,8 @@ kept AS (
       AND digit_ratio_m < 300
 ),
 winners AS (
-    SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    SELECT MIN(doc_id) AS doc_id FROM kept
+    GROUP BY md5(text), CASE WHEN text IS NULL THEN doc_id END
 ),
 dd AS (
     SELECT k.doc_id, k.lang, k.n_chars

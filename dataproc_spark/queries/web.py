@@ -131,7 +131,7 @@ FROM per
 _URL_CANON_EXPR = (
     "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Site' ELSE 'https://site' END || "
     "CAST(doc_id % 7 AS {S}) || '.com/Page/' || CAST(doc_id % 10 AS {S}) || "
-    "CASE doc_id % 6 WHEN 0 THEN '?utm_source=x&id=5' "
+    "CASE doc_id % 8 WHEN 0 THEN '?utm_source=x&id=5' "
     "     WHEN 1 THEN '?id=5' "
     "     WHEN 2 THEN '?id=5&fbclid=abc#frag' "
     # '&ref=' in a PATH segment (legal sub-delim) must survive, and a
@@ -139,6 +139,11 @@ _URL_CANON_EXPR = (
     # unanchored normalization corrupted both; these arms pin the fix
     "     WHEN 3 THEN '/dl&ref=home?id=5' "
     "     WHEN 4 THEN '?next=x?y&gclid=g' "
+    # trailing slash comes off the PATH, never a query value: arm 5 must
+    # merge with arm 1's class, arm 6's '/home/' value must survive —
+    # the r8 follow-up review found the final-string strip broke both
+    "     WHEN 5 THEN '/?id=5' "
+    "     WHEN 6 THEN '?next=/home/' "
     "     ELSE '/' END"
 )
 
@@ -166,7 +171,11 @@ WITH u AS (
 ),
 c1 AS (
     SELECT doc_id,
-           lower(regexp_extract(url, '^([^/?#]*//[^/?#]*)', 1)) ||
+           lower(regexp_extract(url, '^([^/?#]*//)', 1)) ||
+           regexp_extract(regexp_extract(url, '^[^/?#]*//([^/?#]*)', 1),
+                          '^(.*@)', 1) ||
+           lower(regexp_replace(
+               regexp_extract(url, '^[^/?#]*//([^/?#]*)', 1), '^.*@', '')) ||
            regexp_replace(url, '^[^/?#]*//[^/?#]*', '') AS c
     FROM u
 ),
@@ -179,12 +188,11 @@ c3 AS (SELECT doc_id,
 c4 AS (SELECT doc_id, base,
               regexp_replace(q, '&{web._TRACKING_RE}', '', 'g') AS q
        FROM c3),
-c5 AS (SELECT doc_id,
-              base || regexp_replace(regexp_replace(q, '^\\?&', '?'),
-                                     '^\\?$', '') AS c
+canon AS (SELECT doc_id,
+              regexp_replace(base, '/$', '') ||
+              regexp_replace(regexp_replace(q, '^\\?&', '?'),
+                             '^\\?$', '') AS canonical_url
        FROM c4),
-canon AS (SELECT doc_id, regexp_replace(c, '/$', '') AS canonical_url
-          FROM c5),
 r AS (SELECT doc_id, canonical_url,
              row_number() OVER (PARTITION BY canonical_url
                                 ORDER BY doc_id) AS rn

@@ -1441,3 +1441,95 @@ def test_rp_lsh_auto_picks_arrow(spark):
         simsearch.rp_lsh_near_dup(
             emb, 0, dim=64, signature_impl="vectorized"
         )
+
+
+def test_exact_dedup_null_texts_are_not_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["n_copies"]) for r in dedup.exact_dedup(df).collect()
+    )
+    # each NULL-text doc survives alone; the real dup pair collapses
+    assert got == [(1, 1), (2, 1), (3, 2)]
+
+
+def test_dedup_by_url_null_urls_all_survive(spark):
+    from dataproc_spark.extensions import web
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "https://x.com/a"),
+         (4, "https://x.com/a#frag")],
+        "doc_id long, url string",
+    )
+    got = sorted(r["doc_id"] for r in web.dedup_by_url(df).collect())
+    assert got == [1, 2, 3]
+    with pytest.raises(ValueError, match="clobber"):
+        web.dedup_by_url(df.withColumn("_rn", F.lit(1)))
+
+
+def test_cap_per_domain_null_domains_uncapped(spark):
+    from dataproc_spark.extensions import web
+
+    rows = [(i, None) for i in range(10)] + [(100 + i, "x.com")
+                                             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    for salts in (0, 4):
+        got = web.cap_per_domain(df, cap=2, salts=salts)
+        ids = sorted(r["doc_id"] for r in got.collect())
+        # all 10 NULL-domain docs survive; x.com capped to 2
+        assert ids == list(range(10)) + [100, 101], (salts, ids)
+    with pytest.raises(ValueError, match="clobber"):
+        web.cap_per_domain(df.withColumn("_salt", F.lit(1)), cap=2)
+
+
+def test_canonical_url_userinfo_and_query_slash(spark):
+    from dataproc_spark.extensions import web
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://TokenA@API.site.com/x"),
+            (2, "https://x.com/p?next=/home/"),
+            (3, "https://x.com/a/?q=1"),
+        ],
+        "i long, url string",
+    )
+    got = {r["i"]: r["c"]
+           for r in df.withColumn("c", web.canonical_url()).collect()}
+    assert got[1] == "https://TokenA@api.site.com/x"  # credential case kept
+    assert got[2] == "https://x.com/p?next=/home/"    # query value intact
+    assert got[3] == "https://x.com/a?q=1"            # path slash stripped
+
+
+def test_jaccard_threshold_rounds_not_truncates(spark):
+    # int(0.043 * 10000) == 429 under float truncation; the cutoff must
+    # be 430 so a pair at jaccard_m=429 (true J < 0.043) is excluded
+    a = ["w1", "w2", "w3"]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a * 40)), (2, " ".join(a * 40))],
+        "doc_id long, text string",
+    )
+    # identical docs: jaccard_m = 10000 regardless — just pin the plan
+    # builds with a rounded literal by checking the boundary filter value
+    out = dedup.minhash_dedup_pairs(
+        docs, threshold=0.043, scale_m=10_000, shingle_size=2
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "430" in plan and "429" not in plan
+
+
+def test_simhash_bands_must_divide_bits(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide bits"):
+        dedup.simhash_near_pairs(docs, bits=32, bands=33, max_hamming=3)
+
+
+def test_minhash_validates_bands_before_persist(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f")],
+                                 "doc_id long, text string")
+    store = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    before = store.size()
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_dedup_pairs(docs, num_hashes=64, bands=10)
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == before

@@ -995,14 +995,18 @@ def test_ngram_containment_matches_python_model(spark, docs, min_shared):
 # ---------------------------------------------------------------------------
 
 _SCHEMES = ["http", "HTTPS", "https", "HTTP"]
-_HOSTS = ["Site.COM", "a.b.site.co.uk", "x.io", "WWW.Example.ORG"]
+#: authorities include case-sensitive userinfo (user:pass@) — the case
+#: of the credential must survive while the host lowers (r8 follow-up)
+_HOSTS = ["Site.COM", "a.b.site.co.uk", "x.io", "WWW.Example.ORG",
+          "TokenA@API.site.com", "User:PW@Site.COM"]
 #: segments include RFC 3986 sub-delim shapes that LOOK like tracking
 #: params — they must survive untouched (r8 review finding)
 _SEGMENTS = ["a", "Page", "b.c", "dl&ref=home", "x&utm_source=t", "p1"]
 _PARAM_NAMES = ["id", "q", "next", "page",
                 "utm_source", "gclid", "fbclid", "ref"]
-#: values may contain '?' (data inside a query value) but never '&'/'#'
-_PARAM_VALUES = ["5", "x?y", "B", "fe?ed", "z", ""]
+#: values may contain '?' (data) and may END in '/' (the trailing-slash
+#: strip is scoped to the path — r8 follow-up) but never '&'/'#'
+_PARAM_VALUES = ["5", "x?y", "B", "fe?ed", "z", "", "/home/", "a/"]
 _TRACKING = {"utm_source", "utm_medium", "utm_campaign", "utm_term",
              "utm_content", "gclid", "fbclid", "ref"}
 
@@ -1035,18 +1039,22 @@ def _build_url(scheme, host, segs, trailing, params, fragment):
 
 
 def _expected_canonical(scheme, host, segs, trailing, params, fragment):
-    out = f"{scheme}://{host}".lower()
-    if segs:
-        out += "/" + "/".join(segs)
+    # scheme and host:port lower; userinfo (up to the LAST @) verbatim
+    userinfo, _, hostport = host.rpartition("@")
+    out = f"{scheme}://".lower() + (
+        f"{userinfo}@{hostport.lower()}" if userinfo else hostport.lower()
+    )
+    path = "/" + "/".join(segs) if segs else ""
     if trailing:
-        out += "/"
+        path += "/"
+    # fragment always dropped; ONE trailing slash trimmed off the PATH
+    # (never off a query value — the query is reattached after)
+    if path.endswith("/"):
+        path = path[:-1]
+    out += path
     kept = [(n, v) for n, v in params if n not in _TRACKING]
     if kept:
         out += "?" + "&".join(f"{n}={v}" for n, v in kept)
-    # fragment always dropped; ONE trailing slash trimmed off the final
-    # string (so '/a/?id=5' keeps its path slash — the slash is not last)
-    if out.endswith("/"):
-        out = out[:-1]
     return out
 
 
