@@ -215,7 +215,17 @@ def inverted_index(
     if min_tf < 1:
         raise ValueError(f"min_tf must be >= 1, got {min_tf}")
     t = df.select(
-        F.col(id_col), F.posexplode(tokens(col)).alias("pos", "term")
+        # a NULL id would merge unrelated documents into one posting
+        # (groupBy puts every NULL key in one group) — fail loudly
+        F.when(F.col(id_col).isNotNull(), F.col(id_col))
+        .otherwise(
+            F.raise_error(
+                F.lit(f"inverted_index: NULL {id_col} — postings need a "
+                      "non-null document id")
+            )
+        )
+        .alias(id_col),
+        F.posexplode(tokens(col)).alias("pos", "term"),
     )
     return (
         t.groupBy("term", id_col)
@@ -264,10 +274,10 @@ def remove_repeated_spans(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
-    toks = df.select(F.col(id_col), tokens(col).alias("_t"))
-    grams = _positioned_grams(toks, id_col, n)
+    toks = _row_keyed_tokens(df, col, id_col)
+    grams = _positioned_grams(toks, "_rid", n)
     hot = (
-        grams.select("g", id_col)
+        grams.select("g", "_rid")
         .distinct()
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("df_docs"))
@@ -275,6 +285,29 @@ def remove_repeated_spans(
         .select("g")
     )
     return _cut_covered_tokens(toks, grams, hot, id_col, n)
+
+
+def _row_keyed_tokens(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Tokenized frame with a frozen per-ROW key ``_rid`` for the
+    span-cut family. The row key (not ``id_col``) drives the
+    covered-positions join, so NULL ids cannot silently escape the cut
+    (an equi-join never matches NULL) and duplicate-id rows cannot
+    receive each other's cut positions (both r8 follow-up review
+    findings). ``localCheckpoint`` freezes ``monotonically_increasing_id``
+    — without it the two plan branches could recompute different ids —
+    and doubles as the single materialization of the tokenize, which the
+    three downstream consumers (hot-gram aggregate, covered semi-join,
+    final rewrite) previously each recomputed from the source scan."""
+    if "_rid" in df.columns:
+        raise ValueError(
+            "span removal would clobber existing column '_rid'; "
+            "drop or rename it first"
+        )
+    return (
+        df.select(F.col(id_col), tokens(col).alias("_t"))
+        .withColumn("_rid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
 
 
 def _positioned_grams(toks: DataFrame, id_col: str, n: int) -> DataFrame:
@@ -304,16 +337,20 @@ def _cut_covered_tokens(
 ) -> DataFrame:
     """Shared span-cut rewrite: semi-join occurrences against the bad-gram
     set, aggregate covered positions to ONE small array per affected
-    document, drop them with an index-aware map-side ``filter`` — token
-    bodies never shuffle."""
+    ROW (the ``_rid`` key from :func:`_row_keyed_tokens`), drop them
+    with an index-aware map-side ``filter`` — token bodies never
+    shuffle."""
     covered = (
         grams.join(bad_grams, "g", "leftsemi")
-        .select(id_col, F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("cpos"))
-        .groupBy(id_col)
+        .select(
+            "_rid",
+            F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("cpos"),
+        )
+        .groupBy("_rid")
         .agg(F.array_sort(F.collect_set("cpos")).alias("_cov"))
     )
     return (
-        toks.join(covered, id_col, "left")
+        toks.join(covered, "_rid", "left")
         .select(
             id_col,
             F.when(F.col("_cov").isNull(), F.lit(0))
@@ -357,10 +394,13 @@ def remove_contaminated_spans(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = train.select(F.col(id_col), tokens(col).alias("_t"))
-    grams = _positioned_grams(toks, id_col, n)
-    etoks = evalset.select(F.col(id_col), tokens(col).alias("_t"))
-    bad = _positioned_grams(etoks, id_col, n).select("g").distinct()
+    toks = _row_keyed_tokens(train, col, id_col)
+    grams = _positioned_grams(toks, "_rid", n)
+    # the eval side needs no row key: only its distinct gram SET joins
+    etoks = evalset.select(tokens(col).alias("_t")).withColumn(
+        "_rid", F.monotonically_increasing_id()
+    )
+    bad = _positioned_grams(etoks, "_rid", n).select("g").distinct()
     return _cut_covered_tokens(toks, grams, bad, id_col, n)
 
 
@@ -424,30 +464,43 @@ def corpus_diff(
     # finding). Duplicates collapse to their max fingerprint —
     # deterministic; in-snapshot duplicates are the dedup family's
     # problem, the diff's contract is one verdict per id.
+    # distinctly-NAMED id columns per side: old and new often share
+    # lineage (two filters of one snapshot frame), where o[id]/n[id]
+    # qualified refs trip Spark's ambiguous-self-join check
     o = (
         old.select(
-            F.col(id_col),
+            F.col(id_col).alias("_id_old"),
             content_fingerprint(content_col).alias("_fp_old"),
         )
-        .groupBy(id_col)
+        .groupBy("_id_old")
         .agg(F.max("_fp_old").alias("_fp_old"), F.lit(1).alias("_in_old"))
     )
     n = (
         new.select(
-            F.col(id_col),
+            F.col(id_col).alias("_id_new"),
             content_fingerprint(content_col).alias("_fp_new"),
         )
-        .groupBy(id_col)
+        .groupBy("_id_new")
         .agg(F.max("_fp_new").alias("_fp_new"), F.lit(1).alias("_in_new"))
     )
-    joined = o.join(n, id_col, "full_outer")
+    # null-safe join key: a plain equi-join never matches NULL ids, so a
+    # NULL-id doc present in both snapshots emitted the contradictory
+    # ('added' AND 'removed') pair (r8 follow-up review finding). The
+    # per-side one-row-per-id collapse above leaves at most one NULL row
+    # per side, so the null-safe match is 1:1.
+    joined = o.join(
+        n, F.col("_id_old").eqNullSafe(F.col("_id_new")), "full_outer"
+    )
     status = (
         F.when(F.col("_in_old").isNull(), "added")
         .when(F.col("_in_new").isNull(), "removed")
         .when(F.col("_fp_old").eqNullSafe(F.col("_fp_new")), "unchanged")
         .otherwise("changed")
     )
-    return joined.select(id_col, status.alias("status"))
+    return joined.select(
+        F.coalesce(F.col("_id_old"), F.col("_id_new")).alias(id_col),
+        status.alias("status"),
+    )
 
 
 _UNICODE_FORMS = ("NFC", "NFD", "NFKC", "NFKD")

@@ -104,6 +104,13 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     ×1000 (int). Extend by chaining further ``withColumn`` features over
     the output.
     """
+    for clash in ("n_tokens", "n_chars_m", "mean_tok_len_c",
+                  "digit_ratio_m", "_tok_chars"):
+        if clash in df.columns:
+            raise ValueError(
+                f"quality_features would clobber existing column "
+                f"{clash!r}; drop or rename it first"
+            )
     toks = tokens(col)
     n_tok = F.size(toks)
     n_char = F.length(F.col(col))
@@ -148,14 +155,23 @@ def repetition_features(
     fraction of repeated tokens and the share of the most frequent bigram,
     both as exact ×1000 integers.
 
-    The top-bigram count is computed *relationally* — explode bigrams →
-    count per (doc, bigram) → max per doc — not as a per-row
-    distinct×occurrences scan: the nested-loop form is O(tokens²) per
-    document (measured 40 s vs 0.5 s on the sf0.01 corpus) and would melt
-    on exactly the degenerate long-repetitive documents this signal exists
-    to catch. The explode pays one shuffle keyed by doc id with map-side
-    partial aggregation; dup_token_m stays a map-only expression.
+    The top-bigram count is computed PER ROW — sort the row's bigram
+    array and take the longest run of equal neighbors (O(n log n)
+    JVM-side, zero shuffles). The per-row form replaces the earlier
+    relational explode→groupBy(doc_id): correct only for unique non-null
+    ids, it merged bigram counts across duplicate-id rows (chunked
+    corpora legitimately repeat doc_id) and across ALL NULL-id rows,
+    yielding out-of-range permilles (r8 follow-up review finding) — and
+    it paid a shuffle the sorted-runs form doesn't. The earlier
+    per-row distinct×occurrences scan stays rejected: O(tokens²) melts
+    on exactly the degenerate repetitive documents this signal catches.
     """
+    for clash in ("dup_token_m", "top_bigram_m", "_bs"):
+        if clash in df.columns:
+            raise ValueError(
+                f"repetition_features would clobber existing column "
+                f"{clash!r}; drop or rename it first"
+            )
     toks = tokens(col)
     n = F.size(toks)
     n_dist = F.size(F.array_distinct(toks))
@@ -164,31 +180,52 @@ def repetition_features(
         .otherwise(F.lit(0))
         .cast("long")
     )
-    bigrams = F.when(
+    bs = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "),
+                    F.element_at(toks, i + 1),
+                ),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top_counts = (
-        df.select(F.col(id_col), F.explode(bigrams).alias("_bg"))
-        .groupBy(id_col, "_bg")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy(id_col)
-        .agg(F.max("_c").alias("_top_bg"))
-    )
-    out = df.withColumn("dup_token_m", dup_token_m).join(
-        top_counts, id_col, "left"
+    # longest run of equal neighbors in the sorted array = the top
+    # bigram's count: ONE pass over the array elements (acc carries
+    # prev/run/best), never element_at indexing — indexed forms re-
+    # evaluate the sort per reference inside higher-order lambdas
+    # (measured: 154 s vs sub-second on the gate corpus). `_bs` is a
+    # materialized temp column for the same reason.
+    run_next = lambda acc, x: F.when(  # noqa: E731
+        x.eqNullSafe(acc["prev"]), acc["run"] + 1
+    ).otherwise(F.lit(1).cast("long"))
+    top_bg = F.aggregate(
+        F.col("_bs"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_next(acc, x).alias("run"),
+            F.greatest(acc["best"], run_next(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     top_bigram_m = (
-        F.when(n >= 2, F.floor((F.col("_top_bg") * 1000) / (n - 1)))
+        F.when(n >= 2, F.floor((top_bg * 1000) / (n - 1)))
         .otherwise(F.lit(0))
         .cast("long")
     )
-    return out.withColumn("top_bigram_m", top_bigram_m).drop("_top_bg")
+    return (
+        df.withColumn("dup_token_m", dup_token_m)
+        .withColumn("_bs", bs)
+        .withColumn("top_bigram_m", top_bigram_m)
+        .drop("_bs")
+    )
 
 
 def tfidf_top_terms(
@@ -497,7 +534,13 @@ def bpe_learn_merges(
                     F.lit(f" {best['a']}{best['b']} "),
                 ),
             ).persist()
-            nxt.count()
+            try:
+                nxt.count()
+            except Exception:
+                # the finally below only knows `cur` — release the
+                # just-persisted round or it pins for the session
+                nxt.unpersist()
+                raise
             if cur is not words:
                 cur.unpersist()
             cur = nxt

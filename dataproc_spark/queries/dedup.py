@@ -115,12 +115,14 @@ v2 AS (
            1 AS present
     FROM documents WHERE doc_id % 7 <> 0
 )
-SELECT doc_id,
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
        CASE WHEN o.present IS NULL THEN 'added'
             WHEN n.present IS NULL THEN 'removed'
             WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
             ELSE 'changed' END AS status
-FROM v1 o FULL OUTER JOIN v2 n USING (doc_id)
+-- null-safe id join, mirroring the engine: a NULL-id doc on both sides
+-- is one row, not a contradictory added+removed pair
+FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id IS NOT DISTINCT FROM n.doc_id
 """
 
 

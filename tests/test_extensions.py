@@ -1533,3 +1533,65 @@ def test_minhash_validates_bands_before_persist(spark):
     with pytest.raises(ValueError, match="must divide"):
         dedup.minhash_dedup_pairs(docs, num_hashes=64, bands=10)
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == before
+
+
+def test_span_removal_handles_null_and_duplicate_ids(spark):
+    from dataproc_spark.extensions import corpus
+
+    evalset = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (None, "a x y z b"),   # NULL id: the cut must still apply
+            (7, "x y z tail"),     # duplicate id, contaminated
+            (7, "clean words only more"),  # duplicate id, clean
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus.remove_contaminated_spans(train, evalset).collect()
+    by_text = {r["text_clean"]: r for r in out}
+    assert by_text["a b"]["n_removed"] == 3  # NULL-id row was cut
+    assert by_text["tail"]["n_removed"] == 3
+    # the clean duplicate-id row must NOT inherit the other row's cuts
+    assert by_text["clean words only more"]["n_removed"] == 0
+
+
+def test_inverted_index_rejects_null_ids(spark):
+    from dataproc_spark.extensions import corpus
+
+    df = spark.createDataFrame([(None, "a b")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        corpus.inverted_index(df).collect()
+
+
+def test_corpus_diff_null_id_single_verdict(spark):
+    from dataproc_spark.extensions import corpus
+
+    old = spark.createDataFrame([(None, "same"), (1, "a")],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(None, "same"), (2, "b")],
+                                "doc_id long, text string")
+    got = sorted(
+        ((r["doc_id"], r["status"]) for r in corpus.corpus_diff(old, new).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == [(1, "removed"), (2, "added"), (None, "unchanged")]
+
+
+def test_repetition_features_per_row_with_duplicate_ids(spark):
+    from dataproc_spark.extensions import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (1, "a b"), (2, "c d c d c e")],
+        "doc_id long, text string",
+    )
+    rows = textstats.repetition_features(df).collect()
+    vals = sorted((r["doc_id"], r["top_bigram_m"]) for r in rows)
+    # duplicate-id rows each score their OWN text: 'a b' has one bigram
+    # occurring once -> 1000 permille of (n-1)=1; never a merged 2000.
+    # 'c d c d c e': bigrams [c d, d c, c d, d c, c e] -> top 'c d'=2 of
+    # 5 -> 400
+    assert vals == [(1, 1000), (1, 1000), (2, 400)]
+    with pytest.raises(ValueError, match="clobber"):
+        textstats.repetition_features(df.withColumn("dup_token_m", F.lit(1)))
+    with pytest.raises(ValueError, match="clobber"):
+        textstats.quality_features(df.withColumn("n_tokens", F.lit(1)))
