@@ -31,6 +31,16 @@ from pyspark.sql import functions as F
 from dataproc_spark.core import ensure_has_columns, maybe_broadcast
 
 
+def _floor_bucket(ts_col: str, width: int) -> F.Column:
+    """Epoch-period id by floor division on int64 values: ``pmod``
+    before ``div`` so pre-1970 epochs floor (not truncate toward zero).
+    SQL ``div`` keeps the arithmetic exact in 64-bit integers (a double
+    ``/`` is lossy past 2^53 — nanos are ~2^60); the identifier is
+    backtick-quoted so non-bare column names ('event ts') parse."""
+    q = ts_col.replace("`", "``")
+    return F.expr(f"(`{q}` - pmod(`{q}`, {int(width)})) div {int(width)}")
+
+
 def funnel(
     events: DataFrame,
     steps: Sequence[str],
@@ -102,7 +112,7 @@ def retention_matrix(
     if period_ns <= 0:
         raise ValueError(f"period_ns must be positive, got {period_ns}")
     ensure_has_columns(events, [user_col, ts_col, type_col])
-    period = F.expr(f"({ts_col} - pmod({ts_col}, {period_ns})) div {period_ns}")
+    period = _floor_bucket(ts_col, period_ns)
     cohort = (
         events.where(F.col(type_col) == cohort_type)
         .groupBy(user_col)
@@ -154,9 +164,19 @@ def select_under_budget(
         F.col(score_col).alias("_h_score"),
         F.coalesce(F.sum("_bucket_w").over(wb), F.lit(0)).alias("_cum_before"),
     )
+    # weight joins the within-bucket order so rows tied on (score, id)
+    # get a deterministic running sum (r8 follow-up review finding —
+    # arrival order decided which tied row fit the budget); NULL weights
+    # count 0 UNIFORMLY via the coalesced per-row term (the bucket
+    # histogram's sum already skips NULLs, but a window sum over an
+    # all-NULL prefix is NULL, which silently dropped a NULL-weight row
+    # iff it sorted first in its bucket — position-dependent policy)
     wd = (
         Window.partitionBy(score_col)
-        .orderBy(id_col)
+        .orderBy(
+            F.col(id_col).asc_nulls_last(),
+            F.col(weight_col).asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
@@ -168,7 +188,10 @@ def select_under_budget(
             id_col,
             score_col,
             weight_col,
-            (F.col("_cum_before") + F.sum(weight_col).over(wd))
+            (
+                F.col("_cum_before")
+                + F.sum(F.coalesce(F.col(weight_col), F.lit(0))).over(wd)
+            )
             .cast("long")
             .alias("cum_weight"),
         )
@@ -205,7 +228,7 @@ def resample_ffill(
     if bucket_ns <= 0:
         raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
     ensure_has_columns(events, [user_col, ts_col, value_col, tiebreak_col])
-    b = F.expr(f"({ts_col} - pmod({ts_col}, {bucket_ns})) div {bucket_ns}")
+    b = _floor_bucket(ts_col, bucket_ns)
     per_bucket = (
         events.select(
             user_col,
@@ -341,15 +364,28 @@ def apply_changelog(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    untouched = snapshot.join(
-        maybe_broadcast(latest.select(key_col)), key_col, "left_anti"
+    # null-safe anti-join: a NULL-key change must still replace/delete
+    # the snapshot's NULL-key row (a plain equi-join never matches NULL,
+    # so the stale row survived AND the upsert duplicated it — r8
+    # follow-up review finding; the same eqNullSafe policy as the
+    # select_under_budget histogram join)
+    untouched = snapshot.alias("s").join(
+        maybe_broadcast(
+            latest.select(F.col(key_col).alias("_chg_key"))
+        ),
+        F.col(f"s.{key_col}").eqNullSafe(F.col("_chg_key")),
+        "left_anti",
     )
     # any NON-delete op upserts: CDC feeds vary their insert/update tags
     # (Debezium c/u/r, I/U variants), and every non-delete change row
     # carries the full record. The old `op == 'U'` filter made an
     # unrecognized op act as a DELETE — the key was anti-joined away and
-    # never re-inserted, silent data loss (r8 review finding).
-    upserts = latest.where(F.col(op_col) != "D").select(*snapshot.columns)
+    # never re-inserted, silent data loss (r8 review finding). NULL-safe
+    # for the same reason: `op != 'D'` is NULL for a NULL op, which
+    # silently deleted the key (r8 follow-up).
+    upserts = latest.where(~F.col(op_col).eqNullSafe("D")).select(
+        *snapshot.columns
+    )
     return untouched.unionByName(upserts)
 
 

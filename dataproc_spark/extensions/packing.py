@@ -57,6 +57,13 @@ def pack_greedy(
                 f"pack_greedy: null {size_col!r} values in group "
                 f"{pdf[group_col].iloc[0]!r} — fill or filter them first"
             )
+        if (pdf[size_col] < 0).any():
+            # a negative size drives acc <= 0, defeating the acc > 0
+            # new-bin guard — bins silently exceed the budget
+            raise ValueError(
+                f"pack_greedy: negative {size_col!r} values in group "
+                f"{pdf[group_col].iloc[0]!r} — sizes must be >= 0"
+            )
         pdf = pdf.sort_values(sort_keys, kind="mergesort")
         if pdf.duplicated(subset=sort_keys).any():
             raise ValueError(

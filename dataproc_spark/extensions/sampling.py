@@ -222,10 +222,19 @@ def stratified_sample(
     # rows still tied after it are bit-identical, so either choice is
     # the same output. (Not oracle-replayable — unreachable for the
     # unique non-NULL ids every gate uses.)
+    # hash expressions reject MapType columns at plan time, so the
+    # full-row tiebreak hashes every NON-map column (a frame carrying a
+    # metadata map would otherwise crash the whole operator — r8
+    # follow-up review finding; map columns can't deterministically
+    # order anyway)
+    hashable = [
+        f.name for f in df.schema.fields
+        if not f.dataType.typeName().startswith("map")
+    ]
     w = Window.partitionBy(*strata).orderBy(
         hash_hex(id_col, salt),
         F.col(id_col).asc_nulls_last(),
-        F.xxhash64(*df.columns),
+        F.xxhash64(*hashable) if hashable else F.lit(0),
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

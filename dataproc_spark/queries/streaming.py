@@ -156,9 +156,12 @@ latest AS (
 )
 SELECT s.user_id, s.ts, s.value_c
 FROM snap s
-WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = s.user_id)
+WHERE NOT EXISTS (SELECT 1 FROM latest l
+                  WHERE l.user_id IS NOT DISTINCT FROM s.user_id)
 UNION ALL
-SELECT user_id, ts, value_c FROM latest WHERE op <> 'D'
+-- null-safe op/key tests mirror the engine: a NULL op upserts
+-- (it is not a delete) and a NULL key still merges
+SELECT user_id, ts, value_c FROM latest WHERE op IS DISTINCT FROM 'D'
 """
 
 
@@ -268,9 +271,12 @@ latest AS (
 )
 SELECT s.user_id, s.ts, s.value_c
 FROM snap s
-WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = s.user_id)
+WHERE NOT EXISTS (SELECT 1 FROM latest l
+                  WHERE l.user_id IS NOT DISTINCT FROM s.user_id)
 UNION ALL
-SELECT user_id, ts, value_c FROM latest WHERE op <> 'D'
+-- null-safe op/key tests mirror the engine: a NULL op upserts
+-- (it is not a delete) and a NULL key still merges
+SELECT user_id, ts, value_c FROM latest WHERE op IS DISTINCT FROM 'D'
 """
 
 

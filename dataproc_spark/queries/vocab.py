@@ -432,9 +432,12 @@ WITH feats AS (
     FROM documents
 ),
 cum AS (
+    -- COALESCE + weight in the order, mirroring the engine's uniform
+    -- NULL-weight and tie-determinism policy
     SELECT doc_id, score_m, n_tokens,
-           SUM(n_tokens) OVER (
-               ORDER BY score_m DESC, doc_id ASC ROWS UNBOUNDED PRECEDING
+           SUM(COALESCE(n_tokens, 0)) OVER (
+               ORDER BY score_m DESC, doc_id ASC, n_tokens ASC
+               ROWS UNBOUNDED PRECEDING
            ) AS cum_tokens
     FROM feats
 )

@@ -757,3 +757,74 @@ def test_resample_ffill_leading_null_bucket_not_filled(spark):
     got = {r.bucket_id: (r.value_c, r.filled)
            for r in resample_ffill(events, bucket_ns=10).collect()}
     assert got == {0: (None, 0), 1: (70, 0), 2: (70, 1)}
+
+
+def test_apply_changelog_null_op_upserts_and_null_key_merges(spark):
+    """A NULL op is not a delete (op != 'D' was NULL -> the key silently
+    vanished) and a NULL-key change replaces the snapshot's NULL-key row
+    instead of duplicating it (null-safe anti-join)."""
+    from dataproc_spark.extensions.analytics import apply_changelog
+
+    snap = spark.createDataFrame(
+        [(1, 10, 1, 100), (None, 10, 2, 200)],
+        "user_id long, ts long, event_id long, value_c long",
+    )
+    changes = spark.createDataFrame(
+        [(1, 20, 3, 111, None), (None, 20, 4, 222, "U")],
+        "user_id long, ts long, event_id long, value_c long, op string",
+    )
+    got = sorted(
+        ((r.user_id, r.value_c) for r in apply_changelog(snap, changes).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    # key 1: NULL op upserted (111, not deleted, not stale 100);
+    # NULL key: replaced (222), exactly one row
+    assert got == [(1, 111), (None, 222)]
+
+
+def test_select_under_budget_null_weight_uniform(spark):
+    """NULL weights count 0 uniformly — never position-dependent drops
+    (a window sum over an all-NULL prefix is NULL, which used to drop a
+    NULL-weight row iff it sorted first in its score bucket)."""
+    from dataproc_spark.extensions.analytics import select_under_budget
+
+    for rows in ([(1, None, 5), (2, 3, 5)], [(1, 3, 5), (2, None, 5)]):
+        feats = spark.createDataFrame(
+            rows, "doc_id long, n_tokens long, score_m long"
+        )
+        got = sorted(r.doc_id for r in
+                     select_under_budget(feats, budget=10).collect())
+        assert got == [1, 2], rows
+
+
+def test_pack_greedy_rejects_negative_sizes(spark):
+    from dataproc_spark.extensions.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [("s", 1, -5), ("s", 2, 20)], "source string, doc_id long, n long"
+    )
+    with pytest.raises(Exception, match="negative"):
+        pack_greedy(df, size_col="n", budget=10, group_col="source",
+                    order_col="doc_id").collect()
+
+
+def test_stratified_sample_tolerates_map_columns(spark):
+    from dataproc_spark.extensions.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a", {"k": "v"}) for i in range(10)],
+        "doc_id long, source string, attrs map<string,string>",
+    )
+    got = stratified_sample(df, ["source"], k=3, id_col="doc_id",
+                            salt="s").collect()
+    assert len(got) == 3
+
+
+def test_floor_bucket_handles_non_bare_identifiers(spark):
+    from dataproc_spark.extensions.analytics import _floor_bucket
+
+    df = spark.createDataFrame([(25,), (-5,)], ["event ts"])
+    got = sorted(
+        r.b for r in df.select(_floor_bucket("event ts", 10).alias("b")).collect()
+    )
+    assert got == [-1, 2]  # pre-1970 floors, not truncates
