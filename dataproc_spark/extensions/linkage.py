@@ -66,14 +66,30 @@ def fuzzy_join_blocked(
     )
     joined = la.join(rb, "_blk")
     if self_join:
-        joined = joined.where(F.col("id_a") < F.col("id_b"))
+        # drop exact self-pairs only; mirror-dedup happens AFTER the
+        # match via least/greatest + distinct. The old `id_a < id_b`
+        # pre-filter silently LOST real matches when the two sides were
+        # asymmetric overlapping sets (df vs df.where(...)): the pair
+        # was only generated in the order the filter rejects (r8
+        # follow-up review finding). For identical sides the
+        # canonicalize+distinct yields exactly the old output.
+        joined = joined.where(F.col("id_a") != F.col("id_b"))
     # the 3-arg levenshtein short-circuits past the threshold (returns
     # -1), skipping the full DP matrix for clearly-far pairs — the
     # common case inside a block
-    return (
+    out = (
         joined.withColumn(
             "dist", F.levenshtein("_key_a", "_key_b", int(max_dist))
         )
         .where(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
+    if self_join:
+        # levenshtein is symmetric, so the canonical orientation keeps
+        # the same dist; distinct is a shuffle on the (small) match set
+        out = out.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "dist",
+        ).distinct()
+    return out

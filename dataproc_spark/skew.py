@@ -31,8 +31,16 @@ def with_salt(df: DataFrame, salt: int, id_cols: Sequence[str] | None = None) ->
 
     Deterministic (hash of ``id_cols``) rather than ``rand()`` so plans
     stay reproducible and re-computation under task retries is stable.
-    When no id columns are given, a per-partition row index seeds the
-    hash — still uniform, still retry-stable within a partition.
+    When no id columns are given, the salt hashes the FULL ROW CONTENT
+    (every non-map column): a recomputed task reproduces the same salt
+    per row regardless of intra-partition row order. The previous
+    partition-id + row-index fallback was only retry-stable when the
+    partition's row ORDER was deterministic — downstream of a shuffle it
+    is not, so a task retry could re-bucket rows whose old buckets the
+    reducers had already fetched (the classic rand()-salting hazard; r8
+    follow-up review finding). The content-hash trade-off: bit-identical
+    duplicate rows share a salt and do not spread — pass ``id_cols``
+    (a row id) when the input carries full duplicates.
     """
     if salt < 1:
         # salt=0 dies mid-job with an opaque REMAINDER_BY_ZERO under
@@ -51,7 +59,15 @@ def with_salt(df: DataFrame, salt: int, id_cols: Sequence[str] | None = None) ->
     if id_cols:
         src = F.xxhash64(*[F.col(c) for c in id_cols])
     else:
-        src = F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id())
+        hashable = [
+            f.name for f in df.schema.fields
+            if not f.dataType.typeName().startswith("map")
+        ]
+        src = (
+            F.xxhash64(*[F.col(c) for c in hashable])
+            if hashable
+            else F.lit(0)
+        )
     return df.withColumn(SALT, F.pmod(src, F.lit(salt)).cast("int"))
 
 
@@ -82,12 +98,17 @@ def salted_agg(
     # silently mis-combined), and the applied column name is hidden by
     # user aliases — the analyzed plan renders the truth either way
     # ('sum(v) AS whatever', 'count(DISTINCT v) AS x').
+    # ONE batched analysis probe for every aggregate (the last
+    # len(aggs) expressions of the analyzed plan, in order) — a
+    # per-aggregate probe paid one driver plan-analysis round-trip per
+    # entry for config-driven rule lists
     probe = df.limit(0)
+    plan = probe.agg(*aggs.values())._jdf.queryExecution().analyzed()
+    exprs = plan.expressions()
+    base = exprs.length() - len(aggs)
     finals = []
-    for name, c in aggs.items():
-        plan = probe.agg(c)._jdf.queryExecution().analyzed()
-        exprs = plan.expressions()
-        canonical = exprs.apply(exprs.length() - 1).sql()
+    for i, name in enumerate(aggs):
+        canonical = exprs.apply(base + i).sql()
         m = re.match(r"(\w+)\((distinct )?", canonical.lower())
         fn, distinct = (m.group(1), bool(m.group(2))) if m else ("", False)
         pc = F.col(f"_p_{name}")

@@ -34,6 +34,7 @@ def interval_join(
     end_col: str = "end",
     by: Sequence[str] = (),
     bucket_ns: int = 3_600_000_000_000,
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Point-in-interval join (``start <= point_ts < end``) as an
     equi-join on coarse time buckets plus a residual range filter.
@@ -74,14 +75,43 @@ def interval_join(
     # A malformed interval (end <= start) matches nothing, but without the
     # guard sequence(a, b) auto-steps -1 when a > b and a single bad row
     # (swapped columns, 0 sentinel) explodes into millions of bucket rows.
-    ivals = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
-        "_bk",
-        F.explode(
-            F.sequence(
-                floor_div(f"`{start_col}`"),
-                floor_div(f"`{end_col}` - 1"),
+    # The symmetric hazard is a LEGITIMATELY huge interval (an SCD
+    # far-future sentinel end at ns resolution spans millions of
+    # buckets): cap the per-interval fan-out and fail with the fix in
+    # the message instead of a silent multi-terabyte explode.
+    n_buckets = (
+        floor_div(f"`{end_col}` - 1") - floor_div(f"`{start_col}`") + 1
+    )
+    fanout_guard = F.when(
+        n_buckets <= int(max_buckets_per_interval), F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "interval_join: an interval spans more than "
+                    f"{int(max_buckets_per_interval)} buckets ("
+                ),
+                n_buckets.cast("string"),
+                F.lit(
+                    ") — raise bucket_ns to match the interval scale, "
+                    "clamp sentinel end timestamps, or raise "
+                    "max_buckets_per_interval explicitly"
+                ),
             )
-        ),
+        )
+    )
+    ivals = (
+        intervals.where(F.col(end_col) > F.col(start_col))
+        .where(fanout_guard)
+        .withColumn(
+            "_bk",
+            F.explode(
+                F.sequence(
+                    floor_div(f"`{start_col}`"),
+                    floor_div(f"`{end_col}` - 1"),
+                )
+            ),
+        )
     )
     pts = points.withColumn("_bk", floor_div(f"`{point_ts}`"))
     cond = [pts["_bk"] == ivals["_bk"]] + [
@@ -118,6 +148,14 @@ def asof_join(
     to one row per ``(by, on)`` if that matters (the gate query does).
     """
     by = [by] if isinstance(by, str) else list(by)
+    if not by:
+        # Window.partitionBy() with no keys plans ONE global partition:
+        # the whole input shuffles to a single sorting task — an opaque
+        # hang/OOM at scale instead of this error
+        raise ValueError(
+            "asof_join needs at least one `by` key; an empty key list "
+            "would sort the entire input in one window partition"
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*by, on)]
     carried = [f"{on}{suffix}", *[f"{c}{suffix}" for c in right_cols]]

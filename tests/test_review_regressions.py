@@ -828,3 +828,52 @@ def test_floor_bucket_handles_non_bare_identifiers(spark):
         r.b for r in df.select(_floor_bucket("event ts", 10).alias("b")).collect()
     )
     assert got == [-1, 2]  # pre-1970 floors, not truncates
+
+
+def test_fuzzy_join_self_join_asymmetric_sides_keep_matches(spark):
+    """self_join=True on asymmetric overlapping sides must not lose the
+    match that only arrives in the (bigger-id, smaller-id) orientation
+    (the old id_a < id_b pre-filter dropped it)."""
+    from dataproc_spark.extensions.linkage import fuzzy_join_blocked
+
+    left = spark.createDataFrame(
+        [(5, "kitten"), (3, "kittem")], "id long, name string"
+    )
+    right = left.where(F.col("id") == 3)  # subset: only id=3
+    got = fuzzy_join_blocked(
+        left, right, key_col="name",
+        block=F.expr("substring(name, 1, 3)"), self_join=True,
+    ).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in got] == [(3, 5, 1)]
+    # identical sides: each unordered pair exactly once, as before
+    both = fuzzy_join_blocked(
+        left, left, key_col="name",
+        block=F.expr("substring(name, 1, 3)"), self_join=True,
+    ).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in both] == [(3, 5, 1)]
+
+
+def test_interval_join_caps_bucket_fanout(spark):
+    from dataproc_spark.temporal import interval_join
+
+    pts = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+    # a far-future sentinel end spans ~9e6 buckets at bucket_ns=1000
+    ivals = spark.createDataFrame(
+        [(1, 0, 9_000_000_000)], "user_id long, start long, end long"
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        interval_join(pts, ivals, by=["user_id"], bucket_ns=1000).collect()
+    # raising the cap explicitly still works
+    out = interval_join(
+        pts, ivals, by=["user_id"], bucket_ns=1000,
+        max_buckets_per_interval=10_000_000,
+    )
+    assert out.count() == 1
+
+
+def test_asof_join_rejects_empty_by(spark):
+    from dataproc_spark.temporal import asof_join
+
+    df = spark.createDataFrame([(1, 10)], "user_id long, ts long")
+    with pytest.raises(ValueError, match="at least one"):
+        asof_join(df, df, by=())

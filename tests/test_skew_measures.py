@@ -44,10 +44,32 @@ def test_salted_join_matches_plain(spark):
 
 
 def test_with_salt_scatters_rows_of_same_key(spark):
-    df = spark.createDataFrame([(1,)] * 64, schema="k long")
+    # a hot KEY whose rows differ in some column (the realistic shape —
+    # rows carry ids/payloads) spreads across buckets
+    df = spark.createDataFrame([(1, i) for i in range(64)],
+                               schema="k long, v long")
     salted = skew.with_salt(df, 8)
     n_buckets = salted.select("_salt").distinct().count()
     assert n_buckets > 1  # rows of the hot key spread across buckets
+
+
+def test_with_salt_is_content_deterministic(spark):
+    # the keyless salt hashes row CONTENT (retry-stable regardless of
+    # intra-partition row order); the documented trade-off is that
+    # bit-identical duplicate rows share a bucket — pass id_cols there
+    df = spark.createDataFrame([(1,)] * 16, schema="k long")
+    assert skew.with_salt(df, 8).select("_salt").distinct().count() == 1
+    a = {(r.k, r.v, r._salt)
+         for r in skew.with_salt(
+             spark.createDataFrame([(1, i) for i in range(32)],
+                                   "k long, v long").repartition(7),
+             8).collect()}
+    b = {(r.k, r.v, r._salt)
+         for r in skew.with_salt(
+             spark.createDataFrame([(1, i) for i in range(31, -1, -1)],
+                                   "k long, v long").repartition(3),
+             8).collect()}
+    assert a == b  # same rows -> same salts, any order/partitioning
 
 
 # --- AP / nDCG measures ---------------------------------------------------
