@@ -223,8 +223,18 @@ def spread_narrow(df: DataFrame, *cols: str) -> DataFrame:
         splits = max(len(files), size // max_split)
         narrow = splits < parallelism
     else:
+        import re as _re
+
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        narrow = "LocalRelation" in plan
+        # narrow only when EVERY leaf is a LocalRelation: a substring
+        # test classified any big RDD-backed frame joined to a literal
+        # frame as narrow (the literal side contributes 'LocalRelation'
+        # somewhere in the plan) and force-repartitioned it down to the
+        # driver's core count (r8 follow-up review finding)
+        other_leaf = _re.search(
+            r"LogicalRDD|ExternalRDD|(?<!Local)Relation ?\[|Range \(", plan
+        )
+        narrow = "LocalRelation" in plan and not other_leaf
     return df.repartition(parallelism, *cols) if narrow else df
 
 

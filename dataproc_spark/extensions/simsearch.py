@@ -53,7 +53,11 @@ def dot_q(a, b) -> F.Column:
 
 
 def cosine(a, b) -> F.Column:
-    """Double-precision cosine similarity of two float vectors."""
+    """Double-precision cosine similarity of two float vectors.
+
+    A zero-norm side yields 0.0 (defined, not NULL): the undefined
+    division otherwise silently dropped the row from ``>=`` filters in
+    non-ANSI sessions and raised DIVIDE_BY_ZERO mid-job under ANSI."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     ad = F.transform(a, lambda x: x.cast("double"))
@@ -62,7 +66,7 @@ def cosine(a, b) -> F.Column:
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    return F.when(na * nb == 0.0, F.lit(0.0)).otherwise(dot / (na * nb))
 
 
 def brute_force_topk(
@@ -72,6 +76,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by quantized dot product: broadcast queries × full scan.
 
@@ -79,6 +84,11 @@ def brute_force_topk(
     queries broadcast (no shuffle of the corpus), per-query top-k via a
     rank window that Catalyst rewrites to partial top-k before the final
     shuffle. Ties break by candidate id — fully deterministic.
+
+    ``exclude_self=True`` (default) drops candidates whose id equals the
+    query id — right when queries are drawn FROM the corpus (the gates'
+    shape). Pass ``False`` when query and corpus id spaces are unrelated,
+    or an unlucky id collision silently hides a true neighbor.
     """
     q = queries.select(
         F.col(id_col).alias("qid"), quantize(vec_col, scale).alias("_qv")
@@ -88,11 +98,10 @@ def brute_force_topk(
     # would serialize the (CPU-bound) dot products on a single core
     spread = _spread(embeddings)
     c = spread.select(F.col(id_col), quantize(vec_col, scale).alias("_cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col(id_col) != F.col("qid"))
-        .withColumn("dot_q", dot_q("_qv", "_cv"))
-    )
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col("qid"))
+    scored = scored.withColumn("dot_q", dot_q("_qv", "_cv"))
     w = Window.partitionBy("qid").orderBy(F.col("dot_q").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -110,6 +119,7 @@ def bucketed_topk(
     bucket_col: str = "label",
     scale: int = 1000,
     salt: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: score only candidates in the query's
     coarse bucket.
@@ -137,11 +147,12 @@ def bucketed_topk(
     c = spread.select(
         F.col(id_col), F.col(bucket_col).alias("_cb"), quantize(vec_col, scale).alias("_cv")
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("_cb") == F.col("_qb"))
-        .where(F.col(id_col) != F.col("qid"))
-        .withColumn("dot_q", dot_q("_qv", "_cv"))
-    )
+    scored = c.join(F.broadcast(q), F.col("_cb") == F.col("_qb"))
+    if exclude_self:
+        # right when queries come FROM the corpus; pass False for
+        # unrelated id spaces (same contract as brute_force_topk)
+        scored = scored.where(F.col(id_col) != F.col("qid"))
+    scored = scored.withColumn("dot_q", dot_q("_qv", "_cv"))
     w = Window.partitionBy("qid").orderBy(F.col("dot_q").desc(), F.col(id_col).asc())
     if salt is not None and int(salt) > 1:
         from dataproc_spark import skew as _skew
@@ -408,10 +419,43 @@ def near_dup_pairs(
     quantized dot ≥ threshold. The bucket restriction is what keeps this
     off the all-pairs cliff at scale; recall is traded per the coarse
     quantizer's quality, exactly as in IVF dedup pipelines.
+
+    NULL ids, buckets, or vector elements raise: each would silently
+    escape detection (a NULL bucket never equi-joins, a NULL id fails
+    ``id_a < id_b``, a NULL element nulls the verify dot) — the same
+    silent-corpus-escape policy as :func:`rp_lsh_near_dup`. Pre-filter
+    unlabeled rows explicitly if that is intended.
     """
+
+    def _req(c: F.Column, what: str) -> F.Column:
+        return F.when(c.isNotNull(), c).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"near_dup_pairs: NULL {what} — it would silently "
+                    "escape near-dup detection; filter such rows "
+                    "explicitly first"
+                )
+            )
+        )
+
     spread = _spread(embeddings)
     e = spread.select(
-        F.col(id_col), F.col(bucket_col).alias("_b"), quantize(vec_col, scale).alias("_v")
+        _req(F.col(id_col), id_col).alias(id_col),
+        _req(F.col(bucket_col), bucket_col).alias("_b"),
+        F.when(
+            F.col(vec_col).isNotNull()
+            & ~F.exists(F.col(vec_col), lambda x: x.isNull()),
+            quantize(vec_col, scale),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"near_dup_pairs: NULL {vec_col} or NULL element — "
+                    "it would silently escape near-dup detection"
+                )
+            )
+        )
+        .alias("_v"),
     )
     a, b = e.alias("a"), e.alias("b")
     return (
@@ -586,6 +630,11 @@ def rp_lsh_near_dup(
         )
         .alias("_v"),
     )
+    # three plan branches read e (signature pass + both verify sides) —
+    # persist so the scan+quantize+validate runs once, released when the
+    # result frame is garbage-collected (same lifetime contract as the
+    # minhash signature table)
+    e = e.persist()
 
     if signature_impl == "arrow":
         banded = _rp_banded_arrow(e, planes, band_bits, id_col)
@@ -639,12 +688,15 @@ def rp_lsh_near_dup(
     )
     va = e.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
     vb = e.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
-    return (
+    out = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", dot_q(F.col("_va"), F.col("_vb")).alias("dot_q"))
         .where(F.col("dot_q") >= threshold_dot_q)
     )
+    from dataproc_spark.core import release_cache_on_gc
+
+    return release_cache_on_gc(out, e)
 
 
 def _kmeans_assign(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
@@ -697,7 +749,53 @@ def embed_kmeans(
     )
     q = q.persist()
     seed = q.orderBy(F.col(id_col).asc()).limit(k).collect()
-    centroids = [(i, list(r["_v"])) for i, r in enumerate(seed)]
+    centroids = []
+    seed_dim = None
+    for i, r in enumerate(seed):
+        v = r["_v"]
+        if (
+            v is None
+            or any(x is None for x in v)
+            or (seed_dim is not None and len(v) != seed_dim)
+        ):
+            # seed vectors are validated DRIVER-side (the executor guard
+            # below derives its dim from them, so a bad seed would crash
+            # with an opaque int(None) while building centroid literals)
+            raise ValueError(
+                "embed_kmeans: seed vectors must be same-length with no "
+                f"NULL elements; offending {id_col}={r[id_col]!r}"
+            )
+        seed_dim = len(v) if seed_dim is None else seed_dim
+        centroids.append((i, list(v)))
+    if centroids:
+        # NULL or wrong-length vectors would otherwise assign to cluster
+        # 0 silently: every distance aggregates to NULL and the
+        # (dist, cid) struct min sorts the NULL first (r8 follow-up
+        # review finding; the same raise policy as rp_lsh_near_dup).
+        # Applied over the persisted projection — no extra scan.
+        dim = len(centroids[0][1])
+        q = q.select(
+            F.col(id_col),
+            F.when(
+                (F.size("_v") == dim)
+                & ~F.exists("_v", lambda x: x.isNull()),
+                F.col("_v"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"embed_kmeans: expected {dim}-dim vectors "
+                            "with no NULL elements, got size="
+                        ),
+                        F.coalesce(
+                            F.size("_v").cast("string"), F.lit("NULL")
+                        ),
+                    )
+                )
+            )
+            .alias("_v"),
+        )
     for _ in range(iters):
         assigned = _kmeans_assign(q, centroids)
         rows = (
@@ -775,4 +873,8 @@ def hard_negatives(
         F.col(id_col).alias("neg_id"),
         F.col("dot_q").alias("neg_dot"),
     )
-    return pos.join(neg, "qid", "inner")
+    # FULL outer, not inner: a query with no same-label (or no
+    # different-label) candidate keeps its row with the missing side
+    # NULL — an inner join silently erased such queries entirely (r8
+    # follow-up review finding)
+    return pos.join(neg, "qid", "full")

@@ -132,6 +132,23 @@ def write_shard_results(
     Returns the written paths.
     """
     ensure_has_columns(df, ["shard"])
+    # fail fast on the contract the filename encoding cannot express: a
+    # NULL shard would write a __HIVE_DEFAULT_PARTITION__ directory that
+    # load_shard_results (which reads shard ids 0..n-1) can never find —
+    # silent roundtrip data loss. The int cast keeps the written files
+    # readable by the schema-enforcing load (a long 'shard' column from
+    # a schemaless createDataFrame otherwise writes INT64 parquet that
+    # the 'shard int' read crashes on, far from the writing bug).
+    df = df.withColumn(
+        "shard",
+        F.when(F.col("shard").isNotNull(), F.col("shard").cast("int"))
+        .otherwise(
+            F.raise_error(
+                F.lit("write_shard_results: NULL shard — every row needs "
+                      "a shard id in [0, nshards)")
+            )
+        ),
+    )
     tmp = tempfile.mkdtemp(prefix="shardw_", dir=os.path.dirname(basename) or ".")
     out_paths: list[str] = []
     try:
@@ -224,7 +241,12 @@ def trec_frame(
     )
 
 
-def to_trec(results: DataFrame, path: str, cutoff: int = 1000) -> None:
+def to_trec(
+    results: DataFrame,
+    path: str,
+    cutoff: int = 1000,
+    tiebreak_cols: Sequence[str] = ("title",),
+) -> None:
     """Write a ``trec_eval``-format run file: headerless TSV, columns
     ``query iter title rank score run_id``, globally sorted by (query, rank).
 
@@ -233,8 +255,10 @@ def to_trec(results: DataFrame, path: str, cutoff: int = 1000) -> None:
     ``sortWithinPartitions`` — the only intentionally single-task stage in
     the engine (the run file is per-query top-``cutoff``, inherently small);
     everything upstream (ranking, filtering) runs distributed.
+    ``tiebreak_cols`` passes through to :func:`trec_frame` for runs whose
+    duplicate scores need a different deterministic order.
     """
-    frame = trec_frame(results, cutoff)
+    frame = trec_frame(results, cutoff, tiebreak_cols=tiebreak_cols)
     tmp = tempfile.mkdtemp(prefix="trec_", dir=os.path.dirname(path) or ".")
     try:
         (

@@ -666,8 +666,12 @@ best AS (
                                  ORDER BY dot DESC, cid ASC) AS rnk
     FROM scored
 )
-SELECT p.qid, p.cid AS pos_id, p.dot AS pos_dot,
+-- FULL join mirrors the engine: a query missing one side keeps its row
+-- with that side NULL instead of vanishing
+SELECT COALESCE(p.qid, n.qid) AS qid,
+       p.cid AS pos_id, p.dot AS pos_dot,
        n.cid AS neg_id, n.dot AS neg_dot
-FROM best p JOIN best n ON p.qid = n.qid
-WHERE p.side = 'pos' AND p.rnk = 1 AND n.side = 'neg' AND n.rnk = 1
+FROM (SELECT * FROM best WHERE side = 'pos' AND rnk = 1) p
+FULL OUTER JOIN (SELECT * FROM best WHERE side = 'neg' AND rnk = 1) n
+  ON p.qid = n.qid
 """

@@ -877,3 +877,127 @@ def test_asof_join_rejects_empty_by(spark):
     df = spark.createDataFrame([(1, 10)], "user_id long, ts long")
     with pytest.raises(ValueError, match="at least one"):
         asof_join(df, df, by=())
+
+
+def test_embed_kmeans_rejects_null_or_short_vectors(spark):
+    from dataproc_spark.extensions.simsearch import embed_kmeans
+
+    # bad vector in the SEED set: driver-side validation, clear message
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, None]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="NULL elements"):
+        embed_kmeans(df, k=2, iters=1).collect()
+    # bad vector OUTSIDE the seed set: executor-side raise_error guard
+    short = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="expected 2-dim"):
+        embed_kmeans(short, k=1, iters=1).collect()
+
+
+def test_near_dup_pairs_rejects_null_keys(spark):
+    from dataproc_spark.extensions.simsearch import near_dup_pairs
+
+    base = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0)]
+    for bad, msg in (
+        ((3, [1.0, 0.0], None), "NULL label"),
+        ((None, [1.0, 0.0], 0), "NULL vec_id"),
+        ((3, [1.0, None], 0), "NULL element"),
+    ):
+        df = spark.createDataFrame(
+            base + [bad], "vec_id long, embedding array<float>, label int"
+        )
+        with pytest.raises(Exception, match=msg):
+            near_dup_pairs(df, threshold_dot_q=0).collect()
+
+
+def test_write_shard_results_rejects_null_shard(spark, tmp_path):
+    from dataproc_spark.io import write_shard_results
+
+    df = spark.createDataFrame(
+        [(0, 0, 1, 1, 0.5, None, 0)],
+        "query int, rank int, ldocid long, gdocid long, score double, "
+        "shard int, bucket int",
+    )
+    with pytest.raises(Exception, match="NULL shard"):
+        write_shard_results(df, str(tmp_path / "run"))
+
+
+def test_write_shard_results_casts_long_shard(spark, tmp_path):
+    """A schemaless createDataFrame makes shard a long; the write must
+    cast so the schema-enforcing load doesn't crash on INT64 parquet."""
+    from dataproc_spark.io import load_shard_results, write_shard_results
+
+    df = spark.createDataFrame(
+        [(0, 0, 1, 1, 0.5, 0, 0), (0, 0, 2, 2, 0.4, 1, 0)],
+        ["query", "rank", "ldocid", "gdocid", "score", "shard", "bucket"],
+    )
+    assert dict(df.dtypes)["shard"] == "bigint"
+    write_shard_results(df, str(tmp_path / "run"))
+    back = load_shard_results(spark, str(tmp_path / "run"), 2)
+    assert back.count() == 2
+
+
+def test_spread_narrow_ignores_local_side_of_join(spark):
+    """A big RDD-backed frame joined to a literal frame must NOT be
+    classified narrow just because the literal side's LocalRelation
+    appears in the plan text."""
+    from dataproc_spark.core import spread_narrow
+
+    rdd_backed = spark.createDataFrame(
+        spark.sparkContext.parallelize([(i, i % 3) for i in range(100)], 13),
+        "id long, k long",
+    )
+    lit = spark.createDataFrame([(0, "x"), (1, "y")], "k long, name string")
+    joined = rdd_backed.join(lit, "k")
+    out = spread_narrow(joined)
+    assert out is joined  # untouched: no forced repartition
+    # a frame whose every leaf is a LocalRelation still spreads
+    local = spark.sql(
+        "SELECT * FROM VALUES " + ",".join(f"({i})" for i in range(50))
+        + " AS t(id)"
+    )
+    assert spread_narrow(local) is not local
+
+
+def test_cosine_zero_norm_defined(spark):
+    from dataproc_spark.extensions.simsearch import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [r.c for r in df.select(cosine("a", "b").alias("c")).collect()]
+    assert got[0] == 0.0 and abs(got[1] - 1.0) < 1e-9
+
+
+def test_topk_exclude_self_optional(spark):
+    from dataproc_spark.extensions.simsearch import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.9, 0.1])], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame([(7, [1.0, 0.0])],
+                              "vec_id long, embedding array<float>")
+    with_self = brute_force_topk(emb, q, k=2, exclude_self=False).collect()
+    assert {r.vec_id for r in with_self} == {7, 8}
+    without = brute_force_topk(emb, q, k=2).collect()
+    assert {r.vec_id for r in without} == {8}
+
+
+def test_hard_negatives_keeps_one_sided_queries(spark):
+    from dataproc_spark.extensions.simsearch import hard_negatives
+
+    # query label 5 appears nowhere else: no 'pos' side exists, but the
+    # mined hard negative must still be reported (full join, not inner)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 5), (2, [0.9, 0.1], 3), (3, [0.0, 1.0], 3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = emb.where(F.col("vec_id") == 1)
+    rows = hard_negatives(emb, q).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.qid == 1 and r.pos_id is None and r.neg_id == 2
