@@ -82,8 +82,11 @@ def evaluate(shards, results, measures, num_shards, verbose=False,
     # the reference UNCONDITIONALLY ends with sort_values(['query',
     # 'step']) (selectivesearch.py:73) — a drop-in consumer may read
     # rows positionally or feed plot_and_show, so the compat surface
-    # reproduces that final order (r7 review; the engine-level
-    # selective.evaluate stays order-free, as a Spark API should)
+    # reproduces that final order. The engine-level selective.evaluate
+    # happens to order identically today, but the POSITIONAL-read
+    # contract lives HERE: compat re-asserts it so an engine-side plan
+    # change can never silently break reference parity (the duplicate
+    # sort is eliminated by Catalyst's EliminateSorts when redundant)
     return _selective.evaluate(
         shards, results, measures, num_shards, sort=sort,
         num_buckets=num_buckets,

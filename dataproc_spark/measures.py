@@ -36,6 +36,12 @@ class Measure:
     name: str
     builder: Callable[[str, str], Column]
     requires: tuple = ()
+    #: extra INPUT columns the results frame must already carry (e.g.
+    #: recall_at's per-query total column) — validated by the evaluate
+    #: gates up front, so a missing denominator fails with the module's
+    #: uniform 'Column X missing' error instead of a raw Catalyst
+    #: UNRESOLVED_COLUMN deep in the aggregate
+    input_cols: tuple = ()
 
     def column(self, rel_col: str, rank_col: str) -> Column:
         return self.builder(rel_col, rank_col).alias(self.name)
@@ -108,6 +114,7 @@ def recall_at(k: int, total_col: str = "num_rel", name: str | None = None) -> Me
             )
             / F.max(F.col(total_col)),
         ).otherwise(F.lit(0.0)),
+        input_cols=(total_col,),
     )
 
 
@@ -143,9 +150,21 @@ def average_precision(k: int | None = None, name: str | None = None) -> Measure:
         denom = F.sum(
             F.when(F.col(rel) > 0, F.lit(1)).otherwise(F.lit(0))
         )
-        return F.when(denom > 0, F.sum(contrib) / denom).otherwise(F.lit(0.0))
+        # coalesce: with relevant docs present but NONE inside the
+        # prefix, contrib is all-NULL and F.sum(contrib) is NULL — AP@k
+        # must be 0.0 there (trec_eval gives 0), not a NULL that a
+        # downstream mean silently skips (r8 follow-up review finding;
+        # recall_at got .otherwise(0) for this same class)
+        ap = F.coalesce(F.sum(contrib), F.lit(0.0)) / denom
+        return F.when(denom > 0, ap).otherwise(F.lit(0.0))
 
-    return Measure(name or (f"ap_{k}" if k else "ap"), build, requires=("_hits",))
+    return Measure(
+        # `k is not None`, not truthiness: average_precision(0) must not
+        # collide with unbounded AP's name
+        name or (f"ap_{k}" if k is not None else "ap"),
+        build,
+        requires=("_hits",),
+    )
 
 
 def ndcg_at(k: int, name: str | None = None) -> Measure:
@@ -156,8 +175,13 @@ def ndcg_at(k: int, name: str | None = None) -> Measure:
     added automatically by :func:`dataproc_spark.selective.evaluate`.
     """
     def build(rel, rn):
-        dcg = F.sum(
-            F.when(F.col(rn) <= k, F.col(rel) / F.log2(F.col(rn) + 1))
+        # coalesce for the all-outside-prefix case (same NULL-sum class
+        # as average_precision): nDCG@k is 0.0, not NULL
+        dcg = F.coalesce(
+            F.sum(
+                F.when(F.col(rn) <= k, F.col(rel) / F.log2(F.col(rn) + 1))
+            ),
+            F.lit(0.0),
         )
         idcg = F.sum(
             F.when(

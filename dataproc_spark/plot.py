@@ -79,7 +79,10 @@ def plot_and_show(
     ]
     fig, ax = plt.subplots(figsize=size)
     handles = [ax.plot(f[x], f[y], style)[0] for f in frames]
-    if axis:
+    if axis is not None:
+        # `is not None`, not truthiness: ax.axis(False) (hide axes) and
+        # ax.axis(0) are valid matplotlib arguments a truthiness test
+        # silently swallowed
         ax.axis(axis)
     if labels:
         ax.legend(

@@ -130,7 +130,13 @@ def select_with_decay(
     join. One intentional driver scalar: global ``max(bucket) + 1``, same as
     the reference (``:147``).
     """
-    if decay_factor == 1:
+    if decay_factor == 1 and num_buckets is None:
+        # the derived bucket count is max(bucket)+1, so every budget is
+        # vacuous and this equals plain select(). With an EXPLICIT
+        # num_buckets the budget filter still binds (rows with
+        # bucket >= num_buckets must drop, matching the decay→1 limit) —
+        # short-circuiting there made behavior discontinuous at
+        # decay_factor == 1 (r8 follow-up review finding)
         return select(selection, results, t)
     ensure_has_columns(selection, ["rank", "query", "shard"])
     ensure_has_columns(results, ["score", "query", "shard", "bucket"])
@@ -369,6 +375,17 @@ def _augment_for_measures(
     return ranked
 
 
+def _measure_input_cols(measures) -> list:
+    """Extra input columns declared by the measures themselves (e.g.
+    recall_at's total column), for the fail-fast column gates."""
+    cols: list = []
+    for ms in measures.values():
+        ms = ms if isinstance(ms, (list, tuple)) else [ms]
+        for m in ms:
+            cols.extend(getattr(m, "input_cols", ()))
+    return cols
+
+
 def evaluate_step(
     shards: DataFrame,
     results: DataFrame,
@@ -393,7 +410,10 @@ def evaluate_step(
     """
     keys = ["query", "shard"] + (["bucket"] if with_buckets else [])
     ensure_has_columns(shards, keys + ["rank"])
-    ensure_has_columns(results, keys + [order_col] + list(measures))
+    ensure_has_columns(
+        results,
+        keys + [order_col] + list(measures) + _measure_input_cols(measures),
+    )
     chosen = shards.where(F.col("rank") < step).select(*keys)
     hits = results.join(maybe_broadcast(chosen), keys, "leftsemi")
     w = Window.partitionBy("query").orderBy(F.col(order_col).asc())
@@ -458,7 +478,10 @@ def evaluate(
             shards, "shard_score", ("query",), tuple(keys[1:]), "rank"
         )
     ensure_has_columns(shards, keys + ["rank"])
-    ensure_has_columns(results, keys + [order_col] + list(measures))
+    ensure_has_columns(
+        results,
+        keys + [order_col] + list(measures) + _measure_input_cols(measures),
+    )
 
     # results may legitimately carry their own `rank` column (the per-shard
     # result rank in the SHARD_RESULTS_SCHEMA contract) — alias the selection

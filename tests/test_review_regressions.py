@@ -1001,3 +1001,64 @@ def test_hard_negatives_keeps_one_sided_queries(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r.qid == 1 and r.pos_id is None and r.neg_id == 2
+
+
+def test_ap_and_ndcg_zero_when_prefix_misses_relevant(spark):
+    """Relevant docs exist but none rank within top-k: AP@k and nDCG@k
+    are 0.0 (trec_eval), not a NULL that a downstream mean skips."""
+    from dataproc_spark.measures import average_precision, ndcg_at
+    from dataproc_spark.selective import evaluate_step
+
+    shards = spark.createDataFrame([(0, 0, 0)],
+                                   "query long, shard long, rank long")
+    results = spark.createDataFrame(
+        [(0, 0, r, rel) for r, rel in ((1, 0), (2, 0), (3, 1), (4, 1))],
+        "query long, shard long, global_rank long, rel int",
+    )
+    row = evaluate_step(
+        shards, results,
+        {"rel": [average_precision(2), ndcg_at(2)]}, step=1,
+    ).first()
+    assert row["ap_2"] == 0.0
+    assert row["ndcg_2"] == 0.0
+    # naming: k=0 must not collide with unbounded AP
+    assert average_precision(0).name == "ap_0"
+    assert average_precision().name == "ap"
+
+
+def test_recall_missing_total_col_fails_fast(spark):
+    from dataproc_spark.measures import recall_at
+    from dataproc_spark.selective import evaluate_step
+
+    shards = spark.createDataFrame([(0, 0, 0)],
+                                   "query long, shard long, rank long")
+    results = spark.createDataFrame(
+        [(0, 0, 1, 1)], "query long, shard long, global_rank long, rel int"
+    )
+    with pytest.raises(ValueError, match="num_rel"):
+        evaluate_step(shards, results, {"rel": [recall_at(5)]}, step=1)
+
+
+def test_select_with_decay_one_respects_explicit_buckets(spark):
+    """decay_factor=1 with an EXPLICIT num_buckets must still apply the
+    budget filter (matching the decay->1 limit), not short-circuit."""
+    from dataproc_spark.selective import select_with_decay
+
+    sel = spark.createDataFrame([(0, 0, 0)],
+                                "query long, shard long, rank int")
+    res = spark.createDataFrame(
+        [(0, 0, 1.0, b) for b in (0, 3, 5)],
+        "query long, shard long, score double, bucket int",
+    )
+    got = {r.bucket for r in
+           select_with_decay(sel, res, t=1, decay_factor=1.0,
+                             num_buckets=4).collect()}
+    assert got == {0, 3}  # bucket 5 >= budget 4 drops
+    near = {r.bucket for r in
+            select_with_decay(sel, res, t=1, decay_factor=0.999999,
+                              num_buckets=4).collect()}
+    assert near == got  # continuous at the limit
+    # derived num_buckets (None): vacuous budgets, plain select
+    allb = {r.bucket for r in
+            select_with_decay(sel, res, t=1, decay_factor=1.0).collect()}
+    assert allb == {0, 3, 5}
