@@ -101,6 +101,13 @@ def encode_png(arr) -> bytes:
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        # descriptive ValueError, matching encode_ppm — not a KeyError /
+        # tuple-unpack error from the colortype lookup below
+        raise ValueError(
+            "encode_png expects (h, w) gray or (h, w, {1,2,3,4}) uint8, "
+            f"got shape {a.shape}"
+        )
     h, w, c = a.shape
     colortype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
 
@@ -331,20 +338,28 @@ def decode_image_features(media: DataFrame, real_decode: bool = False) -> DataFr
                     np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64)
                 ) if len(b) else 0
             )
+            # numpy arrays, NOT pandas Series: after the notna() filter
+            # the pdf-derived Series keep the filtered index while fresh
+            # Series get a RangeIndex, and the dict-of-Series DataFrame
+            # UNIONS the indexes — NaN media_ids and phantom rows
+            # whenever a batch held a NULL payload (r8 follow-up review
+            # finding, reproduced; positional arrays cannot misalign)
+            nb = n_bytes.to_numpy(dtype="int64")
             if real_decode:
                 decoded = [_decode_image_bytes(b) for b in payloads]
-                width = pd.Series([d[0] for d in decoded])
-                height = pd.Series([d[1] for d in decoded])
+                width = np.array([d[0] for d in decoded], dtype="int32")
+                height = np.array([d[1] for d in decoded], dtype="int32")
             else:
                 # fake decode: pretend square-ish frames from byte length
-                width, height = n_bytes % 512, n_bytes // 512 + 1
+                width = (nb % 512).astype("int32")
+                height = (nb // 512 + 1).astype("int32")
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": n_bytes.astype("int64"),
-                    "byte_sum": byte_sum.astype("int64"),
-                    "width": width.astype("int32"),
-                    "height": height.astype("int32"),
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_bytes": nb,
+                    "byte_sum": byte_sum.to_numpy(dtype="int64"),
+                    "width": width,
+                    "height": height,
                 }
             )
 
@@ -394,6 +409,13 @@ def resize_image_stats(
     import numpy as np
 
     tw, th = int(width), int(height)
+    if tw < 1 or th < 1:
+        # driver-side fail-fast (module guard convention): width=0 would
+        # otherwise die mid-job with an opaque numpy zero-size reduction
+        raise ValueError(
+            f"resize_image_stats: width and height must be >= 1, got "
+            f"{width}x{height}"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -71,6 +71,10 @@ def registered_domain(host_col: str | Column = "host") -> Column:
     shape (map-only + broadcast), different rule source.
     """
     c = F.col(host_col) if isinstance(host_col, str) else host_col
+    # the suffix patterns are lowercase: lower the input here so a raw
+    # (non-host_of) host column can't collapse every *.CO.UK site into
+    # one 'CO.UK' domain via the last-two fallback
+    c = F.lower(c)
     three = F.regexp_extract(c, _REGDOM_PATTERN, 1)
     two = F.regexp_extract(c, _LAST_TWO_PATTERN, 1)
     return F.when(three != "", three).when(two != "", two).otherwise(c)
@@ -276,8 +280,13 @@ def domain_mixture(
         .withColumn(
             # integer DIV, not float division + cast: float rounding is
             # the one thing that could make two engines disagree here
+            # zero-total guard: ANSI Spark aborts on DIV 0 (an
+            # all-empty-extraction corpus has total weight 0)
             "share_bps",
-            F.expr("CAST((weight * 10000) DIV _total AS BIGINT)"),
+            F.expr(
+                "CAST(CASE WHEN _total > 0 THEN (weight * 10000) DIV _total "
+                "ELSE 0 END AS BIGINT)"
+            ),
         )
         .drop("_total")
     )
@@ -314,8 +323,12 @@ def extract_text(html_col: str | Column = "html") -> Column:
     """
     c = F.col(html_col) if isinstance(html_col, str) else html_col
     c = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
-    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script\s*>", " ")
-    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    # name boundary: `<script[^>]*>` also matched custom elements whose
+    # NAME merely starts with script/style (<style-guide>) and then ate
+    # everything to the next real closer — silent content loss (r8
+    # follow-up review finding). `(?:\s[^>]*)?` keeps it RE2-portable.
+    c = F.regexp_replace(c, r"(?is)<script(?:\s[^>]*)?>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style(?:\s[^>]*)?>.*?</style\s*>", " ")
     c = F.regexp_replace(c, r"(?is)<[^>]+>", " ")
     for entity, repl in HTML_ENTITIES:
         c = F.replace(c, F.lit(entity), F.lit(repl))

@@ -90,10 +90,13 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # TakeOrdered limit first, window over the 20 survivors only: a
+    # global no-partition row_number window would funnel the entire
+    # distinct-token counts table (|vocab| rows at corpus scale) through
+    # ONE task to pick 20 rows (r8 follow-up review finding)
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(20)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return counts.withColumn("rnk", F.row_number().over(w)).where(
-        F.col("rnk") <= 20
-    )
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 SQL_TOKEN_TOPK = r"""
@@ -186,10 +189,12 @@ def q_salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = skew.salted_agg(
         toks, ["token"], {"n": F.count(F.lit(1))}, salt=8
     )
+    # same TakeOrdered-then-rank shape as q_token_topk: never a global
+    # single-partition window over the full counts table
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("token", F.col("n").cast("long").alias("n"), "rnk")
     )
 

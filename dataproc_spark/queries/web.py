@@ -118,8 +118,9 @@ per AS (SELECT domain,
                CAST(sum(n_chars) AS BIGINT) AS weight
         FROM d GROUP BY domain)
 SELECT domain, n_docs, weight,
-       CAST((weight * 10000) // (SELECT sum(weight) FROM per) AS BIGINT)
-           AS share_bps
+       CAST(CASE WHEN (SELECT sum(weight) FROM per) > 0
+                 THEN (weight * 10000) // (SELECT sum(weight) FROM per)
+                 ELSE 0 END AS BIGINT) AS share_bps
 FROM per
 """
 
@@ -241,8 +242,8 @@ WITH h AS (
     FROM documents
 ),
 s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<!--.*?-->', ' ', 'g') AS t FROM h),
-s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM s1),
-s3 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s2),
+s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<script(?:\s[^>]*)?>.*?</script\s*>', ' ', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '(?is)<style(?:\s[^>]*)?>.*?</style\s*>', ' ', 'g') AS t FROM s2),
 s4 AS (SELECT doc_id, regexp_replace(t, '(?is)<[^>]+>', ' ', 'g') AS t FROM s3),
 s5 AS (SELECT doc_id,
               replace(replace(replace(replace(replace(replace(t,

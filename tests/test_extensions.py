@@ -1595,3 +1595,66 @@ def test_repetition_features_per_row_with_duplicate_ids(spark):
         textstats.repetition_features(df.withColumn("dup_token_m", F.lit(1)))
     with pytest.raises(ValueError, match="clobber"):
         textstats.quality_features(df.withColumn("n_tokens", F.lit(1)))
+
+
+def test_image_features_null_payload_alignment(spark):
+    """A NULL payload in a batch must not misalign the surviving rows
+    (pandas index union after notna() produced NaN media_ids)."""
+    buf = multimodal.encode_png(__import__("numpy").zeros((2, 2), "uint8"))
+    df = spark.createDataFrame(
+        [(1, bytearray(buf)), (2, None), (3, bytearray(buf))],
+        "media_id long, payload binary",
+    )
+    for real in (False, True):
+        rows = multimodal.decode_image_features(df, real_decode=real) \
+            .orderBy("media_id").collect()
+        assert [r.media_id for r in rows] == [1, 3], real
+        assert all(r.n_bytes == len(buf) for r in rows)
+        if real:
+            assert all(r.width == 2 and r.height == 2 for r in rows)
+
+
+def test_encode_png_and_resize_guards(spark):
+    import numpy as np
+
+    with pytest.raises(ValueError, match="encode_png expects"):
+        multimodal.encode_png(np.zeros((2, 2, 5), np.uint8))
+    with pytest.raises(ValueError, match=">= 1"):
+        multimodal.resize_image_stats(
+            spark.createDataFrame([(1, None)], "media_id long, payload binary"),
+            width=0,
+        )
+
+
+def test_extract_text_keeps_custom_elements(spark):
+    from dataproc_spark.extensions.web import extract_text
+
+    df = spark.createDataFrame(
+        [(1, "<html><style-guide>Intro</style-guide><p>body</p>"
+             "<style>.a{}</style><script-tpl>Keep</script-tpl>"
+             "<script>x=1</script></html>")],
+        "i long, html string",
+    )
+    got = df.withColumn("t", extract_text()).first()["t"]
+    assert got == "Intro body Keep"
+
+
+def test_registered_domain_case_insensitive(spark):
+    from dataproc_spark.extensions.web import registered_domain
+
+    df = spark.createDataFrame(
+        [("Example.CO.UK",), ("A.B.Site.co.uk",)], "host string"
+    )
+    got = [r.d for r in df.select(registered_domain("host").alias("d")).collect()]
+    assert got == ["example.co.uk", "site.co.uk"]
+
+
+def test_domain_mixture_zero_total(spark):
+    from dataproc_spark.extensions.web import domain_mixture
+
+    df = spark.createDataFrame(
+        [("a.com", 0), ("b.com", 0)], "domain string, n_tokens long"
+    )
+    got = {r.domain: r.share_bps
+           for r in domain_mixture(df, weight_col="n_tokens").collect()}
+    assert got == {"a.com": 0, "b.com": 0}
