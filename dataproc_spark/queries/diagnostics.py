@@ -116,15 +116,20 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("_tpairs", F.sum("_pairs").over(wall))
-        # the permille ratio stays in decimal: floor(p*1000/t) matches
-        # DuckDB's HUGEINT `//` for these non-negative values. Exact up
-        # to _pairs ≈ 1e35 (cnt ≈ 4.5e17 rows on one key); beyond that
-        # ANSI decimal overflow fails LOUDLY instead of wrapping.
+        # EXACT decimal floor via the remainder identity: a plain
+        # floor(p*1000/t) rounds HALF_UP at the division's result scale
+        # BEFORE floor, so a ratio within 5e-7 below an integer came out
+        # one high vs DuckDB's HUGEINT `//` (confirmed live; reachable
+        # once a key holds ~2000 rows — r8 follow-up review finding).
+        # (a - a % t) / t is remainder-free, so no rounding exists.
+        # Exact up to _pairs ≈ 1e35; past that ANSI decimal overflow
+        # fails LOUDLY instead of wrapping.
         .withColumn(
             "_sj",
             F.expr(
                 "CASE WHEN _tpairs = 0 THEN cast(0 as bigint) ELSE "
-                "cast(floor(_pairs * 1000 / _tpairs) as bigint) END"
+                "cast((_pairs * 1000 - (_pairs * 1000) % _tpairs)"
+                " / _tpairs as bigint) END"
             ),
         )
     )
@@ -136,8 +141,19 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.col("event_type").alias("key"),
             "cnt",
-            F.expr("cnt * 1000 div _total").alias("share_m"),
-            F.expr("_mx * _nk * 1000 div _total").alias("skew_m"),
+            # decimal remainder-identity floors: the plain 64-bit `div`
+            # forms wrapped silently once mx*nk*1000 passed 2^63 — the
+            # exact skewed-at-scale inputs this diagnostic exists for
+            F.expr(
+                "cast((cast(cnt as decimal(38,0)) * 1000"
+                " - (cast(cnt as decimal(38,0)) * 1000) % _total)"
+                " / _total as bigint)"
+            ).alias("share_m"),
+            F.expr(
+                "cast((cast(_mx as decimal(38,0)) * _nk * 1000"
+                " - (cast(_mx as decimal(38,0)) * _nk * 1000) % _total)"
+                " / _total as bigint)"
+            ).alias("skew_m"),
             # _tpairs = 0 when every key count is 1 (all-distinct keys):
             # zero pair work, selfjoin share defined as 0 — guarded in
             # BOTH engines
@@ -145,7 +161,9 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CASE WHEN _tpairs > 0 AND _sj >= 500"
                 "     THEN 'cut-or-split'"
-                "     WHEN (cnt * _nk * 1000 div _total) >= 4000"
+                "     WHEN (cast((cast(cnt as decimal(38,0)) * _nk * 1000"
+                "      - (cast(cnt as decimal(38,0)) * _nk * 1000) % _total)"
+                "      / _total as bigint)) >= 4000"
                 "     THEN 'salted-agg'"
                 "     ELSE 'aqe-default' END"
             ).alias("rec"),
@@ -412,8 +430,10 @@ def q_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-run directory: a fixed shared path would let two concurrent
     # runs overwrite each other's files mid-scan
     out = tempfile.mkdtemp(prefix="dataproc_evo_")
-    old = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
-    new = docs.where(F.col("doc_id") % 2 == 1).select(
+    old = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select("doc_id", "n_chars")
+    # pmod, not %: a negative odd id (% 2 == -1) matched NEITHER
+    # file set and silently vanished from the merged scan
+    new = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1).select(
         "doc_id", "n_chars", "lang"
     )
     old.write.mode("overwrite").parquet(f"{out}/old")
@@ -425,7 +445,7 @@ def q_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wide files must stay null (the oracle's CASE keeps it null), while
     # coalesce would fold it into the schema-absent group
     agg = merged.groupBy(
-        F.when(F.col("doc_id") % 2 == 0, F.lit("<pre-schema>"))
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit("<pre-schema>"))
         .otherwise(F.col("lang"))
         .alias("lang")
     ).agg(
@@ -436,7 +456,7 @@ def q_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MERGE_SCHEMA_SCAN = """
-SELECT CASE WHEN doc_id % 2 = 0 THEN '<pre-schema>' ELSE lang END AS lang,
+SELECT CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN '<pre-schema>' ELSE lang END AS lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1
@@ -641,8 +661,14 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle rebuilds the identical bitset in DuckDB."""
     from dataproc_spark.extensions import approx
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    # NULL-text docs are excluded SYMMETRICALLY in both engines: their
+    # fp is NULL, which the fp equi-join would silently drop Spark-side
+    # while the oracle emitted a (doc_id, NULL) row — a latent row-count
+    # mismatch (r8 follow-up review finding; same policy as binary_ingest)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
     )
     blocked = docs.where(F.col("doc_id") % 7 == 0).select("fp")
     bloom = approx.bloom_build(blocked, "fp")
@@ -655,7 +681,8 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BLOOM_FILTER = """
 WITH docs AS (
-    SELECT doc_id, md5(text) AS fp FROM documents
+    -- text IS NOT NULL mirrors the engine's symmetric NULL-doc exclusion
+    SELECT doc_id, md5(text) AS fp FROM documents WHERE text IS NOT NULL
 ), pos AS (
     SELECT CAST('0x' || substr(md5(fp || '#bloom' || CAST(i AS VARCHAR)),
                                1, 8) AS BIGINT) % 8192 AS p

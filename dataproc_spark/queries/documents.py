@@ -97,7 +97,7 @@ def q_sql_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(
             [
                 None if x is None
-                else len([t for t in _re.split(r"[ \t\n\r\f\v]+", x) if t])
+                else len([t for t in _re.split(r"[ \t\n\r\f]+", x) if t])
                 for x in s
             ],
             dtype="Int64",
@@ -162,12 +162,25 @@ def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_d2"),
         )
         .where(F.col("n") >= 2)
+        # EXACT 128-bit floor division via the remainder identity:
+        # Spark's `div` on DECIMAL operands converts to 64-bit and
+        # silently WRAPS (confirmed: 6000*9e18 div 3 returns a negative
+        # garbage value), so sources past ~1.7e5 docs corrupted rho_m
+        # while DuckDB's HUGEINT // stayed exact (r8 follow-up review
+        # finding). (a - a % b) / b keeps every step in decimal(38,0)
+        # arithmetic and the final division is remainder-free, so the
+        # scale-6 result is exact — no HALF_UP rounding can bite.
+        .withColumn("_a", F.expr("6000 * cast(sum_d2 as decimal(38,0))"))
+        .withColumn(
+            "_b",
+            F.expr(
+                "cast(n as decimal(38,0)) * (cast(n as decimal(38,0)) * n - 1)"
+            ),
+        )
         .select(
             "source", "n",
             F.expr(
-                "1000 - (6000 * cast(sum_d2 as decimal(38,0))) div "
-                "(cast(n as decimal(38,0)) * "
-                " (cast(n as decimal(38,0)) * n - 1))"
+                "1000 - CAST((_a - _a % _b) / _b AS BIGINT)"
             ).alias("rho_m"),
         )
     )
@@ -259,7 +272,10 @@ WITH scored AS (
 ),
 pred AS (
     SELECT lang,
-           CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+           -- NULL text: every score is NULL, the WHENs fall through and
+           -- ELSE would claim 'es' — the engine says 'und' (r8 follow-up)
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) IS NULL THEN 'und'
+                WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
                 WHEN s_fr >= s_es THEN 'fr'
@@ -304,7 +320,10 @@ WITH scored AS (
     FROM documents
 ),
 pred AS (
-    SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+    -- NULL text: every score is NULL, the WHENs fall through and ELSE
+    -- would claim 'es' — the engine says 'und' (r8 follow-up)
+    SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) IS NULL THEN 'und'
+                WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
                 WHEN s_fr >= s_es THEN 'fr'

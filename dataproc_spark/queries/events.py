@@ -80,8 +80,15 @@ GROUP BY 1, 2
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30 min) + per-user session stats."""
-    return streaming.session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+    """Gap-based sessionization (30 min) + per-user session stats.
+
+    The ts column floors to microseconds first — the oracle compares
+    µs-precision epoch_ns values, and every sibling event gate applies
+    the same convention (r8 follow-up review finding)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("(ts - pmod(ts, 1000)) div 1000 * 1000")
+    )
+    return streaming.session_stats(ev, gap_minutes=30)
 
 
 SQL_EVENTS_SESSIONIZE = """
@@ -692,7 +699,7 @@ def q_from_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     not post-hoc string surgery."""
     ev = _t(spark, sf_dir, "events")
     parsed = ev.select(
-        F.from_json(F.col("props"), "k INT").alias("p"), "event_type"
+        F.from_json(F.col("props"), "k LONG").alias("p"), "event_type"
     )
     return parsed.groupBy("event_type").agg(
         F.sum(F.col("p.k").cast("long")).alias("sum_k"),

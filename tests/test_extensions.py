@@ -1516,7 +1516,11 @@ def test_jaccard_threshold_rounds_not_truncates(spark):
         docs, threshold=0.043, scale_m=10_000, shingle_size=2
     )
     plan = out._jdf.queryExecution().analyzed().toString()
-    assert "430" in plan and "429" not in plan
+    # pin the comparison literal itself — a bare '429 not in plan' false-
+    # positives once Catalyst expression ids (#429) reach that number in
+    # a long-lived test session
+    assert ">= 430" in plan
+    assert ">= 429" not in plan
 
 
 def test_simhash_bands_must_divide_bits(spark):
