@@ -1516,11 +1516,12 @@ def test_jaccard_threshold_rounds_not_truncates(spark):
         docs, threshold=0.043, scale_m=10_000, shingle_size=2
     )
     plan = out._jdf.queryExecution().analyzed().toString()
-    # pin the comparison literal itself — a bare '429 not in plan' false-
+    # pin the full cast literal — a bare '429 not in plan' false-
     # positives once Catalyst expression ids (#429) reach that number in
-    # a long-lived test session
-    assert ">= 430" in plan
-    assert ">= 429" not in plan
+    # a long-lived test session, and the analyzed filter prints as
+    # '>= cast(N as bigint)'
+    assert "cast(430 as bigint)" in plan
+    assert "cast(429 as bigint)" not in plan
 
 
 def test_simhash_bands_must_divide_bits(spark):
