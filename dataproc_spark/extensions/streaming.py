@@ -64,14 +64,19 @@ def hourly_agg(events: DataFrame) -> DataFrame:
 
 
 def _hourly_windowed(
-    spark: SparkSession, events_path: str, watermark: str
+    spark: SparkSession,
+    events_path: str,
+    watermark: str,
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """The shared hourly-rollup streaming plan (watermark → tumbling
     window → integer-cents aggregate → hour_id projection): ONE
     definition so the complete- and append-mode variants cannot drift
     apart on the expressions whose batch/stream parity they both pin."""
     return (
-        with_event_time(_file_stream(spark, events_path))
+        with_event_time(
+            _file_stream(spark, events_path, max_files_per_trigger)
+        )
         .withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", "1 hour"), "event_type")
         .agg(
@@ -114,6 +119,7 @@ def stream_hourly_append(
     spark: SparkSession,
     events_path: str,
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """APPEND-mode hourly rollup — the production output mode: a window
     emits exactly ONCE, when the watermark passes its end, instead of
@@ -130,7 +136,7 @@ def stream_hourly_append(
     before 1970-01-01 are dropped by the initial zero watermark.
     """
     return _drain(
-        _hourly_windowed(spark, events_path, watermark),
+        _hourly_windowed(spark, events_path, watermark, max_files_per_trigger),
         "append",
         "hourly_append",
     )
@@ -396,6 +402,7 @@ def stream_stream_join(
     events_path: str,
     gap_hours: int = 1,
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """Stream-stream inner join: each purchase matched to the same user's
     clicks in the preceding ``gap_hours`` — the attribution join, done
@@ -412,7 +419,9 @@ def stream_stream_join(
     # ONE file source self-joined (Spark supports stream self-joins):
     # two independent _file_stream calls over the same path would double
     # the per-micro-batch source listing and scan (review finding)
-    src = with_event_time(_file_stream(spark, events_path))
+    src = with_event_time(
+        _file_stream(spark, events_path, max_files_per_trigger)
+    )
     p = (
         src.where(F.col("event_type") == "purchase")
         .selectExpr(
@@ -953,6 +962,7 @@ def stream_funnel_counts(
     watermark: str = "1 hour",
     timeout_horizon_hours: int = 720,
     checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """Stateful streaming funnel: per user, the first ``steps[0]``, the
     first ``steps[1]`` strictly after it, and so on — converging to the
@@ -1128,7 +1138,9 @@ def stream_funnel_counts(
         yield pd.DataFrame(row)
 
     filtered = (
-        with_event_time(_file_stream(spark, events_path))
+        with_event_time(
+            _file_stream(spark, events_path, max_files_per_trigger)
+        )
         .withWatermark("event_time", watermark)
         .where(F.col("event_type").isin(step_list))
     )

@@ -105,7 +105,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "latest_per_user": (q_latest_per_user, SQL_LATEST_PER_USER),
     "stream_hourly": (q_stream_hourly, SQL_EVENTS_HOURLY),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
-    "stream_dedup_bounded": (q_stream_dedup_bounded, SQL_STREAM_DEDUP),
+    "stream_dedup_bounded": (q_stream_dedup_bounded, SQL_STREAM_DEDUP_BOUNDED),
     "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
     "stream_stream_join": (q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -51,7 +51,14 @@ def q_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("_fp").alias("n_distinct"),
+            # countDistinct skips NULL fingerprints, which would count
+            # every NULL-text doc as a duplicate (a missing body is not
+            # a copy of anything — the exact_dedup NULL policy): each
+            # NULL-text doc is its own distinct class
+            (
+                F.countDistinct("_fp")
+                + F.count(F.when(F.col("_fp").isNull(), 1))
+            ).alias("n_distinct"),
         )
         .select(
             "source", "n_docs", "n_distinct",
@@ -61,9 +68,12 @@ def q_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_RATES = """
+-- NULL-text docs each count as their own distinct class (see engine)
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
-       CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000 // COUNT(*)
+       CAST(COUNT(DISTINCT md5(text))
+            + COUNT(*) FILTER (text IS NULL) AS BIGINT) AS n_distinct,
+       CAST((COUNT(*) - COUNT(DISTINCT md5(text))
+             - COUNT(*) FILTER (text IS NULL)) * 1000 // COUNT(*)
             AS BIGINT) AS dup_m
 FROM documents
 GROUP BY source

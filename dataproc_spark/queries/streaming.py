@@ -30,8 +30,12 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``applyInPandasWithState``, per-step timestamp lists in state so
     cross-batch disorder converges); same oracle — batch/stream parity
     is the assertion."""
+    # max_files_per_trigger=None: ONE batch regardless of shard layout —
+    # per-file batches with a 1 h watermark would drop cross-file late
+    # rows the oracle counts if the driver ever ships a sharded events
+    # dir (same contract as q_stream_upsert; r8 follow-up review)
     return streaming.stream_funnel_counts(
-        spark, f"{sf_dir}/events.parquet"
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=None
     ).select("user_id", "t_view", "t_click", "t_purchase", "steps")
 
 
@@ -287,7 +291,10 @@ def q_stream_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound exactly — watermark = millisecond-floored max event time minus
     the 2-hour delay; only windows whose end ≤ watermark appear, the
     buffered tail stays in state by design."""
-    return streaming.stream_hourly_append(spark, f"{sf_dir}/events.parquet")
+    # single batch for shard-layout independence (see q_stream_funnel)
+    return streaming.stream_hourly_append(
+        spark, f"{sf_dir}/events.parquet", max_files_per_trigger=None
+    )
 
 
 SQL_STREAM_HOURLY_APPEND = """
@@ -338,8 +345,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_fp", dedup.content_fingerprint("text")
     )
     fresh = batch.join(store, "_fp", "left_anti")
+    # NULL content is NOT a duplicate class (the exact_dedup policy):
+    # groupBy would collapse every NULL-text batch doc into one group
+    # and silently delete the rest as 'copies' (r8 follow-up review)
+    null_key = F.when(F.col("_fp").isNull(), F.col("doc_id"))
     return (
-        fresh.groupBy("_fp")
+        fresh.groupBy("_fp", null_key.alias("_nullkey"))
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).cast("long").alias("n_batch_copies"),
@@ -365,7 +376,8 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_batch_copies
 FROM batch b
 WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = b.fp)
-GROUP BY fp
+-- NULL content is not a duplicate class: each NULL-text doc its own group
+GROUP BY fp, CASE WHEN fp IS NULL THEN doc_id END
 """
 
 
@@ -377,8 +389,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAM_DEDUP = """
--- events at or before epoch 0 are dropped by the stream's INITIAL zero
--- watermark in the first micro-batch (both dedup variants) — replay it
+-- stream_dedup_hours has NO watermark, so epoch-adjacent events are
+-- KEPT (its docstring recommends it for exactly such streams) — no
+-- epoch filter here; the bounded variant below replays the drop
+SELECT user_id,
+       CAST(COUNT(DISTINCT
+            (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000) + 3600000000000)
+             % 3600000000000) // 3600000000000)
+            AS BIGINT) AS n_active_hours
+FROM events
+GROUP BY user_id
+"""
+
+SQL_STREAM_DEDUP_BOUNDED = """
+-- events at or before epoch 0 are dropped by the BOUNDED variant's
+-- initial zero watermark in the first micro-batch — replay it
 SELECT user_id,
        CAST(COUNT(DISTINCT
             (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000) + 3600000000000)
@@ -437,7 +462,7 @@ FROM flagged GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
-# embeddings (similarity search)
+# stream enrichment / stream-stream joins
 # ---------------------------------------------------------------------------
 
 
@@ -468,8 +493,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming with watermarks + a time-range condition bounding join
     state. Append-mode drain must equal the batch join (the oracle —
     µs-precision time arithmetic both engines)."""
+    # single batch for shard-layout independence (see q_stream_funnel)
     return streaming.stream_stream_join(
-        spark, f"{sf_dir}/events.parquet", gap_hours=1
+        spark, f"{sf_dir}/events.parquet", gap_hours=1,
+        max_files_per_trigger=None,
     )
 
 
@@ -511,7 +538,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STREAM_INCREMENTAL_DEDUP = """
 WITH fps AS (
-    SELECT event_id, user_id, event_type,
+    SELECT event_id, user_id, event_type, ts,
            CAST(round(value * 100) AS BIGINT) AS value_c,
            md5(
                CASE WHEN user_id IS NULL THEN 'N'
@@ -529,7 +556,12 @@ WITH fps AS (
 store AS (SELECT DISTINCT fp FROM fps WHERE event_id % 3 = 0)
 SELECT DISTINCT f.fp, f.user_id, f.event_type, f.value_c
 FROM fps f
+-- the STREAMED side drops events at or before epoch 0 against the
+-- initial zero watermark (dropDuplicatesWithinWatermark's first
+-- micro-batch — same replay as the bounded dedup gate); the store side
+-- is built as a STATIC frame and keeps them
 WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = f.fp)
+  AND epoch_ns(f.ts) > 0
 """
 
 
