@@ -7,8 +7,8 @@ per group that merges associatively — the shuffle carries sketches, not
 values. Same story for percentiles.
 
 These wrap Spark's built-ins (`approx_count_distinct`,
-`approx_percentile`) with the error-budget knobs surfaced, and provide
-an exactness-bound helper used by the tests: results are engine-specific
+`approx_percentile`) with the error-budget knobs surfaced. HLL/quantile
+results are engine-specific
 (sketch implementations differ), so the correctness contract is a
 relative-error bound against the exact answer, not cross-engine equality
 — which is why these ship with bound-checked unit tests instead of
@@ -124,7 +124,14 @@ def count_min_estimate(
 
     Broadcast-joins the items' cells against the sketch (the sketch is
     at most depth×width rows — always broadcastable by construction).
+    NULL probe values are excluded (the build filters them identically,
+    so a NULL has no counters — emitting est=0 for it would be the one
+    under-count the guarantee forbids); same documented policy as
+    ``bloom_may_contain``.
     """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    items = items.where(F.col(col).isNotNull())
     cells = F.array(
         *[_cms_bucket(F.col(col), i, width, salt) for i in range(depth)]
     )
@@ -208,6 +215,11 @@ def bloom_may_contain(
     its k bits with a broadcast join + conjunction — the cheap
     pre-filter before an exact (shuffling) semi-join on the survivors.
     """
+    if k < 1 or m_bits < 1:
+        # k=0 explodes zero rows — every probe silently vanishes and a
+        # blocklist pre-filter would pass everything (bloom_build raises
+        # for the identical mistake)
+        raise ValueError(f"k/m_bits must be >= 1, got {k}/{m_bits}")
     # explode, not posexplode: the position index is never used here
     # (unlike count_min, where the row index picks the hash family)
     pr = items.select(

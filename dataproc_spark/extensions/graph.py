@@ -58,6 +58,16 @@ def pagerank(
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if scale < 1 or damping_den < 1 or not 0 <= damping_num <= damping_den:
+        # damping_den=0 would be a bare ZeroDivisionError below;
+        # damping_num > damping_den makes base negative, where Spark's
+        # truncating `div` and DuckDB's flooring `//` disagree —
+        # silently breaking the bit-identical cross-engine contract
+        raise ValueError(
+            f"need scale >= 1, damping_den >= 1, and "
+            f"0 <= damping_num <= damping_den; got scale={scale}, "
+            f"damping={damping_num}/{damping_den}"
+        )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.persist()
     nodes = (
@@ -66,9 +76,26 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # materialized once: each iteration is its own eager action, so an
+    # unpersisted outdeg would re-aggregate the edge list every round
+    outdeg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    )
     base = (scale * (damping_den - damping_num)) // damping_den
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    try:
+        return _pagerank_rounds(
+            e, nodes, outdeg, ranks, n_iter, base, damping_num, damping_den
+        )
+    finally:
+        # unpersist on the failure path too (mid-iteration job errors
+        # previously pinned the edge list for the session)
+        e.unpersist()
+
+
+def _pagerank_rounds(
+    e, nodes, outdeg, ranks, n_iter, base, damping_num, damping_den
+) -> DataFrame:
     for _ in range(n_iter):
         contrib = (
             e.join(ranks, e.src == ranks.node)
@@ -91,14 +118,14 @@ def pagerank(
             )
             .localCheckpoint()
         )
-    e.unpersist()
     return ranks
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts over an undirected edge list — the graph
     cohesion metric behind community density and dedup-cluster quality
-    checks.
+    checks. Nodes in NO triangle have no output row (join the counts
+    back with a left join + coalesce(0) for a per-node-complete frame).
 
     Canonical two-join formulation on ORIENTED edges (a < b): wedges
     (a→b→c with a<b<c) joined against the closing edge (a,c). Orienting
