@@ -23,6 +23,12 @@ IDX = "_idx"
 #: (one createDataFrame) instead of via distributed crossJoins.
 _DRIVER_SIDE_LIMIT = 1_000_000
 
+#: a non-major range is force-pinned as a broadcast build only below this
+#: row count; a larger secondary range would make the pin a mandatory
+#: driver-collected broadcast (OOM risk), so above it Catalyst chooses
+#: the strategy (r8 ADVICE finding)
+_BROADCAST_RANGE_LIMIT = 100_000
+
 
 def _spark_type(value) -> str:
     """Spark SQL type name for a Python scalar (shared by every cartesian
@@ -409,7 +415,14 @@ def cartesian(
         dfs[0] = dfs[0].repartition(
             min(sizes[0], spark.sparkContext.defaultParallelism)
         )
-        out = reduce(lambda a, b: a.crossJoin(F.broadcast(b)), dfs)
+        # pin the build side as broadcast only when it is provably small;
+        # a genuinely large secondary range must not become a mandatory
+        # driver-collected broadcast (r8 ADVICE) — Catalyst decides there
+        dfs = [dfs[0]] + [
+            F.broadcast(d) if n <= _BROADCAST_RANGE_LIMIT else d
+            for d, n in zip(dfs[1:], sizes[1:])
+        ]
+        out = reduce(lambda a, b: a.crossJoin(b), dfs)
         # _idx = ((pos0 * n1 + pos1) * n2 + pos2) ... : query-major row order
         idx = F.col(f"{IDX}_0")
         for i in range(1, len(ranges)):

@@ -269,6 +269,16 @@ def remove_repeated_spans(
     The rewrite itself never shuffles tokens: covered positions aggregate
     to ONE small array per affected document, and the token drop is an
     index-aware ``filter`` over the original array, map-side.
+
+    Storage contract (r8 ADVICE): each call ``localCheckpoint``-s the
+    tokenized corpus once (see :func:`_row_keyed_tokens` for why
+    ``persist`` cannot substitute); those executor blocks are released
+    when the returned frame is garbage-collected driver-side (the
+    checkpoint RDD is only reachable through its plan), NOT at the end
+    of this call. Repeated calls whose results are all held alive hold
+    that many tokenized copies — at 100 TB, drop result handles you are
+    done with, and budget executor storage for one full token-array
+    materialization per live result.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -297,7 +307,13 @@ def _row_keyed_tokens(df: DataFrame, col: str, id_col: str) -> DataFrame:
     — without it the two plan branches could recompute different ids —
     and doubles as the single materialization of the tokenize, which the
     three downstream consumers (hot-gram aggregate, covered semi-join,
-    final rewrite) previously each recomputed from the source scan."""
+    final rewrite) previously each recomputed from the source scan.
+    ``persist()`` + unpersist-on-gc is NOT a safe substitute here: an
+    evicted cache block recomputes its ids from lineage, and downstream
+    of any shuffle the intra-partition row order (hence mono id) can
+    differ between the branches — silently mis-keying cuts. Checkpoint
+    blocks free when the caller's result frame is GC'd; the public
+    entry points document the retention cost (r8 ADVICE)."""
     if "_rid" in df.columns:
         raise ValueError(
             "span removal would clobber existing column '_rid'; "
@@ -391,6 +407,10 @@ def remove_contaminated_spans(
     aggregate per affected doc and the rewrite is map-side (see
     :func:`_cut_covered_tokens`). A false positive costs a cut span,
     never a dropped document.
+
+    Storage contract: same as :func:`remove_repeated_spans` — one
+    ``localCheckpoint`` of the tokenized TRAIN side per call, released
+    when the returned frame is garbage-collected (r8 ADVICE).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")

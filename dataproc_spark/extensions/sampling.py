@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataproc_spark.skew import hashable_columns
+
 
 def hash_hex(id_col: str, salt: str, chars: int = 8) -> F.Column:
     """First ``chars`` hex chars of ``md5(id || '#' || salt)`` — a uniform
@@ -222,15 +224,13 @@ def stratified_sample(
     # rows still tied after it are bit-identical, so either choice is
     # the same output. (Not oracle-replayable — unreachable for the
     # unique non-NULL ids every gate uses.)
-    # hash expressions reject MapType columns at plan time, so the
-    # full-row tiebreak hashes every NON-map column (a frame carrying a
-    # metadata map would otherwise crash the whole operator — r8
-    # follow-up review finding; map columns can't deterministically
-    # order anyway)
-    hashable = [
-        f.name for f in df.schema.fields
-        if not f.dataType.typeName().startswith("map")
-    ]
+    # hash expressions reject MapType columns at plan time — wherever
+    # the map sits in the type tree, not just top-level — so the
+    # full-row tiebreak hashes every map-free column (a frame carrying a
+    # metadata map, or a struct/array containing one, would otherwise
+    # crash the whole operator — r8 follow-up review + r8 ADVICE; map
+    # columns can't deterministically order anyway)
+    hashable = hashable_columns(df)
     w = Window.partitionBy(*strata).orderBy(
         hash_hex(id_col, salt),
         F.col(id_col).asc_nulls_last(),

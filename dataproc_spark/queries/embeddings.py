@@ -119,7 +119,10 @@ FROM flat GROUP BY label, dim
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with a trained KMeans coarse quantizer (rows-only:
-    cluster assignments depend on MLlib internals, not SQL-expressible)."""
+    cluster assignments depend on MLlib internals, not SQL-expressible —
+    every driver artifact shows this entry as ``err: no_oracle`` BY
+    DESIGN; the identical probe+search pipeline is value-hashed through
+    its deterministic twin ``ann_ivf_exact``)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") % 500 == 0)
     return simsearch.ivf_topk(emb, queries_df, k=5, cells=8)
@@ -297,7 +300,11 @@ def q_embed_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "n_truth",
             "n_found",
-            "CAST(n_found * 1000 div n_truth AS BIGINT) AS recall_m",
+            # zero-denominator guard (an empty truth set yields NULL under
+            # non-ANSI div and raises under ANSI); matches the
+            # domain_mixture zero-total convention (r8 ADVICE)
+            "CAST(CASE WHEN n_truth > 0 THEN n_found * 1000 div n_truth "
+            "ELSE 0 END AS BIGINT) AS recall_m",
         )
     )
 
@@ -342,8 +349,10 @@ found AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
        CAST(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_found,
-       CAST(SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1000
-            // COUNT(*) AS BIGINT) AS recall_m
+       CAST(CASE WHEN COUNT(*) > 0
+                 THEN SUM(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                      * 1000 // COUNT(*)
+                 ELSE 0 END AS BIGINT) AS recall_m
 FROM truth t
 LEFT JOIN found f ON t.id_a = f.id_a AND t.id_b = f.id_b
 """

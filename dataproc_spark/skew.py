@@ -26,6 +26,31 @@ from pyspark.sql import functions as F
 SALT = "_salt"
 
 
+def contains_map(dt) -> bool:
+    """True when ``dt`` is or *contains* a MapType (struct field, array
+    element, map key/value). Spark's hash expressions reject MapType at
+    plan time wherever it sits in the type tree, so a top-level
+    ``typeName().startswith('map')`` check let nested maps through to
+    the same analysis error it was added to avoid (r8 ADVICE)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(contains_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return contains_map(dt.elementType)
+    return False
+
+
+def hashable_columns(df: DataFrame) -> list[str]:
+    """Names of ``df``'s columns whose types are accepted by Spark's
+    hash expressions (no MapType anywhere in the type tree)."""
+    return [
+        f.name for f in df.schema.fields if not contains_map(f.dataType)
+    ]
+
+
 def with_salt(df: DataFrame, salt: int, id_cols: Sequence[str] | None = None) -> DataFrame:
     """Add a deterministic salt column in [0, salt).
 
@@ -59,10 +84,7 @@ def with_salt(df: DataFrame, salt: int, id_cols: Sequence[str] | None = None) ->
     if id_cols:
         src = F.xxhash64(*[F.col(c) for c in id_cols])
     else:
-        hashable = [
-            f.name for f in df.schema.fields
-            if not f.dataType.typeName().startswith("map")
-        ]
+        hashable = hashable_columns(df)
         src = (
             F.xxhash64(*[F.col(c) for c in hashable])
             if hashable

@@ -1062,3 +1062,60 @@ def test_select_with_decay_one_respects_explicit_buckets(spark):
     allb = {r.bucket for r in
             select_with_decay(sel, res, t=1, decay_factor=1.0).collect()}
     assert allb == {0, 3, 5}
+
+
+def test_hashable_columns_excludes_nested_maps(spark):
+    """r8 ADVICE: a struct or array column *containing* a map must be
+    excluded from hash-expression inputs, not just top-level MapType —
+    Spark rejects MapType at plan time wherever it sits in the tree."""
+    from dataproc_spark.extensions.sampling import stratified_sample
+    from dataproc_spark.skew import hashable_columns, with_salt
+
+    df = spark.createDataFrame(
+        [(i, "a", ({"k": "v"},), [{"k": "v"}]) for i in range(10)],
+        "doc_id long, source string, "
+        "s struct<m:map<string,string>>, a array<map<string,string>>",
+    )
+    assert hashable_columns(df) == ["doc_id", "source"]
+    # keyless with_salt (full-row content hash) must plan and run
+    assert with_salt(df, 4).select("_salt").distinct().count() >= 1
+    # stratified_sample's full-row tiebreak must plan and run
+    got = stratified_sample(df, ["source"], k=3, id_col="doc_id",
+                            salt="s").collect()
+    assert len(got) == 3
+
+
+def test_lsh_recall_zero_truth_guard(spark):
+    """r8 ADVICE: recall_m must be 0, not NULL/ANSI-error, when the truth
+    set is empty (the q_embed_lsh_recall denominator guard)."""
+    # exercise the exact expression shape used by the gate
+    df = spark.createDataFrame([(0, 0)], "n_truth long, n_found long")
+    out = df.selectExpr(
+        "CAST(CASE WHEN n_truth > 0 THEN n_found * 1000 div n_truth "
+        "ELSE 0 END AS BIGINT) AS recall_m"
+    ).collect()
+    assert out[0].recall_m == 0
+
+
+def test_cartesian_large_secondary_range_not_force_broadcast(spark):
+    """r8 ADVICE: the distributed-product path must not pin a range above
+    _BROADCAST_RANGE_LIMIT as a mandatory broadcast build."""
+    from dataproc_spark import core
+
+    saved_drv, saved_bc = core._DRIVER_SIDE_LIMIT, core._BROADCAST_RANGE_LIMIT
+    core._DRIVER_SIDE_LIMIT, core._BROADCAST_RANGE_LIMIT = 10, 3
+    try:
+        big = list(range(6))  # > _BROADCAST_RANGE_LIMIT: Catalyst decides
+        out = core.cartesian(spark, [list(range(4)), big],
+                             names=["a", "b"], with_index=True)
+        rows = {(r.a, r.b): r._idx for r in out.collect()}
+        assert len(rows) == 24
+        assert rows[(0, 0)] == 0 and rows[(3, 5)] == 23  # query-major order
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the small (major-stream) side may still broadcast by Catalyst's
+        # choice; the point is no forced driver-side pin crashed planning
+        assert "CartesianProduct" in plan or "Broadcast" in plan
+    finally:
+        core._DRIVER_SIDE_LIMIT, core._BROADCAST_RANGE_LIMIT = (
+            saved_drv, saved_bc,
+        )

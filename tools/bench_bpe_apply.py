@@ -114,16 +114,21 @@ def run(path: str, n_rules: int, src: str | None) -> None:
         ).first()
         return row["n"], row["chk"]
 
-    job()  # warm-up
-    t0 = time.time()
-    n, chk = job()
-    dt = time.time() - t0
+    # restore the module-global guard even when job() raises: a failed
+    # probe must not leave the lifted guard in place for the rest of the
+    # process (r8 ADVICE)
+    try:
+        job()  # warm-up
+        t0 = time.time()
+        n, chk = job()
+        dt = time.time() - t0
+    finally:
+        if saved is not None:
+            textstats.BPE_EXPR_MAX_MERGES = saved
     print(json.dumps({
         "path": path, "n_rules": len(merges), "src": src,
         "rows": n, "token_sum": int(chk), "sec": round(dt, 2),
     }))
-    if saved is not None:
-        textstats.BPE_EXPR_MAX_MERGES = saved
     spark.stop()
 
 
