@@ -1,0 +1,216 @@
+"""Public-suffix-list registered-domain rollup (eTLD+1).
+
+``web.registered_domain`` is a 7-suffix heuristic; every per-domain cap
+and mixture number on a real crawl is only as right as its eTLD+1, so
+this module builds the documented seam (``web.py:14-17,70-75``): a
+**pinned, deterministic in-repo snapshot** of public-suffix rules and a
+broadcast-join rollup implementing the publicsuffix.org algorithm —
+longest matching rule wins, wildcard rules (``*.ck``) match exactly one
+extra label, exception rules (``!www.ck``) carve a registrable name out
+of a wildcard.
+
+Scale posture (100 TB, billions of hosts):
+
+* The rules table is tiny (hundreds of rows pinned here; ~10k for the
+  full published list) and is joined with an explicit ``broadcast`` —
+  never shuffled.
+* The host side computes a FIXED number of candidate suffix columns
+  (one per rule label depth, ``K`` = max labels in the rule set) and
+  left-broadcast-joins each — **zero shuffles, map-side only**, no
+  explode/regroup of the corpus. Plan width grows with K (the PSL's
+  deepest rules are ~5 labels), not with corpus size.
+* Swapping in the full published list is a data change, not a code
+  change: pass ``rules=`` with the full rule text list (one rule per
+  entry, PSL syntax) and the same plan compiles.
+
+Snapshot provenance: a pinned SUBSET of the publicsuffix.org public
+suffix list (the well-known ccTLD second-level registries, the
+canonical wildcard/exception families, and a few high-traffic
+private-section entries), written from public knowledge of the list
+format. Single-label rules are intentionally absent — the PSL default
+rule ``*`` (any TLD is a public suffix) covers them, so an unmatched
+host resolves to its last two labels, exactly like the published
+algorithm.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: pinned public-suffix snapshot (PSL syntax: ``!`` = exception rule,
+#: ``*`` = wildcard label). Multi-label rules only — the implicit PSL
+#: default rule ``*`` covers every bare TLD.
+PSL_SNAPSHOT_RULES: tuple[str, ...] = (
+    # ── United Kingdom ──
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
+    "sch.uk", "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    # ── Australia ──
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    # ── Japan (incl. the geo wildcard/exception families) ──
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
+    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
+    "!city.kawasaki.jp", "!city.kitakyushu.jp", "!city.kobe.jp",
+    "!city.nagoya.jp", "!city.sapporo.jp", "!city.sendai.jp",
+    "!city.yokohama.jp",
+    # ── Brazil ──
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    # ── China ──
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    # ── New Zealand ──
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    # ── South Africa ──
+    "co.za", "net.za", "org.za", "gov.za", "ac.za",
+    # ── South Korea ──
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr",
+    # ── India ──
+    "co.in", "net.in", "org.in", "gov.in", "ac.in", "res.in",
+    # ── assorted ccTLD second levels ──
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.hk", "com.sg",
+    "co.il", "com.ua", "com.pl", "net.pl", "org.pl", "co.th",
+    "co.id", "com.my", "com.ph", "com.vn", "com.eg", "com.sa",
+    "co.ae", "com.ng", "co.ke",
+    # ── pure-wildcard ccTLDs + the canonical exception pair ──
+    "*.bd", "*.ck", "!www.ck", "*.jm", "*.kh", "*.mm", "*.np", "*.pg",
+    # ── high-traffic private-section entries (PSL private division) ──
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "netlify.app", "vercel.app", "web.app", "firebaseapp.com",
+    "cloudfront.net", "s3.amazonaws.com", "*.compute.amazonaws.com",
+)
+
+
+def parse_rules(
+    rules: tuple[str, ...] | list[str] | None = None,
+) -> list[tuple[str, int, bool, bool]]:
+    """Parse PSL-syntax rule strings into ``(match_text, n_labels,
+    is_wildcard, is_exception)`` rows.
+
+    ``match_text`` is the join key: the literal rule for exact and
+    wildcard rows (wildcards keep their ``*.`` prefix — the host side
+    synthesizes the same form), the rule **without** ``!`` for
+    exception rows. ``n_labels`` counts the ``*`` as a label (it
+    consumes one host label when matching).
+    """
+    out = []
+    for raw in rules if rules is not None else PSL_SNAPSHOT_RULES:
+        r = raw.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        is_exc = r.startswith("!")
+        text = r[1:] if is_exc else r
+        is_wild = text.startswith("*.")
+        n = text.count(".") + 1
+        if is_exc and is_wild:
+            raise ValueError(f"rule cannot be both exception and wildcard: {raw!r}")
+        out.append((text, n, is_wild, is_exc))
+    if not out:
+        raise ValueError("empty public-suffix rule set")
+    return out
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "domain",
+    rules: tuple[str, ...] | list[str] | None = None,
+) -> DataFrame:
+    """Attach ``out_col`` = registered domain (eTLD+1) of ``host_col``
+    under the public-suffix-list algorithm, using the pinned
+    :data:`PSL_SNAPSHOT_RULES` (or a caller-supplied full list).
+
+    Algorithm (publicsuffix.org): among all rules whose labels suffix
+    the host's labels (``*`` matching exactly one label), an exception
+    rule prevails outright (its public suffix drops the leftmost
+    label); otherwise the rule with the most labels prevails; otherwise
+    the default rule ``*`` applies (the TLD is the public suffix). The
+    registered domain is the public suffix plus one host label. A host
+    that IS a public suffix maps to itself (closure convention shared
+    with the heuristic: a bare TLD has no registrable part, and keeping
+    the host keeps every downstream cap/mixture total defined). NULL
+    host → NULL domain.
+
+    Plan shape: per rule depth ``k`` (2..K), two left **broadcast**
+    joins — exact/exception rows keyed on the host's last-``k``-labels
+    suffix, wildcard rows keyed on ``'*.' || last-(k-1)-labels`` — then
+    one CASE picks the prevailing depth. Map-side only, zero shuffles,
+    host strings never move.
+    """
+    parsed = parse_rules(rules)
+    k_max = max(n for _, n, _, _ in parsed)
+    spark = df.sparkSession
+    tmp = [c for c in df.columns if c.startswith("_psl_")]
+    if tmp or out_col in df.columns:
+        clash = tmp + ([out_col] if out_col in df.columns else [])
+        raise ValueError(
+            f"registered_domain_psl would clobber existing column(s) "
+            f"{clash!r}; drop or rename them first"
+        )
+    rules_df = spark.createDataFrame(
+        parsed, "rule string, n int, is_wild boolean, is_exc boolean"
+    )
+
+    h = F.lower(F.col(host_col))
+    n_labels = F.size(F.split(h, r"\.", -1))
+    out = df.withColumn("_psl_n", n_labels)
+    exc_flags: list[tuple[int, Column]] = []
+    std_flags: list[tuple[int, Column]] = []
+    for k in range(2, k_max + 1):
+        s_k = F.when(F.col("_psl_n") >= k, F.substring_index(h, ".", -k))
+        w_k = F.when(
+            F.col("_psl_n") >= k,
+            F.concat(F.lit("*."), F.substring_index(h, ".", -(k - 1))),
+        )
+        ex = (
+            rules_df.where((F.col("n") == k) & ~F.col("is_wild"))
+            .select(
+                F.col("rule").alias(f"_psl_r{k}"),
+                F.col("is_exc").alias(f"_psl_e{k}"),
+            )
+        )
+        wi = (
+            rules_df.where((F.col("n") == k) & F.col("is_wild"))
+            .select(
+                F.col("rule").alias(f"_psl_w{k}"),
+                F.lit(True).alias(f"_psl_wm{k}"),
+            )
+        )
+        out = (
+            out.withColumn(f"_psl_s{k}", s_k)
+            .join(F.broadcast(ex), F.col(f"_psl_s{k}") == F.col(f"_psl_r{k}"), "left")
+            .withColumn(f"_psl_c{k}", w_k)
+            .join(F.broadcast(wi), F.col(f"_psl_c{k}") == F.col(f"_psl_w{k}"), "left")
+        )
+        exc_flags.append((k, F.col(f"_psl_e{k}") == F.lit(True)))
+        std_flags.append(
+            (
+                k,
+                (F.col(f"_psl_e{k}") == F.lit(False))
+                | (F.col(f"_psl_wm{k}") == F.lit(True)),
+            )
+        )
+    # prevailing rule: exception first (deepest, though the PSL never
+    # carries two matching exceptions), then deepest exact/wildcard,
+    # else the default rule '*' (ps_len 1)
+    cases = None
+    for k, flag in sorted(exc_flags, reverse=True):
+        cases = (cases.when(flag, k - 1) if cases is not None
+                 else F.when(flag, F.lit(k - 1)))
+    for k, flag in sorted(std_flags, reverse=True):
+        cases = cases.when(flag, k) if cases is not None else F.when(flag, F.lit(k))
+    ps_len = cases.otherwise(F.lit(1)) if cases is not None else F.lit(1)
+    # registered domain = last min(n, ps_len + 1) labels of the host
+    m = F.least(F.col("_psl_n"), ps_len + 1)
+    dom = reduce(
+        lambda acc, i: acc.when(m == i, F.substring_index(h, ".", -i)),
+        range(2, k_max + 2),
+        F.when(m == 1, F.substring_index(h, ".", -1)),
+    ).otherwise(F.lit(None))
+    out = out.withColumn(out_col, dom)
+    drop = ["_psl_n"] + [
+        c for c in out.columns if c.startswith("_psl_") and c != "_psl_n"
+    ]
+    return out.drop(*drop)

@@ -11,10 +11,12 @@ Scale posture (100 TB, ~billions of URLs):
 
 * Host extraction is a **map-only** JVM expression (``parse_url`` —
   whole-stage codegen, no Python). Zero shuffles.
-* Registered-domain rollup is a deterministic suffix heuristic, also
-  map-only. A production public-suffix list is a ~10k-entry broadcast
-  join; the heuristic here keeps the gate oracle-able and documents the
-  seam where the PSL table plugs in.
+* Registered-domain rollup: the default is a deterministic suffix
+  heuristic (map-only); :mod:`.psl` implements the full
+  public-suffix-list algorithm over a pinned in-repo snapshot as
+  per-depth broadcast joins (wildcard + exception rules, longest
+  match) — still zero shuffles. ``with_domain(..., psl=True)`` opts
+  in; the heuristic stays the no-PSL fallback.
 * ``cap_per_domain`` is ONE shuffle (window over domain). The hazard is
   domain skew — a crawl's biggest domain can be 10^4× the median — so
   the operator offers a two-phase salted pre-cap: phase 1 caps within
@@ -65,10 +67,11 @@ def registered_domain(host_col: str | Column = "host") -> Column:
     heuristic: ``a.b.site.co.uk`` → ``site.co.uk``; ``www.site.com`` →
     ``site.com``; a bare single-label host maps to itself.
 
-    This is the deterministic, oracle-able stand-in for a full
-    public-suffix-list lookup; at production scale the PSL is a ~10k-row
-    broadcast table joined on the host's candidate suffixes — same plan
-    shape (map-only + broadcast), different rule source.
+    This is the deterministic, oracle-able fallback; the full
+    public-suffix-list algorithm (wildcards, exceptions, longest match)
+    lives in :func:`dataproc_spark.extensions.psl.registered_domain_psl`
+    as a broadcast join over the pinned snapshot — same plan family
+    (map-only + broadcast), rule-complete.
     """
     c = F.col(host_col) if isinstance(host_col, str) else host_col
     # the suffix patterns are lowercase: lower the input here so a raw
@@ -82,13 +85,24 @@ def registered_domain(host_col: str | Column = "host") -> Column:
 
 def with_domain(
     df: DataFrame, url_col: str = "url", host_col: str = "host",
-    domain_col: str = "domain",
+    domain_col: str = "domain", psl: bool = False,
 ) -> DataFrame:
     """Attach ``host`` and registered ``domain`` columns — the map-only
-    preamble every operator below builds on."""
-    return df.withColumn(host_col, host_of(url_col)).withColumn(
-        domain_col, registered_domain(host_col)
-    )
+    preamble every operator below builds on.
+
+    ``psl=True`` rolls hosts up with the full public-suffix-list
+    algorithm over the pinned snapshot (:mod:`.psl` — wildcard and
+    exception rules, longest-match; per-depth broadcast joins, still
+    zero shuffles); the default stays the two-level-suffix heuristic,
+    which remains the no-PSL fallback and keeps the r8-era gates
+    byte-stable."""
+    out = df.withColumn(host_col, host_of(url_col))
+    if psl:
+        from dataproc_spark.extensions.psl import registered_domain_psl
+
+        return registered_domain_psl(out, host_col=host_col,
+                                     out_col=domain_col)
+    return out.withColumn(domain_col, registered_domain(host_col))
 
 
 #: query parameters that never change page identity (tracking junk) —

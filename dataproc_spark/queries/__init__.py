@@ -263,6 +263,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- r8 late additions: audio modality + unicode canonicalization ------
     "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
     "unicode_normalize": (q_unicode_normalize, SQL_UNICODE_NORMALIZE),
+    # -- r9 additions: production-realism curation (PSL eTLD+1) ------------
+    "registered_domain_psl": (
+        q_registered_domain_psl,
+        SQL_REGISTERED_DOMAIN_PSL,
+    ),
 }
 
 

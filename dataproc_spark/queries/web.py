@@ -255,3 +255,111 @@ s6 AS (SELECT doc_id,
        FROM s5)
 SELECT doc_id, plain, CAST(length(plain) AS BIGINT) AS n_chars_plain FROM s6
 """
+
+
+#: host synthesis for the PSL gate — covers every rule family in the
+#: pinned snapshot: exact ccTLD second-levels, the wildcard and
+#: exception geo families, pure-wildcard TLDs (incl. host==public-suffix
+#: closure rows), private-section rules, a 4-label wildcard, mixed case,
+#: bare single labels, and default-rule hosts
+_HOST_PSL_EXPR = (
+    "CASE doc_id % 12 "
+    "WHEN 0 THEN 'www.site' || CAST(doc_id % 40 AS {S}) || '.co.uk' "
+    "WHEN 1 THEN 'a.b.site' || CAST(doc_id % 40 AS {S}) || '.com' "
+    "WHEN 2 THEN 'x' || CAST(doc_id % 3 AS {S}) || '.city.kawasaki.jp' "
+    "WHEN 3 THEN 'shop.site' || CAST(doc_id % 40 AS {S}) || '.kawasaki.jp' "
+    "WHEN 4 THEN 'www.ck' "
+    "WHEN 5 THEN CASE WHEN doc_id % 24 = 5 THEN 'bar' || "
+    "CAST(doc_id % 40 AS {S}) || '.ck' ELSE 'sub' || "
+    "CAST(doc_id % 7 AS {S}) || '.site' || CAST(doc_id % 40 AS {S}) || "
+    "'.ck' END "
+    "WHEN 6 THEN 'app' || CAST(doc_id % 40 AS {S}) || '.github.io' "
+    "WHEN 7 THEN 'n' || CAST(doc_id % 5 AS {S}) || '.h' || "
+    "CAST(doc_id % 9 AS {S}) || '.compute.amazonaws.com' "
+    "WHEN 8 THEN 'WWW.Site' || CAST(doc_id % 40 AS {S}) || '.COM' "
+    "WHEN 9 THEN 'localhost' "
+    "WHEN 10 THEN 'docs.site' || CAST(doc_id % 40 AS {S}) || '.gov.uk' "
+    "ELSE 'cdn.site' || CAST(doc_id % 40 AS {S}) || '.io' END"
+)
+
+
+def q_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-suffix-list eTLD+1 rollup (``psl.registered_domain_psl``):
+    the pinned snapshot's full algorithm — longest-match, wildcard
+    (``*.kawasaki.jp``, ``*.ck``), exception (``!city.kawasaki.jp``,
+    ``!www.ck``), private-section and 4-label-wildcard rules, default
+    rule for unmatched hosts. Plan: per-depth broadcast joins of the
+    rule table, map-side only, zero shuffles (the 100 TB posture every
+    domain cap/mixture inherits). The oracle replays the identical
+    algorithm in DuckDB over the SAME rule rows (``psl.parse_rules`` —
+    shared, not copied)."""
+    from dataproc_spark.extensions.psl import registered_domain_psl
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("host", F.expr(_HOST_PSL_EXPR.format(S="STRING")))
+    )
+    return registered_domain_psl(docs).select(
+        "doc_id", F.lower("host").alias("host"), "domain"
+    )
+
+
+def _make_sql_registered_domain_psl() -> str:
+    from dataproc_spark.extensions.psl import parse_rules
+
+    parsed = parse_rules()
+    k_max = max(n for _, n, _, _ in parsed)
+    values = ", ".join(
+        f"('{t}', {n}, {str(w).upper()}, {str(e).upper()})"
+        for t, n, w, e in parsed
+    )
+    return f"""
+WITH hosts AS (
+    SELECT doc_id, {_HOST_PSL_EXPR.format(S="VARCHAR")} AS host
+    FROM documents
+),
+rules(rule, k, is_wild, is_exc) AS (VALUES {values}),
+h AS (
+    SELECT doc_id, lower(host) AS host,
+           string_split(lower(host), '.') AS labs,
+           len(string_split(lower(host), '.')) AS n
+    FROM hosts
+),
+cand AS (
+    SELECT h.doc_id, gs.k AS k,
+           array_to_string(h.labs[h.n - gs.k + 1:], '.') AS sk,
+           '*.' || array_to_string(h.labs[h.n - gs.k + 2:], '.') AS wk
+    FROM h, generate_series(2, {k_max}) gs(k)
+    WHERE gs.k <= h.n
+),
+m AS (
+    SELECT c.doc_id, c.k,
+           bool_or(r.is_exc) AS any_exc,
+           bool_or(NOT r.is_exc) AS any_std
+    FROM cand c JOIN rules r
+      ON (NOT r.is_wild AND r.rule = c.sk)
+      OR (r.is_wild AND r.rule = c.wk)
+    WHERE r.k = c.k
+    GROUP BY c.doc_id, c.k
+),
+best AS (
+    SELECT doc_id,
+           max(CASE WHEN any_exc THEN k END) AS exc_k,
+           max(CASE WHEN any_std THEN k END) AS std_k
+    FROM m GROUP BY doc_id
+),
+ps AS (
+    SELECT h.doc_id, h.host, h.labs, h.n,
+           CASE WHEN b.exc_k IS NOT NULL THEN b.exc_k - 1
+                WHEN b.std_k IS NOT NULL THEN b.std_k
+                ELSE 1 END AS ps_len
+    FROM h LEFT JOIN best b USING (doc_id)
+)
+SELECT doc_id, host,
+       array_to_string(labs[n - least(n, ps_len + 1) + 1:], '.') AS domain
+FROM ps
+"""
+
+
+SQL_REGISTERED_DOMAIN_PSL = _make_sql_registered_domain_psl()

@@ -1663,3 +1663,89 @@ def test_domain_mixture_zero_total(spark):
     got = {r.domain: r.share_bps
            for r in domain_mixture(df, weight_col="n_tokens").collect()}
     assert got == {"a.com": 0, "b.com": 0}
+
+
+def test_psl_registered_domain_rule_families(spark):
+    """PSL algorithm over the pinned snapshot: exact, wildcard, exception,
+    default-rule, private-section, 4-label wildcard, case-fold, NULL, and
+    the host==public-suffix closure convention."""
+    from dataproc_spark.extensions.psl import registered_domain_psl
+
+    cases = [
+        ("www.site.co.uk", "site.co.uk"),
+        ("a.b.site.com", "site.com"),
+        ("x.city.kawasaki.jp", "city.kawasaki.jp"),      # exception
+        ("shop.foo.kawasaki.jp", "shop.foo.kawasaki.jp"),  # wildcard
+        ("foo.kawasaki.jp", "foo.kawasaki.jp"),          # host IS suffix
+        ("foo.www.ck", "www.ck"),                        # exception deep
+        ("foo.bar.ck", "foo.bar.ck"),                    # *.ck
+        ("app.github.io", "app.github.io"),              # private section
+        ("x.y.compute.amazonaws.com", "x.y.compute.amazonaws.com"),
+        ("WWW.Site.COM", "site.com"),                    # case-fold
+        ("localhost", "localhost"),                      # bare label
+        (None, None),                                    # NULL host
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "id long, host string"
+    )
+    got = {r.id: r.domain for r in registered_domain_psl(df).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, want, got[i])
+
+
+def test_psl_plan_is_broadcast_only(spark):
+    """The rollup must compile to broadcast hash joins with no data
+    shuffle on the host side (the 100 TB contract)."""
+    from dataproc_spark.extensions.psl import registered_domain_psl
+
+    df = spark.createDataFrame([(1, "a.b.co.uk")], "id long, host string")
+    plan = (
+        registered_domain_psl(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every Exchange is a broadcast build, never a hash repartition
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning", plan), plan
+
+
+def test_psl_clobber_guard_and_custom_rules(spark):
+    from dataproc_spark.extensions.psl import (
+        parse_rules,
+        registered_domain_psl,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a.b.c", "x")],
+                               "id long, host string, domain string")
+    with _pytest.raises(ValueError, match="clobber"):
+        registered_domain_psl(df)
+    # caller-supplied rule set (the full-PSL seam): swap rules, same plan
+    df2 = spark.createDataFrame([(1, "a.b.custom.tld")],
+                                "id long, host string")
+    got = registered_domain_psl(
+        df2, rules=["custom.tld"]
+    ).collect()[0].domain
+    assert got == "b.custom.tld"
+    with _pytest.raises(ValueError, match="exception and wildcard"):
+        parse_rules(["!*.bad"])
+    with _pytest.raises(ValueError, match="empty"):
+        parse_rules(["// comment only"])
+
+
+def test_with_domain_psl_optin(spark):
+    from dataproc_spark.extensions.web import with_domain
+
+    df = spark.createDataFrame(
+        [(1, "https://x.city.kawasaki.jp/p"),
+         (2, "https://deep.sub.site.co.uk/q")],
+        "id long, url string",
+    )
+    got = {r.id: r.domain for r in with_domain(df, psl=True).collect()}
+    assert got[1] == "city.kawasaki.jp"      # exception rule applied
+    assert got[2] == "site.co.uk"
+    # heuristic fallback unchanged
+    old = {r.id: r.domain for r in with_domain(df).collect()}
+    assert old[2] == "site.co.uk"
