@@ -11,12 +11,16 @@ metadata (mime, width/height, duration, …). Two decode kernels exist:
   audio).
 - ``real_decode=True`` / :func:`decode_image_stats` run a REAL decoder:
   pure-Python+numpy PNG (8-bit gray/gray-alpha/RGB/RGBA, all five
-  scanline filters, stdlib ``zlib`` inflate) and binary PPM (P6).
-  :func:`encode_png` / :func:`encode_ppm` are the matching encoders, so
-  the whole path — encode on one Arrow stage, decode on another — round
-  trips through genuine codec work (zlib + PNG defiltering), no external
-  image library needed. Formats beyond these raise ``ValueError`` per
-  payload; wire PIL/ffmpeg into ``_decode_image_bytes`` to extend.
+  scanline filters, stdlib ``zlib`` inflate), binary PPM (P6), and
+  baseline JPEG (:mod:`.jpeg` — table-driven Huffman, dequantize, exact
+  IDCT, YCbCr; 4:4:4, 1/3 components). :func:`encode_png` /
+  :func:`encode_ppm` / ``jpeg.encode_jpeg`` are the matching encoders,
+  so the whole path — encode on one Arrow stage, decode on another —
+  round trips through genuine codec work, no external image library
+  needed. Progressive/subsampled JPEG and other formats raise
+  ``ValueError`` per payload (``jpeg.parse_jpeg_meta`` still reads
+  their headers); wire PIL/ffmpeg into ``_decode_image_bytes`` to
+  extend.
 
 Scale notes: payload columns are large — the schemas keep metadata in
 separate (pruned-away) columns so metadata-only queries never read bytes;
@@ -32,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -138,6 +143,10 @@ def _decode_image_bytes(buf: bytes):
     import numpy as np
 
     buf = bytes(buf)
+    if buf[:2] == b"\xFF\xD8":
+        from dataproc_spark.extensions.jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
     if buf[:8] == _PNG_MAGIC:
         pos, w, h, channels, idat = 8, None, None, None, []
         while pos + 8 <= len(buf):
@@ -293,6 +302,88 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def synthesize_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG synthesis for tests/oracles: each id becomes a
+    grayscale baseline JPEG of ``(2 + id%3) × (1 + id%2)`` constant 8×8
+    blocks — block ``(bx, by)`` holds value ``(id*7 + bx*13 + by*31) %
+    256`` — encoded with quant table ``2^(id%4)`` (1/2/4/8). A constant
+    block's FDCT is DC-only and ``8·(v-128)`` is exactly divisible by
+    every power-of-two quant ≤ 8, so the decode is **bit-exact** and an
+    engine-independent oracle reproduces the pixel statistics from the
+    block arithmetic alone, while the decoder does genuine codec work
+    (marker walk, stream-defined Huffman tables, dequantize, IDCT)."""
+    import numpy as np
+
+    from dataproc_spark.extensions.jpeg import encode_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                wb, hb = 2 + i % 3, 1 + i % 2
+                bx, by = np.meshgrid(np.arange(wb), np.arange(hb))
+                blocks = (i * 7 + bx * 13 + by * 31) % 256
+                arr = np.kron(blocks, np.ones((8, 8), dtype=np.int64))
+                payload = encode_jpeg(arr.astype(np.uint8),
+                                      quant=1 << (i % 4))
+                out.append((i, "image/jpeg", payload, wb * 8, hb * 8))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "mime", "payload", "meta_width", "meta_height",
+                ],
+            )
+
+    return df.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+#: Output of the JPEG header-walk stage.
+JPEG_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("progressive", BooleanType()),
+    ]
+)
+
+
+def jpeg_meta(media: DataFrame) -> DataFrame:
+    """Header-only JPEG metadata: width/height/channels/progressive from
+    a marker walk (``jpeg.parse_jpeg_meta``) — NO entropy decode, so it
+    is the cheap map-only stats path for real-crawl payloads, including
+    the progressive streams the full decoder refuses. NULL payloads and
+    non-JPEG bytes emit no row (the frame_sample skip contract)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dataproc_spark.extensions.jpeg import parse_jpeg_meta
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    m = parse_jpeg_meta(payload)
+                except ValueError:
+                    continue
+                rows.append(
+                    (int(mid), m["width"], m["height"], m["channels"],
+                     m["progressive"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels", "progressive",
+                ],
+            )
+
+    pruned = media.select("media_id", "payload")
+    return pruned.mapInPandas(kernel, schema=JPEG_META_SCHEMA)
 
 
 def attach_payload(df: DataFrame, text_col: str = "text",

@@ -268,6 +268,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_registered_domain_psl,
         SQL_REGISTERED_DOMAIN_PSL,
     ),
+    "multimodal_jpeg": (q_multimodal_jpeg, SQL_MULTIMODAL_JPEG),
 }
 
 

@@ -1749,3 +1749,97 @@ def test_with_domain_psl_optin(spark):
     # heuristic fallback unchanged
     old = {r.id: r.domain for r in with_domain(df).collect()}
     assert old[2] == "site.co.uk"
+
+
+def test_jpeg_roundtrip_exact_and_bounded():
+    """Baseline JPEG codec: block-constant gray at power-of-two quant is
+    bit-exact; gradients and RGB 4:4:4 are bounded-error; odd dims crop."""
+    import numpy as np
+
+    from dataproc_spark.extensions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        parse_jpeg_meta,
+    )
+
+    rng = np.random.RandomState(7)
+    blocks = rng.randint(0, 256, size=(3, 4))
+    img = np.kron(blocks, np.ones((8, 8), dtype=int)).astype(np.uint8)
+    for q in (1, 2, 4, 8):
+        w, h, c, out = decode_jpeg(encode_jpeg(img, quant=q))
+        assert (w, h, c) == (32, 24, 1)
+        assert np.array_equal(out[:, :, 0], img), f"quant={q} not exact"
+    meta = parse_jpeg_meta(encode_jpeg(img, quant=1))
+    assert meta == {"width": 32, "height": 24, "channels": 1,
+                    "progressive": False, "precision": 8}
+    # gradient: bounded error at quant=1
+    g = np.tile(np.arange(64, dtype=np.uint8) * 4, (16, 1))
+    _, _, _, og = decode_jpeg(encode_jpeg(g, quant=1))
+    assert np.abs(og[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+    # RGB 4:4:4 constant blocks: color transform rounding only
+    rgbb = rng.randint(16, 240, size=(2, 3, 3))
+    rgb = np.kron(
+        rgbb.transpose(2, 0, 1), np.ones((8, 8), dtype=int)
+    ).transpose(1, 2, 0).astype(np.uint8)
+    w3, h3, c3, o3 = decode_jpeg(encode_jpeg(rgb, quant=1))
+    assert (w3, h3, c3) == (24, 16, 3)
+    assert np.abs(o3.astype(int) - rgb.astype(int)).max() <= 3
+    # non-multiple-of-8 dims: encoder pads, decoder crops
+    odd = rng.randint(0, 256, size=(13, 21)).astype(np.uint8)
+    w4, h4, _, _ = decode_jpeg(encode_jpeg(odd, quant=2))
+    assert (w4, h4) == (21, 13)
+
+
+def test_jpeg_error_arms_and_progressive_meta():
+    import numpy as np
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        parse_jpeg_meta,
+    )
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+    with _pytest.raises(ValueError, match="missing SOF"):
+        parse_jpeg_meta(b"\xFF\xD8\xFF\xD9")
+    buf = bytearray(
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quant=1)
+    )
+    idx = bytes(buf).find(b"\xFF\xC0")
+    buf[idx + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    assert parse_jpeg_meta(bytes(buf))["progressive"] is True
+    with _pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(buf))
+    with _pytest.raises(ValueError, match="quant"):
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quant=0)
+    with _pytest.raises(ValueError, match="expects"):
+        encode_jpeg(np.zeros((8, 8, 2), dtype=np.uint8))
+
+
+def test_jpeg_spark_stages(spark):
+    """synthesize_jpegs -> decode_image_stats and the header-only
+    jpeg_meta stage agree on dimensions; non-JPEG and NULL payloads are
+    skipped by jpeg_meta, not fatal."""
+    from dataproc_spark.extensions.multimodal import (
+        decode_image_stats,
+        jpeg_meta,
+        synthesize_jpegs,
+    )
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    media = synthesize_jpegs(docs)
+    stats = {r.media_id: r for r in decode_image_stats(media).collect()}
+    meta = {r.media_id: r for r in jpeg_meta(media).collect()}
+    assert set(stats) == set(meta) == set(range(12))
+    for i in range(12):
+        assert stats[i].width == meta[i].width == 8 * (2 + i % 3)
+        assert stats[i].height == meta[i].height == 8 * (1 + i % 2)
+        assert stats[i].channels == meta[i].channels == 1
+        assert meta[i].progressive is False
+    mixed = spark.createDataFrame(
+        [(1, None), (2, b"not a jpeg")],
+        "media_id long, payload binary",
+    )
+    assert jpeg_meta(mixed).count() == 0
