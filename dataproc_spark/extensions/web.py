@@ -336,6 +336,15 @@ def extract_text(html_col: str | Column = "html") -> Column:
     this pass.
     """
     c = F.col(html_col) if isinstance(html_col, str) else html_col
+    c = _strip_nontext(c)
+    c = _clean_fragment(c)
+    return c
+
+
+def _strip_nontext(c: Column) -> Column:
+    """Comments and ``<script>``/``<style>`` blocks (content and all)
+    replaced by spaces — the shared preamble of :func:`extract_text`
+    and :func:`extract_main_text`."""
     c = F.regexp_replace(c, r"(?is)<!--.*?-->", " ")
     # name boundary: `<script[^>]*>` also matched custom elements whose
     # NAME merely starts with script/style (<style-guide>) and then ate
@@ -343,8 +352,92 @@ def extract_text(html_col: str | Column = "html") -> Column:
     # follow-up review finding). `(?:\s[^>]*)?` keeps it RE2-portable.
     c = F.regexp_replace(c, r"(?is)<script(?:\s[^>]*)?>.*?</script\s*>", " ")
     c = F.regexp_replace(c, r"(?is)<style(?:\s[^>]*)?>.*?</style\s*>", " ")
+    return c
+
+
+def _clean_fragment(c: Column) -> Column:
+    """Tag-strip + entity-decode + whitespace-collapse of an HTML
+    fragment (no comment/script handling — callers apply
+    :func:`_strip_nontext` first)."""
     c = F.regexp_replace(c, r"(?is)<[^>]+>", " ")
     for entity, repl in HTML_ENTITIES:
         c = F.replace(c, F.lit(entity), F.lit(repl))
     c = F.regexp_replace(c, r"[ \t\r\n]+", " ")
     return F.trim(c)
+
+
+#: block-level elements whose open/close tags delimit text blocks for
+#: the density filter; inline markup (a, span, b, em, …) stays inside
+#: its block. Shared with the DuckDB oracle.
+BLOCK_TAGS = (
+    "div", "p", "h[1-6]", "li", "ul", "ol", "dl", "dt", "dd",
+    "table", "thead", "tbody", "tr", "td", "th",
+    "nav", "footer", "header", "aside", "section", "article", "main",
+    "blockquote", "br", "hr", "form", "fieldset", "figure", "figcaption",
+)
+
+#: split pattern: any open/close/self-closing block tag (RE2-portable —
+#: no lookaround, inline (?i) only)
+BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:" + "|".join(BLOCK_TAGS) + r")(?:\s[^>]*)?/?>"
+)
+
+#: a complete inline anchor (text between <a ...> and </a>); dangling
+#: anchors cut by a block boundary lose their tag to the generic strip
+#: and count as plain text — deterministic on both engines
+ANCHOR_SPAN_RE = r"(?is)<a(?:\s[^>]*)?>.*?</a\s*>"
+
+
+def extract_main_text(
+    html_col: str | Column = "html",
+    min_chars: int = 30,
+    max_link_pct: int = 33,
+) -> Column:
+    """Block-level boilerplate removal (the curation standard beyond
+    WET-style tag-strip): split the document into text blocks at
+    block-element boundaries (:data:`BLOCK_TAGS`), score each block by
+    cleaned text length and **link density** (share of characters that
+    came from inside ``<a>`` anchors), and keep only blocks with at
+    least ``min_chars`` characters and at most ``max_link_pct`` percent
+    link text. Navigation bars, footers, sidebars, and related-links
+    lists are short and/or link-dominated, so they drop; paragraphs of
+    running text survive. Kept blocks re-join with single spaces.
+
+    Link density is defined subtractively and integer-exactly:
+    ``link_len = len(clean(block)) - len(clean(block minus anchor
+    spans))`` with the keep rule ``link_len * 100 <= max_link_pct *
+    text_len`` — no floats, so the rule is bit-stable across engines.
+
+    Plan: the entire pass is ONE projection — ``split`` into a block
+    array, higher-order ``transform``/``filter`` with the same
+    regexp/entity chain as :func:`extract_text` inside the lambda,
+    ``array_join`` — map-only, zero shuffles, no explode/regroup, and
+    RE2-portable so the DuckDB oracle replays it list-for-list. This is
+    the deterministic core of a trafilatura-style extractor; a learned
+    block classifier would replace the keep RULE, not the plan shape.
+    """
+    if min_chars < 1 or not (0 <= max_link_pct <= 100):
+        raise ValueError(
+            f"min_chars must be >= 1 and max_link_pct in 0..100, got "
+            f"{min_chars}, {max_link_pct}"
+        )
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    blocks = F.split(_strip_nontext(c), BLOCK_SPLIT_RE)
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _clean_fragment(b).alias("t"),
+            _clean_fragment(
+                F.regexp_replace(b, ANCHOR_SPAN_RE, " ")
+            ).alias("nl"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["t"]) >= min_chars)
+        & (
+            (F.length(s["t"]) - F.length(s["nl"])) * 100
+            <= max_link_pct * F.length(s["t"])
+        ),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["t"]), " ")

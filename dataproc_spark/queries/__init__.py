@@ -269,6 +269,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_REGISTERED_DOMAIN_PSL,
     ),
     "multimodal_jpeg": (q_multimodal_jpeg, SQL_MULTIMODAL_JPEG),
+    "html_boilerplate": (q_html_boilerplate, SQL_HTML_BOILERPLATE),
 }
 
 

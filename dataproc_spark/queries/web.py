@@ -363,3 +363,104 @@ FROM ps
 
 
 SQL_REGISTERED_DOMAIN_PSL = _make_sql_registered_domain_psl()
+
+
+#: boilerplate-gate page template: nav + sidebar + related-links (long
+#: but link-dense) + footer wrapped around the document's text — the
+#: arms a tag-strip extractor keeps and a density filter must drop
+_BOILER_PREFIX = (
+    '<html><head><title>T</title><style>p { color: red; }</style></head>'
+    '<body><nav><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a></nav>'
+    '<div class="sidebar"><ul><li><a href="/1">Link one</a></li>'
+    '<li><a href="/2">Link two</a></li></ul></div>'
+    '<div class="content"><h1>Collection item &amp; principal heading</h1><p>'
+)
+_BOILER_SUFFIX = (
+    '</p></div><div class="related"><ul>'
+    '<li><a href="/r1">A very long related article title number one</a></li>'
+    '<li><a href="/r2">Another long related article title number two</a></li>'
+    '</ul></div>'
+    '<footer>Copyright 2026 <a href="/tos">Terms</a> '
+    '<a href="/privacy">Privacy</a></footer></body></html>'
+)
+
+
+def q_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level boilerplate removal (``web.extract_main_text``): each
+    document is wrapped in a full page template — nav bar, link-list
+    sidebar, LONG link-dense related-articles block, footer — and the
+    extractor must keep exactly the heading + body paragraph (the
+    blocks with enough text and low link density) while dropping every
+    boilerplate arm that plain tag-strip (``html_extract``) keeps. One
+    projection: split on block tags, higher-order transform/filter with
+    the integer link-density rule, array_join — map-only, zero
+    shuffles; the oracle replays the identical list pipeline in DuckDB
+    from the same shared regex/entity constants."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit(_BOILER_PREFIX),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(_BOILER_SUFFIX),
+    )
+    out = docs.withColumn("main", web.extract_main_text(html))
+    return out.select(
+        "doc_id",
+        "main",
+        F.length("main").cast("long").alias("n_chars_main"),
+    )
+
+
+def _make_sql_html_boilerplate() -> str:
+    # nested replace() chain, innermost-first, mirroring HTML_ENTITIES
+    expr = "regexp_replace({x}, '(?is)<[^>]+>', ' ', 'g')"
+    for ent, repl in web.HTML_ENTITIES:
+        r = "chr(39)" if repl == "'" else "'" + repl.replace("'", "''") + "'"
+        expr = f"replace({expr}, '{ent}', {r})"
+    clean = (
+        "trim(regexp_replace(" + expr +
+        ", '[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g'))"
+    )
+    clean_t = clean.format(x="b")
+    clean_nl = clean.format(
+        x=f"regexp_replace(b, '{web.ANCHOR_SPAN_RE}', ' ', 'g')"
+    )
+    prefix = _BOILER_PREFIX.replace("'", "''")
+    suffix = _BOILER_SUFFIX.replace("'", "''")
+    return f"""
+WITH h AS (
+    SELECT doc_id,
+           '{prefix}' || coalesce(text, '') || '{suffix}' AS html
+    FROM documents
+),
+pre AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(html,
+               '(?is)<!--.*?-->', ' ', 'g'),
+               '(?is)<script(?:\\s[^>]*)?>.*?</script\\s*>', ' ', 'g'),
+               '(?is)<style(?:\\s[^>]*)?>.*?</style\\s*>', ' ', 'g') AS t
+    FROM h
+),
+blk AS (
+    SELECT doc_id,
+           list_transform(
+               regexp_split_to_array(t, '{web.BLOCK_SPLIT_RE}'),
+               b -> {{'t': {clean_t}, 'nl': {clean_nl}}}
+           ) AS s
+    FROM pre
+),
+kept AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(
+                   list_filter(s, x -> len(x.t) >= 30
+                       AND (len(x.t) - len(x.nl)) * 100 <= 33 * len(x.t)),
+                   x -> x.t),
+               ' ') AS main
+    FROM blk
+)
+SELECT doc_id, main, CAST(length(main) AS BIGINT) AS n_chars_main FROM kept
+"""
+
+
+SQL_HTML_BOILERPLATE = _make_sql_html_boilerplate()

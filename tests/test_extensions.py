@@ -1843,3 +1843,64 @@ def test_jpeg_spark_stages(spark):
         "media_id long, payload binary",
     )
     assert jpeg_meta(mixed).count() == 0
+
+
+def test_extract_main_text_drops_boilerplate(spark):
+    """Block-density filter: nav/sidebar/footer and long-but-link-dense
+    blocks drop; heading + running-text paragraphs (incl. one with a
+    low-density inline link and an entity) survive."""
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions.web import extract_main_text
+
+    html = (
+        '<html><body>'
+        '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        '<div><ul><li><a href="/1">Link one</a></li></ul></div>'
+        '<div><h1>Doc &amp; principal content heading here</h1>'
+        '<p>This paragraph is the real body of the page, long enough '
+        'to clear the minimum and free of links.</p>'
+        '<p>See <a href="/r">one reference</a> amid plain running text '
+        'that satisfies the link-density rule comfortably.</p></div>'
+        '<div><ul>'
+        '<li><a href="/r1">A very long related article title one</a></li>'
+        '<li><a href="/r2">A very long related article title two</a></li>'
+        '<li><a href="/r3">A very long related article title three</a></li>'
+        '</ul></div>'
+        '<footer>Copyright <a href="/t">Terms</a></footer></body></html>'
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    main = df.select(extract_main_text("html").alias("m")).collect()[0].m
+    assert "real body of the page" in main
+    assert "one reference" in main
+    assert "Doc & principal content heading" in main
+    for boiler in ("Home", "Link one", "related article title", "Terms"):
+        assert boiler not in main, boiler
+
+
+def test_extract_main_text_params_and_plan(spark):
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.web import extract_main_text
+
+    with _pytest.raises(ValueError, match="min_chars"):
+        extract_main_text("html", min_chars=0)
+    with _pytest.raises(ValueError, match="min_chars"):
+        extract_main_text("html", max_link_pct=101)
+    df = spark.createDataFrame(
+        [(1, "<p>short</p><p>a block long enough to clear a tiny "
+             "threshold</p>")],
+        "id long, html string",
+    )
+    # min_chars raised: both blocks drop -> empty string, never NULL
+    got = df.select(
+        extract_main_text("html", min_chars=500).alias("m")
+    ).collect()[0].m
+    assert got == ""
+    # the whole pass is one map-side projection: no exchange in the plan
+    plan = (
+        df.select(extract_main_text("html").alias("m"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
