@@ -236,7 +236,9 @@ FROM documents GROUP BY lang
 
 
 def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword language-ID heuristic vs the labeled lang column."""
+    """Character-trigram language ID (rank-weighted profile scores,
+    ``textstats.LANG_TRIGRAM_PROFILES``) cross-tabulated against the
+    labeled lang column; the oracle replays the same profiles."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.withColumn("pred_lang", textstats.predicted_lang("text"))
@@ -245,43 +247,50 @@ def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANG_SCORE_SQL = {
-    "en": "((length(text) - length(replace(text, ' the ', ''))) // 5"
-          " + (length(text) - length(replace(text, ' and ', ''))) // 5"
-          " + (length(text) - length(replace(text, ' of ', ''))) // 4)",
-    "de": "((length(text) - length(replace(text, ' der ', ''))) // 5"
-          " + (length(text) - length(replace(text, ' und ', ''))) // 5"
-          " + (length(text) - length(replace(text, ' die ', ''))) // 5)",
-    "fr": "((length(text) - length(replace(text, ' le ', ''))) // 4"
-          " + (length(text) - length(replace(text, ' et ', ''))) // 4"
-          " + (length(text) - length(replace(text, ' la ', ''))) // 4)",
-    "es": "((length(text) - length(replace(text, ' el ', ''))) // 4"
-          " + (length(text) - length(replace(text, ' y ', ''))) // 3"
-          " + (length(text) - length(replace(text, ' de la ', ''))) // 7)",
-}
+def _lang_trigram_sql_fragments() -> tuple[str, str, str]:
+    """(grams CTE expression, per-language score selects, argmax CASE) —
+    generated from ``textstats.LANG_TRIGRAM_PROFILES`` so the oracle can
+    never drift from the engine's profile table."""
+    score_sqls = []
+    for lang, profile in textstats.LANG_TRIGRAM_PROFILES.items():
+        k = len(profile)
+        terms = " + ".join(
+            f"{k - i} * ((length(s) - length(replace(s, '{g}', ''))) // 3)"
+            for i, g in enumerate(profile)
+        )
+        score_sqls.append(f"({terms}) AS s_{lang}")
+    langs = list(textstats.LANG_TRIGRAM_PROFILES)
+    arms = []
+    for i, lang in enumerate(langs):
+        later = langs[i + 1:]
+        cond = " AND ".join(f"s_{lang} >= s_{l2}" for l2 in later) or "TRUE"
+        arms.append(f"WHEN {cond} THEN '{lang}'")
+    all_s = ", ".join(f"s_{l}" for l in langs)
+    case = (
+        f"CASE WHEN greatest({all_s}) <= 0 THEN 'und' "
+        + " ".join(arms[:-1])
+        + f" ELSE '{langs[-1]}' END"
+    )
+    norm = (
+        "' ' || trim(regexp_replace(lower(coalesce(text, '')), "
+        "'[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g')) || ' '"
+    )
+    return norm, ",\n           ".join(score_sqls), case
+
+
+_LANG_NORM_SQL, _LANG_SCORES_SQL, _LANG_ARGMAX_SQL = (
+    _lang_trigram_sql_fragments()
+)
 
 
 SQL_LANG_PREDICT = f"""
-WITH scored AS (
+WITH n AS (SELECT lang, {_LANG_NORM_SQL} AS s FROM documents),
+scored AS (
     SELECT lang,
-           {_LANG_SCORE_SQL['en']} AS s_en,
-           {_LANG_SCORE_SQL['de']} AS s_de,
-           {_LANG_SCORE_SQL['fr']} AS s_fr,
-           {_LANG_SCORE_SQL['es']} AS s_es
-    FROM documents
+           {_LANG_SCORES_SQL}
+    FROM n
 ),
-pred AS (
-    SELECT lang,
-           -- NULL text: every score is NULL, the WHENs fall through and
-           -- ELSE would claim 'es' — the engine says 'und' (r8 follow-up)
-           CASE WHEN greatest(s_en, s_de, s_fr, s_es) IS NULL THEN 'und'
-                WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
-                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-                WHEN s_fr >= s_es THEN 'fr'
-                ELSE 'es' END AS pred_lang
-    FROM scored
-)
+pred AS (SELECT lang, {_LANG_ARGMAX_SQL} AS pred_lang FROM scored)
 SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM pred GROUP BY lang, pred_lang
 """
@@ -290,7 +299,8 @@ FROM pred GROUP BY lang, pred_lang
 def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted-language mixture report — the crawl-curation step that
     sets per-language sampling rates: language-ID every document
-    (``textstats.predicted_lang``, map-only stopword heuristic), weight
+    (``textstats.predicted_lang``, map-only character-trigram profile
+    scoring), weight
     by token count, and report each predicted language's corpus share in
     integer basis points via ``web.domain_mixture`` (the mixture
     machinery is column-generic; language is just another partition
@@ -310,25 +320,19 @@ def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LANG_MIXTURE = f"""
-WITH scored AS (
-    SELECT {_LANG_SCORE_SQL['en']} AS s_en,
-           {_LANG_SCORE_SQL['de']} AS s_de,
-           {_LANG_SCORE_SQL['fr']} AS s_fr,
-           {_LANG_SCORE_SQL['es']} AS s_es,
+WITH n AS (
+    SELECT {_LANG_NORM_SQL} AS s,
            len(list_filter(string_split_regex(text, '\\s+'),
                            x -> x <> '')) AS n_tokens
     FROM documents
 ),
+scored AS (
+    SELECT n_tokens,
+           {_LANG_SCORES_SQL}
+    FROM n
+),
 pred AS (
-    -- NULL text: every score is NULL, the WHENs fall through and ELSE
-    -- would claim 'es' — the engine says 'und' (r8 follow-up)
-    SELECT CASE WHEN greatest(s_en, s_de, s_fr, s_es) IS NULL THEN 'und'
-                WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
-                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-                WHEN s_fr >= s_es THEN 'fr'
-                ELSE 'es' END AS pred_lang,
-           n_tokens
+    SELECT {_LANG_ARGMAX_SQL} AS pred_lang, n_tokens
     FROM scored
 ),
 per AS (

@@ -130,17 +130,41 @@ def test_bucketed_topk_restricts_to_bucket(spark):
 
 
 def test_predicted_lang(spark):
+    """Trigram-profile language ID (r9): all four profiled languages,
+    plus the adversarial arms — short strings, NULL, non-Latin script,
+    Latin gibberish, and a mixed-script sentence — must be deterministic
+    and never crash."""
     rows = [
         (1, "this is the house and the garden of the king"),
         (2, "das ist der hund und die katze und der vogel"),
-        (3, "xyzzy plugh abracadabra"),
+        (3, "le chien et le chat sont dans la maison que nous avons"),
+        (4, "el perro y el gato que viven en la casa de los reyes"),
+        (5, "ab"),                        # too short for any trigram
+        (6, None),                        # NULL text
+        (7, "全部都是中文字符没有任何拉丁字母"),  # non-Latin script
+        (8, "kwyjibo zzyzx qwfp vvkj"),   # Latin gibberish
+        (9, "the king said 你好 and the queen of the castle agreed"),
     ]
     df = spark.createDataFrame(rows, schema="doc_id long, text string")
     out = df.select("doc_id", textstats.predicted_lang("text").alias("p"))
     got = dict((r.doc_id, r.p) for r in out.collect())
     assert got[1] == "en"
     assert got[2] == "de"
-    assert got[3] == "und"
+    assert got[3] == "fr"
+    assert got[4] == "es"
+    assert got[5] == "und"
+    assert got[6] == "und"
+    assert got[7] == "und"
+    assert got[8] == "und"
+    assert got[9] == "en"  # mixed-script: Latin trigrams still decide
+    # map-only (no Exchange); the projection itself is interpreted (HOF
+    # argmax — Spark's higher-order functions are codegen-fallback) but
+    # each 30-term score expression appears exactly ONCE in the plan
+    # (the naive when-chain argmax duplicated them past the 64 KB
+    # codegen method limit and ran ~2-4× slower)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("transform(") == 1, "argmax should be one HOF transform"
 
 
 def test_quality_features(spark):
