@@ -270,6 +270,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "multimodal_jpeg": (q_multimodal_jpeg, SQL_MULTIMODAL_JPEG),
     "html_boilerplate": (q_html_boilerplate, SQL_HTML_BOILERPLATE),
+    "ann_ivf_index_roundtrip": (
+        q_ann_ivf_index_roundtrip,
+        SQL_ANN_IVF_INDEX_ROUNDTRIP,
+    ),
 }
 
 

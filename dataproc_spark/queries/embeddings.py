@@ -183,6 +183,33 @@ FROM (
 """
 
 
+def q_ann_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistable IVF index roundtrip (``simsearch.write_ivf_index`` →
+    ``read_ivf_index`` → ``ivf_index_topk``): build the deterministic
+    (exact-kind) index from label cells, write it — partition-pruned
+    inverted lists + integer centroid dim-rows + format-marked meta —
+    reload it in the probe path, and top-5 the same query set as
+    ``ann_ivf_exact``. By construction the persisted probe must equal
+    the in-memory pipeline bit-for-bit, so this gate shares its oracle
+    SQL with ``ann_ivf_exact``; any drift introduced by the store
+    (quantization loss, partition-column type change, list truncation)
+    hash-fails. Scratch index is deleted before returning
+    (`_materialize_and_clean` pattern)."""
+    import tempfile
+
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="ivfidx_")
+    simsearch.write_ivf_index(emb, out, cell_col="label")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    res = simsearch.ivf_index_topk(spark, out, queries_df, k=5, n_probe=2)
+    return _materialize_and_clean(res, out)
+
+
+SQL_ANN_IVF_INDEX_ROUNDTRIP = SQL_ANN_IVF_EXACT
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within a coarse bucket, exact-int scores."""
     return simsearch.near_dup_pairs(

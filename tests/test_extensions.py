@@ -1928,3 +1928,62 @@ def test_extract_main_text_params_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ivf_index_roundtrip_bit_exact(spark, tmp_path):
+    """write_ivf_index(exact) -> read -> probe must equal the in-memory
+    ivf_exact_topk pipeline bit-for-bit."""
+    import random
+
+    from dataproc_spark.extensions import simsearch
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    idx = str(tmp_path / "ivf")
+    meta = simsearch.write_ivf_index(emb, idx, cell_col="label")
+    assert meta["kind"] == "exact" and meta["n_cells"] == 3
+    queries = emb.where("vec_id % 10 = 0")
+    got = sorted(
+        tuple(r) for r in simsearch.ivf_index_topk(
+            spark, idx, queries, k=4, n_probe=2
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in simsearch.ivf_exact_topk(
+            emb, queries, k=4, n_probe=2
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_format_guard_and_kmeans_kind(spark, tmp_path):
+    from dataproc_spark.extensions import simsearch
+    import pytest as _pytest
+    import random
+
+    # not-an-index path: unrelated parquet must fail loudly
+    junk = str(tmp_path / "junk")
+    spark.range(3).write.parquet(junk + "/meta")
+    with _pytest.raises(ValueError, match="not an IVF index"):
+        simsearch.read_ivf_index(spark, junk)
+    with _pytest.raises(ValueError, match="not an IVF index"):
+        simsearch.read_ivf_index(spark, str(tmp_path / "absent"))
+    # KMeans flavor: real quantizer, probe path runs end-to-end
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(6)], 0) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    idx = str(tmp_path / "km")
+    meta = simsearch.write_ivf_index(emb, idx, cells=4)
+    assert meta["kind"] == "kmeans"
+    out = simsearch.ivf_index_topk(
+        spark, idx, emb.where("vec_id % 20 = 0"), k=3, n_probe=2
+    ).collect()
+    assert len(out) > 0 and all(r.rnk <= 3 for r in out)
