@@ -83,6 +83,12 @@ EXTENDED_QUERIES = [
     "embed_lsh_near_dup",
     "audio_decode",
     "unicode_normalize",
+    # r9 families: PSL eTLD+1 rollup, real JPEG decode, block-level
+    # boilerplate removal, persisted-IVF probe
+    "registered_domain_psl",
+    "multimodal_jpeg",
+    "html_boilerplate",
+    "ann_ivf_index_roundtrip",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

@@ -21,6 +21,9 @@ Usage: python tools/bench_r8_core.py EXPERIMENT [SRC]
                        IMPL signature path (expr|arrow), e.g.
                        embed_lsh:16:4:expr (gate params) or
                        embed_lsh:128:16:arrow (production banding)
+    url_dedup        — canonicalize + keep-one-per-URL window (r9 probe)
+    domain_mixture   — per-domain aggregate + broadcast denominator (r9)
+    registered_domain_psl — PSL broadcast-join rollup, map-only (r9)
 Run each at /root/testdata/sf0.1, /tmp/scale10, /tmp/scale100 for the
 1x/10x/100x exponent rows.
 """
@@ -146,6 +149,46 @@ def run(experiment: str, src: str | None) -> None:
             row = out.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("dot_q").alias("chk"),
+            ).first()
+            return row["n"]
+
+    elif experiment == "url_dedup":
+        from dataproc_spark.queries import REGISTRY
+
+        fn = REGISTRY["url_dedup"][0]
+
+        def job():
+            out = fn(spark, src)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("canonical_url")).alias("chk"),
+            ).first()
+            return row["n"]
+
+    elif experiment == "domain_mixture":
+        from dataproc_spark.queries import REGISTRY
+
+        fn = REGISTRY["domain_mixture"][0]
+
+        def job():
+            out = fn(spark, src)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("share_bps").alias("chk"),
+                F.sum("weight").alias("w"),
+            ).first()
+            return row["n"]
+
+    elif experiment == "registered_domain_psl":
+        from dataproc_spark.queries import REGISTRY
+
+        fn = REGISTRY["registered_domain_psl"][0]
+
+        def job():
+            out = fn(spark, src)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("domain")).alias("chk"),
             ).first()
             return row["n"]
 
