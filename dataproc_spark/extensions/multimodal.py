@@ -304,7 +304,11 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
-def synthesize_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_jpegs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    progressive_every: int | None = None,
+) -> DataFrame:
     """Deterministic JPEG synthesis for tests/oracles: each id becomes a
     grayscale baseline JPEG of ``(2 + id%3) × (1 + id%2)`` constant 8×8
     blocks — block ``(bx, by)`` holds value ``(id*7 + bx*13 + by*31) %
@@ -313,7 +317,14 @@ def synthesize_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     every power-of-two quant ≤ 8, so the decode is **bit-exact** and an
     engine-independent oracle reproduces the pixel statistics from the
     block arithmetic alone, while the decoder does genuine codec work
-    (marker walk, stream-defined Huffman tables, dequantize, IDCT)."""
+    (marker walk, stream-defined Huffman tables, dequantize, IDCT).
+
+    ``progressive_every=N`` marks every Nth id's payload as progressive
+    by rewriting its SOF0 marker to SOF2 — a header-level arm for the
+    metadata path ONLY (:func:`jpeg_meta` reads just the marker walk;
+    the scan data stays baseline, and the full decoder correctly
+    REFUSES these payloads, which is exactly the real-crawl behavior
+    the header path exists for)."""
     import numpy as np
 
     from dataproc_spark.extensions.jpeg import encode_jpeg
@@ -329,6 +340,10 @@ def synthesize_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 arr = np.kron(blocks, np.ones((8, 8), dtype=np.int64))
                 payload = encode_jpeg(arr.astype(np.uint8),
                                       quant=1 << (i % 4))
+                if progressive_every and i % progressive_every == 0:
+                    b = bytearray(payload)
+                    b[payload.find(b"\xFF\xC0") + 1] = 0xC2
+                    payload = bytes(b)  # SOF0 → SOF2
                 out.append((i, "image/jpeg", payload, wb * 8, hb * 8))
             yield pd.DataFrame(
                 out,

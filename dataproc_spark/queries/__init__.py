@@ -274,6 +274,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_ann_ivf_index_roundtrip,
         SQL_ANN_IVF_INDEX_ROUNDTRIP,
     ),
+    "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META),
 }
 
 

@@ -620,6 +620,34 @@ GROUP BY doc_id, wb, hb
 """
 
 
+def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only JPEG metadata walk (``multimodal.jpeg_meta``): the
+    map-only marker-walk path for real-crawl stats, including the
+    PROGRESSIVE streams the full decoder refuses — every 3rd payload's
+    SOF0 is rewritten to SOF2 and must surface ``progressive=true``
+    with its dimensions still read correctly, no entropy decode
+    anywhere. The oracle predicts every column arithmetically from the
+    synthesis parameters."""
+    from dataproc_spark.extensions.multimodal import (
+        jpeg_meta,
+        synthesize_jpegs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_jpegs(docs, progressive_every=3)
+    return jpeg_meta(media)
+
+
+SQL_JPEG_META = """
+SELECT doc_id AS media_id,
+       CAST((2 + doc_id % 3) * 8 AS INTEGER) AS width,
+       CAST((1 + doc_id % 2) * 8 AS INTEGER) AS height,
+       1 AS channels,
+       doc_id % 3 = 0 AS progressive
+FROM documents
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by md5 hash ranges —
     stable under corpus growth and cluster layout; counts per split."""
