@@ -104,8 +104,13 @@ class _BitWriter:
         self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
-        if self.n:
-            self.write(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
+        # pad the final byte with 1-bits, as T.81 F.1.2.3 prescribes (an
+        # earlier draft over-padded by one bit with a leading 0 — the
+        # leftover never reached the buffer and a 0 pad bit can form a
+        # valid Huffman prefix for decoders that read past the last MCU)
+        pad = (8 - self.n % 8) % 8
+        if pad:
+            self.write((1 << pad) - 1, pad)
         return bytes(self.buf)
 
 

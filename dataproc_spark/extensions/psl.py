@@ -109,6 +109,13 @@ def parse_rules(
         out.append((text, n, is_wild, is_exc))
     if not out:
         raise ValueError("empty public-suffix rule set")
+    # duplicate match texts would fan rows out through the left joins
+    # (row multiplication, silently corrupting every downstream count)
+    seen: set[str] = set()
+    for text, _, _, _ in out:
+        if text in seen:
+            raise ValueError(f"duplicate public-suffix rule: {text!r}")
+        seen.add(text)
     return out
 
 

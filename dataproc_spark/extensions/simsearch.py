@@ -931,9 +931,23 @@ def write_ivf_index(
     """
     spark = embeddings.sparkSession
     if cell_col is not None:
+        # NULL cells would land in the Hive default partition and never
+        # match a probed cell id — vectors silently unsearchable forever
+        # (the near_dup_pairs NULL-escape policy: raise per row, no
+        # extra validation scan)
+        cell = F.when(
+            F.col(cell_col).isNotNull(), F.col(cell_col).cast("int")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"write_ivf_index: NULL {cell_col} — the vector "
+                    "would be unsearchable in every probe; filter or "
+                    "re-cluster such rows first"
+                )
+            )
+        )
         assigned = embeddings.select(
-            F.col(id_col), F.col(vec_col),
-            F.col(cell_col).cast("int").alias("_cell"),
+            F.col(id_col), F.col(vec_col), cell.alias("_cell")
         )
         kind = "exact"
     else:

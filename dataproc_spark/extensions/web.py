@@ -415,6 +415,10 @@ def extract_main_text(
     RE2-portable so the DuckDB oracle replays it list-for-list. This is
     the deterministic core of a trafilatura-style extractor; a learned
     block classifier would replace the keep RULE, not the plan shape.
+
+    NULL html yields NULL (not ``''``) — callers decide whether an
+    unfetched page is an empty document or a quarantined row, the same
+    contract as :func:`host_of`.
     """
     if min_chars < 1 or not (0 <= max_link_pct <= 100):
         raise ValueError(

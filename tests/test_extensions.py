@@ -1987,3 +1987,36 @@ def test_ivf_index_format_guard_and_kmeans_kind(spark, tmp_path):
         spark, idx, emb.where("vec_id % 20 = 0"), k=3, n_probe=2
     ).collect()
     assert len(out) > 0 and all(r.rnk <= 3 for r in out)
+
+
+def test_ivf_index_rejects_null_cells(spark, tmp_path):
+    """A NULL cell would land in the Hive default partition and never
+    match a probe — must raise per row, not silently strand vectors."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import simsearch
+
+    emb = spark.createDataFrame(
+        [(1, [0.1, 0.2], 0), (2, [0.3, 0.4], None)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with _pytest.raises(Exception, match="unsearchable"):
+        simsearch.write_ivf_index(emb, str(tmp_path / "x"), cell_col="label")
+
+
+def test_psl_rejects_duplicate_rules():
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.psl import parse_rules
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        parse_rules(["co.uk", "com.au", "co.uk"])
+
+
+def test_extract_main_text_null_html_is_null(spark):
+    from dataproc_spark.extensions.web import extract_main_text
+
+    df = spark.createDataFrame([(1, None)], "id long, html string")
+    assert df.select(
+        extract_main_text("html").alias("m")
+    ).collect()[0].m is None
