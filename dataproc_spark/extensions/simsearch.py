@@ -222,6 +222,11 @@ def ivf_topk(
     query expands to its ``n_probe`` closest centroids (ranked by exact
     quantized dot against the broadcast centroid table), multiplying
     candidates by at most ``n_probe / cells`` of the corpus.
+
+    NOTE: this refits KMeans on every call — fine for a gate, wrong for
+    a production corpus. Build the index once with
+    :func:`write_ivf_index` and probe across jobs with
+    :func:`ivf_index_topk` (r9).
     """
     spark = embeddings.sparkSession
     assigned, model = kmeans_cells(embeddings, cells, id_col, vec_col, seed)

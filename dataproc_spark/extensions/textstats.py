@@ -134,7 +134,16 @@ def lang_trigram_scores(col: str | F.Column = "text") -> dict:
     plan-literal map inside an ``aggregate`` lambda, which rebuilt the
     60-node map PER CHARACTER and ran ~10× slower at gate scale.
     Map-only, zero shuffles; NULL text scores 0 for every language."""
-    s = _lang_norm(col)
+    return _scores_of_norm(_lang_norm(col))
+
+
+def _scores_of_norm(s: F.Column) -> dict:
+    """Per-language scores from an ALREADY-normalized padded string
+    expression. Callers that evaluate on the interpreted path (HOF
+    scopes have no codegen, hence no common-subexpression elimination)
+    must bind the normalization once and pass the bound reference here —
+    inlining it repeats the lower+regex+trim chain once per profile
+    term (240×/row), measured 4× slower at sf0.1 (r9 probe)."""
     n = F.length(s)
     out = {}
     for lang, profile in LANG_TRIGRAM_PROFILES.items():
@@ -157,28 +166,35 @@ def predicted_lang(col: str = "text") -> F.Column:
     :func:`lang_scores` (it is a useful cheap FEATURE; it is no longer
     the classifier).
     """
-    scores = lang_trigram_scores(col)
-    langs = list(scores)
-    # bind the four 30-term score expressions ONCE via a 1-element
-    # higher-order-function scope: the naive when-chain argmax repeats
-    # each score expression ~2^k times, which blew whole-stage codegen's
-    # 64 KB method limit and dropped the stage to interpreted eval of
-    # the DUPLICATED tree (~2-4× slower at gate scale). HOFs are
-    # codegen-fallback anyway, so the trade here is "interpreted, each
-    # score evaluated once" — measured fastest. Inside the lambda the
-    # scores are struct-field reads of the already-computed value.
-    packed = F.array(F.struct(*[scores[l].alias(l) for l in langs]))
+    langs = list(LANG_TRIGRAM_PROFILES)
+    # two nested 1-element higher-order-function scopes, each binding an
+    # expression ONCE for everything downstream:
+    #   outer: the normalized string (lower+regex+trim) — inlining it
+    #     repeats that chain per profile term on the interpreted path
+    #     (HOFs are codegen-fallback, and interpreted eval has no
+    #     common-subexpression elimination): 240 normalizations/row,
+    #     measured 20.8 s → 86 s at sf0.1 → 10× (r9 probe);
+    #   inner: the four 30-term score expressions — the naive when-chain
+    #     argmax repeats each ~2^k times, which ALSO blew whole-stage
+    #     codegen's 64 KB method limit in the pre-HOF draft.
+    # Inside the lambdas everything is a field read of a bound value.
 
-    def _argmax(s):
+    def _argmax(sc):
         best_lang = F.lit(langs[0])
-        best_score = s[langs[0]]
+        best_score = sc[langs[0]]
         for lang in langs[1:]:
-            is_better = s[lang] > best_score
+            is_better = sc[lang] > best_score
             best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-            best_score = F.when(is_better, s[lang]).otherwise(best_score)
+            best_score = F.when(is_better, sc[lang]).otherwise(best_score)
         return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
 
-    return F.transform(packed, _argmax)[0]
+    def _stage(row):
+        scores = _scores_of_norm(row["s"])
+        packed = F.array(F.struct(*[scores[l].alias(l) for l in langs]))
+        return F.transform(packed, _argmax)[0]
+
+    outer = F.array(F.struct(_lang_norm(col).alias("s")))
+    return F.transform(outer, _stage)[0]
 
 
 def quality_features(df: DataFrame, col: str = "text") -> DataFrame:

@@ -158,13 +158,13 @@ def test_predicted_lang(spark):
     assert got[8] == "und"
     assert got[9] == "en"  # mixed-script: Latin trigrams still decide
     # map-only (no Exchange); the projection itself is interpreted (HOF
-    # argmax — Spark's higher-order functions are codegen-fallback) but
-    # each 30-term score expression appears exactly ONCE in the plan
-    # (the naive when-chain argmax duplicated them past the 64 KB
-    # codegen method limit and ran ~2-4× slower)
+    # scopes — Spark's higher-order functions are codegen-fallback) but
+    # the normalization chain and each 30-term score expression appear
+    # exactly ONCE in the plan via the two nested binding scopes (the
+    # inlined forms measured 4×/10× slower at sf0.1 — r9 probes)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
-    assert plan.count("transform(") == 1, "argmax should be one HOF transform"
+    assert plan.count("regexp_replace") == 1, "normalization must bind once"
 
 
 def test_quality_features(spark):

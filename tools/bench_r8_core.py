@@ -24,6 +24,9 @@ Usage: python tools/bench_r8_core.py EXPERIMENT [SRC]
     url_dedup        — canonicalize + keep-one-per-URL window (r9 probe)
     domain_mixture   — per-domain aggregate + broadcast denominator (r9)
     registered_domain_psl — PSL broadcast-join rollup, map-only (r9)
+    html_boilerplate — block-density extraction, one HOF projection (r9)
+    lang_mixture     — trigram language-ID + mixture aggregate (r9)
+    multimodal_jpeg  — JPEG encode+decode Arrow kernels (r9)
 Run each at /root/testdata/sf0.1, /tmp/scale10, /tmp/scale100 for the
 1x/10x/100x exponent rows.
 """
@@ -189,6 +192,45 @@ def run(experiment: str, src: str | None) -> None:
             row = out.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.length("domain")).alias("chk"),
+            ).first()
+            return row["n"]
+
+    elif experiment == "html_boilerplate":
+        from dataproc_spark.queries import REGISTRY
+
+        fn = REGISTRY["html_boilerplate"][0]
+
+        def job():
+            out = fn(spark, src)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars_main").alias("chk"),
+            ).first()
+            return row["n"]
+
+    elif experiment == "lang_mixture":
+        from dataproc_spark.queries import REGISTRY
+
+        fn = REGISTRY["lang_mixture"][0]
+
+        def job():
+            out = fn(spark, src)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("share_bps").alias("chk"),
+            ).first()
+            return row["n"]
+
+    elif experiment == "multimodal_jpeg":
+        from dataproc_spark.queries import REGISTRY
+
+        fn = REGISTRY["multimodal_jpeg"][0]
+
+        def job():
+            out = fn(spark, src)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("pixel_sum").alias("chk"),
             ).first()
             return row["n"]
 
