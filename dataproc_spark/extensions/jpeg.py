@@ -240,6 +240,14 @@ def _walk_segments(buf: bytes):
     while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"marker expected at byte {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them or the second 0xFF reads as a marker
+        # code and the REAL marker byte as a length field (review
+        # finding: a conforming fill-byte stream parsed as truncated)
+        while pos + 2 <= len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(buf):
+            break
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI
             return
@@ -249,6 +257,8 @@ def _walk_segments(buf: bytes):
             pos += 2
             continue
         (length,) = struct.unpack(">H", buf[pos + 2:pos + 4])
+        if length < 2 or pos + 2 + length > len(buf):
+            raise ValueError("truncated JPEG segment")
         yield marker, pos + 4, length - 2
         pos += 2 + length
         if marker == 0xDA:  # SOS — entropy data follows, stop walking
@@ -261,11 +271,34 @@ _SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
 _PROGRESSIVE_MARKERS = {0xC2, 0xC6, 0xCA, 0xCE}
 
 
+def _valueerror_boundary(fn):
+    """Translate the low-level parse failures (``struct.error`` on a
+    short segment, ``IndexError`` on a truncated entropy scan) into the
+    ``ValueError`` this module's contract promises for EVERY malformed
+    payload — per-row quarantine wrappers catch ValueError, and a
+    stray struct.error from one truncated crawl payload must not abort
+    the whole job (review finding)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(buf):
+        try:
+            return fn(buf)
+        except (struct.error, IndexError) as exc:
+            raise ValueError(
+                f"malformed JPEG stream ({type(exc).__name__}: {exc})"
+            ) from exc
+
+    return wrapped
+
+
+@_valueerror_boundary
 def parse_jpeg_meta(buf: bytes) -> dict:
     """Marker-walk header parse: ``{width, height, channels,
     progressive}`` from the first SOF segment. No entropy decode — this
     is the cheap map-only path for header-level stats (and the only
     honest answer for progressive payloads this decoder won't decode).
+    Malformed/truncated streams raise ``ValueError``, always.
     """
     buf = bytes(buf)
     for marker, start, ln in _walk_segments(buf):
@@ -326,11 +359,13 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+@_valueerror_boundary
 def decode_jpeg(buf: bytes):
     """Decode a baseline sequential JPEG. Returns ``(width, height,
     channels, ndarray[h, w, c] uint8)`` — the same contract as the PNG
     decoder. 8-bit, 1 or 3 components, 4:4:4, no restart markers;
-    progressive and subsampled streams raise ``ValueError``."""
+    progressive, subsampled, and malformed/truncated streams all raise
+    ``ValueError`` (the per-row quarantine contract)."""
     import numpy as np
 
     buf = bytes(buf)

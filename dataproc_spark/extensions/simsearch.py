@@ -282,26 +282,74 @@ def ivf_exact_topk(
     engine — no float anywhere in the decision path. Same plan shape as
     production IVF: tiny centroid table broadcast against queries, then an
     equi-join on the probed cell ids for candidate generation.
+
+    The centroid and probe math is SHARED with the persisted-index path
+    (:func:`_integer_cell_centroids` / :func:`_probe_cells`) — one
+    implementation, so the ``ann_ivf_index_roundtrip`` bit-for-bit
+    contract cannot drift between the two (r9 review finding).
     """
-    cent = (
+    cent = _integer_cell_centroids(
         embeddings.select(
-            F.col(cell_col).alias("_cell"),
+            F.col(cell_col).alias("_cell"), F.col(vec_col)
+        ),
+        vec_col, scale,
+    )
+    probed_cells = _probe_cells(queries, cent, id_col, vec_col, scale, n_probe)
+    probed_queries = _expand_queries_to_cells(
+        queries, probed_cells, id_col, vec_col
+    )
+    return bucketed_topk(
+        embeddings.withColumn("_probe_cell", F.col(cell_col)),
+        probed_queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_col="_probe_cell",
+        scale=scale,
+    )
+
+
+def _integer_cell_centroids(
+    assigned: DataFrame, vec_col: str, scale: int
+) -> DataFrame:
+    """``(_cell, _dim, _cq)`` truncating-integer-division centroids
+    (``sum(quantized) div n`` per dimension) from a frame carrying a
+    ``_cell`` column — the ONE implementation of the deterministic-IVF
+    decision-path math, shared by :func:`ivf_exact_topk` and
+    :func:`write_ivf_index` so the persisted index can never drift from
+    the in-memory twin (r9 review finding; the r8 raw-dot→L2 probe fix
+    is exactly the class of change that would otherwise fork)."""
+    return (
+        assigned.select(
+            "_cell",
             F.posexplode(quantize(vec_col, scale)).alias("_dim", "_cv"),
         )
         .groupBy("_cell", "_dim")
         .agg(F.sum("_cv").alias("_s"), F.count(F.lit(1)).alias("_n"))
-        .withColumn("_cq", F.expr("_s div _n"))
+        .select(
+            "_cell", "_dim", F.expr("_s div _n").cast("long").alias("_cq")
+        )
     )
+
+
+def _probe_cells(
+    queries: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    n_probe: int,
+) -> DataFrame:
+    """``(_pqid, _cell)`` — each query's ``n_probe`` L2-nearest integer
+    centroids (ties by cell id). L2-nearest, same probe metric as
+    ``ivf_topk``: ``Σ_d (2 q_d c_d − c_d²) = 2 q·c − ||c||²`` (the
+    ``||q||²`` term is constant per query; the raw-dot probe this
+    replaced favored large-norm centroids — r8 review finding). Shared
+    by :func:`ivf_exact_topk` and :func:`ivf_index_topk`."""
     qd = queries.select(
         F.col(id_col).alias("_pqid"),
         F.posexplode(quantize(vec_col, scale)).alias("_dim", "_qd"),
     )
-    # L2-nearest centroid, same probe metric as ivf_topk: Σ_d (2 q_d c_d
-    # - c_d²) = 2 q·c - ||c||² (the ||q||² term is constant per query).
-    # The raw-dot probe this replaces favored large-norm centroids and
-    # made the "oracle-checkable twin" validate a different probe than
-    # the production path (r8 review finding); the L2 form is equally
-    # integer-exact.
     probe_scores = (
         qd.join(F.broadcast(cent), "_dim")
         .groupBy("_pqid", "_cell")
@@ -314,28 +362,23 @@ def ivf_exact_topk(
     w = Window.partitionBy("_pqid").orderBy(
         F.col("_cscore").desc(), F.col("_cell").asc()
     )
-    probed_cells = (
+    return (
         probe_scores.withColumn("_prnk", F.row_number().over(w))
         .where(F.col("_prnk") <= n_probe)
         .select("_pqid", "_cell")
     )
-    # expand each query row to its probed cells, then reuse the bucketed
-    # candidate join (equi-join on the cell id — never a cross join)
-    probed_queries = (
+
+
+def _expand_queries_to_cells(
+    queries: DataFrame, probed_cells: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Expand each query row to its probed cells so the bucketed
+    candidate join stays an equi-join on the cell id — never a cross
+    join."""
+    return (
         queries.select(F.col(id_col), F.col(vec_col))
-        .join(
-            probed_cells, F.col(id_col) == F.col("_pqid")
-        )
+        .join(probed_cells, F.col(id_col) == F.col("_pqid"))
         .select(id_col, vec_col, F.col("_cell").alias("_probe_cell"))
-    )
-    return bucketed_topk(
-        embeddings.withColumn("_probe_cell", F.col(cell_col)),
-        probed_queries,
-        k=k,
-        id_col=id_col,
-        vec_col=vec_col,
-        bucket_col="_probe_cell",
-        scale=scale,
     )
 
 
@@ -936,12 +979,29 @@ def write_ivf_index(
     """
     spark = embeddings.sparkSession
     if cell_col is not None:
+        # the cell id becomes a partition DIRECTORY and the probe
+        # tie-break orders cells numerically, so only integral cell
+        # columns are accepted — a string cell would abort mid-build
+        # under ANSI (or NULL-out past the guard under non-ANSI), and a
+        # float cell silently merges distinct cells (r9 review finding)
+        from pyspark.sql import types as T
+
+        dt = embeddings.schema[cell_col].dataType
+        if not isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise ValueError(
+                f"write_ivf_index: cell_col {cell_col!r} must be an "
+                f"integral type, got {dt.simpleString()} — re-key "
+                "non-integer cells (e.g. dense_rank over the label) "
+                "before building the index"
+            )
         # NULL cells would land in the Hive default partition and never
         # match a probed cell id — vectors silently unsearchable forever
         # (the near_dup_pairs NULL-escape policy: raise per row, no
         # extra validation scan)
         cell = F.when(
-            F.col(cell_col).isNotNull(), F.col(cell_col).cast("int")
+            F.col(cell_col).isNotNull(), F.col(cell_col)
         ).otherwise(
             F.raise_error(
                 F.lit(
@@ -961,17 +1021,7 @@ def write_ivf_index(
         )
         assigned = assigned.select(id_col, vec_col, "_cell")
         kind = "kmeans"
-    cent = (
-        assigned.select(
-            "_cell", F.posexplode(quantize(vec_col, scale)).alias("_dim", "_cv")
-        )
-        .groupBy("_cell", "_dim")
-        .agg(F.sum("_cv").alias("_s"), F.count(F.lit(1)).alias("_n"))
-        .select(
-            "_cell", "_dim",
-            F.expr("_s div _n").cast("long").alias("_cq"),
-        )
-    )
+    cent = _integer_cell_centroids(assigned, vec_col, scale)
     assigned.write.mode("overwrite").partitionBy("_cell").parquet(
         f"{path}/lists"
     )
@@ -1000,12 +1050,18 @@ def write_ivf_index(
 def read_ivf_index(spark, path: str):
     """Load a persisted IVF index: ``(meta dict, centroids df, lists
     df)``. Refuses paths without the :data:`IVF_INDEX_FORMAT` marker."""
+    from pyspark.errors import AnalysisException
+
+    # AnalysisException ONLY (path missing / not readable as parquet):
+    # a blanket except rebranded transient IO/permission errors as
+    # "not an index" and severed the cause chain, sending callers off
+    # to recreate perfectly good indexes (r9 review finding)
     try:
         rows = spark.read.parquet(f"{path}/meta").collect()
-    except Exception as exc:
+    except AnalysisException as exc:
         raise ValueError(
             f"{path!r} is not an IVF index (no readable meta table): {exc}"
-        ) from None
+        ) from exc
     if len(rows) != 1 or getattr(rows[0], "format", None) != IVF_INDEX_FORMAT:
         raise ValueError(
             f"{path!r} is not an IVF index (format marker mismatch: "
@@ -1013,8 +1069,12 @@ def read_ivf_index(spark, path: str):
         )
     meta = rows[0].asDict()
     cent = spark.read.parquet(f"{path}/centroids")
+    # the partition column comes back via directory-name inference —
+    # re-align its type with the stored centroid table so the probe
+    # equi-join and the tie-break ordering stay exact
+    cell_type = dict(cent.dtypes)["_cell"]
     lists = spark.read.parquet(f"{path}/lists").withColumn(
-        "_cell", F.col("_cell").cast("int")
+        "_cell", F.col("_cell").cast(cell_type)
     )
     return meta, cent, lists
 
@@ -1041,31 +1101,9 @@ def ivf_index_topk(
     """
     meta, cent, lists = read_ivf_index(spark, path)
     id_col, vec_col, scale = meta["id_col"], meta["vec_col"], meta["scale"]
-    qd = queries.select(
-        F.col(id_col).alias("_pqid"),
-        F.posexplode(quantize(vec_col, scale)).alias("_dim", "_qd"),
-    )
-    probe_scores = (
-        qd.join(F.broadcast(cent), "_dim")
-        .groupBy("_pqid", "_cell")
-        .agg(
-            F.sum(
-                2 * F.col("_qd") * F.col("_cq") - F.col("_cq") * F.col("_cq")
-            ).alias("_cscore")
-        )
-    )
-    w = Window.partitionBy("_pqid").orderBy(
-        F.col("_cscore").desc(), F.col("_cell").asc()
-    )
-    probed_cells = (
-        probe_scores.withColumn("_prnk", F.row_number().over(w))
-        .where(F.col("_prnk") <= n_probe)
-        .select("_pqid", "_cell")
-    )
-    probed_queries = (
-        queries.select(F.col(id_col), F.col(vec_col))
-        .join(probed_cells, F.col(id_col) == F.col("_pqid"))
-        .select(id_col, vec_col, F.col("_cell").alias("_probe_cell"))
+    probed_cells = _probe_cells(queries, cent, id_col, vec_col, scale, n_probe)
+    probed_queries = _expand_queries_to_cells(
+        queries, probed_cells, id_col, vec_col
     )
     return bucketed_topk(
         lists.withColumnRenamed("_cell", "_probe_cell"),

@@ -2020,3 +2020,58 @@ def test_extract_main_text_null_html_is_null(spark):
     assert df.select(
         extract_main_text("html").alias("m")
     ).collect()[0].m is None
+
+
+def test_ivf_index_rejects_non_integral_cells(spark, tmp_path):
+    """String/float cell columns must be rejected at build time: a
+    string aborts mid-build under ANSI (or NULLs out silently under
+    non-ANSI) and floats merge distinct cells via the int cast the old
+    code applied (r9 review finding)."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import simsearch
+
+    for schema, val in (
+        ("vec_id long, embedding array<float>, label string", "a"),
+        ("vec_id long, embedding array<float>, label double", 1.2),
+    ):
+        emb = spark.createDataFrame([(1, [0.1, 0.2], val)], schema)
+        with _pytest.raises(ValueError, match="integral type"):
+            simsearch.write_ivf_index(
+                emb, str(tmp_path / "t"), cell_col="label"
+            )
+
+
+def test_jpeg_malformed_streams_raise_valueerror_and_meta_skips(spark):
+    """Truncated scans/segments raise ValueError (never struct.error /
+    IndexError), T.81 fill bytes before markers parse, and jpeg_meta
+    skips malformed payloads instead of aborting the job (r9 review
+    findings)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        parse_jpeg_meta,
+    )
+    from dataproc_spark.extensions.multimodal import jpeg_meta
+
+    buf = encode_jpeg(np.full((8, 8), 9, dtype=np.uint8), quant=1)
+    for bad in (buf[:-4], buf[:20], b"\xFF\xD8\xFF\xC0\x00\x11\x08"):
+        with _pytest.raises(ValueError):
+            decode_jpeg(bad)
+    with _pytest.raises(ValueError):
+        parse_jpeg_meta(b"\xFF\xD8\xFF\xC0\x00\x11\x08")
+    # fill byte before the SOF marker (T.81 B.1.1.2) must parse
+    filled = buf[:2] + b"\xFF" + buf[2:]
+    assert parse_jpeg_meta(filled)["width"] == 8
+    assert decode_jpeg(filled)[3][0, 0, 0] == 9
+    # job-level skip contract: truncated payload emits no row, no crash
+    media = spark.createDataFrame(
+        [(1, bytearray(buf)), (2, bytearray(b"\xFF\xD8\xFF\xC0\x00\x11\x08")),
+         (3, None)],
+        "media_id long, payload binary",
+    )
+    got = jpeg_meta(media).collect()
+    assert [r.media_id for r in got] == [1]
