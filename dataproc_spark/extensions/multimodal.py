@@ -7,7 +7,7 @@ metadata (mime, width/height, duration, …). Two decode kernels exist:
 - ``decode_image_features(real_decode=False)`` runs a deterministic fake
   decoder (byte-statistics) through the exact production plumbing —
   ``mapInPandas`` with Arrow batches, binary in / struct out — for
-  formats this environment has no codec for (JPEG, video, compressed
+  formats this environment has no codec for (video, compressed
   audio).
 - ``real_decode=True`` / :func:`decode_image_stats` run a REAL decoder:
   pure-Python+numpy PNG (8-bit gray/gray-alpha/RGB/RGBA, all five
@@ -134,9 +134,9 @@ def encode_png(arr) -> bytes:
 def _decode_image_bytes(buf: bytes):
     """Decode PNG (8-bit, non-interlaced) or binary PPM (P6) payload
     bytes. Returns ``(width, height, channels, ndarray[h, w, c] uint8)``.
-    Pure Python + numpy + stdlib zlib — the real-decode kernel for the
-    formats this environment can handle; raises ``ValueError`` on
-    anything else (wire PIL/ffmpeg here for JPEG/video)."""
+    Pure Python + numpy + stdlib zlib, with baseline JPEG dispatched
+    to :mod:`.jpeg` (r9); raises ``ValueError`` on anything else (wire
+    PIL/ffmpeg here for video/exotic formats)."""
     import struct
     import zlib
 

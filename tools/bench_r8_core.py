@@ -27,6 +27,7 @@ Usage: python tools/bench_r8_core.py EXPERIMENT [SRC]
     html_boilerplate — block-density extraction, one HOF projection (r9)
     lang_mixture     — trigram language-ID + mixture aggregate (r9)
     multimodal_jpeg  — JPEG encode+decode Arrow kernels (r9)
+    ann_ivf_index    — persisted IVF: one build + two probes (r9)
 Run each at /root/testdata/sf0.1, /tmp/scale10, /tmp/scale100 for the
 1x/10x/100x exponent rows.
 """
@@ -220,6 +221,65 @@ def run(experiment: str, src: str | None) -> None:
                 F.sum("share_bps").alias("chk"),
             ).first()
             return row["n"]
+
+    elif experiment.startswith("ann_ivf_index:kmeans:"):
+        # the cure arm: cells must grow with the corpus (candidates per
+        # query ∝ n/cells) — KMeans quantizer with an explicit cell count
+        import shutil
+        import tempfile
+
+        from dataproc_spark.extensions import simsearch
+
+        n_cells = int(experiment.rsplit(":", 1)[1])
+        emb = spark.read.parquet(f"{src}/embeddings.parquet")
+
+        def job():
+            out_dir = tempfile.mkdtemp(prefix="ivfprobe_")
+            try:
+                simsearch.write_ivf_index(emb, out_dir, cells=n_cells)
+                total = 0
+                for mod in (100, 97):
+                    q = emb.where(F.col("vec_id") % mod == 0)
+                    res = simsearch.ivf_index_topk(
+                        spark, out_dir, q, k=5, n_probe=2
+                    )
+                    total += res.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("dot_q").alias("chk"),
+                    ).first()["n"]
+                return total
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+
+    elif experiment == "ann_ivf_index":
+        # build-once / probe-twice: the persisted-index contract. The
+        # timed job covers ONE build + TWO probe passes so the number
+        # reflects both halves; the roundtrip gate at sf0.01 covers
+        # correctness.
+        import shutil
+        import tempfile
+
+        from dataproc_spark.extensions import simsearch
+
+        emb = spark.read.parquet(f"{src}/embeddings.parquet")
+
+        def job():
+            out_dir = tempfile.mkdtemp(prefix="ivfprobe_")
+            try:
+                simsearch.write_ivf_index(emb, out_dir, cell_col="label")
+                total = 0
+                for mod in (100, 97):
+                    q = emb.where(F.col("vec_id") % mod == 0)
+                    res = simsearch.ivf_index_topk(
+                        spark, out_dir, q, k=5, n_probe=2
+                    )
+                    total += res.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("dot_q").alias("chk"),
+                    ).first()["n"]
+                return total
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
 
     elif experiment == "multimodal_jpeg":
         from dataproc_spark.queries import REGISTRY
