@@ -2075,3 +2075,58 @@ def test_jpeg_malformed_streams_raise_valueerror_and_meta_skips(spark):
     )
     got = jpeg_meta(media).collect()
     assert [r.media_id for r in got] == [1]
+
+
+def test_psl_matches_independent_python_resolver(spark):
+    """Cross-check registered_domain_psl against a THIRD implementation:
+    a direct pure-Python transcription of the publicsuffix.org algorithm
+    (labels suffix-match, '*' consumes one label, exceptions prevail and
+    drop their leftmost label, default rule '*'), over randomized hosts
+    mixing snapshot rule families with junk labels."""
+    import random
+
+    from dataproc_spark.extensions.psl import (
+        PSL_SNAPSHOT_RULES,
+        parse_rules,
+        registered_domain_psl,
+    )
+
+    rules = parse_rules()
+
+    def py_regdom(host):
+        labs = host.lower().split(".")
+        exc_k = std_k = None
+        for text, k, is_wild, is_exc in rules:
+            rl = text.split(".")
+            if k > len(labs):
+                continue
+            tail = labs[-k:]
+            ok = all(r == "*" or r == t for r, t in zip(rl, tail))
+            if not ok:
+                continue
+            if is_exc:
+                exc_k = max(exc_k or 0, k)
+            else:
+                std_k = max(std_k or 0, k)
+        ps = (exc_k - 1) if exc_k else (std_k if std_k else 1)
+        m = min(len(labs), ps + 1)
+        return ".".join(labs[-m:])
+
+    rng = random.Random(42)
+    suffix_pool = [
+        "co.uk", "kawasaki.jp", "city.kawasaki.jp", "ck", "www.ck",
+        "github.io", "compute.amazonaws.com", "com", "io", "jp",
+        "gov.uk", "k12.zz", "example",
+    ]
+    label_pool = ["www", "a", "shop", "x9", "deep", "city"]
+    hosts = []
+    for _ in range(200):
+        depth = rng.randint(0, 3)
+        prefix = [rng.choice(label_pool) for _ in range(depth)]
+        hosts.append(".".join(prefix + [rng.choice(suffix_pool)]))
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "id long, host string"
+    )
+    got = {r.id: r.domain for r in registered_domain_psl(df).collect()}
+    for i, h in enumerate(hosts):
+        assert got[i] == py_regdom(h), (h, py_regdom(h), got[i])

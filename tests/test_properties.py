@@ -1197,3 +1197,78 @@ def test_rp_lsh_matches_python_model(spark, ivecs, pb, threshold, impl):
         and sum(x * y for x, y in zip(qv[a], qv[b])) >= threshold
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r9: JPEG codec properties (pure Python — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 4),  # block grid width
+    st.integers(1, 3),  # block grid height
+    st.integers(0, 2**32 - 1),  # pixel seed
+    st.sampled_from([1, 2, 4, 8]),  # power-of-two quant
+)
+def test_jpeg_block_constant_roundtrip_exact(wb, hb, seed, quant):
+    """ANY 8×8-aligned block-constant grayscale image round-trips
+    bit-exactly at power-of-two quant ≤ 8 (a constant block's FDCT is
+    DC-only and 8·(v−128) divides exactly) — the invariant the
+    multimodal_jpeg oracle rests on."""
+    import numpy as np
+
+    from dataproc_spark.extensions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed % (2**32))
+    blocks = rng.randint(0, 256, size=(hb, wb))
+    img = np.kron(blocks, np.ones((8, 8), dtype=int)).astype(np.uint8)
+    w, h, c, out = decode_jpeg(encode_jpeg(img, quant=quant))
+    assert (w, h, c) == (wb * 8, hb * 8, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 40),   # width (any, incl. non-multiples of 8)
+    st.integers(1, 24),   # height
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_arbitrary_gray_bounded_error_at_unit_quant(w, h, seed):
+    """ANY grayscale image at quant=1 decodes within ±2 of the source
+    (DCT round-trip error bound with unit quantization), dimensions
+    crop exactly, and the header walk agrees with the decode."""
+    import numpy as np
+
+    from dataproc_spark.extensions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        parse_jpeg_meta,
+    )
+
+    rng = np.random.RandomState(seed % (2**32))
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    buf = encode_jpeg(img, quant=1)
+    meta = parse_jpeg_meta(buf)
+    dw, dh, c, out = decode_jpeg(buf)
+    assert (dw, dh, c) == (w, h, 1)
+    assert meta["width"] == w and meta["height"] == h
+    assert int(np.abs(out[:, :, 0].astype(int) - img.astype(int)).max()) <= 2
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_jpeg_garbage_bytes_always_valueerror(junk):
+    """Arbitrary bytes — including ones starting with valid SOI — must
+    raise ValueError from both entry points, never struct.error or
+    IndexError (the per-row quarantine contract, r9 review finding)."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.jpeg import decode_jpeg, parse_jpeg_meta
+
+    for fn in (decode_jpeg, parse_jpeg_meta):
+        for payload in (junk, b"\xFF\xD8" + junk):
+            try:
+                fn(payload)
+            except ValueError:
+                pass
