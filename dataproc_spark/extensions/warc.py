@@ -1,0 +1,270 @@
+"""WARC (ISO 28500) crawl-archive ingestion — the container format web
+corpora actually arrive in (Common-Crawl-style: one gzip member per
+record, thousands of records per ``.warc.gz`` shard).
+
+The engine's text/curation operators start from a ``documents`` table;
+this module supplies the missing first mile: ``read_warc`` turns a
+directory of WARC shards into exactly such a frame (one row per record:
+envelope headers as typed columns + the raw payload as ``binary``),
+and ``write_warc_shards`` is the matching sink so the round trip is
+testable end-to-end with no external crawl data.
+
+Scale posture (100 TB of .warc.gz):
+
+* ``read_warc`` is ``binaryFile`` scan → ``mapInPandas`` record
+  splitter — one Arrow stage, no shuffle; each task parses only its own
+  shard files. WARC shards are individually-parsable units by design
+  (that is WHY Common Crawl gzips per record), so parallelism = shard
+  count, the same story as any parquet scan. Envelope headers land in
+  separate columns, so header-only queries never touch payload bytes
+  after a column prune.
+* Malformed records follow the module-wide quarantine contract: a
+  corrupt member raises ``ValueError`` naming the shard (fail loudly
+  per task) unless ``skip_malformed=True``, which counts them out
+  per-batch instead — the choice belongs to the caller, never silent.
+* ``write_warc_shards`` writes one ``.warc.gz`` per partition via
+  ``foreachPartition`` (executor-local filesystem here; the same
+  iterator body targets object storage in production).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Output schema of :func:`read_warc` — envelope headers as typed
+#: columns, payload opaque.
+WARC_RECORD_SCHEMA = StructType(
+    [
+        StructField("shard", StringType()),
+        StructField("warc_type", StringType()),
+        StructField("record_id", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+_CRLF = b"\r\n"
+
+
+def encode_warc_record(headers: dict, payload: bytes) -> bytes:
+    """One WARC/1.0 record: version line, headers (Content-Length
+    computed from the payload), blank line, payload, two CRLFs — the
+    ISO 28500 envelope, byte-deterministic for fixed inputs (headers
+    are emitted in the given dict order)."""
+    if "Content-Length" in headers:
+        raise ValueError("Content-Length is computed from the payload")
+    out = io.BytesIO()
+    out.write(b"WARC/1.0" + _CRLF)
+    for k, v in headers.items():
+        if "\r" in str(v) or "\n" in str(v):
+            raise ValueError(f"WARC header {k!r} contains a line break")
+        out.write(f"{k}: {v}".encode("utf-8") + _CRLF)
+    out.write(b"Content-Length: %d" % len(payload) + _CRLF)
+    out.write(_CRLF)
+    out.write(bytes(payload))
+    out.write(_CRLF + _CRLF)
+    return out.getvalue()
+
+
+def decode_warc_bytes(buf: bytes, shard: str = ""):
+    """Parse a WARC shard's bytes (multi-member gzip or plain) into
+    record dicts. Raises ``ValueError`` naming the shard on a malformed
+    envelope — the per-task quarantine contract."""
+    buf = bytes(buf)
+    if buf[:2] == b"\x1f\x8b":
+        # multi-member gzip: stdlib gzip transparently concatenates
+        # members, which is exactly the record-per-member layout
+        try:
+            buf = gzip.decompress(buf)
+        except OSError as exc:
+            raise ValueError(f"corrupt gzip in WARC shard {shard!r}: {exc}")
+    pos, out = 0, []
+    while pos < len(buf):
+        # tolerate inter-record padding CRLFs
+        while buf[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= len(buf):
+            break
+        if not buf[pos:].startswith(b"WARC/"):
+            raise ValueError(
+                f"WARC shard {shard!r}: expected record header at byte "
+                f"{pos}, got {buf[pos:pos + 12]!r}"
+            )
+        head_end = buf.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise ValueError(f"WARC shard {shard!r}: truncated header block")
+        headers: dict = {}
+        lines = buf[pos:head_end].split(_CRLF)
+        for line in lines[1:]:
+            k, sep, v = line.decode("utf-8", "replace").partition(":")
+            if not sep:
+                raise ValueError(
+                    f"WARC shard {shard!r}: malformed header line {line!r}"
+                )
+            headers[k.strip().lower()] = v.strip()
+        try:
+            n = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"WARC shard {shard!r}: missing/invalid Content-Length"
+            )
+        body_start = head_end + 4
+        if body_start + n > len(buf):
+            raise ValueError(f"WARC shard {shard!r}: truncated payload")
+        out.append(
+            {
+                "warc_type": headers.get("warc-type"),
+                "record_id": headers.get("warc-record-id"),
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_type": headers.get("content-type"),
+                "content_length": n,
+                "payload": buf[body_start:body_start + n],
+            }
+        )
+        pos = body_start + n
+    return out
+
+
+def read_warc(
+    spark,
+    path: str,
+    warc_types: tuple[str, ...] | None = ("response",),
+    skip_malformed: bool = False,
+) -> DataFrame:
+    """Read a directory/glob of WARC shards (``.warc`` or ``.warc.gz``)
+    into one row per record (:data:`WARC_RECORD_SCHEMA`).
+
+    ``warc_types`` keeps only those record types (default: responses —
+    the crawl content; request/warcinfo/metadata records are envelope
+    noise for a training corpus); pass ``None`` to keep everything.
+    ``skip_malformed=False`` (default) fails the task loudly on a
+    corrupt shard; ``True`` drops the bad shard's records and keeps
+    going — never silent row-level loss inside a healthy shard.
+
+    Plan: ``binaryFile`` scan → one Arrow ``mapInPandas`` stage; no
+    shuffle, parallelism = shard files (the format's own unit of
+    parallel decode).
+    """
+    import pandas as pd
+
+    keep = tuple(warc_types) if warc_types is not None else None
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for shard, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    recs = decode_warc_bytes(content, shard=str(shard))
+                except ValueError:
+                    if skip_malformed:
+                        continue
+                    raise
+                for r in recs:
+                    if keep is not None and r["warc_type"] not in keep:
+                        continue
+                    rows.append(
+                        (
+                            str(shard),
+                            r["warc_type"],
+                            r["record_id"],
+                            r["target_uri"],
+                            r["warc_date"],
+                            r["content_type"],
+                            r["content_length"],
+                            r["payload"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
+            )
+
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+    return src.mapInPandas(kernel, schema=WARC_RECORD_SCHEMA)
+
+
+def write_warc_shards(
+    df: DataFrame,
+    out_dir: str,
+    uri_col: str = "target_uri",
+    payload_col: str = "payload",
+    type_col: str | None = None,
+    compress: bool = True,
+) -> None:
+    """Write one ``.warc.gz`` (or ``.warc``) shard per partition — each
+    record its own gzip member, the Common-Crawl layout that keeps
+    shards splittable record-by-record. Record ids/dates are derived
+    deterministically from the URI so the sink is replay-stable (same
+    input → byte-identical shards with ``compress=False``; gzip adds
+    only the fixed mtime=0 header).
+
+    ``foreachPartition`` writes to ``out_dir`` on the executor-local
+    filesystem — correct in local mode and for posix-mounted storage;
+    point the iterator body at an object store for cluster use.
+    """
+    import hashlib
+    import os
+
+    cols = [uri_col, payload_col] + ([type_col] if type_col else [])
+    src = df.select(*cols)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows):
+        first = None
+        for first in rows:
+            break
+        if first is None:
+            return
+        import itertools
+
+        all_rows = itertools.chain([first], rows)
+        # shard name from the first record's URI — deterministic under
+        # deterministic partitioning, unique because URIs are
+        digest = hashlib.md5(
+            str(first[uri_col]).encode("utf-8")
+        ).hexdigest()[:12]
+        ext = ".warc.gz" if compress else ".warc"
+        path = os.path.join(out_dir, f"shard-{digest}{ext}")
+        with open(path, "wb") as fh:
+            for row in all_rows:
+                uri = str(row[uri_col])
+                payload = bytes(row[payload_col] or b"")
+                rid = hashlib.md5(uri.encode("utf-8")).hexdigest()
+                rec = encode_warc_record(
+                    {
+                        "WARC-Type": (
+                            str(row[type_col]) if type_col else "response"
+                        ),
+                        "WARC-Record-ID": f"<urn:uuid:{rid}>",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                        "WARC-Target-URI": uri,
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    payload,
+                )
+                if compress:
+                    fh.write(
+                        gzip.compress(rec, compresslevel=6, mtime=0)
+                    )
+                else:
+                    fh.write(rec)
+
+    src.foreachPartition(write_partition)

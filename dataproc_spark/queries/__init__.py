@@ -275,6 +275,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_ANN_IVF_INDEX_ROUNDTRIP,
     ),
     "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
 }
 
 

@@ -464,3 +464,61 @@ SELECT doc_id, main, CAST(length(main) AS BIGINT) AS n_chars_main FROM kept
 
 
 SQL_HTML_BOILERPLATE = _make_sql_html_boilerplate()
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive roundtrip (``extensions.warc``): wrap each
+    document as an HTTP-response payload, sink one ``.warc.gz`` per
+    partition (record-per-gzip-member, the Common Crawl layout), then
+    re-ingest with ``read_warc`` (binaryFile scan → Arrow record
+    splitter, no shuffle) and recover (doc_id, content_length,
+    payload length) per record. The oracle computes the same numbers
+    straight from ``documents`` — the roundtrip must be the identity,
+    so any envelope bug (Content-Length arithmetic, CRLF framing, gzip
+    member boundaries, header parse) hash-fails. Scratch shards are
+    deleted before returning (`_materialize_and_clean`)."""
+    import tempfile
+
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.encode(
+            F.concat(
+                F.lit("<html>"), F.coalesce(F.col("text"), F.lit("")),
+                F.lit("</html>"),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="warcrt_")
+    warcx.write_warc_shards(docs, out)
+    back = warcx.read_warc(spark, out)
+    res = back.select(
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "content_length",
+        F.octet_length("payload").cast("long").alias("n_payload_bytes"),
+    )
+    return _materialize_and_clean(res, out)
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT doc_id,
+       'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(strlen('<html>' || coalesce(text, '') || '</html>') AS BIGINT)
+           AS content_length,
+       CAST(strlen('<html>' || coalesce(text, '') || '</html>') AS BIGINT)
+           AS n_payload_bytes
+FROM documents
+"""

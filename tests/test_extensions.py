@@ -2130,3 +2130,50 @@ def test_psl_matches_independent_python_resolver(spark):
     got = {r.id: r.domain for r in registered_domain_psl(df).collect()}
     for i, h in enumerate(hosts):
         assert got[i] == py_regdom(h), (h, py_regdom(h), got[i])
+
+
+def test_warc_roundtrip_and_contracts(spark, tmp_path):
+    """WARC sink+source: payload-identity roundtrip, type filtering,
+    uncompressed shards, and the malformed-shard fail-loud/skip choice."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions import warc
+
+    docs = spark.createDataFrame(
+        [(i, f"https://s{i % 3}.com/p/{i}",
+          bytes([i % 256]) * (i + 1),
+          "request" if i % 4 == 0 else "response")
+         for i in range(20)],
+        "doc_id long, target_uri string, payload binary, wtype string",
+    ).repartition(3)
+    out = str(tmp_path / "w")
+    warc.write_warc_shards(docs, out, type_col="wtype")
+    assert len(os.listdir(out)) == 3
+    back = warc.read_warc(spark, out)  # default: responses only
+    rows = {r.target_uri: r for r in back.collect()}
+    assert len(rows) == 15
+    assert bytes(rows["https://s1.com/p/1"].payload) == b"\x01\x01"
+    assert all(
+        r.content_length == len(bytes(r.payload)) for r in rows.values()
+    )
+    assert warc.read_warc(spark, out, warc_types=None).count() == 20
+    # malformed shard: loud by default, skippable explicitly
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "x.warc"), "wb") as fh:
+        fh.write(b"NOT A WARC")
+    with _pytest.raises(Exception, match="expected record header"):
+        warc.read_warc(spark, bad).count()
+    assert warc.read_warc(spark, bad, skip_malformed=True).count() == 0
+    # pure-codec guards
+    with _pytest.raises(ValueError, match="Content-Length"):
+        warc.encode_warc_record({"Content-Length": 5}, b"x")
+    with _pytest.raises(ValueError, match="line break"):
+        warc.encode_warc_record({"WARC-Type": "a\nb"}, b"x")
+    with _pytest.raises(ValueError, match="truncated payload"):
+        warc.decode_warc_bytes(
+            b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort"
+        )
