@@ -89,6 +89,7 @@ EXTENDED_QUERIES = [
     "multimodal_jpeg",
     "html_boilerplate",
     "ann_ivf_index_roundtrip",
+    "warc_roundtrip",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

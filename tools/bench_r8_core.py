@@ -28,6 +28,7 @@ Usage: python tools/bench_r8_core.py EXPERIMENT [SRC]
     lang_mixture     — trigram language-ID + mixture aggregate (r9)
     multimodal_jpeg  — JPEG encode+decode Arrow kernels (r9)
     ann_ivf_index    — persisted IVF: one build + two probes (r9)
+    warc_roundtrip   — WARC sink + re-ingest identity pass (r9)
 Run each at /root/testdata/sf0.1, /tmp/scale10, /tmp/scale100 for the
 1x/10x/100x exponent rows.
 """
@@ -280,6 +281,19 @@ def run(experiment: str, src: str | None) -> None:
                 return total
             finally:
                 shutil.rmtree(out_dir, ignore_errors=True)
+
+    elif experiment == "warc_roundtrip":
+        from dataproc_spark.queries import REGISTRY
+
+        fn = REGISTRY["warc_roundtrip"][0]
+
+        def job():
+            out = fn(spark, src)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_payload_bytes").alias("chk"),
+            ).first()
+            return row["n"]
 
     elif experiment == "multimodal_jpeg":
         from dataproc_spark.queries import REGISTRY
