@@ -276,6 +276,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "crawl_pipeline": (q_crawl_pipeline, SQL_CRAWL_PIPELINE),
 }
 
 

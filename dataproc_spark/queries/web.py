@@ -522,3 +522,88 @@ SELECT doc_id,
            AS n_payload_bytes
 FROM documents
 """
+
+
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl-to-corpus pipeline — the production shape every
+    r9 piece exists for, chained as one lazy plan: documents wrapped as
+    full HTML pages → sunk as ``.warc.gz`` shards (``write_warc_shards``)
+    → re-ingested (``read_warc``, binaryFile + Arrow record splitter) →
+    block-level boilerplate removal (``extract_main_text``) → trigram
+    language-ID (``predicted_lang``) → language mixture report in
+    integer basis points (``domain_mixture`` machinery). The oracle
+    replays the whole chain relationally in DuckDB from the same shared
+    template/regex/profile constants — WARC is exercised as a true
+    identity layer inside a longer pipeline, not just in isolation."""
+    import tempfile
+
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.extensions.textstats import predicted_lang
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.encode(
+            F.concat(
+                F.lit(_BOILER_PREFIX),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(_BOILER_SUFFIX),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="crawlpipe_")
+    warcx.write_warc_shards(docs, out)
+    main = web.extract_main_text(F.decode(F.col("payload"), "UTF-8"))
+    scored = warcx.read_warc(spark, out).select(
+        main.alias("main")
+    ).select(
+        predicted_lang("main").alias("pred_lang"),
+        F.length("main").cast("long").alias("w"),
+    )
+    mix = web.domain_mixture(scored, domain_col="pred_lang", weight_col="w")
+    return _materialize_and_clean(
+        mix.select("pred_lang", "n_docs", "weight", "share_bps"), out
+    )
+
+
+def _make_sql_crawl_pipeline() -> str:
+    from dataproc_spark.queries.documents import (
+        _LANG_ARGMAX_SQL,
+        _LANG_NORM_SQL,
+        _LANG_SCORES_SQL,
+    )
+
+    boiler = _make_sql_html_boilerplate()
+    norm = _LANG_NORM_SQL  # references a column literally named `text`
+    return f"""
+WITH base AS (
+    SELECT main AS text FROM ( {boiler} ) b
+),
+n AS (SELECT {norm} AS s, CAST(length(text) AS BIGINT) AS w FROM base),
+scored AS (
+    SELECT w,
+           {_LANG_SCORES_SQL}
+    FROM n
+),
+pred AS (SELECT {_LANG_ARGMAX_SQL} AS pred_lang, w FROM scored),
+per AS (
+    SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS weight
+    FROM pred GROUP BY pred_lang
+)
+SELECT pred_lang, n_docs, weight,
+       CAST(CASE WHEN (SELECT sum(weight) FROM per) > 0
+                 THEN (weight * 10000) // (SELECT sum(weight) FROM per)
+                 ELSE 0 END AS BIGINT) AS share_bps
+FROM per
+"""
+
+
+SQL_CRAWL_PIPELINE = _make_sql_crawl_pipeline()
