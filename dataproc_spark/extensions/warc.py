@@ -69,6 +69,11 @@ def encode_warc_record(headers: dict, payload: bytes) -> bytes:
     out = io.BytesIO()
     out.write(b"WARC/1.0" + _CRLF)
     for k, v in headers.items():
+        # keys validated like values, plus ':' — a crafted key would
+        # split one header into two on re-parse (envelope injection;
+        # r9 review finding)
+        if any(c in str(k) for c in "\r\n:"):
+            raise ValueError(f"invalid WARC header name {k!r}")
         if "\r" in str(v) or "\n" in str(v):
             raise ValueError(f"WARC header {k!r} contains a line break")
         out.write(f"{k}: {v}".encode("utf-8") + _CRLF)
@@ -79,64 +84,87 @@ def encode_warc_record(headers: dict, payload: bytes) -> bytes:
     return out.getvalue()
 
 
-def decode_warc_bytes(buf: bytes, shard: str = ""):
-    """Parse a WARC shard's bytes (multi-member gzip or plain) into
-    record dicts. Raises ``ValueError`` naming the shard on a malformed
-    envelope — the per-task quarantine contract."""
+def iter_warc_records(buf: bytes, shard: str = ""):
+    """Yield record dicts from a WARC shard's bytes (multi-member gzip
+    or plain), **streaming**: gzip members decompress incrementally
+    through ``gzip.GzipFile`` and each record's envelope + payload are
+    read as they are yielded, so peak memory is the (inherent, from the
+    ``binaryFile`` source) compressed buffer plus ONE record — not the
+    whole decompressed shard plus a full record list (r9 review
+    finding; the module's own ~1 GB-shard posture made the eager form
+    a per-task OOM). Raises ``ValueError`` naming the shard on a
+    malformed envelope — the per-task quarantine contract."""
     buf = bytes(buf)
     if buf[:2] == b"\x1f\x8b":
-        # multi-member gzip: stdlib gzip transparently concatenates
+        # multi-member gzip: GzipFile transparently concatenates
         # members, which is exactly the record-per-member layout
-        try:
-            buf = gzip.decompress(buf)
-        except OSError as exc:
-            raise ValueError(f"corrupt gzip in WARC shard {shard!r}: {exc}")
-    pos, out = 0, []
-    while pos < len(buf):
-        # tolerate inter-record padding CRLFs
-        while buf[pos:pos + 2] == _CRLF:
-            pos += 2
-        if pos >= len(buf):
-            break
-        if not buf[pos:].startswith(b"WARC/"):
-            raise ValueError(
-                f"WARC shard {shard!r}: expected record header at byte "
-                f"{pos}, got {buf[pos:pos + 12]!r}"
-            )
-        head_end = buf.find(_CRLF + _CRLF, pos)
-        if head_end < 0:
-            raise ValueError(f"WARC shard {shard!r}: truncated header block")
-        headers: dict = {}
-        lines = buf[pos:head_end].split(_CRLF)
-        for line in lines[1:]:
-            k, sep, v = line.decode("utf-8", "replace").partition(":")
-            if not sep:
+        stream = gzip.GzipFile(fileobj=io.BytesIO(buf))
+    else:
+        stream = io.BytesIO(buf)
+    try:
+        while True:
+            line = stream.readline()
+            while line in (_CRLF, b"\n"):  # inter-record padding
+                line = stream.readline()
+            if not line:
+                return
+            if not line.startswith(b"WARC/"):
                 raise ValueError(
-                    f"WARC shard {shard!r}: malformed header line {line!r}"
+                    f"WARC shard {shard!r}: expected record header, got "
+                    f"{line[:12]!r}"
                 )
-            headers[k.strip().lower()] = v.strip()
-        try:
-            n = int(headers["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError(
-                f"WARC shard {shard!r}: missing/invalid Content-Length"
-            )
-        body_start = head_end + 4
-        if body_start + n > len(buf):
-            raise ValueError(f"WARC shard {shard!r}: truncated payload")
-        out.append(
-            {
+            headers: dict = {}
+            while True:
+                line = stream.readline()
+                if line in (_CRLF, b"\n"):
+                    break
+                if not line:
+                    raise ValueError(
+                        f"WARC shard {shard!r}: truncated header block"
+                    )
+                k, sep, v = (
+                    line.rstrip(b"\r\n").decode("utf-8", "replace")
+                    .partition(":")
+                )
+                if not sep:
+                    raise ValueError(
+                        f"WARC shard {shard!r}: malformed header line "
+                        f"{line!r}"
+                    )
+                headers[k.strip().lower()] = v.strip()
+            try:
+                n = int(headers["content-length"])
+            except (KeyError, ValueError):
+                raise ValueError(
+                    f"WARC shard {shard!r}: missing/invalid Content-Length"
+                )
+            if n < 0:
+                # a negative length once moved the parse cursor BACKWARDS
+                # and looped the task forever (r9 review finding,
+                # reproduced) — malformed must always be loud
+                raise ValueError(
+                    f"WARC shard {shard!r}: negative Content-Length {n}"
+                )
+            payload = stream.read(n)
+            if len(payload) != n:
+                raise ValueError(f"WARC shard {shard!r}: truncated payload")
+            yield {
                 "warc_type": headers.get("warc-type"),
                 "record_id": headers.get("warc-record-id"),
                 "target_uri": headers.get("warc-target-uri"),
                 "warc_date": headers.get("warc-date"),
                 "content_type": headers.get("content-type"),
                 "content_length": n,
-                "payload": buf[body_start:body_start + n],
+                "payload": payload,
             }
-        )
-        pos = body_start + n
-    return out
+    except OSError as exc:  # corrupt gzip member surfaces mid-read
+        raise ValueError(f"corrupt gzip in WARC shard {shard!r}: {exc}")
+
+
+def decode_warc_bytes(buf: bytes, shard: str = ""):
+    """Eager convenience wrapper over :func:`iter_warc_records` — a
+    record-dict list. Use the iterator for large shards."""
+    return list(iter_warc_records(buf, shard=shard))
 
 
 def read_warc(
@@ -163,34 +191,52 @@ def read_warc(
 
     keep = tuple(warc_types) if warc_types is not None else None
 
+    names = [f.name for f in WARC_RECORD_SCHEMA.fields]
+    batch_rows = 1024  # bound peak memory: one record batch, not a shard
+
     def kernel(batches):
         for pdf in batches:
             rows = []
             for shard, content in zip(pdf["path"], pdf["content"]):
+                shard_rows = []
                 try:
-                    recs = decode_warc_bytes(content, shard=str(shard))
+                    for r in iter_warc_records(content, shard=str(shard)):
+                        if keep is not None and r["warc_type"] not in keep:
+                            continue
+                        shard_rows.append(
+                            (
+                                str(shard),
+                                r["warc_type"],
+                                r["record_id"],
+                                r["target_uri"],
+                                r["warc_date"],
+                                r["content_type"],
+                                r["content_length"],
+                                r["payload"],
+                            )
+                        )
+                        # fail-loud mode streams (an error aborts the
+                        # task, so partial yields can't leak); skip mode
+                        # buffers the shard so a mid-shard error drops
+                        # ALL of the bad shard's records atomically —
+                        # never a silently half-ingested shard
+                        if (
+                            not skip_malformed
+                            and len(rows) + len(shard_rows) >= batch_rows
+                        ):
+                            yield pd.DataFrame(
+                                rows + shard_rows, columns=names
+                            )
+                            rows, shard_rows = [], []
                 except ValueError:
                     if skip_malformed:
                         continue
                     raise
-                for r in recs:
-                    if keep is not None and r["warc_type"] not in keep:
-                        continue
-                    rows.append(
-                        (
-                            str(shard),
-                            r["warc_type"],
-                            r["record_id"],
-                            r["target_uri"],
-                            r["warc_date"],
-                            r["content_type"],
-                            r["content_length"],
-                            r["payload"],
-                        )
-                    )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
-            )
+                rows.extend(shard_rows)
+                if len(rows) >= batch_rows:
+                    yield pd.DataFrame(rows, columns=names)
+                    rows = []
+            yield pd.DataFrame(rows, columns=names)
 
     src = (
         spark.read.format("binaryFile")
@@ -235,14 +281,16 @@ def write_warc_shards(
             return
         import itertools
 
+        from pyspark import TaskContext
+
         all_rows = itertools.chain([first], rows)
-        # shard name from the first record's URI — deterministic under
-        # deterministic partitioning, unique because URIs are
-        digest = hashlib.md5(
-            str(first[uri_col]).encode("utf-8")
-        ).hexdigest()[:12]
+        # shard name = PARTITION ID: a first-record-URI digest collided
+        # whenever two partitions shared a first URI (duplicate or NULL
+        # URIs), silently clobbering one partition's shard (r9 review
+        # finding) — the partition id is unique per task by construction
+        pid = TaskContext.get().partitionId()
         ext = ".warc.gz" if compress else ".warc"
-        path = os.path.join(out_dir, f"shard-{digest}{ext}")
+        path = os.path.join(out_dir, f"shard-{pid:05d}{ext}")
         with open(path, "wb") as fh:
             for row in all_rows:
                 uri = str(row[uri_col])

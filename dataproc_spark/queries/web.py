@@ -466,21 +466,20 @@ SELECT doc_id, main, CAST(length(main) AS BIGINT) AS n_chars_main FROM kept
 SQL_HTML_BOILERPLATE = _make_sql_html_boilerplate()
 
 
-def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC crawl-archive roundtrip (``extensions.warc``): wrap each
-    document as an HTTP-response payload, sink one ``.warc.gz`` per
-    partition (record-per-gzip-member, the Common Crawl layout), then
-    re-ingest with ``read_warc`` (binaryFile scan → Arrow record
-    splitter, no shuffle) and recover (doc_id, content_length,
-    payload length) per record. The oracle computes the same numbers
-    straight from ``documents`` — the roundtrip must be the identity,
-    so any envelope bug (Content-Length arithmetic, CRLF framing, gzip
-    member boundaries, header parse) hash-fails. Scratch shards are
-    deleted before returning (`_materialize_and_clean`)."""
+def _write_warc_scratch(
+    spark: SparkSession, sf_dir: str, prefix: str, wrap: tuple[str, str]
+) -> str:
+    """Shared WARC-gate synthesis (r9 review: the URI/payload select was
+    copy-pasted between the two gates): wrap each document's text in
+    ``wrap`` and sink the corpus as WARC shards under a fresh scratch
+    dir, which is REMOVED on a failed write (the eager
+    ``foreachPartition`` action runs here, before any
+    ``_materialize_and_clean`` could guard it — same leak class the r7
+    review fixed for the format-roundtrip gates)."""
+    import shutil
     import tempfile
 
     from dataproc_spark.extensions import warc as warcx
-    from dataproc_spark.queries.diagnostics import _materialize_and_clean
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -492,14 +491,39 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("target_uri"),
         F.encode(
             F.concat(
-                F.lit("<html>"), F.coalesce(F.col("text"), F.lit("")),
-                F.lit("</html>"),
+                F.lit(wrap[0]), F.coalesce(F.col("text"), F.lit("")),
+                F.lit(wrap[1]),
             ),
             "UTF-8",
         ).alias("payload"),
     )
-    out = tempfile.mkdtemp(prefix="warcrt_")
-    warcx.write_warc_shards(docs, out)
+    out = tempfile.mkdtemp(prefix=prefix)
+    try:
+        warcx.write_warc_shards(docs, out)
+    except Exception:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    return out
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive roundtrip (``extensions.warc``): wrap each
+    document as an HTTP-response payload, sink one ``.warc.gz`` per
+    partition (record-per-gzip-member, the Common Crawl layout), then
+    re-ingest with ``read_warc`` (binaryFile scan → Arrow record
+    splitter, no shuffle) and recover (doc_id, content_length,
+    payload length) per record. The oracle computes the same numbers
+    straight from ``documents`` — the roundtrip must be the identity,
+    so any envelope bug (Content-Length arithmetic, CRLF framing, gzip
+    member boundaries, header parse) hash-fails. Scratch shards are
+    deleted before returning (`_materialize_and_clean`)."""
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    out = _write_warc_scratch(
+        spark, sf_dir, prefix="warcrt_",
+        wrap=("<html>", "</html>"),
+    )
     back = warcx.read_warc(spark, out)
     res = back.select(
         F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
@@ -535,31 +559,14 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the whole chain relationally in DuckDB from the same shared
     template/regex/profile constants — WARC is exercised as a true
     identity layer inside a longer pipeline, not just in isolation."""
-    import tempfile
-
     from dataproc_spark.extensions import warc as warcx
     from dataproc_spark.extensions.textstats import predicted_lang
     from dataproc_spark.queries.diagnostics import _materialize_and_clean
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.lit("https://site"),
-            (F.col("doc_id") % 37).cast("string"),
-            F.lit(".com/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("target_uri"),
-        F.encode(
-            F.concat(
-                F.lit(_BOILER_PREFIX),
-                F.coalesce(F.col("text"), F.lit("")),
-                F.lit(_BOILER_SUFFIX),
-            ),
-            "UTF-8",
-        ).alias("payload"),
+    out = _write_warc_scratch(
+        spark, sf_dir, prefix="crawlpipe_",
+        wrap=(_BOILER_PREFIX, _BOILER_SUFFIX),
     )
-    out = tempfile.mkdtemp(prefix="crawlpipe_")
-    warcx.write_warc_shards(docs, out)
     main = web.extract_main_text(F.decode(F.col("payload"), "UTF-8"))
     scored = warcx.read_warc(spark, out).select(
         main.alias("main")

@@ -2177,3 +2177,35 @@ def test_warc_roundtrip_and_contracts(spark, tmp_path):
         warc.decode_warc_bytes(
             b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort"
         )
+
+
+def test_warc_review_fixes(spark, tmp_path):
+    """r9 review batch: negative Content-Length fails loudly (once
+    looped forever), header-NAME injection rejected, duplicate/NULL
+    first-URIs across partitions don't clobber shards (partition-id
+    naming), and the streaming iterator matches the eager decode."""
+    import os
+
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import warc
+
+    with _pytest.raises(ValueError, match="negative Content-Length"):
+        warc.decode_warc_bytes(b"WARC/1.0\r\nContent-Length: -33\r\n\r\n")
+    with _pytest.raises(ValueError, match="invalid WARC header name"):
+        warc.encode_warc_record({"X\r\nInjected": "v"}, b"")
+    with _pytest.raises(ValueError, match="invalid WARC header name"):
+        warc.encode_warc_record({"a:b": "v"}, b"")
+    # every partition shares the SAME first URI — the old first-URI-hash
+    # shard name collided and silently dropped partitions
+    docs = spark.createDataFrame(
+        [(i, "https://dup.com/same", b"p%d" % i) for i in range(12)],
+        "doc_id long, target_uri string, payload binary",
+    ).repartition(4)
+    out = str(tmp_path / "dup")
+    warc.write_warc_shards(docs, out)
+    assert len(os.listdir(out)) == 4
+    assert warc.read_warc(spark, out).count() == 12
+    # streaming iterator == eager list on a multi-record gzip shard
+    shard = open(os.path.join(out, sorted(os.listdir(out))[0]), "rb").read()
+    assert list(warc.iter_warc_records(shard)) == warc.decode_warc_bytes(shard)

@@ -1261,14 +1261,23 @@ def test_jpeg_arbitrary_gray_bounded_error_at_unit_quant(w, h, seed):
 def test_jpeg_garbage_bytes_always_valueerror(junk):
     """Arbitrary bytes — including ones starting with valid SOI — must
     raise ValueError from both entry points, never struct.error or
-    IndexError (the per-row quarantine contract, r9 review finding)."""
+    IndexError (the per-row quarantine contract, r9 review finding).
+    decode_jpeg can NEVER succeed on ≤66 bytes of junk (a full scan
+    needs SOF+DHT+DQT+SOS); parse_jpeg_meta could in principle hit a
+    crafted complete SOF, so its success branch asserts the typed meta
+    contract instead of being vacuously permissive (r9 review follow-up:
+    the first draft's try/except-pass never asserted the raise)."""
     import pytest as _pytest
 
     from dataproc_spark.extensions.jpeg import decode_jpeg, parse_jpeg_meta
 
-    for fn in (decode_jpeg, parse_jpeg_meta):
-        for payload in (junk, b"\xFF\xD8" + junk):
-            try:
-                fn(payload)
-            except ValueError:
-                pass
+    for payload in (junk, b"\xFF\xD8" + junk):
+        with _pytest.raises(ValueError):
+            decode_jpeg(payload)
+        try:
+            meta = parse_jpeg_meta(payload)
+        except ValueError:
+            continue
+        assert isinstance(meta["width"], int) and isinstance(
+            meta["progressive"], bool
+        )
