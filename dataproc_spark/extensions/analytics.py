@@ -69,7 +69,13 @@ def funnel(
             "named by step type)"
         )
     ensure_has_columns(events, [user_col, ts_col, type_col])
-    ev = events.select(user_col, ts_col, type_col)
+    # untimed events cannot participate in a time-ordered funnel: a
+    # user whose only step-1 events are NULL-ts otherwise produced a
+    # (t_step1=NULL, steps=1) row no other formulation (incl. the
+    # streaming operator) can emit — r9 review, one policy everywhere
+    ev = events.select(user_col, ts_col, type_col).where(
+        F.col(ts_col).isNotNull()
+    )
     first = steps[0]
     out = (
         ev.where(F.col(type_col) == first)

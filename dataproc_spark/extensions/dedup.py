@@ -597,16 +597,15 @@ def ngram_jaccard_pairs(
     Join keys are hashed shingles — see :func:`_hashed_shingles`.
     """
     sh = _hashed_shingles(df, content_col, id_col, n)
-    cached = None
+    # the shingle frame feeds three plan branches (both join sides +
+    # sizes); persist so the corpus is shingled once, not thrice —
+    # at cluster scale this is a checkpointed shingle table. The
+    # cache is released when the result frame is dropped
+    # (:func:`_release_on_gc`). r9 review: the no-max_df path used to
+    # skip the persist and re-shingled the whole corpus three times.
     if max_df is not None:
-        # the pruned frame feeds three plan branches (both join sides +
-        # sizes); persist so the corpus is shingled once, not thrice —
-        # at cluster scale this is a checkpointed shingle table. The
-        # cache is released when the result frame is dropped
-        # (:func:`_release_on_gc`).
-        sh = cached = sh.join(
-            _hot_keys(sh, max_df), "_sh", "left_anti"
-        ).persist()
+        sh = sh.join(_hot_keys(sh, max_df), "_sh", "left_anti")
+    sh = cached = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), "_sh")
@@ -630,7 +629,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.col("shared").cast("long").alias("shared"),
                 "jaccard_m")
     )
-    return out if cached is None else _release_on_gc(out, cached)
+    return _release_on_gc(out, cached)
 
 
 # ---------------------------------------------------------------------------
@@ -869,12 +868,11 @@ def ngram_containment_pairs(
     id_a the contained side.
     """
     sh = _hashed_shingles(df, content_col, id_col, n)
-    cached = None
+    # same persist-and-release-on-GC contract as ngram_jaccard_pairs —
+    # the no-max_df path also shingles once, not thrice (r9 review)
     if max_df is not None:
-        # same persist-and-release-on-GC contract as ngram_jaccard_pairs
-        sh = cached = sh.join(
-            _hot_keys(sh, max_df), "_sh", "left_anti"
-        ).persist()
+        sh = sh.join(_hot_keys(sh, max_df), "_sh", "left_anti")
+    sh = cached = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), "_sh")
@@ -899,4 +897,4 @@ def ngram_containment_pairs(
             "containment_m",
         )
     )
-    return out if cached is None else _release_on_gc(out, cached)
+    return _release_on_gc(out, cached)

@@ -48,9 +48,17 @@ def hourly_agg(events: DataFrame) -> DataFrame:
     ``F.window`` floors its buckets, so plain ``div`` — which truncates
     toward zero — would disagree with the streaming path for pre-1970
     (negative) epochs and silently break batch/stream parity.
+
+    NULL-ts rows are EXCLUDED: an untimed event has no hour, and the
+    streaming path's ``window(event_time, ...)`` drops such rows
+    anyway — without the filter the batch side emitted a phantom
+    ``hour_id=NULL`` group the stream could never produce (r9 review
+    finding, verified by execution). Quarantine untimed rows upstream
+    if they must be counted.
     """
     return (
-        events.groupBy(
+        events.where(F.col("ts").isNotNull())
+        .groupBy(
             F.expr(
                 f"(ts - pmod(ts, {NS_PER_HOUR})) div {NS_PER_HOUR}"
             ).alias("hour_id"),
@@ -487,6 +495,10 @@ def stream_dedup_bounded(
     stream = _file_stream(spark, events_path)
     deduped = (
         with_event_time(stream)
+        # NULL ts would survive dropDuplicates as its own (user, NULL)
+        # key and count as an active hour, while the oracle's
+        # COUNT(DISTINCT hour) ignores NULL (r9 review finding)
+        .where(F.col("ts").isNotNull())
         .withColumn(
             "hour_id",
             F.expr(f"(ts - pmod(ts, {NS_PER_HOUR})) div {NS_PER_HOUR}"),
@@ -518,6 +530,9 @@ def stream_dedup_hours(
     """
     deduped = (
         _file_stream(spark, events_path)
+        # same NULL-hour exclusion as stream_dedup_bounded: the oracle
+        # is COUNT(DISTINCT hour), which never counts NULL
+        .where(F.col("ts").isNotNull())
         .withColumn(
             "hour_id",
             F.expr(f"(ts - pmod(ts, {NS_PER_HOUR})) div {NS_PER_HOUR}"),
@@ -893,6 +908,12 @@ def sessionize(
     from pyspark.sql import Window
 
     gap_ns = gap_minutes * 60 * 1_000_000_000
+    # NULL-ts rows are EXCLUDED: NULLS FIRST ordering gave each one a
+    # NULL lag and minted a phantom session per untimed row, silently
+    # diverging from stream_session_counts (which skips them) and from
+    # session_window (which drops NULL event_time) — r9 review finding,
+    # verified by execution. One policy for all three formulations.
+    events = events.where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_sess = (
         F.when(F.col("ts") - F.lag("ts").over(w) > gap_ns, 1)
@@ -1080,7 +1101,11 @@ def stream_funnel_counts(
         resolved_types = set(step_list[: len(resolved)])
         for pdf in pdfs:
             for t, e in zip(pdf["ts"].tolist(), pdf["event_type"].tolist()):
-                if e in per_type:
+                # NULL ts arrives as NaN/None; int() on it aborts the
+                # whole query (r9 review finding, reproduced) — an
+                # untimed event cannot participate in a time-ordered
+                # funnel, same policy as batch funnel()
+                if e in per_type and pd.notna(t):
                     n_events += 1
                     # a resolved step's value is final; its pool stays empty
                     if e not in resolved_types:

@@ -75,6 +75,7 @@ SELECT (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000) + 3600000000000)
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events
+WHERE ts IS NOT NULL  -- untimed rows excluded (engine NULL-ts policy, r9)
 GROUP BY 1, 2
 """
 
@@ -93,7 +94,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_SESSIONIZE = """
 WITH e AS (
+    -- untimed rows excluded (engine NULL-ts policy, r9)
     SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events
+    WHERE ts IS NOT NULL
 ),
 flagged AS (
     SELECT user_id, event_id, tns,
@@ -333,7 +336,10 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FUNNEL_STEPS = """
 WITH ev AS (
+    -- untimed rows excluded (engine NULL-ts policy, r9: a NULL ts
+    -- cannot participate in a time-ordered funnel)
     SELECT user_id, epoch_ns(ts) AS tns, event_type FROM events
+    WHERE ts IS NOT NULL
 ),
 tv AS (
     SELECT user_id, MIN(tns) AS t_view

@@ -398,6 +398,7 @@ SELECT user_id,
              % 3600000000000) // 3600000000000)
             AS BIGINT) AS n_active_hours
 FROM events
+WHERE ts IS NOT NULL  -- engine NULL-ts policy (r9): untimed rows excluded
 GROUP BY user_id
 """
 
@@ -409,7 +410,7 @@ SELECT user_id,
             (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000) + 3600000000000)
              % 3600000000000) // 3600000000000)
             AS BIGINT) AS n_active_hours
-FROM events WHERE epoch_ns(ts) > 0
+FROM events WHERE ts IS NOT NULL AND epoch_ns(ts) > 0
 GROUP BY user_id
 """
 # DuckDB integer `//` TRUNCATES toward zero (-7 // 2 = -3), so the positive
@@ -445,7 +446,10 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STREAM_SESSIONS = """
 WITH e AS (
+    -- untimed rows excluded (engine NULL-ts policy, r9 — the stateful
+    -- operator skips NaN ts; the lag formulation now filters the same)
     SELECT user_id, epoch_ns(ts) AS tns FROM events
+    WHERE ts IS NOT NULL
 ),
 flagged AS (
     SELECT user_id,

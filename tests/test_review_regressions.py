@@ -1119,3 +1119,80 @@ def test_cartesian_large_secondary_range_not_force_broadcast(spark):
         core._DRIVER_SIDE_LIMIT, core._BROADCAST_RANGE_LIMIT = (
             saved_drv, saved_bc,
         )
+
+
+def test_null_ts_policy_time_operators(spark):
+    """r9 review cluster: time-based operators EXCLUDE untimed rows — one
+    policy across hourly_agg, sessionize/session_stats, and funnel, so
+    batch and streaming formulations cannot diverge on NULL ts."""
+    from dataproc_spark.extensions import analytics, streaming
+
+    ev = spark.createDataFrame(
+        [
+            (1, 7, "view", 3_600_000_000_000_000_000, 1.0),
+            (2, 7, "click", None, 1.0),
+            (3, 7, "purchase", 3_600_000_000_000_000_000 + 7_200 * 10**9, 1.0),
+            (4, 9, "view", None, 2.0),  # user 9: ONLY untimed events
+        ],
+        "event_id long, user_id long, event_type string, ts long, value double",
+    )
+    # hourly: no NULL hour_id group
+    hours = streaming.hourly_agg(ev).collect()
+    assert all(r.hour_id is not None for r in hours)
+    assert sum(r.n_events for r in hours) == 2
+    # sessionize: no phantom session per NULL-ts row; user 9 absent
+    stats = {r.user_id: r for r in streaming.session_stats(ev).collect()}
+    assert 9 not in stats
+    assert stats[7].n_sessions == 2 and stats[7].n_events_total == 2
+    # funnel: NULL-ts click can't break or qualify the chain; user 9 absent
+    fun = {r.user_id: r for r in
+           analytics.funnel(ev, ("view", "click", "purchase")).collect()}
+    assert 9 not in fun
+    assert fun[7].steps == 1 and fun[7].t_click is None
+
+
+def test_stream_funnel_tolerates_null_ts(spark, tmp_path):
+    """r9 review (reproduced): a NULL-ts funnel event crashed the whole
+    streaming query with 'cannot convert float NaN to integer'."""
+    from dataproc_spark.extensions import streaming
+
+    t0 = 3_600_000_000_000_000_000
+    ev = spark.createDataFrame(
+        [
+            (1, 7, "view", t0, 1.0, "{}"),
+            (2, 7, "click", None, 1.0, "{}"),
+            (3, 7, "purchase", t0 + 7_200 * 10**9, 1.0, "{}"),
+        ],
+        "event_id long, user_id long, event_type string, ts long, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(path)
+    out = {r.user_id: r for r in streaming.stream_funnel_counts(
+        spark, path, max_files_per_trigger=None
+    ).collect()}
+    # the untimed click neither crashes the query (the old ValueError)
+    # nor qualifies the chain
+    assert out[7].steps == 1 and out[7].t_click is None
+
+
+def test_stream_dedup_null_hour_not_active(spark, tmp_path):
+    """r9 review (reproduced): a NULL-ts event counted as an active hour
+    in both streaming dedup variants while the COUNT(DISTINCT hour)
+    oracle ignores NULL."""
+    from dataproc_spark.extensions import streaming
+
+    t0 = 3_600_000_000_000_000_000
+    ev = spark.createDataFrame(
+        [(1, 7, "view", t0, 1.0, "{}"),
+         (2, 7, "view", None, 1.0, "{}"),
+         (3, 7, "view", t0 + 7_200 * 10**9, 1.0, "{}")],
+        "event_id long, user_id long, event_type string, ts long, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(path)
+    for fn in (streaming.stream_dedup_hours,
+               streaming.stream_dedup_bounded):
+        got = {r.user_id: r.n_active_hours for r in fn(spark, path).collect()}
+        assert got == {7: 2}, (fn.__name__, got)
