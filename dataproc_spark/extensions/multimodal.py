@@ -341,8 +341,16 @@ def synthesize_jpegs(
                 payload = encode_jpeg(arr.astype(np.uint8),
                                       quant=1 << (i % 4))
                 if progressive_every and i % progressive_every == 0:
+                    sof = payload.find(b"\xFF\xC0")
+                    # find()==-1 would silently corrupt byte 0 (the SOI)
+                    # instead of failing loudly on an encoder change
+                    if sof < 0:
+                        raise ValueError(
+                            "synthesize_jpegs: encoder emitted no SOF0 "
+                            "marker to rewrite"
+                        )
                     b = bytearray(payload)
-                    b[payload.find(b"\xFF\xC0") + 1] = 0xC2
+                    b[sof + 1] = 0xC2
                     payload = bytes(b)  # SOF0 → SOF2
                 out.append((i, "image/jpeg", payload, wb * 8, hb * 8))
             yield pd.DataFrame(

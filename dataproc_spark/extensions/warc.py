@@ -18,13 +18,26 @@ Scale posture (100 TB of .warc.gz):
   count, the same story as any parquet scan. Envelope headers land in
   separate columns, so header-only queries never touch payload bytes
   after a column prune.
-* Malformed records follow the module-wide quarantine contract: a
+* Real crawl *response* records carry an ``application/http`` payload:
+  the bytes start with ``HTTP/1.1 200 OK`` + headers, NOT the document.
+  ``read_warc`` splits that envelope (:func:`split_http_envelope`) into
+  ``http_status`` / ``http_headers`` / ``http_content_type`` / ``body``
+  so downstream text operators consume the document body, never header
+  text; non-HTTP records fall back to ``body = payload`` with NULL
+  status. A record whose WARC Content-Type *claims* ``application/http``
+  but whose bytes don't parse as an envelope also falls back (the
+  record is still usable as raw bytes; quarantine is for broken WARC
+  *framing*, not a sloppy inner payload).
+* Malformed WARC framing follows the module-wide quarantine contract: a
   corrupt member raises ``ValueError`` naming the shard (fail loudly
-  per task) unless ``skip_malformed=True``, which counts them out
-  per-batch instead — the choice belongs to the caller, never silent.
+  per task) unless ``skip_malformed=True``, which drops the ENTIRE bad
+  shard's records atomically and logs a warning naming the shard —
+  never a silently half-ingested shard, and never an unlogged drop.
 * ``write_warc_shards`` writes one ``.warc.gz`` per partition via
-  ``foreachPartition`` (executor-local filesystem here; the same
-  iterator body targets object storage in production).
+  ``foreachPartition``. The writer target is injectable (``open_fn``):
+  the default opens executor-local posix paths; pass an object-store
+  opener (e.g. an fsspec ``open``) for cluster use — the iterator body
+  is identical either way.
 """
 
 from __future__ import annotations
@@ -35,14 +48,17 @@ import io
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType,
+    IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
 )
 
-#: Output schema of :func:`read_warc` — envelope headers as typed
-#: columns, payload opaque.
+#: Output schema of :func:`read_warc` — WARC envelope headers as typed
+#: columns, the raw payload, and the split HTTP envelope (NULL
+#: status/headers + ``body == payload`` for non-HTTP records).
 WARC_RECORD_SCHEMA = StructType(
     [
         StructField("shard", StringType()),
@@ -53,10 +69,57 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("content_type", StringType()),
         StructField("content_length", LongType()),
         StructField("payload", BinaryType()),
+        StructField("http_status", IntegerType()),
+        StructField("http_content_type", StringType()),
+        StructField("http_headers", MapType(StringType(), StringType())),
+        StructField("body", BinaryType()),
     ]
 )
 
 _CRLF = b"\r\n"
+
+
+def split_http_envelope(payload: bytes, content_type: str | None):
+    """Split an ``application/http`` record payload into
+    ``(status, headers, body)`` — the WAT-style view of a crawl
+    response. Returns ``(None, None, payload)`` when the record is not
+    HTTP (by its WARC Content-Type) or when the envelope does not parse
+    (no ``HTTP/`` prefix, no header terminator, non-integer status):
+    the bytes are still the record's content, just not an envelope.
+
+    Header keys are lowercased; repeated headers join with ``", "``
+    (the RFC 9110 list-combination rule), so the map is deterministic
+    for a fixed record.
+    """
+    payload = bytes(payload)
+    if not (content_type or "").strip().lower().startswith(
+        "application/http"
+    ):
+        return None, None, payload
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    end = payload.find(b"\r\n\r\n")
+    sep = 4
+    if end < 0:
+        end = payload.find(b"\n\n")
+        sep = 2
+    if end < 0:
+        return None, None, payload
+    head = payload[:end].decode("utf-8", "replace")
+    lines = head.splitlines()
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[1].isdigit():
+        return None, None, payload
+    status = int(parts[1])
+    headers: dict = {}
+    for line in lines[1:]:
+        k, colon, v = line.partition(":")
+        if not colon:
+            return None, None, payload
+        k = k.strip().lower()
+        v = v.strip()
+        headers[k] = headers[k] + ", " + v if k in headers else v
+    return status, headers, payload[end + sep:]
 
 
 def encode_warc_record(headers: dict, payload: bytes) -> bytes:
@@ -180,13 +243,22 @@ def read_warc(
     the crawl content; request/warcinfo/metadata records are envelope
     noise for a training corpus); pass ``None`` to keep everything.
     ``skip_malformed=False`` (default) fails the task loudly on a
-    corrupt shard; ``True`` drops the bad shard's records and keeps
-    going — never silent row-level loss inside a healthy shard.
+    corrupt shard; ``True`` drops the ENTIRE bad shard's records
+    atomically (a mid-shard error never leaves a half-ingested shard)
+    and logs a warning naming the dropped shard — never silent loss.
+
+    ``application/http`` payloads are split into ``http_status`` /
+    ``http_headers`` / ``http_content_type`` / ``body`` per record
+    (:func:`split_http_envelope`); everything else gets NULL status and
+    ``body = payload``, so downstream operators can always read
+    ``body`` and never ingest HTTP header text as document content.
 
     Plan: ``binaryFile`` scan → one Arrow ``mapInPandas`` stage; no
     shuffle, parallelism = shard files (the format's own unit of
     parallel decode).
     """
+    import logging
+
     import pandas as pd
 
     keep = tuple(warc_types) if warc_types is not None else None
@@ -195,6 +267,7 @@ def read_warc(
     batch_rows = 1024  # bound peak memory: one record batch, not a shard
 
     def kernel(batches):
+        log = logging.getLogger("dataproc_spark.extensions.warc")
         for pdf in batches:
             rows = []
             for shard, content in zip(pdf["path"], pdf["content"]):
@@ -203,6 +276,9 @@ def read_warc(
                     for r in iter_warc_records(content, shard=str(shard)):
                         if keep is not None and r["warc_type"] not in keep:
                             continue
+                        status, hdrs, body = split_http_envelope(
+                            r["payload"], r["content_type"]
+                        )
                         shard_rows.append(
                             (
                                 str(shard),
@@ -213,6 +289,10 @@ def read_warc(
                                 r["content_type"],
                                 r["content_length"],
                                 r["payload"],
+                                status,
+                                (hdrs or {}).get("content-type"),
+                                hdrs,
+                                body,
                             )
                         )
                         # fail-loud mode streams (an error aborts the
@@ -228,8 +308,12 @@ def read_warc(
                                 rows + shard_rows, columns=names
                             )
                             rows, shard_rows = [], []
-                except ValueError:
+                except ValueError as exc:
                     if skip_malformed:
+                        log.warning(
+                            "skip_malformed: dropping WARC shard %s (%s)",
+                            shard, exc,
+                        )
                         continue
                     raise
                 rows.extend(shard_rows)
@@ -254,6 +338,8 @@ def write_warc_shards(
     payload_col: str = "payload",
     type_col: str | None = None,
     compress: bool = True,
+    content_type: str = "application/http; msgtype=response",
+    open_fn=None,
 ) -> None:
     """Write one ``.warc.gz`` (or ``.warc``) shard per partition — each
     record its own gzip member, the Common-Crawl layout that keeps
@@ -262,16 +348,31 @@ def write_warc_shards(
     input → byte-identical shards with ``compress=False``; gzip adds
     only the fixed mtime=0 header).
 
-    ``foreachPartition`` writes to ``out_dir`` on the executor-local
-    filesystem — correct in local mode and for posix-mounted storage;
-    point the iterator body at an object store for cluster use.
+    ``content_type`` is the WARC Content-Type header stamped on every
+    record — keep the ``application/http`` default only when the
+    payload column really carries an HTTP envelope (the read path
+    splits on that declaration); pass e.g. ``"text/html"`` for bare
+    documents. A NULL ``uri_col`` raises per record (the module's
+    fail-loud contract — ``str(None)`` once roundtripped as the literal
+    URI ``"None"``).
+
+    ``open_fn(path) -> file`` injects the writer target (must return a
+    binary-writable context manager). The default opens executor-local
+    posix paths under ``out_dir`` — correct in local mode and for
+    posix-mounted storage; pass an object-store opener (fsspec/boto
+    wrapper) for cluster use. ``out_dir`` is pre-created only for the
+    posix default.
     """
     import hashlib
     import os
 
     cols = [uri_col, payload_col] + ([type_col] if type_col else [])
     src = df.select(*cols)
-    os.makedirs(out_dir, exist_ok=True)
+    if open_fn is None:
+        os.makedirs(out_dir, exist_ok=True)
+
+        def open_fn(path):  # noqa: F811 — documented posix default
+            return open(path, "wb")
 
     def write_partition(rows):
         first = None
@@ -291,8 +392,13 @@ def write_warc_shards(
         pid = TaskContext.get().partitionId()
         ext = ".warc.gz" if compress else ".warc"
         path = os.path.join(out_dir, f"shard-{pid:05d}{ext}")
-        with open(path, "wb") as fh:
+        with open_fn(path) as fh:
             for row in all_rows:
+                if row[uri_col] is None:
+                    raise ValueError(
+                        "write_warc_shards: NULL %r — a WARC record "
+                        "needs a real WARC-Target-URI" % uri_col
+                    )
                 uri = str(row[uri_col])
                 payload = bytes(row[payload_col] or b"")
                 rid = hashlib.md5(uri.encode("utf-8")).hexdigest()
@@ -304,7 +410,7 @@ def write_warc_shards(
                         "WARC-Record-ID": f"<urn:uuid:{rid}>",
                         "WARC-Date": "2026-01-01T00:00:00Z",
                         "WARC-Target-URI": uri,
-                        "Content-Type": "application/http; msgtype=response",
+                        "Content-Type": content_type,
                     },
                     payload,
                 )

@@ -277,6 +277,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "jpeg_meta": (q_jpeg_meta, SQL_JPEG_META),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "crawl_pipeline": (q_crawl_pipeline, SQL_CRAWL_PIPELINE),
+    # -- r10 additions: real-archive realism --------------------------------
+    "warc_http_split": (q_warc_http_split, SQL_WARC_HTTP_SPLIT),
 }
 
 

@@ -195,15 +195,25 @@ def q_ann_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantization loss, partition-column type change, list truncation)
     hash-fails. Scratch index is deleted before returning
     (`_materialize_and_clean` pattern)."""
+    import shutil
     import tempfile
 
     from dataproc_spark.queries.diagnostics import _materialize_and_clean
 
     emb = _t(spark, sf_dir, "embeddings")
     out = tempfile.mkdtemp(prefix="ivfidx_")
-    simsearch.write_ivf_index(emb, out, cell_col="label")
-    queries_df = emb.where(F.col("vec_id") % 100 == 0)
-    res = simsearch.ivf_index_topk(spark, out, queries_df, k=5, n_probe=2)
+    # build/probe run eager actions before _materialize_and_clean can
+    # guard the scratch dir — remove it on failure (same leak class the
+    # WARC gates' _write_warc_scratch guards against)
+    try:
+        simsearch.write_ivf_index(emb, out, cell_col="label")
+        queries_df = emb.where(F.col("vec_id") % 100 == 0)
+        res = simsearch.ivf_index_topk(
+            spark, out, queries_df, k=5, n_probe=2
+        )
+    except Exception:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
     return _materialize_and_clean(res, out)
 
 

@@ -467,7 +467,11 @@ SQL_HTML_BOILERPLATE = _make_sql_html_boilerplate()
 
 
 def _write_warc_scratch(
-    spark: SparkSession, sf_dir: str, prefix: str, wrap: tuple[str, str]
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    wrap: tuple[str, str],
+    http_envelope: bool = False,
 ) -> str:
     """Shared WARC-gate synthesis (r9 review: the URI/payload select was
     copy-pasted between the two gates): wrap each document's text in
@@ -475,12 +479,46 @@ def _write_warc_scratch(
     dir, which is REMOVED on a failed write (the eager
     ``foreachPartition`` action runs here, before any
     ``_materialize_and_clean`` could guard it — same leak class the r7
-    review fixed for the format-roundtrip gates)."""
+    review fixed for the format-roundtrip gates).
+
+    ``http_envelope=True`` prefixes each payload with a real
+    ``HTTP/1.1 200 OK`` status line + headers + blank line — the shape
+    an actual Common Crawl *response* record has — so gates reading
+    ``body`` exercise the envelope split, not a bare-HTML shortcut
+    (r9 verdict's top gap). The sink declares ``application/http`` only
+    in that arm; bare payloads are stamped honestly as ``text/html``."""
     import shutil
     import tempfile
 
     from dataproc_spark.extensions import warc as warcx
 
+    doc_bytes = F.encode(
+        F.concat(
+            F.lit(wrap[0]), F.coalesce(F.col("text"), F.lit("")),
+            F.lit(wrap[1]),
+        ),
+        "UTF-8",
+    )
+    if http_envelope:
+        payload = F.concat(
+            F.encode(
+                F.concat(
+                    F.lit(
+                        "HTTP/1.1 200 OK\r\n"
+                        "Content-Type: text/html; charset=utf-8\r\n"
+                        "Content-Length: "
+                    ),
+                    F.octet_length(doc_bytes).cast("string"),
+                    F.lit("\r\n\r\n"),
+                ),
+                "UTF-8",
+            ),
+            doc_bytes,
+        )
+        content_type = "application/http; msgtype=response"
+    else:
+        payload = doc_bytes
+        content_type = "text/html"
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
@@ -489,17 +527,11 @@ def _write_warc_scratch(
             F.lit(".com/doc/"),
             F.col("doc_id").cast("string"),
         ).alias("target_uri"),
-        F.encode(
-            F.concat(
-                F.lit(wrap[0]), F.coalesce(F.col("text"), F.lit("")),
-                F.lit(wrap[1]),
-            ),
-            "UTF-8",
-        ).alias("payload"),
+        payload.alias("payload"),
     )
     out = tempfile.mkdtemp(prefix=prefix)
     try:
-        warcx.write_warc_shards(docs, out)
+        warcx.write_warc_shards(docs, out, content_type=content_type)
     except Exception:
         shutil.rmtree(out, ignore_errors=True)
         raise
@@ -548,17 +580,131 @@ FROM documents
 """
 
 
+def q_warc_http_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP-envelope split on WARC ingestion (``warc.read_warc`` +
+    ``split_http_envelope``): real Common Crawl *response* records carry
+    ``application/http`` payloads — status line, headers, blank line,
+    THEN the document — so reading ``payload`` as text ingests header
+    noise. Four arms per document: (0) full 200 envelope with
+    charset'd Content-Type, a custom ``X-Crawl`` header, and a computed
+    ``Content-Length``; (1) a 404 ``text/plain`` envelope; (2) NO
+    envelope at all (bare HTML stamped ``application/http`` — the
+    claimed-but-absent case); (3) a malformed envelope (``HTTP/1.1 OK``
+    — status not an integer). Arms 2/3 must fall back to
+    ``body = payload`` with NULL status/headers, never lose bytes, and
+    never fail the shard (quarantine is for WARC framing). The oracle
+    rebuilds every arm's expected split arithmetically from
+    ``documents``. Scratch shards are removed before returning."""
+    import shutil
+    import tempfile
+
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id").cast("string")
+    body0 = F.concat(F.lit("<html>"), txt, F.lit("</html>"))
+    env0 = F.concat(
+        F.lit(
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n"
+            "X-Crawl: site"
+        ),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(F.encode(body0, "UTF-8")).cast("string"),
+        F.lit("\r\n\r\n"),
+        body0,
+    )
+    env1 = F.concat(
+        F.lit(
+            "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n"
+            "not found "
+        ),
+        did,
+    )
+    bare = F.concat(F.lit("<html>bare "), txt, F.lit("</html>"))
+    malformed = F.concat(F.lit("HTTP/1.1 OK\r\n\r\ntail "), did)
+    arm = F.col("doc_id") % 4
+    src = docs.select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".com/doc/"),
+            did,
+        ).alias("target_uri"),
+        F.encode(
+            F.when(arm == 0, env0)
+            .when(arm == 1, env1)
+            .when(arm == 2, bare)
+            .otherwise(malformed),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="warchttp_")
+    try:
+        warcx.write_warc_shards(src, out)
+    except Exception:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    res = warcx.read_warc(spark, out).select(
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("http_status").cast("int").alias("http_status"),
+        "http_content_type",
+        F.element_at("http_headers", "x-crawl").alias("x_crawl"),
+        F.decode(F.col("body"), "UTF-8").alias("body_text"),
+        F.octet_length("body").cast("long").alias("n_body_bytes"),
+    )
+    return _materialize_and_clean(res, out)
+
+
+SQL_WARC_HTTP_SPLIT = """
+WITH b AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+               WHEN 0 THEN '<html>' || coalesce(text, '') || '</html>'
+               WHEN 1 THEN 'not found ' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '<html>bare ' || coalesce(text, '')
+                           || '</html>'
+               ELSE 'HTTP/1.1 OK' || chr(13) || chr(10) || chr(13)
+                    || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+           END AS body_text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 404 END
+            AS INTEGER) AS http_status,
+       CASE doc_id % 4
+           WHEN 0 THEN 'text/html; charset=utf-8'
+           WHEN 1 THEN 'text/plain'
+       END AS http_content_type,
+       CASE doc_id % 4
+           WHEN 0 THEN 'site' || CAST(doc_id % 37 AS VARCHAR)
+       END AS x_crawl,
+       body_text,
+       CAST(strlen(body_text) AS BIGINT) AS n_body_bytes
+FROM b
+"""
+
+
 def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END crawl-to-corpus pipeline — the production shape every
     r9 piece exists for, chained as one lazy plan: documents wrapped as
-    full HTML pages → sunk as ``.warc.gz`` shards (``write_warc_shards``)
-    → re-ingested (``read_warc``, binaryFile + Arrow record splitter) →
-    block-level boilerplate removal (``extract_main_text``) → trigram
-    language-ID (``predicted_lang``) → language mixture report in
+    full HTML pages inside a REAL ``HTTP/1.1 200 OK`` envelope (the
+    bytes an actual Common Crawl response record carries) → sunk as
+    ``.warc.gz`` shards (``write_warc_shards``) → re-ingested
+    (``read_warc``, binaryFile + Arrow record splitter, which splits
+    the HTTP envelope) → boilerplate removal over the split ``body``
+    (``extract_main_text`` — fed headers, it would score them as text;
+    the r10 envelope split is what makes this correct on real archives)
+    → trigram language-ID (``predicted_lang``) → language mixture in
     integer basis points (``domain_mixture`` machinery). The oracle
     replays the whole chain relationally in DuckDB from the same shared
-    template/regex/profile constants — WARC is exercised as a true
-    identity layer inside a longer pipeline, not just in isolation."""
+    template/regex/profile constants — WARC + envelope split are
+    exercised as a true identity layer inside a longer pipeline."""
     from dataproc_spark.extensions import warc as warcx
     from dataproc_spark.extensions.textstats import predicted_lang
     from dataproc_spark.queries.diagnostics import _materialize_and_clean
@@ -566,8 +712,9 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _write_warc_scratch(
         spark, sf_dir, prefix="crawlpipe_",
         wrap=(_BOILER_PREFIX, _BOILER_SUFFIX),
+        http_envelope=True,
     )
-    main = web.extract_main_text(F.decode(F.col("payload"), "UTF-8"))
+    main = web.extract_main_text(F.decode(F.col("body"), "UTF-8"))
     scored = warcx.read_warc(spark, out).select(
         main.alias("main")
     ).select(

@@ -2209,3 +2209,81 @@ def test_warc_review_fixes(spark, tmp_path):
     # streaming iterator == eager list on a multi-record gzip shard
     shard = open(os.path.join(out, sorted(os.listdir(out))[0]), "rb").read()
     assert list(warc.iter_warc_records(shard)) == warc.decode_warc_bytes(shard)
+
+
+def test_warc_http_envelope_split(spark, tmp_path):
+    """r10: application/http payloads split into status/headers/body;
+    non-HTTP and malformed envelopes fall back to body=payload with
+    NULL status; NULL URIs fail loudly; custom open_fn injects the
+    writer target."""
+    import os
+
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import warc
+
+    env = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"X-Dup: a\r\nX-Dup: b\r\n\r\n<html>hi</html>"
+    )
+    # pure splitter: full envelope, duplicate-header join, LF-only arm
+    s, h, b = warc.split_http_envelope(env, "application/http; msgtype=response")
+    assert (s, b) == (200, b"<html>hi</html>")
+    assert h["content-type"] == "text/html; charset=utf-8"
+    assert h["x-dup"] == "a, b"  # RFC 9110 list combination
+    s, h, b = warc.split_http_envelope(
+        b"HTTP/1.0 404 Not Found\n\ngone", "application/http"
+    )
+    assert (s, h, b) == (404, {}, b"gone")
+    # non-HTTP content type: untouched
+    assert warc.split_http_envelope(env, "text/html") == (None, None, env)
+    # claimed http but no HTTP/ prefix (no-envelope arm)
+    assert warc.split_http_envelope(b"<html>", "application/http") == (
+        None, None, b"<html>",
+    )
+    # claimed http, HTTP/ prefix, but malformed (non-integer status)
+    bad = b"HTTP/1.1 OK\r\n\r\ntail"
+    assert warc.split_http_envelope(bad, "application/http") == (
+        None, None, bad,
+    )
+    # end-to-end through the sink+source: envelope and bare rows
+    docs = spark.createDataFrame(
+        [(0, "https://a.com/0", env), (1, "https://a.com/1", b"<html>raw")],
+        "doc_id long, target_uri string, payload binary",
+    ).coalesce(1)
+    out = str(tmp_path / "http")
+    warc.write_warc_shards(docs, out)
+    rows = {
+        r.target_uri: r for r in warc.read_warc(spark, out).collect()
+    }
+    r0, r1 = rows["https://a.com/0"], rows["https://a.com/1"]
+    assert r0.http_status == 200
+    assert r0.http_content_type == "text/html; charset=utf-8"
+    assert r0.http_headers["x-dup"] == "a, b"
+    assert bytes(r0.body) == b"<html>hi</html>"
+    assert bytes(r0.payload) == env  # raw payload still intact
+    assert r1.http_status is None and bytes(r1.body) == b"<html>raw"
+    # honest content-type declaration disables the split entirely
+    out2 = str(tmp_path / "bare")
+    warc.write_warc_shards(docs, out2, content_type="text/html")
+    assert all(
+        r.http_status is None and bytes(r.body) == bytes(r.payload)
+        for r in warc.read_warc(spark, out2).collect()
+    )
+    # NULL URI: loud, not str(None)
+    nulls = spark.createDataFrame(
+        [(None, b"x")], "target_uri string, payload binary"
+    )
+    with _pytest.raises(Exception, match="NULL 'target_uri'"):
+        warc.write_warc_shards(nulls, str(tmp_path / "n"))
+    # injectable writer target: posix opener with a suffix twist proves
+    # the iterator body goes through open_fn, not open()
+    out3 = str(tmp_path / "custom")
+    os.makedirs(out3)
+
+    def opener(path):
+        return open(path + ".custom", "wb")
+
+    warc.write_warc_shards(docs, out3, open_fn=opener)
+    names = sorted(os.listdir(out3))
+    assert names and all(n.endswith(".warc.gz.custom") for n in names)
