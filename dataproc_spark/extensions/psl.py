@@ -23,64 +23,50 @@ Scale posture (100 TB, billions of hosts):
   change: pass ``rules=`` with the full rule text list (one rule per
   entry, PSL syntax) and the same plan compiles.
 
-Snapshot provenance: a pinned SUBSET of the publicsuffix.org public
-suffix list (the well-known ccTLD second-level registries, the
-canonical wildcard/exception families, and a few high-traffic
-private-section entries), written from public knowledge of the list
-format. Single-label rules are intentionally absent — the PSL default
-rule ``*`` (any TLD is a public suffix) covers them, so an unmatched
-host resolves to its last two labels, exactly like the published
-algorithm.
+Snapshot provenance: the rules live in ``psl_snapshot.dat`` next to
+this module — publicsuffix.org list FORMAT, written from public
+knowledge of the published list (ICANN ccTLD second-level registries,
+the wildcard/exception geo families, IDN registry rules, and the
+high-traffic private-division operators). Refreshing it is a DATA
+change: replace the file with the verbatim published list and the same
+plan compiles (width grows only with the deepest rule's label count).
+Single-label rules are intentionally absent — the PSL default rule
+``*`` (any TLD is a public suffix) covers them, so an unmatched host
+resolves to its last two labels, exactly like the published algorithm.
 """
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+_SNAPSHOT_PATH = os.path.join(os.path.dirname(__file__), "psl_snapshot.dat")
+
+
+def load_snapshot_rules(path: str = _SNAPSHOT_PATH) -> tuple[str, ...]:
+    """Read a publicsuffix.org-format rule file (``//`` comments and
+    blank lines ignored) into the rule tuple :func:`parse_rules`
+    consumes. The in-repo ``psl_snapshot.dat`` is the pinned default;
+    production points this at the verbatim published list."""
+    with open(path, encoding="utf-8") as fh:
+        rules = tuple(
+            ln.strip()
+            for ln in fh
+            if ln.strip() and not ln.strip().startswith("//")
+        )
+    if not rules:
+        raise ValueError(f"empty public-suffix rule file: {path!r}")
+    return rules
+
+
 #: pinned public-suffix snapshot (PSL syntax: ``!`` = exception rule,
-#: ``*`` = wildcard label). Multi-label rules only — the implicit PSL
-#: default rule ``*`` covers every bare TLD.
-PSL_SNAPSHOT_RULES: tuple[str, ...] = (
-    # ── United Kingdom ──
-    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
-    "sch.uk", "ac.uk", "gov.uk", "nhs.uk", "police.uk",
-    # ── Australia ──
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    # ── Japan (incl. the geo wildcard/exception families) ──
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
-    "gr.jp", "lg.jp",
-    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
-    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
-    "!city.kawasaki.jp", "!city.kitakyushu.jp", "!city.kobe.jp",
-    "!city.nagoya.jp", "!city.sapporo.jp", "!city.sendai.jp",
-    "!city.yokohama.jp",
-    # ── Brazil ──
-    "com.br", "net.br", "org.br", "gov.br", "edu.br",
-    # ── China ──
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-    # ── New Zealand ──
-    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
-    # ── South Africa ──
-    "co.za", "net.za", "org.za", "gov.za", "ac.za",
-    # ── South Korea ──
-    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr",
-    # ── India ──
-    "co.in", "net.in", "org.in", "gov.in", "ac.in", "res.in",
-    # ── assorted ccTLD second levels ──
-    "com.mx", "com.ar", "com.tr", "com.tw", "com.hk", "com.sg",
-    "co.il", "com.ua", "com.pl", "net.pl", "org.pl", "co.th",
-    "co.id", "com.my", "com.ph", "com.vn", "com.eg", "com.sa",
-    "co.ae", "com.ng", "co.ke",
-    # ── pure-wildcard ccTLDs + the canonical exception pair ──
-    "*.bd", "*.ck", "!www.ck", "*.jm", "*.kh", "*.mm", "*.np", "*.pg",
-    # ── high-traffic private-section entries (PSL private division) ──
-    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
-    "netlify.app", "vercel.app", "web.app", "firebaseapp.com",
-    "cloudfront.net", "s3.amazonaws.com", "*.compute.amazonaws.com",
-)
+#: ``*`` = wildcard label), loaded from ``psl_snapshot.dat``.
+#: Multi-label rules only — the implicit PSL default rule ``*`` covers
+#: every bare TLD.
+PSL_SNAPSHOT_RULES: tuple[str, ...] = load_snapshot_rules()
 
 
 def parse_rules(

@@ -261,15 +261,17 @@ SELECT doc_id, plain, CAST(length(plain) AS BIGINT) AS n_chars_plain FROM s6
 #: pinned snapshot: exact ccTLD second-levels, the wildcard and
 #: exception geo families, pure-wildcard TLDs (incl. host==public-suffix
 #: closure rows), private-section rules, a 4-label wildcard, mixed case,
-#: bare single labels, and default-rule hosts
+#: bare single labels, default-rule hosts, and (r10, full-list rebase)
+#: an IDN registry rule, a 3-label US locality rule, a private-section
+#: rule the old ~100-rule subset lacked, and a depth-5 exact rule
 _HOST_PSL_EXPR = (
-    "CASE doc_id % 12 "
+    "CASE doc_id % 16 "
     "WHEN 0 THEN 'www.site' || CAST(doc_id % 40 AS {S}) || '.co.uk' "
     "WHEN 1 THEN 'a.b.site' || CAST(doc_id % 40 AS {S}) || '.com' "
     "WHEN 2 THEN 'x' || CAST(doc_id % 3 AS {S}) || '.city.kawasaki.jp' "
     "WHEN 3 THEN 'shop.site' || CAST(doc_id % 40 AS {S}) || '.kawasaki.jp' "
     "WHEN 4 THEN 'www.ck' "
-    "WHEN 5 THEN CASE WHEN doc_id % 24 = 5 THEN 'bar' || "
+    "WHEN 5 THEN CASE WHEN doc_id % 32 = 5 THEN 'bar' || "
     "CAST(doc_id % 40 AS {S}) || '.ck' ELSE 'sub' || "
     "CAST(doc_id % 7 AS {S}) || '.site' || CAST(doc_id % 40 AS {S}) || "
     "'.ck' END "
@@ -279,6 +281,12 @@ _HOST_PSL_EXPR = (
     "WHEN 8 THEN 'WWW.Site' || CAST(doc_id % 40 AS {S}) || '.COM' "
     "WHEN 9 THEN 'localhost' "
     "WHEN 10 THEN 'docs.site' || CAST(doc_id % 40 AS {S}) || '.gov.uk' "
+    "WHEN 11 THEN 'school' || CAST(doc_id % 9 AS {S}) || '.k12.ca.us' "
+    "WHEN 12 THEN 'x' || CAST(doc_id % 3 AS {S}) || '.shop' || "
+    "CAST(doc_id % 40 AS {S}) || '.公司.cn' "
+    "WHEN 13 THEN 'docs.proj' || CAST(doc_id % 40 AS {S}) || '.pages.dev' "
+    "WHEN 14 THEN 'b' || CAST(doc_id % 4 AS {S}) || "
+    "'.s3.dualstack.us-east-1.amazonaws.com' "
     "ELSE 'cdn.site' || CAST(doc_id % 40 AS {S}) || '.io' END"
 )
 

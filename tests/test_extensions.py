@@ -1708,6 +1708,14 @@ def test_psl_registered_domain_rule_families(spark):
         ("WWW.Site.COM", "site.com"),                    # case-fold
         ("localhost", "localhost"),                      # bare label
         (None, None),                                    # NULL host
+        # r10 full-list families:
+        ("x.shop.公司.cn", "shop.公司.cn"),                # IDN registry
+        ("www.school.k12.ca.us", "school.k12.ca.us"),    # US locality
+        ("a.k12.zz", "k12.zz"),                          # default rule
+        ("docs.proj.pages.dev", "proj.pages.dev"),       # new private
+        ("a.b.s3.dualstack.us-east-1.amazonaws.com",     # depth-5 exact
+         "b.s3.dualstack.us-east-1.amazonaws.com"),
+        ("blog.blogspot.co.uk", "blog.blogspot.co.uk"),  # 3-label private
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _) in enumerate(cases)], "id long, host string"
