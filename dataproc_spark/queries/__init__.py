@@ -279,6 +279,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "crawl_pipeline": (q_crawl_pipeline, SQL_CRAWL_PIPELINE),
     # -- r10 additions: real-archive realism --------------------------------
     "warc_http_split": (q_warc_http_split, SQL_WARC_HTTP_SPLIT),
+    "lang_script_predict": (q_lang_script_predict, SQL_LANG_SCRIPT_PREDICT),
 }
 
 

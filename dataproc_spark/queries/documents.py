@@ -254,8 +254,12 @@ def _lang_trigram_sql_fragments() -> tuple[str, str, str]:
     score_sqls = []
     for lang, profile in textstats.LANG_TRIGRAM_PROFILES.items():
         k = len(profile)
+        # divide by each gram's own codepoint length (variable-length
+        # grams since r10) — DuckDB length() counts codepoints like
+        # Python len, so the arithmetic matches the engine exactly
         terms = " + ".join(
-            f"{k - i} * ((length(s) - length(replace(s, '{g}', ''))) // 3)"
+            f"{k - i} * ((length(s) - length(replace(s, '{g}', '')))"
+            f" // {len(g)})"
             for i, g in enumerate(profile)
         )
         score_sqls.append(f"({terms}) AS s_{lang}")
@@ -345,6 +349,139 @@ SELECT pred_lang, n_docs, weight,
            AS share_bps
 FROM per
 """
+
+
+#: Fixed multilingual snippets for the script/language gate — one per
+#: non-Latin profile plus two adversarial mixed-script arms. Shared by
+#: the Spark query and the generated oracle so the fixture can never
+#: drift between engines.
+_LANG_SNIPPETS: dict[str, str] = {
+    "ru": (
+        "в москве и на неве что ни год то новые дома и не только "
+        "для работы но и для жизни самого города"
+    ),
+    "ar": (
+        "هذا النص في اللغة العربية من الاختبار على البيانات "
+        "والكلمات في كل مكان من الملف"
+    ),
+    "zh": (
+        "这是一个很大的测试我们有很多的数据和人在这里他们说的是中文"
+        "这个文件里有很多个字"
+    ),
+    "ja": (
+        "これは日本語のテストですたくさんのデータがあるのでことばを"
+        "しらべますこの文書には字がある"
+    ),
+}
+#: adversarial mixed-script arms: a few Latin words prepended — the
+#: target script still carries more signal, so the profile argmax and
+#: the script argmax must BOTH still resolve to the non-Latin side
+_LANG_MIXED_PREFIX = "the data and the words say "
+
+
+def _script_sql_fragments() -> tuple[str, str]:
+    """(per-script count selects, argmax CASE) generated from
+    ``textstats.SCRIPT_RANGES`` — same share-the-constant contract as
+    the n-gram fragments. DuckDB regexp_replace needs the explicit
+    ``'g'`` flag (Spark replaces all matches by default)."""
+    counts = ", ".join(
+        f"(length(t) - length(regexp_replace(t, '[{rng}]', '', 'g')))"
+        f" AS c_{name}"
+        for name, rng in textstats.SCRIPT_RANGES.items()
+    )
+    names = list(textstats.SCRIPT_RANGES)
+    arms = []
+    for i, name in enumerate(names):
+        later = names[i + 1:]
+        cond = " AND ".join(f"c_{name} >= c_{n2}" for n2 in later) or "TRUE"
+        arms.append(f"WHEN {cond} THEN '{name}'")
+    all_c = ", ".join(f"c_{n}" for n in names)
+    case = (
+        f"CASE WHEN greatest({all_c}) <= 0 THEN 'none' "
+        + " ".join(arms[:-1])
+        + f" ELSE '{names[-1]}' END"
+    )
+    return counts, case
+
+
+def _lang_script_text_expr(quote: str = "'") -> str:
+    """The gate's synthesized text as a SQL CASE over doc_id — arms for
+    each non-Latin snippet, two Latin-prefixed mixed arms, the
+    document's own (Latin) text, and a scriptless digits arm. Identical
+    string in Spark SQL and DuckDB."""
+    q = quote
+    ru, ar = _LANG_SNIPPETS["ru"], _LANG_SNIPPETS["ar"]
+    zh, ja = _LANG_SNIPPETS["zh"], _LANG_SNIPPETS["ja"]
+    mix = _LANG_MIXED_PREFIX
+    return (
+        f"CASE doc_id % 8 "
+        f"WHEN 0 THEN {q}{ru}{q} "
+        f"WHEN 1 THEN {q}{ar}{q} "
+        f"WHEN 2 THEN {q}{zh}{q} "
+        f"WHEN 3 THEN {q}{ja}{q} "
+        f"WHEN 4 THEN {q}{mix}{ru}{q} "
+        f"WHEN 5 THEN {q}{mix}{zh}{q} "
+        f"WHEN 6 THEN {q}1234 5678 90 12{q} "
+        f"ELSE coalesce(text, {q}{q}) END"
+    )
+
+
+def q_lang_script_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-Latin language-ID + Unicode script detection
+    (``textstats.predicted_lang`` over the r10 ru/ar/zh/ja profiles and
+    ``textstats.dominant_script``): per-document synthesized arms —
+    pure Russian/Arabic/Chinese/Japanese snippets, two adversarial
+    MIXED-script arms (Latin words prepended; the non-Latin signal must
+    still win both argmaxes), a digits-only arm (script 'none', lang
+    'und'), and the document's own Latin text. Cross-tab of (pred_lang,
+    dom_script) with counts — any drift in a profile, a script range,
+    either tie-break order, or the variable-gram-length arithmetic
+    moves documents between cells and hash-fails. Map-only, zero
+    shuffles before the final aggregate."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = docs.select(
+        F.expr(_lang_script_text_expr()).alias("t")
+    )
+    out = synth.select(
+        textstats.predicted_lang("t").alias("pred_lang"),
+        textstats.dominant_script("t").alias("dom_script"),
+    )
+    return out.groupBy("pred_lang", "dom_script").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _make_sql_lang_script_predict() -> str:
+    counts, case = _script_sql_fragments()
+    return f"""
+WITH synth AS (
+    SELECT {_lang_script_text_expr()} AS text FROM documents
+),
+n AS (
+    SELECT text AS t,
+           {_LANG_NORM_SQL} AS s
+    FROM synth
+),
+scored AS (
+    SELECT t,
+           {_LANG_SCORES_SQL}
+    FROM n
+),
+pred AS (SELECT t, {_LANG_ARGMAX_SQL} AS pred_lang FROM scored),
+scripts AS (
+    SELECT pred_lang, {counts}
+    FROM pred
+),
+pair AS (
+    SELECT pred_lang, {case} AS dom_script
+    FROM scripts
+)
+SELECT pred_lang, dom_script, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pair GROUP BY pred_lang, dom_script
+"""
+
+
+SQL_LANG_SCRIPT_PREDICT = _make_sql_lang_script_predict()
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

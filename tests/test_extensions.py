@@ -141,7 +141,7 @@ def test_predicted_lang(spark):
         (4, "el perro y el gato que viven en la casa de los reyes"),
         (5, "ab"),                        # too short for any trigram
         (6, None),                        # NULL text
-        (7, "全部都是中文字符没有任何拉丁字母"),  # non-Latin script
+        (7, "全部都是中文字符没有任何拉丁字母"),  # Han script (r10: profiled)
         (8, "kwyjibo zzyzx qwfp vvkj"),   # Latin gibberish
         (9, "the king said 你好 and the queen of the castle agreed"),
     ]
@@ -154,7 +154,7 @@ def test_predicted_lang(spark):
     assert got[4] == "es"
     assert got[5] == "und"
     assert got[6] == "und"
-    assert got[7] == "und"
+    assert got[7] == "zh"   # r9 said 'und'; the r10 zh profile claims it
     assert got[8] == "und"
     assert got[9] == "en"  # mixed-script: Latin trigrams still decide
     # map-only (no Exchange); the projection itself is interpreted (HOF
@@ -165,6 +165,58 @@ def test_predicted_lang(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("regexp_replace") == 1, "normalization must bind once"
+
+
+def test_predicted_lang_non_latin_and_scripts(spark):
+    """r10 non-Latin language ID + Unicode script detection: pure
+    ru/ar/zh/ja texts, adversarial MIXED-script arms (Latin lead-in, a
+    zh/ja kanji-vs-kana fight, Cyrillic-vs-Latin near-tie), and the
+    dominant_script argmax incl. the 'none' and profile-less-script
+    cases."""
+    from dataproc_spark.extensions.textstats import (
+        dominant_script,
+        predicted_lang,
+    )
+    from dataproc_spark.queries.documents import (
+        _LANG_MIXED_PREFIX,
+        _LANG_SNIPPETS,
+    )
+
+    rows = [
+        (1, "в москве и на неве что ни год то новые дома и не только"),
+        (2, "هذا النص في اللغة العربية من الاختبار على البيانات"),
+        (3, "这是一个很大的测试我们有很多的数据和人在这里"),
+        (4, "これは日本語のテストですたくさんのデータがあります"),
+        # Latin lead-in, longer non-Latin tail: non-Latin must win
+        # (the gate's own adversarial arm, via the shared constants)
+        (5, _LANG_MIXED_PREFIX + _LANG_SNIPPETS["ru"]),
+        # kanji-heavy Japanese: kana particles must still beat the zh
+        # single-character profile
+        (6, "日本語の文書でも漢字が多いのです"),
+        # script without a profile → lang und, script detected
+        (7, "한국어 텍스트는 아직 프로파일이 없다"),
+        (8, "1234 5678 %% !!"),            # no scripted chars at all
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        predicted_lang("text").alias("p"),
+        dominant_script("text").alias("s"),
+    )
+    got = {r.doc_id: (r.p, r.s) for r in out.collect()}
+    assert got[1] == ("ru", "cyrillic")
+    assert got[2] == ("ar", "arabic")
+    assert got[3] == ("zh", "han")
+    assert got[4] == ("ja", "kana")
+    assert got[5] == ("ru", "cyrillic")
+    assert got[6][0] == "ja"          # kana particles decide
+    assert got[7] == ("und", "hangul")
+    assert got[8] == ("und", "none")
+    assert got[9] == ("und", "none")
+    # Latin documents never shift to the new profiles (they score 0)
+    lat = df.where(F.col("doc_id") <= 0)  # empty frame, just compile
+    _ = lat.select(predicted_lang("text")).collect()
 
 
 def test_quality_features(spark):
