@@ -898,3 +898,121 @@ def ngram_containment_pairs(
         )
     )
     return _release_on_gc(out, cached)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact substring dedup (anchor join + diagonal islands)
+# ---------------------------------------------------------------------------
+
+def cross_doc_spans(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int = 20,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Maximal EXACT token spans of ``>= min_tokens`` shared across
+    documents — the train-set dedup standard ("cut any long span that
+    appears in two documents", the suffix-array criterion of the
+    published dedup literature), re-expressed relationally.
+
+    Formulation (exact, fully oracle-checkable): explode every
+    ``k``-token gram with its position → self-join grams across
+    documents (the inverted index; ``id_a < id_b``) → matching grams of
+    one shared span line up on a constant DIAGONAL ``pos_a − pos_b``
+    at CONSECUTIVE positions, so a gaps-and-islands pass per
+    ``(id_a, id_b, diag)`` (``pos_a − row_number`` grouping) recovers
+    each maximal run: an island of ``m`` anchors is a shared span of
+    exactly ``m + k − 1`` tokens. No sampling, no winnowing loss: every
+    shared span of at least ``k`` tokens produces at least one aligned
+    anchor, and maximality is by construction (one more equal token on
+    either side would have extended the island).
+
+    Output: ``(id_a, id_b, start_a, start_b, n_tokens)`` with 0-based
+    token offsets — the cut list a surgical span-removal pass (the
+    cross-document sibling of ``remove_repeated_spans``) consumes.
+    Within-document repeats are out of scope here (see
+    ``remove_repeated_spans``); identical whole documents emit one
+    doc-length span, as the criterion demands.
+
+    Scale: anchors join on the gram's ``xxhash64`` (8 fixed bytes, not
+    the ~k-token string — the `_hashed_shingles` rationale; a 64-bit
+    collision can only contribute one spurious anchor, which
+    ``min_tokens`` filters unless it lands adjacent to a real island),
+    so shuffle volume is Σ df(g) rows of (id, pos, hash). Pair fan-out
+    concentrates entirely in hub grams — a gram shared by d documents
+    contributes d·(d−1)/2 join rows, so corpus-wide boilerplate is the
+    one quadratic risk, exactly as in ``ngram_jaccard_pairs``.
+    ``max_df`` is the same stop-gram cut: grams with document frequency
+    above it are dropped BEFORE the self-join, bounding any key at
+    max_df²/2 join rows. The cut is honest about its effect: dropping a
+    gram can only SPLIT or SHORTEN reported islands (never invent one),
+    and a span whose every anchor is corpus-wide boilerplate is
+    precisely the text the boilerplate/exact-dedup passes already own.
+    The islands pass is one window + one aggregate on (id_a, id_b,
+    diag) — keys that are already pair-scoped, so no residual skew.
+    """
+    if k < 2:
+        raise ValueError(f"cross_doc_spans needs k >= 2, got {k}")
+    if min_tokens < k:
+        raise ValueError(
+            f"min_tokens ({min_tokens}) must be >= k ({k}): a span "
+            f"shorter than one anchor can never be observed"
+        )
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), tokens(content_col).alias("_tk")).where(
+        F.size("_tk") >= int(k)
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - int(k)),
+                lambda i: F.concat_ws(" ", F.slice("_tk", i + 1, int(k))),
+            )
+        ).alias("pos", "_g"),
+    ).select(F.col(id_col), "pos", F.xxhash64("_g").alias("_gh"))
+    cached = None
+    if max_df is not None:
+        hot = (
+            grams.groupBy("_gh")
+            .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+            .where(F.col("_df") > int(max_df))
+            .select("_gh")
+        )
+        grams = cached = grams.join(hot, "_gh", "left_anti").persist()
+    a = grams.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "_gh"
+    )
+    b = grams.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "_gh"
+    )
+    pairs = a.join(b, ["_gh"]).where(F.col("id_a") < F.col("id_b"))
+    w = Window.partitionBy(
+        "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    isl = pairs.select(
+        "id_a",
+        "id_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("_diag"),
+        "pos_a",
+        (F.col("pos_a") - F.row_number().over(w)).alias("_grp"),
+    )
+    out = (
+        isl.groupBy("id_a", "id_b", "_diag", "_grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.count(F.lit(1)) + int(k) - 1).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") >= int(min_tokens))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("start_a").cast("long").alias("start_a"),
+            (F.col("start_a") - F.col("_diag")).cast("long").alias("start_b"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    return _release_on_gc(out, cached) if cached is not None else out

@@ -62,6 +62,14 @@ _DC_BITS[3] = len(_DC_SYMBOLS)  # length 4 (index 3 = L-1)
 _AC_BITS = [0] * 16
 _AC_BITS[8] = len(_AC_SYMBOLS)  # length 9
 
+#: progressive AC table: the baseline symbols PLUS the EOBn run-length
+#: symbols 0x10..0xE0 (T.81 G.1.2.2 — an EOB run of 2^r..2^(r+1)-1
+#: blocks is coded as symbol (r<<4) followed by r raw bits). Kept as a
+#: SEPARATE table so baseline output stays byte-identical to r9.
+_AC_SYMBOLS_PROG = sorted(set(_AC_SYMBOLS) | {r << 4 for r in range(1, 15)})
+_AC_BITS_PROG = [0] * 16
+_AC_BITS_PROG[8] = len(_AC_SYMBOLS_PROG)  # 176 codes at length 9 (< 511)
+
 
 def _dct_matrix():
     import numpy as np
@@ -118,13 +126,28 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def encode_jpeg(arr, quant: int | list | None = None) -> bytes:
-    """Encode a uint8 array — (h, w) gray or (h, w, 3) RGB — as a
-    baseline sequential JFIF JPEG, 4:4:4, canonical Huffman tables.
+def encode_jpeg(
+    arr,
+    quant: int | list | None = None,
+    progressive: bool = False,
+    successive: bool = False,
+) -> bytes:
+    """Encode a uint8 array — (h, w) gray or (h, w, 3) RGB — as a JFIF
+    JPEG, 4:4:4, canonical Huffman tables.
 
     ``quant``: an int (flat table of that value), a 64-entry table in
     natural order, or None (flat 16 — mild, deterministic). ``quant=1``
     plus 8×8-aligned block-constant content round-trips bit-exactly.
+
+    ``progressive=True`` emits SOF2 with a spectral-selection scan
+    script (interleaved DC scan, then one full AC band scan per
+    component, EOB runs accumulated across blocks); ``successive=True``
+    additionally splits every scan into a first pass at point transform
+    Al=1 plus a refinement pass (Ah=1, Al=0) — all four progressive
+    scan kinds of T.81 G.1.2, so the decoder's every arm has an
+    encoder-side mirror to test against. The quantized coefficients are
+    identical across modes, so progressive and baseline encodings of
+    the same array decode to identical pixels by construction.
     """
     import numpy as np
 
@@ -167,19 +190,57 @@ def encode_jpeg(arr, quant: int | list | None = None) -> bytes:
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(planes, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
 
-    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
     A = _dct_matrix()
-    bw = _BitWriter()
-    prev_dc = [0] * ncomp
     qz = q[_ZIGZAG]  # quant table in zigzag order, matching coef order
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    nbx, nby = pw // 8, ph // 8
+    # quantized coefficient blocks, zigzag order, raster per component —
+    # shared by the baseline and progressive scan writers so the modes
+    # can never diverge on coefficient values
+    blocks: list[list] = [[] for _ in range(ncomp)]
+    for by in range(nby):
+        for bx in range(nbx):
             for c in range(ncomp):
                 block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, c] - 128.0
                 coef = A @ block @ A.T
                 zz = coef.reshape(64)[_ZIGZAG]
-                qc = np.round(zz / qz).astype(np.int64)
+                blocks[c].append(np.round(zz / qz).astype(np.int64))
+    nblocks = nbx * nby
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos_header(comp_ids: list[int], ss: int, se: int,
+                   ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)]) + b"".join(
+            struct.pack(">BB", cid, 0x00) for cid in comp_ids
+        ) + bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in qz))  # DQT id 0, zigzag
+    comps = b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
+    )
+    sof_marker = 0xC2 if progressive else 0xC0
+    out += seg(sof_marker, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS))
+    if progressive:
+        out += seg(
+            0xC4, bytes([0x10]) + bytes(_AC_BITS_PROG)
+            + bytes(_AC_SYMBOLS_PROG)
+        )
+    else:
+        out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS))
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+
+    if not progressive:
+        ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+        bw = _BitWriter()
+        prev_dc = [0] * ncomp
+        for bi in range(nblocks):
+            for c in range(ncomp):
+                qc = blocks[c][bi]
                 # DC
                 diff = int(qc[0]) - prev_dc[c]
                 prev_dc[c] = int(qc[0])
@@ -190,7 +251,9 @@ def encode_jpeg(arr, quant: int | list | None = None) -> bytes:
                     bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
                 # AC
                 run = 0
-                last_nz = int(np.nonzero(qc[1:])[0][-1]) + 1 if qc[1:].any() else 0
+                last_nz = (
+                    int(np.nonzero(qc[1:])[0][-1]) + 1 if qc[1:].any() else 0
+                )
                 for k in range(1, last_nz + 1):
                     v = int(qc[k])
                     if v == 0:
@@ -208,26 +271,143 @@ def encode_jpeg(arr, quant: int | list | None = None) -> bytes:
                 if last_nz < 63:
                     code, ln = ac_codes[0x00]
                     bw.write(code, ln)
-    scan = bw.flush()
+        out += sos_header(list(range(1, ncomp + 1)), 0, 63, 0, 0)
+        out += bw.flush()
+        out += b"\xFF\xD9"
+        return bytes(out)
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+    # ── progressive scan script ──
+    ac_codes = _canonical_codes(_AC_BITS_PROG, _AC_SYMBOLS_PROG)
+    al1 = 1 if successive else 0
 
-    out = bytearray(b"\xFF\xD8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in qz))  # DQT id 0, zigzag
-    comps = b"".join(
-        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
-    )
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)  # SOF0
-    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS))
-    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS))
-    sos = bytes([ncomp]) + b"".join(
-        struct.pack(">BB", i + 1, 0x00) for i in range(ncomp)
-    ) + b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
-    out += scan
-    out += b"\xFF\xD9"  # EOI
+    def dc_first(al: int) -> bytes:
+        bw = _BitWriter()
+        prev = [0] * ncomp
+        for bi in range(nblocks):
+            for c in range(ncomp):
+                v = int(blocks[c][bi][0]) >> al  # DC: arithmetic shift
+                diff = v - prev[c]
+                prev[c] = v
+                t = _category(diff) if diff else 0
+                code, ln = dc_codes[t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        return bw.flush()
+
+    def dc_refine(al: int) -> bytes:
+        bw = _BitWriter()
+        for bi in range(nblocks):
+            for c in range(ncomp):
+                bw.write((int(blocks[c][bi][0]) >> al) & 1, 1)
+        return bw.flush()
+
+    def _trunc(v: int, al: int) -> int:
+        # point transform for AC: divide by 2^al rounding TOWARD ZERO
+        return -((-v) >> al) if v < 0 else v >> al
+
+    def ac_first(c: int, al: int) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(eobrun.bit_length() - 1, 14)
+                code, ln = ac_codes[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun -= min(eobrun, (1 << (r + 1)) - 1)
+
+        for bi in range(nblocks):
+            band = [_trunc(int(v), al) for v in blocks[c][bi][1:64]]
+            if not any(band):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(i for i, v in enumerate(band) if v)
+            for i in range(last_nz + 1):
+                v = band[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 62:
+                eobrun += 1
+        flush_eob()
+        return bw.flush()
+
+    def ac_refine(c: int, al: int) -> bytes:
+        # encoder mirror of the T.81 G.1.2.3 refinement walk; per-block
+        # EOB (run 1) keeps the emitter simple — the decoder's EOBRUN
+        # path is exercised by the multi-block runs of ac_first
+        bw = _BitWriter()
+        for bi in range(nblocks):
+            zz = blocks[c][bi]
+            t = [_trunc(int(zz[i]), al) for i in range(64)]
+            hist = [_trunc(int(zz[i]), al + 1) for i in range(64)]
+            newnz = [i for i in range(1, 64) if hist[i] == 0 and t[i] != 0]
+            k = 1
+            for j in newnz:
+                r = sum(1 for q2 in range(k, j) if hist[q2] == 0)
+                while r > 15:
+                    # ZRL spans the first 16 zero-history positions;
+                    # correction bits ride along in walk order
+                    cnt, b = 0, k
+                    for q2 in range(k, j):
+                        if hist[q2] == 0:
+                            cnt += 1
+                            if cnt == 16:
+                                b = q2
+                                break
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    for q2 in range(k, b + 1):
+                        if hist[q2] != 0:
+                            bw.write(abs(t[q2]) & 1, 1)
+                    k = b + 1
+                    r -= 16
+                code, ln = ac_codes[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if t[j] > 0 else 0, 1)
+                for q2 in range(k, j):
+                    if hist[q2] != 0:
+                        bw.write(abs(t[q2]) & 1, 1)
+                k = j + 1
+            if k <= 63:
+                code, ln = ac_codes[0x00]  # EOB, run length 1
+                bw.write(code, ln)
+                for q2 in range(k, 64):
+                    if hist[q2] != 0:
+                        bw.write(abs(t[q2]) & 1, 1)
+        return bw.flush()
+
+    all_ids = list(range(1, ncomp + 1))
+    out += sos_header(all_ids, 0, 0, 0, al1)
+    out += dc_first(al1)
+    if successive:
+        out += sos_header(all_ids, 0, 0, 1, 0)
+        out += dc_refine(0)
+    for c in range(ncomp):
+        out += sos_header([c + 1], 1, 63, 0, al1)
+        out += ac_first(c, al1)
+    if successive:
+        for c in range(ncomp):
+            out += sos_header([c + 1], 1, 63, 1, 0)
+            out += ac_refine(c, 0)
+    out += b"\xFF\xD9"
     return bytes(out)
 
 
@@ -359,16 +539,301 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _parse_dqt(data: bytes, qtabs: dict) -> None:
+    import numpy as np
+
+    p = 0
+    while p < len(data):
+        pq, tq = data[p] >> 4, data[p] & 15
+        if pq != 0:
+            raise ValueError("16-bit quant tables not supported")
+        tab = np.zeros(64, dtype=np.int32)
+        tab[_ZIGZAG] = np.frombuffer(
+            data[p + 1:p + 65], dtype=np.uint8
+        ).astype(np.int32)
+        qtabs[tq] = tab
+        p += 65
+
+
+def _parse_dht(data: bytes, htabs: dict) -> None:
+    p = 0
+    while p < len(data):
+        tc, th = data[p] >> 4, data[p] & 15
+        bits = list(data[p + 1:p + 17])
+        nsym = sum(bits)
+        syms = list(data[p + 17:p + 17 + nsym])
+        lut, code, i = {}, 0, 0
+        for lnn in range(1, 17):
+            for _ in range(bits[lnn - 1]):
+                lut[(lnn, code)] = syms[i]
+                code += 1
+                i += 1
+            code <<= 1
+        htabs[(tc, th)] = lut
+        p += 17 + nsym
+
+
+def _scan_end(buf: bytes, pos: int) -> int:
+    """First byte of the next marker after entropy data starting at
+    ``pos`` (skips stuffed 0xFF00; restarts are unsupported upstream)."""
+    n = len(buf)
+    while pos + 1 < n:
+        if buf[pos] == 0xFF and buf[pos + 1] != 0x00:
+            return pos
+        pos += 2 if buf[pos] == 0xFF else 1
+    raise ValueError("truncated JPEG scan (no terminating marker)")
+
+
+def _finish(planes, w: int, h: int, ncomp: int):
+    """Crop padded planes, undo the level shift and (for 3 components)
+    the YCbCr transform — the shared tail of both decode paths."""
+    import numpy as np
+
+    planes = planes[:, :h, :w] + 128.0
+    if ncomp == 3:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+
+
+def _decode_progressive(buf: bytes):
+    """Progressive (SOF2) Huffman decode — T.81 G.1.2: spectral
+    selection and successive approximation, all four scan kinds (DC
+    first/refine interleaved or single-component, AC first/refine
+    single-component with EOB runs). Coefficients accumulate across
+    scans in zigzag order; dequantize + IDCT run once at the end, so a
+    stream truncated after any scan prefix still reconstructs (coarser)
+    pixels — exactly the property progressive exists for. Restrictions
+    mirror the baseline path: 8-bit, 1 or 3 components, 4:4:4, no
+    restart markers."""
+    import numpy as np
+
+    qtabs: dict = {}
+    htabs: dict = {}
+    sof = None
+    coefs = None  # per component: int32 array (nblocks, 64), zigzag
+    nbx = nby = 0
+    pos = 2
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    while True:
+        if pos + 2 > len(buf):
+            raise ValueError("truncated JPEG stream")
+        if buf[pos] != 0xFF:
+            raise ValueError(f"marker expected at byte {pos}")
+        while pos + 2 <= len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", buf[pos + 2:pos + 4])
+        if length < 2 or pos + 2 + length > len(buf):
+            raise ValueError("truncated JPEG segment")
+        data = buf[pos + 4:pos + 2 + length]
+        seg_end = pos + 2 + length
+        if marker == 0xDB:
+            _parse_dqt(data, qtabs)
+        elif marker == 0xC4:
+            _parse_dht(data, htabs)
+        elif marker == 0xDD:
+            if struct.unpack(">H", data[:2])[0] != 0:
+                raise ValueError("restart intervals not supported")
+        elif marker in _SOF_MARKERS:
+            if marker != 0xC2:
+                raise ValueError(
+                    f"unexpected SOF marker 0xFF{marker:02X} in "
+                    f"progressive path"
+                )
+            precision, h, w, ncomp = struct.unpack(">BHHB", data[:6])
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = data[6 + 3 * i:9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            nbx, nby = -(-w // 8), -(-h // 8)
+            coefs = [
+                np.zeros((nbx * nby, 64), dtype=np.int32)
+                for _ in range(ncomp)
+            ]
+            sof = (int(w), int(h), comps)
+        elif marker == 0xDA:  # SOS — decode one scan
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            w, h, comps = sof
+            cid_index = {cid: i for i, (cid, _) in enumerate(comps)}
+            ns = data[0]
+            scomps = [
+                (data[1 + 2 * i], data[2 + 2 * i] >> 4, data[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
+            br = _BitReader(buf, seg_end)
+            nblocks = nbx * nby
+            if ss == 0:  # DC scan (se must be 0)
+                if se != 0:
+                    raise ValueError("invalid spectral selection (Ss=0, Se>0)")
+                idxs = [cid_index[cid] for cid, _, _ in scomps]
+                dtabs = [htabs.get((0, dct)) for _, dct, _ in scomps]
+                if ah == 0:
+                    if any(t is None for t in dtabs):
+                        raise ValueError("scan references undefined table")
+                    prev = [0] * len(idxs)
+                    for bi in range(nblocks):
+                        for si, ci in enumerate(idxs):
+                            t = br.huff(dtabs[si])
+                            diff = _extend(br.bits(t), t) if t else 0
+                            prev[si] += diff
+                            coefs[ci][bi, 0] = prev[si] << al
+                else:
+                    p1 = 1 << al
+                    for bi in range(nblocks):
+                        for ci in idxs:
+                            if br.bits(1):
+                                coefs[ci][bi, 0] |= p1
+            else:  # AC scan: single component only (T.81 G.1.1.1)
+                if ns != 1:
+                    raise ValueError("interleaved AC scan in progressive")
+                cid, _, act = scomps[0]
+                ci = cid_index[cid]
+                atab = htabs.get((1, act))
+                if atab is None:
+                    raise ValueError("scan references undefined table")
+                eobrun = 0
+                if ah == 0:  # AC first scan
+                    for bi in range(nblocks):
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        zz = coefs[ci][bi]
+                        k = ss
+                        while k <= se:
+                            sym = br.huff(atab)
+                            r, s = sym >> 4, sym & 15
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += br.bits(r)
+                                    break
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError(
+                                    "AC coefficient index overflow"
+                                )
+                            zz[k] = _extend(br.bits(s), s) << al
+                            k += 1
+                else:  # AC refinement scan (G.1.2.3)
+                    p1 = 1 << al
+                    for bi in range(nblocks):
+                        zz = coefs[ci][bi]
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = br.huff(atab)
+                                r, s = sym >> 4, sym & 15
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += br.bits(r)
+                                        break
+                                    val = 0
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "invalid refinement magnitude"
+                                        )
+                                    val = p1 if br.bits(1) else -p1
+                                while k <= se:
+                                    if zz[k] != 0:
+                                        if br.bits(1) and not (
+                                            int(zz[k]) & p1
+                                        ):
+                                            zz[k] += (
+                                                p1 if zz[k] > 0 else -p1
+                                            )
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    zz[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                if zz[k] != 0:
+                                    if br.bits(1) and not (int(zz[k]) & p1):
+                                        zz[k] += p1 if zz[k] > 0 else -p1
+                                k += 1
+                            eobrun -= 1
+            pos = _scan_end(buf, br.pos)
+            continue
+        pos = seg_end
+    if sof is None or coefs is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    w, h, comps = sof
+    ncomp = len(comps)
+    A = _dct_matrix()
+    planes = np.zeros((ncomp, nby * 8, nbx * 8), dtype=np.float64)
+    for ci, (cid, tq) in enumerate(comps):
+        q = qtabs.get(tq)
+        if q is None:
+            raise ValueError("component references undefined quant table")
+        dez = np.zeros((nbx * nby, 64), dtype=np.float64)
+        dez[:, _ZIGZAG] = coefs[ci] * q[_ZIGZAG]
+        for bi in range(nbx * nby):
+            by, bx = divmod(bi, nbx)
+            block = A.T @ dez[bi].reshape(8, 8) @ A
+            planes[ci, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+    return w, h, ncomp, _finish(planes, w, h, ncomp)
+
+
 @_valueerror_boundary
 def decode_jpeg(buf: bytes):
-    """Decode a baseline sequential JPEG. Returns ``(width, height,
-    channels, ndarray[h, w, c] uint8)`` — the same contract as the PNG
-    decoder. 8-bit, 1 or 3 components, 4:4:4, no restart markers;
-    progressive, subsampled, and malformed/truncated streams all raise
-    ``ValueError`` (the per-row quarantine contract)."""
+    """Decode a JPEG. Returns ``(width, height, channels,
+    ndarray[h, w, c] uint8)`` — the same contract as the PNG decoder.
+    Baseline sequential (SOF0/1) and, since r10, progressive Huffman
+    (SOF2 — spectral selection + successive approximation) are both
+    decoded; 8-bit, 1 or 3 components, 4:4:4, no restart markers.
+    Arithmetic-coded, hierarchical, lossless, subsampled, and
+    malformed/truncated streams raise ``ValueError`` (the per-row
+    quarantine contract)."""
     import numpy as np
 
     buf = bytes(buf)
+    # cheap marker probe: progressive streams take the multi-scan path
+    for marker, _start, _ln in _walk_segments(buf):
+        if marker in _SOF_MARKERS:
+            if marker in _PROGRESSIVE_MARKERS:
+                if marker != 0xC2:
+                    raise ValueError(
+                        f"unsupported SOF marker 0xFF{marker:02X} "
+                        f"(arithmetic/hierarchical progressive)"
+                    )
+                return _decode_progressive(buf)
+            break
     qtabs: dict[int, "np.ndarray"] = {}
     htabs: dict[tuple[int, int], dict] = {}
     sof = None
@@ -377,17 +842,7 @@ def decode_jpeg(buf: bytes):
     for marker, start, ln in _walk_segments(buf):
         data = buf[start:start + ln]
         if marker == 0xDB:  # DQT — possibly several tables
-            p = 0
-            while p < len(data):
-                pq, tq = data[p] >> 4, data[p] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables not supported")
-                tab = np.zeros(64, dtype=np.int32)
-                tab[_ZIGZAG] = np.frombuffer(
-                    data[p + 1:p + 65], dtype=np.uint8
-                ).astype(np.int32)
-                qtabs[tq] = tab
-                p += 65
+            _parse_dqt(data, qtabs)
         elif marker in _SOF_MARKERS:
             if marker in _PROGRESSIVE_MARKERS:
                 raise ValueError(
@@ -411,21 +866,7 @@ def decode_jpeg(buf: bytes):
                 comps.append((cid, tq))
             sof = (int(w), int(h), comps)
         elif marker == 0xC4:  # DHT — possibly several tables
-            p = 0
-            while p < len(data):
-                tc, th = data[p] >> 4, data[p] & 15
-                bits = list(data[p + 1:p + 17])
-                nsym = sum(bits)
-                syms = list(data[p + 17:p + 17 + nsym])
-                lut, code, i = {}, 0, 0
-                for lnn in range(1, 17):
-                    for _ in range(bits[lnn - 1]):
-                        lut[(lnn, code)] = syms[i]
-                        code += 1
-                        i += 1
-                    code <<= 1
-                htabs[(tc, th)] = lut
-                p += 17 + nsym
+            _parse_dht(data, htabs)
         elif marker == 0xDD:
             if struct.unpack(">H", data[:2])[0] != 0:
                 raise ValueError("restart intervals not supported")
@@ -497,3 +938,56 @@ def decode_jpeg(buf: bytes):
             np.uint8
         )[:, :, None]
     return w, h, ncomp, out
+
+
+# ---------------------------------------------------------------------------
+# C-codec seam (optional fast path)
+# ---------------------------------------------------------------------------
+
+def _pil_image():
+    """PIL.Image if importable, else None — probed lazily so the module
+    never hard-depends on an image library."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_jpeg_fast(buf: bytes, use_c_codec: bool | None = None):
+    """The documented C-codec seam: same ``(w, h, channels, pixels)``
+    contract as :func:`decode_jpeg`, but when ``use_c_codec`` is true
+    (default: the ``DATAPROC_JPEG_C_CODEC=1`` environment flag) and PIL
+    is importable, the entropy decode runs in libjpeg instead of the
+    pure-Python loop — a constant-factor swap with ZERO plan change
+    (the Arrow kernels call this function either way). Falls back to
+    the pure decoder when PIL is absent, and the pure decoder remains
+    the deterministic path every oracle gate runs on (libjpeg's IDCT is
+    allowed ±1 rounding on non-exact images; on the gate's bit-exact
+    block-constant fixtures the two paths must agree exactly —
+    asserted by ``test_jpeg_c_codec_seam`` whenever PIL exists)."""
+    import os
+
+    if use_c_codec is None:
+        use_c_codec = os.environ.get("DATAPROC_JPEG_C_CODEC", "") == "1"
+    if use_c_codec:
+        Image = _pil_image()
+        if Image is not None:
+            import io
+
+            import numpy as np
+
+            try:
+                with Image.open(io.BytesIO(bytes(buf))) as im:
+                    im.load()
+                    if im.mode not in ("L", "RGB"):
+                        im = im.convert("RGB")
+                    arr = np.asarray(im, dtype=np.uint8)
+            except Exception as exc:
+                raise ValueError(f"malformed JPEG stream (libjpeg: {exc})")
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            h, w, c = arr.shape
+            return w, h, c, arr
+    return decode_jpeg(buf)

@@ -12,15 +12,16 @@ metadata (mime, width/height, duration, …). Two decode kernels exist:
 - ``real_decode=True`` / :func:`decode_image_stats` run a REAL decoder:
   pure-Python+numpy PNG (8-bit gray/gray-alpha/RGB/RGBA, all five
   scanline filters, stdlib ``zlib`` inflate), binary PPM (P6), and
-  baseline JPEG (:mod:`.jpeg` — table-driven Huffman, dequantize, exact
-  IDCT, YCbCr; 4:4:4, 1/3 components). :func:`encode_png` /
-  :func:`encode_ppm` / ``jpeg.encode_jpeg`` are the matching encoders,
-  so the whole path — encode on one Arrow stage, decode on another —
-  round trips through genuine codec work, no external image library
-  needed. Progressive/subsampled JPEG and other formats raise
-  ``ValueError`` per payload (``jpeg.parse_jpeg_meta`` still reads
-  their headers); wire PIL/ffmpeg into ``_decode_image_bytes`` to
-  extend.
+  JPEG (:mod:`.jpeg` — table-driven Huffman, dequantize, exact IDCT,
+  YCbCr; 4:4:4, 1/3 components; baseline AND, since r10, progressive
+  SOF2 with spectral selection + successive approximation).
+  :func:`encode_png` / :func:`encode_ppm` / ``jpeg.encode_jpeg`` are
+  the matching encoders, so the whole path — encode on one Arrow
+  stage, decode on another — round trips through genuine codec work,
+  no external image library needed. Subsampled/arithmetic JPEG and
+  other formats raise ``ValueError`` per payload
+  (``jpeg.parse_jpeg_meta`` still reads their headers); wire
+  PIL/ffmpeg into ``_decode_image_bytes`` to extend.
 
 Scale notes: payload columns are large — the schemas keep metadata in
 separate (pruned-away) columns so metadata-only queries never read bytes;
@@ -319,12 +320,14 @@ def synthesize_jpegs(
     block arithmetic alone, while the decoder does genuine codec work
     (marker walk, stream-defined Huffman tables, dequantize, IDCT).
 
-    ``progressive_every=N`` marks every Nth id's payload as progressive
-    by rewriting its SOF0 marker to SOF2 — a header-level arm for the
-    metadata path ONLY (:func:`jpeg_meta` reads just the marker walk;
-    the scan data stays baseline, and the full decoder correctly
-    REFUSES these payloads, which is exactly the real-crawl behavior
-    the header path exists for)."""
+    ``progressive_every=N`` encodes every Nth id as a REAL progressive
+    (SOF2) stream — r10: genuine spectral-selection scans, not the old
+    header-marker rewrite — alternating the plain scan script with the
+    successive-approximation one (every other progressive payload), so
+    both the metadata walk (``progressive=true``) AND the full decoder
+    (all four T.81 G.1.2 scan kinds) exercise real multi-scan streams.
+    The coefficients are mode-independent, so the arithmetic oracle's
+    pixel statistics hold unchanged for progressive arms."""
     import numpy as np
 
     from dataproc_spark.extensions.jpeg import encode_jpeg
@@ -338,20 +341,13 @@ def synthesize_jpegs(
                 bx, by = np.meshgrid(np.arange(wb), np.arange(hb))
                 blocks = (i * 7 + bx * 13 + by * 31) % 256
                 arr = np.kron(blocks, np.ones((8, 8), dtype=np.int64))
-                payload = encode_jpeg(arr.astype(np.uint8),
-                                      quant=1 << (i % 4))
-                if progressive_every and i % progressive_every == 0:
-                    sof = payload.find(b"\xFF\xC0")
-                    # find()==-1 would silently corrupt byte 0 (the SOI)
-                    # instead of failing loudly on an encoder change
-                    if sof < 0:
-                        raise ValueError(
-                            "synthesize_jpegs: encoder emitted no SOF0 "
-                            "marker to rewrite"
-                        )
-                    b = bytearray(payload)
-                    b[sof + 1] = 0xC2
-                    payload = bytes(b)  # SOF0 → SOF2
+                prog = bool(progressive_every) and i % progressive_every == 0
+                payload = encode_jpeg(
+                    arr.astype(np.uint8),
+                    quant=1 << (i % 4),
+                    progressive=prog,
+                    successive=prog and (i // progressive_every) % 2 == 0,
+                )
                 out.append((i, "image/jpeg", payload, wb * 8, hb * 8))
             yield pd.DataFrame(
                 out,

@@ -280,6 +280,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- r10 additions: real-archive realism --------------------------------
     "warc_http_split": (q_warc_http_split, SQL_WARC_HTTP_SPLIT),
     "lang_script_predict": (q_lang_script_predict, SQL_LANG_SCRIPT_PREDICT),
+    "cross_doc_spans": (q_cross_doc_spans, SQL_CROSS_DOC_SPANS),
 }
 
 

@@ -723,3 +723,116 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN covl c USING (doc_id)
 WHERE t.doc_id % 100 <> 0
 """
+
+
+#: synthesized shared-span fixture for the cross_doc_spans gate: a
+#: 28-token licensing notice per group (doc_id % 29) whose varying
+#: group token sits in the MIDDLE — each constant half is <20 tokens,
+#: so cross-group pairs share only under-threshold runs (the first
+#: fixture draft put the group token at the edge and every arm pair
+#: shared the 22-token constant body: C(72,2) pairs, caught by pair
+#: accounting before landing). Arm 1 carries a 15-token prefix (always
+#: under threshold); arm 2 appends a varying tail so maximality must
+#: stop at the notice. CASE template shared verbatim by the Spark
+#: query and the oracle ({S} = engine cast type).
+_XDOC_BODY_L = (
+    "all rights reserved in this corpus every document carries the "
+    "same licensing"
+)
+_XDOC_BODY_R = (
+    "paragraph for testing purposes only and nothing else is repeated "
+    "verbatim here"
+)
+_XDOC_NOTICE = (
+    "' begin notice " + _XDOC_BODY_L + " group' || "
+    "CAST(doc_id % 29 AS {S}) || ' " + _XDOC_BODY_R + " end'"
+)
+_XDOC_TEXT_EXPR = (
+    "CASE doc_id % 7 "
+    "WHEN 0 THEN coalesce(text, '') || " + _XDOC_NOTICE + " "
+    "WHEN 1 THEN coalesce(text, '') || ' begin notice " + _XDOC_BODY_L
+    + " group' || CAST(doc_id % 29 AS {S}) "
+    "WHEN 2 THEN coalesce(text, '') || " + _XDOC_NOTICE + " || "
+    "' trailing marker ' || CAST(doc_id AS {S}) "
+    "ELSE coalesce(text, '') END"
+)
+
+
+def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact substring dedup
+    (``dedup.cross_doc_spans``): the train-set criterion — report every
+    maximal token span of ≥20 tokens shared between two documents.
+    Documents get a synthesized per-group licensing notice appended
+    (the realistic source of cross-doc exact spans): arm 0 and arm 2
+    docs of the same group share the full 25+-token notice (arm 2 adds
+    a varying tail, so maximality must stop the span at the notice),
+    arm 1 carries only a 16-token prefix — BELOW the threshold, so any
+    arm-1 pair in the output is a threshold bug; random base text
+    contributes nothing at ≥20 tokens. The oracle replays the exact
+    anchor-join + diagonal-islands algorithm (gram explode → equi-join
+    → gaps-and-islands per (pair, diagonal)) in DuckDB. Spans are
+    summarized per pair (count, longest, total) to keep the gate row
+    count stable."""
+    from dataproc_spark.extensions.dedup import cross_doc_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_XDOC_TEXT_EXPR.format(S="STRING")).alias("text")
+    )
+    spans = cross_doc_spans(docs, k=8, min_tokens=20)
+    return spans.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("n_tokens").cast("long").alias("longest"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("start_a").cast("long").alias("first_start_a"),
+        F.min("start_b").cast("long").alias("first_start_b"),
+    )
+
+
+SQL_CROSS_DOC_SPANS = rf"""
+WITH synth AS (
+    SELECT doc_id, {_XDOC_TEXT_EXPR.format(S="VARCHAR")} AS text
+    FROM documents
+),
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+    FROM synth
+),
+big AS (SELECT * FROM toks WHERE len(tk) >= 8),
+-- constant series bound + WHERE (this DuckDB build rejects lateral
+-- column args to generate_series); 256 comfortably covers the fixture
+-- corpus (base docs cap at 99 tokens + the ~30-token notice)
+grams AS (
+    SELECT doc_id, gs.p - 1 AS pos,
+           array_to_string(tk[gs.p : gs.p + 7], ' ') AS g
+    FROM big, generate_series(1, 256) gs(p)
+    WHERE gs.p <= len(tk) - 7
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.pos AS pos_a, b.pos AS pos_b
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+           pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+           ) AS grp
+    FROM pairs
+),
+spans AS (
+    SELECT id_a, id_b, diag,
+           min(pos_a) AS start_a,
+           count(*) + 7 AS n_tokens
+    FROM isl GROUP BY id_a, id_b, diag, grp
+),
+keep AS (SELECT * FROM spans WHERE n_tokens >= 20)
+SELECT id_a, id_b,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(max(n_tokens) AS BIGINT) AS longest,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(start_a) AS BIGINT) AS first_start_a,
+       CAST(min(start_a - diag) AS BIGINT) AS first_start_b
+FROM keep
+GROUP BY id_a, id_b
+"""

@@ -705,9 +705,15 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization exactly, so the oracle reproduces the pixel statistics
     from the block arithmetic alone and any codec bug (zigzag order,
     Huffman table read, DC prediction chain, dequantize) hash-fails.
-    The header path is joined in from the separate marker-walk stage
-    (``multimodal.jpeg_meta`` — no entropy decode), pinning that both
-    agree on dimensions.
+    r10: every 3rd payload is a REAL progressive (SOF2) stream —
+    spectral-selection scans, half of them with successive
+    approximation — decoded to the SAME bit-exact pixels (the
+    coefficients are scan-script-independent), so the progressive
+    decode path (DC/AC first + refinement scans, EOB runs) sits under
+    the same arithmetic oracle. The header path is joined in from the
+    separate marker-walk stage (``multimodal.jpeg_meta`` — no entropy
+    decode), pinning that both agree on dimensions and that
+    ``progressive`` flags exactly the SOF2 arms.
 
     Ref parity: extends the image slot of the LLM-pipeline multimodal
     mandate to the format real crawls actually carry (VERDICT r8
@@ -720,7 +726,7 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = synthesize_jpegs(docs)
+    media = synthesize_jpegs(docs, progressive_every=3)
     stats = decode_image_stats(media)
     meta = jpeg_meta(media).select(
         "media_id",
@@ -751,7 +757,7 @@ SELECT doc_id AS media_id,
        CAST(MAX(v) AS INTEGER) AS pixel_max,
        CAST(wb * 8 AS INTEGER) AS hdr_width,
        CAST(hb * 8 AS INTEGER) AS hdr_height,
-       FALSE AS progressive
+       doc_id % 3 = 0 AS progressive
 FROM blk
 GROUP BY doc_id, wb, hb
 """

@@ -1892,9 +1892,17 @@ def test_jpeg_error_arms_and_progressive_meta():
         encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quant=1)
     )
     idx = bytes(buf).find(b"\xFF\xC0")
-    buf[idx + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    buf[idx + 1] = 0xC2  # flip SOF0 -> SOF2 (claims progressive)
     assert parse_jpeg_meta(bytes(buf))["progressive"] is True
-    with _pytest.raises(ValueError, match="progressive"):
+    # r10: the decoder now TAKES the progressive path — and must reject
+    # this stream, whose baseline full-band scan header (Ss=0, Se=63)
+    # is invalid in a progressive frame
+    with _pytest.raises(ValueError, match="spectral selection"):
+        decode_jpeg(bytes(buf))
+    # a non-progressive SOF2-family marker (arithmetic SOF10) still
+    # refuses loudly with the marker named
+    buf[idx + 1] = 0xCA
+    with _pytest.raises(ValueError, match="0xFFCA"):
         decode_jpeg(bytes(buf))
     with _pytest.raises(ValueError, match="quant"):
         encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quant=0)
@@ -2347,3 +2355,144 @@ def test_warc_http_envelope_split(spark, tmp_path):
     warc.write_warc_shards(docs, out3, open_fn=opener)
     names = sorted(os.listdir(out3))
     assert names and all(n.endswith(".warc.gz.custom") for n in names)
+
+
+def test_cross_doc_spans(spark):
+    """r10 cross-document exact substring dedup: maximal spans, exact
+    offsets, threshold filter, same-diagonal split islands, identical
+    whole docs, max_df stop-gram cut, and parameter validation."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.dedup import cross_doc_spans
+
+    shared = " ".join(f"w{i}" for i in range(25))
+    rows = [
+        (1, "alpha beta " + shared + " gamma"),
+        (2, "x " + shared + " y z q"),
+        (3, "unrelated text with none of the shared words at all " * 3),
+        (4, shared),
+        (5, "alpha beta " + shared + " gamma"),  # identical to doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.start_a, r.start_b, r.n_tokens)
+        for r in cross_doc_spans(df, k=8, min_tokens=20).collect()
+    }
+    assert got[(1, 2)] == (2, 1, 25)
+    assert got[(1, 4)] == (2, 0, 25)
+    assert got[(1, 5)] == (0, 0, 28)  # identical docs → whole-doc span
+    assert got[(4, 5)] == (0, 2, 25)
+    assert not any(3 in p for p in got), "doc 3 shares nothing"
+    # threshold boundary: a 19-token share is invisible at min 20
+    s19 = " ".join(f"v{i}" for i in range(19))
+    df2 = spark.createDataFrame(
+        [(1, "a " + s19), (2, s19 + " b")], "doc_id long, text string"
+    )
+    assert cross_doc_spans(df2, k=8, min_tokens=20).count() == 0
+    assert cross_doc_spans(df2, k=8, min_tokens=19).count() == 1
+    # two islands on the same diagonal stay two spans (the gap breaks
+    # the run even though pos_a - pos_b is constant throughout)
+    mid = " ".join(f"m{i}" for i in range(22))
+    df3 = spark.createDataFrame(
+        [(1, mid + " DIFF1 " + mid.replace("m", "n")),
+         (2, mid + " DIFF2 " + mid.replace("m", "n"))],
+        "doc_id long, text string",
+    )
+    r3 = sorted(
+        cross_doc_spans(df3, k=8, min_tokens=20).collect(),
+        key=lambda r: r.start_a,
+    )
+    assert [x.n_tokens for x in r3] == [22, 22]
+    assert r3[1].start_a == 23 and r3[1].start_b == 23
+    # max_df: a gram in every doc is cut BEFORE the join; spans only
+    # split/shorten, never appear (here the pair vanishes entirely)
+    many = [(i, "c " * i + shared) for i in range(1, 6)]
+    dfm = spark.createDataFrame(many, "doc_id long, text string")
+    full = cross_doc_spans(dfm, k=8, min_tokens=20).count()
+    cut = cross_doc_spans(dfm, k=8, min_tokens=20, max_df=3).count()
+    assert full == 10 and cut == 0
+    with _pytest.raises(ValueError, match="min_tokens"):
+        cross_doc_spans(df, k=8, min_tokens=7)
+    with _pytest.raises(ValueError, match="k >= 2"):
+        cross_doc_spans(df, k=1, min_tokens=20)
+
+
+def test_jpeg_progressive_codec():
+    """r10 progressive (SOF2) decode: both scan scripts (spectral
+    selection only; + successive approximation) must reconstruct the
+    SAME pixels as the baseline encoding of the same array — the
+    quantized coefficients are mode-independent — across shapes,
+    channel counts, and quants, including multi-block EOB runs
+    (all-zero AC bands) and refinement scans with newly-nonzero
+    coefficients."""
+    import numpy as np
+
+    from dataproc_spark.extensions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        parse_jpeg_meta,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(10):
+        h, w = int(rng.randint(1, 30)), int(rng.randint(1, 30))
+        ncomp = int(rng.choice([1, 3]))
+        arr = rng.randint(
+            0, 256, (h, w) if ncomp == 1 else (h, w, 3)
+        ).astype(np.uint8)
+        quant = int(rng.choice([1, 2, 8, 16, 50]))
+        base = decode_jpeg(encode_jpeg(arr, quant=quant))
+        for succ in (False, True):
+            payload = encode_jpeg(
+                arr, quant=quant, progressive=True, successive=succ
+            )
+            meta = parse_jpeg_meta(payload)
+            assert meta["progressive"] and (meta["width"], meta["height"]) == (w, h)
+            prog = decode_jpeg(payload)
+            assert (base[3] == prog[3]).all(), (trial, h, w, ncomp, quant, succ)
+    # bit-exact arm: block-constant gray at power-of-two quant decodes
+    # to the source pixels exactly through BOTH progressive scripts
+    blocks = np.kron(
+        np.array([[7, 200], [13, 99]]), np.ones((8, 8), dtype=int)
+    ).astype(np.uint8)
+    for succ in (False, True):
+        _w, _h, _c, px = decode_jpeg(
+            encode_jpeg(blocks, quant=2, progressive=True, successive=succ)
+        )
+        assert (px[:, :, 0] == blocks).all()
+    # flat image: AC bands are all zero, so the AC scans are a single
+    # multi-block EOB run — the decoder's EOBRUN>1 path
+    flat = np.full((24, 24), 130, dtype=np.uint8)
+    _w, _h, _c, px = decode_jpeg(encode_jpeg(flat, quant=1, progressive=True))
+    assert (px[:, :, 0] == flat).all()
+
+
+def test_jpeg_c_codec_seam():
+    """decode_jpeg_fast: flag off (default) → pure path, byte-for-byte
+    the pure decoder's output; flag on without PIL → documented
+    fallback to the pure path; with PIL present → must agree exactly
+    on the bit-exact gate-class fixtures."""
+    import numpy as np
+
+    from dataproc_spark.extensions.jpeg import (
+        _pil_image,
+        decode_jpeg,
+        decode_jpeg_fast,
+        encode_jpeg,
+    )
+
+    blocks = np.kron(
+        np.array([[7, 200]]), np.ones((8, 8), dtype=int)
+    ).astype(np.uint8)
+    payload = encode_jpeg(blocks, quant=1)
+    pure = decode_jpeg(payload)
+    off = decode_jpeg_fast(payload, use_c_codec=False)
+    assert (pure[3] == off[3]).all() and pure[:3] == off[:3]
+    # flag on: PIL if importable, silent pure fallback otherwise —
+    # either way the bit-exact fixture must reproduce exactly
+    on = decode_jpeg_fast(payload, use_c_codec=True)
+    assert (pure[3] == on[3]).all() and pure[:3] == on[:3]
+    if _pil_image() is None:
+        import pytest as _pytest
+
+        _pytest.skip("PIL not installed — C-codec equality arm skipped")
