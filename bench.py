@@ -90,6 +90,10 @@ EXTENDED_QUERIES = [
     "html_boilerplate",
     "ann_ivf_index_roundtrip",
     "warc_roundtrip",
+    # r10 family: HTTP-envelope split on WARC ingestion (the other r10
+    # additions — lang_script_predict, cross_doc_spans — are probed in
+    # SCALE.md instead; their gate fixtures are deliberately heavy)
+    "warc_http_split",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

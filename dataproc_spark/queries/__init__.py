@@ -287,6 +287,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 #: flagship gates that should appear in every round's recorded window
 ALWAYS_VERIFY = ("select_top_t", "evaluate_sweep", "resolve_buckets", "tpch_q6")
 
+#: gates whose IMPLEMENTATION or oracle changed after their latest green
+#: driver row, pinned into the verification window until a newer row
+#: exists: ``name -> round of the now-stale evidence`` (the pin lifts
+#: automatically once a row from a later round lands, so a forgotten
+#: entry costs one window slot for exactly one round, never forever).
+#: Curated per round by the builder alongside the round's changes.
+#: r10: crawl_pipeline was rebased onto the HTTP-envelope split (reads
+#: ``body`` from real HTTP/1.1-wrapped WARC records) — its r9 row
+#: vouches for the bare-HTML form only.
+REVERIFY_STALE_EVIDENCE: dict[str, int] = {"crawl_pipeline": 9}
+
 #: per-process cache for :func:`registry_order`, keyed on the artifact
 #: files' (path, mtime, size) fingerprint
 _REGISTRY_ORDER_CACHE: dict = {}
@@ -394,6 +405,10 @@ def registry_order(artifacts_dir: str | None = None) -> list[str]:
             elif n in ALWAYS_VERIFY:
                 bucket = 1
             elif la == -1:  # never recorded
+                bucket = 2
+            elif lg <= REVERIFY_STALE_EVIDENCE.get(n, -1):
+                # implementation changed after its newest green row —
+                # that row vouches for the OLD behavior; re-record now
                 bucket = 2
             else:
                 bucket = 3
