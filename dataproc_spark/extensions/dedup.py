@@ -1016,3 +1016,54 @@ def cross_doc_spans(
         )
     )
     return _release_on_gc(out, cached) if cached is not None else out
+
+
+def cut_token_spans(
+    df: DataFrame,
+    cuts: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    start_col: str = "start",
+    n_col: str = "n_tokens",
+    out_col: str = "text_cut",
+) -> DataFrame:
+    """Surgically remove token ranges from documents — the consumer of
+    :func:`cross_doc_spans` (cut the duplicated span from the LATER
+    document, keep the first occurrence) and the cross-document sibling
+    of ``remove_repeated_spans``. ``cuts`` carries one row per
+    ``(id, start, n)`` token range (0-based, like ``cross_doc_spans``
+    offsets); overlapping ranges union naturally (a token goes when ANY
+    range covers it). Documents with no cut rows pass through
+    unchanged; token boundaries are the module's whitespace rule, so
+    text is rebuilt with single spaces (the same normalization every
+    token-level operator here applies).
+
+    Plan: ONE aggregate of the cut list per document (collect the tiny
+    range structs), a left join onto the corpus, and a map-only HOF
+    filter over the token array — document text shuffles at most once,
+    and only for documents that actually have cuts the join is still
+    a single hash join on the id.
+    """
+    ranges = cuts.groupBy(F.col(id_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col(start_col).cast("long").alias("s"),
+                F.col(n_col).cast("long").alias("n"),
+            )
+        ).alias("_cut_ranges")
+    )
+    toks = tokens(content_col)
+    joined = df.join(ranges, [id_col], "left")
+    rng = F.coalesce(
+        F.col("_cut_ranges"),
+        F.array().cast("array<struct<s:bigint,n:bigint>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            rng, lambda c: (i >= c["s"]) & (i < c["s"] + c["n"])
+        ),
+    )
+    return joined.withColumn(out_col, F.concat_ws(" ", kept)).drop(
+        "_cut_ranges"
+    )

@@ -772,20 +772,44 @@ def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor-join + diagonal-islands algorithm (gram explode → equi-join
     → gaps-and-islands per (pair, diagonal)) in DuckDB. Spans are
     summarized per pair (count, longest, total) to keep the gate row
-    count stable."""
-    from dataproc_spark.extensions.dedup import cross_doc_spans
+    count stable.
+
+    The detection's consumer is exercised in the same gate
+    (``dedup.cut_token_spans`` — keep the first occurrence, cut every
+    reported range from the LATER document): ``n_tokens_b_after`` is
+    doc ``id_b``'s token count after ALL its b-side ranges are removed,
+    so overlapping-range union, 0-based offset arithmetic, and the
+    keep-first policy are value-hashed too (the oracle recounts
+    positions not covered by any cut range)."""
+    from dataproc_spark.extensions.dedup import (
+        cross_doc_spans,
+        cut_token_spans,
+        tokens,
+    )
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_XDOC_TEXT_EXPR.format(S="STRING")).alias("text")
     )
-    spans = cross_doc_spans(docs, k=8, min_tokens=20)
-    return spans.groupBy("id_a", "id_b").agg(
+    # the span frame feeds both the pair summary and the cut list —
+    # checkpoint so the anchor join runs once, not twice
+    spans = cross_doc_spans(docs, k=8, min_tokens=20).localCheckpoint()
+    summary = spans.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.max("n_tokens").cast("long").alias("longest"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.min("start_a").cast("long").alias("first_start_a"),
         F.min("start_b").cast("long").alias("first_start_b"),
     )
+    cuts = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("start_b").alias("start"),
+        "n_tokens",
+    )
+    after = cut_token_spans(docs, cuts).select(
+        F.col("doc_id").alias("id_b"),
+        F.size(tokens("text_cut")).cast("long").alias("n_tokens_b_after"),
+    )
+    return summary.join(after, "id_b")
 
 
 SQL_CROSS_DOC_SPANS = rf"""
@@ -826,13 +850,34 @@ spans AS (
            count(*) + 7 AS n_tokens
     FROM isl GROUP BY id_a, id_b, diag, grp
 ),
-keep AS (SELECT * FROM spans WHERE n_tokens >= 20)
-SELECT id_a, id_b,
+keep AS (SELECT * FROM spans WHERE n_tokens >= 20),
+cuts AS (
+    SELECT id_b AS doc_id, start_a - diag AS cs, n_tokens AS cn FROM keep
+),
+-- token positions covered by ANY cut range (overlaps union), then the
+-- after-cut token count per document (docs without cuts keep len(tk))
+covered AS (
+    SELECT DISTINCT t.doc_id, gs.p - 1 AS p
+    FROM toks t, generate_series(1, 256) gs(p)
+    JOIN cuts c ON c.doc_id = t.doc_id
+    WHERE gs.p <= len(t.tk)
+      AND gs.p - 1 >= c.cs AND gs.p - 1 < c.cs + c.cn
+),
+after AS (
+    SELECT t.doc_id,
+           len(t.tk) - coalesce(cv.n_cov, 0) AS n_after
+    FROM toks t
+    LEFT JOIN (
+        SELECT doc_id, count(*) AS n_cov FROM covered GROUP BY doc_id
+    ) cv USING (doc_id)
+)
+SELECT k.id_a, k.id_b,
        CAST(count(*) AS BIGINT) AS n_spans,
-       CAST(max(n_tokens) AS BIGINT) AS longest,
-       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(min(start_a) AS BIGINT) AS first_start_a,
-       CAST(min(start_a - diag) AS BIGINT) AS first_start_b
-FROM keep
-GROUP BY id_a, id_b
+       CAST(max(k.n_tokens) AS BIGINT) AS longest,
+       CAST(sum(k.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(k.start_a) AS BIGINT) AS first_start_a,
+       CAST(min(k.start_a - k.diag) AS BIGINT) AS first_start_b,
+       CAST(any_value(a.n_after) AS BIGINT) AS n_tokens_b_after
+FROM keep k JOIN after a ON a.doc_id = k.id_b
+GROUP BY k.id_a, k.id_b
 """

@@ -2496,3 +2496,45 @@ def test_jpeg_c_codec_seam():
         import pytest as _pytest
 
         _pytest.skip("PIL not installed — C-codec equality arm skipped")
+
+
+def test_cut_token_spans(spark):
+    """r10 surgical span cut (cross_doc_spans' consumer): overlapping
+    ranges union, multiple docs, pass-through for docs with no cuts,
+    NULL text, and composition with the detector (keep-first policy:
+    cutting id_b's reported ranges makes the pair undetectable)."""
+    from dataproc_spark.extensions.dedup import (
+        cross_doc_spans,
+        cut_token_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z"), (3, None)],
+        "doc_id long, text string",
+    )
+    cuts = spark.createDataFrame(
+        [(1, 2, 3), (1, 4, 2), (2, 0, 1)],  # 2..4 and 4..5 overlap
+        "doc_id long, start long, n_tokens long",
+    )
+    got = {r.doc_id: r.text_cut for r in cut_token_spans(docs, cuts).collect()}
+    assert got == {1: "a b g h", 2: "y z", 3: ""}
+    # composition: detect -> cut id_b's ranges -> re-detect finds nothing
+    shared = " ".join(f"w{i}" for i in range(25))
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta " + shared), (2, "x " + shared + " tail")],
+        "doc_id long, text string",
+    )
+    spans = cross_doc_spans(corpus, k=8, min_tokens=20)
+    cut_list = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("start_b").alias("start"),
+        "n_tokens",
+    )
+    cleaned = cut_token_spans(corpus, cut_list).select(
+        "doc_id", F.col("text_cut").alias("text")
+    )
+    assert cross_doc_spans(cleaned, k=8, min_tokens=20).count() == 0
+    # doc 1 (the keeper, id_a) is untouched
+    kept = {r.doc_id: r.text for r in cleaned.collect()}
+    assert kept[1] == "alpha beta " + shared
+    assert kept[2] == "x tail"
