@@ -1044,13 +1044,26 @@ def cut_token_spans(
     and only for documents that actually have cuts the join is still
     a single hash join on the id.
     """
-    ranges = cuts.groupBy(F.col(id_col)).agg(
-        F.collect_list(
-            F.struct(
-                F.col(start_col).cast("long").alias("s"),
-                F.col(n_col).cast("long").alias("n"),
-            )
-        ).alias("_cut_ranges")
+    # a NULL range would make the per-token exists() predicate NULL and
+    # F.filter drops non-TRUE rows — i.e. one NULL cut row would
+    # silently eat the whole document; NULL ranges carry no information,
+    # so they are ignored (collect_list also skips NULL ids by groupBy
+    # semantics only if filtered — do it explicitly)
+    ranges = (
+        cuts.where(
+            F.col(id_col).isNotNull()
+            & F.col(start_col).isNotNull()
+            & F.col(n_col).isNotNull()
+        )
+        .groupBy(F.col(id_col))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(start_col).cast("long").alias("s"),
+                    F.col(n_col).cast("long").alias("n"),
+                )
+            ).alias("_cut_ranges")
+        )
     )
     toks = tokens(content_col)
     joined = df.join(ranges, [id_col], "left")

@@ -88,8 +88,10 @@ def split_http_envelope(payload: bytes, content_type: str | None):
     the bytes are still the record's content, just not an envelope.
 
     Header keys are lowercased; repeated headers join with ``", "``
-    (the RFC 9110 list-combination rule), so the map is deterministic
-    for a fixed record.
+    (the RFC 9110 list-combination rule), and deprecated line folding
+    (RFC 7230 obs-fold — a continuation line starting with SP/HTAB,
+    still present in old crawl archives) appends to the previous
+    header's value, so the map is deterministic for a fixed record.
     """
     payload = bytes(payload)
     if not (content_type or "").strip().lower().startswith(
@@ -112,13 +114,18 @@ def split_http_envelope(payload: bytes, content_type: str | None):
         return None, None, payload
     status = int(parts[1])
     headers: dict = {}
+    last_key: str | None = None
     for line in lines[1:]:
+        if line[:1] in (" ", "\t") and last_key is not None:
+            headers[last_key] += " " + line.strip()
+            continue
         k, colon, v = line.partition(":")
         if not colon:
             return None, None, payload
         k = k.strip().lower()
         v = v.strip()
         headers[k] = headers[k] + ", " + v if k in headers else v
+        last_key = k
     return status, headers, payload[end + sep:]
 
 

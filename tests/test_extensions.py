@@ -2303,6 +2303,18 @@ def test_warc_http_envelope_split(spark, tmp_path):
         b"HTTP/1.0 404 Not Found\n\ngone", "application/http"
     )
     assert (s, h, b) == (404, {}, b"gone")
+    # RFC 7230 obs-fold: a SP/HTAB continuation line extends the
+    # previous header's value (old crawl archives still carry these)
+    s, h, b = warc.split_http_envelope(
+        b"HTTP/1.1 200 OK\r\nX-Long: first part\r\n\tsecond part\r\n\r\nB",
+        "application/http",
+    )
+    assert (s, b) == (200, b"B") and h["x-long"] == "first part second part"
+    # a LEADING fold (no header to continue) is malformed -> fallback
+    bad_fold = b"HTTP/1.1 200 OK\r\n  orphan\r\n\r\nB"
+    assert warc.split_http_envelope(bad_fold, "application/http") == (
+        None, None, bad_fold,
+    )
     # non-HTTP content type: untouched
     assert warc.split_http_envelope(env, "text/html") == (None, None, env)
     # claimed http but no HTTP/ prefix (no-envelope arm)
