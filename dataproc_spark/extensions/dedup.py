@@ -974,7 +974,6 @@ def cross_doc_spans(
             )
         ).alias("pos", "_g"),
     ).select(F.col(id_col), "pos", F.xxhash64("_g").alias("_gh"))
-    cached = None
     if max_df is not None:
         hot = (
             grams.groupBy("_gh")
@@ -982,7 +981,12 @@ def cross_doc_spans(
             .where(F.col("_df") > int(max_df))
             .select("_gh")
         )
-        grams = cached = grams.join(hot, "_gh", "left_anti").persist()
+        grams = grams.join(hot, "_gh", "left_anti")
+    # BOTH self-join sides derive from grams — persist unconditionally
+    # so the corpus is tokenized + shingled + hashed once, not twice
+    # (the exact no-max_df regression class ngram_jaccard_pairs fixed
+    # in r9; r10 review caught the same skip here)
+    grams = cached = grams.persist()
     a = grams.select(
         F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "_gh"
     )
@@ -1015,7 +1019,7 @@ def cross_doc_spans(
             F.col("n_tokens").cast("long").alias("n_tokens"),
         )
     )
-    return _release_on_gc(out, cached) if cached is not None else out
+    return _release_on_gc(out, cached)
 
 
 def cut_token_spans(
@@ -1034,9 +1038,12 @@ def cut_token_spans(
     ``(id, start, n)`` token range (0-based, like ``cross_doc_spans``
     offsets); overlapping ranges union naturally (a token goes when ANY
     range covers it). Documents with no cut rows pass through
-    unchanged; token boundaries are the module's whitespace rule, so
-    text is rebuilt with single spaces (the same normalization every
-    token-level operator here applies).
+    unchanged — including NULL text, which stays NULL (absent ≠
+    present-but-blank, the repo-wide NULL policy); cut rows keyed with
+    NULL id/start/n are ignored (they carry no range). Token boundaries
+    are the module's whitespace rule, so text is rebuilt with single
+    spaces (the same normalization every token-level operator here
+    applies).
 
     Plan: ONE aggregate of the cut list per document (collect the tiny
     range structs), a left join onto the corpus, and a map-only HOF
@@ -1077,6 +1084,9 @@ def cut_token_spans(
             rng, lambda c: (i >= c["s"]) & (i < c["s"] + c["n"])
         ),
     )
-    return joined.withColumn(out_col, F.concat_ws(" ", kept)).drop(
-        "_cut_ranges"
-    )
+    # concat_ws maps NULL token arrays to '' — keep NULL text NULL
+    # (r10 review: absent and present-but-blank must stay distinct)
+    cut = F.when(
+        F.col(content_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.concat_ws(" ", kept))
+    return joined.withColumn(out_col, cut).drop("_cut_ranges")

@@ -955,6 +955,41 @@ def _pil_image():
         return None
 
 
+@_valueerror_boundary
+def _check_pure_supported(buf: bytes) -> None:
+    """Raise ``ValueError`` unless the stream is within the pure
+    decoder's accept surface (SOF0/1/2, 8-bit, 1 or 3 components,
+    4:4:4, no restart intervals). The C-codec path runs this BEFORE
+    handing bytes to libjpeg: PIL would happily decode subsampled /
+    restart-marker / CMYK streams the pure path quarantines, and corpus
+    membership must not depend on which machine (or flag) ran the job
+    (r10 review finding)."""
+    saw_sof = False
+    for marker, start, ln in _walk_segments(bytes(buf)):
+        data = bytes(buf)[start:start + ln]
+        if marker in _SOF_MARKERS:
+            if marker not in (0xC0, 0xC1, 0xC2):
+                raise ValueError(
+                    f"unsupported SOF marker 0xFF{marker:02X}"
+                )
+            precision, _h, _w, ncomp = struct.unpack(">BHHB", data[:6])
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            for i in range(ncomp):
+                if data[7 + 3 * i] != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG not supported (4:4:4 only)"
+                    )
+            saw_sof = True
+        elif marker == 0xDD:
+            if struct.unpack(">H", data[:2])[0] != 0:
+                raise ValueError("restart intervals not supported")
+    if not saw_sof:
+        raise ValueError("JPEG missing SOF header")
+
+
 def decode_jpeg_fast(buf: bytes, use_c_codec: bool | None = None):
     """The documented C-codec seam: same ``(w, h, channels, pixels)``
     contract as :func:`decode_jpeg`, but when ``use_c_codec`` is true
@@ -966,7 +1001,11 @@ def decode_jpeg_fast(buf: bytes, use_c_codec: bool | None = None):
     the deterministic path every oracle gate runs on (libjpeg's IDCT is
     allowed ±1 rounding on non-exact images; on the gate's bit-exact
     block-constant fixtures the two paths must agree exactly —
-    asserted by ``test_jpeg_c_codec_seam`` whenever PIL exists)."""
+    asserted by ``test_jpeg_c_codec_seam`` whenever PIL exists).
+    The accept SURFACE is identical by construction: the stream is
+    marker-validated against the pure decoder's restrictions before
+    libjpeg sees it, so a subsampled/restart/CMYK payload quarantines
+    on every machine, flag or no flag."""
     import os
 
     if use_c_codec is None:
@@ -974,6 +1013,7 @@ def decode_jpeg_fast(buf: bytes, use_c_codec: bool | None = None):
     if use_c_codec:
         Image = _pil_image()
         if Image is not None:
+            _check_pure_supported(buf)
             import io
 
             import numpy as np

@@ -100,13 +100,18 @@ def split_http_envelope(payload: bytes, content_type: str | None):
         return None, None, payload
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
-    end = payload.find(b"\r\n\r\n")
-    sep = 4
-    if end < 0:
-        end = payload.find(b"\n\n")
-        sep = 2
-    if end < 0:
+    # the EARLIER of the two header terminators wins: an LF-terminated
+    # envelope whose BODY contains \r\n\r\n must split at its own LFLF
+    # blank line, not inside the body (r10 review finding, reproduced —
+    # the CRLF-first search returned the whole-payload fallback)
+    end_crlf = payload.find(b"\r\n\r\n")
+    end_lf = payload.find(b"\n\n")
+    if end_crlf < 0 and end_lf < 0:
         return None, None, payload
+    if end_lf < 0 or (end_crlf >= 0 and end_crlf <= end_lf):
+        end, sep = end_crlf, 4
+    else:
+        end, sep = end_lf, 2
     head = payload[:end].decode("utf-8", "replace")
     lines = head.splitlines()
     parts = lines[0].split(None, 2)
@@ -117,7 +122,9 @@ def split_http_envelope(payload: bytes, content_type: str | None):
     last_key: str | None = None
     for line in lines[1:]:
         if line[:1] in (" ", "\t") and last_key is not None:
-            headers[last_key] += " " + line.strip()
+            folded = line.strip()
+            if folded:  # an all-whitespace fold adds nothing (a bare
+                headers[last_key] += " " + folded  # append left 'v ')
             continue
         k, colon, v = line.partition(":")
         if not colon:
@@ -368,7 +375,12 @@ def write_warc_shards(
     posix paths under ``out_dir`` — correct in local mode and for
     posix-mounted storage; pass an object-store opener (fsspec/boto
     wrapper) for cluster use. ``out_dir`` is pre-created only for the
-    posix default.
+    posix default, and the posix default FINALIZES atomically: it
+    writes ``<shard>.inprogress`` and renames on success, so a mid-
+    partition failure (e.g. the NULL-URI raise below) never leaves a
+    truncated shard at the final name for ``read_warc`` to mis-ingest
+    (r10 review finding). A custom ``open_fn`` owns that concern —
+    object-store PUTs are typically invisible until close.
     """
     import hashlib
     import os
@@ -378,8 +390,25 @@ def write_warc_shards(
     if open_fn is None:
         os.makedirs(out_dir, exist_ok=True)
 
+        class _AtomicPosix:
+            def __init__(self, path):
+                self.path = path
+                self.tmp = path + ".inprogress"
+                self.fh = open(self.tmp, "wb")
+
+            def __enter__(self):
+                return self.fh
+
+            def __exit__(self, exc_type, exc, tb):
+                self.fh.close()
+                if exc_type is None:
+                    os.replace(self.tmp, self.path)
+                else:
+                    os.unlink(self.tmp)
+                return False
+
         def open_fn(path):  # noqa: F811 — documented posix default
-            return open(path, "wb")
+            return _AtomicPosix(path)
 
     def write_partition(rows):
         first = None

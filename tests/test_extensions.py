@@ -2315,6 +2315,19 @@ def test_warc_http_envelope_split(spark, tmp_path):
     assert warc.split_http_envelope(bad_fold, "application/http") == (
         None, None, bad_fold,
     )
+    # an all-whitespace fold line adds nothing (no trailing space)
+    s, h, b = warc.split_http_envelope(
+        b"HTTP/1.1 200 OK\r\nX-A: v\r\n \r\n\r\nB", "application/http"
+    )
+    assert (s, h["x-a"], b) == (200, "v", b"B")
+    # r10 review fix: an LF-terminated envelope whose BODY contains
+    # \r\n\r\n must split at its own (earlier) LFLF blank line
+    s, h, b = warc.split_http_envelope(
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<p>a\r\n\r\nrest",
+        "application/http",
+    )
+    assert s == 200 and b == b"<p>a\r\n\r\nrest"
+    assert h["content-type"] == "text/html"
     # non-HTTP content type: untouched
     assert warc.split_http_envelope(env, "text/html") == (None, None, env)
     # claimed http but no HTTP/ prefix (no-envelope arm)
@@ -2350,12 +2363,17 @@ def test_warc_http_envelope_split(spark, tmp_path):
         r.http_status is None and bytes(r.body) == bytes(r.payload)
         for r in warc.read_warc(spark, out2).collect()
     )
-    # NULL URI: loud, not str(None)
+    # NULL URI: loud, not str(None) — and the aborted partition leaves
+    # NO shard at a final name (posix default writes .inprogress and
+    # renames only on success; r10 review fix)
     nulls = spark.createDataFrame(
-        [(None, b"x")], "target_uri string, payload binary"
-    )
+        [("https://ok.com/1", b"a"), (None, b"x")],
+        "target_uri string, payload binary",
+    ).coalesce(1)
+    ndir = str(tmp_path / "n")
     with _pytest.raises(Exception, match="NULL 'target_uri'"):
-        warc.write_warc_shards(nulls, str(tmp_path / "n"))
+        warc.write_warc_shards(nulls, ndir)
+    assert not [f for f in os.listdir(ndir) if f.endswith((".warc", ".warc.gz"))]
     # injectable writer target: posix opener with a suffix twist proves
     # the iterator body goes through open_fn, not open()
     out3 = str(tmp_path / "custom")
@@ -2504,9 +2522,25 @@ def test_jpeg_c_codec_seam():
     # either way the bit-exact fixture must reproduce exactly
     on = decode_jpeg_fast(payload, use_c_codec=True)
     assert (pure[3] == on[3]).all() and pure[:3] == on[:3]
-    if _pil_image() is None:
-        import pytest as _pytest
+    # accept-surface parity (no PIL needed): the pre-check the PIL arm
+    # runs must reject exactly what the pure decoder rejects, so corpus
+    # membership can never depend on which machine ran the job
+    import pytest as _pytest
 
+    from dataproc_spark.extensions.jpeg import _check_pure_supported
+
+    _check_pure_supported(payload)  # baseline fixture: accepted
+    _check_pure_supported(
+        encode_jpeg(blocks, quant=1, progressive=True)
+    )  # SOF2: accepted (the pure decoder handles it since r10)
+    subsampled = bytearray(encode_jpeg(blocks, quant=1))
+    sof = bytes(subsampled).find(b"\xFF\xC0")
+    subsampled[sof + 11] = 0x22  # first component sampling 2x2
+    with _pytest.raises(ValueError, match="subsampled"):
+        _check_pure_supported(bytes(subsampled))
+    with _pytest.raises(ValueError, match="SOF"):
+        _check_pure_supported(b"\xFF\xD8\xFF\xD9")
+    if _pil_image() is None:
         _pytest.skip("PIL not installed — C-codec equality arm skipped")
 
 
@@ -2529,7 +2563,7 @@ def test_cut_token_spans(spark):
         "doc_id long, start long, n_tokens long",
     )
     got = {r.doc_id: r.text_cut for r in cut_token_spans(docs, cuts).collect()}
-    assert got == {1: "a b g h", 2: "y z", 3: ""}
+    assert got == {1: "a b g h", 2: "y z", 3: None}  # NULL stays NULL
     # composition: detect -> cut id_b's ranges -> re-detect finds nothing
     shared = " ".join(f"w{i}" for i in range(25))
     corpus = spark.createDataFrame(
