@@ -590,21 +590,32 @@ FROM documents
 
 def q_warc_http_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTTP-envelope split on WARC ingestion (``warc.read_warc`` +
-    ``split_http_envelope``): real Common Crawl *response* records carry
-    ``application/http`` payloads — status line, headers, blank line,
-    THEN the document — so reading ``payload`` as text ingests header
-    noise. Four arms per document: (0) full 200 envelope with
-    charset'd Content-Type, a custom ``X-Crawl`` header, and a computed
-    ``Content-Length``; (1) a 404 ``text/plain`` envelope; (2) NO
-    envelope at all (bare HTML stamped ``application/http`` — the
-    claimed-but-absent case); (3) a malformed envelope (``HTTP/1.1 OK``
-    — status not an integer). Arms 2/3 must fall back to
-    ``body = payload`` with NULL status/headers, never lose bytes, and
-    never fail the shard (quarantine is for WARC framing). The oracle
-    rebuilds every arm's expected split arithmetically from
-    ``documents``. Scratch shards are removed before returning."""
+    ``split_http_envelope`` + ``decoded_body``): real Common Crawl
+    *response* records carry ``application/http`` payloads — status
+    line, headers, blank line, THEN the document, possibly gzip'd or
+    chunk-framed — so reading ``payload`` as text ingests header noise
+    and compressed bytes. Six arms per document: (0) full 200 envelope
+    with charset'd Content-Type, a custom ``X-Crawl`` header, and a
+    computed ``Content-Length``; (1) a 404 ``text/plain`` envelope;
+    (2) NO envelope at all (bare HTML stamped ``application/http`` —
+    the claimed-but-absent case); (3) a malformed envelope
+    (``HTTP/1.1 OK`` — status not an integer); (4, r10b) a
+    ``Content-Encoding: gzip`` body (synthesized with deterministic
+    mtime-0 gzip in an Arrow kernel); (5, r10b) a ``Transfer-Encoding:
+    chunked`` body (two framing fields, hex sizes). Arms 2/3 must fall
+    back to ``body = payload`` with NULL status/headers, never lose
+    bytes, and never fail the shard (quarantine is for WARC framing);
+    arms 4/5 must decode through ``decoded_body`` to the exact original
+    text — a gunzip/dechunk bug shifts both the text and its byte
+    count. The oracle rebuilds every arm's expected decode
+    arithmetically from ``documents``. Scratch shards are removed
+    before returning."""
     import shutil
     import tempfile
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
 
     from dataproc_spark.extensions import warc as warcx
     from dataproc_spark.queries.diagnostics import _materialize_and_clean
@@ -634,7 +645,42 @@ def q_warc_http_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bare = F.concat(F.lit("<html>bare "), txt, F.lit("</html>"))
     malformed = F.concat(F.lit("HTTP/1.1 OK\r\n\r\ntail "), did)
-    arm = F.col("doc_id") % 4
+
+    def _gz(text):
+        import gzip as _gzip
+
+        out = []
+        for t in text:
+            doc = ("<gz>" + (t or "") + "</gz>").encode("utf-8")
+            gz = _gzip.compress(doc, mtime=0)
+            head = (
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                "Content-Encoding: gzip\r\nContent-Length: "
+                f"{len(gz)}\r\n\r\n"
+            ).encode("ascii")
+            out.append(head + gz)
+        return pd.Series(out, dtype=object)
+
+    _gz.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    gz_payload = pandas_udf(_gz, BinaryType())
+
+    ch_body = F.encode(F.concat(F.lit("<ch>"), txt, F.lit("</ch>")), "UTF-8")
+    env5 = F.concat(
+        F.encode(
+            F.concat(
+                F.lit(
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    "Transfer-Encoding: chunked\r\n\r\n"
+                ),
+                F.hex(F.octet_length(ch_body)),
+                F.lit("\r\n"),
+            ),
+            "UTF-8",
+        ),
+        ch_body,
+        F.encode(F.lit("\r\n0\r\n\r\n"), "UTF-8"),
+    )
+    arm = F.col("doc_id") % 6
     src = docs.select(
         F.concat(
             F.lit("https://site"),
@@ -642,13 +688,18 @@ def q_warc_http_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".com/doc/"),
             did,
         ).alias("target_uri"),
-        F.encode(
-            F.when(arm == 0, env0)
-            .when(arm == 1, env1)
-            .when(arm == 2, bare)
-            .otherwise(malformed),
-            "UTF-8",
-        ).alias("payload"),
+        F.when(arm == 4, gz_payload(F.col("text")))
+        .when(arm == 5, env5)
+        .otherwise(
+            F.encode(
+                F.when(arm == 0, env0)
+                .when(arm == 1, env1)
+                .when(arm == 2, bare)
+                .otherwise(malformed),
+                "UTF-8",
+            )
+        )
+        .alias("payload"),
     )
     out = tempfile.mkdtemp(prefix="warchttp_")
     try:
@@ -656,6 +707,7 @@ def q_warc_http_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         shutil.rmtree(out, ignore_errors=True)
         raise
+    decoded = warcx.decoded_body("body", "http_headers")
     res = warcx.read_warc(spark, out).select(
         F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
         .cast("long")
@@ -663,8 +715,9 @@ def q_warc_http_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("http_status").cast("int").alias("http_status"),
         "http_content_type",
         F.element_at("http_headers", "x-crawl").alias("x_crawl"),
-        F.decode(F.col("body"), "UTF-8").alias("body_text"),
-        F.octet_length("body").cast("long").alias("n_body_bytes"),
+        F.element_at("http_headers", "content-encoding").alias("c_enc"),
+        F.decode(decoded, "UTF-8").alias("body_text"),
+        F.octet_length(decoded).cast("long").alias("n_body_bytes"),
     )
     return _materialize_and_clean(res, out)
 
@@ -672,26 +725,32 @@ def q_warc_http_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WARC_HTTP_SPLIT = """
 WITH b AS (
     SELECT doc_id,
-           CASE doc_id % 4
+           CASE doc_id % 6
                WHEN 0 THEN '<html>' || coalesce(text, '') || '</html>'
                WHEN 1 THEN 'not found ' || CAST(doc_id AS VARCHAR)
                WHEN 2 THEN '<html>bare ' || coalesce(text, '')
                            || '</html>'
-               ELSE 'HTTP/1.1 OK' || chr(13) || chr(10) || chr(13)
+               WHEN 3 THEN 'HTTP/1.1 OK' || chr(13) || chr(10) || chr(13)
                     || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+               WHEN 4 THEN '<gz>' || coalesce(text, '') || '</gz>'
+               ELSE '<ch>' || coalesce(text, '') || '</ch>'
            END AS body_text
     FROM documents
 )
 SELECT doc_id,
-       CAST(CASE doc_id % 4 WHEN 0 THEN 200 WHEN 1 THEN 404 END
+       CAST(CASE doc_id % 6 WHEN 0 THEN 200 WHEN 1 THEN 404
+                            WHEN 4 THEN 200 WHEN 5 THEN 200 END
             AS INTEGER) AS http_status,
-       CASE doc_id % 4
+       CASE doc_id % 6
            WHEN 0 THEN 'text/html; charset=utf-8'
            WHEN 1 THEN 'text/plain'
+           WHEN 4 THEN 'text/html'
+           WHEN 5 THEN 'text/html'
        END AS http_content_type,
-       CASE doc_id % 4
+       CASE doc_id % 6
            WHEN 0 THEN 'site' || CAST(doc_id % 37 AS VARCHAR)
        END AS x_crawl,
+       CASE doc_id % 6 WHEN 4 THEN 'gzip' END AS c_enc,
        body_text,
        CAST(strlen(body_text) AS BIGINT) AS n_body_bytes
 FROM b

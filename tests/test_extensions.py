@@ -2584,3 +2584,66 @@ def test_cut_token_spans(spark):
     kept = {r.doc_id: r.text for r in cleaned.collect()}
     assert kept[1] == "alpha beta " + shared
     assert kept[2] == "x tail"
+
+
+def test_warc_decoded_body(spark):
+    """r10b HTTP body decode: chunked framing, gzip and raw/zlib
+    deflate content-codings, chained chunked+gzip, identity
+    passthrough for header-less (non-HTTP) records, and the
+    fail-loud-vs-null per-row choice."""
+    import gzip as _gzip
+    import zlib
+
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import warc
+
+    gz = _gzip.compress(b"gzip text", mtime=0)
+    framed_gz = ("%x" % len(gz)).encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    co = zlib.compressobj(wbits=-15)
+    raw_deflate = co.compress(b"raw deflate") + co.flush()
+    rows = [
+        (0, b"plain", None),
+        (1, gz, {"content-encoding": "gzip"}),
+        (2, b"4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n",
+         {"transfer-encoding": "chunked"}),
+        (3, framed_gz,
+         {"transfer-encoding": "chunked", "content-encoding": "gzip"}),
+        (4, zlib.compress(b"zlib deflate"), {"content-encoding": "deflate"}),
+        (5, raw_deflate, {"content-encoding": "deflate"}),
+        (6, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, body binary, http_headers map<string,string>"
+    )
+    got = {
+        r.doc_id: (bytes(r.d) if r.d is not None else None)
+        for r in df.select(
+            "doc_id", warc.decoded_body("body", "http_headers").alias("d")
+        ).collect()
+    }
+    assert got == {
+        0: b"plain", 1: b"gzip text", 2: b"Wikipedia",
+        3: b"gzip text", 4: b"zlib deflate", 5: b"raw deflate", 6: None,
+    }
+    # bad rows: loud by default, NULL on request (quarantine routing)
+    bad = spark.createDataFrame(
+        [(1, b"not gzip", {"content-encoding": "gzip"}), (2, b"ok", None)],
+        "doc_id long, body binary, http_headers map<string,string>",
+    )
+    with _pytest.raises(Exception, match="bad gzip"):
+        bad.select(warc.decoded_body("body", "http_headers")).collect()
+    got2 = {
+        r.doc_id: (bytes(r.d) if r.d is not None else None)
+        for r in bad.select(
+            "doc_id",
+            warc.decoded_body("body", "http_headers", on_error="null")
+            .alias("d"),
+        ).collect()
+    }
+    assert got2 == {1: None, 2: b"ok"}
+    # unknown coding (brotli without the lib) is loud, never silent
+    with _pytest.raises(ValueError, match="unsupported Content-Encoding"):
+        warc.decode_content_encoding(b"x", "br")
+    with _pytest.raises(ValueError, match="on_error"):
+        warc.decoded_body("body", "http_headers", on_error="skip")
