@@ -781,7 +781,12 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         wrap=(_BOILER_PREFIX, _BOILER_SUFFIX),
         http_envelope=True,
     )
-    main = web.extract_main_text(F.decode(F.col("body"), "UTF-8"))
+    # production shape: always decode transfer/content codings before
+    # text extraction (identity passthrough here — these records carry
+    # no coding headers — but the stage belongs in the flagship plan)
+    main = web.extract_main_text(
+        F.decode(warcx.decoded_body("body", "http_headers"), "UTF-8")
+    )
     scored = warcx.read_warc(spark, out).select(
         main.alias("main")
     ).select(
