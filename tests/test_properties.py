@@ -1281,3 +1281,91 @@ def test_jpeg_garbage_bytes_always_valueerror(junk):
         assert isinstance(meta["width"], int) and isinstance(
             meta["progressive"], bool
         )
+
+
+# ---------------------------------------------------------------------------
+# r10: HTTP envelope / body codec properties (pure functions — no Spark
+# jobs, so example counts can be generous)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    body=st.binary(max_size=200),
+    sizes=st.lists(st.integers(1, 40), max_size=6),
+    ext=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunked_framing_roundtrip(body, sizes, ext):
+    """Any chunk-size partition of any byte string dechunks back to the
+    original — framing is pure transport."""
+    from dataproc_spark.extensions.warc import dechunk_http_body
+
+    out = bytearray()
+    pos = 0
+    for n in sizes:
+        piece = body[pos:pos + n]
+        if not piece:
+            break
+        tag = b";x=1" if ext else b""
+        out += ("%x" % len(piece)).encode() + tag + b"\r\n" + piece + b"\r\n"
+        pos += len(piece)
+    rest = body[pos:]
+    if rest:
+        out += ("%X" % len(rest)).encode() + b"\r\n" + rest + b"\r\n"
+    out += b"0\r\n\r\n"
+    assert dechunk_http_body(bytes(out)) == body
+
+
+@given(
+    body=st.binary(max_size=300),
+    coding=st.sampled_from(["identity", "gzip", "x-gzip", "deflate",
+                            "deflate_raw", None]),
+)
+@settings(max_examples=200, deadline=None)
+def test_content_encoding_roundtrip(body, coding):
+    """encode→decode is the identity for every supported coding,
+    including the raw-deflate variant servers actually send."""
+    import gzip as _gzip
+    import zlib
+
+    from dataproc_spark.extensions.warc import decode_content_encoding
+
+    if coding in ("gzip", "x-gzip"):
+        wire = _gzip.compress(body, mtime=0)
+    elif coding == "deflate":
+        wire = zlib.compress(body)
+    elif coding == "deflate_raw":
+        co = zlib.compressobj(wbits=-15)
+        wire = co.compress(body) + co.flush()
+        coding = "deflate"
+    else:
+        wire = body
+    assert decode_content_encoding(wire, coding) == body
+
+
+@given(
+    status=st.integers(100, 599),
+    n_headers=st.integers(0, 5),
+    body=st.binary(max_size=120),
+    crlf=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_http_envelope_split_roundtrip(status, n_headers, body, crlf):
+    """Building an envelope from clean parts and splitting it recovers
+    status, every header (lowercased), and the body byte-for-byte —
+    regardless of line-ending style and of CRLFCRLF sequences inside
+    the body (the r10 terminator-order fix)."""
+    from dataproc_spark.extensions.warc import split_http_envelope
+
+    nl = "\r\n" if crlf else "\n"
+    headers = {f"x-h{i}": f"v{i} {status}" for i in range(n_headers)}
+    head = f"HTTP/1.1 {status} Reason Text{nl}" + "".join(
+        f"X-H{i}: v{i} {status}{nl}" for i in range(n_headers)
+    )
+    wire = head.encode("ascii") + nl.encode("ascii") * 1 + body
+    # the blank line: one extra newline terminates the header block
+    wire = head.encode("ascii") + nl.encode("ascii") + body
+    s, h, b = split_http_envelope(wire, "application/http; msgtype=response")
+    assert s == status
+    assert h == headers
+    assert b == body
