@@ -321,14 +321,16 @@ def encode_jpeg(
         eobrun = 0
 
         def flush_eob():
+            # eobrun is capped at 0x7FFF, so r = bit_length-1 ≤ 14 and
+            # one EOBn symbol always encodes the whole run
             nonlocal eobrun
-            while eobrun > 0:
-                r = min(eobrun.bit_length() - 1, 14)
+            if eobrun > 0:
+                r = eobrun.bit_length() - 1
                 code, ln = ac_codes[r << 4]
                 bw.write(code, ln)
                 if r:
                     bw.write(eobrun - (1 << r), r)
-                eobrun -= min(eobrun, (1 << (r + 1)) - 1)
+                eobrun = 0
 
         for bi in range(nblocks):
             band = [_trunc(int(v), al) for v in blocks[c][bi][1:64]]
@@ -974,9 +976,10 @@ def _check_pure_supported(buf: bytes) -> None:
     restart-marker / CMYK streams the pure path quarantines, and corpus
     membership must not depend on which machine (or flag) ran the job
     (r10 review finding)."""
+    buf = bytes(buf)  # once — a per-segment copy would be O(n²)
     saw_sof = False
-    for marker, start, ln in _walk_segments(bytes(buf)):
-        data = bytes(buf)[start:start + ln]
+    for marker, start, ln in _walk_segments(buf):
+        data = buf[start:start + ln]
         if marker in _SOF_MARKERS:
             if marker not in (0xC0, 0xC1, 0xC2):
                 raise ValueError(

@@ -247,6 +247,27 @@ def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _first_max_case(names: list, col_prefix: str, none_label: str) -> str:
+    """First-name-achieving-the-max CASE over ``{col_prefix}{name}``
+    columns, '{none_label}' when nothing scores above 0 — the shared
+    argmax shape of BOTH generated oracles (language profiles and
+    script counts), matching the engines' greatest+first-equal /
+    ordered-comparison argmaxes exactly."""
+    arms = []
+    for i, name in enumerate(names):
+        later = names[i + 1:]
+        cond = " AND ".join(
+            f"{col_prefix}{name} >= {col_prefix}{n2}" for n2 in later
+        ) or "TRUE"
+        arms.append(f"WHEN {cond} THEN '{name}'")
+    all_c = ", ".join(f"{col_prefix}{n}" for n in names)
+    return (
+        f"CASE WHEN greatest({all_c}) <= 0 THEN '{none_label}' "
+        + " ".join(arms[:-1])
+        + f" ELSE '{names[-1]}' END"
+    )
+
+
 def _lang_trigram_sql_fragments() -> tuple[str, str, str]:
     """(grams CTE expression, per-language score selects, argmax CASE) —
     generated from ``textstats.LANG_TRIGRAM_PROFILES`` so the oracle can
@@ -263,17 +284,8 @@ def _lang_trigram_sql_fragments() -> tuple[str, str, str]:
             for i, g in enumerate(profile)
         )
         score_sqls.append(f"({terms}) AS s_{lang}")
-    langs = list(textstats.LANG_TRIGRAM_PROFILES)
-    arms = []
-    for i, lang in enumerate(langs):
-        later = langs[i + 1:]
-        cond = " AND ".join(f"s_{lang} >= s_{l2}" for l2 in later) or "TRUE"
-        arms.append(f"WHEN {cond} THEN '{lang}'")
-    all_s = ", ".join(f"s_{l}" for l in langs)
-    case = (
-        f"CASE WHEN greatest({all_s}) <= 0 THEN 'und' "
-        + " ".join(arms[:-1])
-        + f" ELSE '{langs[-1]}' END"
+    case = _first_max_case(
+        list(textstats.LANG_TRIGRAM_PROFILES), "s_", "und"
     )
     norm = (
         "' ' || trim(regexp_replace(lower(coalesce(text, '')), "
@@ -389,18 +401,7 @@ def _script_sql_fragments() -> tuple[str, str]:
         f" AS c_{name}"
         for name, rng in textstats.SCRIPT_RANGES.items()
     )
-    names = list(textstats.SCRIPT_RANGES)
-    arms = []
-    for i, name in enumerate(names):
-        later = names[i + 1:]
-        cond = " AND ".join(f"c_{name} >= c_{n2}" for n2 in later) or "TRUE"
-        arms.append(f"WHEN {cond} THEN '{name}'")
-    all_c = ", ".join(f"c_{n}" for n in names)
-    case = (
-        f"CASE WHEN greatest({all_c}) <= 0 THEN 'none' "
-        + " ".join(arms[:-1])
-        + f" ELSE '{names[-1]}' END"
-    )
+    case = _first_max_case(list(textstats.SCRIPT_RANGES), "c_", "none")
     return counts, case
 
 

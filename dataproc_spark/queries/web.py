@@ -474,6 +474,18 @@ SELECT doc_id, main, CAST(length(main) AS BIGINT) AS n_chars_main FROM kept
 SQL_HTML_BOILERPLATE = _make_sql_html_boilerplate()
 
 
+def _warc_doc_uri():
+    """The WARC gates' shared deterministic URI per document —
+    ``https://site{doc_id%37}.com/doc/{doc_id}`` (37 hosts give the
+    recrawl-ish fan-in the URL-family gates also use)."""
+    return F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
 def _write_warc_scratch(
     spark: SparkSession,
     sf_dir: str,
@@ -529,12 +541,7 @@ def _write_warc_scratch(
         content_type = "text/html"
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.concat(
-            F.lit("https://site"),
-            (F.col("doc_id") % 37).cast("string"),
-            F.lit(".com/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("target_uri"),
+        _warc_doc_uri().alias("target_uri"),
         payload.alias("payload"),
     )
     out = tempfile.mkdtemp(prefix=prefix)
@@ -682,12 +689,7 @@ def q_warc_http_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arm = F.col("doc_id") % 6
     src = docs.select(
-        F.concat(
-            F.lit("https://site"),
-            (F.col("doc_id") % 37).cast("string"),
-            F.lit(".com/doc/"),
-            did,
-        ).alias("target_uri"),
+        _warc_doc_uri().alias("target_uri"),
         F.when(arm == 4, gz_payload(F.col("text")))
         .when(arm == 5, env5)
         .otherwise(
