@@ -360,3 +360,35 @@ def test_bench_repeat_protocol_merge(monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out.strip().rsplit("\n", 1)[-1])
     assert out["value"] is None
     assert "errors" in out
+
+
+def test_registry_order_reverify_pin_lifts_itself(tmp_path, monkeypatch):
+    """r10 REVERIFY_STALE_EVIDENCE: a gate whose implementation changed
+    after its newest green row is pinned ahead of the stale-green bucket
+    (alongside never-recorded) — and the pin LIFTS as soon as a row from
+    a later round lands, so a forgotten entry costs one window slot for
+    exactly one round."""
+    import json
+
+    import dataproc_spark.queries as qmod
+
+    names = list(qmod.REGISTRY)
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    pinned, stale = names[10], names[11]
+    monkeypatch.setattr(qmod, "REVERIFY_STALE_EVIDENCE", {pinned: 5})
+    # pinned's newest green is r05 (== the stale-evidence round): pinned
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({pinned: green, stale: green})
+    )
+    order = qmod.registry_order(str(tmp_path))
+    assert order.index(pinned) < order.index(stale)
+    # everything else is never-recorded (bucket 2, same as the pin) —
+    # the pinned entry sorts with them, ahead of every stale green
+    assert order.index(pinned) < order.index(stale)
+    # a newer row lands (r06 > 5): the pin lifts; now pinned is just the
+    # FRESHEST green and sorts after the stale one
+    (tmp_path / "CORRECTNESS_r06.json").write_text(
+        json.dumps({pinned: green})
+    )
+    order2 = qmod.registry_order(str(tmp_path))
+    assert order2.index(stale) < order2.index(pinned)
