@@ -1369,3 +1369,55 @@ def test_http_envelope_split_roundtrip(status, n_headers, body, crlf):
     assert s == status
     assert h == headers
     assert b == body
+
+
+def _model_shared_spans(tok_a, tok_b, min_tokens):
+    """Independent O(n²) model of 'maximal shared token spans': every
+    (i, j) where a maximal common run starts, with its length — written
+    from the definition, not from either implementation."""
+    out = set()
+    for i in range(len(tok_a)):
+        for j in range(len(tok_b)):
+            if tok_a[i] != tok_b[j]:
+                continue
+            if i > 0 and j > 0 and tok_a[i - 1] == tok_b[j - 1]:
+                continue  # not a run start
+            n = 0
+            while (
+                i + n < len(tok_a)
+                and j + n < len(tok_b)
+                and tok_a[i + n] == tok_b[j + n]
+            ):
+                n += 1
+            if n >= min_tokens:
+                out.add((i, j, n))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=14),
+        min_size=2,
+        max_size=4,
+    ),
+    min_tokens=st.integers(4, 6),
+)
+@settings(max_examples=12, deadline=None)
+def test_cross_doc_spans_matches_bruteforce_model(spark, docs, min_tokens):
+    """cross_doc_spans (anchor join + diagonal islands, k=3) must equal
+    the brute-force definition of maximal shared spans on tiny random
+    corpora — every pair, every offset, every length, nothing extra."""
+    from dataproc_spark.extensions.dedup import cross_doc_spans
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.n_tokens)
+        for r in cross_doc_spans(df, k=3, min_tokens=min_tokens).collect()
+    }
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            for i, j, n in _model_shared_spans(docs[a], docs[b], min_tokens):
+                want.add((a, b, i, j, n))
+    assert got == want
