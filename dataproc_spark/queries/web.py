@@ -492,6 +492,7 @@ def _write_warc_scratch(
     prefix: str,
     wrap: tuple[str, str],
     http_envelope: bool = False,
+    gzip_every: int | None = None,
 ) -> str:
     """Shared WARC-gate synthesis (r9 review: the URI/payload select was
     copy-pasted between the two gates): wrap each document's text in
@@ -506,7 +507,11 @@ def _write_warc_scratch(
     an actual Common Crawl *response* record has — so gates reading
     ``body`` exercise the envelope split, not a bare-HTML shortcut
     (r9 verdict's top gap). The sink declares ``application/http`` only
-    in that arm; bare payloads are stamped honestly as ``text/html``."""
+    in that arm; bare payloads are stamped honestly as ``text/html``.
+    ``gzip_every=N`` additionally gzip-codes every Nth document's body
+    on the wire (deterministic mtime-0 gzip, ``Content-Encoding: gzip``
+    header) — downstream results must be INVARIANT to the wire
+    representation once routed through ``decoded_body``."""
     import shutil
     import tempfile
 
@@ -520,7 +525,29 @@ def _write_warc_scratch(
         "UTF-8",
     )
     if http_envelope:
-        payload = F.concat(
+        if gzip_every:
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+            from pyspark.sql.types import BinaryType
+
+            def _gz_env(doc: "pd.Series") -> "pd.Series":
+                import gzip as _gzip
+
+                out = []
+                for d in doc:
+                    gz = _gzip.compress(bytes(d), mtime=0)
+                    head = (
+                        "HTTP/1.1 200 OK\r\n"
+                        "Content-Type: text/html; charset=utf-8\r\n"
+                        "Content-Encoding: gzip\r\n"
+                        f"Content-Length: {len(gz)}\r\n\r\n"
+                    ).encode("ascii")
+                    out.append(head + gz)
+                return pd.Series(out, dtype=object)
+
+            _gz_env.__annotations__ = {"doc": pd.Series, "return": pd.Series}
+            gz_env = pandas_udf(_gz_env, BinaryType())
+        plain = F.concat(
             F.encode(
                 F.concat(
                     F.lit(
@@ -535,6 +562,12 @@ def _write_warc_scratch(
             ),
             doc_bytes,
         )
+        if gzip_every:
+            payload = F.when(
+                F.col("doc_id") % int(gzip_every) == 0, gz_env(doc_bytes)
+            ).otherwise(plain)
+        else:
+            payload = plain
         content_type = "application/http; msgtype=response"
     else:
         payload = doc_bytes
@@ -763,7 +796,8 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END crawl-to-corpus pipeline — the production shape every
     r9 piece exists for, chained as one lazy plan: documents wrapped as
     full HTML pages inside a REAL ``HTTP/1.1 200 OK`` envelope (the
-    bytes an actual Common Crawl response record carries) → sunk as
+    bytes an actual Common Crawl response record carries; every 3rd
+    body gzip-coded on the wire, r10b) → sunk as
     ``.warc.gz`` shards (``write_warc_shards``) → re-ingested
     (``read_warc``, binaryFile + Arrow record splitter, which splits
     the HTTP envelope) → boilerplate removal over the split ``body``
@@ -782,6 +816,8 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, prefix="crawlpipe_",
         wrap=(_BOILER_PREFIX, _BOILER_SUFFIX),
         http_envelope=True,
+        gzip_every=3,  # a third of the corpus arrives gzip-coded: the
+        # mixture must be INVARIANT to the wire representation
     )
     # production shape: always decode transfer/content codings before
     # text extraction (identity passthrough here — these records carry
