@@ -2647,3 +2647,96 @@ def test_warc_decoded_body(spark):
         warc.decode_content_encoding(b"x", "br")
     with _pytest.raises(ValueError, match="on_error"):
         warc.decoded_body("body", "http_headers", on_error="skip")
+
+
+def test_jpeg_progressive_decoder_only_paths():
+    """Hand-assembled SOF2 stream exercising the scan shapes our own
+    encoder never emits: a NON-INTERLEAVED (ns=1) DC first scan, a DC
+    refinement, an AC first scan whose trailing EOB merges into a
+    multi-block EOBRUN, and — the key one — an AC REFINEMENT scan that
+    OPENS with a cross-block EOBRUN carrying a correction bit for the
+    first block's nonzero-history coefficient. Final coefficients are
+    fixed by construction (block1 zz=[8,3,…], block2 zz=[16,…], quant
+    1), so the decode is checked against an independent numpy IDCT."""
+    import struct
+
+    import numpy as np
+
+    from dataproc_spark.extensions.jpeg import (
+        _AC_BITS_PROG,
+        _AC_SYMBOLS_PROG,
+        _BitWriter,
+        _DC_BITS,
+        _DC_SYMBOLS,
+        _ZIGZAG,
+        _canonical_codes,
+        _dct_matrix,
+        decode_jpeg,
+        parse_jpeg_meta,
+    )
+
+    dc = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+    ac = _canonical_codes(_AC_BITS_PROG, _AC_SYMBOLS_PROG)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos(comps, ss, se, ah, al):
+        body = bytes([len(comps)]) + b"".join(
+            struct.pack(">BB", c, 0) for c in comps
+        ) + bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1)
+               + struct.pack(">BBB", 1, 0x11, 0))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS_PROG)
+               + bytes(_AC_SYMBOLS_PROG))
+    # DC first, ns=1, Al=1: DCs 8,16 -> 4,8 at Al=1, diffs 4,4
+    bw = _BitWriter()
+    for diff in (4, 4):
+        t = diff.bit_length()
+        code, ln = dc[t]
+        bw.write(code, ln)
+        bw.write(diff, t)
+    out += sos([1], 0, 0, 0, 1) + bw.flush()
+    # DC refinement: both low bits 0
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(0, 1)
+    out += sos([1], 0, 0, 1, 0) + bw.flush()
+    # AC first, Al=1: block1 AC[1] -> 1 (positive), then EOBRUN=2
+    bw = _BitWriter()
+    code, ln = ac[0x01]
+    bw.write(code, ln)
+    bw.write(1, 1)
+    code, ln = ac[0x10]
+    bw.write(code, ln)
+    bw.write(0, 1)
+    out += sos([1], 1, 63, 0, 1) + bw.flush()
+    # AC refinement OPENING with EOBRUN=2 + block1's correction bit
+    bw = _BitWriter()
+    code, ln = ac[0x10]
+    bw.write(code, ln)
+    bw.write(0, 1)
+    bw.write(1, 1)
+    out += sos([1], 1, 63, 1, 0) + bw.flush()
+    out += b"\xFF\xD9"
+    payload = bytes(out)
+
+    meta = parse_jpeg_meta(payload)
+    assert meta["progressive"] and (meta["width"], meta["height"]) == (16, 8)
+    w, h, c, px = decode_jpeg(payload)
+    assert (w, h, c) == (16, 8, 1)
+    A = _dct_matrix()
+    exp = np.zeros((8, 16))
+    for bi, zz in enumerate([(8, 3), (16,)]):
+        coef = np.zeros(64)
+        for i, v in enumerate(zz):
+            coef[_ZIGZAG[i]] = v
+        exp[:, bi * 8:bi * 8 + 8] = A.T @ coef.reshape(8, 8) @ A
+    exp = np.clip(np.round(exp + 128.0), 0, 255).astype(np.uint8)
+    assert (px[:, :, 0] == exp).all()
