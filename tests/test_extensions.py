@@ -2740,3 +2740,30 @@ def test_jpeg_progressive_decoder_only_paths():
         exp[:, bi * 8:bi * 8 + 8] = A.T @ coef.reshape(8, 8) @ A
     exp = np.clip(np.round(exp + 128.0), 0, 255).astype(np.uint8)
     assert (px[:, :, 0] == exp).all()
+
+    # split-SPECTRAL-band variant: the same coefficients delivered as
+    # band (1..1) then band (2..63) with per-band EOB runs — spectral
+    # selection proper, which the fixed encoder script also never emits
+    out2 = bytearray(bytes(out[: out.index(b"\xFF\xDA")]))
+    bw = _BitWriter()
+    for diff in (8, 8):  # DC first at Al=0 this time
+        t = diff.bit_length()
+        code, ln = dc[t]
+        bw.write(code, ln)
+        bw.write(diff, t)
+    out2 += sos([1], 0, 0, 0, 0) + bw.flush()
+    bw = _BitWriter()
+    code, ln = ac[0x02]  # band (1,1): AC[1] = 3 (size 2) in block 1
+    bw.write(code, ln)
+    bw.write(3, 2)
+    code, ln = ac[0x00]  # block 2: EOB within the 1-wide band
+    bw.write(code, ln)
+    out2 += sos([1], 1, 1, 0, 0) + bw.flush()
+    bw = _BitWriter()
+    code, ln = ac[0x10]  # band (2,63): both blocks empty, EOBRUN=2
+    bw.write(code, ln)
+    bw.write(0, 1)
+    out2 += sos([1], 2, 63, 0, 0) + bw.flush()
+    out2 += b"\xFF\xD9"
+    w2, h2, c2, px2 = decode_jpeg(bytes(out2))
+    assert (px2[:, :, 0] == exp).all()
