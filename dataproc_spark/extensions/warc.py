@@ -338,7 +338,9 @@ def read_warc(
 
     src = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc*")
+        # exact extensions, not '*.warc*': the sink's crash-orphaned
+        # '*.warc.gz.inprogress' temps must never ingest as shards
+        .option("pathGlobFilter", "*.{warc,warc.gz}")
         .load(path)
         .select("path", "content")
     )

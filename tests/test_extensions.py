@@ -2374,6 +2374,20 @@ def test_warc_http_envelope_split(spark, tmp_path):
     with _pytest.raises(Exception, match="NULL 'target_uri'"):
         warc.write_warc_shards(nulls, ndir)
     assert not [f for f in os.listdir(ndir) if f.endswith((".warc", ".warc.gz"))]
+    # a crash-orphaned .inprogress temp must never ingest as a shard
+    # (the read glob matches exact extensions only)
+    orphan_dir = str(tmp_path / "orphan")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "s.warc.gz.inprogress"), "wb") as fh:
+        fh.write(b"half a shard")
+    assert warc.read_warc(spark, orphan_dir, skip_malformed=True).count() == 0
+    import pyspark
+
+    try:
+        n = warc.read_warc(spark, orphan_dir).count()
+    except pyspark.errors.AnalysisException:
+        n = 0  # an all-filtered dir may read as pathless — also fine
+    assert n == 0
     # injectable writer target: posix opener with a suffix twist proves
     # the iterator body goes through open_fn, not open()
     out3 = str(tmp_path / "custom")
