@@ -17,10 +17,13 @@ and mostly progressive — so the image decode path
   spectral selection and successive approximation, DC/AC first and
   refinement scans with EOB runs per T.81 G.1.2, coefficients
   accumulated across scans, one IDCT at the end. Both paths: 8-bit
-  precision, 1 or 3 components, 4:4:4 (no subsampling), no restart
-  markers; anything else raises ``ValueError`` with the reason (the
-  quarantine contract: one bad payload must fail loudly per row, not
-  abort a job — the Arrow kernels catch and surface per-row errors).
+  precision, 1 or 3 components, 4:4:4 (no subsampling). Restart
+  markers (DRI/RSTn — most real camera/web baseline JPEGs, r10b)
+  decode on the baseline path, with sequence-number verification;
+  progressive restart is still refused. Anything else raises
+  ``ValueError`` with the reason (the quarantine contract: one bad
+  payload must fail loudly per row, not abort a job — the Arrow
+  kernels catch and surface per-row errors).
 * :func:`encode_jpeg` — the matching deterministic encoder (gray or
   RGB 4:4:4, canonical Huffman tables written to DHT, caller-supplied
   quantization; ``progressive=``/``successive=`` emit real SOF2 scan
@@ -131,6 +134,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.buf)
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align (1-pad) and emit RSTm — marker bytes are written
+        RAW (a marker is exactly the 0xFF a stuffing pass must not
+        escape)."""
+        pad = (8 - self.n % 8) % 8
+        if pad:
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (m % 8)])
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -141,6 +153,7 @@ def encode_jpeg(
     quant: int | list | None = None,
     progressive: bool = False,
     successive: bool = False,
+    restart_interval: int | None = None,
 ) -> bytes:
     """Encode a uint8 array — (h, w) gray or (h, w, 3) RGB — as a JFIF
     JPEG, 4:4:4, canonical Huffman tables.
@@ -158,6 +171,12 @@ def encode_jpeg(
     encoder-side mirror to test against. The quantized coefficients are
     identical across modes, so progressive and baseline encodings of
     the same array decode to identical pixels by construction.
+
+    ``restart_interval=N`` (baseline only, r10b) emits a DRI segment and
+    an RSTm marker every N MCUs — byte-aligned, DC predictors reset —
+    the error-resilience structure most real camera/web baseline JPEGs
+    carry. Restart markers never change the coefficients, so decoded
+    pixels equal the non-restart encoding's by construction.
     """
     import numpy as np
 
@@ -232,8 +251,19 @@ def encode_jpeg(
     comps = b"".join(
         struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
     )
+    if restart_interval is not None:
+        if progressive:
+            raise ValueError(
+                "restart_interval is supported on the baseline path only"
+            )
+        if not 1 <= int(restart_interval) <= 0xFFFF:
+            raise ValueError(
+                f"restart_interval must be in 1..65535, got {restart_interval}"
+            )
     sof_marker = 0xC2 if progressive else 0xC0
     out += seg(sof_marker, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    if restart_interval is not None:
+        out += seg(0xDD, struct.pack(">H", int(restart_interval)))
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS))
     if progressive:
         out += seg(
@@ -248,7 +278,12 @@ def encode_jpeg(
         ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
         bw = _BitWriter()
         prev_dc = [0] * ncomp
+        rst = 0
         for bi in range(nblocks):
+            if restart_interval and bi and bi % int(restart_interval) == 0:
+                bw.restart_marker(rst)
+                rst += 1
+                prev_dc = [0] * ncomp  # predictors reset at every RST
             for c in range(ncomp):
                 qc = blocks[c][bi]
                 # DC
@@ -546,6 +581,27 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code in scan")
 
+    def restart(self, expected: int) -> None:
+        """Consume an RSTm marker at a restart boundary: discard the
+        pad bits of the current byte (already consumed — pos sits on
+        the marker), verify the modulo-8 sequence number, advance."""
+        self.acc = 0
+        self.n = 0
+        if self.buf[self.pos] != 0xFF or not (
+            0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError(
+                f"expected restart marker at byte {self.pos}, got "
+                f"{self.buf[self.pos:self.pos + 2]!r}"
+            )
+        m = self.buf[self.pos + 1] - 0xD0
+        if m != expected % 8:
+            raise ValueError(
+                f"restart marker out of sequence: RST{m}, expected "
+                f"RST{expected % 8}"
+            )
+        self.pos += 2
+
 
 def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
@@ -660,7 +716,9 @@ def _decode_progressive(buf: bytes):
             _parse_dht(data, htabs)
         elif marker == 0xDD:
             if struct.unpack(">H", data[:2])[0] != 0:
-                raise ValueError("restart intervals not supported")
+                raise ValueError(
+                    "restart intervals not supported in progressive scans"
+                )
         elif marker in _SOF_MARKERS:
             if marker != 0xC2:
                 raise ValueError(
@@ -851,6 +909,7 @@ def decode_jpeg(buf: bytes):
     sof = None
     scan_comps = None
     scan_start = None
+    restart_interval = 0
     for marker, start, ln in _walk_segments(buf):
         data = buf[start:start + ln]
         if marker == 0xDB:  # DQT — possibly several tables
@@ -879,9 +938,8 @@ def decode_jpeg(buf: bytes):
             sof = (int(w), int(h), comps)
         elif marker == 0xC4:  # DHT — possibly several tables
             _parse_dht(data, htabs)
-        elif marker == 0xDD:
-            if struct.unpack(">H", data[:2])[0] != 0:
-                raise ValueError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI — restart every N MCUs (0 = off)
+            restart_interval = struct.unpack(">H", data[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = data[0]
             scan_comps = [
@@ -902,8 +960,14 @@ def decode_jpeg(buf: bytes):
     planes = np.zeros((ncomp, bh_ * 8, bw_ * 8), dtype=np.float64)
     br = _BitReader(buf, scan_start)
     prev_dc = [0] * ncomp
+    mcu = rst = 0
     for by in range(bh_):
         for bx in range(bw_):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart(rst)
+                rst += 1
+                prev_dc = [0] * ncomp
+            mcu += 1
             for ci, (cid, dct, act) in enumerate(scan_comps):
                 dtab = htabs.get((0, dct))
                 atab = htabs.get((1, act))
@@ -978,6 +1042,8 @@ def _check_pure_supported(buf: bytes) -> None:
     (r10 review finding)."""
     buf = bytes(buf)  # once — a per-segment copy would be O(n²)
     saw_sof = False
+    sof_kind = None
+    dri = 0
     for marker, start, ln in _walk_segments(buf):
         data = buf[start:start + ln]
         if marker in _SOF_MARKERS:
@@ -985,6 +1051,7 @@ def _check_pure_supported(buf: bytes) -> None:
                 raise ValueError(
                     f"unsupported SOF marker 0xFF{marker:02X}"
                 )
+            sof_kind = marker
             precision, _h, _w, ncomp = struct.unpack(">BHHB", data[:6])
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
@@ -997,10 +1064,12 @@ def _check_pure_supported(buf: bytes) -> None:
                     )
             saw_sof = True
         elif marker == 0xDD:
-            if struct.unpack(">H", data[:2])[0] != 0:
-                raise ValueError("restart intervals not supported")
+            dri = struct.unpack(">H", data[:2])[0]
     if not saw_sof:
         raise ValueError("JPEG missing SOF header")
+    # baseline restart decode landed in r10b; progressive still refuses
+    if dri and sof_kind == 0xC2:
+        raise ValueError("restart intervals not supported in progressive scans")
 
 
 def decode_jpeg_fast(buf: bytes, use_c_codec: bool | None = None):

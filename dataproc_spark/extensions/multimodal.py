@@ -347,6 +347,13 @@ def synthesize_jpegs(
                     quant=1 << (i % 4),
                     progressive=prog,
                     successive=prog and (i // progressive_every) % 2 == 0,
+                    # every 5th BASELINE payload carries restart markers
+                    # (r10b) — pixels are restart-invariant, so the
+                    # arithmetic oracle holds unchanged while the gate
+                    # drives the RSTn decode path
+                    restart_interval=(
+                        2 if not prog and i % 5 == 1 else None
+                    ),
                 )
                 out.append((i, "image/jpeg", payload, wb * 8, hb * 8))
             yield pd.DataFrame(

@@ -2781,3 +2781,49 @@ def test_jpeg_progressive_decoder_only_paths():
     out2 += b"\xFF\xD9"
     w2, h2, c2, px2 = decode_jpeg(bytes(out2))
     assert (px2[:, :, 0] == exp).all()
+
+
+def test_jpeg_restart_markers():
+    """r10b baseline restart intervals: DRI + RSTn roundtrip equals the
+    restart-free encoding across shapes/quants (incl. >8 restarts — the
+    modulo-8 sequence wrap), out-of-sequence markers are loud, the
+    C-codec pre-check accepts baseline DRI but still refuses
+    progressive DRI, and progressive encoding refuses the param."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.jpeg import (
+        _check_pure_supported,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    for _ in range(6):
+        h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        ncomp = int(rng.choice([1, 3]))
+        arr = rng.randint(
+            0, 256, (h, w) if ncomp == 1 else (h, w, 3)
+        ).astype(np.uint8)
+        quant = int(rng.choice([1, 4, 40]))
+        ri = int(rng.choice([1, 2, 5]))
+        plain = decode_jpeg(encode_jpeg(arr, quant=quant))
+        withrst = decode_jpeg(
+            encode_jpeg(arr, quant=quant, restart_interval=ri)
+        )
+        assert (plain[3] == withrst[3]).all()
+    big = rng.randint(0, 256, (8, 8 * 24)).astype(np.uint8)  # 24 MCUs
+    a = decode_jpeg(encode_jpeg(big, quant=2))
+    pay = encode_jpeg(big, quant=2, restart_interval=2)  # 11 RSTs: wraps
+    b = decode_jpeg(pay)
+    assert (a[3] == b[3]).all()
+    _check_pure_supported(pay)  # baseline DRI passes the seam pre-check
+    bad = bytearray(pay)
+    i = bytes(bad).find(b"\xFF\xD0")
+    bad[i + 1] = 0xD5
+    with _pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(bad))
+    with _pytest.raises(ValueError, match="baseline path only"):
+        encode_jpeg(big, progressive=True, restart_interval=2)
+    with _pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(big, restart_interval=0)
