@@ -17,10 +17,12 @@ and mostly progressive — so the image decode path
   spectral selection and successive approximation, DC/AC first and
   refinement scans with EOB runs per T.81 G.1.2, coefficients
   accumulated across scans, one IDCT at the end. Both paths: 8-bit
-  precision, 1 or 3 components, 4:4:4 (no subsampling). Restart
-  markers (DRI/RSTn — most real camera/web baseline JPEGs, r10b)
-  decode on the baseline path, with sequence-number verification;
-  progressive restart is still refused. Anything else raises
+  precision, 1 or 3 components. Baseline additionally decodes (r10b)
+  restart markers (DRI/RSTn, with sequence-number verification) and
+  chroma subsampling with factors 1–2 (4:2:0 / 4:2:2 — the majority
+  web-JPEG formats; pixel-replication upsampling, documented as
+  diverging from libjpeg's fancy interpolation off constant regions).
+  Progressive remains 4:4:4, restart-free. Anything else raises
   ``ValueError`` with the reason (the quarantine contract: one bad
   payload must fail loudly per row, not abort a job — the Arrow
   kernels catch and surface per-row errors).
@@ -154,6 +156,7 @@ def encode_jpeg(
     progressive: bool = False,
     successive: bool = False,
     restart_interval: int | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode a uint8 array — (h, w) gray or (h, w, 3) RGB — as a JFIF
     JPEG, 4:4:4, canonical Huffman tables.
@@ -177,6 +180,14 @@ def encode_jpeg(
     the error-resilience structure most real camera/web baseline JPEGs
     carry. Restart markers never change the coefficients, so decoded
     pixels equal the non-restart encoding's by construction.
+
+    ``subsampling`` (baseline RGB only, r10b): ``'444'`` (default —
+    byte-identical to prior rounds), ``'422'`` (chroma halved
+    horizontally) or ``'420'`` (halved both ways — the majority format
+    of real web JPEGs). Chroma downsampling is a deterministic box
+    average; with block-constant color content at unit quant the round
+    trip stays bit-exact (constant in → constant boxes → DC-only →
+    replicated back out).
     """
     import numpy as np
 
@@ -200,6 +211,9 @@ def encode_jpeg(
     if (q < 1).any() or (q > 255).any():
         raise ValueError("quant entries must be in 1..255")
 
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+
     if ncomp == 3:  # JFIF YCbCr forward transform
         rgb = a.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -214,6 +228,15 @@ def encode_jpeg(
         planes = np.clip(np.round(planes), 0, 255)
     else:
         planes = a.astype(np.float64)
+
+    if subsampling != "444":
+        if progressive:
+            raise ValueError("subsampled encode is baseline-only")
+        if ncomp != 3:
+            raise ValueError("subsampling requires an RGB input")
+        return _encode_baseline_subsampled(
+            planes, h, w, q, subsampling, restart_interval
+        )
 
     # pad to 8×8 multiples by edge replication (decoder crops)
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -454,6 +477,120 @@ def encode_jpeg(
         for c in range(ncomp):
             out += sos_header([c + 1], 1, 63, 1, 0)
             out += ac_refine(c, 0)
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _encode_baseline_subsampled(
+    planes,
+    h: int,
+    w: int,
+    q,
+    subsampling: str,
+    restart_interval: int | None,
+) -> bytes:
+    """Baseline 4:2:2 / 4:2:0 emission: Y at (hs, vs) sampling, chroma
+    at (1, 1), one interleaved scan in MCU order (Y's hs×vs blocks,
+    then Cb, then Cr per MCU). Chroma planes are deterministic box
+    averages of the full-resolution YCbCr transform. Split from the
+    4:4:4 writer so that path stays byte-identical to prior rounds."""
+    import numpy as np
+
+    hs, vs = (2, 2) if subsampling == "420" else (2, 1)
+    if restart_interval is not None and not 1 <= int(restart_interval) <= 0xFFFF:
+        raise ValueError(
+            f"restart_interval must be in 1..65535, got {restart_interval}"
+        )
+    A = _dct_matrix()
+    qz = q[_ZIGZAG]
+    mcu_cols, mcu_rows = -(-w // (8 * hs)), -(-h // (8 * vs))
+
+    def pad_to(plane, ph, pw):
+        return np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+
+    ypl = pad_to(planes[..., 0], mcu_rows * vs * 8, mcu_cols * hs * 8)
+    comp_planes = [ypl]
+    ch, cw = -(-h // vs), -(-w // hs)
+    for ci in (1, 2):
+        full = pad_to(planes[..., ci], ch * vs, cw * hs)
+        down = full.reshape(ch, vs, cw, hs).mean(axis=(1, 3))
+        down = np.clip(np.round(down), 0, 255)
+        comp_planes.append(pad_to(down, mcu_rows * 8, mcu_cols * 8))
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+
+    def emit_block(plane, by, bx, ci):
+        block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+        zz = (A @ block @ A.T).reshape(64)[_ZIGZAG]
+        qc = np.round(zz / qz).astype(np.int64)
+        diff = int(qc[0]) - prev_dc[ci]
+        prev_dc[ci] = int(qc[0])
+        t = _category(diff) if diff else 0
+        code, ln = dc_codes[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = int(np.nonzero(qc[1:])[0][-1]) + 1 if qc[1:].any() else 0
+        for k in range(1, last_nz + 1):
+            v = int(qc[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]
+            bw.write(code, ln)
+
+    mcu = rst = 0
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
+            if restart_interval and mcu and mcu % int(restart_interval) == 0:
+                bw.restart_marker(rst)
+                rst += 1
+                prev_dc = [0, 0, 0]
+            mcu += 1
+            for v in range(vs):
+                for u in range(hs):
+                    emit_block(comp_planes[0], mr * vs + v, mc * hs + u, 0)
+            emit_block(comp_planes[1], mr, mc, 1)
+            emit_block(comp_planes[2], mr, mc, 2)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in qz))
+    samps = [(hs << 4) | vs, 0x11, 0x11]
+    comps = b"".join(
+        struct.pack(">BBB", i + 1, samps[i], 0) for i in range(3)
+    )
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + comps)
+    if restart_interval is not None:
+        out += seg(0xDD, struct.pack(">H", int(restart_interval)))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMBOLS))
+    sos = bytes([3]) + b"".join(
+        struct.pack(">BB", i + 1, 0x00) for i in range(3)
+    ) + b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bw.flush()
     out += b"\xFF\xD9"
     return bytes(out)
 
@@ -930,11 +1067,12 @@ def decode_jpeg(buf: bytes):
             comps = []
             for i in range(ncomp):
                 cid, samp, tq = data[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 15
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "subsampled JPEG not supported (4:4:4 only)"
+                        f"unsupported sampling factor {hi}x{vi}"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
             sof = (int(w), int(h), comps)
         elif marker == 0xC4:  # DHT — possibly several tables
             _parse_dht(data, htabs)
@@ -953,51 +1091,80 @@ def decode_jpeg(buf: bytes):
     ncomp = len(comps)
     if len(scan_comps) != ncomp:
         raise ValueError("multi-scan JPEG not supported")
-    comp_q = {cid: tq for cid, tq in comps}
+    comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
 
     A = _dct_matrix()
-    bw_, bh_ = -(-w // 8), -(-h // 8)
-    planes = np.zeros((ncomp, bh_ * 8, bw_ * 8), dtype=np.float64)
+    # MCU grid from the MAX sampling factors; each component gets its
+    # own block plane (hi×vi blocks per MCU). For 4:4:4 this is exactly
+    # the old one-block-per-component layout.
+    mcu_cols, mcu_rows = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    cplanes = []
+    for cid, _tq, hi, vi in comps:
+        cplanes.append(
+            np.zeros((mcu_rows * vi * 8, mcu_cols * hi * 8), dtype=np.float64)
+        )
     br = _BitReader(buf, scan_start)
     prev_dc = [0] * ncomp
+    cidx = {cid: i for i, (cid, _t, _h, _v) in enumerate(comps)}
     mcu = rst = 0
-    for by in range(bh_):
-        for bx in range(bw_):
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.restart(rst)
                 rst += 1
                 prev_dc = [0] * ncomp
             mcu += 1
-            for ci, (cid, dct, act) in enumerate(scan_comps):
+            for cid, dct, act in scan_comps:
+                ci = cidx[cid]
+                tq, hi, vi = comp_info[cid]
                 dtab = htabs.get((0, dct))
                 atab = htabs.get((1, act))
-                q = qtabs.get(comp_q[cid])
+                q = qtabs.get(tq)
                 if dtab is None or atab is None or q is None:
                     raise ValueError("scan references undefined table")
-                zz = np.zeros(64, dtype=np.int64)
-                t = br.huff(dtab)
-                diff = _extend(br.bits(t), t) if t else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = br.huff(atab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    s = sym & 15
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(br.bits(s), s)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_ZIGZAG] = zz * q[_ZIGZAG]
-                block = A.T @ coef.reshape(8, 8) @ A
-                planes[ci, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
-    planes = planes[:, :h, :w] + 128.0
+                for v in range(vi):
+                    for u in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = br.huff(dtab)
+                        diff = _extend(br.bits(t), t) if t else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = br.huff(atab)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            sz = sym & 15
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index overflow"
+                                )
+                            zz[k] = _extend(br.bits(sz), sz)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz * q[_ZIGZAG]
+                        block = A.T @ coef.reshape(8, 8) @ A
+                        by, bx = mr * vi + v, mc * hi + u
+                        cplanes[ci][
+                            by * 8:by * 8 + 8, bx * 8:bx * 8 + 8
+                        ] = block
+    # crop each component to ITS true dims, replicate up to full res
+    planes = np.zeros((ncomp, h, w), dtype=np.float64)
+    for ci, (cid, _tq, hi, vi) in enumerate(comps):
+        cw_, ch_ = -(-w // (hmax // hi)), -(-h // (vmax // vi))
+        up = np.repeat(
+            np.repeat(cplanes[ci][:ch_, :cw_], vmax // vi, axis=0),
+            hmax // hi,
+            axis=1,
+        )
+        planes[ci] = up[:h, :w]
+    planes = planes + 128.0
     if ncomp == 3:
         y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
         rgb = np.stack(
@@ -1058,9 +1225,17 @@ def _check_pure_supported(buf: bytes) -> None:
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported component count {ncomp}")
             for i in range(ncomp):
-                if data[7 + 3 * i] != 0x11:
+                samp = data[7 + 3 * i]
+                hi, vi = samp >> 4, samp & 15
+                if marker == 0xC2:
+                    # progressive decode is 4:4:4-only (r10 honest gap)
+                    if samp != 0x11:
+                        raise ValueError(
+                            "subsampled progressive JPEG not supported"
+                        )
+                elif hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "subsampled JPEG not supported (4:4:4 only)"
+                        f"unsupported sampling factor {hi}x{vi}"
                     )
             saw_sof = True
         elif marker == 0xDD:

@@ -2549,8 +2549,17 @@ def test_jpeg_c_codec_seam():
     )  # SOF2: accepted (the pure decoder handles it since r10)
     subsampled = bytearray(encode_jpeg(blocks, quant=1))
     sof = bytes(subsampled).find(b"\xFF\xC0")
-    subsampled[sof + 11] = 0x22  # first component sampling 2x2
-    with _pytest.raises(ValueError, match="subsampled"):
+    # r10b: factors 1-2 are now DECODED on the baseline path, so 2x2
+    # passes the pre-check; 3x3 is outside the surface and must raise
+    subsampled[sof + 11] = 0x22
+    _check_pure_supported(bytes(subsampled))
+    subsampled[sof + 11] = 0x33
+    with _pytest.raises(ValueError, match="sampling factor"):
+        _check_pure_supported(bytes(subsampled))
+    # progressive + subsampling stays outside the surface
+    subsampled[sof + 1] = 0xC2
+    subsampled[sof + 11] = 0x22
+    with _pytest.raises(ValueError, match="subsampled progressive"):
         _check_pure_supported(bytes(subsampled))
     with _pytest.raises(ValueError, match="SOF"):
         _check_pure_supported(b"\xFF\xD8\xFF\xD9")
@@ -2827,3 +2836,83 @@ def test_jpeg_restart_markers():
         encode_jpeg(big, progressive=True, restart_interval=2)
     with _pytest.raises(ValueError, match="restart_interval"):
         encode_jpeg(big, restart_interval=0)
+
+
+def test_jpeg_chroma_subsampling():
+    """r10b baseline 4:2:0 / 4:2:2: on block-constant color regions the
+    subsampled decode EQUALS the 4:4:4 decode exactly (constant boxes
+    average to themselves, replication restores them), including odd
+    dimensions and combined with restart markers; random images match
+    an independent numpy model of the subsample pipeline within DCT
+    quant-1 rounding; gray/progressive inputs refuse the parameter."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        parse_jpeg_meta,
+    )
+
+    blocks = np.zeros((16, 32, 3), dtype=np.uint8)
+    blocks[:, :16] = (200, 30, 90)
+    blocks[:, 16:] = (12, 240, 77)
+    ref = decode_jpeg(encode_jpeg(blocks, quant=1))[3]
+    for sub in ("420", "422"):
+        pay = encode_jpeg(blocks, quant=1, subsampling=sub)
+        meta = parse_jpeg_meta(pay)
+        assert (meta["width"], meta["height"], meta["channels"]) == (32, 16, 3)
+        assert (decode_jpeg(pay)[3] == ref).all()
+    odd = np.full((9, 17, 3), (66, 150, 201), dtype=np.uint8)
+    ref_o = decode_jpeg(encode_jpeg(odd, quant=1))[3]
+    for sub in ("420", "422"):
+        px = decode_jpeg(encode_jpeg(odd, quant=1, subsampling=sub))[3]
+        assert px.shape == (9, 17, 3) and (px == ref_o).all()
+    # restart markers interleave at MCU (multi-block) granularity
+    big = np.zeros((16, 96, 3), dtype=np.uint8)
+    for i in range(6):
+        big[:, i * 16:(i + 1) * 16] = ((i * 40) % 256, (i * 77) % 256, 13)
+    p0 = decode_jpeg(encode_jpeg(big, quant=1, subsampling="420"))[3]
+    p2 = decode_jpeg(
+        encode_jpeg(big, quant=1, subsampling="420", restart_interval=2)
+    )[3]
+    assert (p0 == p2).all()
+    # random images vs an independent numpy model of the pipeline
+    rng = np.random.RandomState(3)
+    for _ in range(3):
+        h, w = int(rng.randint(2, 40)), int(rng.randint(2, 40))
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        for sub, (hs, vs) in (("420", (2, 2)), ("422", (2, 1))):
+            got = decode_jpeg(
+                encode_jpeg(img, quant=1, subsampling=sub)
+            )[3].astype(float)
+            rgb = img.astype(float)
+            r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+            y = np.clip(np.round(.299 * r + .587 * g + .114 * b), 0, 255)
+            cb = np.clip(
+                np.round(-.168736 * r - .331264 * g + .5 * b + 128), 0, 255)
+            cr = np.clip(
+                np.round(.5 * r - .418688 * g - .081312 * b + 128), 0, 255)
+            ch, cw = -(-h // vs), -(-w // hs)
+
+            def down(p):
+                pad = np.pad(
+                    p, ((0, ch * vs - h), (0, cw * hs - w)), mode="edge"
+                )
+                return np.clip(np.round(
+                    pad.reshape(ch, vs, cw, hs).mean(axis=(1, 3))), 0, 255)
+
+            cbu = np.repeat(np.repeat(down(cb), vs, 0), hs, 1)[:h, :w]
+            cru = np.repeat(np.repeat(down(cr), vs, 0), hs, 1)[:h, :w]
+            exp = np.clip(np.round(np.stack([
+                y + 1.402 * (cru - 128),
+                y - .344136 * (cbu - 128) - .714136 * (cru - 128),
+                y + 1.772 * (cbu - 128),
+            ], -1)), 0, 255)
+            assert np.abs(got - exp).max() <= 4, sub
+    with _pytest.raises(ValueError, match="RGB"):
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8), subsampling="420")
+    with _pytest.raises(ValueError, match="baseline"):
+        encode_jpeg(blocks, progressive=True, subsampling="420")
+    with _pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(blocks, subsampling="411")
