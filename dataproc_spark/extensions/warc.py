@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -476,12 +477,18 @@ def dechunk_http_body(body: bytes) -> bytes:
         if nl < 0:
             raise ValueError("chunked body: missing size line terminator")
         size_token = body[pos:nl].split(b";", 1)[0].strip()
-        try:
-            n = int(size_token, 16)
-        except ValueError:
+        # Strict RFC 9112 chunk-size grammar: 1*HEXDIG only. Python's
+        # int(x, 16) also accepts '-6'/'+6'/'1_0' forms; a negative size
+        # would move pos BACKWARDS and loop forever on untrusted crawl
+        # bytes (and mis-slice via pos+n), so reject anything non-HEXDIG
+        # before converting.
+        if not size_token or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_token
+        ):
             raise ValueError(
                 f"chunked body: invalid chunk size {size_token[:16]!r}"
             )
+        n = int(size_token, 16)
         pos = nl + 2
         if n == 0:
             return bytes(out)  # trailer section (if any) is discarded
@@ -509,7 +516,12 @@ def decode_content_encoding(body: bytes, encoding: str | None) -> bytes:
     if enc in ("gzip", "x-gzip"):
         try:
             return gzip.decompress(body)
-        except OSError as exc:
+        except (OSError, EOFError, zlib.error) as exc:
+            # A TRUNCATED gzip stream raises EOFError, not OSError; a
+            # corrupt deflate payload inside the gzip wrapper raises
+            # zlib.error. All must map to the ValueError quarantine
+            # contract or one bad record aborts the whole task even
+            # under on_error='null'.
             raise ValueError(f"bad gzip body: {exc}")
     if enc == "deflate":
         try:
@@ -519,7 +531,41 @@ def decode_content_encoding(body: bytes, encoding: str | None) -> bytes:
                 return zlib.decompress(body, -15)  # raw-deflate servers
             except zlib.error as exc:
                 raise ValueError(f"bad deflate body: {exc}")
+    if enc == "br":
+        # Brotli (RFC 7932) is a major share of the modern web but has
+        # no practical pure-Python decoder — an import-try seam like
+        # the JPEG module's libjpeg path: use the C lib when present,
+        # else raise the quarantine ValueError so decoded_body
+        # (on_error='null') routes the row to NULL with the coding
+        # still visible in ``http_headers`` for a quarantine sink.
+        brotli = _brotli_module()
+        if brotli is None:
+            raise ValueError(
+                "Content-Encoding 'br': no brotli decoder installed "
+                "(pip install brotli) — row quarantined"
+            )
+        try:
+            return brotli.decompress(body)
+        except Exception as exc:  # brotli raises its own error class
+            raise ValueError(f"bad brotli body: {exc}")
     raise ValueError(f"unsupported Content-Encoding {encoding!r}")
+
+
+def _brotli_module():
+    """Import-try seam for the optional brotli decoder (either the
+    Google ``brotli`` binding or the CFFI twin). Returns the module or
+    None — split out so tests can monkeypatch the 'absent' path even
+    when the lib is installed."""
+    try:
+        import brotli  # type: ignore
+        return brotli
+    except ImportError:
+        pass
+    try:
+        import brotlicffi  # type: ignore
+        return brotlicffi
+    except ImportError:
+        return None
 
 
 def decode_http_payload(
@@ -586,3 +632,183 @@ def decoded_body(
         F.element_at(hc, "transfer-encoding"),
         F.element_at(hc, "content-encoding"),
     )
+
+
+# ---------------------------------------------------------------------------
+# charset-aware body -> text (r11)
+# ---------------------------------------------------------------------------
+
+#: WHATWG Encoding Standard label -> Python codec, for the labels whose
+#: WHATWG mapping DIFFERS from what ``codecs.lookup`` would pick (the
+#: web's legacy aliasing: every "latin-1"/"ascii" page is really
+#: windows-1252, every "gb2312" page is really GBK, etc.). Labels not
+#: listed here fall through to ``codecs.lookup`` unchanged. Public
+#: knowledge: https://encoding.spec.whatwg.org/#names-and-labels.
+_WHATWG_CHARSET_OVERRIDES = {
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "l1": "windows-1252",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "iso-8859-9": "windows-1254",
+    "iso8859-9": "windows-1254",
+    "gb2312": "gbk",
+    "gb_2312-80": "gbk",
+    "chinese": "gbk",
+    "csgb2312": "gbk",
+    "x-sjis": "shift_jis",
+    "ms_kanji": "shift_jis",
+    "ks_c_5601-1987": "cp949",
+    "korean": "cp949",
+    "euc-kr": "cp949",
+    "tis-620": "cp874",       # Python has no 'windows-874' alias
+    "iso-8859-11": "cp874",
+    "windows-874": "cp874",
+    "x-user-defined": "windows-1252",  # closest total 1-byte codec
+}
+
+
+def resolve_charset(label: str) -> str:
+    """Normalize a charset label (from a ``charset=`` parameter or a
+    ``<meta>`` prescan) to a Python codec name: strip quotes/space,
+    lowercase, apply the WHATWG legacy overrides, then verify the codec
+    exists. Unknown labels raise ``ValueError`` — the quarantine
+    contract; silently decoding with the wrong codec would mojibake
+    every downstream operator."""
+    import codecs
+
+    norm = label.strip().strip("'\"").strip().lower()
+    if not norm:
+        raise ValueError("empty charset label")
+    norm = _WHATWG_CHARSET_OVERRIDES.get(norm, norm)
+    try:
+        return codecs.lookup(norm).name
+    except LookupError:
+        raise ValueError(f"unknown charset label {label!r}")
+
+
+def charset_of_content_type(content_type: str | None) -> str | None:
+    """The raw ``charset=`` parameter of a media type (RFC 9110 §8.3),
+    or None when absent. Token and quoted-string forms both parse;
+    the label is returned UN-resolved (callers decide strictness)."""
+    if not content_type:
+        return None
+    m = re.search(
+        r";\s*charset\s*=\s*(\"[^\"]*\"|'[^']*'|[^;\s]+)",
+        content_type,
+        re.IGNORECASE,
+    )
+    if not m:
+        return None
+    return m.group(1).strip("'\"")
+
+
+#: HTML5 §13.2.3.2-style prescan patterns over the first KiB of bytes:
+#: <meta charset=...> and the legacy http-equiv Content-Type form.
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,200}?charset\s*=\s*([\"']?)([a-zA-Z0-9_\-:.]+)\1",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def sniff_meta_charset(body: bytes, limit: int = 1024) -> str | None:
+    """Prescan the first ``limit`` bytes for an HTML ``<meta>`` charset
+    declaration — the HTML5 encoding-sniff step browsers run when the
+    transport layer didn't say (every legacy charset worth sniffing is
+    ASCII-transparent in the ``<head>``, so scanning raw bytes is
+    sound). Returns the raw label or None. Both the modern
+    ``<meta charset=x>`` and the legacy ``<meta http-equiv=...
+    content="text/html; charset=x">`` forms match (the regex keys on
+    the ``charset=`` attribute/parameter either way)."""
+    m = _META_CHARSET_RE.search(bytes(body)[:limit])
+    if not m:
+        return None
+    return m.group(2).decode("ascii", "replace")
+
+
+def decode_body_text(body: bytes, content_type: str | None) -> str:
+    """Decode an (already content-decoded) HTTP body to text, resolving
+    the encoding the way a browser does (WHATWG sniff order):
+
+    1. **BOM** — UTF-8/UTF-16 byte-order marks override everything
+       (the spec: a BOM is "more authoritative than anything else");
+    2. the ``charset=`` parameter of ``content_type``;
+    3. an HTML ``<meta>`` prescan of the first KiB;
+    4. fall back to UTF-8 with U+FFFD replacement — undeclared legacy
+       bytes yield replacement characters, never a crash, because an
+       undeclared page gives us nothing to be strict against.
+
+    A DECLARED charset decodes strictly: bytes that violate the
+    declaration (the mojibake trap — e.g. windows-1251 bytes under a
+    ``charset=utf-8`` header) raise ``ValueError`` so :func:`body_text`
+    can quarantine the row instead of silently shipping mojibake into
+    a training corpus. Unknown labels also raise."""
+    body = bytes(body)
+    if body.startswith(b"\xef\xbb\xbf"):
+        codec = "utf-8-sig"
+    elif body.startswith(b"\xff\xfe") or body.startswith(b"\xfe\xff"):
+        codec = "utf-16"  # consumes the BOM, picks the right endianness
+    else:
+        label = charset_of_content_type(content_type)
+        if label is None:
+            label = sniff_meta_charset(body)
+        if label is None:
+            return body.decode("utf-8", "replace")
+        codec = resolve_charset(label)
+    try:
+        return body.decode(codec)
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"body does not decode as declared {codec}: {exc}")
+
+
+def body_text(
+    body_col,
+    content_type_col,
+    on_error: str = "fail",
+):
+    """Column expression: the HTTP body decoded to TEXT with browser-
+    style charset resolution (:func:`decode_body_text`) — the stage
+    between :func:`decoded_body` (bytes off the wire) and every text
+    operator downstream. A real crawl is full of windows-1251 /
+    shift_jis / gbk / latin-1 pages; hard-coding ``F.decode(...,
+    'UTF-8')`` either mojibakes or NULLs them out.
+
+    Arrow-batched pandas UDF over (body bytes, the record's
+    ``http_content_type``); NULL bodies stay NULL. ``on_error='fail'``
+    aborts on the first row whose declared charset is violated or
+    unknown; ``'null'`` maps those rows to NULL for quarantine routing
+    — same contract as :func:`decoded_body`."""
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be 'fail' or 'null', got {on_error!r}")
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(body, ct):
+        out = []
+        for b, c in zip(body, ct):
+            if b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(decode_body_text(b, c))
+            except ValueError:
+                if on_error == "null":
+                    out.append(None)
+                else:
+                    raise
+        return pd.Series(out, dtype=object)
+
+    _kernel.__annotations__ = {
+        "body": pd.Series, "ct": pd.Series, "return": pd.Series,
+    }
+    udf = pandas_udf(_kernel, StringType())
+    bc = F.col(body_col) if isinstance(body_col, str) else body_col
+    cc = (
+        F.col(content_type_col)
+        if isinstance(content_type_col, str)
+        else content_type_col
+    )
+    return udf(bc, cc)

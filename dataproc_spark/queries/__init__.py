@@ -281,6 +281,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warc_http_split": (q_warc_http_split, SQL_WARC_HTTP_SPLIT),
     "lang_script_predict": (q_lang_script_predict, SQL_LANG_SCRIPT_PREDICT),
     "cross_doc_spans": (q_cross_doc_spans, SQL_CROSS_DOC_SPANS),
+    # -- r11 additions: crawl text realism -----------------------------------
+    "charset_body_text": (q_charset_body_text, SQL_CHARSET_BODY_TEXT),
 }
 
 
@@ -293,10 +295,23 @@ ALWAYS_VERIFY = ("select_top_t", "evaluate_sweep", "resolve_buckets", "tpch_q6")
 #: automatically once a row from a later round lands, so a forgotten
 #: entry costs one window slot for exactly one round, never forever).
 #: Curated per round by the builder alongside the round's changes.
-#: r10: crawl_pipeline was rebased onto the HTTP-envelope split (reads
-#: ``body`` from real HTTP/1.1-wrapped WARC records) — its r9 row
-#: vouches for the bare-HTML form only.
-REVERIFY_STALE_EVIDENCE: dict[str, int] = {"crawl_pipeline": 9}
+#: r11: four gates were rebased DURING r10 after their newest driver
+#: rows (r9) were recorded, so those rows vouch for pre-rebase behavior
+#: (r10 VERDICT finding): registered_domain_psl (full 1,074-rule PSL
+#: snapshot replaced the curated subset), multimodal_jpeg (fixtures now
+#: carry progressive/restart/subsampled streams), and lang_predict /
+#: lang_mixture (the trigram profile constant gained non-Latin
+#: languages). crawl_pipeline's r10 pin self-lifted (green r10 row).
+REVERIFY_STALE_EVIDENCE: dict[str, int] = {
+    "registered_domain_psl": 9,
+    "multimodal_jpeg": 9,
+    "lang_predict": 9,
+    "lang_mixture": 9,
+    # r11: crawl_pipeline was rebased AGAIN (UTF-16 page arm + the
+    # charset-aware body_text stage replaced the hard-coded UTF-8
+    # decode) after its green r10 row — re-record under the new shape.
+    "crawl_pipeline": 10,
+}
 
 #: per-process cache for :func:`registry_order`, keyed on the artifact
 #: files' (path, mtime, size) fingerprint

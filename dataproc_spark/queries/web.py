@@ -493,6 +493,7 @@ def _write_warc_scratch(
     wrap: tuple[str, str],
     http_envelope: bool = False,
     gzip_every: int | None = None,
+    utf16_every: int | None = None,
 ) -> str:
     """Shared WARC-gate synthesis (r9 review: the URI/payload select was
     copy-pasted between the two gates): wrap each document's text in
@@ -511,19 +512,31 @@ def _write_warc_scratch(
     ``gzip_every=N`` additionally gzip-codes every Nth document's body
     on the wire (deterministic mtime-0 gzip, ``Content-Encoding: gzip``
     header) — downstream results must be INVARIANT to the wire
-    representation once routed through ``decoded_body``."""
+    representation once routed through ``decoded_body``.
+    ``utf16_every=N`` (r11) encodes every Nth document's page as
+    UTF-16-with-BOM while the envelope still (wrongly, as real servers
+    do) claims ``charset=utf-8`` — the BOM is more authoritative than
+    the header (WHATWG sniff order), so results must ALSO be invariant
+    to the page encoding once routed through ``body_text``; a
+    hard-coded UTF-8 decode turns these pages into NUL-ridden mojibake.
+    The two arms intersect (gzip'd UTF-16 pages) when both are set."""
     import shutil
     import tempfile
 
     from dataproc_spark.extensions import warc as warcx
 
-    doc_bytes = F.encode(
-        F.concat(
-            F.lit(wrap[0]), F.coalesce(F.col("text"), F.lit("")),
-            F.lit(wrap[1]),
-        ),
-        "UTF-8",
+    doc_text = F.concat(
+        F.lit(wrap[0]), F.coalesce(F.col("text"), F.lit("")),
+        F.lit(wrap[1]),
     )
+    doc_bytes = F.encode(doc_text, "UTF-8")
+    if utf16_every:
+        # Java's UTF-16 charset emits a big-endian BOM — exactly the
+        # byte shape decode_body_text's sniff step keys on
+        doc_bytes = F.when(
+            F.col("doc_id") % int(utf16_every) == 1,
+            F.encode(doc_text, "UTF-16"),
+        ).otherwise(doc_bytes)
     if http_envelope:
         if gzip_every:
             import pandas as pd
@@ -797,17 +810,21 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     r9 piece exists for, chained as one lazy plan: documents wrapped as
     full HTML pages inside a REAL ``HTTP/1.1 200 OK`` envelope (the
     bytes an actual Common Crawl response record carries; every 3rd
-    body gzip-coded on the wire, r10b) → sunk as
-    ``.warc.gz`` shards (``write_warc_shards``) → re-ingested
-    (``read_warc``, binaryFile + Arrow record splitter, which splits
-    the HTTP envelope) → boilerplate removal over the split ``body``
-    (``extract_main_text`` — fed headers, it would score them as text;
-    the r10 envelope split is what makes this correct on real archives)
-    → trigram language-ID (``predicted_lang``) → language mixture in
-    integer basis points (``domain_mixture`` machinery). The oracle
-    replays the whole chain relationally in DuckDB from the same shared
-    template/regex/profile constants — WARC + envelope split are
-    exercised as a true identity layer inside a longer pipeline."""
+    body gzip-coded on the wire, r10b; every 5th page UTF-16-with-BOM
+    under a header that wrongly claims utf-8, r11 — some pages are
+    BOTH) → sunk as ``.warc.gz`` shards (``write_warc_shards``) →
+    re-ingested (``read_warc``, binaryFile + Arrow record splitter,
+    which splits the HTTP envelope) → charset-aware text decode
+    (``body_text`` — BOM > header > meta sniff; a hard-coded UTF-8
+    decode would mojibake the UTF-16 pages into NUL soup and skew the
+    mixture) → boilerplate removal (``extract_main_text`` — fed
+    headers, it would score them as text; the r10 envelope split is
+    what makes this correct on real archives) → trigram language-ID
+    (``predicted_lang``) → language mixture in integer basis points
+    (``domain_mixture`` machinery). The oracle replays the whole chain
+    relationally in DuckDB from the same shared template/regex/profile
+    constants — WARC + envelope split + wire codings + page encodings
+    are exercised as a true identity layer inside a longer pipeline."""
     from dataproc_spark.extensions import warc as warcx
     from dataproc_spark.extensions.textstats import predicted_lang
     from dataproc_spark.queries.diagnostics import _materialize_and_clean
@@ -818,12 +835,19 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         http_envelope=True,
         gzip_every=3,  # a third of the corpus arrives gzip-coded: the
         # mixture must be INVARIANT to the wire representation
+        utf16_every=5,  # …and a fifth of the PAGES are UTF-16-with-BOM
+        # under a lying charset=utf-8 header: invariant to page encoding
     )
-    # production shape: always decode transfer/content codings before
-    # text extraction (identity passthrough here — these records carry
-    # no coding headers — but the stage belongs in the flagship plan)
+    # production shape: always decode transfer/content codings, then
+    # resolve the page charset, before text extraction — a third of
+    # these bodies are gzip-coded ON THE WIRE (gzip_every=3 above) and
+    # a fifth are UTF-16 pages (utf16_every=5), so BOTH stages are
+    # load-bearing: the mixture is only invariant because they run
     main = web.extract_main_text(
-        F.decode(warcx.decoded_body("body", "http_headers"), "UTF-8")
+        warcx.body_text(
+            warcx.decoded_body("body", "http_headers"),
+            F.col("http_content_type"),
+        )
     )
     scored = warcx.read_warc(spark, out).select(
         main.alias("main")
@@ -871,3 +895,130 @@ FROM per
 
 
 SQL_CRAWL_PIPELINE = _make_sql_crawl_pipeline()
+
+
+# --------------------------------------------------------------------------
+# r11: charset-aware body -> text
+# --------------------------------------------------------------------------
+
+#: per-arm non-ASCII suffixes — the ONE set of constants both the Spark
+#: fixture kernel and the DuckDB oracle derive from, so the two sides
+#: cannot drift. The documents text is pure ASCII; these suffixes are
+#: what make each charset arm load-bearing (an ASCII body encodes
+#: identically in every legacy charset).
+_CS_SUF_1251 = " — тест кодировки"      # cp1251: Cyrillic + em-dash
+_CS_SUF_SJIS = " 日本語テスト"            # shift_jis
+_CS_SUF_1252 = " café €1"                # € exists in cp1252, NOT latin-1
+_CS_SUF_KOI8 = " проверка"               # koi8-r, declared only in <meta>
+_CS_META_PREFIX = '<meta charset="koi8-r">'
+_CS_SUF_TRAP = " ловушка"                # cp1251 bytes under a utf-8 label
+_CS_SUF_FALLBACK = " привет"             # cp1251 bytes, nothing declared
+#: what UTF-8-with-replacement makes of the undeclared cp1251 bytes —
+#: computed ONCE here and spliced into both sides' expectations
+_CS_FALLBACK_REPLACED = _CS_SUF_FALLBACK.encode("cp1251").decode(
+    "utf-8", "replace"
+)
+
+
+def q_charset_body_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware body→text decode (``warc.body_text`` /
+    ``decode_body_text``): a real crawl is full of windows-1251 /
+    shift_jis / gbk / latin-1 pages, and the r10 pipeline hard-coded
+    ``F.decode(..., 'UTF-8')`` — mojibake or NULL on every one of them.
+    Six arms per document (fixture bytes synthesized in an Arrow
+    kernel from the shared suffix constants):
+
+    0. ``charset=windows-1251`` header, cp1251 bytes → exact text;
+    1. ``charset=Shift_JIS`` header (case/underscore label) → exact;
+    2. ``charset=iso-8859-1`` header but bytes containing ``€`` (0x80)
+       — the WHATWG latin-1→windows-1252 override is load-bearing: a
+       literal latin-1 decode yields U+0080, not ``€``;
+    3. NO header charset; ``<meta charset="koi8-r">`` prescan decides;
+    4. the mojibake TRAP: cp1251 bytes under ``charset=utf-8`` — the
+       declared-strict decode must fail and quarantine to NULL, never
+       ship mojibake;
+    5. nothing declared anywhere: UTF-8 with U+FFFD replacement — the
+       expected string (ASCII text + the replaced suffix constant) is
+       computed once and shared with the oracle.
+
+    The oracle rebuilds every arm's expected TEXT from ``documents``
+    and the same constants — pure identity for arms 0–3, NULL for 4,
+    the precomputed replacement string for 5."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from dataproc_spark.extensions import warc as warcx
+
+    def _payload(doc_id: "pd.Series", text: "pd.Series") -> "pd.Series":
+        out = []
+        for i, t in zip(doc_id, text):
+            t = t or ""
+            arm = int(i) % 6
+            if arm == 0:
+                out.append((t + _CS_SUF_1251).encode("cp1251"))
+            elif arm == 1:
+                out.append((t + _CS_SUF_SJIS).encode("shift_jis"))
+            elif arm == 2:
+                out.append((t + _CS_SUF_1252).encode("cp1252"))
+            elif arm == 3:
+                out.append(
+                    (_CS_META_PREFIX + t + _CS_SUF_KOI8).encode("koi8-r")
+                )
+            elif arm == 4:
+                out.append((t + _CS_SUF_TRAP).encode("cp1251"))
+            else:
+                out.append((t + _CS_SUF_FALLBACK).encode("cp1251"))
+        return pd.Series(out, dtype=object)
+
+    _payload.__annotations__ = {
+        "doc_id": pd.Series, "text": pd.Series, "return": pd.Series,
+    }
+    payload_udf = pandas_udf(_payload, BinaryType())
+
+    arm = F.col("doc_id") % 6
+    ct = (
+        F.when(arm == 0, F.lit("text/html; charset=windows-1251"))
+        .when(arm == 1, F.lit("text/html; charset=Shift_JIS"))
+        .when(arm == 2, F.lit("text/html; charset=iso-8859-1"))
+        .when(arm == 4, F.lit("text/html; charset=utf-8"))
+        .otherwise(F.lit("text/html"))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        payload_udf(F.col("doc_id"), F.col("text")).alias("payload"),
+        ct.alias("http_content_type"),
+    )
+    bt = warcx.body_text("payload", "http_content_type", on_error="null")
+    return docs.select(
+        "doc_id",
+        bt.alias("body_text"),
+        F.length(bt).cast("long").alias("n_chars_text"),
+    )
+
+
+def _make_sql_charset_body_text() -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return f"""
+WITH b AS (
+    SELECT doc_id,
+           CASE doc_id % 6
+               WHEN 0 THEN coalesce(text, '') || {lit(_CS_SUF_1251)}
+               WHEN 1 THEN coalesce(text, '') || {lit(_CS_SUF_SJIS)}
+               WHEN 2 THEN coalesce(text, '') || {lit(_CS_SUF_1252)}
+               WHEN 3 THEN {lit(_CS_META_PREFIX)} || coalesce(text, '')
+                           || {lit(_CS_SUF_KOI8)}
+               WHEN 4 THEN NULL
+               ELSE coalesce(text, '') || {lit(_CS_FALLBACK_REPLACED)}
+           END AS body_text
+    FROM documents
+)
+SELECT doc_id, body_text,
+       CAST(length(body_text) AS BIGINT) AS n_chars_text
+FROM b
+"""
+
+
+SQL_CHARSET_BODY_TEXT = _make_sql_charset_body_text()

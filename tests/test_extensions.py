@@ -2665,11 +2665,45 @@ def test_warc_decoded_body(spark):
         ).collect()
     }
     assert got2 == {1: None, 2: b"ok"}
-    # unknown coding (brotli without the lib) is loud, never silent
+    # genuinely unknown codings are loud, never silent
     with _pytest.raises(ValueError, match="unsupported Content-Encoding"):
-        warc.decode_content_encoding(b"x", "br")
+        warc.decode_content_encoding(b"x", "zstd")
     with _pytest.raises(ValueError, match="on_error"):
         warc.decoded_body("body", "http_headers", on_error="skip")
+
+
+def test_http_codec_hostile_inputs():
+    """r11 ADVICE regressions: (a) a NEGATIVE hex chunk size ('-6')
+    must raise, not move ``pos`` backwards and loop forever (Python's
+    int(x, 16) accepts '-6'/'+6'/'1_0'); (b) a TRUNCATED gzip body
+    raises EOFError, which must map into the ValueError quarantine
+    contract so on_error='null' can catch it."""
+    import gzip
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import warc
+
+    # (a) hostile chunk-size tokens — every non-1*HEXDIG form rejected
+    for evil in (b"1\r\nA\r\n-6\r\n", b"+2\r\nAB\r\n0\r\n\r\n",
+                 b"1_0\r\n" + b"x" * 16 + b"\r\n0\r\n\r\n",
+                 b"\r\nA\r\n0\r\n\r\n", b"0x4\r\nWiki\r\n0\r\n\r\n"):
+        with _pytest.raises(ValueError, match="chunk size"):
+            warc.dechunk_http_body(evil)
+    # well-formed framing still decodes (guard didn't over-tighten)
+    assert warc.dechunk_http_body(
+        b"4;ext=1\r\nWiki\r\n0\r\n\r\n") == b"Wiki"
+    # (b) truncated gzip → ValueError, and NULL under on_error='null'
+    trunc = gzip.compress(b"hello world", mtime=0)[:-4]
+    with _pytest.raises(ValueError, match="bad gzip"):
+        warc.decode_content_encoding(trunc, "gzip")
+    # corrupt deflate stream inside an intact gzip header → zlib.error
+    corrupt = bytearray(gzip.compress(b"hello world" * 4, mtime=0))
+    corrupt[15] ^= 0xFF
+    with _pytest.raises(ValueError, match="bad gzip"):
+        warc.decode_content_encoding(bytes(corrupt), "gzip")
+    assert _zlib  # imported for parity with the deflate contract
 
 
 def test_jpeg_progressive_decoder_only_paths():
@@ -2916,3 +2950,105 @@ def test_jpeg_chroma_subsampling():
         encode_jpeg(blocks, progressive=True, subsampling="420")
     with _pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(blocks, subsampling="411")
+
+
+def test_body_text_charset_column(spark):
+    """r11 charset-aware decode as a Column: header charset, WHATWG
+    latin-1→cp1252 override, meta prescan, BOM precedence over a lying
+    header, the mojibake trap under both on_error modes, NULL body
+    passthrough, and the undeclared UTF-8-replace fallback."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import warc
+
+    rows = [
+        (0, "привет".encode("cp1251"), "text/html; charset=windows-1251"),
+        (1, b"\x80cheap", "text/html; charset=latin-1"),  # 0x80 = € in 1252
+        (2, '<meta charset="koi8-r">да'.encode("koi8-r"), "text/html"),
+        (3, "﻿bom wins".encode("utf-8"),
+         "text/html; charset=windows-1251"),
+        (4, "ловушка".encode("cp1251"), "text/html; charset=utf-8"),
+        (5, None, "text/html"),
+        (6, "тест".encode("cp1251"), None),  # nothing declared anywhere
+    ]
+    df = spark.createDataFrame(rows, "i long, body binary, ct string")
+    got = {
+        r.i: r.t
+        for r in df.select(
+            "i", warc.body_text("body", "ct", on_error="null").alias("t")
+        ).collect()
+    }
+    assert got[0] == "привет"
+    assert got[1] == "€cheap"
+    assert got[2] == '<meta charset="koi8-r">да'
+    assert got[3] == "bom wins"
+    assert got[4] is None  # declared-utf-8 violation quarantined
+    assert got[5] is None  # NULL body stays NULL
+    assert got[6] == "тест".encode("cp1251").decode("utf-8", "replace")
+    with _pytest.raises(Exception, match="does not decode as declared"):
+        df.select(warc.body_text("body", "ct")).collect()
+    with _pytest.raises(ValueError, match="on_error"):
+        warc.body_text("body", "ct", on_error="skip")
+
+
+def test_brotli_seam(monkeypatch):
+    """r11 brotli content-coding: absent-lib path quarantines with a
+    ValueError (never a silent passthrough of compressed bytes), the
+    wired path routes through the module's decompress, and decoder
+    errors map into the quarantine contract. The real lib, when
+    installed, must roundtrip."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import warc
+
+    monkeypatch.setattr(warc, "_brotli_module", lambda: None)
+    with _pytest.raises(ValueError, match="no brotli decoder"):
+        warc.decode_content_encoding(b"\x0b\x01\x80hi\x03", "br")
+
+    class _FakeBrotli:
+        @staticmethod
+        def decompress(b):
+            if b == b"magic":
+                return b"decoded!"
+            raise RuntimeError("corrupt stream")
+
+    monkeypatch.setattr(warc, "_brotli_module", lambda: _FakeBrotli)
+    assert warc.decode_content_encoding(b"magic", "br") == b"decoded!"
+    with _pytest.raises(ValueError, match="bad brotli body"):
+        warc.decode_content_encoding(b"junk", "br")
+
+    monkeypatch.undo()
+    real = warc._brotli_module()
+    if real is None:
+        _pytest.skip("brotli not installed — real-roundtrip arm skipped")
+    wire = real.compress(b"hello brotli " * 10)
+    assert warc.decode_content_encoding(wire, "br") == b"hello brotli " * 10
+
+
+def test_charset_resolution_edges():
+    """Label normalization: quotes/case/space, WHATWG legacy overrides
+    (gb2312→gbk, euc-kr→cp949, ascii→cp1252), unknown labels raise, and
+    the content-type parameter parser handles quoted values and missing
+    params."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import warc
+
+    assert warc.resolve_charset('  "UTF-8" ') == "utf-8"
+    assert warc.resolve_charset("GB2312") == "gbk"
+    assert warc.resolve_charset("EUC-KR") == "cp949"
+    assert warc.resolve_charset("ascii") == "cp1252"
+    assert warc.resolve_charset("tis-620") == "cp874"
+    for bad in ("klingon-1", "", "   "):
+        with _pytest.raises(ValueError):
+            warc.resolve_charset(bad)
+    assert warc.charset_of_content_type(
+        'text/html; boundary=x; charset="Shift_JIS"') == "Shift_JIS"
+    assert warc.charset_of_content_type("text/html") is None
+    assert warc.charset_of_content_type(None) is None
+    # prescan: only the first KiB is examined (HTML5 prescan bound)
+    far = b" " * 2000 + b'<meta charset="koi8-r">'
+    assert warc.sniff_meta_charset(far) is None
+    assert warc.sniff_meta_charset(
+        b'<META HTTP-EQUIV="Content-Type" '
+        b'CONTENT="text/html; charset=windows-1251">') == "windows-1251"
