@@ -175,19 +175,25 @@ def encode_jpeg(
     identical across modes, so progressive and baseline encodings of
     the same array decode to identical pixels by construction.
 
-    ``restart_interval=N`` (baseline only, r10b) emits a DRI segment and
-    an RSTm marker every N MCUs — byte-aligned, DC predictors reset —
-    the error-resilience structure most real camera/web baseline JPEGs
-    carry. Restart markers never change the coefficients, so decoded
-    pixels equal the non-restart encoding's by construction.
+    ``restart_interval=N`` (baseline r10b, progressive r11) emits a DRI
+    segment and an RSTm marker every N restart units — byte-aligned, DC
+    predictors reset, EOB runs flushed at the boundary — the
+    error-resilience structure most real camera/web JPEGs carry. The
+    unit is an MCU in interleaved scans and a data unit in the
+    non-interleaved scans a progressive script is mostly made of
+    (T.81 B.2.1). Restart markers never change the coefficients, so
+    decoded pixels equal the non-restart encoding's by construction.
 
-    ``subsampling`` (baseline RGB only, r10b): ``'444'`` (default —
-    byte-identical to prior rounds), ``'422'`` (chroma halved
-    horizontally) or ``'420'`` (halved both ways — the majority format
-    of real web JPEGs). Chroma downsampling is a deterministic box
-    average; with block-constant color content at unit quant the round
-    trip stays bit-exact (constant in → constant boxes → DC-only →
-    replicated back out).
+    ``subsampling`` (RGB only; baseline r10b, progressive r11):
+    ``'444'`` (default — byte-identical to prior rounds), ``'422'``
+    (chroma halved horizontally) or ``'420'`` (halved both ways — the
+    majority format of real web JPEGs). Chroma downsampling is a
+    deterministic box average; with block-constant color content at
+    unit quant the round trip stays bit-exact (constant in → constant
+    boxes → DC-only → replicated back out). In progressive mode the
+    interleaved DC scan covers each component's MCU-padded block grid
+    while the per-component AC scans cover only its true grid — the
+    T.81 A.2 asymmetry real subsampled progressive files carry.
     """
     import numpy as np
 
@@ -230,33 +236,73 @@ def encode_jpeg(
         planes = a.astype(np.float64)
 
     if subsampling != "444":
-        if progressive:
-            raise ValueError("subsampled encode is baseline-only")
         if ncomp != 3:
             raise ValueError("subsampling requires an RGB input")
-        return _encode_baseline_subsampled(
-            planes, h, w, q, subsampling, restart_interval
-        )
-
-    # pad to 8×8 multiples by edge replication (decoder crops)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(planes, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+        if not progressive:
+            return _encode_baseline_subsampled(
+                planes, h, w, q, subsampling, restart_interval
+            )
+        samp = [(2, 2) if subsampling == "420" else (2, 1), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * ncomp
 
     A = _dct_matrix()
     qz = q[_ZIGZAG]  # quant table in zigzag order, matching coef order
-    nbx, nby = pw // 8, ph // 8
-    # quantized coefficient blocks, zigzag order, raster per component —
-    # shared by the baseline and progressive scan writers so the modes
-    # can never diverge on coefficient values
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    mcu_cols, mcu_rows = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # Per-component geometry + quantized blocks over the MCU-PADDED grid
+    # (for 4:4:4 the padded grid IS the old ceil/8 grid, so the values
+    # and raster order — and therefore the emitted bytes of the
+    # no-restart 4:4:4 modes — are unchanged). Non-interleaved scans
+    # (all progressive AC scans) cover only each component's TRUE block
+    # grid; the padding blocks beyond it are coded solely by the
+    # interleaved DC scan — the T.81 A.2 asymmetry the decoder mirrors.
     blocks: list[list] = [[] for _ in range(ncomp)]
-    for by in range(nby):
-        for bx in range(nbx):
-            for c in range(ncomp):
-                block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, c] - 128.0
+    bw_pads: list[int] = []
+    ac_units: list[list[int]] = []  # padded raster indices, true grid
+    for ci, (hi, vi) in enumerate(samp):
+        cw_, ch_ = -(-(w * hi) // hmax), -(-(h * vi) // vmax)
+        plane = planes[..., ci]
+        if hi < hmax or vi < vmax:
+            fx, fy = hmax // hi, vmax // vi
+            full = np.pad(
+                plane,
+                ((0, ch_ * fy - h), (0, cw_ * fx - w)),
+                mode="edge",
+            )
+            down = full.reshape(ch_, fy, cw_, fx).mean(axis=(1, 3))
+            plane = np.clip(np.round(down), 0, 255)
+        bw_pad, bh_pad = mcu_cols * hi, mcu_rows * vi
+        padded = np.pad(
+            plane,
+            ((0, bh_pad * 8 - plane.shape[0]), (0, bw_pad * 8 - plane.shape[1])),
+            mode="edge",
+        )
+        for by in range(bh_pad):
+            for bx in range(bw_pad):
+                block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
                 coef = A @ block @ A.T
                 zz = coef.reshape(64)[_ZIGZAG]
-                blocks[c].append(np.round(zz / qz).astype(np.int64))
-    nblocks = nbx * nby
+                blocks[ci].append(np.round(zz / qz).astype(np.int64))
+        bw_pads.append(bw_pad)
+        tbw, tbh = -(-cw_ // 8), -(-ch_ // 8)
+        ac_units.append(
+            [by * bw_pad + bx for by in range(tbh) for bx in range(tbw)]
+        )
+    #: interleaved walk: per MCU, each component's vi×hi blocks
+    dc_units: list[list] = []
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
+            unit = []
+            for ci, (hi, vi) in enumerate(samp):
+                for v in range(vi):
+                    for u in range(hi):
+                        unit.append(
+                            (ci, (mr * vi + v) * bw_pads[ci] + (mc * hi + u))
+                        )
+            dc_units.append(unit)
+    nblocks = mcu_cols * mcu_rows  # 4:4:4: == block count per component
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
@@ -272,13 +318,10 @@ def encode_jpeg(
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0]) + bytes(int(x) for x in qz))  # DQT id 0, zigzag
     comps = b"".join(
-        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
+        struct.pack(">BBB", i + 1, (samp[i][0] << 4) | samp[i][1], 0)
+        for i in range(ncomp)
     )
     if restart_interval is not None:
-        if progressive:
-            raise ValueError(
-                "restart_interval is supported on the baseline path only"
-            )
         if not 1 <= int(restart_interval) <= 0xFFFF:
             raise ValueError(
                 f"restart_interval must be in 1..65535, got {restart_interval}"
@@ -347,12 +390,18 @@ def encode_jpeg(
     # ── progressive scan script ──
     ac_codes = _canonical_codes(_AC_BITS_PROG, _AC_SYMBOLS_PROG)
     al1 = 1 if successive else 0
+    ri = int(restart_interval) if restart_interval else 0
 
     def dc_first(al: int) -> bytes:
         bw = _BitWriter()
         prev = [0] * ncomp
-        for bi in range(nblocks):
-            for c in range(ncomp):
+        rst = 0
+        for ui, unit in enumerate(dc_units):
+            if ri and ui and ui % ri == 0:
+                bw.restart_marker(rst)
+                rst += 1
+                prev = [0] * ncomp  # predictors reset at every RST
+            for c, bi in unit:
                 v = int(blocks[c][bi][0]) >> al  # DC: arithmetic shift
                 diff = v - prev[c]
                 prev[c] = v
@@ -365,8 +414,12 @@ def encode_jpeg(
 
     def dc_refine(al: int) -> bytes:
         bw = _BitWriter()
-        for bi in range(nblocks):
-            for c in range(ncomp):
+        rst = 0
+        for ui, unit in enumerate(dc_units):
+            if ri and ui and ui % ri == 0:
+                bw.restart_marker(rst)  # byte-align; no predictor state
+                rst += 1
+            for c, bi in unit:
                 bw.write((int(blocks[c][bi][0]) >> al) & 1, 1)
         return bw.flush()
 
@@ -377,6 +430,7 @@ def encode_jpeg(
     def ac_first(c: int, al: int) -> bytes:
         bw = _BitWriter()
         eobrun = 0
+        rst = 0
 
         def flush_eob():
             # eobrun is capped at 0x7FFF, so r = bit_length-1 ≤ 14 and
@@ -390,7 +444,13 @@ def encode_jpeg(
                     bw.write(eobrun - (1 << r), r)
                 eobrun = 0
 
-        for bi in range(nblocks):
+        for ui, bi in enumerate(ac_units[c]):
+            if ri and ui and ui % ri == 0:
+                # T.81 G.1.2.2: an EOB run may not span a restart —
+                # flush before the marker, predictor-free otherwise
+                flush_eob()
+                bw.restart_marker(rst)
+                rst += 1
             band = [_trunc(int(v), al) for v in blocks[c][bi][1:64]]
             if not any(band):
                 eobrun += 1
@@ -424,7 +484,11 @@ def encode_jpeg(
         # EOB (run 1) keeps the emitter simple — the decoder's EOBRUN
         # path is exercised by the multi-block runs of ac_first
         bw = _BitWriter()
-        for bi in range(nblocks):
+        rst = 0
+        for ui, bi in enumerate(ac_units[c]):
+            if ri and ui and ui % ri == 0:
+                bw.restart_marker(rst)  # per-block EOBs: nothing to flush
+                rst += 1
             zz = blocks[c][bi]
             t = [_trunc(int(zz[i]), al) for i in range(64)]
             hist = [_trunc(int(zz[i]), al + 1) for i in range(64)]
@@ -816,16 +880,24 @@ def _decode_progressive(buf: bytes):
     single-component with EOB runs). Coefficients accumulate across
     scans in zigzag order; dequantize + IDCT run once at the end, so a
     stream truncated after any scan prefix still reconstructs (coarser)
-    pixels — exactly the property progressive exists for. Restrictions
-    mirror the baseline path: 8-bit, 1 or 3 components, 4:4:4, no
-    restart markers."""
+    pixels — exactly the property progressive exists for. Since r11
+    this path also carries restart intervals (DRI/RSTn — counted in
+    MCUs for interleaved scans, data units otherwise, predictors/EOB
+    runs reset, per-scan modulo-8 sequence check) and 4:2:0/4:2:2
+    chroma subsampling (interleaved DC scans walk each component's
+    MCU-padded grid; non-interleaved AC scans walk only its TRUE block
+    grid — the T.81 A.2 asymmetry). Remaining restrictions mirror the
+    baseline path: 8-bit, 1 or 3 components, sampling factors in
+    {1, 2}."""
     import numpy as np
 
     qtabs: dict = {}
     htabs: dict = {}
     sof = None
-    coefs = None  # per component: int32 array (nblocks, 64), zigzag
-    nbx = nby = 0
+    coefs = None  # per component: int32 array (padded blocks, 64), zigzag
+    geo = None  # per component: (bw_pad, bh_pad, true_bw, true_bh)
+    mcu_cols = mcu_rows = 0
+    restart_interval = 0
     pos = 2
     if buf[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -851,11 +923,8 @@ def _decode_progressive(buf: bytes):
             _parse_dqt(data, qtabs)
         elif marker == 0xC4:
             _parse_dht(data, htabs)
-        elif marker == 0xDD:
-            if struct.unpack(">H", data[:2])[0] != 0:
-                raise ValueError(
-                    "restart intervals not supported in progressive scans"
-                )
+        elif marker == 0xDD:  # DRI — may be redefined between scans
+            restart_interval = struct.unpack(">H", data[:2])[0]
         elif marker in _SOF_MARKERS:
             if marker != 0xC2:
                 raise ValueError(
@@ -870,22 +939,29 @@ def _decode_progressive(buf: bytes):
             comps = []
             for i in range(ncomp):
                 cid, samp, tq = data[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 15
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "subsampled JPEG not supported (4:4:4 only)"
+                        f"unsupported sampling factor {hi}x{vi}"
                     )
-                comps.append((cid, tq))
-            nbx, nby = -(-w // 8), -(-h // 8)
-            coefs = [
-                np.zeros((nbx * nby, 64), dtype=np.int32)
-                for _ in range(ncomp)
-            ]
-            sof = (int(w), int(h), comps)
+                comps.append((cid, tq, hi, vi))
+            hmax = max(hi for _, _, hi, _ in comps)
+            vmax = max(vi for _, _, _, vi in comps)
+            mcu_cols, mcu_rows = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            coefs, geo = [], []
+            for _cid, _tq, hi, vi in comps:
+                bw_pad, bh_pad = mcu_cols * hi, mcu_rows * vi
+                cw_, ch_ = -(-(w * hi) // hmax), -(-(h * vi) // vmax)
+                geo.append((bw_pad, bh_pad, -(-cw_ // 8), -(-ch_ // 8)))
+                coefs.append(
+                    np.zeros((bw_pad * bh_pad, 64), dtype=np.int32)
+                )
+            sof = (int(w), int(h), comps, hmax, vmax)
         elif marker == 0xDA:  # SOS — decode one scan
             if sof is None:
                 raise ValueError("SOS before SOF")
-            w, h, comps = sof
-            cid_index = {cid: i for i, (cid, _) in enumerate(comps)}
+            w, h, comps, hmax, vmax = sof
+            cid_index = {cid: i for i, (cid, *_rest) in enumerate(comps)}
             ns = data[0]
             scomps = [
                 (data[1 + 2 * i], data[2 + 2 * i] >> 4, data[2 + 2 * i] & 15)
@@ -894,26 +970,54 @@ def _decode_progressive(buf: bytes):
             ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
             ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
             br = _BitReader(buf, seg_end)
-            nblocks = nbx * nby
+            ri = restart_interval
+            rst = 0  # the RSTn sequence number resets per scan (B.2.1)
             if ss == 0:  # DC scan (se must be 0)
                 if se != 0:
                     raise ValueError("invalid spectral selection (Ss=0, Se>0)")
                 idxs = [cid_index[cid] for cid, _, _ in scomps]
                 dtabs = [htabs.get((0, dct)) for _, dct, _ in scomps]
-                if ah == 0:
-                    if any(t is None for t in dtabs):
-                        raise ValueError("scan references undefined table")
-                    prev = [0] * len(idxs)
-                    for bi in range(nblocks):
-                        for si, ci in enumerate(idxs):
+                if ah == 0 and any(t is None for t in dtabs):
+                    raise ValueError("scan references undefined table")
+                # restart unit: MCU when interleaved, data unit when not
+                if ns > 1:
+                    units = []
+                    for mr in range(mcu_rows):
+                        for mc in range(mcu_cols):
+                            unit = []
+                            for si, ci in enumerate(idxs):
+                                _c, _t, hi, vi = comps[ci]
+                                bw_pad = geo[ci][0]
+                                for v in range(vi):
+                                    for u in range(hi):
+                                        unit.append((
+                                            si, ci,
+                                            (mr * vi + v) * bw_pad
+                                            + (mc * hi + u),
+                                        ))
+                            units.append(unit)
+                else:
+                    ci = idxs[0]
+                    bw_pad, _bh, tbw, tbh = geo[ci]
+                    units = [
+                        [(0, ci, by * bw_pad + bx)]
+                        for by in range(tbh)
+                        for bx in range(tbw)
+                    ]
+                prev = [0] * len(idxs)
+                p1 = 1 << al
+                for ui, unit in enumerate(units):
+                    if ri and ui and ui % ri == 0:
+                        br.restart(rst)
+                        rst += 1
+                        prev = [0] * len(idxs)
+                    for si, ci, bi in unit:
+                        if ah == 0:
                             t = br.huff(dtabs[si])
                             diff = _extend(br.bits(t), t) if t else 0
                             prev[si] += diff
                             coefs[ci][bi, 0] = prev[si] << al
-                else:
-                    p1 = 1 << al
-                    for bi in range(nblocks):
-                        for ci in idxs:
+                        else:
                             if br.bits(1):
                                 coefs[ci][bi, 0] |= p1
             else:  # AC scan: single component only (T.81 G.1.1.1)
@@ -924,9 +1028,19 @@ def _decode_progressive(buf: bytes):
                 atab = htabs.get((1, act))
                 if atab is None:
                     raise ValueError("scan references undefined table")
+                bw_pad, _bh, tbw, tbh = geo[ci]
+                unit_idx = [
+                    by * bw_pad + bx
+                    for by in range(tbh)
+                    for bx in range(tbw)
+                ]
                 eobrun = 0
                 if ah == 0:  # AC first scan
-                    for bi in range(nblocks):
+                    for ui, bi in enumerate(unit_idx):
+                        if ri and ui and ui % ri == 0:
+                            br.restart(rst)
+                            rst += 1
+                            eobrun = 0  # an EOB run may not span a RST
                         if eobrun > 0:
                             eobrun -= 1
                             continue
@@ -952,7 +1066,11 @@ def _decode_progressive(buf: bytes):
                             k += 1
                 else:  # AC refinement scan (G.1.2.3)
                     p1 = 1 << al
-                    for bi in range(nblocks):
+                    for ui, bi in enumerate(unit_idx):
+                        if ri and ui and ui % ri == 0:
+                            br.restart(rst)
+                            rst += 1
+                            eobrun = 0
                         zz = coefs[ci][bi]
                         k = ss
                         if eobrun == 0:
@@ -1000,20 +1118,31 @@ def _decode_progressive(buf: bytes):
         pos = seg_end
     if sof is None or coefs is None:
         raise ValueError("JPEG missing SOF/SOS")
-    w, h, comps = sof
+    w, h, comps, hmax, vmax = sof
     ncomp = len(comps)
     A = _dct_matrix()
-    planes = np.zeros((ncomp, nby * 8, nbx * 8), dtype=np.float64)
-    for ci, (cid, tq) in enumerate(comps):
+    planes = np.zeros((ncomp, h, w), dtype=np.float64)
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
         q = qtabs.get(tq)
         if q is None:
             raise ValueError("component references undefined quant table")
-        dez = np.zeros((nbx * nby, 64), dtype=np.float64)
+        bw_pad, bh_pad, _tbw, _tbh = geo[ci]
+        dez = np.zeros((bw_pad * bh_pad, 64), dtype=np.float64)
         dez[:, _ZIGZAG] = coefs[ci] * q[_ZIGZAG]
-        for bi in range(nbx * nby):
-            by, bx = divmod(bi, nbx)
+        cplane = np.zeros((bh_pad * 8, bw_pad * 8), dtype=np.float64)
+        for bi in range(bw_pad * bh_pad):
+            by, bx = divmod(bi, bw_pad)
             block = A.T @ dez[bi].reshape(8, 8) @ A
-            planes[ci, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+            cplane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+        # crop to the component's true dims, replicate to full res —
+        # identical arithmetic to the baseline path's upsample
+        cw_, ch_ = -(-(w * hi) // hmax), -(-(h * vi) // vmax)
+        up = np.repeat(
+            np.repeat(cplane[:ch_, :cw_], vmax // vi, axis=0),
+            hmax // hi,
+            axis=1,
+        )
+        planes[ci] = up[:h, :w]
     return w, h, ncomp, _finish(planes, w, h, ncomp)
 
 
@@ -1023,7 +1152,8 @@ def decode_jpeg(buf: bytes):
     ndarray[h, w, c] uint8)`` — the same contract as the PNG decoder.
     Baseline sequential (SOF0/1) and, since r10, progressive Huffman
     (SOF2 — spectral selection + successive approximation) are both
-    decoded; 8-bit, 1 or 3 components, 4:4:4, no restart markers.
+    decoded; 8-bit, 1 or 3 components, sampling factors in {1, 2}
+    (4:4:4/4:2:2/4:2:0), restart intervals on both paths (r11).
     Arithmetic-coded, hierarchical, lossless, subsampled, and
     malformed/truncated streams raise ``ValueError`` (the per-row
     quarantine contract)."""
@@ -1202,15 +1332,14 @@ def _pil_image():
 def _check_pure_supported(buf: bytes) -> None:
     """Raise ``ValueError`` unless the stream is within the pure
     decoder's accept surface (SOF0/1/2, 8-bit, 1 or 3 components,
-    4:4:4, no restart intervals). The C-codec path runs this BEFORE
-    handing bytes to libjpeg: PIL would happily decode subsampled /
-    restart-marker / CMYK streams the pure path quarantines, and corpus
-    membership must not depend on which machine (or flag) ran the job
-    (r10 review finding)."""
+    sampling factors in {1, 2}; restart intervals and 4:2:0/4:2:2
+    subsampling are accepted on BOTH paths since r11). The C-codec path
+    runs this BEFORE handing bytes to libjpeg: PIL would happily decode
+    CMYK / 12-bit / exotic-sampling streams the pure path quarantines,
+    and corpus membership must not depend on which machine (or flag)
+    ran the job (r10 review finding)."""
     buf = bytes(buf)  # once — a per-segment copy would be O(n²)
     saw_sof = False
-    sof_kind = None
-    dri = 0
     for marker, start, ln in _walk_segments(buf):
         data = buf[start:start + ln]
         if marker in _SOF_MARKERS:
@@ -1218,7 +1347,6 @@ def _check_pure_supported(buf: bytes) -> None:
                 raise ValueError(
                     f"unsupported SOF marker 0xFF{marker:02X}"
                 )
-            sof_kind = marker
             precision, _h, _w, ncomp = struct.unpack(">BHHB", data[:6])
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
@@ -1227,24 +1355,13 @@ def _check_pure_supported(buf: bytes) -> None:
             for i in range(ncomp):
                 samp = data[7 + 3 * i]
                 hi, vi = samp >> 4, samp & 15
-                if marker == 0xC2:
-                    # progressive decode is 4:4:4-only (r10 honest gap)
-                    if samp != 0x11:
-                        raise ValueError(
-                            "subsampled progressive JPEG not supported"
-                        )
-                elif hi not in (1, 2) or vi not in (1, 2):
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
                         f"unsupported sampling factor {hi}x{vi}"
                     )
             saw_sof = True
-        elif marker == 0xDD:
-            dri = struct.unpack(">H", data[:2])[0]
     if not saw_sof:
         raise ValueError("JPEG missing SOF header")
-    # baseline restart decode landed in r10b; progressive still refuses
-    if dri and sof_kind == 0xC2:
-        raise ValueError("restart intervals not supported in progressive scans")
 
 
 def decode_jpeg_fast(buf: bytes, use_c_codec: bool | None = None):

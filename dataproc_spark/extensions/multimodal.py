@@ -327,7 +327,18 @@ def synthesize_jpegs(
     both the metadata walk (``progressive=true``) AND the full decoder
     (all four T.81 G.1.2 scan kinds) exercise real multi-scan streams.
     The coefficients are mode-independent, so the arithmetic oracle's
-    pixel statistics hold unchanged for progressive arms."""
+    pixel statistics hold unchanged for progressive arms.
+
+    r11 arms (the two r10 gaps, still oracle-exact): progressive
+    payloads with ``id % 5 == 3`` additionally carry restart markers
+    (DRI + RSTn inside SOF2 scans — pixels are restart-invariant), and
+    progressive payloads with ``id % 4 == 2`` are encoded as
+    SUBSAMPLED RGB (4:2:0, or 4:2:2 when ``id % 8 == 6``): the gray
+    block values replicate to R=G=B, so Y == the gray plane exactly
+    and both chroma planes are constant 128 whose subsampled boxes are
+    still exactly 128 — the decode is bit-exact (v, v, v) and the
+    oracle's only change is ``channels=3`` / ``pixel_sum × 3`` on
+    those ids."""
     import numpy as np
 
     from dataproc_spark.extensions.jpeg import encode_jpeg
@@ -342,17 +353,24 @@ def synthesize_jpegs(
                 blocks = (i * 7 + bx * 13 + by * 31) % 256
                 arr = np.kron(blocks, np.ones((8, 8), dtype=np.int64))
                 prog = bool(progressive_every) and i % progressive_every == 0
+                rgb_sub = prog and i % 4 == 2
+                if rgb_sub:
+                    arr = np.repeat(arr[:, :, None], 3, axis=2)
                 payload = encode_jpeg(
                     arr.astype(np.uint8),
                     quant=1 << (i % 4),
                     progressive=prog,
                     successive=prog and (i // progressive_every) % 2 == 0,
+                    subsampling=(
+                        ("422" if i % 8 == 6 else "420") if rgb_sub else "444"
+                    ),
                     # every 5th BASELINE payload carries restart markers
-                    # (r10b) — pixels are restart-invariant, so the
+                    # (r10b); r11 extends them to every 5th PROGRESSIVE
+                    # payload — pixels are restart-invariant, so the
                     # arithmetic oracle holds unchanged while the gate
-                    # drives the RSTn decode path
+                    # drives the RSTn decode path in both modes
                     restart_interval=(
-                        2 if not prog and i % 5 == 1 else None
+                        2 if i % 5 == (3 if prog else 1) else None
                     ),
                 )
                 out.append((i, "image/jpeg", payload, wb * 8, hb * 8))
@@ -382,8 +400,9 @@ def jpeg_meta(media: DataFrame) -> DataFrame:
     """Header-only JPEG metadata: width/height/channels/progressive from
     a marker walk (``jpeg.parse_jpeg_meta``) — NO entropy decode, so it
     is the cheap map-only stats path for real-crawl payloads, including
-    the progressive streams the full decoder refuses. NULL payloads and
-    non-JPEG bytes emit no row (the frame_sample skip contract)."""
+    streams outside the full decoder's accept surface (CMYK, 12-bit,
+    exotic sampling). NULL payloads and non-JPEG bytes emit no row
+    (the frame_sample skip contract)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dataproc_spark.extensions.jpeg import parse_jpeg_meta

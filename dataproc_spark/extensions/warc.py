@@ -74,6 +74,14 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("http_content_type", StringType()),
         StructField("http_headers", MapType(StringType(), StringType())),
         StructField("body", BinaryType()),
+        # r11: the revisit-record surface (ISO 28500 §6.7) — Common
+        # Crawl's digest-based recrawl dedup. NULL on non-revisit
+        # records except payload_digest, which responses may also carry.
+        StructField("payload_digest", StringType()),
+        StructField("refers_to", StringType()),
+        StructField("refers_to_uri", StringType()),
+        StructField("refers_to_date", StringType()),
+        StructField("warc_profile", StringType()),
     ]
 )
 
@@ -234,6 +242,11 @@ def iter_warc_records(buf: bytes, shard: str = ""):
                 "content_type": headers.get("content-type"),
                 "content_length": n,
                 "payload": payload,
+                "payload_digest": headers.get("warc-payload-digest"),
+                "refers_to": headers.get("warc-refers-to"),
+                "refers_to_uri": headers.get("warc-refers-to-target-uri"),
+                "refers_to_date": headers.get("warc-refers-to-date"),
+                "warc_profile": headers.get("warc-profile"),
             }
     except OSError as exc:  # corrupt gzip member surfaces mid-read
         raise ValueError(f"corrupt gzip in WARC shard {shard!r}: {exc}")
@@ -308,6 +321,11 @@ def read_warc(
                                 (hdrs or {}).get("content-type"),
                                 hdrs,
                                 body,
+                                r["payload_digest"],
+                                r["refers_to"],
+                                r["refers_to_uri"],
+                                r["refers_to_date"],
+                                r["warc_profile"],
                             )
                         )
                         # fail-loud mode streams (an error aborts the
@@ -357,6 +375,7 @@ def write_warc_shards(
     compress: bool = True,
     content_type: str = "application/http; msgtype=response",
     open_fn=None,
+    extra_headers: dict[str, str] | None = None,
 ) -> None:
     """Write one ``.warc.gz`` (or ``.warc``) shard per partition — each
     record its own gzip member, the Common-Crawl layout that keeps
@@ -384,11 +403,20 @@ def write_warc_shards(
     truncated shard at the final name for ``read_warc`` to mis-ingest
     (r10 review finding). A custom ``open_fn`` owns that concern —
     object-store PUTs are typically invisible until close.
+
+    ``extra_headers`` maps extra WARC header names to COLUMN names —
+    e.g. ``{"WARC-Payload-Digest": "digest", "WARC-Refers-To": "ref"}``
+    for revisit records (r11). A header is emitted only on rows where
+    its column is non-NULL, so one frame can mix responses and
+    revisits; values go through the same line-break validation as
+    every header (envelope-injection guard).
     """
     import hashlib
     import os
 
+    extra = dict(extra_headers or {})
     cols = [uri_col, payload_col] + ([type_col] if type_col else [])
+    cols += [c for c in extra.values() if c not in cols]
     src = df.select(*cols)
     if open_fn is None:
         os.makedirs(out_dir, exist_ok=True)
@@ -441,18 +469,20 @@ def write_warc_shards(
                 uri = str(row[uri_col])
                 payload = bytes(row[payload_col] or b"")
                 rid = hashlib.md5(uri.encode("utf-8")).hexdigest()
-                rec = encode_warc_record(
-                    {
-                        "WARC-Type": (
-                            str(row[type_col]) if type_col else "response"
-                        ),
-                        "WARC-Record-ID": f"<urn:uuid:{rid}>",
-                        "WARC-Date": "2026-01-01T00:00:00Z",
-                        "WARC-Target-URI": uri,
-                        "Content-Type": content_type,
-                    },
-                    payload,
-                )
+                headers = {
+                    "WARC-Type": (
+                        str(row[type_col]) if type_col else "response"
+                    ),
+                    "WARC-Record-ID": f"<urn:uuid:{rid}>",
+                    "WARC-Date": "2026-01-01T00:00:00Z",
+                    "WARC-Target-URI": uri,
+                    "Content-Type": content_type,
+                }
+                for hdr, colname in extra.items():
+                    v = row[colname]
+                    if v is not None:
+                        headers[hdr] = str(v)
+                rec = encode_warc_record(headers, payload)
                 if compress:
                     fh.write(
                         gzip.compress(rec, compresslevel=6, mtime=0)
@@ -461,6 +491,83 @@ def write_warc_shards(
                     fh.write(rec)
 
     src.foreachPartition(write_partition)
+
+
+def resolve_revisits(
+    records: DataFrame,
+    on_missing: str = "null",
+) -> DataFrame:
+    """Resolve WARC *revisit* records against the *response* records
+    they reference — Common Crawl's digest-based recrawl dedup (ISO
+    28500 §6.7.2 identical-payload-digest profile): a recrawl whose
+    content hash matches an earlier capture stores a tiny revisit
+    record (digest + refers-to pointers, no payload) instead of the
+    bytes. This operator reconstructs the logical corpus view: one row
+    per capture, every row carrying CONTENT.
+
+    Input: a :func:`read_warc` frame read with ``warc_types=
+    ("response", "revisit")``. Output: the response rows
+    (``is_revisit=false``) plus each revisit row with the referenced
+    response's ``body`` grafted in (``is_revisit=true``,
+    ``source_record_id`` = the donor response). Join key is
+    ``payload_digest`` — the one pointer every conforming revisit
+    carries (``WARC-Refers-To`` is optional and id-based; digests are
+    content-based and survive re-archiving).
+
+    ``on_missing='null'`` (default) keeps unresolved revisits (digest
+    seen in no response — the referenced capture lives in an un-read
+    shard) with NULL body for quarantine routing; ``'drop'`` anti-joins
+    them away; ``'fail'`` raises at plan time is impossible
+    distributed, so it is not offered — count the NULLs instead.
+
+    100 TB plan: responses dedup to one donor row per digest
+    (``min(record_id)`` keeps it deterministic when the same content
+    was stored twice), then ONE equi-join on the 40-byte digest — each
+    unique body crosses the wire once, revisit rows never carry
+    payloads at all, and there is no URI-based or windowed pass. Both
+    sides shuffle on ``payload_digest``; no broadcast assumption, so
+    the plan survives a revisit-heavy 100× crawl unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    if on_missing not in ("null", "drop"):
+        raise ValueError(
+            f"on_missing must be 'null' or 'drop', got {on_missing!r}"
+        )
+    responses = records.filter(F.col("warc_type") == "response")
+    revisits = records.filter(F.col("warc_type") == "revisit")
+    out_cols = [
+        "record_id", "target_uri", "warc_date", "payload_digest",
+        "is_revisit", "source_record_id", "body",
+    ]
+    resp_out = responses.select(
+        "record_id", "target_uri", "warc_date", "payload_digest",
+        F.lit(False).alias("is_revisit"),
+        F.lit(None).cast("string").alias("source_record_id"),
+        "body",
+    )
+    # one donor per digest: deterministic min(record_id), body rides
+    # along via min_by — a duplicate-stored content must not fan out
+    donors = responses.where(F.col("payload_digest").isNotNull()).groupBy(
+        "payload_digest"
+    ).agg(
+        F.min("record_id").alias("source_record_id"),
+        F.min_by("body", "record_id").alias("donor_body"),
+    )
+    how = "inner" if on_missing == "drop" else "left"
+    rev_out = (
+        revisits.select(
+            "record_id", "target_uri", "warc_date", "payload_digest"
+        )
+        .join(donors, "payload_digest", how)
+        .select(
+            "record_id", "target_uri", "warc_date", "payload_digest",
+            F.lit(True).alias("is_revisit"),
+            "source_record_id",
+            F.col("donor_body").alias("body"),
+        )
+    )
+    return resp_out.select(out_cols).unionByName(rev_out.select(out_cols))
 
 
 def dechunk_http_body(body: bytes) -> bytes:

@@ -283,6 +283,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cross_doc_spans": (q_cross_doc_spans, SQL_CROSS_DOC_SPANS),
     # -- r11 additions: crawl text realism -----------------------------------
     "charset_body_text": (q_charset_body_text, SQL_CHARSET_BODY_TEXT),
+    "warc_revisit_dedup": (q_warc_revisit_dedup, SQL_WARC_REVISIT_DEDUP),
 }
 
 
@@ -311,6 +312,9 @@ REVERIFY_STALE_EVIDENCE: dict[str, int] = {
     # charset-aware body_text stage replaced the hard-coded UTF-8
     # decode) after its green r10 row — re-record under the new shape.
     "crawl_pipeline": 10,
+    # r11: jpeg_meta's fixture/oracle gained the subsampled-RGB arms
+    # (channels=3 for ids ≡ 6 mod 12) after its r9 green row.
+    "jpeg_meta": 9,
 }
 
 #: per-process cache for :func:`registry_order`, keyed on the artifact

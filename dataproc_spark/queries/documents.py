@@ -711,10 +711,17 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation — decoded to the SAME bit-exact pixels (the
     coefficients are scan-script-independent), so the progressive
     decode path (DC/AC first + refinement scans, EOB runs) sits under
-    the same arithmetic oracle. The header path is joined in from the
-    separate marker-walk stage (``multimodal.jpeg_meta`` — no entropy
-    decode), pinning that both agree on dimensions and that
-    ``progressive`` flags exactly the SOF2 arms.
+    the same arithmetic oracle. r11 closes the two documented gaps:
+    progressive payloads with ``id % 5 == 3`` carry restart markers
+    (DRI + RSTn inside SOF2 scans), and ids ``≡ 6 (mod 12)`` are
+    SUBSAMPLED RGB progressive (4:2:0, 4:2:2 when ``id % 8 == 6``) —
+    gray replicated to R=G=B keeps chroma constant-128, which survives
+    the subsample boxes exactly, so those arms stay bit-exact with
+    ``channels=3`` and ``pixel_sum × 3`` as the only oracle deltas.
+    The header path is joined in from the separate marker-walk stage
+    (``multimodal.jpeg_meta`` — no entropy decode), pinning that both
+    agree on dimensions and that ``progressive`` flags exactly the
+    SOF2 arms.
 
     Ref parity: extends the image slot of the LLM-pipeline multimodal
     mandate to the format real crawls actually carry (VERDICT r8
@@ -751,9 +758,15 @@ blk AS (
 SELECT doc_id AS media_id,
        CAST(wb * 8 AS INTEGER) AS width,
        CAST(hb * 8 AS INTEGER) AS height,
-       1 AS channels,
+       -- r11: ids ≡ 6 (mod 12) are subsampled RGB arms — gray values
+       -- replicated to 3 exactly-equal channels (constant-128 chroma
+       -- survives 4:2:0/4:2:2 boxes exactly), so only channels and the
+       -- sample count scale; the block arithmetic is unchanged
+       CASE WHEN doc_id % 12 = 6 THEN 3 ELSE 1 END AS channels,
        CAST(wb * hb * 64 AS BIGINT) AS n_pixels,
-       CAST(SUM(v) * 64 AS BIGINT) AS pixel_sum,
+       CAST(SUM(v) * 64
+            * (CASE WHEN doc_id % 12 = 6 THEN 3 ELSE 1 END)
+            AS BIGINT) AS pixel_sum,
        CAST(MIN(v) AS INTEGER) AS pixel_min,
        CAST(MAX(v) AS INTEGER) AS pixel_max,
        CAST(wb * 8 AS INTEGER) AS hdr_width,
@@ -767,11 +780,12 @@ GROUP BY doc_id, wb, hb
 def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only JPEG metadata walk (``multimodal.jpeg_meta``): the
     map-only marker-walk path for real-crawl stats, including the
-    PROGRESSIVE streams the full decoder refuses — every 3rd payload's
-    SOF0 is rewritten to SOF2 and must surface ``progressive=true``
-    with its dimensions still read correctly, no entropy decode
-    anywhere. The oracle predicts every column arithmetically from the
-    synthesis parameters."""
+    PROGRESSIVE streams — every 3rd payload is a real SOF2 stream and
+    must surface ``progressive=true`` with its dimensions still read
+    correctly, no entropy decode anywhere; r11's subsampled-RGB arms
+    (ids ``≡ 6 mod 12``) must surface ``channels=3``. The oracle
+    predicts every column arithmetically from the synthesis
+    parameters."""
     from dataproc_spark.extensions.multimodal import (
         jpeg_meta,
         synthesize_jpegs,
@@ -786,7 +800,7 @@ SQL_JPEG_META = """
 SELECT doc_id AS media_id,
        CAST((2 + doc_id % 3) * 8 AS INTEGER) AS width,
        CAST((1 + doc_id % 2) * 8 AS INTEGER) AS height,
-       1 AS channels,
+       CASE WHEN doc_id % 12 = 6 THEN 3 ELSE 1 END AS channels,
        doc_id % 3 = 0 AS progressive
 FROM documents
 """

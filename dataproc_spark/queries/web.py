@@ -474,15 +474,18 @@ SELECT doc_id, main, CAST(length(main) AS BIGINT) AS n_chars_main FROM kept
 SQL_HTML_BOILERPLATE = _make_sql_html_boilerplate()
 
 
-def _warc_doc_uri():
+def _warc_doc_uri(id_col=None):
     """The WARC gates' shared deterministic URI per document —
-    ``https://site{doc_id%37}.com/doc/{doc_id}`` (37 hosts give the
-    recrawl-ish fan-in the URL-family gates also use)."""
+    ``https://site{id%37}.com/doc/{id}`` (37 hosts give the recrawl-ish
+    fan-in the URL-family gates also use). ``id_col`` defaults to
+    ``doc_id``; the revisit gate passes the content-class column to
+    derive the ORIGINAL capture's URI."""
+    idc = F.col("doc_id") if id_col is None else id_col
     return F.concat(
         F.lit("https://site"),
-        (F.col("doc_id") % 37).cast("string"),
+        (idc % 37).cast("string"),
         F.lit(".com/doc/"),
-        F.col("doc_id").cast("string"),
+        idc.cast("string"),
     )
 
 
@@ -1022,3 +1025,140 @@ FROM b
 
 
 SQL_CHARSET_BODY_TEXT = _make_sql_charset_body_text()
+
+
+# --------------------------------------------------------------------------
+# r11: WARC revisit records — digest-based recrawl dedup
+# --------------------------------------------------------------------------
+
+def q_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC *revisit* ingestion + recrawl dedup
+    (``warc.resolve_revisits``): Common Crawl stores a recrawl whose
+    content hash matches an earlier capture as a tiny ``revisit``
+    record — digest + refers-to pointers, NO payload — so a revisit-
+    blind reader silently drops every unchanged page from the corpus
+    view. Fixture (revisit-HEAVY, ~92% revisits at 500 docs): content
+    classes ``cls = doc_id % 40``; docs ``< 40`` are the original
+    ``response`` captures (real HTML payload + ``WARC-Payload-Digest``),
+    docs ``>= 40`` are revisits of class ``cls`` — digest of the
+    original's payload, ``WARC-Refers-To`` = the original's record id,
+    empty payload — EXCEPT ``cls == 39`` revisits, which carry an
+    orphan digest matching no response (the referenced capture lives in
+    an un-read shard) and must resolve to NULL body with NULL source
+    (the quarantine arm). The chain: one mixed frame →
+    ``write_warc_shards`` (``extra_headers`` emits the revisit headers
+    only where non-NULL) → ``read_warc(warc_types=('response',
+    'revisit'))`` → ``resolve_revisits`` (digest equi-join against
+    min-record-id donors). The oracle rebuilds every output column
+    arithmetically — DuckDB's ``md5`` reproduces the sink's
+    deterministic record ids, so even the donor pointer is value-
+    checked."""
+    import shutil
+    import tempfile
+
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    cls = did % 40
+    body_str = F.concat(
+        F.lit("<html>revisit page "),
+        cls.cast("string"),
+        F.lit(" "),
+        F.repeat(F.lit("pad "), (cls % 5).cast("int")),
+        F.lit("</html>"),
+    )
+    is_resp = did < 40
+    orphan = (~is_resp) & (cls == 39)
+    digest = F.concat(
+        F.lit("sha1:"),
+        F.sha1(
+            F.when(
+                orphan,
+                F.encode(
+                    F.concat(F.lit("orphan-"), did.cast("string")), "UTF-8"
+                ),
+            ).otherwise(F.encode(body_str, "UTF-8"))
+        ),
+    )
+    orig_uri = _warc_doc_uri(cls)
+    src = docs.select(
+        _warc_doc_uri().alias("target_uri"),
+        F.when(is_resp, F.encode(body_str, "UTF-8"))
+        .otherwise(F.lit(b""))
+        .alias("payload"),
+        F.when(is_resp, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("wtype"),
+        digest.alias("digest"),
+        F.when(
+            ~is_resp,
+            F.concat(
+                F.lit("<urn:uuid:"),
+                F.md5(F.encode(orig_uri, "UTF-8")),
+                F.lit(">"),
+            ),
+        ).alias("refers_to"),
+        F.when(~is_resp, orig_uri).alias("refers_to_uri"),
+        F.when(
+            ~is_resp,
+            F.lit(
+                "http://netpreserve.org/warc/1.0/revisit/"
+                "identical-payload-digest"
+            ),
+        ).alias("profile"),
+    )
+    out = tempfile.mkdtemp(prefix="warcrev_")
+    try:
+        warcx.write_warc_shards(
+            src, out,
+            type_col="wtype",
+            content_type="text/html",
+            extra_headers={
+                "WARC-Payload-Digest": "digest",
+                "WARC-Refers-To": "refers_to",
+                "WARC-Refers-To-Target-URI": "refers_to_uri",
+                "WARC-Profile": "profile",
+            },
+        )
+    except Exception:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    recs = warcx.read_warc(spark, out, warc_types=("response", "revisit"))
+    resolved = warcx.resolve_revisits(recs)
+    res = resolved.select(
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "is_revisit",
+        "source_record_id",
+        F.decode(F.col("body"), "UTF-8").alias("body_text"),
+        F.octet_length("body").cast("long").alias("n_body_bytes"),
+    )
+    return _materialize_and_clean(res, out)
+
+
+SQL_WARC_REVISIT_DEDUP = """
+WITH b AS (
+    SELECT doc_id,
+           doc_id % 40 AS cls,
+           doc_id >= 40 AS is_rev,
+           doc_id >= 40 AND doc_id % 40 = 39 AS orphan,
+           '<html>revisit page ' || CAST(doc_id % 40 AS VARCHAR) || ' '
+               || repeat('pad ', CAST(doc_id % 40 AS INTEGER) % 5)
+               || '</html>' AS body
+    FROM documents
+)
+SELECT doc_id,
+       is_rev AS is_revisit,
+       CASE WHEN is_rev AND NOT orphan THEN
+            '<urn:uuid:' || md5('https://site'
+                || CAST(cls % 37 AS VARCHAR) || '.com/doc/'
+                || CAST(cls AS VARCHAR)) || '>'
+       END AS source_record_id,
+       CASE WHEN NOT orphan THEN body END AS body_text,
+       CASE WHEN NOT orphan
+            THEN CAST(strlen(body) AS BIGINT) END AS n_body_bytes
+FROM b
+"""

@@ -2556,10 +2556,12 @@ def test_jpeg_c_codec_seam():
     subsampled[sof + 11] = 0x33
     with _pytest.raises(ValueError, match="sampling factor"):
         _check_pure_supported(bytes(subsampled))
-    # progressive + subsampling stays outside the surface
+    # r11: progressive + subsampling is now INSIDE the surface too
     subsampled[sof + 1] = 0xC2
     subsampled[sof + 11] = 0x22
-    with _pytest.raises(ValueError, match="subsampled progressive"):
+    _check_pure_supported(bytes(subsampled))
+    subsampled[sof + 11] = 0x33
+    with _pytest.raises(ValueError, match="sampling factor"):
         _check_pure_supported(bytes(subsampled))
     with _pytest.raises(ValueError, match="SOF"):
         _check_pure_supported(b"\xFF\xD8\xFF\xD9")
@@ -2866,8 +2868,16 @@ def test_jpeg_restart_markers():
     bad[i + 1] = 0xD5
     with _pytest.raises(ValueError, match="out of sequence"):
         decode_jpeg(bytes(bad))
-    with _pytest.raises(ValueError, match="baseline path only"):
-        encode_jpeg(big, progressive=True, restart_interval=2)
+    # r11: restart intervals now carry through the PROGRESSIVE path too
+    pp = encode_jpeg(big, quant=2, progressive=True, restart_interval=2)
+    assert b"\xFF\xDD" in pp and b"\xFF\xD0" in pp
+    assert (decode_jpeg(pp)[3] == a[3]).all()
+    _check_pure_supported(pp)  # …and pass the seam pre-check
+    badp = bytearray(pp)
+    j = bytes(badp).find(b"\xFF\xD0")
+    badp[j + 1] = 0xD4
+    with _pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(badp))
     with _pytest.raises(ValueError, match="restart_interval"):
         encode_jpeg(big, restart_interval=0)
 
@@ -2946,10 +2956,61 @@ def test_jpeg_chroma_subsampling():
             assert np.abs(got - exp).max() <= 4, sub
     with _pytest.raises(ValueError, match="RGB"):
         encode_jpeg(np.zeros((8, 8), dtype=np.uint8), subsampling="420")
-    with _pytest.raises(ValueError, match="baseline"):
-        encode_jpeg(blocks, progressive=True, subsampling="420")
     with _pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(blocks, subsampling="411")
+
+
+def test_jpeg_progressive_restart_subsampling():
+    """r11: the one documented r10 JPEG gap — DRI/RSTn and 4:2:0/4:2:2
+    on the PROGRESSIVE (SOF2) path. The quantized coefficients are
+    scan-script-independent by construction, so (a) progressive ==
+    baseline pixels at equal subsampling, (b) restart markers never
+    change pixels, (c) successive approximation composes with both,
+    and (d) the seam pre-check accepts what the pure decoder accepts."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.jpeg import (
+        _check_pure_supported,
+        decode_jpeg,
+        encode_jpeg,
+        parse_jpeg_meta,
+    )
+
+    rng = np.random.RandomState(29)
+    for _ in range(5):
+        h, w = int(rng.randint(2, 50)), int(rng.randint(2, 50))
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        q = int(rng.choice([1, 4, 16]))
+        ri = int(rng.choice([1, 3, 7]))
+        succ = bool(rng.randint(2))
+        for sub in ("420", "422"):
+            ref = decode_jpeg(encode_jpeg(img, quant=q, subsampling=sub))[3]
+            pay = encode_jpeg(
+                img, quant=q, progressive=True, subsampling=sub,
+                successive=succ, restart_interval=ri,
+            )
+            assert (decode_jpeg(pay)[3] == ref).all(), (h, w, q, ri, sub)
+            _check_pure_supported(pay)
+            meta = parse_jpeg_meta(pay)
+            assert meta["width"] == w and meta["height"] == h
+    # odd dims force the MCU-padded-vs-true-grid asymmetry: the AC scans
+    # cover fewer blocks than the interleaved DC scan (T.81 A.2)
+    odd = rng.randint(0, 256, (9, 25, 3)).astype(np.uint8)
+    for sub in ("420", "422"):
+        a = decode_jpeg(encode_jpeg(odd, quant=1, subsampling=sub))[3]
+        b = decode_jpeg(
+            encode_jpeg(odd, quant=1, progressive=True, subsampling=sub,
+                        successive=True, restart_interval=2)
+        )[3]
+        assert (a == b).all()
+    # gray progressive restarts (single component, non-interleaved DC)
+    g = rng.randint(0, 256, (17, 41)).astype(np.uint8)
+    p = decode_jpeg(encode_jpeg(g, quant=2, progressive=True))[3]
+    r = decode_jpeg(
+        encode_jpeg(g, quant=2, progressive=True, restart_interval=4)
+    )[3]
+    assert (p == r).all()
 
 
 def test_body_text_charset_column(spark):
@@ -3052,3 +3113,84 @@ def test_charset_resolution_edges():
     assert warc.sniff_meta_charset(
         b'<META HTTP-EQUIV="Content-Type" '
         b'CONTENT="text/html; charset=windows-1251">') == "windows-1251"
+
+
+def test_resolve_revisits(spark, tmp_path):
+    """r11 WARC revisit records: write a mixed response/revisit archive
+    (extra_headers emits revisit headers only where non-NULL), read it
+    back with both types, resolve — revisits graft the donor response's
+    body; duplicate-stored content picks the min-record-id donor and
+    must NOT fan out; orphan digests resolve to NULL (or drop);
+    on_missing validates."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import warc
+
+    rows = [
+        # two responses with IDENTICAL content (same digest) — donor
+        # dedup must keep exactly one, the min record id
+        ("https://a.com/1", b"<html>same</html>", "response", "sha1:X",
+         None, None),
+        ("https://a.com/2", b"<html>same</html>", "response", "sha1:X",
+         None, None),
+        ("https://a.com/3", b"<html>other</html>", "response", "sha1:Y",
+         None, None),
+        ("https://a.com/1b", b"", "revisit", "sha1:X",
+         "<urn:uuid:ref1>", "https://a.com/1"),
+        ("https://a.com/3b", b"", "revisit", "sha1:Y",
+         "<urn:uuid:ref3>", "https://a.com/3"),
+        ("https://a.com/gone", b"", "revisit", "sha1:ZZZ",
+         "<urn:uuid:refz>", "https://a.com/zzz"),
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "target_uri string, payload binary, wtype string, digest string, "
+        "refers_to string, refers_to_uri string",
+    )
+    out = str(tmp_path / "rev")
+    warc.write_warc_shards(
+        src.coalesce(1), out, type_col="wtype", content_type="text/html",
+        extra_headers={
+            "WARC-Payload-Digest": "digest",
+            "WARC-Refers-To": "refers_to",
+            "WARC-Refers-To-Target-URI": "refers_to_uri",
+        },
+    )
+    recs = warc.read_warc(spark, out, warc_types=("response", "revisit"))
+    # the revisit columns roundtrip; responses carry NULL refers_to
+    byuri = {r.target_uri: r for r in recs.collect()}
+    assert byuri["https://a.com/1b"].refers_to == "<urn:uuid:ref1>"
+    assert byuri["https://a.com/1b"].refers_to_uri == "https://a.com/1"
+    assert byuri["https://a.com/1b"].payload_digest == "sha1:X"
+    assert byuri["https://a.com/1"].refers_to is None
+    res = {r.target_uri: r for r in warc.resolve_revisits(recs).collect()}
+    assert len(res) == 6  # 3 responses + 3 revisits, no fan-out
+    assert res["https://a.com/1b"].is_revisit
+    assert bytes(res["https://a.com/1b"].body) == b"<html>same</html>"
+    # min-record-id donor: record ids are md5(uri)-derived, '/1' < '/2'
+    import hashlib as _hl
+
+    want = min(
+        f"<urn:uuid:{_hl.md5(u.encode()).hexdigest()}>"
+        for u in ("https://a.com/1", "https://a.com/2")
+    )
+    assert res["https://a.com/1b"].source_record_id == want
+    assert bytes(res["https://a.com/3b"].body) == b"<html>other</html>"
+    assert res["https://a.com/gone"].body is None  # orphan → quarantine
+    assert res["https://a.com/gone"].source_record_id is None
+    assert not res["https://a.com/1"].is_revisit
+    assert res["https://a.com/1"].source_record_id is None
+    dropped = warc.resolve_revisits(recs, on_missing="drop").collect()
+    assert len(dropped) == 5
+    with _pytest.raises(ValueError, match="on_missing"):
+        warc.resolve_revisits(recs, on_missing="fail")
+    # extra_headers values go through the line-break injection guard
+    evil = spark.createDataFrame(
+        [("https://a.com/x", b"b", "response", "sha1:A\r\nWARC-Type: evil")],
+        "target_uri string, payload binary, wtype string, digest string",
+    )
+    with _pytest.raises(Exception, match="line break"):
+        warc.write_warc_shards(
+            evil, str(tmp_path / "evil"), type_col="wtype",
+            extra_headers={"WARC-Payload-Digest": "digest"},
+        )
