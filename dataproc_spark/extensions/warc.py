@@ -38,6 +38,15 @@ Scale posture (100 TB of .warc.gz):
   the default opens executor-local posix paths; pass an object-store
   opener (e.g. an fsspec ``open``) for cluster use — the iterator body
   is identical either way.
+* r11 completes the text path and the revisit story: ``body_text``
+  resolves the page charset browser-style (BOM > ``charset=`` header >
+  ``<meta>`` prescan > UTF-8-replace) so windows-1251/shift_jis/gbk
+  pages decode instead of mojibaking; ``decode_content_encoding``
+  gains brotli behind an import-try seam; and revisit records (ISO
+  28500 §6.7 — Common Crawl's digest-based recrawl dedup) ingest with
+  their digest/refers-to columns and resolve back to full content via
+  :func:`resolve_revisits` (one digest equi-join; each unique body
+  crosses the wire once).
 """
 
 from __future__ import annotations

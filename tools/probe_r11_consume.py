@@ -1,0 +1,24 @@
+import os, sys, time, json
+sys.path.insert(0, "/root/repo")
+from dataproc_spark import get_spark
+from dataproc_spark.queries import REGISTRY
+from pyspark.sql import functions as F
+
+spark = get_spark("probe_r11", master="local[32]", shuffle_partitions=64,
+                  extra_conf={"spark.ui.enabled": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+for d in sys.argv[1:]:
+    for name, agg in (
+        ("charset_body_text",
+         lambda df: df.agg(F.sum(F.length("body_text")),
+                           F.sum("n_chars_text"))),
+        ("warc_revisit_dedup",
+         lambda df: df.agg(F.sum(F.length("body_text")),
+                           F.sum(F.col("is_revisit").cast("long")))),
+    ):
+        t0 = time.time()
+        row = agg(REGISTRY[name][0](spark, d)).collect()[0]
+        print(json.dumps({"dir": d, "name": name,
+                          "sec": round(time.time() - t0, 1),
+                          "agg": [None if v is None else int(v) for v in row]}),
+              flush=True)
