@@ -844,7 +844,11 @@ def _parse_dht(data: bytes, htabs: dict) -> None:
 
 def _scan_end(buf: bytes, pos: int) -> int:
     """First byte of the next marker after entropy data starting at
-    ``pos`` (skips stuffed 0xFF00; restarts are unsupported upstream)."""
+    ``pos`` (skips stuffed 0xFF00 only; in-scan RSTn markers are all
+    consumed by ``_BitReader.restart`` BEFORE this runs, so the first
+    bare marker really is the scan terminator — do not add RST
+    skipping here or malformed streams lose their end-of-scan
+    detection)."""
     n = len(buf)
     while pos + 1 < n:
         if buf[pos] == 0xFF and buf[pos + 1] != 0x00:
@@ -1154,9 +1158,9 @@ def decode_jpeg(buf: bytes):
     (SOF2 — spectral selection + successive approximation) are both
     decoded; 8-bit, 1 or 3 components, sampling factors in {1, 2}
     (4:4:4/4:2:2/4:2:0), restart intervals on both paths (r11).
-    Arithmetic-coded, hierarchical, lossless, subsampled, and
-    malformed/truncated streams raise ``ValueError`` (the per-row
-    quarantine contract)."""
+    Arithmetic-coded, hierarchical, lossless, sampling factors outside
+    {1, 2}, and malformed/truncated streams raise ``ValueError`` (the
+    per-row quarantine contract)."""
     import numpy as np
 
     buf = bytes(buf)
@@ -1364,6 +1368,20 @@ def _check_pure_supported(buf: bytes) -> None:
         raise ValueError("JPEG missing SOF header")
 
 
+def _is_subsampled(buf: bytes) -> bool:
+    """True when any SOF component's sampling factors differ — i.e.
+    chroma is subsampled and the decode result depends on the
+    upsampling strategy (decoder-defined, not T.81-prescribed)."""
+    buf = bytes(buf)
+    for marker, start, ln in _walk_segments(buf):
+        if marker in _SOF_MARKERS:
+            data = buf[start:start + ln]
+            ncomp = data[5]
+            samps = {data[7 + 3 * i] for i in range(ncomp)}
+            return len(samps) > 1
+    return False
+
+
 def decode_jpeg_fast(buf: bytes, use_c_codec: bool | None = None):
     """The documented C-codec seam: same ``(w, h, channels, pixels)``
     contract as :func:`decode_jpeg`, but when ``use_c_codec`` is true
@@ -1378,8 +1396,16 @@ def decode_jpeg_fast(buf: bytes, use_c_codec: bool | None = None):
     asserted by ``test_jpeg_c_codec_seam`` whenever PIL exists).
     The accept SURFACE is identical by construction: the stream is
     marker-validated against the pure decoder's restrictions before
-    libjpeg sees it, so a subsampled/restart/CMYK payload quarantines
-    on every machine, flag or no flag."""
+    libjpeg sees it, so a CMYK/12-bit/exotic-sampling payload
+    quarantines on every machine, flag or no flag.
+
+    SUBSAMPLED streams always take the pure path, flag or no flag
+    (r11 review finding): chroma upsampling is decoder-defined —
+    libjpeg interpolates ("fancy" triangle filter) where this module
+    replicates — so on varying-chroma content the two decoders differ
+    far beyond the ±1 IDCT allowance, and pixel statistics must not
+    depend on which machine ran the job. Restart markers stay on the
+    C path: they are framing, not pixel math."""
     import os
 
     if use_c_codec is None:
@@ -1388,6 +1414,8 @@ def decode_jpeg_fast(buf: bytes, use_c_codec: bool | None = None):
         Image = _pil_image()
         if Image is not None:
             _check_pure_supported(buf)
+            if _is_subsampled(buf):
+                return decode_jpeg(buf)
             import io
 
             import numpy as np

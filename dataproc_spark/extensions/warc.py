@@ -821,27 +821,57 @@ def charset_of_content_type(content_type: str | None) -> str | None:
     return m.group(1).strip("'\"")
 
 
-#: HTML5 §13.2.3.2-style prescan patterns over the first KiB of bytes:
-#: <meta charset=...> and the legacy http-equiv Content-Type form.
-_META_CHARSET_RE = re.compile(
-    rb"<meta[^>]{0,200}?charset\s*=\s*([\"']?)([a-zA-Z0-9_\-:.]+)\1",
-    re.IGNORECASE | re.DOTALL,
+_META_TAG_RE = re.compile(rb"<meta[\s/]", re.IGNORECASE)
+_META_ATTR_RE = re.compile(
+    # one tag attribute: name, optionally ="v" / ='v' / =bare
+    rb"([a-zA-Z][a-zA-Z0-9_:.\-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]*))?"
 )
 
 
 def sniff_meta_charset(body: bytes, limit: int = 1024) -> str | None:
     """Prescan the first ``limit`` bytes for an HTML ``<meta>`` charset
-    declaration — the HTML5 encoding-sniff step browsers run when the
-    transport layer didn't say (every legacy charset worth sniffing is
-    ASCII-transparent in the ``<head>``, so scanning raw bytes is
-    sound). Returns the raw label or None. Both the modern
-    ``<meta charset=x>`` and the legacy ``<meta http-equiv=...
-    content="text/html; charset=x">`` forms match (the regex keys on
-    the ``charset=`` attribute/parameter either way)."""
-    m = _META_CHARSET_RE.search(bytes(body)[:limit])
-    if not m:
-        return None
-    return m.group(2).decode("ascii", "replace")
+    declaration — the HTML5 §13.2.3.2 encoding-sniff step browsers run
+    when the transport layer didn't say (every legacy charset worth
+    sniffing is ASCII-transparent in the ``<head>``, so scanning raw
+    bytes is sound). Returns the raw label or None.
+
+    Like the spec's prescan, only two forms are honored, both via a
+    real per-tag ATTRIBUTE parse: a ``charset`` attribute
+    (``<meta charset=x>``), or the ``charset=`` parameter inside the
+    ``content`` attribute when ``http-equiv`` is ``Content-Type``
+    (the legacy form). ``charset=`` appearing inside any OTHER
+    attribute's value (``og:description`` text, URLs, JSON bodies that
+    merely contain ``<meta``) must NOT match — the first regex draft
+    keyed on ``charset=`` anywhere near ``<meta`` and decoded a valid
+    UTF-8 page as koi8-r because a social-card description mentioned
+    one (r11 review finding, reproduced). Comments are skipped."""
+    head = bytes(body)[:limit]
+    # drop comments first, as the prescan prescribes — a commented-out
+    # <meta charset=..> must not win
+    head = re.sub(rb"<!--.*?(-->|$)", b" ", head, flags=re.DOTALL)
+    for m in _META_TAG_RE.finditer(head):
+        end = head.find(b">", m.end())
+        tag = head[m.end():end if end >= 0 else len(head)]
+        attrs: dict = {}
+        for am in _META_ATTR_RE.finditer(tag):
+            name = am.group(1).lower()
+            val = am.group(2) or b""
+            if val[:1] in (b'"', b"'"):
+                val = val[1:-1]
+            if name not in attrs:  # first occurrence wins, per spec
+                attrs[name] = val
+        if b"charset" in attrs and attrs[b"charset"]:
+            return attrs[b"charset"].decode("ascii", "replace")
+        if (
+            attrs.get(b"http-equiv", b"").lower() == b"content-type"
+            and b"content" in attrs
+        ):
+            label = charset_of_content_type(
+                attrs[b"content"].decode("ascii", "replace")
+            )
+            if label:
+                return label
+    return None
 
 
 def decode_body_text(body: bytes, content_type: str | None) -> str:

@@ -3194,3 +3194,71 @@ def test_resolve_revisits(spark, tmp_path):
             evil, str(tmp_path / "evil"), type_col="wtype",
             extra_headers={"WARC-Payload-Digest": "digest"},
         )
+
+
+def test_meta_prescan_attribute_aware():
+    """r11 review regression: the prescan must honor ONLY a real
+    ``charset`` attribute or an http-equiv Content-Type ``content``
+    parameter — 'charset=' inside any other attribute's value (og:
+    description text, refresh URLs, JSON that merely contains '<meta')
+    must not match, and commented-out metas must not win."""
+    from dataproc_spark.extensions.warc import (
+        decode_body_text,
+        sniff_meta_charset,
+    )
+
+    page = (
+        '<html><head><meta property="og:description" '
+        'content="served with charset=koi8-r for legacy"></head>'
+        "привет</html>"
+    ).encode("utf-8")
+    assert sniff_meta_charset(page) is None
+    assert "привет" in decode_body_text(page, "text/html")  # stays UTF-8
+    page2 = (
+        '<meta property="x" content="...charset=utf-42...">'
+        '<meta charset="utf-8">проверка'
+    ).encode("utf-8")
+    assert sniff_meta_charset(page2) == "utf-8"
+    assert sniff_meta_charset(
+        b'<meta content="text/html; charset=gbk" http-equiv=content-type>'
+    ) == "gbk"
+    assert sniff_meta_charset(
+        b'<meta http-equiv=refresh content="0; url=a?charset=koi8-r">'
+    ) is None
+    assert sniff_meta_charset(
+        b"<!-- <meta charset=koi8-r> --><meta charset=utf-8>"
+    ) == "utf-8"
+    assert sniff_meta_charset(
+        b'{"html": "<meta x=1>", "note": "charset=latin-1"}'
+    ) is None
+
+
+def test_jpeg_seam_subsampled_routes_pure():
+    """r11 review regression: chroma upsampling is decoder-defined
+    (libjpeg interpolates, the pure path replicates), so subsampled
+    streams must decode on the PURE path even with the C-codec flag on
+    — pixel statistics may not depend on which machine ran the job.
+    4:4:4 streams with restarts stay eligible for the C path."""
+    import numpy as np
+
+    from dataproc_spark.extensions.jpeg import (
+        _is_subsampled,
+        decode_jpeg,
+        decode_jpeg_fast,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    for sub in ("420", "422"):
+        for prog in (False, True):
+            pay = encode_jpeg(img, quant=1, subsampling=sub,
+                              progressive=prog)
+            assert _is_subsampled(pay)
+            pure = decode_jpeg(pay)
+            fast = decode_jpeg_fast(pay, use_c_codec=True)
+            assert (pure[3] == fast[3]).all() and pure[:3] == fast[:3]
+    flat = encode_jpeg(img, quant=1)  # 4:4:4
+    assert not _is_subsampled(flat)
+    gray = encode_jpeg(img[:, :, 0], quant=1, restart_interval=2)
+    assert not _is_subsampled(gray)

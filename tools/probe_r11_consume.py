@@ -1,5 +1,16 @@
-import os, sys, time, json
-sys.path.insert(0, "/root/repo")
+"""Consuming-aggregate probes for the r11 map-shaped gates — count()
+legally prunes their Arrow decode projections (the r7 lesson), so the
+honest timing forces sum(length(body_text)).
+
+Usage: python tools/probe_r11_consume.py DIR [DIR ...]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from dataproc_spark import get_spark
 from dataproc_spark.queries import REGISTRY
 from pyspark.sql import functions as F
