@@ -620,14 +620,25 @@ def dechunk_http_body(body: bytes) -> bytes:
 def decode_content_encoding(body: bytes, encoding: str | None) -> bytes:
     """Undo a Content-Encoding: ``gzip``/``x-gzip``, ``deflate`` (both
     the zlib-wrapped form the RFC means and the raw form some servers
-    actually send), or ``identity``/None. Unknown codings raise
-    ``ValueError`` (quarantine — silently passing brotli bytes through
-    as "text" would poison every downstream operator)."""
+    actually send), ``br`` (import-try seam), or ``identity``/None.
+    A comma-separated LIST (RFC 9110 §8.4 — codings in application
+    order, e.g. ``gzip, br``) is undone in reverse. Unknown codings
+    raise ``ValueError`` (quarantine — silently passing coded bytes
+    through as "text" would poison every downstream operator)."""
+    body = bytes(body)
+    codings = [
+        c.strip() for c in (encoding or "").split(",") if c.strip()
+    ]
+    for enc in reversed(codings):
+        body = _decode_one_coding(body, enc)
+    return body
+
+
+def _decode_one_coding(body: bytes, enc: str) -> bytes:
     import zlib
 
-    body = bytes(body)
-    enc = (encoding or "identity").strip().lower()
-    if enc in ("identity", ""):
+    enc = enc.lower()
+    if enc == "identity":
         return body
     if enc in ("gzip", "x-gzip"):
         try:
@@ -664,7 +675,7 @@ def decode_content_encoding(body: bytes, encoding: str | None) -> bytes:
             return brotli.decompress(body)
         except Exception as exc:  # brotli raises its own error class
             raise ValueError(f"bad brotli body: {exc}")
-    raise ValueError(f"unsupported Content-Encoding {encoding!r}")
+    raise ValueError(f"unsupported Content-Encoding {enc!r}")
 
 
 def _brotli_module():

@@ -3262,3 +3262,26 @@ def test_jpeg_seam_subsampled_routes_pure():
     assert not _is_subsampled(flat)
     gray = encode_jpeg(img[:, :, 0], quant=1, restart_interval=2)
     assert not _is_subsampled(gray)
+
+
+def test_chained_content_codings():
+    """RFC 9110 §8.4: a Content-Encoding LIST names codings in the
+    order applied, so they decode in reverse; identity members are
+    no-ops, case/space-insensitive, and an unknown member anywhere in
+    the list still quarantines."""
+    import gzip as _gz
+    import zlib as _zl
+
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.warc import decode_content_encoding
+
+    wire = _zl.compress(_gz.compress(b"chained payload", mtime=0))
+    assert decode_content_encoding(wire, "gzip, deflate") == b"chained payload"
+    wire2 = _gz.compress(_zl.compress(b"other order"), mtime=0)
+    assert decode_content_encoding(wire2, "deflate , GZIP") == b"other order"
+    assert decode_content_encoding(
+        _gz.compress(b"x", mtime=0), "identity, gzip, identity") == b"x"
+    with _pytest.raises(ValueError, match="zstd"):
+        decode_content_encoding(b"z", "gzip, zstd")
+    assert decode_content_encoding(b"q", "") == b"q"
