@@ -94,10 +94,11 @@ EXTENDED_QUERIES = [
     # additions — lang_script_predict, cross_doc_spans — are probed in
     # SCALE.md instead; their gate fixtures are deliberately heavy)
     "warc_http_split",
-    # r11 families: charset-aware body→text decode and WARC revisit
-    # resolution (recrawl dedup)
+    # r11 families: charset-aware body→text decode, WARC revisit
+    # resolution (recrawl dedup), HTML entity unescape
     "charset_body_text",
     "warc_revisit_dedup",
+    "html_unescape",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

@@ -445,3 +445,70 @@ def extract_main_text(
         ),
     )
     return F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+
+
+# ---------------------------------------------------------------------------
+# HTML entity unescape (r11)
+# ---------------------------------------------------------------------------
+
+#: the common named entities, ordered so that ``&amp;`` is LAST: the
+#: HTML double-escape ``&amp;lt;`` must yield the literal ``&lt;``,
+#: which only happens when every other entity is replaced before the
+#: ampersand itself (html.unescape's semantics, reproduced by chain
+#: order). Public knowledge: the HTML5 named character references.
+HTML_ENTITIES_FAST: tuple = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ("&#39;", "'"), ("&#34;", '"'), ("&nbsp;", " "),
+    ("&mdash;", "—"), ("&ndash;", "–"),
+    ("&hellip;", "…"), ("&middot;", "·"),
+    ("&copy;", "©"), ("&reg;", "®"), ("&trade;", "™"),
+    ("&laquo;", "«"), ("&raquo;", "»"),
+    ("&lsquo;", "‘"), ("&rsquo;", "’"),
+    ("&ldquo;", "“"), ("&rdquo;", "”"),
+    ("&eacute;", "é"), ("&egrave;", "è"),
+    ("&auml;", "ä"), ("&ouml;", "ö"), ("&uuml;", "ü"),
+    ("&szlig;", "ß"), ("&ccedil;", "ç"),
+    ("&amp;", "&"),  # MUST stay last
+)
+
+
+def unescape_html(col, mode: str = "fast"):
+    """Column expression: decode HTML character references in extracted
+    text — the cleanup pass that belongs right after
+    :func:`extract_main_text` (real page text is full of ``&amp;`` /
+    ``&#39;`` / ``&nbsp;``, and a tokenizer or lang-ID profile fed raw
+    entities scores garbage).
+
+    ``mode='fast'`` (default) is a pure JVM chain of literal
+    ``replace`` calls over :data:`HTML_ENTITIES_FAST` — the ~30
+    entities that dominate real web text (plus the two numeric forms of
+    the quote characters), zero Python, whole-stage-codegen friendly.
+    It leaves unknown/rare references untouched (visible, never
+    corrupted) and preserves double-escape semantics (``&amp;lt;`` →
+    ``&lt;``) because ``&amp;`` replaces last.
+
+    ``mode='full'`` runs the COMPLETE HTML5 table including all
+    numeric (``&#1087;``) and hex (``&#x43F;``) forms via the stdlib
+    ``html.unescape`` in an Arrow pandas UDF — use it when the corpus
+    is entity-heavy enough to justify the Python stage; the two modes
+    agree exactly on the fast subset (unit-tested)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    if mode == "fast":
+        for ent, ch in HTML_ENTITIES_FAST:
+            c = F.replace(c, F.lit(ent), F.lit(ch))
+        return c
+    if mode != "full":
+        raise ValueError(f"mode must be 'fast' or 'full', got {mode!r}")
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def _kernel(s):
+        import html
+
+        return s.map(lambda v: None if v is None else html.unescape(v))
+
+    _kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_kernel, StringType())(c)

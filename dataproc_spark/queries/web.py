@@ -1162,3 +1162,82 @@ SELECT doc_id,
             THEN CAST(strlen(body) AS BIGINT) END AS n_body_bytes
 FROM b
 """
+
+
+# --------------------------------------------------------------------------
+# r11: HTML entity unescape
+# --------------------------------------------------------------------------
+
+#: per-arm entity decorations — RAW forms appended to the document text
+#: on the Spark side; the CLEAN twins (what a correct unescape yields)
+#: are computed ONCE here via the stdlib html.unescape and spliced into
+#: the oracle, so the expectation cannot drift from the HTML5 table.
+_ENT_RAW = (
+    " Tom &amp; Jerry &lt;tag&gt;",          # the big-four named refs
+    " caf&eacute; &#1087;&#1088;&#1080;",    # named + DECIMAL numeric
+    " &#x43F;&#x440; &quot;q&quot; &#X42F;", # HEX numeric, both X cases
+    " double &amp;lt; stays",                # double-escape semantics
+    " &unknown; &nbsp;end",                  # unknown ref preserved; NBSP
+)
+_ENT_CLEAN = tuple(__import__("html").unescape(r) for r in _ENT_RAW)
+
+
+def q_html_unescape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML character-reference decode (``web.unescape_html``,
+    ``mode='full'`` — the complete HTML5 table via an Arrow kernel):
+    text coming out of boilerplate removal is full of ``&amp;`` /
+    ``&#39;`` / ``&nbsp;``, and a tokenizer or language-ID profile fed
+    raw entities scores garbage. Five arms per document: the dominant
+    named refs, named+decimal-numeric, hex-numeric (both ``&#x``/
+    ``&#X`` spellings), the double-escape trap (``&amp;lt;`` must yield
+    the literal ``&lt;``, never ``<``), and an unknown reference that
+    must pass through untouched next to an ``&nbsp;`` that must become
+    U+00A0. The oracle appends the PRE-COMPUTED clean twin of each
+    arm's decoration (module constants run through ``html.unescape``
+    once), so Spark's distributed decode is value-checked against the
+    stdlib's reference implementation. The fast JVM mode is
+    equality-tested against the full mode on this subset in the unit
+    suite."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    arm = F.col("doc_id") % 5
+    raw = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(arm == 0, F.lit(_ENT_RAW[0]))
+        .when(arm == 1, F.lit(_ENT_RAW[1]))
+        .when(arm == 2, F.lit(_ENT_RAW[2]))
+        .when(arm == 3, F.lit(_ENT_RAW[3]))
+        .otherwise(F.lit(_ENT_RAW[4])),
+    )
+    clean = web.unescape_html(raw, mode="full")
+    return docs.select(
+        "doc_id",
+        clean.alias("text_clean"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )
+
+
+def _make_sql_html_unescape() -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    cases = "\n".join(
+        f"               WHEN {i} THEN {lit(c)}"
+        for i, c in enumerate(_ENT_CLEAN[:4])
+    )
+    return f"""
+WITH b AS (
+    SELECT doc_id,
+           coalesce(text, '') ||
+           CASE doc_id % 5
+{cases}
+               ELSE {lit(_ENT_CLEAN[4])}
+           END AS text_clean
+    FROM documents
+)
+SELECT doc_id, text_clean,
+       CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+FROM b
+"""
+
+
+SQL_HTML_UNESCAPE = _make_sql_html_unescape()

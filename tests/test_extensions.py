@@ -3285,3 +3285,40 @@ def test_chained_content_codings():
     with _pytest.raises(ValueError, match="zstd"):
         decode_content_encoding(b"z", "gzip, zstd")
     assert decode_content_encoding(b"q", "") == b"q"
+
+
+def test_unescape_html_modes(spark):
+    """r11 entity decode: full mode == stdlib html.unescape (numeric,
+    hex, unknown-preserved, NBSP→U+00A0), fast JVM mode equals full on
+    the fast subset incl. the double-escape trap, NULLs pass through,
+    and mode validates."""
+    import html as _html
+
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import web as webx
+
+    rows = [
+        (0, "Tom &amp; Jerry &lt;tag&gt; &quot;q&quot; &rsquo;s"),
+        (1, "double &amp;lt; must stay literal"),
+        (2, "caf&eacute; &nbsp;pad &hellip; &copy;"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    fast = {r.i: r.c for r in df.select(
+        "i", webx.unescape_html("t", mode="fast").alias("c")).collect()}
+    full = {r.i: r.c for r in df.select(
+        "i", webx.unescape_html("t", mode="full").alias("c")).collect()}
+    for i, t in rows:
+        want = None if t is None else _html.unescape(t)
+        assert full[i] == want, (i, full[i], want)
+        assert fast[i] == want, (i, fast[i], want)  # fast subset only
+    assert fast[1] == "double &lt; must stay literal"
+    # numeric/hex forms are full-mode-only; fast leaves them visible
+    num = spark.createDataFrame([(0, "x &#1087;&#x43F; y")], "i long, t string")
+    got_fast = num.select(webx.unescape_html("t").alias("c")).collect()[0].c
+    got_full = num.select(
+        webx.unescape_html("t", mode="full").alias("c")).collect()[0].c
+    assert got_fast == "x &#1087;&#x43F; y" and got_full == "x пп y"
+    with _pytest.raises(ValueError, match="mode"):
+        webx.unescape_html("t", mode="auto")
