@@ -11,6 +11,8 @@ hosts, ``www.`` and multi-label subdomains, two-level public suffixes
 
 from __future__ import annotations
 
+import html as _html
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -489,6 +491,23 @@ def _warc_doc_uri(id_col=None):
     )
 
 
+def _warc_doc_id():
+    """Inverse of :func:`_warc_doc_uri`: recover ``doc_id`` from a
+    re-ingested record's ``target_uri`` (shared by every WARC gate that
+    round-trips documents through an archive)."""
+    return (
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+        .cast("long")
+        .alias("doc_id")
+    )
+
+
+def _sql_lit(s: str) -> str:
+    """A Python string as a single-quoted SQL literal (DuckDB oracle
+    side — shared by the fixture-constant gates)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _write_warc_scratch(
     spark: SparkSession,
     sf_dir: str,
@@ -622,9 +641,7 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = warcx.read_warc(spark, out)
     res = back.select(
-        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
-        .cast("long")
-        .alias("doc_id"),
+        _warc_doc_id(),
         "target_uri",
         "content_length",
         F.octet_length("payload").cast("long").alias("n_payload_bytes"),
@@ -760,9 +777,7 @@ def q_warc_http_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
     decoded = warcx.decoded_body("body", "http_headers")
     res = warcx.read_warc(spark, out).select(
-        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
-        .cast("long")
-        .alias("doc_id"),
+        _warc_doc_id(),
         F.col("http_status").cast("int").alias("http_status"),
         "http_content_type",
         F.element_at("http_headers", "x-crawl").alias("x_crawl"),
@@ -1001,8 +1016,7 @@ def q_charset_body_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _make_sql_charset_body_text() -> str:
-    def lit(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+    lit = _sql_lit
 
     return f"""
 WITH b AS (
@@ -1128,9 +1142,7 @@ def q_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = warcx.read_warc(spark, out, warc_types=("response", "revisit"))
     resolved = warcx.resolve_revisits(recs)
     res = resolved.select(
-        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
-        .cast("long")
-        .alias("doc_id"),
+        _warc_doc_id(),
         "is_revisit",
         "source_record_id",
         F.decode(F.col("body"), "UTF-8").alias("body_text"),
@@ -1179,7 +1191,7 @@ _ENT_RAW = (
     " double &amp;lt; stays",                # double-escape semantics
     " &unknown; &nbsp;end",                  # unknown ref preserved; NBSP
 )
-_ENT_CLEAN = tuple(__import__("html").unescape(r) for r in _ENT_RAW)
+_ENT_CLEAN = tuple(_html.unescape(r) for r in _ENT_RAW)
 
 
 def q_html_unescape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1217,8 +1229,7 @@ def q_html_unescape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _make_sql_html_unescape() -> str:
-    def lit(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+    lit = _sql_lit
 
     cases = "\n".join(
         f"               WHEN {i} THEN {lit(c)}"

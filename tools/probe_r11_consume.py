@@ -26,6 +26,9 @@ for d in sys.argv[1:]:
         ("warc_revisit_dedup",
          lambda df: df.agg(F.sum(F.length("body_text")),
                            F.sum(F.col("is_revisit").cast("long")))),
+        ("html_unescape",
+         lambda df: df.agg(F.sum(F.length("text_clean")),
+                           F.sum("n_chars_clean"))),
     ):
         t0 = time.time()
         row = agg(REGISTRY[name][0](spark, d)).collect()[0]
