@@ -3322,3 +3322,144 @@ def test_unescape_html_modes(spark):
     assert got_fast == "x &#1087;&#x43F; y" and got_full == "x пп y"
     with _pytest.raises(ValueError, match="mode"):
         webx.unescape_html("t", mode="auto")
+
+
+def test_jpeg_progressive_subsampled_decoder_only():
+    """r11 decoder-ONLY geometry check: hand-assembled 4:2:0 SOF2
+    streams (not produced by our encoder), verified against an
+    independent numpy model of the block layout + YCbCr math. This is
+    the one failure mode the roundtrip tests CANNOT catch: if encoder
+    and decoder shared the same wrong grid walk, coefficients would
+    land in the same wrong blocks and every roundtrip would still
+    pass — only a stream assembled from the spec exposes it.
+
+    Geometry under test (w=24, h=16, Y 2x2 / Cb 1x1 / Cr 1x1):
+    mcu grid 2x1; Y padded block grid 4x2 (8 blocks) vs TRUE grid 3x2
+    (6 blocks) — the T.81 A.2 asymmetry. Stream A codes DC interleaved
+    (all 8 Y blocks in MCU order: padded indices 0,1,4,5 then 2,3,6,7)
+    with a restart after MCU 1; stream B codes DC NON-interleaved per
+    component (Y walks true-grid blocks at padded indices 0,1,2,4,5,6
+    — stride bw_pad=4, skipping the padding column) with a restart
+    mid-scan. Both must reconstruct the same pixels."""
+    import struct
+
+    import numpy as np
+
+    from dataproc_spark.extensions.jpeg import (
+        _BitWriter,
+        _canonical_codes,
+        _category,
+        _DC_BITS,
+        _DC_SYMBOLS,
+        decode_jpeg,
+        parse_jpeg_meta,
+    )
+
+    w, h = 24, 16
+    # distinct constant value per TRUE Y block; padding col replicates
+    yv = [[40, 90, 140], [200, 15, 230]]  # [by][bx], true grid 2x3
+    cbv, crv = 100, 170  # constant chroma planes (one value per block)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
+
+    def write_dc(bw, prev, v):
+        # DC-only block: category + diff bits, nothing else in Ss=0 scan
+        diff = v - prev
+        t = _category(diff) if diff else 0
+        code, ln = dc_codes[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        return v
+
+    def dcval(px):  # quant 1: DC coefficient of a constant block
+        return 8 * (px - 128)
+
+    def header(parts):
+        out = bytearray(b"\xFF\xD8")
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # quant 1 flat
+        sof = struct.pack(">BHHB", 8, h, w, 3)
+        sof += struct.pack(">BBB", 1, 0x22, 0)  # Y 2x2
+        sof += struct.pack(">BBB", 2, 0x11, 0)  # Cb
+        sof += struct.pack(">BBB", 3, 0x11, 0)  # Cr
+        out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMBOLS))
+        out += seg(0xC2, sof)
+        for p in parts:
+            out += p
+        out += b"\xFF\xD9"
+        return bytes(out)
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)]) + b"".join(
+            struct.pack(">BB", cid, 0x00) for cid in comp_ids
+        ) + bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    # --- stream A: interleaved DC scan, restart after each MCU (ri=1)
+    bw = _BitWriter()
+    prev = {1: 0, 2: 0, 3: 0}
+    for mc in (0, 1):  # MCU column (1 MCU row)
+        if mc == 1:
+            bw.restart_marker(0)
+            prev = {1: 0, 2: 0, 3: 0}
+        for v_ in (0, 1):  # Y: 2x2 blocks per MCU, raster within MCU
+            for u in (0, 1):
+                bx = mc * 2 + u
+                px = yv[v_][min(bx, 2)]  # padding col replicates bx=2
+                prev[1] = write_dc(bw, prev[1], dcval(px))
+        prev[2] = write_dc(bw, prev[2], dcval(cbv))
+        prev[3] = write_dc(bw, prev[3], dcval(crv))
+    stream_a = header([
+        seg(0xDD, struct.pack(">H", 1)),
+        sos([1, 2, 3], 0, 0, 0, 0) + bw.flush(),
+    ])
+
+    # --- stream B: non-interleaved DC scans (ns=1 each), Y with ri=2
+    parts = [seg(0xDD, struct.pack(">H", 2))]
+    bw = _BitWriter()
+    prev_y = 0
+    n = 0
+    rst = 0
+    for by in (0, 1):
+        for bx in (0, 1, 2):  # TRUE grid only — padding col NOT coded
+            if n and n % 2 == 0:
+                bw.restart_marker(rst)
+                rst += 1
+                prev_y = 0
+            prev_y = write_dc(bw, prev_y, dcval(yv[by][bx]))
+            n += 1
+    parts.append(sos([1], 0, 0, 0, 0) + bw.flush())
+    for cid, cv in ((2, cbv), (3, crv)):
+        bw = _BitWriter()
+        prev_c = 0
+        for _ in range(2):  # chroma true grid: 2x1 blocks
+            prev_c = write_dc(bw, prev_c, dcval(cv))
+        parts.append(sos([cid], 0, 0, 0, 0) + bw.flush())
+    stream_b = header(parts)
+
+    # --- independent expected-pixel model (geometry + YCbCr math)
+    ymat = np.zeros((h, w))
+    for by in (0, 1):
+        for bx in (0, 1, 2):
+            ymat[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = yv[by][bx]
+    cb = np.full((h, w), float(cbv))  # constant chroma, replication-free
+    cr = np.full((h, w), float(crv))
+    exp = np.clip(np.round(np.stack([
+        ymat + 1.402 * (cr - 128.0),
+        ymat - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+        ymat + 1.772 * (cb - 128.0),
+    ], axis=-1)), 0, 255).astype(np.uint8)
+
+    for name, stream in (("interleaved", stream_a), ("non-interleaved",
+                                                     stream_b)):
+        meta = parse_jpeg_meta(stream)
+        assert (meta["width"], meta["height"]) == (w, h), name
+        assert meta["progressive"], name
+        got = decode_jpeg(stream)
+        assert got[:3] == (w, h, 3), name
+        assert (got[3] == exp).all(), (
+            name, np.abs(got[3].astype(int) - exp.astype(int)).max())
