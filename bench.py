@@ -99,6 +99,7 @@ EXTENDED_QUERIES = [
     "charset_body_text",
     "warc_revisit_dedup",
     "html_unescape",
+    "robots_filter",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

@@ -512,3 +512,156 @@ def unescape_html(col, mode: str = "fast"):
 
     _kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_kernel, StringType())(c)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt crawl filtering (r11)
+# ---------------------------------------------------------------------------
+
+def robots_like_pattern(path_rule: str) -> tuple:
+    """Translate an RFC 9309 path rule into a SQL ``LIKE`` pattern and
+    its specificity: ``*`` becomes ``%``, a trailing ``$`` anchors the
+    end (no trailing ``%``), LIKE metacharacters in the rule are
+    escaped, and specificity is the rule's octet length without
+    wildcards/anchor (the RFC's longest-match measure). Returns
+    ``(like_pattern, specificity)``."""
+    anchored = path_rule.endswith("$")
+    core = path_rule[:-1] if anchored else path_rule
+    pat = (
+        core.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        .replace("*", "%")
+    )
+    if not anchored:
+        pat += "%"
+    spec = len(core.replace("*", ""))
+    return pat, spec
+
+
+def parse_robots(text: str, agent: str = "*") -> list:
+    """Parse a robots.txt (RFC 9309-lite) and return the rule list for
+    ``agent`` as ``(allow, like_pattern, specificity)`` tuples sorted
+    by priority (longest match first; on a specificity tie Allow wins —
+    the RFC's evaluation order, pre-applied so a matcher just takes the
+    first hit). Group selection follows the RFC: the group whose
+    ``User-agent`` token is the longest case-insensitive substring of
+    ``agent`` wins; ``*`` is the fallback. Unknown directives and
+    comments are ignored; an empty ``Disallow:`` value is a no-op (the
+    classic allow-all idiom)."""
+    groups: list = []  # (agents, rules)
+    cur_agents: list = []
+    cur_rules: list = []
+    in_group_body = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_group_body = False
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group_body = True
+            if val:
+                cur_rules.append((key == "allow", val))
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    agent = (agent or "*").lower()
+    best: tuple = (-1, [])  # (match length, rules)
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                score = 0
+            elif a and a in agent:
+                score = len(a)
+            else:
+                continue
+            if score > best[0]:
+                best = (score, rules)
+    out = [
+        (allow,) + robots_like_pattern(rule) for allow, rule in best[1]
+    ]
+    # priority order: longest specificity first, Allow before Disallow
+    # on ties — a matcher takes the FIRST matching entry
+    out.sort(key=lambda r: (-r[2], not r[0]))
+    return out
+
+
+#: rules attached per host by :func:`robots_rules_frame`
+ROBOTS_RULES_TYPE = (
+    "array<struct<allow:boolean,pat:string,spec:int>>"
+)
+
+
+def robots_rules_frame(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, robots.txt text) → (host, priority-sorted rule array) —
+    the tiny dimension side of crawl filtering, parsed once per host in
+    an Arrow kernel (robots files are small and hosts number in the
+    millions at worst, vs billions of URLs)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, IntegerType, StringType, StructField,
+        StructType,
+    )
+
+    rtype = ArrayType(StructType([
+        StructField("allow", BooleanType()),
+        StructField("pat", StringType()),
+        StructField("spec", IntegerType()),
+    ]))
+
+    def _kernel(txt):
+        return pd.Series(
+            [None if t is None else parse_robots(t, agent) for t in txt],
+            dtype=object,
+        )
+
+    _kernel.__annotations__ = {"txt": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_kernel, rtype)
+    return robots.select(
+        F.col(host_col).alias("host"), udf(F.col(text_col)).alias("rules")
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    out_col: str = "allowed",
+) -> DataFrame:
+    """Crawl-politeness filter: mark each URL allowed/blocked under its
+    host's robots rules (:func:`robots_rules_frame` output). Matching
+    is RFC 9309 longest-match over the URL *path* (query excluded),
+    Allow winning specificity ties; a host with no rules (or no robots
+    row at all) defaults to allowed — the crawl-world default.
+
+    100 TB plan: the rules side is per-HOST and broadcast; the winner
+    is picked by a higher-order ``filter`` + ``get(0)`` over the
+    pre-sorted rule array — so the URL side is MAP-ONLY: no shuffle,
+    no per-URL aggregation, no window. The only cost scaling with the
+    corpus is one broadcast-hash-join probe and an array walk whose
+    length is the host's rule count."""
+    from pyspark.sql import functions as F
+
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    joined = urls.join(F.broadcast(rules), on=host_col, how="left")
+    matches = F.filter(
+        F.coalesce(F.col("rules"), F.expr(f"CAST(array() AS {ROBOTS_RULES_TYPE})")),
+        lambda r: F.like(path, r["pat"], F.lit("\\")),
+    )
+    winner = F.get(matches, 0)
+    return joined.withColumn(
+        out_col, F.coalesce(winner["allow"], F.lit(True))
+    ).drop("rules")

@@ -285,6 +285,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "charset_body_text": (q_charset_body_text, SQL_CHARSET_BODY_TEXT),
     "warc_revisit_dedup": (q_warc_revisit_dedup, SQL_WARC_REVISIT_DEDUP),
     "html_unescape": (q_html_unescape, SQL_HTML_UNESCAPE),
+    "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
 }
 
 

@@ -1252,3 +1252,73 @@ FROM b
 
 
 SQL_HTML_UNESCAPE = _make_sql_html_unescape()
+
+
+# --------------------------------------------------------------------------
+# r11: robots.txt crawl filtering
+# --------------------------------------------------------------------------
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-politeness filter (``web.parse_robots`` +
+    ``robots_rules_frame`` + ``robots_allowed``): a crawl pipeline must
+    honor per-host robots rules before anything else touches the URL
+    frontier. Hosts are classed by site number (``site{N}`` % 3), each
+    class carrying a robots.txt that exercises a distinct RFC 9309
+    behavior: (0) prefix Disallow overridden by a longer Allow;
+    (1) a ``goodbot``-specific block-all group that must NOT apply to
+    ``*``, plus a wildcard+anchored ``Disallow: /p/*5$`` outranked by a
+    more specific ``Allow: /p/15``; (2) an Allow/Disallow specificity
+    TIE, which the RFC resolves toward Allow. Matching runs over the
+    PATH only (query excluded). The oracle recomputes every decision
+    independently from the class spec with SQL ``LIKE`` — a wrong
+    group pick, wildcard translation, priority sort, or tie-break
+    flips booleans and hash-fails. Plan: rule parse on the tiny
+    distinct-host side, ONE broadcast join + higher-order array walk on
+    the URL side — zero URL-side shuffles (audited)."""
+    urls = (
+        _docs_with_url(spark, sf_dir)
+        .select("doc_id", "url")
+        .withColumn("host", web.host_of("url"))
+    )
+    cls = F.regexp_extract(F.col("host"), r"site([0-9]+)", 1).cast("int") % 3
+    txt = (
+        F.when(cls == 0, F.lit(
+            "User-agent: *\nDisallow: /p/\nAllow: /p/2\n"))
+        .when(cls == 1, F.lit(
+            "User-agent: goodbot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /p/*5$\nAllow: /p/15\n"))
+        .otherwise(F.lit(
+            "User-agent: *\nAllow: /p/7\nDisallow: /p/7\n"))
+    )
+    robots = urls.select("host").distinct().select(
+        "host", txt.alias("robots_txt")
+    )
+    rules = web.robots_rules_frame(robots)
+    return web.robots_allowed(urls, rules).select(
+        "doc_id", "host", "allowed"
+    )
+
+
+SQL_ROBOTS_FILTER = f"""
+WITH u AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
+h AS (
+    SELECT doc_id, {_DUCK_HOST} AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+    FROM u
+),
+c AS (
+    SELECT doc_id, host, path,
+           CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INTEGER) % 3
+               AS cls
+    FROM h
+)
+SELECT doc_id, host,
+       CASE cls
+           WHEN 0 THEN path LIKE '/p/2%'
+           WHEN 1 THEN CASE WHEN path LIKE '/p/15%' THEN TRUE
+                            WHEN path LIKE '/p/%5' THEN FALSE
+                            ELSE TRUE END
+           ELSE TRUE
+       END AS allowed
+FROM c
+"""

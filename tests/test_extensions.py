@@ -3463,3 +3463,55 @@ def test_jpeg_progressive_subsampled_decoder_only():
         assert got[:3] == (w, h, 3), name
         assert (got[3] == exp).all(), (
             name, np.abs(got[3].astype(int) - exp.astype(int)).max())
+
+
+def test_robots_filtering(spark):
+    """r11 robots.txt family: RFC 9309 group selection (most-specific
+    agent token, * fallback), longest-match priority with Allow winning
+    ties, wildcard/anchor translation with LIKE-metachar escaping,
+    query excluded from matching, rule-less and robots-less hosts
+    default to allowed."""
+    from dataproc_spark.extensions import web as webx
+
+    # pure parser: priority order + group selection + empty Disallow
+    assert webx.parse_robots(
+        "User-agent: *\nDisallow: /p/\nAllow: /p/2\n"
+    ) == [(True, "/p/2%", 4), (False, "/p/%", 3)]
+    two_groups = (
+        "User-agent: goodbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /p/*5$\nAllow: /p/15\n"
+    )
+    assert webx.parse_robots(two_groups) == [
+        (True, "/p/15%", 5), (False, "/p/%5", 4)]
+    assert webx.parse_robots(two_groups, agent="GoodBot/1.2") == [
+        (False, "/%", 1)]
+    assert webx.parse_robots("User-agent: *\nDisallow:\n# allow-all") == []
+    assert webx.robots_like_pattern("/50%_off") == ("/50\\%\\_off%", 8)
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p/\nAllow: /p/2\n"),
+         ("b.com", two_groups),
+         ("c.com", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+    rules = webx.robots_rules_frame(robots)
+    urls = spark.createDataFrame(
+        [(0, "a.com", "https://a.com/p/25?x=1"),
+         (1, "a.com", "https://a.com/p/9"),
+         (2, "b.com", "https://b.com/p/25"),
+         (3, "b.com", "https://b.com/p/155"),  # Allow /p/15 outranks *5$
+         (4, "b.com", "https://b.com/p/3"),
+         (5, "c.com", "https://c.com/anything"),
+         (6, "d.com", "https://d.com/no-robots-host"),
+         (7, "b.com", "https://b.com/p/25?q=5")],  # query NOT matched
+        "i long, host string, url string",
+    )
+    got = {r.i: r.allowed
+           for r in webx.robots_allowed(urls, rules).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: True, 4: True,
+                   5: True, 6: True, 7: False}
+    # plan contract: rules broadcast, URL side map-only (no shuffle)
+    plan = (webx.robots_allowed(urls, rules)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
