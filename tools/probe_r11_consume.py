@@ -29,6 +29,9 @@ for d in sys.argv[1:]:
         ("html_unescape",
          lambda df: df.agg(F.sum(F.length("text_clean")),
                            F.sum("n_chars_clean"))),
+        ("robots_filter",
+         lambda df: df.agg(F.sum(F.col("allowed").cast("long")),
+                           F.count("*"))),
     ):
         t0 = time.time()
         row = agg(REGISTRY[name][0](spark, d)).collect()[0]
