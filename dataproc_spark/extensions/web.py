@@ -571,17 +571,24 @@ def parse_robots(text: str, agent: str = "*") -> list:
     if cur_agents:
         groups.append((cur_agents, cur_rules))
     agent = (agent or "*").lower()
-    best: tuple = (-1, [])  # (match length, rules)
+    # RFC 9309 §2.2.1: groups sharing a user-agent token MUST merge —
+    # real robots.txt files routinely repeat 'User-agent: *' blocks
+    # (CMS plugins append their own), and taking only the first group
+    # silently dropped every later rule (r11 second-review finding).
+    merged: dict = {}  # token -> combined rule list, file order
     for agents, rules in groups:
         for a in agents:
-            if a == "*":
-                score = 0
-            elif a and a in agent:
-                score = len(a)
-            else:
-                continue
-            if score > best[0]:
-                best = (score, rules)
+            merged.setdefault(a, []).extend(rules)
+    best: tuple = (-1, [])  # (match length, rules)
+    for a, rules in merged.items():
+        if a == "*":
+            score = 0
+        elif a and a in agent:
+            score = len(a)
+        else:
+            continue
+        if score > best[0]:
+            best = (score, rules)
     out = [
         (allow,) + robots_like_pattern(rule) for allow, rule in best[1]
     ]
@@ -655,7 +662,18 @@ def robots_allowed(
     length is the host's rule count."""
     from pyspark.sql import functions as F
 
-    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    # RFC 9309 §2.2.2: an empty path is matched as '/' — a frontier URL
+    # like 'https://host.com' (no trailing slash) must NOT bypass a
+    # block-all 'Disallow: /'; scheme matching is case-insensitive for
+    # the same reason (r11 second-review finding). Unparseable URLs
+    # also fall back to '/', the conservative side of a politeness
+    # filter.
+    raw_path = F.regexp_extract(
+        F.col(url_col),
+        r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)",
+        1,
+    )
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     joined = urls.join(F.broadcast(rules), on=host_col, how="left")
     matches = F.filter(
         F.coalesce(F.col("rules"), F.expr(f"CAST(array() AS {ROBOTS_RULES_TYPE})")),

@@ -44,6 +44,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def sql_lit(s: str) -> str:
+    """A Python string as a single-quoted SQL literal — the oracle-side
+    escaper shared by every fixture-constant gate (was three private
+    copies; r11 second review)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 # ---------------------------------------------------------------------------
 # selective-search instantiation on the star schema
 # ---------------------------------------------------------------------------

@@ -17,7 +17,11 @@ from dataproc_spark.extensions import dedup, sampling, textstats
 # table access
 # ---------------------------------------------------------------------------
 
-from dataproc_spark.queries._tables import _t, register_tables  # noqa: F401
+from dataproc_spark.queries._tables import (  # noqa: F401
+    _t,
+    register_tables,
+    sql_lit as _sql_literal,
+)
 
 
 def q_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1441,9 +1445,6 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("norm_text").cast("long").alias("n_cp_after"),
     )
 
-
-def _sql_literal(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
 
 
 SQL_UNICODE_NORMALIZE = f"""

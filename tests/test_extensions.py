@@ -3487,6 +3487,11 @@ def test_robots_filtering(spark):
         (False, "/%", 1)]
     assert webx.parse_robots("User-agent: *\nDisallow:\n# allow-all") == []
     assert webx.robots_like_pattern("/50%_off") == ("/50\\%\\_off%", 8)
+    # RFC 9309 §2.2.1: groups sharing an agent token MERGE — the
+    # second 'User-agent: *' block's rules must not be dropped
+    assert webx.parse_robots(
+        "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+    ) == [(False, "/a%", 2), (False, "/b%", 2)]
 
     robots = spark.createDataFrame(
         [("a.com", "User-agent: *\nDisallow: /p/\nAllow: /p/2\n"),
@@ -3503,13 +3508,21 @@ def test_robots_filtering(spark):
          (4, "b.com", "https://b.com/p/3"),
          (5, "c.com", "https://c.com/anything"),
          (6, "d.com", "https://d.com/no-robots-host"),
-         (7, "b.com", "https://b.com/p/25?q=5")],  # query NOT matched
+         (7, "b.com", "https://b.com/p/25?q=5"),  # query NOT matched
+         # RFC 9309 §2.2.2: empty path matches as '/', and the scheme
+         # class is case-insensitive — neither may bypass a Disallow
+         (8, "e.com", "https://e.com"),
+         (9, "e.com", "HTTPS://e.com/secret")],
         "i long, host string, url string",
     )
+    rules = webx.robots_rules_frame(robots.union(spark.createDataFrame(
+        [("e.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )))
     got = {r.i: r.allowed
            for r in webx.robots_allowed(urls, rules).collect()}
     assert got == {0: True, 1: False, 2: False, 3: True, 4: True,
-                   5: True, 6: True, 7: False}
+                   5: True, 6: True, 7: False, 8: False, 9: False}
     # plan contract: rules broadcast, URL side map-only (no shuffle)
     plan = (webx.robots_allowed(urls, rules)
             ._jdf.queryExecution().executedPlan().toString())
