@@ -1526,3 +1526,66 @@ def test_chained_coding_roundtrip(sizes, codings):
         elif c == "deflate":
             wire = zlib.compress(wire)
     assert decode_content_encoding(wire, ", ".join(codings)) == body
+
+
+@given(
+    rules=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.text(alphabet="ab5*", min_size=0, max_size=4),
+            st.booleans(),  # trailing $
+        ),
+        max_size=6,
+    ),
+    path_parts=st.lists(st.sampled_from(["a", "b", "5", "ab", "a5"]),
+                        max_size=4),
+    dup_group=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_robots_first_match_equals_best_match(rules, path_parts, dup_group):
+    """parse_robots pre-sorts rules so FIRST-match == the RFC's
+    best-match evaluation (longest specificity, Allow on ties) — checked
+    against an independent evaluator that scores every matching rule
+    with Python regex translation instead of taking the first hit.
+    Duplicate User-agent groups must merge before either evaluation."""
+    import re as _re
+
+    from dataproc_spark.extensions.web import parse_robots
+
+    lines = ["User-agent: *"]
+    body = []
+    for allow, frag, anchored in rules:
+        rule = "/" + frag + ("$" if anchored else "")
+        body.append(("Allow: " if allow else "Disallow: ") + rule)
+    if dup_group and body:
+        # split rules across two '*' groups — they must merge
+        mid = len(body) // 2
+        lines += body[:mid] + ["", "User-agent: *"] + body[mid:]
+    else:
+        lines += body
+    parsed = parse_robots("\n".join(lines))
+    path = "/" + "/".join(path_parts)
+
+    def like_match(pat: str) -> bool:
+        # independent LIKE evaluator: translate to an anchored regex
+        rx = ""
+        i = 0
+        while i < len(pat):
+            c = pat[i]
+            if c == "\\":
+                rx += _re.escape(pat[i + 1])
+                i += 2
+                continue
+            rx += ".*" if c == "%" else (
+                "." if c == "_" else _re.escape(c))
+            i += 1
+        return _re.fullmatch(rx, path) is not None
+
+    # first-match over the pre-sorted list (what robots_allowed does)
+    first = next(
+        (allow for allow, pat, _spec in parsed if like_match(pat)), True)
+    # independent best-match: score all matches, pick max (spec, allow)
+    scored = [(spec, allow) for allow, pat, spec in parsed
+              if like_match(pat)]
+    best = max(scored)[1] if scored else True
+    assert first == best
