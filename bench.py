@@ -100,6 +100,7 @@ EXTENDED_QUERIES = [
     "warc_revisit_dedup",
     "html_unescape",
     "robots_filter",
+    "wet_roundtrip",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

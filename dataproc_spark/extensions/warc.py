@@ -969,3 +969,60 @@ def body_text(
         else content_type_col
     )
     return udf(bc, cc)
+
+
+# ---------------------------------------------------------------------------
+# WET — extracted-text conversion records (r11)
+# ---------------------------------------------------------------------------
+
+def write_wet_shards(
+    df: DataFrame,
+    out_dir: str,
+    uri_col: str = "target_uri",
+    text_col: str = "text",
+    refers_to_col: str | None = None,
+    compress: bool = True,
+    open_fn=None,
+) -> None:
+    """Sink a text corpus as WET shards — WARC *conversion* records
+    (ISO 28500 §6.8), the Common Crawl sidecar format that ships
+    extracted plain text next to the raw archive: one ``text/plain``
+    UTF-8 record per page, ``WARC-Refers-To`` pointing at the source
+    response record when ``refers_to_col`` is given. A thin contract
+    over :func:`write_warc_shards`, so layout (one gzip member per
+    record, one shard per partition, atomic finalize, injectable
+    ``open_fn``) and validation are identical to the raw sink."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.col(uri_col).alias("target_uri"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("conversion").alias("warc_type"),
+    ]
+    extra = None
+    if refers_to_col is not None:
+        cols.append(F.col(refers_to_col).alias("refers_to"))
+        extra = {"WARC-Refers-To": "refers_to"}
+    write_warc_shards(
+        df.select(*cols),
+        out_dir,
+        type_col="warc_type",
+        content_type="text/plain; charset=utf-8",
+        compress=compress,
+        open_fn=open_fn,
+        extra_headers=extra,
+    )
+
+
+def read_wet(spark, path: str, skip_malformed: bool = False) -> DataFrame:
+    """Read WET shards back into a text frame: :func:`read_warc`
+    filtered to *conversion* records with the UTF-8 payload decoded as
+    ``wet_text`` — the inverse of :func:`write_wet_shards`, same
+    binaryFile → Arrow splitter plan, no shuffle."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(
+        spark, path, warc_types=("conversion",),
+        skip_malformed=skip_malformed,
+    )
+    return recs.withColumn("wet_text", F.decode(F.col("body"), "UTF-8"))

@@ -286,6 +286,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warc_revisit_dedup": (q_warc_revisit_dedup, SQL_WARC_REVISIT_DEDUP),
     "html_unescape": (q_html_unescape, SQL_HTML_UNESCAPE),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
+    "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
 }
 
 

@@ -1330,3 +1330,83 @@ SELECT doc_id, host,
        END AS allowed
 FROM c
 """
+
+
+# --------------------------------------------------------------------------
+# r11: WET conversion-record sink/source roundtrip
+# --------------------------------------------------------------------------
+
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET sidecar production shape (``warc.write_wet_shards`` /
+    ``read_wet``): real crawl stacks ship extracted plain text as WARC
+    *conversion* records next to the raw archive (Common Crawl's .wet
+    files) — one ``text/plain`` UTF-8 record per page, ``WARC-Refers-
+    To`` pointing at the source response. The gate runs the whole
+    production chain: the ``html_extract`` fixture template →
+    ``extract_text`` (comments/script/style/tags stripped, entities
+    decoded, whitespace collapsed) → WET sink (one gzip member per
+    record) → re-ingest → recover (doc_id, text, byte count, source
+    pointer). The oracle replays the extraction relationally (the
+    html_extract CTE chain) and rebuilds the refers-to pointer with
+    DuckDB ``md5`` — the roundtrip must be the identity, so any
+    conversion-record framing, UTF-8 payload, or refers-to linkage bug
+    hash-fails. Scratch shards are removed before returning."""
+    import shutil
+    import tempfile
+
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><!-- crawl "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            ' --><head><style type="text/css">p { color: red; }</style>'
+            '<script>if (a < b && c > 1) { x = "&amp;"; }</script></head>'
+            "<body><h1>Doc &amp; title</h1>\n<p>"
+        ),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p>\n</body></html>"),
+    )
+    uri = _warc_doc_uri()
+    src = docs.select(
+        uri.alias("target_uri"),
+        web.extract_text(html).alias("wet_text"),
+        F.concat(
+            F.lit("<urn:uuid:"),
+            F.md5(F.encode(uri, "UTF-8")),
+            F.lit(">"),
+        ).alias("source_id"),
+    )
+    out = tempfile.mkdtemp(prefix="wetrt_")
+    try:
+        warcx.write_wet_shards(
+            src, out, text_col="wet_text", refers_to_col="source_id"
+        )
+    except Exception:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    back = warcx.read_wet(spark, out)
+    res = back.select(
+        _warc_doc_id(),
+        "wet_text",
+        F.octet_length("body").cast("long").alias("n_wet_bytes"),
+        "refers_to",
+    )
+    return _materialize_and_clean(res, out)
+
+
+def _make_sql_wet_roundtrip() -> str:
+    return f"""
+WITH plainq AS ( {SQL_HTML_EXTRACT} )
+SELECT doc_id,
+       plain AS wet_text,
+       CAST(octet_length(encode(plain)) AS BIGINT) AS n_wet_bytes,
+       '<urn:uuid:' || md5('https://site' || CAST(doc_id % 37 AS VARCHAR)
+           || '.com/doc/' || CAST(doc_id AS VARCHAR)) || '>' AS refers_to
+FROM plainq
+"""
+
+
+SQL_WET_ROUNDTRIP = _make_sql_wet_roundtrip()

@@ -3528,3 +3528,46 @@ def test_robots_filtering(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("BroadcastHashJoin") == 1
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
+
+
+def test_wet_sink_roundtrip(spark, tmp_path):
+    """r11 WET conversion records: text sinks as text/plain UTF-8
+    conversion records with an optional WARC-Refers-To pointer and
+    reads back identically (incl. non-ASCII); read_wet filters to
+    conversion records only (a mixed archive's responses don't leak
+    in); refers_to is absent when not provided."""
+    from dataproc_spark.extensions import warc
+
+    src = spark.createDataFrame(
+        [("https://a.com/1", "plain text", "<urn:uuid:s1>"),
+         ("https://a.com/2", "тест 中文 é", "<urn:uuid:s2>")],
+        "target_uri string, wet_text string, source_id string",
+    )
+    out = str(tmp_path / "wet")
+    warc.write_wet_shards(
+        src.coalesce(1), out, text_col="wet_text", refers_to_col="source_id"
+    )
+    back = {r.target_uri: r for r in warc.read_wet(spark, out).collect()}
+    assert back["https://a.com/1"].wet_text == "plain text"
+    assert back["https://a.com/2"].wet_text == "тест 中文 é"
+    assert back["https://a.com/1"].refers_to == "<urn:uuid:s1>"
+    assert back["https://a.com/1"].warc_type == "conversion"
+    assert back["https://a.com/1"].content_type == (
+        "text/plain; charset=utf-8")
+    # no refers column: header simply absent, column NULL
+    out2 = str(tmp_path / "wet2")
+    warc.write_wet_shards(
+        src.select("target_uri", "wet_text").coalesce(1), out2,
+        text_col="wet_text",
+    )
+    r2 = warc.read_wet(spark, out2).collect()[0]
+    assert r2.refers_to is None
+    # a raw archive's response records never leak into read_wet
+    raw = str(tmp_path / "raw")
+    warc.write_warc_shards(
+        src.select(
+            "target_uri", F.encode("wet_text", "UTF-8").alias("payload")
+        ).coalesce(1),
+        raw, content_type="text/html",
+    )
+    assert warc.read_wet(spark, raw).count() == 0
