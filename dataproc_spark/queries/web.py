@@ -204,16 +204,11 @@ SELECT doc_id, canonical_url FROM r WHERE rn = 1
 """
 
 
-def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WET-style text extraction (``web.extract_text``): each document is
-    wrapped in a deterministic HTML template — comment, style block,
-    script block (with ``<``/``&&``/quotes inside), entity-bearing
-    heading — and the extractor must recover exactly the heading plus
-    the whitespace-collapsed body text. Map-only regexp chain, zero
-    shuffles; the template is the oracle-able stand-in for real crawl
-    HTML already sitting in a ``binary``/``string`` column."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    html = F.concat(
+def _extract_fixture_html():
+    """The html_extract/wet_roundtrip shared fixture template — one
+    definition so the two gates (and the oracle CTE chain both splice)
+    can never drift."""
+    return F.concat(
         F.lit("<html><!-- crawl "),
         F.col("doc_id").cast("string"),
         F.lit(
@@ -224,6 +219,18 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("text"), F.lit("")),
         F.lit("</p>\n</body></html>"),
     )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style text extraction (``web.extract_text``): each document is
+    wrapped in a deterministic HTML template — comment, style block,
+    script block (with ``<``/``&&``/quotes inside), entity-bearing
+    heading — and the extractor must recover exactly the heading plus
+    the whitespace-collapsed body text. Map-only regexp chain, zero
+    shuffles; the template is the oracle-able stand-in for real crawl
+    HTML already sitting in a ``binary``/``string`` column."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = _extract_fixture_html()
     out = docs.withColumn("plain", web.extract_text(html))
     return out.select(
         "doc_id",
@@ -1358,17 +1365,7 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataproc_spark.queries.diagnostics import _materialize_and_clean
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    html = F.concat(
-        F.lit("<html><!-- crawl "),
-        F.col("doc_id").cast("string"),
-        F.lit(
-            ' --><head><style type="text/css">p { color: red; }</style>'
-            '<script>if (a < b && c > 1) { x = "&amp;"; }</script></head>'
-            "<body><h1>Doc &amp; title</h1>\n<p>"
-        ),
-        F.coalesce(F.col("text"), F.lit("")),
-        F.lit("</p>\n</body></html>"),
-    )
+    html = _extract_fixture_html()
     uri = _warc_doc_uri()
     src = docs.select(
         uri.alias("target_uri"),
