@@ -885,7 +885,11 @@ def sniff_meta_charset(body: bytes, limit: int = 1024) -> str | None:
     return None
 
 
-def decode_body_text(body: bytes, content_type: str | None) -> str:
+def decode_body_text(
+    body: bytes,
+    content_type: str | None,
+    detect_fallback: bool = False,
+) -> str:
     """Decode an (already content-decoded) HTTP body to text, resolving
     the encoding the way a browser does (WHATWG sniff order):
 
@@ -893,15 +897,20 @@ def decode_body_text(body: bytes, content_type: str | None) -> str:
        (the spec: a BOM is "more authoritative than anything else");
     2. the ``charset=`` parameter of ``content_type``;
     3. an HTML ``<meta>`` prescan of the first KiB;
-    4. fall back to UTF-8 with U+FFFD replacement — undeclared legacy
-       bytes yield replacement characters, never a crash, because an
-       undeclared page gives us nothing to be strict against.
+    4. with ``detect_fallback=True`` (r11, opt-in): confidence-gated
+       byte-distribution detection (:func:`detect_charset`) — most real
+       legacy pages declare NOTHING, and this recovers the dominant
+       windows-1251/koi8/shift_jis/gbk/cp1252 cases;
+    5. fall back to UTF-8 with U+FFFD replacement — undeclared,
+       undetected bytes yield replacement characters, never a crash,
+       because such a page gives us nothing to be strict against.
 
     A DECLARED charset decodes strictly: bytes that violate the
     declaration (the mojibake trap — e.g. windows-1251 bytes under a
     ``charset=utf-8`` header) raise ``ValueError`` so :func:`body_text`
     can quarantine the row instead of silently shipping mojibake into
-    a training corpus. Unknown labels also raise."""
+    a training corpus. Unknown labels also raise. A DETECTED charset
+    decodes with replacement (detection is evidence, not a promise)."""
     body = bytes(body)
     if body.startswith(b"\xef\xbb\xbf"):
         codec = "utf-8-sig"
@@ -912,6 +921,10 @@ def decode_body_text(body: bytes, content_type: str | None) -> str:
         if label is None:
             label = sniff_meta_charset(body)
         if label is None:
+            if detect_fallback:
+                detected = detect_charset(body)
+                if detected is not None:
+                    return body.decode(detected, "replace")
             return body.decode("utf-8", "replace")
         codec = resolve_charset(label)
     try:
@@ -924,6 +937,7 @@ def body_text(
     body_col,
     content_type_col,
     on_error: str = "fail",
+    detect_fallback: bool = False,
 ):
     """Column expression: the HTTP body decoded to TEXT with browser-
     style charset resolution (:func:`decode_body_text`) — the stage
@@ -936,7 +950,9 @@ def body_text(
     ``http_content_type``); NULL bodies stay NULL. ``on_error='fail'``
     aborts on the first row whose declared charset is violated or
     unknown; ``'null'`` maps those rows to NULL for quarantine routing
-    — same contract as :func:`decoded_body`."""
+    — same contract as :func:`decoded_body`. ``detect_fallback=True``
+    additionally runs :func:`detect_charset` on pages that declare
+    nothing (opt-in — see :func:`decode_body_text` step 4)."""
     if on_error not in ("fail", "null"):
         raise ValueError(f"on_error must be 'fail' or 'null', got {on_error!r}")
     import pandas as pd
@@ -950,7 +966,7 @@ def body_text(
                 out.append(None)
                 continue
             try:
-                out.append(decode_body_text(b, c))
+                out.append(decode_body_text(b, c, detect_fallback))
             except ValueError:
                 if on_error == "null":
                     out.append(None)
@@ -1026,3 +1042,83 @@ def read_wet(spark, path: str, skip_malformed: bool = False) -> DataFrame:
         skip_malformed=skip_malformed,
     )
     return recs.withColumn("wet_text", F.decode(F.col("body"), "UTF-8"))
+
+
+#: candidate codecs for :func:`detect_charset`, each with the Unicode
+#: ranges its "home" script occupies — a decode is plausible when most
+#: decoded LETTERS land in the codec's home script (plain ASCII is
+#: neutral and ignored). Deliberately small and deterministic: the goal
+#: is the dominant legacy encodings, not a full chardet clone.
+_DETECT_CANDIDATES = (
+    # (python codec, home ranges (lo, hi) inclusive, frequent LOWERCASE
+    # letters of the codec's dominant language — the tie-breaker
+    # between codecs sharing a script: koi8-r text misread as cp1251
+    # comes out UPPERCASE (the two charts swap the case halves), and
+    # cp1252 accents misread as cp1251 land on rare Cyrillic letters,
+    # so real prose scores high only under its true codec)
+    ("cp1251", ((0x0400, 0x04FF),), "оеаинтсрвлк"),
+    ("koi8-r", ((0x0400, 0x04FF),), "оеаинтсрвлк"),
+    ("cp1252", ((0x00C0, 0x024F),), "éèêàâçüöäñíóú"),
+    # Japanese prose is kana-dense while a GBK misread of the same
+    # bytes yields kana-free hanzi — kana IS the signature
+    ("shift_jis", ((0x3040, 0x30FF), (0x4E00, 0x9FFF),
+                   (0xFF61, 0xFF9F)),
+     "".join(chr(c) for c in range(0x3041, 0x30F7))),
+    ("gbk", ((0x4E00, 0x9FFF),), "的一是在不了有和人这中大为上个国我以要他"),
+)
+
+
+def detect_charset(body: bytes, min_confidence: float = 0.75) -> str | None:
+    """Deterministic charset detection for UNDECLARED legacy pages —
+    the step a browser's detector runs when BOM, header, and ``<meta>``
+    all came up empty. Strictly weaker than a declaration and OPT-IN
+    (see ``decode_body_text(detect_fallback=True)``).
+
+    Heuristic: a body that decodes as strict UTF-8 and actually uses a
+    multibyte sequence IS UTF-8 (random legacy bytes are valid UTF-8
+    with probability ≈0 per multibyte run); otherwise each candidate
+    codec decodes the bytes and is scored by the fraction of non-ASCII
+    LETTER codepoints that land in its home script — the winner is
+    returned when its score clears ``min_confidence`` and at least a
+    handful of non-ASCII letters exist to judge by. Returns None (use
+    UTF-8-replace) when nothing is confident — never a guess on thin
+    evidence, because a wrong detection is silent mojibake while U+FFFD
+    is at least visible."""
+    body = bytes(body)
+    try:
+        text = body.decode("utf-8")
+        if any(b >= 0x80 for b in body):
+            return "utf-8"
+        return None  # pure ASCII: nothing to detect
+    except UnicodeDecodeError:
+        pass
+    best: tuple = (-1.0, -1.0, None)
+    for codec, ranges, common in _DETECT_CANDIDATES:
+        try:
+            text = body.decode(codec)
+        except (UnicodeDecodeError, LookupError):
+            continue
+        # judge LETTERS only: punctuation/symbols say nothing about the
+        # script a page is written in
+        letters = [c for c in text if ord(c) > 0x7F and c.isalpha()]
+        if len(letters) < 4:
+            continue  # not enough evidence to judge this codec
+        home = sum(
+            1 for c in letters
+            if any(lo <= ord(c) <= hi for lo, hi in ranges)
+        ) / len(letters)
+        if home < min_confidence:
+            continue  # not plausible under this codec at all
+        freq = sum(1 for c in letters if c in common) / len(letters)
+        # the language-signature floor is what kills MISREADS that stay
+        # inside a plausible script: koi8-r bytes read as shift_jis
+        # yield in-home kanji but zero kana; cp1251 bytes read as
+        # cp1252 yield accented Latin but few of French's common
+        # letters; real prose clears 0.25 on its true codec easily
+        if freq < 0.25:
+            continue
+        # home first (is the decode even in-script), the language
+        # signature second (which of the script-sharing codecs it is)
+        if (home, freq) > best[:2]:
+            best = (home, freq, codec)
+    return best[2]

@@ -3571,3 +3571,48 @@ def test_wet_sink_roundtrip(spark, tmp_path):
         raw, content_type="text/html",
     )
     assert warc.read_wet(spark, raw).count() == 0
+
+
+def test_detect_charset_fallback(spark):
+    """r11 opt-in detection for UNDECLARED legacy pages: confident
+    calls for the dominant encodings (incl. the koi8-vs-cp1251 case
+    swap and the kana-vs-hanzi signature), honest None on thin or
+    ambiguous evidence, and the body_text wiring — default OFF keeps
+    U+FFFD replacement, ON recovers the text."""
+    from dataproc_spark.extensions import warc
+
+    ru = "ещё один длинный русский абзац о погоде и природе"
+    assert warc.detect_charset(ru.encode("cp1251")) == "cp1251"
+    assert warc.detect_charset(
+        "пристанище кода и текста в кои-восемь".encode("koi8_r")
+    ) == "koi8-r"
+    assert warc.detect_charset(
+        "これはもう一つの日本語の文章です".encode("shift_jis")
+    ) == "shift_jis"
+    assert warc.detect_charset(
+        "这是另一个用于检测的中文句子，包含更多的汉字内容".encode("gbk")
+    ) == "gbk"
+    assert warc.detect_charset(
+        "café déjà vu naïve résumé éclair".encode("cp1252")) == "cp1252"
+    assert warc.detect_charset("utf-8 текст".encode("utf-8")) == "utf-8"
+    assert warc.detect_charset(b"plain ascii") is None
+    assert warc.detect_charset(b"\x01\x02\x03\x04") is None
+    # decode_body_text wiring: declared charsets unaffected; undeclared
+    # pages recover with the flag and replace without it
+    body = ru.encode("cp1251")
+    assert warc.decode_body_text(body, "text/html",
+                                 detect_fallback=True) == ru
+    assert "�" in warc.decode_body_text(body, "text/html")
+    # a declaration still outranks detection (and stays strict)
+    assert warc.decode_body_text(
+        body, "text/html; charset=windows-1251", detect_fallback=True
+    ) == ru
+    # Column wiring
+    df = spark.createDataFrame(
+        [(0, body, "text/html")], "i long, body binary, ct string")
+    got_on = df.select(
+        warc.body_text("body", "ct", detect_fallback=True).alias("t")
+    ).collect()[0].t
+    got_off = df.select(
+        warc.body_text("body", "ct").alias("t")).collect()[0].t
+    assert got_on == ru and "�" in got_off
