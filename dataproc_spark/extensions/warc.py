@@ -526,8 +526,19 @@ def resolve_revisits(
     ``on_missing='null'`` (default) keeps unresolved revisits (digest
     seen in no response — the referenced capture lives in an un-read
     shard) with NULL body for quarantine routing; ``'drop'`` anti-joins
-    them away; ``'fail'`` raises at plan time is impossible
-    distributed, so it is not offered — count the NULLs instead.
+    them away. A ``'fail'`` mode is deliberately NOT offered: raising
+    on the first unresolved digest would have to happen inside an
+    executor task mid-job, which aborts the whole run non-atomically —
+    count the NULL bodies instead and decide at the driver.
+
+    Output schema is NARROWED to the columns both record types can
+    honestly carry: ``(record_id, target_uri, warc_date,
+    payload_digest, is_revisit, source_record_id, body)``.
+    Response-only columns from an upstream envelope split
+    (``http_status``/``http_headers``/...) are dropped — a revisit
+    record stores no HTTP envelope of its own, so carrying the DONOR's
+    envelope would misattribute the recrawl's transaction; re-join on
+    ``source_record_id`` if donor envelope fields are genuinely wanted.
 
     100 TB plan: responses dedup to one donor row per digest
     (``min(record_id)`` keeps it deterministic when the same content
@@ -819,11 +830,17 @@ def resolve_charset(label: str) -> str:
 def charset_of_content_type(content_type: str | None) -> str | None:
     """The raw ``charset=`` parameter of a media type (RFC 9110 §8.3),
     or None when absent. Token and quoted-string forms both parse;
-    the label is returned UN-resolved (callers decide strictness)."""
+    the label is returned UN-resolved (callers decide strictness).
+
+    The parameter is accepted at the START of the value as well as
+    after a ``;``: the legacy meta form ``content="charset=koi8-r"``
+    (no media type at all) is valid input to the HTML5 "get an
+    encoding from a meta element" algorithm, and the earlier
+    ``;``-required regex silently missed it (r11 advice finding)."""
     if not content_type:
         return None
     m = re.search(
-        r";\s*charset\s*=\s*(\"[^\"]*\"|'[^']*'|[^;\s]+)",
+        r"(?:^|;)\s*charset\s*=\s*(\"[^\"]*\"|'[^']*'|[^;\s]+)",
         content_type,
         re.IGNORECASE,
     )
@@ -837,6 +854,40 @@ _META_ATTR_RE = re.compile(
     # one tag attribute: name, optionally ="v" / ='v' / =bare
     rb"([a-zA-Z][a-zA-Z0-9_:.\-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]*))?"
 )
+
+
+def _tag_end(head: bytes, start: int) -> int:
+    """Index of the ``>`` that terminates the tag opened before
+    ``start``, skipping ``>`` inside QUOTED attribute values — the
+    HTML5 prescan (§13.2.3.2 "get an attribute") consumes quoted
+    values before looking for the terminator, so
+    ``<meta content="a > b; charset=koi8-r" http-equiv=content-type>``
+    must not truncate at the quoted ``>`` (r11 advice finding: the
+    bare ``find(b'>')`` draft silently missed such declarations).
+    A quote enters value-skipping mode only when it follows ``=``
+    (optionally spaced) — an apostrophe inside a bare token must not
+    swallow the rest of the head. Returns -1 when no terminator is
+    found (caller treats the rest of the prescan window as the tag,
+    same as before)."""
+    i = start
+    n = len(head)
+    while i < n:
+        c = head[i:i + 1]
+        if c == b">":
+            return i
+        if c in (b'"', b"'"):
+            j = i - 1
+            while j >= start and head[j:j + 1] in (b" ", b"\t", b"\r",
+                                                   b"\n", b"\x0c"):
+                j -= 1
+            if j >= start and head[j:j + 1] == b"=":
+                close = head.find(c, i + 1)
+                if close < 0:
+                    return -1  # unterminated value: no tag end in window
+                i = close + 1
+                continue
+        i += 1
+    return -1
 
 
 def sniff_meta_charset(body: bytes, limit: int = 1024) -> str | None:
@@ -861,7 +912,7 @@ def sniff_meta_charset(body: bytes, limit: int = 1024) -> str | None:
     # <meta charset=..> must not win
     head = re.sub(rb"<!--.*?(-->|$)", b" ", head, flags=re.DOTALL)
     for m in _META_TAG_RE.finditer(head):
-        end = head.find(b">", m.end())
+        end = _tag_end(head, m.end())
         tag = head[m.end():end if end >= 0 else len(head)]
         attrs: dict = {}
         for am in _META_ATTR_RE.finditer(tag):
@@ -893,8 +944,10 @@ def decode_body_text(
     """Decode an (already content-decoded) HTTP body to text, resolving
     the encoding the way a browser does (WHATWG sniff order):
 
-    1. **BOM** — UTF-8/UTF-16 byte-order marks override everything
-       (the spec: a BOM is "more authoritative than anything else");
+    1. **BOM** — UTF-8/UTF-16/UTF-32 byte-order marks override
+       everything (the spec: a BOM is "more authoritative than
+       anything else"; UTF-32 marks are checked before UTF-16 because
+       ``\\xff\\xfe\\x00\\x00`` prefix-matches the UTF-16LE mark);
     2. the ``charset=`` parameter of ``content_type``;
     3. an HTML ``<meta>`` prescan of the first KiB;
     4. with ``detect_fallback=True`` (r11, opt-in): confidence-gated
@@ -914,6 +967,17 @@ def decode_body_text(
     body = bytes(body)
     if body.startswith(b"\xef\xbb\xbf"):
         codec = "utf-8-sig"
+    elif (
+        body.startswith(b"\xff\xfe\x00\x00")
+        or body.startswith(b"\x00\x00\xfe\xff")
+    ):
+        # UTF-32 BOMs first: \xff\xfe\x00\x00 also PREFIX-matches the
+        # UTF-16LE BOM, and letting the UTF-16 branch take it decoded
+        # UTF-32LE pages "successfully" as NUL-interleaved text instead
+        # of real characters (r11 advice finding). The BOM is a
+        # declaration, so the decode below stays strict — violating
+        # bytes quarantine like any declared charset.
+        codec = "utf-32"  # consumes the BOM, picks the endianness
     elif body.startswith(b"\xff\xfe") or body.startswith(b"\xfe\xff"):
         codec = "utf-16"  # consumes the BOM, picks the right endianness
     else:

@@ -522,8 +522,13 @@ def robots_like_pattern(path_rule: str) -> tuple:
     """Translate an RFC 9309 path rule into a SQL ``LIKE`` pattern and
     its specificity: ``*`` becomes ``%``, a trailing ``$`` anchors the
     end (no trailing ``%``), LIKE metacharacters in the rule are
-    escaped, and specificity is the rule's octet length without
-    wildcards/anchor (the RFC's longest-match measure). Returns
+    escaped, and specificity is the rule's FULL octet length —
+    wildcards and the ``$`` anchor included, matching RFC 9309's "most
+    octets" measure as Google's reference parser applies it (rule
+    ``pattern.length()``). An earlier draft excluded ``*``/``$`` from
+    the count, which flipped ``Allow: /p*`` vs ``Disallow: /pa`` on
+    path ``/pa``: the reference ties them (Allow wins), the stripped
+    count blocked (r11 advice finding). Returns
     ``(like_pattern, specificity)``."""
     anchored = path_rule.endswith("$")
     core = path_rule[:-1] if anchored else path_rule
@@ -533,8 +538,7 @@ def robots_like_pattern(path_rule: str) -> tuple:
     )
     if not anchored:
         pat += "%"
-    spec = len(core.replace("*", ""))
-    return pat, spec
+    return pat, len(path_rule)
 
 
 def parse_robots(text: str, agent: str = "*") -> list:

@@ -307,17 +307,19 @@ ALWAYS_VERIFY = ("select_top_t", "evaluate_sweep", "resolve_buckets", "tpch_q6")
 #: lang_mixture (the trigram profile constant gained non-Latin
 #: languages). crawl_pipeline's r10 pin self-lifted (green r10 row).
 REVERIFY_STALE_EVIDENCE: dict[str, int] = {
-    "registered_domain_psl": 9,
-    "multimodal_jpeg": 9,
-    "lang_predict": 9,
-    "lang_mixture": 9,
-    # r11: crawl_pipeline was rebased AGAIN (UTF-16 page arm + the
-    # charset-aware body_text stage replaced the hard-coded UTF-8
-    # decode) after its green r10 row — re-record under the new shape.
-    "crawl_pipeline": 10,
-    # r11: jpeg_meta's fixture/oracle gained the subsampled-RGB arms
-    # (channels=3 for ids ≡ 6 mod 12) after its r9 green row.
-    "jpeg_meta": 9,
+    # (the six r10/r11 pins — registered_domain_psl, multimodal_jpeg,
+    # lang_predict, lang_mixture, crawl_pipeline, jpeg_meta — all
+    # re-recorded green in r11 and self-lifted; dropped here)
+    # r12: robots specificity rebased to the FULL-octet-length measure
+    # (RFC 9309 / Google-parser parity — r11 advice finding) and the
+    # gate's class specs/oracle changed with it; the green r11 row
+    # vouches for the stripped measure.
+    "robots_filter": 11,
+    # r12: charset resolution gained UTF-32-BOM precedence, a
+    # quote-aware meta prescan, and the START-form charset= parameter
+    # (r11 advice findings); the gate grew arms 6–7 for them, so the
+    # green r11 row vouches for the 6-arm fixture.
+    "charset_body_text": 11,
 }
 
 #: per-process cache for :func:`registry_order`, keyed on the artifact

@@ -937,6 +937,14 @@ _CS_SUF_KOI8 = " проверка"               # koi8-r, declared only in <met
 _CS_META_PREFIX = '<meta charset="koi8-r">'
 _CS_SUF_TRAP = " ловушка"                # cp1251 bytes under a utf-8 label
 _CS_SUF_FALLBACK = " привет"             # cp1251 bytes, nothing declared
+_CS_SUF_UTF32 = " страница-32"           # UTF-32LE page, BOM-declared only
+#: r12: quoted-'>' prescan trap + the legacy START-form content value
+#: ("charset=..." with no media type) in one tag — both r11 advice
+#: findings; the data-x value's '>' must not truncate the tag scan
+_CS_META_PREFIX_LEGACY = (
+    '<meta data-x="a > b" http-equiv=content-type '
+    'content="charset=koi8-r">'
+)
 #: what UTF-8-with-replacement makes of the undeclared cp1251 bytes —
 #: computed ONCE here and spliced into both sides' expectations
 _CS_FALLBACK_REPLACED = _CS_SUF_FALLBACK.encode("cp1251").decode(
@@ -949,7 +957,7 @@ def q_charset_body_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decode_body_text``): a real crawl is full of windows-1251 /
     shift_jis / gbk / latin-1 pages, and the r10 pipeline hard-coded
     ``F.decode(..., 'UTF-8')`` — mojibake or NULL on every one of them.
-    Six arms per document (fixture bytes synthesized in an Arrow
+    Eight arms per document (fixture bytes synthesized in an Arrow
     kernel from the shared suffix constants):
 
     0. ``charset=windows-1251`` header, cp1251 bytes → exact text;
@@ -963,11 +971,20 @@ def q_charset_body_text(spark: SparkSession, sf_dir: str) -> DataFrame:
        ship mojibake;
     5. nothing declared anywhere: UTF-8 with U+FFFD replacement — the
        expected string (ASCII text + the replaced suffix constant) is
-       computed once and shared with the oracle.
+       computed once and shared with the oracle;
+    6. (r12) a UTF-32LE page declared only by its BOM — the
+       ``\\xff\\xfe\\x00\\x00`` mark prefix-matches the UTF-16LE BOM,
+       so an implementation that checks UTF-16 first "succeeds" with
+       NUL-interleaved text and hash-fails (r11 advice finding);
+    7. (r12) the legacy-meta double trap: a quoted attribute value
+       containing ``>`` BEFORE the declaration (the prescan must skip
+       it, not truncate the tag) and the START-form ``content=
+       "charset=koi8-r"`` with no media type (the ``;``-required
+       charset regex missed it) — both r11 advice findings in one tag.
 
     The oracle rebuilds every arm's expected TEXT from ``documents``
-    and the same constants — pure identity for arms 0–3, NULL for 4,
-    the precomputed replacement string for 5."""
+    and the same constants — pure identity for arms 0–3 and 6–7, NULL
+    for 4, the precomputed replacement string for 5."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
@@ -978,7 +995,7 @@ def q_charset_body_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for i, t in zip(doc_id, text):
             t = t or ""
-            arm = int(i) % 6
+            arm = int(i) % 8
             if arm == 0:
                 out.append((t + _CS_SUF_1251).encode("cp1251"))
             elif arm == 1:
@@ -991,6 +1008,16 @@ def q_charset_body_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             elif arm == 4:
                 out.append((t + _CS_SUF_TRAP).encode("cp1251"))
+            elif arm == 6:
+                out.append(
+                    b"\xff\xfe\x00\x00"
+                    + (t + _CS_SUF_UTF32).encode("utf-32-le")
+                )
+            elif arm == 7:
+                out.append(
+                    (_CS_META_PREFIX_LEGACY + t + _CS_SUF_KOI8)
+                    .encode("koi8-r")
+                )
             else:
                 out.append((t + _CS_SUF_FALLBACK).encode("cp1251"))
         return pd.Series(out, dtype=object)
@@ -1000,7 +1027,7 @@ def q_charset_body_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     payload_udf = pandas_udf(_payload, BinaryType())
 
-    arm = F.col("doc_id") % 6
+    arm = F.col("doc_id") % 8
     ct = (
         F.when(arm == 0, F.lit("text/html; charset=windows-1251"))
         .when(arm == 1, F.lit("text/html; charset=Shift_JIS"))
@@ -1027,13 +1054,16 @@ def _make_sql_charset_body_text() -> str:
     return f"""
 WITH b AS (
     SELECT doc_id,
-           CASE doc_id % 6
+           CASE doc_id % 8
                WHEN 0 THEN coalesce(text, '') || {lit(_CS_SUF_1251)}
                WHEN 1 THEN coalesce(text, '') || {lit(_CS_SUF_SJIS)}
                WHEN 2 THEN coalesce(text, '') || {lit(_CS_SUF_1252)}
                WHEN 3 THEN {lit(_CS_META_PREFIX)} || coalesce(text, '')
                            || {lit(_CS_SUF_KOI8)}
                WHEN 4 THEN NULL
+               WHEN 6 THEN coalesce(text, '') || {lit(_CS_SUF_UTF32)}
+               WHEN 7 THEN {lit(_CS_META_PREFIX_LEGACY)}
+                           || coalesce(text, '') || {lit(_CS_SUF_KOI8)}
                ELSE coalesce(text, '') || {lit(_CS_FALLBACK_REPLACED)}
            END AS body_text
     FROM documents
@@ -1279,17 +1309,24 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     honor per-host robots rules before anything else touches the URL
     frontier. Hosts are classed by site number (``site{N}`` % 3), each
     class carrying a robots.txt that exercises a distinct RFC 9309
-    behavior: (0) prefix Disallow overridden by a longer Allow;
-    (1) a ``goodbot``-specific block-all group that must NOT apply to
-    ``*``, plus a wildcard+anchored ``Disallow: /p/*5$`` outranked by a
-    more specific ``Allow: /p/15``; (2) an Allow/Disallow specificity
-    TIE, which the RFC resolves toward Allow. Matching runs over the
-    PATH only (query excluded). The oracle recomputes every decision
-    independently from the class spec with SQL ``LIKE`` — a wrong
-    group pick, wildcard translation, priority sort, or tie-break
-    flips booleans and hash-fails. Plan: rule parse on the tiny
-    distinct-host side, ONE broadcast join + higher-order array walk on
-    the URL side — zero URL-side shuffles (audited)."""
+    behavior under the FULL-octet-length specificity measure (r12: the
+    rule's whole length, wildcards and ``$`` included — Google-parser
+    parity; the r11 draft stripped them, see ``robots_like_pattern``):
+    (0) prefix Disallow overridden by a longer Allow;
+    (1) a ``goodbot``-specific block-all group that must NOT
+    apply to ``*``, plus a wildcard+anchored ``Disallow: /p/*5$`` (spec
+    6) outranked by the longer ``Allow: /p/*15$`` (spec 7); (2) the
+    advice finding's exact shape — ``Allow: /p*`` vs ``Disallow: /p/``
+    tie at 3 octets ONLY when wildcards count (the stripped measure
+    scored 2 < 3 and blocked everything), resolved toward Allow, with
+    an anchored ``Disallow: /p/9*$`` (spec 6) carving out /p/9-prefixed
+    paths. Matching runs over the PATH only (query excluded). The
+    oracle recomputes every decision independently from the class spec
+    with SQL ``LIKE`` — a wrong group pick, wildcard translation,
+    priority sort, specificity measure, or tie-break flips booleans
+    and hash-fails. Plan: rule parse on the tiny distinct-host side,
+    ONE broadcast join + higher-order array walk on the URL side —
+    zero URL-side shuffles (audited)."""
     urls = (
         _docs_with_url(spark, sf_dir)
         .select("doc_id", "url")
@@ -1301,9 +1338,10 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "User-agent: *\nDisallow: /p/\nAllow: /p/2\n"))
         .when(cls == 1, F.lit(
             "User-agent: goodbot\nDisallow: /\n\n"
-            "User-agent: *\nDisallow: /p/*5$\nAllow: /p/15\n"))
+            "User-agent: *\nDisallow: /p/*5$\nAllow: /p/*15$\n"))
         .otherwise(F.lit(
-            "User-agent: *\nAllow: /p/7\nDisallow: /p/7\n"))
+            "User-agent: *\nDisallow: /p/\nAllow: /p*\n"
+            "Disallow: /p/9*$\n"))
     )
     robots = urls.select("host").distinct().select(
         "host", txt.alias("robots_txt")
@@ -1330,10 +1368,10 @@ c AS (
 SELECT doc_id, host,
        CASE cls
            WHEN 0 THEN path LIKE '/p/2%'
-           WHEN 1 THEN CASE WHEN path LIKE '/p/15%' THEN TRUE
+           WHEN 1 THEN CASE WHEN path LIKE '/p/%15' THEN TRUE
                             WHEN path LIKE '/p/%5' THEN FALSE
                             ELSE TRUE END
-           ELSE TRUE
+           ELSE NOT (path LIKE '/p/9%')
        END AS allowed
 FROM c
 """

@@ -3233,6 +3233,59 @@ def test_meta_prescan_attribute_aware():
     ) is None
 
 
+def test_charset_advice_fixes():
+    """r12 (r11 advice findings): UTF-32 BOMs outrank the UTF-16
+    prefix-match, the meta prescan skips '>' inside quoted attribute
+    values, and the legacy START-form ``content="charset=..."`` (no
+    media type) parses."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.warc import (
+        charset_of_content_type,
+        decode_body_text,
+        sniff_meta_charset,
+    )
+
+    # UTF-32LE: \xff\xfe\x00\x00 must NOT be eaten as a UTF-16LE BOM
+    # (that decode "succeeds" with NUL-interleaved text)
+    b32le = b"\xff\xfe\x00\x00" + "страница".encode("utf-32-le")
+    assert decode_body_text(b32le, None) == "страница"
+    assert "\x00" not in decode_body_text(b32le, "text/html")
+    b32be = b"\x00\x00\xfe\xff" + "page".encode("utf-32-be")
+    assert decode_body_text(b32be, None) == "page"
+    # a BOM is a declaration: violating bytes quarantine, not mojibake
+    with _pytest.raises(ValueError):
+        decode_body_text(b"\xff\xfe\x00\x00" + b"\xff\xff\xff\xff", None)
+    # UTF-16LE text NOT starting with NUL still routes to UTF-16
+    b16 = b"\xff\xfe" + "привет".encode("utf-16-le")
+    assert decode_body_text(b16, None) == "привет"
+
+    # quoted '>' before the declaration must not truncate the tag scan
+    assert sniff_meta_charset(
+        b'<meta content="a > b; charset=koi8-r" http-equiv=content-type>'
+    ) == "koi8-r"
+    # ...including when an earlier attribute holds the quoted '>'
+    assert sniff_meta_charset(
+        b'<meta data-x="a > b" http-equiv=content-type '
+        b'content="charset=koi8-r">'
+    ) == "koi8-r"
+    # an apostrophe inside a BARE token is not a value quote — the
+    # terminator scan must not swallow the rest of the head
+    assert sniff_meta_charset(
+        b"<meta data-x=it's charset=utf-8><p>charset=koi8-r</p>"
+    ) == "utf-8"
+    # unterminated quoted value: no tag end inside the window
+    assert sniff_meta_charset(b'<meta charset="utf-8 <p>x</p>') is None
+
+    # START-form charset parameter (HTML5 meta extraction legacy form)
+    assert charset_of_content_type("charset=koi8-r") == "koi8-r"
+    assert charset_of_content_type(" charset=UTF-8") == "UTF-8"
+    assert charset_of_content_type("not-a-charset=x") is None
+    assert sniff_meta_charset(
+        b'<meta http-equiv=content-type content="charset=gbk">'
+    ) == "gbk"
+
+
 def test_jpeg_seam_subsampled_routes_pure():
     """r11 review regression: chroma upsampling is decoder-defined
     (libjpeg interpolates, the pure path replicates), so subsampled
@@ -3481,12 +3534,22 @@ def test_robots_filtering(spark):
         "User-agent: goodbot\nDisallow: /\n\n"
         "User-agent: *\nDisallow: /p/*5$\nAllow: /p/15\n"
     )
+    # r12: specificity is the FULL rule length (wildcards + '$'
+    # included, Google-parser parity), so the anchored wildcard
+    # Disallow (len('/p/*5$') = 6) now outranks Allow /p/15 (5) — the
+    # r11 stripped measure scored them 4 vs 5 and let Allow win
     assert webx.parse_robots(two_groups) == [
-        (True, "/p/15%", 5), (False, "/p/%5", 4)]
+        (False, "/p/%5", 6), (True, "/p/15%", 5)]
     assert webx.parse_robots(two_groups, agent="GoodBot/1.2") == [
         (False, "/%", 1)]
     assert webx.parse_robots("User-agent: *\nDisallow:\n# allow-all") == []
     assert webx.robots_like_pattern("/50%_off") == ("/50\\%\\_off%", 8)
+    # the advice finding's exact example: 'Allow: /p*' (3 octets, '*'
+    # counted) ties 'Disallow: /pa' (3) on path '/pa' → Allow wins;
+    # the stripped measure scored 2 < 3 and blocked
+    assert webx.parse_robots(
+        "User-agent: *\nAllow: /p*\nDisallow: /pa\n"
+    ) == [(True, "/p%%", 3), (False, "/pa%", 3)]
     # RFC 9309 §2.2.1: groups sharing an agent token MERGE — the
     # second 'User-agent: *' block's rules must not be dropped
     assert webx.parse_robots(
@@ -3504,7 +3567,7 @@ def test_robots_filtering(spark):
         [(0, "a.com", "https://a.com/p/25?x=1"),
          (1, "a.com", "https://a.com/p/9"),
          (2, "b.com", "https://b.com/p/25"),
-         (3, "b.com", "https://b.com/p/155"),  # Allow /p/15 outranks *5$
+         (3, "b.com", "https://b.com/p/155"),  # *5$ (6) outranks /p/15 (5)
          (4, "b.com", "https://b.com/p/3"),
          (5, "c.com", "https://c.com/anything"),
          (6, "d.com", "https://d.com/no-robots-host"),
@@ -3521,7 +3584,7 @@ def test_robots_filtering(spark):
     )))
     got = {r.i: r.allowed
            for r in webx.robots_allowed(urls, rules).collect()}
-    assert got == {0: True, 1: False, 2: False, 3: True, 4: True,
+    assert got == {0: True, 1: False, 2: False, 3: False, 4: True,
                    5: True, 6: True, 7: False, 8: False, 9: False}
     # plan contract: rules broadcast, URL side map-only (no shuffle)
     plan = (webx.robots_allowed(urls, rules)

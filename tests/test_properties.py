@@ -1545,18 +1545,24 @@ def test_chained_coding_roundtrip(sizes, codings):
 def test_robots_first_match_equals_best_match(rules, path_parts, dup_group):
     """parse_robots pre-sorts rules so FIRST-match == the RFC's
     best-match evaluation (longest specificity, Allow on ties) — checked
-    against an independent evaluator that scores every matching rule
-    with Python regex translation instead of taking the first hit.
-    Duplicate User-agent groups must merge before either evaluation."""
+    against an evaluator built INDEPENDENTLY from the original rule
+    strings: its own regex translation (not the LIKE patterns) and its
+    own specificity measure (``len(rule)``, the RFC/Google full-octet
+    length — the r11 draft reused parse_robots' own spec values, which
+    is why it couldn't catch the stripped-wildcard measure; r11 advice
+    finding). Duplicate User-agent groups must merge before either
+    evaluation."""
     import re as _re
 
     from dataproc_spark.extensions.web import parse_robots
 
     lines = ["User-agent: *"]
     body = []
+    originals = []  # (allow, raw rule string) in file order
     for allow, frag, anchored in rules:
         rule = "/" + frag + ("$" if anchored else "")
         body.append(("Allow: " if allow else "Disallow: ") + rule)
+        originals.append((allow, rule))
     if dup_group and body:
         # split rules across two '*' groups — they must merge
         mid = len(body) // 2
@@ -1581,11 +1587,21 @@ def test_robots_first_match_equals_best_match(rules, path_parts, dup_group):
             i += 1
         return _re.fullmatch(rx, path) is not None
 
+    def rule_match(rule: str) -> bool:
+        # independent RULE evaluator, straight from RFC 9309 syntax
+        anchored = rule.endswith("$")
+        core = rule[:-1] if anchored else rule
+        rx = ".*".join(_re.escape(part) for part in core.split("*"))
+        if not anchored:
+            rx += ".*"
+        return _re.fullmatch(rx, path) is not None
+
     # first-match over the pre-sorted list (what robots_allowed does)
     first = next(
         (allow for allow, pat, _spec in parsed if like_match(pat)), True)
-    # independent best-match: score all matches, pick max (spec, allow)
-    scored = [(spec, allow) for allow, pat, spec in parsed
-              if like_match(pat)]
+    # independent best-match over the ORIGINAL rules: score every
+    # match by full octet length, pick max (spec, allow)
+    scored = [(len(rule), allow) for allow, rule in originals
+              if rule_match(rule)]
     best = max(scored)[1] if scored else True
     assert first == best
