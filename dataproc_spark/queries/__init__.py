@@ -287,6 +287,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "html_unescape": (q_html_unescape, SQL_HTML_UNESCAPE),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
+    "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
 }
 
 

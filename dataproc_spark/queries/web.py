@@ -1445,3 +1445,129 @@ FROM plainq
 
 
 SQL_WET_ROUNDTRIP = _make_sql_wet_roundtrip()
+
+
+# --------------------------------------------------------------------------
+# r12: CDX capture index + SURT canonical keys
+# --------------------------------------------------------------------------
+
+#: the CDX gate's URL classes, engine-portable ({S} = STRING | VARCHAR):
+#: (0) leading www. + multi-label public suffix; (1) MIXED case +
+#: unsorted query params; (2) a NON-leading www label that must
+#: survive; (3) plain host on a bare (no-envelope) record
+_CDX_URL_EXPR = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN 'https://www.site' || CAST(doc_id % 37 AS {S}) "
+    "            || '.co.uk/doc/' || CAST(doc_id AS {S}) "
+    "WHEN 1 THEN 'HTTPS://Site' || CAST(doc_id % 37 AS {S}) "
+    "            || '.ORG/Doc/' || CAST(doc_id AS {S}) || '?b=2&a=1' "
+    "WHEN 2 THEN 'https://cdn.www.site' || CAST(doc_id % 37 AS {S}) "
+    "            || '.com/doc/' || CAST(doc_id AS {S}) "
+    "ELSE 'https://site' || CAST(doc_id % 37 AS {S}) "
+    "     || '.io/doc/' || CAST(doc_id AS {S}) END"
+)
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture-index generation (``cdx.surt_key`` + ``cdx_index``):
+    the lookup sidecar every web archive ships next to its WARC shards
+    — SURT key, timestamp, and response metadata per capture, so "which
+    capture holds URL X?" never opens a shard. Four URL classes per
+    document (:data:`_CDX_URL_EXPR`): leading-``www.`` stripping under
+    a multi-label suffix, case folding + query-param SORTING, a
+    non-leading ``www`` label that must survive reversal, and a bare
+    (envelope-less) record whose mime/status must be NULL while its
+    digest/length still index the raw bytes. The pipeline is the real
+    one: synthesize HTTP envelopes → WARC sink → re-ingest
+    (``read_warc``) → ``cdx_index``. The oracle replays the SURT
+    canonicalization generically (``string_split``/``list_reverse``/
+    ``list_sort``) and the digest arithmetic (``sha256`` of the exact
+    body construction) from ``documents`` — a wrong host reversal,
+    www-strip, query sort, envelope split, or digest input hash-fails.
+    ``filename`` is projected out here (shard names depend on the
+    session's partition count, not on the data); the unit suite covers
+    it. Scratch shards are removed before returning."""
+    import shutil
+    import tempfile
+
+    from dataproc_spark.extensions import cdx as cdxx
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    html = F.concat(F.lit("<html>"), txt, F.lit("</html>"))
+    env = F.concat(
+        F.lit(
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n\r\n"
+        ),
+        html,
+    )
+    bare = F.concat(F.lit("<bare>"), txt, F.lit("</bare>"))
+    arm = F.col("doc_id") % 4
+    src = docs.select(
+        F.expr(_CDX_URL_EXPR.format(S="STRING")).alias("target_uri"),
+        F.encode(F.when(arm == 3, bare).otherwise(env), "UTF-8")
+        .alias("payload"),
+    )
+    out = tempfile.mkdtemp(prefix="cdxidx_")
+    try:
+        warcx.write_warc_shards(src, out)
+    except Exception:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    res = cdxx.cdx_index(warcx.read_warc(spark, out)).select(
+        "urlkey", "ts", "url", "mime",
+        F.col("status").cast("int").alias("status"),
+        "digest", "length",
+    )
+    return _materialize_and_clean(res, out)
+
+
+SQL_CDX_INDEX = f"""
+WITH u AS (
+    SELECT doc_id,
+           coalesce(text, '') AS t,
+           {_CDX_URL_EXPR.format(S="VARCHAR")} AS url
+    FROM documents
+),
+parts AS (
+    SELECT doc_id, t, url,
+           lower(url) AS lu,
+           regexp_replace(
+               regexp_extract(lower(url),
+                              '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+               '^www\\.', '') AS host
+    FROM u
+),
+keys AS (
+    SELECT doc_id, t, url,
+           array_to_string(list_reverse(string_split(host, '.')), ',')
+               || ')'
+               || CASE WHEN regexp_extract(lu,
+                      '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+                      THEN '/'
+                      ELSE regexp_extract(lu,
+                      '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) END
+               || CASE WHEN regexp_extract(lu, '\\?([^#]*)', 1) = ''
+                      THEN ''
+                      ELSE '?' || array_to_string(list_sort(
+                          string_split(
+                              regexp_extract(lu, '\\?([^#]*)', 1), '&')),
+                          '&') END
+               AS urlkey,
+           CASE WHEN doc_id % 4 = 3
+                THEN '<bare>' || t || '</bare>'
+                ELSE '<html>' || t || '</html>' END AS body
+    FROM parts
+)
+SELECT urlkey,
+       '20260101000000' AS ts,
+       url,
+       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 'text/html' END AS mime,
+       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 200 END AS status,
+       sha256(body) AS digest,
+       CAST(octet_length(encode(body)) AS BIGINT) AS length
+FROM keys
+"""

@@ -3679,3 +3679,61 @@ def test_detect_charset_fallback(spark):
     got_off = df.select(
         warc.body_text("body", "ct").alias("t")).collect()[0].t
     assert got_on == ru and "�" in got_off
+
+
+def test_surt_key_and_cdx_index(spark, tmp_path):
+    """r12 CDX family: SURT canonicalization edges (leading-www strip
+    only, fragment drop, empty path → '/', query sort, ?-drop on empty
+    query) and the cdx_index projection incl. the filename column the
+    oracle gate can't pin (shard names follow partitioning)."""
+    from dataproc_spark.extensions import cdx as cdxx
+    from dataproc_spark.extensions import warc as warcx
+
+    urls = spark.createDataFrame(
+        [("https://www.Example.co.uk/A/b?b=2&a=1#frag",),
+         ("http://example.com",),
+         ("https://cdn.www.site.com/x",),
+         ("HTTPS://WWW.SITE.ORG/?Z=1",),
+         ("https://site.io/p?",)],
+        "url string",
+    )
+    got = [r.k for r in urls.select(
+        cdxx.surt_key("url").alias("k")).collect()]
+    assert got == [
+        "uk,co,example)/a/b?a=1&b=2",   # www stripped, query sorted
+        "com,example)/",                # empty path → '/'
+        "com,site,www,cdn)/x",          # non-leading www SURVIVES
+        "org,site)/?z=1",               # case folded everywhere
+        "io,site)/p",                   # empty query drops its '?'
+    ]
+
+    src = spark.createDataFrame(
+        [("https://www.a.com/1",
+          b"HTTP/1.1 200 OK\r\nContent-Type: text/html; x=y\r\n\r\nhi"),
+         ("https://b.org/2?b=2&a=1", b"<bare>raw</bare>")],
+        "target_uri string, payload binary",
+    ).repartition(1)
+    out = str(tmp_path / "cdx")
+    warcx.write_warc_shards(src, out)
+    rows = {r.url: r for r in cdxx.cdx_index(
+        warcx.read_warc(spark, out)).collect()}
+    import hashlib
+
+    a = rows["https://www.a.com/1"]
+    assert a.urlkey == "com,a)/1"
+    assert a.ts == "20260101000000" and len(a.ts) == 14
+    assert a.mime == "text/html" and a.status == 200
+    assert a.digest == hashlib.sha256(b"hi").hexdigest()
+    assert a.length == 2
+    assert a.filename.startswith("shard-") and a.filename.endswith(
+        ".warc.gz") and "/" not in a.filename
+    b = rows["https://b.org/2?b=2&a=1"]
+    assert b.urlkey == "org,b)/2?a=1&b=2"
+    assert b.mime is None and b.status is None
+    assert b.digest == hashlib.sha256(b"<bare>raw</bare>").hexdigest()
+    assert b.length == len(b"<bare>raw</bare>")
+    # plan contract: the index is a map-only projection of the reader —
+    # no shuffle anywhere
+    plan = (cdxx.cdx_index(warcx.read_warc(spark, out))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
