@@ -1090,3 +1090,92 @@ def cut_token_spans(
         F.col(content_col).isNull(), F.lit(None).cast("string")
     ).otherwise(F.concat_ws(" ", kept))
     return joined.withColumn(out_col, cut).drop("_cut_ranges")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-line removal (r12) — CCNet-style boilerplate cut
+# ---------------------------------------------------------------------------
+
+def drop_repeated_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    count_col: str = "n_lines_dropped",
+) -> DataFrame:
+    """Remove every LINE that appears (byte-identical) in at least
+    ``min_docs`` distinct documents — the CCNet-style cross-document
+    boilerplate cut (Wenzek et al. 2019 dedup paragraphs by hash before
+    anything else touches a crawl: nav bars, cookie banners, footers
+    and share buttons repeat across a site's pages and would otherwise
+    dominate the corpus). Complements :func:`cross_doc_spans` (exact
+    substring spans within token streams): this operator is the cheap
+    line-granular pass a pipeline runs FIRST, on the raw extracted
+    text, with no token alignment at all.
+
+    Whitespace-only lines are exempt (every document has them; cutting
+    them would glue unrelated paragraphs). Line order is preserved.
+    NULL text normalizes to ``''`` (matching the relational oracle's
+    ``coalesce``). ``id_col`` must be unique per row — duplicate or
+    NULL ids would both miscount document frequency and fan out the
+    reassembly join, same precondition as every id-keyed operator here.
+
+    Returns the input plus ``out_col`` (the text with repeated lines
+    removed) and ``count_col`` (lines dropped, long).
+
+    100 TB plan — document BODIES never shuffle: lines are counted and
+    joined by 64-bit ``xxhash64`` (a collision — ~2^-64 per pair —
+    could cut an innocent line; the documented trade, same posture as
+    the minhash family), so the frequency pass shuffles 8-byte keys
+    with map-side partial aggregation; the second pass ships only
+    (id, position) pairs of lines that ARE boilerplate back to their
+    documents, and the final cut is a per-row higher-order
+    index-filter over the original line array. Three narrow shuffles
+    (hash-count, drop-position regroup, id join), each carrying
+    key-sized rows; the heavy text column moves zero times.
+    """
+    if count_col == out_col:
+        raise ValueError("out_col and count_col must differ")
+    for clash in (out_col, count_col, "_lines", "_pos", "_h",
+                  "_drop_pos"):
+        if clash in df.columns:
+            raise ValueError(
+                f"drop_repeated_lines would clobber existing column "
+                f"{clash!r}; drop or rename it first"
+            )
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    base = df.withColumn("_lines", lines)
+    ex = (
+        base.select(id_col, F.posexplode("_lines").alias("_pos", "_line"))
+        .where(F.trim(F.col("_line")) != "")
+        .select(id_col, "_pos", F.xxhash64("_line").alias("_h"))
+    )
+    bad = (
+        ex.groupBy("_h")
+        .agg(F.countDistinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") >= int(min_docs))
+        .select("_h")
+    )
+    drops = (
+        ex.join(bad, "_h")
+        .groupBy(id_col)
+        .agg(F.collect_set("_pos").alias("_drop_pos"))
+    )
+    joined = base.join(drops, [id_col], "left")
+    kept = F.when(
+        F.col("_drop_pos").isNull(), F.col("_lines")
+    ).otherwise(
+        F.filter(
+            "_lines",
+            lambda x, i: ~F.array_contains(F.col("_drop_pos"), i),
+        )
+    )
+    return (
+        joined.withColumn(out_col, F.concat_ws("\n", kept))
+        .withColumn(
+            count_col,
+            (F.size("_lines") - F.size(kept)).cast("long"),
+        )
+        .drop("_lines", "_drop_pos")
+    )

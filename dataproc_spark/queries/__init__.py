@@ -288,6 +288,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "wet_roundtrip": (q_wet_roundtrip, SQL_WET_ROUNDTRIP),
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
 }
 
 

@@ -881,3 +881,72 @@ SELECT k.id_a, k.id_b,
 FROM keep k JOIN after a ON a.doc_id = k.id_b
 GROUP BY k.id_a, k.id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# r12: cross-document repeated-line removal (CCNet-style boilerplate cut)
+# ---------------------------------------------------------------------------
+
+#: engine-portable line fixture ({S} = STRING | VARCHAR): the document's
+#: own (possibly multi-line) text, a per-doc UNIQUE line (df=1, kept), a
+#: footer every document carries (df=N, cut), a class line with df≈N/7
+#: (cut at min_docs=4 for every test sf), a BLANK line (exempt by rule),
+#: and a pair line with df≈N/250 (kept at sf0.01, cut at larger sf —
+#: both engines replay the same data, so the boundary moves together)
+_LINE_FIXTURE_EXPR = (
+    "coalesce(text, '') || chr(10) || "
+    "'u' || CAST(doc_id AS {S}) || chr(10) || "
+    "'The footer — subscribe now' || chr(10) || "
+    "'promo ' || CAST(doc_id % 7 AS {S}) || chr(10) || chr(10) || "
+    "'pair ' || CAST(doc_id % 250 AS {S})"
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-line removal
+    (``dedup.drop_repeated_lines``): the CCNet-style boilerplate cut —
+    every line appearing byte-identical in ≥ ``min_docs`` distinct
+    documents (nav bars, footers, cookie banners) is removed from ALL
+    of them, order preserved, whitespace-only lines exempt. The fixture
+    (:data:`_LINE_FIXTURE_EXPR`) plants a unique line, a corpus-wide
+    footer, a df≈N/7 class line, a blank line, and a df≈N/250 pair
+    line around each document's own text; the oracle replays the whole
+    algorithm relationally (unnest → HAVING count(DISTINCT doc_id) →
+    list_filter), so a wrong frequency count, a cut blank line, a
+    reordered or off-by-one position, or a miscounted drop total
+    hash-fails. Plan: bodies never shuffle — an 8-byte xxhash64
+    frequency pass, a (id, pos) drop-list regroup, and a per-row
+    higher-order index filter (see the operator's 100 TB note)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_LINE_FIXTURE_EXPR.format(S="STRING")).alias("ftext"),
+    )
+    res = dedup.drop_repeated_lines(docs, min_docs=4, text_col="ftext")
+    return res.select("doc_id", "text_clean", "n_lines_dropped")
+
+
+SQL_LINE_DEDUP = f"""
+WITH src AS (
+    SELECT doc_id, {_LINE_FIXTURE_EXPR.format(S="VARCHAR")} AS ftext
+    FROM documents
+),
+ls AS (SELECT doc_id, string_split(ftext, chr(10)) AS lines FROM src),
+ex AS (SELECT doc_id, unnest(lines) AS line FROM ls),
+bad AS (
+    SELECT coalesce(list(line), []) AS bl FROM (
+        SELECT line FROM ex WHERE trim(line) <> ''
+        GROUP BY line HAVING count(DISTINCT doc_id) >= 4)
+),
+out AS (
+    SELECT doc_id,
+           list_filter(lines,
+                       x -> trim(x) = '' OR NOT list_contains(bl, x))
+               AS kept,
+           len(lines) AS n0
+    FROM ls CROSS JOIN bad
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text_clean,
+       CAST(n0 - len(kept) AS BIGINT) AS n_lines_dropped
+FROM out
+"""

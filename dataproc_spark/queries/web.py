@@ -1571,3 +1571,65 @@ SELECT urlkey,
        CAST(octet_length(encode(body)) AS BIGINT) AS length
 FROM keys
 """
+
+
+# --------------------------------------------------------------------------
+# r12: MIME sniffing from magic bytes
+# --------------------------------------------------------------------------
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing (``sniff.sniffed_mime``): a crawl cannot
+    route on the declared ``Content-Type`` (servers lie), so the
+    pipeline's text/image/binary fork keys on WHATWG-style magic-byte
+    sniffing. Eight payload classes per document, each wrapping the
+    document's own text so prefix handling is tested against real
+    variable bytes: (0) ``<!DOCTYPE html>``; (1) leading whitespace +
+    ``<HTML>`` (case + whitespace tolerance); (2) PNG signature;
+    (3) JPEG signature; (4) ``%PDF-``; (5) a ``RIFF....WAVE``
+    container (non-contiguous check); (6) plain prose → ``text/plain``
+    (no magic, no binary bytes); (7) NUL-prefixed bytes →
+    ``application/octet-stream`` (the binary-data-byte scan). The
+    oracle states each class's expected type independently — a wrong
+    signature table entry, tag-terminator rule, RIFF box read, or
+    binary-byte class flips rows and hash-fails. Plan: ONE map-only
+    projection, no UDF, no shuffle (plan-audited in the unit suite)."""
+    from dataproc_spark.extensions.sniff import sniffed_mime
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    txt = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    arm = F.col("doc_id") % 8
+    payload = (
+        F.when(arm == 0, F.concat(
+            F.encode(F.lit("<!DOCTYPE html><p>"), "UTF-8"), txt))
+        .when(arm == 1, F.concat(
+            F.encode(F.lit("  \n<HTML><body>"), "UTF-8"), txt))
+        .when(arm == 2, F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), txt))
+        .when(arm == 3, F.concat(F.lit(b"\xff\xd8\xff\xe0"), txt))
+        .when(arm == 4, F.concat(
+            F.encode(F.lit("%PDF-1.4 "), "UTF-8"), txt))
+        .when(arm == 5, F.concat(
+            F.lit(b"RIFF\x10\x00\x00\x00WAVEfmt "), txt))
+        .when(arm == 6, F.concat(
+            F.encode(F.lit("note: "), "UTF-8"), txt))
+        .otherwise(F.concat(F.lit(b"\x00" * 8), txt))
+    )
+    return docs.select(
+        "doc_id",
+        sniffed_mime(payload).alias("mime"),
+    )
+
+
+SQL_MIME_SNIFF = """
+SELECT doc_id,
+       CASE doc_id % 8
+           WHEN 0 THEN 'text/html'
+           WHEN 1 THEN 'text/html'
+           WHEN 2 THEN 'image/png'
+           WHEN 3 THEN 'image/jpeg'
+           WHEN 4 THEN 'application/pdf'
+           WHEN 5 THEN 'audio/wave'
+           WHEN 6 THEN 'text/plain'
+           ELSE 'application/octet-stream'
+       END AS mime
+FROM documents
+"""

@@ -3737,3 +3737,86 @@ def test_surt_key_and_cdx_index(spark, tmp_path):
     plan = (cdxx.cdx_index(warcx.read_warc(spark, out))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_drop_repeated_lines(spark):
+    """r12 CCNet-style line cut: df counting is per DISTINCT doc (a
+    line twice in one doc counts once), whitespace-only lines are
+    exempt, order and within-doc duplicates of kept lines survive,
+    NULL text normalizes to '', and the plan never shuffles bodies
+    (only hash/pos columns reach an Exchange)."""
+    from dataproc_spark.extensions import dedup as ddp
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\nFOOT\n\nalpha\nmine1"),
+         (2, "FOOT\nmine2\n   \nmine2"),
+         (3, "mine3\nFOOT"),
+         (4, None),
+         (5, "alpha\nlast")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ddp.drop_repeated_lines(
+        docs, min_docs=2).collect()}
+    # FOOT df=3 cut; alpha df=2 (doc 1 has it twice — still one doc,
+    # but docs 1+5 make df=2) cut; blanks exempt; minN unique kept
+    assert out[1].text_clean == "\nmine1"
+    assert out[1].n_lines_dropped == 3  # FOOT + alpha×2
+    assert out[2].text_clean == "mine2\n   \nmine2"
+    assert out[2].n_lines_dropped == 1
+    assert out[3].text_clean == "mine3" and out[3].n_lines_dropped == 1
+    assert out[4].text_clean == "" and out[4].n_lines_dropped == 0
+    assert out[5].text_clean == "last" and out[5].n_lines_dropped == 1
+    # min_docs above any df: nothing cut, text reassembles verbatim
+    none_cut = {r.doc_id: r for r in ddp.drop_repeated_lines(
+        docs, min_docs=9).collect()}
+    assert none_cut[1].text_clean == "alpha\nFOOT\n\nalpha\nmine1"
+    assert all(r.n_lines_dropped == 0 for r in none_cut.values())
+    # column-clash guard
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="clobber"):
+        ddp.drop_repeated_lines(docs.withColumn("text_clean", F.lit("")))
+
+
+def test_sniffed_mime(spark):
+    """r12 WHATWG-core MIME sniff: HTML tag scan (BOM/whitespace/case),
+    magic signatures, RIFF containers, ftyp, UTF-16 BOMs → text/plain,
+    binary-byte fallback, NULL passthrough — and the plan is a single
+    map-only projection (no Exchange, no Python)."""
+    import gzip as _gzip
+
+    from dataproc_spark.extensions.sniff import sniffed_mime
+
+    rows = [
+        (0, b"<!DOCTYPE html><p>x</p>", "text/html"),
+        (1, b"\xef\xbb\xbf  \n\t<HTML><body>", "text/html"),
+        (2, b"  <script>alert(1)</script>", "text/html"),
+        (3, b'<?xml version="1.0"?><r/>', "text/xml"),
+        (4, b"\x89PNG\r\n\x1a\n1234", "image/png"),
+        (5, b"GIF89a;;;", "image/gif"),
+        (6, b"\xff\xd8\xff\xe0JFIF", "image/jpeg"),
+        (7, b"%PDF-1.7 ...", "application/pdf"),
+        (8, _gzip.compress(b"x", mtime=0), "application/gzip"),
+        (9, b"PK\x03\x04zipzip", "application/zip"),
+        (10, b"RIFF\x10\x00\x00\x00WAVEfmt ", "audio/wave"),
+        (11, b"RIFF\x10\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (12, b"\x00\x00\x00\x18ftypisom....", "video/mp4"),
+        (13, b"\xff\xfeh\x00i\x00", "text/plain"),      # UTF-16LE BOM
+        (14, b"plain old prose, no magic", "text/plain"),
+        (15, b"almost text\x00but a NUL", "application/octet-stream"),
+        (16, b"ID3\x04tag", "audio/mpeg"),
+        (17, b"\x1aE\xdf\xa3webm", "video/webm"),
+        (18, None, None),
+        # '<a>'-ish needs the tag TERMINATED by space/'>' — '<abc' is
+        # not an HTML sniff hit, falls through to text
+        (19, b"<abc whatever", "text/plain"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], "i long, payload binary"
+    )
+    got = {r.i: r.m for r in df.select(
+        "i", sniffed_mime("payload").alias("m")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+    plan = (df.select(sniffed_mime("payload").alias("m"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
