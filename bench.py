@@ -101,6 +101,13 @@ EXTENDED_QUERIES = [
     "html_unescape",
     "robots_filter",
     "wet_roundtrip",
+    # r12 families: CDX capture index (SURT keys), cross-document
+    # line dedup, MIME sniffing
+    "cdx_index",
+    "line_dedup",
+    "mime_sniff",
+    "sitemap_parse",
+    "link_extract",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

@@ -1124,16 +1124,20 @@ def drop_repeated_lines(
     Returns the input plus ``out_col`` (the text with repeated lines
     removed) and ``count_col`` (lines dropped, long).
 
-    100 TB plan — document BODIES never shuffle: lines are counted and
-    joined by 64-bit ``xxhash64`` (a collision — ~2^-64 per pair —
-    could cut an innocent line; the documented trade, same posture as
-    the minhash family), so the frequency pass shuffles 8-byte keys
-    with map-side partial aggregation; the second pass ships only
-    (id, position) pairs of lines that ARE boilerplate back to their
-    documents, and the final cut is a per-row higher-order
-    index-filter over the original line array. Three narrow shuffles
-    (hash-count, drop-position regroup, id join), each carrying
-    key-sized rows; the heavy text column moves zero times.
+    100 TB plan — the counting passes never move bodies: lines are
+    counted and joined by 64-bit ``xxhash64`` (a collision — ~2^-64
+    per pair — could cut an innocent line; the documented trade, same
+    posture as the minhash family), so the frequency pass shuffles
+    8-byte keys with map-side partial aggregation and the second pass
+    regroups only (id, position) pairs of lines that ARE boilerplate.
+    The final cut is a per-row higher-order index-filter over the
+    original line array behind ONE id-equi-join of the drop lists onto
+    the documents — broadcast when the drop lists fit (the common
+    case: one small array per affected doc), in which case bodies
+    never shuffle at all; under a sort-merge fallback that join is the
+    single body-carrying exchange, the same cost as any id-keyed
+    enrichment. Plan-audited: 5 exchanges worst-case (broadcast
+    disabled), all but the last carrying hash/id/pos-width rows.
     """
     if count_col == out_col:
         raise ValueError("out_col and count_col must differ")

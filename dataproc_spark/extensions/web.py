@@ -687,3 +687,238 @@ def robots_allowed(
     return joined.withColumn(
         out_col, F.coalesce(winner["allow"], F.lit(True))
     ).drop("rules")
+
+
+# ---------------------------------------------------------------------------
+# sitemap parsing (r12) — URL-frontier seeding
+# ---------------------------------------------------------------------------
+
+#: the five XML predefined entities — all a conforming sitemap may use
+#: to escape URL text (sitemaps.org protocol: entity-escape &, ', ", >,
+#: < in <loc> values)
+_XML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&amp;", "&"),  # &amp; LAST (double-escape rule)
+)
+
+
+def _xml_unescape(c: Column) -> Column:
+    for ent, ch in _XML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def sitemap_entries(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Parse sitemap XML (the sitemaps.org protocol) into one row per
+    entry — the operator that seeds a crawl's URL frontier. Handles
+    both document kinds: ``<urlset>`` pages (``kind='url'``, with
+    ``loc``/``lastmod``/``changefreq``/``priority``) and
+    ``<sitemapindex>`` pointers (``kind='sitemap'``, ``loc``/
+    ``lastmod`` only — fetch-and-recurse is the caller's loop, the
+    standard two-level shape). ``pos`` is the entry's 0-based position
+    within its document, enumerated over url entries FIRST and then
+    index pointers (the protocol says order carries no meaning, but a
+    deterministic output needs one). Missing child tags are NULL;
+    ``priority`` casts to double; ``<loc>`` values XML-unescape (the
+    protocol REQUIRES ``&`` in URLs to arrive as ``&amp;``).
+
+    Implementation is deliberately regex-structured rather than a DOM:
+    sitemap files are machine-generated, schema-fixed XML (the
+    protocol forbids arbitrary nesting), so non-greedy block extraction
+    + per-block child extraction is exact for conforming files and
+    engine-portable (the oracle replays it with RE2). Tag matches
+    require a NAME BOUNDARY (``<url>`` or ``<url ...attrs>``) — a bare
+    ``<url[^>]*>`` also eats ``<urlset>`` and swallows the first entry
+    into a phantom block (caught in review; the fixture's shape made
+    the two forms coincide). CDATA sections are out of scope (the
+    protocol's own examples entity-escape).
+
+    One map-only projection + ``posexplode`` — no shuffle, no UDF; at
+    100 TB the frontier seed is a scan-shaped job like every other
+    map stage here. Input rows with no parseable entries produce no
+    output rows (a malformed sitemap seeds nothing; count inputs vs
+    outputs to quarantine).
+    """
+    xml = F.coalesce(
+        F.col(xml_col) if isinstance(xml_col, str) else xml_col,
+        F.lit(""),
+    )
+    others = [c for c in df.columns]
+
+    def _blocks(tag: str) -> Column:
+        return F.regexp_extract_all(
+            xml, F.lit(f"(?s)<{tag}(?:\\s[^>]*)?>(.*?)</{tag}>"),
+            F.lit(1)
+        )
+
+    def _child(b: Column, tag: str) -> Column:
+        got = F.regexp_extract(
+            b, f"(?s)<{tag}(?:\\s[^>]*)?>\\s*(.*?)\\s*</{tag}>", 1
+        )
+        return F.when(got == "", F.lit(None)).otherwise(
+            _xml_unescape(got)
+        )
+
+    entries = F.concat(
+        F.transform(
+            _blocks("url"),
+            lambda b: F.struct(
+                F.lit("url").alias("kind"),
+                _child(b, "loc").alias("loc"),
+                _child(b, "lastmod").alias("lastmod"),
+                _child(b, "changefreq").alias("changefreq"),
+                _child(b, "priority").cast("double").alias("priority"),
+            ),
+        ),
+        F.transform(
+            _blocks("sitemap"),
+            lambda b: F.struct(
+                F.lit("sitemap").alias("kind"),
+                _child(b, "loc").alias("loc"),
+                _child(b, "lastmod").alias("lastmod"),
+                F.lit(None).cast("string").alias("changefreq"),
+                F.lit(None).cast("double").alias("priority"),
+            ),
+        ),
+    )
+    ex = df.select(
+        *others, F.posexplode(entries).alias("pos", "_entry")
+    )
+    return ex.select(
+        *others, "pos",
+        F.col("_entry.kind").alias("kind"),
+        F.col("_entry.loc").alias("loc"),
+        F.col("_entry.lastmod").alias("lastmod"),
+        F.col("_entry.changefreq").alias("changefreq"),
+        F.col("_entry.priority").alias("priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# link extraction + RFC 3986 reference resolution (r12) — the web graph
+# ---------------------------------------------------------------------------
+
+def _remove_dot_segments(p: Column) -> Column:
+    """RFC 3986 §5.2.4 ``remove_dot_segments`` over an absolute path,
+    exactly: fold the segments through the spec's output stack (``.``
+    skips, ``..`` pops, anything else pushes) with ``F.aggregate`` —
+    the algorithm is a left fold, so it expresses as ONE higher-order
+    JVM expression, no UDF and no bounded-regex approximation. A
+    trailing ``.``/``..`` leaves the trailing slash the spec requires
+    (``/a/b/..`` → ``/a/``); ``..`` at the root clamps (the pop of an
+    empty stack is a no-op)."""
+    segs = F.split(F.regexp_replace(p, "^/", ""), "/")
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            .when(
+                s == "..",
+                F.slice(
+                    acc, F.lit(1),
+                    F.greatest(F.size(acc) - 1, F.lit(0)),
+                ),
+            )
+            .otherwise(F.concat(acc, F.array(s)))
+        ),
+    )
+    res = F.concat(F.lit("/"), F.array_join(folded, "/"))
+    return F.when(
+        p.rlike(r"(^|/)\.{1,2}$") & ~res.endswith("/"),
+        F.concat(res, F.lit("/")),
+    ).otherwise(res)
+
+
+def resolve_url(base: Column, ref: Column) -> Column:
+    """Resolve a reference against a base URL — RFC 3986 §5 for the
+    forms a crawl meets: absolute (any scheme — kept, minus fragment),
+    protocol-relative ``//host/...``, root-relative ``/path``,
+    query-only ``?q=...``, empty/fragment-only (→ the base, fragment
+    dropped), and path-relative with FULL dot-segment normalization
+    (:func:`_remove_dot_segments` — an exact higher-order fold, not a
+    bounded regex chain). Fragments never survive (two URLs differing
+    only by fragment are the same fetch). ``base`` must be absolute
+    with an authority (a crawl's page URL always is); NULL refs stay
+    NULL. Pure built-in expression — map-only."""
+    ref = F.regexp_replace(ref, "#.*$", "")  # fragment never survives
+    b_nofrag = F.regexp_replace(base, "#.*$", "")
+    b_scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    b_origin = F.regexp_extract(
+        base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1
+    )
+    b_path = F.regexp_extract(
+        base, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    b_path = F.when(b_path == "", F.lit("/")).otherwise(b_path)
+    b_dir = F.regexp_replace(b_path, "[^/]*$", "")
+    r_path = F.regexp_extract(ref, r"^([^?#]*)", 1)
+    r_query = F.regexp_extract(ref, r"(\?[^#]*)", 1)
+    return (
+        F.when(ref.isNull(), F.lit(None).cast("string"))
+        .when(ref == "", b_nofrag)
+        .when(ref.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), ref)
+        .when(ref.startswith("//"), F.concat(b_scheme, F.lit(":"), ref))
+        .when(
+            ref.startswith("/"),
+            F.concat(b_origin, _remove_dot_segments(r_path), r_query),
+        )
+        .when(ref.startswith("?"), F.concat(b_origin, b_path, ref))
+        .otherwise(
+            F.concat(
+                b_origin,
+                _remove_dot_segments(F.concat(b_dir, r_path)),
+                r_query,
+            )
+        )
+    )
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    resolve: bool = True,
+) -> DataFrame:
+    """Extract the outlinks of an HTML page — the edge list of the web
+    graph every crawl-scale ranking (PageRank over hosts, frontier
+    prioritization, spam neighborhoods) is built on. One output row per
+    ``<a href=...>`` in document order: ``link_pos`` (0-based),
+    ``href`` (the raw attribute value), and — with ``resolve=True`` —
+    ``link_url`` (:func:`resolve_url` against ``base_col``).
+
+    Extraction is attribute-boundary-exact for machine-written HTML:
+    ``href`` must start an attribute (``data-href`` never matches),
+    double-/single-quoted and bare values all parse, and
+    fragment-only links (``#section`` — self-edges) are excluded.
+    Quoted values containing whitespace are truncated at the first
+    whitespace (vanishingly rare in real hrefs; the trade keeps the
+    pattern RE2-portable for the oracle). Comments are NOT stripped —
+    run :func:`extract_main_text`-style pre-cleaning first if
+    commented-out markup matters.
+
+    Plan: ``regexp_extract_all`` + ``posexplode`` + the resolve
+    expression — map-only, zero shuffles, zero Python. The host-graph
+    rollup downstream (``groupBy(src_host, dst_host)``) is the first
+    shuffle, and it carries host pairs, not pages.
+    """
+    html = F.coalesce(
+        F.col(html_col) if isinstance(html_col, str) else html_col,
+        F.lit(""),
+    )
+    hrefs = F.regexp_extract_all(
+        html,
+        F.lit(r"(?is)<a\s(?:[^>]*?\s)?href\s*=\s*[\"']?([^\"'\s>]+)"),
+        F.lit(1),
+    )
+    hrefs = F.filter(hrefs, lambda h: ~h.startswith("#"))
+    others = list(df.columns)
+    ex = df.select(*others, F.posexplode(hrefs).alias("link_pos", "href"))
+    if not resolve:
+        return ex
+    return ex.withColumn(
+        "link_url", resolve_url(F.col(base_col), F.col("href"))
+    )

@@ -290,6 +290,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
+    "sitemap_parse": (q_sitemap_parse, SQL_SITEMAP_PARSE),
+    "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
 }
 
 

@@ -914,9 +914,10 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm relationally (unnest → HAVING count(DISTINCT doc_id) →
     list_filter), so a wrong frequency count, a cut blank line, a
     reordered or off-by-one position, or a miscounted drop total
-    hash-fails. Plan: bodies never shuffle — an 8-byte xxhash64
-    frequency pass, a (id, pos) drop-list regroup, and a per-row
-    higher-order index filter (see the operator's 100 TB note)."""
+    hash-fails. Plan: the counting passes shuffle only 8-byte xxhash64
+    keys and (id, pos) pairs; the cut is a per-row higher-order index
+    filter behind one id-join of the drop lists (broadcast when they
+    fit — see the operator's 100 TB note)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(_LINE_FIXTURE_EXPR.format(S="STRING")).alias("ftext"),

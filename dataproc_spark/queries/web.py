@@ -1633,3 +1633,160 @@ SELECT doc_id,
        END AS mime
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# r12: sitemap parsing — URL-frontier seeding
+# --------------------------------------------------------------------------
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (``web.sitemap_entries``): a crawl frontier
+    seeds from sitemaps.org XML — ``<urlset>`` pages and
+    ``<sitemapindex>`` pointers. Each document synthesizes one sitemap
+    exercising the protocol surface: a full ``<url>`` entry whose
+    ``<loc>`` carries an entity-escaped ``&amp;`` (the protocol
+    REQUIRES escaping; the parser must unescape), a ``changefreq``
+    present only on even ids, a ``<priority>`` that must cast to
+    double, a minimal second entry (every child but ``<loc>`` NULL),
+    and on ids ≡ 0 (mod 3) a ``<sitemap>`` index pointer
+    (``kind='sitemap'``). The oracle rebuilds every row arithmetically
+    (UNION ALL of the three entry shapes) — a wrong block split, child
+    extraction, entity unescape, missing-tag NULL, cast, or position
+    hash-fails. Plan: map-only projection + posexplode, no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    n = (F.col("doc_id") % 37).cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<urlset>\n'
+              '  <url>\n    <loc>https://site'),
+        n, F.lit(".com/doc/"), did, F.lit("?a=1&amp;b=2</loc>\n"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("    <changefreq>weekly</changefreq>\n"))
+        .otherwise(F.lit("")),
+        F.lit("    <lastmod>2026-01-0"),
+        ((F.col("doc_id") % 9) + 1).cast("string"),
+        F.lit("</lastmod>\n    <priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority>\n  </url>\n  <url><loc>https://site"),
+        n, F.lit(".com/extra/"), did, F.lit("</loc></url>\n"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("  <sitemap>\n    <loc>https://site"), n,
+                     F.lit(".com/sitemap-"), did,
+                     F.lit(".xml</loc>\n  </sitemap>\n")),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>\n"),
+    )
+    src = docs.select("doc_id", xml.alias("sitemap_xml"))
+    return web.sitemap_entries(src).select(
+        "doc_id", "pos", "kind", "loc", "lastmod", "changefreq",
+        "priority",
+    )
+
+
+SQL_SITEMAP_PARSE = """
+SELECT doc_id, 0 AS pos, 'url' AS kind,
+       'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.com/doc/'
+           || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS loc,
+       '2026-01-0' || CAST((doc_id % 9) + 1 AS VARCHAR) AS lastmod,
+       CASE WHEN doc_id % 2 = 0 THEN 'weekly' END AS changefreq,
+       CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS priority
+FROM documents
+UNION ALL
+SELECT doc_id, 1 AS pos, 'url' AS kind,
+       'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.com/extra/'
+           || CAST(doc_id AS VARCHAR) AS loc,
+       NULL AS lastmod, NULL AS changefreq,
+       CAST(NULL AS DOUBLE) AS priority
+FROM documents
+UNION ALL
+SELECT doc_id, 2 AS pos, 'sitemap' AS kind,
+       'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.com/sitemap-'
+           || CAST(doc_id AS VARCHAR) || '.xml' AS loc,
+       NULL AS lastmod, NULL AS changefreq,
+       CAST(NULL AS DOUBLE) AS priority
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# r12: outlink extraction + RFC 3986 resolution — the web-graph edge list
+# --------------------------------------------------------------------------
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (``web.extract_links`` / ``resolve_url``):
+    the web-graph edge list under every crawl-scale ranking. Each
+    document renders an HTML page whose FIRST link exercises one
+    RFC 3986 reference form (absolute, protocol-relative,
+    root-relative with query+fragment, dot-segment relative, query-
+    only, trailing-slash relative) around the document's own prose,
+    and whose second link is a constant root-relative edge — so
+    extraction order, attribute parsing, fragment dropping, and the
+    exact ``remove_dot_segments`` fold are all on the hash. The oracle
+    rebuilds every resolved URL arithmetically per form. Plan:
+    regexp_extract_all + posexplode + the resolve expression —
+    map-only, zero shuffles (plan-audited in the unit suite)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    n = (F.col("doc_id") % 37).cast("string")
+    arm = F.col("doc_id") % 6
+    ref = (
+        F.when(arm == 0, F.concat(F.lit("https://other"), n, F.lit(".org/x")))
+        .when(arm == 1, F.concat(F.lit("//cdn"), n, F.lit(".net/y")))
+        .when(arm == 2, F.concat(F.lit("/r/"), did, F.lit("?z=1#f")))
+        .when(arm == 3, F.concat(F.lit("../up/./c"), did, F.lit(".html")))
+        .when(arm == 4, F.concat(F.lit("?page="), did))
+        .otherwise(F.concat(F.lit("sub/"), did, F.lit("/")))
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'), ref, F.lit('">first</a><p>'),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><a href=/always/"), did,
+        F.lit("><b>n</b></a></body></html>"),
+    )
+    src = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://www.site"), n, F.lit(".com/a/b/p"),
+                 did, F.lit(".html")).alias("url"),
+        html.alias("html"),
+    )
+    return web.extract_links(src).select(
+        "doc_id", "link_pos", "href", "link_url"
+    )
+
+
+SQL_LINK_EXTRACT = """
+WITH b AS (
+    SELECT doc_id,
+           CAST(doc_id AS VARCHAR) AS did,
+           CAST(doc_id % 37 AS VARCHAR) AS n
+    FROM documents
+)
+SELECT doc_id, 0 AS link_pos,
+       CASE doc_id % 6
+           WHEN 0 THEN 'https://other' || n || '.org/x'
+           WHEN 1 THEN '//cdn' || n || '.net/y'
+           WHEN 2 THEN '/r/' || did || '?z=1#f'
+           WHEN 3 THEN '../up/./c' || did || '.html'
+           WHEN 4 THEN '?page=' || did
+           ELSE 'sub/' || did || '/'
+       END AS href,
+       CASE doc_id % 6
+           WHEN 0 THEN 'https://other' || n || '.org/x'
+           WHEN 1 THEN 'https://cdn' || n || '.net/y'
+           WHEN 2 THEN 'https://www.site' || n || '.com/r/' || did
+                       || '?z=1'
+           WHEN 3 THEN 'https://www.site' || n || '.com/a/up/c' || did
+                       || '.html'
+           WHEN 4 THEN 'https://www.site' || n || '.com/a/b/p' || did
+                       || '.html?page=' || did
+           ELSE 'https://www.site' || n || '.com/a/b/sub/' || did || '/'
+       END AS link_url
+FROM b
+UNION ALL
+SELECT doc_id, 1 AS link_pos,
+       '/always/' || did AS href,
+       'https://www.site' || n || '.com/always/' || did AS link_url
+FROM b
+"""

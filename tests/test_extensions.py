@@ -3820,3 +3820,103 @@ def test_sniffed_mime(spark):
     plan = (df.select(sniffed_mime("payload").alias("m"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_sitemap_entries(spark):
+    """r12 sitemap parsing: urlset + sitemapindex kinds, entity
+    unescape (all five XML entities, &amp; last), missing children →
+    NULL, priority double cast, attribute-carrying tags, the
+    <url>-vs-<urlset> name-boundary trap, malformed/empty inputs seed
+    nothing, and the plan is shuffle-free."""
+    from dataproc_spark.extensions import web as webx
+
+    xmls = [
+        # attrs on urlset AND url; entities in loc; index pointer too
+        (1, '<?xml version="1.0"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            '<url data-x="1"><loc> https://a.com/?x=&lt;&gt;&quot;'
+            "&apos;&amp;amp; </loc>"
+            "<lastmod>2026-02-03</lastmod><priority>0.8</priority></url>"
+            "<sitemap><loc>https://a.com/s1.xml</loc>"
+            "<lastmod>2026-01-01</lastmod></sitemap></urlset>"),
+        (2, "<urlset><url><loc>https://b.org/p</loc>"
+            "<changefreq>daily</changefreq></url></urlset>"),
+        (3, "not xml at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(xmls, "doc_id long, sitemap_xml string")
+    rows = sorted(
+        webx.sitemap_entries(df).collect(),
+        key=lambda r: (r.doc_id, r.kind, r.pos),
+    )
+    # pos is global over (url entries, then index pointers)
+    assert [(r.doc_id, r.pos, r.kind) for r in rows] == [
+        (1, 1, "sitemap"), (1, 0, "url"), (2, 0, "url")]
+    by = {(r.doc_id, r.kind): r for r in rows}
+    u1 = by[(1, "url")]
+    # &amp;amp; decodes to the literal '&amp;' (single-pass, amp last)
+    assert u1.loc == "https://a.com/?x=<>\"'&amp;"
+    assert u1.lastmod == "2026-02-03" and u1.priority == 0.8
+    assert u1.changefreq is None
+    s1 = by[(1, "sitemap")]
+    assert s1.loc == "https://a.com/s1.xml" and s1.lastmod == "2026-01-01"
+    assert s1.priority is None and s1.changefreq is None
+    u2 = by[(2, "url")]
+    assert u2.changefreq == "daily" and u2.lastmod is None
+    assert u2.priority is None
+    plan = (webx.sitemap_entries(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_extract_links_and_resolve(spark):
+    """r12 web graph: href extraction (quote forms, attribute
+    boundaries, document order, fragment-only exclusion) and RFC 3986
+    resolution incl. EXACT remove_dot_segments (trailing-slash rule,
+    root clamp) — plan shuffle-free."""
+    from dataproc_spark.extensions import web as webx
+
+    base = "https://www.ex.com/a/b/page.html?q=0"
+    html = (
+        '<p><a href="https://abs.org/x#f">1</a>'
+        "<a href='//cdn.net/y'>2</a>"
+        "<a href=/root/z?k=1#frag>3</a>"
+        '<a class="big" href="../up/./c.html">4</a>'
+        '<a href="?page=2">5</a>'
+        '<a href="#self">never</a>'
+        '<a href="sub/">6</a>'
+        '<a data-href="https://not-a-link.example/">x</a>'
+        '<A HREF="UPPER.html">7</A></p>'
+    )
+    df = spark.createDataFrame([(1, base, html)],
+                               "doc_id long, url string, html string")
+    rows = sorted(webx.extract_links(df).collect(),
+                  key=lambda r: r.link_pos)
+    assert [r.link_url for r in rows] == [
+        "https://abs.org/x",            # absolute, fragment dropped
+        "https://cdn.net/y",            # protocol-relative
+        "https://www.ex.com/root/z?k=1",
+        "https://www.ex.com/a/up/c.html",
+        "https://www.ex.com/a/b/page.html?page=2",
+        "https://www.ex.com/a/b/sub/",
+        "https://www.ex.com/a/b/UPPER.html",
+    ]
+    assert [r.href for r in rows] == [
+        "https://abs.org/x#f", "//cdn.net/y", "/root/z?k=1#frag",
+        "../up/./c.html", "?page=2", "sub/", "UPPER.html"]
+
+    # remove_dot_segments edges through resolve_url
+    one = spark.range(1)
+    def res(b, r):
+        return one.select(webx.resolve_url(
+            F.lit(b), F.lit(r)).alias("u")).collect()[0].u
+    assert res(base, "../../..") == "https://www.ex.com/"      # root clamp
+    assert res(base, "../x/..") == "https://www.ex.com/a/"     # trailing /
+    assert res(base, ".") == "https://www.ex.com/a/b/"
+    assert res(base, "") == base                              # empty → base
+    assert res(base, "mailto:a@b.c") == "mailto:a@b.c"
+    assert res("https://h.io", "x") == "https://h.io/x"       # empty b path
+
+    plan = (webx.extract_links(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
