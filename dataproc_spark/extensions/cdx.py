@@ -55,12 +55,16 @@ def surt_key(url_col: str | Column = "url") -> Column:
     ``string_split``/``list_reverse``/``list_sort``).
     """
     u = F.lower(F.col(url_col) if isinstance(url_col, str) else url_col)
+    # fragment FIRST: a '?' that only appears inside the fragment
+    # ('/x#sec?b=1') must not leak a phantom query into the key — the
+    # unanchored query extract read it (r12 review finding, reproduced)
+    u = F.regexp_replace(u, "#.*$", "")
     host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
     host = F.regexp_replace(host, r"^www\.", "")
     revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(
         revhost,
@@ -108,7 +112,13 @@ def cdx_index(
     )
     return records.select(
         surt_key(url_col).alias("urlkey"),
-        F.regexp_replace(F.col("warc_date"), r"[^0-9]", "").alias("ts"),
+        # first 14 digits ONLY: a WARC 1.1 date may carry fractional
+        # seconds ('…00.123Z'), and bare digit-stripping produced a
+        # 17-digit ts that breaks fixed-width CDX consumers and range
+        # scans (r12 review finding)
+        F.substring(
+            F.regexp_replace(F.col("warc_date"), r"[^0-9]", ""), 1, 14
+        ).alias("ts"),
         F.col(url_col).alias("url"),
         F.when(F.col("http_content_type").isNull(), F.lit(None)).otherwise(
             mime

@@ -62,6 +62,12 @@ _BINARY_BYTE_RE = (
 )
 
 
+def _box_size(hx: Column) -> Column:
+    """Big-endian uint32 of the first 4 payload bytes (from the hex
+    prefix) — the ISO-BMFF leading box size the mp4 sniff validates."""
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+
+
 def sniffed_mime(payload_col: str | Column = "payload") -> Column:
     """The MIME type computed from a binary payload's leading bytes —
     the WHATWG MIME-Sniffing "identify an unknown MIME type" core:
@@ -118,8 +124,18 @@ def sniffed_mime(payload_col: str | Column = "payload") -> Column:
         .when(riff & (box8 == "57415645"), F.lit("audio/wave"))
         .when(riff & (box8 == "57454250"), F.lit("image/webp"))
         .when(riff & (box8 == "41564920"), F.lit("video/avi"))
-        # ISO-BMFF: size box then 'ftyp' at bytes 5..8
-        .when(F.substring(hx, 9, 8) == "66747970", F.lit("video/mp4"))
+        # ISO-BMFF: 'ftyp' at bytes 5..8 AND the WHATWG §6.2.1 box-size
+        # sanity checks — size ≥ 12, size % 4 == 0, payload at least
+        # box-size long. Without them any PROSE with 'ftyp' at offset 4
+        # ("THE ftyp keyword…") routed to video/mp4 (r12 review
+        # finding, reproduced).
+        .when(
+            (F.substring(hx, 9, 8) == "66747970")
+            & (_box_size(hx) >= 12)
+            & (_box_size(hx) % 4 == 0)
+            & (F.octet_length(c) >= _box_size(hx)),
+            F.lit("video/mp4"),
+        )
         .otherwise(
             sig.when(utf16, F.lit("text/plain"))
             .when(binary, F.lit("application/octet-stream"))

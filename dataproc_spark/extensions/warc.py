@@ -883,7 +883,15 @@ def _tag_end(head: bytes, start: int) -> int:
             if j >= start and head[j:j + 1] == b"=":
                 close = head.find(c, i + 1)
                 if close < 0:
-                    return -1  # unterminated value: no tag end in window
+                    # unterminated value: per HTML5 the value consumes
+                    # the REST of the input, so nothing after this
+                    # quote is an attribute — end the parseable tag
+                    # here. (An early -1 draft made the caller scan
+                    # the whole remaining window as attributes and
+                    # adopt a charset= token from BODY PROSE — a
+                    # regression vs the plain find(b'>') bound; r12
+                    # review finding, reproduced.)
+                    return i
                 i = close + 1
                 continue
         i += 1

@@ -538,7 +538,10 @@ def robots_like_pattern(path_rule: str) -> tuple:
     )
     if not anchored:
         pat += "%"
-    return pat, len(path_rule)
+    # OCTET length, not character count: Google's parser ranks by byte
+    # length, so a non-ASCII rule ('/café' = 6 octets, 5 chars) must
+    # score its UTF-8 size (r12 review finding)
+    return pat, len(path_rule.encode("utf-8"))
 
 
 def parse_robots(text: str, agent: str = "*") -> list:
@@ -693,18 +696,32 @@ def robots_allowed(
 # sitemap parsing (r12) — URL-frontier seeding
 # ---------------------------------------------------------------------------
 
-#: the five XML predefined entities — all a conforming sitemap may use
-#: to escape URL text (sitemaps.org protocol: entity-escape &, ', ", >,
-#: < in <loc> values)
-_XML_ENTITIES = (
-    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-    ("&apos;", "'"), ("&amp;", "&"),  # &amp; LAST (double-escape rule)
+#: the five XML predefined characters with ALL their conforming escape
+#: spellings — named, decimal (leading zeros legal), and hex (either
+#: case) character references; a conforming generator emits them
+#: interchangeably (r12 review finding: named-only left '&#38;' in
+#: frontier URLs). Each character's forms are ONE alternation so one
+#: regexp_replace pass decodes them together: the pass scans original
+#: positions left-to-right, so '&amp;#38;' and '&#38;amp;' each decode
+#: exactly once (the replacement is never rescanned). The ampersand
+#: row stays LAST (the double-escape rule across characters).
+_XML_ENTITY_PATTERNS = (
+    (r"&lt;|&#0*60;|&#[xX]0*3[cC];", "<"),
+    (r"&gt;|&#0*62;|&#[xX]0*3[eE];", ">"),
+    (r"&quot;|&#0*34;|&#[xX]0*22;", '"'),
+    (r"&apos;|&#0*39;|&#[xX]0*27;", "'"),
+    (r"&amp;|&#0*38;|&#[xX]0*26;", "&"),
 )
 
 
 def _xml_unescape(c: Column) -> Column:
-    for ent, ch in _XML_ENTITIES:
-        c = F.replace(c, F.lit(ent), F.lit(ch))
+    """Decode the five XML specials in named AND numeric-reference form
+    (:data:`_XML_ENTITY_PATTERNS` — one pass per character, ampersand
+    last, each decoding exactly once). Other numeric references stay
+    verbatim: a sitemap ``<loc>`` must be RFC-3986-encoded, so
+    non-ASCII arrives %-escaped, never as a character reference."""
+    for pat, ch in _XML_ENTITY_PATTERNS:
+        c = F.regexp_replace(c, pat, ch)
     return c
 
 
@@ -835,7 +852,9 @@ def _remove_dot_segments(p: Column) -> Column:
 
 def resolve_url(base: Column, ref: Column) -> Column:
     """Resolve a reference against a base URL — RFC 3986 §5 for the
-    forms a crawl meets: absolute (any scheme — kept, minus fragment),
+    forms a crawl meets: absolute (hierarchical ``scheme://`` URLs get
+    their path dot-segment-normalized per §5.2.2; opaque schemes —
+    ``mailto:``, ``urn:`` — pass verbatim; fragments always drop),
     protocol-relative ``//host/...``, root-relative ``/path``,
     query-only ``?q=...``, empty/fragment-only (→ the base, fragment
     dropped), and path-relative with FULL dot-segment normalization
@@ -857,11 +876,36 @@ def resolve_url(base: Column, ref: Column) -> Column:
     b_dir = F.regexp_replace(b_path, "[^/]*$", "")
     r_path = F.regexp_extract(ref, r"^([^?#]*)", 1)
     r_query = F.regexp_extract(ref, r"(\?[^#]*)", 1)
+
+    def _norm_hier(u: Column) -> Column:
+        # RFC 3986 §5.2.2 applies remove_dot_segments to EVERY resolved
+        # path, absolute and protocol-relative references included —
+        # skipping them left '//cdn.net/a/../b' unnormalized, so the
+        # same fetch appeared under two link_urls (r12 review finding)
+        origin = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+        path = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+        rest = F.regexp_extract(u, r"(\?[^#]*)", 1)
+        return F.concat(
+            origin,
+            F.when(path == "", F.lit("")).otherwise(
+                _remove_dot_segments(path)
+            ),
+            rest,
+        )
+
     return (
         F.when(ref.isNull(), F.lit(None).cast("string"))
         .when(ref == "", b_nofrag)
+        .when(
+            ref.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), _norm_hier(ref)
+        )
+        # scheme without authority (mailto:, urn:, data:): opaque —
+        # no hierarchical path to normalize, keep verbatim
         .when(ref.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), ref)
-        .when(ref.startswith("//"), F.concat(b_scheme, F.lit(":"), ref))
+        .when(
+            ref.startswith("//"),
+            _norm_hier(F.concat(b_scheme, F.lit(":"), ref)),
+        )
         .when(
             ref.startswith("/"),
             F.concat(b_origin, _remove_dot_segments(r_path), r_query),
@@ -892,12 +936,13 @@ def extract_links(
 
     Extraction is attribute-boundary-exact for machine-written HTML:
     ``href`` must start an attribute (``data-href`` never matches),
-    double-/single-quoted and bare values all parse, and
-    fragment-only links (``#section`` — self-edges) are excluded.
-    Quoted values containing whitespace are truncated at the first
-    whitespace (vanishingly rare in real hrefs; the trade keeps the
-    pattern RE2-portable for the oracle). Comments are NOT stripped —
-    run :func:`extract_main_text`-style pre-cleaning first if
+    double-/single-quoted values capture in full (whitespace and ``>``
+    inside quotes included — the attribute walk consumes quoted values
+    as units), bare values end at whitespace/``>``, and fragment-only
+    or empty links (``#section``/``href=""`` — self-edges) are
+    excluded. The pattern is RE2-portable (alternation + lazy
+    quantifiers, no lookaround). Comments are NOT stripped — run
+    :func:`extract_main_text`-style pre-cleaning first if
     commented-out markup matters.
 
     Plan: ``regexp_extract_all`` + ``posexplode`` + the resolve
@@ -909,12 +954,27 @@ def extract_links(
         F.col(html_col) if isinstance(html_col, str) else html_col,
         F.lit(""),
     )
+    # the walk from '<a ' to 'href' consumes QUOTED attribute values as
+    # units ("[^"]*"|'[^']*') so (a) an href-looking token inside an
+    # earlier attribute's value can't steal the match and (b) a quoted
+    # '>' can't hide the link — the same quoted-'>' bug class the meta
+    # prescan fixed, reintroduced by a bare [^>]*? draft here (r12
+    # review finding, both arms reproduced). Quoted values capture in
+    # full (whitespace included); bare values end at whitespace/'>'.
     hrefs = F.regexp_extract_all(
         html,
-        F.lit(r"(?is)<a\s(?:[^>]*?\s)?href\s*=\s*[\"']?([^\"'\s>]+)"),
+        F.lit(
+            r"(?is)<a\s(?:(?:\"[^\"]*\"|'[^']*'|[^>\"'])*?\s)?"
+            r"href\s*=\s*(\"[^\"]*\"|'[^']*'|[^\"'\s>]+)"
+        ),
         F.lit(1),
     )
-    hrefs = F.filter(hrefs, lambda h: ~h.startswith("#"))
+    hrefs = F.transform(
+        hrefs, lambda h: F.regexp_replace(h, "^[\"']|[\"']$", "")
+    )
+    hrefs = F.filter(
+        hrefs, lambda h: (~h.startswith("#")) & (h != "")
+    )
     others = list(df.columns)
     ex = df.select(*others, F.posexplode(hrefs).alias("link_pos", "href"))
     if not resolve:

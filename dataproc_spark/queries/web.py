@@ -1534,9 +1534,9 @@ WITH u AS (
 ),
 parts AS (
     SELECT doc_id, t, url,
-           lower(url) AS lu,
+           regexp_replace(lower(url), '#.*$', '') AS lu,
            regexp_replace(
-               regexp_extract(lower(url),
+               regexp_extract(regexp_replace(lower(url), '#.*$', ''),
                               '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
                '^www\\.', '') AS host
     FROM u
@@ -1550,11 +1550,11 @@ keys AS (
                       THEN '/'
                       ELSE regexp_extract(lu,
                       '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) END
-               || CASE WHEN regexp_extract(lu, '\\?([^#]*)', 1) = ''
+               || CASE WHEN regexp_extract(lu, '\\?(.*)$', 1) = ''
                       THEN ''
                       ELSE '?' || array_to_string(list_sort(
                           string_split(
-                              regexp_extract(lu, '\\?([^#]*)', 1), '&')),
+                              regexp_extract(lu, '\\?(.*)$', 1), '&')),
                           '&') END
                AS urlkey,
            CASE WHEN doc_id % 4 = 3

@@ -3799,7 +3799,9 @@ def test_sniffed_mime(spark):
         (9, b"PK\x03\x04zipzip", "application/zip"),
         (10, b"RIFF\x10\x00\x00\x00WAVEfmt ", "audio/wave"),
         (11, b"RIFF\x10\x00\x00\x00WEBPVP8 ", "image/webp"),
-        (12, b"\x00\x00\x00\x18ftypisom....", "video/mp4"),
+        # payload must be at least box-size (24) long — the r12 box
+        # validation rejects truncated ftyp prefixes
+        (12, b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16, "video/mp4"),
         (13, b"\xff\xfeh\x00i\x00", "text/plain"),      # UTF-16LE BOM
         (14, b"plain old prose, no magic", "text/plain"),
         (15, b"almost text\x00but a NUL", "application/octet-stream"),
@@ -3920,3 +3922,85 @@ def test_extract_links_and_resolve(spark):
     plan = (webx.extract_links(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_r12_review_fixes(spark):
+    """r12 adversarial-review regressions, one assert per finding:
+    (1) unterminated quoted meta value must not let body prose donate
+    a charset; (2) href extraction is quote-aware both ways; (3) mp4
+    sniff validates the ISO-BMFF box size; (4) SURT keys drop a '?'
+    that lives in the fragment; (5) absolute/protocol-relative refs
+    dot-segment-normalize; (6) robots specificity is OCTET length;
+    (7) CDX ts clamps to 14 digits under fractional seconds; (8) XML
+    numeric character references decode, exactly once."""
+    import pytest as _pytest  # noqa: F401
+
+    from dataproc_spark.extensions import cdx as cdxx
+    from dataproc_spark.extensions import web as webx
+    from dataproc_spark.extensions.sniff import sniffed_mime
+    from dataproc_spark.extensions.warc import sniff_meta_charset
+
+    # (1) the value consumes the rest — prose 'charset=' never matches
+    assert sniff_meta_charset(
+        b'<meta data-x="oops><p>some body text charset=koi8-r here</p>'
+    ) is None
+
+    # (2) quote-aware extraction: no steal, no quoted-'>' hiding
+    df2 = spark.createDataFrame(
+        [(1, "https://ex.com/", '<a title="see href = x" href="/real">t'
+          '</a><a title="a > b" href="/y">u</a>')],
+        "doc_id long, url string, html string",
+    )
+    got = [r.link_url for r in sorted(
+        webx.extract_links(df2).collect(), key=lambda r: r.link_pos)]
+    assert got == ["https://ex.com/real", "https://ex.com/y"]
+
+    # (3) prose containing 'ftyp' at offset 4 is text, real mp4 is mp4
+    df3 = spark.createDataFrame(
+        [(1, b"THE ftyp keyword in prose"),
+         (2, b"abc ftypsomething"),
+         (3, b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)],
+        "i long, payload binary",
+    )
+    m = {r.i: r.m for r in df3.select(
+        "i", sniffed_mime("payload").alias("m")).collect()}
+    assert m == {1: "text/plain", 2: "text/plain", 3: "video/mp4"}
+
+    # (4) fragment-only '?' never reaches the SURT key
+    k = spark.createDataFrame(
+        [("https://a.com/x#sec?b=1",), ("https://a.com/x",)],
+        "url string",
+    ).select(cdxx.surt_key("url").alias("k")).collect()
+    assert k[0].k == k[1].k == "com,a)/x"
+
+    # (5) RFC 3986 §5.2.2 applies to every hierarchical resolution
+    one = spark.range(1)
+    def res(b, r):
+        return one.select(webx.resolve_url(
+            F.lit(b), F.lit(r)).alias("u")).collect()[0].u
+    assert res("https://b.io/", "//cdn.net/a/../b") == "https://cdn.net/b"
+    assert res("https://b.io/", "https://x.org/a/./c/../d?q=1#f") == (
+        "https://x.org/a/d?q=1")
+    assert res("https://b.io/", "mailto:a@b.c") == "mailto:a@b.c"
+
+    # (6) octet-length specificity: '/café' is 6 octets, not 5 chars
+    assert webx.robots_like_pattern("/café")[1] == 6
+
+    # (7) WARC 1.1 fractional seconds: ts stays 14 digits
+    recs = spark.createDataFrame(
+        [("s/shard-0.warc.gz", "2026-01-01T00:00:00.123Z",
+          "https://a.com/x", "text/html; charset=utf-8", 200, b"hi")],
+        "shard string, warc_date string, target_uri string, "
+        "http_content_type string, http_status int, body binary",
+    )
+    row = cdxx.cdx_index(recs).collect()[0]
+    assert row.ts == "20260101000000" and len(row.ts) == 14
+
+    # (8) numeric character references, single decode
+    sm = spark.createDataFrame(
+        [(1, "<urlset><url><loc>https://a.com/?a=1&#38;b=2&#x26;c=3"
+          "&#038;d=4&amp;#38;e</loc></url></urlset>")],
+        "doc_id long, sitemap_xml string",
+    )
+    loc = webx.sitemap_entries(sm).collect()[0].loc
+    assert loc == "https://a.com/?a=1&b=2&c=3&d=4&#38;e"
