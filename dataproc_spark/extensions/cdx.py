@@ -60,6 +60,11 @@ def surt_key(url_col: str | Column = "url") -> Column:
     # unanchored query extract read it (r12 review finding, reproduced)
     u = F.regexp_replace(u, "#.*$", "")
     host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    # absolute-form FQDN: strip ONE trailing root dot before reversal,
+    # else 'example.com.' reverses to a leading-comma key that sorts
+    # away from 'example.com' captures (r12 review finding; published
+    # SURT canonicalization strips it too)
+    host = F.regexp_replace(host, r"\.$", "")
     host = F.regexp_replace(host, r"^www\.", "")
     revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
@@ -88,7 +93,8 @@ def cdx_index(
       ``warc_date``, which ISO 28500 fixes as UTC ``...T..Z``);
     - ``url`` — the original (un-canonicalized) capture URL;
     - ``mime`` — the HTTP ``Content-Type``'s media type (parameters
-      stripped, lowercased); NULL when the record carried no envelope;
+      stripped, lowercased); NULL when the record carried no envelope
+      OR an empty/parameter-only Content-Type value (never ``''``);
     - ``status`` — the HTTP status;
     - ``digest`` — lowercase hex SHA-256 of the response BODY (the
       content-addressed identity ``resolve_revisits`` joins on; the
@@ -110,6 +116,12 @@ def cdx_index(
     mime = F.lower(
         F.trim(F.regexp_extract(F.col("http_content_type"), r"^([^;]*)", 1))
     )
+    # '' → NULL: an empty or parameter-only Content-Type value must
+    # honor the documented "NULL when untyped" contract, not mint a
+    # phantom '' mime class (r12 review finding — the earlier
+    # isNull-wrapper was dead code: NULL already propagates through
+    # the string functions)
+    mime = F.when(mime == "", F.lit(None)).otherwise(mime)
     return records.select(
         surt_key(url_col).alias("urlkey"),
         # first 14 digits ONLY: a WARC 1.1 date may carry fractional
@@ -120,9 +132,7 @@ def cdx_index(
             F.regexp_replace(F.col("warc_date"), r"[^0-9]", ""), 1, 14
         ).alias("ts"),
         F.col(url_col).alias("url"),
-        F.when(F.col("http_content_type").isNull(), F.lit(None)).otherwise(
-            mime
-        ).alias("mime"),
+        mime.alias("mime"),
         F.col("http_status").alias("status"),
         F.lower(F.sha2(F.col("body"), 256)).alias("digest"),
         F.octet_length(F.col("body")).cast("long").alias("length"),

@@ -832,15 +832,22 @@ def charset_of_content_type(content_type: str | None) -> str | None:
     or None when absent. Token and quoted-string forms both parse;
     the label is returned UN-resolved (callers decide strictness).
 
-    The parameter is accepted at the START of the value as well as
-    after a ``;``: the legacy meta form ``content="charset=koi8-r"``
-    (no media type at all) is valid input to the HTML5 "get an
-    encoding from a meta element" algorithm, and the earlier
-    ``;``-required regex silently missed it (r11 advice finding)."""
+    The parameter is accepted at the START of the value, after a
+    ``;``, and after WHITESPACE: the legacy meta forms
+    ``content="charset=koi8-r"`` (no media type at all) and
+    ``content="text/html charset=koi8-r"`` (missing semicolon —
+    sloppy markup the HTML5 "get an encoding from a meta element"
+    algorithm deliberately tolerates by scanning for the ``charset``
+    substring) are both real; the earlier ``;``-required regex missed
+    the first (r11 advice finding) and the first widening missed the
+    second (r12 review finding). The one remaining divergence from
+    the HTML5 substring scan: ``charset`` glued to a preceding token
+    (``…;xcharset=``) still does not match — that form declares a
+    different parameter."""
     if not content_type:
         return None
     m = re.search(
-        r"(?:^|;)\s*charset\s*=\s*(\"[^\"]*\"|'[^']*'|[^;\s]+)",
+        r"(?:^|[;\s])\s*charset\s*=\s*(\"[^\"]*\"|'[^']*'|[^;\s]+)",
         content_type,
         re.IGNORECASE,
     )
@@ -975,17 +982,24 @@ def decode_body_text(
     body = bytes(body)
     if body.startswith(b"\xef\xbb\xbf"):
         codec = "utf-8-sig"
-    elif (
-        body.startswith(b"\xff\xfe\x00\x00")
-        or body.startswith(b"\x00\x00\xfe\xff")
-    ):
-        # UTF-32 BOMs first: \xff\xfe\x00\x00 also PREFIX-matches the
-        # UTF-16LE BOM, and letting the UTF-16 branch take it decoded
-        # UTF-32LE pages "successfully" as NUL-interleaved text instead
-        # of real characters (r11 advice finding). The BOM is a
-        # declaration, so the decode below stays strict — violating
-        # bytes quarantine like any declared charset.
-        codec = "utf-32"  # consumes the BOM, picks the endianness
+    elif body.startswith(b"\xff\xfe\x00\x00"):
+        # checked before the UTF-16 branch: this prefix is BOTH the
+        # UTF-32LE BOM and (per WHATWG, which has no UTF-32) a UTF-16LE
+        # BOM + U+0000. Taking it as UTF-16 decoded real UTF-32LE pages
+        # "successfully" as NUL-interleaved text (r11 advice finding);
+        # taking it as strict UTF-32 quarantined NUL-leading UTF-16LE
+        # pages every browser renders (r12 review finding). So: try
+        # UTF-32 strictly, and on failure fall back to the WHATWG
+        # UTF-16 reading — each input decodes under the one
+        # interpretation that accepts it.
+        try:
+            return body.decode("utf-32")
+        except UnicodeDecodeError:
+            codec = "utf-16"
+    elif body.startswith(b"\x00\x00\xfe\xff"):
+        # unambiguous: only a UTF-32BE BOM starts this way (\x00\x00 is
+        # no UTF-16 BOM) — strict decode, violations quarantine below
+        codec = "utf-32"
     elif body.startswith(b"\xff\xfe") or body.startswith(b"\xfe\xff"):
         codec = "utf-16"  # consumes the BOM, picks the right endianness
     else:

@@ -759,6 +759,17 @@ def sitemap_entries(
     output rows (a malformed sitemap seeds nothing; count inputs vs
     outputs to quarantine).
     """
+    # clear error instead of an AMBIGUOUS_REFERENCE AnalysisException
+    # at the final select — the documented fetch-and-recurse loop hits
+    # this if a prior pass's columns are fed back unselected (r12
+    # review finding)
+    for clash in ("pos", "kind", "loc", "lastmod", "changefreq",
+                  "priority", "_entry"):
+        if clash in df.columns:
+            raise ValueError(
+                f"sitemap_entries would clobber existing column "
+                f"{clash!r}; drop or rename it first"
+            )
     xml = F.coalesce(
         F.col(xml_col) if isinstance(xml_col, str) else xml_col,
         F.lit(""),
@@ -950,6 +961,13 @@ def extract_links(
     rollup downstream (``groupBy(src_host, dst_host)``) is the first
     shuffle, and it carries host pairs, not pages.
     """
+    clashes = ["link_pos", "href"] + (["link_url"] if resolve else [])
+    for clash in clashes:
+        if clash in df.columns:
+            raise ValueError(
+                f"extract_links would clobber existing column "
+                f"{clash!r}; drop or rename it first"
+            )
     html = F.coalesce(
         F.col(html_col) if isinstance(html_col, str) else html_col,
         F.lit(""),

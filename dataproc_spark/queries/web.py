@@ -1536,8 +1536,10 @@ parts AS (
     SELECT doc_id, t, url,
            regexp_replace(lower(url), '#.*$', '') AS lu,
            regexp_replace(
-               regexp_extract(regexp_replace(lower(url), '#.*$', ''),
-                              '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+               regexp_replace(
+                   regexp_extract(regexp_replace(lower(url), '#.*$', ''),
+                                  '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                   '\\.$', ''),
                '^www\\.', '') AS host
     FROM u
 ),

@@ -3253,9 +3253,12 @@ def test_charset_advice_fixes():
     assert "\x00" not in decode_body_text(b32le, "text/html")
     b32be = b"\x00\x00\xfe\xff" + "page".encode("utf-32-be")
     assert decode_body_text(b32be, None) == "page"
-    # a BOM is a declaration: violating bytes quarantine, not mojibake
-    with _pytest.raises(ValueError):
-        decode_body_text(b"\xff\xfe\x00\x00" + b"\xff\xff\xff\xff", None)
+    # the ambiguous LE prefix: bytes that violate UTF-32 fall back to
+    # the WHATWG UTF-16LE reading (r12 second-review refinement) —
+    # here U+0000 U+FFFF U+FFFF, valid UTF-16, so no quarantine
+    assert decode_body_text(
+        b"\xff\xfe\x00\x00" + b"\xff\xff\xff\xff", None
+    ) == "\x00￿￿"
     # UTF-16LE text NOT starting with NUL still routes to UTF-16
     b16 = b"\xff\xfe" + "привет".encode("utf-16-le")
     assert decode_body_text(b16, None) == "привет"
@@ -4004,3 +4007,68 @@ def test_r12_review_fixes(spark):
     )
     loc = webx.sitemap_entries(sm).collect()[0].loc
     assert loc == "https://a.com/?a=1&b=2&c=3&d=4&#38;e"
+
+
+def test_r12_second_review_fixes(spark):
+    """r12 second review pass: (1) space-delimited legacy charset=
+    parses; (2) the ambiguous \\xff\\xfe\\x00\\x00 prefix decodes under
+    whichever of UTF-32LE/UTF-16LE accepts it (WHATWG fallback), while
+    the unambiguous UTF-32BE BOM stays strict; (3) sitemap/link
+    operators raise a clear clash error instead of an ambiguous-
+    reference crash; (4) trailing-dot FQDNs share the SURT key of
+    their dotless twin; (5) an empty Content-Type yields NULL mime."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import cdx as cdxx
+    from dataproc_spark.extensions import web as webx
+    from dataproc_spark.extensions.warc import (
+        charset_of_content_type,
+        decode_body_text,
+    )
+
+    # (1) missing semicolon — HTML5 tolerates, so must we
+    assert charset_of_content_type("text/html charset=koi8-r") == "koi8-r"
+    assert charset_of_content_type("text/html; charset=utf-8") == "utf-8"
+    assert charset_of_content_type("text/html;xcharset=y") is None
+
+    # (2) both readings of the ambiguous LE prefix decode
+    b32 = b"\xff\xfe\x00\x00" + "страница".encode("utf-32-le")
+    assert decode_body_text(b32, None) == "страница"
+    nul16 = b"\xff\xfe" + "\x00abc".encode("utf-16-le")
+    assert decode_body_text(nul16, None) == "\x00abc"
+    with _pytest.raises(ValueError):  # UTF-32BE BOM is unambiguous
+        decode_body_text(b"\x00\x00\xfe\xff" + b"\xff\xff\xff\xff", None)
+
+    # (3) clash guards
+    sm = spark.createDataFrame([(1, "<urlset/>", "x")],
+                               "doc_id long, sitemap_xml string, pos string")
+    with _pytest.raises(ValueError, match="clobber"):
+        webx.sitemap_entries(sm)
+    lk = spark.createDataFrame([(1, "https://a.com/", "<a href=/x>", 0)],
+                               "doc_id long, url string, html string, "
+                               "link_pos long")
+    with _pytest.raises(ValueError, match="clobber"):
+        webx.extract_links(lk)
+
+    # (4) trailing root dot strips before reversal
+    k = spark.createDataFrame(
+        [("https://example.com./x",), ("https://example.com/x",),
+         ("https://www.example.com./x",)],
+        "url string",
+    ).select(cdxx.surt_key("url").alias("k")).collect()
+    assert {r.k for r in k} == {"com,example)/x"}
+
+    # (5) empty / parameter-only Content-Type → NULL mime, not ''
+    recs = spark.createDataFrame(
+        [("s/a.warc.gz", "2026-01-01T00:00:00Z", "https://a.com/1",
+          "", 200, b"x"),
+         ("s/a.warc.gz", "2026-01-01T00:00:00Z", "https://a.com/2",
+          ";charset=utf-8", 200, b"x"),
+         ("s/a.warc.gz", "2026-01-01T00:00:00Z", "https://a.com/3",
+          None, None, b"x")],
+        "shard string, warc_date string, target_uri string, "
+        "http_content_type string, http_status int, body binary",
+    )
+    mm = {r.url: r.mime for r in cdxx.cdx_index(recs).collect()}
+    assert mm == {"https://a.com/1": None, "https://a.com/2": None,
+                  "https://a.com/3": None}
