@@ -880,10 +880,14 @@ def resolve_url(base: Column, ref: Column) -> Column:
     b_origin = F.regexp_extract(
         base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1
     )
-    b_path = F.regexp_extract(
+    b_path_raw = F.regexp_extract(
         base, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )
-    b_path = F.when(b_path == "", F.lit("/")).otherwise(b_path)
+    # the merge needs '/' for an empty base path (RFC §5.3 merge with
+    # authority), but a QUERY-ONLY ref keeps the base path VERBATIM —
+    # urljoin/RFC produce 'https://h.ex?a=1', not 'https://h.ex/?a=1'
+    # (caught by the stdlib-equivalence test)
+    b_path = F.when(b_path_raw == "", F.lit("/")).otherwise(b_path_raw)
     b_dir = F.regexp_replace(b_path, "[^/]*$", "")
     r_path = F.regexp_extract(ref, r"^([^?#]*)", 1)
     r_query = F.regexp_extract(ref, r"(\?[^#]*)", 1)
@@ -921,7 +925,7 @@ def resolve_url(base: Column, ref: Column) -> Column:
             ref.startswith("/"),
             F.concat(b_origin, _remove_dot_segments(r_path), r_query),
         )
-        .when(ref.startswith("?"), F.concat(b_origin, b_path, ref))
+        .when(ref.startswith("?"), F.concat(b_origin, b_path_raw, ref))
         .otherwise(
             F.concat(
                 b_origin,
