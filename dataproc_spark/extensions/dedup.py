@@ -1152,7 +1152,10 @@ def drop_repeated_lines(
     base = df.withColumn("_lines", lines)
     ex = (
         base.select(id_col, F.posexplode("_lines").alias("_pos", "_line"))
-        .where(F.trim(F.col("_line")) != "")
+        # regex, not trim(): SQL trim strips only ' ' (0x20) in Spark
+        # AND DuckDB, so a '\t' line was counted — and cut — despite
+        # the whitespace-only exemption (r12 model-test finding)
+        .where(~F.col("_line").rlike(r"^\s*$"))
         .select(id_col, "_pos", F.xxhash64("_line").alias("_h"))
     )
     bad = (

@@ -935,13 +935,14 @@ ls AS (SELECT doc_id, string_split(ftext, chr(10)) AS lines FROM src),
 ex AS (SELECT doc_id, unnest(lines) AS line FROM ls),
 bad AS (
     SELECT coalesce(list(line), []) AS bl FROM (
-        SELECT line FROM ex WHERE trim(line) <> ''
+        SELECT line FROM ex WHERE NOT regexp_matches(line, '^\s*$')
         GROUP BY line HAVING count(DISTINCT doc_id) >= 4)
 ),
 out AS (
     SELECT doc_id,
            list_filter(lines,
-                       x -> trim(x) = '' OR NOT list_contains(bl, x))
+                       x -> regexp_matches(x, '^\s*$')
+                            OR NOT list_contains(bl, x))
                AS kept,
            len(lines) AS n0
     FROM ls CROSS JOIN bad

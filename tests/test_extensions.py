@@ -4116,3 +4116,47 @@ def test_resolve_url_vs_stdlib_urljoin(spark):
         if row.u != want:
             bad.append((row.base, row.ref, row.u, want))
     assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+
+
+def test_drop_repeated_lines_vs_python_model(spark):
+    """drop_repeated_lines vs an independent pure-Python model over 25
+    seeded random corpora (line pools sized to force heavy cross-doc
+    collisions, blank/whitespace lines mixed in, random min_docs) —
+    the model recounts document frequency and rebuilds every text with
+    plain dicts, sharing no code with the operator."""
+    import random
+
+    from dataproc_spark.extensions import dedup as ddp
+
+    rng = random.Random(0xC0FFEE)
+    pool = (["alpha", "beta", "gamma", "delta", "", " ", "\t",
+             "x y z", "alpha"]
+            + [f"rare{i}" for i in range(30)])
+    for trial in range(25):
+        n_docs = rng.randint(1, 12)
+        docs = []
+        for i in range(n_docs):
+            lines = [rng.choice(pool)
+                     for _ in range(rng.randint(0, 8))]
+            docs.append((i, "\n".join(lines) if lines else ""))
+        min_docs = rng.randint(1, 4)
+
+        # independent model
+        df_count: dict = {}
+        for i, text in docs:
+            for line in set(text.split("\n")):
+                if line.strip() != "":
+                    df_count[line] = df_count.get(line, 0) + 1
+        expect = {}
+        for i, text in docs:
+            kept = [l for l in text.split("\n")
+                    if l.strip() == "" or df_count.get(l, 0) < min_docs]
+            expect[i] = ("\n".join(kept),
+                         len(text.split("\n")) - len(kept))
+
+        out = {r.doc_id: (r.text_clean, r.n_lines_dropped)
+               for r in ddp.drop_repeated_lines(
+                   spark.createDataFrame(docs,
+                                         "doc_id long, text string"),
+                   min_docs=min_docs).collect()}
+        assert out == expect, (trial, min_docs, docs)
