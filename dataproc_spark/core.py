@@ -321,6 +321,25 @@ def ensure_has_columns(df: DataFrame, columns: Iterable[str]) -> None:
         raise ValueError(f"Column {missing[0]} missing in data frame")
 
 
+def ensure_no_columns(df: DataFrame, columns: Iterable[str],
+                      operator: str) -> None:
+    """Raise a clear ValueError if ``df`` already carries any of the
+    columns ``operator`` is about to add — the shared clobber guard
+    (the same ~6-line loop had grown five private copies; r12 review).
+    The comparison is CASE-INSENSITIVE: Spark resolves column names
+    case-insensitively by default, so an existing ``HREF`` collides
+    with a new ``href`` just as fatally (AMBIGUOUS_REFERENCE) as an
+    exact-case match — an exact-case guard waved it through (r12
+    review finding)."""
+    have = {c.lower() for c in df.columns}
+    for clash in columns:
+        if clash.lower() in have:
+            raise ValueError(
+                f"{operator} would clobber existing column {clash!r}; "
+                "drop or rename it first"
+            )
+
+
 def _one_range(spark: SparkSession, name: str, values: Sequence) -> DataFrame:
     """A single-column frame carrying an explicit position column.
 

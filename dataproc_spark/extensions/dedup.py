@@ -1141,21 +1141,26 @@ def drop_repeated_lines(
     """
     if count_col == out_col:
         raise ValueError("out_col and count_col must differ")
-    for clash in (out_col, count_col, "_lines", "_pos", "_h",
-                  "_drop_pos"):
-        if clash in df.columns:
-            raise ValueError(
-                f"drop_repeated_lines would clobber existing column "
-                f"{clash!r}; drop or rename it first"
-            )
+    from dataproc_spark.core import ensure_no_columns
+
+    ensure_no_columns(
+        df,
+        (out_col, count_col, "_lines", "_pos", "_h", "_drop_pos"),
+        "drop_repeated_lines",
+    )
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     base = df.withColumn("_lines", lines)
     ex = (
         base.select(id_col, F.posexplode("_lines").alias("_pos", "_line"))
         # regex, not trim(): SQL trim strips only ' ' (0x20) in Spark
         # AND DuckDB, so a '\t' line was counted — and cut — despite
-        # the whitespace-only exemption (r12 model-test finding)
-        .where(~F.col("_line").rlike(r"^\s*$"))
+        # the whitespace-only exemption (r12 model-test finding). And
+        # (?U), not bare \s: Java's default \s is ASCII, so an
+        # NBSP-only line (&nbsp; spacers are everywhere in extracted
+        # HTML) was still cut (r12 third-review finding); (?U)\s is
+        # exactly Unicode White_Space, which the oracle mirrors as
+        # RE2 [\s\x0B\x{0085}\p{Z}].
+        .where(~F.col("_line").rlike(r"(?U)^\s*$"))
         .select(id_col, "_pos", F.xxhash64("_line").alias("_h"))
     )
     bad = (

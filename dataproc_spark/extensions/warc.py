@@ -840,20 +840,30 @@ def charset_of_content_type(content_type: str | None) -> str | None:
     algorithm deliberately tolerates by scanning for the ``charset``
     substring) are both real; the earlier ``;``-required regex missed
     the first (r11 advice finding) and the first widening missed the
-    second (r12 review finding). The one remaining divergence from
-    the HTML5 substring scan: ``charset`` glued to a preceding token
-    (``…;xcharset=``) still does not match — that form declares a
-    different parameter."""
+    second (r12 review finding). The scan is QUOTED-STRING-AWARE: a
+    ``charset=`` inside another parameter's quoted value
+    (``title="a charset=koi8-r doc"; charset=utf-8``) must not win —
+    the whitespace widening briefly let it, silently decoding UTF-8
+    pages as koi8-r (r12 second-review finding, reproduced). The one
+    remaining divergence from the HTML5 substring scan: ``charset``
+    glued to a preceding token (``…;xcharset=``) still does not match
+    — that form declares a different parameter."""
     if not content_type:
         return None
-    m = re.search(
-        r"(?:^|[;\s])\s*charset\s*=\s*(\"[^\"]*\"|'[^']*'|[^;\s]+)",
+    quoted_spans = [
+        m.span()
+        for m in re.finditer(r"\"[^\"]*\"|'[^']*'", content_type)
+    ]
+    for m in re.finditer(
+        r"(?:^|[;\s])\s*(charset)\s*=\s*(\"[^\"]*\"|'[^']*'|[^;\s]+)",
         content_type,
         re.IGNORECASE,
-    )
-    if not m:
-        return None
-    return m.group(1).strip("'\"")
+    ):
+        kw = m.start(1)
+        if any(a < kw < b for a, b in quoted_spans):
+            continue  # keyword sits inside another param's value
+        return m.group(2).strip("'\"")
+    return None
 
 
 _META_TAG_RE = re.compile(rb"<meta[\s/]", re.IGNORECASE)

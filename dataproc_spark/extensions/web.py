@@ -763,13 +763,14 @@ def sitemap_entries(
     # at the final select — the documented fetch-and-recurse loop hits
     # this if a prior pass's columns are fed back unselected (r12
     # review finding)
-    for clash in ("pos", "kind", "loc", "lastmod", "changefreq",
-                  "priority", "_entry"):
-        if clash in df.columns:
-            raise ValueError(
-                f"sitemap_entries would clobber existing column "
-                f"{clash!r}; drop or rename it first"
-            )
+    from dataproc_spark.core import ensure_no_columns
+
+    ensure_no_columns(
+        df,
+        ("pos", "kind", "loc", "lastmod", "changefreq", "priority",
+         "_entry"),
+        "sitemap_entries",
+    )
     xml = F.coalesce(
         F.col(xml_col) if isinstance(xml_col, str) else xml_col,
         F.lit(""),
@@ -965,13 +966,13 @@ def extract_links(
     rollup downstream (``groupBy(src_host, dst_host)``) is the first
     shuffle, and it carries host pairs, not pages.
     """
-    clashes = ["link_pos", "href"] + (["link_url"] if resolve else [])
-    for clash in clashes:
-        if clash in df.columns:
-            raise ValueError(
-                f"extract_links would clobber existing column "
-                f"{clash!r}; drop or rename it first"
-            )
+    from dataproc_spark.core import ensure_no_columns
+
+    ensure_no_columns(
+        df,
+        ["link_pos", "href"] + (["link_url"] if resolve else []),
+        "extract_links",
+    )
     html = F.coalesce(
         F.col(html_col) if isinstance(html_col, str) else html_col,
         F.lit(""),

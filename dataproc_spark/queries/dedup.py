@@ -926,7 +926,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", "text_clean", "n_lines_dropped")
 
 
-SQL_LINE_DEDUP = f"""
+SQL_LINE_DEDUP = rf"""
 WITH src AS (
     SELECT doc_id, {_LINE_FIXTURE_EXPR.format(S="VARCHAR")} AS ftext
     FROM documents
@@ -935,13 +935,15 @@ ls AS (SELECT doc_id, string_split(ftext, chr(10)) AS lines FROM src),
 ex AS (SELECT doc_id, unnest(lines) AS line FROM ls),
 bad AS (
     SELECT coalesce(list(line), []) AS bl FROM (
-        SELECT line FROM ex WHERE NOT regexp_matches(line, '^\s*$')
+        SELECT line FROM ex
+        WHERE NOT regexp_matches(line, '^[\s\x0B\x{{0085}}\p{{Z}}]*$')
         GROUP BY line HAVING count(DISTINCT doc_id) >= 4)
 ),
 out AS (
     SELECT doc_id,
            list_filter(lines,
-                       x -> regexp_matches(x, '^\s*$')
+                       x -> regexp_matches(
+                                x, '^[\s\x0B\x{{0085}}\p{{Z}}]*$')
                             OR NOT list_contains(bl, x))
                AS kept,
            len(lines) AS n0

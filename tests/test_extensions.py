@@ -4130,8 +4130,19 @@ def test_drop_repeated_lines_vs_python_model(spark):
 
     rng = random.Random(0xC0FFEE)
     pool = (["alpha", "beta", "gamma", "delta", "", " ", "\t",
-             "x y z", "alpha"]
+             "\xa0", "　", " \x0b ", "x y z", "alpha"]
             + [f"rare{i}" for i in range(30)])
+    # Unicode White_Space — what (?U)\\s matches (Java) and the
+    # oracle's RE2 class mirrors; NOT str.strip()/isspace(), which
+    # also accept \x1c-\x1f (isspace) — the model must be
+    # property-exact
+    ws = ({chr(c) for c in range(0x09, 0x0E)}
+          | {"\x20", "\x85", "\xa0", "\u1680", "\u2028", "\u2029",
+             "\u202f", "\u205f", "\u3000"}
+          | {chr(c) for c in range(0x2000, 0x200B)})
+
+    def is_blank(line: str) -> bool:
+        return all(ch in ws for ch in line)
     for trial in range(25):
         n_docs = rng.randint(1, 12)
         docs = []
@@ -4145,12 +4156,12 @@ def test_drop_repeated_lines_vs_python_model(spark):
         df_count: dict = {}
         for i, text in docs:
             for line in set(text.split("\n")):
-                if line.strip() != "":
+                if not is_blank(line):
                     df_count[line] = df_count.get(line, 0) + 1
         expect = {}
         for i, text in docs:
             kept = [l for l in text.split("\n")
-                    if l.strip() == "" or df_count.get(l, 0) < min_docs]
+                    if is_blank(l) or df_count.get(l, 0) < min_docs]
             expect[i] = ("\n".join(kept),
                          len(text.split("\n")) - len(kept))
 
@@ -4160,3 +4171,33 @@ def test_drop_repeated_lines_vs_python_model(spark):
                                          "doc_id long, text string"),
                    min_docs=min_docs).collect()}
         assert out == expect, (trial, min_docs, docs)
+
+
+def test_r12_third_review_fixes(spark):
+    """r12 third review pass: quoted-string-aware charset scan, the
+    case-insensitive clobber guard, and the Unicode-exact whitespace
+    exemption (covered in depth by the model test's NBSP pool)."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import web as webx
+    from dataproc_spark.extensions.warc import charset_of_content_type
+
+    # charset= inside another parameter's QUOTED value must not win
+    assert charset_of_content_type(
+        'text/plain; title="a charset=koi8-r doc"; charset=utf-8'
+    ) == "utf-8"
+    assert charset_of_content_type(
+        'application/octet-stream; name="my charset=utf-7 note.txt"'
+    ) is None
+    # ...while a quoted charset VALUE still parses
+    assert charset_of_content_type(
+        'text/html; charset="Shift_JIS"') == "Shift_JIS"
+
+    # Spark resolves names case-insensitively: a case-variant clash is
+    # just as fatal, so the guard must catch it
+    lk = spark.createDataFrame(
+        [(1, "https://a.com/", "<a href=/x>", "z")],
+        "doc_id long, url string, html string, HREF string",
+    )
+    with _pytest.raises(ValueError, match="clobber"):
+        webx.extract_links(lk)
