@@ -314,11 +314,9 @@ def _row_keyed_tokens(df: DataFrame, col: str, id_col: str) -> DataFrame:
     differ between the branches — silently mis-keying cuts. Checkpoint
     blocks free when the caller's result frame is GC'd; the public
     entry points document the retention cost (r8 ADVICE)."""
-    if "_rid" in df.columns:
-        raise ValueError(
-            "span removal would clobber existing column '_rid'; "
-            "drop or rename it first"
-        )
+    from dataproc_spark.core import ensure_no_columns
+
+    ensure_no_columns(df, ("_rid",), "span removal")
     return (
         df.select(F.col(id_col), tokens(col).alias("_t"))
         .withColumn("_rid", F.monotonically_increasing_id())

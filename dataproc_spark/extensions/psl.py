@@ -135,13 +135,10 @@ def registered_domain_psl(
     parsed = parse_rules(rules)
     k_max = max(n for _, n, _, _ in parsed)
     spark = df.sparkSession
-    tmp = [c for c in df.columns if c.startswith("_psl_")]
-    if tmp or out_col in df.columns:
-        clash = tmp + ([out_col] if out_col in df.columns else [])
-        raise ValueError(
-            f"registered_domain_psl would clobber existing column(s) "
-            f"{clash!r}; drop or rename them first"
-        )
+    from dataproc_spark.core import ensure_no_columns
+
+    tmp = [c for c in df.columns if c.lower().startswith("_psl_")]
+    ensure_no_columns(df, tmp + [out_col], "registered_domain_psl")
     rules_df = spark.createDataFrame(
         parsed, "rule string, n int, is_wild boolean, is_exc boolean"
     )

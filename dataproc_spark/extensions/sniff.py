@@ -39,7 +39,10 @@ _MAGIC = (
     ("474946383961", "image/gif"),      # GIF89a
     ("FFD8FF", "image/jpeg"),
     ("25504446", "application/pdf"),     # %PDF
-    ("1F8B", "application/gzip"),
+    # full 3-byte signature (1F 8B 08 — deflate CM byte included), as
+    # the WHATWG table specifies: a 2-byte match routed random binary
+    # starting 1F 8B to a gzip decompressor (r12 fourth-review finding)
+    ("1F8B08", "application/gzip"),
     ("504B0304", "application/zip"),
     ("4F676753", "application/ogg"),     # OggS
     ("664C6143", "audio/flac"),          # fLaC

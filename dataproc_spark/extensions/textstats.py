@@ -313,13 +313,14 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     ×1000 (int). Extend by chaining further ``withColumn`` features over
     the output.
     """
-    for clash in ("n_tokens", "n_chars_m", "mean_tok_len_c",
-                  "digit_ratio_m", "_tok_chars"):
-        if clash in df.columns:
-            raise ValueError(
-                f"quality_features would clobber existing column "
-                f"{clash!r}; drop or rename it first"
-            )
+    from dataproc_spark.core import ensure_no_columns
+
+    ensure_no_columns(
+        df,
+        ("n_tokens", "n_chars_m", "mean_tok_len_c", "digit_ratio_m",
+         "_tok_chars"),
+        "quality_features",
+    )
     toks = tokens(col)
     n_tok = F.size(toks)
     n_char = F.length(F.col(col))
@@ -375,12 +376,10 @@ def repetition_features(
     per-row distinct×occurrences scan stays rejected: O(tokens²) melts
     on exactly the degenerate repetitive documents this signal catches.
     """
-    for clash in ("dup_token_m", "top_bigram_m", "_bs"):
-        if clash in df.columns:
-            raise ValueError(
-                f"repetition_features would clobber existing column "
-                f"{clash!r}; drop or rename it first"
-            )
+    from dataproc_spark.core import ensure_no_columns
+
+    ensure_no_columns(df, ("dup_token_m", "top_bigram_m", "_bs"),
+                      "repetition_features")
     toks = tokens(col)
     n = F.size(toks)
     n_dist = F.size(F.array_distinct(toks))

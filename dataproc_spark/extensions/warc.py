@@ -850,9 +850,15 @@ def charset_of_content_type(content_type: str | None) -> str | None:
     — that form declares a different parameter."""
     if not content_type:
         return None
+    # masked spans are DOUBLE-quoted strings only: HTTP quoted-strings
+    # are double-quote delimited (RFC 9110 §5.6.4) and apostrophe is a
+    # legal tchar in token values, so pairing apostrophes into spans
+    # turned "name=o'brien; charset=koi8-r; note=don't" into a phantom
+    # span hiding the real charset (r12 fourth-review finding,
+    # reproduced). Single quotes still parse as the charset VALUE's
+    # own delimiters below (legacy meta form).
     quoted_spans = [
-        m.span()
-        for m in re.finditer(r"\"[^\"]*\"|'[^']*'", content_type)
+        m.span() for m in re.finditer(r"\"[^\"]*\"", content_type)
     ]
     for m in re.finditer(
         r"(?:^|[;\s])\s*(charset)\s*=\s*(\"[^\"]*\"|'[^']*'|[^;\s]+)",

@@ -178,13 +178,11 @@ def dedup_by_url(
     candidates' rows — at 100 TB, project to (id, canonical) first and
     semi-join the winners back if bodies are heavy.
     """
+    from dataproc_spark.core import ensure_no_columns
+
     order_by = order_by or ["doc_id"]
-    for clash in ("_canon", "_rn", "canonical_url"):
-        if clash in df.columns:
-            raise ValueError(
-                f"dedup_by_url would clobber existing column {clash!r}; "
-                "drop or rename it first"
-            )
+    ensure_no_columns(df, ("_canon", "_rn", "canonical_url"),
+                      "dedup_by_url")
     # asc_nulls_last, not asc: Spark's default ascending order puts
     # NULLS FIRST, so a NULL-keyed row (e.g. an unscored document) would
     # beat every real row — the opposite of "preferring rows by
@@ -229,13 +227,10 @@ def cap_per_domain(
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
+    from dataproc_spark.core import ensure_no_columns
+
     order_by = order_by or ["doc_id"]
-    for clash in ("_salt", "_rn1", "_rn"):
-        if clash in df.columns:
-            raise ValueError(
-                f"cap_per_domain would clobber existing column {clash!r}; "
-                "drop or rename it first"
-            )
+    ensure_no_columns(df, ("_salt", "_rn1", "_rn"), "cap_per_domain")
     # NULLS LAST for the same reason as dedup_by_url: NULL-quality docs
     # must not win the cap over scored ones
     order_cols = [F.col(c).asc_nulls_last() for c in order_by]

@@ -4201,3 +4201,38 @@ def test_r12_third_review_fixes(spark):
     )
     with _pytest.raises(ValueError, match="clobber"):
         webx.extract_links(lk)
+
+
+def test_r12_fourth_review_fixes(spark):
+    """r12 fourth review pass: apostrophes are NOT HTTP quoted-string
+    delimiters (a tchar pair must not mask a real charset); the gzip
+    sniff requires the full 3-byte signature; every clobber guard is
+    the shared case-insensitive helper."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import web as webx
+    from dataproc_spark.extensions.sniff import sniffed_mime
+    from dataproc_spark.extensions.warc import charset_of_content_type
+
+    assert charset_of_content_type(
+        "text/html; name=o'brien; charset=koi8-r; note=don't"
+    ) == "koi8-r"
+    assert charset_of_content_type(
+        'text/plain; title="a charset=koi8-r doc"; charset=utf-8'
+    ) == "utf-8"
+
+    df = spark.createDataFrame(
+        [(1, b"\x1f\x8bWX random, not deflate"),
+         (2, __import__("gzip").compress(b"x", mtime=0))],
+        "i long, payload binary",
+    )
+    m = {r.i: r.m for r in df.select(
+        "i", sniffed_mime("payload").alias("m")).collect()}
+    assert m == {1: "application/octet-stream", 2: "application/gzip"}
+
+    # migrated guards catch case-variant clashes too
+    docs = spark.createDataFrame([(1, "https://a.com/x", 1.0)],
+                                 "doc_id long, url string, "
+                                 "CANONICAL_URL double")
+    with _pytest.raises(ValueError, match="clobber"):
+        webx.dedup_by_url(docs)
