@@ -600,6 +600,36 @@ def parse_robots(text: str, agent: str = "*") -> list:
     return out
 
 
+def robots_sitemaps(text_col: str | Column = "robots_txt") -> Column:
+    """The ``Sitemap:`` URLs declared in a robots.txt — the standard
+    sitemap-DISCOVERY mechanism (a sitemaps.org cross-submission
+    extension every major crawler honors; RFC 9309 treats it as an
+    ignorable other-record, so :func:`parse_robots` skips it and this
+    operator surfaces it). Returns an ``array<string>`` of the
+    declared URLs in file order: the directive is case-insensitive,
+    lives OUTSIDE user-agent groups (global), values are absolute URLs
+    taken verbatim to end-of-line with surrounding whitespace trimmed,
+    and ``#`` comments are stripped first. Feed the exploded result
+    through :func:`sitemap_entries` (after fetching) to seed the
+    frontier: robots → sitemaps → entries is the standard discovery
+    chain.
+
+    Pure built-in expression: comment strip → per-line regexp scan via
+    a higher-order transform → NULL-compaction. Map-only, zero
+    shuffles, RE2-portable pattern."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(F.coalesce(c, F.lit("")), "\n")
+    urls = F.transform(
+        lines,
+        lambda l: F.regexp_extract(
+            F.regexp_replace(l, "#.*$", ""),
+            r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$",
+            1,
+        ),
+    )
+    return F.filter(urls, lambda u: u != "")
+
+
 #: rules attached per host by :func:`robots_rules_frame`
 ROBOTS_RULES_TYPE = (
     "array<struct<allow:boolean,pat:string,spec:int>>"

@@ -4236,3 +4236,31 @@ def test_r12_fourth_review_fixes(spark):
                                  "CANONICAL_URL double")
     with _pytest.raises(ValueError, match="clobber"):
         webx.dedup_by_url(docs)
+
+
+def test_robots_sitemaps(spark):
+    """r12 sitemap discovery: the global, case-insensitive Sitemap:
+    directive — comments stripped, whitespace trimmed, file order
+    kept, group placement irrelevant, non-directive lines and
+    sitemap-less files yield empty (not NULL)."""
+    from dataproc_spark.extensions import web as webx
+
+    robots = spark.createDataFrame(
+        [(1, "User-agent: *\nDisallow: /p/\n"
+             "Sitemap: https://a.com/s1.xml\n"
+             "sitemap:https://a.com/s2.xml   # trailing comment\n"
+             "  SITEMAP :  https://a.com/s3.xml  \n"
+             "# Sitemap: https://a.com/commented.xml\n"
+             "NotSitemap: https://a.com/no.xml\n"),
+         (2, "User-agent: *\nDisallow:\n"),
+         (3, None)],
+        "i long, robots_txt string",
+    )
+    got = {r.i: r.s for r in robots.select(
+        "i", webx.robots_sitemaps("robots_txt").alias("s")).collect()}
+    assert got[1] == ["https://a.com/s1.xml", "https://a.com/s2.xml",
+                      "https://a.com/s3.xml"]
+    assert got[2] == [] and got[3] == []
+    plan = (robots.select(webx.robots_sitemaps("robots_txt").alias("s"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
