@@ -1141,6 +1141,15 @@ def drop_repeated_lines(
     """
     if count_col == out_col:
         raise ValueError("out_col and count_col must differ")
+    # min_docs <= 1 makes the count(DISTINCT id) >= min_docs cut true
+    # for EVERY non-blank line — silently deleting all non-whitespace
+    # text from every document (r12 advice finding; mirrors the
+    # cap >= 1 guard in cap_per_domain)
+    if int(min_docs) < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (a line in fewer than 2 documents "
+            f"is not cross-document boilerplate), got {min_docs}"
+        )
     from dataproc_spark.core import ensure_no_columns
 
     ensure_no_columns(

@@ -53,7 +53,10 @@ _MAGIC = (
 )
 
 #: HTML tag names the WHATWG sniff recognizes after optional leading
-#: whitespace; each must be terminated by whitespace or ``>``
+#: whitespace; each must be terminated by a *tag-terminating byte*,
+#: which the spec defines as exactly 0x20 (space) OR 0x3E (``>``) —
+#: NOT the full whitespace class ('<p\\t' must not sniff as HTML;
+#: r12 advice finding, the draft accepted \\t\\n\\r\\x0c too)
 _HTML_TAGS = (
     "!DOCTYPE HTML|HTML|HEAD|SCRIPT|IFRAME|H1|DIV|FONT|TABLE|A|STYLE|"
     "TITLE|B|BODY|BR|P|!--"
@@ -69,6 +72,41 @@ def _box_size(hx: Column) -> Column:
     """Big-endian uint32 of the first 4 payload bytes (from the hex
     prefix) — the ISO-BMFF leading box size the mp4 sniff validates."""
     return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+
+
+#: how far into the ftyp box the compatible-brand scan looks (bytes).
+#: WHATWG 6.2.1 walks 4-aligned slots from offset 16 to box-size; real
+#: files list 2–5 brands, so a 64-byte bound (12 slots) is generous.
+#: A conforming-but-pathological file listing >12 non-mp4 brands before
+#: an mp4 one sniffs as non-mp4 — the bounded-prefix trade every sniff
+#: here makes (the module reads constant bytes per row by design).
+_FTYP_SCAN_BYTES = 64
+
+
+def _is_mp4(c: Column, hx: Column) -> Column:
+    """WHATWG 6.2.1 "matches the signature for MP4": box-size sanity
+    (≥ 12, 4-aligned, payload at least box-size long), ``ftyp`` at
+    bytes 5–8, AND the brand check — major brand (bytes 9–11) is
+    ``mp4``, or some 4-aligned compatible-brand slot from offset 16
+    below box-size starts with ``mp4``. Without the brand check any
+    ISO-BMFF container (HEIC/AVIF images, M4A audio — ftypheic/
+    ftypavif/ftypM4A) was mislabeled video/mp4 and routed to a video
+    path (r12 advice finding)."""
+    size = _box_size(hx)
+    # 'mp4' = hex 6D7034; hex() yields 2 chars per byte, 1-indexed
+    wide = F.hex(F.substring(c, 1, _FTYP_SCAN_BYTES))
+    brand = F.substring(hx, 17, 6) == "6D7034"  # major brand, bytes 9-11
+    for off in range(16, _FTYP_SCAN_BYTES, 4):  # compatible-brand slots
+        brand = brand | (
+            (size > off) & (F.substring(wide, off * 2 + 1, 6) == "6D7034")
+        )
+    return (
+        (F.substring(hx, 9, 8) == "66747970")
+        & (size >= 12)
+        & (size % 4 == 0)
+        & (F.octet_length(c) >= size)
+        & brand
+    )
 
 
 def sniffed_mime(payload_col: str | Column = "payload") -> Column:
@@ -107,7 +145,7 @@ def sniffed_mime(payload_col: str | Column = "payload") -> Column:
     # strip one UTF-8 BOM before the HTML-tag scan (the spec does)
     head_nb = F.regexp_replace(head, "^\\xEF\\xBB\\xBF", "")
     html = head_nb.rlike(
-        r"(?is)^[ \t\n\r\x0c]*<(" + _HTML_TAGS + r")[ \t\n\r\x0c>]"
+        r"(?is)^[ \t\n\r\x0c]*<(" + _HTML_TAGS + r")[ >]"
     )
     xml = head_nb.rlike(r"^[ \t\n\r\x0c]*<\?xml")
     sig = None
@@ -128,17 +166,14 @@ def sniffed_mime(payload_col: str | Column = "payload") -> Column:
         .when(riff & (box8 == "57454250"), F.lit("image/webp"))
         .when(riff & (box8 == "41564920"), F.lit("video/avi"))
         # ISO-BMFF: 'ftyp' at bytes 5..8 AND the WHATWG §6.2.1 box-size
-        # sanity checks — size ≥ 12, size % 4 == 0, payload at least
-        # box-size long. Without them any PROSE with 'ftyp' at offset 4
-        # ("THE ftyp keyword…") routed to video/mp4 (r12 review
-        # finding, reproduced).
-        .when(
-            (F.substring(hx, 9, 8) == "66747970")
-            & (_box_size(hx) >= 12)
-            & (_box_size(hx) % 4 == 0)
-            & (F.octet_length(c) >= _box_size(hx)),
-            F.lit("video/mp4"),
-        )
+        # sanity checks (size ≥ 12, 4-aligned, payload at least
+        # box-size long — without them any PROSE with 'ftyp' at offset
+        # 4 routed to video/mp4; r12 review finding) AND the 'mp4'
+        # major/compatible brand check (r12 advice finding; see
+        # :func:`_is_mp4`). A non-mp4 ftyp container (HEIC/AVIF/M4A)
+        # falls through to the binary-byte scan → octet-stream, the
+        # spec's path for signatures it doesn't table.
+        .when(_is_mp4(c, hx), F.lit("video/mp4"))
         .otherwise(
             sig.when(utf16, F.lit("text/plain"))
             .when(binary, F.lit("application/octet-stream"))

@@ -607,9 +607,14 @@ def robots_sitemaps(text_col: str | Column = "robots_txt") -> Column:
     ignorable other-record, so :func:`parse_robots` skips it and this
     operator surfaces it). Returns an ``array<string>`` of the
     declared URLs in file order: the directive is case-insensitive,
-    lives OUTSIDE user-agent groups (global), values are absolute URLs
-    taken verbatim to end-of-line with surrounding whitespace trimmed,
-    and ``#`` comments are stripped first. Feed the exploded result
+    lives OUTSIDE user-agent groups (global), the value is the FIRST
+    whitespace-delimited token after the colon (lenient-crawler
+    recovery — a malformed ``Sitemap: <url> extra`` line yields the
+    URL rather than nothing; r12 advice finding, matching how
+    :func:`parse_robots` recovers values), and ``#`` comments are
+    stripped first — so a literal ``#`` in a sitemap URL truncates
+    there, the RFC-consistent reading (a sitemap URL never needs a
+    fragment). Feed the exploded result
     through :func:`sitemap_entries` (after fetching) to seed the
     frontier: robots → sitemaps → entries is the standard discovery
     chain.
@@ -623,7 +628,7 @@ def robots_sitemaps(text_col: str | Column = "robots_txt") -> Column:
         lines,
         lambda l: F.regexp_extract(
             F.regexp_replace(l, "#.*$", ""),
-            r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$",
+            r"(?i)^\s*sitemap\s*:\s*(\S+)",
             1,
         ),
     )
@@ -962,71 +967,128 @@ def resolve_url(base: Column, ref: Column) -> Column:
     )
 
 
+#: per-tag attribute extraction: anchored walk over the OPEN-TAG body
+#: that consumes quoted values as units, requiring the attribute name
+#: to start an attribute (preceded by whitespace or the tag start —
+#: ``data-href`` never matches). Quoted values capture in full
+#: (whitespace and ``>`` included); bare values end at whitespace/'>'.
+_TAG_ATTR_RE = (
+    r"(?is)^(?:(?:\"[^\"]*\"|'[^']*'|[^\"'])*?\s)?"
+    r"{name}\s*=\s*(\"[^\"]*\"|'[^']*'|[^\"'\s>]+)"
+)
+
+
+def _tag_attr(tag: Column, name: str) -> Column:
+    """The (quote-stripped) value of attribute ``name`` in an open-tag
+    body captured by the quote-aware tag walk; ``''`` when absent."""
+    return F.regexp_replace(
+        F.regexp_extract(tag, _TAG_ATTR_RE.format(name=name), 1),
+        "^[\"']|[\"']$",
+        "",
+    )
+
+
+def base_href(html_col: str | Column = "html") -> Column:
+    """The FIRST ``<base href=...>`` value of a page, quote-stripped —
+    ``''`` when the page declares none. HTML gives ``<base>`` document
+    scope (the spec's per-position scoping — base applies to elements
+    after it in tree order — is a browser DOM detail; crawl extractors
+    apply the first base document-wide, and a conforming page puts it
+    in ``<head>`` before any content anyway). Same quote-aware walk as
+    the link extraction; map-only."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    tag = F.regexp_extract(
+        c, r"(?is)<base\s((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)", 1
+    )
+    return _tag_attr(tag, "href")
+
+
 def extract_links(
     df: DataFrame,
     html_col: str = "html",
     base_col: str = "url",
     resolve: bool = True,
+    honor_base: bool = True,
 ) -> DataFrame:
     """Extract the outlinks of an HTML page — the edge list of the web
     graph every crawl-scale ranking (PageRank over hosts, frontier
     prioritization, spam neighborhoods) is built on. One output row per
     ``<a href=...>`` in document order: ``link_pos`` (0-based),
-    ``href`` (the raw attribute value), and — with ``resolve=True`` —
-    ``link_url`` (:func:`resolve_url` against ``base_col``).
+    ``href`` (the raw attribute value), ``rel`` (the anchor's ``rel``
+    attribute verbatim — ``nofollow``/``ugc``/``sponsored`` are how
+    link-graph pipelines filter spam edges; NULL when absent), and —
+    with ``resolve=True`` — ``link_url`` (:func:`resolve_url` against
+    the page's *effective base*: the first ``<base href>`` resolved
+    against ``base_col`` when present and ``honor_base`` (r13 — a
+    templated page setting ``<base href>`` otherwise resolved every
+    relative link to the wrong URL, r12 verdict finding), else
+    ``base_col`` itself; absolute links are unaffected either way).
 
     Extraction is attribute-boundary-exact for machine-written HTML:
-    ``href`` must start an attribute (``data-href`` never matches),
-    double-/single-quoted values capture in full (whitespace and ``>``
-    inside quotes included — the attribute walk consumes quoted values
-    as units), bare values end at whitespace/``>``, and fragment-only
-    or empty links (``#section``/``href=""`` — self-edges) are
-    excluded. The pattern is RE2-portable (alternation + lazy
-    quantifiers, no lookaround). Comments are NOT stripped — run
-    :func:`extract_main_text`-style pre-cleaning first if
-    commented-out markup matters.
+    the open tag is captured whole with a quote-aware walk (an
+    href-looking token inside an earlier attribute's quoted value
+    can't steal the match; a quoted ``>`` can't hide the link — the
+    r12 review bug class), then ``href``/``rel`` extract per tag with
+    the same walk (``data-href`` never matches; value order in the tag
+    doesn't matter). Fragment-only or empty links (``#section``/
+    ``href=""`` — self-edges) are excluded. Patterns are RE2-portable
+    (alternation + lazy quantifiers, no lookaround). Comments are NOT
+    stripped — run :func:`extract_main_text`-style pre-cleaning first
+    if commented-out markup matters.
 
-    Plan: ``regexp_extract_all`` + ``posexplode`` + the resolve
-    expression — map-only, zero shuffles, zero Python. The host-graph
-    rollup downstream (``groupBy(src_host, dst_host)``) is the first
-    shuffle, and it carries host pairs, not pages.
+    Plan: ``regexp_extract_all`` + per-tag ``transform`` + ``filter``
+    + ``posexplode`` + the resolve expression — map-only, zero
+    shuffles, zero Python. The host-graph rollup downstream
+    (``groupBy(src_host, dst_host)``) is the first shuffle, and it
+    carries host pairs, not pages.
     """
     from dataproc_spark.core import ensure_no_columns
 
     ensure_no_columns(
         df,
-        ["link_pos", "href"] + (["link_url"] if resolve else []),
+        ["link_pos", "href", "rel"] + (["link_url"] if resolve else []),
         "extract_links",
     )
     html = F.coalesce(
         F.col(html_col) if isinstance(html_col, str) else html_col,
         F.lit(""),
     )
-    # the walk from '<a ' to 'href' consumes QUOTED attribute values as
-    # units ("[^"]*"|'[^']*') so (a) an href-looking token inside an
-    # earlier attribute's value can't steal the match and (b) a quoted
-    # '>' can't hide the link — the same quoted-'>' bug class the meta
-    # prescan fixed, reintroduced by a bare [^>]*? draft here (r12
-    # review finding, both arms reproduced). Quoted values capture in
-    # full (whitespace included); bare values end at whitespace/'>'.
-    hrefs = F.regexp_extract_all(
+    # whole open-tag bodies (everything after '<a ' up to the first
+    # unquoted '>'), quoted values consumed as units
+    tags = F.regexp_extract_all(
         html,
-        F.lit(
-            r"(?is)<a\s(?:(?:\"[^\"]*\"|'[^']*'|[^>\"'])*?\s)?"
-            r"href\s*=\s*(\"[^\"]*\"|'[^']*'|[^\"'\s>]+)"
-        ),
+        F.lit(r"(?is)<a\s((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"),
         F.lit(1),
     )
-    hrefs = F.transform(
-        hrefs, lambda h: F.regexp_replace(h, "^[\"']|[\"']$", "")
+    links = F.transform(
+        tags,
+        lambda t: F.struct(
+            _tag_attr(t, "href").alias("href"),
+            _tag_attr(t, "rel").alias("rel"),
+        ),
     )
-    hrefs = F.filter(
-        hrefs, lambda h: (~h.startswith("#")) & (h != "")
+    links = F.filter(
+        links,
+        lambda s: (~s["href"].startswith("#")) & (s["href"] != ""),
     )
     others = list(df.columns)
-    ex = df.select(*others, F.posexplode(hrefs).alias("link_pos", "href"))
+    ex = df.select(
+        *others, F.posexplode(links).alias("link_pos", "_link")
+    ).select(
+        *others,
+        "link_pos",
+        F.col("_link.href").alias("href"),
+        F.when(F.col("_link.rel") == "", F.lit(None))
+        .otherwise(F.col("_link.rel")).alias("rel"),
+    )
     if not resolve:
         return ex
+    eff_base = F.col(base_col)
+    if honor_base:
+        b = base_href(html_col)
+        eff_base = F.when(
+            b != "", resolve_url(F.col(base_col), b)
+        ).otherwise(F.col(base_col))
     return ex.withColumn(
-        "link_url", resolve_url(F.col(base_col), F.col("href"))
+        "link_url", resolve_url(eff_base, F.col("href"))
     )

@@ -312,19 +312,18 @@ ALWAYS_VERIFY = ("select_top_t", "evaluate_sweep", "resolve_buckets", "tpch_q6")
 #: lang_mixture (the trigram profile constant gained non-Latin
 #: languages). crawl_pipeline's r10 pin self-lifted (green r10 row).
 REVERIFY_STALE_EVIDENCE: dict[str, int] = {
-    # (the six r10/r11 pins — registered_domain_psl, multimodal_jpeg,
-    # lang_predict, lang_mixture, crawl_pipeline, jpeg_meta — all
-    # re-recorded green in r11 and self-lifted; dropped here)
-    # r12: robots specificity rebased to the FULL-octet-length measure
-    # (RFC 9309 / Google-parser parity — r11 advice finding) and the
-    # gate's class specs/oracle changed with it; the green r11 row
-    # vouches for the stripped measure.
-    "robots_filter": 11,
-    # r12: charset resolution gained UTF-32-BOM precedence, a
-    # quote-aware meta prescan, and the START-form charset= parameter
-    # (r11 advice findings); the gate grew arms 6–7 for them, so the
-    # green r11 row vouches for the 6-arm fixture.
-    "charset_body_text": 11,
+    # (the two r12 pins — robots_filter, charset_body_text — both
+    # re-recorded green in r12 and self-lifted; dropped here)
+    # r13: the gate widened from 8 to 16 payload classes (gzip/zip/
+    # ogg/flac/ID3/EBML/ftyp/xml now on the hash — r12 verdict
+    # finding) and the sniffer itself gained the WHATWG ftyp BRAND
+    # check + the space-or-'>'-only tag terminator (r12 advice
+    # findings); the green r12 row vouches for the 8-arm fixture.
+    "mime_sniff": 12,
+    # r13: extract_links gained rel capture + <base href> resolution
+    # and the gate widened from 6 to 9 arms with a rel column; the
+    # green r12 row vouches for the href-only 6-arm fixture.
+    "link_extract": 12,
 }
 
 #: per-process cache for :func:`registry_order`, keyed on the artifact

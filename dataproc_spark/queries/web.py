@@ -1583,23 +1583,30 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-type sniffing (``sniff.sniffed_mime``): a crawl cannot
     route on the declared ``Content-Type`` (servers lie), so the
     pipeline's text/image/binary fork keys on WHATWG-style magic-byte
-    sniffing. Eight payload classes per document, each wrapping the
-    document's own text so prefix handling is tested against real
-    variable bytes: (0) ``<!DOCTYPE html>``; (1) leading whitespace +
-    ``<HTML>`` (case + whitespace tolerance); (2) PNG signature;
-    (3) JPEG signature; (4) ``%PDF-``; (5) a ``RIFF....WAVE``
-    container (non-contiguous check); (6) plain prose → ``text/plain``
-    (no magic, no binary bytes); (7) NUL-prefixed bytes →
-    ``application/octet-stream`` (the binary-data-byte scan). The
-    oracle states each class's expected type independently — a wrong
-    signature table entry, tag-terminator rule, RIFF box read, or
-    binary-byte class flips rows and hash-fails. Plan: ONE map-only
-    projection, no UDF, no shuffle (plan-audited in the unit suite)."""
+    sniffing. Sixteen payload classes per document (r13: widened from
+    8 so every sniff branch is on the oracle hash — r12 verdict
+    finding), each wrapping the document's own text so prefix handling
+    is tested against real variable bytes: (0) ``<!DOCTYPE html>``;
+    (1) leading whitespace + ``<HTML>`` (case + whitespace tolerance);
+    (2) PNG signature; (3) JPEG signature; (4) ``%PDF-``; (5) a
+    ``RIFF....WAVE`` container (non-contiguous check); (6) plain
+    prose → ``text/plain`` (no magic, no binary bytes); (7)
+    NUL-prefixed bytes → ``application/octet-stream`` (the binary-
+    data-byte scan); (8) gzip ``1F 8B 08``; (9) zip ``PK\\x03\\x04``;
+    (10) ``OggS``; (11) ``fLaC``; (12) ``ID3``; (13) EBML →
+    ``video/webm``; (14) a minimal 12-byte ``ftyp`` box with major
+    brand ``mp42`` (the r13 WHATWG brand check must accept it);
+    (15) ``<?xml`` declaration → ``text/xml``. The oracle states each
+    class's expected type independently — a wrong signature table
+    entry, tag-terminator rule, RIFF box read, ftyp brand/box-size
+    rule, or binary-byte class flips rows and hash-fails. Plan: ONE
+    map-only projection, no UDF, no shuffle (plan-audited in the unit
+    suite)."""
     from dataproc_spark.extensions.sniff import sniffed_mime
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     txt = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
-    arm = F.col("doc_id") % 8
+    arm = F.col("doc_id") % 16
     payload = (
         F.when(arm == 0, F.concat(
             F.encode(F.lit("<!DOCTYPE html><p>"), "UTF-8"), txt))
@@ -1613,7 +1620,19 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(b"RIFF\x10\x00\x00\x00WAVEfmt "), txt))
         .when(arm == 6, F.concat(
             F.encode(F.lit("note: "), "UTF-8"), txt))
-        .otherwise(F.concat(F.lit(b"\x00" * 8), txt))
+        .when(arm == 7, F.concat(F.lit(b"\x00" * 8), txt))
+        .when(arm == 8, F.concat(F.lit(b"\x1f\x8b\x08\x00"), txt))
+        .when(arm == 9, F.concat(F.lit(b"PK\x03\x04\x14\x00"), txt))
+        .when(arm == 10, F.concat(F.lit(b"OggS\x00\x02"), txt))
+        .when(arm == 11, F.concat(F.lit(b"fLaC\x00\x00"), txt))
+        .when(arm == 12, F.concat(F.lit(b"ID3\x04\x00"), txt))
+        .when(arm == 13, F.concat(F.lit(b"\x1a\x45\xdf\xa3"), txt))
+        # box-size 12 = the header itself, so ANY text suffix keeps
+        # octet_length >= box-size; major brand 'mp42' starts 'mp4'
+        .when(arm == 14, F.concat(
+            F.lit(b"\x00\x00\x00\x0cftypmp42"), txt))
+        .otherwise(F.concat(
+            F.encode(F.lit('<?xml version="1.0"?><r>'), "UTF-8"), txt))
     )
     return docs.select(
         "doc_id",
@@ -1623,7 +1642,7 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MIME_SNIFF = """
 SELECT doc_id,
-       CASE doc_id % 8
+       CASE doc_id % 16
            WHEN 0 THEN 'text/html'
            WHEN 1 THEN 'text/html'
            WHEN 2 THEN 'image/png'
@@ -1631,7 +1650,15 @@ SELECT doc_id,
            WHEN 4 THEN 'application/pdf'
            WHEN 5 THEN 'audio/wave'
            WHEN 6 THEN 'text/plain'
-           ELSE 'application/octet-stream'
+           WHEN 7 THEN 'application/octet-stream'
+           WHEN 8 THEN 'application/gzip'
+           WHEN 9 THEN 'application/zip'
+           WHEN 10 THEN 'application/ogg'
+           WHEN 11 THEN 'audio/flac'
+           WHEN 12 THEN 'audio/mpeg'
+           WHEN 13 THEN 'video/webm'
+           WHEN 14 THEN 'video/mp4'
+           ELSE 'text/xml'
        END AS mime
 FROM documents
 """
@@ -1720,32 +1747,58 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction (``web.extract_links`` / ``resolve_url``):
     the web-graph edge list under every crawl-scale ranking. Each
     document renders an HTML page whose FIRST link exercises one
-    RFC 3986 reference form (absolute, protocol-relative,
-    root-relative with query+fragment, dot-segment relative, query-
-    only, trailing-slash relative) around the document's own prose,
-    and whose second link is a constant root-relative edge — so
-    extraction order, attribute parsing, fragment dropping, and the
-    exact ``remove_dot_segments`` fold are all on the hash. The oracle
-    rebuilds every resolved URL arithmetically per form. Plan:
+    RFC 3986 reference form or ``<base href>`` interaction (r13:
+    widened from 6 to 9 arms — r12 verdict items 2/4): (0) absolute;
+    (1) protocol-relative; (2) root-relative with query+fragment;
+    (3) dot-segment relative; (4) query-only, with a multi-token
+    ``rel='ugc sponsored'`` BEFORE the href; (5) trailing-slash
+    relative; (6) an ABSOLUTE ``<base href>`` that relative links —
+    and the second link's root-relative path — must resolve against;
+    (7) a RELATIVE ``<base href=/base/>`` that itself resolves
+    against the page URL first; (8) a base tag that absolute links
+    must IGNORE. The second link is a constant root-relative edge
+    carrying ``rel=nofollow`` (the spam-edge filter column link-graph
+    pipelines key on). Extraction order, attribute parsing, rel
+    capture, fragment dropping, base-tag scoping, and the exact
+    ``remove_dot_segments`` fold are all on the hash; the oracle
+    rebuilds every resolved URL arithmetically per arm. Plan:
     regexp_extract_all + posexplode + the resolve expression —
     map-only, zero shuffles (plan-audited in the unit suite)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     did = F.col("doc_id").cast("string")
     n = (F.col("doc_id") % 37).cast("string")
-    arm = F.col("doc_id") % 6
+    arm = F.col("doc_id") % 9
     ref = (
         F.when(arm == 0, F.concat(F.lit("https://other"), n, F.lit(".org/x")))
         .when(arm == 1, F.concat(F.lit("//cdn"), n, F.lit(".net/y")))
         .when(arm == 2, F.concat(F.lit("/r/"), did, F.lit("?z=1#f")))
         .when(arm == 3, F.concat(F.lit("../up/./c"), did, F.lit(".html")))
         .when(arm == 4, F.concat(F.lit("?page="), did))
-        .otherwise(F.concat(F.lit("sub/"), did, F.lit("/")))
+        .when(arm == 5, F.concat(F.lit("sub/"), did, F.lit("/")))
+        .when(arm == 6, F.concat(F.lit("f"), did, F.lit(".css")))
+        .when(arm == 7, F.concat(F.lit("g"), did, F.lit(".js")))
+        .otherwise(F.concat(F.lit("https://keep"), n, F.lit(".org/v"), did))
+    )
+    base_tag = (
+        F.when(arm == 6, F.concat(
+            F.lit('<base href="https://assets'), n,
+            F.lit('.example/lib/">')))
+        .when(arm == 7, F.lit("<base href=/base/>"))
+        .when(arm == 8, F.concat(
+            F.lit("<base href='https://ignored"), n, F.lit(".example/'>")))
+        .otherwise(F.lit(""))
+    )
+    first = F.concat(
+        F.when(arm == 4, F.lit("<a rel='ugc sponsored' href=\""))
+        .otherwise(F.lit('<a href="')),
+        ref, F.lit('">first</a>'),
     )
     html = F.concat(
-        F.lit('<html><body><a href="'), ref, F.lit('">first</a><p>'),
+        F.lit("<html><head>"), base_tag, F.lit("</head><body>"),
+        first, F.lit("<p>"),
         F.coalesce(F.col("text"), F.lit("")),
         F.lit("</p><a href=/always/"), did,
-        F.lit("><b>n</b></a></body></html>"),
+        F.lit(" rel=nofollow><b>n</b></a></body></html>"),
     )
     src = docs.select(
         "doc_id",
@@ -1754,7 +1807,7 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         html.alias("html"),
     )
     return web.extract_links(src).select(
-        "doc_id", "link_pos", "href", "link_url"
+        "doc_id", "link_pos", "href", "rel", "link_url"
     )
 
 
@@ -1762,19 +1815,24 @@ SQL_LINK_EXTRACT = """
 WITH b AS (
     SELECT doc_id,
            CAST(doc_id AS VARCHAR) AS did,
-           CAST(doc_id % 37 AS VARCHAR) AS n
+           CAST(doc_id % 37 AS VARCHAR) AS n,
+           doc_id % 9 AS arm
     FROM documents
 )
 SELECT doc_id, 0 AS link_pos,
-       CASE doc_id % 6
+       CASE arm
            WHEN 0 THEN 'https://other' || n || '.org/x'
            WHEN 1 THEN '//cdn' || n || '.net/y'
            WHEN 2 THEN '/r/' || did || '?z=1#f'
            WHEN 3 THEN '../up/./c' || did || '.html'
            WHEN 4 THEN '?page=' || did
-           ELSE 'sub/' || did || '/'
+           WHEN 5 THEN 'sub/' || did || '/'
+           WHEN 6 THEN 'f' || did || '.css'
+           WHEN 7 THEN 'g' || did || '.js'
+           ELSE 'https://keep' || n || '.org/v' || did
        END AS href,
-       CASE doc_id % 6
+       CASE arm WHEN 4 THEN 'ugc sponsored' END AS rel,
+       CASE arm
            WHEN 0 THEN 'https://other' || n || '.org/x'
            WHEN 1 THEN 'https://cdn' || n || '.net/y'
            WHEN 2 THEN 'https://www.site' || n || '.com/r/' || did
@@ -1783,12 +1841,23 @@ SELECT doc_id, 0 AS link_pos,
                        || '.html'
            WHEN 4 THEN 'https://www.site' || n || '.com/a/b/p' || did
                        || '.html?page=' || did
-           ELSE 'https://www.site' || n || '.com/a/b/sub/' || did || '/'
+           WHEN 5 THEN 'https://www.site' || n || '.com/a/b/sub/' || did
+                       || '/'
+           WHEN 6 THEN 'https://assets' || n || '.example/lib/f' || did
+                       || '.css'
+           WHEN 7 THEN 'https://www.site' || n || '.com/base/g' || did
+                       || '.js'
+           ELSE 'https://keep' || n || '.org/v' || did
        END AS link_url
 FROM b
 UNION ALL
 SELECT doc_id, 1 AS link_pos,
        '/always/' || did AS href,
-       'https://www.site' || n || '.com/always/' || did AS link_url
+       'nofollow' AS rel,
+       CASE arm
+           WHEN 6 THEN 'https://assets' || n || '.example/always/' || did
+           WHEN 8 THEN 'https://ignored' || n || '.example/always/' || did
+           ELSE 'https://www.site' || n || '.com/always/' || did
+       END AS link_url
 FROM b
 """

@@ -3778,6 +3778,11 @@ def test_drop_repeated_lines(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="clobber"):
         ddp.drop_repeated_lines(docs.withColumn("text_clean", F.lit("")))
+    # min_docs < 2 would cut EVERY non-blank line (r12 advice fix)
+    with _pytest.raises(ValueError, match="min_docs"):
+        ddp.drop_repeated_lines(docs, min_docs=1)
+    with _pytest.raises(ValueError, match="min_docs"):
+        ddp.drop_repeated_lines(docs, min_docs=0)
 
 
 def test_sniffed_mime(spark):
@@ -3803,8 +3808,13 @@ def test_sniffed_mime(spark):
         (10, b"RIFF\x10\x00\x00\x00WAVEfmt ", "audio/wave"),
         (11, b"RIFF\x10\x00\x00\x00WEBPVP8 ", "image/webp"),
         # payload must be at least box-size (24) long — the r12 box
-        # validation rejects truncated ftyp prefixes
-        (12, b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16, "video/mp4"),
+        # validation rejects truncated ftyp prefixes — AND carry 'mp4'
+        # in the major or a compatible brand (r12 advice fix): isom
+        # major qualifies via the 'mp42' compatible slot at offset 16
+        # layout: size + 'ftyp' + major 'isom' + minor VERSION (the
+        # brand scan skips bytes 12-15) + compatible brands from 16
+        (12, b"\x00\x00\x00\x18ftypisom" + b"\x00\x00\x02\x00"
+         + b"mp42avc1", "video/mp4"),
         (13, b"\xff\xfeh\x00i\x00", "text/plain"),      # UTF-16LE BOM
         (14, b"plain old prose, no magic", "text/plain"),
         (15, b"almost text\x00but a NUL", "application/octet-stream"),
@@ -3814,6 +3824,19 @@ def test_sniffed_mime(spark):
         # '<a>'-ish needs the tag TERMINATED by space/'>' — '<abc' is
         # not an HTML sniff hit, falls through to text
         (19, b"<abc whatever", "text/plain"),
+        # major brand 'mp42' starts with 'mp4' — minimal 12-byte box
+        (20, b"\x00\x00\x00\x0cftypmp42", "video/mp4"),
+        # HEIC/AVIF/M4A: a valid ftyp box WITHOUT any mp4 brand must
+        # NOT sniff video/mp4 (WHATWG brand check; r12 advice fix) —
+        # these fall to the binary-byte scan
+        (21, b"\x00\x00\x00\x18ftypheic" + b"mif1heic",
+         "application/octet-stream"),
+        (22, b"\x00\x00\x00\x10ftypM4A " + b"M4A ",
+         "application/octet-stream"),
+        # the spec's tag-terminating byte is SPACE or '>' ONLY: '<p\t'
+        # must not sniff as HTML (r12 advice fix)
+        (23, b"<p\tnot html by the spec", "text/plain"),
+        (24, b"<p>but this is</p>", "text/html"),
     ]
     df = spark.createDataFrame(
         [(i, p) for i, p, _ in rows], "i long, payload binary"
@@ -3927,6 +3950,56 @@ def test_extract_links_and_resolve(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_extract_links_rel_and_base(spark):
+    """r13: rel attribute capture (before/after href, quoted/bare,
+    multi-token, absent → NULL) and <base href> handling (absolute
+    base, relative base resolved against the page URL, base ignored
+    for absolute links, honor_base=False opt-out, first base wins)."""
+    from dataproc_spark.extensions import web as webx
+
+    page = "https://www.ex.com/a/b/page.html"
+    rows = [
+        # rel after href, quoted; second anchor rel-less
+        (1, page, '<a href="/x" rel="nofollow">1</a><a href="/y">2</a>'),
+        # rel BEFORE href, bare value; multi-token quoted rel
+        (2, page, "<a rel=ugc href=/x>1</a>"
+                  "<a rel='ugc sponsored' href='/y'>2</a>"),
+        # absolute base: relative links resolve against it, and the
+        # root-relative link against ITS origin
+        (3, page, '<base href="https://cdn.ex.net/static/">'
+                  '<a href="img.png">1</a><a href="/r">2</a>'),
+        # relative base resolves against the page URL first
+        (4, page, "<base href=/newroot/><a href='p.html'>1</a>"),
+        # base never touches absolute links; FIRST base wins
+        (5, page, '<base href="https://one.ex/d/">'
+                  '<base href="https://two.ex/e/">'
+                  '<a href="https://abs.org/z">1</a><a href="q">2</a>'),
+        # rel on a tag whose earlier attribute QUOTES a rel-like token
+        (6, page, '<a title="rel=fake" href="/x" rel=real>1</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = {(r.doc_id, r.link_pos): r for r in
+           webx.extract_links(df).collect()}
+    assert got[(1, 0)].rel == "nofollow" and got[(1, 1)].rel is None
+    assert got[(2, 0)].rel == "ugc"
+    assert got[(2, 1)].rel == "ugc sponsored"
+    assert got[(3, 0)].link_url == "https://cdn.ex.net/static/img.png"
+    assert got[(3, 1)].link_url == "https://cdn.ex.net/r"
+    assert got[(4, 0)].link_url == "https://www.ex.com/newroot/p.html"
+    assert got[(5, 0)].link_url == "https://abs.org/z"
+    assert got[(5, 1)].link_url == "https://one.ex/d/q"
+    assert got[(6, 0)].rel == "real"
+    # opt-out: resolve against the page URL regardless of base tags
+    raw = {(r.doc_id, r.link_pos): r.link_url for r in
+           webx.extract_links(df, honor_base=False).collect()}
+    assert raw[(3, 0)] == "https://www.ex.com/a/b/img.png"
+    assert raw[(4, 0)] == "https://www.ex.com/a/b/p.html"
+    # still shuffle-free, still no Python
+    plan = (webx.extract_links(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_r12_review_fixes(spark):
     """r12 adversarial-review regressions, one assert per finding:
     (1) unterminated quoted meta value must not let body prose donate
@@ -3959,10 +4032,13 @@ def test_r12_review_fixes(spark):
     assert got == ["https://ex.com/real", "https://ex.com/y"]
 
     # (3) prose containing 'ftyp' at offset 4 is text, real mp4 is mp4
+    # (r13: the real file now must also carry an mp4 brand — here in
+    # the compatible slot at offset 16, after the skipped version)
     df3 = spark.createDataFrame(
         [(1, b"THE ftyp keyword in prose"),
          (2, b"abc ftypsomething"),
-         (3, b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)],
+         (3, b"\x00\x00\x00\x18ftypisom" + b"\x00" * 4 + b"mp41"
+          + b"\x00" * 8)],
         "i long, payload binary",
     )
     m = {r.i: r.m for r in df3.select(
@@ -4117,6 +4193,27 @@ def test_resolve_url_vs_stdlib_urljoin(spark):
             bad.append((row.base, row.ref, row.u, want))
     assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
 
+    # r13 <base href> composition: the effective base is
+    # resolve_url(page, base_href), and links resolve against THAT —
+    # stdlib equivalence is urljoin(urljoin(page, bh), ref)
+    page = "https://h.ex/a/b/p.html?q=0"
+    base_hrefs = ["https://cdn.ex/lib/", "/root2/", "../up/", "d/",
+                  "//mirror.ex/m/"]
+    bref = [(bh, r) for bh in base_hrefs for r in refs[:40]]
+    bdf = spark.createDataFrame(bref, "bh string, ref string")
+    bgot = bdf.select(
+        "bh", "ref",
+        webx.resolve_url(
+            webx.resolve_url(F.lit(page), F.col("bh")), F.col("ref")
+        ).alias("u"),
+    ).collect()
+    bbad = []
+    for row in bgot:
+        want = urljoin(urljoin(page, row.bh), row.ref).split("#", 1)[0]
+        if row.u != want:
+            bbad.append((row.bh, row.ref, row.u, want))
+    assert not bbad, f"{len(bbad)} base divergences, first 5: {bbad[:5]}"
+
 
 def test_drop_repeated_lines_vs_python_model(spark):
     """drop_repeated_lines vs an independent pure-Python model over 25
@@ -4150,7 +4247,9 @@ def test_drop_repeated_lines_vs_python_model(spark):
             lines = [rng.choice(pool)
                      for _ in range(rng.randint(0, 8))]
             docs.append((i, "\n".join(lines) if lines else ""))
-        min_docs = rng.randint(1, 4)
+        # 1 is rejected by the guard (it would cut every non-blank
+        # line) — the model sweeps the meaningful range only
+        min_docs = rng.randint(2, 4)
 
         # independent model
         df_count: dict = {}
@@ -4251,7 +4350,10 @@ def test_robots_sitemaps(spark):
              "sitemap:https://a.com/s2.xml   # trailing comment\n"
              "  SITEMAP :  https://a.com/s3.xml  \n"
              "# Sitemap: https://a.com/commented.xml\n"
-             "NotSitemap: https://a.com/no.xml\n"),
+             "NotSitemap: https://a.com/no.xml\n"
+             # lenient recovery (r12 advice fix): FIRST token wins on a
+             # malformed-but-recoverable line with trailing junk
+             "Sitemap: https://a.com/s4.xml ignore this\n"),
          (2, "User-agent: *\nDisallow:\n"),
          (3, None)],
         "i long, robots_txt string",
@@ -4259,7 +4361,7 @@ def test_robots_sitemaps(spark):
     got = {r.i: r.s for r in robots.select(
         "i", webx.robots_sitemaps("robots_txt").alias("s")).collect()}
     assert got[1] == ["https://a.com/s1.xml", "https://a.com/s2.xml",
-                      "https://a.com/s3.xml"]
+                      "https://a.com/s3.xml", "https://a.com/s4.xml"]
     assert got[2] == [] and got[3] == []
     plan = (robots.select(webx.robots_sitemaps("robots_txt").alias("s"))
             ._jdf.queryExecution().executedPlan().toString())
