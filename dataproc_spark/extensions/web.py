@@ -723,6 +723,191 @@ def robots_allowed(
 
 
 # ---------------------------------------------------------------------------
+# HTTP redirect-chain resolution (r13) — the capture-graph walk
+# ---------------------------------------------------------------------------
+
+#: the HTTP statuses that redirect with a Location header (RFC 9110
+#: §15.4; 300/304 have no mandatory Location and never chain)
+REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+
+
+def header_value(
+    headers_col: str | Column, name: str
+) -> Column:
+    """First value of HTTP header ``name`` in an ``http_headers`` map
+    (``split_http_envelope`` lowercases keys and joins repeats; the
+    lookup re-lowers entry keys so caller-built maps with canonical
+    casing also hit). NULL when the header — or the map — is absent.
+    Map-only."""
+    c = F.col(headers_col) if isinstance(headers_col, str) else headers_col
+    hits = F.filter(
+        F.map_entries(c), lambda e: F.lower(e["key"]) == name.lower()
+    )
+    return F.get(hits, 0)["value"]
+
+
+def resolve_redirects(
+    records: DataFrame,
+    max_hops: int = 5,
+    url_col: str = "target_uri",
+    status_col: str = "http_status",
+    headers_col: str = "http_headers",
+    order_col: str = "warc_date",
+) -> DataFrame:
+    """Resolve HTTP redirect chains across a capture set — ~a quarter
+    of real capture records are 3xx, and every consumer of the archive
+    (URL dedup, PageRank edges, CDX lookup) wants the *final* URL a
+    source actually lands on, not the hop. One output row per distinct
+    capture URL:
+
+    - ``source_url`` — the capture's own URL;
+    - ``final_url`` — where the chain ends: the URL itself for a
+      non-redirect capture, the last confirmed URL for ``ok``/
+      ``truncated``, the first uncaptured target for ``external``,
+      NULL for ``loop`` (a cycle has no final destination);
+    - ``n_hops`` — redirect edges traversed (0 for non-redirects; for
+      ``loop`` the edges confirmed-traversed before the revisit was
+      detected — the closing edge is flagged, not walked);
+    - ``resolution`` — ``'ok'`` (reached a captured non-redirect),
+      ``'external'`` (chain leaves the capture set), ``'loop'``
+      (a URL repeats within the chain), ``'truncated'`` (still
+      redirecting after ``max_hops`` edges).
+
+    A capture redirects when its status is one of
+    :data:`REDIRECT_STATUSES` AND its envelope carries a ``Location``
+    header (:func:`header_value`); the target is
+    ``resolve_url(capture_url, location)`` — RFC 9110 §10.2.2 allows
+    relative Locations, so the full RFC 3986 resolution applies.
+    Duplicate captures of one URL dedup to the newest ``order_col``
+    (``warc_date`` — ties by status/target, fully deterministic);
+    NULL-``url`` rows are dropped (no identity to chain from).
+
+    100 TB plan: the walk is ``max_hops`` equi-joins of the WALKING
+    set (only still-unresolved chains — real chains are median 1 hop,
+    so it shrinks geometrically) against a 3-narrow-column node table
+    projected off the capture frame; bodies never enter the operator.
+    ``localCheckpoint`` per round cuts the growing lineage (the
+    :func:`...dedup.connected_components` pattern). Loop detection
+    carries a per-chain visited array bounded by ``max_hops`` + 1
+    URLs. No driver-side collection anywhere.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    loc = F.trim(header_value(headers_col, "location"))
+    ordc = (
+        F.col(order_col).cast("string")
+        if order_col in records.columns
+        else F.lit("")
+    )
+    raw = records.where(F.col(url_col).isNotNull()).select(
+        F.col(url_col).alias("url"),
+        F.col(status_col).cast("int").alias("_st"),
+        F.when(loc == "", F.lit(None)).otherwise(loc).alias("_loc"),
+        ordc.alias("_ord"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("_ord").desc_nulls_last(),
+        F.col("_st").asc_nulls_last(),
+        F.col("_loc").asc_nulls_last(),
+    )
+    redir = (
+        F.col("_st").isin(*REDIRECT_STATUSES) & F.col("_loc").isNotNull()
+    )
+    nodes = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "url",
+            redir.alias("_redir"),
+            F.when(redir, resolve_url(F.col("url"), F.col("_loc")))
+            .alias("_next"),
+        )
+        .persist()
+    )
+    try:
+        lookup = nodes.select(
+            F.col("url").alias("_lu"),
+            F.col("_redir").alias("_lu_redir"),
+            F.col("_next").alias("_lu_next"),
+        )
+        parts = [
+            nodes.where(~F.col("_redir")).select(
+                F.col("url").alias("source_url"),
+                F.col("url").alias("final_url"),
+                F.lit(0).alias("n_hops"),
+                F.lit("ok").alias("resolution"),
+            )
+        ]
+        walking = nodes.where(F.col("_redir")).select(
+            F.col("url").alias("source_url"),
+            F.col("_next").alias("cur"),
+            F.lit(1).alias("hops"),
+            F.array(F.col("url")).alias("visited"),
+        ).localCheckpoint()
+        for _ in range(max_hops):
+            if walking.isEmpty():
+                break
+            j = walking.join(
+                lookup, walking.cur == F.col("_lu"), "left"
+            ).localCheckpoint()
+            parts.append(j.where(F.col("_lu").isNull()).select(
+                "source_url",
+                F.col("cur").alias("final_url"),
+                F.col("hops").alias("n_hops"),
+                F.lit("external").alias("resolution"),
+            ))
+            parts.append(
+                j.where(F.col("_lu").isNotNull() & ~F.col("_lu_redir"))
+                .select(
+                    "source_url",
+                    F.col("cur").alias("final_url"),
+                    F.col("hops").alias("n_hops"),
+                    F.lit("ok").alias("resolution"),
+                )
+            )
+            looped = F.array_contains(
+                F.col("visited"), F.col("_lu_next")
+            ) | (F.col("_lu_next") == F.col("cur"))
+            parts.append(
+                j.where(F.col("_lu_redir") & looped).select(
+                    "source_url",
+                    F.lit(None).cast("string").alias("final_url"),
+                    F.col("hops").alias("n_hops"),
+                    F.lit("loop").alias("resolution"),
+                )
+            )
+            parts.append(
+                j.where(
+                    F.col("_lu_redir") & ~looped
+                    & (F.col("hops") >= max_hops)
+                ).select(
+                    "source_url",
+                    F.col("cur").alias("final_url"),
+                    F.col("hops").alias("n_hops"),
+                    F.lit("truncated").alias("resolution"),
+                )
+            )
+            walking = j.where(
+                F.col("_lu_redir") & ~looped & (F.col("hops") < max_hops)
+            ).select(
+                "source_url",
+                F.col("_lu_next").alias("cur"),
+                (F.col("hops") + 1).alias("hops"),
+                F.concat(F.col("visited"), F.array(F.col("cur")))
+                .alias("visited"),
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # materialize before unpersisting the node table the lineage
+        # reads through (checkpointed parts are already cut; the
+        # zero-hop slice and `lookup` still reference `nodes`)
+        return out.localCheckpoint()
+    finally:
+        nodes.unpersist()
+
+
+# ---------------------------------------------------------------------------
 # sitemap parsing (r12) — URL-frontier seeding
 # ---------------------------------------------------------------------------
 

@@ -292,6 +292,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
     "sitemap_parse": (q_sitemap_parse, SQL_SITEMAP_PARSE),
     "link_extract": (q_link_extract, SQL_LINK_EXTRACT),
+    # -- r13 additions: archive-consumer ring --------------------------------
+    "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
+    "cdx_lookup": (q_cdx_lookup, SQL_CDX_LOOKUP),
 }
 
 

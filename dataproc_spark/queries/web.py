@@ -1576,6 +1576,121 @@ FROM keys
 
 
 # --------------------------------------------------------------------------
+# r13: CDX lookup — closest capture at/before a timestamp
+# --------------------------------------------------------------------------
+
+def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX lookup (``cdx.cdx_closest``): the consumer the capture index
+    exists for — "which capture of URL X is nearest time T?". Each
+    document contributes THREE captures of one URL (ts varying by a
+    per-doc seconds offset so the arithmetic is on real variable
+    digits) and ONE probe whose arm exercises a distinct lookup case:
+    (0) exact-timestamp hit; (1) a probe EXACTLY equidistant between
+    two captures — the tie must break to the EARLIER one; (2) before
+    every capture (closest → first; before-mode → NULL); (3) after
+    every capture; (4) a URL never captured → NULL capture columns.
+    Probes differ from the stored URL by case, ``www.``, and query-
+    param order — the SURT canonicalization must still match them.
+    Both modes run and union (``mode`` column). The oracle restates
+    winner arithmetic per arm/mode. Plan: ONE broadcast-hash join
+    streaming the index + a min_by partial aggregation — the index is
+    never sorted or windowed (plan-audited in the unit suite)."""
+    from dataproc_spark.extensions import cdx as cdxx
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    n = (F.col("doc_id") % 37).cast("string")
+    ss = F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0")
+    curl = F.concat(F.lit("https://www.site"), n, F.lit(".com/p/"),
+                    did, F.lit("?b=2&a=1"))
+
+    def tsx(pfx: str):
+        return F.concat(F.lit(pfx), ss)
+
+    caps = F.array(
+        F.struct(tsx("202501010000").alias("t"), F.lit(1).alias("k")),
+        F.struct(tsx("202506010000").alias("t"), F.lit(2).alias("k")),
+        F.struct(tsx("202601010000").alias("t"), F.lit(3).alias("k")),
+    )
+    index = docs.select(
+        "doc_id", curl.alias("curl"), F.explode(caps).alias("c")
+    ).select(
+        cdxx.surt_key("curl").alias("urlkey"),
+        F.col("c.t").alias("ts"),
+        F.col("curl").alias("url"),
+        F.concat(F.lit("d"), F.col("c.k").cast("string"), F.lit("-"),
+                 F.col("doc_id").cast("string")).alias("digest"),
+        (F.col("doc_id") + F.col("c.k")).cast("long").alias("length"),
+    )
+    arm = F.col("doc_id") % 5
+    probe_url = F.when(arm == 4, F.concat(
+        F.lit("https://nowhere"), n, F.lit(".example/m/"), did
+    )).otherwise(F.concat(
+        F.lit("https://SITE"), n, F.lit(".com/p/"), did,
+        F.lit("?a=1&b=2")
+    ))
+    probe_ts = (
+        F.when(arm == 0, tsx("202506010000"))
+        # exactly (ts1+ts2)/2 in digit space — the tie arm
+        .when(arm == 1, tsx("202503510000"))
+        .when(arm == 2, F.lit("20240101000000"))
+        .when(arm == 3, F.lit("20270101000000"))
+        .otherwise(tsx("202501010000"))
+    )
+    probes = docs.select(
+        "doc_id", probe_url.alias("url"), probe_ts.alias("ts")
+    )
+    closest = cdxx.cdx_closest(index, probes).withColumn(
+        "mode", F.lit("closest"))
+    before = cdxx.cdx_closest(index, probes, mode="before").withColumn(
+        "mode", F.lit("before"))
+    return closest.unionByName(before).select(
+        "doc_id", "mode", "urlkey", "cdx_ts", "digest", "length"
+    )
+
+
+SQL_CDX_LOOKUP = """
+WITH b AS (
+    SELECT doc_id,
+           CAST(doc_id AS VARCHAR) AS did,
+           CAST(doc_id % 37 AS VARCHAR) AS n,
+           doc_id % 5 AS arm,
+           lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ss
+    FROM documents
+),
+e AS (
+    SELECT doc_id, did, n, arm, ss,
+           'com,site' || n || ')/p/' || did || '?a=1&b=2' AS mkey,
+           'example,nowhere' || n || ')/m/' || did AS misskey,
+           CASE arm WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1
+                    WHEN 3 THEN 3 ELSE 0 END AS ck,
+           CASE arm WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 0
+                    WHEN 3 THEN 3 ELSE 0 END AS bk
+    FROM b
+)
+SELECT doc_id, 'closest' AS mode,
+       CASE WHEN arm = 4 THEN misskey ELSE mkey END AS urlkey,
+       CASE ck WHEN 1 THEN '202501010000' || ss
+               WHEN 2 THEN '202506010000' || ss
+               WHEN 3 THEN '202601010000' || ss END AS cdx_ts,
+       CASE WHEN ck > 0
+            THEN 'd' || CAST(ck AS VARCHAR) || '-' || did END AS digest,
+       CASE WHEN ck > 0 THEN doc_id + ck END AS length
+FROM e
+UNION ALL
+SELECT doc_id, 'before',
+       CASE WHEN arm = 4 THEN misskey ELSE mkey END,
+       CASE bk WHEN 1 THEN '202501010000' || ss
+               WHEN 2 THEN '202506010000' || ss
+               WHEN 3 THEN '202601010000' || ss END,
+       CASE WHEN bk > 0
+            THEN 'd' || CAST(bk AS VARCHAR) || '-' || did END,
+       CASE WHEN bk > 0 THEN doc_id + bk END
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
 # r12: MIME sniffing from magic bytes
 # --------------------------------------------------------------------------
 
@@ -1661,6 +1776,122 @@ SELECT doc_id,
            ELSE 'text/xml'
        END AS mime
 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# r13: HTTP redirect-chain resolution — the capture-graph walk
+# --------------------------------------------------------------------------
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (``web.resolve_redirects``): every
+    archive consumer wants a capture's FINAL URL, so the operator
+    walks 3xx Location chains across the capture set. Six arms per
+    document, each synthesizing the capture rows its chain needs:
+    (0) a direct 200; (1) a 301 with an ABSOLUTE Location to a
+    captured 200; (2) a 302 with a RELATIVE ``../`` Location that
+    must RFC 3986-resolve against the capture URL; (3) a 3-edge
+    301→307→308 chain run at ``max_hops=2`` — the head truncates at
+    the furthest confirmed URL while mid-chain members resolve fully;
+    (4) a 2-cycle → ``loop`` with NULL final; (5) a target never
+    captured → ``external``. Every capture in every chain is also its
+    own source row (hop arithmetic for each suffix is on the hash).
+    The oracle restates the full bounded walk arithmetically per
+    arm/role. Plan: dedup window + ``max_hops`` equi-joins of the
+    shrinking walking set against a 3-column node table — bodies
+    never enter; see the operator docstring for the 100 TB posture."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    n = (F.col("doc_id") % 37).cast("string")
+    h = F.concat(F.lit("https://site"), n, F.lit(".com"))
+    arm = F.col("doc_id") % 6
+
+    def u(p):
+        return F.concat(h, F.lit(p), did)
+
+    def capt(url, st, loc=None):
+        return F.struct(
+            url.alias("u"),
+            F.lit(st).cast("int").alias("s"),
+            (loc if loc is not None
+             else F.lit(None).cast("string")).alias("l"),
+        )
+
+    caps = (
+        F.when(arm == 0, F.array(capt(u("/ok/"), 200)))
+        .when(arm == 1, F.array(
+            capt(u("/a/"), 301, u("/t1/")), capt(u("/t1/"), 200)))
+        .when(arm == 2, F.array(
+            capt(u("/b/dir/"), 302, F.concat(F.lit("../f2/"), did)),
+            capt(u("/b/f2/"), 200)))
+        .when(arm == 3, F.array(
+            capt(u("/c1/"), 301, u("/c2/")),
+            capt(u("/c2/"), 307, u("/c3/")),
+            capt(u("/c3/"), 308, u("/c4/")),
+            capt(u("/c4/"), 200)))
+        .when(arm == 4, F.array(
+            capt(u("/l1/"), 301, u("/l2/")),
+            capt(u("/l2/"), 302, u("/l1/"))))
+        .otherwise(F.array(capt(
+            u("/x/"), 301,
+            F.concat(F.lit("https://external"), n, F.lit(".example/g"),
+                     did))))
+    )
+    src = docs.select(F.explode(caps).alias("c")).select(
+        F.col("c.u").alias("target_uri"),
+        F.col("c.s").alias("http_status"),
+        F.when(
+            F.col("c.l").isNotNull(),
+            F.map_from_arrays(F.array(F.lit("location")),
+                              F.array(F.col("c.l"))),
+        ).alias("http_headers"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+    )
+    return web.resolve_redirects(src, max_hops=2).select(
+        "source_url", "final_url", "n_hops", "resolution"
+    )
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH b AS (
+    SELECT doc_id,
+           CAST(doc_id AS VARCHAR) AS did,
+           CAST(doc_id % 37 AS VARCHAR) AS n,
+           doc_id % 6 AS arm,
+           'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.com' AS h
+    FROM documents
+)
+SELECT h || '/ok/' || did AS source_url,
+       h || '/ok/' || did AS final_url,
+       0 AS n_hops, 'ok' AS resolution
+FROM b WHERE arm = 0
+UNION ALL
+SELECT h || '/a/' || did, h || '/t1/' || did, 1, 'ok' FROM b WHERE arm = 1
+UNION ALL
+SELECT h || '/t1/' || did, h || '/t1/' || did, 0, 'ok' FROM b WHERE arm = 1
+UNION ALL
+SELECT h || '/b/dir/' || did, h || '/b/f2/' || did, 1, 'ok'
+FROM b WHERE arm = 2
+UNION ALL
+SELECT h || '/b/f2/' || did, h || '/b/f2/' || did, 0, 'ok'
+FROM b WHERE arm = 2
+UNION ALL
+SELECT h || '/c1/' || did, h || '/c3/' || did, 2, 'truncated'
+FROM b WHERE arm = 3
+UNION ALL
+SELECT h || '/c2/' || did, h || '/c4/' || did, 2, 'ok' FROM b WHERE arm = 3
+UNION ALL
+SELECT h || '/c3/' || did, h || '/c4/' || did, 1, 'ok' FROM b WHERE arm = 3
+UNION ALL
+SELECT h || '/c4/' || did, h || '/c4/' || did, 0, 'ok' FROM b WHERE arm = 3
+UNION ALL
+SELECT h || '/l1/' || did, NULL, 1, 'loop' FROM b WHERE arm = 4
+UNION ALL
+SELECT h || '/l2/' || did, NULL, 1, 'loop' FROM b WHERE arm = 4
+UNION ALL
+SELECT h || '/x/' || did,
+       'https://external' || n || '.example/g' || did, 1, 'external'
+FROM b WHERE arm = 5
 """
 
 

@@ -4000,6 +4000,125 @@ def test_extract_links_rel_and_base(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_cdx_closest(spark):
+    """r13 CDX lookup: closest-|delta| matching with earlier-ts tie
+    break, before-mode (latest at-or-before, NULL when nothing
+    qualifies), SURT-canonical probe matching (case/www/param-order
+    differences still hit), missing URLs → NULL capture columns,
+    probe columns passed through, and a broadcast-join plan."""
+    from dataproc_spark.extensions import cdx as cdxx
+
+    idx = spark.createDataFrame(
+        [("com,ex)/p?a=1&b=2", "20250101000000", "https://ex.com/p?b=2&a=1",
+          "text/html", 200, "d1", 10),
+         ("com,ex)/p?a=1&b=2", "20250601000000", "https://ex.com/p?b=2&a=1",
+          "text/html", 200, "d2", 20),
+         ("com,ex)/p?a=1&b=2", "20260101000000", "https://ex.com/p?b=2&a=1",
+          "text/html", 404, "d3", 30),
+         ("org,other)/q", "20250301000000", "https://other.org/q",
+          "text/plain", 200, "d4", 40)],
+        "urlkey string, ts string, url string, mime string, "
+        "status int, digest string, length long",
+    )
+    probes = spark.createDataFrame(
+        [(1, "https://WWW.ex.com/p?a=1&b=2", "20250601000000"),  # exact
+         (2, "https://ex.com/p?b=2&a=1", "20250351000000"),  # tie → earlier
+         (3, "https://ex.com/p?a=1&b=2", "20240101000000"),  # before all
+         (4, "https://ex.com/p?a=1&b=2", "20270101000000"),  # after all
+         (5, "https://gone.ex/x", "20250101000000")],         # missing
+        "pid long, url string, ts string",
+    )
+    got = {r.pid: r for r in cdxx.cdx_closest(idx, probes).collect()}
+    assert got[1].cdx_ts == "20250601000000" and got[1].digest == "d2"
+    assert got[2].cdx_ts == "20250101000000"  # equidistant → earlier
+    assert got[3].cdx_ts == "20250101000000"
+    assert got[4].cdx_ts == "20260101000000" and got[4].status == 404
+    assert got[5].cdx_ts is None and got[5].digest is None
+    assert got[1].urlkey == "com,ex)/p?a=1&b=2"  # probe col passthrough
+    before = {r.pid: r for r in cdxx.cdx_closest(
+        idx, probes, mode="before").collect()}
+    assert before[1].cdx_ts == "20250601000000"
+    assert before[2].cdx_ts == "20250101000000"
+    assert before[3].cdx_ts is None          # nothing at/earlier
+    assert before[4].cdx_ts == "20260101000000"
+    assert before[5].cdx_ts is None
+    plan = (cdxx.cdx_closest(idx, probes)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        cdxx.cdx_closest(idx, probes, mode="nearest")
+    with _pytest.raises(ValueError, match="clobber"):
+        cdxx.cdx_closest(idx, probes.withColumn("digest", F.lit("x")))
+
+
+def test_resolve_redirects(spark):
+    """r13 redirect-chain resolution: direct 200, absolute + relative
+    Location, multi-hop chain, self-loop, 2-cycle, external target,
+    truncation at max_hops, duplicate-capture dedup to newest
+    warc_date, NULL-url drop, and the header lookup's case
+    tolerance."""
+    from dataproc_spark.extensions import web as webx
+
+    def cap(url, st, loc=None, date="2026-01-01T00:00:00Z"):
+        hdrs = {"Location": loc} if loc is not None else {}
+        return (url, st, hdrs, date)
+
+    rows = [
+        cap("https://a.ex/ok", 200),
+        cap("https://a.ex/m1", 301, "https://a.ex/ok"),
+        # relative Location resolves against the capture URL
+        cap("https://a.ex/dir/m2", 302, "../ok"),
+        # 3-edge chain: c1 -> c2 -> c3 -> ok
+        cap("https://a.ex/c1", 301, "/c2"),
+        cap("https://a.ex/c2", 307, "/c3"),
+        cap("https://a.ex/c3", 308, "/ok"),
+        # self-loop and a 2-cycle
+        cap("https://a.ex/self", 301, "https://a.ex/self"),
+        cap("https://a.ex/l1", 301, "/l2"),
+        cap("https://a.ex/l2", 302, "/l1"),
+        # target never captured
+        cap("https://a.ex/ext", 303, "https://other.ex/gone"),
+        # duplicate captures: the NEWER one (200) must win
+        cap("https://a.ex/dup", 301, "/ok", "2026-01-01T00:00:00Z"),
+        cap("https://a.ex/dup", 200, None, "2026-06-01T00:00:00Z"),
+        # NULL url drops; 3xx WITHOUT Location is terminal
+        (None, 200, {}, "2026-01-01T00:00:00Z"),
+        cap("https://a.ex/noloc", 301),
+    ]
+    df = spark.createDataFrame(
+        rows, "target_uri string, http_status int, "
+        "http_headers map<string,string>, warc_date string")
+    got = {r.source_url: (r.final_url, r.n_hops, r.resolution)
+           for r in webx.resolve_redirects(df, max_hops=5).collect()}
+    ok = "https://a.ex/ok"
+    assert got["https://a.ex/ok"] == (ok, 0, "ok")
+    assert got["https://a.ex/m1"] == (ok, 1, "ok")
+    assert got["https://a.ex/dir/m2"] == (ok, 1, "ok")
+    assert got["https://a.ex/c1"] == (ok, 3, "ok")
+    assert got["https://a.ex/c2"] == (ok, 2, "ok")
+    assert got["https://a.ex/c3"] == (ok, 1, "ok")
+    assert got["https://a.ex/self"] == (None, 1, "loop")
+    assert got["https://a.ex/l1"] == (None, 1, "loop")
+    assert got["https://a.ex/l2"] == (None, 1, "loop")
+    assert got["https://a.ex/ext"] == (
+        "https://other.ex/gone", 1, "external")
+    assert got["https://a.ex/dup"] == ("https://a.ex/dup", 0, "ok")
+    assert got["https://a.ex/noloc"] == (
+        "https://a.ex/noloc", 0, "ok")
+    assert None not in got and len(got) == 12
+    # truncation: with max_hops=2 the 3-edge chain stops at c3
+    got2 = {r.source_url: (r.final_url, r.n_hops, r.resolution)
+            for r in webx.resolve_redirects(df, max_hops=2).collect()}
+    assert got2["https://a.ex/c1"] == (
+        "https://a.ex/c3", 2, "truncated")
+    assert got2["https://a.ex/c2"] == (ok, 2, "ok")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_hops"):
+        webx.resolve_redirects(df, max_hops=0)
+
+
 def test_r12_review_fixes(spark):
     """r12 adversarial-review regressions, one assert per finding:
     (1) unterminated quoted meta value must not let body prose donate
