@@ -539,19 +539,25 @@ def robots_like_pattern(path_rule: str) -> tuple:
     return pat, len(path_rule.encode("utf-8"))
 
 
-def parse_robots(text: str, agent: str = "*") -> list:
-    """Parse a robots.txt (RFC 9309-lite) and return the rule list for
-    ``agent`` as ``(allow, like_pattern, specificity)`` tuples sorted
-    by priority (longest match first; on a specificity tie Allow wins —
-    the RFC's evaluation order, pre-applied so a matcher just takes the
-    first hit). Group selection follows the RFC: the group whose
-    ``User-agent`` token is the longest case-insensitive substring of
-    ``agent`` wins; ``*`` is the fallback. Unknown directives and
-    comments are ignored; an empty ``Disallow:`` value is a no-op (the
-    classic allow-all idiom)."""
-    groups: list = []  # (agents, rules)
+def _parse_robots_group(text: str, agent: str):
+    """Scan a robots.txt and return the SELECTED group's body for
+    ``agent`` as ``(rules, crawl_delay, request_rate)`` — the shared
+    core of :func:`parse_robots` (path rules) and the r13 politeness
+    surfaces (``Crawl-delay``/``Request-rate``, the de-facto frontier-
+    scheduling directives RFC 9309 leaves as other-records). Group
+    selection follows the RFC: the group whose ``User-agent`` token is
+    the longest case-insensitive substring of ``agent`` wins; ``*`` is
+    the fallback; groups sharing a token MERGE (§2.2.1). Any known
+    in-group directive (allow/disallow/crawl-delay/request-rate)
+    starts the group body; unknown directives and comments are
+    ignored. The FIRST parseable crawl-delay (a non-negative number,
+    seconds) per merged group wins; request-rate is surfaced verbatim
+    (its ``n/m[ window]`` forms vary too much to normalize here)."""
+    groups: list = []  # (agents, rules, delays, rates)
     cur_agents: list = []
     cur_rules: list = []
+    cur_delays: list = []
+    cur_rates: list = []
     in_group_body = False
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -562,27 +568,43 @@ def parse_robots(text: str, agent: str = "*") -> list:
         val = val.strip()
         if key == "user-agent":
             if in_group_body:
-                groups.append((cur_agents, cur_rules))
+                groups.append((cur_agents, cur_rules, cur_delays, cur_rates))
                 cur_agents, cur_rules = [], []
+                cur_delays, cur_rates = [], []
                 in_group_body = False
             cur_agents.append(val.lower())
         elif key in ("allow", "disallow"):
             in_group_body = True
             if val:
                 cur_rules.append((key == "allow", val))
+        elif key == "crawl-delay":
+            in_group_body = True
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d >= 0 and d == d and d != float("inf"):  # finite, >= 0
+                cur_delays.append(d)
+        elif key == "request-rate":
+            in_group_body = True
+            if val:
+                cur_rates.append(val)
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
+        groups.append((cur_agents, cur_rules, cur_delays, cur_rates))
     agent = (agent or "*").lower()
     # RFC 9309 §2.2.1: groups sharing a user-agent token MUST merge —
     # real robots.txt files routinely repeat 'User-agent: *' blocks
     # (CMS plugins append their own), and taking only the first group
     # silently dropped every later rule (r11 second-review finding).
-    merged: dict = {}  # token -> combined rule list, file order
-    for agents, rules in groups:
+    merged: dict = {}  # token -> (rules, delays, rates), file order
+    for agents, rules, delays, rates in groups:
         for a in agents:
-            merged.setdefault(a, []).extend(rules)
-    best: tuple = (-1, [])  # (match length, rules)
-    for a, rules in merged.items():
+            slot = merged.setdefault(a, ([], [], []))
+            slot[0].extend(rules)
+            slot[1].extend(delays)
+            slot[2].extend(rates)
+    best: tuple = (-1, ([], [], []))  # (match length, body)
+    for a, body in merged.items():
         if a == "*":
             score = 0
         elif a and a in agent:
@@ -590,14 +612,51 @@ def parse_robots(text: str, agent: str = "*") -> list:
         else:
             continue
         if score > best[0]:
-            best = (score, rules)
+            best = (score, body)
+    rules, delays, rates = best[1]
+    return (
+        rules,
+        delays[0] if delays else None,
+        rates[0] if rates else None,
+    )
+
+
+def parse_robots(text: str, agent: str = "*") -> list:
+    """Parse a robots.txt (RFC 9309-lite) and return the rule list for
+    ``agent`` as ``(allow, like_pattern, specificity)`` tuples sorted
+    by priority (longest match first; on a specificity tie Allow wins —
+    the RFC's evaluation order, pre-applied so a matcher just takes the
+    first hit). Group selection follows the RFC (see
+    :func:`_parse_robots_group`); an empty ``Disallow:`` value is a
+    no-op (the classic allow-all idiom)."""
+    rules, _, _ = _parse_robots_group(text, agent)
     out = [
-        (allow,) + robots_like_pattern(rule) for allow, rule in best[1]
+        (allow,) + robots_like_pattern(rule) for allow, rule in rules
     ]
     # priority order: longest specificity first, Allow before Disallow
     # on ties — a matcher takes the FIRST matching entry
     out.sort(key=lambda r: (-r[2], not r[0]))
     return out
+
+
+def robots_crawl_delay(text: str, agent: str = "*"):
+    """The effective ``Crawl-delay`` (seconds, float) for ``agent`` —
+    the frontier scheduler's per-host politeness knob, selected with
+    the SAME group rules as :func:`parse_robots` (r12 verdict item 5:
+    the parser ignored it as an unknown directive). ``None`` when the
+    selected group declares none or the value doesn't parse as a
+    finite non-negative number."""
+    _, delay, _ = _parse_robots_group(text, agent)
+    return delay
+
+
+def robots_request_rate(text: str, agent: str = "*"):
+    """The ``Request-rate`` declaration for ``agent``, verbatim
+    (typically ``n/m`` = n requests per m seconds, sometimes with a
+    time window suffix — too divergent in the wild to normalize here;
+    the scheduler interprets). ``None`` when undeclared."""
+    _, _, rate = _parse_robots_group(text, agent)
+    return rate
 
 
 def robots_sitemaps(text_col: str | Column = "robots_txt") -> Column:
@@ -646,35 +705,89 @@ def robots_rules_frame(
     host_col: str = "host",
     text_col: str = "robots_txt",
     agent: str = "*",
+    dedup_texts: bool = True,
+    with_politeness: bool = False,
 ) -> DataFrame:
     """(host, robots.txt text) → (host, priority-sorted rule array) —
-    the tiny dimension side of crawl filtering, parsed once per host in
-    an Arrow kernel (robots files are small and hosts number in the
-    millions at worst, vs billions of URLs)."""
+    the tiny dimension side of crawl filtering, parsed in an Arrow
+    kernel (robots files are small and hosts number in the millions at
+    worst, vs billions of URLs).
+
+    ``dedup_texts`` (default on, r13 — r12 verdict finding): identical
+    robots bodies across hosts (CDN-hosted subdomains serve one file
+    to thousands of hosts) parse ONCE — the kernel runs over DISTINCT
+    texts and the result re-joins to hosts by text equality
+    (NULL-safe), bounding parse work by distinct files instead of
+    hosts. Two extra dimension-side shuffles (distinct + re-join),
+    zero change to the URL side.
+
+    ``with_politeness`` adds ``crawl_delay`` (double seconds,
+    :func:`robots_crawl_delay`) and ``request_rate`` (verbatim string,
+    :func:`robots_request_rate`) columns — the frontier-scheduling
+    directives, selected with the same agent-group rules."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import (
-        ArrayType, BooleanType, IntegerType, StringType, StructField,
-        StructType,
+        ArrayType, BooleanType, DoubleType, IntegerType, StringType,
+        StructField, StructType,
     )
 
-    rtype = ArrayType(StructType([
+    rules_t = ArrayType(StructType([
         StructField("allow", BooleanType()),
         StructField("pat", StringType()),
         StructField("spec", IntegerType()),
     ]))
+    fields = [StructField("rules", rules_t)]
+    if with_politeness:
+        fields += [
+            StructField("crawl_delay", DoubleType()),
+            StructField("request_rate", StringType()),
+        ]
+    ptype = StructType(fields)
 
     def _kernel(txt):
-        return pd.Series(
-            [None if t is None else parse_robots(t, agent) for t in txt],
-            dtype=object,
-        )
+        cols: dict = {c: [] for c in
+                      ["rules"] + (["crawl_delay", "request_rate"]
+                                   if with_politeness else [])}
+        for t in txt:
+            if t is None:
+                for v in cols.values():
+                    v.append(None)
+                continue
+            cols["rules"].append(parse_robots(t, agent))
+            if with_politeness:
+                _, delay, rate = _parse_robots_group(t, agent)
+                cols["crawl_delay"].append(delay)
+                cols["request_rate"].append(rate)
+        df = pd.DataFrame(cols, dtype=object)
+        if with_politeness:
+            df["crawl_delay"] = df["crawl_delay"].astype("float64")
+        return df
 
-    _kernel.__annotations__ = {"txt": pd.Series, "return": pd.Series}
-    udf = pandas_udf(_kernel, rtype)
-    return robots.select(
-        F.col(host_col).alias("host"), udf(F.col(text_col)).alias("rules")
+    _kernel.__annotations__ = {"txt": pd.Series, "return": pd.DataFrame}
+    udf = pandas_udf(_kernel, ptype)
+    extra = ["crawl_delay", "request_rate"] if with_politeness else []
+    if not dedup_texts:
+        parsed = robots.select(
+            F.col(host_col).alias("host"),
+            udf(F.col(text_col)).alias("_p"),
+        )
+        return parsed.select(
+            "host", F.col("_p.rules").alias("rules"),
+            *[F.col(f"_p.{c}").alias(c) for c in extra],
+        )
+    texts = robots.select(F.col(text_col).alias("_txt")).distinct()
+    parsed = texts.select("_txt", udf(F.col("_txt")).alias("_p"))
+    # NULL-safe equality: hosts with a NULL robots body must keep their
+    # (NULL-rules) row, not fall out of an equi-join
+    joined = robots.join(
+        parsed, F.col(text_col).eqNullSafe(F.col("_txt")), "left"
+    )
+    return joined.select(
+        F.col(host_col).alias("host"),
+        F.col("_p.rules").alias("rules"),
+        *[F.col(f"_p.{c}").alias(c) for c in extra],
     )
 
 

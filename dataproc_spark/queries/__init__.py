@@ -327,6 +327,11 @@ REVERIFY_STALE_EVIDENCE: dict[str, int] = {
     # and the gate widened from 6 to 9 arms with a rel column; the
     # green r12 row vouches for the href-only 6-arm fixture.
     "link_extract": 12,
+    # r13: the gate gained the crawl_delay column (politeness surface,
+    # incl. the goodbot-group-must-not-leak arm) and the rules frame
+    # moved to the distinct-text parse path; the green r12 row vouches
+    # for the 3-column, per-host-parse fixture.
+    "robots_filter": 12,
 }
 
 #: per-process cache for :func:`registry_order`, keyed on the artifact

@@ -1320,13 +1320,18 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie at 3 octets ONLY when wildcards count (the stripped measure
     scored 2 < 3 and blocked everything), resolved toward Allow, with
     an anchored ``Disallow: /p/9*$`` (spec 6) carving out /p/9-prefixed
-    paths. Matching runs over the PATH only (query excluded). The
-    oracle recomputes every decision independently from the class spec
-    with SQL ``LIKE`` — a wrong group pick, wildcard translation,
-    priority sort, specificity measure, or tie-break flips booleans
-    and hash-fails. Plan: rule parse on the tiny distinct-host side,
-    ONE broadcast join + higher-order array walk on the URL side —
-    zero URL-side shuffles (audited)."""
+    paths. Matching runs over the PATH only (query excluded). r13 adds
+    the politeness surface: class 0 declares ``Crawl-delay: 1.5`` in
+    the ``*`` group, class 1 declares it ONLY in the goodbot group (so
+    the ``*`` crawl must see NULL — group selection on the hash), and
+    class 2 declares an integer delay; ``crawl_delay`` rides the
+    output. The oracle recomputes every decision independently from
+    the class spec with SQL ``LIKE`` — a wrong group pick, wildcard
+    translation, priority sort, specificity measure, tie-break, or
+    delay-group leak flips values and hash-fails. Plan: rule parse on
+    the distinct-TEXT side (r13 dedup — parse work bounded by distinct
+    files), ONE broadcast join + higher-order array walk on the URL
+    side — zero URL-side shuffles (audited)."""
     urls = (
         _docs_with_url(spark, sf_dir)
         .select("doc_id", "url")
@@ -1335,21 +1340,22 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = F.regexp_extract(F.col("host"), r"site([0-9]+)", 1).cast("int") % 3
     txt = (
         F.when(cls == 0, F.lit(
-            "User-agent: *\nDisallow: /p/\nAllow: /p/2\n"))
+            "User-agent: *\nCrawl-delay: 1.5\n"
+            "Disallow: /p/\nAllow: /p/2\n"))
         .when(cls == 1, F.lit(
-            "User-agent: goodbot\nDisallow: /\n\n"
+            "User-agent: goodbot\nDisallow: /\nCrawl-delay: 10\n\n"
             "User-agent: *\nDisallow: /p/*5$\nAllow: /p/*15$\n"))
         .otherwise(F.lit(
             "User-agent: *\nDisallow: /p/\nAllow: /p*\n"
-            "Disallow: /p/9*$\n"))
+            "Disallow: /p/9*$\nCrawl-delay: 3\n"))
     )
     robots = urls.select("host").distinct().select(
         "host", txt.alias("robots_txt")
     )
-    rules = web.robots_rules_frame(robots)
-    return web.robots_allowed(urls, rules).select(
-        "doc_id", "host", "allowed"
-    )
+    rules = web.robots_rules_frame(robots, with_politeness=True)
+    return web.robots_allowed(
+        urls, rules.select("host", "rules", "crawl_delay")
+    ).select("doc_id", "host", "allowed", "crawl_delay")
 
 
 SQL_ROBOTS_FILTER = f"""
@@ -1372,7 +1378,12 @@ SELECT doc_id, host,
                             WHEN path LIKE '/p/%5' THEN FALSE
                             ELSE TRUE END
            ELSE NOT (path LIKE '/p/9%')
-       END AS allowed
+       END AS allowed,
+       CASE cls
+           WHEN 0 THEN 1.5
+           WHEN 1 THEN CAST(NULL AS DOUBLE)
+           ELSE 3.0
+       END AS crawl_delay
 FROM c
 """
 

@@ -3589,11 +3589,66 @@ def test_robots_filtering(spark):
            for r in webx.robots_allowed(urls, rules).collect()}
     assert got == {0: True, 1: False, 2: False, 3: False, 4: True,
                    5: True, 6: True, 7: False, 8: False, 9: False}
-    # plan contract: rules broadcast, URL side map-only (no shuffle)
-    plan = (webx.robots_allowed(urls, rules)
+    # plan contract: rules broadcast, URL side map-only (no shuffle).
+    # dedup_texts=False isolates the URL side — the r13 distinct-text
+    # dedup legitimately adds DIMENSION-side exchanges (distinct +
+    # text re-join), which live inside the broadcast subtree.
+    rules_flat = webx.robots_rules_frame(robots, dedup_texts=False)
+    plan = (webx.robots_allowed(urls, rules_flat)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("BroadcastHashJoin") == 1
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
+
+
+def test_robots_dedup_and_politeness(spark):
+    """r13: (a) the distinct-text parse path returns the same rules as
+    per-host parsing, keeps NULL-text hosts, and its optimized plan
+    aggregates on the text before the Python kernel (parse work
+    bounded by distinct files); (b) Crawl-delay/Request-rate surface
+    with the same agent-group selection as the path rules."""
+    from dataproc_spark.extensions import web as webx
+
+    shared = "User-agent: *\nCrawl-delay: 2.5\nDisallow: /private/\n"
+    robots = spark.createDataFrame(
+        [("a.com", shared), ("b.a.com", shared), ("c.a.com", shared),
+         ("solo.com", "User-agent: bot\nCrawl-delay: 7\n"
+                      "Request-rate: 1/5\nDisallow: /x\n\n"
+                      "User-agent: *\nCrawl-delay: 1\nDisallow: /y\n"),
+         ("null.com", None)],
+        "host string, robots_txt string",
+    )
+    dd = {r.host: r.rules for r in
+          webx.robots_rules_frame(robots).collect()}
+    flat = {r.host: r.rules for r in
+            webx.robots_rules_frame(robots, dedup_texts=False).collect()}
+    assert dd == flat and len(dd) == 5
+    assert dd["a.com"] == dd["b.a.com"] == dd["c.a.com"]
+    assert dd["null.com"] is None
+    # the kernel input is the DISTINCT text set: the optimized plan
+    # shows an Aggregate (the distinct) feeding the Arrow stage
+    opt = (webx.robots_rules_frame(robots)
+           ._jdf.queryExecution().optimizedPlan().toString())
+    assert "Deduplicate" in opt or "Aggregate" in opt
+
+    # politeness columns, per agent group
+    pol = {r.host: (r.crawl_delay, r.request_rate) for r in
+           webx.robots_rules_frame(
+               robots, with_politeness=True).collect()}
+    assert pol["a.com"] == (2.5, None)
+    assert pol["solo.com"] == (1.0, None)       # '*' group for '*'
+    assert pol["null.com"] == (None, None)
+    polbot = {r.host: (r.crawl_delay, r.request_rate) for r in
+              webx.robots_rules_frame(
+                  robots, agent="MegaBot/2.0 (bot)",
+                  with_politeness=True).collect()}
+    assert polbot["solo.com"] == (7.0, "1/5")   # 'bot' group wins
+    # python-level helpers agree
+    assert webx.robots_crawl_delay(shared) == 2.5
+    assert webx.robots_request_rate(shared) is None
+    assert webx.robots_crawl_delay(
+        "User-agent: *\nCrawl-delay: nonsense\nDisallow: /a\n") is None
+    assert webx.robots_crawl_delay(
+        "User-agent: *\nCrawl-delay: -3\nDisallow: /a\n") is None
 
 
 def test_wet_sink_roundtrip(spark, tmp_path):
