@@ -1467,3 +1467,66 @@ SELECT doc_id,
        CAST(length(nfc_normalize(synth)) AS BIGINT) AS n_cp_after
 FROM synth
 """
+
+
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (``pdf.extract_pdf_text``, pure-core engine
+    — the deterministic tier; the pypdf seam swaps the kernel, not the
+    plan): each document's text rides into a STRUCTURALLY VALID
+    single-page PDF (catalog/pages/page/font/xref — the builder the
+    unit suite also drives through pypdf when installed) through five
+    arms: (0) a plain ``Tj`` show with the text PDF-escaped; (1) the
+    same stream FlateDecode-compressed — stdlib zlib, and the
+    extracted text is byte-independent of the compressor, so the
+    oracle needs no zlib; (2) a ``TJ`` array showing the text in two
+    kerned halves that must concatenate back exactly; (3) the text as
+    a HEX string; (4) a non-PDF payload → NULL text + the stable
+    ``not_pdf`` quarantine code. The oracle is the roundtrip identity
+    per arm. Plan: two Arrow map stages (fixture build + extract),
+    zero shuffles (plan-audited in the unit suite)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from dataproc_spark.extensions import pdf as pdfx
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _mk(doc_id, text):
+        out = []
+        for i, t in zip(doc_id, text):
+            raw = (t or "").encode("utf-8")
+            arm = i % 5
+            if arm == 4:
+                out.append(b"ZZ no pdf magic " + raw)
+                continue
+            if arm == 3:
+                cs = b"BT <" + raw.hex().encode() + b"> Tj ET"
+            elif arm == 2:
+                a, b = raw[: len(raw) // 2], raw[len(raw) // 2:]
+                cs = (b"BT [(" + pdfx.escape_pdf_string(a) + b") -250 ("
+                      + pdfx.escape_pdf_string(b) + b")] TJ ET")
+            else:
+                cs = (b"BT /F1 12 Tf 72 720 Td ("
+                      + pdfx.escape_pdf_string(raw) + b") Tj ET")
+            out.append(pdfx.build_simple_pdf(cs, flate=(arm == 1)))
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "text": pd.Series,
+                           "return": pd.Series}
+    mk = pandas_udf(_mk, BinaryType())
+    src = docs.select(
+        "doc_id", mk(F.col("doc_id"), F.col("text")).alias("payload")
+    )
+    return pdfx.extract_pdf_text(src, engine="pure").select(
+        "doc_id", "pdf_text", "pdf_error"
+    )
+
+
+SQL_PDF_TEXT = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE coalesce(text, '') END AS pdf_text,
+       CASE WHEN doc_id % 5 = 4 THEN 'not_pdf' END AS pdf_error
+FROM documents
+"""

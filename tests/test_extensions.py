@@ -4055,6 +4055,96 @@ def test_extract_links_rel_and_base(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_pdf_text_pure_core():
+    """r13 PDF text extraction, pure core (no Spark): Tj / ' / \" / TJ
+    shows, paren escapes + octal + nesting + line continuation, hex
+    strings (odd-padded, whitespace-tolerant), FlateDecode via stdlib
+    zlib, foreign-filter streams skipped, quarantine codes, and the
+    builder's escape being the parser's exact inverse."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.pdf import (
+        build_simple_pdf, escape_pdf_string, pdf_text_of,
+    )
+
+    def pure(cs, flate=False):
+        return pdf_text_of(build_simple_pdf(cs, flate=flate),
+                           engine="pure")
+
+    assert pure(b"BT (Hi) Tj ET") == ("Hi", None)
+    assert pure(b"BT (Hi) Tj ET", flate=True) == ("Hi", None)
+    # escapes: named, octal (1-3 digits), nested balanced parens,
+    # backslash-newline continuation
+    cs_esc = (b"BT (a\\(b\\)c \\101 \\12 ((x)) d\\\ne) Tj ET")
+    assert pure(cs_esc) == ("a(b)c A \n ((x)) de", None)
+    # ' and " show; TJ concatenates array strings, numbers ignored
+    assert pure(b"BT (one) ' [(two) -250 (three)] TJ (four) \" ET") == (
+        "one twothree four", None)
+    # hex strings: whitespace inside, odd count pads a zero
+    assert pure(b"BT <4869 2> Tj ET") == ("Hi ", None)
+    # a DCT (image) stream must not abort or contribute
+    img = (b"%PDF-1.4\n1 0 obj << /Filter /DCTDecode /Length 4 >>\n"
+           b"stream\n\xff\xd8\xff\xe0\nendstream endobj\n"
+           b"2 0 obj << /Length 16 >>\nstream\nBT (ok) Tj ET\nendstream"
+           b" endobj\n%%EOF")
+    assert pdf_text_of(img, engine="pure") == ("ok", None)
+    # quarantine codes
+    assert pdf_text_of(b"GIF89a...") == (None, "not_pdf")
+    assert pdf_text_of(None) == (None, None)
+    bad = (b"%PDF-1.4\n1 0 obj << /Length 3 /Filter /FlateDecode >>\n"
+           b"stream\nAB\nendstream endobj")
+    assert pdf_text_of(bad, engine="pure") == (None, "flate_error")
+    # builder escape inverts parser unescape for hostile bytes
+    hostile = b"a\\b(c)d \\( \\n"
+    cs = b"BT (" + escape_pdf_string(hostile) + b") Tj ET"
+    assert pure(cs) == (hostile.decode("latin-1"), None)
+    with _pytest.raises(ValueError, match="engine"):
+        pdf_text_of(b"%PDF-", engine="magic")
+
+
+def test_extract_pdf_text_frame(spark):
+    """r13 PDF extraction Spark plumbing: per-row quarantine, NULL
+    passthrough, column clash guard, and a map-only (no Exchange)
+    single-Arrow-stage plan."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import pdf as pdfx
+
+    rows = [
+        (1, pdfx.build_simple_pdf(b"BT (alpha) Tj ET")),
+        (2, pdfx.build_simple_pdf(b"BT (beta) Tj ET", flate=True)),
+        (3, b"PK\x03\x04 not a pdf"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.pdf_text, r.pdf_error) for r in
+           pdfx.extract_pdf_text(df, engine="pure").collect()}
+    assert got == {1: ("alpha", None), 2: ("beta", None),
+                   3: (None, "not_pdf"), 4: (None, None)}
+    plan = (pdfx.extract_pdf_text(df, engine="pure")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    with _pytest.raises(ValueError, match="clobber"):
+        pdfx.extract_pdf_text(df.withColumn("pdf_text", F.lit("")))
+
+
+@__import__("pytest").mark.skipif(
+    __import__("importlib").util.find_spec("pypdf") is None,
+    reason="pypdf not installed (the import-try seam's absent arm)",
+)
+def test_pdf_text_pypdf_seam():
+    """When pypdf IS installed, the seam must accept the builder's
+    structurally-valid fixture and recover the shown text."""
+    from dataproc_spark.extensions.pdf import build_simple_pdf, pdf_text_of
+
+    t, e = pdf_text_of(
+        build_simple_pdf(b"BT /F1 12 Tf 72 720 Td (seam) Tj ET"),
+        engine="pypdf",
+    )
+    assert e is None and "seam" in t
+
+
 def test_cdx_closest(spark):
     """r13 CDX lookup: closest-|delta| matching with earlier-ts tie
     break, before-mode (latest at-or-before, NULL when nothing
