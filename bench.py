@@ -33,6 +33,14 @@ the selective family's session-scoped shard-results cache (and warm
 codegen generally) makes second in-session runs structurally faster,
 which would silently lower the headline against the baseline.
 Set SPARK_GRAFT_BENCH_RUNS=1 for the old single-run behavior.
+
+DRIFT PROTOCOL (r13, from the r12 embed_lsh/revisit adjudication):
+when a SINGLE-query extended median moves >50% round-over-round on
+UNTOUCHED code, re-time the prior round's commit (git worktree at that
+commit, same command, same day) before treating it as a regression —
+in r12 both apparent regressions reproduced on the unchanged r11
+checkout, i.e. they were machine-state drift. The headline
+median-of-3 absorbs this; single-query medians don't.
 """
 
 from __future__ import annotations
@@ -108,6 +116,11 @@ EXTENDED_QUERIES = [
     "mime_sniff",
     "sitemap_parse",
     "link_extract",
+    # r13 families: redirect-chain resolution, CDX closest-capture
+    # lookup, PDF text extraction (pure-core tier)
+    "redirect_resolve",
+    "cdx_lookup",
+    "pdf_text",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["surt_key", "cdx_index", "cdx_closest"]
+__all__ = ["surt_key", "cdx_index", "cdx_closest", "write_sorted_cdx"]
 
 
 def surt_key(url_col: str | Column = "url") -> Column:
@@ -146,6 +146,7 @@ def cdx_closest(
     url_col: str = "url",
     ts_col: str = "ts",
     mode: str = "closest",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Look up the capture closest to a timestamp — the standard CDX
     query ("which capture of URL X is nearest time T?") that
@@ -175,12 +176,17 @@ def cdx_closest(
 
     100 TB plan: probes are a lookup batch (small side) — ONE
     broadcast-hash inner join streaming the index (with a
-    ``urlkey``-range-partitioned sorted index, min/max stats skip
-    every non-matching file before the join runs), then a min_by
-    partial aggregation keyed by the probe (map-side combined; the
-    shuffle carries one candidate row per probe per map partition),
-    then a probe-side left join to restore miss rows. The index is
-    never globally sorted, windowed, or collected.
+    ``urlkey``-range-partitioned sorted index —
+    :func:`write_sorted_cdx` — min/max stats skip every non-matching
+    file before the join runs), then a min_by partial aggregation
+    keyed by the probe (map-side combined; the shuffle carries one
+    candidate row per probe per map partition), then a probe-side
+    left join to restore miss rows. The index is never globally
+    sorted, windowed, or collected. ``broadcast_probes=False`` drops
+    the broadcast HINT for a probe batch too big to ship to every
+    executor (a bulk re-resolution pass, millions of probes) —
+    the join falls back to a shuffle hash/merge join on ``urlkey``,
+    everything downstream unchanged.
     """
     if mode not in ("closest", "before"):
         raise ValueError(f"mode must be 'closest' or 'before', got {mode!r}")
@@ -201,8 +207,9 @@ def cdx_closest(
         F.col("url").alias("_curl"),
         *others,
     )
+    build = F.broadcast(p) if broadcast_probes else p
     matches = idx.join(
-        F.broadcast(p), F.col("_pkey") == F.col("_ikey"), "inner"
+        build, F.col("_pkey") == F.col("_ikey"), "inner"
     )
     pts = F.col(ts_col).cast("long")
     its = F.col("_its").cast("long")
@@ -229,4 +236,26 @@ def cdx_closest(
         F.col("_cap.cdx_ts").alias("cdx_ts"),
         F.col("_cap.cdx_url").alias("cdx_url"),
         *[F.col(f"_cap.{c}").alias(c) for c in others],
+    )
+
+
+def write_sorted_cdx(
+    index: DataFrame, path: str, n_files: int = 8
+) -> None:
+    """Write the *sorted CDX* deliverable: the index range-partitioned
+    and sorted by (``urlkey``, ``ts``) so every parquet file covers a
+    disjoint key range with min/max statistics — a
+    :func:`cdx_closest` batch (or any ``urlkey`` range scan) then
+    skips every non-overlapping file before a single row is read.
+
+    ONE shuffle of index-sized rows (``repartitionByRange`` samples
+    the key distribution, so file ranges stay balanced under skewed
+    hosts) + an in-partition sort — the archive bytes are never
+    touched, which is the whole point of a CDX sidecar. ``n_files``
+    sizes the range partitioning (at 100 TB: pick ~index_size /
+    128 MB)."""
+    (
+        index.repartitionByRange(n_files, F.col("urlkey"), F.col("ts"))
+        .sortWithinPartitions("urlkey", "ts")
+        .write.mode("overwrite").parquet(path)
     )

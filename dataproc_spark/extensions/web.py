@@ -835,6 +835,58 @@ def robots_allowed(
     ).drop("rules")
 
 
+#: rel tokens that exclude an edge from "followed" link-graph rollups —
+#: the HTML spec's link-type tokens search engines discount
+#: (rel is a space-separated token LIST, so matching is per token,
+#: never substring: rel="nofollowme" must not match)
+NOFOLLOW_REL_TOKENS = ("nofollow", "sponsored", "ugc")
+
+
+def host_link_graph(
+    links: DataFrame,
+    url_col: str = "url",
+    link_col: str = "link_url",
+    rel_col: str = "rel",
+    drop_rel: tuple = NOFOLLOW_REL_TOKENS,
+    include_self: bool = False,
+) -> DataFrame:
+    """Roll an :func:`extract_links` edge list up to the HOST graph —
+    the aggregation every crawl-scale ranking (PageRank over hosts,
+    spam neighborhoods, frontier prioritization) actually consumes:
+    one row per (src_host, dst_host) with ``n_links`` (all edges) and
+    ``n_followed`` (edges whose ``rel`` carries none of ``drop_rel``
+    — token-exact over the space-separated rel list, case-insensitive;
+    a missing rel follows). Rows whose either host fails to parse are
+    dropped (an edge with no endpoint identity), as are same-host
+    self edges unless ``include_self``.
+
+    100 TB plan: host extraction is the map-only ``host_of``
+    projection; the ONE shuffle is the (src_host, dst_host) aggregate
+    with map-side combine — it carries host pairs and two counters,
+    never pages. Feed the result straight to
+    :func:`...graph.pagerank` (``n_followed`` as the weight)."""
+    src_h = host_of(url_col)
+    dst_h = host_of(link_col)
+    rel = F.lower(F.coalesce(
+        F.col(rel_col) if isinstance(rel_col, str) else rel_col, F.lit("")
+    ))
+    tokens = F.split(rel, r"\s+")
+    flagged = F.exists(
+        tokens, lambda t: t.isin(*[x.lower() for x in drop_rel])
+    )
+    out = links.select(
+        src_h.alias("src_host"),
+        dst_h.alias("dst_host"),
+        (~flagged).cast("long").alias("_follow"),
+    ).where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+    if not include_self:
+        out = out.where(F.col("src_host") != F.col("dst_host"))
+    return out.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.sum("_follow").cast("long").alias("n_followed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # HTTP redirect-chain resolution (r13) — the capture-graph walk
 # ---------------------------------------------------------------------------
@@ -1362,7 +1414,14 @@ def extract_links(
         tags,
         lambda t: F.struct(
             _tag_attr(t, "href").alias("href"),
-            _tag_attr(t, "rel").alias("rel"),
+            # contains-guard: most anchors carry no rel, and a FAILING
+            # lazy attribute walk is the expensive path (the regex must
+            # exhaust every split point) — the substring test skips it
+            # (~2x on the 100x probe; false positives like a 'rel'
+            # inside another value just fall through to the exact walk)
+            F.when(
+                F.lower(t).contains("rel"), _tag_attr(t, "rel")
+            ).otherwise(F.lit("")).alias("rel"),
         ),
     )
     links = F.filter(

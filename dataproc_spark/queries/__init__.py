@@ -296,6 +296,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
     "cdx_lookup": (q_cdx_lookup, SQL_CDX_LOOKUP),
     "pdf_text": (q_pdf_text, SQL_PDF_TEXT),
+    "host_graph": (q_host_graph, SQL_HOST_GRAPH),
 }
 
 

@@ -1587,6 +1587,66 @@ FROM keys
 
 
 # --------------------------------------------------------------------------
+# r13: host link-graph rollup — the web-graph consumer
+# --------------------------------------------------------------------------
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link-graph rollup (``web.host_link_graph`` over
+    ``extract_links``): the aggregation crawl rankings consume — one
+    row per (src_host, dst_host) with total and FOLLOWED edge counts.
+    Each document's page links to (a) a clean cross-host target, (b) a
+    ``rel=nofollow`` target that must count in ``n_links`` but NOT in
+    ``n_followed`` (the spam-edge filter — token-exact: a
+    ``rel=nofollowme`` decoy on arm-even docs must still follow), and
+    (c) itself (dropped — self edges carry no ranking signal). The
+    oracle rebuilds the per-host-pair arithmetic from the doc_id → host
+    mapping. Plan: map-only extraction + ONE map-side-combined shuffle
+    carrying host pairs (the operator's only exchange)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    n = (F.col("doc_id") % 37).cast("string")
+    decoy = F.when(
+        F.col("doc_id") % 2 == 0, F.lit(' rel="nofollowme"')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<a href="https://other'), n, F.lit('.org/x')
+        , F.lit('"'), decoy, F.lit(">a</a>"),
+        F.lit('<a href="https://cdn'), n,
+        F.lit('.net/y" rel="ugc nofollow">b</a>'),
+        F.lit('<a href="https://www.site'), n, F.lit('.com/self/'),
+        did, F.lit('">c</a><p>'),
+        F.coalesce(F.col("text"), F.lit("")), F.lit("</p>"),
+    )
+    src = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://www.site"), n, F.lit(".com/p"), did,
+                 F.lit(".html")).alias("url"),
+        html.alias("html"),
+    )
+    links = web.extract_links(src)
+    return web.host_link_graph(links).select(
+        "src_host", "dst_host", "n_links", "n_followed"
+    )
+
+
+SQL_HOST_GRAPH = """
+WITH b AS (
+    SELECT CAST(doc_id % 37 AS VARCHAR) AS n,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1
+)
+SELECT 'www.site' || n || '.com' AS src_host,
+       'other' || n || '.org' AS dst_host,
+       c AS n_links, c AS n_followed
+FROM b
+UNION ALL
+SELECT 'www.site' || n || '.com', 'cdn' || n || '.net', c,
+       CAST(0 AS BIGINT)
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
 # r13: CDX lookup — closest capture at/before a timestamp
 # --------------------------------------------------------------------------
 

@@ -4055,6 +4055,71 @@ def test_extract_links_rel_and_base(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_write_sorted_cdx(spark, tmp_path):
+    """r13 sorted-CDX writer: part files cover DISJOINT (urlkey, ts)
+    ranges, rows are sorted within each file (min/max stats make range
+    scans file-skipping), and the roundtrip loses nothing."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dataproc_spark.extensions import cdx as cdxx
+
+    rows = [(f"com,h{i % 7})/p/{i}", f"202601010000{i % 60:02d}",
+             f"https://h{i % 7}.com/p/{i}", i) for i in range(200)]
+    idx = spark.createDataFrame(
+        rows, "urlkey string, ts string, url string, length long")
+    out = str(tmp_path / "cdx")
+    cdxx.write_sorted_cdx(idx, out, n_files=4)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["urlkey", "ts"])
+        keys = list(zip(t.column("urlkey").to_pylist(),
+                        t.column("ts").to_pylist()))
+        if not keys:
+            continue
+        assert keys == sorted(keys), f"{f} not sorted within file"
+        ranges.append((keys[0], keys[-1]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, "file key ranges overlap"
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert {r.urlkey for r in back.select("urlkey").collect()} == {
+        k for k, *_ in rows}
+
+
+def test_host_link_graph(spark):
+    """r13 host-graph rollup: per-host-pair totals vs followed counts
+    (token-exact rel matching — substrings and case variants handled),
+    self-edge and NULL-host drops, include_self opt-in, and a
+    single-exchange plan."""
+    from dataproc_spark.extensions import web as webx
+
+    links = spark.createDataFrame(
+        [("https://a.ex/1", "https://b.ex/x", None),
+         ("https://a.ex/2", "https://b.ex/y", "NoFollow"),   # case
+         ("https://a.ex/3", "https://b.ex/z", "nofollowme"),  # decoy
+         ("https://a.ex/4", "https://b.ex/w", "ugc author"),
+         ("https://a.ex/5", "https://a.ex/self", None),
+         ("https://a.ex/6", "not a url", None),
+         ("https://a.ex/7", "https://c.ex/q", "sponsored nofollow")],
+        "url string, link_url string, rel string",
+    )
+    got = {(r.src_host, r.dst_host): (r.n_links, r.n_followed)
+           for r in webx.host_link_graph(links).collect()}
+    assert got == {("a.ex", "b.ex"): (4, 2), ("a.ex", "c.ex"): (1, 0)}
+    with_self = {(r.src_host, r.dst_host): (r.n_links, r.n_followed)
+                 for r in webx.host_link_graph(
+                     links, include_self=True).collect()}
+    assert with_self[("a.ex", "a.ex")] == (1, 1)
+    plan = (webx.host_link_graph(links)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1 and "Python" not in plan
+
+
 def test_pdf_text_pure_core():
     """r13 PDF text extraction, pure core (no Spark): Tj / ' / \" / TJ
     shows, paren escapes + octal + nesting + line continuation, hex
@@ -4191,6 +4256,10 @@ def test_cdx_closest(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the huge-batch fallback (no broadcast hint) agrees exactly
+    nb = {r.pid: r.cdx_ts for r in cdxx.cdx_closest(
+        idx, probes, broadcast_probes=False).collect()}
+    assert nb == {p: r.cdx_ts for p, r in got.items()}
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mode"):
         cdxx.cdx_closest(idx, probes, mode="nearest")
@@ -4262,6 +4331,34 @@ def test_resolve_redirects(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_hops"):
         webx.resolve_redirects(df, max_hops=0)
+
+
+def test_resolve_redirects_from_warc(spark, tmp_path):
+    """r13 integration: the production chain WARC sink → read_warc
+    (envelope split) → resolve_redirects — a 301 capture written as a
+    real application/http payload resolves through the re-ingested
+    frame's http_status/http_headers columns."""
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.extensions import web as webx
+
+    env301 = (b"HTTP/1.1 301 Moved Permanently\r\n"
+              b"Location: /final\r\nContent-Type: text/html\r\n\r\nmoved")
+    env200 = (b"HTTP/1.1 200 OK\r\n"
+              b"Content-Type: text/html\r\n\r\n<html>home</html>")
+    src = spark.createDataFrame(
+        [("https://w.ex/old", bytearray(env301)),
+         ("https://w.ex/final", bytearray(env200))],
+        "target_uri string, payload binary",
+    )
+    out = str(tmp_path / "redir_warc")
+    warcx.write_warc_shards(src, out)
+    back = warcx.read_warc(spark, out)
+    got = {r.source_url: (r.final_url, r.n_hops, r.resolution)
+           for r in webx.resolve_redirects(back).collect()}
+    assert got == {
+        "https://w.ex/old": ("https://w.ex/final", 1, "ok"),
+        "https://w.ex/final": ("https://w.ex/final", 0, "ok"),
+    }
 
 
 def test_r12_review_fixes(spark):
