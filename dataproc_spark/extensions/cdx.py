@@ -218,8 +218,13 @@ def cdx_closest(
         # NULL key (ineligible) rows are ignored by min_by
         key = F.when(its <= pts, F.struct((-its).alias("d")))
     else:
-        key = F.struct(
-            F.abs(its - pts).alias("d"), its.alias("t")
+        # guard the struct behind a WHEN: a NULL probe ts would build
+        # struct(NULL, its) — non-NULL as a whole, so min_by would
+        # pick an arbitrary capture instead of none (r13 review
+        # finding); NULL key → min_by ignores → NULL capture columns
+        key = F.when(
+            pts.isNotNull(),
+            F.struct(F.abs(its - pts).alias("d"), its.alias("t")),
         )
     cap = F.struct(
         F.col("_its").alias("cdx_ts"),

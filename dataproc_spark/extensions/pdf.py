@@ -162,11 +162,17 @@ def _content_text(content: bytes) -> list:
             in_array = None
             i += 1
         elif c in (b"T", b"'", b'"'):
-            if c == b"T" and content[i:i + 2] == b"Tj":
+            # an OPERATOR ends at a delimiter/whitespace/end — without
+            # the check a name token like /TjFont would fire a phantom
+            # show (r13 review finding)
+            after = content[i + 2:i + 3]
+            is_op_end = (after == b"" or after.isspace()
+                         or after in b"/[]()<>%")
+            if c == b"T" and content[i:i + 2] == b"Tj" and is_op_end:
                 if last_str is not None:
                     out.append(_decode_bytes(last_str))
                 i += 2
-            elif c == b"T" and content[i:i + 2] == b"TJ":
+            elif c == b"T" and content[i:i + 2] == b"TJ" and is_op_end:
                 if last_array:
                     out.append(_decode_bytes(
                         b"".join(x for x in last_array

@@ -975,8 +975,14 @@ def resolve_redirects(
         F.col("_st").asc_nulls_last(),
         F.col("_loc").asc_nulls_last(),
     )
-    redir = (
-        F.col("_st").isin(*REDIRECT_STATUSES) & F.col("_loc").isNotNull()
+    # coalesce to false: a NULL status with a non-NULL Location (a
+    # caller-built frame outside the envelope-split contract) makes
+    # the conjunction NULL, and a NULL predicate fails BOTH ~redir and
+    # redir filters — the row would silently vanish from the output
+    # (r13 review finding)
+    redir = F.coalesce(
+        F.col("_st").isin(*REDIRECT_STATUSES) & F.col("_loc").isNotNull(),
+        F.lit(False),
     )
     nodes = (
         raw.withColumn("_rn", F.row_number().over(w))

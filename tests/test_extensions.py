@@ -4333,6 +4333,43 @@ def test_resolve_redirects(spark):
         webx.resolve_redirects(df, max_hops=0)
 
 
+def test_r13_review_fixes(spark):
+    """r13 self-review regressions, one assert per finding:
+    (1) a NULL-status row with a Location header must not VANISH from
+    resolve_redirects output (NULL predicate fails both filters);
+    (2) a NULL probe ts in cdx_closest 'closest' mode yields NULL
+    capture columns, not an arbitrary winner; (3) a /TjFont name
+    token in a PDF content stream must not fire a phantom show."""
+    from dataproc_spark.extensions import cdx as cdxx
+    from dataproc_spark.extensions import web as webx
+    from dataproc_spark.extensions.pdf import build_simple_pdf, pdf_text_of
+
+    # (1)
+    df = spark.createDataFrame(
+        [("https://a.ex/weird", None, {"location": "/x"}, "2026")],
+        "target_uri string, http_status int, "
+        "http_headers map<string,string>, warc_date string")
+    got = webx.resolve_redirects(df).collect()
+    assert [(r.source_url, r.final_url, r.n_hops, r.resolution)
+            for r in got] == [
+        ("https://a.ex/weird", "https://a.ex/weird", 0, "ok")]
+
+    # (2)
+    idx = spark.createDataFrame(
+        [("com,n)/p", "20250101000000", "https://n.com/p")],
+        "urlkey string, ts string, url string")
+    probes = spark.createDataFrame(
+        [(1, "https://n.com/p", None)], "pid long, url string, ts string")
+    row = cdxx.cdx_closest(idx, probes).collect()[0]
+    assert row.cdx_ts is None and row.cdx_url is None
+
+    # (3) — the decoy must not DOUBLE-show the previous string: before
+    # the delimiter check, /TjFont re-fired 'decoy' off last_str
+    cs = b"BT (decoy) Tj /TjFont 12 Tf (real) Tj ET"
+    assert pdf_text_of(build_simple_pdf(cs), engine="pure") == (
+        "decoy real", None)
+
+
 def test_resolve_redirects_from_warc(spark, tmp_path):
     """r13 integration: the production chain WARC sink → read_warc
     (envelope split) → resolve_redirects — a 301 capture written as a
