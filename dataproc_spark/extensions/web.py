@@ -835,6 +835,63 @@ def robots_allowed(
     ).drop("rules")
 
 
+def frontier_schedule(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    order_by: list[str] | None = None,
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """Politeness-aware frontier scheduling: the step between "these
+    URLs are allowed" (:func:`robots_allowed`) and "fetch them" — a
+    crawler must space same-host requests by the host's
+    ``Crawl-delay``. Joins each URL's host to its delay (the
+    ``robots_rules_frame(with_politeness=True)`` frame; hosts with no
+    row or a NULL delay get ``default_delay`` seconds), ranks URLs
+    within each host by ``order_by`` (ascending, NULLS LAST — pass a
+    unique id last for determinism, the :func:`cap_per_domain`
+    contract), and emits:
+
+    - ``fetch_seq`` — 0-based fetch position within the host;
+    - ``delay_ms`` — the host's effective delay in integer
+      milliseconds (exact across engines — no float offsets);
+    - ``fetch_offset_ms`` — ``fetch_seq * delay_ms``, the earliest
+      politeness-legal start relative to the host's first fetch.
+
+    100 TB plan: ONE broadcast join (the rules side is per-host) +
+    ONE window shuffle on the host. A mega-host is the skew case and
+    CANNOT be salted here (the sequence is inherently global per
+    host) — run :func:`cap_per_domain` first, which is what a real
+    frontier does anyway (a host contributing 10^7 URLs at delay 1 s
+    would take months to drain regardless of the engine)."""
+    from dataproc_spark.core import ensure_has_columns, ensure_no_columns
+
+    order_by = order_by or ["url"]
+    ensure_has_columns(rules, [host_col, "crawl_delay"])
+    ensure_no_columns(
+        urls, ("fetch_seq", "delay_ms", "fetch_offset_ms", "crawl_delay"),
+        "frontier_schedule",
+    )
+    pol = rules.select(host_col, "crawl_delay")
+    joined = urls.join(F.broadcast(pol), on=host_col, how="left")
+    delay_ms = F.round(
+        F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+        * 1000
+    ).cast("long")
+    w = Window.partitionBy(host_col).orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_by]
+    )
+    return (
+        joined.withColumn("fetch_seq",
+                          (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("delay_ms", delay_ms)
+        .withColumn("fetch_offset_ms",
+                    (F.col("fetch_seq") * F.col("delay_ms")).cast("long"))
+        .drop("crawl_delay")
+    )
+
+
 #: rel tokens that exclude an edge from "followed" link-graph rollups —
 #: the HTML spec's link-type tokens search engines discount
 #: (rel is a space-separated token LIST, so matching is per token,

@@ -297,6 +297,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cdx_lookup": (q_cdx_lookup, SQL_CDX_LOOKUP),
     "pdf_text": (q_pdf_text, SQL_PDF_TEXT),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
+    "frontier_schedule": (q_frontier_schedule, SQL_FRONTIER_SCHEDULE),
 }
 
 

@@ -1587,6 +1587,65 @@ FROM keys
 
 
 # --------------------------------------------------------------------------
+# r13: politeness-aware frontier scheduling
+# --------------------------------------------------------------------------
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier scheduling (``web.frontier_schedule``): the step
+    between robots filtering and fetching — same-host requests spaced
+    by the host's ``Crawl-delay``. Hosts reuse the robots_filter
+    classes (delay 1.5 s / undeclared → 1.0 s default / 3 s), URLs
+    rank per host by ``doc_id``, and the integer-millisecond offsets
+    (``fetch_seq × delay_ms``) are on the hash — a wrong group pick,
+    default application, rounding, or window order flips values. The
+    oracle replays the window arithmetic with ``row_number()``. Plan:
+    ONE broadcast rules join + ONE host-keyed window shuffle (the
+    operator's only exchange; mega-host skew is pre-capped by
+    ``cap_per_domain``, see the operator docstring)."""
+    urls = (
+        _docs_with_url(spark, sf_dir)
+        .select("doc_id", "url")
+        .withColumn("host", web.host_of("url"))
+    )
+    cls = F.regexp_extract(F.col("host"), r"site([0-9]+)", 1).cast("int") % 3
+    txt = (
+        F.when(cls == 0, F.lit(
+            "User-agent: *\nCrawl-delay: 1.5\nDisallow: /p/\n"))
+        .when(cls == 1, F.lit(
+            "User-agent: *\nDisallow: /p/5\n"))  # no delay → default
+        .otherwise(F.lit(
+            "User-agent: *\nDisallow: /p/\nCrawl-delay: 3\n"))
+    )
+    robots = urls.select("host").distinct().select(
+        "host", txt.alias("robots_txt")
+    )
+    rules = web.robots_rules_frame(robots, with_politeness=True)
+    return web.frontier_schedule(
+        urls, rules, order_by=["doc_id"]
+    ).select("doc_id", "host", "fetch_seq", "delay_ms", "fetch_offset_ms")
+
+
+SQL_FRONTIER_SCHEDULE = f"""
+WITH u AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
+h AS (SELECT doc_id, {_DUCK_HOST} AS host FROM u),
+c AS (
+    SELECT doc_id, host,
+           CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INTEGER) % 3
+               AS cls,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                - 1 AS BIGINT) AS fetch_seq
+    FROM h
+)
+SELECT doc_id, host, fetch_seq,
+       CAST(CASE cls WHEN 0 THEN 1500 WHEN 1 THEN 1000 ELSE 3000 END
+            AS BIGINT) AS delay_ms,
+       CAST(fetch_seq * CASE cls WHEN 0 THEN 1500 WHEN 1 THEN 1000
+                        ELSE 3000 END AS BIGINT) AS fetch_offset_ms
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # r13: host link-graph rollup — the web-graph consumer
 # --------------------------------------------------------------------------
 

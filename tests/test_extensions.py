@@ -4333,6 +4333,40 @@ def test_resolve_redirects(spark):
         webx.resolve_redirects(df, max_hops=0)
 
 
+def test_frontier_schedule(spark):
+    """r13 frontier scheduling: per-host 0-based fetch sequence by the
+    given order, integer-millisecond offsets from the host's
+    crawl_delay, default for missing/NULL delays, clash guard, and a
+    broadcast-join + one-window plan."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import web as webx
+
+    urls = spark.createDataFrame(
+        [(3, "a.ex", "https://a.ex/3"), (1, "a.ex", "https://a.ex/1"),
+         (2, "a.ex", "https://a.ex/2"), (9, "b.ex", "https://b.ex/9"),
+         (4, "c.ex", "https://c.ex/4")],
+        "doc_id long, host string, url string",
+    )
+    rules = spark.createDataFrame(
+        [("a.ex", 2.5), ("b.ex", None)], "host string, crawl_delay double")
+    got = {r.doc_id: (r.fetch_seq, r.delay_ms, r.fetch_offset_ms)
+           for r in webx.frontier_schedule(
+               urls, rules, order_by=["doc_id"]).collect()}
+    assert got[1] == (0, 2500, 0)
+    assert got[2] == (1, 2500, 2500)
+    assert got[3] == (2, 2500, 5000)
+    assert got[9] == (0, 1000, 0)   # NULL delay → default 1.0 s
+    assert got[4] == (0, 1000, 0)   # host absent from rules → default
+    plan = (webx.frontier_schedule(urls, rules, order_by=["doc_id"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    with _pytest.raises(ValueError, match="clobber"):
+        webx.frontier_schedule(
+            urls.withColumn("fetch_seq", F.lit(0)), rules)
+
+
 def test_r13_review_fixes(spark):
     """r13 self-review regressions, one assert per finding:
     (1) a NULL-status row with a Location header must not VANISH from
