@@ -4404,6 +4404,133 @@ def test_r13_review_fixes(spark):
         "decoy real", None)
 
 
+def test_resolve_redirects_vs_python_model(spark):
+    """resolve_redirects vs an independent pure-Python chain walker
+    over 8 seeded random capture graphs (dense redirect fraction so
+    chains/cycles/danglers all occur, random max_hops) — the model
+    walks each chain with plain dicts, sharing no code with the
+    operator."""
+    import random
+
+    from dataproc_spark.extensions import web as webx
+
+    rng = random.Random(0xBEEF)
+    for trial in range(8):
+        n = rng.randint(6, 24)
+        urls = [f"https://m{trial}.ex/u{i}" for i in range(n)]
+        nodes = {}
+        for u in urls:
+            if rng.random() < 0.55:
+                tgt = rng.choice(
+                    urls + [f"https://ext{trial}.ex/g{k}"
+                            for k in range(3)])
+                nodes[u] = (True, tgt)
+            else:
+                nodes[u] = (False, None)
+        max_hops = rng.randint(1, 4)
+
+        # independent model (same outcome order as the operator:
+        # external/ok -> loop -> truncated -> continue)
+        expect = {}
+        for u, (redir, tgt) in nodes.items():
+            if not redir:
+                expect[u] = (u, 0, "ok")
+                continue
+            visited = {u}
+            cur, hops = tgt, 1
+            while True:
+                node = nodes.get(cur)
+                if node is None:
+                    expect[u] = (cur, hops, "external")
+                    break
+                if not node[0]:
+                    expect[u] = (cur, hops, "ok")
+                    break
+                nxt = node[1]
+                if nxt in visited or nxt == cur:
+                    expect[u] = (None, hops, "loop")
+                    break
+                if hops >= max_hops:
+                    expect[u] = (cur, hops, "truncated")
+                    break
+                visited.add(cur)
+                cur, hops = nxt, hops + 1
+
+        rows = [(u, 301 if redir else 200,
+                 {"location": tgt} if redir else {},
+                 "2026-01-01T00:00:00Z")
+                for u, (redir, tgt) in nodes.items()]
+        df = spark.createDataFrame(
+            rows, "target_uri string, http_status int, "
+            "http_headers map<string,string>, warc_date string")
+        got = {r.source_url: (r.final_url, r.n_hops, r.resolution)
+               for r in webx.resolve_redirects(
+                   df, max_hops=max_hops).collect()}
+        assert got == expect, (trial, max_hops, nodes)
+
+
+def test_cdx_closest_vs_python_model(spark):
+    """cdx_closest vs an independent pure-Python winner picker over 8
+    seeded random index/probe sets (shared urlkeys, random 14-digit
+    timestamps, both modes) — the model recomputes |delta| / at-or-
+    before winners with plain dicts."""
+    import random
+
+    from dataproc_spark.extensions import cdx as cdxx
+
+    rng = random.Random(0xFACE)
+    for trial in range(8):
+        n_keys = rng.randint(2, 6)
+        caps = []
+        for k in range(n_keys):
+            seen: set = set()
+            for c in range(rng.randint(1, 4)):
+                ts = f"20{rng.randint(10, 30):02d}0{rng.randint(1, 9)}" \
+                     f"0{rng.randint(1, 9)}{rng.randint(0, 23):02d}" \
+                     f"{rng.randint(0, 59):02d}{rng.randint(0, 59):02d}"
+                if ts in seen:  # equal-ts ties are ambiguous by design
+                    continue
+                seen.add(ts)
+                caps.append((f"ex,k{k})/p", ts,
+                             f"https://k{k}.ex/p", len(caps)))
+        idx = spark.createDataFrame(
+            caps, "urlkey string, ts string, url string, capid long")
+        probes = []
+        for pid in range(rng.randint(3, 8)):
+            k = rng.randint(0, n_keys)  # n_keys = a MISSING key
+            ts = rng.choice(
+                [c[1] for c in caps]
+                + [f"20{rng.randint(10, 30):02d}0101000000"])
+            probes.append((pid, f"https://K{k}.EX/p", ts))
+        pdf = spark.createDataFrame(
+            probes, "pid long, url string, ts string")
+
+        by_key: dict = {}
+        for key, ts, _, capid in caps:
+            by_key.setdefault(key, []).append((ts, capid))
+        for mode in ("closest", "before"):
+            expect = {}
+            for pid, purl, pts in probes:
+                k = purl.lower().split("k", 1)[1].split(".")[0]
+                key = f"ex,k{k})/p"
+                cands = by_key.get(key, [])
+                if mode == "before":
+                    elig = [(ts, cid) for ts, cid in cands if ts <= pts]
+                    win = max(elig, key=lambda x: int(x[0]),
+                              default=None)
+                else:
+                    win = min(
+                        cands,
+                        key=lambda x: (abs(int(x[0]) - int(pts)),
+                                       int(x[0])),
+                        default=None,
+                    )
+                expect[pid] = None if win is None else win[1]
+            got = {r.pid: r.capid for r in cdxx.cdx_closest(
+                idx, pdf, mode=mode).collect()}
+            assert got == expect, (trial, mode, caps, probes)
+
+
 def test_resolve_redirects_from_warc(spark, tmp_path):
     """r13 integration: the production chain WARC sink → read_warc
     (envelope split) → resolve_redirects — a 301 capture written as a
