@@ -39,6 +39,12 @@ for d in sys.argv[1:]:
         ("robots_filter",
          lambda df: df.agg(F.sum(F.col("allowed").cast("int")),
                            F.sum("crawl_delay"), F.count("*"))),
+        ("host_graph",
+         lambda df: df.agg(F.sum("n_links"), F.sum("n_followed"),
+                           F.count("*"))),
+        ("frontier_schedule",
+         lambda df: df.agg(F.sum("fetch_offset_ms"), F.sum("delay_ms"),
+                           F.count("*"))),
     ):
         t0 = time.time()
         row = agg(REGISTRY[name][0](spark, d)).collect()[0]
