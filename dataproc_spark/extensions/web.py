@@ -859,6 +859,11 @@ def frontier_schedule(
     - ``fetch_offset_ms`` — ``fetch_seq * delay_ms``, the earliest
       politeness-legal start relative to the host's first fetch.
 
+    ``rules`` must be ONE row per host (the
+    :func:`robots_rules_frame` contract) — a duplicate host row would
+    fan the join out and corrupt every sequence, the same precondition
+    as every id-keyed operator here.
+
     100 TB plan: ONE broadcast join (the rules side is per-host) +
     ONE window shuffle on the host. A mega-host is the skew case and
     CANNOT be salted here (the sequence is inherently global per
@@ -1402,18 +1407,27 @@ def _tag_attr(tag: Column, name: str) -> Column:
 
 
 def base_href(html_col: str | Column = "html") -> Column:
-    """The FIRST ``<base href=...>`` value of a page, quote-stripped —
-    ``''`` when the page declares none. HTML gives ``<base>`` document
+    """The first ``<base>`` element WITH an href, quote-stripped —
+    ``''`` when the page declares none. The with-href qualifier is the
+    HTML spec's rule: a leading ``<base target="_blank">`` must not
+    shadow a later ``<base href=...>`` (r13 second-review finding —
+    the draft took the first base TAG). HTML gives ``<base>`` document
     scope (the spec's per-position scoping — base applies to elements
     after it in tree order — is a browser DOM detail; crawl extractors
-    apply the first base document-wide, and a conforming page puts it
-    in ``<head>`` before any content anyway). Same quote-aware walk as
-    the link extraction; map-only."""
+    apply it document-wide, and a conforming page puts it in
+    ``<head>`` before any content anyway). Same quote-aware walk as
+    the link extraction; comments are not stripped (the
+    :func:`extract_links` contract). Map-only."""
     c = F.col(html_col) if isinstance(html_col, str) else html_col
-    tag = F.regexp_extract(
-        c, r"(?is)<base\s((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)", 1
+    tags = F.regexp_extract_all(
+        c, F.lit(r"(?is)<base\s((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"),
+        F.lit(1),
     )
-    return _tag_attr(tag, "href")
+    hrefs = F.filter(
+        F.transform(tags, lambda t: _tag_attr(t, "href")),
+        lambda h: h != "",
+    )
+    return F.coalesce(F.get(hrefs, 0), F.lit(""))
 
 
 def extract_links(

@@ -4025,8 +4025,10 @@ def test_extract_links_rel_and_base(spark):
                   '<a href="img.png">1</a><a href="/r">2</a>'),
         # relative base resolves against the page URL first
         (4, page, "<base href=/newroot/><a href='p.html'>1</a>"),
-        # base never touches absolute links; FIRST base wins
-        (5, page, '<base href="https://one.ex/d/">'
+        # base never touches absolute links; first base WITH HREF wins
+        # (a leading href-less <base target> must not shadow it)
+        (5, page, '<base target="_blank">'
+                  '<base href="https://one.ex/d/">'
                   '<base href="https://two.ex/e/">'
                   '<a href="https://abs.org/z">1</a><a href="q">2</a>'),
         # rel on a tag whose earlier attribute QUOTES a rel-like token
@@ -4402,6 +4404,91 @@ def test_r13_review_fixes(spark):
     cs = b"BT (decoy) Tj /TjFont 12 Tf (real) Tj ET"
     assert pdf_text_of(build_simple_pdf(cs), engine="pure") == (
         "decoy real", None)
+
+
+def test_extract_links_vs_stdlib_htmlparser(spark):
+    """extract_links vs stdlib html.parser over 15 seeded random
+    WELL-FORMED pages (randomized attribute order/quote styles, decoy
+    attributes quoting href-lookalikes and '>', rel variants, base
+    tags with and without href) — an independent HTML tokenizer, no
+    code shared with the regex walk. Entities and duplicate attributes
+    are excluded from generation (documented divergences: the walk
+    does not decode charrefs; first-attr-wins vs dict-last-wins)."""
+    import random
+    from html.parser import HTMLParser
+    from urllib.parse import urljoin
+
+    from dataproc_spark.extensions import web as webx
+
+    class Model(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.links = []
+            self.base = None
+
+        def handle_starttag(self, tag, attrs):
+            d = dict(attrs)
+            if tag == "a":
+                h = d.get("href")
+                if h and not h.startswith("#"):
+                    self.links.append((h, d.get("rel") or None))
+            if tag == "base" and self.base is None and d.get("href"):
+                self.base = d["href"]
+
+    rng = random.Random(0xD00D)
+    page = "https://www.gen.ex/a/b/p.html?q=1"
+    hrefs_pool = [
+        "https://abs{0}.org/x", "//cdn{0}.net/y", "/root/{0}?k=1",
+        "../up/./c{0}.html", "?page={0}", "sub/{0}/", "d{0}.html#frag",
+        "#self", "x{0}?a=1&b=2".replace("&", ""),  # no entities
+    ]
+    decoys = ['title="see href = fake here"', "class=big",
+              'alt="a > b still inside"', "data-href=https://no.ex/",
+              "id=z9"]
+    rels = [None, "nofollow", "ugc sponsored", "ME", ""]
+    bases = [None, "https://cdn.gen.ex/lib/", "/newroot/", "up/"]
+
+    cases = []
+    for trial in range(15):
+        parts = []
+        base = rng.choice(bases)
+        if base is not None:
+            if rng.random() < 0.4:  # href-less base first, must not win
+                parts.append('<base target="_blank">')
+            q = rng.choice(['"', "'"])
+            parts.append(f"<base href={q}{base}{q}>")
+        for i in range(rng.randint(3, 8)):
+            href = rng.choice(hrefs_pool).format(f"{trial}x{i}")
+            rel = rng.choice(rels)
+            q = rng.choice(['"', "'", ""])
+            if q == "" and any(c in href for c in " '\"<>"):
+                q = '"'
+            attrs = [rng.choice(decoys)] if rng.random() < 0.6 else []
+            attrs.append(f"href={q}{href}{q}")
+            if rel is not None:
+                qq = '"' if (" " in rel or rel == "") else rng.choice(
+                    ['"', "'", ""])
+                attrs.append(f"rel={qq}{rel}{qq}")
+            rng.shuffle(attrs)
+            parts.append(f"<a {' '.join(attrs)}>t{i}</a> plain text. ")
+        cases.append((trial, page, "".join(parts)))
+
+    df = spark.createDataFrame(
+        cases, "trial long, url string, html string")
+    got: dict = {}
+    for r in webx.extract_links(df).collect():
+        got.setdefault(r.trial, []).append(
+            (r.link_pos, r.href, r.rel, r.link_url))
+    for trial, purl, html in cases:
+        m = Model()
+        m.feed(html)
+        eff = urljoin(purl, m.base) if m.base else purl
+        expect = [
+            (i, h, rel, urljoin(eff, h).split("#", 1)[0])
+            for i, (h, rel) in enumerate(m.links)
+        ]
+        mine = sorted(got.get(trial, []))
+        assert mine == expect, (trial, html, mine, expect)
 
 
 def test_resolve_redirects_vs_python_model(spark):
