@@ -1146,6 +1146,118 @@ def read_wet(spark, path: str, skip_malformed: bool = False) -> DataFrame:
     return recs.withColumn("wet_text", F.decode(F.col("body"), "UTF-8"))
 
 
+#: the WAT metadata JSON contract (a deterministic, schema-fixed subset
+#: of Common Crawl's WAT envelope: capture identity + response metadata
+#: + the HTML features downstream consumers key on)
+WAT_SCHEMA = (
+    "struct<url:string,status:int,mime:string,title:string,"
+    "n_links:int,links:array<string>,meta_robots:array<string>>"
+)
+
+
+def write_wat_shards(
+    records,
+    out_dir: str,
+    uri_col: str = "target_uri",
+    status_col: str = "http_status",
+    content_type_col: str = "http_content_type",
+    html_col: str | None = None,
+    base_col: str | None = None,
+    refers_to_col: str | None = None,
+    compress: bool = True,
+    open_fn=None,
+) -> None:
+    """Sink per-capture metadata as WAT shards — WARC *metadata*
+    records (ISO 28500 §6.9) with a JSON payload, the third format of
+    the Common Crawl triad (WARC raw bytes / WAT metadata / WET text;
+    the other two are :func:`write_warc_shards` and
+    :func:`write_wet_shards`). The JSON is the deterministic
+    :data:`WAT_SCHEMA` subset: capture URL, HTTP status, media type
+    (parameters stripped, lowercased, NULL when untyped — the
+    ``cdx_index`` rule), and — when ``html_col`` is given — the HTML
+    features every WAT consumer wants: ``title``
+    (:func:`...web.page_title`), resolved outlinks
+    (:func:`...web.extract_link_array`, base-href aware, resolved
+    against ``base_col`` or the capture URL) with their count, and
+    page-level ``meta_robots`` directives. NULL fields are omitted
+    from the JSON (``to_json`` semantics — WAT consumers treat absent
+    and null alike).
+
+    Plan: the metadata build is one map-only projection (the link
+    walk included — zero shuffles, zero Python), then the shared WARC
+    sink (one gzip member per record, one shard per partition, atomic
+    finalize). At 100 TB the WAT pass is a scan of the archive."""
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions import web as webx
+
+    mime = F.lower(F.trim(
+        F.regexp_extract(F.col(content_type_col), r"^([^;]*)", 1)
+    ))
+    mime = F.when(mime == "", F.lit(None)).otherwise(mime)
+    fields = [
+        F.col(uri_col).alias("url"),
+        F.col(status_col).cast("int").alias("status"),
+        mime.alias("mime"),
+    ]
+    if html_col is not None:
+        links = webx.extract_link_array(
+            html_col, base_col=base_col or uri_col
+        )
+        fields += [
+            webx.page_title(html_col).alias("title"),
+            F.size(links).cast("int").alias("n_links"),
+            links.alias("links"),
+            webx.meta_robots(html_col).alias("meta_robots"),
+        ]
+    payload = F.to_json(F.struct(*fields))
+    cols = [
+        F.col(uri_col).alias("target_uri"),
+        F.encode(payload, "UTF-8").alias("payload"),
+        F.lit("metadata").alias("warc_type"),
+    ]
+    extra = None
+    if refers_to_col is not None:
+        cols.append(F.col(refers_to_col).alias("refers_to"))
+        extra = {"WARC-Refers-To": "refers_to"}
+    write_warc_shards(
+        records.select(*cols),
+        out_dir,
+        type_col="warc_type",
+        content_type="application/json",
+        compress=compress,
+        open_fn=open_fn,
+        extra_headers=extra,
+    )
+
+
+def read_wat(spark, path: str, skip_malformed: bool = False):
+    """Read WAT shards back into a typed metadata frame: *metadata*
+    records parsed against :data:`WAT_SCHEMA` and flattened — the
+    inverse of :func:`write_wat_shards` (absent JSON fields surface as
+    NULLs). Same binaryFile → Arrow splitter plan + one ``from_json``
+    projection, no shuffle."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(
+        spark, path, warc_types=("metadata",),
+        skip_malformed=skip_malformed,
+    )
+    parsed = recs.withColumn(
+        "_wat", F.from_json(F.decode(F.col("body"), "UTF-8"), WAT_SCHEMA)
+    )
+    return parsed.select(
+        *recs.columns,
+        F.col("_wat.url").alias("wat_url"),
+        F.col("_wat.status").alias("wat_status"),
+        F.col("_wat.mime").alias("wat_mime"),
+        F.col("_wat.title").alias("wat_title"),
+        F.col("_wat.n_links").alias("wat_n_links"),
+        F.col("_wat.links").alias("wat_links"),
+        F.col("_wat.meta_robots").alias("wat_meta_robots"),
+    )
+
+
 #: candidate codecs for :func:`detect_charset`, each with the Unicode
 #: ranges its "home" script occupies — a decode is plausible when most
 #: decoded LETTERS land in the codec's home script (plain ASCII is

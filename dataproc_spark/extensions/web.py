@@ -1430,6 +1430,116 @@ def base_href(html_col: str | Column = "html") -> Column:
     return F.coalesce(F.get(hrefs, 0), F.lit(""))
 
 
+def _link_structs(html: Column) -> Column:
+    """The quote-aware anchor walk shared by :func:`extract_links` and
+    :func:`extract_link_array`: whole ``<a ...`` open-tag bodies →
+    array of struct(href, rel), fragment-only/empty self-edges
+    excluded."""
+    tags = F.regexp_extract_all(
+        html,
+        F.lit(r"(?is)<a\s((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"),
+        F.lit(1),
+    )
+    links = F.transform(
+        tags,
+        lambda t: F.struct(
+            _tag_attr(t, "href").alias("href"),
+            # contains-guard: most anchors carry no rel, and a FAILING
+            # lazy attribute walk is the expensive path (the regex must
+            # exhaust every split point) — the substring test skips it
+            # (false positives like a 'rel' inside another value just
+            # fall through to the exact walk)
+            F.when(
+                F.lower(t).contains("rel"), _tag_attr(t, "rel")
+            ).otherwise(F.lit("")).alias("rel"),
+        ),
+    )
+    return F.filter(
+        links,
+        lambda s: (~s["href"].startswith("#")) & (s["href"] != ""),
+    )
+
+
+def _effective_base(
+    html: Column, base_col: str, honor_base: bool
+) -> Column:
+    """The resolution base of a page: the first ``<base href>``
+    resolved against the page URL when present and honored, else the
+    page URL itself."""
+    if not honor_base:
+        return F.col(base_col)
+    b = base_href(html)
+    return F.when(
+        b != "", resolve_url(F.col(base_col), b)
+    ).otherwise(F.col(base_col))
+
+
+def extract_link_array(
+    html_col: str | Column = "html",
+    base_col: str = "url",
+    honor_base: bool = True,
+) -> Column:
+    """The page's resolved outlinks as ONE ``array<string>`` column —
+    the no-explode form :func:`extract_links` flattens; what a WAT
+    metadata record or a per-page feature wants (r13). Same walk,
+    same base handling, zero shuffles, zero Python."""
+    html = F.coalesce(
+        F.col(html_col) if isinstance(html_col, str) else html_col,
+        F.lit(""),
+    )
+    eff = _effective_base(html, base_col, honor_base)
+    return F.transform(
+        _link_structs(html), lambda s: resolve_url(eff, s["href"])
+    )
+
+
+def page_title(html_col: str | Column = "html") -> Column:
+    """The page's ``<title>`` text: first title element, entities
+    decoded (the :data:`HTML_ENTITIES_FAST` chain), whitespace
+    collapsed, trimmed. NULL when the page has no (or an empty) title
+    — callers decide whether an untitled page matters. Map-only."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    got = F.regexp_extract(
+        c, r"(?is)<title(?:\s[^>]*)?>\s*(.*?)\s*</title\s*>", 1
+    )
+    t = F.trim(F.regexp_replace(unescape_html(got), r"[ \t\r\n]+", " "))
+    return F.when(t == "", F.lit(None)).otherwise(t)
+
+
+def meta_robots(
+    html_col: str | Column = "html", name: str = "robots"
+) -> Column:
+    """Page-level robots directives — the ``<meta name=robots
+    content="noindex, nofollow">`` element a polite pipeline honors
+    AFTER robots.txt (robots.txt gates the FETCH; the meta tag gates
+    indexing/link-following of a fetched page). Returns the lowercased
+    trimmed directive tokens as ``array<string>`` (first matching meta
+    element wins; ``name`` swaps in a crawler-specific element like
+    ``googlebot``), NULL when the page declares none. Quote-aware walk
+    (attribute order free: ``content`` before ``name`` works);
+    map-only."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    tags = F.regexp_extract_all(
+        c,
+        F.lit(r"(?is)<meta\s((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"),
+        F.lit(1),
+    )
+    hits = F.filter(
+        tags,
+        lambda t: F.lower(_tag_attr(t, "name")) == name.lower(),
+    )
+    content = _tag_attr(F.get(hits, 0), "content")
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(content), ","), lambda x: F.trim(x)
+        ),
+        lambda x: x != "",
+    )
+    return F.when(
+        content.isNull() | (F.size(toks) == 0), F.lit(None)
+    ).otherwise(toks)
+
+
 def extract_links(
     df: DataFrame,
     html_col: str = "html",
@@ -1480,31 +1590,7 @@ def extract_links(
         F.col(html_col) if isinstance(html_col, str) else html_col,
         F.lit(""),
     )
-    # whole open-tag bodies (everything after '<a ' up to the first
-    # unquoted '>'), quoted values consumed as units
-    tags = F.regexp_extract_all(
-        html,
-        F.lit(r"(?is)<a\s((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"),
-        F.lit(1),
-    )
-    links = F.transform(
-        tags,
-        lambda t: F.struct(
-            _tag_attr(t, "href").alias("href"),
-            # contains-guard: most anchors carry no rel, and a FAILING
-            # lazy attribute walk is the expensive path (the regex must
-            # exhaust every split point) — the substring test skips it
-            # (~2x on the 100x probe; false positives like a 'rel'
-            # inside another value just fall through to the exact walk)
-            F.when(
-                F.lower(t).contains("rel"), _tag_attr(t, "rel")
-            ).otherwise(F.lit("")).alias("rel"),
-        ),
-    )
-    links = F.filter(
-        links,
-        lambda s: (~s["href"].startswith("#")) & (s["href"] != ""),
-    )
+    links = _link_structs(html)
     others = list(df.columns)
     ex = df.select(
         *others, F.posexplode(links).alias("link_pos", "_link")
@@ -1517,12 +1603,9 @@ def extract_links(
     )
     if not resolve:
         return ex
-    eff_base = F.col(base_col)
-    if honor_base:
-        b = base_href(html_col)
-        eff_base = F.when(
-            b != "", resolve_url(F.col(base_col), b)
-        ).otherwise(F.col(base_col))
     return ex.withColumn(
-        "link_url", resolve_url(eff_base, F.col("href"))
+        "link_url",
+        resolve_url(
+            _effective_base(html, base_col, honor_base), F.col("href")
+        ),
     )

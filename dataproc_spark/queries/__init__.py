@@ -298,6 +298,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pdf_text": (q_pdf_text, SQL_PDF_TEXT),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "frontier_schedule": (q_frontier_schedule, SQL_FRONTIER_SCHEDULE),
+    "page_meta": (q_page_meta, SQL_PAGE_META),
+    "wat_roundtrip": (q_wat_roundtrip, SQL_WAT_ROUNDTRIP),
 }
 
 

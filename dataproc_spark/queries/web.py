@@ -1587,6 +1587,135 @@ FROM keys
 
 
 # --------------------------------------------------------------------------
+# r13: page metadata (title + meta robots) and the WAT sidecar
+# --------------------------------------------------------------------------
+
+def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page metadata extraction (``web.page_title`` +
+    ``web.meta_robots``): every page's own text rides into the
+    ``<title>`` with a literal ``&amp;`` that must decode and
+    whitespace that must collapse; the robots meta exercises three
+    arms — (0) quoted two-directive list with stray spaces and a
+    trailing comma; (1) ``content`` BEFORE ``name`` with a
+    case-variant ``ROBOTS`` (attribute order and case must not
+    matter); (2) no meta at all → NULL. The oracle restates the
+    decode/collapse/tokenize arithmetic. Plan: map-only projections,
+    zero shuffles, zero Python (plan-audited in the unit suite)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    arm = F.col("doc_id") % 3
+    meta = (
+        F.when(arm == 0, F.lit(
+            '<meta name="robots" content=" NOINDEX, nofollow ,">'))
+        .when(arm == 1, F.concat(
+            F.lit('<meta content=" all " name=ROBOTS>')))
+        .otherwise(F.lit("<meta name=viewport content=x>"))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" &amp; D"), did,
+        F.lit("</title>"), meta,
+        F.lit("</head><body><p>body</p></body></html>"),
+    )
+    src = docs.select("doc_id", html.alias("html"))
+    return src.select(
+        "doc_id",
+        web.page_title("html").alias("title"),
+        F.array_join(web.meta_robots("html"), ",").alias("robots_csv"),
+    )
+
+
+SQL_PAGE_META = """
+SELECT doc_id,
+       trim(regexp_replace(coalesce(text, '') || ' & D'
+                           || CAST(doc_id AS VARCHAR),
+                           '[ \t\r\n]+', ' ', 'g')) AS title,
+       CASE doc_id % 3
+           WHEN 0 THEN 'noindex,nofollow'
+           WHEN 1 THEN 'all'
+       END AS robots_csv
+FROM documents
+"""
+
+
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT sidecar production shape (``warc.write_wat_shards`` /
+    ``read_wat``): the third Common Crawl format — per-capture JSON
+    metadata as WARC *metadata* records. The gate runs the whole
+    chain: synthesize pages (title, one root-relative + one
+    path-relative link, a robots meta on even ids) → WAT sink (JSON
+    payload per record, one gzip member each) → re-ingest → typed
+    fields back out. Status cycles 200/301/404 and the Content-Type
+    arm includes an untyped capture whose ``mime`` must be NULL, not
+    ``''``. The oracle rebuilds every field arithmetically — JSON
+    framing, to_json NULL omission, link resolution, or from_json
+    schema drift all hash-fail. Scratch shards are removed before
+    returning."""
+    import shutil
+    import tempfile
+
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    n = (F.col("doc_id") % 37).cast("string")
+    url = F.concat(F.lit("https://site"), n, F.lit(".com/d/p"), did,
+                   F.lit(".html"))
+    meta = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit('<meta name=robots content="noindex">'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>W"), did, F.lit("</title>"), meta,
+        F.lit('</head><a href="/l/'), did, F.lit('">a</a>'),
+        F.lit('<a href="r'), did, F.lit('.html">b</a></html>'),
+    )
+    status = (F.col("doc_id") % 3 * 100 + 200).cast("int")
+    ctype = F.when(F.col("doc_id") % 4 == 3, F.lit(None)).otherwise(
+        F.lit("text/HTML; charset=utf-8"))
+    src = docs.select(
+        url.alias("target_uri"),
+        status.alias("http_status"),
+        ctype.alias("http_content_type"),
+        html.alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="watrt_")
+    try:
+        warcx.write_wat_shards(src, out, html_col="html")
+    except Exception:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    back = warcx.read_wat(spark, out)
+    res = back.select(
+        F.regexp_extract(F.col("wat_url"), r"/p([0-9]+)\.html$", 1)
+        .cast("long").alias("doc_id"),
+        "wat_status", "wat_mime", "wat_title", "wat_n_links",
+        F.array_join(F.col("wat_links"), " ").alias("links_joined"),
+        F.array_join(F.col("wat_meta_robots"), ",").alias("robots_csv"),
+    )
+    return _materialize_and_clean(res, out)
+
+
+SQL_WAT_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(doc_id % 3 * 100 + 200 AS INTEGER) AS wat_status,
+       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 'text/html' END
+           AS wat_mime,
+       'W' || CAST(doc_id AS VARCHAR) AS wat_title,
+       2 AS wat_n_links,
+       'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.com/l/'
+           || CAST(doc_id AS VARCHAR) || ' '
+           || 'https://site' || CAST(doc_id % 37 AS VARCHAR)
+           || '.com/d/r' || CAST(doc_id AS VARCHAR) || '.html'
+           AS links_joined,
+       CASE WHEN doc_id % 2 = 0 THEN 'noindex' END AS robots_csv
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # r13: politeness-aware frontier scheduling
 # --------------------------------------------------------------------------
 

@@ -4406,6 +4406,81 @@ def test_r13_review_fixes(spark):
         "decoy real", None)
 
 
+def test_page_title_and_meta_robots(spark):
+    """r13 page metadata: first <title> with entities decoded and
+    whitespace collapsed (NULL when absent/empty), meta robots
+    directives (attribute order free, case-insensitive name, token
+    trim+lower, first element wins, NULL when undeclared), and an
+    all-map-only plan."""
+    from dataproc_spark.extensions import web as webx
+
+    rows = [
+        (1, "<html><head><title> A &amp; B\n  page </title></head>"
+            '<meta name="robots" content=" NOINDEX, nofollow ,">'),
+        (2, '<META CONTENT="none" NAME="ROBOTS"><title>t2</title>'
+            "<title>second ignored</title>"),
+        (3, "<p>no title, no meta</p>"),
+        (4, "<title></title><meta name=viewport content=x>"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, html string")
+    out = df.select(
+        "i",
+        webx.page_title("html").alias("t"),
+        webx.meta_robots("html").alias("r"),
+    )
+    got = {r.i: (r.t, r.r) for r in out.collect()}
+    assert got[1] == ("A & B page", ["noindex", "nofollow"])
+    assert got[2] == ("t2", ["none"])
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    # link array form matches the exploded operator
+    lk = spark.createDataFrame(
+        [(1, "https://h.ex/a/", '<base href="/lib/"><a href="x">1</a>'
+          '<a href="https://o.ex/y">2</a><a href="#s">no</a>')],
+        "i long, url string, html string",
+    )
+    arr = lk.select(webx.extract_link_array("html").alias("u")).collect()
+    assert arr[0].u == ["https://h.ex/lib/x", "https://o.ex/y"]
+
+
+def test_wat_roundtrip(spark, tmp_path):
+    """r13 WAT sidecar: metadata records write as application/json
+    WARC metadata records and read back typed — title/links/meta
+    surface when html is given, absent JSON fields surface NULL, and
+    non-metadata records don't leak into read_wat."""
+    from dataproc_spark.extensions import warc as warcx
+
+    html1 = ('<html><head><title>T &amp; co</title>'
+             '<meta name=robots content="noindex"></head>'
+             '<a href="/a">1</a><a href="b.html">2</a></html>')
+    recs = spark.createDataFrame(
+        [("https://w.ex/p/1", 200, "text/html; charset=utf-8", html1),
+         ("https://w.ex/p/2", 404, None, "<p>untitled</p>")],
+        "target_uri string, http_status int, http_content_type string, "
+        "html string",
+    )
+    out = str(tmp_path / "wat")
+    warcx.write_wat_shards(recs, out, html_col="html")
+    back = {r.wat_url: r for r in warcx.read_wat(spark, out).collect()}
+    r1 = back["https://w.ex/p/1"]
+    assert r1.wat_status == 200 and r1.wat_mime == "text/html"
+    assert r1.wat_title == "T & co"
+    assert r1.wat_links == ["https://w.ex/a", "https://w.ex/p/b.html"]
+    assert r1.wat_n_links == 2 and r1.wat_meta_robots == ["noindex"]
+    assert r1.warc_type == "metadata"
+    r2 = back["https://w.ex/p/2"]
+    assert r2.wat_status == 404 and r2.wat_mime is None
+    assert r2.wat_title is None and r2.wat_n_links == 0
+    assert r2.wat_links == [] and r2.wat_meta_robots is None
+    # metadata-only filter: a WET write into the same dir family
+    # never leaks (read_wat filters on warc_type)
+    assert len(back) == 2
+
+
 def test_extract_links_vs_stdlib_htmlparser(spark):
     """extract_links vs stdlib html.parser over 15 seeded random
     WELL-FORMED pages (randomized attribute order/quote styles, decoy
