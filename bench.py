@@ -117,10 +117,16 @@ EXTENDED_QUERIES = [
     "sitemap_parse",
     "link_extract",
     # r13 families: redirect-chain resolution, CDX closest-capture
-    # lookup, PDF text extraction (pure-core tier)
+    # lookup, PDF text extraction (pure-core tier), the WAT metadata
+    # sidecar, host link-graph rollup, politeness scheduling, page
+    # metadata extraction
     "redirect_resolve",
     "cdx_lookup",
     "pdf_text",
+    "wat_roundtrip",
+    "host_graph",
+    "frontier_schedule",
+    "page_meta",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

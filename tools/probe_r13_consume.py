@@ -45,6 +45,12 @@ for d in sys.argv[1:]:
         ("frontier_schedule",
          lambda df: df.agg(F.sum("fetch_offset_ms"), F.sum("delay_ms"),
                            F.count("*"))),
+        ("page_meta",
+         lambda df: df.agg(F.sum(F.length("title")),
+                           F.sum(F.length("robots_csv")), F.count("*"))),
+        ("wat_roundtrip",
+         lambda df: df.agg(F.sum(F.length("links_joined")),
+                           F.sum("wat_n_links"), F.count("*"))),
     ):
         t0 = time.time()
         row = agg(REGISTRY[name][0](spark, d)).collect()[0]
