@@ -838,7 +838,6 @@ def robots_allowed(
 def frontier_schedule(
     urls: DataFrame,
     rules: DataFrame,
-    url_col: str = "url",
     host_col: str = "host",
     order_by: list[str] | None = None,
     default_delay: float = 1.0,
@@ -862,7 +861,12 @@ def frontier_schedule(
     ``rules`` must be ONE row per host (the
     :func:`robots_rules_frame` contract) — a duplicate host row would
     fan the join out and corrupt every sequence, the same precondition
-    as every id-keyed operator here.
+    as every id-keyed operator here. NULL-host rows (unparseable
+    URLs) do NOT share one politeness sequence: each schedules alone
+    at ``fetch_seq 0`` (partitioned on the last ``order_by`` column,
+    the :func:`dedup_by_url` NULL rule) — quarantining them upstream
+    is still the right pipeline, but a stray row must not serialize a
+    million unrelated fetches behind one fake host.
 
     100 TB plan: ONE broadcast join (the rules side is per-host) +
     ONE window shuffle on the host. A mega-host is the skew case and
@@ -884,7 +888,8 @@ def frontier_schedule(
         F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
         * 1000
     ).cast("long")
-    w = Window.partitionBy(host_col).orderBy(
+    null_key = F.when(F.col(host_col).isNull(), F.col(order_by[-1]))
+    w = Window.partitionBy(host_col, null_key).orderBy(
         *[F.col(c).asc_nulls_last() for c in order_by]
     )
     return (

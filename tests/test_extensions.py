@@ -4360,6 +4360,13 @@ def test_frontier_schedule(spark):
     assert got[3] == (2, 2500, 5000)
     assert got[9] == (0, 1000, 0)   # NULL delay → default 1.0 s
     assert got[4] == (0, 1000, 0)   # host absent from rules → default
+    # NULL-host rows never share a sequence: each schedules alone
+    nh = spark.createDataFrame(
+        [(11, None, "u11"), (12, None, "u12")],
+        "doc_id long, host string, url string")
+    ng = {r.doc_id: r.fetch_seq for r in webx.frontier_schedule(
+        nh, rules, order_by=["doc_id"]).collect()}
+    assert ng == {11: 0, 12: 0}
     plan = (webx.frontier_schedule(urls, rules, order_by=["doc_id"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
