@@ -1433,3 +1433,53 @@ def decode_jpeg_fast(buf: bytes, use_c_codec: bool | None = None):
             h, w, c = arr.shape
             return w, h, c, arr
     return decode_jpeg(buf)
+
+
+def insert_jpeg_segment(buf: bytes, marker: int, payload: bytes) -> bytes:
+    """Insert one marker segment right after SOI — the fixture helper
+    for building metadata-carrying streams (an APP1/Exif or COM block)
+    around any encoder output. ``marker`` is the second marker byte
+    (0xE1 for APP1, 0xFE for COM)."""
+    buf = bytes(buf)
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    if len(payload) + 2 > 0xFFFF:
+        raise ValueError("segment payload too large for a JPEG length")
+    seg = bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+        + payload
+    return buf[:2] + seg + buf[2:]
+
+
+def strip_jpeg_metadata(buf: bytes, keep_app0: bool = True):
+    """Remove metadata segments from a JPEG stream — the privacy scrub
+    a training pipeline runs before images enter a corpus: APP1–APP15
+    (Exif with its GPS/serial tags, XMP, ICC, Photoshop IRBs) and COM
+    comments are dropped; every structural segment (DQT/DHT/SOF/DRI/
+    SOS) and the entropy-coded data copy verbatim, so the image
+    DECODES IDENTICALLY (unit-enforced). APP0/JFIF is kept by default
+    (some decoders want it; it carries no user data beyond pixel
+    density). Returns ``(clean_bytes, n_removed, bytes_removed)``.
+
+    Pure function over one segment walk (:func:`_walk_segments`) —
+    runs inside the same Arrow kernels as the codec; malformed streams
+    raise ``ValueError`` for the caller's quarantine arm, the
+    :func:`parse_jpeg_meta` contract."""
+    buf = bytes(buf)
+    out = bytearray(b"\xFF\xD8")
+    removed = 0
+    removed_bytes = 0
+    for marker, start, ln in _walk_segments(buf):
+        is_meta = (0xE1 <= marker <= 0xEF) or marker == 0xFE or (
+            marker == 0xE0 and not keep_app0
+        )
+        if is_meta:
+            removed += 1
+            removed_bytes += ln + 4  # marker + length + payload
+            continue
+        out += buf[start - 4:start + ln]
+        if marker == 0xDA:  # SOS: entropy data + EOI follow verbatim
+            out += buf[start + ln:]
+            return bytes(out), removed, removed_bytes
+    # a stream that _walk_segments ended without SOS (EOI right after
+    # the tables) still reassembles consistently
+    return bytes(out), removed, removed_bytes

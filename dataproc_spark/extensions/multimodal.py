@@ -785,3 +785,72 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema=AUDIO_STATS_SCHEMA
     )
+
+
+def scrub_jpeg_metadata(
+    media: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "clean_payload",
+) -> DataFrame:
+    """Privacy-scrub JPEG payloads — drop APP1–APP15 (Exif incl. GPS,
+    XMP, ICC) and COM segments (:func:`...jpeg.strip_jpeg_metadata`)
+    before images enter a training corpus. Adds ``out_col`` (the
+    scrubbed bytes — decodes to identical pixels), ``n_meta_removed``
+    (int), ``meta_bytes_removed`` (long), and ``scrub_error`` (NULL on
+    success; malformed streams quarantine per row, the codec
+    contract). One Arrow ``mapInPandas``-class stage (a struct
+    ``pandas_udf``); map-only, payload bytes never shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from dataproc_spark.core import ensure_no_columns
+    from dataproc_spark.extensions.jpeg import strip_jpeg_metadata
+
+    ensure_no_columns(
+        media,
+        (out_col, "n_meta_removed", "meta_bytes_removed", "scrub_error",
+         "_scrub"),
+        "scrub_jpeg_metadata",
+    )
+    ptype = StructType([
+        StructField("clean", BinaryType()),
+        StructField("n", IntegerType()),
+        StructField("b", LongType()),
+        StructField("err", StringType()),
+    ])
+
+    def _kernel(payloads):
+        cleans, ns, bs, errs = [], [], [], []
+        for p in payloads:
+            if p is None:
+                cleans.append(None); ns.append(None)
+                bs.append(None); errs.append(None)
+                continue
+            try:
+                c, n, b = strip_jpeg_metadata(p)
+            except ValueError as exc:
+                cleans.append(None); ns.append(None)
+                bs.append(None); errs.append(str(exc))
+                continue
+            cleans.append(c); ns.append(n); bs.append(b); errs.append(None)
+        return pd.DataFrame(
+            {"clean": cleans, "n": ns, "b": bs, "err": errs},
+            dtype=object,
+        )
+
+    _kernel.__annotations__ = {"payloads": pd.Series,
+                               "return": pd.DataFrame}
+    udf = pandas_udf(_kernel, ptype)
+    out = media.withColumn("_scrub", udf(F.col(payload_col)))
+    return out.select(
+        *media.columns,
+        F.col("_scrub.clean").alias(out_col),
+        F.col("_scrub.n").alias("n_meta_removed"),
+        F.col("_scrub.b").alias("meta_bytes_removed"),
+        F.col("_scrub.err").alias("scrub_error"),
+    )

@@ -300,6 +300,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "frontier_schedule": (q_frontier_schedule, SQL_FRONTIER_SCHEDULE),
     "page_meta": (q_page_meta, SQL_PAGE_META),
     "wat_roundtrip": (q_wat_roundtrip, SQL_WAT_ROUNDTRIP),
+    "jpeg_scrub": (q_jpeg_scrub, SQL_JPEG_SCRUB),
 }
 
 

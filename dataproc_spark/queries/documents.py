@@ -1530,3 +1530,66 @@ SELECT doc_id,
        CASE WHEN doc_id % 5 = 4 THEN 'not_pdf' END AS pdf_error
 FROM documents
 """
+
+
+def q_jpeg_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG privacy scrub (``jpeg.strip_jpeg_metadata`` via
+    ``multimodal.scrub_jpeg_metadata``): Exif/XMP/comment segments must
+    leave a training corpus' images — with the pixels untouched. Each
+    document becomes a real 8×8 baseline JPEG (constant block
+    ``doc_id % 256``, quant 1) carrying an APP1/Exif segment of
+    doc-dependent size and a COM comment embedding the doc_id; the
+    scrub must remove exactly those two segments with byte-exact
+    accounting (``n_meta_removed``, ``meta_bytes_removed``, and the
+    length identity in_len − out_len = removed). The decoded-pixels-
+    identical property is enforced in the unit suite (decode is the
+    expensive path; the gate pins the byte accounting). Plan: two
+    Arrow map stages (fixture build + scrub), zero shuffles."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from dataproc_spark.extensions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _mk(doc_id):
+        import numpy as np
+
+        from dataproc_spark.extensions import jpeg as jp
+
+        out = []
+        for i in doc_id:
+            arr = np.full((8, 8), int(i) % 256, dtype=np.uint8)
+            buf = jp.encode_jpeg(arr, quant=1)
+            buf = jp.insert_jpeg_segment(
+                buf, 0xE1,
+                b"Exif\x00\x00" + b"x" * (10 + int(i) % 50))
+            buf = jp.insert_jpeg_segment(
+                buf, 0xFE, b"scrubme " + str(int(i)).encode())
+            out.append(buf)
+        return pd.Series(out)
+
+    _mk.__annotations__ = {"doc_id": pd.Series, "return": pd.Series}
+    mk = pandas_udf(_mk, BinaryType())
+    src = docs.select("doc_id", mk(F.col("doc_id")).alias("payload"))
+    scrubbed = mm.scrub_jpeg_metadata(src)
+    return scrubbed.select(
+        "doc_id",
+        "n_meta_removed",
+        "meta_bytes_removed",
+        (
+            F.octet_length("payload") - F.octet_length("clean_payload")
+            == F.col("meta_bytes_removed")
+        ).alias("len_consistent"),
+    )
+
+
+SQL_JPEG_SCRUB = """
+SELECT doc_id,
+       2 AS n_meta_removed,
+       CAST(32 + doc_id % 50 + length(CAST(doc_id AS VARCHAR))
+            AS BIGINT) AS meta_bytes_removed,
+       TRUE AS len_consistent
+FROM documents
+"""

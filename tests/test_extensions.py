@@ -4413,6 +4413,48 @@ def test_r13_review_fixes(spark):
         "decoy real", None)
 
 
+def test_strip_jpeg_metadata(spark):
+    """r13 privacy scrub: APP1/Exif + COM segments drop, APP0 and all
+    structural segments survive, the scrubbed stream decodes to
+    IDENTICAL pixels, byte accounting is exact, malformed payloads
+    quarantine per row, and the frame op is map-only."""
+    import numpy as np
+
+    from dataproc_spark.extensions import jpeg as jp
+    from dataproc_spark.extensions import multimodal as mm
+
+    arr = (np.arange(64, dtype=np.uint8).reshape(8, 8) // 8 * 16)
+    base = jp.encode_jpeg(arr, quant=1)
+    exif = b"Exif\x00\x00" + b"\x01" * 20
+    com = b"scrub me"
+    dirty = jp.insert_jpeg_segment(
+        jp.insert_jpeg_segment(base, 0xE1, exif), 0xFE, com)
+    clean, n, b = jp.strip_jpeg_metadata(dirty)
+    assert n == 2 and b == (len(exif) + 4) + (len(com) + 4)
+    assert len(clean) == len(dirty) - b
+    assert jp.decode_jpeg(clean)[3].tolist() == \
+        jp.decode_jpeg(base)[3].tolist()
+    # idempotent; APP0 kept by default, dropped on request
+    again, n2, _ = jp.strip_jpeg_metadata(clean)
+    assert n2 == 0 and again == clean
+    no_app0, n3, _ = jp.strip_jpeg_metadata(dirty, keep_app0=False)
+    assert n3 == 3 and b"JFIF" not in no_app0 and b"JFIF" in clean
+
+    df = spark.createDataFrame(
+        [(1, bytearray(dirty)), (2, bytearray(b"\xff\xd8\xff")),
+         (3, None)],
+        "i long, payload binary",
+    )
+    got = {r.i: r for r in mm.scrub_jpeg_metadata(df).collect()}
+    assert got[1].n_meta_removed == 2 and got[1].scrub_error is None
+    assert bytes(got[1].clean_payload) == clean
+    assert got[2].clean_payload is None and got[2].scrub_error
+    assert got[3].scrub_error is None and got[3].n_meta_removed is None
+    plan = (mm.scrub_jpeg_metadata(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
 def test_page_title_and_meta_robots(spark):
     """r13 page metadata: first <title> with entities decoded and
     whitespace collapsed (NULL when absent/empty), meta robots
