@@ -51,6 +51,10 @@ for d in sys.argv[1:]:
         ("wat_roundtrip",
          lambda df: df.agg(F.sum(F.length("links_joined")),
                            F.sum("wat_n_links"), F.count("*"))),
+        ("jpeg_scrub",
+         lambda df: df.agg(F.sum("meta_bytes_removed"),
+                           F.sum(F.col("len_consistent").cast("int")),
+                           F.count("*"))),
     ):
         t0 = time.time()
         row = agg(REGISTRY[name][0](spark, d)).collect()[0]
