@@ -127,6 +127,9 @@ EXTENDED_QUERIES = [
     "host_graph",
     "frontier_schedule",
     "page_meta",
+    # (jpeg_scrub is probed in SCALE.md instead — its gate fixture
+    # pure-Python-ENCODES a JPEG per row, deliberately heavy; the
+    # lang_script_predict/cross_doc_spans precedent)
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one
