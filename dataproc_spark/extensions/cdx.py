@@ -170,8 +170,11 @@ def cdx_closest(
     calendar-exact across month/day boundaries (20250131→20250201
     "costs" 70); a deployment wanting calendar distance converts both
     sides to epoch seconds first — same plan, one extra
-    to_timestamp. Probe timestamps must be full 14-digit strings
-    (prefix queries are a server-API nicety layered above). Duplicate
+    to_timestamp. PREFIX probe timestamps (``'2026'``,
+    ``'202603'``, …, any even length 4–12 — the CDX-server query
+    convention) pad to the calendar floor (``'2026'`` →
+    ``'20260101000000'``: month/day pad ``01``, time pads ``00``,
+    the pywb ``pad_timestamp`` rule) before matching. Duplicate
     probe rows collapse to one output row.
 
     100 TB plan: probes are a lookup batch (small side) — ONE
@@ -211,7 +214,19 @@ def cdx_closest(
     matches = idx.join(
         build, F.col("_pkey") == F.col("_ikey"), "inner"
     )
-    pts = F.col(ts_col).cast("long")
+    # calendar-floor pad for prefix timestamps: the template tail
+    # '0101000000' supplies MM=01, DD=01, hhmmss=000000 from wherever
+    # the prefix stops (position L-3 of the template for a length-L
+    # prefix; full 14-digit probes pass through untouched)
+    plen = F.length(F.col(ts_col))
+    padded = F.when(
+        (plen >= 4) & (plen < 14),
+        F.concat(
+            F.col(ts_col),
+            F.substring(F.lit("0101000000"), plen - 3, 14 - plen),
+        ),
+    ).otherwise(F.col(ts_col))
+    pts = padded.cast("long")
     its = F.col("_its").cast("long")
     if mode == "before":
         # max ts at/before the probe: min_by over the NEGATED ts,

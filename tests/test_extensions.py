@@ -4262,6 +4262,23 @@ def test_cdx_closest(spark):
     nb = {r.pid: r.cdx_ts for r in cdxx.cdx_closest(
         idx, probes, broadcast_probes=False).collect()}
     assert nb == {p: r.cdx_ts for p, r in got.items()}
+    # prefix timestamps pad to the calendar floor (pywb rule):
+    # '2025' → 20250101000000 (exact hit on the first capture),
+    # '202506' → 20250601000000, '2026' floors before the 2026 capture
+    pre = spark.createDataFrame(
+        [(1, "https://ex.com/p?a=1&b=2", "2025"),
+         (2, "https://ex.com/p?a=1&b=2", "202506"),
+         (3, "https://ex.com/p?a=1&b=2", "2026")],
+        "pid long, url string, ts string",
+    )
+    pg = {r.pid: r.cdx_ts for r in cdxx.cdx_closest(idx, pre).collect()}
+    assert pg == {1: "20250101000000", 2: "20250601000000",
+                  3: "20260101000000"}
+    pb = {r.pid: r.cdx_ts for r in cdxx.cdx_closest(
+        idx, pre, mode="before").collect()}
+    # '2026' floors to 20260101000000 — AT-or-before includes the
+    # capture sitting exactly on the floor
+    assert pb[3] == "20260101000000"
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mode"):
         cdxx.cdx_closest(idx, probes, mode="nearest")
