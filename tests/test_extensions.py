@@ -4169,6 +4169,51 @@ def test_pdf_text_pure_core():
         pdf_text_of(b"%PDF-", engine="magic")
 
 
+def test_pdf_and_jpeg_parsers_never_crash():
+    """Fuzz the two r13 byte parsers with 300 seeded random payloads
+    each (raw noise, truncated magic, magic + noise, hostile
+    stream/segment framing): pdf_text_of must always return a
+    (text, error) tuple, strip_jpeg_metadata must return or raise
+    ValueError ONLY — any other exception is a quarantine-contract
+    break on real crawl data."""
+    import random
+
+    from dataproc_spark.extensions.jpeg import strip_jpeg_metadata
+    from dataproc_spark.extensions.pdf import pdf_text_of
+
+    rng = random.Random(0xF422)
+
+    def noise(n):
+        return bytes(rng.randrange(256) for _ in range(n))
+
+    pdf_frames = [b"stream\n", b"endstream", b"<<", b">>", b"(", b")",
+                  b"\\", b"<", b">", b"[", b"]", b"Tj", b"TJ", b"'",
+                  b"/FlateDecode", b"/Filter", b"%PDF-"]
+    jpeg_frames = [b"\xFF\xD8", b"\xFF\xE1", b"\xFF\xDA", b"\xFF\xD9",
+                   b"\xFF\xFE", b"\xFF\x00", b"\xFF\xFF", b"\x00\x10"]
+    for trial in range(300):
+        body = b"".join(
+            rng.choice(pdf_frames) if rng.random() < 0.5
+            else noise(rng.randint(0, 12))
+            for _ in range(rng.randint(0, 20))
+        )
+        payload = (b"%PDF-1.4\n" if rng.random() < 0.7 else b"") + body
+        t, e = pdf_text_of(payload, engine="pure")
+        assert (t is None) != (e is None) or (t is not None and e is None)
+
+        jbody = b"".join(
+            rng.choice(jpeg_frames) if rng.random() < 0.5
+            else noise(rng.randint(0, 12))
+            for _ in range(rng.randint(0, 20))
+        )
+        jpayload = (b"\xFF\xD8" if rng.random() < 0.7 else b"") + jbody
+        try:
+            out, n, b = strip_jpeg_metadata(jpayload)
+            assert isinstance(out, bytes) and n >= 0 and b >= 0
+        except ValueError:
+            pass  # the documented quarantine contract
+
+
 def test_extract_pdf_text_frame(spark):
     """r13 PDF extraction Spark plumbing: per-row quarantine, NULL
     passthrough, column clash guard, and a map-only (no Exchange)
