@@ -1279,6 +1279,148 @@ def sitemap_entries(
     )
 
 
+def expand_sitemaps(
+    fetched: DataFrame,
+    url_col: str = "url",
+    xml_col: str = "sitemap_xml",
+    max_depth: int = 3,
+    roots: DataFrame | None = None,
+) -> DataFrame:
+    """Materialize the sitemap TREE over a frame of fetched sitemap
+    bodies — the recursion :func:`sitemap_entries` documents as "the
+    caller's loop", made an operator (r13): each seed — ``roots`` (a
+    one-column frame of URLs, e.g. the :func:`robots_sitemaps`
+    discoveries; default: every fetched URL) — starts a walk;
+    ``<urlset>`` entries emit page rows, ``<sitemapindex>`` pointers
+    join back to ``fetched`` by URL and recurse to ``max_depth``. One
+    output row per discovery:
+
+    - ``root_url`` — the seed sitemap the entry descends from;
+    - ``source_url`` — the sitemap that directly lists it;
+    - ``depth`` — pointer hops below the seed (0 = listed by the seed);
+    - ``loc``/``lastmod``/``changefreq``/``priority`` — the entry
+      (:func:`sitemap_entries` fields) for ``status='ok'`` page rows;
+    - ``status`` — ``'ok'`` (a page URL), ``'missing'`` (a pointer to
+      a sitemap with no fetched body — the caller's fetch list), or
+      ``'truncated'`` (a pointer past ``max_depth``; ``loc`` is the
+      unexpanded target, the other entry fields NULL).
+
+    Pointer CYCLES (a child indexing its parent — CMS misconfigs do
+    this) are cut by a per-walk visited array, bounded by
+    ``max_depth`` + 1 URLs; a sitemap reachable from two roots is
+    walked once per root (each root's frontier is independent — the
+    tree view, not the graph view). ``fetched`` must be one row per
+    sitemap URL.
+
+    100 TB plan: the same shape as :func:`resolve_redirects` —
+    ``max_depth`` equi-joins of a shrinking pointer frontier against
+    the fetched frame (sitemap corpora are index-sized: millions of
+    files, not billions), each round one join + the map-only parse,
+    ``localCheckpoint`` cutting lineage. Page-entry output never
+    re-enters the loop."""
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    from dataproc_spark.core import ensure_no_columns
+
+    ensure_no_columns(
+        fetched,
+        ("root_url", "source_url", "depth", "status", "pos", "kind",
+         "loc", "lastmod", "changefreq", "priority", "_visited",
+         "_sm_url", "_body_url"),
+        "expand_sitemaps",
+    )
+    bodies = fetched.select(
+        F.col(url_col).alias("_body_url"),
+        F.col(xml_col).alias(xml_col),
+    ).persist()
+    try:
+        seed_urls = (
+            roots.select(F.col(roots.columns[0]).alias("_body_url"))
+            if roots is not None
+            else bodies.select("_body_url")
+        )
+        frontier = seed_urls.select(
+            F.col("_body_url").alias("root_url"),
+            F.col("_body_url").alias("_sm_url"),
+            F.lit(0).alias("depth"),
+            F.array(F.col("_body_url")).alias("_visited"),
+        ).localCheckpoint()
+        out_cols = [
+            "root_url", "source_url", "depth", "status", "loc",
+            "lastmod", "changefreq", "priority",
+        ]
+
+        def _page_rows(parsed):
+            return parsed.where(F.col("kind") == "url").select(
+                "root_url",
+                F.col("_sm_url").alias("source_url"),
+                "depth",
+                F.lit("ok").alias("status"),
+                "loc", "lastmod", "changefreq", "priority",
+            )
+
+        parts = []
+        for _ in range(max_depth + 1):
+            if frontier.isEmpty():
+                break
+            j = frontier.join(
+                bodies, frontier._sm_url == F.col("_body_url"), "left"
+            ).localCheckpoint()
+            parts.append(j.where(F.col("_body_url").isNull()).select(
+                "root_url",
+                F.lit(None).cast("string").alias("source_url"),
+                "depth",
+                F.lit("missing").alias("status"),
+                F.col("_sm_url").alias("loc"),
+                *[F.lit(None).cast("string").alias(c)
+                  for c in ("lastmod", "changefreq")],
+                F.lit(None).cast("double").alias("priority"),
+            ))
+            have = j.where(F.col("_body_url").isNotNull()).drop(
+                "_body_url"
+            )
+            parsed = sitemap_entries(have, xml_col=xml_col).localCheckpoint()
+            parts.append(_page_rows(parsed))
+            pointers = parsed.where(
+                (F.col("kind") == "sitemap") & F.col("loc").isNotNull()
+                & ~F.array_contains(F.col("_visited"), F.col("loc"))
+            )
+            parts.append(pointers.where(
+                F.col("depth") + 1 > max_depth
+            ).select(
+                "root_url",
+                F.col("_sm_url").alias("source_url"),
+                (F.col("depth") + 1).alias("depth"),
+                F.lit("truncated").alias("status"),
+                "loc",
+                *[F.lit(None).cast("string").alias(c)
+                  for c in ("lastmod", "changefreq")],
+                F.lit(None).cast("double").alias("priority"),
+            ))
+            frontier = pointers.where(
+                F.col("depth") + 1 <= max_depth
+            ).select(
+                "root_url",
+                F.col("loc").alias("_sm_url"),
+                (F.col("depth") + 1).alias("depth"),
+                F.concat(F.col("_visited"), F.array(F.col("loc")))
+                .alias("_visited"),
+            )
+        if not parts:  # an empty fetched frame discovers nothing
+            return fetched.sparkSession.createDataFrame(
+                [],
+                "root_url string, source_url string, depth int, "
+                "status string, loc string, lastmod string, "
+                "changefreq string, priority double",
+            )
+        out = parts[0].select(*out_cols)
+        for p in parts[1:]:
+            out = out.unionByName(p.select(*out_cols))
+        return out.localCheckpoint()
+    finally:
+        bodies.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # link extraction + RFC 3986 reference resolution (r12) — the web graph
 # ---------------------------------------------------------------------------

@@ -301,6 +301,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "page_meta": (q_page_meta, SQL_PAGE_META),
     "wat_roundtrip": (q_wat_roundtrip, SQL_WAT_ROUNDTRIP),
     "jpeg_scrub": (q_jpeg_scrub, SQL_JPEG_SCRUB),
+    "sitemap_tree": (q_sitemap_tree, SQL_SITEMAP_TREE),
 }
 
 

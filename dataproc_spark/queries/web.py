@@ -1587,6 +1587,109 @@ FROM keys
 
 
 # --------------------------------------------------------------------------
+# r13: sitemap-tree materialization — the frontier recursion
+# --------------------------------------------------------------------------
+
+def q_sitemap_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-tree materialization (``web.expand_sitemaps``): the
+    bounded recursion over fetched sitemap bodies that turns the
+    robots-discovered seeds into the page frontier. Each document owns
+    a seed ``<sitemapindex>`` listing a fetched child (two page
+    entries) and a NEVER-fetched child (→ ``missing`` — the fetch
+    list); on ids ≡ 0 (mod 3) the child points back at its own SEED —
+    a cycle the visited array must cut silently; on ids ≡ 1 (mod 4) a
+    grandchild urlset adds a depth-2 page; on ids ≡ 2 (mod 4) the
+    grandchild instead points PAST ``max_depth`` → ``truncated``. The
+    oracle restates the whole walk arithmetically per arm. Plan: the
+    redirect-walk shape — ``max_depth`` equi-joins of the shrinking
+    pointer frontier + the map-only sitemap parse per round."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    n = (F.col("doc_id") % 37).cast("string")
+    base = F.concat(F.lit("https://site"), n, F.lit(".com/sm/"), did)
+
+    def u(name):
+        return F.concat(base, F.lit(f"/{name}.xml"))
+
+    def ptr(loc):
+        return F.concat(F.lit("<sitemap><loc>"), loc,
+                        F.lit("</loc></sitemap>"))
+
+    def page(k):
+        return F.concat(F.lit("<url><loc>https://site"), n,
+                        F.lit(".com/pg/"), did, F.lit(f"/{k}"),
+                        F.lit("</loc></url>"))
+
+    seed_xml = F.concat(F.lit("<sitemapindex>"), ptr(u("c1")),
+                        ptr(u("c2")), F.lit("</sitemapindex>"))
+    c1_xml = F.concat(
+        F.lit("<urlset>"), page(1), page(2),
+        F.when(F.col("doc_id") % 3 == 0, ptr(u("seed")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 1, ptr(u("c3")))
+        .when(F.col("doc_id") % 4 == 2, ptr(u("c3")))
+        .otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    c3_xml = (
+        F.when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit("<urlset>"), page("deep"),
+                        F.lit("</urlset>")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("<urlset>"), ptr(u("c4")),
+                       F.lit("</urlset>")))
+    )
+    entries = F.array(
+        F.struct(u("seed").alias("u"), seed_xml.alias("x")),
+        F.struct(u("c1").alias("u"), c1_xml.alias("x")),
+        F.struct(u("c3").alias("u"), c3_xml.alias("x")),
+    )
+    fetched = (
+        docs.select(F.explode(entries).alias("e"))
+        .where(F.col("e.x").isNotNull())
+        .select(F.col("e.u").alias("url"), F.col("e.x").alias("sitemap_xml"))
+    )
+    roots = docs.select(u("seed").alias("url"))
+    out = web.expand_sitemaps(fetched, max_depth=2, roots=roots)
+    return out.select(
+        F.regexp_extract(F.col("root_url"), r"/sm/([0-9]+)/", 1)
+        .cast("long").alias("doc_id"),
+        "depth", "status", "loc", "source_url",
+    )
+
+
+SQL_SITEMAP_TREE = """
+WITH b AS (
+    SELECT doc_id,
+           CAST(doc_id AS VARCHAR) AS did,
+           CAST(doc_id % 37 AS VARCHAR) AS n,
+           'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.com'
+               AS h
+    FROM documents
+),
+e AS (
+    SELECT doc_id, did, h,
+           h || '/sm/' || did AS smb,
+           h || '/pg/' || did AS pgb
+    FROM b
+)
+SELECT doc_id, 1 AS depth, 'ok' AS status,
+       pgb || '/1' AS loc, smb || '/c1.xml' AS source_url
+FROM e
+UNION ALL
+SELECT doc_id, 1, 'ok', pgb || '/2', smb || '/c1.xml' FROM e
+UNION ALL
+SELECT doc_id, 1, 'missing', smb || '/c2.xml', NULL FROM e
+UNION ALL
+SELECT doc_id, 2, 'ok', pgb || '/deep', smb || '/c3.xml'
+FROM e WHERE doc_id % 4 = 1
+UNION ALL
+SELECT doc_id, 3, 'truncated', smb || '/c4.xml', smb || '/c3.xml'
+FROM e WHERE doc_id % 4 = 2
+"""
+
+
+# --------------------------------------------------------------------------
 # r13: page metadata (title + meta robots) and the WAT sidecar
 # --------------------------------------------------------------------------
 

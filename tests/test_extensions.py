@@ -4517,6 +4517,73 @@ def test_strip_jpeg_metadata(spark):
     assert "Exchange" not in plan
 
 
+def test_expand_sitemaps(spark):
+    """r13 sitemap-tree materializer: seed index → child urlset pages
+    (depth 1), grandchild pages (depth 2), a never-fetched pointer →
+    'missing', a cycle pointer back to the seed cut by the visited
+    array, a pointer past max_depth → 'truncated', and a multi-root
+    corpus walking each root independently."""
+    from dataproc_spark.extensions import web as webx
+
+    def idx(*locs):
+        return ("<sitemapindex>"
+                + "".join(f"<sitemap><loc>{u}</loc></sitemap>"
+                          for u in locs)
+                + "</sitemapindex>")
+
+    def urlset(entries, *locs):
+        return ("<urlset>"
+                + "".join(f"<url><loc>{u}</loc></url>" for u in entries)
+                + "".join(f"<sitemap><loc>{u}</loc></sitemap>"
+                          for u in locs)
+                + "</urlset>")
+
+    S = "https://s.ex/seed.xml"
+    C1 = "https://s.ex/c1.xml"
+    C2 = "https://s.ex/c2-missing.xml"
+    C3 = "https://s.ex/c3.xml"
+    C5 = "https://s.ex/c5.xml"
+    C6 = "https://s.ex/c6-deep.xml"
+    R2 = "https://r2.ex/map.xml"
+    fetched = spark.createDataFrame(
+        [(S, idx(C1, C2)),
+         # c1: two pages + a CYCLE back to the seed + pointers onward
+         (C1, urlset(["https://s.ex/p1", "https://s.ex/p2"], S, C3, C5)),
+         (C3, urlset(["https://s.ex/deep1"])),
+         (C5, urlset([], C6)),
+         (R2, urlset(["https://r2.ex/x"]))],
+        "url string, sitemap_xml string",
+    )
+    rows = webx.expand_sitemaps(fetched, max_depth=2).collect()
+    got = {(r.root_url, r.status, r.loc): (r.source_url, r.depth)
+           for r in rows}
+    # seed root: pages at depth 1, grandchild page at depth 2
+    assert got[(S, "ok", "https://s.ex/p1")] == (C1, 1)
+    assert got[(S, "ok", "https://s.ex/p2")] == (C1, 1)
+    assert got[(S, "ok", "https://s.ex/deep1")] == (C3, 2)
+    assert got[(S, "missing", C2)] == (None, 1)
+    # the pointer past max_depth truncates; the cycle emits nothing
+    assert got[(S, "truncated", C6)] == (C5, 3)
+    assert (S, "ok", S) not in got
+    # every fetched sitemap is also its own root: C1's subtree again,
+    # one level shallower; R2 walks independently
+    assert got[(C1, "ok", "https://s.ex/p1")] == (C1, 0)
+    assert got[(C1, "ok", "https://s.ex/deep1")] == (C3, 1)
+    assert got[(R2, "ok", "https://r2.ex/x")] == (R2, 0)
+    # counts are exact (no duplicate discovery within a root)
+    assert len(rows) == len(got)
+    # roots restriction: only the named seed walks
+    only_seed = webx.expand_sitemaps(
+        fetched, max_depth=2,
+        roots=spark.createDataFrame([(S,)], "u string"),
+    ).collect()
+    assert {r.root_url for r in only_seed} == {S}
+    assert len(only_seed) == 5  # p1 p2 deep1 missing truncated
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_depth"):
+        webx.expand_sitemaps(fetched, max_depth=-1)
+
+
 def test_page_title_and_meta_robots(spark):
     """r13 page metadata: first <title> with entities decoded and
     whitespace collapsed (NULL when absent/empty), meta robots
