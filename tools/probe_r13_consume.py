@@ -55,6 +55,9 @@ for d in sys.argv[1:]:
          lambda df: df.agg(F.sum("meta_bytes_removed"),
                            F.sum(F.col("len_consistent").cast("int")),
                            F.count("*"))),
+        ("sitemap_tree",
+         lambda df: df.agg(F.sum(F.length("loc")), F.sum("depth"),
+                           F.count("*"))),
     ):
         t0 = time.time()
         row = agg(REGISTRY[name][0](spark, d)).collect()[0]
