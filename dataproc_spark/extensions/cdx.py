@@ -175,7 +175,9 @@ def cdx_closest(
     convention) pad to the calendar floor (``'2026'`` →
     ``'20260101000000'``: month/day pad ``01``, time pads ``00``,
     the pywb ``pad_timestamp`` rule) before matching. Duplicate
-    probe rows collapse to one output row.
+    probe rows are PRESERVED — one output row per input probe row
+    (the winner aggregation is per distinct key, but the final
+    probe-side join restores each input row's multiplicity).
 
     100 TB plan: probes are a lookup batch (small side) — ONE
     broadcast-hash inner join streaming the index (with a

@@ -1468,7 +1468,14 @@ def strip_jpeg_metadata(buf: bytes, keep_app0: bool = True):
     out = bytearray(b"\xFF\xD8")
     removed = 0
     removed_bytes = 0
+    prev_end = 2
     for marker, start, ln in _walk_segments(buf):
+        # copy the inter-segment gap verbatim: T.81 B.1.1.2 fill
+        # bytes and pre-SOS standalone markers live here —
+        # _walk_segments skips them silently, and dropping them broke
+        # the in_len - out_len == bytes_removed identity (r13 advice)
+        out += buf[prev_end:start - 4]
+        prev_end = start + ln
         is_meta = (0xE1 <= marker <= 0xEF) or marker == 0xFE or (
             marker == 0xE0 and not keep_app0
         )
@@ -1480,6 +1487,8 @@ def strip_jpeg_metadata(buf: bytes, keep_app0: bool = True):
         if marker == 0xDA:  # SOS: entropy data + EOI follow verbatim
             out += buf[start + ln:]
             return bytes(out), removed, removed_bytes
-    # a stream that _walk_segments ended without SOS (EOI right after
-    # the tables) still reassembles consistently
+    # no SOS (EOI right after the tables): copy the tail — the EOI
+    # marker and anything after the last segment — so the length
+    # identity holds on table-only streams too
+    out += buf[prev_end:]
     return bytes(out), removed, removed_bytes

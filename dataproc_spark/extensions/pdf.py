@@ -81,9 +81,13 @@ def _parse_string(data: bytes, i: int):
             if nxt in _ESCAPES:
                 out += _ESCAPES[nxt]
                 i += 2
-            elif nxt.isdigit():
+            elif nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
+                # 1-3 OCTAL digits only — '\8'/'\9' are NOT octal and
+                # fall through to the drop-backslash rule (r13 advice:
+                # int('8', 8) raised, crashing the Arrow kernel)
                 j = i + 1
-                while j < min(i + 4, n) and data[j:j + 1].isdigit():
+                while (j < min(i + 4, n)
+                       and data[j:j + 1] in b"01234567"):
                     j += 1
                 out.append(int(data[i + 1:j], 8) & 0xFF)
                 i = j
@@ -154,6 +158,16 @@ def _content_text(content: bytes) -> list:
                 last_str = s
         elif c == b"<":  # '<<' dictionary — skip both
             i += 2
+        elif c == b"/":
+            # a NAME token: consume through its regular characters so
+            # trailing bytes like the quote in ``/Foo'`` or the ``Tj``
+            # in ``/TjFont`` can never fire a phantom show (quote and
+            # letters are regular chars per §7.2.2 — the name owns
+            # them, not the operator scanner)
+            i += 1
+            while i < n and not (content[i:i + 1].isspace()
+                                 or content[i:i + 1] in b"()<>[]{}/%"):
+                i += 1
         elif c == b"[":
             in_array = []
             i += 1
@@ -180,8 +194,15 @@ def _content_text(content: bytes) -> list:
                     ))
                 i += 2
             elif c in (b"'", b'"'):
-                if last_str is not None:
-                    out.append(_decode_bytes(last_str))
+                # quote operators are ONE byte wide — their boundary
+                # byte is content[i+1], not content[i+2] (r13 advice:
+                # a stray quote inside a name like /Foo' re-emitted
+                # the last string as phantom text)
+                after1 = content[i + 1:i + 2]
+                if (after1 == b"" or after1.isspace()
+                        or after1 in b"/[]()<>%"):
+                    if last_str is not None:
+                        out.append(_decode_bytes(last_str))
                 i += 1
             else:
                 i += 1
@@ -240,7 +261,12 @@ def pdf_text_of(payload, engine: str = "auto") -> tuple:
             # LZW/ASCII85/DCT/...: out of the pure core's scope —
             # contributes no text (images etc.), never aborts
             continue
-        texts.extend(_content_text(raw))
+        try:
+            texts.extend(_content_text(raw))
+        except Exception:
+            # defense-in-depth: the per-row quarantine contract says a
+            # malformed stream yields an error code, never a job abort
+            return None, "pdf_error"
     return " ".join(texts), None
 
 

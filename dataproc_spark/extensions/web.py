@@ -725,6 +725,13 @@ def robots_rules_frame(
     :func:`robots_crawl_delay`) and ``request_rate`` (verbatim string,
     :func:`robots_request_rate`) columns — the frontier-scheduling
     directives, selected with the same agent-group rules."""
+    from dataproc_spark.core import ensure_has_columns, ensure_no_columns
+
+    ensure_has_columns(robots, [host_col, text_col])
+    # internal scratch names must not collide with caller columns
+    # (r13 advice: a robots frame already carrying '_txt'/'_p' would
+    # hit an ambiguous-column error or a silently wrong re-join)
+    ensure_no_columns(robots, ["_txt", "_p"], "robots_rules_frame")
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf

@@ -1196,3 +1196,108 @@ def test_stream_dedup_null_hour_not_active(spark, tmp_path):
                streaming.stream_dedup_bounded):
         got = {r.user_id: r.n_active_hours for r in fn(spark, path).collect()}
         assert got == {7: 2}, (fn.__name__, got)
+
+
+# --- r13 advice wave (pdf escapes/operators, jpeg fill bytes, robots) -------
+
+def test_pdf_string_non_octal_escape_no_crash():
+    """r13 advice (high): '\\8'/'\\9' after a backslash are NOT octal —
+    the old isdigit() branch fed them to int(..., 8) and the uncaught
+    ValueError aborted the Arrow kernel. Spec rule: drop the
+    backslash, keep the char."""
+    from dataproc_spark.extensions.pdf import (
+        _parse_string, build_simple_pdf, pdf_text_of)
+
+    assert _parse_string(b"(x\\8y)", 0)[0] == b"x8y"
+    assert _parse_string(b"(x\\9y)", 0)[0] == b"x9y"
+    # octal still decodes, and stops at the first non-octal digit
+    assert _parse_string(b"(a\\101b)", 0)[0] == b"aAb"
+    assert _parse_string(b"(a\\078)", 0)[0] == b"a\x078"
+    text, err = pdf_text_of(
+        build_simple_pdf(b"BT (x\\8y) Tj ET"), engine="pure")
+    assert (text, err) == ("x8y", None)
+
+
+def test_pdf_content_text_quarantines_parse_crash():
+    """Defense-in-depth: even if the pure tokenizer raises, pdf_text_of
+    must return ('pdf_error') per the quarantine contract, not
+    propagate."""
+    from unittest import mock
+
+    from dataproc_spark.extensions import pdf
+
+    built = pdf.build_simple_pdf(b"BT (ok) Tj ET")
+    with mock.patch.object(
+        pdf, "_content_text", side_effect=ValueError("boom")
+    ):
+        assert pdf.pdf_text_of(built, engine="pure") == (None, "pdf_error")
+
+
+def test_pdf_quote_operator_boundary_and_names():
+    """r13 advice: a quote byte embedded in a name token (/Foo') must
+    not re-emit the last string; real ' and \" operators still show."""
+    from dataproc_spark.extensions.pdf import _content_text
+
+    assert _content_text(b"(hello) Tj /Foo' (x) Tj") == ["hello", "x"]
+    assert _content_text(b"(a) (b)' ") == ["b"]
+    assert _content_text(b'0 0 (c)" ') == ["c"]
+    # name ending in Tj must not fire either
+    assert _content_text(b"(a) /TjFont (b) Tj") == ["b"]
+
+
+def test_jpeg_strip_fill_bytes_length_identity():
+    """r13 advice: T.81 fill bytes (extra 0xFF before a marker) were
+    silently dropped by strip_jpeg_metadata without being counted,
+    breaking in_len - out_len == bytes_removed."""
+    import numpy as np
+
+    from dataproc_spark.extensions.jpeg import (
+        decode_jpeg, encode_jpeg, insert_jpeg_segment,
+        strip_jpeg_metadata)
+
+    arr = (np.arange(8 * 8 * 3) % 251).astype("uint8").reshape(8, 8, 3)
+    tagged = insert_jpeg_segment(
+        encode_jpeg(arr), 0xE1, b"Exif\x00\x00secret")
+    filled = tagged[:2] + b"\xFF\xFF" + tagged[2:]  # fill bytes after SOI
+    clean, n, rb = strip_jpeg_metadata(filled)
+    assert n == 1
+    assert len(filled) - len(clean) == rb
+    # fill bytes copied through; pixels identical
+    assert decode_jpeg(clean)[3].tobytes() == decode_jpeg(tagged)[3].tobytes()
+    # table-only stream (no SOS): EOI tail preserved, identity holds
+    tb = b"\xFF\xD8\xFF\xFE\x00\x05abc\xFF\xD9"
+    clean2, n2, rb2 = strip_jpeg_metadata(tb)
+    assert clean2 == b"\xFF\xD8\xFF\xD9" and n2 == 1
+    assert len(tb) - len(clean2) == rb2
+
+
+def test_robots_rules_frame_rejects_scratch_column_collision(spark):
+    """r13 advice: a robots frame already carrying '_txt' or '_p' must
+    be rejected up front, not hit an ambiguous-column error inside the
+    dedup_texts re-join."""
+    from dataproc_spark.extensions.web import robots_rules_frame
+
+    robots = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /x", "clash")],
+        "host string, robots_txt string, _txt string",
+    )
+    with pytest.raises(ValueError, match="_txt"):
+        robots_rules_frame(robots)
+
+
+def test_cdx_closest_preserves_duplicate_probes(spark):
+    """Contract pin (r13 advice adjudication): duplicate probe rows are
+    preserved — one output row per input probe row."""
+    from dataproc_spark.extensions.cdx import cdx_closest
+
+    idx = spark.createDataFrame(
+        [("com,example)/", "20240101000000", "http://example.com/")],
+        "urlkey string, ts string, url string",
+    )
+    probes = spark.createDataFrame(
+        [("http://example.com/", "20240102000000")] * 3,
+        "url string, ts string",
+    )
+    out = cdx_closest(idx, probes).collect()
+    assert len(out) == 3
+    assert all(r.cdx_ts == "20240101000000" for r in out)
