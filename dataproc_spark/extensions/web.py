@@ -961,6 +961,86 @@ def host_link_graph(
     )
 
 
+def anchor_text_rollup(
+    links: DataFrame,
+    url_col: str = "link_url",
+    text_col: str = "anchor_text",
+    rel_col: str = "rel",
+    k: int = 3,
+    drop_rel: tuple = NOFOLLOW_REL_TOKENS,
+    max_text_len: int | None = None,
+) -> DataFrame:
+    """Aggregate INBOUND anchor text per link target — the classic
+    web-corpus ranking/summarization signal (the anchor words other
+    pages use to describe a URL): one row per ``link_url`` with
+
+    - ``n_links`` — inbound edges kept (after the rel spam filter);
+    - ``n_anchored`` — kept edges that carried visible anchor text;
+    - ``top_anchors`` — the ``k`` most frequent distinct anchor texts
+      as ``array<struct<anchor_text,n>>``, ordered by count DESC then
+      text ASC (the deterministic tie-break the oracle replays).
+
+    Edges whose ``rel`` carries any ``drop_rel`` token (token-exact
+    over the space-separated list, case-insensitive — the
+    :func:`host_link_graph` rule) are excluded entirely: nofollow/
+    sponsored/ugc anchors are exactly the spam text this signal must
+    not learn from. ``max_text_len`` truncates texts BEFORE counting
+    (a shuffle-row bound for corpora with pathological anchors); NULL
+    disables.
+
+    100 TB plan: two shuffles. (1) ``groupBy(link_url, text)`` with
+    map-side combine — rows carry (url, short text, count), never
+    pages; heavy targets (a homepage linked from everywhere) are
+    already collapsed per distinct text by the combine. (2) a
+    ``link_url`` window ranks texts then the final ``groupBy`` reuses
+    the window's hash partitioning (no third exchange). A target with
+    millions of DISTINCT texts is the residual skew case — AQE splits
+    it, and ``max_text_len`` collapses the long tail first."""
+    from pyspark.sql import Window
+
+    from dataproc_spark.core import ensure_has_columns
+
+    ensure_has_columns(links, [url_col, text_col, rel_col])
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rel = F.lower(F.coalesce(F.col(rel_col), F.lit("")))
+    flagged = F.exists(
+        F.split(rel, r"\s+"),
+        lambda t: t.isin(*[x.lower() for x in drop_rel]),
+    )
+    text = F.col(text_col)
+    if max_text_len is not None:
+        text = F.substring(text, 1, max_text_len)
+    pair = (
+        links.where(~flagged)
+        .select(F.col(url_col).alias("link_url"), text.alias("_t"))
+        .groupBy("link_url", "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    w = Window.partitionBy("link_url").orderBy(
+        F.col("_t").isNull().asc(),  # NULL-text group ranks last
+        F.col("_n").desc(), F.col("_t").asc(),
+    )
+    ranked = pair.withColumn("_rk", F.row_number().over(w))
+    return ranked.groupBy("link_url").agg(
+        F.sum("_n").cast("long").alias("n_links"),
+        F.coalesce(
+            F.sum(F.when(F.col("_t").isNotNull(), F.col("_n"))), F.lit(0)
+        ).cast("long").alias("n_anchored"),
+        F.transform(
+            F.array_sort(F.collect_list(F.when(
+                F.col("_t").isNotNull() & (F.col("_rk") <= k),
+                F.struct(F.col("_rk").alias("rk"),
+                         F.col("_t").alias("anchor_text"),
+                         F.col("_n").alias("n")),
+            ))),
+            lambda s: F.struct(
+                s["anchor_text"].alias("anchor_text"), s["n"].alias("n")
+            ),
+        ).alias("top_anchors"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # HTTP redirect-chain resolution (r13) — the capture-graph walk
 # ---------------------------------------------------------------------------
@@ -1584,19 +1664,63 @@ def base_href(html_col: str | Column = "html") -> Column:
     return F.coalesce(F.get(hrefs, 0), F.lit(""))
 
 
-def _link_structs(html: Column) -> Column:
+#: the anchor OPEN TAG as a split delimiter: same ``<a\s`` + quote-aware
+#: body alternation as the attrs walk (so both match at IDENTICAL
+#: offsets and counts — chunk i+1 of the split is exactly the text
+#: following anchor i), plus the optional closing ``>`` the attrs walk
+#: stops before. RE2-portable.
+_ANCHOR_OPEN_SPLIT_RE = r"(?is)<a\s(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>?"
+
+
+def _anchor_texts(html: Column) -> Column:
+    """Per-anchor inner text, aligned 1:1 with the attrs walk of
+    :func:`_link_structs` (element i ↔ anchor i): split the document
+    on the open-tag pattern; within each following chunk the anchor's
+    text runs to the first ``</a>`` (a chunk already ends where the
+    NEXT anchor opens — the browser auto-close rule for non-nestable
+    ``<a>``). Nested inline tags strip to spaces, entities decode via
+    the :data:`HTML_ENTITIES_FAST` chain, whitespace collapses. ``''``
+    when the anchor shows no text (image-only, ``<a href=x></a>``) or
+    never closes before the next anchor / end of document (dangling —
+    the :data:`ANCHOR_SPAN_RE` convention); callers map the sentinel
+    to NULL outside the lambda (see :func:`_clean`'s comment).
+    Map-only, RE2-portable."""
+    chunks = F.split(html, _ANCHOR_OPEN_SPLIT_RE)
+
+    def _clean(chunk: Column) -> Column:
+        inner = F.regexp_extract(chunk, r"(?is)^(.*?)</a\s*>", 1)
+        t = F.regexp_replace(inner, r"(?is)<[^>]+>", " ")
+        for ent, ch in HTML_ENTITIES_FAST:
+            t = F.replace(t, F.lit(ent), F.lit(ch))
+        # the ''-for-no-text sentinel maps to NULL OUTSIDE this lambda
+        # (extract_links' post-explode projection): HOF lambdas are
+        # interpreted with no subexpression elimination, and both CASE
+        # and nullif duplicate the whole clean chain per chunk
+        return F.trim(F.regexp_replace(t, r"[ \t\r\n]+", " "))
+
+    return F.transform(
+        F.slice(chunks, 2, F.greatest(F.size(chunks) - 1, F.lit(0))),
+        _clean,
+    )
+
+
+def _link_structs(html: Column, with_text: bool = False) -> Column:
     """The quote-aware anchor walk shared by :func:`extract_links` and
     :func:`extract_link_array`: whole ``<a ...`` open-tag bodies →
     array of struct(href, rel), fragment-only/empty self-edges
-    excluded."""
+    excluded. ``with_text`` zips :func:`_anchor_texts` in as a third
+    ``anchor_text`` field — ``zip_with`` so BOTH arrays evaluate once
+    per page (an index lookup inside the attrs lambda would re-derive
+    the whole text array per anchor), and the zip runs BEFORE the
+    self-edge filter so alignment is positional by construction."""
     tags = F.regexp_extract_all(
         html,
         F.lit(r"(?is)<a\s((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"),
         F.lit(1),
     )
-    links = F.transform(
-        tags,
-        lambda t: F.struct(
+
+    def _attrs(t):
+        return [
             _tag_attr(t, "href").alias("href"),
             # contains-guard: most anchors carry no rel, and a FAILING
             # lazy attribute walk is the expensive path (the regex must
@@ -1606,8 +1730,17 @@ def _link_structs(html: Column) -> Column:
             F.when(
                 F.lower(t).contains("rel"), _tag_attr(t, "rel")
             ).otherwise(F.lit("")).alias("rel"),
-        ),
-    )
+        ]
+
+    if with_text:
+        links = F.zip_with(
+            tags, _anchor_texts(html),
+            lambda t, txt: F.struct(
+                *_attrs(t), txt.alias("anchor_text")
+            ),
+        )
+    else:
+        links = F.transform(tags, lambda t: F.struct(*_attrs(t)))
     return F.filter(
         links,
         lambda s: (~s["href"].startswith("#")) & (s["href"] != ""),
@@ -1626,6 +1759,216 @@ def _effective_base(
     return F.when(
         b != "", resolve_url(F.col(base_col), b)
     ).otherwise(F.col(base_col))
+
+
+#: the img OPEN TAG as a split delimiter — same construction as
+#: :data:`_ANCHOR_OPEN_SPLIT_RE` (quote-aware body, optional ``>``),
+#: so the split chunks align 1:1 with the img attrs walk
+_IMG_OPEN_SPLIT_RE = r"(?is)<img\s(?:\"[^\"]*\"|'[^']*'|[^>\"'])*/?>?"
+
+
+def _fragment_text(c: Column) -> Column:
+    """Tag-strip + fast-entity decode + whitespace collapse of a small
+    HTML fragment inside a HOF lambda (``''`` sentinel for empty —
+    callers map to NULL outside the lambda, the :func:`_anchor_texts`
+    rule)."""
+    t = F.regexp_replace(c, r"(?is)<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES_FAST:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"[ \t\r\n]+", " "))
+
+
+def extract_images(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    honor_base: bool = True,
+    with_figcaption: bool = True,
+) -> DataFrame:
+    """Extract the images of an HTML page with their TEXT pairing —
+    the (image_url, caption) edge list a CLIP-style multimodal corpus
+    is built from. One output row per ``<img src=...>`` in document
+    order: ``img_pos`` (0-based), ``src`` (raw attribute), ``alt``
+    (entity-decoded, whitespace-collapsed; NULL when the attribute is
+    ABSENT, ``''`` kept when present-but-empty — the decorative-image
+    marker a curation filter keys on), ``figcaption`` (the cleaned
+    ``<figcaption>`` text of the img's enclosing ``<figure>``; NULL
+    outside figures), and ``img_url`` (``src`` resolved against the
+    page's effective base — the same ``<base href>`` machinery as
+    :func:`extract_links`). ``data-src`` and src-less ``<img>``
+    (decoys / JS-lazy placeholders) never match — the quote-aware
+    :data:`_TAG_ATTR_RE` boundary rule. A caption for pairing is
+    ``coalesce(figcaption, nullif(alt, ''))``.
+
+    Figure association is offset-free and expression-only: figure
+    SPANS extract in document order; each img's enclosing-figure
+    ordinal is the running ``<figure``-minus-``</figure>`` balance
+    over the split chunks PRECEDING it (the aligned-split rule of
+    :func:`_anchor_texts`). Exact for the machine-written HTML this
+    module contracts for (figures balanced and non-nested — the HTML
+    spec forbids nesting); an UNCLOSED figure upstream shifts the
+    ordinal off the span list and the caption degrades to NULL rather
+    than mispairing silently... except when a stray unclosed figure
+    precedes a real one — the documented conforming-markup boundary.
+
+    Plan: two ``regexp_extract_all`` walks (img tags, figure spans) +
+    one aligned split + integer running sums — all inside ONE
+    projection, map-only, zero shuffles, zero Python, RE2-portable.
+    Joining the result against a media frame by ``img_url`` is the
+    caller's one (broadcastable) shuffle."""
+    from dataproc_spark.core import ensure_no_columns
+
+    out_cols = ["img_pos", "src", "alt", "img_url"] + (
+        ["figcaption"] if with_figcaption else []
+    )
+    ensure_no_columns(df, out_cols, "extract_images")
+    html = F.coalesce(
+        F.col(html_col) if isinstance(html_col, str) else html_col,
+        F.lit(""),
+    )
+    tags = F.regexp_extract_all(
+        html,
+        F.lit(r"(?is)<img\s((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"),
+        F.lit(1),
+    )
+
+    def _img_struct(t, cap):
+        # alt: '' when ABSENT (regexp_extract's no-match sentinel) is
+        # re-distinguished from a present-but-empty alt="" by checking
+        # the attribute name exists in the tag body at all
+        has_alt = t.rlike(
+            r"(?is)^(?:(?:\"[^\"]*\"|'[^']*'|[^\"'])*?\s)?alt\s*="
+        )
+        alt_raw = _tag_attr(t, "alt")
+        alt = F.when(has_alt, _fragment_text(alt_raw))
+        fields = [
+            _tag_attr(t, "src").alias("src"),
+            alt.alias("alt"),
+        ]
+        if cap is not None:
+            fields.append(cap.alias("figcaption"))
+        return F.struct(*fields)
+
+    if with_figcaption:
+        fig_spans = F.regexp_extract_all(
+            html,
+            F.lit(r"(?is)<figure(?:\s[^>]*)?>.*?</figure\s*>"),
+            F.lit(0),
+        )
+        fig_caps = F.transform(
+            fig_spans,
+            lambda s: _fragment_text(F.regexp_extract(
+                s, r"(?is)<figcaption(?:\s[^>]*)?>(.*?)</figcaption\s*>",
+                1,
+            )),
+        )
+        chunks = F.split(html, _IMG_OPEN_SPLIT_RE)
+        # per-chunk figure open/close counts; img i's preceding text is
+        # chunks[0..i] (1-based slice 1..i+1)
+        opens = F.transform(chunks, lambda c: F.size(
+            F.regexp_extract_all(c, F.lit(r"(?is)<figure[\s>]"), F.lit(0))
+        ))
+        closes = F.transform(chunks, lambda c: F.size(
+            F.regexp_extract_all(c, F.lit(r"(?is)</figure\s*>"), F.lit(0))
+        ))
+
+        def _cum(arr, i):
+            return F.aggregate(
+                F.slice(arr, 1, i + 1), F.lit(0), lambda a, x: a + x
+            )
+
+        structs = F.transform(
+            tags,
+            lambda t, i: _img_struct(
+                t,
+                F.when(
+                    _cum(opens, i) > _cum(closes, i),
+                    F.get(fig_caps, _cum(opens, i) - 1),
+                ),
+            ),
+        )
+    else:
+        structs = F.transform(tags, lambda t: _img_struct(t, None))
+    imgs = F.filter(structs, lambda s: s["src"] != "")
+    others = list(df.columns)
+    sel = [
+        *others,
+        "img_pos",
+        F.col("_img.src").alias("src"),
+        F.col("_img.alt").alias("alt"),
+    ]
+    if with_figcaption:
+        sel.append(
+            F.nullif(F.col("_img.figcaption"), F.lit(""))
+            .alias("figcaption")
+        )
+    return df.select(
+        *others, F.posexplode(imgs).alias("img_pos", "_img")
+    ).select(
+        *sel,
+        resolve_url(
+            _effective_base(html, base_col, honor_base), F.col("_img.src")
+        ).alias("img_url"),
+    )
+
+
+def image_text_pairs(
+    images: DataFrame,
+    media: DataFrame,
+    img_url_col: str = "img_url",
+    media_url_col: str = "url",
+    require_caption: bool = True,
+    broadcast_media: bool = False,
+) -> DataFrame:
+    """Join :func:`extract_images` output against a media frame (URL →
+    payload/bytes/features) to emit the (image, caption) pairs a
+    multimodal training corpus consumes. ``caption`` is
+    ``coalesce(figcaption, nullif(alt, ''))`` — the enclosing figure's
+    caption wins over alt text, and an EMPTY alt (the decorative-image
+    marker) never becomes a caption. ``require_caption`` (default)
+    drops caption-less images — flip it off for coverage audits.
+
+    100 TB plan: ONE equi-join on the URL. Both sides are large in
+    production (the edge list and the fetched-media store), so the
+    default is a shuffle hash join on ``img_url`` — pre-bucket both
+    sides by URL to make it co-located; set ``broadcast_media=True``
+    only for a small curated media dimension. The caption filter runs
+    BEFORE the join (shrinks the probe side); payload bytes move once,
+    never re-shuffled afterward."""
+    from dataproc_spark.core import ensure_has_columns
+
+    ensure_has_columns(images, [img_url_col])
+    ensure_has_columns(media, [media_url_col])
+    cap_parts = []
+    if "figcaption" in images.columns:
+        cap_parts.append(F.col("figcaption"))
+    if "alt" in images.columns:
+        cap_parts.append(F.nullif(F.col("alt"), F.lit("")))
+    if not cap_parts:
+        raise ValueError(
+            "image_text_pairs: images frame has neither 'figcaption' "
+            "nor 'alt' — nothing to caption with"
+        )
+    from dataproc_spark.core import ensure_no_columns
+
+    ensure_no_columns(images, ["caption", "_murl"], "image_text_pairs")
+    overlap = sorted(
+        (set(images.columns) | {"caption"})
+        & {c for c in media.columns if c != media_url_col}
+    )
+    if overlap:
+        raise ValueError(
+            f"image_text_pairs: media columns {overlap} collide with "
+            "the images frame — rename before joining"
+        )
+    imgs = images.withColumn("caption", F.coalesce(*cap_parts))
+    if require_caption:
+        imgs = imgs.where(F.col("caption").isNotNull())
+    m = media.withColumnRenamed(media_url_col, "_murl")
+    m = F.broadcast(m) if broadcast_media else m
+    return imgs.join(
+        m, imgs[img_url_col] == m["_murl"], "inner"
+    ).drop("_murl")
 
 
 def extract_link_array(
@@ -1700,6 +2043,7 @@ def extract_links(
     base_col: str = "url",
     resolve: bool = True,
     honor_base: bool = True,
+    with_anchor_text: bool = True,
 ) -> DataFrame:
     """Extract the outlinks of an HTML page — the edge list of the web
     graph every crawl-scale ranking (PageRank over hosts, frontier
@@ -1714,6 +2058,21 @@ def extract_links(
     templated page setting ``<base href>`` otherwise resolved every
     relative link to the wrong URL, r12 verdict finding), else
     ``base_col`` itself; absolute links are unaffected either way).
+
+    ``with_anchor_text`` (default on, r14) adds ``anchor_text`` — the
+    anchor's visible inner text (nested tags stripped, entities
+    decoded via the fast chain, whitespace collapsed; NULL for
+    image-only or dangling anchors — :func:`_anchor_texts`): inbound
+    anchor text is the highest-value web-corpus ranking/caption signal
+    and what WAT consumers expect next to links. The text walk is a
+    second full-document regex pass (the aligned split), evaluated
+    ONCE per page before the explode (``zip_with`` in
+    :func:`_link_structs`) — pass ``False`` on a hot path that never
+    reads the column (the host-graph rollup does): the text sits
+    inside the exploded struct, so Catalyst cannot prune it away for
+    you (measured, not assumed — an indexed post-explode lookup WAS
+    prunable but re-derived the whole text array per link, O(links²)
+    per page after CollapseProject inlining).
 
     Extraction is attribute-boundary-exact for machine-written HTML:
     the open tag is captured whole with a quote-aware walk (an
@@ -1737,15 +2096,22 @@ def extract_links(
 
     ensure_no_columns(
         df,
-        ["link_pos", "href", "rel"] + (["link_url"] if resolve else []),
+        ["link_pos", "href", "rel"]
+        + (["link_url"] if resolve else [])
+        + (["anchor_text"] if with_anchor_text else []),
         "extract_links",
     )
     html = F.coalesce(
         F.col(html_col) if isinstance(html_col, str) else html_col,
         F.lit(""),
     )
-    links = _link_structs(html)
+    links = _link_structs(html, with_text=with_anchor_text)
     others = list(df.columns)
+    post = (
+        [F.nullif(F.col("_link.anchor_text"), F.lit(""))
+         .alias("anchor_text")]
+        if with_anchor_text else []
+    )
     ex = df.select(
         *others, F.posexplode(links).alias("link_pos", "_link")
     ).select(
@@ -1754,6 +2120,7 @@ def extract_links(
         F.col("_link.href").alias("href"),
         F.when(F.col("_link.rel") == "", F.lit(None))
         .otherwise(F.col("_link.rel")).alias("rel"),
+        *post,
     )
     if not resolve:
         return ex

@@ -302,6 +302,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "wat_roundtrip": (q_wat_roundtrip, SQL_WAT_ROUNDTRIP),
     "jpeg_scrub": (q_jpeg_scrub, SQL_JPEG_SCRUB),
     "sitemap_tree": (q_sitemap_tree, SQL_SITEMAP_TREE),
+    # -- r14 additions: corpus-construction signals --------------------------
+    "anchor_rollup": (q_anchor_rollup, SQL_ANCHOR_ROLLUP),
+    "image_pairs": (q_image_pairs, SQL_IMAGE_PAIRS),
 }
 
 
@@ -330,15 +333,17 @@ REVERIFY_STALE_EVIDENCE: dict[str, int] = {
     # check + the space-or-'>'-only tag terminator (r12 advice
     # findings); the green r12 row vouches for the 8-arm fixture.
     "mime_sniff": 12,
-    # r13: extract_links gained rel capture + <base href> resolution
-    # and the gate widened from 6 to 9 arms with a rel column; the
-    # green r12 row vouches for the href-only 6-arm fixture.
-    "link_extract": 12,
+    # (the r13 link_extract pin at 12 self-lifted — green r13 row —
+    # and was immediately re-pinned at 13 below for the r14 rebase)
     # r13: the gate gained the crawl_delay column (politeness surface,
     # incl. the goodbot-group-must-not-leak arm) and the rules frame
     # moved to the distinct-text parse path; the green r12 row vouches
     # for the 3-column, per-host-parse fixture.
     "robots_filter": 12,
+    # r14: extract_links gained the anchor_text column and the gate
+    # grew 4 text arms (entity / nested-tag / image-only / dangling);
+    # the green r13 row vouches for the text-less 9-arm fixture.
+    "link_extract": 13,
 }
 
 #: per-process cache for :func:`registry_order`, keyed on the artifact

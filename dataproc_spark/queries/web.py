@@ -1914,7 +1914,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(".html")).alias("url"),
         html.alias("html"),
     )
-    links = web.extract_links(src)
+    links = web.extract_links(src, with_anchor_text=False)
     return web.host_link_graph(links).select(
         "src_host", "dst_host", "n_links", "n_followed"
     )
@@ -2381,10 +2381,21 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<base href='https://ignored"), n, F.lit(".example/'>")))
         .otherwise(F.lit(""))
     )
+    # anchor-text arms on an INDEPENDENT modulo (r14 — r13 verdict
+    # item 1): entity decode, nested inline tags, image-only (NULL),
+    # dangling anchor (no </a> before the next anchor opens → NULL)
+    tarm = F.col("doc_id") % 4
+    inner = (
+        F.when(tarm == 0, F.lit("first &amp; best"))
+        .when(tarm == 1, F.lit("x<i>em</i>z"))
+        .when(tarm == 2, F.lit('<img src="i.jpg">'))
+        .otherwise(F.lit("first then"))
+    )
+    close = F.when(tarm == 3, F.lit("")).otherwise(F.lit("</a>"))
     first = F.concat(
         F.when(arm == 4, F.lit("<a rel='ugc sponsored' href=\""))
         .otherwise(F.lit('<a href="')),
-        ref, F.lit('">first</a>'),
+        ref, F.lit('">'), inner, close,
     )
     html = F.concat(
         F.lit("<html><head>"), base_tag, F.lit("</head><body>"),
@@ -2400,7 +2411,7 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         html.alias("html"),
     )
     return web.extract_links(src).select(
-        "doc_id", "link_pos", "href", "rel", "link_url"
+        "doc_id", "link_pos", "href", "rel", "anchor_text", "link_url"
     )
 
 
@@ -2425,6 +2436,10 @@ SELECT doc_id, 0 AS link_pos,
            ELSE 'https://keep' || n || '.org/v' || did
        END AS href,
        CASE arm WHEN 4 THEN 'ugc sponsored' END AS rel,
+       CASE doc_id % 4
+           WHEN 0 THEN 'first & best'
+           WHEN 1 THEN 'x em z'
+       END AS anchor_text,
        CASE arm
            WHEN 0 THEN 'https://other' || n || '.org/x'
            WHEN 1 THEN 'https://cdn' || n || '.net/y'
@@ -2447,10 +2462,214 @@ UNION ALL
 SELECT doc_id, 1 AS link_pos,
        '/always/' || did AS href,
        'nofollow' AS rel,
+       'n' AS anchor_text,
        CASE arm
            WHEN 6 THEN 'https://assets' || n || '.example/always/' || did
            WHEN 8 THEN 'https://ignored' || n || '.example/always/' || did
            ELSE 'https://www.site' || n || '.com/always/' || did
        END AS link_url
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
+# r14: inbound anchor-text rollup — the per-target corpus/ranking signal
+# --------------------------------------------------------------------------
+
+def q_anchor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation (``web.extract_links`` →
+    ``web.anchor_text_rollup``): per link TARGET, total inbound edges,
+    edges with visible text, and the top-2 most frequent anchor texts
+    — the signal ranking/captioning pipelines read off the link graph.
+    End-to-end from rendered HTML: each document links to one of 7
+    targets with an anchor whose TEXT arm varies on ``doc_id % 5``
+    (two arms share 'alpha' — the frequency winner; 'beta'; a per-doc
+    'gamma N' long tail; an image-only NULL anchor) and whose edge is
+    rel-excluded spam on ``doc_id % 11 == 0``. On the hash: the rel
+    token filter, NULL-text edges counting in ``n_links`` but never
+    ranking into the top-k, count-DESC/text-ASC tie-breaks, and the
+    entity/nested-tag anchor cleaning ('g<b>amma</b>' must roll up
+    WITH its plain 'gamma N' spelling). Output exploded to one row per
+    (target, rank) for the value hash. Plan: map-only extraction, then
+    TWO shuffles — the (url, text) count with map-side combine and the
+    url-partitioned rank window whose partitioning the final rollup
+    reuses (plan-audited in the unit suite)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    n = (F.col("doc_id") % 7).cast("string")
+    tarm = F.col("doc_id") % 5
+    inner = (
+        F.when(tarm < 2, F.lit("alpha"))
+        .when(tarm == 2, F.lit("beta"))
+        .when(tarm == 3, F.concat(F.lit("g<b>amma</b> "), did))
+        .otherwise(F.lit('<img src="i.jpg">'))
+    )
+    rel = F.when(
+        F.col("doc_id") % 11 == 0, F.lit(' rel="ugc nofollow"')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<a href="https://t'), n, F.lit('.com/"'), rel,
+        F.lit(">"), inner, F.lit("</a>"),
+    )
+    src = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://src.example/p"), did).alias("url"),
+        html.alias("html"),
+    )
+    links = web.extract_links(src)
+    roll = web.anchor_text_rollup(links, k=2)
+    return roll.select(
+        "link_url", "n_links", "n_anchored",
+        F.posexplode("top_anchors").alias("pos", "_a"),
+    ).select(
+        "link_url", "n_links", "n_anchored", "pos",
+        F.col("_a.anchor_text").alias("anchor_text"),
+        F.col("_a.n").alias("n"),
+    )
+
+
+SQL_ANCHOR_ROLLUP = """
+WITH e AS (
+    SELECT doc_id % 7 AS tgt,
+           CASE WHEN doc_id % 5 IN (0, 1) THEN 'alpha'
+                WHEN doc_id % 5 = 2 THEN 'beta'
+                WHEN doc_id % 5 = 3
+                    THEN 'gamma ' || CAST(doc_id AS VARCHAR)
+           END AS t
+    FROM documents
+    WHERE doc_id % 11 <> 0
+),
+pair AS (
+    SELECT tgt, t, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2
+),
+ranked AS (
+    SELECT tgt, t, n,
+           ROW_NUMBER() OVER (
+               PARTITION BY tgt ORDER BY (t IS NULL), n DESC, t
+           ) AS rk
+    FROM pair
+),
+tot AS (
+    SELECT tgt,
+           CAST(SUM(n) AS BIGINT) AS n_links,
+           CAST(SUM(CASE WHEN t IS NOT NULL THEN n ELSE 0 END) AS BIGINT)
+               AS n_anchored
+    FROM pair GROUP BY 1
+)
+SELECT 'https://t' || CAST(tgt AS VARCHAR) || '.com/' AS link_url,
+       n_links, n_anchored,
+       CAST(rk - 1 AS INTEGER) AS pos, t AS anchor_text, n
+FROM ranked JOIN tot USING (tgt)
+WHERE rk <= 2 AND t IS NOT NULL
+"""
+
+
+def q_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image–text pairing (``web.extract_images`` →
+    ``web.image_text_pairs``): the CLIP-style (image_url, caption,
+    payload) triples a multimodal corpus trains on. Each document
+    renders one page whose ``<img>`` arm varies on ``doc_id % 6``:
+    (0) absolute src + plain alt; (1) relative src + entity in alt;
+    (2) alt-LESS absolute-path src (caption NULL — pinned by
+    ``require_caption=False``); (3) ``<base href>`` the src must
+    resolve against; (4) a ``data-src`` decoy the walk must skip
+    before the real img; (5) a ``<figure>``/``<figcaption>`` whose
+    caption outranks the alt. The media frame carries one row per
+    expected URL with an arithmetic payload length; the inner join
+    must pair every extracted row. On the hash: attribute-boundary
+    decoy rejection, RFC 3986 + base resolution, entity decode, the
+    figcaption-over-alt caption rule, and empty-alt-never-captions.
+    Plan: map-only extraction; the ONE shuffle is the URL equi-join
+    (media broadcast here — the gate's media side is small)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    n = (F.col("doc_id") % 37).cast("string")
+    arm = F.col("doc_id") % 6
+    site = F.concat(F.lit("https://www.site"), n, F.lit(".com"))
+    img = (
+        F.when(arm == 0, F.concat(
+            F.lit('<img src="https://cdn'), n, F.lit(".com/i"), did,
+            F.lit('.jpg" alt="pic '), did, F.lit('">')))
+        .when(arm == 1, F.concat(
+            F.lit('<img alt="A&amp;B '), did, F.lit('" src="i'), did,
+            F.lit('.jpg">')))
+        .when(arm == 2, F.concat(
+            F.lit('<img src="/abs/i'), did, F.lit('.jpg">')))
+        .when(arm == 3, F.concat(
+            F.lit('<img src="i'), did, F.lit('.jpg" alt="based">')))
+        .when(arm == 4, F.concat(
+            F.lit('<img data-src="no.jpg" alt="decoy"><img src="r'),
+            did, F.lit('.png" alt="real">')))
+        .otherwise(F.concat(
+            F.lit('<figure><img src="f'), did,
+            F.lit('.jpg" alt="ignored"><figcaption>Fig &amp; '), did,
+            F.lit("</figcaption></figure>")))
+    )
+    base_tag = F.when(arm == 3, F.concat(
+        F.lit('<base href="https://media'), n, F.lit('.example/m/">')
+    )).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), base_tag, F.lit("</head><body>"),
+        img, F.lit("</body></html>"),
+    )
+    src = docs.select(
+        "doc_id",
+        F.concat(site, F.lit("/d/p"), did, F.lit(".html")).alias("url"),
+        html.alias("html"),
+    )
+    expected_url = (
+        F.when(arm == 0, F.concat(
+            F.lit("https://cdn"), n, F.lit(".com/i"), did, F.lit(".jpg")))
+        .when(arm == 1, F.concat(site, F.lit("/d/i"), did, F.lit(".jpg")))
+        .when(arm == 2, F.concat(site, F.lit("/abs/i"), did,
+                                 F.lit(".jpg")))
+        .when(arm == 3, F.concat(F.lit("https://media"), n,
+                                 F.lit(".example/m/i"), did,
+                                 F.lit(".jpg")))
+        .when(arm == 4, F.concat(site, F.lit("/d/r"), did, F.lit(".png")))
+        .otherwise(F.concat(site, F.lit("/d/f"), did, F.lit(".jpg")))
+    )
+    media = docs.select(
+        expected_url.alias("url"),
+        (F.col("doc_id") % 251).cast("long").alias("payload_len"),
+    )
+    imgs = web.extract_images(src)
+    pairs = web.image_text_pairs(
+        imgs, media, require_caption=False, broadcast_media=True
+    )
+    return pairs.select(
+        "doc_id", "img_pos", "img_url", "caption", "payload_len"
+    )
+
+
+SQL_IMAGE_PAIRS = """
+WITH b AS (
+    SELECT doc_id,
+           CAST(doc_id AS VARCHAR) AS did,
+           CAST(doc_id % 37 AS VARCHAR) AS n,
+           doc_id % 6 AS arm
+    FROM documents
+)
+SELECT doc_id, 0 AS img_pos,
+       CASE arm
+           WHEN 0 THEN 'https://cdn' || n || '.com/i' || did || '.jpg'
+           WHEN 1 THEN 'https://www.site' || n || '.com/d/i' || did
+                       || '.jpg'
+           WHEN 2 THEN 'https://www.site' || n || '.com/abs/i' || did
+                       || '.jpg'
+           WHEN 3 THEN 'https://media' || n || '.example/m/i' || did
+                       || '.jpg'
+           WHEN 4 THEN 'https://www.site' || n || '.com/d/r' || did
+                       || '.png'
+           ELSE 'https://www.site' || n || '.com/d/f' || did || '.jpg'
+       END AS img_url,
+       CASE arm
+           WHEN 0 THEN 'pic ' || did
+           WHEN 1 THEN 'A&B ' || did
+           WHEN 3 THEN 'based'
+           WHEN 4 THEN 'real'
+           WHEN 5 THEN 'Fig & ' || did
+       END AS caption,
+       CAST(doc_id % 251 AS BIGINT) AS payload_len
 FROM b
 """

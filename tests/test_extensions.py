@@ -4122,6 +4122,191 @@ def test_host_link_graph(spark):
     assert plan.count("Exchange") == 1 and "Python" not in plan
 
 
+def test_extract_links_anchor_text(spark):
+    """r14 anchor-text capture: entity decode via the fast chain,
+    nested-tag strip, image-only and dangling anchors -> NULL, the
+    browser auto-close rule at the next anchor open, and exact
+    alignment when a FILTERED (fragment-only) anchor sits between
+    kept ones (the raw_pos contract)."""
+    from dataproc_spark.extensions import web as webx
+
+    html = (
+        '<a href="/1">first &amp; best</a>'
+        '<a href="#frag">skipped anchor text</a>'
+        '<a href="/2">x<i>em</i>z</a>'
+        '<a href="/3"><img src="i.jpg"></a>'
+        '<a href="/4">dangling never closes'
+        '<a href="/5"> spaced\t&nbsp;out </a> tail'
+        '<a href="/6"></a>'
+    )
+    df = spark.createDataFrame(
+        [(1, "https://h.ex/", html)],
+        "doc_id long, url string, html string",
+    )
+    got = {r.href: r.anchor_text
+           for r in webx.extract_links(df).collect()}
+    assert got == {
+        "/1": "first & best",
+        "/2": "x em z",            # nested <i> strips to a space
+        "/3": None,                # image-only
+        "/4": None,                # dangling: auto-closed by /5, no </a>
+        "/5": "spaced \xa0out",    # &nbsp; -> U+00A0 (fast-chain parity)
+        "/6": None,                # empty text
+    }
+    # opt-out skips the column entirely
+    cols = webx.extract_links(df, with_anchor_text=False).columns
+    assert "anchor_text" not in cols
+
+
+def test_extract_links_anchor_text_plan_cost(spark):
+    """r14 plan audit: the text walk is evaluated ONCE per page BELOW
+    the explode (zip_with — the generator input array carries the
+    text), and with_anchor_text=False removes the walk entirely (the
+    host-graph path's cost contract)."""
+    from dataproc_spark.extensions import web as webx
+
+    df = spark.createDataFrame(
+        [(1, "https://h.ex/", '<a href="/1">t</a>')],
+        "doc_id long, url string, html string",
+    )
+    full = (webx.extract_links(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    # exactly one close-tag extract, in the pre-explode child (after
+    # the Generate node in the printed top-down tree)
+    pat = "(?is)^(.*?)</a"
+    assert full.count(pat) == 1
+    assert full.index(pat) > full.index("Generate")
+    off = (webx.extract_links(df, with_anchor_text=False)
+           ._jdf.queryExecution().executedPlan().toString())
+    assert pat not in off and "anchor_text" not in off
+    assert "Exchange" not in off and "Python" not in off
+
+
+def test_anchor_text_rollup(spark):
+    """r14 inbound anchor rollup: rel spam exclusion (token-exact),
+    NULL-text edges count in n_links but never rank, count-DESC /
+    text-ASC tie-breaks, k cap, text truncation, and the two-exchange
+    plan (pair count + rank window; the final rollup reuses the
+    window's partitioning)."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import web as webx
+
+    links = spark.createDataFrame(
+        [("u1", "home", None), ("u1", "home", None),
+         ("u1", "Home Page", None), ("u1", None, None),
+         ("u1", "spam!", "ugc nofollow"),
+         ("u1", "about", None), ("u1", "blog", None),
+         ("u2", None, None), ("u2", None, "sponsored")],
+        "link_url string, anchor_text string, rel string",
+    )
+    out = {r.link_url: r for r in
+           webx.anchor_text_rollup(links, k=2).collect()}
+    r1 = out["u1"]
+    assert (r1.n_links, r1.n_anchored) == (6, 5)
+    assert [(a.anchor_text, a.n) for a in r1.top_anchors] == [
+        ("home", 2), ("Home Page", 1)]  # tie: 'H' < 'a' binary asc
+    r2 = out["u2"]
+    assert (r2.n_links, r2.n_anchored) == (1, 0)
+    assert list(r2.top_anchors) == []
+    # truncation collapses long-tail texts before counting
+    long = spark.createDataFrame(
+        [("u", "prefix-aaaa", None), ("u", "prefix-bbbb", None)],
+        "link_url string, anchor_text string, rel string",
+    )
+    t = webx.anchor_text_rollup(long, k=1, max_text_len=6).collect()[0]
+    assert [(a.anchor_text, a.n) for a in t.top_anchors] == [("prefix", 2)]
+    with _pytest.raises(ValueError, match="k must be"):
+        webx.anchor_text_rollup(links, k=0)
+    plan = (webx.anchor_text_rollup(links)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 2 and "Python" not in plan
+
+
+def test_extract_images_and_figcaption(spark):
+    """r14 image extraction: quote-aware src/alt walk (data-src decoy
+    rejected), absent-alt NULL vs empty-alt '' distinction, entity
+    decode, base-href resolution, and figure/figcaption association
+    (caption before or after the img, imgs outside figures NULL)."""
+    from dataproc_spark.extensions import web as webx
+
+    html = (
+        '<img src="https://cdn.com/abs.jpg" alt="A &amp; B">'
+        '<img src="rel.png">'
+        '<img src="/root.gif" alt="">'
+        '<img data-src="decoy.jpg" alt="nope">'
+        '<figure class="f"><img src="fig1.jpg" alt="inner">'
+        '<figcaption>Cap <b>one</b> &amp; only</figcaption></figure>'
+        'text<figure><figcaption>pre-cap</figcaption>'
+        '<img src="fig2.jpg"/></figure>'
+        '<img src="after.jpg" alt="outside">'
+    )
+    df = spark.createDataFrame(
+        [(1, "https://s.com/a/p.html", html),
+         (2, "https://s.com/b.html",
+          '<base href="https://b.example/x/">'
+          '<img src="based.jpg" alt="based">'),
+         (3, "https://s.com/c.html", None)],
+        "doc_id int, url string, html string",
+    )
+    rows = {(r.doc_id, r.img_pos): r
+            for r in webx.extract_images(df).collect()}
+    assert len(rows) == 7
+    assert rows[(1, 0)].img_url == "https://cdn.com/abs.jpg"
+    assert rows[(1, 0)].alt == "A & B"
+    assert rows[(1, 1)].alt is None            # absent attribute
+    assert rows[(1, 2)].alt == ""              # present but empty
+    assert rows[(1, 3)].figcaption == "Cap one & only"
+    assert rows[(1, 4)].figcaption == "pre-cap"  # caption before img
+    assert rows[(1, 5)].figcaption is None     # outside any figure
+    assert rows[(1, 1)].img_url == "https://s.com/a/rel.png"
+    assert rows[(2, 0)].img_url == "https://b.example/x/based.jpg"
+    plan = (webx.extract_images(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
+    # figcaption arm off: no column, no figure walk
+    off = webx.extract_images(df, with_figcaption=False)
+    assert "figcaption" not in off.columns
+    p2 = off._jdf.queryExecution().executedPlan().toString()
+    assert "figcaption" not in p2
+
+
+def test_image_text_pairs(spark):
+    """r14 pairing: figcaption outranks alt, empty alt never captions,
+    require_caption filters, media collision guard raises, and the
+    join pairs by resolved URL."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import web as webx
+
+    imgs = spark.createDataFrame(
+        [("https://m/1.jpg", "alt one", None),
+         ("https://m/2.jpg", "ignored", "cap two"),
+         ("https://m/3.jpg", "", None),
+         ("https://m/4.jpg", None, None)],
+        "img_url string, alt string, figcaption string",
+    )
+    media = spark.createDataFrame(
+        [("https://m/1.jpg", 10), ("https://m/2.jpg", 20),
+         ("https://m/3.jpg", 30), ("https://m/4.jpg", 40),
+         ("https://m/unreferenced.jpg", 50)],
+        "url string, payload_len long",
+    )
+    got = {r.img_url: (r.caption, r.payload_len)
+           for r in webx.image_text_pairs(imgs, media).collect()}
+    assert got == {"https://m/1.jpg": ("alt one", 10),
+                   "https://m/2.jpg": ("cap two", 20)}
+    all_rows = webx.image_text_pairs(
+        imgs, media, require_caption=False).count()
+    assert all_rows == 4
+    clash = media.withColumnRenamed("payload_len", "alt")
+    with _pytest.raises(ValueError, match="collide"):
+        webx.image_text_pairs(imgs, clash)
+    no_cap_cols = imgs.select("img_url")
+    with _pytest.raises(ValueError, match="caption"):
+        webx.image_text_pairs(no_cap_cols, media)
+
+
 def test_pdf_text_pure_core():
     """r13 PDF text extraction, pure core (no Spark): Tj / ' / \" / TJ
     shows, paren escapes + octal + nesting + line continuation, hex
