@@ -305,6 +305,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- r14 additions: corpus-construction signals --------------------------
     "anchor_rollup": (q_anchor_rollup, SQL_ANCHOR_ROLLUP),
     "image_pairs": (q_image_pairs, SQL_IMAGE_PAIRS),
+    "doc_score": (q_doc_score, SQL_DOC_SCORE),
 }
 
 

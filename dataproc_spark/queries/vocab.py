@@ -620,3 +620,140 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(s) // COUNT(*) AS BIGINT) AS avg_surprise_m
 FROM scored GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# r14: hashed-ngram linear document scoring (classify.score_documents)
+# --------------------------------------------------------------------------
+
+def q_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document scoring (``classify.hashed_ngram_buckets``
+    / ``score_documents`` / ``predict_label``): the fastText-style
+    hashed unigram+bigram linear classifier a curation pipeline runs
+    between heuristic filters and training. The model is derived
+    DETERMINISTICALLY from the corpus itself so the oracle can rebuild
+    it: per md5 bucket (512 buckets — small on purpose, so genuine
+    hash collisions are ON the hash), label 'len' weighs the summed
+    length of the distinct grams in the bucket and label 'vow' their
+    summed vowel count; bias 3 on 'len' exercises the n_feats-scaled
+    bias arm. Output: one row per (doc, label) with the exact-integer
+    score plus the per-doc argmax label (tie → label ASC). On the
+    hash: lowercasing, term-frequency (duplicates kept), the per-arity
+    bucket salts, collision-merged weights, empty-doc zero rows, and
+    integer bias scaling. Plan: map-only featurization; ONE broadcast
+    weights join; per-(doc,label) sums complete map-side."""
+    from dataproc_spark.extensions import classify
+    from dataproc_spark.extensions.approx import _md5_mod
+
+    n_buckets = 512
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    toks = F.filter(F.split(low, r"\s+"), lambda x: x != F.lit(""))
+    bigs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ub = docs.select(F.explode(toks).alias("g")).distinct().select(
+        "g", _md5_mod(F.col("g"), "#ftzu", n_buckets).alias("bucket")
+    )
+    bb = docs.select(F.explode(bigs).alias("g")).distinct().select(
+        "g", _md5_mod(F.col("g"), "#ftzb", n_buckets).alias("bucket")
+    )
+    vocab = ub.unionAll(bb)
+    vowels = F.length(F.col("g")) - F.length(
+        F.regexp_replace(F.col("g"), "[aeiou]", "")
+    )
+    weights = (
+        vocab.select(F.lit("len").alias("label"), "bucket",
+                     F.length("g").alias("_w"))
+        .unionAll(vocab.select(F.lit("vow").alias("label"), "bucket",
+                               vowels.alias("_w")))
+        .groupBy("label", "bucket")
+        .agg(F.sum("_w").cast("long").alias("w"))
+    )
+    scores = classify.score_documents(
+        docs, weights, n_buckets=n_buckets, bias={"len": 3}
+    )
+    pred = classify.predict_label(scores).select(
+        "doc_id", F.col("label").alias("pred_label")
+    )
+    return scores.join(pred, "doc_id").select(
+        "doc_id", "label", "n_feats", "score", "pred_label"
+    )
+
+
+SQL_DOC_SCORE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(coalesce(text, '')),
+                                          '\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS g
+    FROM toks WHERE len(t) >= 2
+),
+feats AS (
+    SELECT doc_id, g,
+           CAST('0x' || substr(md5(g || '#ftzu'), 1, 8) AS BIGINT)
+               % 512 AS bucket
+    FROM uni
+    UNION ALL
+    SELECT doc_id, g,
+           CAST('0x' || substr(md5(g || '#ftzb'), 1, 8) AS BIGINT)
+               % 512 AS bucket
+    FROM bi
+),
+vocab AS (SELECT DISTINCT g, bucket FROM feats),
+wts AS (
+    SELECT 'len' AS label, bucket, CAST(SUM(length(g)) AS BIGINT) AS w
+    FROM vocab GROUP BY bucket
+    UNION ALL
+    SELECT 'vow' AS label, bucket,
+           CAST(SUM(length(g)
+                    - length(regexp_replace(g, '[aeiou]', '', 'g')))
+                AS BIGINT) AS w
+    FROM vocab GROUP BY bucket
+),
+nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM feats
+       GROUP BY doc_id),
+base AS (
+    SELECT d.doc_id, l.label, COALESCE(nf.c, 0) AS n_feats
+    FROM documents d
+    CROSS JOIN (VALUES ('len'), ('vow')) AS l(label)
+    LEFT JOIN nf ON nf.doc_id = d.doc_id
+),
+dots AS (
+    SELECT f.doc_id, w.label, CAST(SUM(w.w) AS BIGINT) AS dot
+    FROM feats f JOIN wts w USING (bucket)
+    GROUP BY f.doc_id, w.label
+),
+scores AS (
+    SELECT b.doc_id, b.label, b.n_feats,
+           COALESCE(d.dot, 0)
+               + CASE WHEN b.label = 'len' THEN 3 * b.n_feats
+                      ELSE 0 END AS score
+    FROM base b
+    LEFT JOIN dots d ON d.doc_id = b.doc_id AND d.label = b.label
+),
+pred AS (
+    SELECT doc_id, label AS pred_label
+    FROM (SELECT doc_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, label ASC) AS rk
+          FROM scores)
+    WHERE rk = 1
+)
+SELECT s.doc_id, s.label, s.n_feats, CAST(s.score AS BIGINT) AS score,
+       p.pred_label
+FROM scores s JOIN pred p USING (doc_id)
+"""

@@ -4307,6 +4307,66 @@ def test_image_text_pairs(spark):
         webx.image_text_pairs(no_cap_cols, media)
 
 
+def test_classify_hashed_linear_scorer(spark):
+    """r14 hashed-ngram scorer: term frequency kept, per-arity salts,
+    NULL/empty docs score 0 on every label, n_feats-scaled bias, and
+    deterministic argmax tie-break (label ASC)."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import classify
+
+    N = 64
+    docs = spark.createDataFrame(
+        [(1, "ham ham spam"), (2, ""), (3, None), (4, "one")],
+        "doc_id long, text string",
+    )
+    b = {r.g: r.b for r in spark.createDataFrame(
+        [("ham",), ("spam",), ("ham ham",), ("ham spam",)], "g string"
+    ).select("g", classify.hashed_ngram_buckets("g", N).alias("bs"))
+        .select("g", F.element_at("bs", -1).alias("b")).collect()}
+    # element_at(-1): for 'ham' the only (unigram) bucket; for the
+    # two-word grams the bigram bucket
+    weights = spark.createDataFrame(
+        [("a", b["ham"], 10), ("a", b["ham spam"], 100),
+         ("b", b["spam"], 10)],
+        "label string, bucket long, w long",
+    )
+    scores = {(r.doc_id, r.label): (r.n_feats, r.score)
+              for r in classify.score_documents(
+                  docs, weights, n_buckets=N, bias={"b": 1}).collect()}
+    # doc 1 feats: ham,ham,spam + bigrams (ham ham),(ham spam) -> 5
+    assert scores[(1, "a")] == (5, 2 * 10 + 100)
+    assert scores[(1, "b")] == (5, 10 + 5 * 1)
+    for d in (2, 3):
+        assert scores[(d, "a")] == (0, 0) and scores[(d, "b")] == (0, 0)
+    assert scores[(4, "a")] == (1, 0) and scores[(4, "b")] == (1, 1)
+    pred = {r.doc_id: r.label for r in classify.predict_label(
+        classify.score_documents(docs, weights, n_buckets=N)
+    ).collect()}
+    assert pred[1] == "a"
+    assert pred[2] == "a"  # 0-0 tie -> label ASC
+    with _pytest.raises(ValueError, match="n_buckets"):
+        classify.hashed_ngram_buckets("text", 0)
+    # unigrams-only arm
+    one = spark.createDataFrame([("x y",)], "text string")
+    n_uni = one.select(F.size(classify.hashed_ngram_buckets(
+        "text", N, bigrams=False)).alias("n")).collect()[0].n
+    assert n_uni == 2
+
+
+def test_classify_fasttext_seam():
+    """The real-model seam raises ImportError eagerly when fasttext is
+    absent (this container), pointing at the engine-half substitute."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import classify
+
+    if classify._fasttext is not None:  # pragma: no cover
+        _pytest.skip("fasttext installed - seam exercised for real")
+    with _pytest.raises(ImportError, match="score_documents"):
+        classify.fasttext_predict(None, "/nonexistent.bin")
+
+
 def test_pdf_text_pure_core():
     """r13 PDF text extraction, pure core (no Spark): Tj / ' / \" / TJ
     shows, paren escapes + octal + nesting + line continuation, hex
