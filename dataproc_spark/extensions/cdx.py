@@ -29,7 +29,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["surt_key", "cdx_index", "cdx_closest", "write_sorted_cdx"]
+__all__ = [
+    "surt_key", "cdx_index", "cdx_closest", "write_sorted_cdx",
+    "revisit_schedule",
+]
 
 
 def surt_key(url_col: str | Column = "url") -> Column:
@@ -280,4 +283,118 @@ def write_sorted_cdx(
         index.repartitionByRange(n_files, F.col("urlkey"), F.col("ts"))
         .sortWithinPartitions("urlkey", "ts")
         .write.mode("overwrite").parquet(path)
+    )
+
+
+def _ts_epoch_s(ts: Column) -> Column:
+    """14-digit CDX timestamp → integer seconds since 1970-01-01, with
+    NO timezone parsing: calendar days via ``datediff`` over the date
+    part (dates are timezone-free in both engines) plus the hhmmss
+    seconds as plain integers. A ``to_timestamp`` route would run
+    through the SESSION timezone and drift across engines/DST —
+    the same hazard the events gates avoid with integer nanos."""
+    day = F.datediff(
+        F.to_date(F.substring(ts, 1, 8), "yyyyMMdd"), F.lit("1970-01-01")
+    ).cast("long")
+    hh = F.substring(ts, 9, 2).cast("long")
+    mm = F.substring(ts, 11, 2).cast("long")
+    ss = F.substring(ts, 13, 2).cast("long")
+    return day * 86400 + hh * 3600 + mm * 60 + ss
+
+
+def _ceil_pow2(x: Column) -> Column:
+    """Smallest power of two ``>= x`` (``x >= 1``), integer-exact and
+    engine-portable: ``1 << bit_length(x - 1)`` with bit length taken
+    as the DIGIT COUNT of the base-2 rendering (``conv`` here,
+    ``bin()`` in DuckDB) — no float ``log2`` whose rounding at exact
+    powers of two differs across engines."""
+    bits = F.length(F.conv((x - 1).cast("string"), 10, 2))
+    # call_function: the Python shiftleft() wrapper takes only an int
+    # literal for numBits; the SQL function accepts a Column
+    return F.when(x <= 1, F.lit(1).cast("long")).otherwise(
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), bits.cast("int")
+        ).cast("long")
+    )
+
+
+def revisit_schedule(
+    index: DataFrame,
+    min_interval_s: int = 4096,
+    max_interval_s: int = 1 << 24,
+    default_interval_s: int = 1 << 19,
+) -> DataFrame:
+    """Estimate a per-URL RECRAWL interval from capture history — the
+    step that closes the crawl loop (index → change rate → frontier
+    priority; :func:`...web.frontier_schedule` spaces the fetches,
+    this decides how soon a URL is due again). One row per ``urlkey``:
+
+    - ``n_captures``; ``n_changes`` — digest TRANSITIONS between
+      time-consecutive captures (ties broken by digest, NULL-safe:
+      NULL↔value counts as a change, NULL↔NULL does not);
+    - ``span_s`` — seconds between first and last capture;
+    - ``revisit_s`` — the predicted interval, rounded UP to a power
+      of two and clamped to ``[min_interval_s, max_interval_s]``
+      (power-of-two buckets keep the schedule family small and the
+      estimate deterministic — a frontier shards cleanly on it).
+
+    The raw estimate is the classic mean-time-between-observed-changes
+    (Cho & Garcia-Molina's change-rate estimator, integer division):
+    ``span_s div n_changes`` when changes were observed;
+    ``2 * span_s`` when the URL never changed across the span (back
+    off — it changes slower than we looked); ``default_interval_s``
+    for single captures or zero spans (no evidence either way). Pass
+    power-of-two bounds to keep the bucket family exact (defaults:
+    ~68 min, ~194 days, ~6 days).
+
+    100 TB plan: ONE ``urlkey`` exchange — the transition flags come
+    from a ``lag`` window over (ts, digest) and the per-key rollup
+    reuses the window's partitioning (no second exchange, the
+    :func:`...web.anchor_text_rollup` shape). Captures-per-URL is
+    crawl-bounded (thousands, not millions), so the window partition
+    never degenerates; AQE covers residual hot keys."""
+    from pyspark.sql import Window
+
+    from dataproc_spark.core import ensure_has_columns
+
+    if not (1 <= min_interval_s <= max_interval_s):
+        raise ValueError(
+            "need 1 <= min_interval_s <= max_interval_s, got "
+            f"{min_interval_s}/{max_interval_s}"
+        )
+    if default_interval_s < 1:
+        raise ValueError(
+            f"default_interval_s must be >= 1, got {default_interval_s}"
+        )
+    ensure_has_columns(index, ["urlkey", "ts", "digest"])
+    w = Window.partitionBy("urlkey").orderBy(
+        F.col("ts").asc(), F.col("digest").asc()
+    )
+    flagged = index.select(
+        "urlkey",
+        _ts_epoch_s(F.col("ts")).alias("_ep"),
+        (~F.col("digest").eqNullSafe(
+            F.lag("digest").over(w)
+        ) & (F.row_number().over(w) > 1)).cast("long").alias("_chg"),
+    )
+    agg = flagged.groupBy("urlkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+        (F.max("_ep") - F.min("_ep")).cast("long").alias("span_s"),
+    )
+    raw = (
+        F.when(
+            (F.col("n_captures") < 2) | (F.col("span_s") <= 0),
+            F.lit(default_interval_s).cast("long"),
+        )
+        .when(F.col("n_changes") == 0, 2 * F.col("span_s"))
+        .otherwise(F.expr("span_s div n_changes"))
+    )
+    clamped = F.least(
+        F.greatest(raw, F.lit(min_interval_s).cast("long")),
+        F.lit(max_interval_s).cast("long"),
+    )
+    return agg.select(
+        "urlkey", "n_captures", "n_changes", "span_s",
+        _ceil_pow2(clamped).alias("revisit_s"),
     )

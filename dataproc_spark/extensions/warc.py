@@ -91,10 +91,21 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("refers_to_uri", StringType()),
         StructField("refers_to_date", StringType()),
         StructField("warc_profile", StringType()),
+        # r14: the request→response link (ISO 28500 §5.7) — what
+        # pair_requests joins on
+        StructField("concurrent_to", StringType()),
     ]
 )
 
 _CRLF = b"\r\n"
+
+#: cheap byte-level screen for a request line before the (costlier)
+#: header-terminator search: an RFC 9110 token, a space, and a
+#: non-space target start within the first bytes
+_REQ_SCREEN_RE = re.compile(rb"^[A-Za-z][!#$%&'*+.^_`|~0-9A-Za-z-]{0,31} \S")
+
+#: RFC 9110 §5.6.2 token (header names / methods)
+_HTTP_TOKEN_RE = re.compile(r"[!#$%&'*+.^_`|~0-9A-Za-z-]+")
 
 
 def split_http_envelope(payload: bytes, content_type: str | None):
@@ -110,13 +121,22 @@ def split_http_envelope(payload: bytes, content_type: str | None):
     (RFC 7230 obs-fold — a continuation line starting with SP/HTAB,
     still present in old crawl archives) appends to the previous
     header's value, so the map is deterministic for a fixed record.
+
+    REQUEST envelopes (r14 — ``msgtype=request`` records) parse too:
+    ``status`` stays None and the request line lands in the header map
+    under the HTTP/2-style pseudo-keys ``:method`` / ``:path`` /
+    ``:version`` (real header names cannot start with a colon, so the
+    keys can never collide; this is also how WAT request metadata is
+    conventionally flattened). :func:`pair_requests` reads them.
     """
     payload = bytes(payload)
     if not (content_type or "").strip().lower().startswith(
         "application/http"
     ):
         return None, None, payload
-    if not payload.startswith(b"HTTP/"):
+    if not payload.startswith(b"HTTP/") and not _REQ_SCREEN_RE.match(
+        payload[:80]
+    ):
         return None, None, payload
     # the EARLIER of the two header terminators wins: an LF-terminated
     # envelope whose BODY contains \r\n\r\n must split at its own LFLF
@@ -132,10 +152,28 @@ def split_http_envelope(payload: bytes, content_type: str | None):
         end, sep = end_lf, 2
     head = payload[:end].decode("utf-8", "replace")
     lines = head.splitlines()
-    parts = lines[0].split(None, 2)
-    if len(parts) < 2 or not parts[1].isdigit():
-        return None, None, payload
-    status = int(parts[1])
+    pseudo: dict = {}
+    if lines[0].startswith("HTTP/"):
+        parts = lines[0].split(None, 2)
+        if len(parts) < 2 or not parts[1].isdigit():
+            return None, None, payload
+        status = int(parts[1])
+    else:
+        # request line: 'METHOD SP request-target SP HTTP/x.y' with
+        # METHOD an RFC 9110 token — anything else is not an envelope
+        parts = lines[0].split()
+        if (
+            len(parts) != 3
+            or not parts[2].startswith("HTTP/")
+            or not _HTTP_TOKEN_RE.fullmatch(parts[0])
+        ):
+            return None, None, payload
+        status = None
+        pseudo = {
+            ":method": parts[0],
+            ":path": parts[1],
+            ":version": parts[2],
+        }
     headers: dict = {}
     last_key: str | None = None
     for line in lines[1:]:
@@ -151,7 +189,8 @@ def split_http_envelope(payload: bytes, content_type: str | None):
         v = v.strip()
         headers[k] = headers[k] + ", " + v if k in headers else v
         last_key = k
-    return status, headers, payload[end + sep:]
+    headers.update(pseudo)  # pseudo-keys win (colon-free real keys
+    return status, headers, payload[end + sep:]  # can't collide anyway)
 
 
 def encode_warc_record(headers: dict, payload: bytes) -> bytes:
@@ -256,6 +295,7 @@ def iter_warc_records(buf: bytes, shard: str = ""):
                 "refers_to_uri": headers.get("warc-refers-to-target-uri"),
                 "refers_to_date": headers.get("warc-refers-to-date"),
                 "warc_profile": headers.get("warc-profile"),
+                "concurrent_to": headers.get("warc-concurrent-to"),
             }
     except OSError as exc:  # corrupt gzip member surfaces mid-read
         raise ValueError(f"corrupt gzip in WARC shard {shard!r}: {exc}")
@@ -335,6 +375,7 @@ def read_warc(
                                 r["refers_to_uri"],
                                 r["refers_to_date"],
                                 r["warc_profile"],
+                                r["concurrent_to"],
                             )
                         )
                         # fail-loud mode streams (an error aborts the
@@ -500,6 +541,74 @@ def write_warc_shards(
                     fh.write(rec)
 
     src.foreachPartition(write_partition)
+
+
+def pair_requests(
+    records: DataFrame,
+    keep_unpaired: bool = False,
+) -> DataFrame:
+    """Join WARC *request* records to the *response* records they were
+    concurrent with (``WARC-Concurrent-To``, ISO 28500 §5.7) — the
+    fetch-context reconstruction an archive consumer needs when the
+    request headers (User-Agent, Accept, cookies) or a POST body
+    matter. Input: a :func:`read_warc` frame read with
+    ``warc_types=("response", "request")`` (or ``None``). Output: one
+    row per response with the response columns plus
+
+    - ``req_record_id`` — the paired request record's id;
+    - ``req_method`` / ``req_path`` — the request line (the
+      ``:method``/``:path`` pseudo-keys :func:`split_http_envelope`
+      stamps on request envelopes);
+    - ``req_headers`` — the request's REAL headers (pseudo-keys
+      filtered out);
+    - ``req_body`` — the request body (POST/PUT payloads; empty for
+      the usual GET).
+
+    ``keep_unpaired=True`` left-joins so responses without a captured
+    request survive with NULL request columns (many archives store
+    responses only). A response with SEVERAL concurrent requests
+    (retries within one capture event) emits one row per request —
+    the honest multiplicity; dedupe upstream if one is wanted.
+
+    100 TB plan: ONE record-id equi-join. Both sides stream from the
+    same archive scan; requests are envelope-sized (bytes), so the
+    request side shuffles tiny rows and AQE picks a broadcast when a
+    selective filter ran upstream. No window, no sort."""
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.core import ensure_has_columns, ensure_no_columns
+
+    ensure_has_columns(
+        records, ["warc_type", "record_id", "concurrent_to",
+                  "http_headers", "body"],
+    )
+    ensure_no_columns(
+        records,
+        ["req_record_id", "req_method", "req_path", "req_headers",
+         "req_body", "_cto"],
+        "pair_requests",
+    )
+    resp = records.where(F.col("warc_type") == "response")
+    req = (
+        records.where(
+            (F.col("warc_type") == "request")
+            & F.col("concurrent_to").isNotNull()
+        )
+        .select(
+            F.col("concurrent_to").alias("_cto"),
+            F.col("record_id").alias("req_record_id"),
+            F.col("http_headers")[":method"].alias("req_method"),
+            F.col("http_headers")[":path"].alias("req_path"),
+            F.map_filter(
+                F.col("http_headers"), lambda k, _: ~k.startswith(":")
+            ).alias("req_headers"),
+            F.col("body").alias("req_body"),
+        )
+    )
+    how = "left" if keep_unpaired else "inner"
+    return resp.join(
+        req, resp["record_id"] == req["_cto"], how
+    ).drop("_cto")
 
 
 def resolve_revisits(

@@ -306,6 +306,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "anchor_rollup": (q_anchor_rollup, SQL_ANCHOR_ROLLUP),
     "image_pairs": (q_image_pairs, SQL_IMAGE_PAIRS),
     "doc_score": (q_doc_score, SQL_DOC_SCORE),
+    "revisit_schedule": (q_revisit_schedule, SQL_REVISIT_SCHEDULE),
+    "warc_pair": (q_warc_pair, SQL_WARC_PAIR),
 }
 
 

@@ -2673,3 +2673,203 @@ SELECT doc_id, 0 AS img_pos,
        CAST(doc_id % 251 AS BIGINT) AS payload_len
 FROM b
 """
+
+
+def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-interval estimation (``cdx.revisit_schedule``): per
+    urlkey, digest-change rate over capture history → a power-of-two
+    revisit interval — the signal that closes the crawl loop (index →
+    change rate → frontier priority). 23 bulk URLs each accumulate a
+    capture per document (one per day, hh:mm:ss varying per doc so the
+    within-day ORDER is on the hash) in four digest arms by
+    ``urlkey % 4``: never-changed, always-changed, day-alternating,
+    and a NULL-digest mix (NULL↔NULL is NOT a change, NULL↔value is);
+    every 10th document adds a single-capture URL (default interval).
+    On the hash: the timezone-free epoch arithmetic (calendar
+    date-diff + hhmmss), the Cho-style ``span div changes`` estimator,
+    the never-changed 2×span backoff, clamping, and the integer
+    ceil-power-of-two bucketing (replayed in DuckDB as
+    ``1 << length(bin(x-1))``). Plan: ONE urlkey exchange — lag
+    window + a rollup that reuses its partitioning."""
+    from dataproc_spark.extensions import cdx as cdxx
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 23
+    seq = F.expr("doc_id div 23")
+    hh = F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0")
+    mi = F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0")
+    ss = F.lpad(((F.col("doc_id") * 7) % 60).cast("string"), 2, "0")
+    day = F.date_format(
+        F.date_add(F.lit("2024-01-01").cast("date"), seq.cast("int")),
+        "yyyyMMdd",
+    )
+    ts = F.concat(day, hh, mi, ss)
+    karm = k % 4
+    digest = (
+        F.when(karm == 0, F.concat(F.lit("c"), k.cast("string")))
+        .when(karm == 1, F.concat(F.lit("u"), F.col("doc_id")
+                                  .cast("string")))
+        .when(karm == 2, F.concat(F.lit("m"), (seq % 2).cast("string")))
+        .otherwise(F.when(
+            seq % 3 == 0, F.lit(None).cast("string")
+        ).otherwise(F.concat(F.lit("n"), k.cast("string"))))
+    )
+    bulk = docs.select(
+        F.concat(F.lit("k"), k.cast("string")).alias("urlkey"),
+        ts.alias("ts"), digest.alias("digest"),
+    )
+    singles = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("single"), F.col("doc_id").cast("string"))
+        .alias("urlkey"),
+        F.lit("20240101000000").alias("ts"),
+        F.lit("z").alias("digest"),
+    )
+    return cdxx.revisit_schedule(bulk.unionAll(singles))
+
+
+SQL_REVISIT_SCHEDULE = r"""
+WITH caps AS (
+    SELECT 'k' || CAST(doc_id % 23 AS VARCHAR) AS urlkey,
+           strftime(DATE '2024-01-01'
+                        + to_days(CAST(doc_id // 23 AS INTEGER)),
+                    '%Y%m%d')
+               || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+               || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+               || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+               AS ts,
+           CASE (doc_id % 23) % 4
+               WHEN 0 THEN 'c' || CAST(doc_id % 23 AS VARCHAR)
+               WHEN 1 THEN 'u' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN 'm' || CAST((doc_id // 23) % 2 AS VARCHAR)
+               ELSE CASE WHEN (doc_id // 23) % 3 = 0 THEN NULL
+                         ELSE 'n' || CAST(doc_id % 23 AS VARCHAR) END
+           END AS digest
+    FROM documents
+    UNION ALL
+    SELECT 'single' || CAST(doc_id AS VARCHAR), '20240101000000', 'z'
+    FROM documents WHERE doc_id % 10 = 0
+),
+flagged AS (
+    SELECT urlkey,
+           date_diff('day', DATE '1970-01-01',
+                     CAST(strptime(substr(ts, 1, 8), '%Y%m%d') AS DATE))
+                   * 86400
+               + CAST(substr(ts, 9, 2) AS BIGINT) * 3600
+               + CAST(substr(ts, 11, 2) AS BIGINT) * 60
+               + CAST(substr(ts, 13, 2) AS BIGINT) AS ep,
+           CASE WHEN ROW_NUMBER() OVER w > 1
+                     AND digest IS DISTINCT FROM LAG(digest) OVER w
+                THEN 1 ELSE 0 END AS chg
+    FROM caps
+    WINDOW w AS (PARTITION BY urlkey
+                 ORDER BY ts ASC, digest ASC NULLS FIRST)
+),
+agg AS (
+    SELECT urlkey,
+           CAST(COUNT(*) AS BIGINT) AS n_captures,
+           CAST(SUM(chg) AS BIGINT) AS n_changes,
+           CAST(MAX(ep) - MIN(ep) AS BIGINT) AS span_s
+    FROM flagged GROUP BY urlkey
+),
+est AS (
+    SELECT urlkey, n_captures, n_changes, span_s,
+           LEAST(GREATEST(
+               CASE WHEN n_captures < 2 OR span_s <= 0 THEN 524288
+                    WHEN n_changes = 0 THEN 2 * span_s
+                    ELSE span_s // n_changes END,
+               4096), 16777216) AS clamped
+    FROM agg
+)
+SELECT urlkey, n_captures, n_changes, span_s,
+       CAST(CASE WHEN clamped <= 1 THEN 1
+                 ELSE CAST(1 AS BIGINT) << length(bin(clamped - 1))
+            END AS BIGINT) AS revisit_s
+FROM est
+"""
+
+
+def q_warc_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC request/response pairing (``warc.pair_requests``): write an
+    archive holding BOTH record types — each document one HTTP response
+    plus one GET request linked by ``WARC-Concurrent-To`` (every third
+    document's request is MISSING, the responses-only archive reality)
+    — re-ingest with ``read_warc(warc_types=None)``, and re-pair. On
+    the hash: the Concurrent-To header roundtrip, the request-line
+    pseudo-key parse (``:method``/``:path``), the RFC 9110 repeated-
+    header join (two ``Accept`` values), pseudo-key filtering out of
+    ``req_headers``, and left-join survival of request-less responses.
+    Plan: binaryFile scan → Arrow splitter → ONE record-id equi-join.
+    Scratch shards are deleted before returning."""
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    uri = F.concat(F.lit("https://site"), (F.col("doc_id") % 37)
+                   .cast("string"), F.lit(".com/doc/"), did)
+    body = F.concat(F.lit("<html>"), F.coalesce(F.col("text"), F.lit("")),
+                    F.lit("</html>"))
+    resp_payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body
+    ).cast("binary")
+    req_payload = F.concat(
+        F.lit("GET /doc/"), did,
+        F.lit(" HTTP/1.1\r\nHost: h\r\nAccept: text/html\r\n"
+              "Accept: */*\r\nUser-Agent: dp\r\n\r\n"),
+    ).cast("binary")
+    # the sink derives a record's id as md5(uri) — compute the same
+    # value column-side for the request's Concurrent-To link
+    rid = F.concat(F.lit("<urn:uuid:"), F.md5(uri.cast("binary")),
+                   F.lit(">"))
+    resp_rows = docs.select(
+        uri.alias("target_uri"), resp_payload.alias("payload"),
+        F.lit("response").alias("wtype"),
+        F.lit(None).cast("string").alias("cto"),
+    )
+    req_rows = docs.where(F.col("doc_id") % 3 != 0).select(
+        uri.alias("target_uri"), req_payload.alias("payload"),
+        F.lit("request").alias("wtype"), rid.alias("cto"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="warcpair_")
+    try:
+        warcx.write_warc_shards(
+            resp_rows.unionAll(req_rows).repartition(4, "target_uri"),
+            out_dir,
+            type_col="wtype",
+            extra_headers={"WARC-Concurrent-To": "cto"},
+        )
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise
+    back = warcx.read_warc(spark, out_dir, warc_types=None)
+    paired = warcx.pair_requests(back, keep_unpaired=True)
+    res = paired.select(
+        _warc_doc_id(),
+        "http_status",
+        "req_method",
+        "req_path",
+        F.col("req_headers")["accept"].alias("req_accept"),
+        F.col("req_headers")["user-agent"].alias("req_ua"),
+        F.octet_length("req_body").cast("long").alias("req_body_len"),
+        F.octet_length("body").cast("long").alias("body_len"),
+    )
+    return _materialize_and_clean(res, out_dir)
+
+
+SQL_WARC_PAIR = """
+SELECT doc_id,
+       200 AS http_status,
+       CASE WHEN doc_id % 3 <> 0 THEN 'GET' END AS req_method,
+       CASE WHEN doc_id % 3 <> 0
+            THEN '/doc/' || CAST(doc_id AS VARCHAR) END AS req_path,
+       CASE WHEN doc_id % 3 <> 0 THEN 'text/html, */*' END AS req_accept,
+       CASE WHEN doc_id % 3 <> 0 THEN 'dp' END AS req_ua,
+       CASE WHEN doc_id % 3 <> 0 THEN CAST(0 AS BIGINT) END
+           AS req_body_len,
+       CAST(strlen('<html>' || coalesce(text, '') || '</html>') AS BIGINT)
+           AS body_len
+FROM documents
+"""

@@ -4367,6 +4367,104 @@ def test_classify_fasttext_seam():
         classify.fasttext_predict(None, "/nonexistent.bin")
 
 
+def test_split_http_envelope_request_line():
+    """r14 request envelopes: the request line lands under the
+    :method/:path/:version pseudo-keys, repeated headers still join,
+    and non-envelope lookalikes stay opaque."""
+    from dataproc_spark.extensions.warc import split_http_envelope
+
+    req = (b"GET /p?a=1 HTTP/1.1\r\nHost: h\r\nAccept: a/b\r\n"
+           b"Accept: c/d\r\n\r\n")
+    s, h, b = split_http_envelope(req, "application/http; msgtype=request")
+    assert s is None and b == b""
+    assert (h[":method"], h[":path"], h[":version"]) == (
+        "GET", "/p?a=1", "HTTP/1.1")
+    assert h["accept"] == "a/b, c/d"
+    s2, h2, b2 = split_http_envelope(
+        b"POST /f HTTP/1.1\r\nHost: x\r\n\r\nBODY",
+        "application/http")
+    assert (s2, h2[":method"], b2) == (None, "POST", b"BODY")
+    # lookalikes: 2-part first line, non-token method, no HTTP/ suffix
+    for payload in (b"GET /x\r\n\r\nrest",
+                    b"HELLO world wide\r\n\r\nrest",
+                    b"A(B) /x HTTP/1.1\r\n\r\nrest"):
+        assert split_http_envelope(payload, "application/http") == (
+            None, None, payload)
+    # responses unchanged
+    ok = b"HTTP/1.1 404 NF\r\nX: y\r\n\r\nB"
+    assert split_http_envelope(ok, "application/http") == (
+        404, {"x": "y"}, b"B")
+
+
+def test_pair_requests_roundtrip(spark, tmp_path):
+    """r14 WARC-Concurrent-To pairing: write both record types, read
+    back, pair — unpaired responses survive the left join with NULL
+    request columns, inner join drops them."""
+    import hashlib
+
+    from dataproc_spark.extensions import warc as warcx
+
+    rows = []
+    for i in range(4):
+        url = f"https://s.com/p{i}"
+        resp = (f"HTTP/1.1 200 OK\r\n\r\n<html>{i}</html>").encode()
+        rid = hashlib.md5(url.encode()).hexdigest()
+        rows.append((url, bytearray(resp), "response", None))
+        if i != 0:  # p0 has no captured request
+            reqp = (f"GET /p{i} HTTP/1.1\r\nHost: s\r\n\r\n").encode()
+            rows.append((url, bytearray(reqp), "request",
+                         f"<urn:uuid:{rid}>"))
+    df = spark.createDataFrame(
+        rows, "target_uri string, payload binary, wtype string, cto string"
+    )
+    d = str(tmp_path / "shards")
+    warcx.write_warc_shards(df.repartition(2), d, type_col="wtype",
+                            extra_headers={"WARC-Concurrent-To": "cto"})
+    back = warcx.read_warc(spark, d, warc_types=None)
+    inner = {r.target_uri: r for r in warcx.pair_requests(back).collect()}
+    assert sorted(inner) == [f"https://s.com/p{i}" for i in (1, 2, 3)]
+    assert inner["https://s.com/p1"].req_method == "GET"
+    assert ":method" not in (inner["https://s.com/p1"].req_headers or {})
+    outer = {r.target_uri: r.req_method for r in
+             warcx.pair_requests(back, keep_unpaired=True).collect()}
+    assert len(outer) == 4 and outer["https://s.com/p0"] is None
+
+
+def test_revisit_schedule_arms(spark):
+    """r14 recrawl estimation: never-changed backoff, change-rate
+    division, single-capture default, zero-span default, NULL-digest
+    transition semantics, and power-of-two clamping."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import cdx as cdxx
+
+    rows = [
+        ("a", "20240101000000", "d1"), ("a", "20240102000000", "d1"),
+        ("a", "20240103000000", "d1"),
+        ("b", "20240101000000", "x1"), ("b", "20240101010000", "x2"),
+        ("b", "20240101020000", "x3"),
+        ("c", "20240101000000", "z"),
+        ("d", "20240101000000", "p"), ("d", "20240101000000", "q"),
+        ("e", "20240101000000", None), ("e", "20240102000000", None),
+        ("e", "20240103000000", "v"),
+    ]
+    idx = spark.createDataFrame(rows,
+                                "urlkey string, ts string, digest string")
+    got = {r.urlkey: r for r in cdxx.revisit_schedule(idx).collect()}
+    assert (got["a"].n_changes, got["a"].span_s,
+            got["a"].revisit_s) == (0, 172800, 524288)  # 2*span -> pow2
+    assert (got["b"].n_changes, got["b"].revisit_s) == (2, 4096)  # clamp
+    assert got["c"].revisit_s == 524288                 # single default
+    assert got["d"].revisit_s == 524288                 # zero span
+    assert (got["e"].n_changes, got["e"].revisit_s) == (1, 262144)
+    with _pytest.raises(ValueError, match="min_interval_s"):
+        cdxx.revisit_schedule(idx, min_interval_s=0)
+    plan = (cdxx.revisit_schedule(idx)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert len([ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]) == 1
+
+
 def test_pdf_text_pure_core():
     """r13 PDF text extraction, pure core (no Spark): Tj / ' / \" / TJ
     shows, paren escapes + octal + nesting + line continuation, hex
