@@ -130,6 +130,14 @@ EXTENDED_QUERIES = [
     # (jpeg_scrub is probed in SCALE.md instead — its gate fixture
     # pure-Python-ENCODES a JPEG per row, deliberately heavy; the
     # lang_script_predict/cross_doc_spans precedent)
+    # r14 families: inbound anchor-text rollup, image–text pairing,
+    # hashed-ngram linear scoring, recrawl-interval estimation
+    # (warc_pair is probed in SCALE.md instead — its fixture writes a
+    # two-record-type archive per run, the warc-roundtrip-shaped cost)
+    "anchor_rollup",
+    "image_pairs",
+    "doc_score",
+    "revisit_schedule",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "surt_key", "cdx_index", "cdx_closest", "write_sorted_cdx",
-    "revisit_schedule",
+    "revisit_schedule", "write_zipnum_index", "load_cdx_pruned",
+    "ZIPNUM_DIR",
 ]
 
 
@@ -284,6 +285,79 @@ def write_sorted_cdx(
         .sortWithinPartitions("urlkey", "ts")
         .write.mode("overwrite").parquet(path)
     )
+
+
+#: subdirectory holding the ZipNum-style secondary index — the leading
+#: underscore makes it INVISIBLE to a plain ``read.parquet(path)`` of
+#: the sorted index (the Hadoop hidden-path convention), so the sidecar
+#: never pollutes a full scan
+ZIPNUM_DIR = "_zipnum"
+
+
+def write_zipnum_index(spark, path: str) -> None:
+    """Write the secondary index beside a :func:`write_sorted_cdx`
+    output — the pywb ``cluster.idx`` idea adapted to parquet: one row
+    per data FILE with its (``file``, ``min_urlkey``, ``max_urlkey``,
+    ``n_rows``) so a lookup opens exactly the files whose key range
+    can match, deterministically, before any parquet footer is read.
+    pywb's every-Nth-line samples give sub-file seeks in its gzip
+    world; here parquet row-group min/max stats already provide the
+    intra-file skipping, so the sidecar only needs the file ranges —
+    the documented divergence. One cheap aggregation pass over the
+    (tiny) index rows; the summary is n_files rows, coalesced to one
+    file under ``<path>/_zipnum`` (hidden from plain scans)."""
+    import os
+
+    (
+        spark.read.parquet(path)
+        .select(
+            F.input_file_name().alias("file"), F.col("urlkey")
+        )
+        .groupBy("file")
+        .agg(
+            F.min("urlkey").alias("min_urlkey"),
+            F.max("urlkey").alias("max_urlkey"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, ZIPNUM_DIR))
+    )
+
+
+def load_cdx_pruned(spark, path: str, probes: DataFrame,
+                    url_col: str = "url") -> DataFrame:
+    """Open a sorted-CDX directory restricted to the files whose key
+    range can hold any probe URL — the :func:`write_zipnum_index`
+    consumer. Reads the sidecar (n_files rows), collects the probe
+    batch's DISTINCT SURT keys (legitimate: :func:`cdx_closest`'s
+    probes are a small lookup batch BY CONTRACT — for a bulk
+    re-resolution pass skip pruning and scan the index), intersects
+    driver-side, and returns a reader over exactly the surviving
+    files. Zero survivors → an empty frame with the index schema, so
+    the downstream join still emits its NULL-capture miss rows.
+
+    100 TB plan: the sidecar is KB-sized and the probe-key collect is
+    bounded by the batch; the win over bare min/max stats skipping is
+    that non-matching files are never even LISTED into the scan (no
+    footer reads, no tasks), making a point lookup O(matching files)
+    instead of O(all files)."""
+    import os
+
+    summary = spark.read.parquet(os.path.join(path, ZIPNUM_DIR)).collect()
+    keys = [
+        r.k for r in
+        probes.select(surt_key(url_col).alias("k")).distinct().collect()
+        if r.k is not None
+    ]
+    files = sorted(
+        s.file for s in summary
+        if any(s.min_urlkey <= k <= s.max_urlkey for k in keys)
+    )
+    full = spark.read.parquet(path)
+    if not files:
+        return spark.createDataFrame([], full.schema)
+    return spark.read.schema(full.schema).parquet(*files)
 
 
 def _ts_epoch_s(ts: Column) -> Column:

@@ -646,7 +646,17 @@ def q_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataproc_spark.extensions.approx import _md5_mod
 
     n_buckets = 512
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread the scan before the CPU-heavy per-gram md5 stages: the
+    # corpus parquet arrives in O(files) partitions (2 at the 10×
+    # probe) and featurization+derivation would run that narrow —
+    # measured 74 s vs 16 s at 10×. One small shuffle of (id, text)
+    # rows; values unchanged. At 100 TB the scan is already wide and
+    # maxPartitionBytes owns this; the repartition is a no-op cost.
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     low = F.lower(F.coalesce(F.col("text"), F.lit("")))
     toks = F.filter(F.split(low, r"\s+"), lambda x: x != F.lit(""))
     bigs = F.when(
@@ -668,7 +678,7 @@ def q_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vowels = F.length(F.col("g")) - F.length(
         F.regexp_replace(F.col("g"), "[aeiou]", "")
     )
-    weights = (
+    weights_plan = (
         vocab.select(F.lit("len").alias("label"), "bucket",
                      F.length("g").alias("_w"))
         .unionAll(vocab.select(F.lit("vow").alias("label"), "bucket",
@@ -676,9 +686,18 @@ def q_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "bucket")
         .agg(F.sum("_w").cast("long").alias("w"))
     )
-    scores = classify.score_documents(
-        docs, weights, n_buckets=n_buckets, bias={"len": 3}
+    # MATERIALIZE the derived model (≤ 2×512 rows): score_documents
+    # references the weights frame twice, and as a live plan the
+    # whole-corpus distinct re-executed per reference — a measured 24×
+    # blowup at the 10× probe. A real deployment loads the model as a
+    # table anyway; collect-and-recreate reproduces that honestly.
+    weights = spark.createDataFrame(
+        weights_plan.collect(), "label string, bucket long, w long"
     )
+    scores = classify.score_documents(
+        docs, weights, n_buckets=n_buckets, bias={"len": 3},
+        labels=["len", "vow"],
+    ).persist()  # read twice: the output rows and the argmax join
     pred = classify.predict_label(scores).select(
         "doc_id", F.col("label").alias("pred_label")
     )

@@ -4093,6 +4093,49 @@ def test_write_sorted_cdx(spark, tmp_path):
         k for k, *_ in rows}
 
 
+def test_zipnum_index_prunes_files(spark, tmp_path):
+    """r14 ZipNum-style secondary index: the pruned reader plans ONLY
+    the files whose key range can match a probe (fewer inputFiles),
+    lookup results are identical to the full scan, and zero survivors
+    still yield the miss rows downstream."""
+    from dataproc_spark.extensions import cdx as cdxx
+
+    idx = spark.range(400).select(
+        F.concat(F.lit("com,site"), (F.col("id") % 37).cast("string"),
+                 F.lit(")/p/"), F.col("id").cast("string"))
+        .alias("urlkey"),
+        F.lit("20240101000000").alias("ts"),
+        F.concat(F.lit("http://site"), (F.col("id") % 37).cast("string"),
+                 F.lit(".com/p/"), F.col("id").cast("string"))
+        .alias("url"),
+        F.col("id").cast("long").alias("length"),
+    )
+    out = str(tmp_path / "cdx")
+    cdxx.write_sorted_cdx(idx, out, n_files=8)
+    cdxx.write_zipnum_index(spark, out)
+    probes = spark.createDataFrame(
+        [("http://site5.com/p/5", "20240102000000"),
+         ("http://never.example/", "20240101000000")],
+        "url string, ts string",
+    )
+    pruned = cdxx.load_cdx_pruned(spark, out, probes)
+    assert len(pruned.inputFiles()) < len(
+        spark.read.parquet(out).inputFiles())
+    got = sorted(map(str, cdxx.cdx_closest(pruned, probes).collect()))
+    full = sorted(map(str, cdxx.cdx_closest(
+        spark.read.parquet(out), probes).collect()))
+    assert got == full and len(got) == 2
+    # the sidecar is invisible to a plain scan of the index dir
+    assert spark.read.parquet(out).count() == 400
+    # zero survivors: empty frame with the index schema, misses intact
+    p2 = spark.createDataFrame([("http://zz.zz/", "20240101000000")],
+                               "url string, ts string")
+    empty = cdxx.load_cdx_pruned(spark, out, p2)
+    assert empty.count() == 0 and empty.schema == pruned.schema
+    rows2 = cdxx.cdx_closest(empty, p2).collect()
+    assert len(rows2) == 1 and rows2[0].cdx_url is None
+
+
 def test_host_link_graph(spark):
     """r13 host-graph rollup: per-host-pair totals vs followed counts
     (token-exact rel matching — substrings and case variants handled),
@@ -4352,6 +4395,18 @@ def test_classify_hashed_linear_scorer(spark):
     n_uni = one.select(F.size(classify.hashed_ngram_buckets(
         "text", N, bigrams=False)).alias("n")).collect()[0].n
     assert n_uni == 2
+    # the xxhash64 fast path: same feature COUNTS, different buckets,
+    # bounded to [0, N); explicit labels skip the weights distinct
+    xs = one.select(classify.hashed_ngram_buckets(
+        "text", N, hash_fn="xxhash64").alias("b")).collect()[0].b
+    assert len(xs) == 3 and all(0 <= v < N for v in xs)
+    with _pytest.raises(ValueError, match="hash_fn"):
+        classify.hashed_ngram_buckets("text", N, hash_fn="sha1")
+    xx = {(r.doc_id, r.label): r.n_feats
+          for r in classify.score_documents(
+              docs, weights, n_buckets=N, hash_fn="xxhash64",
+              labels=["a", "b"]).collect()}
+    assert xx[(1, "a")] == 5 and len(xx) == 8
 
 
 def test_classify_fasttext_seam():

@@ -1,0 +1,55 @@
+"""Consuming-aggregate probes for the r14 gates — count() legally
+prunes map projections, so each probe forces the computed columns
+through sums (the r7 lesson; same shape as probe_r11/12/13_consume).
+Also RE-probes link_extract (it gained the anchor-text walk this
+round) and host_graph (its extract_links call now opts OUT of the
+walk — the cost must not regress).
+
+Usage: python tools/probe_r14_consume.py DIR [DIR ...]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dataproc_spark import get_spark
+from dataproc_spark.queries import REGISTRY
+from pyspark.sql import functions as F
+
+spark = get_spark("probe_r14", master="local[32]", shuffle_partitions=64,
+                  extra_conf={"spark.ui.enabled": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+for d in sys.argv[1:]:
+    for name, agg in (
+        ("link_extract",
+         lambda df: df.agg(F.sum(F.length("link_url")),
+                           F.sum(F.length("anchor_text")),
+                           F.count("rel"), F.count("*"))),
+        ("anchor_rollup",
+         lambda df: df.agg(F.sum("n_links"), F.sum("n_anchored"),
+                           F.sum("n"), F.count("*"))),
+        ("image_pairs",
+         lambda df: df.agg(F.sum(F.length("img_url")),
+                           F.sum(F.length("caption")),
+                           F.sum("payload_len"), F.count("*"))),
+        ("doc_score",
+         lambda df: df.agg(F.sum("score"), F.sum("n_feats"),
+                           F.count("*"))),
+        ("revisit_schedule",
+         lambda df: df.agg(F.sum("revisit_s"), F.sum("n_changes"),
+                           F.sum("span_s"), F.count("*"))),
+        ("warc_pair",
+         lambda df: df.agg(F.sum("body_len"), F.count("req_method"),
+                           F.count("*"))),
+        ("host_graph",
+         lambda df: df.agg(F.sum("n_links"), F.sum("n_followed"),
+                           F.count("*"))),
+    ):
+        t0 = time.time()
+        row = agg(REGISTRY[name][0](spark, d)).collect()[0]
+        print(json.dumps({"dir": d, "name": name,
+                          "sec": round(time.time() - t0, 1),
+                          "agg": [None if v is None else int(v) for v in row]}),
+              flush=True)
