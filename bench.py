@@ -138,6 +138,7 @@ EXTENDED_QUERIES = [
     "image_pairs",
     "doc_score",
     "revisit_schedule",
+    "image_dedup",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

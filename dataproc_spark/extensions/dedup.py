@@ -801,17 +801,55 @@ def simhash_near_pairs(
         )
     spread = spread_narrow(df, id_col)
     fps = simhash_frame(spread, content_col, id_col, bits, token_hash).persist()
+    pairs = banded_hamming_pairs(
+        fps, id_col=id_col, fp_col="simhash", bits=bits, bands=bands,
+        max_hamming=max_hamming,
+    )
+    # same lifetime contract as the minhash signature table: repeated
+    # calls must not accumulate pinned fingerprint caches (r8 review)
+    return _release_on_gc(pairs, fps)
+
+
+def banded_hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near pairs by Hamming distance over ANY integer fingerprint
+    frame — the band-bucket-verify core extracted from
+    :func:`simhash_near_pairs` (r14, for the perceptual image hashes:
+    same pigeonhole, different fingerprint). Input: one row per id
+    with a ``bits``-wide integer in ``fp_col``. Output: (id_a, id_b,
+    hamming) for every pair with ``hamming <= max_hamming``, complete
+    by the pigeonhole guarantee (``max_hamming <= bands - 1``).
+
+    100 TB plan: ids only ever meet on a colliding band value — the
+    candidate join is a hash shuffle on (band, bval), never all-pairs;
+    ``bit_count(xor)`` verifies candidates. Callers own persistence of
+    ``fps`` (it is referenced twice by the self-join)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"(bands - 1 = {bands - 1}): a pair at that distance can "
+            "differ in every band and would be silently dropped — raise "
+            "bands or lower max_hamming"
+        )
+    if bands < 1 or bits % bands:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits})")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     banded = fps.select(
         id_col,
-        "simhash",
+        fp_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * band_bits)
+                        F.shiftright(F.col(fp_col), b * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("bval"),
                     )
@@ -819,7 +857,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bval")
+    ).select(id_col, fp_col, "bb.band", "bb.bval")
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
@@ -834,14 +872,12 @@ def simhash_near_pairs(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+                F.col(f"l.{fp_col}").bitwiseXOR(F.col(f"r.{fp_col}"))
             ).alias("hamming"),
         )
         .distinct()
     )
-    # same lifetime contract as the minhash signature table: repeated
-    # calls must not accumulate pinned fingerprint caches (r8 review)
-    return _release_on_gc(pairs.where(F.col("hamming") <= max_hamming), fps)
+    return pairs.where(F.col("hamming") <= max_hamming)
 
 
 def ngram_containment_pairs(

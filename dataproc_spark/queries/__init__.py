@@ -308,6 +308,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_score": (q_doc_score, SQL_DOC_SCORE),
     "revisit_schedule": (q_revisit_schedule, SQL_REVISIT_SCHEDULE),
     "warc_pair": (q_warc_pair, SQL_WARC_PAIR),
+    "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
 }
 
 

@@ -954,3 +954,62 @@ SELECT doc_id,
        CAST(n0 - len(kept) AS BIGINT) AS n_lines_dropped
 FROM out
 """
+
+
+# --------------------------------------------------------------------------
+# r14: perceptual image near-dup (dHash + banded Hamming)
+# --------------------------------------------------------------------------
+
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs (``imagehash.image_dhash`` →
+    ``dedup.banded_hamming_pairs``): the image-side dedup a multimodal
+    corpus runs — 64-bit difference hash per image, band-bucketed
+    candidates, ``bit_count(xor)`` verification. Fixture: 9×8 binary
+    PPMs whose pixels ARE the dHash grid (identity resize), with 29
+    base patterns, one-cell perturbations per variant, and every 3rd
+    variant unperturbed (exact-dup hashes). On the hash: the integer
+    luma/box-mean pipeline (here 1:1 pixels), the strict left>right
+    comparison bit order, signed-64 packing (via pairwise XOR —
+    the oracle recomputes Hamming from the comparison grids, packing-
+    free), the pigeonhole-complete candidate set at bands=8 /
+    max_hamming=7, and the exact distances. Plan: one Arrow hash
+    stage (pixels never shuffle) + the banded (band, bval) self-join
+    moving (id, 8-byte hash) rows; all-pairs exists only in the
+    DuckDB oracle, which is the point of the comparison."""
+    from dataproc_spark.extensions import imagehash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = imagehash.synthesize_cell_ppms(docs)
+    return imagehash.image_near_dup(media, bands=8, max_hamming=7)
+
+
+SQL_IMAGE_DEDUP = """
+WITH grid AS (
+    SELECT d.doc_id, r.r, c.c,
+           ((d.doc_id % 29) * 37 + r.r * 11
+            + c.c * (13 + 2 * ((d.doc_id % 29) % 7))) % 200
+           + CASE WHEN (d.doc_id // 29) % 3 <> 0
+                       AND r.r = (d.doc_id // 29) % 8
+                       AND c.c = (d.doc_id // 29) % 9
+                  THEN 40 ELSE 0 END AS v
+    FROM documents d,
+         (SELECT unnest(range(0, 8)) AS r) r,
+         (SELECT unnest(range(0, 9)) AS c) c
+),
+bits AS (
+    SELECT a.doc_id, a.r, a.c,
+           CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+    FROM grid a JOIN grid b
+      ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+    WHERE a.c < 8
+),
+pairs AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                AS INTEGER) AS hamming
+    FROM bits x JOIN bits y
+      ON x.r = y.r AND x.c = y.c AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 7
+"""

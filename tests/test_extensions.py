@@ -4520,6 +4520,94 @@ def test_revisit_schedule_arms(spark):
                 if "Exchange hashpartitioning" in ln]) == 1
 
 
+def test_dhash_pure_function():
+    """r14 perceptual hash: integer luma/box-mean pipeline, strict
+    comparison bits, brightness-shift invariance, resize over a larger
+    frame, signed-64 packing, and the quarantine raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.imagehash import dhash_of
+
+    # 9x8 gray identity grid: row r has cells [r*11 + c*17 mod 200]
+    r = np.arange(8).reshape(-1, 1)
+    c = np.arange(9).reshape(1, -1)
+    v = ((r * 11 + c * 17) % 200).astype("uint8")[:, :, None]
+    h1 = dhash_of(9, 8, 1, v)
+    # expected bits from the same arithmetic
+    exp = 0
+    for rr in range(8):
+        for cc in range(8):
+            a = (rr * 11 + cc * 17) % 200
+            b = (rr * 11 + (cc + 1) * 17) % 200
+            if a > b:
+                exp |= 1 << (rr * 8 + cc)
+    if exp >= 1 << 63:
+        exp -= 1 << 64
+    assert h1 == exp
+    # brightness shift (no wrap) leaves every comparison unchanged
+    h2 = dhash_of(9, 8, 1, np.clip(v.astype(int) + 30, 0, 255)
+                  .astype("uint8"))
+    assert h2 == h1
+    # RGB with R=G=B == gray (luma identity)
+    rgb = np.repeat(v, 3, axis=2)
+    assert dhash_of(9, 8, 3, rgb) == h1
+    # 2x upscale (nearest, exact boxes) hashes identically
+    big = np.kron(v[:, :, 0], np.ones((2, 2), dtype=np.uint8))[:, :, None]
+    assert dhash_of(18, 16, 1, big) == h1
+    with _pytest.raises(ValueError, match="smaller"):
+        dhash_of(4, 4, 1, np.zeros((4, 4, 1), "uint8"))
+    with _pytest.raises(ValueError, match="channel"):
+        dhash_of(9, 8, 2, np.zeros((8, 9, 2), "uint8"))
+
+
+def test_image_dhash_quarantine_and_near_dup(spark):
+    """r14 image fingerprint stage: per-row quarantine (corrupt bytes
+    and NULL payloads route, never abort), JPEG payloads hash through
+    the in-repo codec, and the banded near-dup join finds exact dups
+    at hamming 0."""
+    import numpy as np
+
+    from dataproc_spark.extensions import imagehash
+    from dataproc_spark.extensions.jpeg import encode_jpeg
+    from dataproc_spark.extensions.multimodal import encode_ppm
+
+    v = ((np.arange(8).reshape(-1, 1) * 29
+          + np.arange(9).reshape(1, -1) * 13) % 211).astype("uint8")
+    ppm = encode_ppm(np.repeat(v[:, :, None], 3, axis=2))
+    # a JPEG of constant 8x8 blocks (16x16) decodes bit-exactly
+    blocks = np.kron(np.array([[10, 200], [200, 10]], dtype=np.uint8),
+                     np.ones((8, 8), dtype=np.uint8))[:, :, None]
+    jpg = encode_jpeg(blocks)
+    rows = [(1, bytearray(ppm)), (2, bytearray(ppm)),
+            (3, bytearray(jpg)), (4, bytearray(b"not an image")),
+            (5, None)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = {r.media_id: r for r in
+           imagehash.image_dhash(media).collect()}
+    assert fps[1].dhash == fps[2].dhash and fps[1].error is None
+    assert fps[3].dhash is not None and fps[3].width == 16
+    assert fps[4].dhash is None and fps[4].error
+    assert fps[5].error == "null_payload"
+    pairs = imagehash.image_near_dup(media).collect()
+    assert {(p.id_a, p.id_b, p.hamming) for p in pairs} >= {(1, 2, 0)}
+
+
+def test_banded_hamming_pairs_validation(spark):
+    """The generic banding core keeps the pigeonhole guards."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.dedup import banded_hamming_pairs
+
+    fps = spark.createDataFrame([(1, 5)], "id long, fp long")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        banded_hamming_pairs(fps, "id", "fp", bits=64, bands=4,
+                             max_hamming=5)
+    with _pytest.raises(ValueError, match="divide"):
+        banded_hamming_pairs(fps, "id", "fp", bits=64, bands=7,
+                             max_hamming=3)
+
+
 def test_pdf_text_pure_core():
     """r13 PDF text extraction, pure core (no Spark): Tj / ' / \" / TJ
     shows, paren escapes + octal + nesting + line continuation, hex
