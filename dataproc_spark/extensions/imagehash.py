@@ -162,7 +162,16 @@ def image_near_dup(
 
     Plan: one Arrow hash stage (persisted — the banding self-join
     reads it twice), then the banded equi-join moving (id, hash)
-    rows only. Same shuffle inventory as the SimHash text path."""
+    rows only. Same shuffle inventory as the SimHash text path.
+
+    PARAMETER SCALE RULE (measured, SCALE.md r14): a band has
+    ``64/bands`` bits, i.e. ``2^(64/bands)`` bucket values — the
+    candidate join is quadratic IN THE BUCKET, so the default
+    ``bands=8`` (256 values/band) saturates around 10⁵ images
+    (407 s / 13.7× superlinear at the 100× probe). Past that, use
+    ``bands=4, max_hamming=3`` (65 536 values/band — near-flat
+    29 s at the same probe); a corpus needing ``max_hamming > 3`` at
+    10⁶+ images needs a longer fingerprint, not more bands."""
     from dataproc_spark.core import release_cache_on_gc
     from dataproc_spark.extensions.dedup import banded_hamming_pairs
 
@@ -190,11 +199,17 @@ def synthesize_cell_ppms(
     by +40 (every 3rd variant unperturbed → exact-dup hashes within
     the group). An engine-independent oracle reproduces every hash
     bit and pairwise Hamming distance from this arithmetic alone:
-    ``v(id, r, c) = (g*37 + r*11 + c*(13 + 2*(g % 7))) % 200 + (40 if
-    perturbed cell)`` with the perturbed cell at ``(t % 8, t % 9)``
-    (the per-group horizontal delta makes DIFFERENT groups disagree
-    on many comparison bits, so near pairs concentrate within
-    groups)."""
+    ``x = (g*2654435761 + r*97 + c*89) % 2147483647;
+    v(id, r, c) = (x*x) % 2147483647 % 200 + (40 if perturbed cell)``
+    with the perturbed cell at ``(t % 8, t % 9)``. The QUADRATIC mix
+    matters: any linear-in-c pattern has a constant adjacent-cell
+    delta mod 200, so every row/group shares one comparison pattern
+    and the hashes cluster — the banded join then degenerates toward
+    all-pairs (measured: 62M "near" pairs at the 10× probe). Squaring
+    makes adjacent deltas vary, hashes go near-uniform across groups,
+    and near pairs concentrate within groups — fixture realism, not a
+    plan property. All intermediates stay below 2^62 (int64-safe in
+    numpy and DuckDB alike)."""
     import numpy as np
     import pandas as pd
 
@@ -208,7 +223,8 @@ def synthesize_cell_ppms(
                 g, t = i % groups, i // groups
                 r = np.arange(_ROWS).reshape(-1, 1)
                 c = np.arange(_COLS).reshape(1, -1)
-                v = (g * 37 + r * 11 + c * (13 + 2 * (g % 7))) % 200
+                x = (g * 2654435761 + r * 97 + c * 89) % 2147483647
+                v = (x * x) % 2147483647 % 200
                 if t % 3 != 0:
                     v = v.copy()
                     v[t % _ROWS, t % _COLS] += 40

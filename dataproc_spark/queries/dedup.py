@@ -986,8 +986,10 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_IMAGE_DEDUP = """
 WITH grid AS (
     SELECT d.doc_id, r.r, c.c,
-           ((d.doc_id % 29) * 37 + r.r * 11
-            + c.c * (13 + 2 * ((d.doc_id % 29) % 7))) % 200
+           (((((d.doc_id % 29) * 2654435761 + r.r * 97 + c.c * 89)
+              % 2147483647)
+             * (((d.doc_id % 29) * 2654435761 + r.r * 97 + c.c * 89)
+              % 2147483647)) % 2147483647) % 200
            + CASE WHEN (d.doc_id // 29) % 3 <> 0
                        AND r.r = (d.doc_id // 29) % 8
                        AND c.c = (d.doc_id // 29) % 9

@@ -53,3 +53,24 @@ for d in sys.argv[1:]:
                           "sec": round(time.time() - t0, 1),
                           "agg": [None if v is None else int(v) for v in row]}),
               flush=True)
+
+# image_dedup probes with CORPUS-REALISTIC duplication: group size stays
+# ~17 images as the corpus scales (the gate's fixed 29 groups would grow
+# quadratic within-group pair counts — a fixture artifact, not a plan
+# property; real corpora have bounded duplicate clusters)
+from dataproc_spark.extensions import imagehash  # noqa: E402
+from dataproc_spark.queries._tables import _t  # noqa: E402
+
+for d in sys.argv[1:]:
+    n = _t(spark, d, "documents").count()
+    groups = max(29, n // 17)
+    t0 = time.time()
+    media = imagehash.synthesize_cell_ppms(
+        _t(spark, d, "documents").select("doc_id"), groups=groups)
+    row = imagehash.image_near_dup(media).agg(
+        F.sum("hamming"), F.count("*")).collect()[0]
+    print(json.dumps({"dir": d, "name": "image_near_dup",
+                      "groups": groups,
+                      "sec": round(time.time() - t0, 1),
+                      "agg": [None if v is None else int(v) for v in row]}),
+          flush=True)
