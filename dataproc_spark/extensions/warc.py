@@ -1260,7 +1260,10 @@ def read_wet(spark, path: str, skip_malformed: bool = False) -> DataFrame:
 #: + the HTML features downstream consumers key on)
 WAT_SCHEMA = (
     "struct<url:string,status:int,mime:string,title:string,"
-    "n_links:int,links:array<string>,meta_robots:array<string>>"
+    "n_links:int,links:array<string>,meta_robots:array<string>,"
+    # r14 enrichment arms (absent in older shards → NULL on read)
+    "anchors:array<string>,"
+    "images:array<struct<url:string,caption:string>>>"
 )
 
 
@@ -1275,6 +1278,8 @@ def write_wat_shards(
     refers_to_col: str | None = None,
     compress: bool = True,
     open_fn=None,
+    with_anchors: bool = False,
+    with_images: bool = False,
 ) -> None:
     """Sink per-capture metadata as WAT shards — WARC *metadata*
     records (ISO 28500 §6.9) with a JSON payload, the third format of
@@ -1288,9 +1293,16 @@ def write_wat_shards(
     (:func:`...web.page_title`), resolved outlinks
     (:func:`...web.extract_link_array`, base-href aware, resolved
     against ``base_col`` or the capture URL) with their count, and
-    page-level ``meta_robots`` directives. NULL fields are omitted
-    from the JSON (``to_json`` semantics — WAT consumers treat absent
-    and null alike).
+    page-level ``meta_robots`` directives. ``with_anchors`` (r14)
+    additionally emits ``anchors`` — the per-link visible anchor
+    texts, index-aligned with ``links`` (one walk via
+    :func:`...web.extract_link_pairs`, so the two arrays cannot
+    drift); ``with_images`` emits ``images`` — (resolved src,
+    figcaption-over-alt caption) structs
+    (:func:`...web.extract_image_array`), the CLIP-pairing signal.
+    NULL fields are omitted from the JSON (``to_json`` semantics —
+    WAT consumers treat absent and null alike; older shards read back
+    with the new fields NULL).
 
     Plan: the metadata build is one map-only projection (the link
     walk included — zero shuffles, zero Python), then the shared WARC
@@ -1310,15 +1322,36 @@ def write_wat_shards(
         mime.alias("mime"),
     ]
     if html_col is not None:
-        links = webx.extract_link_array(
-            html_col, base_col=base_col or uri_col
-        )
+        if with_anchors:
+            pairs = webx.extract_link_pairs(
+                html_col, base_col=base_col or uri_col
+            )
+            links = F.transform(pairs, lambda s: s["url"])
+        else:
+            links = webx.extract_link_array(
+                html_col, base_col=base_col or uri_col
+            )
         fields += [
             webx.page_title(html_col).alias("title"),
             F.size(links).cast("int").alias("n_links"),
             links.alias("links"),
             webx.meta_robots(html_col).alias("meta_robots"),
         ]
+        if with_anchors:
+            fields.append(
+                F.transform(pairs, lambda s: s["text"]).alias("anchors")
+            )
+        if with_images:
+            fields.append(
+                webx.extract_image_array(
+                    html_col, base_col=base_col or uri_col
+                ).alias("images")
+            )
+    elif with_anchors or with_images:
+        raise ValueError(
+            "with_anchors/with_images need html_col — there is no "
+            "markup to walk without it"
+        )
     payload = F.to_json(F.struct(*fields))
     cols = [
         F.col(uri_col).alias("target_uri"),
@@ -1364,6 +1397,8 @@ def read_wat(spark, path: str, skip_malformed: bool = False):
         F.col("_wat.n_links").alias("wat_n_links"),
         F.col("_wat.links").alias("wat_links"),
         F.col("_wat.meta_robots").alias("wat_meta_robots"),
+        F.col("_wat.anchors").alias("wat_anchors"),
+        F.col("_wat.images").alias("wat_images"),
     )
 
 

@@ -1833,6 +1833,36 @@ def extract_images(
         F.col(html_col) if isinstance(html_col, str) else html_col,
         F.lit(""),
     )
+    imgs = _image_structs(html, with_figcaption)
+    others = list(df.columns)
+    sel = [
+        *others,
+        "img_pos",
+        F.col("_img.src").alias("src"),
+        F.col("_img.alt").alias("alt"),
+    ]
+    if with_figcaption:
+        sel.append(
+            F.nullif(F.col("_img.figcaption"), F.lit(""))
+            .alias("figcaption")
+        )
+    return df.select(
+        *others, F.posexplode(imgs).alias("img_pos", "_img")
+    ).select(
+        *sel,
+        resolve_url(
+            _effective_base(html, base_col, honor_base), F.col("_img.src")
+        ).alias("img_url"),
+    )
+
+
+def _image_structs(html: Column, with_figcaption: bool = True) -> Column:
+    """The quote-aware img walk shared by :func:`extract_images` and
+    :func:`extract_image_array`: array of struct(src, alt[,
+    figcaption]) in document order, src-less tags excluded. Alt is
+    NULL when ABSENT, ``''`` kept when present-but-empty; figcaption
+    carries the ``''`` no-text sentinel (callers map to NULL outside
+    the lambdas — the :func:`_anchor_texts` rule)."""
     tags = F.regexp_extract_all(
         html,
         F.lit(r"(?is)<img\s((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"),
@@ -1896,26 +1926,58 @@ def extract_images(
         )
     else:
         structs = F.transform(tags, lambda t: _img_struct(t, None))
-    imgs = F.filter(structs, lambda s: s["src"] != "")
-    others = list(df.columns)
-    sel = [
-        *others,
-        "img_pos",
-        F.col("_img.src").alias("src"),
-        F.col("_img.alt").alias("alt"),
-    ]
-    if with_figcaption:
-        sel.append(
-            F.nullif(F.col("_img.figcaption"), F.lit(""))
-            .alias("figcaption")
-        )
-    return df.select(
-        *others, F.posexplode(imgs).alias("img_pos", "_img")
-    ).select(
-        *sel,
-        resolve_url(
-            _effective_base(html, base_col, honor_base), F.col("_img.src")
-        ).alias("img_url"),
+    return F.filter(structs, lambda s: s["src"] != "")
+
+
+def extract_image_array(
+    html_col: str | Column = "html",
+    base_col: str = "url",
+    honor_base: bool = True,
+) -> Column:
+    """The page's images as ONE ``array<struct<url,caption>>`` column —
+    the no-explode form :func:`extract_images` flattens, shaped for a
+    WAT metadata record (r14): ``url`` is the resolved src (same
+    effective-base machinery as links), ``caption`` is
+    ``coalesce(figcaption, nullif(alt, ''))`` — the
+    :func:`image_text_pairs` rule. Map-only, zero shuffles."""
+    html = F.coalesce(
+        F.col(html_col) if isinstance(html_col, str) else html_col,
+        F.lit(""),
+    )
+    eff = _effective_base(html, base_col, honor_base)
+    return F.transform(
+        _image_structs(html),
+        lambda s: F.struct(
+            resolve_url(eff, s["src"]).alias("url"),
+            F.coalesce(
+                F.nullif(s["figcaption"], F.lit("")),
+                F.nullif(s["alt"], F.lit("")),
+            ).alias("caption"),
+        ),
+    )
+
+
+def extract_link_pairs(
+    html_col: str | Column = "html",
+    base_col: str = "url",
+    honor_base: bool = True,
+) -> Column:
+    """The page's outlinks WITH their anchor text as ONE
+    ``array<struct<url,text>>`` column (r14) — what a WAT record
+    carries next to the bare link list. Same walk and base handling
+    as :func:`extract_link_array`; ``text`` NULL for image-only or
+    dangling anchors. Map-only, zero shuffles."""
+    html = F.coalesce(
+        F.col(html_col) if isinstance(html_col, str) else html_col,
+        F.lit(""),
+    )
+    eff = _effective_base(html, base_col, honor_base)
+    return F.transform(
+        _link_structs(html, with_text=True),
+        lambda s: F.struct(
+            resolve_url(eff, s["href"]).alias("url"),
+            F.nullif(s["anchor_text"], F.lit("")).alias("text"),
+        ),
     )
 
 

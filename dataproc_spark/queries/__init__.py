@@ -309,6 +309,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "revisit_schedule": (q_revisit_schedule, SQL_REVISIT_SCHEDULE),
     "warc_pair": (q_warc_pair, SQL_WARC_PAIR),
     "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
+    "wat_enriched": (q_wat_enriched, SQL_WAT_ENRICHED),
 }
 
 

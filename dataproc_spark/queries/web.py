@@ -2873,3 +2873,102 @@ SELECT doc_id,
            AS body_len
 FROM documents
 """
+
+
+def q_wat_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enriched WAT sidecar (r14 — ``write_wat_shards(with_anchors,
+    with_images)`` / ``read_wat``): the anchor-text and image-caption
+    arrays WAT consumers expect next to the link list. Pages carry two
+    links whose TEXT arms vary (entity decode / image-only NULL — the
+    anchors array must stay index-ALIGNED with links through nulls),
+    one plain ``<img alt>`` and one figure whose figcaption must
+    outrank the alt, with a ``data-src`` decoy. On the hash: the
+    one-walk link/anchor alignment, JSON roundtrip of null array
+    elements (``to_json`` keeps them so positions survive), caption
+    precedence, and src resolution. Scratch shards removed before
+    returning."""
+    import shutil
+    import tempfile
+
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    n = (F.col("doc_id") % 37).cast("string")
+    url = F.concat(F.lit("https://site"), n, F.lit(".com/d/p"), did,
+                   F.lit(".html"))
+    t1 = F.when(F.col("doc_id") % 3 == 0, F.lit("go &amp; see")) \
+        .when(F.col("doc_id") % 3 == 1, F.lit('<img data-src="t.gif">')) \
+        .otherwise(F.concat(F.lit("read "), did))
+    html = F.concat(
+        F.lit('<html><body><a href="/l/'), did, F.lit('">'), t1,
+        F.lit('</a><a href="r'), did, F.lit('.html"><b>b</b>old</a>'),
+        F.lit('<img data-src="no.jpg" alt="decoy">'),
+        F.lit('<img src="i'), did, F.lit('.jpg" alt="pic '), did,
+        F.lit('"><figure><img src="f'), did,
+        F.lit('.png" alt="shadowed"><figcaption>Cap '), did,
+        F.lit("</figcaption></figure></body></html>"),
+    )
+    src = docs.select(
+        url.alias("target_uri"),
+        F.lit(200).cast("int").alias("http_status"),
+        F.lit("text/html").alias("http_content_type"),
+        html.alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="watenr_")
+    try:
+        warcx.write_wat_shards(src, out, html_col="html",
+                               with_anchors=True, with_images=True)
+    except Exception:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    back = warcx.read_wat(spark, out)
+    res = back.select(
+        F.regexp_extract(F.col("wat_url"), r"/p([0-9]+)\.html$", 1)
+        .cast("long").alias("doc_id"),
+        "wat_n_links",
+        F.array_join(F.col("wat_links"), " ").alias("links_joined"),
+        # join with a NULL placeholder so alignment through null
+        # anchor texts is ON the hash
+        F.array_join(
+            F.transform(F.col("wat_anchors"),
+                        lambda a: F.coalesce(a, F.lit("∅"))),
+            "|",
+        ).alias("anchors_joined"),
+        F.array_join(
+            F.transform(F.col("wat_images"), lambda s: s["url"]),
+            " ",
+        ).alias("img_urls"),
+        F.array_join(
+            F.transform(F.col("wat_images"),
+                        lambda s: F.coalesce(s["caption"], F.lit("∅"))),
+            "|",
+        ).alias("captions_joined"),
+    )
+    return _materialize_and_clean(res, out)
+
+
+SQL_WAT_ENRICHED = """
+WITH b AS (
+    SELECT doc_id,
+           CAST(doc_id AS VARCHAR) AS did,
+           CAST(doc_id % 37 AS VARCHAR) AS n
+    FROM documents
+)
+SELECT doc_id,
+       2 AS wat_n_links,
+       'https://site' || n || '.com/l/' || did || ' '
+           || 'https://site' || n || '.com/d/r' || did || '.html'
+           AS links_joined,
+       CASE doc_id % 3
+           WHEN 0 THEN 'go & see'
+           WHEN 1 THEN '∅'
+           ELSE 'read ' || did
+       END || '|' || 'b old' AS anchors_joined,
+       'https://site' || n || '.com/d/i' || did || '.jpg '
+           || 'https://site' || n || '.com/d/f' || did || '.png'
+           AS img_urls,
+       'pic ' || did || '|' || 'Cap ' || did AS captions_joined
+FROM b
+"""

@@ -4608,6 +4608,43 @@ def test_banded_hamming_pairs_validation(spark):
                              max_hamming=3)
 
 
+def test_wat_enriched_anchors_images(spark, tmp_path):
+    """r14 WAT enrichment: anchors index-aligned with links (nulls
+    preserved through the JSON roundtrip), images with the
+    figcaption-over-alt caption rule, and the no-html guard."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import warc as warcx
+
+    html = ('<a href="/a">first</a>'
+            '<a href="/b"><img data-src="x"></a>'   # image-only -> NULL
+            '<a href="/c">third</a>'
+            '<img src="i.jpg" alt="pic">'
+            '<figure><img src="f.png" alt="shadowed">'
+            '<figcaption>cap</figcaption></figure>')
+    df = spark.createDataFrame(
+        [("https://s.com/p", html, 200, "text/html")],
+        "target_uri string, html string, http_status int, "
+        "http_content_type string",
+    )
+    d = str(tmp_path / "wat")
+    warcx.write_wat_shards(df, d, html_col="html",
+                           with_anchors=True, with_images=True)
+    row = warcx.read_wat(spark, d).collect()[0]
+    assert row.wat_links == ["https://s.com/a", "https://s.com/b",
+                             "https://s.com/c"]
+    assert row.wat_anchors == ["first", None, "third"]
+    assert [(i.url, i.caption) for i in row.wat_images] == [
+        ("https://s.com/i.jpg", "pic"), ("https://s.com/f.png", "cap")]
+    # plain WAT reads back with the new fields NULL (schema compat)
+    d2 = str(tmp_path / "wat2")
+    warcx.write_wat_shards(df, d2, html_col="html")
+    row2 = warcx.read_wat(spark, d2).collect()[0]
+    assert row2.wat_anchors is None and row2.wat_images is None
+    with _pytest.raises(ValueError, match="html_col"):
+        warcx.write_wat_shards(df, d, with_images=True)
+
+
 def test_pdf_text_pure_core():
     """r13 PDF text extraction, pure core (no Spark): Tj / ' / \" / TJ
     shows, paren escapes + octal + nesting + line continuation, hex
