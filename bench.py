@@ -139,6 +139,7 @@ EXTENDED_QUERIES = [
     "doc_score",
     "revisit_schedule",
     "image_dedup",
+    "recrawl_due",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

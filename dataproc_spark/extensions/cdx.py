@@ -31,8 +31,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "surt_key", "cdx_index", "cdx_closest", "write_sorted_cdx",
-    "revisit_schedule", "write_zipnum_index", "load_cdx_pruned",
-    "ZIPNUM_DIR",
+    "revisit_schedule", "recrawl_due", "write_zipnum_index",
+    "load_cdx_pruned", "ZIPNUM_DIR",
 ]
 
 
@@ -441,21 +441,47 @@ def revisit_schedule(
             f"default_interval_s must be >= 1, got {default_interval_s}"
         )
     ensure_has_columns(index, ["urlkey", "ts", "digest"])
+    agg = _capture_stats(index)
+    revisit = _revisit_col(min_interval_s, max_interval_s,
+                           default_interval_s)
+    return agg.select(
+        "urlkey", "n_captures", "n_changes", "span_s",
+        revisit.alias("revisit_s"),
+    )
+
+
+def _capture_stats(index: DataFrame) -> DataFrame:
+    """Per-urlkey capture statistics shared by :func:`revisit_schedule`
+    and :func:`recrawl_due`: counts, NULL-safe digest transitions,
+    span, and the LAST capture (epoch + 14-digit ts). One urlkey
+    exchange (lag window; the rollup reuses its partitioning)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("urlkey").orderBy(
         F.col("ts").asc(), F.col("digest").asc()
     )
     flagged = index.select(
         "urlkey",
+        F.col("ts").alias("_ts"),
         _ts_epoch_s(F.col("ts")).alias("_ep"),
         (~F.col("digest").eqNullSafe(
             F.lag("digest").over(w)
         ) & (F.row_number().over(w) > 1)).cast("long").alias("_chg"),
     )
-    agg = flagged.groupBy("urlkey").agg(
+    return flagged.groupBy("urlkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_captures"),
         F.sum("_chg").cast("long").alias("n_changes"),
         (F.max("_ep") - F.min("_ep")).cast("long").alias("span_s"),
+        F.max("_ep").cast("long").alias("last_ep"),
+        F.max("_ts").alias("last_ts"),
     )
+
+
+def _revisit_col(
+    min_interval_s: int, max_interval_s: int, default_interval_s: int
+):
+    """The revisit-interval expression over :func:`_capture_stats`
+    columns (see :func:`revisit_schedule` for the estimator rules)."""
     raw = (
         F.when(
             (F.col("n_captures") < 2) | (F.col("span_s") <= 0),
@@ -468,7 +494,70 @@ def revisit_schedule(
         F.greatest(raw, F.lit(min_interval_s).cast("long")),
         F.lit(max_interval_s).cast("long"),
     )
-    return agg.select(
+    return _ceil_pow2(clamped)
+
+
+def recrawl_due(
+    index: DataFrame,
+    asof: str,
+    min_interval_s: int = 4096,
+    max_interval_s: int = 1 << 24,
+    default_interval_s: int = 1 << 19,
+) -> DataFrame:
+    """The frontier's recrawl queue: which URLs are DUE as of a
+    14-digit timestamp, and how overdue — :func:`revisit_schedule`'s
+    consumer, closing the crawl loop (index → change rate → interval →
+    due priority → :func:`...web.frontier_schedule` spaces the
+    fetches). One row per ``urlkey``:
+
+    - the :func:`revisit_schedule` columns (``n_captures``,
+      ``n_changes``, ``span_s``, ``revisit_s``);
+    - ``last_ts`` — the latest capture's 14-digit timestamp;
+    - ``age_s`` — seconds from that capture to ``asof`` (negative if
+      the index somehow holds future captures — surfaced, not
+      clamped);
+    - ``due_permille`` — ``age_s * 1000 div revisit_s``, the integer
+      fraction of the interval already elapsed (≥ 1000 ⇒ due; 2000 ⇒
+      a full interval overdue — the frontier's priority key, exact
+      integers so rankings reproduce);
+    - ``due`` — ``due_permille >= 1000``.
+
+    ``asof`` must be a full 14-digit ``yyyymmddhhmmss`` string (the
+    CDX convention; pass the crawl wave's cut timestamp). Plan:
+    identical to :func:`revisit_schedule` — ONE urlkey exchange, the
+    priority math is projection-only on the rollup."""
+    from dataproc_spark.core import ensure_has_columns
+
+    if not (1 <= min_interval_s <= max_interval_s):
+        raise ValueError(
+            "need 1 <= min_interval_s <= max_interval_s, got "
+            f"{min_interval_s}/{max_interval_s}"
+        )
+    if default_interval_s < 1:
+        raise ValueError(
+            f"default_interval_s must be >= 1, got {default_interval_s}"
+        )
+    if not (isinstance(asof, str) and len(asof) == 14
+            and asof.isdigit()):
+        raise ValueError(
+            f"asof must be a 14-digit yyyymmddhhmmss string, got {asof!r}"
+        )
+    ensure_has_columns(index, ["urlkey", "ts", "digest"])
+    agg = _capture_stats(index)
+    revisit = _revisit_col(min_interval_s, max_interval_s,
+                           default_interval_s)
+    # the literal goes through the SAME epoch arithmetic as the data
+    # (one code path, timezone-free on both sides)
+    asof_ep = _ts_epoch_s(F.lit(asof))
+    out = agg.select(
         "urlkey", "n_captures", "n_changes", "span_s",
-        _ceil_pow2(clamped).alias("revisit_s"),
+        revisit.alias("revisit_s"),
+        "last_ts",
+        (asof_ep - F.col("last_ep")).cast("long").alias("age_s"),
+    )
+    permille = F.expr("(age_s * 1000) div revisit_s")
+    return out.select(
+        "*",
+        permille.cast("long").alias("due_permille"),
+        (permille >= 1000).alias("due"),
     )

@@ -310,6 +310,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "warc_pair": (q_warc_pair, SQL_WARC_PAIR),
     "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
     "wat_enriched": (q_wat_enriched, SQL_WAT_ENRICHED),
+    "recrawl_due": (q_recrawl_due, SQL_RECRAWL_DUE),
 }
 
 

@@ -2972,3 +2972,126 @@ SELECT doc_id,
        'pic ' || did || '|' || 'Cap ' || did AS captions_joined
 FROM b
 """
+
+
+def q_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl due-priority (``cdx.recrawl_due``): the frontier queue
+    the interval estimator exists for — per urlkey, the last capture,
+    its age as of a crawl-wave cut timestamp, and the integer
+    due-permille priority. Same capture fixture as
+    ``revisit_schedule`` (four digest arms + single-capture URLs),
+    ``asof = 2024-04-01T00:00:00`` — far enough out that bulk URLs
+    (daily captures through ~mid-January at sf0.01) are overdue by
+    varying amounts and the single-capture default-interval arm is
+    barely due. On the hash: the shared timezone-free epoch
+    arithmetic on BOTH the data and the literal, max-capture
+    selection, integer permille division, and the >= 1000 due rule.
+    Plan: ONE urlkey exchange, priority math projection-only."""
+    from dataproc_spark.extensions import cdx as cdxx
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 23
+    seq = F.expr("doc_id div 23")
+    hh = F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0")
+    mi = F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0")
+    ss = F.lpad(((F.col("doc_id") * 7) % 60).cast("string"), 2, "0")
+    day = F.date_format(
+        F.date_add(F.lit("2024-01-01").cast("date"), seq.cast("int")),
+        "yyyyMMdd",
+    )
+    ts = F.concat(day, hh, mi, ss)
+    karm = k % 4
+    digest = (
+        F.when(karm == 0, F.concat(F.lit("c"), k.cast("string")))
+        .when(karm == 1, F.concat(F.lit("u"), F.col("doc_id")
+                                  .cast("string")))
+        .when(karm == 2, F.concat(F.lit("m"), (seq % 2).cast("string")))
+        .otherwise(F.when(
+            seq % 3 == 0, F.lit(None).cast("string")
+        ).otherwise(F.concat(F.lit("n"), k.cast("string"))))
+    )
+    bulk = docs.select(
+        F.concat(F.lit("k"), k.cast("string")).alias("urlkey"),
+        ts.alias("ts"), digest.alias("digest"),
+    )
+    singles = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("single"), F.col("doc_id").cast("string"))
+        .alias("urlkey"),
+        F.lit("20240101000000").alias("ts"),
+        F.lit("z").alias("digest"),
+    )
+    return cdxx.recrawl_due(bulk.unionAll(singles),
+                            asof="20240401000000")
+
+
+SQL_RECRAWL_DUE = r"""
+WITH caps AS (
+    SELECT 'k' || CAST(doc_id % 23 AS VARCHAR) AS urlkey,
+           strftime(DATE '2024-01-01'
+                        + to_days(CAST(doc_id // 23 AS INTEGER)),
+                    '%Y%m%d')
+               || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+               || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+               || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+               AS ts,
+           CASE (doc_id % 23) % 4
+               WHEN 0 THEN 'c' || CAST(doc_id % 23 AS VARCHAR)
+               WHEN 1 THEN 'u' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN 'm' || CAST((doc_id // 23) % 2 AS VARCHAR)
+               ELSE CASE WHEN (doc_id // 23) % 3 = 0 THEN NULL
+                         ELSE 'n' || CAST(doc_id % 23 AS VARCHAR) END
+           END AS digest
+    FROM documents
+    UNION ALL
+    SELECT 'single' || CAST(doc_id AS VARCHAR), '20240101000000', 'z'
+    FROM documents WHERE doc_id % 10 = 0
+),
+flagged AS (
+    SELECT urlkey, ts,
+           date_diff('day', DATE '1970-01-01',
+                     CAST(strptime(substr(ts, 1, 8), '%Y%m%d') AS DATE))
+                   * 86400
+               + CAST(substr(ts, 9, 2) AS BIGINT) * 3600
+               + CAST(substr(ts, 11, 2) AS BIGINT) * 60
+               + CAST(substr(ts, 13, 2) AS BIGINT) AS ep,
+           CASE WHEN ROW_NUMBER() OVER w > 1
+                     AND digest IS DISTINCT FROM LAG(digest) OVER w
+                THEN 1 ELSE 0 END AS chg
+    FROM caps
+    WINDOW w AS (PARTITION BY urlkey
+                 ORDER BY ts ASC, digest ASC NULLS FIRST)
+),
+agg AS (
+    SELECT urlkey,
+           CAST(COUNT(*) AS BIGINT) AS n_captures,
+           CAST(SUM(chg) AS BIGINT) AS n_changes,
+           CAST(MAX(ep) - MIN(ep) AS BIGINT) AS span_s,
+           CAST(MAX(ep) AS BIGINT) AS last_ep,
+           MAX(ts) AS last_ts
+    FROM flagged GROUP BY urlkey
+),
+est AS (
+    SELECT *,
+           LEAST(GREATEST(
+               CASE WHEN n_captures < 2 OR span_s <= 0 THEN 524288
+                    WHEN n_changes = 0 THEN 2 * span_s
+                    ELSE span_s // n_changes END,
+               4096), 16777216) AS clamped
+    FROM agg
+),
+sched AS (
+    SELECT urlkey, n_captures, n_changes, span_s,
+           CAST(CASE WHEN clamped <= 1 THEN 1
+                     ELSE CAST(1 AS BIGINT) << length(bin(clamped - 1))
+                END AS BIGINT) AS revisit_s,
+           last_ts,
+           CAST(date_diff('day', DATE '1970-01-01', DATE '2024-04-01')
+                    * 86400 - last_ep AS BIGINT) AS age_s
+    FROM est
+)
+SELECT urlkey, n_captures, n_changes, span_s, revisit_s, last_ts,
+       age_s,
+       CAST((age_s * 1000) // revisit_s AS BIGINT) AS due_permille,
+       (age_s * 1000) // revisit_s >= 1000 AS due
+FROM sched
+"""

