@@ -1834,6 +1834,19 @@ def extract_images(
         F.lit(""),
     )
     imgs = _image_structs(html, with_figcaption)
+    # carry the page-level base through the generator input — the
+    # post-explode projection would re-run the prescan per image row
+    # (see extract_links)
+    ifields = ["src", "alt"] + (
+        ["figcaption"] if with_figcaption else []
+    )
+    eb = _effective_base(html, base_col, honor_base)
+    imgs = F.zip_with(
+        imgs, F.array_repeat(eb, F.size(imgs)),
+        lambda s, b: F.struct(
+            *[s[f].alias(f) for f in ifields], b.alias("_eb")
+        ),
+    )
     others = list(df.columns)
     sel = [
         *others,
@@ -1850,9 +1863,8 @@ def extract_images(
         *others, F.posexplode(imgs).alias("img_pos", "_img")
     ).select(
         *sel,
-        resolve_url(
-            _effective_base(html, base_col, honor_base), F.col("_img.src")
-        ).alias("img_url"),
+        resolve_url(F.col("_img._eb"), F.col("_img.src"))
+        .alias("img_url"),
     )
 
 
@@ -1944,11 +1956,13 @@ def extract_image_array(
         F.col(html_col) if isinstance(html_col, str) else html_col,
         F.lit(""),
     )
+    imgs = _image_structs(html)
     eff = _effective_base(html, base_col, honor_base)
-    return F.transform(
-        _image_structs(html),
-        lambda s: F.struct(
-            resolve_url(eff, s["src"]).alias("url"),
+    # base carried as a zip_with child — see extract_link_array
+    return F.zip_with(
+        imgs, F.array_repeat(eff, F.size(imgs)),
+        lambda s, b: F.struct(
+            resolve_url(b, s["src"]).alias("url"),
             F.coalesce(
                 F.nullif(s["figcaption"], F.lit("")),
                 F.nullif(s["alt"], F.lit("")),
@@ -1971,11 +1985,13 @@ def extract_link_pairs(
         F.col(html_col) if isinstance(html_col, str) else html_col,
         F.lit(""),
     )
+    links = _link_structs(html, with_text=True)
     eff = _effective_base(html, base_col, honor_base)
-    return F.transform(
-        _link_structs(html, with_text=True),
-        lambda s: F.struct(
-            resolve_url(eff, s["href"]).alias("url"),
+    # base carried as a zip_with child — see extract_link_array
+    return F.zip_with(
+        links, F.array_repeat(eff, F.size(links)),
+        lambda s, b: F.struct(
+            resolve_url(b, s["href"]).alias("url"),
             F.nullif(s["anchor_text"], F.lit("")).alias("text"),
         ),
     )
@@ -2053,9 +2069,15 @@ def extract_link_array(
         F.col(html_col) if isinstance(html_col, str) else html_col,
         F.lit(""),
     )
+    links = _link_structs(html)
+    # zip the page-level base in as a zip_with CHILD (evaluated once
+    # per row) — an outer reference inside the HOF lambda re-runs the
+    # whole base prescan PER ELEMENT (interpreted HOFs have no
+    # subexpression elimination; measured 3.5× on 10-link pages, r14)
     eff = _effective_base(html, base_col, honor_base)
-    return F.transform(
-        _link_structs(html), lambda s: resolve_url(eff, s["href"])
+    return F.zip_with(
+        links, F.array_repeat(eff, F.size(links)),
+        lambda s, b: resolve_url(b, s["href"]),
     )
 
 
@@ -2175,6 +2197,22 @@ def extract_links(
         F.lit(""),
     )
     links = _link_structs(html, with_text=with_anchor_text)
+    if resolve:
+        # the effective base is a full-document prescan; computed in
+        # the post-explode projection it would run PER LINK ROW —
+        # carrying it through the generator input evaluates it once
+        # per page (measured 3.5× on 10-link pages, r14; the same
+        # CollapseProject inlining that bit the anchor-text draft)
+        fields = ["href", "rel"] + (
+            ["anchor_text"] if with_anchor_text else []
+        )
+        eb = _effective_base(html, base_col, honor_base)
+        links = F.zip_with(
+            links, F.array_repeat(eb, F.size(links)),
+            lambda s, b: F.struct(
+                *[s[f].alias(f) for f in fields], b.alias("_eb")
+            ),
+        )
     others = list(df.columns)
     post = (
         [F.nullif(F.col("_link.anchor_text"), F.lit(""))
@@ -2190,12 +2228,7 @@ def extract_links(
         F.when(F.col("_link.rel") == "", F.lit(None))
         .otherwise(F.col("_link.rel")).alias("rel"),
         *post,
+        *([resolve_url(F.col("_link._eb"), F.col("_link.href"))
+           .alias("link_url")] if resolve else []),
     )
-    if not resolve:
-        return ex
-    return ex.withColumn(
-        "link_url",
-        resolve_url(
-            _effective_base(html, base_col, honor_base), F.col("href")
-        ),
-    )
+    return ex
