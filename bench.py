@@ -140,6 +140,7 @@ EXTENDED_QUERIES = [
     "revisit_schedule",
     "image_dedup",
     "recrawl_due",
+    "multimodal_pipeline",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

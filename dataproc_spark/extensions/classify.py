@@ -173,12 +173,21 @@ def score_documents(
         .agg(F.sum("w").cast("long").alias("_dot"))
     )
     if labels is not None:
-        spark = df.sparkSession
-        label_frame = spark.createDataFrame(
-            [(str(x),) for x in sorted(set(labels))], "label string"
+        # known labels seed via a literal-array explode — no join node
+        # at all (a crossJoin(broadcast(labels)) planned as a
+        # BroadcastNestedLoopJoin, which the registry plan audit
+        # rightly flags; an explode is the same docs × labels fanout
+        # without the join machinery)
+        seeded = base.select(
+            "*",
+            F.explode(F.array(
+                *[F.lit(str(x)) for x in sorted(set(labels))]
+            )).alias("label"),
         )
     else:
-        label_frame = weights.select("label").distinct()
+        seeded = base.crossJoin(
+            F.broadcast(weights.select("label").distinct())
+        )
     if bias:
         bias_col = F.coalesce(
             F.create_map(
@@ -189,7 +198,7 @@ def score_documents(
     else:
         bias_col = F.lit(0).cast("long")
     return (
-        base.crossJoin(F.broadcast(label_frame))
+        seeded
         .join(sums, list(id_cols) + ["label"], "left")
         .select(
             *id_cols,

@@ -311,6 +311,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
     "wat_enriched": (q_wat_enriched, SQL_WAT_ENRICHED),
     "recrawl_due": (q_recrawl_due, SQL_RECRAWL_DUE),
+    "multimodal_pipeline": (
+        q_multimodal_pipeline, SQL_MULTIMODAL_PIPELINE,
+    ),
 }
 
 

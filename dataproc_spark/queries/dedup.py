@@ -1015,3 +1015,115 @@ pairs AS (
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 7
 """
+
+
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END multimodal corpus construction — the image-side
+    analogue of ``crawl_pipeline``, every r14 piece chained as one
+    lazy plan: pages render an ``<img>`` per document (arm 0: plain
+    alt caption; arm 1: a figure whose figcaption outranks the alt;
+    arm 2: alt-LESS next to a ``data-src`` decoy — caption NULL, so
+    ``require_caption`` must drop it) → ``extract_images`` →
+    ``image_text_pairs`` against a 41-image media store (payloads are
+    the deterministic cell-PPMs) → ``image_dhash`` over the joined
+    payloads → exact-dup collapse by fingerprint (keeper = min doc_id,
+    ``min_by`` caption/url, copy count). On the hash: the caption
+    rules, the decoy rejection, the pairing join, the integer dHash
+    pipeline, and the collapse arithmetic — the oracle rebuilds the
+    64-bit fingerprint as a BIT STRING from the pixel arithmetic and
+    groups on it, so even an accidental cross-pattern hash collision
+    stays engine-identical. Plan: map-only extraction → ONE broadcast
+    media join (payloads ship once) → ONE Arrow hash stage → ONE
+    fingerprint-keyed collapse shuffle carrying (hash, id, caption)."""
+    from dataproc_spark.extensions import imagehash, web as webx
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    p = (F.col("doc_id") % 41).cast("string")
+    arm = F.col("doc_id") % 3
+    img = (
+        F.when(arm == 0, F.concat(
+            F.lit('<img src="m'), p, F.lit('.ppm" alt="cap '), p,
+            F.lit('">')))
+        .when(arm == 1, F.concat(
+            F.lit('<figure><img src="m'), p,
+            F.lit('.ppm" alt="shadowed"><figcaption>fig '), p,
+            F.lit("</figcaption></figure>")))
+        .otherwise(F.concat(
+            F.lit('<img data-src="no.jpg" alt="decoy"><img src="m'),
+            p, F.lit('.ppm">')))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://m.example/d/p"), did,
+                 F.lit(".html")).alias("url"),
+        F.concat(F.lit("<html><body>"), img,
+                 F.lit("</body></html>")).alias("html"),
+    )
+    media = imagehash.synthesize_cell_ppms(
+        docs.select((F.col("doc_id") % 41).alias("doc_id")).distinct(),
+        groups=41,
+    ).select(
+        F.concat(F.lit("https://m.example/d/m"),
+                 F.col("media_id").cast("string"),
+                 F.lit(".ppm")).alias("url"),
+        "payload",
+    )
+    pairs = webx.image_text_pairs(
+        webx.extract_images(pages), media,
+        require_caption=True, broadcast_media=True,
+    )
+    fps = imagehash.image_dhash(
+        pairs.select(F.col("doc_id").alias("media_id"), "payload")
+    ).select(F.col("media_id").alias("doc_id"), "dhash")
+    joined = pairs.select("doc_id", "img_url", "caption").join(
+        fps, "doc_id"
+    )
+    return joined.groupBy("dhash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("img_url", "doc_id").alias("img_url"),
+        F.min_by("caption", "doc_id").alias("caption"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    ).select("doc_id", "img_url", "caption", "n_copies")
+
+
+SQL_MULTIMODAL_PIPELINE = """
+WITH grid AS (
+    SELECT p.p, r.r, c.c,
+           (((p.p * 2654435761 + r.r * 97 + c.c * 89) % 2147483647)
+            * ((p.p * 2654435761 + r.r * 97 + c.c * 89) % 2147483647))
+               % 2147483647 % 200 AS v
+    FROM (SELECT DISTINCT doc_id % 41 AS p FROM documents) p,
+         (SELECT unnest(range(0, 8)) AS r) r,
+         (SELECT unnest(range(0, 9)) AS c) c
+),
+bits AS (
+    SELECT a.p,
+           string_agg(CASE WHEN a.v > b.v THEN '1' ELSE '0' END, ''
+                      ORDER BY a.r, a.c) AS fp
+    FROM grid a JOIN grid b
+      ON a.p = b.p AND a.r = b.r AND b.c = a.c + 1
+    WHERE a.c < 8
+    GROUP BY a.p
+),
+eligible AS (
+    SELECT doc_id, doc_id % 41 AS p,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'cap ' || CAST(doc_id % 41 AS VARCHAR)
+                ELSE 'fig ' || CAST(doc_id % 41 AS VARCHAR) END
+               AS caption
+    FROM documents WHERE doc_id % 3 <> 2
+),
+tagged AS (
+    SELECT e.doc_id, e.caption,
+           'https://m.example/d/m' || CAST(e.p AS VARCHAR) || '.ppm'
+               AS img_url,
+           b.fp
+    FROM eligible e JOIN bits b ON b.p = e.p
+)
+SELECT MIN(doc_id) AS doc_id,
+       MIN_BY(img_url, doc_id) AS img_url,
+       MIN_BY(caption, doc_id) AS caption,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM tagged GROUP BY fp
+"""

@@ -67,10 +67,14 @@ for d in sys.argv[1:]:
     t0 = time.time()
     media = imagehash.synthesize_cell_ppms(
         _t(spark, d, "documents").select("doc_id"), groups=groups)
-    row = imagehash.image_near_dup(media).agg(
+    # the documented parameter law (SCALE.md r14): 8-bit bands
+    # saturate around 1e5 images — switch to 16-bit bands past that
+    bands, mh = (8, 7) if n < 100_000 else (4, 3)
+    row = imagehash.image_near_dup(media, bands=bands,
+                                   max_hamming=mh).agg(
         F.sum("hamming"), F.count("*")).collect()[0]
     print(json.dumps({"dir": d, "name": "image_near_dup",
-                      "groups": groups,
+                      "groups": groups, "bands": bands,
                       "sec": round(time.time() - t0, 1),
                       "agg": [None if v is None else int(v) for v in row]}),
           flush=True)
