@@ -46,6 +46,18 @@ for d in sys.argv[1:]:
         ("host_graph",
          lambda df: df.agg(F.sum("n_links"), F.sum("n_followed"),
                            F.count("*"))),
+        ("wat_enriched",
+         lambda df: df.agg(F.sum(F.length("anchors_joined")),
+                           F.sum(F.length("captions_joined")),
+                           F.count("*"))),
+        ("recrawl_due",
+         lambda df: df.agg(F.sum("due_permille"), F.sum("age_s"),
+                           F.sum(F.col("due").cast("int")),
+                           F.count("*"))),
+        ("multimodal_pipeline",
+         lambda df: df.agg(F.sum("n_copies"),
+                           F.sum(F.length("caption")),
+                           F.count("*"))),
     ):
         t0 = time.time()
         row = agg(REGISTRY[name][0](spark, d)).collect()[0]
