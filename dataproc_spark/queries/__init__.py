@@ -336,19 +336,9 @@ ALWAYS_VERIFY = ("select_top_t", "evaluate_sweep", "resolve_buckets", "tpch_q6")
 REVERIFY_STALE_EVIDENCE: dict[str, int] = {
     # (the two r12 pins — robots_filter, charset_body_text — both
     # re-recorded green in r12 and self-lifted; dropped here)
-    # r13: the gate widened from 8 to 16 payload classes (gzip/zip/
-    # ogg/flac/ID3/EBML/ftyp/xml now on the hash — r12 verdict
-    # finding) and the sniffer itself gained the WHATWG ftyp BRAND
-    # check + the space-or-'>'-only tag terminator (r12 advice
-    # findings); the green r12 row vouches for the 8-arm fixture.
-    "mime_sniff": 12,
-    # (the r13 link_extract pin at 12 self-lifted — green r13 row —
-    # and was immediately re-pinned at 13 below for the r14 rebase)
-    # r13: the gate gained the crawl_delay column (politeness surface,
-    # incl. the goodbot-group-must-not-leak arm) and the rules frame
-    # moved to the distinct-text parse path; the green r12 row vouches
-    # for the 3-column, per-host-parse fixture.
-    "robots_filter": 12,
+    # (the three r13 pins — mime_sniff, robots_filter, link_extract —
+    # all re-recorded green in r13 and self-lifted; link_extract was
+    # immediately re-pinned at 13 below for the r14 anchor-text rebase)
     # r14: extract_links gained the anchor_text column and the gate
     # grew 4 text arms (entity / nested-tag / image-only / dangling);
     # the green r13 row vouches for the text-less 9-arm fixture.
