@@ -144,16 +144,17 @@ def score_documents(
     for an oversized ensemble). Per-(doc,label) sums complete
     MAP-SIDE (a document's tokens live in one row, hence one
     partition), so the one aggregation shuffle carries docs × labels
-    rows of three longs — independent of document length. The label
-    seeding cross-join broadcasts the tiny label list — pass
-    ``labels`` explicitly when ``weights`` is a DERIVED plan rather
-    than a materialized table, or the label-distinct re-executes the
-    whole derivation (measured 24× blowup in the r14 gate before its
-    model was materialized). A weights frame that is itself an
-    expensive plan should be persisted or collected-and-recreated by
-    the caller for the same reason: this operator references it in
-    TWO places (the feature join and, absent ``labels``, the label
-    seed)."""
+    rows of three longs — independent of document length. Label
+    seeding: with explicit ``labels`` it is a literal-array explode
+    (no join node at all); without, a broadcast cross-join against
+    the weights' label-distinct — pass ``labels`` whenever
+    ``weights`` is a DERIVED plan rather than a materialized table,
+    or that distinct re-executes the whole derivation (measured 24×
+    blowup in the r14 gate before its model was materialized). A
+    weights frame that is itself an expensive plan should be
+    persisted or collected-and-recreated by the caller for the same
+    reason: this operator references it in TWO places (the feature
+    join and, absent ``labels``, the label seed)."""
     from dataproc_spark.core import ensure_has_columns, ensure_no_columns
 
     ensure_has_columns(df, list(id_cols) + [text_col])
