@@ -141,6 +141,7 @@ EXTENDED_QUERIES = [
     "image_dedup",
     "recrawl_due",
     "multimodal_pipeline",
+    "audio_dedup",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

@@ -35,7 +35,10 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["dhash_of", "image_dhash", "image_near_dup"]
+__all__ = [
+    "dhash_of", "image_dhash", "image_near_dup",
+    "envelope_hash_of", "audio_envelope_hash", "audio_near_dup",
+]
 
 #: dHash grid: 8 rows × 9 columns → 8×8 = 64 comparison bits
 _ROWS, _COLS = 8, 9
@@ -232,6 +235,167 @@ def synthesize_cell_ppms(
                     v.astype(np.uint8)[:, :, None], 3, axis=2
                 )
                 out.append((i, encode_ppm(rgb)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return df.select(id_col).mapInPandas(
+        kernel, schema="media_id long, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio: the envelope hash — dHash's analogue over PCM (r14)
+# ---------------------------------------------------------------------------
+
+#: envelope grid: 65 windows → 64 comparison bits
+_WINDOWS = 65
+
+
+def envelope_hash_of(sample_rate: int, channels: int, samples) -> int:
+    """The 64-bit ENVELOPE HASH of one decoded PCM clip — dHash's
+    construction transplanted to audio (the standard
+    coarse-acoustic-fingerprint idea: compare adjacent ENERGY windows;
+    robust to gain changes the way dHash is to brightness): mono
+    mixdown (integer mean across channels per frame), 65 floor-boundary
+    windows of mean ABSOLUTE amplitude (integer), bit ``w`` set iff
+    ``env[w] > env[w+1]`` (strict). A uniform gain scale < the
+    quantization floor leaves every comparison unchanged. Signed-64
+    packing, ``ValueError`` for clips shorter than 65 frames or a
+    non-positive channel count — the quarantine arm. Pure function."""
+    import numpy as np
+
+    c = int(channels)
+    if c < 1:
+        raise ValueError(f"unsupported channel count {c}")
+    a = np.asarray(samples, dtype=np.int64).reshape(-1, c)
+    n = a.shape[0]
+    if n < _WINDOWS:
+        raise ValueError(
+            f"clip has {n} frames, shorter than the {_WINDOWS}-window "
+            "envelope grid"
+        )
+    mono = a.sum(axis=1) // c
+    mag = np.abs(mono)
+    env = []
+    for w in range(_WINDOWS):
+        lo, hi = w * n // _WINDOWS, (w + 1) * n // _WINDOWS
+        seg = mag[lo:hi]
+        env.append(int(seg.sum()) // seg.size)
+    val = 0
+    for w in range(_WINDOWS - 1):
+        if env[w] > env[w + 1]:
+            val |= 1 << w
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def audio_envelope_hash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Fingerprint every WAV payload: (id, ``sample_rate``,
+    ``n_frames``, ``ahash``, ``error``) with the per-row quarantine
+    contract of :func:`image_dhash` (corrupt/short/NULL clips route,
+    never abort). One Arrow map stage, zero shuffles."""
+    import pandas as pd
+
+    from dataproc_spark.core import ensure_has_columns
+    from dataproc_spark.extensions.multimodal import _decode_wav_bytes
+
+    ensure_has_columns(media, [id_col, payload_col])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append((mid, None, None, None, "null_payload"))
+                    continue
+                try:
+                    rate, ch, samples = _decode_wav_bytes(bytes(payload))
+                    fp = envelope_hash_of(rate, ch, samples)
+                    rows.append(
+                        (mid, int(rate), len(samples) // int(ch), fp,
+                         None)
+                    )
+                except ValueError as exc:
+                    rows.append((mid, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_frames", "ahash",
+                         "error"],
+            )
+
+    schema = (
+        f"{id_col} long, sample_rate int, n_frames int, ahash long, "
+        "error string"
+    )
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def audio_near_dup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bands: int = 8,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs — envelope hashes through the same
+    :func:`...dedup.banded_hamming_pairs` pigeonhole machinery as
+    SimHash (text) and dHash (images); the dedup story is identical in
+    every modality. Same banding parameter law as
+    :func:`image_near_dup` (SCALE.md r14): past ~10⁵ clips use
+    ``bands=4, max_hamming=3``."""
+    from dataproc_spark.core import release_cache_on_gc
+    from dataproc_spark.extensions.dedup import banded_hamming_pairs
+
+    fps = (
+        audio_envelope_hash(media, id_col, payload_col)
+        .where(F.col("ahash").isNotNull())
+        .select(id_col, "ahash")
+        .persist()
+    )
+    pairs = banded_hamming_pairs(
+        fps, id_col=id_col, fp_col="ahash", bits=64, bands=bands,
+        max_hamming=max_hamming,
+    )
+    return release_cache_on_gc(pairs, fps)
+
+
+def synthesize_envelope_wavs(
+    df: DataFrame, id_col: str = "doc_id", groups: int = 29
+) -> DataFrame:
+    """Deterministic envelope-hash fixture generator (the
+    :func:`synthesize_cell_ppms` of audio): each id becomes a 65-frame
+    mono PCM16 WAV whose FRAMES are exactly the envelope windows
+    (identity windowing), sample ``k`` of group ``g = id % groups``
+    being the quadratic mix ``x = (g*2654435761 + k*97) % 2147483647;
+    v = (x*x) % 2147483647 % 4001 - 2000`` (near-uniform hashes across
+    groups — the image_dedup fixture lesson); variant ``t = id //
+    groups`` adds +500 at frame ``t % 65`` unless ``t % 3 == 0``
+    (exact-dup arms). The oracle replays every |sample| comparison
+    arithmetically."""
+    import numpy as np
+    import pandas as pd
+
+    from dataproc_spark.extensions.multimodal import encode_wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                g, t = i % groups, i // groups
+                k = np.arange(_WINDOWS, dtype=np.int64)
+                x = (g * 2654435761 + k * 97) % 2147483647
+                v = (x * x) % 2147483647 % 4001 - 2000
+                if t % 3 != 0:
+                    v = v.copy()
+                    v[t % _WINDOWS] += 500
+                out.append((i, encode_wav(v.astype(np.int16), 8000)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
     return df.select(id_col).mapInPandas(

@@ -314,6 +314,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_pipeline": (
         q_multimodal_pipeline, SQL_MULTIMODAL_PIPELINE,
     ),
+    "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
 }
 
 

@@ -1127,3 +1127,54 @@ SELECT MIN(doc_id) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM tagged GROUP BY fp
 """
+
+
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs (``imagehash.audio_envelope_hash`` →
+    ``dedup.banded_hamming_pairs``): the third modality through the
+    one banding core — text (SimHash), images (dHash), audio (envelope
+    hash). Fixture: 65-frame mono PCM16 WAVs whose frames ARE the
+    envelope windows (identity windowing), 29 quadratic-mix base
+    patterns, one-frame +500 perturbations, every 3rd variant
+    unperturbed (exact dups). On the hash: the RIFF decode, integer
+    mono/abs/floor-mean pipeline, strict comparison bit order, the
+    pigeonhole-complete candidate set, and exact distances — the
+    oracle recomputes every |sample| comparison arithmetically and
+    Hamming-joins all pairs (all-pairs exists only in DuckDB). Plan:
+    one Arrow hash stage + the banded (band, bval) self-join moving
+    (id, 8-byte hash) rows."""
+    from dataproc_spark.extensions import imagehash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = imagehash.synthesize_envelope_wavs(docs)
+    return imagehash.audio_near_dup(media, bands=8, max_hamming=7)
+
+
+SQL_AUDIO_DEDUP = """
+WITH grid AS (
+    SELECT d.doc_id, k.k,
+           ABS((((d.doc_id % 29) * 2654435761 + k.k * 97) % 2147483647)
+               * (((d.doc_id % 29) * 2654435761 + k.k * 97) % 2147483647)
+               % 2147483647 % 4001 - 2000
+               + CASE WHEN (d.doc_id // 29) % 3 <> 0
+                           AND k.k = (d.doc_id // 29) % 65
+                      THEN 500 ELSE 0 END) AS v
+    FROM documents d, (SELECT unnest(range(0, 65)) AS k) k
+),
+bits AS (
+    SELECT a.doc_id, a.k,
+           CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+    FROM grid a JOIN grid b
+      ON a.doc_id = b.doc_id AND b.k = a.k + 1
+    WHERE a.k < 64
+),
+pairs AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                AS INTEGER) AS hamming
+    FROM bits x JOIN bits y
+      ON x.k = y.k AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 7
+"""

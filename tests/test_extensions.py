@@ -4685,6 +4685,43 @@ def test_recrawl_due(spark):
         cdxx.recrawl_due(idx, asof="2024")
 
 
+def test_audio_envelope_hash(spark, tmp_path):
+    """r14 audio fingerprint: integer mono/abs/window pipeline, gain
+    invariance, stereo mixdown, quarantine routing, and exact-dup
+    pairs through the shared banding core."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import imagehash
+    from dataproc_spark.extensions.multimodal import encode_wav
+
+    s1 = ((np.arange(130) * 37) % 1000 - 500).astype("int16")
+    h1 = imagehash.envelope_hash_of(8000, 1, s1)
+    # doubling the gain flips no comparison
+    assert imagehash.envelope_hash_of(8000, 1,
+                                      (s1 * 2).astype("int16")) == h1
+    # stereo with L == R mixes down to the same envelope
+    stereo = np.repeat(s1, 2).astype("int16")
+    assert imagehash.envelope_hash_of(8000, 2, stereo) == h1
+    with _pytest.raises(ValueError, match="shorter"):
+        imagehash.envelope_hash_of(8000, 1, np.zeros(10, "int16"))
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(s1, 8000))),
+         (2, bytearray(encode_wav(s1, 8000))),
+         (3, bytearray(b"not a wav")),
+         (4, None)],
+        "media_id long, payload binary",
+    )
+    fps = {r.media_id: r for r in
+           imagehash.audio_envelope_hash(media).collect()}
+    assert fps[1].ahash == h1 and fps[1].n_frames == 130
+    assert fps[3].ahash is None and fps[3].error
+    assert fps[4].error == "null_payload"
+    pairs = {(p.id_a, p.id_b, p.hamming)
+             for p in imagehash.audio_near_dup(media).collect()}
+    assert (1, 2, 0) in pairs
+
+
 def test_pdf_text_pure_core():
     """r13 PDF text extraction, pure core (no Spark): Tj / ' / \" / TJ
     shows, paren escapes + octal + nesting + line continuation, hex
