@@ -142,6 +142,7 @@ EXTENDED_QUERIES = [
     "recrawl_due",
     "multimodal_pipeline",
     "audio_dedup",
+    "warc_offsets",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

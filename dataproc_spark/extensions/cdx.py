@@ -109,11 +109,13 @@ def cdx_index(
     - ``filename`` — the shard file holding the capture (basename of
       the ``shard`` column).
 
-    In-shard byte offsets are deliberately NOT emitted: record-per-gzip-
-    member shards are seekable only by member boundary, and the
-    ``binaryFile``-sourced reader does not track compressed offsets —
-    a consumer needing byte-range access re-derives offsets at sink
-    time where they are known. Everything here is a map-only
+    In-shard byte offsets are deliberately NOT emitted here: record-
+    per-gzip-member shards are seekable only by member boundary, and
+    the ``binaryFile``-sourced reader does not track compressed
+    offsets. The SINK knows them — ``write_warc_shards(
+    offsets_sidecar=True)`` (r14) emits the per-record byte-range
+    index (``read_warc_offsets``), which joins to this CDX frame on
+    ``(filename, record_id)`` for range-fetch consumers. Everything here is a map-only
     projection of the reader frame; see the module docstring for the
     sorted-CDX write path.
     """

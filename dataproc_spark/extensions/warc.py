@@ -426,6 +426,7 @@ def write_warc_shards(
     content_type: str = "application/http; msgtype=response",
     open_fn=None,
     extra_headers: dict[str, str] | None = None,
+    offsets_sidecar: bool = False,
 ) -> None:
     """Write one ``.warc.gz`` (or ``.warc``) shard per partition — each
     record its own gzip member, the Common-Crawl layout that keeps
@@ -460,6 +461,19 @@ def write_warc_shards(
     its column is non-NULL, so one frame can mix responses and
     revisits; values go through the same line-break validation as
     every header (envelope-injection guard).
+
+    ``offsets_sidecar`` (r14) additionally writes
+    ``<shard>.offsets.jsonl`` beside each shard — one JSON line per
+    record with (``shard``, ``target_uri``, ``record_id``,
+    ``offset``, ``length``): the byte-range index ONLY the sink can
+    know (compressed offsets are gzip-member boundaries; the
+    binaryFile reader cannot recover them — the divergence
+    ``cdx_index`` documents). ``length`` is the written unit
+    (the gzip member, or the raw record when ``compress=False``), so
+    ``bytes[offset:offset+length]`` re-ingests as exactly one record
+    (:func:`read_warc_offsets` / ``decode_warc_bytes``). The sidecar
+    name never matches the ``*.{warc,warc.gz}`` ingest glob and the
+    write is atomic like the shard's.
     """
     import hashlib
     import os
@@ -509,6 +523,9 @@ def write_warc_shards(
         pid = TaskContext.get().partitionId()
         ext = ".warc.gz" if compress else ".warc"
         path = os.path.join(out_dir, f"shard-{pid:05d}{ext}")
+        shard_name = os.path.basename(path)
+        pos = 0
+        index: list = []
         with open_fn(path) as fh:
             for row in all_rows:
                 if row[uri_col] is None:
@@ -533,14 +550,42 @@ def write_warc_shards(
                     if v is not None:
                         headers[hdr] = str(v)
                 rec = encode_warc_record(headers, payload)
-                if compress:
-                    fh.write(
-                        gzip.compress(rec, compresslevel=6, mtime=0)
+                unit = (
+                    gzip.compress(rec, compresslevel=6, mtime=0)
+                    if compress else rec
+                )
+                fh.write(unit)
+                if offsets_sidecar:
+                    index.append(
+                        (uri, f"<urn:uuid:{rid}>", pos, len(unit))
                     )
-                else:
-                    fh.write(rec)
+                pos += len(unit)
+        if offsets_sidecar:
+            import json as _json
+
+            with open_fn(path + ".offsets.jsonl") as fh:
+                for uri, rid, off, ln in index:
+                    fh.write((_json.dumps(
+                        {"shard": shard_name, "target_uri": uri,
+                         "record_id": rid, "offset": off,
+                         "length": ln},
+                        separators=(",", ":"), sort_keys=True,
+                    ) + "\n").encode("utf-8"))
 
     src.foreachPartition(write_partition)
+
+
+def read_warc_offsets(spark, path: str) -> DataFrame:
+    """Read the ``offsets_sidecar`` index written by
+    :func:`write_warc_shards`: one row per record with (``shard``,
+    ``target_uri``, ``record_id``, ``offset``, ``length``) — the
+    byte-range lookup that turns a CDX hit into a single-record fetch
+    (HTTP Range request / seek) instead of a shard scan. Plain
+    ``spark.read.json`` with an explicit schema, no shuffle."""
+    return spark.read.schema(
+        "shard string, target_uri string, record_id string, "
+        "offset long, length long"
+    ).json(path + "/*.offsets.jsonl")
 
 
 def pair_requests(

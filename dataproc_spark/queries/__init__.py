@@ -315,6 +315,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_multimodal_pipeline, SQL_MULTIMODAL_PIPELINE,
     ),
     "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
+    "warc_offsets": (q_warc_offsets, SQL_WARC_OFFSETS),
 }
 
 

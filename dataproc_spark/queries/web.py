@@ -3095,3 +3095,78 @@ SELECT urlkey, n_captures, n_changes, span_s, revisit_s, last_ts,
        (age_s * 1000) // revisit_s >= 1000 AS due
 FROM sched
 """
+
+
+def q_warc_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-offset sidecar (``write_warc_shards(offsets_sidecar)`` /
+    ``read_warc_offsets``): the record-level byte-range index only the
+    SINK can know — what turns a CDX hit into a single-record range
+    fetch instead of a shard scan (closing the divergence
+    ``cdx_index`` documents). One UNCOMPRESSED shard, records sorted
+    by URI, so every offset is pure byte arithmetic the oracle
+    rebuilds from the envelope layout: fixed framing (version line,
+    Type/Record-ID/Date headers, blank line, trailing CRLFs = 184
+    bytes with the URI/Content-Type/Content-Length-digit terms
+    added), the payload length, and a cumulative sum in URI order.
+    Any envelope framing drift, header reorder, or off-by-CRLF moves
+    every subsequent offset and hash-fails. The unit suite separately
+    pins that gzip-member offsets slice back to single records.
+    Scratch shards removed before returning."""
+    import shutil
+    import tempfile
+
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    uri = F.concat(F.lit("https://site"), (F.col("doc_id") % 37)
+                   .cast("string"), F.lit(".com/doc/"), did)
+    body = F.concat(F.lit("<html>"), F.coalesce(F.col("text"), F.lit("")),
+                    F.lit("</html>"))
+    src = (
+        docs.select(uri.alias("target_uri"),
+                    body.cast("binary").alias("payload"))
+        .repartition(1)
+        .sortWithinPartitions("target_uri")
+    )
+    out = tempfile.mkdtemp(prefix="warcoff_")
+    try:
+        warcx.write_warc_shards(
+            src, out, compress=False, content_type="text/html",
+            offsets_sidecar=True,
+        )
+    except Exception:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    idx = warcx.read_warc_offsets(spark, out)
+    res = idx.select(
+        F.regexp_extract(F.col("target_uri"), r"/doc/([0-9]+)$", 1)
+        .cast("long").alias("doc_id"),
+        "offset", "length",
+    )
+    return _materialize_and_clean(res, out)
+
+
+SQL_WARC_OFFSETS = """
+WITH b AS (
+    SELECT doc_id,
+           'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.com/doc/'
+               || CAST(doc_id AS VARCHAR) AS uri,
+           strlen('<html>' || coalesce(text, '') || '</html>') AS n
+    FROM documents
+),
+sized AS (
+    SELECT doc_id, uri,
+           184 + length(uri) + length('text/html')
+               + length(CAST(n AS VARCHAR)) + n AS sz
+    FROM b
+)
+SELECT doc_id,
+       CAST(COALESCE(SUM(sz) OVER (
+                ORDER BY uri
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS BIGINT) AS offset,
+       CAST(sz AS BIGINT) AS length
+FROM sized
+"""

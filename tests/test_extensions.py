@@ -4722,6 +4722,33 @@ def test_audio_envelope_hash(spark, tmp_path):
     assert (1, 2, 0) in pairs
 
 
+def test_warc_offsets_sidecar(spark, tmp_path):
+    """r14 byte-offset sidecar: every (offset, length) slices the
+    shard back to exactly ONE re-parsable record — gzip members and
+    raw records alike — and the sidecar never ingests as a shard."""
+    from dataproc_spark.extensions import warc as warcx
+
+    rows = [(f"https://s.com/p{i}",
+             bytearray(f"<html>{i}</html>".encode())) for i in range(6)]
+    df = spark.createDataFrame(rows, "target_uri string, payload binary")
+    for compress in (False, True):
+        d = str(tmp_path / f"sh{int(compress)}")
+        warcx.write_warc_shards(df.repartition(2), d, compress=compress,
+                                content_type="text/html",
+                                offsets_sidecar=True)
+        idx = warcx.read_warc_offsets(spark, d).collect()
+        assert len(idx) == 6
+        import os
+
+        for r in idx:
+            buf = open(os.path.join(d, r.shard), "rb").read()
+            unit = buf[r.offset:r.offset + r.length]
+            recs = warcx.decode_warc_bytes(unit)
+            assert len(recs) == 1
+            assert recs[0]["target_uri"] == r.target_uri
+        assert warcx.read_warc(spark, d, warc_types=None).count() == 6
+
+
 def test_pdf_text_pure_core():
     """r13 PDF text extraction, pure core (no Spark): Tj / ' / \" / TJ
     shows, paren escapes + octal + nesting + line continuation, hex
