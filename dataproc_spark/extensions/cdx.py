@@ -352,9 +352,15 @@ def load_cdx_pruned(spark, path: str, probes: DataFrame,
         probes.select(surt_key(url_col).alias("k")).distinct().collect()
         if r.k is not None
     ]
+    # a data file whose urlkeys are all NULL has NULL min/max in the
+    # sidecar — always include it rather than raise a NoneType '<'
+    # TypeError (a NULL key can never equi-match a probe, but a mixed
+    # writer layout must not make the whole lookup crash; r14 review
+    # finding)
     files = sorted(
         s.file for s in summary
-        if any(s.min_urlkey <= k <= s.max_urlkey for k in keys)
+        if s.min_urlkey is None or s.max_urlkey is None
+        or any(s.min_urlkey <= k <= s.max_urlkey for k in keys)
     )
     full = spark.read.parquet(path)
     if not files:

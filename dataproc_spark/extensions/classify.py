@@ -29,6 +29,8 @@ from dataproc_spark.extensions.approx import _md5_mod
 
 __all__ = [
     "hashed_ngram_buckets",
+    "quantized_log2",
+    "train_nb_weights",
     "score_documents",
     "predict_label",
     "fasttext_predict",
@@ -101,6 +103,162 @@ def hashed_ngram_buckets(
     return F.concat(unis, bis)
 
 
+def quantized_log2(c: Column, scale: int = 1 << 12) -> Column:
+    """Fixed-point base-2 logarithm of a positive integer column as an
+    EXACT-integer piecewise-linear approximation (Mitchell 1962,
+    "Computer Multiplication and Division Using Binary Logarithms" —
+    public classic):
+
+        Q(c) = scale * e + (c - 2^e) * scale div 2^e,   e = bitlen(c)-1
+
+    the integer characteristic plus a linear interpolation of the
+    mantissa — monotone non-decreasing over integers (counts closer
+    than ``2^e / scale`` quantize to the same value), Q(1) = 0, exact
+    at powers of two, max error ~0.086 bits. Every operation is integer
+    (+, -, *, truncating div, shiftleft, base-2 digit count), so ANY
+    engine replays it bit-for-bit — the property that makes
+    :func:`train_nb_weights` models value-checkable cross-engine,
+    where a float ``ln``/``round`` pair can drift in the last ulp and
+    flip on rare boundary values (DuckDB replay:
+    ``scale * (length(bin(c)) - 1) + (c - 2^e) * scale // 2^e``).
+    ``c`` must be >= 1 (raises per row otherwise — a log of 0 would
+    otherwise need a sentinel that silently ranks); ``c * scale`` must
+    stay under 2^63 (c < 2^50 at the default scale — beyond any
+    per-class token count; raise ``scale`` only with that bound in
+    mind)."""
+    c = c.cast("long")
+    # base-2 digit count of a positive long == bit length (the
+    # _ceil_pow2 derivation in extensions.cdx)
+    e = (F.length(F.conv(c.cast("string"), 10, 2)) - 1).cast("int")
+    p = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), e
+    ).cast("long")
+    # IntegralDivide ("div"): truncating long division — floor for the
+    # nonnegative operands here, matching DuckDB's `//`
+    frac = F.call_function(
+        "div", (c - p) * F.lit(int(scale)).cast("long"), p
+    )
+    q = F.lit(int(scale)).cast("long") * e.cast("long") + frac
+    return F.when(c >= 1, q).otherwise(
+        F.raise_error(F.lit("quantized_log2: input must be >= 1"))
+    )
+
+
+def train_nb_weights(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_buckets: int = 1 << 20,
+    bigrams: bool = True,
+    salt: str = "ftz",
+    alpha: int = 1,
+    scale: int = 1 << 12,
+    hash_fn: str = "md5",
+):
+    """Train a multinomial naive-Bayes model over hashed n-grams from a
+    LABELED frame — the producer half of the train → export → score
+    loop :func:`score_documents` consumes (before this, the repo could
+    only SCORE under external weights). Count-based and fully
+    deterministic: the only "learning" is two aggregations, and every
+    derived weight is an exact integer via :func:`quantized_log2`, so
+    the exported model is value-checkable cross-engine and retrains
+    identically on any cluster layout.
+
+    Model (standard Laplace-smoothed multinomial NB, rearranged into
+    the ``score = Σ w[bucket] + n_feats·bias + intercept`` shape
+    :func:`score_documents` evaluates, with Q = quantized_log2):
+
+    - ``w(l, b)   = Q(cnt(l, b) + alpha) - Q(alpha)``  (>= 0; buckets
+      unseen in class l correctly contribute 0 through the join miss);
+    - ``bias(l)   = Q(alpha) - Q(tot(l) + alpha * n_buckets)``  (the
+      per-feature normalizer, folded so the unseen-bucket case is
+      exact: per-token score is ``Q(cnt+alpha) - Q(tot+alpha*V)``);
+    - ``intercept(l) = Q(n_docs(l))``  (the class prior up to a shared
+      constant — argmax-invariant, comparable across labels).
+
+    Returns ``(weights, bias, intercept)``: the long-format
+    (``label``, ``bucket``, ``w``) frame plus two small per-label
+    dicts, exactly the :func:`score_documents` parameter shapes. NULL
+    labels raise per row (a silently dropped class skews every prior);
+    NULL/empty text is a legitimate zero-feature document (counts in
+    the prior, adds no token mass).
+
+    100 TB plan: featurization is map-only; ONE (label, bucket)
+    aggregation with map-side combine produces the model (output ≤
+    labels × n_buckets rows — bounded by the hashing trick regardless
+    of corpus size); the per-label totals reduce from THAT aggregate
+    (labels-sized, collected driver-side like any model export). The
+    weights frame is returned LAZY — persist or materialize it before
+    handing to score_documents (which references its weights twice;
+    see that docstring's 24× lesson)."""
+    from dataproc_spark.core import ensure_has_columns
+
+    ensure_has_columns(df, [label_col, text_col])
+    if alpha < 1:
+        raise ValueError(f"alpha must be >= 1, got {alpha}")
+    lab = (
+        F.when(F.col(label_col).isNotNull(),
+               F.col(label_col).cast("string"))
+        .otherwise(F.raise_error(F.lit(
+            "train_nb_weights: NULL label — a silently dropped class "
+            "skews every prior; filter or impute explicitly first"
+        )))
+    )
+    feats = hashed_ngram_buckets(text_col, n_buckets, bigrams, salt,
+                                 hash_fn)
+    counts = (
+        df.select(lab.alias("label"), F.explode(feats).alias("bucket"))
+        .groupBy("label", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    ).persist()
+    q_alpha = F.lit(int(alpha)).cast("long")
+    weights = counts.select(
+        "label", "bucket",
+        (quantized_log2(F.col("_cnt") + q_alpha, scale)
+         - quantized_log2(q_alpha, scale)).cast("long").alias("w"),
+    )
+    tot = {
+        r["label"]: r["_tot"]
+        for r in counts.groupBy("label")
+               .agg(F.sum("_cnt").cast("long").alias("_tot")).collect()
+    }
+    ndocs = {
+        r["label"]: r["_n"]
+        for r in df.select(lab.alias("label")).groupBy("label")
+               .agg(F.count(F.lit(1)).cast("long").alias("_n")).collect()
+    }
+    if not ndocs:  # empty training frame: empty model, no labels
+        counts.unpersist()
+        return weights, {}, {}
+    # zero-feature-only classes appear in ndocs but not tot
+    spark = df.sparkSession
+    scalar = spark.range(1).select(
+        *[
+            (quantized_log2(q_alpha, scale)
+             - quantized_log2(
+                 F.lit(int(tot.get(l, 0)) + alpha * n_buckets)
+                 .cast("long"), scale)).alias(f"b_{i}")
+            for i, l in enumerate(sorted(ndocs))
+        ],
+        *[
+            quantized_log2(F.lit(int(n)).cast("long"), scale)
+            .alias(f"p_{i}")
+            for i, (_, n) in enumerate(sorted(ndocs.items()))
+        ],
+    ).first()
+    labels_sorted = sorted(ndocs)
+    bias = {l: int(scalar[f"b_{i}"]) for i, l in enumerate(labels_sorted)}
+    intercept = {
+        l: int(scalar[f"p_{i}"]) for i, l in enumerate(labels_sorted)
+    }
+    # the returned weights frame is LAZY on the persisted counts — tie
+    # the cache to its lifetime (unpersisting here would recompute the
+    # whole featurize+aggregate on first downstream use)
+    from dataproc_spark.core import release_cache_on_gc
+
+    return release_cache_on_gc(weights, counts), bias, intercept
+
+
 def score_documents(
     df: DataFrame,
     weights: DataFrame,
@@ -113,13 +271,17 @@ def score_documents(
     broadcast_weights: bool = True,
     labels: list | None = None,
     hash_fn: str = "md5",
+    intercept: dict | None = None,
 ) -> DataFrame:
     """Score every document under a hashed-ngram linear model — one
     output row per (document, label) with
 
     - ``n_feats`` — the document's feature count (unigrams + bigrams);
     - ``score`` — the exact-integer un-normalized dot
-      ``Σ w[label][bucket(f)] + n_feats * bias[label]``.
+      ``Σ w[label][bucket(f)] + n_feats * bias[label] +
+      intercept[label]`` (``intercept`` is the flat per-label additive
+      term — the class-prior slot :func:`train_nb_weights` exports;
+      absent labels default to 0, like ``bias``).
 
     ``weights`` is the long-format model: one row per (``label``
     string, ``bucket`` long, ``w`` long) with INTEGER-quantized
@@ -189,15 +351,18 @@ def score_documents(
         seeded = base.crossJoin(
             F.broadcast(weights.select("label").distinct())
         )
-    if bias:
-        bias_col = F.coalesce(
+    def _label_map(d: dict) -> Column:
+        return F.coalesce(
             F.create_map(
-                *[F.lit(x) for kv in bias.items() for x in kv]
+                *[F.lit(x) for kv in d.items() for x in kv]
             )[F.col("label")],
             F.lit(0),
         ).cast("long")
-    else:
-        bias_col = F.lit(0).cast("long")
+
+    bias_col = _label_map(bias) if bias else F.lit(0).cast("long")
+    icpt_col = (
+        _label_map(intercept) if intercept else F.lit(0).cast("long")
+    )
     return (
         seeded
         .join(sums, list(id_cols) + ["label"], "left")
@@ -206,7 +371,8 @@ def score_documents(
             "label",
             "n_feats",
             (F.coalesce(F.col("_dot"), F.lit(0))
-             + F.col("n_feats").cast("long") * bias_col).alias("score"),
+             + F.col("n_feats").cast("long") * bias_col
+             + icpt_col).alias("score"),
         )
     )
 
@@ -288,7 +454,11 @@ def fasttext_predict(
             probs.append([float(p) for p in ps])
         return pd.DataFrame({"labels": labs, "probs": probs})
 
-    _kernel.__annotations__ = {"texts": "pd.Series", "return": "pd.DataFrame"}
+    # REAL type objects, assigned post-def: string hints (and inline
+    # hints — this module has PEP 563 active) resolve via
+    # typing.get_type_hints against module globals, where pd is
+    # undefined → NameError at udf construction (r14 review finding)
+    _kernel.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
     udf = pandas_udf(  # pragma: no cover
         _kernel, "labels array<string>, probs array<float>"
     )

@@ -1114,3 +1114,60 @@ def ivf_index_topk(
         bucket_col="_probe_cell",
         scale=scale,
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold_dot_q: int,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    with_cluster: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public arXiv): cluster the corpus into k-means
+    cells, find same-cell pairs whose embedding similarity clears a
+    threshold, and keep ONE representative (smallest id) per connected
+    near-dup component — dropping semantically redundant items that no
+    lexical dedup (MinHash/SimHash/spans) can see. Returns the
+    surviving rows of ``embeddings`` (all columns; ``with_cluster``
+    adds the ``cluster`` cell id for mix auditing).
+
+    Composition of the module's existing exact-integer pieces, so the
+    whole pipeline is deterministic and cross-engine value-checkable:
+    :func:`embed_kmeans` (integer Lloyd, pinned tie-breaks) →
+    :func:`near_dup_pairs` (same-cell self-join, quantized-dot
+    threshold) → ``dedup.dedup_keep_representatives`` (min-label
+    components, anti-join). ``threshold_dot_q`` is the raw quantized
+    dot (scale² × cosine for unit-norm embeddings — the SemDeDup
+    setting; L2-normalize upstream if the corpus isn't).
+
+    100 TB plan: k-means assignment is map-only against literal
+    centroids (train iterations aggregate (cluster, dim) rows, never
+    collect the corpus); the pair join is cell-bucketed — the same
+    never-all-pairs shape as every near-dup path here, with cell
+    granularity (``k``) the skew knob: size k so the biggest cell's
+    self-join stays in memory (the paper also prunes within-cell pairs
+    against the representative only — a stricter candidate cut a
+    caller gets by raising k instead). Components run on the pair
+    graph only (tiny vs corpus); the final anti-join streams."""
+    from dataproc_spark.extensions import dedup as _dedup
+
+    cells = embed_kmeans(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        scale=scale,
+    )
+    assigned = embeddings.select(id_col, vec_col).join(cells, id_col)
+    pairs = near_dup_pairs(
+        assigned, threshold_dot_q, id_col=id_col, vec_col=vec_col,
+        bucket_col="cluster", scale=scale,
+    )
+    kept = _dedup.dedup_keep_representatives(
+        embeddings, pairs, id_col=id_col
+    )
+    if with_cluster:
+        return kept.join(cells, id_col)
+    return kept

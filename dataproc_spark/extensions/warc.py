@@ -427,13 +427,32 @@ def write_warc_shards(
     open_fn=None,
     extra_headers: dict[str, str] | None = None,
     offsets_sidecar: bool = False,
+    record_id_col: str | None = None,
 ) -> None:
     """Write one ``.warc.gz`` (or ``.warc``) shard per partition — each
     record its own gzip member, the Common-Crawl layout that keeps
     shards splittable record-by-record. Record ids/dates are derived
-    deterministically from the URI so the sink is replay-stable (same
-    input → byte-identical shards with ``compress=False``; gzip adds
-    only the fixed mtime=0 header).
+    deterministically as ``md5(warc_type || ':' || uri)`` so the sink
+    is replay-stable (same input → byte-identical shards with
+    ``compress=False``; gzip adds only the fixed mtime=0 header). The
+    WARC-Type participates in the derivation so a response and its
+    request for the SAME URI — the mixed-type archive
+    :func:`pair_requests` consumes — get DISTINCT ids (ISO 28500 §5.2
+    uniqueness; a uri-only digest made every CDX/offsets
+    ``(filename, record_id)`` lookup fan out to both byte ranges, r14
+    review finding). Types are colon-free tokens, so the ':'-joined
+    preimage is unambiguous. Rows writing the same (type, uri) twice
+    still collide — pass ``record_id_col`` when the frame carries its
+    own identity.
+
+    ``record_id_col`` (optional) names a column holding caller-owned
+    record ids: where non-NULL it REPLACES the derived id (bare values
+    are wrapped as ``<urn:uuid:v>``; values already ``<...>``-wrapped
+    pass through), NULL rows fall back to the derivation. This is how
+    a pipeline that mints ids upstream (e.g. to stamp
+    ``WARC-Concurrent-To`` on the request row pointing at the response
+    row's id) keeps the archive self-consistent without mirroring sink
+    internals.
 
     ``content_type`` is the WARC Content-Type header stamped on every
     record — keep the ``application/http`` default only when the
@@ -480,6 +499,8 @@ def write_warc_shards(
 
     extra = dict(extra_headers or {})
     cols = [uri_col, payload_col] + ([type_col] if type_col else [])
+    if record_id_col and record_id_col not in cols:
+        cols.append(record_id_col)
     cols += [c for c in extra.values() if c not in cols]
     src = df.select(*cols)
     if open_fn is None:
@@ -535,12 +556,21 @@ def write_warc_shards(
                     )
                 uri = str(row[uri_col])
                 payload = bytes(row[payload_col] or b"")
-                rid = hashlib.md5(uri.encode("utf-8")).hexdigest()
+                wtype = str(row[type_col]) if type_col else "response"
+                own = row[record_id_col] if record_id_col else None
+                if own is not None:
+                    own = str(own)
+                    rid_hdr = (
+                        own if own.startswith("<") else f"<urn:uuid:{own}>"
+                    )
+                else:
+                    rid = hashlib.md5(
+                        (wtype + ":" + uri).encode("utf-8")
+                    ).hexdigest()
+                    rid_hdr = f"<urn:uuid:{rid}>"
                 headers = {
-                    "WARC-Type": (
-                        str(row[type_col]) if type_col else "response"
-                    ),
-                    "WARC-Record-ID": f"<urn:uuid:{rid}>",
+                    "WARC-Type": wtype,
+                    "WARC-Record-ID": rid_hdr,
                     "WARC-Date": "2026-01-01T00:00:00Z",
                     "WARC-Target-URI": uri,
                     "Content-Type": content_type,
@@ -556,9 +586,7 @@ def write_warc_shards(
                 )
                 fh.write(unit)
                 if offsets_sidecar:
-                    index.append(
-                        (uri, f"<urn:uuid:{rid}>", pos, len(unit))
-                    )
+                    index.append((uri, rid_hdr, pos, len(unit)))
                 pos += len(unit)
         if offsets_sidecar:
             import json as _json

@@ -2008,9 +2008,10 @@ def image_text_pairs(
     """Join :func:`extract_images` output against a media frame (URL →
     payload/bytes/features) to emit the (image, caption) pairs a
     multimodal training corpus consumes. ``caption`` is
-    ``coalesce(figcaption, nullif(alt, ''))`` — the enclosing figure's
-    caption wins over alt text, and an EMPTY alt (the decorative-image
-    marker) never becomes a caption. ``require_caption`` (default)
+    ``coalesce(nullif(figcaption, ''), nullif(alt, ''))`` — the
+    enclosing figure's caption wins over alt text, and an EMPTY value
+    on either source (the decorative-image marker, or a bare
+    ``<figcaption></figcaption>``) never becomes a caption. ``require_caption`` (default)
     drops caption-less images — flip it off for coverage audits.
 
     100 TB plan: ONE equi-join on the URL. Both sides are large in
@@ -2024,9 +2025,12 @@ def image_text_pairs(
 
     ensure_has_columns(images, [img_url_col])
     ensure_has_columns(media, [media_url_col])
+    # nullif on BOTH sources: an external images frame may carry a
+    # present-but-empty figcaption '' that must never beat a real alt
+    # or survive require_caption (r14 review finding)
     cap_parts = []
     if "figcaption" in images.columns:
-        cap_parts.append(F.col("figcaption"))
+        cap_parts.append(F.nullif(F.col("figcaption"), F.lit("")))
     if "alt" in images.columns:
         cap_parts.append(F.nullif(F.col("alt"), F.lit("")))
     if not cap_parts:

@@ -316,6 +316,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
     "warc_offsets": (q_warc_offsets, SQL_WARC_OFFSETS),
+    # -- r15 additions: the train→score loop + semantic dedup ring ----------
+    "nb_train_score": (q_nb_train_score, SQL_NB_TRAIN_SCORE),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
 }
 
 
@@ -336,15 +339,21 @@ ALWAYS_VERIFY = ("select_top_t", "evaluate_sweep", "resolve_buckets", "tpch_q6")
 #: lang_mixture (the trigram profile constant gained non-Latin
 #: languages). crawl_pipeline's r10 pin self-lifted (green r10 row).
 REVERIFY_STALE_EVIDENCE: dict[str, int] = {
-    # (the two r12 pins — robots_filter, charset_body_text — both
-    # re-recorded green in r12 and self-lifted; dropped here)
-    # (the three r13 pins — mime_sniff, robots_filter, link_extract —
-    # all re-recorded green in r13 and self-lifted; link_extract was
-    # immediately re-pinned at 13 below for the r14 anchor-text rebase)
-    # r14: extract_links gained the anchor_text column and the gate
-    # grew 4 text arms (entity / nested-tag / image-only / dangling);
-    # the green r13 row vouches for the text-less 9-arm fixture.
-    "link_extract": 13,
+    # (the r14 pin — link_extract — re-recorded green in r14 and
+    # self-lifted)
+    # r15: the WARC sink's record-id derivation folded WARC-Type in
+    # (ISO 28500 uniqueness fix) and grew record_id_col — warc_pair now
+    # mints its own ids, warc_revisit_dedup/warc_offsets exercise the
+    # new derivation; anchor_rollup's fixture/oracle were rebased (the
+    # nested-tag arm now genuinely merges); image_pairs/
+    # multimodal_pipeline ride the image_text_pairs figcaption-nullif
+    # fix. All r14 rows vouch for pre-fix behavior.
+    "warc_pair": 14,
+    "warc_revisit_dedup": 14,
+    "warc_offsets": 14,
+    "anchor_rollup": 14,
+    "image_pairs": 14,
+    "multimodal_pipeline": 14,
 }
 
 #: per-process cache for :func:`registry_order`, keyed on the artifact

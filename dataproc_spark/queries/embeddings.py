@@ -721,3 +721,122 @@ FROM (SELECT * FROM best WHERE side = 'pos' AND rnk = 1) p
 FULL OUTER JOIN (SELECT * FROM best WHERE side = 'neg' AND rnk = 1) n
   ON p.qid = n.qid
 """
+
+
+# --------------------------------------------------------------------------
+# r15: SemDeDup — k-means cells + within-cell cosine pruning
+# --------------------------------------------------------------------------
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-style (``simsearch.semantic_dedup``):
+    deterministic integer k-means cells (k=8, 2 Lloyd iterations) →
+    same-CELL near-dup pairs over the quantized dot (threshold
+    300000) → connected components → keep the smallest vec_id per
+    component. Differs from ``embed_dedup`` (which cells on the given
+    ``label`` column) in that the cells are LEARNED — the actual
+    SemDeDup recipe, and the arm that validates the kmeans→pairs
+    composition end-to-end. The oracle replays both Lloyd iterations
+    as chained CTEs (the ``embed_kmeans`` pattern), the cell-bucketed
+    pair join, and min-label reachability as a recursive CTE. Output:
+    surviving (vec_id, label, cluster). Plan: map-only assignment
+    against literal centroids; the pair join is cell-bucketed (never
+    all-pairs); components run on the pair graph only."""
+    kept = simsearch.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold_dot_q=300_000,
+        k=8, iters=2, with_cluster=True,
+    )
+    return kept.select(
+        "vec_id", "label", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+c0 AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           v AS c
+    FROM q ORDER BY vec_id LIMIT 8
+),
+d1 AS (
+    SELECT q.vec_id, q.v, c.cid,
+           list_aggregate(list_transform(range(1, len(q.v) + 1),
+               i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])), 'sum') AS dist
+    FROM q CROSS JOIN c0 c
+),
+a1 AS (
+    SELECT vec_id, v, cid AS cluster
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn FROM d1)
+    WHERE rn = 1
+),
+c1 AS (
+    SELECT cluster AS cid, list(m ORDER BY dim) AS c
+    FROM (
+        SELECT cluster, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+        FROM (SELECT cluster, generate_subscripts(v, 1) AS dim,
+                     unnest(v) AS val FROM a1)
+        GROUP BY cluster, dim
+    ) GROUP BY cluster
+),
+d2 AS (
+    SELECT q.vec_id, q.v, c.cid,
+           list_aggregate(list_transform(range(1, len(q.v) + 1),
+               i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])), 'sum') AS dist
+    FROM q CROSS JOIN c1 c
+),
+a2 AS (
+    SELECT vec_id, v, cid AS cluster
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn FROM d2)
+    WHERE rn = 1
+),
+c2 AS (
+    SELECT cluster AS cid, list(m ORDER BY dim) AS c
+    FROM (
+        SELECT cluster, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+        FROM (SELECT cluster, generate_subscripts(v, 1) AS dim,
+                     unnest(v) AS val FROM a2)
+        GROUP BY cluster, dim
+    ) GROUP BY cluster
+),
+d3 AS (
+    SELECT q.vec_id, q.v, c.cid,
+           list_aggregate(list_transform(range(1, len(q.v) + 1),
+               i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])), 'sum') AS dist
+    FROM q CROSS JOIN c2 c
+),
+a3 AS (
+    SELECT vec_id, v, cid AS cluster
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn FROM d3)
+    WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM a3 a JOIN a3 b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE CAST(list_dot_product(a.v, b.v) AS BIGINT) >= 300000
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+losers AS (SELECT node FROM comp WHERE node <> component)
+SELECT e.vec_id, e.label, CAST(a3.cluster AS INT) AS cluster
+FROM embeddings e
+JOIN a3 ON a3.vec_id = e.vec_id
+LEFT JOIN losers ON e.vec_id = losers.node
+WHERE losers.node IS NULL
+"""

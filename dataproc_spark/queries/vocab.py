@@ -776,3 +776,142 @@ SELECT s.doc_id, s.label, s.n_feats, CAST(s.score AS BIGINT) AS score,
        p.pred_label
 FROM scores s JOIN pred p USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# r15: NB trainer — the producer half of the train → export → score loop
+# --------------------------------------------------------------------------
+
+def q_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes training + scoring loop closure
+    (``classify.train_nb_weights`` → ``score_documents`` →
+    ``predict_label``): train a Laplace-smoothed multinomial NB
+    language classifier ON the corpus (label = ``lang``, hashed
+    unigram+bigram features, 512 buckets so collisions are on the
+    hash), export the quantized model, and score every document under
+    it — the exact loop a curation pipeline runs (r14 verdict gap:
+    the repo could consume weights but not produce them). Every weight
+    is integer via the Mitchell fixed-point log2
+    (``classify.quantized_log2``), so the oracle replays training AND
+    scoring arithmetically — counts, ``Q(cnt+1)`` weights, the
+    ``-Q(tot + aV)`` per-feature bias, the ``Q(n_docs)`` prior
+    intercept, and the argmax. Output: one row per (doc, label) with
+    the exact score plus the per-doc argmax (tie → label ASC).
+    Plan: featurize map-only; ONE (label, bucket) agg with map-side
+    combine trains the model (bounded by labels × buckets, never by
+    corpus size); the model is materialized like any export; scoring
+    is the doc_score plan (broadcast weights join, map-side sums)."""
+    from dataproc_spark.extensions import classify
+
+    n_buckets = 512
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    w_plan, bias, icpt = classify.train_nb_weights(
+        docs.select(F.col("lang").alias("label"), "text"),
+        n_buckets=n_buckets,
+    )
+    # materialize the trained model (≤ labels × 512 rows): the scorer
+    # references its weights twice — the doc_score 24× lesson
+    weights = spark.createDataFrame(
+        w_plan.collect(), "label string, bucket long, w long"
+    )
+    scores = classify.score_documents(
+        docs, weights, n_buckets=n_buckets,
+        bias=bias, intercept=icpt, labels=sorted(bias),
+    ).persist()
+    pred = classify.predict_label(scores).select(
+        "doc_id", F.col("label").alias("pred_label")
+    )
+    return scores.join(pred, "doc_id").select(
+        "doc_id", "label", "n_feats", "score", "pred_label"
+    )
+
+
+def _sql_q(c: str, scale: int = 4096) -> str:
+    """The Mitchell fixed-point log2 (classify.quantized_log2) as a
+    DuckDB expression over a BIGINT expression ``c`` >= 1."""
+    e = f"(length(bin({c})) - 1)"
+    p = f"(CAST(1 AS BIGINT) << {e})"
+    return f"({scale} * {e} + (({c} - {p}) * {scale}) // {p})"
+
+
+SQL_NB_TRAIN_SCORE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(coalesce(text, '')),
+                                          '\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS g
+    FROM toks WHERE len(t) >= 2
+),
+feats AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(g || '#ftzu'), 1, 8) AS BIGINT)
+               % 512 AS bucket
+    FROM uni
+    UNION ALL
+    SELECT doc_id,
+           CAST('0x' || substr(md5(g || '#ftzb'), 1, 8) AS BIGINT)
+               % 512 AS bucket
+    FROM bi
+),
+lab AS (SELECT doc_id, lang AS label FROM documents),
+counts AS (
+    SELECT l.label, f.bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM feats f JOIN lab l USING (doc_id) GROUP BY 1, 2
+),
+wts AS (
+    SELECT label, bucket, CAST(__Q_CNT__ AS BIGINT) AS w FROM counts
+),
+tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS t FROM counts
+        GROUP BY 1),
+nd AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY 1),
+stats AS (
+    SELECT nd.label,
+           CAST(-(__Q_TOT__) AS BIGINT) AS bias,
+           CAST(__Q_ND__ AS BIGINT) AS icpt
+    FROM nd JOIN tot USING (label)
+),
+nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM feats
+       GROUP BY 1),
+base AS (
+    SELECT d.doc_id, s.label, COALESCE(nf.c, 0) AS n_feats,
+           s.bias, s.icpt
+    FROM documents d
+    CROSS JOIN stats s
+    LEFT JOIN nf ON nf.doc_id = d.doc_id
+),
+dots AS (
+    SELECT f.doc_id, w.label, CAST(SUM(w.w) AS BIGINT) AS dot
+    FROM feats f JOIN wts w USING (bucket)
+    GROUP BY 1, 2
+),
+scores AS (
+    SELECT b.doc_id, b.label, b.n_feats,
+           COALESCE(d.dot, 0) + b.n_feats * b.bias + b.icpt AS score
+    FROM base b
+    LEFT JOIN dots d ON d.doc_id = b.doc_id AND d.label = b.label
+),
+pred AS (
+    SELECT doc_id, label AS pred_label
+    FROM (SELECT doc_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, label ASC) AS rk
+          FROM scores)
+    WHERE rk = 1
+)
+SELECT s.doc_id, s.label, s.n_feats, CAST(s.score AS BIGINT) AS score,
+       p.pred_label
+FROM scores s JOIN pred p USING (doc_id)
+""".replace("__Q_CNT__", _sql_q("(cnt + 1)")) \
+   .replace("__Q_TOT__", _sql_q("(t + 512)")) \
+   .replace("__Q_ND__", _sql_q("n"))

@@ -1146,7 +1146,8 @@ def q_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~is_resp,
             F.concat(
                 F.lit("<urn:uuid:"),
-                F.md5(F.encode(orig_uri, "UTF-8")),
+                F.md5(F.encode(F.concat(F.lit("response:"), orig_uri),
+                               "UTF-8")),
                 F.lit(">"),
             ),
         ).alias("refers_to"),
@@ -1201,7 +1202,7 @@ WITH b AS (
 SELECT doc_id,
        is_rev AS is_revisit,
        CASE WHEN is_rev AND NOT orphan THEN
-            '<urn:uuid:' || md5('https://site'
+            '<urn:uuid:' || md5('response:https://site'
                 || CAST(cls % 37 AS VARCHAR) || '.com/doc/'
                 || CAST(cls AS VARCHAR)) || '>'
        END AS source_record_id,
@@ -2483,13 +2484,17 @@ def q_anchor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the signal ranking/captioning pipelines read off the link graph.
     End-to-end from rendered HTML: each document links to one of 7
     targets with an anchor whose TEXT arm varies on ``doc_id % 5``
-    (two arms share 'alpha' — the frequency winner; 'beta'; a per-doc
-    'gamma N' long tail; an image-only NULL anchor) and whose edge is
-    rel-excluded spam on ``doc_id % 11 == 0``. On the hash: the rel
-    token filter, NULL-text edges counting in ``n_links`` but never
-    ranking into the top-k, count-DESC/text-ASC tie-breaks, and the
-    entity/nested-tag anchor cleaning ('g<b>amma</b>' must roll up
-    WITH its plain 'gamma N' spelling). Output exploded to one row per
+    (arm 0 plain 'alpha' and arm 1 nested '<b>alpha</b>' — which must
+    CLEAN to the same 'alpha' and merge into the frequency winner;
+    'beta'; a per-doc 'g<b>amma</b> N' long tail whose nested tag
+    cleans to spaces, i.e. the engine text is 'g amma N'; an
+    image-only NULL anchor) and whose edge is rel-excluded spam on
+    ``doc_id % 11 == 0``. On the hash: the rel token filter,
+    NULL-text edges counting in ``n_links`` but never ranking into
+    the top-k, count-DESC/text-ASC tie-breaks, and the nested-tag
+    anchor cleaning — if '<b>alpha</b>' failed to merge with 'alpha'
+    the split halves the winner's count and the hash flips. Output
+    exploded to one row per
     (target, rank) for the value hash. Plan: map-only extraction, then
     TWO shuffles — the (url, text) count with map-side combine and the
     url-partitioned rank window whose partitioning the final rollup
@@ -2499,7 +2504,8 @@ def q_anchor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = (F.col("doc_id") % 7).cast("string")
     tarm = F.col("doc_id") % 5
     inner = (
-        F.when(tarm < 2, F.lit("alpha"))
+        F.when(tarm == 0, F.lit("alpha"))
+        .when(tarm == 1, F.lit("<b>alpha</b>"))
         .when(tarm == 2, F.lit("beta"))
         .when(tarm == 3, F.concat(F.lit("g<b>amma</b> "), did))
         .otherwise(F.lit('<img src="i.jpg">'))
@@ -2534,7 +2540,7 @@ WITH e AS (
            CASE WHEN doc_id % 5 IN (0, 1) THEN 'alpha'
                 WHEN doc_id % 5 = 2 THEN 'beta'
                 WHEN doc_id % 5 = 3
-                    THEN 'gamma ' || CAST(doc_id AS VARCHAR)
+                    THEN 'g amma ' || CAST(doc_id AS VARCHAR)
            END AS t
     FROM documents
     WHERE doc_id % 11 <> 0
@@ -2818,18 +2824,23 @@ def q_warc_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" HTTP/1.1\r\nHost: h\r\nAccept: text/html\r\n"
               "Accept: */*\r\nUser-Agent: dp\r\n\r\n"),
     ).cast("binary")
-    # the sink derives a record's id as md5(uri) — compute the same
-    # value column-side for the request's Concurrent-To link
-    rid = F.concat(F.lit("<urn:uuid:"), F.md5(uri.cast("binary")),
+    # the gate OWNS record identity: mint the response id column-side
+    # and hand it to the sink via record_id_col, so the request's
+    # Concurrent-To link never mirrors sink-internal derivation
+    rid = F.concat(F.lit("<urn:uuid:"),
+                   F.md5(F.concat(F.lit("gate-pair:"), uri)
+                         .cast("binary")),
                    F.lit(">"))
     resp_rows = docs.select(
         uri.alias("target_uri"), resp_payload.alias("payload"),
-        F.lit("response").alias("wtype"),
+        F.lit("response").alias("wtype"), rid.alias("rid"),
         F.lit(None).cast("string").alias("cto"),
     )
     req_rows = docs.where(F.col("doc_id") % 3 != 0).select(
         uri.alias("target_uri"), req_payload.alias("payload"),
-        F.lit("request").alias("wtype"), rid.alias("cto"),
+        F.lit("request").alias("wtype"),
+        F.lit(None).cast("string").alias("rid"),
+        rid.alias("cto"),
     )
     out_dir = tempfile.mkdtemp(prefix="warcpair_")
     try:
@@ -2837,6 +2848,7 @@ def q_warc_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
             resp_rows.unionAll(req_rows).repartition(4, "target_uri"),
             out_dir,
             type_col="wtype",
+            record_id_col="rid",
             extra_headers={"WARC-Concurrent-To": "cto"},
         )
     except BaseException:

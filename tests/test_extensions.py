@@ -3167,11 +3167,13 @@ def test_resolve_revisits(spark, tmp_path):
     assert len(res) == 6  # 3 responses + 3 revisits, no fan-out
     assert res["https://a.com/1b"].is_revisit
     assert bytes(res["https://a.com/1b"].body) == b"<html>same</html>"
-    # min-record-id donor: record ids are md5(uri)-derived, '/1' < '/2'
+    # min-record-id donor: record ids are md5(type ':' uri)-derived —
+    # the r15 derivation that keeps a response and its request for the
+    # same URI distinct (ISO 28500 uniqueness)
     import hashlib as _hl
 
     want = min(
-        f"<urn:uuid:{_hl.md5(u.encode()).hexdigest()}>"
+        f"<urn:uuid:{_hl.md5(('response:' + u).encode()).hexdigest()}>"
         for u in ("https://a.com/1", "https://a.com/2")
     )
     assert res["https://a.com/1b"].source_record_id == want
@@ -4466,7 +4468,7 @@ def test_pair_requests_roundtrip(spark, tmp_path):
     for i in range(4):
         url = f"https://s.com/p{i}"
         resp = (f"HTTP/1.1 200 OK\r\n\r\n<html>{i}</html>").encode()
-        rid = hashlib.md5(url.encode()).hexdigest()
+        rid = hashlib.md5(("response:" + url).encode()).hexdigest()
         rows.append((url, bytearray(resp), "response", None))
         if i != 0:  # p0 has no captured request
             reqp = (f"GET /p{i} HTTP/1.1\r\nHost: s\r\n\r\n").encode()

@@ -1301,3 +1301,204 @@ def test_cdx_closest_preserves_duplicate_probes(spark):
     out = cdx_closest(idx, probes).collect()
     assert len(out) == 3
     assert all(r.cdx_ts == "20240101000000" for r in out)
+
+
+def test_warc_record_ids_distinct_across_types(spark, tmp_path):
+    """r14 advice: a response and its request for the SAME URI must get
+    DISTINCT WARC-Record-IDs (ISO 28500 uniqueness) — the id derivation
+    folds the WARC-Type in. The offsets sidecar rows must carry the
+    same per-type ids so a (filename, record_id) lookup never fans out
+    to both byte ranges."""
+    import hashlib
+    import json
+
+    from dataproc_spark.extensions import warc as warcx
+
+    rows = [
+        ("https://s.com/p", b"HTTP/1.1 200 OK\r\n\r\nB", "response"),
+        ("https://s.com/p", b"GET /p HTTP/1.1\r\nHost: s\r\n\r\n",
+         "request"),
+    ]
+    df = spark.createDataFrame(
+        rows, "target_uri string, payload binary, wtype string"
+    )
+    d = str(tmp_path / "w")
+    warcx.write_warc_shards(df.coalesce(1), d, type_col="wtype",
+                            compress=False, offsets_sidecar=True)
+    back = warcx.read_warc(spark, d, warc_types=None).collect()
+    ids = {r.warc_type: r.record_id for r in back}
+    assert len(back) == 2 and ids["response"] != ids["request"]
+    want = {
+        t: "<urn:uuid:%s>" % hashlib.md5(
+            (t + ":https://s.com/p").encode()).hexdigest()
+        for t in ("response", "request")
+    }
+    assert ids == want
+    side = [json.loads(ln) for p in (tmp_path / "w").glob("*.offsets.jsonl")
+            for ln in p.read_text().splitlines()]
+    assert sorted(r["record_id"] for r in side) == sorted(want.values())
+
+
+def test_warc_record_id_col_passthrough(spark, tmp_path):
+    """r15: record_id_col lets the frame own identity — non-NULL values
+    replace the derivation (bare values get <urn:uuid:> wrapped), NULL
+    rows fall back to the md5(type ':' uri) default."""
+    from dataproc_spark.extensions import warc as warcx
+
+    rows = [
+        ("https://s.com/a", b"x", "<urn:uuid:mine-a>"),
+        ("https://s.com/b", b"y", "bare-b"),
+        ("https://s.com/c", b"z", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "target_uri string, payload binary, rid string"
+    )
+    d = str(tmp_path / "w")
+    warcx.write_warc_shards(df.coalesce(1), d, record_id_col="rid",
+                            content_type="text/html")
+    got = {r.target_uri: r.record_id
+           for r in warcx.read_warc(spark, d).collect()}
+    assert got["https://s.com/a"] == "<urn:uuid:mine-a>"
+    assert got["https://s.com/b"] == "<urn:uuid:bare-b>"
+    import hashlib
+
+    assert got["https://s.com/c"] == "<urn:uuid:%s>" % hashlib.md5(
+        b"response:https://s.com/c").hexdigest()
+
+
+def test_image_text_pairs_empty_figcaption_never_captions(spark):
+    """r14 advice: a present-but-empty figcaption '' on an external
+    images frame must not become the caption (it previously beat a
+    real alt and survived require_caption)."""
+    from dataproc_spark.extensions import web as webx
+
+    images = spark.createDataFrame(
+        [("u1", "", "real alt"), ("u2", "", None), ("u3", "fig", "alt")],
+        "img_url string, figcaption string, alt string",
+    )
+    media = spark.createDataFrame(
+        [("u1", 1), ("u2", 2), ("u3", 3)], "url string, payload int"
+    )
+    out = {r.img_url: r.caption
+           for r in webx.image_text_pairs(images, media).collect()}
+    assert out == {"u1": "real alt", "u3": "fig"}  # u2 dropped
+
+
+def test_load_cdx_pruned_null_urlkey_file(spark, tmp_path):
+    """r14 advice: a data file whose urlkeys are all NULL yields NULL
+    min/max in the _zipnum sidecar — the pruned reader must include it
+    (not raise TypeError on the NoneType comparison)."""
+    from dataproc_spark.extensions import cdx as cdxx
+
+    import os
+
+    path = str(tmp_path / "cdx")
+    good = spark.createDataFrame(
+        [("com,example)/", "20240101000000", "http://example.com/")],
+        "urlkey string, ts string, url string",
+    )
+    good.coalesce(1).write.parquet(path)
+    nulls = spark.createDataFrame(
+        [(None, "20240101000000", "junk")],
+        "urlkey string, ts string, url string",
+    )
+    nulls.coalesce(1).write.mode("append").parquet(path)
+    cdxx.write_zipnum_index(spark, path)
+    probes = spark.createDataFrame([("http://example.com/",)],
+                                   "url string")
+    got = cdxx.load_cdx_pruned(spark, path, probes)
+    assert got.where(F.col("urlkey").isNotNull()).count() == 1
+
+
+def test_fasttext_seam_constructs_udf(spark, monkeypatch):
+    """r14 advice: with the fasttext package present, the pandas_udf
+    construction previously raised NameError (string type hints
+    resolved against module globals where pd is undefined). Fake the
+    module to drive the real construction + execution path."""
+    from dataproc_spark.extensions import classify as cls
+
+    class _FakeModel:
+        def predict(self, text, k=1):
+            return (("__label__ok",), (0.75,))
+
+    class _FakeFT:
+        @staticmethod
+        def load_model(path):
+            return _FakeModel()
+
+    monkeypatch.setattr(cls, "_fasttext", _FakeFT())
+    monkeypatch.setattr(cls, "_FT_MODELS", {})
+    df = spark.createDataFrame([(1, "hello\nworld"), (2, None)],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           cls.fasttext_predict(df, "/fake/model.bin").collect()}
+    assert out[1].labels == ["__label__ok"]
+    assert abs(out[1].probs[0] - 0.75) < 1e-6
+    assert out[2].labels is None and out[2].probs is None
+
+
+def test_quantized_log2_exact_formula(spark):
+    """r15 trainer primitive: Mitchell fixed-point log2 matches the
+    pure-integer reference for small and large inputs, raises on < 1."""
+    from dataproc_spark.extensions.classify import quantized_log2
+
+    vals = list(range(1, 130)) + [255, 256, 257, 10**9, 2**49, 2**50 - 1]
+
+    def ref(c, scale=1 << 12):
+        e = c.bit_length() - 1
+        return scale * e + (c - (1 << e)) * scale // (1 << e)
+
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    got = {r.c: r.q for r in
+           df.select("c", quantized_log2(F.col("c")).alias("q")).collect()}
+    assert got == {v: ref(v) for v in vals}
+    assert got[1] == 0 and got[256] == 8 * 4096
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(0,)], "c long")
+    with _pytest.raises(Exception, match="must be >= 1"):
+        bad.select(quantized_log2(F.col("c"))).collect()
+
+
+def test_train_nb_weights_hand_model(spark):
+    """r15: the NB trainer's exports match the hand-computed
+    Laplace-smoothed multinomial model on a collision-free corpus, and
+    the full train -> score -> predict loop recovers the class."""
+    from dataproc_spark.extensions import classify as cls
+
+    df = spark.createDataFrame(
+        [(1, "a", "x x"), (2, "a", "x y"), (3, "b", "z"),
+         (4, "b", "z z y"), (5, "b", None)],
+        "doc_id long, label string, text string",
+    )
+    w, bias, icpt = cls.train_nb_weights(df, bigrams=False)
+    rows = w.collect()
+    # Q(4)=8192, Q(2)=4096 at scale 4096; alpha=1 so w = Q(cnt+1)
+    by = {(r.label, r.w) for r in rows}
+    assert len(rows) == 4
+    assert by == {("a", 8192), ("a", 4096), ("b", 8192), ("b", 4096)}
+    # bias = Q(1) - Q(tot + alpha*2^20) = -Q(2^20 + 4) = -20*4096
+    assert bias == {"a": -81920, "b": -81920}
+    # intercept = Q(n_docs): a has 2 docs, b has 3 (NULL-text doc counts)
+    assert icpt == {"a": 4096, "b": 4096 + 2048}
+    wm = spark.createDataFrame(w.collect(), "label string, bucket long, w long")
+    scored = cls.score_documents(
+        spark.createDataFrame([(10, "x")], "doc_id long, text string"),
+        wm, bigrams=False, bias=bias, intercept=icpt,
+        labels=["a", "b"],
+    )
+    got = {r.label: r.score for r in scored.collect()}
+    assert got == {"a": 8192 - 81920 + 4096, "b": -81920 + 6144}
+    pred = cls.predict_label(scored).collect()
+    assert len(pred) == 1 and pred[0].label == "a"
+
+
+def test_train_nb_weights_null_label_raises(spark):
+    from dataproc_spark.extensions import classify as cls
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, None, "x")],
+                               "doc_id long, label string, text string")
+    with _pytest.raises(Exception, match="NULL label"):
+        cls.train_nb_weights(df)[0].collect()
