@@ -368,6 +368,30 @@ def load_cdx_pruned(spark, path: str, probes: DataFrame,
     return spark.read.schema(full.schema).parquet(*files)
 
 
+def load_cdx(spark, path: str, probes: DataFrame | None = None,
+             url_col: str = "url") -> DataFrame:
+    """THE default way to open a sorted-CDX directory for a lookup
+    batch (r15 — previously callers had to pick the pruned reader by
+    hand, and the gate path scanned everything): when ``probes`` is
+    given AND the :func:`write_zipnum_index` sidecar exists, delegate
+    to :func:`load_cdx_pruned` (only the files whose key range can
+    match are ever listed into the scan); otherwise a plain full
+    read — the right behavior for bulk re-resolution passes (no
+    probes) and for indexes written before the sidecar existed.
+    Sidecar presence is detected by attempting the read (portable to
+    object stores, where an existence check is its own RPC anyway)."""
+    if probes is not None:
+        try:
+            return load_cdx_pruned(spark, path, probes, url_col)
+        except Exception as exc:
+            # fall back ONLY on the missing-sidecar failure (the
+            # PATH_NOT_FOUND names the _zipnum path); any other error
+            # inside pruning is a real bug and must surface
+            if ZIPNUM_DIR not in str(exc):
+                raise
+    return spark.read.parquet(path)
+
+
 def _ts_epoch_s(ts: Column) -> Column:
     """14-digit CDX timestamp → integer seconds since 1970-01-01, with
     NO timezone parsing: calendar days via ``datediff`` over the date

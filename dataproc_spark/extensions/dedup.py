@@ -880,6 +880,100 @@ def banded_hamming_pairs(
     return pairs.where(F.col("hamming") <= max_hamming)
 
 
+def banded_hamming_pairs_multi(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    words: int = 4,
+    bands: int = 16,
+    max_hamming: int = 15,
+) -> DataFrame:
+    """:func:`banded_hamming_pairs` over MULTI-WORD fingerprints —
+    ``fp_col`` is ``array<long>`` of ``words`` 64-bit words (bit ``i``
+    of word ``w`` is fingerprint bit ``w*64 + i``), for fingerprints
+    longer than one long (the 256-bit multi-scale dHash). Same
+    pigeonhole contract: complete for ``hamming <= max_hamming`` when
+    ``max_hamming <= bands - 1``. Band width must divide 64 so every
+    band lives inside ONE word (a band straddling words would need a
+    two-word splice on both join sides for zero gain — any (bands,
+    words) need is expressible under the constraint).
+
+    This is the fingerprint-length escape hatch the 64-bit parameter
+    law points at (SCALE.md r14): more distance budget comes from more
+    BITS, not more bands on 64 — at 256/16 each band still has 2^16
+    values (the flat-probe regime) while the pigeonhole covers
+    ``max_hamming`` up to 15. Shuffle carries (id, 32-byte array)
+    rows; verification is an exact ``bit_count`` fold over the word
+    pairs. Callers own persistence of ``fps`` (self-joined)."""
+    bits = 64 * words
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole "
+            f"guarantee (bands - 1 = {bands - 1})"
+        )
+    if bands < 1 or bits % bands:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits})")
+    band_bits = bits // bands
+    if band_bits > 64 or 64 % band_bits:
+        raise ValueError(
+            f"band width {band_bits} must divide 64 (bands a multiple "
+            f"of words={words})"
+        )
+    per_word = 64 // band_bits
+    # a full-word band (band_bits == 64) masks with -1 — all ones in
+    # two's complement; (1 << 64) - 1 does not fit a long literal
+    mask = (1 << band_bits) - 1 if band_bits < 64 else -1
+    banded = fps.select(
+        id_col,
+        fp_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            F.element_at(
+                                F.col(fp_col), b // per_word + 1
+                            ),
+                            (b % per_word) * band_bits,
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, fp_col, "bb.band", "bb.bval")
+    l, r = banded.alias("l"), banded.alias("r")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col(f"l.{fp_col}"),
+            F.col(f"r.{fp_col}"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    pairs = (
+        l.join(
+            r,
+            [
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bval") == F.col("r.bval"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     content_col: str = "text",

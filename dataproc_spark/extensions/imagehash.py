@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "dhash_of", "image_dhash", "image_near_dup",
+    "dhash256_of", "image_dhash256", "image_near_dup_256",
     "envelope_hash_of", "audio_envelope_hash", "audio_near_dup",
 ]
 
@@ -57,35 +58,102 @@ def dhash_of(width: int, height: int, channels: int, arr) -> int:
     what a Spark ``long`` column holds). Raises ``ValueError`` for
     images smaller than the grid or unsupported channel counts — the
     caller's quarantine arm."""
-    import numpy as np
-
-    h, w, c = int(height), int(width), int(channels)
+    h, w = int(height), int(width)
     if h < _ROWS or w < _COLS:
         raise ValueError(
             f"image {w}x{h} smaller than the {_COLS}x{_ROWS} dHash grid"
         )
+    # shared box-mean/comparison core — word 0 of :func:`dhash256_of`
+    # is BY CONSTRUCTION this exact hash
+    return _grid_bits(
+        _luma_of(width, height, channels, arr), _ROWS, _COLS,
+        vertical=False,
+    )
+
+
+def _luma_of(width: int, height: int, channels: int, arr):
+    """Integer luma plane (h, w) of a decoded image — the shared front
+    half of :func:`dhash_of` and :func:`dhash256_of`."""
+    import numpy as np
+
+    h, w, c = int(height), int(width), int(channels)
     a = np.asarray(arr, dtype=np.int64).reshape(h, w, c)
     if c == 1:
-        luma = a[:, :, 0]
-    elif c == 3:
-        luma = (299 * a[:, :, 0] + 587 * a[:, :, 1]
+        return a[:, :, 0]
+    if c == 3:
+        return (299 * a[:, :, 0] + 587 * a[:, :, 1]
                 + 114 * a[:, :, 2]) // 1000
-    else:
-        raise ValueError(f"unsupported channel count {c}")
+    raise ValueError(f"unsupported channel count {c}")
+
+
+def _grid_bits(luma, rows: int, cols: int, vertical: bool) -> int:
+    """One 64-bit comparison word over a ``rows``×``cols`` floor-box
+    grid of ``luma``: horizontal words compare ``cell[r][c] >
+    cell[r][c+1]`` (bit ``r*(cols-1) + c``), vertical words
+    ``cell[r][c] > cell[r+1][c]`` (bit ``r*cols + c``) — each grid
+    shaped so exactly 64 comparisons exist. Signed-64 packing."""
+    h, w = luma.shape
+    cells = [
+        [
+            int(luma[r * h // rows:(r + 1) * h // rows,
+                     c * w // cols:(c + 1) * w // cols].sum())
+            // ((((r + 1) * h // rows) - (r * h // rows))
+                * (((c + 1) * w // cols) - (c * w // cols)))
+            for c in range(cols)
+        ]
+        for r in range(rows)
+    ]
     val = 0
-    for r in range(_ROWS):
-        r0, r1 = r * h // _ROWS, (r + 1) * h // _ROWS
-        cells = []
-        for cc in range(_COLS):
-            c0, c1 = cc * w // _COLS, (cc + 1) * w // _COLS
-            box = luma[r0:r1, c0:c1]
-            cells.append(int(box.sum()) // box.size)
-        for cc in range(_COLS - 1):
-            if cells[cc] > cells[cc + 1]:
-                val |= 1 << (r * (_COLS - 1) + cc)
+    if vertical:
+        for r in range(rows - 1):
+            for c in range(cols):
+                if cells[r][c] > cells[r + 1][c]:
+                    val |= 1 << (r * cols + c)
+    else:
+        for r in range(rows):
+            for c in range(cols - 1):
+                if cells[r][c] > cells[r][c + 1]:
+                    val |= 1 << (r * (cols - 1) + c)
     if val >= 1 << 63:
         val -= 1 << 64
     return val
+
+
+def dhash256_of(width: int, height: int, channels: int, arr) -> list:
+    """The 256-bit MULTI-SCALE dHash of one decoded image — the longer
+    fingerprint the 64-bit parameter law calls for past ~10⁶ images
+    (r14 SCALE.md: distance budget must come from more bits, not more
+    bands). Four 64-bit words over the same integer-exact box-mean
+    pipeline as :func:`dhash_of`:
+
+    - word 0: horizontal comparisons, 8×9 grid, full image (== the
+      64-bit dHash);
+    - word 1: vertical comparisons, 9×8 grid, full image (gradient
+      orientation the horizontal word is blind to);
+    - words 2-3: the same two over the CENTER CROP
+      ``luma[h//4 : h//4 + h//2, w//4 : w//4 + w//2]`` — a second
+      scale, sensitive to detail the full-image grid averages away.
+
+    Requires ``h >= 18 and w >= 18`` (the crop must still cover a 9-
+    cell axis); smaller images raise — the caller's quarantine arm,
+    same contract as :func:`dhash_of`. Returns 4 signed longs (what a
+    Spark ``array<long>`` column holds), word ``w`` bit ``i`` =
+    fingerprint bit ``w*64 + i`` — the layout
+    ``dedup.banded_hamming_pairs_multi`` bands over."""
+    h, w = int(height), int(width)
+    if h < 2 * _COLS or w < 2 * _COLS:
+        raise ValueError(
+            f"image {w}x{h} smaller than the 18x18 multi-scale dHash "
+            "minimum"
+        )
+    luma = _luma_of(width, height, channels, arr)
+    crop = luma[h // 4:h // 4 + h // 2, w // 4:w // 4 + w // 2]
+    return [
+        _grid_bits(luma, _ROWS, _COLS, vertical=False),
+        _grid_bits(luma, _COLS, _ROWS, vertical=True),
+        _grid_bits(crop, _ROWS, _COLS, vertical=False),
+        _grid_bits(crop, _COLS, _ROWS, vertical=True),
+    ]
 
 
 def _decode_any(payload: bytes):
@@ -189,6 +257,127 @@ def image_near_dup(
         max_hamming=max_hamming,
     )
     return release_cache_on_gc(pairs, fps)
+
+
+def image_dhash256(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """:func:`image_dhash` with the 256-bit multi-scale fingerprint:
+    one row per input with ``width``, ``height``, ``dhash256``
+    (``array<long>`` of 4 words, NULL on failure) and ``error`` (NULL
+    on success) — same per-row quarantine contract, same single Arrow
+    map stage, zero shuffles."""
+    import pandas as pd
+
+    from dataproc_spark.core import ensure_has_columns
+
+    ensure_has_columns(media, [id_col, payload_col])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append((mid, None, None, None, "null_payload"))
+                    continue
+                try:
+                    w, h, c, arr = _decode_any(payload)
+                    fp = dhash256_of(w, h, c, arr)
+                    rows.append((mid, int(w), int(h), fp, None))
+                except ValueError as exc:
+                    rows.append((mid, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "dhash256", "error"],
+            )
+
+    schema = (
+        f"{id_col} long, width int, height int, dhash256 array<long>, "
+        "error string"
+    )
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def image_near_dup_256(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    bands: int = 16,
+    max_hamming: int = 15,
+) -> DataFrame:
+    """:func:`image_near_dup` with the 256-bit multi-scale fingerprint
+    and ``dedup.banded_hamming_pairs_multi`` — the scale path the
+    64-bit parameter law caps out of (SCALE.md r14): at the default
+    ``bands=16`` every band still spans 16 bits (2^16 values — the
+    flat-probe regime of ``bands=4`` on 64-bit hashes) while the
+    pigeonhole covers ``max_hamming`` up to 15, i.e. the SAME relative
+    distance budget as hamming-3..4 on 64 bits with none of the
+    quadratic-bucket saturation. Shuffle carries (id, 32-byte array)
+    rows; pixels never leave the Arrow hash stage."""
+    from dataproc_spark.core import release_cache_on_gc
+    from dataproc_spark.extensions.dedup import banded_hamming_pairs_multi
+
+    fps = (
+        image_dhash256(media, id_col, payload_col)
+        .where(F.col("dhash256").isNotNull())
+        .select(id_col, "dhash256")
+        .persist()
+    )
+    pairs = banded_hamming_pairs_multi(
+        fps, id_col=id_col, fp_col="dhash256", words=4, bands=bands,
+        max_hamming=max_hamming,
+    )
+    return release_cache_on_gc(pairs, fps)
+
+
+def synthesize_scale_ppms(
+    df: DataFrame, id_col: str = "doc_id", groups: int = 29
+) -> DataFrame:
+    """Deterministic fixture generator for the 256-bit multi-scale
+    dHash (the :func:`synthesize_cell_ppms` idea at 18×18 — the
+    smallest size every grid and the center crop cover): pixel
+    ``v(id, r, c) = ((x*x) % 2147483647) % 200`` with the quadratic
+    mix ``x = (g*2654435761 + r*97 + c*89) % 2147483647`` over
+    ``g = id % groups`` (near-uniform hashes across groups — the
+    image_dedup fixture lesson), variant ``t = id // groups``
+    perturbing pixel ``(t % 18, t % 18)`` by +40 unless ``t % 3 == 0``
+    (exact-dup arms). Box means here are REAL multi-pixel floor boxes
+    (unlike the identity-resize 64-bit fixture), so the floor
+    boundary/average arithmetic is on the hash; the oracle replays it
+    from this pixel formula alone."""
+    import numpy as np
+    import pandas as pd
+
+    from dataproc_spark.extensions.multimodal import encode_ppm
+
+    side = 18
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                g, t = i % groups, i // groups
+                r = np.arange(side).reshape(-1, 1)
+                c = np.arange(side).reshape(1, -1)
+                x = (g * 2654435761 + r * 97 + c * 89) % 2147483647
+                v = (x * x) % 2147483647 % 200
+                if t % 3 != 0:
+                    v = v.copy()
+                    v[t % side, t % side] += 40
+                rgb = np.repeat(
+                    v.astype(np.uint8)[:, :, None], 3, axis=2
+                )
+                out.append((i, encode_ppm(rgb)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return df.select(id_col).mapInPandas(
+        kernel, schema="media_id long, payload binary"
+    )
 
 
 def synthesize_cell_ppms(

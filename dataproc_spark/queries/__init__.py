@@ -319,6 +319,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # -- r15 additions: the train→score loop + semantic dedup ring ----------
     "nb_train_score": (q_nb_train_score, SQL_NB_TRAIN_SCORE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "image_dedup_256": (q_image_dedup_256, SQL_IMAGE_DEDUP_256),
+    "warc_revisit_write": (q_warc_revisit_write, SQL_WARC_REVISIT_WRITE),
 }
 
 
@@ -349,7 +351,10 @@ REVERIFY_STALE_EVIDENCE: dict[str, int] = {
     # multimodal_pipeline ride the image_text_pairs figcaption-nullif
     # fix. All r14 rows vouch for pre-fix behavior.
     "warc_pair": 14,
-    "warc_revisit_dedup": 14,
+    "warc_revisit_dedup": 11,
+    # r15: cdx_lookup rebased onto the on-disk write_sorted_cdx →
+    # write_zipnum_index → load_cdx(pruned) chain
+    "cdx_lookup": 13,
     "warc_offsets": 14,
     "anchor_rollup": 14,
     "image_pairs": 14,

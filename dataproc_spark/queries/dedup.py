@@ -1178,3 +1178,124 @@ pairs AS (
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 7
 """
+
+
+# --------------------------------------------------------------------------
+# r15: 256-bit multi-scale dHash — the fingerprint-length scale path
+# --------------------------------------------------------------------------
+
+def q_image_dedup_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs over the 256-bit MULTI-SCALE dHash
+    (``imagehash.image_dhash256`` →
+    ``dedup.banded_hamming_pairs_multi``): the longer fingerprint that
+    removes the 64-bit parameter ceiling (r14 verdict item — distance
+    budget from more bits, not more bands; at bands=16 every band
+    still spans 16 bits, the flat-probe regime, while the pigeonhole
+    covers hamming <= 15). Fixture: 18×18 arithmetic PPMs
+    (``synthesize_scale_ppms``) — REAL multi-pixel floor boxes, so the
+    box-boundary/floor-mean arithmetic of all four words (full-image
+    horizontal+vertical grids, center-crop horizontal+vertical) is on
+    the hash, plus the strict comparisons, the cross-word Hamming sum,
+    and pigeonhole completeness at bands=16/max_hamming=15. The oracle
+    rebuilds every comparison bit from the pixel formula through
+    literal box-boundary tables and takes the ALL-PAIRS Hamming — the
+    banded plan must reproduce it exactly. Plan: one Arrow hash stage
+    (pixels never shuffle) + the banded (band, bval) self-join moving
+    (id, 32-byte fingerprint) rows."""
+    from dataproc_spark.extensions import imagehash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = imagehash.synthesize_scale_ppms(docs)
+    return imagehash.image_near_dup_256(
+        media, bands=16, max_hamming=15
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _scale_ppm_oracle_sql() -> str:
+    """SQL_IMAGE_DEDUP_256 generator: the four dHash grids' floor box
+    boundaries over the fixed 18×18 fixture as literal VALUES tables,
+    the pixel arithmetic of ``synthesize_scale_ppms``, comparison
+    bits, and all-pairs Hamming."""
+    side, rows, cols, off = 18, 8, 9, 18 // 4
+    crop = side // 2
+
+    def bounds(n: int, extent: int, shift: int):
+        return [
+            (i, shift + i * extent // n, shift + (i + 1) * extent // n)
+            for i in range(n)
+        ]
+
+    def values(rows_):
+        return ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in rows_)
+
+    # (grid tag, row boundary table, col boundary table, vertical?)
+    grids = [
+        (0, bounds(rows, side, 0), bounds(cols, side, 0), False),
+        (1, bounds(cols, side, 0), bounds(rows, side, 0), True),
+        (2, bounds(rows, crop, off), bounds(cols, crop, off), False),
+        (3, bounds(cols, crop, off), bounds(rows, crop, off), True),
+    ]
+    parts = []
+    for tag, rb, cb, vert in grids:
+        cmp_join = (
+            "a.gr = b.gr AND b.gc = a.gc + 1" if not vert
+            else "a.gc = b.gc AND b.gr = a.gr + 1"
+        )
+        lim = (
+            f"a.gc < {len(cb) - 1}" if not vert
+            else f"a.gr < {len(rb) - 1}"
+        )
+        parts.append(f"""
+cells_{tag} AS (
+    SELECT p.doc_id, rb.gr, cb.gc,
+           SUM(p.v) // COUNT(*) AS m
+    FROM px p
+    JOIN (SELECT * FROM (VALUES {values(rb)}) AS t(gr, lo, hi)) rb
+      ON p.r >= rb.lo AND p.r < rb.hi
+    JOIN (SELECT * FROM (VALUES {values(cb)}) AS t(gc, lo, hi)) cb
+      ON p.c >= cb.lo AND p.c < cb.hi
+    GROUP BY 1, 2, 3
+),
+bits_{tag} AS (
+    SELECT a.doc_id, {tag} AS gtag, a.gr, a.gc,
+           CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+    FROM cells_{tag} a JOIN cells_{tag} b
+      ON a.doc_id = b.doc_id AND {cmp_join}
+    WHERE {lim}
+)""")
+        cells = ",\n".join(parts)
+    return f"""
+WITH px AS (
+    SELECT d.doc_id, r.r, c.c,
+           (((((d.doc_id % 29) * 2654435761 + r.r * 97 + c.c * 89)
+              % 2147483647)
+             * (((d.doc_id % 29) * 2654435761 + r.r * 97 + c.c * 89)
+              % 2147483647)) % 2147483647) % 200
+           + CASE WHEN (d.doc_id // 29) % 3 <> 0
+                       AND r.r = (d.doc_id // 29) % {side}
+                       AND c.c = (d.doc_id // 29) % {side}
+                  THEN 40 ELSE 0 END AS v
+    FROM documents d,
+         (SELECT unnest(range(0, {side})) AS r) r,
+         (SELECT unnest(range(0, {side})) AS c) c
+),{cells},
+allbits AS (
+    SELECT * FROM bits_0 UNION ALL SELECT * FROM bits_1
+    UNION ALL SELECT * FROM bits_2 UNION ALL SELECT * FROM bits_3
+),
+pairs AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                AS INTEGER) AS hamming
+    FROM allbits x JOIN allbits y
+      ON x.gtag = y.gtag AND x.gr = y.gr AND x.gc = y.gc
+         AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 15
+"""
+
+
+SQL_IMAGE_DEDUP_256 = _scale_ppm_oracle_sql()

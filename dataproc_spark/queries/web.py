@@ -1955,10 +1955,23 @@ def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probes differ from the stored URL by case, ``www.``, and query-
     param order — the SURT canonicalization must still match them.
     Both modes run and union (``mode`` column). The oracle restates
-    winner arithmetic per arm/mode. Plan: ONE broadcast-hash join
-    streaming the index + a min_by partial aggregation — the index is
-    never sorted or windowed (plan-audited in the unit suite)."""
+    winner arithmetic per arm/mode.
+
+    r15: the gate now runs the full ON-DISK consumer chain the library
+    defaults to — ``write_sorted_cdx`` (range-partitioned scratch
+    index) → ``write_zipnum_index`` (file-range sidecar) →
+    ``load_cdx`` (which routes through ``load_cdx_pruned`` because the
+    sidecar exists) → ``cdx_closest`` — so ZipNum pruning sits in the
+    oracle-checked path, not only in the unit suite (which separately
+    asserts the pruned scan lists fewer files). Plan: the lookup is
+    still ONE broadcast-hash join + min_by partial aggregation; the
+    pruned reader's file intersection is driver-side over the KB-sized
+    sidecar. Scratch is removed before returning."""
+    import shutil
+    import tempfile
+
     from dataproc_spark.extensions import cdx as cdxx
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     did = F.col("doc_id").cast("string")
@@ -2003,13 +2016,22 @@ def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = docs.select(
         "doc_id", probe_url.alias("url"), probe_ts.alias("ts")
     )
-    closest = cdxx.cdx_closest(index, probes).withColumn(
+    scratch = tempfile.mkdtemp(prefix="cdxlk_")
+    try:
+        cdxx.write_sorted_cdx(index, scratch, n_files=4)
+        cdxx.write_zipnum_index(spark, scratch)
+    except BaseException:
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise
+    loaded = cdxx.load_cdx(spark, scratch, probes)
+    closest = cdxx.cdx_closest(loaded, probes).withColumn(
         "mode", F.lit("closest"))
-    before = cdxx.cdx_closest(index, probes, mode="before").withColumn(
+    before = cdxx.cdx_closest(loaded, probes, mode="before").withColumn(
         "mode", F.lit("before"))
-    return closest.unionByName(before).select(
+    res = closest.unionByName(before).select(
         "doc_id", "mode", "urlkey", "cdx_ts", "digest", "length"
     )
+    return _materialize_and_clean(res, scratch)
 
 
 SQL_CDX_LOOKUP = """
@@ -3181,4 +3203,89 @@ SELECT doc_id,
             0) AS BIGINT) AS offset,
        CAST(sz AS BIGINT) AS length
 FROM sized
+"""
+
+
+# --------------------------------------------------------------------------
+# r15: revisit-record WRITING — digest dedup at the sink
+# --------------------------------------------------------------------------
+
+def q_warc_revisit_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revisit-record WRITING (``warc.plan_revisit_records`` /
+    ``write_warc_shards_deduped``): digest-based dedup AT THE SINK —
+    duplicate bodies become tiny revisit records (digest + refers-to,
+    empty payload) instead of stored copies, the other half of the
+    ``resolve_revisits`` read path (r14 verdict gap). Fixture: content
+    classes ``cls = doc_id % 20`` — every document in a class shares
+    one body, so ~96% of captures at 500 docs write as revisits; the
+    donor is the MIN URI string per digest (deterministic election On
+    the hash, including the lexicographic-not-numeric URI order). The
+    chain writes the mixed archive, re-ingests it, and resolves: every
+    body must reconstruct, every revisit must point at its donor's
+    minted record id (``md5('resp:' digest ':' key)`` — value-checked,
+    DuckDB rebuilds the sha256 digest and the md5 id). Plan: ONE
+    digest-keyed metadata aggregation + ONE digest join moving bodies
+    once; the archive is written per-partition with no further
+    exchange. Scratch shards removed before returning."""
+    import shutil
+    import tempfile
+
+    from dataproc_spark.extensions import warc as warcx
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    cls = (F.col("doc_id") % 20).cast("string")
+    uri = F.concat(F.lit("https://site"),
+                   (F.col("doc_id") % 37).cast("string"),
+                   F.lit(".com/doc/"), did)
+    body = F.concat(F.lit("<html>class "), cls, F.lit(" body</html>"))
+    src = docs.select(uri.alias("target_uri"),
+                      body.cast("binary").alias("payload"))
+    out = tempfile.mkdtemp(prefix="warcrw_")
+    try:
+        warcx.write_warc_shards_deduped(
+            src.repartition(4, "target_uri"), out,
+            content_type="text/html",
+        )
+    except BaseException:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    back = warcx.read_warc(spark, out,
+                           warc_types=("response", "revisit"))
+    resolved = warcx.resolve_revisits(back)
+    res = resolved.select(
+        _warc_doc_id(),
+        "is_revisit",
+        "source_record_id",
+        F.decode(F.col("body"), "UTF-8").alias("body_text"),
+        F.octet_length("body").cast("long").alias("n_body_bytes"),
+    )
+    return _materialize_and_clean(res, out)
+
+
+SQL_WARC_REVISIT_WRITE = """
+WITH b AS (
+    SELECT doc_id,
+           'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.com/doc/'
+               || CAST(doc_id AS VARCHAR) AS uri,
+           '<html>class ' || CAST(doc_id % 20 AS VARCHAR)
+               || ' body</html>' AS body
+    FROM documents
+),
+d AS (
+    SELECT doc_id, uri, body,
+           'sha256:' || sha256(body) AS digest,
+           MIN(uri) OVER (PARTITION BY doc_id % 20) AS donor_uri
+    FROM b
+)
+SELECT doc_id,
+       uri <> donor_uri AS is_revisit,
+       CASE WHEN uri <> donor_uri THEN
+            '<urn:uuid:' || md5('resp:' || digest || ':' || donor_uri)
+                || '>'
+       END AS source_record_id,
+       body AS body_text,
+       CAST(strlen(body) AS BIGINT) AS n_body_bytes
+FROM d
 """

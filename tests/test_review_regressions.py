@@ -1502,3 +1502,151 @@ def test_train_nb_weights_null_label_raises(spark):
                                "doc_id long, label string, text string")
     with _pytest.raises(Exception, match="NULL label"):
         cls.train_nb_weights(df)[0].collect()
+
+
+def test_dhash256_pure_function():
+    """r15 multi-scale dHash: word 0 equals the 64-bit dHash (shared
+    core), brightness invariance, crop sensitivity, size quarantine."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.imagehash import dhash256_of, dhash_of
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 200, size=(20, 24, 3)).astype(np.uint8)
+    fp = dhash256_of(24, 20, 3, img)
+    assert len(fp) == 4 and all(isinstance(x, int) for x in fp)
+    assert fp[0] == dhash_of(24, 20, 3, img)
+    # global brightness shift: comparisons unchanged
+    fp2 = dhash256_of(24, 20, 3, np.clip(img.astype(int) + 30, 0, 255))
+    assert fp2 == fp
+    # perturb a center pixel hard: crop words must move
+    img3 = img.copy()
+    img3[10, 12] = 255
+    fp3 = dhash256_of(24, 20, 3, img3)
+    assert fp3 != fp
+    with _pytest.raises(ValueError, match="18x18"):
+        dhash256_of(17, 30, 3, np.zeros((30, 17, 3), dtype=np.uint8))
+
+
+def test_banded_hamming_pairs_multi_vs_brute(spark):
+    """r15 multi-word banding core: pigeonhole-complete pair set
+    matches a python brute force at words=4 across band choices, and
+    invalid geometry raises."""
+    import random
+
+    import pytest as _pytest
+
+    from dataproc_spark.extensions.dedup import banded_hamming_pairs_multi
+
+    rng = random.Random(3)
+    base = [rng.getrandbits(64) for _ in range(4)]
+
+    def s64(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    fps = {}
+    for i in range(40):
+        w = list(base)
+        for _ in range(rng.randrange(0, 30)):
+            b = rng.randrange(256)
+            w[b // 64] ^= 1 << (b % 64)
+        fps[i] = [s64(x) for x in w]
+
+    def ham(a, b):
+        return sum(
+            bin((x ^ y) & ((1 << 64) - 1)).count("1")
+            for x, y in zip(a, b)
+        )
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in fps.items()], "doc_id long, fp array<long>"
+    ).persist()
+    for bands, mh in ((16, 15), (32, 20), (8, 7), (4, 3)):
+        want = {
+            (a, b, ham(fps[a], fps[b]))
+            for a in fps for b in fps
+            if a < b and ham(fps[a], fps[b]) <= mh
+        }
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in banded_hamming_pairs_multi(
+                df, fp_col="fp", words=4, bands=bands, max_hamming=mh
+            ).collect()
+        }
+        assert got == want, (bands, mh)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        banded_hamming_pairs_multi(df, fp_col="fp", bands=8,
+                                   max_hamming=8)
+    with _pytest.raises(ValueError, match="must divide"):
+        banded_hamming_pairs_multi(df, fp_col="fp", bands=3,
+                                   max_hamming=2)
+    with _pytest.raises(ValueError, match="divide 64"):
+        banded_hamming_pairs_multi(df, fp_col="fp", words=4, bands=2,
+                                   max_hamming=1)
+    df.unpersist()
+
+
+def test_load_cdx_routes_pruned_or_full(spark, tmp_path):
+    """r15: load_cdx uses the ZipNum-pruned reader when the sidecar
+    exists (fewer files listed into the scan) and silently falls back
+    to a full scan when it does not."""
+    from dataproc_spark.extensions import cdx as cdxx
+
+    idx = spark.createDataFrame(
+        [(f"com,s{i})/", "20240101000000", f"http://s{i}.com/")
+         for i in range(8)],
+        "urlkey string, ts string, url string",
+    )
+    probes = spark.createDataFrame([("http://s0.com/",)], "url string")
+    bare = str(tmp_path / "bare")
+    cdxx.write_sorted_cdx(idx, bare, n_files=4)
+    full = cdxx.load_cdx(spark, bare, probes)   # no sidecar -> full
+    assert full.count() == 8
+    withz = str(tmp_path / "withz")
+    cdxx.write_sorted_cdx(idx, withz, n_files=4)
+    cdxx.write_zipnum_index(spark, withz)
+    pruned = cdxx.load_cdx(spark, withz, probes)
+    assert {r.urlkey for r in pruned.collect()} >= {"com,s0)/"}
+    n_in = len(pruned.inputFiles())
+    assert 0 < n_in < len(cdxx.load_cdx(spark, withz).inputFiles())
+
+
+def test_write_warc_shards_deduped_roundtrip(spark, tmp_path):
+    """r15 revisit WRITING: duplicate bodies become tiny revisit
+    records at the sink (one donor response per digest, deterministic
+    min-key election), and read_warc + resolve_revisits reconstructs
+    every body. Minted ids keep refers_to self-consistent."""
+    from dataproc_spark.extensions import warc as warcx
+
+    rows = [
+        ("https://a.com/1", b"<html>same</html>"),
+        ("https://a.com/2", b"<html>same</html>"),
+        ("https://a.com/3", b"<html>same</html>"),
+        ("https://a.com/4", b"<html>other</html>"),
+    ]
+    df = spark.createDataFrame(rows, "target_uri string, payload binary")
+    d = str(tmp_path / "dedup")
+    warcx.write_warc_shards_deduped(df.repartition(2), d,
+                                    content_type="text/html")
+    back = warcx.read_warc(spark, d, warc_types=("response", "revisit"))
+    recs = {r.target_uri: r for r in back.collect()}
+    assert len(recs) == 4
+    types = sorted(r.warc_type for r in recs.values())
+    assert types == ["response", "response", "revisit", "revisit"]
+    # donor = min key (uri) per digest -> /1 keeps the body
+    assert recs["https://a.com/1"].warc_type == "response"
+    assert recs["https://a.com/2"].warc_type == "revisit"
+    assert bytes(recs["https://a.com/2"].payload or b"") == b""
+    assert recs["https://a.com/2"].refers_to == \
+        recs["https://a.com/1"].record_id
+    assert recs["https://a.com/2"].refers_to_uri == "https://a.com/1"
+    assert recs["https://a.com/2"].payload_digest.startswith("sha256:")
+    res = {r.target_uri: r
+           for r in warcx.resolve_revisits(back).collect()}
+    for uri, body in rows:
+        assert bytes(res[uri].body) == body, uri
+    assert res["https://a.com/3"].is_revisit
+    assert res["https://a.com/3"].source_record_id == \
+        recs["https://a.com/1"].record_id
+    assert not res["https://a.com/4"].is_revisit
