@@ -143,6 +143,14 @@ EXTENDED_QUERIES = [
     "multimodal_pipeline",
     "audio_dedup",
     "warc_offsets",
+    # r15 families: the NB train→score loop, SemDeDup semantic dedup,
+    # the 256-bit multi-scale image fingerprint, sink-side revisit
+    # dedup (cdx_lookup above now also carries the ZipNum-pruned
+    # on-disk chain)
+    "nb_train_score",
+    "semantic_dedup",
+    "image_dedup_256",
+    "warc_revisit_write",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

@@ -31,10 +31,16 @@ __all__ = [
     "hashed_ngram_buckets",
     "quantized_log2",
     "train_nb_weights",
+    "write_nb_model",
+    "read_nb_model",
+    "score_with_nb_model",
     "score_documents",
     "predict_label",
     "fasttext_predict",
 ]
+
+#: format marker for persisted NB models (the write_ivf_index pattern)
+NB_MODEL_FORMAT = "dataproc-nb-model-v1"
 
 
 def hashed_ngram_buckets(
@@ -257,6 +263,108 @@ def train_nb_weights(
     from dataproc_spark.core import release_cache_on_gc
 
     return release_cache_on_gc(weights, counts), bias, intercept
+
+
+def write_nb_model(
+    weights: DataFrame,
+    bias: dict,
+    intercept: dict,
+    path: str,
+    n_buckets: int = 1 << 20,
+    bigrams: bool = True,
+    salt: str = "ftz",
+    scale: int = 1 << 12,
+    hash_fn: str = "md5",
+) -> dict:
+    """Persist a :func:`train_nb_weights` model — the EXPORT in the
+    train → export → score loop (the ``write_ivf_index`` layout
+    pattern). Under ``path``:
+
+    * ``weights/`` — the long-format (label, bucket, w) table;
+    * ``labels/``  — one row per label with its ``bias`` and
+      ``intercept`` terms;
+    * ``meta/``    — one row pinning the FEATURIZATION parameters
+      (n_buckets, bigrams, salt, hash_fn, scale) — a model scored
+      under different featurization silently garbage-scores, which is
+      why :func:`score_with_nb_model` reads these instead of trusting
+      call-site arguments.
+
+    Returns the meta dict. The weights write is the only
+    possibly-large output (bounded by labels × n_buckets); labels/meta
+    coalesce to one file each."""
+    spark = weights.sparkSession
+    labels = sorted(set(bias) | set(intercept))
+    weights.write.mode("overwrite").parquet(f"{path}/weights")
+    spark.createDataFrame(
+        [(l, int(bias.get(l, 0)), int(intercept.get(l, 0)))
+         for l in labels],
+        "label string, bias long, intercept long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/labels")
+    meta = {
+        "format": NB_MODEL_FORMAT,
+        "n_buckets": int(n_buckets),
+        "bigrams": bool(bigrams),
+        "salt": str(salt),
+        "scale": int(scale),
+        "hash_fn": str(hash_fn),
+    }
+    spark.createDataFrame(
+        [tuple(meta.values())],
+        "format string, n_buckets long, bigrams boolean, salt string, "
+        "scale long, hash_fn string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return meta
+
+
+def read_nb_model(spark, path: str):
+    """Load a persisted NB model: ``(weights df, bias dict, intercept
+    dict, meta dict)`` — :func:`write_nb_model`'s inverse. Raises on a
+    format-marker mismatch (an IVF index or arbitrary parquet at the
+    same path would otherwise half-load)."""
+    meta_row = spark.read.parquet(f"{path}/meta").first()
+    meta = meta_row.asDict()
+    if meta.get("format") != NB_MODEL_FORMAT:
+        raise ValueError(
+            f"read_nb_model: {path!r} holds format "
+            f"{meta.get('format')!r}, expected {NB_MODEL_FORMAT!r}"
+        )
+    labels = spark.read.parquet(f"{path}/labels").collect()
+    bias = {r["label"]: int(r["bias"]) for r in labels}
+    intercept = {r["label"]: int(r["intercept"]) for r in labels}
+    return (
+        spark.read.parquet(f"{path}/weights"), bias, intercept, meta
+    )
+
+
+def score_with_nb_model(
+    df: DataFrame,
+    path: str,
+    id_cols: tuple = ("doc_id",),
+    text_col: str = "text",
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Score documents under a PERSISTED model: load, then
+    :func:`score_documents` with the featurization parameters taken
+    from the model's meta — the loop-closing consumer that makes
+    parameter drift between train time and score time impossible
+    (scoring under a different n_buckets/salt/hash_fn is the silent
+    garbage-score footgun the meta table exists to prevent)."""
+    weights, bias, intercept, meta = read_nb_model(
+        df.sparkSession, path
+    )
+    return score_documents(
+        df, weights,
+        id_cols=id_cols,
+        text_col=text_col,
+        n_buckets=int(meta["n_buckets"]),
+        bigrams=bool(meta["bigrams"]),
+        salt=str(meta["salt"]),
+        bias=bias,
+        broadcast_weights=broadcast_weights,
+        labels=sorted(bias),
+        hash_fn=str(meta["hash_fn"]),
+        intercept=intercept,
+    )
 
 
 def score_documents(

@@ -321,6 +321,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "image_dedup_256": (q_image_dedup_256, SQL_IMAGE_DEDUP_256),
     "warc_revisit_write": (q_warc_revisit_write, SQL_WARC_REVISIT_WRITE),
+    "nb_model_roundtrip": (q_nb_model_roundtrip, SQL_NB_MODEL_ROUNDTRIP),
 }
 
 

@@ -915,3 +915,52 @@ FROM scores s JOIN pred p USING (doc_id)
 """.replace("__Q_CNT__", _sql_q("(cnt + 1)")) \
    .replace("__Q_TOT__", _sql_q("(t + 512)")) \
    .replace("__Q_ND__", _sql_q("n"))
+
+
+def q_nb_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model persistence roundtrip (``classify.write_nb_model`` /
+    ``read_nb_model`` / ``score_with_nb_model``): the EXPORT word in
+    the train → export → score loop — train the same lang model as
+    ``nb_train_score``, persist it (weights/labels/meta layout),
+    reload, and score THROUGH the model directory with featurization
+    parameters taken from its meta table. Output is bit-identical to
+    scoring in-session, so the oracle is the same replayed
+    training+scoring SQL — any serialization loss (weights row drift,
+    quantization, meta parameter mismatch, label table truncation)
+    hash-fails. Scratch model removed before returning."""
+    import shutil
+    import tempfile
+
+    from dataproc_spark.extensions import classify
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    n_buckets = 512
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    w_plan, bias, icpt = classify.train_nb_weights(
+        docs.select(F.col("lang").alias("label"), "text"),
+        n_buckets=n_buckets,
+    )
+    out = tempfile.mkdtemp(prefix="nbmodel_")
+    try:
+        classify.write_nb_model(
+            w_plan, bias, icpt, out, n_buckets=n_buckets,
+        )
+    except BaseException:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    scores = classify.score_with_nb_model(docs, out).persist()
+    pred = classify.predict_label(scores).select(
+        "doc_id", F.col("label").alias("pred_label")
+    )
+    res = scores.join(pred, "doc_id").select(
+        "doc_id", "label", "n_feats", "score", "pred_label"
+    )
+    return _materialize_and_clean(res, out)
+
+
+#: persistence must be lossless, so the oracle IS the in-session one
+SQL_NB_MODEL_ROUNDTRIP = SQL_NB_TRAIN_SCORE

@@ -1650,3 +1650,43 @@ def test_write_warc_shards_deduped_roundtrip(spark, tmp_path):
     assert res["https://a.com/3"].source_record_id == \
         recs["https://a.com/1"].record_id
     assert not res["https://a.com/4"].is_revisit
+
+
+def test_nb_model_persistence(spark, tmp_path):
+    """r15: write_nb_model/read_nb_model roundtrip preserves weights
+    and per-label terms; score_with_nb_model takes featurization from
+    meta; a foreign parquet directory is rejected by format marker."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import classify as cls
+
+    df = spark.createDataFrame(
+        [(1, "a", "x x"), (2, "a", "x y"), (3, "b", "z z")],
+        "doc_id long, label string, text string",
+    )
+    w, bias, icpt = cls.train_nb_weights(df, bigrams=False,
+                                         n_buckets=64)
+    p = str(tmp_path / "m")
+    meta = cls.write_nb_model(w, bias, icpt, p, n_buckets=64,
+                              bigrams=False)
+    assert meta["format"] == cls.NB_MODEL_FORMAT
+    w2, bias2, icpt2, meta2 = cls.read_nb_model(spark, p)
+    assert bias2 == bias and icpt2 == icpt
+    assert meta2["n_buckets"] == 64 and meta2["bigrams"] is False
+    assert sorted(map(tuple, w.collect())) == \
+        sorted(map(tuple, w2.collect()))
+    plain = df.select("doc_id", "text")
+    direct = cls.score_documents(
+        plain, spark.createDataFrame(
+            w.collect(), "label string, bucket long, w long"),
+        n_buckets=64, bigrams=False, bias=bias, intercept=icpt,
+        labels=sorted(bias),
+    )
+    via = cls.score_with_nb_model(plain, p)
+    assert sorted(map(tuple, direct.collect())) == \
+        sorted(map(tuple, via.collect()))
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([("x",)], "format string") \
+        .write.parquet(bad + "/meta")
+    with _pytest.raises(ValueError, match="format"):
+        cls.read_nb_model(spark, bad)
