@@ -151,6 +151,11 @@ EXTENDED_QUERIES = [
     "semantic_dedup",
     "image_dedup_256",
     "warc_revisit_write",
+    # late-r15 families: PQ compressed-domain ANN, the persisted
+    # minhash index probe, token-distribution drift
+    "ann_pq",
+    "incremental_near_dup",
+    "corpus_drift",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

@@ -571,3 +571,100 @@ def normalize_text(
     # signature inference rejects (same shape as q_sql_udf_tokens)
     _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return df.withColumn(out_col, pandas_udf(_norm, "string")(F.col(col)))
+
+
+def token_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+    scale: int = 1 << 12,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots as per-token
+    Jensen–Shannon divergence contributions — the monitoring step a
+    pipeline runs between crawls (or between a source and its filtered
+    output) to see WHICH tokens moved, not just that something did
+    (Lin 1991, "Divergence measures based on the Shannon entropy" —
+    public IEEE TIT classic).
+
+    All-integer surrogate so any engine replays it bit-for-bit: token
+    probabilities quantize to parts-per-million (``cnt · 10⁶ div
+    total`` — tokens rarer than 1 ppm quantize to 0 and contribute 0,
+    the documented floor), logs are the Mitchell fixed-point
+    :func:`...classify.quantized_log2`, and each side's contribution is
+
+        ``p · (Q(2p) − Q(p + q))``   (0 when p = 0)
+
+    — the JSD term ``p·log₂(2p/(p+q))`` with the ratio folded into a
+    Q-difference. ``contrib_q`` (the two sides' sum, in ppm·Q units)
+    ranks tokens; output is the ``top_k`` by ``contrib_q`` DESC /
+    token ASC with both counts and both ppm shares. Exact-math JSD
+    terms are ≥ 0; here a token whose shares are NEAR-EQUAL can go
+    slightly negative — the signed Mitchell residual, bounded by
+    ``0.086·scale·(p+q)`` — while a genuinely drifted token's signal
+    is ``~scale·p`` (an order of magnitude above the error floor), so
+    the RANKING is what this operator exports, not a calibrated total
+    divergence.
+
+    100 TB plan: two token-count aggregates (map-side combined) + the
+    two 1-row totals broadcast via crossJoin + ONE full-outer join on
+    token + a partial top-k (TakeOrderedAndProject) — raw documents
+    are scanned once per side and never shuffled."""
+    from dataproc_spark.extensions.classify import quantized_log2
+
+    if top_k < 1:
+        raise ValueError(f"token_drift: top_k must be >= 1, got {top_k}")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    ca, cb = counts(a, "a_cnt"), counts(b, "b_cnt")
+    tot = ca.agg(F.sum("a_cnt").alias("_ta")).crossJoin(
+        cb.agg(F.sum("b_cnt").alias("_tb"))
+    )
+    m = F.lit(1_000_000).cast("long")
+    joined = (
+        ca.join(cb, "token", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.coalesce("a_cnt", F.lit(0).cast("long")).alias("a_cnt"),
+            F.coalesce("b_cnt", F.lit(0).cast("long")).alias("b_cnt"),
+            F.col("_ta"), F.col("_tb"),
+        )
+    )
+    # an EMPTY side has NULL total: every token of the other side is
+    # then "all drift" by definition — surface it, don't NULL-divide
+    p = F.when(
+        F.col("_ta").isNull(),
+        F.raise_error(F.lit("token_drift: snapshot `a` has no tokens")),
+    ).otherwise(F.call_function("div", F.col("a_cnt") * m, F.col("_ta")))
+    q = F.when(
+        F.col("_tb").isNull(),
+        F.raise_error(F.lit("token_drift: snapshot `b` has no tokens")),
+    ).otherwise(F.call_function("div", F.col("b_cnt") * m, F.col("_tb")))
+    scored = joined.select(
+        "token", "a_cnt", "b_cnt",
+        p.alias("p_ppm"), q.alias("q_ppm"),
+    )
+
+    def term(own: str, other: str) -> F.Column:
+        two = F.lit(2).cast("long") * F.col(own)
+        mix = F.col(own) + F.col(other)
+        return F.when(
+            F.col(own) > 0,
+            F.col(own) * (quantized_log2(two, scale)
+                          - quantized_log2(mix, scale)),
+        ).otherwise(F.lit(0).cast("long"))
+
+    return (
+        scored.withColumn(
+            "contrib_q", term("p_ppm", "q_ppm") + term("q_ppm", "p_ppm")
+        )
+        .orderBy(F.col("contrib_q").desc(), F.col("token").asc())
+        .limit(int(top_k))
+    )

@@ -176,6 +176,56 @@ def minhash_frame(
     return out.withColumn("_sig", sig_fn(F.col("_shingles"), num_hashes))
 
 
+def band_rows(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    num_hashes: int | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band, bhash) rows from a signature frame — the map-only
+    banding projection shared by :func:`lsh_candidates` (self-join) and
+    :func:`incremental_near_dup` (index-vs-batch join). Band ``b``'s key
+    hashes signature positions ``[b·r, (b+1)·r)``; portable mode uses
+    md5 over the '|'-joined slice (engine-reproducible — the slice
+    elements are md5 hex strings themselves), fast mode ``xxhash64``."""
+    if num_hashes is None:
+        probe = sigs.select(F.size("_sig").alias("s")).first()
+        if probe is None:
+            raise ValueError(
+                "cannot infer num_hashes from an empty signature frame; "
+                "pass num_hashes explicitly"
+            )
+        num_hashes = probe["s"]
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide the signature length ({num_hashes}); "
+            f"a remainder would silently drop the trailing hashes from banding"
+        )
+    rows_per_band = num_hashes // bands
+
+    def band_hash(b: int) -> F.Column:
+        sl = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+        if portable:
+            return F.md5(F.array_join(sl, "|").cast("binary"))
+        return F.xxhash64(sl)
+
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_hash(b).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bhash")
+
+
 def lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -198,43 +248,7 @@ def lsh_candidates(
     Pass ``num_hashes`` when known to avoid a plan-time job probing the
     signature length.
     """
-    if num_hashes is None:
-        probe = sigs.select(F.size("_sig").alias("s")).first()
-        if probe is None:
-            raise ValueError(
-                "cannot infer num_hashes from an empty signature frame; "
-                "pass num_hashes explicitly"
-            )
-        num_hashes = probe["s"]
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"bands ({bands}) must divide the signature length ({num_hashes}); "
-            f"a remainder would silently drop the trailing hashes from banding"
-        )
-    rows_per_band = num_hashes // bands
-
-    def band_hash(b: int) -> F.Column:
-        sl = F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-        if portable:
-            # md5 over the '|'-joined band slice: reproducible in any
-            # engine (the slice elements are md5 hex strings themselves)
-            return F.md5(F.array_join(sl, "|").cast("binary"))
-        return F.xxhash64(sl)
-
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_hash(b).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bhash")
+    banded = band_rows(sigs, id_col, bands, num_hashes, portable)
     if salt is not None and int(salt) > 1:
         # explicit salting for when AQE's skew split is insufficient (one
         # pathological band bucket): scatter the left side across `salt`
@@ -364,6 +378,148 @@ def minhash_dedup_pairs(
     )
     out = jaccard_verify(cands, sigs, id_col, threshold, scale_m=scale_m)
     return _release_on_gc(out, sigs)
+
+
+#: format marker for persisted MinHash signature indexes
+MINHASH_INDEX_FORMAT = "dataproc-minhash-index-v1"
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+    bands: int = 4,
+    portable: bool = False,
+) -> dict:
+    """Persist the corpus's MinHash signatures as a reusable near-dup
+    index — so each new ingestion batch probes the EXISTING corpus
+    without recomputing (or even re-reading) its bodies, the near-dup
+    analog of ``incremental_dedup``'s exact-fingerprint store. Layout
+    under ``path`` (the ``write_nb_model``/``write_ivf_index`` word):
+
+    * ``sigs/`` — (id, ``_sig``) signature rows, ~``num_hashes`` longs
+      (or md5 hexes in portable mode) per document — bodies stay out;
+    * ``meta/`` — one row pinning the SIGNATURE parameters
+      (num_hashes, shingle_size, bands, family) — a batch signed under
+      different parameters silently finds nothing, which is why
+      :func:`incremental_near_dup` reads these instead of trusting
+      call-site arguments.
+
+    Returns the meta dict. ``bands`` must divide ``num_hashes``
+    (validated here, not at probe time — a bad index should fail at
+    build)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    spark = df.sparkSession
+    sigs = minhash_frame(
+        df, content_col, id_col, num_hashes, shingle_size,
+        portable=portable,
+    ).select(id_col, "_sig")
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    meta = {
+        "format": MINHASH_INDEX_FORMAT,
+        "id_col": str(id_col),
+        "num_hashes": int(num_hashes),
+        "shingle_size": int(shingle_size),
+        "bands": int(bands),
+        "portable": bool(portable),
+    }
+    spark.createDataFrame(
+        [tuple(meta.values())],
+        "format string, id_col string, num_hashes long, "
+        "shingle_size long, bands long, portable boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return meta
+
+
+def read_minhash_index(spark, path: str):
+    """Load a persisted MinHash index: ``(sigs df, meta dict)`` —
+    :func:`write_minhash_index`'s inverse. Raises on a format-marker
+    mismatch (arbitrary parquet at the path would half-load)."""
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    if meta.get("format") != MINHASH_INDEX_FORMAT:
+        raise ValueError(
+            f"read_minhash_index: {path!r} holds format "
+            f"{meta.get('format')!r}, expected {MINHASH_INDEX_FORMAT!r}"
+        )
+    return spark.read.parquet(f"{path}/sigs"), meta
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    path: str,
+    threshold_m: int = 500,
+    content_col: str = "text",
+) -> DataFrame:
+    """Near-duplicates of an ingestion batch AGAINST a persisted
+    :func:`write_minhash_index` — the streaming-corpus complement of
+    ``minhash_dedup_pairs`` (which rescans everything): sign only the
+    NEW batch under the index's pinned parameters, band-join new
+    bands against index bands, and score candidates by the MinHash
+    ESTIMATE ``est_jaccard_m = matching positions × 1000 div
+    num_hashes`` (the index stores signatures, not shingle sets, so
+    the exact-Jaccard verify of the full pipeline is deliberately out
+    of reach — re-read the colliding old bodies downstream if an exact
+    score is required; with 16+ hashes the estimate's granularity is
+    the standard triage cut). Returns ``(new_id, old_id,
+    est_jaccard_m)``; pairs whose ids are EQUAL are dropped (a
+    re-crawled id is the exact-dedup family's job, not near-dup's).
+
+    100 TB plan: the old corpus contributes ``bands`` fixed-width rows
+    per document — read once from the index, bodies never touched; the
+    join is the same banded equi-join as every near-dup path here
+    (AQE skew split applies), and the estimate join moves only
+    (id, signature) rows for documents that actually collide."""
+    spark = new_docs.sparkSession
+    old_sigs, meta = read_minhash_index(spark, path)
+    id_col = meta["id_col"]
+    num_hashes = int(meta["num_hashes"])
+    bands = int(meta["bands"])
+    portable = bool(meta["portable"])
+    from dataproc_spark.core import spread_narrow
+
+    new_sigs = minhash_frame(
+        spread_narrow(new_docs, id_col), content_col, id_col,
+        num_hashes, int(meta["shingle_size"]), portable=portable,
+    ).select(id_col, "_sig").persist()
+    nb = band_rows(new_sigs, id_col, bands, num_hashes, portable) \
+        .select(F.col(id_col).alias("new_id"), "band", "bhash")
+    ob = band_rows(old_sigs, id_col, bands, num_hashes, portable) \
+        .select(F.col(id_col).alias("old_id"), "band", "bhash")
+    cands = (
+        nb.join(ob, ["band", "bhash"])
+        .where(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    a = new_sigs.select(F.col(id_col).alias("new_id"),
+                        F.col("_sig").alias("_sig_a"))
+    b = old_sigs.select(F.col(id_col).alias("old_id"),
+                        F.col("_sig").alias("_sig_b"))
+    matches = F.aggregate(
+        F.zip_with("_sig_a", "_sig_b",
+                   lambda x, y: F.when(x == y, F.lit(1).cast("long"))
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    # IntegralDivide keeps the score an exact 64-bit integer (the
+    # jaccard_verify scale_m convention)
+    est = F.call_function(
+        "div", matches * F.lit(1000).cast("long"),
+        F.lit(int(num_hashes)).cast("long"),
+    )
+    result = (
+        cands.join(a, "new_id").join(b, "old_id")
+        .withColumn("est_jaccard_m", est)
+        .where(F.col("est_jaccard_m") >= int(threshold_m))
+        .select("new_id", "old_id", "est_jaccard_m")
+    )
+    return _release_on_gc(result, new_sigs)
 
 
 def contamination_pairs(

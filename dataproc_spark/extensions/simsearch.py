@@ -747,10 +747,53 @@ def rp_lsh_near_dup(
     return release_cache_on_gc(out, e)
 
 
-def _kmeans_assign(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
-    """Map-only cluster assignment against a LITERAL centroid table:
-    argmin squared distance, ties to the smallest centroid id (array_min
-    over (dist, cid) structs compares lexicographically)."""
+#: centroid-table size (k × dim literal terms) above which
+#: :func:`_kmeans_assign` switches from the expression plan to the Arrow
+#: matmul kernel — below it the all-JVM expression wins (no Python
+#: worker round-trip); far above it the expression is pathological
+#: (k zip_with aggregates per row stop fitting whole-stage codegen and
+#: fall back to interpreted eval: the k=400/dim=64 semantic_dedup probe
+#: ran >30 min at 100× before this kernel, ~2 min after — SCALE.md r15)
+_KMEANS_ARROW_THRESHOLD = 4096
+
+
+def _kmeans_assign(
+    q: DataFrame, centroids: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Map-only cluster assignment against the centroid table: argmin
+    squared distance, ties to the smallest centroid id. Small tables
+    travel as plan literals (array_min over (dist, cid) structs —
+    lexicographic, all-JVM); past :data:`_KMEANS_ARROW_THRESHOLD`
+    literal terms the same argmin runs as one Arrow matmul stage
+    (``||x||² − 2xCᵀ + ||c||²`` in exact int64, np.argmin's
+    first-minimum = smallest cid over the cid-ascending table —
+    bit-identical by construction, parity-pinned by test)."""
+    if centroids and len(centroids) * len(centroids[0][1]) > _KMEANS_ARROW_THRESHOLD:
+        import numpy as np
+        import pandas as pd
+
+        cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+        cmat = np.array([c for _, c in centroids], dtype=np.int64)
+        cnorm = (cmat * cmat).sum(axis=1)
+        other = [c for c in q.columns if c != "_v"]
+
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(pdf["_v"].tolist(), dtype=np.int64)
+                d = ((x * x).sum(axis=1, keepdims=True)
+                     - 2 * (x @ cmat.T) + cnorm)
+                pdf = pdf.assign(cluster=cids[np.argmin(d, axis=1)])
+                yield pdf
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in q.schema.fields
+        ) + ", cluster long"
+        out = q.mapInPandas(kernel, schema)
+        # the expression path yields an INT cluster (the struct literal);
+        # keep the public dtype identical across paths
+        return out.withColumn("cluster", F.col("cluster").cast("int"))
     cands = []
     for cid, c in centroids:
         lit = F.array(*[F.lit(int(x)).cast("long") for x in c])
@@ -1171,3 +1214,459 @@ def semantic_dedup(
     if with_cluster:
         return kept.join(cells, id_col)
     return kept
+
+
+# --------------------------------------------------------------------------
+# r15: Product Quantization — compressed embeddings + ADC search
+# --------------------------------------------------------------------------
+
+def _pq_slice(vec: F.Column, sub: int, subdim: int) -> F.Column:
+    """Subvector ``sub`` of a quantized vector (1-based slice)."""
+    return F.slice(vec, sub * subdim + 1, subdim)
+
+
+def _pq_guard_dim(q: DataFrame, dim: int, who: str) -> DataFrame:
+    """Re-project ``_v`` with the embed_kmeans raise policy: a NULL or
+    wrong-length vector must fail loudly — in the expression path a
+    NULL distance would silently win the struct-min, and in the Arrow
+    path numpy would die with an opaque ragged-array error."""
+    other = [c for c in q.columns if c != "_v"]
+    return q.select(
+        *other,
+        F.when(
+            (F.size("_v") == dim) & ~F.exists("_v", lambda x: x.isNull()),
+            F.col("_v"),
+        ).otherwise(F.raise_error(F.concat(
+            F.lit(f"{who}: expected {dim}-dim vectors with no NULL "
+                  "elements, got size="),
+            F.coalesce(F.size("_v").cast("string"), F.lit("NULL")),
+        ))).alias("_v"),
+    )
+
+
+def _pq_nearest_code(sv: F.Column, codebooks: list, sub: int) -> F.Column:
+    """Nearest-code expression for one ALREADY-SLICED subvector against
+    the literal codebook: argmin squared L2, ties → smallest code (the
+    ``_kmeans_assign`` struct-min convention)."""
+    cands = []
+    for s, code, c in codebooks:
+        if s != sub:
+            continue
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in c])
+        d = F.aggregate(
+            F.zip_with(sv, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        cands.append(F.struct(d.alias("d"), F.lit(int(code)).alias("code")))
+    return F.array_min(F.array(*cands))["code"]
+
+
+def _pq_codes_arrow(
+    q: DataFrame, codebooks: list, m: int, subdim: int, id_col: str,
+    carry_v: bool = False,
+) -> DataFrame:
+    """(id, ``_v``) → (id, ``codes`` array<int>) via ONE Arrow stage:
+    per subspace, the squared-L2 matrix ``||x||² − 2xCᵀ + ||c||²`` in
+    exact int64 with numpy, argmin taking the FIRST minimum — the
+    codebook rows are code-ascending, so ties break to the smallest
+    code, bit-identical to the expression path's (dist, code)
+    struct-min (parity-pinned by test). The expression path compiles
+    m × codes zip_with aggregates into one giant codegen unit
+    (measured ~14s of compile at the default 8×16 geometry — the
+    rp_lsh_near_dup lesson); the matmul kernel is the production
+    default for exactly the reason the signature kernel is there."""
+    import numpy as np
+    import pandas as pd
+
+    subs = []
+    for sub in range(m):
+        entries = [(code, v) for s, code, v in codebooks if s == sub]
+        codes_arr = np.array([c for c, _ in entries], dtype=np.int64)
+        cmat = np.array([v for _, v in entries], dtype=np.int64)
+        subs.append((codes_arr, cmat, (cmat * cmat).sum(axis=1)))
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["_v"].tolist(), dtype=np.int64)
+            out = np.empty((len(pdf), m), dtype=np.int32)
+            for sub, (codes_arr, cmat, cnorm) in enumerate(subs):
+                xs = x[:, sub * subdim:(sub + 1) * subdim]
+                d = ((xs * xs).sum(axis=1, keepdims=True)
+                     - 2 * (xs @ cmat.T) + cnorm)
+                out[:, sub] = codes_arr[np.argmin(d, axis=1)]
+            cols = {id_col: pdf[id_col], "codes": list(out)}
+            if carry_v:
+                # training reuses the quantized vector for the centroid
+                # update — carrying it through the kernel avoids a
+                # corpus self-join per iteration
+                cols["_v"] = pdf["_v"]
+            yield pd.DataFrame(cols)
+
+    schema = f"{id_col} long, codes array<int>" + (
+        ", _v array<long>" if carry_v else "")
+    return q.mapInPandas(kernel, schema)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    impl: str = "arrow",
+) -> list:
+    """Train Product-Quantization codebooks (Jégou et al. 2011,
+    "Product quantization for nearest neighbor search" — public IEEE
+    TPAMI classic): split each vector into ``m`` subvectors and run an
+    independent k-means (``codes`` centroids) per subspace, so a
+    vector compresses to ``m`` small codes — dim×4 bytes → m bytes at
+    the defaults, the standard 32× embedding-store shrink that makes
+    100 TB of vectors scannable.
+
+    Same exactness contract as :func:`embed_kmeans` (which this
+    generalizes per-subspace): init is the ``codes`` smallest ids'
+    subvectors (code = 0..codes-1 in id order), assignment is argmin
+    squared L2 on quantized longs with ties → smallest code, update is
+    the element-wise integer mean (``sum div count``), empty codes drop
+    — every step integer with pinned tie-breaks, so DuckDB replays the
+    trained codebook bit-for-bit (the ``ann_pq`` registry oracle does).
+
+    Returns the codebook as a sorted list of ``(sub, code, centroid)``
+    — driver-side small (m × codes × dim/m longs = dim × codes, same
+    O as one k-means centroid table) for reuse as plan literals.
+
+    100 TB plan: training is ``iters`` passes of ONE (sub, code, dim)
+    aggregation with map-side combine over the sub-exploded corpus —
+    never a shuffle of vectors by similarity; the codebook travels to
+    executors either as an Arrow-kernel closure (``impl='arrow'``, the
+    default — one matmul stage, no codegen blow-up) or as plan
+    literals (``impl='expr'``, the :func:`embed_kmeans` shape — kept
+    as the all-JVM arm and parity-pinned against the kernel)."""
+    if m < 1 or codes < 1:
+        raise ValueError(f"pq_train: m ({m}) and codes ({codes}) must be >= 1")
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"pq_train: impl must be 'arrow' or 'expr', got {impl!r}")
+    q = _spread(embeddings).select(
+        F.col(id_col), quantize(vec_col, scale).alias("_v")
+    )
+    seed = q.orderBy(F.col(id_col).asc()).limit(codes).collect()
+    if not seed:
+        raise ValueError("pq_train: empty embeddings frame")
+    dim = len(seed[0]["_v"]) if seed[0]["_v"] is not None else 0
+    if dim == 0 or dim % m != 0:
+        raise ValueError(
+            f"pq_train: vector dim ({dim}) must be a positive multiple "
+            f"of m ({m}) — pad or re-slice upstream explicitly"
+        )
+    subdim = dim // m
+    for r in seed:
+        v = r["_v"]
+        if v is None or len(v) != dim or any(x is None for x in v):
+            raise ValueError(
+                "pq_train: seed vectors must be same-length with no "
+                f"NULL elements; offending {id_col}={r[id_col]!r}"
+            )
+    q = _pq_guard_dim(q, dim, "pq_train").persist()
+    codebooks = [
+        (sub, i, list(r["_v"][sub * subdim:(sub + 1) * subdim]))
+        for sub in range(m)
+        for i, r in enumerate(seed)
+    ]
+    for _ in range(iters):
+        if impl == "arrow":
+            assigned = _pq_codes_arrow(q, codebooks, m, subdim, id_col,
+                                       carry_v=True)
+            exploded = assigned.select(
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(sub).alias("sub"),
+                        F.element_at("codes", sub + 1).alias("code"),
+                        _pq_slice(F.col("_v"), sub, subdim).alias("sv"),
+                    )
+                    for sub in range(m)
+                ])).alias("e"),
+            ).select("e.sub", "e.code", "e.sv")
+        else:
+            # per-sub argmin over that sub's codebook, built as ONE CASE
+            # chain so the whole assignment stays a single map-only
+            # projection over the exploded rows
+            spread = q.select(
+                F.col(id_col),
+                F.explode(F.array(*[
+                    F.struct(F.lit(sub).alias("sub"),
+                             _pq_slice(F.col("_v"), sub, subdim).alias("sv"))
+                    for sub in range(m)
+                ])).alias("e"),
+            ).select(id_col, "e.sub", "e.sv")
+            case = None
+            for sub in range(m):
+                sub_code = _pq_nearest_code(F.col("sv"), codebooks, sub)
+                case = F.when(F.col("sub") == sub, sub_code) if case is None \
+                    else case.when(F.col("sub") == sub, sub_code)
+            exploded = spread.withColumn("code", case)
+        rows = (
+            exploded
+            .select("sub", "code", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("mval", F.expr("s div n"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("dim", "mval"))).alias("dm"))
+            .select("sub", "code",
+                    F.transform("dm", lambda x: x["mval"]).alias("c"))
+            .collect()
+        )
+        codebooks = sorted((r["sub"], r["code"], list(r["c"])) for r in rows)
+    q.unpersist()
+    return codebooks
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Compress every vector to its ``m`` PQ codes — ``(id, codes
+    array<int>)``, the m-byte row a 100 TB vector store actually keeps
+    hot (the full-precision vectors stay in cold storage for optional
+    re-ranking). Map-only either way: ``impl='arrow'`` (default) is
+    one matmul kernel stage, ``impl='expr'`` the all-JVM literal
+    plan (parity-pinned); the scan never shuffles, and at the default
+    geometry the output is ~32× smaller than the input column."""
+    m, subdim = _pq_geometry(codebooks)
+    if impl not in ("arrow", "expr"):
+        raise ValueError(
+            f"pq_encode: impl must be 'arrow' or 'expr', got {impl!r}")
+    q = _pq_guard_dim(
+        _spread(embeddings).select(
+            F.col(id_col), quantize(vec_col, scale).alias("_v")
+        ),
+        m * subdim, "pq_encode",
+    )
+    if impl == "arrow":
+        return _pq_codes_arrow(q, codebooks, m, subdim, id_col)
+    return q.select(
+        F.col(id_col),
+        F.array(*[
+            _pq_nearest_code(_pq_slice(F.col("_v"), sub, subdim),
+                             codebooks, sub).cast("int")
+            for sub in range(m)
+        ]).alias("codes"),
+    )
+
+
+def _pq_geometry(codebooks: list) -> tuple:
+    """(m, subdim) from a codebook list, validated non-ragged."""
+    if not codebooks:
+        raise ValueError("empty PQ codebook")
+    subs = sorted({s for s, _, _ in codebooks})
+    m = len(subs)
+    if subs != list(range(m)):
+        raise ValueError(f"PQ codebook subspaces not contiguous: {subs}")
+    dims = {len(c) for _, _, c in codebooks}
+    if len(dims) != 1:
+        raise ValueError(f"ragged PQ codebook centroid dims: {sorted(dims)}")
+    return m, dims.pop()
+
+
+def pq_codebook_frame(spark, codebooks: list) -> DataFrame:
+    """The codebook as a small DataFrame ``(sub, code, centroid)`` —
+    the join-able form :func:`pq_adc_topk` builds its lookup tables
+    from (and the layout :func:`write_pq_index` persists)."""
+    return spark.createDataFrame(
+        [(int(s), int(c), [int(x) for x in v]) for s, c, v in codebooks],
+        "sub int, code int, centroid array<long>",
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    query_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation (the PQ
+    search half of Jégou et al. 2011): per query, a ``(sub, code) →
+    squared-L2`` lookup table against the EXACT query subvectors, then
+    every corpus row's distance is the m-term table sum over its codes
+    — never a full-precision vector scan. Output: ``(qid, id, d_adc,
+    rank)``, rank 1..k by distance ASC with id ASC tie-break (the
+    registry convention). All arithmetic is exact integer, so the
+    ``ann_pq`` oracle replays table build, lookup, and ranking.
+
+    100 TB plan: the LUT is queries × (m·codes) rows — broadcast-small
+    by construction; scoring is ONE broadcast join against the
+    sub-exploded codes (m rows per corpus vector, each m-bytes wide)
+    + ONE (qid, id) aggregation with map-side combine + a per-qid
+    top-k window on the k·|queries|-bounded candidate set. The
+    full-precision corpus is never read — that is the entire point of
+    PQ at scale."""
+    m, subdim = _pq_geometry(codebooks)
+    qs = queries.select(
+        F.col(query_id_col).alias("qid"),
+        quantize(vec_col, scale).alias("_qv"),
+    )
+    # LUT: one row per (qid, sub, code) — squared L2 between the exact
+    # query subvector and the centroid. The codebook is a driver-side
+    # list, so it travels as ONE literal struct array exploded per
+    # query — map-only, no join (a crossJoin here would plan as a
+    # BroadcastNestedLoopJoin the plan-audit test rightly rejects)
+    cb_lit = F.array(*[
+        F.struct(
+            F.lit(int(s)).alias("sub"),
+            F.lit(int(c)).alias("code"),
+            F.array(*[F.lit(int(x)).cast("long") for x in v])
+            .alias("centroid"),
+        )
+        for s, c, v in codebooks
+    ])
+    lut = (
+        qs.select("qid", "_qv", F.explode(cb_lit).alias("e"))
+        .select(
+            "qid", F.col("e.sub").alias("sub"), F.col("e.code").alias("code"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_qv"), F.col("e.sub") * subdim + 1, subdim),
+                    F.col("e.centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+        )
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("id"), F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("d").alias("d_adc"), F.count(F.lit(1)).alias("_n"))
+    )
+    # a corpus row missing a (sub, code) from the LUT can only happen on
+    # geometry drift between codes and codebook — surface it, never rank
+    # a partial sum
+    scored = scored.select(
+        "qid", "id",
+        F.when(F.col("_n") == m, F.col("d_adc")).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"pq_adc_topk: expected {m} code terms, got "),
+                F.col("_n").cast("string"),
+                F.lit(" — codes/codebook geometry drift"),
+            ))
+        ).alias("d_adc"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("qid") != F.col("id"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("d_adc").asc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "id", "d_adc", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+#: format marker for persisted PQ indexes
+PQ_INDEX_FORMAT = "dataproc-pq-index-v1"
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> dict:
+    """Train PQ codebooks and persist codebooks + the ENCODED corpus —
+    so ANN queries across jobs scan m-byte code rows instead of
+    re-reading (or re-encoding) full-precision vectors; the
+    ``write_ivf_index`` story for the compressed-domain path. Layout
+    under ``path``:
+
+    * ``codes/``     — (id, codes array<int>): the compressed corpus,
+      the only large output (~m bytes a row);
+    * ``codebooks/`` — (sub, code, centroid array<long>): exact
+      integer centroids, so reload replays bit-identically;
+    * ``meta/``      — one row: format marker, geometry (m, subdim,
+      codes), scale, id column.
+
+    Returns the meta dict."""
+    cb = pq_train(embeddings, m=m, codes=codes, iters=iters,
+                  id_col=id_col, vec_col=vec_col, scale=scale)
+    _, subdim = _pq_geometry(cb)
+    spark = embeddings.sparkSession
+    pq_encode(embeddings, cb, id_col=id_col, vec_col=vec_col,
+              scale=scale).write.mode("overwrite").parquet(f"{path}/codes")
+    pq_codebook_frame(spark, cb).coalesce(1).write.mode(
+        "overwrite").parquet(f"{path}/codebooks")
+    meta = {
+        "format": PQ_INDEX_FORMAT,
+        "m": int(m),
+        "subdim": int(subdim),
+        "codes": int(codes),
+        "scale": int(scale),
+        "id_col": str(id_col),
+    }
+    spark.createDataFrame(
+        [tuple(meta.values())],
+        "format string, m long, subdim long, codes long, scale long, "
+        "id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return meta
+
+
+def read_pq_index(spark, path: str):
+    """Load a persisted PQ index: ``(codes df, codebooks list, meta
+    dict)`` — :func:`write_pq_index`'s inverse. Raises on a format
+    mismatch (an IVF or NB artifact at the path would half-load)."""
+    meta = spark.read.parquet(f"{path}/meta").first().asDict()
+    if meta.get("format") != PQ_INDEX_FORMAT:
+        raise ValueError(
+            f"read_pq_index: {path!r} holds format "
+            f"{meta.get('format')!r}, expected {PQ_INDEX_FORMAT!r}"
+        )
+    cb = sorted(
+        (int(r["sub"]), int(r["code"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/codebooks").collect()
+    )
+    return spark.read.parquet(f"{path}/codes"), cb, meta
+
+
+def pq_index_topk(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    query_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC top-k THROUGH a persisted index — geometry and scale come
+    from its meta (a query quantized under a different scale silently
+    garbage-ranks, the same trust-the-artifact rule as
+    ``score_with_nb_model``)."""
+    spark = queries.sparkSession
+    codes, cb, meta = read_pq_index(spark, path)
+    return pq_adc_topk(
+        queries, codes, cb, k=k, query_id_col=query_id_col,
+        vec_col=vec_col, id_col=meta["id_col"],
+        scale=int(meta["scale"]), exclude_self=exclude_self,
+    )

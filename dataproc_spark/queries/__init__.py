@@ -322,6 +322,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "image_dedup_256": (q_image_dedup_256, SQL_IMAGE_DEDUP_256),
     "warc_revisit_write": (q_warc_revisit_write, SQL_WARC_REVISIT_WRITE),
     "nb_model_roundtrip": (q_nb_model_roundtrip, SQL_NB_MODEL_ROUNDTRIP),
+    # -- late-r15 wave: PQ compression/search, incremental near-dup index,
+    # -- corpus drift ---------------------------------------------------------
+    "ann_pq": (q_ann_pq, SQL_ANN_PQ),
+    "incremental_near_dup": (
+        q_incremental_near_dup, SQL_INCREMENTAL_NEAR_DUP,
+    ),
+    "corpus_drift": (q_corpus_drift, SQL_CORPUS_DRIFT),
+    "pq_index_roundtrip": (q_pq_index_roundtrip, SQL_PQ_INDEX_ROUNDTRIP),
 }
 
 

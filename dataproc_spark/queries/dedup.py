@@ -1299,3 +1299,86 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 15
 
 
 SQL_IMAGE_DEDUP_256 = _scale_ppm_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# r15 late wave: incremental near-dup against a persisted MinHash index
+# --------------------------------------------------------------------------
+
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup of an ingestion batch against a PERSISTED signature
+    index (``dedup.write_minhash_index`` → ``incremental_near_dup``):
+    the corpus slice ``doc_id % 3 != 0`` is indexed once to scratch
+    (signatures only — 16 portable md5 mins per doc, no bodies), then
+    the ``% 3 == 0`` batch is signed under the index's pinned meta
+    parameters, band-joined (4 bands × 4 rows) against the stored
+    side, and candidates scored by the MinHash estimate ``matching
+    positions × 1000 div 16`` ≥ 250. The oracle recomputes BOTH sides'
+    signatures from the documents table with the same md5 family
+    (the ``dedup_minhash_portable`` replay), rebuilds the band join
+    new-vs-old, and the estimate — so what's on the hash is exactly
+    what the index path must preserve through parquet. Plan: the old
+    corpus contributes fixed-width signature rows read from the index
+    (bodies never touched — the whole point); ONE banded equi-join +
+    ONE id join per side for the estimate. Scratch removed before
+    returning."""
+    import shutil
+    import tempfile
+
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="mhidx_")
+    try:
+        dedup.write_minhash_index(
+            docs.where(F.col("doc_id") % 3 != 0), path,
+            num_hashes=16, shingle_size=3, bands=4, portable=True,
+        )
+        out = dedup.incremental_near_dup(
+            docs.where(F.col("doc_id") % 3 == 0), path, threshold_m=250,
+        )
+    except BaseException:
+        shutil.rmtree(path, ignore_errors=True)
+        raise
+    return _materialize_and_clean(out, path)
+
+
+SQL_INCREMENTAL_NEAR_DUP = rf"""
+WITH {_TOKS_CTE},
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+    FROM toks WHERE len(t) >= 3
+),
+sig AS (
+    SELECT doc_id,
+           list_transform(range(0, 16),
+               i -> list_aggregate(
+                   list_transform(s, x -> md5(x || '#' || i)), 'min')) AS sg
+    FROM sh
+),
+banded AS (
+    SELECT doc_id, b.band AS band,
+           md5(array_to_string(
+               list_slice(sg, b.band * 4 + 1, b.band * 4 + 4), '|')) AS bhash
+    FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+    FROM banded n JOIN banded o
+      ON n.band = o.band AND n.bhash = o.bhash
+    WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+      AND n.doc_id <> o.doc_id
+),
+est AS (
+    SELECT c.new_id, c.old_id,
+           (len(list_filter(range(1, 17),
+                i -> sa.sg[i] = sb.sg[i])) * 1000) // 16 AS est_jaccard_m
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.new_id
+    JOIN sig sb ON sb.doc_id = c.old_id
+)
+SELECT new_id, old_id, CAST(est_jaccard_m AS BIGINT) AS est_jaccard_m
+FROM est WHERE est_jaccard_m >= 250
+"""

@@ -840,3 +840,154 @@ JOIN a3 ON a3.vec_id = e.vec_id
 LEFT JOIN losers ON e.vec_id = losers.node
 WHERE losers.node IS NULL
 """
+
+
+# --------------------------------------------------------------------------
+# r15: Product Quantization — train codebooks, encode, ADC search
+# --------------------------------------------------------------------------
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN end-to-end (``simsearch.pq_train`` →
+    ``pq_encode`` → ``pq_adc_topk``): train m=8 sub-codebooks of 16
+    codes (2 integer Lloyd iterations per subspace, init = the 16
+    smallest vec_ids' subvectors), compress every vector to 8 codes,
+    and answer the standard query set (vec_id % 100 == 0) by
+    Asymmetric Distance Computation — per-query (sub, code) → squared
+    L2 lookup tables, distance = the 8-term table sum, top-5 by
+    distance ASC / id ASC. Every step is exact integer with pinned
+    tie-breaks, so the oracle replays training, encoding, table build,
+    and ranking bit-for-bit. Plan: training is 2 × ONE (sub, code,
+    dim) agg; encoding map-only; search ONE broadcast-LUT join + ONE
+    (qid, id) agg + partial top-k — the compressed-domain scan that
+    makes a 100 TB vector corpus answerable without touching
+    full-precision vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = simsearch.pq_train(emb, m=8, codes=16, iters=2)
+    codes = simsearch.pq_encode(emb, cb)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return simsearch.pq_adc_topk(queries, codes, cb, k=5).select(
+        "qid", F.col("id").alias("vec_id"), "d_adc", "rank"
+    )
+
+
+SQL_ANN_PQ = """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub),
+sv AS (
+    SELECT vec_id, sub, list_slice(v, sub * 8 + 1, sub * 8 + 8) AS s
+    FROM q, subs
+),
+c0 AS (
+    SELECT sub,
+           CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                AS INT) AS code,
+           s AS c
+    FROM sv
+    WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 16)
+),
+d1 AS (
+    SELECT s.vec_id, s.sub, s.s, c.code,
+           list_aggregate(list_transform(range(1, 9),
+               i -> (s.s[i] - c.c[i]) * (s.s[i] - c.c[i])), 'sum') AS dist
+    FROM sv s JOIN c0 c ON c.sub = s.sub
+),
+a1 AS (
+    SELECT vec_id, sub, s, code
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY dist, code) AS rn FROM d1)
+    WHERE rn = 1
+),
+c1 AS (
+    SELECT sub, code, list(m ORDER BY dim) AS c
+    FROM (
+        SELECT sub, code, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+        FROM (SELECT sub, code, generate_subscripts(s, 1) AS dim,
+                     unnest(s) AS val FROM a1)
+        GROUP BY sub, code, dim
+    ) GROUP BY sub, code
+),
+d2 AS (
+    SELECT s.vec_id, s.sub, s.s, c.code,
+           list_aggregate(list_transform(range(1, 9),
+               i -> (s.s[i] - c.c[i]) * (s.s[i] - c.c[i])), 'sum') AS dist
+    FROM sv s JOIN c1 c ON c.sub = s.sub
+),
+a2 AS (
+    SELECT vec_id, sub, s, code
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY dist, code) AS rn FROM d2)
+    WHERE rn = 1
+),
+c2 AS (
+    SELECT sub, code, list(m ORDER BY dim) AS c
+    FROM (
+        SELECT sub, code, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+        FROM (SELECT sub, code, generate_subscripts(s, 1) AS dim,
+                     unnest(s) AS val FROM a2)
+        GROUP BY sub, code, dim
+    ) GROUP BY sub, code
+),
+enc AS (
+    SELECT vec_id, sub, code
+    FROM (SELECT s.vec_id, s.sub, c.code,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                     ORDER BY list_aggregate(list_transform(range(1, 9),
+                         i -> (s.s[i] - c.c[i]) * (s.s[i] - c.c[i])),
+                         'sum'), c.code) AS rn
+          FROM sv s JOIN c2 c ON c.sub = s.sub)
+    WHERE rn = 1
+),
+qd AS (SELECT vec_id AS qid, sub, s FROM sv WHERE vec_id % 100 = 0),
+lut AS (
+    SELECT qd.qid, c.sub, c.code,
+           list_aggregate(list_transform(range(1, 9),
+               i -> (qd.s[i] - c.c[i]) * (qd.s[i] - c.c[i])), 'sum') AS d
+    FROM qd JOIN c2 c ON c.sub = qd.sub
+),
+scored AS (
+    SELECT l.qid, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS d_adc
+    FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+    WHERE e.vec_id <> l.qid
+    GROUP BY l.qid, e.vec_id
+)
+SELECT qid, vec_id, d_adc, CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY d_adc ASC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_pq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index persistence roundtrip (``simsearch.write_pq_index`` /
+    ``read_pq_index`` / ``pq_index_topk``): train the same 8×16
+    codebooks as ``ann_pq``, persist codebooks + the encoded corpus,
+    reload, and answer the standard query set THROUGH the index with
+    geometry/scale taken from its meta. Output is bit-identical to the
+    in-session ``ann_pq``, so the oracle is the same replayed SQL —
+    any serialization loss (code row drift, centroid truncation, meta
+    mismatch) hash-fails. Scratch index removed before returning."""
+    import shutil
+    import tempfile
+
+    from dataproc_spark.queries.diagnostics import _materialize_and_clean
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="pqidx_")
+    try:
+        simsearch.write_pq_index(emb, out, m=8, codes=16, iters=2)
+        res = simsearch.pq_index_topk(
+            emb.where(F.col("vec_id") % 100 == 0), out, k=5,
+        ).select("qid", F.col("id").alias("vec_id"), "d_adc", "rank")
+    except BaseException:
+        shutil.rmtree(out, ignore_errors=True)
+        raise
+    return _materialize_and_clean(res, out)
+
+
+SQL_PQ_INDEX_ROUNDTRIP = SQL_ANN_PQ

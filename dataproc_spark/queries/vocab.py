@@ -964,3 +964,69 @@ def q_nb_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: persistence must be lossless, so the oracle IS the in-session one
 SQL_NB_MODEL_ROUNDTRIP = SQL_NB_TRAIN_SCORE
+
+
+# --------------------------------------------------------------------------
+# r15 late wave: corpus drift (per-token JSD contributions)
+# --------------------------------------------------------------------------
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift report (``corpus.token_drift``): the English
+    slice vs the rest of the corpus as two "snapshots", per-token
+    Jensen–Shannon contributions in exact ppm·Q integer units (the
+    Mitchell fixed-point log2 again — training, scoring, and now
+    drift all share one replayable log), top 40 by contribution.
+    Language split so the drift signal is real (disjoint vocab
+    dominates the top). The oracle replays counts → ppm shares →
+    Q-difference terms → ranking. Plan: two map-side-combined token
+    aggregates + ONE full-outer join + broadcast totals + partial
+    top-k; documents scanned once per side."""
+    from dataproc_spark.extensions import corpus as corpusx
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpusx.token_drift(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        top_k=40,
+    )
+
+
+def _sql_drift_term(own: str, other: str) -> str:
+    q2 = _sql_q(f"(2 * {own})")
+    qm = _sql_q(f"({own} + {other})")
+    return f"CASE WHEN {own} > 0 THEN {own} * ({q2} - {qm}) ELSE 0 END"
+
+
+SQL_CORPUS_DRIFT = rf"""
+WITH ca AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS a_cnt
+    FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS token
+          FROM documents WHERE lang = 'en')
+    GROUP BY token
+),
+cb AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS b_cnt
+    FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS token
+          FROM documents WHERE lang <> 'en')
+    GROUP BY token
+),
+tot AS (
+    SELECT (SELECT SUM(a_cnt) FROM ca) AS ta,
+           (SELECT SUM(b_cnt) FROM cb) AS tb
+),
+j AS (
+    SELECT COALESCE(ca.token, cb.token) AS token,
+           COALESCE(a_cnt, 0) AS a_cnt, COALESCE(b_cnt, 0) AS b_cnt,
+           (COALESCE(a_cnt, 0) * 1000000) // tot.ta AS p_ppm,
+           (COALESCE(b_cnt, 0) * 1000000) // tot.tb AS q_ppm
+    FROM ca FULL OUTER JOIN cb ON ca.token = cb.token, tot
+)
+SELECT token, a_cnt, b_cnt, p_ppm, q_ppm,
+       CAST(({_sql_drift_term('p_ppm', 'q_ppm')})
+            + ({_sql_drift_term('q_ppm', 'p_ppm')}) AS BIGINT) AS contrib_q
+FROM j
+ORDER BY contrib_q DESC, token ASC
+LIMIT 40
+"""

@@ -718,6 +718,77 @@ def test_embed_kmeans_drops_empty_clusters(spark):
     assert len(out) == 4
 
 
+def test_pq_train_encode_known_geometry(spark):
+    """r15 PQ: on two dims split into m=2 subspaces with well-separated
+    values per subspace, the trained codebook converges to the exact
+    integer means and every vector encodes to its subspace blob; the
+    arrow and expr paths agree bit-for-bit (the parity pin for the
+    production matmul kernel)."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import simsearch
+
+    # sub 0 (dim 0): blob around 0 for ids 0-2, around 10 for ids 3-5
+    # sub 1 (dim 1): blob around 0 for even ids, around 6 for odd
+    rows = [(i, [float(10 if i >= 3 else 0) + (0.001 * i),
+                 float(6 if i % 2 else 0)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb_a = simsearch.pq_train(df, m=2, codes=2, iters=2)
+    cb_e = simsearch.pq_train(df, m=2, codes=2, iters=2, impl="expr")
+    assert cb_a == cb_e
+    # sub 0: codes from seeds (ids 0, 1) — both near 0, so one empties
+    # unless the far blob recaptures; sub 1: seeds 0 (even, 0) and
+    # 1 (odd, 6000) — exact integer means
+    by_sub = {}
+    for s, c, v in cb_a:
+        by_sub.setdefault(s, {})[c] = v
+    assert by_sub[1][0] == [0] and by_sub[1][1] == [6000]
+    codes_a = {r.vec_id: list(r.codes)
+               for r in simsearch.pq_encode(df, cb_a).collect()}
+    codes_e = {r.vec_id: list(r.codes)
+               for r in simsearch.pq_encode(df, cb_a, impl="expr").collect()}
+    assert codes_a == codes_e
+    assert all(codes_a[i][1] == (1 if i % 2 else 0) for i in range(6))
+    # geometry violations raise, never mis-slice
+    with _pytest.raises(ValueError, match="multiple"):
+        simsearch.pq_train(df, m=3, codes=2)
+    with _pytest.raises(ValueError, match="impl"):
+        simsearch.pq_train(df, m=2, codes=2, impl="sneaky")
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(Exception, match="pq_encode: expected 2-dim"):
+        simsearch.pq_encode(bad, cb_a).collect()
+
+
+def test_pq_adc_topk_exact_on_centroids(spark):
+    """r15 ADC: vectors sitting exactly ON distinct codebook centroids
+    have ADC distance equal to the true squared L2 between centroid
+    tuples — verified against a hand computation, with rank tie-break
+    id ASC and exclude_self honored."""
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions import simsearch
+
+    # 4 vectors in 2 dims, m=2/codes=2: ids 0,1 define the seeds
+    rows = [(0, [0.0, 0.0]), (1, [4.0, 2.0]), (2, [0.0, 2.0]),
+            (3, [4.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = simsearch.pq_train(df, m=2, codes=2, iters=2)
+    codes = simsearch.pq_encode(df, cb)
+    q = df.where(F.col("vec_id") == 0)
+    got = {(r.qid, r.id): (r.d_adc, r.rank)
+           for r in simsearch.pq_adc_topk(q, codes, cb, k=4).collect()}
+    # centroids: sub0 {0, 4000}, sub1 {0, 2000}; vec 2 -> (0, 2000):
+    # d = 2000^2; vec 3 -> (4000, 0): d = 4000^2; vec 1 -> both far
+    assert got[(0, 2)] == (2000 * 2000, 1)
+    assert got[(0, 3)] == (4000 * 4000, 2)
+    assert got[(0, 1)] == (4000 * 4000 + 2000 * 2000, 3)
+    assert (0, 0) not in got  # exclude_self
+    both = simsearch.pq_adc_topk(q, codes, cb, k=4, exclude_self=False)
+    assert {(r.qid, r.id) for r in both.collect()} == {
+        (0, 0), (0, 1), (0, 2), (0, 3)}
+
+
 def test_resize_image_stats_known_upsample(spark):
     """2x1 RGB image upsampled to 4x2 by NN: each source pixel repeats
     2x2, so the sum is exactly 4x the original and min/max are
@@ -4414,6 +4485,59 @@ def test_classify_hashed_linear_scorer(spark):
     assert xx[(1, "a")] == 5 and len(xx) == 8
 
 
+def test_classify_hash_fn_parity(spark):
+    """r15 (r14 advice item 6): the xxhash64 production path and the
+    oracle-portable md5 default must agree END-TO-END under a model
+    trained and exported for EACH hash — identical (doc, label) keys,
+    identical n_feats, identical scores, identical argmax. Scores (not
+    just argmax) are comparable because the NB dot depends only on
+    per-gram counts while the hashed vocabulary is collision-free —
+    pinned here with n_buckets=2^30 over a few-hundred-gram fixture —
+    so the fast path cannot silently drift from the one DuckDB
+    replays."""
+    from dataproc_spark.extensions import classify
+
+    rows = []
+    for i in range(120):
+        lab = ("spam", "ham", "eggs")[i % 3]
+        words = [f"w{(i * 7 + j) % 23}" for j in range(5)] + [lab] * (1 + i % 3)
+        rows.append((i, lab, " ".join(words)))
+    train = spark.createDataFrame(
+        rows, "doc_id long, label string, text string")
+    held = spark.createDataFrame(
+        [(i, f"{('spam', 'ham', 'eggs')[i % 3]} "
+             + " ".join(f"w{(i * 5 + j) % 23}" for j in range(4)))
+         for i in range(40)],
+        "doc_id long, text string")
+
+    N = 1 << 30
+    out = {}
+    for hf in ("md5", "xxhash64"):
+        w_plan, b, p = classify.train_nb_weights(
+            train, n_buckets=N, hash_fn=hf)
+        # export-shaped materialization, as a pipeline would persist it
+        weights = spark.createDataFrame(
+            w_plan.collect(), "label string, bucket long, w long")
+        scores = classify.score_documents(
+            held, weights, n_buckets=N, bias=b, intercept=p,
+            labels=sorted(b), hash_fn=hf)
+        out[hf] = (
+            {(r.doc_id, r.label): (r.n_feats, r.score)
+             for r in scores.collect()},
+            {r.doc_id: r.label
+             for r in classify.predict_label(scores).collect()},
+        )
+    md5_scores, md5_pred = out["md5"]
+    xx_scores, xx_pred = out["xxhash64"]
+    assert set(md5_scores) == set(xx_scores)  # row count + key parity
+    assert md5_scores == xx_scores            # n_feats AND exact dots
+    assert md5_pred == xx_pred                # argmax stability
+    # not vacuous: the model actually separates the classes
+    assert {md5_pred[i] for i in range(40)} == {"spam", "ham", "eggs"}
+    assert all(md5_pred[i] == ("spam", "ham", "eggs")[i % 3]
+               for i in range(40))
+
+
 def test_classify_fasttext_seam():
     """The real-model seam raises ImportError eagerly when fasttext is
     absent (this container), pointing at the engine-half substitute."""
@@ -5894,3 +6018,147 @@ def test_robots_sitemaps(spark):
     plan = (robots.select(webx.robots_sitemaps("robots_txt").alias("s"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_minhash_index_roundtrip_and_probe(spark, tmp_path):
+    """r15 incremental near-dup: the persisted signature index finds an
+    exact duplicate (est 1000) and a near-duplicate of an indexed doc,
+    ignores unrelated and sub-shingle-length batch docs, drops
+    equal-id pairs, and refuses foreign formats / bad band geometry."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import dedup
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    old = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark plans"),
+         (3, "short one")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    meta = dedup.write_minhash_index(
+        old, path, num_hashes=16, shingle_size=3, bands=4, portable=True)
+    assert meta["format"] == dedup.MINHASH_INDEX_FORMAT
+    new = spark.createDataFrame(
+        [(10, base),                       # exact dup of 1
+         (11, base + " again"),            # near dup of 1
+         (12, "nothing in common with anything here at all"),
+         (13, "too short"),                # < shingle window: no sig
+         (1, base)],                       # equal id: dropped
+        "doc_id long, text string",
+    )
+    got = {(r.new_id, r.old_id): r.est_jaccard_m
+           for r in dedup.incremental_near_dup(
+               new, path, threshold_m=250).collect()}
+    assert got[(10, 1)] == 1000
+    assert (11, 1) in got and 250 <= got[(11, 1)] < 1000
+    assert (1, 1) not in got
+    assert not any(n in (12, 13) for n, _ in got)
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.write_minhash_index(old, str(tmp_path / "bad"),
+                                  num_hashes=16, bands=5)
+    # foreign format marker refuses to half-load
+    from dataproc_spark.extensions import classify
+    other = str(tmp_path / "nb")
+    classify.write_nb_model(
+        spark.createDataFrame([], "label string, bucket long, w long"),
+        {"a": 0}, {"a": 0}, other)
+    with _pytest.raises(Exception, match="format"):
+        dedup.incremental_near_dup(new, other)
+
+
+def test_token_drift_known_values(spark):
+    """r15 corpus drift: hand-computed ppm shares and Q-term
+    contributions on a two-token fixture; disjoint tokens dominate,
+    ordering is contrib DESC / token ASC, and an empty side raises."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import corpus
+
+    a = spark.createDataFrame([("x x y",)], "text string")
+    b = spark.createDataFrame([("x z z z",)], "text string")
+    rows = {r.token: r for r in corpus.token_drift(a, b, top_k=10).collect()}
+
+    def q(c):  # the Mitchell fixed-point log2, scale 4096
+        e = c.bit_length() - 1
+        return 4096 * e + ((c - (1 << e)) * 4096) // (1 << e)
+
+    def term(p, qq):
+        return p * (q(2 * p) - q(p + qq)) if p > 0 else 0
+
+    # a: x=2/3, y=1/3 of 3 tokens; b: x=1/4, z=3/4 of 4 tokens
+    exp = {
+        "x": (2, 1, 666666, 250000),
+        "y": (1, 0, 333333, 0),
+        "z": (0, 3, 0, 750000),
+    }
+    for tok, (ac, bc, p, qq) in exp.items():
+        r = rows[tok]
+        assert (r.a_cnt, r.b_cnt, r.p_ppm, r.q_ppm) == (ac, bc, p, qq)
+        assert r.contrib_q == term(p, qq) + term(qq, p)
+    # disjoint-vocab tokens out-drift the shared one; tie-break ASC
+    ordered = [r.token for r in sorted(
+        rows.values(), key=lambda r: (-r.contrib_q, r.token))]
+    assert ordered.index("x") == 2  # z (0.75 disjoint) > y > x (shared)
+    with _pytest.raises(ValueError, match="top_k"):
+        corpus.token_drift(a, b, top_k=0)
+    empty = spark.createDataFrame([], "text string")
+    with _pytest.raises(Exception, match="no tokens"):
+        corpus.token_drift(a, empty).collect()
+
+
+def test_kmeans_assign_arrow_parity(spark, monkeypatch):
+    """r15: the Arrow matmul assignment (large-k path behind
+    _KMEANS_ARROW_THRESHOLD) is bit-identical to the literal
+    expression plan — same clusters, same schema, same tie-breaks
+    (duplicate seed vectors tie every point between cid 0 and 1;
+    both paths must pick 0)."""
+    from dataproc_spark.extensions import simsearch
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 11)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = simsearch.embed_kmeans(df, k=4, iters=2)
+    base_rows = sorted((r.vec_id, r.cluster) for r in base.collect())
+    monkeypatch.setattr(simsearch, "_KMEANS_ARROW_THRESHOLD", 0)
+    arrow = simsearch.embed_kmeans(df, k=4, iters=2)
+    assert arrow.schema == base.schema
+    assert sorted((r.vec_id, r.cluster) for r in arrow.collect()) \
+        == base_rows
+    # the tie fixture from test_embed_kmeans_drops_empty_clusters
+    tie = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0]),
+         (3, [2.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = simsearch.embed_kmeans(tie, k=2, iters=2).toPandas()
+    assert set(out.cluster) == {0} and len(out) == 4
+
+
+def test_pq_index_format_guard(spark, tmp_path):
+    """r15: a PQ index refuses to load foreign artifacts, and
+    pq_index_topk equals the in-session ADC search."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions import classify, simsearch
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 11)])
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "pq")
+    meta = simsearch.write_pq_index(df, path, m=2, codes=2, iters=1)
+    assert meta["format"] == simsearch.PQ_INDEX_FORMAT
+    q = df.where(F.col("vec_id") < 2)
+    via_index = {(r.qid, r.id): (r.d_adc, r.rank)
+                 for r in simsearch.pq_index_topk(q, path, k=3).collect()}
+    cb = simsearch.pq_train(df, m=2, codes=2, iters=1)
+    direct = {(r.qid, r.id): (r.d_adc, r.rank)
+              for r in simsearch.pq_adc_topk(
+                  q, simsearch.pq_encode(df, cb), cb, k=3).collect()}
+    assert via_index == direct and len(via_index) == 6
+    other = str(tmp_path / "nb")
+    classify.write_nb_model(
+        spark.createDataFrame([], "label string, bucket long, w long"),
+        {"a": 0}, {"a": 0}, other)
+    with _pytest.raises(ValueError, match="format"):
+        simsearch.read_pq_index(spark, other)

@@ -116,6 +116,10 @@ _NESTED_LOOP_OK = {
     # same mixture machinery, partitioned by predicted language
     # (cardinality ~5) instead of domain
     "lang_mixture",
+    # r15: 1-row broadcast of the two snapshot token totals onto the
+    # per-token drift report — the domain_mixture scalar-denominator
+    # shape (both sides' totals in ONE broadcast row)
+    "corpus_drift",
 }
 
 
