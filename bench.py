@@ -152,10 +152,13 @@ EXTENDED_QUERIES = [
     "image_dedup_256",
     "warc_revisit_write",
     # late-r15 families: PQ compressed-domain ANN, the persisted
-    # minhash index probe, token-distribution drift
+    # minhash index probe, token-distribution drift, IVFPQ residual
+    # search + the PQ recall honesty metric
     "ann_pq",
     "incremental_near_dup",
     "corpus_drift",
+    "ann_ivfpq",
+    "pq_recall",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

@@ -77,6 +77,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     scale: int = 1000,
     exclude_self: bool = True,
+    metric: str = "dot",
 ) -> DataFrame:
     """Exact top-k by quantized dot product: broadcast queries × full scan.
 
@@ -89,7 +90,14 @@ def brute_force_topk(
     query id — right when queries are drawn FROM the corpus (the gates'
     shape). Pass ``False`` when query and corpus id spaces are unrelated,
     or an unlucky id collision silently hides a true neighbor.
+
+    ``metric``: ``"dot"`` (default — quantized dot DESC, the similarity
+    convention) or ``"l2"`` (squared L2 ASC — the ground truth the PQ
+    family's ADC distances are measured against in ``pq_recall``).
     """
+    if metric not in ("dot", "l2"):
+        raise ValueError(
+            f"brute_force_topk: metric must be 'dot' or 'l2', got {metric!r}")
     q = queries.select(
         F.col(id_col).alias("qid"), quantize(vec_col, scale).alias("_qv")
     )
@@ -101,6 +109,19 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(q))
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col("qid"))
+    if metric == "l2":
+        d = F.aggregate(
+            F.zip_with("_qv", "_cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, v: acc + v,
+        )
+        scored = scored.withColumn("d_l2", d)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("d_l2").asc(), F.col(id_col).asc())
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("qid", id_col, "d_l2", "rnk")
+        )
     scored = scored.withColumn("dot_q", dot_q("_qv", "_cv"))
     w = Window.partitionBy("qid").orderBy(F.col("dot_q").desc(), F.col(id_col).asc())
     return (
@@ -1670,3 +1691,182 @@ def pq_index_topk(
         vec_col=vec_col, id_col=meta["id_col"],
         scale=int(meta["scale"]), exclude_self=exclude_self,
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cells: int = 8,
+    cell_iters: int = 2,
+    n_probe: int = 2,
+    m: int = 8,
+    codes: int = 16,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF + PQ over RESIDUALS — the composition that actually runs at
+    100 TB (Jégou et al. 2011 §IV, the FAISS IVFPQ design): a coarse
+    quantizer (:func:`embed_kmeans` cells) prunes the corpus to
+    ``n_probe`` cells per query, and within cells the search scans
+    PQ codes of the residual ``vector − cell centroid`` (residuals
+    concentrate near 0, so the same code budget quantizes them much
+    finer than raw vectors — the reason IVFPQ beats IVF-then-PQ-on-raw
+    at equal bytes). Every stage is the module's exact-integer
+    machinery with pinned tie-breaks, so DuckDB replays coarse
+    training, residuals, sub-codebooks, encoding, probing, ADC, and
+    ranking bit-for-bit (the ``ann_ivfpq`` registry oracle).
+
+    Returns ``(qid, id, d_adc, rank)`` — rank 1..k by ADC distance ASC
+    / id ASC over the probed cells' candidates; the distance is the
+    residual-space squared L2 (query residual vs candidate's quantized
+    residual), per-cell comparable because both sides share the
+    query's probed-cell centroid.
+
+    100 TB plan: coarse assignment and residual encoding are the same
+    map-only / Arrow stages as their building blocks; the corpus-side
+    state is (id, cell, m codes) — the classic few-bytes-per-vector
+    hot set; per query only ``n_probe`` cells' code rows join (an
+    equi-join on the cell id, never a scan), each with a broadcast
+    per-(query, cell) lookup table. Probing and ADC add ONE exchange
+    each beyond the bucketed-join shape of :func:`bucketed_topk`."""
+    from dataproc_spark.core import release_cache_on_gc
+
+    cell_of = embed_kmeans(
+        embeddings, k=cells, iters=cell_iters, id_col=id_col,
+        vec_col=vec_col, scale=scale,
+    )
+    # centroids recomputed exactly as embed_kmeans' final update would:
+    # integer mean per (cluster, dim) over the final assignment
+    q = _spread(embeddings).select(
+        F.col(id_col), quantize(vec_col, scale).alias("_v")
+    ).join(cell_of, id_col).persist()
+    cent_rows = (
+        q.select("cluster", F.posexplode("_v").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("m", F.expr("s div n"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("cluster", F.transform("dm", lambda x: x["m"]).alias("c"))
+        .collect()
+    )
+    centroids = sorted((int(r["cluster"]), list(r["c"])) for r in cent_rows)
+    cent_lit = {cid: F.array(*[F.lit(int(x)).cast("long") for x in c])
+                for cid, c in centroids}
+
+    def centroid_for(cluster_col: F.Column) -> F.Column:
+        expr = None
+        for cid, lit in cent_lit.items():
+            expr = F.when(cluster_col == cid, lit) if expr is None \
+                else expr.when(cluster_col == cid, lit)
+        return expr
+
+    # residuals: vector - assigned cell centroid (map-only)
+    resid = q.select(
+        F.col(id_col), F.col("cluster"),
+        F.zip_with("_v", centroid_for(F.col("cluster")),
+                   lambda x, y: x - y).alias("_r"),
+    )
+    # PQ on residuals: train + encode via the existing machinery over a
+    # synthetic "embedding" float view is wrong (residuals are already
+    # quantized longs) — train directly on the long vectors with
+    # scale=1, which makes quantize() a no-op cast
+    as_float_free = resid.select(
+        F.col(id_col), F.col("cluster"), F.col("_r").alias("embedding")
+    )
+    cb = pq_train(as_float_free, m=m, codes=codes, iters=pq_iters,
+                  id_col=id_col, vec_col="embedding", scale=1)
+    enc = pq_encode(as_float_free, cb, id_col=id_col,
+                    vec_col="embedding", scale=1)
+    corpus_codes = enc.join(
+        resid.select(id_col, "cluster"), id_col
+    )
+
+    # query side: probe the n_probe nearest cells by exact centroid
+    # distance (ties -> smaller cell id), then build the residual LUT
+    # per (query, probed cell)
+    qs = queries.select(
+        F.col(id_col).alias("qid"), quantize(vec_col, scale).alias("_qv")
+    )
+    cell_cands = []
+    for cid, lit in cent_lit.items():
+        d = F.aggregate(
+            F.zip_with("_qv", lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, v: acc + v,
+        )
+        cell_cands.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    probed = (
+        qs.select(
+            "qid", "_qv",
+            F.slice(F.array_sort(F.array(*cell_cands)), 1, n_probe)
+            .alias("_cells"),
+        )
+        .select("qid", "_qv", F.explode("_cells").alias("pc"))
+        .select("qid", "_qv", F.col("pc.cid").alias("cluster"))
+    )
+    # query residual per probed cell, then the (sub, code) LUT exactly
+    # as pq_adc_topk builds it — exploded from the literal codebook
+    _, subdim = _pq_geometry(cb)
+    cb_lit = F.array(*[
+        F.struct(
+            F.lit(int(s)).alias("sub"),
+            F.lit(int(c)).alias("code"),
+            F.array(*[F.lit(int(x)).cast("long") for x in v])
+            .alias("centroid"),
+        )
+        for s, c, v in cb
+    ])
+    lut = (
+        probed.select(
+            "qid", "cluster",
+            F.zip_with("_qv", centroid_for(F.col("cluster")),
+                       lambda x, y: x - y).alias("_qr"),
+        )
+        .select("qid", "cluster", "_qr", F.explode(cb_lit).alias("e"))
+        .select(
+            "qid", "cluster",
+            F.col("e.sub").alias("sub"), F.col("e.code").alias("code"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_qr"), F.col("e.sub") * subdim + 1,
+                            subdim),
+                    F.col("e.centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"), lambda acc, v: acc + v,
+            ).alias("d"),
+        )
+    )
+    exploded = corpus_codes.select(
+        F.col(id_col).alias("id"), "cluster",
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["cluster", "sub", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("d").alias("d_adc"), F.count(F.lit(1)).alias("_n"))
+    )
+    scored = scored.select(
+        "qid", "id",
+        F.when(F.col("_n") == m, F.col("d_adc")).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"ivfpq_topk: expected {m} code terms, got "),
+                F.col("_n").cast("string"),
+            ))
+        ).alias("d_adc"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("qid") != F.col("id"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("d_adc").asc(), F.col("id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "id", "d_adc", F.col("rank").cast("int").alias("rank"))
+    )
+    return release_cache_on_gc(out, q)

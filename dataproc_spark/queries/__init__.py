@@ -330,6 +330,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "corpus_drift": (q_corpus_drift, SQL_CORPUS_DRIFT),
     "pq_index_roundtrip": (q_pq_index_roundtrip, SQL_PQ_INDEX_ROUNDTRIP),
+    "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),
+    "pq_recall": (q_pq_recall, SQL_PQ_RECALL),
 }
 
 

@@ -870,8 +870,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ANN_PQ = """
-WITH q AS (
+#: the PQ train→encode→ADC chain as a shared CTE body (SQL_ANN_PQ ranks
+#: it; SQL_PQ_RECALL joins it against the exact-L2 truth)
+_PQ_CTES = """q AS (
     SELECT vec_id,
            list_transform(embedding,
                x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -954,7 +955,10 @@ scored AS (
     FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
     WHERE e.vec_id <> l.qid
     GROUP BY l.qid, e.vec_id
-)
+)"""
+
+SQL_ANN_PQ = f"""
+WITH {_PQ_CTES}
 SELECT qid, vec_id, d_adc, CAST(rank AS INT) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                    ORDER BY d_adc ASC, vec_id ASC) AS rank
@@ -991,3 +995,266 @@ def q_pq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PQ_INDEX_ROUNDTRIP = SQL_ANN_PQ
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ over residuals (``simsearch.ivfpq_topk``) — the FAISS
+    IVFPQ composition: 8 learned coarse cells (2 integer Lloyd
+    iterations) prune each query to its 2 nearest cells, and within
+    them candidates rank by ADC over PQ codes of the RESIDUAL
+    ``vector − cell centroid`` (8 subspaces × 16 codes, trained on
+    residuals — the finer quantization at equal bytes that makes this
+    the 100 TB ANN architecture). The oracle replays the whole chain:
+    coarse Lloyd (the ``embed_kmeans`` CTEs), the post-assignment
+    integer-mean centroids, residuals, per-subspace residual
+    codebooks, encoding, top-2 cell probing (ties → smaller cell),
+    per-(query, cell) lookup tables, ADC sums, and top-5 ranking.
+    Plan: corpus-side state is (id, cell, 8 codes); the candidate
+    join is an equi-join on (cell, sub, code) against a broadcast
+    LUT — probed cells only, never a scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.ivfpq_topk(
+        emb, emb.where(F.col("vec_id") % 100 == 0),
+        k=5, cells=8, cell_iters=2, n_probe=2, m=8, codes=16,
+        pq_iters=2,
+    ).select("qid", F.col("id").alias("vec_id"), "d_adc", "rank")
+
+
+def _sql_sqdist(a: str, b: str, n: int) -> str:
+    return (f"list_aggregate(list_transform(range(1, {n + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')")
+
+
+SQL_ANN_IVFPQ = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+c0 AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           v AS c
+    FROM q ORDER BY vec_id LIMIT 8
+),
+d1 AS (
+    SELECT q.vec_id, q.v, c.cid, {_sql_sqdist('q.v', 'c.c', 64)} AS dist
+    FROM q CROSS JOIN c0 c
+),
+a1 AS (
+    SELECT vec_id, v, cid AS cluster
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn FROM d1)
+    WHERE rn = 1
+),
+c1 AS (
+    SELECT cluster AS cid, list(m ORDER BY dim) AS c
+    FROM (SELECT cluster, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+          FROM (SELECT cluster, generate_subscripts(v, 1) AS dim,
+                       unnest(v) AS val FROM a1)
+          GROUP BY cluster, dim)
+    GROUP BY cluster
+),
+d2 AS (
+    SELECT q.vec_id, q.v, c.cid, {_sql_sqdist('q.v', 'c.c', 64)} AS dist
+    FROM q CROSS JOIN c1 c
+),
+a2 AS (
+    SELECT vec_id, v, cid AS cluster
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn FROM d2)
+    WHERE rn = 1
+),
+c2 AS (
+    SELECT cluster AS cid, list(m ORDER BY dim) AS c
+    FROM (SELECT cluster, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+          FROM (SELECT cluster, generate_subscripts(v, 1) AS dim,
+                       unnest(v) AS val FROM a2)
+          GROUP BY cluster, dim)
+    GROUP BY cluster
+),
+d3 AS (
+    SELECT q.vec_id, q.v, c.cid, {_sql_sqdist('q.v', 'c.c', 64)} AS dist
+    FROM q CROSS JOIN c2 c
+),
+a3 AS (
+    SELECT vec_id, v, cid AS cluster
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn FROM d3)
+    WHERE rn = 1
+),
+c3 AS (
+    SELECT cluster AS cid, list(m ORDER BY dim) AS c
+    FROM (SELECT cluster, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+          FROM (SELECT cluster, generate_subscripts(v, 1) AS dim,
+                       unnest(v) AS val FROM a3)
+          GROUP BY cluster, dim)
+    GROUP BY cluster
+),
+resid AS (
+    SELECT a.vec_id, a.cluster,
+           list_transform(range(1, 65), i -> a.v[i] - c.c[i]) AS r
+    FROM a3 a JOIN c3 c ON c.cid = a.cluster
+),
+subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub),
+rsv AS (
+    SELECT vec_id, cluster, sub,
+           list_slice(r, sub * 8 + 1, sub * 8 + 8) AS s
+    FROM resid, subs
+),
+p0 AS (
+    SELECT sub,
+           CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                AS INT) AS code,
+           s AS c
+    FROM rsv
+    WHERE vec_id IN (SELECT vec_id FROM resid ORDER BY vec_id LIMIT 16)
+),
+e1 AS (
+    SELECT s.vec_id, s.sub, s.s, c.code,
+           {_sql_sqdist('s.s', 'c.c', 8)} AS dist
+    FROM rsv s JOIN p0 c ON c.sub = s.sub
+),
+b1 AS (
+    SELECT vec_id, sub, s, code
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY dist, code) AS rn FROM e1)
+    WHERE rn = 1
+),
+p1 AS (
+    SELECT sub, code, list(m ORDER BY dim) AS c
+    FROM (SELECT sub, code, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+          FROM (SELECT sub, code, generate_subscripts(s, 1) AS dim,
+                       unnest(s) AS val FROM b1)
+          GROUP BY sub, code, dim)
+    GROUP BY sub, code
+),
+e2 AS (
+    SELECT s.vec_id, s.sub, s.s, c.code,
+           {_sql_sqdist('s.s', 'c.c', 8)} AS dist
+    FROM rsv s JOIN p1 c ON c.sub = s.sub
+),
+b2 AS (
+    SELECT vec_id, sub, s, code
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY dist, code) AS rn FROM e2)
+    WHERE rn = 1
+),
+p2 AS (
+    SELECT sub, code, list(m ORDER BY dim) AS c
+    FROM (SELECT sub, code, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+          FROM (SELECT sub, code, generate_subscripts(s, 1) AS dim,
+                       unnest(s) AS val FROM b2)
+          GROUP BY sub, code, dim)
+    GROUP BY sub, code
+),
+enc AS (
+    SELECT vec_id, sub, code
+    FROM (SELECT s.vec_id, s.sub, c.code,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                     ORDER BY {_sql_sqdist('s.s', 'c.c', 8)}, c.code) AS rn
+          FROM rsv s JOIN p2 c ON c.sub = s.sub)
+    WHERE rn = 1
+),
+qset AS (SELECT vec_id AS qid, v FROM q WHERE vec_id % 100 = 0),
+qcells AS (
+    SELECT qid, cid AS cluster, v
+    FROM (SELECT qs.qid, qs.v, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY qs.qid
+                     ORDER BY {_sql_sqdist('qs.v', 'c.c', 64)}, c.cid) AS rn
+          FROM qset qs CROSS JOIN c3 c)
+    WHERE rn <= 2
+),
+qresid AS (
+    SELECT qc.qid, qc.cluster,
+           list_transform(range(1, 65), i -> qc.v[i] - c.c[i]) AS qr
+    FROM qcells qc JOIN c3 c ON c.cid = qc.cluster
+),
+lut AS (
+    SELECT qr.qid, qr.cluster, p.sub, p.code,
+           {_sql_sqdist("list_slice(qr.qr, p.sub * 8 + 1, p.sub * 8 + 8)", 'p.c', 8)} AS d
+    FROM qresid qr JOIN p2 p ON TRUE
+),
+scored AS (
+    SELECT l.qid, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS d_adc
+    FROM enc e
+    JOIN resid r ON r.vec_id = e.vec_id
+    JOIN lut l ON l.cluster = r.cluster AND l.sub = e.sub
+              AND l.code = e.code
+    WHERE e.vec_id <> l.qid
+    GROUP BY l.qid, e.vec_id
+)
+SELECT qid, vec_id, d_adc, CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY d_adc ASC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality evaluation (the ``ann_recall`` analog for the
+    compressed-domain path): per-query recall@5 of ADC search against
+    exact squared-L2 brute force — PQ is lossy BY DESIGN, so the
+    approximation quality must be a pinned, measured number, not a
+    hope (the tune loop is m/codes vs recall, exactly n_probe vs
+    recall for IVF). Both sides are exact-integer and deterministic,
+    so recall itself is value-checkable cross-engine. Plan: the two
+    top-k frames are ≤ k rows per query — the recall join is tiny no
+    matter the corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 100 == 0)
+    cb = simsearch.pq_train(emb, m=8, codes=16, iters=2)
+    approx = simsearch.pq_adc_topk(
+        queries_df, simsearch.pq_encode(emb, cb), cb, k=5
+    ).select("qid", F.col("id").alias("vec_id"))
+    exact = simsearch.brute_force_topk(
+        emb, queries_df, k=5, metric="l2"
+    ).select("qid", "vec_id")
+    base = exact.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff")
+    )
+    hits = (
+        exact.join(approx, ["qid", "vec_id"], "leftsemi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return base.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.expr("coalesce(n_hits, 0) * 1000 div k_eff")
+        .cast("long")
+        .alias("recall_m"),
+    )
+
+
+SQL_PQ_RECALL = f"""
+WITH {_PQ_CTES},
+pq5 AS (
+    SELECT qid, vec_id
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY d_adc ASC, vec_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+),
+exact AS (
+    SELECT qid, vec_id
+    FROM (SELECT qs.vec_id AS qid, c.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qs.vec_id ORDER BY
+                     list_aggregate(list_transform(range(1, 65),
+                         i -> (qs.v[i] - c.v[i]) * (qs.v[i] - c.v[i])),
+                         'sum') ASC, c.vec_id ASC) AS rn
+          FROM q qs JOIN q c ON c.vec_id <> qs.vec_id
+          WHERE qs.vec_id % 100 = 0)
+    WHERE rn <= 5
+),
+base AS (SELECT qid, COUNT(*) AS k_eff FROM exact GROUP BY qid),
+hits AS (
+    SELECT e.qid, COUNT(*) AS n_hits
+    FROM exact e JOIN pq5 USING (qid, vec_id) GROUP BY e.qid
+)
+SELECT b.qid,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 1000 // b.k_eff AS BIGINT) AS recall_m
+FROM base b LEFT JOIN hits h USING (qid)
+"""

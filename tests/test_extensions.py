@@ -6162,3 +6162,70 @@ def test_pq_index_format_guard(spark, tmp_path):
         {"a": 0}, {"a": 0}, other)
     with _pytest.raises(ValueError, match="format"):
         simsearch.read_pq_index(spark, other)
+
+
+def test_ivfpq_topk_separated_blobs(spark):
+    """r15 IVFPQ: two well-separated blobs — coarse cells split them,
+    so with n_probe=1 a query only ever sees its own blob's
+    candidates; an exact duplicate ranks first at residual-ADC
+    distance 0; exclude_self is honored."""
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions import simsearch
+
+    # blob A around (0, 0), blob B around (100, 100); ids 0/1 seed the
+    # two cells. id 2 duplicates id 0 exactly.
+    rows = [(0, [0.0, 0.0]), (1, [100.0, 100.0]), (2, [0.0, 0.0]),
+            (3, [1.0, 0.0]), (4, [101.0, 100.0]), (5, [100.0, 99.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = simsearch.ivfpq_topk(
+        df, df.where(F.col("vec_id").isin(0, 1)), k=3, cells=2,
+        cell_iters=2, n_probe=1, m=2, codes=4, pq_iters=2,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.qid, []).append((r.rank, r.id, r.d_adc))
+    for qid, lst in got.items():
+        lst.sort()
+    # query 0 (blob A): candidates only from {2, 3}, and the exact
+    # duplicate id 2 ranks STRICTLY first — its ADC distance is the
+    # (small) quantization error of its own codes, while id 3 pays the
+    # full inter-point distance on top (asserting d == 0 would be
+    # wrong PQ semantics: shared codes can absorb other members, as
+    # id 5's dim-1 residual does here)
+    a_ids = [i for _, i, _ in got[0]]
+    assert set(a_ids) <= {2, 3} and got[0][0][1] == 2
+    if len(got[0]) > 1:
+        assert got[0][0][2] < got[0][1][2]
+    # query 1 (blob B): candidates only from {4, 5}
+    b_ids = [i for _, i, _ in got[1]]
+    assert set(b_ids) <= {4, 5}
+    assert all(qid not in ids for qid, ids in ((0, a_ids), (1, b_ids)))
+    # ranks are 1..n contiguous and distances non-decreasing
+    for qid, lst in got.items():
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        ds = [d for _, _, d in lst]
+        assert ds == sorted(ds)
+
+
+def test_brute_force_topk_l2_metric(spark):
+    """r15: metric='l2' ranks by exact squared L2 ASC with id ASC ties
+    — the ground-truth arm pq_recall measures against — and rejects
+    unknown metrics."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataproc_spark.extensions import simsearch
+
+    rows = [(0, [0.0, 0.0]), (1, [3.0, 4.0]), (2, [1.0, 0.0]),
+            (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [(r.vec_id, r.d_l2, r.rnk)
+           for r in simsearch.brute_force_topk(
+               df, df.where(F.col("vec_id") == 0), k=3, metric="l2"
+           ).orderBy("rnk").collect()]
+    # d(0,2) = 1000^2 = d(0,3) -> tie broken by id ASC; d(0,1) = 5000^2
+    assert got == [(2, 1_000_000, 1), (3, 1_000_000, 2),
+                   (1, 25_000_000, 3)]
+    with _pytest.raises(ValueError, match="metric"):
+        simsearch.brute_force_topk(df, df, metric="cosine")

@@ -120,6 +120,10 @@ _NESTED_LOOP_OK = {
     # per-token drift report — the domain_mixture scalar-denominator
     # shape (both sides' totals in ONE broadcast row)
     "corpus_drift",
+    # r15: the exact-L2 ground-truth arm is brute_force_topk — the
+    # broadcast-queries full-scan shape already accepted for ann_topk
+    # (the ADC arm itself is equi-join shaped)
+    "pq_recall",
 }
 
 

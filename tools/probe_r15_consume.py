@@ -94,6 +94,22 @@ for d in sys.argv[1:]:
                       "agg": [None if v is None else int(v) for v in row]}),
           flush=True)
 
+    # IVFPQ with the same fixed batch and corpus-scaled CELL count
+    # (the semantic_dedup rule: probed-cell candidate sets must stay
+    # bounded, and cell count is the knob — FAISS sizes nlist ~ √n to
+    # n/1k; ~2048 vectors/cell here)
+    cells = max(8, ne // 2048)
+    t0 = time.time()
+    row = simsearch.ivfpq_topk(
+        emb, queries, k=5, cells=cells, cell_iters=2, n_probe=2,
+        m=8, codes=16, pq_iters=2,
+    ).agg(F.sum("d_adc"), F.sum("rank"), F.count("*")).collect()[0]
+    print(json.dumps({"dir": d, "name": "ann_ivfpq_fixed_batch",
+                      "cells": cells,
+                      "sec": round(time.time() - t0, 1),
+                      "agg": [None if v is None else int(v) for v in row]}),
+          flush=True)
+
 for d in sys.argv[1:]:
     # 256-bit multi-scale dHash at DEFAULT parameters (bands=16,
     # max_hamming=15) — the r14 verdict item: the defaults must stay
