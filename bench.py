@@ -159,6 +159,7 @@ EXTENDED_QUERIES = [
     "corpus_drift",
     "ann_ivfpq",
     "pq_recall",
+    "bm25_topk",
 ]
 
 #: benchmark set: the flagship selective-search pipeline + one

@@ -332,6 +332,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pq_index_roundtrip": (q_pq_index_roundtrip, SQL_PQ_INDEX_ROUNDTRIP),
     "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),
     "pq_recall": (q_pq_recall, SQL_PQ_RECALL),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
 }
 
 

@@ -1030,3 +1030,95 @@ FROM j
 ORDER BY contrib_q DESC, token ASC
 LIMIT 40
 """
+
+
+# --------------------------------------------------------------------------
+# r15 late wave: BM25 ranked retrieval
+# --------------------------------------------------------------------------
+
+#: the fixed BM25 query battery (vocabulary-realistic term sets; term
+#: sets, not bags — the operator deduplicates)
+_BM25_QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["scan", "filter", "batch"]),
+    (2, ["vector", "spark", "data"]),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (``textstats.bm25_topk``): top-10
+    documents per query for a fixed 3-query battery over the documents
+    table — Lucene-form non-negative idf via the Mitchell fixed-point
+    log2, permille tf saturation with the doc-length ratio computed by
+    integer division (avgdl never exists as a float), rank ties →
+    doc_id ASC. The oracle replays tokenization, tf/df/dl aggregates,
+    the corpus scalars, both Q terms, every div, and the ranking.
+    Plan: ONE tokenize feeding the tf aggregate; df reduces FROM tf;
+    query terms + idf broadcast; ONE (qid, doc) score aggregate with
+    partial top-k."""
+    from dataproc_spark.extensions import textstats
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "qid long, terms array<string>"
+    )
+    return textstats.bm25_topk(docs, queries, k=10).select(
+        "qid", F.col("id").alias("doc_id"), "score_q", "rank"
+    )
+
+
+def _sql_bm25() -> str:
+    q_idf = (f"({_sql_q('(2 * st.n + 2)')}) - ({_sql_q('(2 * df.df + 1)')})")
+    qrows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES
+        for t in sorted(set(terms))
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+       GROUP BY doc_id),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+       GROUP BY term),
+idf AS (
+    SELECT df.term, CAST({q_idf} AS BIGINT) AS idf_q
+    FROM df, st
+),
+qt AS (SELECT * FROM (VALUES {qrows}) AS v(qid, term)),
+parts AS (
+    SELECT qt.qid, tf.doc_id,
+           idf.idf_q,
+           (tf.tf * 2200 * 1000) //
+           (tf.tf * 1000 +
+            (1200 * (250 + (750 * ((dl.dl * st.n * 1000) // st.total))
+                            // 1000)) // 1000) AS tf_part_m
+    FROM tf
+    JOIN qt ON qt.term = tf.term
+    JOIN idf ON idf.term = tf.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN st
+),
+scored AS (
+    SELECT qid, doc_id, CAST(SUM(idf_q * tf_part_m) AS BIGINT) AS score_q
+    FROM parts GROUP BY qid, doc_id
+)
+SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_q,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY score_q DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25()

@@ -6229,3 +6229,43 @@ def test_brute_force_topk_l2_metric(spark):
                    (1, 25_000_000, 3)]
     with _pytest.raises(ValueError, match="metric"):
         simsearch.brute_force_topk(df, df, metric="cosine")
+
+
+def test_bm25_topk_hand_computed(spark):
+    """r15 BM25: every integer on a 3-doc corpus computed by hand —
+    Lucene-form idf through the Mitchell Q, permille tf saturation
+    with integer doc-length ratios, ranking with id tie-breaks,
+    query-term-set deduplication, and the k guard."""
+    import pytest as _pytest
+
+    from dataproc_spark.extensions import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "c c c c")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, ["a", "c"]), (1, ["c", "c"])],
+        "qid long, terms array<string>")
+    got = {(r.qid, r.id): (r.score_q, r.rank)
+           for r in textstats.bm25_topk(docs, queries, k=10).collect()}
+
+    def q(c):  # quantized_log2 at scale 4096
+        e = c.bit_length() - 1
+        return 4096 * e + ((c - (1 << e)) * 4096) // (1 << e)
+
+    # N=3, total=9; idf(a) = Q(8)-Q(3) = 6144; idf(c) = Q(8)-Q(5) = 3072
+    # dl_rel: d1 1000, d2 666, d3 1333 -> inner 1200 / 898 / 1498
+    # tf_part: d1@a(tf2) 1375, d2@c(tf1) 1159, d3@c(tf4) 1600
+    assert q(8) - q(3) == 6144 and q(8) - q(5) == 3072
+    assert got[(0, 1)] == (6144 * 1375, 1)
+    assert got[(0, 3)] == (3072 * 1600, 2)
+    assert got[(0, 2)] == (3072 * 1159, 3)
+    # duplicate query terms deduplicate: qid 1 == plain ["c"]
+    assert got[(1, 3)] == (3072 * 1600, 1)
+    assert got[(1, 2)] == (3072 * 1159, 2)
+    assert (1, 1) not in got  # doc 1 has no 'c'
+    with _pytest.raises(ValueError, match="k must"):
+        textstats.bm25_topk(docs, queries, k=0)
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no tokenized"):
+        textstats.bm25_topk(empty, queries)

@@ -67,6 +67,12 @@ for d in sys.argv[1:]:
         ("corpus_drift",
          lambda df: df.agg(F.sum("contrib_q"), F.sum("a_cnt"),
                            F.sum("b_cnt"), F.count("*"))),
+        # BM25's query battery is FIXED (3 term-set queries), so the
+        # gate probes as-is: ONE tokenize -> tf agg, df from tf,
+        # broadcast terms, partial top-k
+        ("bm25_topk",
+         lambda df: df.agg(F.sum("score_q"), F.sum("rank"),
+                           F.count("*"))),
     ):
         t0 = time.time()
         row = agg(REGISTRY[name][0](spark, d)).collect()[0]
