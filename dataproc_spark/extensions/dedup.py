@@ -997,6 +997,10 @@ def banded_hamming_pairs(
         raise ValueError(f"bands ({bands}) must divide bits ({bits})")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
+
+    def bval_of(col: F.Column, b: int) -> F.Column:
+        return F.shiftright(col, b * band_bits).bitwiseAND(F.lit(mask))
+
     banded = fps.select(
         id_col,
         fp_col,
@@ -1005,9 +1009,7 @@ def banded_hamming_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col(fp_col), b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bval"),
+                        bval_of(F.col(fp_col), b).alias("bval"),
                     )
                     for b in range(bands)
                 ]
@@ -1015,23 +1017,30 @@ def banded_hamming_pairs(
         ).alias("bb"),
     ).select(id_col, fp_col, "bb.band", "bb.bval")
     l, r = banded.alias("l"), banded.alias("r")
-    pairs = (
-        l.join(
-            r,
-            [
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bval") == F.col("r.bval"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col(f"l.{fp_col}").bitwiseXOR(F.col(f"r.{fp_col}"))
-            ).alias("hamming"),
-        )
-        .distinct()
+    lfp, rfp = F.col(f"l.{fp_col}"), F.col(f"r.{fp_col}")
+    # emit each pair from its FIRST colliding band only: a pair whose
+    # bands collide k times used to reach the .distinct() k times, each
+    # paying the join output + the hamming expression + a two-stage
+    # dedup shuffle. The first-collision predicate keeps exactly one of
+    # those k rows (a flat codegen CASE over band values both sides
+    # already carry for the hamming xor), so the distinct — and its
+    # Exchange — disappears. r15 opt, guide §2.4 (remove shuffles) /
+    # §2.3 (don't ship duplicate rows into one).
+    first_coll = F.when(bval_of(lfp, 0) == bval_of(rfp, 0), 0)
+    for b in range(1, bands):
+        first_coll = first_coll.when(bval_of(lfp, b) == bval_of(rfp, b), b)
+    pairs = l.join(
+        r,
+        [
+            F.col("l.band") == F.col("r.band"),
+            F.col("l.bval") == F.col("r.bval"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            F.col("l.band") == first_coll,
+        ],
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.bit_count(lfp.bitwiseXOR(rfp)).alias("hamming"),
     )
     return pairs.where(F.col("hamming") <= max_hamming)
 
@@ -1079,6 +1088,13 @@ def banded_hamming_pairs_multi(
     # a full-word band (band_bits == 64) masks with -1 — all ones in
     # two's complement; (1 << 64) - 1 does not fit a long literal
     mask = (1 << band_bits) - 1 if band_bits < 64 else -1
+
+    def bval_of(col: F.Column, b: int) -> F.Column:
+        return F.shiftright(
+            F.element_at(col, b // per_word + 1),
+            (b % per_word) * band_bits,
+        ).bitwiseAND(F.lit(mask))
+
     banded = fps.select(
         id_col,
         fp_col,
@@ -1087,14 +1103,7 @@ def banded_hamming_pairs_multi(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(
-                            F.element_at(
-                                F.col(fp_col), b // per_word + 1
-                            ),
-                            (b % per_word) * band_bits,
-                        )
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bval"),
+                        bval_of(F.col(fp_col), b).alias("bval"),
                     )
                     for b in range(bands)
                 ]
@@ -1102,30 +1111,37 @@ def banded_hamming_pairs_multi(
         ).alias("bb"),
     ).select(id_col, fp_col, "bb.band", "bb.bval")
     l, r = banded.alias("l"), banded.alias("r")
-    ham = F.aggregate(
-        F.zip_with(
-            F.col(f"l.{fp_col}"),
-            F.col(f"r.{fp_col}"),
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    lfp, rfp = F.col(f"l.{fp_col}"), F.col(f"r.{fp_col}")
+    # flat per-word bit_count sum instead of a zip_with/aggregate fold:
+    # higher-order lambdas run on Spark's interpreted path per candidate
+    # row (allocating a distance array each time), while this unrolled
+    # sum is plain whole-stage-codegen integer work (r15 opt, guide
+    # §4.1 — prefer built-in expression forms the codegen can compile)
+    ham = F.bit_count(
+        F.element_at(lfp, 1).bitwiseXOR(F.element_at(rfp, 1))
     ).cast("int")
-    pairs = (
-        l.join(
-            r,
-            [
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bval") == F.col("r.bval"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            ham.alias("hamming"),
-        )
-        .distinct()
+    for w in range(1, words):
+        ham = ham + F.bit_count(
+            F.element_at(lfp, w + 1).bitwiseXOR(F.element_at(rfp, w + 1))
+        ).cast("int")
+    # first-colliding-band filter replacing .distinct() — same
+    # rationale as :func:`banded_hamming_pairs`: one output row per
+    # pair at join time, no dedup Exchange, no duplicate hamming evals
+    first_coll = F.when(bval_of(lfp, 0) == bval_of(rfp, 0), 0)
+    for b in range(1, bands):
+        first_coll = first_coll.when(bval_of(lfp, b) == bval_of(rfp, b), b)
+    pairs = l.join(
+        r,
+        [
+            F.col("l.band") == F.col("r.band"),
+            F.col("l.bval") == F.col("r.bval"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            F.col("l.band") == first_coll,
+        ],
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        ham.alias("hamming"),
     )
     return pairs.where(F.col("hamming") <= max_hamming)
 

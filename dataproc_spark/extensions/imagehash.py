@@ -352,6 +352,7 @@ def synthesize_scale_ppms(
     import numpy as np
     import pandas as pd
 
+    from dataproc_spark.core import spread_narrow
     from dataproc_spark.extensions.multimodal import encode_ppm
 
     side = 18
@@ -375,7 +376,13 @@ def synthesize_scale_ppms(
                 out.append((i, encode_ppm(rgb)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return df.select(id_col).mapInPandas(
+    # spread a single-split id scan before the CPU-bound Arrow synth
+    # stage (guide §2.5, input skew): fixture corpora arrive as one
+    # parquet split, which would serialize this kernel AND every
+    # downstream fingerprint kernel on one task (r15 profile: the
+    # whole image_dedup hash pass ran as ONE 2.6 s task). Only ids
+    # move in the spread shuffle — payloads are generated after it.
+    return spread_narrow(df.select(id_col), id_col).mapInPandas(
         kernel, schema="media_id long, payload binary"
     )
 
@@ -405,6 +412,7 @@ def synthesize_cell_ppms(
     import numpy as np
     import pandas as pd
 
+    from dataproc_spark.core import spread_narrow
     from dataproc_spark.extensions.multimodal import encode_ppm
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -426,7 +434,13 @@ def synthesize_cell_ppms(
                 out.append((i, encode_ppm(rgb)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return df.select(id_col).mapInPandas(
+    # spread a single-split id scan before the CPU-bound Arrow synth
+    # stage (guide §2.5, input skew): fixture corpora arrive as one
+    # parquet split, which would serialize this kernel AND every
+    # downstream fingerprint kernel on one task (r15 profile: the
+    # whole image_dedup hash pass ran as ONE 2.6 s task). Only ids
+    # move in the spread shuffle — payloads are generated after it.
+    return spread_narrow(df.select(id_col), id_col).mapInPandas(
         kernel, schema="media_id long, payload binary"
     )
 
@@ -570,6 +584,7 @@ def synthesize_envelope_wavs(
     import numpy as np
     import pandas as pd
 
+    from dataproc_spark.core import spread_narrow
     from dataproc_spark.extensions.multimodal import encode_wav
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -587,6 +602,12 @@ def synthesize_envelope_wavs(
                 out.append((i, encode_wav(v.astype(np.int16), 8000)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return df.select(id_col).mapInPandas(
+    # spread a single-split id scan before the CPU-bound Arrow synth
+    # stage (guide §2.5, input skew): fixture corpora arrive as one
+    # parquet split, which would serialize this kernel AND every
+    # downstream fingerprint kernel on one task (r15 profile: the
+    # whole image_dedup hash pass ran as ONE 2.6 s task). Only ids
+    # move in the spread shuffle — payloads are generated after it.
+    return spread_narrow(df.select(id_col), id_col).mapInPandas(
         kernel, schema="media_id long, payload binary"
     )

@@ -1206,11 +1206,12 @@ def q_image_dedup_256(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     media = imagehash.synthesize_scale_ppms(docs)
-    return imagehash.image_near_dup_256(
-        media, bands=16, max_hamming=15
-    ).select(
-        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
-    )
+    # returned DIRECTLY: the core already emits hamming as int, and a
+    # derived-and-dropped .select() here released the fps cache pin
+    # before the action ran (the release_cache_on_gc r8 caveat),
+    # recomputing the whole Arrow synth+hash stage for BOTH join
+    # branches (r15 opt profile: 3.8 s + 6.3 s duplicate stages)
+    return imagehash.image_near_dup_256(media, bands=16, max_hamming=15)
 
 
 def _scale_ppm_oracle_sql() -> str:
