@@ -340,6 +340,26 @@ def ensure_no_columns(df: DataFrame, columns: Iterable[str],
             )
 
 
+def local_frame(
+    spark: SparkSession, rows: Sequence, schema, slices: int = 1
+) -> DataFrame:
+    """Driver-literal frame in ``slices`` pickled partitions (default 1).
+
+    ``createDataFrame(list, schema)`` parallelizes local data into
+    ``defaultParallelism`` pickled partitions, and EVERY downstream
+    action pays one Python-worker round trip PER partition — ~140 ms
+    × 32 for a one-row meta frame, and catastrophically worse under a
+    ``coalesce(1)`` sink, where the single task drains all 32 python
+    partitions SEQUENTIALLY (r15 opt, measured: a 1-row meta parquet
+    write cost 4.3-6.0 s vs 0.27 s through this helper; guide §4 — the
+    Python boundary is paid per partition, so a driver-small literal
+    should cross it once)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), max(1, int(slices))),
+        schema=schema,
+    )
+
+
 def _one_range(spark: SparkSession, name: str, values: Sequence) -> DataFrame:
     """A single-column frame carrying an explicit position column.
 
@@ -349,12 +369,11 @@ def _one_range(spark: SparkSession, name: str, values: Sequence) -> DataFrame:
     values = list(values)
     typ = _range_type(values)
     rows = [(i, v) for i, v in enumerate(_coerce_range(values, typ))]
-    # single partition: createDataFrame slices local data into
-    # defaultParallelism partitions, and crossJoin multiplies partition
-    # counts — 3 ranges × 32 slices would give 32³ = 32768 tasks.
-    return spark.createDataFrame(
-        rows, schema=f"{IDX} long, `{name}` {typ}"
-    ).coalesce(1)
+    # single partition: a multi-slice frame would multiply partition
+    # counts through crossJoin — 3 ranges × 32 slices would give
+    # 32³ = 32768 tasks (and local_frame's one-slice layout also keeps
+    # every action to ONE python-worker round trip).
+    return local_frame(spark, rows, f"{IDX} long, `{name}` {typ}")
 
 
 def cartesian(
@@ -416,7 +435,10 @@ def cartesian(
             [f"{IDX} long"]
             + [f"`{n}` {_range_type(r)}" for n, r in zip(names, ranges)]
         )
-        out = spark.createDataFrame(rows, schema=schema).coalesce(1)
+        # one pickled slice (local_frame): the old 32-slice
+        # createDataFrame + coalesce(1) drained 32 sequential python
+        # partitions per action (r15 opt)
+        out = local_frame(spark, rows, schema)
     else:
         # large products stay distributed: chain of crossJoins over
         # single-column frames with the RIGHT sides pinned as broadcast

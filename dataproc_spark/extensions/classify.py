@@ -292,14 +292,17 @@ def write_nb_model(
     Returns the meta dict. The weights write is the only
     possibly-large output (bounded by labels × n_buckets); labels/meta
     coalesce to one file each."""
+    from dataproc_spark.core import local_frame
+
     spark = weights.sparkSession
     labels = sorted(set(bias) | set(intercept))
     weights.write.mode("overwrite").parquet(f"{path}/weights")
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [(l, int(bias.get(l, 0)), int(intercept.get(l, 0)))
          for l in labels],
         "label string, bias long, intercept long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/labels")
+    ).write.mode("overwrite").parquet(f"{path}/labels")
     meta = {
         "format": NB_MODEL_FORMAT,
         "n_buckets": int(n_buckets),
@@ -308,11 +311,12 @@ def write_nb_model(
         "scale": int(scale),
         "hash_fn": str(hash_fn),
     }
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [tuple(meta.values())],
         "format string, n_buckets long, bigrams boolean, salt string, "
         "scale long, hash_fn string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     return meta
 
 

@@ -416,9 +416,15 @@ def write_minhash_index(
             f"bands ({bands}) must divide num_hashes ({num_hashes})"
         )
     spark = df.sparkSession
+    from dataproc_spark.core import spread_narrow
+
+    # spread a narrow input before the CPU-bound signature pass — the
+    # same shape as minhash_dedup_pairs: a single-split corpus would
+    # otherwise compute every shingle/hash AND write the whole index as
+    # ONE task (r15 opt profile: 4.5 s serial at the sf0.1 gate)
     sigs = minhash_frame(
-        df, content_col, id_col, num_hashes, shingle_size,
-        portable=portable,
+        spread_narrow(df, id_col), content_col, id_col, num_hashes,
+        shingle_size, portable=portable,
     ).select(id_col, "_sig")
     sigs.write.mode("overwrite").parquet(f"{path}/sigs")
     meta = {
@@ -429,11 +435,14 @@ def write_minhash_index(
         "bands": int(bands),
         "portable": bool(portable),
     }
-    spark.createDataFrame(
+    from dataproc_spark.core import local_frame
+
+    local_frame(
+        spark,
         [tuple(meta.values())],
         "format string, id_col string, num_hashes long, "
         "shingle_size long, bands long, portable boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     return meta
 
 
@@ -588,17 +597,26 @@ def connected_components(
     typically tiny). Each round is one shuffle; ``localCheckpoint`` cuts
     the growing lineage so round N doesn't replay rounds 1..N-1.
     """
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # persist the DIRECTED edges, not the symmetrized union: the union's
+    # two branches would otherwise each recompute the full upstream pair
+    # plan (LSH/kmeans joins — r15 opt profile: four duplicate pair
+    # exchanges materialized before the first propagation round); with
+    # the cache on edges, the swap branch is a projection over cached
+    # rows and sym costs one pair computation total (guide §5, persist
+    # exactly the reused subtree)
+    edges = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).persist()
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    )
     try:
         labels = _cc_propagate(sym, max_iter)
     finally:
         # unpersist on the failure path too (a transient executor loss
         # surfacing at a mid-round action would otherwise pin the edge
         # table for the session — once per driver retry)
-        sym.unpersist()
+        edges.unpersist()
     return labels
 
 
@@ -619,7 +637,7 @@ def _cc_propagate(sym: DataFrame, max_iter: int) -> DataFrame:
         # change detection is a scan-aggregate over the checkpointed
         # round result — NOT a new-vs-old join (which would be a second
         # full shuffle per round on top of the propagation join).
-        new_labels = (
+        merged = (
             labels.withColumn("_old", F.col("component"))
             .unionByName(
                 neighbor_labels.withColumn(
@@ -632,6 +650,27 @@ def _cc_propagate(sym: DataFrame, max_iter: int) -> DataFrame:
             .agg(
                 F.min("component").alias("component"),
                 F.max("_old").alias("_old"),
+            )
+        )
+        # Pointer doubling (r15 opt): compress each node's label through
+        # its label's OWN label from the same round — label paths halve
+        # every round, so convergence takes ~log(diameter) rounds
+        # instead of diameter (the classic MapReduce-CC shortcut;
+        # driver-loop rounds are the dominant cost of this operator —
+        # each one is a full job-schedule + checkpoint + probe cycle).
+        # Same fixed point: labels only ever decrease toward the min
+        # reachable id, and a label is always a reachable node's id.
+        # The two `merged` branches canonicalize to the same exchange,
+        # which Spark executes once and reuses (ReuseExchange).
+        parents = merged.select(
+            F.col("node").alias("_pn"), F.col("component").alias("_pc")
+        )
+        new_labels = (
+            merged.join(parents, merged.component == parents._pn)
+            .select(
+                "node",
+                F.col("_pc").alias("component"),
+                "_old",
             )
             .withColumn(
                 "_changed", (F.col("component") != F.col("_old")).cast("int")

@@ -37,7 +37,11 @@ def fuzzy_join_blocked(
     ``levenshtein(key_a, key_b) <= max_dist`` among records sharing the
     block key.
 
-    ``self_join`` controls the ``id_a < id_b`` dedup. The default
+    ``self_join`` controls the ``id_a < id_b`` dedup. When the two
+    sides are the SAME object, the orientation filter runs at join
+    time (half the candidate pairs ever reach Levenshtein and no
+    dedup shuffle); for asymmetric overlapping sides the match is
+    canonicalized and deduped after verification instead. The default
     (``None``) auto-detects ONLY the ``left is right`` same-object case
     — two separately-constructed frames over the SAME records (two
     ``spark.read`` calls, or ``df`` vs ``df.where(...)``) look like
@@ -52,8 +56,16 @@ def fuzzy_join_blocked(
     JVM-side (`F.levenshtein`), only inside blocks.
     """
     bcol = F.col(block) if isinstance(block, str) else block
+    # identical-object sides admit the cheap orientation filter: every
+    # pair is generated in BOTH orders, so `id_a < id_b` at join time
+    # keeps exactly the canonical row — half the join output (and half
+    # the levenshtein evals) and NO canonicalize+distinct exchange
+    # afterwards (r15 opt, guide §2.4/§2.3). The r8 lost-match hazard
+    # only exists for asymmetric overlapping sides (df vs
+    # df.where(...)), which never take this path.
+    identical_sides = left is right
     if self_join is None:
-        self_join = left is right
+        self_join = identical_sides
     la = left.select(
         F.col(id_col).alias("id_a"),
         F.col(key_col).alias("_key_a"),
@@ -65,7 +77,9 @@ def fuzzy_join_blocked(
         bcol.alias("_blk"),
     )
     joined = la.join(rb, "_blk")
-    if self_join:
+    if self_join and identical_sides:
+        joined = joined.where(F.col("id_a") < F.col("id_b"))
+    elif self_join:
         # drop exact self-pairs only; mirror-dedup happens AFTER the
         # match via least/greatest + distinct. The old `id_a < id_b`
         # pre-filter silently LOST real matches when the two sides were
@@ -84,7 +98,7 @@ def fuzzy_join_blocked(
         .where(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
-    if self_join:
+    if self_join and not identical_sides:
         # levenshtein is symmetric, so the canonical orientation keeps
         # the same dist; distinct is a shuffle on the (small) match set
         out = out.select(

@@ -302,7 +302,17 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ],
             )
 
-    return df.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    # spread the single-split id scan across cores before the CPU-bound
+    # Arrow synth stage (guide §2.5, input skew): fixture corpora arrive
+    # as one parquet split, which would serialize the encoder AND every
+    # downstream decode kernel on one task (r15 opt — the imagehash
+    # generators measured the same shape; only 8-byte ids move in the
+    # spread shuffle, payloads are generated after it)
+    from dataproc_spark.core import spread_narrow
+
+    return spread_narrow(df.select(id_col), id_col).mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )
 
 
 def synthesize_jpegs(
@@ -381,7 +391,17 @@ def synthesize_jpegs(
                 ],
             )
 
-    return df.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    # spread the single-split id scan across cores before the CPU-bound
+    # Arrow synth stage (guide §2.5, input skew): fixture corpora arrive
+    # as one parquet split, which would serialize the encoder AND every
+    # downstream decode kernel on one task (r15 opt — the imagehash
+    # generators measured the same shape; only 8-byte ids move in the
+    # spread shuffle, payloads are generated after it)
+    from dataproc_spark.core import spread_narrow
+
+    return spread_narrow(df.select(id_col), id_col).mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )
 
 
 #: Output of the JPEG header-walk stage.
@@ -743,7 +763,17 @@ def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ],
             )
 
-    return df.select(id_col).mapInPandas(kernel, schema=AUDIO_SCHEMA)
+    # spread the single-split id scan across cores before the CPU-bound
+    # Arrow synth stage (guide §2.5, input skew): fixture corpora arrive
+    # as one parquet split, which would serialize the encoder AND every
+    # downstream decode kernel on one task (r15 opt — the imagehash
+    # generators measured the same shape; only 8-byte ids move in the
+    # spread shuffle, payloads are generated after it)
+    from dataproc_spark.core import spread_narrow
+
+    return spread_narrow(df.select(id_col), id_col).mapInPandas(
+        kernel, schema=AUDIO_SCHEMA
+    )
 
 
 def decode_audio_stats(media: DataFrame) -> DataFrame:

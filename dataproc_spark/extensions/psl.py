@@ -139,8 +139,10 @@ def registered_domain_psl(
 
     tmp = [c for c in df.columns if c.lower().startswith("_psl_")]
     ensure_no_columns(df, tmp + [out_col], "registered_domain_psl")
-    rules_df = spark.createDataFrame(
-        parsed, "rule string, n int, is_wild boolean, is_exc boolean"
+    from dataproc_spark.core import local_frame
+
+    rules_df = local_frame(
+        spark, parsed, "rule string, n int, is_wild boolean, is_exc boolean"
     )
 
     h = F.lower(F.col(host_col))

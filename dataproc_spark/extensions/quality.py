@@ -69,10 +69,13 @@ def profile_table(
         )
         for c in cols
     ]
-    return df.sparkSession.createDataFrame(
+    from dataproc_spark.core import local_frame
+
+    return local_frame(
+        df.sparkSession,
         data,
-        schema="column string, n_rows long, n_null long, "
-               "n_distinct long, min_value string, max_value string",
+        "column string, n_rows long, n_null long, "
+        "n_distinct long, min_value string, max_value string",
     )
 
 

@@ -253,9 +253,12 @@ def ivf_topk(
     assigned, model = kmeans_cells(embeddings, cells, id_col, vec_col, seed)
     # centroid table is tiny — broadcast-join queries against it and keep
     # the n_probe closest cells per query
-    centroids = spark.createDataFrame(
+    from dataproc_spark.core import local_frame
+
+    centroids = local_frame(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        schema=f"_qb int, _centroid array<double>",
+        f"_qb int, _centroid array<double>",
     )
     q = queries.select(
         F.col(id_col), F.col(vec_col), quantize(vec_col, scale).alias("_qv_probe")
@@ -481,13 +484,27 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     bucket_col: str = "label",
     scale: int = 1000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a coarse bucket.
 
-    Self-join restricted to the same bucket (id_a < id_b), keep pairs with
-    quantized dot ≥ threshold. The bucket restriction is what keeps this
-    off the all-pairs cliff at scale; recall is traded per the coarse
+    Same-bucket pairs (id_a < id_b) whose exact quantized dot clears
+    ``threshold_dot_q``. The bucket restriction is what keeps this off
+    the all-pairs cliff at scale; recall is traded per the coarse
     quantizer's quality, exactly as in IVF dedup pipelines.
+
+    ``impl='arrow'`` (default, r15 opt): ONE groupBy-bucket Arrow stage
+    — each bucket's vectors are gathered once and all pairwise dots
+    come out of an exact-int64 blocked numpy matmul. The previous
+    self-join shape shuffled every vector TWICE (both join sides) and
+    paid an interpreted zip_with/aggregate fold per candidate pair
+    (~16M lambda evals at the sf0.1 gate — measured 5.5 s vs ~0.6 s
+    for the kernel; the bpe_apply/rp_lsh expr-vs-Arrow lesson, guide
+    §4.2). Block size bounds the dot matrix to ~32 MB however large a
+    bucket gets; a bucket must still FIT one task — that is the k knob,
+    exactly as in the join shape where one bucket was one hash cell.
+    ``impl='expr'`` keeps the relational self-join plan (the oracle's
+    replay shape; parity-pinned by test).
 
     NULL ids, buckets, or vector elements raise: each would silently
     escape detection (a NULL bucket never equi-joins, a NULL id fails
@@ -495,6 +512,10 @@ def near_dup_pairs(
     silent-corpus-escape policy as :func:`rp_lsh_near_dup`. Pre-filter
     unlabeled rows explicitly if that is intended.
     """
+    if impl not in ("arrow", "expr"):
+        raise ValueError(
+            f"near_dup_pairs: impl must be 'arrow' or 'expr', got {impl!r}"
+        )
 
     def _req(c: F.Column, what: str) -> F.Column:
         return F.when(c.isNotNull(), c).otherwise(
@@ -507,7 +528,10 @@ def near_dup_pairs(
             )
         )
 
-    spread = _spread(embeddings)
+    # the Arrow path skips _spread: groupBy supplies the (only)
+    # exchange, so a pre-spread would just add a second shuffle of the
+    # same vectors
+    spread = embeddings if impl == "arrow" else _spread(embeddings)
     e = spread.select(
         _req(F.col(id_col), id_col).alias(id_col),
         _req(F.col(bucket_col), bucket_col).alias("_b"),
@@ -526,6 +550,45 @@ def near_dup_pairs(
         )
         .alias("_v"),
     )
+    if impl == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        idt = e.schema[id_col].dataType.simpleString()
+        thr = int(threshold_dot_q)
+
+        def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [], "dot_q": []}
+                ).astype({"dot_q": "int64"})
+            ids = pdf[id_col].to_numpy()
+            v = np.array(pdf["_v"].tolist(), dtype=np.int64)
+            # block rows so the (B, n) dot matrix stays ~32 MB
+            # regardless of bucket size
+            blk = max(1, (1 << 22) // max(n, 1))
+            outs = []
+            for s in range(0, n, blk):
+                g = v[s:s + blk] @ v.T
+                ii, jj = np.nonzero(
+                    (g >= thr) & (ids[None, :] > ids[s:s + blk, None])
+                )
+                if len(ii):
+                    outs.append((ids[s + ii], ids[jj], g[ii, jj]))
+            if not outs:
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [], "dot_q": []}
+                ).astype({"dot_q": "int64"})
+            return pd.DataFrame({
+                "id_a": np.concatenate([o[0] for o in outs]),
+                "id_b": np.concatenate([o[1] for o in outs]),
+                "dot_q": np.concatenate([o[2] for o in outs]),
+            })
+
+        return e.groupBy("_b").applyInPandas(
+            kernel, schema=f"id_a {idt}, id_b {idt}, dot_q long"
+        )
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -774,8 +837,14 @@ def rp_lsh_near_dup(
 #: worker round-trip); far above it the expression is pathological
 #: (k zip_with aggregates per row stop fitting whole-stage codegen and
 #: fall back to interpreted eval: the k=400/dim=64 semantic_dedup probe
-#: ran >30 min at 100× before this kernel, ~2 min after — SCALE.md r15)
-_KMEANS_ARROW_THRESHOLD = 4096
+#: ran >30 min at 100× before this kernel, ~2 min after — SCALE.md r15).
+#: r15 opt: lowered 4096 → 128 after an interleaved A/B at the gate
+#: geometry (k=8 × dim=64 = 512 terms, sf0.1): the expression path costs
+#: ~2 s of fresh codegen per assignment — centroid literals CHANGE every
+#: Lloyd iteration, so nothing is ever compiled twice — and trains in
+#: 5.9 s warm vs 2.1 s through the Arrow kernel. Only toy geometries
+#: (k × dim ≤ 128, e.g. 8 × 16 unit fixtures) keep the literal plan.
+_KMEANS_ARROW_THRESHOLD = 128
 
 
 def _kmeans_assign(
@@ -1103,11 +1172,14 @@ def write_ivf_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
-    spark.createDataFrame(
+    from dataproc_spark.core import local_frame
+
+    local_frame(
+        spark,
         [tuple(meta.values())],
         "format string, kind string, scale long, n_cells long, "
         "id_col string, vec_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     return meta
 
 
@@ -1503,7 +1575,10 @@ def pq_codebook_frame(spark, codebooks: list) -> DataFrame:
     """The codebook as a small DataFrame ``(sub, code, centroid)`` —
     the join-able form :func:`pq_adc_topk` builds its lookup tables
     from (and the layout :func:`write_pq_index` persists)."""
-    return spark.createDataFrame(
+    from dataproc_spark.core import local_frame
+
+    return local_frame(
+        spark,
         [(int(s), int(c), [int(x) for x in v]) for s, c, v in codebooks],
         "sub int, code int, centroid array<long>",
     )
@@ -1637,7 +1712,7 @@ def write_pq_index(
     spark = embeddings.sparkSession
     pq_encode(embeddings, cb, id_col=id_col, vec_col=vec_col,
               scale=scale).write.mode("overwrite").parquet(f"{path}/codes")
-    pq_codebook_frame(spark, cb).coalesce(1).write.mode(
+    pq_codebook_frame(spark, cb).write.mode(
         "overwrite").parquet(f"{path}/codebooks")
     meta = {
         "format": PQ_INDEX_FORMAT,
@@ -1647,11 +1722,14 @@ def write_pq_index(
         "scale": int(scale),
         "id_col": str(id_col),
     }
-    spark.createDataFrame(
+    from dataproc_spark.core import local_frame
+
+    local_frame(
+        spark,
         [tuple(meta.values())],
         "format string, m long, subdim long, codes long, scale long, "
         "id_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     return meta
 
 

@@ -221,7 +221,9 @@ def _drain(
         sink = spark.table(name)
         rows = sink.collect()
         schema = sink.schema
-        return spark.createDataFrame(rows, schema=schema)
+        from dataproc_spark.core import local_frame
+
+        return local_frame(spark, rows, schema)
     finally:
         # cleanup must run on the FAILURE path too (r8 review follow-up:
         # a query aborted by bad data was leaking both the scratch

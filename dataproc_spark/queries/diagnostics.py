@@ -293,7 +293,9 @@ def _materialize_and_clean(df, scratch_dir: str):
 
     try:
         rows = df.collect()
-        out = df.sparkSession.createDataFrame(rows, df.schema)
+        from dataproc_spark.core import local_frame
+
+        out = local_frame(df.sparkSession, rows, df.schema)
     finally:
         # clean on FAILURE too: a gate that throws mid-read otherwise
         # leaves its full written table copy under /tmp (r8 review)

@@ -737,8 +737,16 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_jpegs,
     )
 
+    from dataproc_spark.core import release_cache_on_gc
+
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = synthesize_jpegs(docs, progressive_every=3)
+    # persist the synthesized payloads: BOTH the full-decode branch and
+    # the header-walk branch consume `media`, and without the pin each
+    # would re-run the whole pure-Python encoder pass (r15 opt, guide
+    # §5 — persist exactly the subtree two plan branches share; the
+    # returned join holds the pin, so the release_cache_on_gc caveat
+    # does not bite)
+    media = synthesize_jpegs(docs, progressive_every=3).persist()
     stats = decode_image_stats(media)
     meta = jpeg_meta(media).select(
         "media_id",
@@ -746,7 +754,7 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("hdr_height"),
         "progressive",
     )
-    return stats.join(meta, "media_id")
+    return release_cache_on_gc(stats.join(meta, "media_id"), media)
 
 
 SQL_MULTIMODAL_JPEG = """

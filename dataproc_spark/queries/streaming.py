@@ -67,7 +67,9 @@ def q_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_to_parquet(stream, out, checkpoint_dir=ckpt)
         back = spark.read.parquet(out).drop("batch")
         rollup = streaming.hourly_agg(back)
-        return spark.createDataFrame(rollup.collect(), rollup.schema)
+        from dataproc_spark.core import local_frame
+
+        return local_frame(spark, rollup.collect(), rollup.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -131,7 +133,9 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, snapshot, f"{root}/snap", checkpoint_dir=f"{root}/ckpt"
         )
         final = read_latest_snapshot(spark, f"{root}/snap")
-        return spark.createDataFrame(final.collect(), final.schema)
+        from dataproc_spark.core import local_frame
+
+        return local_frame(spark, final.collect(), final.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -240,7 +244,9 @@ def q_stream_upsert_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, snapshot, f"{root}/snap", checkpoint_dir=f"{root}/ckpt"
         )
         final = read_latest_snapshot(spark, f"{root}/snap")
-        return spark.createDataFrame(final.collect(), final.schema)
+        from dataproc_spark.core import local_frame
+
+        return local_frame(spark, final.collect(), final.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

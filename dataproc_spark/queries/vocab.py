@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from dataproc_spark.core import local_frame
 from dataproc_spark.extensions import dedup, textstats
 from dataproc_spark.queries._tables import _t
 
@@ -121,8 +122,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = textstats.bpe_learn_merges(
         _t(spark, sf_dir, "documents"), n_merges=3
     )
-    return spark.createDataFrame(
-        merges, schema="rank int, lhs string, rhs string, pair_freq long"
+    return local_frame(
+        spark, merges, "rank int, lhs string, rhs string, pair_freq long"
     )
 
 
@@ -691,8 +692,8 @@ def q_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole-corpus distinct re-executed per reference — a measured 24×
     # blowup at the 10× probe. A real deployment loads the model as a
     # table anyway; collect-and-recreate reproduces that honestly.
-    weights = spark.createDataFrame(
-        weights_plan.collect(), "label string, bucket long, w long"
+    weights = local_frame(
+        spark, weights_plan.collect(), "label string, bucket long, w long"
     )
     scores = classify.score_documents(
         docs, weights, n_buckets=n_buckets, bias={"len": 3},
@@ -815,8 +816,8 @@ def q_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the trained model (≤ labels × 512 rows): the scorer
     # references its weights twice — the doc_score 24× lesson
-    weights = spark.createDataFrame(
-        w_plan.collect(), "label string, bucket long, w long"
+    weights = local_frame(
+        spark, w_plan.collect(), "label string, bucket long, w long"
     )
     scores = classify.score_documents(
         docs, weights, n_buckets=n_buckets,
@@ -1059,8 +1060,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataproc_spark.extensions import textstats
 
     docs = _t(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
-        _BM25_QUERIES, "qid long, terms array<string>"
+    queries = local_frame(
+        spark, _BM25_QUERIES, "qid long, terms array<string>"
     )
     return textstats.bm25_topk(docs, queries, k=10).select(
         "qid", F.col("id").alias("doc_id"), "score_q", "rank"

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from dataproc_spark.core import ensure_has_columns, maybe_broadcast
+from dataproc_spark.core import (
+    ensure_has_columns,
+    local_frame,
+    maybe_broadcast,
+)
 from dataproc_spark.measures import Measure, PandasMeasure, as_measure
 
 
@@ -151,8 +155,8 @@ def select_with_decay(
         num_buckets = max_bucket + 1
     budgets = decayed_buckets(num_buckets, t, decay_factor)
     spark = results.sparkSession
-    lookup = spark.createDataFrame(
-        list(enumerate(budgets)), schema="rank int, buckets int"
+    lookup = local_frame(
+        spark, list(enumerate(budgets)), "rank int, buckets int"
     )
     shard_sel = (
         selection.where(F.col("rank") < t)

@@ -6134,6 +6134,42 @@ def test_kmeans_assign_arrow_parity(spark, monkeypatch):
     assert set(out.cluster) == {0} and len(out) == 4
 
 
+def test_near_dup_pairs_arrow_expr_parity(spark):
+    """r15 opt: the grouped Arrow matmul path (default) emits exactly
+    the self-join expression plan's pairs — same (id_a, id_b, dot_q)
+    multiset, same schema — including buckets with 0/1 members, a
+    bucket whose every pair clears the threshold, and negative dot
+    values around it."""
+    from dataproc_spark.extensions import simsearch
+
+    rows = [
+        (i, [float(((i * 7) % 13) - 6), float(((i * 3) % 11) - 5)],
+         i % 3)
+        for i in range(40)
+    ] + [(100, [1.0, 2.0], 9)]  # singleton bucket: no pairs
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    expr = simsearch.near_dup_pairs(df, threshold_dot_q=-5_000_000,
+                                    impl="expr")
+    arrow = simsearch.near_dup_pairs(df, threshold_dot_q=-5_000_000)
+    assert arrow.schema == expr.schema
+    key = lambda r: (r.id_a, r.id_b, r.dot_q)  # noqa: E731
+    expr_rows = sorted(map(key, expr.collect()))
+    assert expr_rows == sorted(map(key, arrow.collect()))
+    assert expr_rows  # the fixture must actually produce pairs
+    # and a selective threshold agrees too
+    expr2 = simsearch.near_dup_pairs(df, threshold_dot_q=10_000_000,
+                                     impl="expr")
+    arrow2 = simsearch.near_dup_pairs(df, threshold_dot_q=10_000_000)
+    assert sorted(map(key, expr2.collect())) \
+        == sorted(map(key, arrow2.collect()))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="impl"):
+        simsearch.near_dup_pairs(df, threshold_dot_q=0, impl="bogus")
+
+
 def test_pq_index_format_guard(spark, tmp_path):
     """r15: a PQ index refuses to load foreign artifacts, and
     pq_index_topk equals the in-session ADC search."""
