@@ -29,6 +29,7 @@ from dataproc_spark.extensions.approx import _md5_mod
 
 __all__ = [
     "hashed_ngram_buckets",
+    "ngram_feature_count",
     "quantized_log2",
     "train_nb_weights",
     "write_nb_model",
@@ -107,6 +108,28 @@ def hashed_ngram_buckets(
         ),
     ).otherwise(F.array().cast("array<long>"))
     return F.concat(unis, bis)
+
+
+def ngram_feature_count(
+    col: str | Column = "text", bigrams: bool = True
+) -> Column:
+    """``size(hashed_ngram_buckets(...))`` WITHOUT computing a single
+    hash: the feature count is ``#tokens + #bigrams`` by construction
+    (``#bigrams = max(#tokens - 1, 0)``), independent of bucket values.
+    r15 opt (guide §1.2 — don't compute things you throw away):
+    :func:`score_documents` previously derived ``n_feats`` via
+    ``F.size`` over the full hashed-feature expression, which re-ran
+    the per-token md5/xxhash chain over the whole corpus a second time
+    just to count the array."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    n_uni = F.size(toks)
+    if not bigrams:
+        return n_uni
+    return n_uni + F.greatest(n_uni - F.lit(1), F.lit(0))
 
 
 def quantized_log2(c: Column, scale: int = 1 << 12) -> Column:
@@ -439,7 +462,13 @@ def score_documents(
     ids = [F.col(c) for c in id_cols]
     feats = hashed_ngram_buckets(text_col, n_buckets, bigrams, salt,
                                  hash_fn)
-    base = df.select(*ids, F.size(feats).alias("n_feats"))
+    # n_feats is a pure COUNT — derive it hash-free (r15 opt: the old
+    # F.size(feats) re-ran the whole per-token md5 chain over the
+    # corpus a second time; ngram_feature_count is arithmetic on the
+    # token count and provably equal to size(feats) by construction)
+    base = df.select(
+        *ids, ngram_feature_count(text_col, bigrams).alias("n_feats")
+    )
     w = F.broadcast(weights) if broadcast_weights else weights
     sums = (
         df.select(*ids, F.explode(feats).alias("_bucket"))

@@ -896,14 +896,40 @@ def _kmeans_assign(
     return q.withColumn("cluster", F.array_min(F.array(*cands))["cid"])
 
 
-def embed_kmeans(
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — EXACTLY Spark's
+    IntegralDivide (``div``) on signed operands. The one-exchange
+    centroid update collects per-dimension sums and divides
+    driver-side, so the driver arithmetic must replicate ``div``;
+    Python's ``//`` FLOORS and would drift on negative sums."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _mean_update_rows(df: DataFrame, keys: list, vec_col: str, dim: int):
+    """Collected rows for a centroid update in ONE exchange (r15 opt,
+    guide §2.3 "aggregate before you shuffle"): per-``keys`` count plus
+    one ``sum`` per dimension over the array column — all partial
+    map-side, shuffle carries |keys| rows of (dim+1) longs. The
+    replaced shape ``posexplode → groupBy(keys, dim) → groupBy(keys)
+    collect_list`` multiplied shuffle rows ×dim and paid TWO exchanges
+    per Lloyd round. Callers derive means via :func:`_trunc_div` —
+    identical integer arithmetic to the old ``s div n`` column."""
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"_s{i}")
+        for i in range(dim)
+    ]
+    return df.groupBy(*keys).agg(*aggs).collect()
+
+
+def _embed_kmeans_impl(
     embeddings: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
-) -> DataFrame:
+):
     """Deterministic Lloyd k-means over integer-quantized embeddings —
     the clustering step behind domain discovery, cluster-balanced data
     mixes, and SemDeDup-style semantic grouping. Unlike MLlib KMeans
@@ -924,6 +950,13 @@ def embed_kmeans(
     (cluster, dim)-keyed aggregate per iteration — partial map-side
     combine, then ≤ k·dim rows. Iterations are a fixed small count, the
     caller's knob, so lineage stays shallow (no checkpoint needed).
+
+    Returns ``(assigned, q, centroids, dim)``: the final assignment
+    frame carrying (id, cluster, _v) over the persisted validated
+    projection ``q`` (the CALLER owns q's cache lifetime), plus the
+    final driver-side centroid table and vector dim — so composite
+    operators (IVFPQ) can reuse the quantized/validated/assigned rows
+    without a re-derivation join (r15 opt).
     """
     q = _spread(embeddings).select(
         F.col(id_col), quantize(vec_col, scale).alias("_v")
@@ -977,26 +1010,49 @@ def embed_kmeans(
             )
             .alias("_v"),
         )
+    dim = len(centroids[0][1]) if centroids else 0
     for _ in range(iters):
+        if not centroids:
+            break  # empty input: nothing to assign or update
         assigned = _kmeans_assign(q, centroids)
-        rows = (
-            assigned.select("cluster", F.posexplode("_v").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .withColumn("m", F.expr("s div n"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cluster", F.transform("dm", lambda x: x["m"]).alias("c"))
-            .collect()
+        # one-exchange update (r15 opt): count + per-dim sums with
+        # map-side combine; means derived driver-side with _trunc_div
+        # — bit-identical to the old per-(cluster, dim) `s div n`
+        rows = _mean_update_rows(
+            assigned.select("cluster", "_v"), ["cluster"], "_v", dim
         )
-        centroids = sorted((r["cluster"], list(r["c"])) for r in rows)
-    out = _kmeans_assign(q, centroids).select(id_col, "cluster")
+        centroids = sorted(
+            (
+                r["cluster"],
+                [_trunc_div(r[f"_s{i}"], r["_n"]) for i in range(dim)],
+            )
+            for r in rows
+        )
+    out = _kmeans_assign(q, centroids).select(id_col, "cluster", "_v")
     # the returned frame is LAZY: unpersisting here would force the
     # final assignment to recompute the whole spread+quantize scan (r8
-    # review finding) — tie the cache to the result's lifetime instead
+    # review finding) — the caller ties the cache to its result's
+    # lifetime (or reuses q directly)
+    return out, q, centroids, dim
+
+
+def embed_kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Public (id, cluster) view of :func:`_embed_kmeans_impl` — see
+    its docstring for the algorithm/exactness contract. The cache the
+    impl leaves persisted is tied to the returned frame's lifetime."""
     from dataproc_spark.core import release_cache_on_gc
 
-    return release_cache_on_gc(out, q)
+    out, q, _, _ = _embed_kmeans_impl(
+        embeddings, k, iters, id_col, vec_col, scale
+    )
+    return release_cache_on_gc(out.select(id_col, "cluster"), q)
 
 
 def hard_negatives(
@@ -1502,20 +1558,19 @@ def pq_train(
                 case = F.when(F.col("sub") == sub, sub_code) if case is None \
                     else case.when(F.col("sub") == sub, sub_code)
             exploded = spread.withColumn("code", case)
-        rows = (
-            exploded
-            .select("sub", "code", F.posexplode("sv").alias("dim", "val"))
-            .groupBy("sub", "code", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .withColumn("mval", F.expr("s div n"))
-            .groupBy("sub", "code")
-            .agg(F.array_sort(F.collect_list(
-                F.struct("dim", "mval"))).alias("dm"))
-            .select("sub", "code",
-                    F.transform("dm", lambda x: x["mval"]).alias("c"))
-            .collect()
+        # one-exchange update (r15 opt): count + per-dim sums per
+        # (sub, code) with map-side combine — no posexplode row ×subdim
+        # blowup, no second collect_list exchange; driver _trunc_div
+        # replicates `s div n` bit-for-bit
+        rows = _mean_update_rows(exploded, ["sub", "code"], "sv", subdim)
+        codebooks = sorted(
+            (
+                r["sub"],
+                r["code"],
+                [_trunc_div(r[f"_s{i}"], r["_n"]) for i in range(subdim)],
+            )
+            for r in rows
         )
-        codebooks = sorted((r["sub"], r["code"], list(r["c"])) for r in rows)
     q.unpersist()
     return codebooks
 
@@ -1584,6 +1639,72 @@ def pq_codebook_frame(spark, codebooks: list) -> DataFrame:
     )
 
 
+def _pq_lut_frame(
+    qs: DataFrame, codebooks: list, m: int, subdim: int, who: str
+) -> DataFrame:
+    """``(qid, sub, code, d)`` ADC lookup table from a ``(qid, _qv)``
+    frame — one Arrow stage, all pairwise squared-L2 terms out of
+    vectorized int64 numpy (exactly Spark's long arithmetic; overflow
+    needs |element| ≳ 2^31 per term, far beyond quantized embeddings).
+    The codebook rides in the kernel closure as per-sub arrays, so no
+    literal expression tree exists to re-analyze/re-compile per call
+    (r15 opt — see the call-site comments). NULL or wrong-dim query
+    vectors raise with the offending qid (fail-loud; the replaced
+    expression silently produced NULL distances for them)."""
+    import numpy as np
+    import pandas as pd
+
+    dim = m * subdim
+    per_sub = []
+    for s in range(m):
+        entries = sorted(
+            (int(c), [int(x) for x in v])
+            for sub, c, v in codebooks if sub == s
+        )
+        per_sub.append((
+            np.array([c for c, _ in entries], dtype=np.int64),
+            np.array([v for _, v in entries], dtype=np.int64),
+        ))
+    qid_t = qs.schema["qid"].dataType.simpleString()
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf["_qv"].tolist()
+            for qid, v in zip(pdf["qid"], vals):
+                if v is None or len(v) != dim or any(
+                    x is None for x in v
+                ):
+                    raise ValueError(
+                        f"{who}: query vectors must be {dim}-dim with "
+                        f"no NULL elements; offending qid={qid!r}"
+                    )
+            qv = np.array(vals, dtype=np.int64)
+            qids, subs, codes_out, ds = [], [], [], []
+            for s in range(m):
+                code_ids, cents = per_sub[s]
+                sv = qv[:, s * subdim:(s + 1) * subdim]
+                diff = sv[:, None, :] - cents[None, :, :]
+                d = (diff * diff).sum(axis=2)  # [n, n_codes]
+                n, c = d.shape
+                qids.append(np.repeat(np.arange(n), c))
+                subs.append(np.full(n * c, s, dtype=np.int64))
+                codes_out.append(np.tile(code_ids, n))
+                ds.append(d.reshape(-1))
+            qi = np.concatenate(qids)
+            yield pd.DataFrame({
+                "qid": pdf["qid"].to_numpy()[qi],
+                "sub": np.concatenate(subs),
+                "code": np.concatenate(codes_out),
+                "d": np.concatenate(ds),
+            })
+
+    return qs.mapInPandas(
+        kernel, schema=f"qid {qid_t}, sub int, code int, d long"
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -1617,34 +1738,17 @@ def pq_adc_topk(
         quantize(vec_col, scale).alias("_qv"),
     )
     # LUT: one row per (qid, sub, code) — squared L2 between the exact
-    # query subvector and the centroid. The codebook is a driver-side
-    # list, so it travels as ONE literal struct array exploded per
-    # query — map-only, no join (a crossJoin here would plan as a
-    # BroadcastNestedLoopJoin the plan-audit test rightly rejects)
-    cb_lit = F.array(*[
-        F.struct(
-            F.lit(int(s)).alias("sub"),
-            F.lit(int(c)).alias("code"),
-            F.array(*[F.lit(int(x)).cast("long") for x in v])
-            .alias("centroid"),
-        )
-        for s, c, v in codebooks
-    ])
-    lut = (
-        qs.select("qid", "_qv", F.explode(cb_lit).alias("e"))
-        .select(
-            "qid", F.col("e.sub").alias("sub"), F.col("e.code").alias("code"),
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("_qv"), F.col("e.sub") * subdim + 1, subdim),
-                    F.col("e.centroid"),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("d"),
-        )
-    )
+    # query subvector and the centroid, computed in ONE Arrow kernel
+    # (r15 opt). The previous shape exploded the codebook as a literal
+    # struct array (m·codes structs × subdim literals each) with an
+    # interpreted zip_with/aggregate per element: the literal tree
+    # changes with every trained codebook, so Catalyst re-analyzes and
+    # codegen recompiles it on EVERY call — measured as multi-second
+    # driver stalls on a 2000-row corpus (guide §7.3 planning cost,
+    # §4.2 hand batches to numpy). A crossJoin against the codebook
+    # frame would plan as a BroadcastNestedLoopJoin (plan-audit reject).
+    # numpy int64 arithmetic == Spark long arithmetic exactly.
+    lut = _pq_lut_frame(qs, codebooks, m, subdim, "pq_adc_topk")
     exploded = codes.select(
         F.col(id_col).alias("id"), F.posexplode("codes").alias("sub", "code")
     )
@@ -1813,41 +1917,59 @@ def ivfpq_topk(
     each beyond the bucketed-join shape of :func:`bucketed_topk`."""
     from dataproc_spark.core import release_cache_on_gc
 
-    cell_of = embed_kmeans(
+    # r15 opt: take the assignment WITH its quantized vectors straight
+    # from the kmeans impl — the old shape re-derived spread+quantize
+    # from scratch and equi-joined the (id, cluster) view back on, a
+    # full extra scan plus a join exchange for rows the impl already
+    # had cached as (id, _v, cluster)
+    assigned, kq, _, dim = _embed_kmeans_impl(
         embeddings, k=cells, iters=cell_iters, id_col=id_col,
         vec_col=vec_col, scale=scale,
     )
+    q = assigned.persist()
     # centroids recomputed exactly as embed_kmeans' final update would:
-    # integer mean per (cluster, dim) over the final assignment
-    q = _spread(embeddings).select(
-        F.col(id_col), quantize(vec_col, scale).alias("_v")
-    ).join(cell_of, id_col).persist()
-    cent_rows = (
-        q.select("cluster", F.posexplode("_v").alias("dim", "val"))
-        .groupBy("cluster", "dim")
-        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-        .withColumn("m", F.expr("s div n"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-        .select("cluster", F.transform("dm", lambda x: x["m"]).alias("c"))
-        .collect()
+    # integer mean per (cluster, dim) over the final assignment — the
+    # same one-exchange count+sums update as the training rounds
+    cent_rows = _mean_update_rows(
+        q.select("cluster", "_v"), ["cluster"], "_v", dim
     )
-    centroids = sorted((int(r["cluster"]), list(r["c"])) for r in cent_rows)
-    cent_lit = {cid: F.array(*[F.lit(int(x)).cast("long") for x in c])
-                for cid, c in centroids}
+    centroids = sorted(
+        (
+            int(r["cluster"]),
+            [_trunc_div(r[f"_s{i}"], r["_n"]) for i in range(dim)],
+        )
+        for r in cent_rows
+    )
+    # residuals: vector − assigned cell centroid, as ONE Arrow kernel
+    # (r15 opt): the previous literal CASE-over-centroid-arrays +
+    # zip_with was a cells×dim literal tree re-analyzed and recompiled
+    # per call (centroids change every run — nothing compiles twice;
+    # guide §7.3/§4.2), with an interpreted lambda per element. numpy
+    # int64 subtraction is bit-identical.
+    import numpy as np
+    import pandas as pd
 
-    def centroid_for(cluster_col: F.Column) -> F.Column:
-        expr = None
-        for cid, lit in cent_lit.items():
-            expr = F.when(cluster_col == cid, lit) if expr is None \
-                else expr.when(cluster_col == cid, lit)
-        return expr
+    if not centroids:
+        raise ValueError("ivfpq_topk: empty embeddings frame")
+    cent_np = {cid: np.array(c, dtype=np.int64) for cid, c in centroids}
+    idt = q.schema[id_col].dataType.simpleString()
 
-    # residuals: vector - assigned cell centroid (map-only)
-    resid = q.select(
-        F.col(id_col), F.col("cluster"),
-        F.zip_with("_v", centroid_for(F.col("cluster")),
-                   lambda x, y: x - y).alias("_r"),
+    def _resid_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["_v"].tolist(), dtype=np.int64)
+            cl = pdf["cluster"].to_numpy()
+            cmat = np.stack([cent_np[int(c)] for c in cl])
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"],
+                "_r": list(v - cmat),
+            })
+
+    resid = q.mapInPandas(
+        _resid_kernel,
+        schema=f"{id_col} {idt}, cluster int, _r array<long>",
     )
     # PQ on residuals: train + encode via the existing machinery over a
     # synthetic "embedding" float view is wrong (residuals are already
@@ -1870,54 +1992,76 @@ def ivfpq_topk(
     qs = queries.select(
         F.col(id_col).alias("qid"), quantize(vec_col, scale).alias("_qv")
     )
-    cell_cands = []
-    for cid, lit in cent_lit.items():
-        d = F.aggregate(
-            F.zip_with("_qv", lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"), lambda acc, v: acc + v,
-        )
-        cell_cands.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    probed = (
-        qs.select(
-            "qid", "_qv",
-            F.slice(F.array_sort(F.array(*cell_cands)), 1, n_probe)
-            .alias("_cells"),
-        )
-        .select("qid", "_qv", F.explode("_cells").alias("pc"))
-        .select("qid", "_qv", F.col("pc.cid").alias("cluster"))
-    )
-    # query residual per probed cell, then the (sub, code) LUT exactly
-    # as pq_adc_topk builds it — exploded from the literal codebook
+    # probe + residual LUT in ONE Arrow kernel (r15 opt — the same
+    # literal-tree removal as the residual kernel above and
+    # _pq_lut_frame): per query, exact int64 distance to every cell
+    # centroid, n_probe smallest by (d, cid) [the array_sort struct
+    # semantics], then the (sub, code) squared-L2 table against the
+    # query residual per probed cell. The replaced shape built a
+    # cells×dim literal argmin array PLUS an m·codes×subdim literal
+    # codebook explode with interpreted zip_with/aggregate per element.
     _, subdim = _pq_geometry(cb)
-    cb_lit = F.array(*[
-        F.struct(
-            F.lit(int(s)).alias("sub"),
-            F.lit(int(c)).alias("code"),
-            F.array(*[F.lit(int(x)).cast("long") for x in v])
-            .alias("centroid"),
+    cent_sorted = sorted(cent_np)
+    cent_mat = np.stack([cent_np[c] for c in cent_sorted])
+    cent_ids = np.array(cent_sorted, dtype=np.int64)
+    cb_per_sub = []
+    for s in range(m):
+        entries = sorted(
+            (int(c), [int(x) for x in v]) for sub, c, v in cb if sub == s
         )
-        for s, c, v in cb
-    ])
-    lut = (
-        probed.select(
-            "qid", "cluster",
-            F.zip_with("_qv", centroid_for(F.col("cluster")),
-                       lambda x, y: x - y).alias("_qr"),
-        )
-        .select("qid", "cluster", "_qr", F.explode(cb_lit).alias("e"))
-        .select(
-            "qid", "cluster",
-            F.col("e.sub").alias("sub"), F.col("e.code").alias("code"),
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("_qr"), F.col("e.sub") * subdim + 1,
-                            subdim),
-                    F.col("e.centroid"),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("long"), lambda acc, v: acc + v,
-            ).alias("d"),
-        )
+        cb_per_sub.append((
+            np.array([c for c, _ in entries], dtype=np.int64),
+            np.array([v for _, v in entries], dtype=np.int64),
+        ))
+    qid_t = qs.schema["qid"].dataType.simpleString()
+
+    def _probe_lut_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf["_qv"].tolist()
+            for qid, v in zip(pdf["qid"], vals):
+                if v is None or len(v) != dim or any(
+                    x is None for x in v
+                ):
+                    raise ValueError(
+                        f"ivfpq_topk: query vectors must be {dim}-dim "
+                        f"with no NULL elements; offending qid={qid!r}"
+                    )
+            qv = np.array(vals, dtype=np.int64)
+            diff = qv[:, None, :] - cent_mat[None, :, :]
+            cd = (diff * diff).sum(axis=2)  # [n, cells]
+            qids, cls, subs, codes_out, ds = [], [], [], [], []
+            n_take = min(n_probe, len(cent_ids))
+            for i in range(len(qv)):
+                order = np.lexsort((cent_ids, cd[i]))[:n_take]
+                for ci in order:
+                    cid = int(cent_ids[ci])
+                    qr = qv[i] - cent_mat[ci]
+                    for s in range(m):
+                        code_ids, cents = cb_per_sub[s]
+                        sv = qr[s * subdim:(s + 1) * subdim]
+                        d = ((sv[None, :] - cents) ** 2).sum(axis=1)
+                        c = len(code_ids)
+                        qids.append(np.full(c, i, dtype=np.int64))
+                        cls.append(np.full(c, cid, dtype=np.int64))
+                        subs.append(np.full(c, s, dtype=np.int64))
+                        codes_out.append(code_ids)
+                        ds.append(d)
+            if not qids:
+                continue
+            qi = np.concatenate(qids)
+            yield pd.DataFrame({
+                "qid": pdf["qid"].to_numpy()[qi],
+                "cluster": np.concatenate(cls),
+                "sub": np.concatenate(subs),
+                "code": np.concatenate(codes_out),
+                "d": np.concatenate(ds),
+            })
+
+    lut = qs.mapInPandas(
+        _probe_lut_kernel,
+        schema=f"qid {qid_t}, cluster int, sub int, code int, d long",
     )
     exploded = corpus_codes.select(
         F.col(id_col).alias("id"), "cluster",
@@ -1947,4 +2091,6 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("qid", "id", "d_adc", F.col("rank").cast("int").alias("rank"))
     )
-    return release_cache_on_gc(out, q)
+    # two pins: the assignment cache (q) and the kmeans impl's
+    # quantized projection (kq) both back lazy subtrees of `out`
+    return release_cache_on_gc(release_cache_on_gc(out, q), kq)

@@ -669,13 +669,40 @@ def q_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ub = docs.select(F.explode(toks).alias("g")).distinct().select(
-        "g", _md5_mod(F.col("g"), "#ftzu", n_buckets).alias("bucket")
+    # ONE tokenize+explode+distinct pass for both arities (r15 opt,
+    # guide §2.4): the old per-arity branches each scanned the corpus
+    # and paid their own distinct Exchange; tagging each gram with its
+    # arity and distinct-ing (arity, g) once yields the same per-arity
+    # distinct sets — a unigram and bigram spelling can only collide
+    # WITH its arity tag, exactly as in the two-branch union — while
+    # halving the corpus scans (2 Exchange → 1). md5 runs after the
+    # distinct, once per surviving gram, per-arity salt preserved.
+    grams = docs.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    toks,
+                    lambda t: F.struct(
+                        F.lit("u").alias("a"), t.alias("g")
+                    ),
+                ),
+                F.transform(
+                    bigs,
+                    lambda t: F.struct(
+                        F.lit("b").alias("a"), t.alias("g")
+                    ),
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.g").distinct()
+    vocab = grams.select(
+        "g",
+        F.when(
+            F.col("a") == "u", _md5_mod(F.col("g"), "#ftzu", n_buckets)
+        )
+        .otherwise(_md5_mod(F.col("g"), "#ftzb", n_buckets))
+        .alias("bucket"),
     )
-    bb = docs.select(F.explode(bigs).alias("g")).distinct().select(
-        "g", _md5_mod(F.col("g"), "#ftzb", n_buckets).alias("bucket")
-    )
-    vocab = ub.unionAll(bb)
     vowels = F.length(F.col("g")) - F.length(
         F.regexp_replace(F.col("g"), "[aeiou]", "")
     )
