@@ -110,6 +110,79 @@ def hashed_ngram_buckets(
     return F.concat(unis, bis)
 
 
+def _ngram_bucket_rows(
+    df: DataFrame,
+    keep_cols: list,
+    text_col: str,
+    n_buckets: int,
+    bigrams: bool,
+    salt: str,
+    hash_fn: str,
+) -> DataFrame:
+    """Exploded ``(keep_cols..., _bucket)`` feature rows — the shape
+    :func:`train_nb_weights` aggregates and :func:`score_documents`
+    joins. For the md5 (oracle-portable) hash this runs tokenization
+    in the JVM (``lower``/``split`` — locale/regex semantics stay
+    EXACTLY Spark's) and hands the token arrays to ONE Arrow kernel
+    for the md5→hex→mod chain, which is byte-exact in any runtime
+    (md5 over UTF-8 bytes). r15 opt: the previous
+    ``explode(hashed_ngram_buckets(...))`` evaluated the per-token
+    md5 chain inside ``transform`` lambdas, which Catalyst never
+    compiles — interpreted eval measured ~170 µs/feature (2.6 s × 32
+    tasks at the sf0.1 gate for ~5 × 10⁵ features); the hashlib loop
+    is ~2 µs/feature. ``xxhash64`` keeps the expression path (Spark's
+    seed/implementation is not portably replicated in Python)."""
+    if hash_fn != "md5":
+        feats = hashed_ngram_buckets(
+            text_col, n_buckets, bigrams, salt, hash_fn
+        )
+        return df.select(*keep_cols, F.explode(feats).alias("_bucket"))
+    import pandas as pd
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    src = df.select(*keep_cols, toks.alias("_toks"))
+    su = f"#{salt}u".encode("utf-8")
+    sb = f"#{salt}b".encode("utf-8")
+    names = list(keep_cols)
+    key_types = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields[:-1]
+    )
+
+    def kernel(batches):
+        from hashlib import md5 as _md5
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buckets: list = []
+            reps: list = []
+            for tarr in pdf["_toks"]:
+                t = [s.encode("utf-8") for s in tarr]
+                row = [
+                    int(_md5(w + su).hexdigest()[:8], 16) % n_buckets
+                    for w in t
+                ]
+                if bigrams and len(t) >= 2:
+                    row.extend(
+                        int(_md5(a + b" " + b + sb).hexdigest()[:8], 16)
+                        % n_buckets
+                        for a, b in zip(t, t[1:])
+                    )
+                buckets.append(row)
+                reps.append(len(row))
+            out = {
+                n: pdf[n].to_numpy().repeat(reps) for n in names
+            }
+            out["_bucket"] = [b for row in buckets for b in row]
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kernel, schema=f"{key_types}, _bucket long")
+
+
 def ngram_feature_count(
     col: str | Column = "text", bigrams: bool = True
 ) -> Column:
@@ -233,10 +306,12 @@ def train_nb_weights(
             "skews every prior; filter or impute explicitly first"
         )))
     )
-    feats = hashed_ngram_buckets(text_col, n_buckets, bigrams, salt,
-                                 hash_fn)
     counts = (
-        df.select(lab.alias("label"), F.explode(feats).alias("bucket"))
+        _ngram_bucket_rows(
+            df.select(lab.alias("label"), F.col(text_col).alias("_t")),
+            ["label"], "_t", n_buckets, bigrams, salt, hash_fn,
+        )
+        .withColumnRenamed("_bucket", "bucket")
         .groupBy("label", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
     ).persist()
@@ -460,8 +535,6 @@ def score_documents(
         df, ["label", "score", "n_feats", "_bucket"], "score_documents"
     )
     ids = [F.col(c) for c in id_cols]
-    feats = hashed_ngram_buckets(text_col, n_buckets, bigrams, salt,
-                                 hash_fn)
     # n_feats is a pure COUNT — derive it hash-free (r15 opt: the old
     # F.size(feats) re-ran the whole per-token md5 chain over the
     # corpus a second time; ngram_feature_count is arithmetic on the
@@ -471,7 +544,10 @@ def score_documents(
     )
     w = F.broadcast(weights) if broadcast_weights else weights
     sums = (
-        df.select(*ids, F.explode(feats).alias("_bucket"))
+        _ngram_bucket_rows(
+            df.select(*ids, F.col(text_col)), list(id_cols), text_col,
+            n_buckets, bigrams, salt, hash_fn,
+        )
         .join(w, F.col("_bucket") == F.col("bucket"), "inner")
         .groupBy(*id_cols, "label")
         .agg(F.sum("w").cast("long").alias("_dot"))
