@@ -37,6 +37,8 @@ def main() -> None:
     warm.selectExpr(
         "k", "row_number() over (partition by k % 7 order by k) as rn"
     ).where("rn <= 2").count()
+    # r15: python-worker-pool warmup, mirroring bench.py
+    spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, "id long").count()
 
     qs = registry.queries()
     total = 0.0
