@@ -335,7 +335,8 @@ def image_near_dup_256(
 
 
 def synthesize_scale_ppms(
-    df: DataFrame, id_col: str = "doc_id", groups: int = 29
+    df: DataFrame, id_col: str = "doc_id", groups: int = 29,
+    spread: bool = True,
 ) -> DataFrame:
     """Deterministic fixture generator for the 256-bit multi-scale
     dHash (the :func:`synthesize_cell_ppms` idea at 18×18 — the
@@ -382,13 +383,17 @@ def synthesize_scale_ppms(
     # downstream fingerprint kernel on one task (r15 profile: the
     # whole image_dedup hash pass ran as ONE 2.6 s task). Only ids
     # move in the spread shuffle — payloads are generated after it.
-    return spread_narrow(df.select(id_col), id_col).mapInPandas(
+    ids = df.select(id_col)
+    if spread:
+        ids = spread_narrow(ids, id_col)
+    return ids.mapInPandas(
         kernel, schema="media_id long, payload binary"
     )
 
 
 def synthesize_cell_ppms(
-    df: DataFrame, id_col: str = "doc_id", groups: int = 29
+    df: DataFrame, id_col: str = "doc_id", groups: int = 29,
+    spread: bool = True,
 ) -> DataFrame:
     """Deterministic dHash fixture generator (tests/oracles): each id
     becomes a 9×8 binary PPM whose PIXELS are exactly the dHash grid
@@ -440,7 +445,10 @@ def synthesize_cell_ppms(
     # downstream fingerprint kernel on one task (r15 profile: the
     # whole image_dedup hash pass ran as ONE 2.6 s task). Only ids
     # move in the spread shuffle — payloads are generated after it.
-    return spread_narrow(df.select(id_col), id_col).mapInPandas(
+    ids = df.select(id_col)
+    if spread:
+        ids = spread_narrow(ids, id_col)
+    return ids.mapInPandas(
         kernel, schema="media_id long, payload binary"
     )
 
@@ -569,7 +577,8 @@ def audio_near_dup(
 
 
 def synthesize_envelope_wavs(
-    df: DataFrame, id_col: str = "doc_id", groups: int = 29
+    df: DataFrame, id_col: str = "doc_id", groups: int = 29,
+    spread: bool = True,
 ) -> DataFrame:
     """Deterministic envelope-hash fixture generator (the
     :func:`synthesize_cell_ppms` of audio): each id becomes a 65-frame
@@ -608,6 +617,9 @@ def synthesize_envelope_wavs(
     # downstream fingerprint kernel on one task (r15 profile: the
     # whole image_dedup hash pass ran as ONE 2.6 s task). Only ids
     # move in the spread shuffle — payloads are generated after it.
-    return spread_narrow(df.select(id_col), id_col).mapInPandas(
+    ids = df.select(id_col)
+    if spread:
+        ids = spread_narrow(ids, id_col)
+    return ids.mapInPandas(
         kernel, schema="media_id long, payload binary"
     )

@@ -273,7 +273,7 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
     return pruned.mapInPandas(kernel, schema=IMAGE_STATS_SCHEMA)
 
 
-def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_images(df: DataFrame, id_col: str = "doc_id", spread: bool = True) -> DataFrame:
     """Deterministic media synthesis for tests/oracles: each id becomes a
     small RGB image — pixel sample ``k`` is ``(id*31 + k) % 256`` over a
     ``(3 + id%7) x (4 + id%13)`` frame — encoded as a REAL PNG (even ids)
@@ -310,15 +310,22 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # spread shuffle, payloads are generated after it)
     from dataproc_spark.core import spread_narrow
 
-    return spread_narrow(df.select(id_col), id_col).mapInPandas(
-        kernel, schema=MEDIA_SCHEMA
-    )
+    src_ids = df.select(id_col)
+    # spread=False keeps the input's own split count — right for light
+    # consumers (single-pass decode-stats gates) where the exchange +
+    # 32-way task overhead measured LARGER than the parallelism win
+    # (r15: audio_decode 0.48 s -> 1.54 s under the spread; the heavy
+    # fingerprint/dedup consumers keep the default)
+    if spread:
+        src_ids = spread_narrow(src_ids, id_col)
+    return src_ids.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
 def synthesize_jpegs(
     df: DataFrame,
     id_col: str = "doc_id",
     progressive_every: int | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """Deterministic JPEG synthesis for tests/oracles: each id becomes a
     grayscale baseline JPEG of ``(2 + id%3) × (1 + id%2)`` constant 8×8
@@ -399,9 +406,15 @@ def synthesize_jpegs(
     # spread shuffle, payloads are generated after it)
     from dataproc_spark.core import spread_narrow
 
-    return spread_narrow(df.select(id_col), id_col).mapInPandas(
-        kernel, schema=MEDIA_SCHEMA
-    )
+    src_ids = df.select(id_col)
+    # spread=False keeps the input's own split count — right for light
+    # consumers (single-pass decode-stats gates) where the exchange +
+    # 32-way task overhead measured LARGER than the parallelism win
+    # (r15: audio_decode 0.48 s -> 1.54 s under the spread; the heavy
+    # fingerprint/dedup consumers keep the default)
+    if spread:
+        src_ids = spread_narrow(src_ids, id_col)
+    return src_ids.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
 #: Output of the JPEG header-walk stage.
@@ -714,7 +727,7 @@ def _decode_wav_bytes(buf: bytes):
     return sample_rate, channels, np.frombuffer(data, dtype="<i2")
 
 
-def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id", spread: bool = True) -> DataFrame:
     """Deterministic audio synthesis for tests/oracles: each id becomes a
     short PCM16 clip — interleaved sample ``k`` is
     ``((id*37 + k*13) % 4001) - 2000`` over ``32 + id%41`` frames,
@@ -771,9 +784,15 @@ def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # spread shuffle, payloads are generated after it)
     from dataproc_spark.core import spread_narrow
 
-    return spread_narrow(df.select(id_col), id_col).mapInPandas(
-        kernel, schema=AUDIO_SCHEMA
-    )
+    src_ids = df.select(id_col)
+    # spread=False keeps the input's own split count — right for light
+    # consumers (single-pass decode-stats gates) where the exchange +
+    # 32-way task overhead measured LARGER than the parallelism win
+    # (r15: audio_decode 0.48 s -> 1.54 s under the spread; the heavy
+    # fingerprint/dedup consumers keep the default)
+    if spread:
+        src_ids = spread_narrow(src_ids, id_col)
+    return src_ids.mapInPandas(kernel, schema=AUDIO_SCHEMA)
 
 
 def decode_audio_stats(media: DataFrame) -> DataFrame:

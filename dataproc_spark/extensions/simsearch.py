@@ -1970,7 +1970,9 @@ def ivfpq_topk(
     resid = q.mapInPandas(
         _resid_kernel,
         schema=f"{id_col} {idt}, cluster int, _r array<long>",
-    )
+    ).persist()  # consumed by BOTH pq_train and pq_encode — an opaque
+    # kernel recomputes fully per consumer otherwise (pruning cannot
+    # reach inside mapInPandas)
     # PQ on residuals: train + encode via the existing machinery over a
     # synthetic "embedding" float view is wrong (residuals are already
     # quantized longs) — train directly on the long vectors with
@@ -1982,8 +1984,11 @@ def ivfpq_topk(
                   id_col=id_col, vec_col="embedding", scale=1)
     enc = pq_encode(as_float_free, cb, id_col=id_col,
                     vec_col="embedding", scale=1)
+    # the (id, cluster) join side comes off the CACHED assignment, not
+    # off resid — resid.select(id, cluster) would re-run the residual
+    # kernel just to drop its output column (r15 opt follow-up)
     corpus_codes = enc.join(
-        resid.select(id_col, "cluster"), id_col
+        q.select(F.col(id_col), F.col("cluster")), id_col
     )
 
     # query side: probe the n_probe nearest cells by exact centroid
@@ -2091,6 +2096,8 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("qid", "id", "d_adc", F.col("rank").cast("int").alias("rank"))
     )
-    # two pins: the assignment cache (q) and the kmeans impl's
-    # quantized projection (kq) both back lazy subtrees of `out`
-    return release_cache_on_gc(release_cache_on_gc(out, q), kq)
+    # three pins: the assignment cache (q), the kmeans impl's quantized
+    # projection (kq), and the residual cache all back lazy subtrees
+    out = release_cache_on_gc(out, q)
+    out = release_cache_on_gc(out, kq)
+    return release_cache_on_gc(out, resid)

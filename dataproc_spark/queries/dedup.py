@@ -1035,9 +1035,15 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays engine-identical. Plan: map-only extraction → ONE broadcast
     media join (payloads ship once) → ONE Arrow hash stage → ONE
     fingerprint-keyed collapse shuffle carrying (hash, id, caption)."""
+    from dataproc_spark.core import spread_narrow
     from dataproc_spark.extensions import imagehash, web as webx
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread the single-split id scan before the CPU-bound page
+    # render → extract_images → pairing chain: profiled as ONE 1.9 s
+    # task at sf0.1 (guide §2.5 input skew; only 8-byte ids shuffle)
+    docs = spread_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     did = F.col("doc_id").cast("string")
     p = (F.col("doc_id") % 41).cast("string")
     arm = F.col("doc_id") % 3
@@ -1063,28 +1069,39 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = imagehash.synthesize_cell_ppms(
         docs.select((F.col("doc_id") % 41).alias("doc_id")).distinct(),
         groups=41,
+        # 41 rows by construction: spreading them to 32 partitions is
+        # an exchange + 32 near-empty Arrow tasks for nothing (r15 opt)
+        spread=False,
     ).select(
         F.concat(F.lit("https://m.example/d/m"),
                  F.col("media_id").cast("string"),
                  F.lit(".ppm")).alias("url"),
         "payload",
     )
+    from dataproc_spark.core import release_cache_on_gc
+
+    # persist the extraction+pairing output: BOTH the dHash branch and
+    # the caption join consume `pairs`, and without the pin each branch
+    # re-ran the whole render→parse→pair chain (profiled as the two
+    # dominant stages of the gate — guide §5, persist exactly the
+    # subtree two plan branches share)
     pairs = webx.image_text_pairs(
         webx.extract_images(pages), media,
         require_caption=True, broadcast_media=True,
-    )
+    ).persist()
     fps = imagehash.image_dhash(
         pairs.select(F.col("doc_id").alias("media_id"), "payload")
     ).select(F.col("media_id").alias("doc_id"), "dhash")
     joined = pairs.select("doc_id", "img_url", "caption").join(
         fps, "doc_id"
     )
-    return joined.groupBy("dhash").agg(
+    out = joined.groupBy("dhash").agg(
         F.min("doc_id").alias("doc_id"),
         F.min_by("img_url", "doc_id").alias("img_url"),
         F.min_by("caption", "doc_id").alias("caption"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
     ).select("doc_id", "img_url", "caption", "n_copies")
+    return release_cache_on_gc(out, pairs)
 
 
 SQL_MULTIMODAL_PIPELINE = """

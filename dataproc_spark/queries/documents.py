@@ -582,7 +582,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    return decode_image_stats(synthesize_images(docs))
+    # spread=False: single light decode pass — the spread exchange
+    # measured slower than the 1-split plan here (r15 opt)
+    return decode_image_stats(synthesize_images(docs, spread=False))
 
 
 SQL_MULTIMODAL_DECODE = """
@@ -618,7 +620,9 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    return resize_image_stats(synthesize_images(docs), width=8, height=8)
+    return resize_image_stats(
+        synthesize_images(docs, spread=False), width=8, height=8
+    )
 
 
 SQL_MULTIMODAL_RESIZE = """
@@ -669,7 +673,9 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    return decode_audio_stats(synthesize_audio(docs))
+    # spread=False: single light decode pass — the spread exchange
+    # measured slower than the 1-split plan here (r15 opt)
+    return decode_audio_stats(synthesize_audio(docs, spread=False))
 
 
 SQL_AUDIO_DECODE = """
