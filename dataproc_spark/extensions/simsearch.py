@@ -1926,6 +1926,10 @@ def ivfpq_topk(
         embeddings, k=cells, iters=cell_iters, id_col=id_col,
         vec_col=vec_col, scale=scale,
     )
+    # persisted: `assigned` is itself an Arrow stage (the kmeans
+    # assignment kernel) with THREE consumers (centroid recompute,
+    # residuals, the code/cluster join) — without the pin each would
+    # re-run the kernel over the kq cache
     q = assigned.persist()
     # centroids recomputed exactly as embed_kmeans' final update would:
     # integer mean per (cluster, dim) over the final assignment — the
