@@ -291,7 +291,7 @@ def main() -> None:
             "k", "row_number() over (partition by k % 7 order by k) as rn"
         ).where("rn <= 2").count()
         # r15: warm the PYTHON WORKER POOL the same way the lines above
-        # warm JVM classes — one trivial 32-partition Arrow stage spawns
+        # warm JVM classes — one trivial 64-partition Arrow stage spawns
         # every worker and imports pandas/pyarrow in them ONCE, so the
         # first measured Arrow/pandas query (resolve_buckets in the
         # headline) doesn't absorb ~2-3 s of per-session worker spawn
