@@ -35,6 +35,24 @@ def _spread(df: DataFrame) -> DataFrame:
     return spread_narrow(df)
 
 
+#: bytes/task for the BYTE-SIZED spread of vector frames feeding numpy
+#: matmul kernels (k-means assignment, PQ coding): per-byte CPU there is
+#: tiny, so partition count should track data size, not core count — a
+#: 1 MB gate corpus in 1-2 partitions pays 1-2 Arrow round trips per
+#: Lloyd round instead of 32 (measured 0.48 → 0.22 s/round), while 100×
+#: the bytes still fans out to every core (r15 opt round 2, guide §2 —
+#: scale-adaptive partitioning).
+VEC_SPREAD_TARGET_BYTES = 4 * 1024 * 1024
+
+
+def _spread_vectors(df: DataFrame) -> DataFrame:
+    """:func:`_spread` with :data:`VEC_SPREAD_TARGET_BYTES` — for the
+    matmul-kernel training paths only."""
+    from dataproc_spark.core import spread_narrow
+
+    return spread_narrow(df, target_bytes=VEC_SPREAD_TARGET_BYTES)
+
+
 def quantize(col, scale: int = 1000) -> F.Column:
     """Scalar-quantize a float vector to a long vector (exact integers)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -922,6 +940,122 @@ def _mean_update_rows(df: DataFrame, keys: list, vec_col: str, dim: int):
     return df.groupBy(*keys).agg(*aggs).collect()
 
 
+def _combine_partials(rows) -> dict:
+    """Driver-side combine of per-partition (key → (n, sumvec)) partial
+    rows from the fused update kernels: plain integer addition, order-
+    independent, so the result is identical to a JVM ``sum`` aggregate
+    over the same rows (both are exact int64 sums far below overflow —
+    quantized components are bounded by ``scale``·‖emb‖∞). Keys are the
+    kernels' scalar or tuple group keys."""
+    comb: dict = {}
+    for key, n, s in rows:
+        if key in comb:
+            n0, s0 = comb[key]
+            comb[key] = (n0 + n, [a + b for a, b in zip(s0, s)])
+        else:
+            comb[key] = (n, list(s))
+    return comb
+
+
+def _kmeans_iter_update(
+    q: DataFrame, centroids: list[tuple[int, list[int]]]
+) -> dict:
+    """ONE Lloyd round — assignment AND per-cluster (count, per-dim
+    sums) — as a single map-only Arrow kernel with the partials
+    combined driver-side (r15 opt round 2). The previous shape
+    (assignment kernel → 1+dim-column JVM aggregate → collect) paid
+    ~0.85 s of PLAN-freshness cost per round at the gate geometry:
+    centroid literals change every iteration, so Catalyst re-analyzes
+    and codegen recompiles the wide aggregate for every round (measured
+    0.92 s/round vs 0.07 s re-executing the identical plan; the fused
+    kernel rounds measure ~0.48 s). The shuffle disappears entirely —
+    each task emits ≤ k partial rows, the driver combines ≤ k ×
+    partitions rows (bounded, never corpus-sized). Bit-exactness: the
+    argmin is :func:`_kmeans_assign`'s Arrow formula unchanged;
+    np.add.at/np.bincount are exact int64 sums; integer addition is
+    order-independent, so the combined sums equal the JVM aggregate's
+    (parity-pinned by test)."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    cmat = np.array([c for _, c in centroids], dtype=np.int64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    k = len(cids)
+
+    def kernel(batches):
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, cmat.shape[1]), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["_v"].tolist(), dtype=np.int64)
+            d = ((x * x).sum(axis=1, keepdims=True)
+                 - 2 * (x @ cmat.T) + cnorm)
+            a = np.argmin(d, axis=1)
+            counts += np.bincount(a, minlength=k)
+            np.add.at(sums, a, x)
+        hit = np.nonzero(counts)[0]
+        if not len(hit):
+            return
+        yield pd.DataFrame({
+            "cluster": cids[hit],
+            "_n": counts[hit],
+            "_s": list(sums[hit]),
+        })
+
+    rows = q.select("_v").mapInPandas(
+        kernel, "cluster long, _n long, _s array<long>"
+    ).collect()
+    return _combine_partials(
+        (int(r["cluster"]), int(r["_n"]), r["_s"]) for r in rows
+    )
+
+
+def _group_update_partials(
+    df: DataFrame, key_col: str, vec_col: str
+) -> dict:
+    """Per-``key_col`` (count, per-dim sums) over an ALREADY-grouped
+    frame via the same kernel-partials + driver-combine shape as
+    :func:`_kmeans_iter_update` — for the centroid recompute over a
+    persisted assignment, where the wide fresh-plan JVM aggregate was
+    the cost, not the grouping itself."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        acc: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].to_numpy()
+            x = np.array(pdf[vec_col].tolist(), dtype=np.int64)
+            uniq, inv = np.unique(keys, return_inverse=True)
+            counts = np.bincount(inv, minlength=len(uniq))
+            sums = np.zeros((len(uniq), x.shape[1]), dtype=np.int64)
+            np.add.at(sums, inv, x)
+            for i, key in enumerate(uniq):
+                key = int(key)
+                if key in acc:
+                    n0, s0 = acc[key]
+                    acc[key] = (n0 + int(counts[i]), s0 + sums[i])
+                else:
+                    acc[key] = (int(counts[i]), sums[i].copy())
+        if acc:
+            yield pd.DataFrame({
+                "_k": list(acc),
+                "_n": [v[0] for v in acc.values()],
+                "_s": [v[1] for v in acc.values()],
+            })
+
+    rows = df.select(key_col, vec_col).mapInPandas(
+        kernel, "_k long, _n long, _s array<long>"
+    ).collect()
+    return _combine_partials(
+        (int(r["_k"]), int(r["_n"]), r["_s"]) for r in rows
+    )
+
+
 def _embed_kmeans_impl(
     embeddings: DataFrame,
     k: int = 8,
@@ -929,6 +1063,7 @@ def _embed_kmeans_impl(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    seed_limit: int = 0,
 ):
     """Deterministic Lloyd k-means over integer-quantized embeddings —
     the clustering step behind domain discovery, cluster-balanced data
@@ -951,18 +1086,22 @@ def _embed_kmeans_impl(
     combine, then ≤ k·dim rows. Iterations are a fixed small count, the
     caller's knob, so lineage stays shallow (no checkpoint needed).
 
-    Returns ``(assigned, q, centroids, dim)``: the final assignment
-    frame carrying (id, cluster, _v) over the persisted validated
-    projection ``q`` (the CALLER owns q's cache lifetime), plus the
-    final driver-side centroid table and vector dim — so composite
+    Returns ``(assigned, q, centroids, dim, seed)``: the final
+    assignment frame carrying (id, cluster, _v) over the persisted
+    validated projection ``q`` (the CALLER owns q's cache lifetime),
+    the final driver-side centroid table and vector dim — so composite
     operators (IVFPQ) can reuse the quantized/validated/assigned rows
-    without a re-derivation join (r15 opt).
+    without a re-derivation join (r15 opt) — plus the collected seed
+    rows: ``seed_limit`` widens the init collect to
+    ``max(k, seed_limit)`` smallest-id rows so a composite caller
+    (IVFPQ's PQ seeding) can derive its own seed from the SAME collect
+    instead of paying a separate orderBy/limit job (r15 opt round 2).
     """
-    q = _spread(embeddings).select(
+    q = _spread_vectors(embeddings).select(
         F.col(id_col), quantize(vec_col, scale).alias("_v")
     )
     q = q.persist()
-    seed = q.orderBy(F.col(id_col).asc()).limit(k).collect()
+    seed = q.orderBy(F.col(id_col).asc()).limit(max(k, seed_limit)).collect()
     centroids = []
     seed_dim = None
     for i, r in enumerate(seed):
@@ -980,7 +1119,8 @@ def _embed_kmeans_impl(
                 f"NULL elements; offending {id_col}={r[id_col]!r}"
             )
         seed_dim = len(v) if seed_dim is None else seed_dim
-        centroids.append((i, list(v)))
+        if i < k:
+            centroids.append((i, list(v)))
     if centroids:
         # NULL or wrong-length vectors would otherwise assign to cluster
         # 0 silently: every distance aggregates to NULL and the
@@ -1014,6 +1154,17 @@ def _embed_kmeans_impl(
     for _ in range(iters):
         if not centroids:
             break  # empty input: nothing to assign or update
+        if len(centroids) * dim > _KMEANS_ARROW_THRESHOLD:
+            # fused assign+partials kernel (r15 opt round 2): one
+            # map-only job per round, no wide fresh-plan aggregate —
+            # see _kmeans_iter_update for the measured plan-freshness
+            # cost it removes. Bit-identical means via _trunc_div.
+            comb = _kmeans_iter_update(q, centroids)
+            centroids = sorted(
+                (cid, [_trunc_div(x, n) for x in s])
+                for cid, (n, s) in comb.items()
+            )
+            continue
         assigned = _kmeans_assign(q, centroids)
         # one-exchange update (r15 opt): count + per-dim sums with
         # map-side combine; means derived driver-side with _trunc_div
@@ -1033,7 +1184,7 @@ def _embed_kmeans_impl(
     # final assignment to recompute the whole spread+quantize scan (r8
     # review finding) — the caller ties the cache to its result's
     # lifetime (or reuses q directly)
-    return out, q, centroids, dim
+    return out, q, centroids, dim, seed
 
 
 def embed_kmeans(
@@ -1049,7 +1200,7 @@ def embed_kmeans(
     impl leaves persisted is tied to the returned frame's lifetime."""
     from dataproc_spark.core import release_cache_on_gc
 
-    out, q, _, _ = _embed_kmeans_impl(
+    out, q, _, _, _ = _embed_kmeans_impl(
         embeddings, k, iters, id_col, vec_col, scale
     )
     return release_cache_on_gc(out.select(id_col, "cluster"), q)
@@ -1346,23 +1497,35 @@ def semantic_dedup(
     against the representative only — a stricter candidate cut a
     caller gets by raising k instead). Components run on the pair
     graph only (tiny vs corpus); the final anti-join streams."""
+    from dataproc_spark.core import release_cache_on_gc
     from dataproc_spark.extensions import dedup as _dedup
 
-    cells = embed_kmeans(
+    # r15 opt round 2: consume the kmeans impl's cached quantized
+    # assignment (id, cluster, _v) directly — the previous shape
+    # re-scanned `embeddings`, equi-joined the (id, cluster) view back
+    # on, and re-quantized the vectors for the pair stage (a full extra
+    # scan + join exchange + transform for rows the impl already had;
+    # the ivfpq_topk lesson). scale=1 over the already-quantized longs
+    # is the identity (exact: round(double(x)) == x for |x| < 2^53).
+    out, kq, _, _, _ = _embed_kmeans_impl(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         scale=scale,
     )
-    assigned = embeddings.select(id_col, vec_col).join(cells, id_col)
+    assigned = out.persist()  # consumed by the pair stage (+ cluster join)
     pairs = near_dup_pairs(
-        assigned, threshold_dot_q, id_col=id_col, vec_col=vec_col,
-        bucket_col="cluster", scale=scale,
+        assigned.select(
+            id_col, F.col("_v").alias(vec_col), "cluster"
+        ),
+        threshold_dot_q, id_col=id_col, vec_col=vec_col,
+        bucket_col="cluster", scale=1,
     )
     kept = _dedup.dedup_keep_representatives(
         embeddings, pairs, id_col=id_col
     )
     if with_cluster:
-        return kept.join(cells, id_col)
-    return kept
+        kept = kept.join(assigned.select(id_col, "cluster"), id_col)
+    kept = release_cache_on_gc(kept, kq)
+    return release_cache_on_gc(kept, assigned)
 
 
 # --------------------------------------------------------------------------
@@ -1459,6 +1622,66 @@ def _pq_codes_arrow(
     return q.mapInPandas(kernel, schema)
 
 
+def _pq_iter_update(
+    q: DataFrame, codebooks: list, m: int, subdim: int
+) -> dict:
+    """ONE PQ Lloyd round — per-subspace code assignment AND
+    per-(sub, code) (count, per-dim sums) — as a single map-only Arrow
+    kernel with driver-side combine: the :func:`_kmeans_iter_update`
+    fusion applied to :func:`pq_train`'s loop (same measured
+    plan-freshness motivation; the replaced shape was codes kernel →
+    m-way struct explode → wide fresh-plan aggregate → collect).
+    Assignment math is :func:`_pq_codes_arrow`'s argmin unchanged;
+    np.add.at/np.bincount are exact int64; keys are (sub, code)."""
+    import numpy as np
+    import pandas as pd
+
+    subs = []
+    for sub in range(m):
+        entries = [(code, v) for s, code, v in codebooks if s == sub]
+        codes_arr = np.array([c for c, _ in entries], dtype=np.int64)
+        cmat = np.array([v for _, v in entries], dtype=np.int64)
+        subs.append((codes_arr, cmat, (cmat * cmat).sum(axis=1)))
+
+    def kernel(batches):
+        counts = [np.zeros(len(s[0]), dtype=np.int64) for s in subs]
+        sums = [
+            np.zeros((len(s[0]), subdim), dtype=np.int64) for s in subs
+        ]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["_v"].tolist(), dtype=np.int64)
+            for sub, (codes_arr, cmat, cnorm) in enumerate(subs):
+                xs = x[:, sub * subdim:(sub + 1) * subdim]
+                d = ((xs * xs).sum(axis=1, keepdims=True)
+                     - 2 * (xs @ cmat.T) + cnorm)
+                a = np.argmin(d, axis=1)
+                counts[sub] += np.bincount(a, minlength=len(codes_arr))
+                np.add.at(sums[sub], a, xs)
+        out_sub, out_code, out_n, out_s = [], [], [], []
+        for sub, (codes_arr, _, _) in enumerate(subs):
+            hit = np.nonzero(counts[sub])[0]
+            for i in hit:
+                out_sub.append(sub)
+                out_code.append(int(codes_arr[i]))
+                out_n.append(int(counts[sub][i]))
+                out_s.append(sums[sub][i])
+        if out_sub:
+            yield pd.DataFrame({
+                "sub": out_sub, "code": out_code,
+                "_n": out_n, "_s": out_s,
+            })
+
+    rows = q.select("_v").mapInPandas(
+        kernel, "sub int, code int, _n long, _s array<long>"
+    ).collect()
+    return _combine_partials(
+        ((int(r["sub"]), int(r["code"])), int(r["_n"]), r["_s"])
+        for r in rows
+    )
+
+
 def pq_train(
     embeddings: DataFrame,
     m: int = 8,
@@ -1468,6 +1691,7 @@ def pq_train(
     vec_col: str = "embedding",
     scale: int = 1000,
     impl: str = "arrow",
+    seed: list | None = None,
 ) -> list:
     """Train Product-Quantization codebooks (Jégou et al. 2011,
     "Product quantization for nearest neighbor search" — public IEEE
@@ -1500,46 +1724,51 @@ def pq_train(
         raise ValueError(f"pq_train: m ({m}) and codes ({codes}) must be >= 1")
     if impl not in ("arrow", "expr"):
         raise ValueError(f"pq_train: impl must be 'arrow' or 'expr', got {impl!r}")
-    q = _spread(embeddings).select(
+    q = _spread_vectors(embeddings).select(
         F.col(id_col), quantize(vec_col, scale).alias("_v")
     )
-    seed = q.orderBy(F.col(id_col).asc()).limit(codes).collect()
+    if seed is None:
+        # init: the `codes` smallest ids' quantized vectors. A composite
+        # caller that already holds those rows (IVFPQ derives the PQ
+        # seed from the kmeans impl's widened seed collect) passes them
+        # via ``seed`` — [(id, vector)] id-ascending, ALREADY in this
+        # frame's quantized domain — and skips this orderBy/limit job
+        # (r15 opt round 2).
+        seed = [
+            (r[id_col], r["_v"])
+            for r in q.orderBy(F.col(id_col).asc()).limit(codes).collect()
+        ]
     if not seed:
         raise ValueError("pq_train: empty embeddings frame")
-    dim = len(seed[0]["_v"]) if seed[0]["_v"] is not None else 0
+    dim = len(seed[0][1]) if seed[0][1] is not None else 0
     if dim == 0 or dim % m != 0:
         raise ValueError(
             f"pq_train: vector dim ({dim}) must be a positive multiple "
             f"of m ({m}) — pad or re-slice upstream explicitly"
         )
     subdim = dim // m
-    for r in seed:
-        v = r["_v"]
+    for sid, v in seed:
         if v is None or len(v) != dim or any(x is None for x in v):
             raise ValueError(
                 "pq_train: seed vectors must be same-length with no "
-                f"NULL elements; offending {id_col}={r[id_col]!r}"
+                f"NULL elements; offending {id_col}={sid!r}"
             )
     q = _pq_guard_dim(q, dim, "pq_train").persist()
     codebooks = [
-        (sub, i, list(r["_v"][sub * subdim:(sub + 1) * subdim]))
+        (sub, i, list(v[sub * subdim:(sub + 1) * subdim]))
         for sub in range(m)
-        for i, r in enumerate(seed)
+        for i, (_, v) in enumerate(seed)
     ]
     for _ in range(iters):
         if impl == "arrow":
-            assigned = _pq_codes_arrow(q, codebooks, m, subdim, id_col,
-                                       carry_v=True)
-            exploded = assigned.select(
-                F.explode(F.array(*[
-                    F.struct(
-                        F.lit(sub).alias("sub"),
-                        F.element_at("codes", sub + 1).alias("code"),
-                        _pq_slice(F.col("_v"), sub, subdim).alias("sv"),
-                    )
-                    for sub in range(m)
-                ])).alias("e"),
-            ).select("e.sub", "e.code", "e.sv")
+            # fused assign+partials kernel (r15 opt round 2): one
+            # map-only job per round; see _pq_iter_update
+            comb = _pq_iter_update(q, codebooks, m, subdim)
+            codebooks = sorted(
+                (sub, code, [_trunc_div(x, n) for x in s])
+                for (sub, code), (n, s) in comb.items()
+            )
+            continue
         else:
             # per-sub argmin over that sub's codebook, built as ONE CASE
             # chain so the whole assignment stays a single map-only
@@ -1595,7 +1824,7 @@ def pq_encode(
         raise ValueError(
             f"pq_encode: impl must be 'arrow' or 'expr', got {impl!r}")
     q = _pq_guard_dim(
-        _spread(embeddings).select(
+        _spread_vectors(embeddings).select(
             F.col(id_col), quantize(vec_col, scale).alias("_v")
         ),
         m * subdim, "pq_encode",
@@ -1922,9 +2151,9 @@ def ivfpq_topk(
     # from scratch and equi-joined the (id, cluster) view back on, a
     # full extra scan plus a join exchange for rows the impl already
     # had cached as (id, _v, cluster)
-    assigned, kq, _, dim = _embed_kmeans_impl(
+    assigned, kq, trained_cent, dim, kseed = _embed_kmeans_impl(
         embeddings, k=cells, iters=cell_iters, id_col=id_col,
-        vec_col=vec_col, scale=scale,
+        vec_col=vec_col, scale=scale, seed_limit=codes,
     )
     # persisted: `assigned` is itself an Arrow stage (the kmeans
     # assignment kernel) with THREE consumers (centroid recompute,
@@ -1932,17 +2161,15 @@ def ivfpq_topk(
     # re-run the kernel over the kq cache
     q = assigned.persist()
     # centroids recomputed exactly as embed_kmeans' final update would:
-    # integer mean per (cluster, dim) over the final assignment — the
-    # same one-exchange count+sums update as the training rounds
-    cent_rows = _mean_update_rows(
-        q.select("cluster", "_v"), ["cluster"], "_v", dim
+    # integer mean per cluster over the final assignment — the fused
+    # partials kernel (r15 opt round 2; _group_update_partials) instead
+    # of a wide fresh-plan aggregate, same _trunc_div arithmetic
+    cent_comb = _group_update_partials(
+        q.select("cluster", "_v"), "cluster", "_v"
     )
     centroids = sorted(
-        (
-            int(r["cluster"]),
-            [_trunc_div(r[f"_s{i}"], r["_n"]) for i in range(dim)],
-        )
-        for r in cent_rows
+        (int(cid), [_trunc_div(int(x), n) for x in s])
+        for cid, (n, s) in cent_comb.items()
     )
     # residuals: vector − assigned cell centroid, as ONE Arrow kernel
     # (r15 opt): the previous literal CASE-over-centroid-arrays +
@@ -1984,8 +2211,28 @@ def ivfpq_topk(
     as_float_free = resid.select(
         F.col(id_col), F.col("cluster"), F.col("_r").alias("embedding")
     )
+    # PQ seed derived DRIVER-side from the kmeans impl's widened seed
+    # collect (r15 opt round 2): the `codes` smallest ids' residuals.
+    # Replicates the engine bit-for-bit in exact Python ints — the
+    # row's CELL is the impl's final assignment (argmin over the
+    # TRAINED centroids, ties → smallest cid; both lists are
+    # cid-ascending and min() keeps the first minimum), while the
+    # subtracted vector is that cell's RECOMPUTED integer-mean centroid
+    # (what the residual kernel uses). Saves pq_train's own
+    # orderBy/limit job over the residual cache.
+    cent_by_cid = dict(centroids)
+    pq_seed = []
+    for r in kseed[:codes]:
+        v = [int(x) for x in r["_v"]]
+        cid, _ = min(
+            trained_cent,
+            key=lambda c: sum((a - b) * (a - b) for a, b in zip(v, c[1])),
+        )
+        cvec = cent_by_cid[cid]
+        pq_seed.append((r[id_col], [a - b for a, b in zip(v, cvec)]))
     cb = pq_train(as_float_free, m=m, codes=codes, iters=pq_iters,
-                  id_col=id_col, vec_col="embedding", scale=1)
+                  id_col=id_col, vec_col="embedding", scale=1,
+                  seed=pq_seed)
     enc = pq_encode(as_float_free, cb, id_col=id_col,
                     vec_col="embedding", scale=1)
     # the (id, cluster) join side comes off the CACHED assignment, not

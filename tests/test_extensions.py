@@ -6305,3 +6305,83 @@ def test_bm25_topk_hand_computed(spark):
     empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="no tokenized"):
         textstats.bm25_topk(empty, queries)
+
+
+def test_pq_train_fused_update_parity(spark):
+    """r15 opt round 2: the fused assign+partials PQ round (one Arrow
+    kernel + driver combine, no per-round aggregate plan) trains the
+    EXACT codebook of the all-JVM expression path — negative values on
+    the fixture so the toward-zero _trunc_div means are on the hash —
+    and an explicit ``seed`` (the composite-caller path) changes
+    nothing when it matches what pq_train would collect itself."""
+    from dataproc_spark.extensions import simsearch
+
+    rows = [
+        (i, [float(((i * 7 + d * 3) % 13) - 6) for d in range(4)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fused = simsearch.pq_train(df, m=2, codes=3, iters=2)
+    expr = simsearch.pq_train(df, m=2, codes=3, iters=2, impl="expr")
+    assert [(s, c, [int(x) for x in v]) for s, c, v in fused] \
+        == [(s, c, [int(x) for x in v]) for s, c, v in expr]
+    # explicit seed == the 3 smallest ids' quantized vectors
+    seed = [
+        (i, [round(x * 1000) for x in v]) for i, v in sorted(rows)[:3]
+    ]
+    seeded = simsearch.pq_train(df, m=2, codes=3, iters=2, seed=seed)
+    assert seeded == fused
+    # a malformed explicit seed raises exactly like a collected one
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="same-length"):
+        simsearch.pq_train(df, m=2, codes=3, seed=[(0, [1, None, 2, 3])])
+
+
+def test_group_update_partials_matches_jvm_aggregate(spark):
+    """r15 opt round 2: the kernel-partials centroid recompute
+    (_group_update_partials) returns the same (count, per-dim sums)
+    as the wide JVM aggregate it replaced — negative components and a
+    key with a single row included."""
+    from dataproc_spark.extensions import simsearch
+
+    rows = [
+        (i, i % 3 if i < 28 else 7, [(i * 11 + d * 5) % 17 - 8 for d in range(5)])
+        for i in range(29)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster int, _v array<long>"
+    ).repartition(6)
+    comb = simsearch._group_update_partials(
+        df.select("cluster", "_v"), "cluster", "_v"
+    )
+    agg = simsearch._mean_update_rows(
+        df.select("cluster", "_v"), ["cluster"], "_v", 5
+    )
+    expect = {
+        int(r["cluster"]): (int(r["_n"]), [int(r[f"_s{i}"]) for i in range(5)])
+        for r in agg
+    }
+    assert {k: (n, [int(x) for x in s]) for k, (n, s) in comb.items()} \
+        == expect
+
+
+def test_spread_narrow_target_bytes_sizes_by_data(spark, tmp_path):
+    """r15 opt round 2: a byte-sized spread of a tiny file-backed frame
+    lands on far fewer partitions than core count (bounded Arrow round
+    trips per downstream kernel stage) with rows intact, and stays
+    capped at defaultParallelism."""
+    from dataproc_spark.core import spread_narrow
+
+    p = str(tmp_path / "tiny.parquet")
+    spark.range(200).selectExpr("id", "id * 2 as y").coalesce(1) \
+        .write.parquet(p)
+    df = spark.read.parquet(p)
+    out = spread_narrow(df, target_bytes=4 * 1024 * 1024)
+    n = out.rdd.getNumPartitions()
+    assert 1 <= n <= max(2, spark.sparkContext.defaultParallelism // 2)
+    assert sorted(r.id for r in out.collect()) == list(range(200))
+    # target_bytes=None keeps the historical full-parallelism spread
+    full = spread_narrow(df)
+    assert full.rdd.getNumPartitions() \
+        == spark.sparkContext.defaultParallelism
