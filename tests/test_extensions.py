@@ -6385,3 +6385,47 @@ def test_spread_narrow_target_bytes_sizes_by_data(spark, tmp_path):
     full = spread_narrow(df)
     assert full.rdd.getNumPartitions() \
         == spark.sparkContext.defaultParallelism
+
+
+def test_banded_hamming_arrow_expr_parity(spark):
+    """r15 opt round 2: the grouped-kernel arm of both banded Hamming
+    cores emits exactly the relational arm's (id_a, id_b, hamming)
+    multiset — negative-signed fingerprints (arithmetic shift on the
+    hash), dense buckets, and the NULL/wrong-length/NULL-element rows
+    the expr join silently never pairs."""
+    from dataproc_spark.extensions import dedup as dd
+
+    rows = [(i, ((i % 7) * 0x1111111111111111 + (i // 7)) - (i % 2) * (1 << 63))
+            for i in range(40)] + [(100, None)]
+    df = spark.createDataFrame(rows, "doc_id long, fp long")
+    key = lambda r: (r.id_a, r.id_b, r.hamming)  # noqa: E731
+    for bands, mh in ((8, 7), (4, 3)):
+        expr = dd.banded_hamming_pairs(df, bands=bands, max_hamming=mh)
+        arrow = dd.banded_hamming_pairs(
+            df, bands=bands, max_hamming=mh, impl="arrow"
+        )
+        assert arrow.schema == expr.schema
+        e = sorted(map(key, expr.collect()))
+        assert e == sorted(map(key, arrow.collect()))
+        assert e  # fixture must produce pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="impl"):
+        dd.banded_hamming_pairs(df, impl="bogus")
+
+    mrows = [
+        (i, [((i % 5) * 0x123456789 + w * (i // 5)) - (w % 2) * (1 << 62)
+             for w in range(4)])
+        for i in range(40)
+    ] + [(100, None), (102, [1, None, 3, 4])]
+    mdf = spark.createDataFrame(mrows, "doc_id long, fp array<long>")
+    mexpr = dd.banded_hamming_pairs_multi(mdf, impl="expr")
+    marrow = dd.banded_hamming_pairs_multi(mdf)
+    assert marrow.schema == mexpr.schema
+    me = sorted(map(key, mexpr.collect()))
+    assert me == sorted(map(key, marrow.collect()))
+    assert me
+    assert not any(a in (100, 102) or b in (100, 102)
+                   for a, b, _ in me)
+    with _pytest.raises(ValueError, match="impl"):
+        dd.banded_hamming_pairs_multi(mdf, impl="bogus")
