@@ -596,6 +596,16 @@ def connected_components(
     graph-diameter rounds (near-dup components are shallow — diameter is
     typically tiny). Each round is one shuffle; ``localCheckpoint`` cuts
     the growing lineage so round N doesn't replay rounds 1..N-1.
+
+    Small graphs resolve DRIVER-side (r15 opt round 2): the pair graph
+    is the *duplicate* set — orders of magnitude smaller than the
+    corpus in any real dedup run — so when a bounded ``take`` shows at
+    most :data:`CC_LOCAL_EDGE_LIMIT` edges, a driver union-find
+    produces the identical (node, min-reachable-id) fixed point in one
+    job instead of ~log(diameter) join+checkpoint+probe rounds. The
+    bound keeps driver memory and work trivially small (≤ ~200K edges,
+    a few MB); past it the distributed loop runs exactly as before —
+    the decision is data-adaptive, not a local-mode constant.
     """
     # persist the DIRECTED edges, not the symmetrized union: the union's
     # two branches would otherwise each recompute the full upstream pair
@@ -607,10 +617,15 @@ def connected_components(
     edges = pairs.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).persist()
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
     try:
+        probe = edges.take(CC_LOCAL_EDGE_LIMIT + 1)
+        if len(probe) <= CC_LOCAL_EDGE_LIMIT:
+            # take() scanned every partition to come up short, so the
+            # probe IS the complete edge list
+            return _cc_local(pairs, probe, dict(pairs.dtypes)[id_a])
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         labels = _cc_propagate(sym, max_iter)
     finally:
         # unpersist on the failure path too (a transient executor loss
@@ -618,6 +633,54 @@ def connected_components(
         # table for the session — once per driver retry)
         edges.unpersist()
     return labels
+
+
+#: edge count up to which :func:`connected_components` resolves the
+#: pair graph driver-side (union-find) instead of running distributed
+#: label-propagation rounds — a few MB of driver memory, one job
+#: instead of ~log(diameter) join+checkpoint cycles. Data-adaptive:
+#: bigger graphs take the distributed path automatically.
+CC_LOCAL_EDGE_LIMIT = 200_000
+
+
+def _cc_local(pairs: DataFrame, edge_rows, idt: str) -> DataFrame:
+    """Driver union-find over a bounded edge list — the same output
+    contract as :func:`_cc_propagate`: one (node, component) row per
+    distinct endpoint, component = the smallest node id reachable
+    through the pair graph. Exact and engine-free (pure integer/string
+    comparisons), so it is value-identical to the distributed fixed
+    point by construction."""
+    from dataproc_spark.core import local_frame
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        a, b = r["a"], r["b"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        root = find(n)
+        cur = comp_min.get(root)
+        if cur is None or n < cur:
+            comp_min[root] = n
+    rows = sorted((n, comp_min[find(n)]) for n in parent)
+    return local_frame(
+        pairs.sparkSession, rows, f"node {idt}, component {idt}"
+    )
 
 
 def _cc_propagate(sym: DataFrame, max_iter: int) -> DataFrame:

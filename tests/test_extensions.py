@@ -6429,3 +6429,32 @@ def test_banded_hamming_arrow_expr_parity(spark):
                    for a, b, _ in me)
     with _pytest.raises(ValueError, match="impl"):
         dd.banded_hamming_pairs_multi(mdf, impl="bogus")
+
+
+def test_connected_components_local_distributed_parity(spark, monkeypatch):
+    """r15 opt round 2: the driver union-find fast path (small pair
+    graphs) produces exactly the distributed propagation's
+    (node, component) fixed point — a 5-node chain (diameter > pointer
+    rounds), two disjoint components, and an isolated pair; forcing the
+    distributed arm via a zero edge limit pins the parity."""
+    from dataproc_spark.extensions import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    local = dd.connected_components(pairs)
+    assert local.schema.simpleString() \
+        == "struct<node:bigint,component:bigint>"
+    got = sorted((r.node, r.component) for r in local.collect())
+    expect = [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+              (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)]
+    assert got == expect
+    monkeypatch.setattr(dd, "CC_LOCAL_EDGE_LIMIT", 0)
+    dist = dd.connected_components(pairs)
+    assert sorted((r.node, r.component) for r in dist.collect()) == expect
+    # empty graph: both arms return an empty frame
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dd.connected_components(empty).count() == 0
+    monkeypatch.undo()
+    assert dd.connected_components(empty).count() == 0
