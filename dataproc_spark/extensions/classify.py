@@ -183,6 +183,34 @@ def _ngram_bucket_rows(
     return src.mapInPandas(kernel, schema=f"{key_types}, _bucket long")
 
 
+def ngram_features(
+    df: DataFrame,
+    keep_cols: list,
+    text_col: str = "text",
+    n_buckets: int = 1 << 20,
+    bigrams: bool = True,
+    salt: str = "ftz",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Public pre-featurization seam (r15 opt round 2): the exploded
+    ``(keep_cols..., _bucket)`` hashed-ngram rows that
+    :func:`train_nb_weights` aggregates and :func:`score_documents`
+    joins. A train→score pipeline over ONE corpus should featurize
+    once — ``ngram_features(df, [id, label])``, persist, and hand the
+    (label, _bucket) / (id, _bucket) projections to the two consumers
+    via their ``features`` parameter — instead of paying the tokenize +
+    hash pass twice (the md5 chain is the dominant map cost at any
+    scale). Parameters must match what the consumers would have used;
+    the frame is position-free, so projections are safe."""
+    from dataproc_spark.core import ensure_has_columns
+
+    ensure_has_columns(df, list(keep_cols) + [text_col])
+    return _ngram_bucket_rows(
+        df.select(*keep_cols, F.col(text_col)), list(keep_cols),
+        text_col, n_buckets, bigrams, salt, hash_fn,
+    )
+
+
 def ngram_feature_count(
     col: str | Column = "text", bigrams: bool = True
 ) -> Column:
@@ -256,6 +284,7 @@ def train_nb_weights(
     alpha: int = 1,
     scale: int = 1 << 12,
     hash_fn: str = "md5",
+    features: DataFrame | None = None,
 ):
     """Train a multinomial naive-Bayes model over hashed n-grams from a
     LABELED frame — the producer half of the train → export → score
@@ -306,11 +335,21 @@ def train_nb_weights(
             "skews every prior; filter or impute explicitly first"
         )))
     )
-    counts = (
-        _ngram_bucket_rows(
+    if features is not None:
+        # pre-featurized (label, _bucket) rows from :func:`ngram_features`
+        # (same corpus, same parameters) — the shared-featurize seam for
+        # train→score pipelines (r15 opt round 2)
+        from dataproc_spark.core import ensure_has_columns as _ehc
+
+        _ehc(features, ["label", "_bucket"])
+        feat_rows = features.select("label", "_bucket")
+    else:
+        feat_rows = _ngram_bucket_rows(
             df.select(lab.alias("label"), F.col(text_col).alias("_t")),
             ["label"], "_t", n_buckets, bigrams, salt, hash_fn,
         )
+    counts = (
+        feat_rows
         .withColumnRenamed("_bucket", "bucket")
         .groupBy("label", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
@@ -482,6 +521,7 @@ def score_documents(
     labels: list | None = None,
     hash_fn: str = "md5",
     intercept: dict | None = None,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document under a hashed-ngram linear model — one
     output row per (document, label) with
@@ -543,11 +583,19 @@ def score_documents(
         *ids, ngram_feature_count(text_col, bigrams).alias("n_feats")
     )
     w = F.broadcast(weights) if broadcast_weights else weights
-    sums = (
-        _ngram_bucket_rows(
+    if features is not None:
+        # pre-featurized (*id_cols, _bucket) rows from
+        # :func:`ngram_features` — the shared-featurize seam (r15 opt
+        # round 2); parameters must match this call's
+        ensure_has_columns(features, list(id_cols) + ["_bucket"])
+        feat_rows = features.select(*id_cols, "_bucket")
+    else:
+        feat_rows = _ngram_bucket_rows(
             df.select(*ids, F.col(text_col)), list(id_cols), text_col,
             n_buckets, bigrams, salt, hash_fn,
         )
+    sums = (
+        feat_rows
         .join(w, F.col("_bucket") == F.col("bucket"), "inner")
         .groupBy(*id_cols, "label")
         .agg(F.sum("w").cast("long").alias("_dot"))

@@ -831,15 +831,24 @@ def q_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the doc_score plan (broadcast weights join, map-side sums)."""
     from dataproc_spark.extensions import classify
 
+    from dataproc_spark.core import release_cache_on_gc
+
     n_buckets = 512
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text", "lang")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # featurize ONCE (r15 opt round 2, classify.ngram_features seam):
+    # train aggregates the (label, _bucket) projection, scoring joins
+    # the (doc_id, _bucket) projection — the tokenize+md5 pass is the
+    # dominant map cost and used to run twice. The repartition spreads
+    # the single-split corpus scan across cores for the one kernel pass.
+    feats = classify.ngram_features(
+        docs.select(
+            "doc_id", F.col("lang").alias("label"), "text"
+        ).repartition(spark.sparkContext.defaultParallelism, "doc_id"),
+        ["doc_id", "label"], n_buckets=n_buckets,
+    ).persist()
     w_plan, bias, icpt = classify.train_nb_weights(
         docs.select(F.col("lang").alias("label"), "text"),
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, features=feats,
     )
     # materialize the trained model (≤ labels × 512 rows): the scorer
     # references its weights twice — the doc_score 24× lesson
@@ -848,14 +857,15 @@ def q_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scores = classify.score_documents(
         docs, weights, n_buckets=n_buckets,
-        bias=bias, intercept=icpt, labels=sorted(bias),
+        bias=bias, intercept=icpt, labels=sorted(bias), features=feats,
     ).persist()
     pred = classify.predict_label(scores).select(
         "doc_id", F.col("label").alias("pred_label")
     )
-    return scores.join(pred, "doc_id").select(
+    out = scores.join(pred, "doc_id").select(
         "doc_id", "label", "n_feats", "score", "pred_label"
     )
+    return release_cache_on_gc(out, feats)
 
 
 def _sql_q(c: str, scale: int = 4096) -> str:

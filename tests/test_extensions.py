@@ -6458,3 +6458,40 @@ def test_connected_components_local_distributed_parity(spark, monkeypatch):
     assert dd.connected_components(empty).count() == 0
     monkeypatch.undo()
     assert dd.connected_components(empty).count() == 0
+
+
+def test_ngram_features_seam_matches_inline_featurize(spark):
+    """r15 opt round 2: training and scoring through a shared
+    ngram_features frame (featurize once) produce exactly the model and
+    scores of the inline-featurizing paths."""
+    from dataproc_spark.extensions import classify
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc", "x"), (2, "bb cc dd", "y"),
+         (3, "", "x"), (4, None, "y"), (5, "aa aa", "x")],
+        "doc_id long, text string, label string",
+    )
+    feats = classify.ngram_features(
+        docs, ["doc_id", "label"], n_buckets=64
+    ).persist()
+    w0, b0, i0 = classify.train_nb_weights(docs, n_buckets=64)
+    w1, b1, i1 = classify.train_nb_weights(
+        docs, n_buckets=64, features=feats
+    )
+    key = lambda r: (r["label"], r["bucket"], r["w"])  # noqa: E731
+    assert sorted(map(key, w0.collect())) == sorted(map(key, w1.collect()))
+    assert (b0, i0) == (b1, i1)
+    from dataproc_spark.core import local_frame
+
+    wm = local_frame(spark, w0.collect(), "label string, bucket long, w long")
+    s0 = classify.score_documents(
+        docs.drop("label"), wm, n_buckets=64, bias=b0, intercept=i0,
+        labels=sorted(b0),
+    )
+    s1 = classify.score_documents(
+        docs.drop("label"), wm, n_buckets=64, bias=b0, intercept=i0,
+        labels=sorted(b0), features=feats,
+    )
+    skey = lambda r: (r["doc_id"], r["label"], r["n_feats"], r["score"])  # noqa: E731
+    assert sorted(map(skey, s0.collect())) == sorted(map(skey, s1.collect()))
+    feats.unpersist()
