@@ -109,15 +109,23 @@ def test_connected_components_string_ids(spark):
     assert ids == {"a", "c", "01"}
 
 
-def test_connected_components_raises_when_unconverged(spark):
+def test_connected_components_raises_when_unconverged(spark, monkeypatch):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], schema="id_a long, id_b long"
     )
+    # the unconverged-raise is a guard of the DISTRIBUTED loop; small
+    # graphs now resolve driver-side (r15 opt round 2, union-find),
+    # where convergence is unconditional — force the distributed arm
+    monkeypatch.setattr(dedup, "CC_LOCAL_EDGE_LIMIT", 0)
     with pytest.raises(RuntimeError, match="converge"):
         dedup.connected_components(chain, max_iter=3)
     # and with enough rounds the same chain resolves to one component
     comps = dedup.connected_components(chain, max_iter=50)
     assert comps.select("component").distinct().count() == 1
+    # the default (union-find) path resolves it regardless of max_iter
+    monkeypatch.undo()
+    local = dedup.connected_components(chain, max_iter=3)
+    assert local.select("component").distinct().count() == 1
 
 
 def test_salted_agg_accepts_aliased_decomposable(spark):
