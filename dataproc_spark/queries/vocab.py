@@ -1051,14 +1051,20 @@ cb AS (
     GROUP BY token
 ),
 tot AS (
-    SELECT (SELECT SUM(a_cnt) FROM ca) AS ta,
-           (SELECT SUM(b_cnt) FROM cb) AS tb
+    -- CAST the totals back to BIGINT: DuckDB's SUM(BIGINT) is HUGEINT
+    -- (INT128), which propagates through `//` into the p_ppm/q_ppm
+    -- OUTPUT columns — numerically identical to Spark's int64 but a
+    -- different result type (decimal128 via Arrow, float64 via
+    -- pandas), which hash-fails a value-exact checker even though
+    -- every value matches (r15 driver: rows ok, hash mismatch).
+    SELECT CAST((SELECT SUM(a_cnt) FROM ca) AS BIGINT) AS ta,
+           CAST((SELECT SUM(b_cnt) FROM cb) AS BIGINT) AS tb
 ),
 j AS (
     SELECT COALESCE(ca.token, cb.token) AS token,
            COALESCE(a_cnt, 0) AS a_cnt, COALESCE(b_cnt, 0) AS b_cnt,
-           (COALESCE(a_cnt, 0) * 1000000) // tot.ta AS p_ppm,
-           (COALESCE(b_cnt, 0) * 1000000) // tot.tb AS q_ppm
+           CAST((COALESCE(a_cnt, 0) * 1000000) // tot.ta AS BIGINT) AS p_ppm,
+           CAST((COALESCE(b_cnt, 0) * 1000000) // tot.tb AS BIGINT) AS q_ppm
     FROM ca FULL OUTER JOIN cb ON ca.token = cb.token, tot
 )
 SELECT token, a_cnt, b_cnt, p_ppm, q_ppm,

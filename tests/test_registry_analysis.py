@@ -400,3 +400,36 @@ def test_registry_order_reverify_pin_lifts_itself(tmp_path, monkeypatch):
     )
     order2 = qmod.registry_order(str(tmp_path))
     assert order2.index(stale) < order2.index(pinned)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SF_DIR), reason="driver testdata not present"
+)
+def test_oracle_outputs_have_no_hugeint_columns():
+    """Every oracle's DuckDB result must type as plain int64/float64/
+    string/..., never HUGEINT/DECIMAL128: DuckDB's SUM(BIGINT) is
+    HUGEINT, and an uncast HUGEINT that reaches an OUTPUT column is
+    numerically identical to Spark's int64 yet materializes as
+    decimal128 via Arrow (float64 via pandas), so a value-exact checker
+    hash-fails while rows and values all "match" (the r15 corpus_drift
+    driver finding — p_ppm/q_ppm inherited HUGEINT from `// tot.ta`).
+    DuckDB-only: no Spark session, runs the full registry in seconds."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{_SF_DIR}/{t}.parquet')"
+        )
+    offenders = []
+    for name, (_fn, sql) in sorted(REGISTRY.items()):
+        if not sql:
+            continue
+        tbl = con.execute(sql).arrow()
+        for f in tbl.schema:
+            ts = str(f.type)
+            if ts.startswith("decimal") or ts in ("int128", "uint64"):
+                offenders.append((name, f.name, ts))
+    assert not offenders, offenders
