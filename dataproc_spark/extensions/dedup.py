@@ -94,6 +94,126 @@ def shingles(tokens_col: F.Column, n: int = 5) -> F.Column:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+#: Spark ``XxHash64`` primes (the reference XXH64 constants) — used by
+#: the Arrow MinHash kernel to replay ``xxhash64(shingle, i)``
+#: bit-for-bit from the per-shingle JVM hash (see _minhash_sig_rows)
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _minhash_sig_rows(frame: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """Arrow arm of the MinHash signature pass (r16 opt): ONE numpy
+    kernel computes every hash family from the per-shingle JVM hash.
+
+    Spark evaluates ``xxhash64(c1, c2)`` by chaining: the running hash
+    of the previous column becomes the next column's seed. So the
+    family expression ``xxhash64(shingle, i)`` (``i`` an INT literal)
+    factors exactly into ``hashInt(i, seed=xxhash64(shingle))`` — the
+    expensive UTF-8 hash happens ONCE per shingle (a single JVM
+    builtin), and the per-family step is XXH64's 4-byte tail over a
+    long seed: pure 64-bit integer arithmetic, replayed here as
+    vectorized uint64 numpy (verified bit-identical against
+    ``F.xxhash64(s, lit(i))`` — the parity test pins it). The
+    expression arm evaluated ``num_hashes`` interpreted
+    ``array_min(transform(...))`` traversals per row (~35 s CPU at the
+    sf0.1 gate) and its 32-branch tree alone cost ~2.4 s of plan
+    analysis per fresh session (guide §4.2 kernels; §7.3 planning
+    cost).
+
+    ``frame`` carries (id, _shingles, _hs) where ``_hs`` is
+    ``transform(_shingles, s -> xxhash64(s))``; output is
+    (id, _shingles, _sig) — the exact minhash_signature values.
+    ``mapInArrow``, not ``mapInPandas``: the shingle lists pass through
+    as raw Arrow buffers and ``_hs`` flattens straight into numpy —
+    a pandas crossing materialized millions of Python string objects
+    per batch and ate the whole analysis-time win (measured)."""
+    idt = frame.schema[id_col].dataType.simpleString()
+    schema = f"`{id_col}` {idt}, _shingles array<string>, _sig array<bigint>"
+    nh = int(num_hashes)
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        u64 = np.uint64
+        # (i & 0xFFFFFFFF) * PRIME1, precomputed per family
+        fam = (np.arange(nh, dtype=u64) * u64(_XXH_P1)).reshape(1, nh)
+        init = u64((_XXH_P5 + 4) & 0xFFFFFFFFFFFFFFFF)
+        p2, p3 = u64(_XXH_P2), u64(_XXH_P3)
+        r23, r41 = u64(23), u64(41)
+        s33, s29, s32 = u64(33), u64(29), u64(32)
+
+        def sig_block(flat_i64, offs):
+            # hashInt(i, seed) for every (shingle, family): XXH64 4-byte
+            # tail + avalanche, all uint64 (numpy wraps like the JVM)
+            h = flat_i64.view(u64)[:, None] + init
+            h = h ^ fam
+            h = ((h << r23) | (h >> r41)) * p2 + p3
+            h ^= h >> s33
+            h *= p2
+            h ^= h >> s29
+            h *= p3
+            h ^= h >> s32
+            # signed min per document == array_min over BIGINT
+            return np.minimum.reduceat(h.view(np.int64), offs, axis=0)
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            hs = batch.column(batch.schema.get_field_index("_hs"))
+            lens = pc.list_value_length(hs).to_numpy().astype(np.int64)
+            if (lens == 0).any():
+                # unreachable via minhash_frame (the token filter
+                # guarantees >= 1 shingle) — fail loudly, the expr arm
+                # would emit an all-NULL signature here
+                raise ValueError(
+                    "minhash signature kernel: empty shingle set"
+                )
+            flat_all = pc.list_flatten(hs).to_numpy().astype(
+                np.int64, copy=False
+            )
+            ends = np.cumsum(lens)
+            sig = np.empty((n, nh), dtype=np.int64)
+            # block rows so the (shingles, families) matrix stays ~32 MB
+            # however large a batch gets
+            max_flat = max(1, (4 << 20) // nh)
+            start = 0
+            row0 = 0
+            while row0 < n:
+                row1 = int(
+                    np.searchsorted(ends, start + max_flat, side="right")
+                )
+                row1 = max(row1, row0 + 1)
+                stop = int(ends[row1 - 1])
+                offs = np.zeros(row1 - row0, dtype=np.int64)
+                np.cumsum(lens[row0:row1][:-1], out=offs[1:])
+                sig[row0:row1] = sig_block(flat_all[start:stop], offs)
+                start, row0 = stop, row1
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * nh, nh, dtype=np.int64),
+                    type=pa.int32(),
+                ),
+                pa.array(sig.ravel(), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index(id_col)),
+                    batch.column(
+                        batch.schema.get_field_index("_shingles")
+                    ),
+                    sig_arr,
+                ],
+                [id_col, "_shingles", "_sig"],
+            )
+
+    return frame.mapInArrow(gen, schema)
+
+
 def minhash_signature(shingles_col: F.Column, num_hashes: int = 64) -> F.Column:
     """MinHash signature: per hash function i, min over shingles of
     ``xxhash64(shingle, i)``.
@@ -157,13 +277,24 @@ def minhash_frame(
     num_hashes: int = 64,
     shingle_size: int = 5,
     portable: bool = False,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, shingles, signature) frame — the input to LSH banding.
 
     Documents with no shingles (shorter than the shingle window) are
     excluded: they have no content signal, their all-null signatures would
     all collide into one LSH bucket, and their Jaccard is undefined (0/0).
+
+    ``impl`` selects the xxhash64-family signature arm (r16 opt):
+    ``'arrow'`` (default) hashes each shingle once in the JVM and
+    computes every family in one numpy kernel
+    (:func:`_minhash_sig_rows` — bit-identical values, parity-pinned);
+    ``'expr'`` keeps the pure-expression plan. The portable (md5)
+    family is expression-only — its per-family hash is a string digest,
+    not integer arithmetic.
     """
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"minhash_frame: unknown impl {impl!r}")
     toks = tokens(content_col)
     # guard on the cheap token count, NOT on size(_shingles): Catalyst
     # pushes the filter below the projection, and a shingle-based predicate
@@ -172,8 +303,13 @@ def minhash_frame(
     filtered = df.where(F.size(toks) >= shingle_size)
     sh = shingles(tokens(content_col), shingle_size).alias("_shingles")
     out = filtered.select(F.col(id_col), sh)
-    sig_fn = minhash_signature_portable if portable else minhash_signature
-    return out.withColumn("_sig", sig_fn(F.col("_shingles"), num_hashes))
+    if portable or impl == "expr":
+        sig_fn = minhash_signature_portable if portable else minhash_signature
+        return out.withColumn("_sig", sig_fn(F.col("_shingles"), num_hashes))
+    hs = out.withColumn(
+        "_hs", F.transform(F.col("_shingles"), lambda s: F.xxhash64(s))
+    )
+    return _minhash_sig_rows(hs, id_col, num_hashes)
 
 
 def band_rows(

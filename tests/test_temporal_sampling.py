@@ -183,6 +183,34 @@ def test_minhash_families_are_independent(spark):
     assert len(set(sig)) > 1, "all hash families produced the same value"
 
 
+def test_minhash_sig_arrow_expr_parity(spark):
+    """The Arrow signature kernel (r16 opt: one JVM xxhash64 per
+    shingle + numpy hashInt per family) must reproduce the expression
+    arm BIT-FOR-BIT — same ids, same shingles, same signature longs —
+    across unicode text, single-shingle docs, repeated shingles, and
+    string ids. A family drift would silently change LSH candidates
+    (and so every minhash gate's row count)."""
+    rows = [
+        ("a", "héllo wörld ünïcode héllo wörld"),
+        ("b", "x y"),
+        ("c", ("tok " * 40).strip()),
+        ("d", "a b c d e f g h"),
+        ("e", None),
+        ("f", "short"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id string, text string")
+    for nh, ss in ((8, 2), (32, 3), (3, 1)):
+        a = dedup.minhash_frame(
+            df, num_hashes=nh, shingle_size=ss, impl="arrow"
+        ).collect()
+        e = dedup.minhash_frame(
+            df, num_hashes=nh, shingle_size=ss, impl="expr"
+        ).collect()
+        ka = {r["doc_id"]: (list(r["_shingles"]), list(r["_sig"])) for r in a}
+        ke = {r["doc_id"]: (list(r["_shingles"]), list(r["_sig"])) for r in e}
+        assert ka == ke, f"arrow/expr signature drift at nh={nh} ss={ss}"
+
+
 def test_portable_minhash_signature_matches_python(spark):
     df = spark.createDataFrame([(1, "a b c d")], schema="doc_id long, text string")
     sig = dedup.minhash_frame(

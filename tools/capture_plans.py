@@ -1,9 +1,9 @@
-"""Capture .explain("formatted") for declared queries into plans/r15/.
+"""Capture .explain("formatted") for declared queries into plans/$PLANS_ROUND (default r16)/.
 
 Usage:
     python tools/capture_plans.py <suffix> [query ...]
 
-Writes plans/r15/<query>_<suffix>.txt for each named query (default:
+Writes plans/<round>/<query>_<suffix>.txt for each named query (default:
 every bench headline + extended query). The suffix is "before" for the
 round-start snapshot and "after" for post-change evidence.
 
@@ -35,7 +35,7 @@ def main() -> None:
 
         names = list(bench.BENCH_QUERIES) + list(bench.EXTENDED_QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(ROOT, "plans", "r15")
+    out_dir = os.path.join(ROOT, "plans", os.environ.get("PLANS_ROUND", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     spark.sparkContext.setLogLevel("ERROR")
