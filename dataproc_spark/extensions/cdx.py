@@ -201,6 +201,28 @@ def cdx_closest(
     """
     if mode not in ("closest", "before"):
         raise ValueError(f"mode must be 'closest' or 'before', got {mode!r}")
+    p, matches, others, cap, key_of = _closest_parts(
+        index, probes, url_col, ts_col, broadcast_probes
+    )
+    agg = matches.groupBy(*probes.columns, "_pkey").agg(
+        F.min_by(cap, key_of(mode)).alias("_cap")
+    )
+    out = p.join(agg, probes.columns + ["_pkey"], "left")
+    return out.select(
+        *probes.columns,
+        F.col("_pkey").alias("urlkey"),
+        F.col("_cap.cdx_ts").alias("cdx_ts"),
+        F.col("_cap.cdx_url").alias("cdx_url"),
+        *[F.col(f"_cap.{c}").alias(c) for c in others],
+    )
+
+
+def _closest_parts(index, probes, url_col, ts_col, broadcast_probes):
+    """The shared probes×index machinery of :func:`cdx_closest` —
+    validation, the SURT-keyed probe frame, the (broadcast) inner
+    join, the capture struct, and the per-mode ``min_by`` key builder
+    — extracted so the single-mode operator and the union-of-modes
+    plan (:func:`_cdx_closest_union_modes`) cannot drift apart."""
     from dataproc_spark.core import ensure_has_columns, ensure_no_columns
 
     ensure_has_columns(index, ["urlkey", "ts", "url"])
@@ -236,34 +258,73 @@ def cdx_closest(
     ).otherwise(F.col(ts_col))
     pts = padded.cast("long")
     its = F.col("_its").cast("long")
-    if mode == "before":
-        # max ts at/before the probe: min_by over the NEGATED ts,
-        # NULL key (ineligible) rows are ignored by min_by
-        key = F.when(its <= pts, F.struct((-its).alias("d")))
-    else:
+
+    def key_of(mode: str) -> F.Column:
+        if mode == "before":
+            # max ts at/before the probe: min_by over the NEGATED ts,
+            # NULL key (ineligible) rows are ignored by min_by
+            return F.when(its <= pts, F.struct((-its).alias("d")))
         # guard the struct behind a WHEN: a NULL probe ts would build
         # struct(NULL, its) — non-NULL as a whole, so min_by would
         # pick an arbitrary capture instead of none (r13 review
         # finding); NULL key → min_by ignores → NULL capture columns
-        key = F.when(
+        return F.when(
             pts.isNotNull(),
             F.struct(F.abs(its - pts).alias("d"), its.alias("t")),
         )
+
     cap = F.struct(
         F.col("_its").alias("cdx_ts"),
         F.col("_curl").alias("cdx_url"),
         *[F.col(c) for c in others],
     )
+    return p, matches, others, cap, key_of
+
+
+def _cdx_closest_union_modes(
+    index: DataFrame,
+    probes: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Both :func:`cdx_closest` modes over one probe batch as ONE plan
+    (r16 opt, guide §2.4/§7.3): the probes×index join and the winner
+    shuffle run once, each group computes one ``min_by`` per mode, and
+    a two-element explode reshapes to exactly the union of the two
+    per-mode frames — each mode's left join emits one row per probe
+    row, as does the exploded (mode, capture) pair, and a probe with
+    no qualifying capture carries a NULL struct in both shapes. Output
+    columns: probe columns + ``mode`` + ``urlkey`` + the capture
+    columns, matching ``cdx_closest(...).withColumn('mode', ...)``.
+    Used by consumers that run the same batch in both modes (the
+    cdx_lookup gate) — the separate-calls plan paid the join, the
+    aggregation exchange, and the plan analysis twice."""
+    p, matches, others, cap, key_of = _closest_parts(
+        index, probes, url_col, ts_col, broadcast_probes
+    )
     agg = matches.groupBy(*probes.columns, "_pkey").agg(
-        F.min_by(cap, key).alias("_cap")
+        F.min_by(cap, key_of("closest")).alias("_cap_c"),
+        F.min_by(cap, key_of("before")).alias("_cap_b"),
     )
     out = p.join(agg, probes.columns + ["_pkey"], "left")
-    return out.select(
+    mode_cap = F.explode(
+        F.array(
+            F.struct(
+                F.lit("closest").alias("mode"), F.col("_cap_c").alias("_cap")
+            ),
+            F.struct(
+                F.lit("before").alias("mode"), F.col("_cap_b").alias("_cap")
+            ),
+        )
+    )
+    return out.select(*probes.columns, "_pkey", mode_cap.alias("_mc")).select(
         *probes.columns,
+        F.col("_mc.mode").alias("mode"),
         F.col("_pkey").alias("urlkey"),
-        F.col("_cap.cdx_ts").alias("cdx_ts"),
-        F.col("_cap.cdx_url").alias("cdx_url"),
-        *[F.col(f"_cap.{c}").alias(c) for c in others],
+        F.col("_mc._cap.cdx_ts").alias("cdx_ts"),
+        F.col("_mc._cap.cdx_url").alias("cdx_url"),
+        *[F.col(f"_mc._cap.{c}").alias(c) for c in others],
     )
 
 
@@ -281,12 +342,24 @@ def write_sorted_cdx(
     hosts) + an in-partition sort — the archive bytes are never
     touched, which is the whole point of a CDX sidecar. ``n_files``
     sizes the range partitioning (at 100 TB: pick ~index_size /
-    128 MB)."""
-    (
-        index.repartitionByRange(n_files, F.col("urlkey"), F.col("ts"))
-        .sortWithinPartitions("urlkey", "ts")
-        .write.mode("overwrite").parquet(path)
-    )
+    128 MB).
+
+    The input is persisted across the write (released in a finally):
+    ``repartitionByRange`` runs a SAMPLING pass over its child before
+    the shuffle, so an unpersisted index is computed twice per write —
+    at gate scale that doubles the (regex-heavy) SURT derivation, at
+    cluster scale it is a second full pass over the capture log
+    (guide §5 — persist exactly what two passes share; on a real
+    cluster this persist is a checkpoint of the index table)."""
+    index.persist()
+    try:
+        (
+            index.repartitionByRange(n_files, F.col("urlkey"), F.col("ts"))
+            .sortWithinPartitions("urlkey", "ts")
+            .write.mode("overwrite").parquet(path)
+        )
+    finally:
+        index.unpersist()
 
 
 #: subdirectory holding the ZipNum-style secondary index — the leading

@@ -2024,11 +2024,11 @@ def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
         raise
     loaded = cdxx.load_cdx(spark, scratch, probes)
-    closest = cdxx.cdx_closest(loaded, probes).withColumn(
-        "mode", F.lit("closest"))
-    before = cdxx.cdx_closest(loaded, probes, mode="before").withColumn(
-        "mode", F.lit("before"))
-    res = closest.unionByName(before).select(
+    # both modes from ONE join + ONE aggregation (r16 opt — the
+    # separate closest/before calls paid the probes×index join, the
+    # winner exchange, and the plan analysis twice for the same batch;
+    # the union helper is row-for-row the same result)
+    res = cdxx._cdx_closest_union_modes(loaded, probes).select(
         "doc_id", "mode", "urlkey", "cdx_ts", "digest", "length"
     )
     return _materialize_and_clean(res, scratch)
