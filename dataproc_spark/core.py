@@ -239,10 +239,14 @@ def spread_narrow(
         max_split = _parse_byte_conf(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
-        size = plan_size_bytes(df) or 0
-        splits = max(len(files), size // max_split)
+        size = plan_size_bytes(df)
+        splits = max(len(files), (size or 0) // max_split)
         narrow = splits < parallelism
-        if narrow and target_bytes:
+        # byte-sizing needs a real size estimate: a stat-less plan
+        # coerced to 0 bytes would silently serialize the whole frame
+        # into ONE partition — fall back to the full-parallelism spread
+        # instead (ADVICE r15 finding)
+        if narrow and target_bytes and size is not None:
             n = min(parallelism, max(1, -(-size // target_bytes)))
             return df.repartition(n, *cols)
     else:

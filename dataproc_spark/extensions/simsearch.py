@@ -23,16 +23,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: bytes/task for the scoring-path spread (bucketed/brute-force top-k,
+#: LSH verify, hard negatives): per-row cost is an interpreted dot per
+#: candidate — heavier per byte than the matmul kernels (4 MB/task
+#: below), so size at 1 MB/task. r16 opt: the old core-count spread
+#: gave a 543 KB gate corpus 32 near-empty partitions whose dispatch
+#: overhead dominated the query — ann_bucketed anti-SCALED (faster on
+#: 8 cores than 32, PERF_r15 scaling ratio 0.8); a byte-sized spread is
+#: 1 partition at gate scale and still reaches every core at ~32 MB+
+#: (guide §2 — the knob is bytes/task, not a core count).
+SCORE_SPREAD_TARGET_BYTES = 1 * 1024 * 1024
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Spread a narrow input across cores before CPU-bound scoring — but
     only when it is actually narrow: unconditionally repartitioning a
     well-partitioned large corpus to defaultParallelism would shuffle
     everything into a few giant partitions. Delegates to
     :func:`core.spread_narrow` (plan-time file/size probe, no RDD
-    conversion for file-backed frames)."""
+    conversion for file-backed frames), sized by
+    :data:`SCORE_SPREAD_TARGET_BYTES`."""
     from dataproc_spark.core import spread_narrow
 
-    return spread_narrow(df)
+    return spread_narrow(df, target_bytes=SCORE_SPREAD_TARGET_BYTES)
 
 
 #: bytes/task for the BYTE-SIZED spread of vector frames feeding numpy
