@@ -840,10 +840,13 @@ def q_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (doc_id, _bucket) projection — the tokenize+md5 pass is the
     # dominant map cost and used to run twice. The repartition spreads
     # the single-split corpus scan across cores for the one kernel pass.
+    from dataproc_spark.core import spread_narrow
+
     feats = classify.ngram_features(
-        docs.select(
-            "doc_id", F.col("lang").alias("label"), "text"
-        ).repartition(spark.sparkContext.defaultParallelism, "doc_id"),
+        spread_narrow(
+            docs.select("doc_id", F.col("lang").alias("label"), "text"),
+            "doc_id", target_bytes=128 << 10,
+        ),
         ["doc_id", "label"], n_buckets=n_buckets,
     ).persist()
     w_plan, bias, icpt = classify.train_nb_weights(
