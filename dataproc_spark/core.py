@@ -315,17 +315,61 @@ def release_cache_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
     avoids. Hold the returned frame in a variable while deriving from it
     to keep the pin. This is correctness-neutral by construction:
     unpersist never invalidates a plan, only a speedup.
+
+    r16 opt: the pins are REFERENCE-COUNTED per canonicalized plan.
+    ``unpersist()`` drops the CacheManager entry by plan EQUALITY, so a
+    dying first result used to evict the cache of a LIVE second call of
+    the same operator (Spark canonicalizes expression ids — two
+    separate constructions share one cache entry, and the second
+    ``persist()`` is a no-op on it). Profiled: every repeated in-session
+    call (minhash signatures, bm25 tf, multimodal pairs) recomputed its
+    "persisted" subtree once per downstream branch. The finalizer now
+    unpersists only when the LAST result pinning that canonical plan
+    dies.
     """
     import weakref
 
-    def _release(c=cached):
+    key = None
+    try:
+        app = result.sparkSession.sparkContext.applicationId
+        key = app + "\n" + (
+            cached._jdf.queryExecution().logical().canonicalized().toString()
+        )
+    except Exception:
+        pass  # fall back to an unshared pin (today's behavior)
+    if key is None:
+        key = object()  # unique — never shared
+
+    # evict pin counters from stopped sessions (the _SHARD_RESULTS_CACHE
+    # hygiene rule): a long-lived process creating many sessions must
+    # not accumulate counters forever
+    if isinstance(key, str):
+        app_prefix = key.split("\n", 1)[0] + "\n"
+        for stale in [
+            k for k in _CACHE_PIN_COUNTS
+            if isinstance(k, str) and not k.startswith(app_prefix)
+        ]:
+            del _CACHE_PIN_COUNTS[stale]
+    _CACHE_PIN_COUNTS[key] = _CACHE_PIN_COUNTS.get(key, 0) + 1
+
+    def _release(c=cached, k=key):
         try:
-            c.unpersist()
+            n = _CACHE_PIN_COUNTS.get(k, 1) - 1
+            if n <= 0:
+                _CACHE_PIN_COUNTS.pop(k, None)
+                c.unpersist()
+            else:
+                _CACHE_PIN_COUNTS[k] = n
         except Exception:
             pass  # session already stopped
 
     weakref.finalize(result, _release)
     return result
+
+
+#: live release_cache_on_gc pins per (application, canonical plan) —
+#: see release_cache_on_gc
+_CACHE_PIN_COUNTS: dict = {}
 
 
 def ensure_has_columns(df: DataFrame, columns: Iterable[str]) -> None:

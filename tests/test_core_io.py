@@ -426,3 +426,37 @@ def test_load_selection_reordered_file_changes_ranks(spark, tmp_path):
     sel2 = {(r.query, r.shard): r.rank
             for r in load_shard_selection(spark, [7], 2, str(p)).collect()}
     assert sel2 == {(7, 0): 1, (7, 1): 0}
+
+
+def test_release_cache_on_gc_refcounts_shared_plans(spark):
+    """A dying first result must NOT evict the cache of a LIVE second
+    call of the same operator: unpersist() drops the CacheManager entry
+    by canonicalized-plan equality, so the pins are reference-counted
+    per canonical plan (r16 opt — every repeated in-session call used to
+    recompute its 'persisted' subtree once per downstream branch)."""
+    import gc
+
+    from dataproc_spark.core import _CACHE_PIN_COUNTS, release_cache_on_gc
+
+    base = spark.range(100).selectExpr("id", "id * 2 as v")
+
+    def one():
+        cached = base.groupBy((base.id % 10).alias("k")).count().persist()
+        out = cached.selectExpr("k", "count as c")
+        return release_cache_on_gc(out, cached), cached
+
+    r1, c1 = one()
+    r1.count()
+    r2, c2 = one()
+    del r1
+    gc.collect()
+    # first result died; the shared canonical-plan cache must survive
+    assert c2.storageLevel.useMemory, "live second pin lost its cache"
+    del r2
+    gc.collect()
+    assert not c2.storageLevel.useMemory, "last pin failed to unpersist"
+    app = spark.sparkContext.applicationId
+    assert not any(
+        isinstance(k, str) and k.startswith(app + "\n")
+        for k in _CACHE_PIN_COUNTS
+    ), "pin counters leaked"
