@@ -372,6 +372,26 @@ def release_cache_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
 _CACHE_PIN_COUNTS: dict = {}
 
 
+def pin_lineage(child: DataFrame, *parents: DataFrame) -> DataFrame:
+    """Keep ``parents`` alive for the life of ``child`` — the antidote
+    to :func:`release_cache_on_gc`'s derive-and-drop caveat.
+
+    An operator result that carries a cache-release finalizer dies the
+    moment a caller derives from it and drops the handle
+    (``op(...).select(...)``): the operator's persisted subtree is
+    unpersisted BEFORE the derived frame ever executes, so the action
+    silently recomputes it once per plan branch (r16 opt — a registry
+    audit found 14 gates doing exactly this; the bm25 gate's executed
+    plan showed six parquet scans and zero InMemoryTableScans while
+    its tf frame was 'persisted'). Attaching the parent handles to the
+    child makes the pins live exactly as long as the frame that needs
+    them. Correctness-neutral either way — only the recompute is at
+    stake."""
+    existing = getattr(child, "_dataproc_pins", ())
+    child._dataproc_pins = tuple(existing) + tuple(parents)
+    return child
+
+
 def ensure_has_columns(df: DataFrame, columns: Iterable[str]) -> None:
     """Check that ``df`` contains every column in ``columns``.
 

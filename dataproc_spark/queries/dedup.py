@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataproc_spark.core import pin_lineage
 from dataproc_spark.extensions import dedup
 
 # ---------------------------------------------------------------------------
@@ -170,8 +171,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, threshold=0.2, shingle_size=3, num_hashes=16, bands=4,
         portable=True, scale_m=1000,
     )
-    return dedup.dedup_keep_representatives(docs, pairs).select(
-        "doc_id", "lang", "source"
+    # pin_lineage: the returned plan consumes pairs' persisted
+    # signature subtree — dropping the handle at return would unpersist
+    # it before the driver's action runs (r16 opt, derive-and-drop)
+    return pin_lineage(
+        dedup.dedup_keep_representatives(docs, pairs).select(
+            "doc_id", "lang", "source"
+        ),
+        pairs,
     )
 
 
@@ -303,8 +310,13 @@ def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(
         docs, n=3, min_shared=2, jaccard_threshold_m=100
     )
-    return dedup.dedup_keep_representatives(docs, pairs).select(
-        "doc_id", "lang", "source"
+    # pin_lineage: keep pairs' persisted subtree alive for the driver's
+    # action (r16 opt, derive-and-drop)
+    return pin_lineage(
+        dedup.dedup_keep_representatives(docs, pairs).select(
+            "doc_id", "lang", "source"
+        ),
+        pairs,
     )
 
 
@@ -363,11 +375,12 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, n=3, min_shared=2, jaccard_threshold_m=100
     )
     comps = dedup.connected_components(pairs, id_a="id_a", id_b="id_b")
-    return (
+    return pin_lineage(
         comps.groupBy("component")
         .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
         .groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters")),
+        pairs,
     )
 
 

@@ -32,7 +32,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(
         docs, n=3, min_shared=2, jaccard_threshold_m=100
     )
-    return graph.triangle_count(pairs, src="id_a", dst="id_b")
+    # pin_lineage: the wedge joins consume pairs' persisted subtree
+    # (r16 opt, derive-and-drop)
+    from dataproc_spark.core import pin_lineage
+
+    return pin_lineage(
+        graph.triangle_count(pairs, src="id_a", dst="id_b"), pairs
+    )
 
 
 SQL_TRIANGLE_COUNT = r"""

@@ -73,7 +73,14 @@ def _shared_shard_results(li: DataFrame) -> DataFrame:
         # note: spreading the scan across cores before the persist
         # (spread_narrow) was measured at sf0.1 and REJECTED — the
         # added 600 k-row shuffle costs more than the parallel cache
-        # materialization saves (bench select_top_t 3.7 s → 4.1 s)
+        # materialization saves (bench select_top_t 3.7 s → 4.1 s).
+        # r16 re-measured the BYTE-SIZED variant (1 MB/task ≈ 11-16
+        # partitions, with and without an eager count()): also a LOSS
+        # (fresh-session A/B 3.1-3.7 s → 4.3-4.6 s) — the spread
+        # exchange writes the full 600 k-row projection (~16 MB) from
+        # the same 3 scan tasks, which costs as much as the 3-task
+        # columnar cache write it parallelizes. The 3-split scan is the
+        # floor here; do not retry spread shapes on this cache.
         cached = _SHARD_RESULTS_CACHE[key] = _shard_results(li).persist()
     return cached
 

@@ -868,7 +868,12 @@ def q_nb_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scores.join(pred, "doc_id").select(
         "doc_id", "label", "n_feats", "score", "pred_label"
     )
-    return release_cache_on_gc(out, feats)
+    # pin_lineage: scores carries score_documents' internal cache pin —
+    # deriving `out` and dropping the handle would release it before
+    # the driver's action runs (r16 opt, derive-and-drop)
+    from dataproc_spark.core import pin_lineage
+
+    return release_cache_on_gc(pin_lineage(out, scores), feats)
 
 
 def _sql_q(c: str, scale: int = 4096) -> str:
@@ -1109,8 +1114,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = local_frame(
         spark, _BM25_QUERIES, "qid long, terms array<string>"
     )
-    return textstats.bm25_topk(docs, queries, k=10).select(
-        "qid", F.col("id").alias("doc_id"), "score_q", "rank"
+    ranked = textstats.bm25_topk(docs, queries, k=10)
+    # pin_lineage: the select would drop bm25's tf-cache pin before the
+    # driver's action runs — the executed plan then re-tokenized the
+    # corpus once per branch (measured: six parquet scans, zero
+    # InMemoryTableScans; r16 opt, derive-and-drop)
+    from dataproc_spark.core import pin_lineage
+
+    return pin_lineage(
+        ranked.select(
+            "qid", F.col("id").alias("doc_id"), "score_q", "rank"
+        ),
+        ranked,
     )
 
 
