@@ -277,7 +277,7 @@ def minhash_frame(
     num_hashes: int = 64,
     shingle_size: int = 5,
     portable: bool = False,
-    impl: str = "arrow",
+    impl: str = "expr",
 ) -> DataFrame:
     """(id, shingles, signature) frame — the input to LSH banding.
 
@@ -286,12 +286,20 @@ def minhash_frame(
     all collide into one LSH bucket, and their Jaccard is undefined (0/0).
 
     ``impl`` selects the xxhash64-family signature arm (r16 opt):
-    ``'arrow'`` (default) hashes each shingle once in the JVM and
-    computes every family in one numpy kernel
-    (:func:`_minhash_sig_rows` — bit-identical values, parity-pinned);
-    ``'expr'`` keeps the pure-expression plan. The portable (md5)
-    family is expression-only — its per-family hash is a string digest,
-    not integer arithmetic.
+    ``'arrow'`` hashes each shingle once in the JVM and computes every
+    family in one numpy kernel (:func:`_minhash_sig_rows` —
+    bit-identical values, parity-pinned); ``'expr'`` (default) keeps
+    the pure-expression plan. The default was MEASURED per scale, not
+    per gate: arrow wins ~1 s at the sf0.1 gate (plan-analysis cost of
+    the 32-branch tree), but at the 10× probe the full pairs pipeline
+    read 13-28 s under arrow vs 4-13 s under expr (the persisted
+    kernel output is opaque — any consumer stage that races or misses
+    the cache re-pays the whole kernel plus the Arrow crossing, and
+    repeated kernel batches grow Python-worker RSS across a session),
+    so the scale-robust expression arm stays the default (guide §1 —
+    revert what loses on the measured path). The portable (md5) family
+    is expression-only — its per-family hash is a string digest, not
+    integer arithmetic.
     """
     if impl not in ("arrow", "expr"):
         raise ValueError(f"minhash_frame: unknown impl {impl!r}")
