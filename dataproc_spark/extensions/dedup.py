@@ -808,6 +808,15 @@ def _cc_local(pairs: DataFrame, edge_rows, idt: str) -> DataFrame:
 
     for r in edge_rows:
         a, b = r["a"], r["b"]
+        if a is None or b is None:
+            # internal pair producers raise on NULL ids before this
+            # point; a direct caller's NULL endpoint used to surface as
+            # an opaque None-vs-value TypeError in the min/sort below
+            # (r15 ADVICE finding)
+            raise ValueError(
+                "connected_components: NULL edge endpoint — filter or "
+                "repair NULL ids before clustering"
+            )
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -1464,15 +1473,33 @@ def banded_hamming_pairs_multi(
             (b % per_word) * band_bits,
         ).bitwiseAND(F.lit(mask))
 
+    # reject wrong-LENGTH fingerprints in BOTH arms identically: ANSI
+    # element_at already raises on too-short arrays, but an array
+    # LONGER than `words` slipped through — the expr arm summed
+    # bit_count over exactly `words` elements while the kernel's
+    # popcount covered every word present (result drift), and MIXED
+    # over-length arrays crashed np.array inside the kernel (r15
+    # ADVICE finding). NULL fingerprints stay legal (they never pair).
+    fp_checked = F.when(
+        F.col(fp_col).isNull() | (F.size(F.col(fp_col)) == words),
+        F.col(fp_col),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"banded_hamming_pairs_multi: {fp_col} must have "
+                f"exactly {words} words (bits={bits})"
+            )
+        )
+    )
     banded = fps.select(
         id_col,
-        fp_col,
+        fp_checked.alias(fp_col),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        bval_of(F.col(fp_col), b).alias("bval"),
+                        bval_of(fp_checked, b).alias("bval"),
                     )
                     for b in range(bands)
                 ]
@@ -1486,7 +1513,8 @@ def banded_hamming_pairs_multi(
         # grouping for the same output, since groupBy would bucket NULL
         # bvals together and the kernel needs an int matrix.
         # Wrong-LENGTH arrays raise in the shared banding projection
-        # (ANSI element_at) in both arms — caller error, not data.
+        # (the explicit size guard above — ANSI element_at alone let
+        # OVER-length arrays through) in both arms — caller error.
         clean = banded.where(
             F.col(fp_col).isNotNull()
             & ~F.exists(fp_col, lambda x: x.isNull())

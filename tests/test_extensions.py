@@ -6495,3 +6495,47 @@ def test_ngram_features_seam_matches_inline_featurize(spark):
     skey = lambda r: (r["doc_id"], r["label"], r["n_feats"], r["score"])  # noqa: E731
     assert sorted(map(skey, s0.collect())) == sorted(map(skey, s1.collect()))
     feats.unpersist()
+
+
+def test_banded_hamming_multi_rejects_overlength_arrays(spark):
+    """r15 ADVICE: an array LONGER than `words` passed ANSI element_at
+    (which only validates minimum length) — the expr arm summed
+    bit_count over exactly `words` elements while the kernel covered
+    every word present (result drift), and mixed lengths crashed
+    np.array inside the kernel. Both arms must now reject over-length
+    fingerprints identically, while NULL fingerprints stay legal."""
+    from dataproc_spark.extensions import dedup as dedupx
+
+    rows = [(1, [1, 2, 3, 4]), (2, [1, 2, 3, 5]), (3, [0, 0, 0, 0, 9])]
+    df = spark.createDataFrame(rows, "doc_id long, fp array<bigint>")
+    for impl in ("expr", "arrow"):
+        with pytest.raises(Exception, match="exactly 4 words"):
+            dedupx.banded_hamming_pairs_multi(
+                df, fp_col="fp", words=4, bands=16, max_hamming=15,
+                impl=impl,
+            ).collect()
+    # NULL fingerprints remain legal (never pair) in both arms
+    ok = [(1, [1, 2, 3, 4]), (2, [1, 2, 3, 5]), (3, None)]
+    dfo = spark.createDataFrame(ok, "doc_id long, fp array<bigint>")
+    for impl in ("expr", "arrow"):
+        got = sorted(
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedupx.banded_hamming_pairs_multi(
+                dfo, fp_col="fp", words=4, bands=16, max_hamming=15,
+                impl=impl,
+            ).collect()
+        )
+        assert got == [(1, 2, 1)], (impl, got)
+
+
+def test_cc_local_null_endpoint_raises_clearly(spark, monkeypatch):
+    """r15 ADVICE: a user-supplied pairs frame with NULL endpoint ids
+    used to surface as an opaque None-vs-value TypeError inside the
+    driver union-find; it must raise a clear ValueError instead."""
+    from dataproc_spark.extensions import dedup as dedupx
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="NULL edge endpoint"):
+        dedupx.connected_components(pairs, id_a="id_a", id_b="id_b")
